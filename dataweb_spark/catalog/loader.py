@@ -1,0 +1,171 @@
+"""YAML config loader — the ``relayctl apply -f <dir>`` analog.
+
+Reference: config kinds + apply precedence
+``core/src/model/config_commands/mod.rs:53-83`` (Entity → LocalData →
+LocalMapping → PeerRelay → RemoteMapping → User); server-side upserts
+``rest_server/src/admin/utils.rs:28-120``. Here the six kinds collapse into
+YAML documents with a ``kind`` key, loaded in precedence order into an
+in-memory :class:`RelayCatalog`.
+
+Layout: one directory per relay, any ``*.yaml``/``*.yml`` files, each file one
+or more YAML documents::
+
+    kind: Entity
+    name: lineitem
+    informations:
+      - {name: linenumber, data_type: bigint}
+      ...
+
+    kind: DataConnection
+    name: local_files
+    connection_kind: file
+    options: {path: /data, format: parquet}
+
+    kind: DataSource
+    name: lineitem_a
+    connection: local_files
+    entity: lineitem
+    source_sql: "select * from {table}"
+    fields: [{name: l_linenumber, path: l_linenumber}]
+    mappings:
+      - {information: linenumber, field: l_linenumber}
+      - {information: tax_percent, field: l_tax, transform: "{v} * 100",
+         inverse: "{v} / 100"}
+    default_permission:
+      allowed_columns: [l_linenumber, l_tax]
+      allowed_rows: "l_returnflag = 'N'"
+    user_permissions:
+      all_access: {allowed_columns: "*", allowed_rows: "true"}
+
+    kind: RemoteMapping
+    local_entity: lineitem
+    peer: na_relay
+    remote_entity: lineitem
+    sql_template: "select * from {entity}"
+    info_mappings:
+      - {local_info: tax_percent, remote_info: tax, transform: "{v} * 100"}
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterable
+
+import yaml
+
+from dataweb_spark.catalog.model import (
+    IDENTITY,
+    DataConnection,
+    DataField,
+    DataSource,
+    Entity,
+    Information,
+    Mapping,
+    RelayCatalog,
+    RemoteEntityMapping,
+    RemoteInfoMapping,
+    SourcePermission,
+    Transformation,
+    Web,
+)
+
+_APPLY_PRECEDENCE = [
+    "Entity", "DataConnection", "DataSource", "RemoteMapping",
+]
+
+
+def _parse_transform(doc: dict[str, Any]) -> Transformation:
+    t = doc.get("transform")
+    if not t:
+        return IDENTITY
+    return Transformation(t, doc.get("inverse", "{v}"))
+
+
+def _parse_permission(doc: dict[str, Any] | None,
+                      all_fields: Iterable[str]) -> SourcePermission | None:
+    if doc is None:
+        return None
+    cols = doc.get("allowed_columns", [])
+    if cols == "*":
+        cols = list(all_fields)
+    return SourcePermission(frozenset(cols), str(doc.get("allowed_rows", "false")))
+
+
+def _parse_doc(catalog: RelayCatalog, doc: dict[str, Any]) -> None:
+    kind = doc.get("kind")
+    if kind == "Entity":
+        catalog.add_entity(Entity(
+            name=doc["name"],
+            informations=[Information(i["name"], i["data_type"])
+                          for i in doc["informations"]],
+        ))
+    elif kind == "DataConnection":
+        catalog.add_connection(DataConnection(
+            name=doc["name"],
+            kind=doc.get("connection_kind", "file"),
+            options=doc.get("options", {}),
+        ))
+    elif kind == "DataSource":
+        fields = [DataField(f["name"], f.get("path", f["name"]))
+                  for f in doc.get("fields", [])]
+        field_names = [f.name for f in fields]
+        catalog.add_source(DataSource(
+            name=doc["name"],
+            connection=doc["connection"],
+            entity=doc["entity"],
+            source_sql=doc.get("source_sql", "select * from {table}"),
+            fields=fields,
+            mappings=[Mapping(m["information"], m["field"], _parse_transform(m))
+                      for m in doc.get("mappings", [])],
+            default_permission=_parse_permission(
+                doc.get("default_permission"), field_names),
+            user_permissions={
+                u: _parse_permission(p, field_names)
+                for u, p in doc.get("user_permissions", {}).items()
+            },
+            options=doc.get("options", {}),
+        ))
+    elif kind == "RemoteMapping":
+        catalog.remote_mappings.append(RemoteEntityMapping(
+            local_entity=doc["local_entity"],
+            peer=doc["peer"],
+            remote_entity=doc.get("remote_entity", doc["local_entity"]),
+            sql_template=doc.get("sql_template", "select * from {entity}"),
+            info_mappings=[
+                RemoteInfoMapping(m["local_info"],
+                                  m.get("remote_info", m["local_info"]),
+                                  _parse_transform(m))
+                for m in doc.get("info_mappings", [])
+            ],
+        ))
+    else:
+        raise ValueError(f"unknown config kind {kind!r}")
+
+
+def load_relay_dir(name: str, path: str) -> RelayCatalog:
+    """Load one relay's config directory into a RelayCatalog."""
+    catalog = RelayCatalog(name=name)
+    docs: list[dict[str, Any]] = []
+    for fn in sorted(os.listdir(path)):
+        if not fn.endswith((".yaml", ".yml")):
+            continue
+        with open(os.path.join(path, fn)) as fh:
+            for doc in yaml.safe_load_all(fh):
+                if doc:
+                    docs.append(doc)
+    # apply precedence ordering (config_commands/mod.rs:53-67)
+    docs.sort(key=lambda d: _APPLY_PRECEDENCE.index(d.get("kind", "Entity"))
+              if d.get("kind") in _APPLY_PRECEDENCE else 99)
+    for doc in docs:
+        _parse_doc(catalog, doc)
+    return catalog
+
+
+def load_web_dir(path: str) -> Web:
+    """Load a directory-of-directories (one subdir per relay) into a Web."""
+    web = Web()
+    for relay_name in sorted(os.listdir(path)):
+        sub = os.path.join(path, relay_name)
+        if os.path.isdir(sub):
+            web.add_relay(load_relay_dir(relay_name, sub))
+    return web

@@ -1,0 +1,335 @@
+"""Metadata model: the logical/physical catalog of the data web.
+
+Pure Python (no Spark imports) so it unit-tests instantly. Mirrors the
+reference's model layer:
+
+* Entity / Information      — ``core/src/model/entity.rs:17-46``
+* DataConnection/DataSource/DataField — ``core/src/model/data_stores/mod.rs:17-62``
+* Mapping / Transformation  — ``core/src/model/mappings.rs:30-34, 124-149``
+* RemoteEntityMapping / RemoteInfoMapping — ``core/src/model/mappings.rs:53-62, 106-111``
+* SourcePermission algebra  — ``core/src/model/access_control.rs:66-143``
+
+Spark types are declared as DDL strings (``"bigint"``, ``"double"``,
+``"string"``, ``"date"`` ...) — the Spark-side resolver parses them with
+``pyspark.sql.types._parse_datatype_string`` equivalents at view-build time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# ---------------------------------------------------------------------------
+# Transformations
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Transformation:
+    """An invertible scalar SQL expression template with ``{v}`` placeholder.
+
+    Reference: ``core/src/model/mappings.rs:124-149``. ``other_to_local_info``
+    converts a *source/physical* value into the *entity/logical* value.
+    Composition is textual, exactly like the reference's
+    ``Transformation::compose`` — non-bijective transforms may lose precision
+    (warned at ``mappings.rs:113-122``); we keep them as SQL strings so the
+    downstream engine (Catalyst) simplifies what it can.
+    """
+
+    other_to_local: str = "{v}"  # e.g. "{v} * 100"
+    local_to_other: str = "{v}"  # inverse, e.g. "{v} / 100"
+
+    def apply(self, value_sql: str) -> str:
+        """Render the forward transform over a SQL expression string."""
+        if "{v}" not in self.other_to_local:
+            return self.other_to_local
+        return self.other_to_local.replace("{v}", f"({value_sql})")
+
+    def apply_inverse(self, value_sql: str) -> str:
+        if "{v}" not in self.local_to_other:
+            return self.local_to_other
+        return self.local_to_other.replace("{v}", f"({value_sql})")
+
+    def compose(self, inner: "Transformation") -> "Transformation":
+        """Transform that first applies ``inner`` then ``self``.
+
+        Mirrors ``Transformation::compose`` (``mappings.rs:137-149``): the
+        forward direction nests inner's forward inside self's forward; the
+        inverse nests in the opposite order.
+        """
+        fwd = self.other_to_local.replace("{v}", f"({inner.other_to_local})")
+        inv = inner.local_to_other.replace("{v}", f"({self.local_to_other})")
+        return Transformation(fwd, inv)
+
+    @property
+    def is_identity(self) -> bool:
+        return self.other_to_local.strip() == "{v}"
+
+
+IDENTITY = Transformation()
+
+
+# ---------------------------------------------------------------------------
+# Permissions
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SourcePermission:
+    """Allowed-column set + row-filter SQL boolean (physical namespace).
+
+    Reference ``core/src/model/access_control.rs:66-143``. The row filter is
+    written against *source* (physical) column names and is applied inside
+    the source wrapper **before** logical renaming (ordering per
+    ``core/src/execute/map_local.rs:40-76``).
+
+    Algebra (``access_control.rs:127-143``):
+      union        → columns ∪ , rows OR
+      intersection → columns ∩ , rows AND
+    """
+
+    allowed_columns: frozenset[str] = frozenset()
+    allowed_rows: str = "false"
+
+    @staticmethod
+    def deny_all() -> "SourcePermission":
+        return SourcePermission(frozenset(), "false")
+
+    @staticmethod
+    def allow_all(columns) -> "SourcePermission":
+        return SourcePermission(frozenset(columns), "true")
+
+    def union(self, other: "SourcePermission") -> "SourcePermission":
+        return SourcePermission(
+            self.allowed_columns | other.allowed_columns,
+            f"({self.allowed_rows}) OR ({other.allowed_rows})",
+        )
+
+    def intersection(self, other: "SourcePermission") -> "SourcePermission":
+        return SourcePermission(
+            self.allowed_columns & other.allowed_columns,
+            f"({self.allowed_rows}) AND ({other.allowed_rows})",
+        )
+
+
+def effective_permission(
+    default: SourcePermission | None,
+    user: SourcePermission | None,
+    relay: SourcePermission | None,
+) -> SourcePermission:
+    """effective = default ∪ (user ∩ relay) — ``core/src/execute/mod.rs:148-196``.
+
+    A missing user/relay grant contributes nothing; a missing default denies.
+    """
+    eff = default if default is not None else SourcePermission.deny_all()
+    if user is not None and relay is not None:
+        eff = eff.union(user.intersection(relay))
+    elif user is not None:
+        eff = eff.union(user)
+    elif relay is not None:
+        eff = eff.union(relay)
+    return eff
+
+
+# ---------------------------------------------------------------------------
+# Logical model
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Information:
+    """A named, typed logical column of an Entity (``entity.rs:35-40``)."""
+
+    name: str
+    data_type: str  # Spark DDL type string; all entity columns are nullable
+
+
+@dataclass
+class Entity:
+    """A virtual table scoped to a relay (``entity.rs:17-22``)."""
+
+    name: str
+    informations: list[Information]
+
+    def info_names(self) -> list[str]:
+        return [i.name for i in self.informations]
+
+    def info(self, name: str) -> Information:
+        for i in self.informations:
+            if i.name == name:
+                return i
+        raise KeyError(f"entity {self.name} has no information {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# Physical model
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DataConnection:
+    """A connectable system (``data_stores/mod.rs:17-21``).
+
+    ``kind``: ``file`` (directory of parquet/csv/json), ``jdbc`` (Trino or any
+    JDBC engine — the TrinoRunner/FlightSQLRunner analog), ``view`` (an
+    already-registered Spark view/table — used for tests and in-session data).
+    """
+
+    name: str
+    kind: str  # file | jdbc | view
+    options: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class DataField:
+    """A physical column of a DataSource (``data_stores/mod.rs:55-62``).
+
+    ``path`` is a SQL expression in the source namespace — usually a bare
+    column name, but may be nested access (``props.a.b``) or
+    ``get_json_object(...)`` for JSON-path fields.
+    """
+
+    name: str
+    path: str
+
+
+@dataclass
+class Mapping:
+    """Information ↔ DataField link + transformation (``mappings.rs:30-34``)."""
+
+    information: str  # logical column name
+    field: str        # DataField.name
+    transformation: Transformation = IDENTITY
+
+
+@dataclass
+class DataSource:
+    """One queryable dataset inside a connection (``data_stores/mod.rs:39-45``).
+
+    ``source_sql`` is an arbitrary SQL transform substituted as a derived
+    table (``core/src/execute/parse_utils.rs:89-135``); the placeholder
+    ``{table}`` refers to the raw connection table/path registration.
+    """
+
+    name: str
+    connection: str
+    entity: str
+    source_sql: str  # e.g. "select *, tax*extendedprice as tax_amount from {table}"
+    fields: list[DataField] = field(default_factory=list)
+    mappings: list[Mapping] = field(default_factory=list)
+    default_permission: SourcePermission | None = None
+    user_permissions: dict[str, SourcePermission] = field(default_factory=dict)
+    options: dict[str, str] = field(default_factory=dict)
+
+    def field_path(self, field_name: str) -> str:
+        for f in self.fields:
+            if f.name == field_name:
+                return f.path
+        # Bare-name fallback: a field not declared explicitly maps to itself.
+        return field_name
+
+    def mapping_for(self, information: str) -> Mapping | None:
+        for m in self.mappings:
+            if m.information == information:
+                return m
+        return None
+
+    def physical_columns(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+
+# ---------------------------------------------------------------------------
+# Remote (peer-relay) model
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RemoteInfoMapping:
+    """Per-column rename + transformation across a relay hop
+    (``mappings.rs:106-111``). ``transformation`` converts the *peer's*
+    value into the *local* logical value."""
+
+    local_info: str
+    remote_info: str
+    transformation: Transformation = IDENTITY
+
+
+@dataclass
+class RemoteEntityMapping:
+    """Local Entity ↔ peer Relay Entity link (``mappings.rs:53-62``).
+
+    ``sql_template`` (optional) is substituted as the remote table factor,
+    with ``{entity}`` referring to the peer's entity name.
+    """
+
+    local_entity: str
+    peer: str          # peer relay name
+    remote_entity: str
+    sql_template: str = "select * from {entity}"
+    info_mappings: list[RemoteInfoMapping] = field(default_factory=list)
+
+    def mapping_for(self, local_info: str) -> RemoteInfoMapping | None:
+        for m in self.info_mappings:
+            if m.local_info == local_info:
+                return m
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Relay + web catalogs
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RelayCatalog:
+    """Everything one relay declares (the Postgres metadata analog,
+    ``core/src/schema.rs:17-184`` — here an in-memory dict catalog)."""
+
+    name: str
+    entities: dict[str, Entity] = field(default_factory=dict)
+    connections: dict[str, DataConnection] = field(default_factory=dict)
+    sources: dict[str, DataSource] = field(default_factory=dict)
+    remote_mappings: list[RemoteEntityMapping] = field(default_factory=list)
+
+    def add_entity(self, e: Entity) -> None:
+        if e.name in self.entities:
+            raise ValueError(f"duplicate entity {e.name!r}")
+        self.entities[e.name] = e
+
+    def add_connection(self, c: DataConnection) -> None:
+        self.connections[c.name] = c
+
+    def add_source(self, s: DataSource) -> None:
+        if s.name in self.sources:
+            raise ValueError(f"duplicate source {s.name!r}")
+        # Duplicate-mapping runtime check (``core/src/execute/mod.rs:111-119``)
+        seen = set()
+        for m in s.mappings:
+            if m.information in seen:
+                raise ValueError(
+                    f"source {s.name!r}: duplicate mapping for {m.information!r}")
+            seen.add(m.information)
+        self.sources[s.name] = s
+
+    def sources_for_entity(self, entity: str) -> list[DataSource]:
+        return [s for s in self.sources.values() if s.entity == entity]
+
+    def remotes_for_entity(self, entity: str) -> list[RemoteEntityMapping]:
+        return [m for m in self.remote_mappings if m.local_entity == entity]
+
+
+@dataclass
+class Web:
+    """A set of relays wired to each other — the whole data web.
+
+    In the reference each relay is a separate gRPC server; here the web is a
+    single driver-side catalog and "federation" is recursive view resolution
+    with a visited set (cycle dedup analog of the UUID+unique-constraint
+    machinery, ``core/src/crud/query.rs:21-60``).
+    """
+
+    relays: dict[str, RelayCatalog] = field(default_factory=dict)
+
+    def add_relay(self, r: RelayCatalog) -> None:
+        if r.name in self.relays:
+            raise ValueError(f"duplicate relay {r.name!r}")
+        self.relays[r.name] = r
+
+    def relay(self, name: str) -> RelayCatalog:
+        if name not in self.relays:
+            raise KeyError(f"unknown relay {name!r}")
+        return self.relays[name]

@@ -1,0 +1,142 @@
+"""Query entry points — the Flight / webengine / REST surface as one class.
+
+Reference entry points (SURVEY.md §3):
+
+* **engine mode** (webengine path, ``webengine/src/main.rs``): the full SQL —
+  multi-entity joins allowed — runs over the resolved entity views; Spark
+  performs final joins/aggregations exactly where client-side DataFusion did.
+* **template mode** (raw Flight path, ``flight_server/src/flight.rs:501-630``):
+  one-entity SQL is executed *per mapped source*, returning per-source
+  partial results that the caller merges (the reference's tests re-aggregate
+  client-side, ``test/validation.py:29-60``). Partial-aggregate semantics are
+  a feature, preserved here verbatim.
+* **NDJSON export** (REST path, ``rest_server/src/query/utils.rs:57-169``):
+  rows serialized with an injected ``_relay_metadata_`` object.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataweb_spark.catalog.model import Web
+from dataweb_spark.plans.resolve import (
+    PROVENANCE_RELAY,
+    PROVENANCE_SOURCE,
+    build_source_view,
+    register_entity_views,
+    resolve_entity,
+)
+from dataweb_spark.plans.validation import ValidationError, validate_sql
+
+
+class QueryGateway:
+    """The relay's query surface for one (web, home-relay) pair."""
+
+    def __init__(self, spark: SparkSession, web: Web, relay_name: str):
+        self.spark = spark
+        self.web = web
+        self.relay_name = relay_name
+
+    # -- engine mode (webengine analog) ---------------------------------
+
+    def query(self, sql: str, principal: str | None = None,
+              include_provenance: bool = False) -> DataFrame:
+        """Full SQL over entity views; joins across entities allowed."""
+        entities = validate_sql(self.spark, sql, single_entity=False)
+        known = self.web.relay(self.relay_name).entities
+        unknown = {e for e in entities if e not in known}
+        if unknown:
+            raise ValidationError(
+                f"unknown entity(ies): {sorted(unknown)}; "
+                f"relay {self.relay_name!r} declares {sorted(known)}")
+        register_entity_views(self.spark, self.web, self.relay_name, principal,
+                              include_provenance=include_provenance)
+        return self.spark.sql(sql)
+
+    # -- template mode (raw Flight analog) ------------------------------
+
+    def query_template(self, sql: str, principal: str | None = None
+                       ) -> list[tuple[str, str, DataFrame]]:
+        """One-entity SQL run independently per mapped source.
+
+        Returns ``[(relay, source_id, partial_df), ...]`` — one entry per
+        "endpoint", like the FlightInfo endpoint list
+        (``flight.rs:194-232``). Aggregates come back as per-source partials.
+        """
+        entities = validate_sql(self.spark, sql, single_entity=True)
+        entity_name = next(iter(entities))
+        relay = self.web.relay(self.relay_name)
+        if entity_name not in relay.entities:
+            raise ValidationError(f"unknown entity {entity_name!r}")
+
+        results: list[tuple[str, str, DataFrame]] = []
+        visited: set[tuple[str, str]] = set()
+
+        def visit(relay_name: str, ename: str) -> None:
+            key = (relay_name, ename)
+            if key in visited:
+                return
+            visited.add(key)
+            r = self.web.relay(relay_name)
+            for source in r.sources_for_entity(ename):
+                view = build_source_view(self.spark, r, source, principal)
+                view.drop(PROVENANCE_RELAY, PROVENANCE_SOURCE) \
+                    .createOrReplaceTempView(entity_name)
+                results.append((relay_name, source.name, self.spark.sql(sql)))
+            for rm in r.remotes_for_entity(ename):
+                visit(rm.peer, rm.remote_entity)
+
+        visit(self.relay_name, entity_name)
+        return results
+
+    def query_template_union(self, sql: str, principal: str | None = None
+                             ) -> DataFrame:
+        """Template-mode results concatenated with provenance columns —
+        what ``test/flight_utils.py:66-75`` does client-side."""
+        parts = [
+            df.withColumn(PROVENANCE_RELAY, F.lit(relay))
+              .withColumn(PROVENANCE_SOURCE, F.lit(source))
+            for relay, source, df in self.query_template(sql, principal)
+        ]
+        if not parts:
+            raise ValidationError("query mapped to no sources")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    # -- schema echo (return_arrow_schema analog, flight.rs:565-567) ----
+
+    def query_schema(self, sql: str, principal: str | None = None):
+        return self.query(sql, principal).schema
+
+    # -- NDJSON export (REST analog) ------------------------------------
+
+    def to_ndjson(self, df: DataFrame, drop_null_columns: bool = True
+                  ) -> Iterator[str]:
+        """Serialize with ``_relay_metadata_`` injected per record.
+
+        JSON export drops NULL fields per record (the reference's 17-vs-15
+        column behavior, ``test/validation.py:17-19``) — Spark's ``toJSON``
+        omits null fields natively, matching.
+        """
+        cols = [c for c in df.columns
+                if c not in (PROVENANCE_RELAY, PROVENANCE_SOURCE)]
+        meta_parts = []
+        if PROVENANCE_RELAY in df.columns:
+            meta_parts.append(F.col(PROVENANCE_RELAY).alias(PROVENANCE_RELAY))
+        if PROVENANCE_SOURCE in df.columns:
+            meta_parts.append(F.col(PROVENANCE_SOURCE).alias(PROVENANCE_SOURCE))
+        out = df
+        if meta_parts:
+            out = df.select(*cols, F.struct(*meta_parts).alias("_relay_metadata_"))
+        for line in out.toJSON().toLocalIterator():
+            yield line
+
+    @staticmethod
+    def parse_ndjson(lines: Iterator[str]) -> list[dict]:
+        return [json.loads(x) for x in lines]

@@ -1,0 +1,180 @@
+"""Entity → DataFrame view resolution — the query-mapping compiler.
+
+This is the Spark-first re-expression of the reference's SQL-rewriting
+pipeline (``core/src/execute/map_local.rs:24-122`` and ``map_remote.rs:17-63``):
+instead of rewriting the *query* per source, we build each source's *view*
+once and let the unchanged user query run against the union view. Catalyst
+then pushes projections/filters/limits into every branch (what the reference
+hand-implements in ``webengine/src/expr_to_sql.rs``).
+
+Pipeline per local source (ordering mirrors ``map_local.rs:24-36``):
+
+1. ``source_sql`` applied as a derived table        (apply_source_substitutions)
+2. permission wrapper: ``WHERE allowed_rows`` then projection to
+   ``allowed_columns`` — physical namespace, *before* renaming
+   (apply_source_permission, ``map_local.rs:40-76``)
+3. logical select list: per entity Information, mapped+allowed →
+   ``expr(transform(path)) CAST dtype AS info``; otherwise ``NULL CAST dtype``
+   (apply_info_substitutions + null-lit, ``parse_utils.rs:137-232``, ``:23-25``)
+4. provenance columns ``_source_relay_`` / ``_source_id_``
+   (``rest_server/src/query/utils.rs:96-116``)
+
+Remote entities resolve recursively with a visited set — the cycle-dedup
+analog of the originator-UUID machinery (``core/src/crud/query.rs:21-60``,
+``flight_server/src/flight.rs:545-555``).
+
+Scale design: every step is a *logical* view — no materialization, no
+driver-side rows. The union is ``unionByName(allowMissingColumns=True)``;
+Spark plans one scan per source and parallelizes across all of them, with
+partial aggregation pushed below the union by Catalyst.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataweb_spark.catalog.model import (
+    DataSource,
+    RelayCatalog,
+    RemoteEntityMapping,
+    SourcePermission,
+    Web,
+    effective_permission,
+)
+from dataweb_spark.sources.readers import read_source_frame
+
+PROVENANCE_RELAY = "_source_relay_"
+PROVENANCE_SOURCE = "_source_id_"
+
+
+def _apply_permission(df: DataFrame, perm: SourcePermission) -> DataFrame:
+    """``SELECT <allowed_columns> FROM (src) WHERE <allowed_rows>`` —
+    ``map_local.rs:40-76`` (golden nesting at ``:150-202``)."""
+    out = df.where(F.expr(perm.allowed_rows))
+    keep = [c for c in df.columns if c in perm.allowed_columns]
+    return out.select(*keep)
+
+
+def build_source_view(spark: SparkSession, relay: RelayCatalog,
+                      source: DataSource, principal: str | None = None) -> DataFrame:
+    """One source's contribution to its entity, in entity namespace."""
+    entity = relay.entities[source.entity]
+    conn = relay.connections[source.connection]
+    df = read_source_frame(spark, conn, source)
+
+    if source.default_permission is not None or source.user_permissions:
+        user_perm = source.user_permissions.get(principal) if principal else None
+        perm = effective_permission(source.default_permission, user_perm, None)
+        df = _apply_permission(df, perm)
+        allowed = perm.allowed_columns
+    else:
+        allowed = None  # unguarded source: everything allowed
+
+    available = set(df.columns)
+    select_list = []
+    for info in entity.informations:
+        m = source.mapping_for(info.name)
+        col = None
+        if m is not None:
+            path = source.field_path(m.field)
+            # A mapping is usable only if its physical column survived the
+            # permission projection (permission-denied info → NULL,
+            # ``parse_utils.rs:211-217``).
+            if (allowed is None or m.field in allowed) and (
+                    path in available or path not in source.physical_columns()):
+                col = F.expr(m.transformation.apply(path))
+        if col is None:
+            col = F.lit(None)
+        select_list.append(col.cast(info.data_type).alias(info.name))
+    out = df.select(*select_list)
+    return out.withColumn(PROVENANCE_RELAY, F.lit(relay.name)) \
+              .withColumn(PROVENANCE_SOURCE, F.lit(source.name))
+
+
+def _apply_remote_mapping(spark: SparkSession, relay: RelayCatalog,
+                          rm: RemoteEntityMapping, peer_df: DataFrame) -> DataFrame:
+    """Rename/transform a peer entity's frame into local entity namespace —
+    ``map_remote.rs:17-63``; transformation composition across hops is
+    Column-expression nesting here (textual compose in ``mappings.rs:137-149``)."""
+    entity = relay.entities[rm.local_entity]
+    df = peer_df
+    if rm.sql_template and rm.sql_template.strip().lower() != "select * from {entity}":
+        view = f"__dw_rem_{uuid.uuid4().hex[:12]}"
+        peer_df.createOrReplaceTempView(view)
+        df = spark.sql(rm.sql_template.replace("{entity}", view))
+
+    available = set(df.columns)
+    select_list = []
+    for info in entity.informations:
+        m = rm.mapping_for(info.name)
+        if m is not None and m.remote_info in available:
+            col = F.expr(m.transformation.apply(m.remote_info))
+        elif info.name in available:
+            col = F.col(info.name)
+        else:
+            col = F.lit(None)
+        select_list.append(col.cast(info.data_type).alias(info.name))
+    # Provenance flows through from the peer untouched.
+    for p in (PROVENANCE_RELAY, PROVENANCE_SOURCE):
+        if p in available:
+            select_list.append(F.col(p))
+        else:
+            select_list.append(F.lit(None).cast("string").alias(p))
+    return df.select(*select_list)
+
+
+def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
+                   entity_name: str, principal: str | None = None,
+                   _visited: set[tuple[str, str]] | None = None) -> DataFrame | None:
+    """Resolve an entity to the union of all its mapped sources, local and
+    remote-recursive. Returns None if this (relay, entity) was already
+    visited (cycle) or maps to nothing."""
+    visited = _visited if _visited is not None else set()
+    key = (relay_name, entity_name)
+    if key in visited:
+        return None  # duplicate-request dedup (flight.rs:545-555)
+    visited.add(key)
+
+    relay = web.relay(relay_name)
+    if entity_name not in relay.entities:
+        raise KeyError(f"relay {relay_name!r} has no entity {entity_name!r}")
+
+    parts: list[DataFrame] = []
+    for source in relay.sources_for_entity(entity_name):
+        parts.append(build_source_view(spark, relay, source, principal))
+    for rm in relay.remotes_for_entity(entity_name):
+        peer_df = resolve_entity(spark, web, rm.peer, rm.remote_entity,
+                                 principal, visited)
+        if peer_df is not None:
+            parts.append(_apply_remote_mapping(spark, relay, rm, peer_df))
+
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def register_entity_views(spark: SparkSession, web: Web, relay_name: str,
+                          principal: str | None = None,
+                          include_provenance: bool = True) -> list[str]:
+    """Register every entity of a relay as a temp view for SQL querying —
+    the ``register_web_sources`` analog (``webengine/src/register.rs:36-90``).
+
+    Returns the list of registered entity names.
+    """
+    relay = web.relay(relay_name)
+    registered = []
+    for entity_name in relay.entities:
+        df = resolve_entity(spark, web, relay_name, entity_name, principal)
+        if df is None:
+            continue
+        if not include_provenance:
+            df = df.drop(PROVENANCE_RELAY, PROVENANCE_SOURCE)
+        df.createOrReplaceTempView(entity_name)
+        registered.append(entity_name)
+    return registered

@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[N]``; the configs below are chosen so the same
+code is correct and fast on a large cluster:
+
+* AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  dynamic broadcast) — replaces hand-tuned partition counts.
+* Arrow-enabled Python interop — all Pandas UDF / toPandas traffic is
+  columnar (the reference's transport is Arrow RecordBatch streams;
+  ``core/src/execute/data_stores/mod.rs:110-114``).
+* Modest auto-broadcast threshold; dimension tables (region/nation/...)
+  broadcast, fact tables shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "dataweb_spark", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default ``*``)
+    so the driver's bench harness controls parallelism.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,91 @@
+"""Unit tests for the catalog metadata model (no Spark needed).
+
+Mirrors the reference's in-module Rust tests: transformation compose
+(``core/src/model/mappings.rs:137-149``), permission algebra
+(``core/src/model/access_control.rs:66-143``), duplicate-mapping check
+(``core/src/execute/mod.rs:111-119``).
+"""
+
+import pytest
+
+from dataweb_spark.catalog.model import (
+    DataSource,
+    Entity,
+    Information,
+    Mapping,
+    RelayCatalog,
+    SourcePermission,
+    Transformation,
+    effective_permission,
+)
+
+
+def test_transformation_apply():
+    t = Transformation("{v} * 100", "{v} / 100")
+    assert t.apply("l_tax") == "(l_tax) * 100"
+    assert t.apply_inverse("tax_percent") == "(tax_percent) / 100"
+
+
+def test_transformation_identity():
+    t = Transformation()
+    assert t.is_identity
+    assert t.apply("x") == "(x)"
+
+
+def test_transformation_constant():
+    # No {v} → constant expression (reference allows literal templates)
+    t = Transformation("42", "0")
+    assert t.apply("x") == "42"
+
+
+def test_transformation_compose():
+    outer = Transformation("{v} * 100", "{v} / 100")
+    inner = Transformation("{v} + 5", "{v} - 5")
+    c = outer.compose(inner)
+    # forward: first inner, then outer
+    assert c.other_to_local == "({v} + 5) * 100"
+    assert c.apply("x") == "((x) + 5) * 100"
+    # inverse: first undo outer, then undo inner
+    assert c.local_to_other == "({v} / 100) - 5"
+
+
+def test_permission_union_intersection():
+    a = SourcePermission(frozenset({"x", "y"}), "x > 1")
+    b = SourcePermission(frozenset({"y", "z"}), "z = 'a'")
+    u = a.union(b)
+    assert u.allowed_columns == {"x", "y", "z"}
+    assert u.allowed_rows == "(x > 1) OR (z = 'a')"
+    i = a.intersection(b)
+    assert i.allowed_columns == {"y"}
+    assert i.allowed_rows == "(x > 1) AND (z = 'a')"
+
+
+def test_effective_permission():
+    default = SourcePermission(frozenset({"a"}), "a = 1")
+    user = SourcePermission(frozenset({"a", "b"}), "true")
+    relay = SourcePermission(frozenset({"b", "c"}), "c = 2")
+    eff = effective_permission(default, user, relay)
+    # default ∪ (user ∩ relay)
+    assert eff.allowed_columns == {"a", "b"}
+    assert eff.allowed_rows == "(a = 1) OR ((true) AND (c = 2))"
+    # no grants → default only
+    assert effective_permission(default, None, None) == default
+    # nothing at all → deny
+    assert effective_permission(None, None, None).allowed_rows == "false"
+
+
+def test_duplicate_mapping_rejected():
+    cat = RelayCatalog("r")
+    cat.add_entity(Entity("e", [Information("i", "bigint")]))
+    src = DataSource(
+        name="s", connection="c", entity="e", source_sql="select * from {table}",
+        mappings=[Mapping("i", "f1"), Mapping("i", "f2")])
+    with pytest.raises(ValueError, match="duplicate mapping"):
+        cat.add_source(src)
+
+
+def test_duplicate_entity_rejected():
+    cat = RelayCatalog("r")
+    cat.add_entity(Entity("e", []))
+    with pytest.raises(ValueError, match="duplicate entity"):
+        cat.add_entity(Entity("e", []))

@@ -1,0 +1,146 @@
+"""Integration tests: entity-view resolution over the demo web (sf0.001).
+
+Replicates the reference's integration assertions (``test/validation.py``):
+provenance columns, NULL-padding of unmapped columns, permission duality
+(default vs all_access principal), transformation correctness, cycle dedup.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataweb_spark.catalog.model import (
+    DataConnection, DataField, DataSource, Entity, Information, Mapping,
+    RelayCatalog, RemoteEntityMapping, RemoteInfoMapping, Transformation, Web,
+)
+from dataweb_spark.plans.resolve import (
+    PROVENANCE_RELAY, PROVENANCE_SOURCE, resolve_entity,
+)
+
+
+@pytest.fixture(scope="module")
+def lineitem_raw(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_union_covers_permitted_rows(spark, demo_web, lineitem_raw):
+    df = resolve_entity(spark, demo_web, "na_us", "lineitem")
+    even = lineitem_raw.where("l_orderkey % 2 = 0").count()
+    odd_n = lineitem_raw.where(
+        "l_orderkey % 2 = 1 and l_returnflag = 'N'").count()
+    assert df.count() == even + odd_n
+
+
+def test_all_access_sees_everything(spark, demo_web, lineitem_raw):
+    df = resolve_entity(spark, demo_web, "na_us", "lineitem",
+                        principal="all_access")
+    assert df.count() == lineitem_raw.count()
+
+
+def test_provenance_columns(spark, demo_web):
+    df = resolve_entity(spark, demo_web, "na_us", "lineitem")
+    sources = {r[0] for r in df.select(PROVENANCE_SOURCE).distinct().collect()}
+    assert sources == {"lineitem_trino", "lineitem_csv"}
+    relays = {r[0] for r in df.select(PROVENANCE_RELAY).distinct().collect()}
+    assert relays == {"na_us"}
+
+
+def test_null_padding_unmapped_column(spark, demo_web):
+    """csv source has no shipdate mapping → NULL there, populated for trino."""
+    df = resolve_entity(spark, demo_web, "na_us", "lineitem")
+    csv_rows = df.where(F.col(PROVENANCE_SOURCE) == "lineitem_csv")
+    assert csv_rows.where(F.col("shipdate").isNotNull()).count() == 0
+    trino_rows = df.where(F.col(PROVENANCE_SOURCE) == "lineitem_trino")
+    assert trino_rows.where(F.col("shipdate").isNull()).count() == 0
+
+
+def test_permission_denied_column_is_null(spark, demo_web):
+    """orderkey_csv is excluded by the default permission → NULL for csv
+    source under default principal, populated under all_access."""
+    df = resolve_entity(spark, demo_web, "na_us", "lineitem")
+    csv_rows = df.where(F.col(PROVENANCE_SOURCE) == "lineitem_csv")
+    assert csv_rows.where(F.col("orderkey").isNotNull()).count() == 0
+
+    df2 = resolve_entity(spark, demo_web, "na_us", "lineitem",
+                         principal="all_access")
+    csv2 = df2.where(F.col(PROVENANCE_SOURCE) == "lineitem_csv")
+    assert csv2.where(F.col("orderkey").isNull()).count() == 0
+
+
+def test_transformation_values(spark, demo_web, lineitem_raw):
+    """discount_percent must equal l_discount * 100 ((orderkey, linenumber)
+    is not unique in the synthetic data, so compare via aggregates)."""
+    df = resolve_entity(spark, demo_web, "na_us", "lineitem",
+                        principal="all_access")
+    got = df.where(F.col(PROVENANCE_SOURCE) == "lineitem_trino") \
+        .agg(F.sum("discount_percent"), F.count("*")).collect()[0]
+    exp = lineitem_raw.where("l_orderkey % 2 = 0") \
+        .agg(F.sum(F.col("l_discount") * 100), F.count("*")).collect()[0]
+    assert got[1] == exp[1]
+    assert abs(got[0] - exp[0]) < 1e-6 * max(1.0, abs(exp[0]))
+
+
+def test_remote_entity_resolves_through_peer(spark, demo_web):
+    """global.lineitem federates from na_us via RemoteMapping; provenance
+    keeps the originating relay."""
+    df = resolve_entity(spark, demo_web, "global", "lineitem")
+    relays = {r[0] for r in df.select(PROVENANCE_RELAY).distinct().collect()}
+    assert relays == {"na_us"}
+    local = resolve_entity(spark, demo_web, "na_us", "lineitem")
+    assert df.count() == local.count()
+
+
+def test_cycle_dedup(spark, sf_dir):
+    """Two relays mapping each other's entity must terminate and not
+    double-count (the UUID-dedup analog, ``flight.rs:545-555``)."""
+    def relay(name, peer):
+        r = RelayCatalog(name=name)
+        r.add_entity(Entity("t", [Information("v", "bigint")]))
+        r.add_connection(DataConnection("files", "file",
+                                        {"path": sf_dir, "format": "parquet"}))
+        r.add_source(DataSource(
+            name=f"{name}_src", connection="files", entity="t",
+            source_sql="select * from {table}",
+            fields=[DataField("r_regionkey", "r_regionkey")],
+            mappings=[Mapping("v", "r_regionkey")],
+            options={"table": "region.parquet"}))
+        r.remote_mappings.append(RemoteEntityMapping(
+            local_entity="t", peer=peer, remote_entity="t",
+            info_mappings=[RemoteInfoMapping("v", "v")]))
+        return r
+
+    web = Web()
+    web.add_relay(relay("a", "b"))
+    web.add_relay(relay("b", "a"))
+    df = resolve_entity(spark, web, "a", "t")
+    # region has 5 rows; a's own source + b's source = 10, no infinite loop
+    assert df.count() == 10
+
+
+def test_remote_transformation_composition(spark, sf_dir):
+    """Peer exposes value/100; local remote-mapping re-scales with {v}*100 —
+    values must round-trip (transformation composition across hops)."""
+    peer = RelayCatalog(name="peer")
+    peer.add_entity(Entity("t", [Information("scaled", "double")]))
+    peer.add_connection(DataConnection("files", "file",
+                                       {"path": sf_dir, "format": "parquet"}))
+    peer.add_source(DataSource(
+        name="p_src", connection="files", entity="t",
+        source_sql="select * from {table}",
+        fields=[DataField("r_regionkey", "r_regionkey")],
+        mappings=[Mapping("scaled", "r_regionkey",
+                          Transformation("{v} / 100", "{v} * 100"))],
+        options={"table": "region.parquet"}))
+
+    home = RelayCatalog(name="home")
+    home.add_entity(Entity("t", [Information("orig", "double")]))
+    home.remote_mappings.append(RemoteEntityMapping(
+        local_entity="t", peer="peer", remote_entity="t",
+        info_mappings=[RemoteInfoMapping(
+            "orig", "scaled", Transformation("{v} * 100", "{v} / 100"))]))
+
+    web = Web()
+    web.add_relay(peer)
+    web.add_relay(home)
+    df = resolve_entity(spark, web, "home", "t")
+    vals = sorted(r[0] for r in df.select("orig").collect())
+    assert vals == [0.0, 1.0, 2.0, 3.0, 4.0]
