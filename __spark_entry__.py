@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementations live in ``dataweb_spark.queries`` (the declared query
+inventory); this module is the thin driver-facing shim.
 """
 
 from __future__ import annotations
@@ -15,24 +17,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-shaped aggregate over the federated ``lineitem``
+    entity (two differently-shaped mapped sources, transformations,
+    permissions, NULL-padding) at sf0.001."""
+    from dataweb_spark.demo import build_demo_web
+    from dataweb_spark.plans.gateway import QueryGateway
+    web = build_demo_web("/root/testdata/sf0.001")
+    gw = QueryGateway(spark, web, "na_us")
+    return gw.query("""
+        select returnflag, linestatus,
+               round(sum(quantity), 2) as sum_qty,
+               round(sum(extendedprice * (1 - discount_percent / 100)), 2)
+                   as sum_disc_price,
+               count(*) as count_order
+        from lineitem
+        group by returnflag, linestatus
+        order by returnflag, linestatus
+    """)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from dataweb_spark.queries import queries as q
+    return q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dataweb_spark.queries import oracle_sql as o
+    return o()

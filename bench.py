@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "headline_queries_total", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Per query: one warm-up-free timed run of the full pipeline (plan + execute +
+collect-count). Times include Catalyst planning but not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_volume",
+    "tpch_q10_returned_items",
+    "window_topn_per_customer",
+    "rollup_counts",
+    "events_hourly_rollup",
+    "fed_lineitem_q1",
+    "fed_lineitem_q1_all_access",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "knn_bruteforce_cosine",
+    "knn_ivf_approx",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from dataweb_spark.session import get_spark
+    from dataweb_spark.queries import queries, register_views
+
+    spark = get_spark("dataweb_spark_bench")
+    register_views(spark, sf_dir)  # warm the reader metadata outside timings
+
+    qs = queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

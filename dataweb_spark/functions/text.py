@@ -1,0 +1,154 @@
+"""Text-analysis operators for LLM data pipelines (beyond-reference).
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd) — no Python UDFs. Each operator has an exact ANSI-SQL
+equivalent so the DuckDB oracle can verify it (see ``__spark_entry__``).
+
+Scale notes: every function here is a narrow per-row projection — no shuffle,
+no state — so it scales linearly with input splits and stays inside
+WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword language
+# heuristic. Deliberately small + deterministic (the point is the *operator*,
+# not linguistic accuracy).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by",
+]
+
+_PUNCT_CLASS = r"[.,!?;:]"
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization of trimmed text; empty text → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(t, r"\s+"))
+
+
+def token_count(col: str | Column = "text") -> Column:
+    """Whitespace token count (bigint to match SQL ``len(...)`` oracles)."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col: str | Column = "text") -> Column:
+    """A BPE-ish token estimate: split on word/number/punct boundaries.
+
+    Splits into word runs, digit runs and single punctuation marks — the
+    regex analog of a byte-pair pre-tokenizer's word-split stage.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(
+        c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).cast("bigint")
+
+
+def char_count(col: str | Column = "text") -> Column:
+    return F.length(F.col(col) if isinstance(col, str) else col).cast("bigint")
+
+
+def punct_ratio(col: str | Column = "text") -> Column:
+    """Fraction of characters that are sentence punctuation [.,!?;:]."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    n_punct = n - F.length(F.regexp_replace(c, _PUNCT_CLASS, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(n_punct / n)
+
+
+def stopword_ratio(col: str | Column = "text",
+                   stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English) stopwords."""
+    sw = stopwords or STOPWORDS_EN
+    toks = tokens(col)
+    n = F.size(toks)
+    sw_arr = F.array(*[F.lit(s) for s in sw])
+    n_sw = F.size(F.filter(toks, lambda x: F.array_contains(sw_arr, F.lower(x))))
+    return F.when(n == 0, F.lit(0.0)).otherwise(n_sw.cast("double") / n)
+
+
+def mean_word_length(col: str | Column = "text") -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + F.length(x))
+    return F.when(n == 0, F.lit(0.0)).otherwise(total.cast("double") / n)
+
+
+def quality_score(col: str | Column = "text") -> Column:
+    """Composite heuristic quality score in [0, 1].
+
+    Blend of length band, punctuation sanity and stopword presence —
+    the standard cheap pre-filter in web-scale text pipelines.
+    """
+    n = char_count(col)
+    length_ok = F.when((n >= 50) & (n <= 10000), F.lit(1.0)) \
+                 .when(n < 50, n.cast("double") / 50.0) \
+                 .otherwise(F.lit(0.5))
+    punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    sw = stopword_ratio(col)
+    sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.6))
+    return F.round(0.5 * length_ok + 0.2 * punct_ok + 0.3 * sw_ok, 6)
+
+
+def lang_id(col: str | Column = "text") -> Column:
+    """Language-ID heuristic: most marker-word hits wins; ties and zero
+    hits → 'und'. Deterministic (markers checked in fixed order)."""
+    toks = F.transform(tokens(col), lambda x: F.lower(x))
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reversed so earlier languages win ties (when() chains short-circuit)
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)) \
+                .otherwise(expr)
+    return expr
+
+
+def fingerprint(col: str | Column = "text") -> Column:
+    """128-bit content fingerprint (md5 hex) — exact-dup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def rolling_fingerprint(col: str | Column = "text", window: int = 8) -> Column:
+    """Order-insensitive rolling document fingerprint: xxhash64 of each
+    ``window``-gram of tokens, xor-folded. Robust to local edits outside
+    the changed window; cheap enough for 100 TB (pure codegen exprs)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))))
+    return F.aggregate(grams, F.lit(0).cast("bigint"),
+                       lambda acc, x: acc.bitwiseXOR(x))
+
+
+def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Convenience: attach the full text-analysis column set."""
+    return (df
+            .withColumn("n_chars_computed", char_count(col))
+            .withColumn("n_tokens", token_count(col))
+            .withColumn("n_tokens_bpe", bpe_ish_token_count(col))
+            .withColumn("punct_ratio", F.round(punct_ratio(col), 6))
+            .withColumn("stopword_ratio", F.round(stopword_ratio(col), 6))
+            .withColumn("mean_word_len", F.round(mean_word_length(col), 6))
+            .withColumn("quality", quality_score(col))
+            .withColumn("lang_pred", lang_id(col))
+            .withColumn("fingerprint", fingerprint(col)))

@@ -1,0 +1,715 @@
+"""Declared query inventory — the correctness surface of the engine.
+
+Every entry pairs a Spark implementation with a DuckDB oracle SQL string
+(run by the driver side-by-side at sf0.01; CORRECTNESS gate). Column names
+and types are aligned between both sides; double aggregates are rounded so
+hash comparison is stable across engines.
+
+Groups:
+* ``tpch_*`` / SQL-surface queries — the reference's validated-and-forwarded
+  SQL surface (SURVEY.md §2.3) exercised end-to-end on the synthetic tables.
+* ``fed_*`` — the federation layer (entity views, mapping, transformations,
+  permissions, provenance, remote hop) with oracles that re-express the
+  mapped union in plain SQL.
+* ``dedup_* / text_* / knn_*`` — beyond-reference LLM-pipeline operators.
+  Approximate ops (MinHash LSH, hyperplane LSH, IVF) have no SQL oracle →
+  rows-only checks; each has an exact oracle-checked counterpart.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table; ``events.ts`` is TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects — read it as long and convert to a
+    microsecond timestamp (the values are micro-precision anyway)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def _sql(sql_text: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql_text)
+    return run
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _dual(name: str, sql_text: str, oracle: str | None = None) -> None:
+    """Register a query that runs the same (or near-same) SQL on both."""
+    QUERIES[name] = _sql(sql_text)
+    ORACLES[name] = oracle if oracle is not None else sql_text
+
+
+def _df(name: str, fn: Callable[[SparkSession, str], DataFrame],
+        oracle: str | None = None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+# ===========================================================================
+# TPC-H-ish relational surface (dual SQL)
+# ===========================================================================
+
+_dual("tpch_q1_pricing_summary", """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   as sum_qty,
+       round(sum(l_extendedprice), 2)                              as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           as sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) as sum_charge,
+       round(avg(l_quantity), 4)                                   as avg_qty,
+       round(avg(l_extendedprice), 4)                              as avg_price,
+       round(avg(l_discount), 6)                                   as avg_disc,
+       count(*)                                                    as count_order
+from lineitem
+where l_shipdate <= date '1998-09-02'
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+""")
+
+_dual("tpch_q3_shipping_priority", """
+select o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       cast(o_orderdate as date) as orderdate
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on l_orderkey = o_orderkey
+where c_mktsegment = 'BUILDING'
+group by o_orderkey, cast(o_orderdate as date)
+order by revenue desc, o_orderkey
+limit 10
+""")
+
+_dual("tpch_q5_regional_volume", """
+select n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on l_orderkey = o_orderkey
+join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+where r_name = 'ASIA'
+group by n_name
+order by revenue desc, n_name
+""")
+
+_dual("tpch_q6_forecast_revenue", """
+select round(sum(l_extendedprice * l_discount), 2) as revenue,
+       count(*) as n_rows
+from lineitem
+where l_discount between 0.02 and 0.06 and l_quantity < 10
+""")
+
+_dual("tpch_q10_returned_items", """
+select c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       n_name
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on l_orderkey = o_orderkey
+join nation on c_nationkey = n_nationkey
+where l_returnflag = 'R'
+group by c_custkey, c_name, n_name
+order by revenue desc, c_custkey
+limit 20
+""")
+
+_dual("agg_having_filter", """
+select l_returnflag,
+       count(*)                                        as n_all,
+       count(*) filter (where l_quantity > 5)          as n_big,
+       round(sum(l_extendedprice) filter (where l_discount > 0.03), 2)
+                                                       as disc_price
+from lineitem
+group by l_returnflag
+having count(*) > 10
+order by l_returnflag
+""")
+
+_dual("distinct_counts", """
+select count(distinct l_orderkey)              as n_orders,
+       count(distinct l_partkey)               as n_parts,
+       count(distinct l_returnflag)            as n_flags
+from lineitem
+""")
+
+_dual("window_topn_per_customer", """
+select * from (
+  select o_custkey, o_orderkey, o_totalprice,
+         row_number() over (partition by o_custkey
+                            order by o_totalprice desc, o_orderkey) as rn
+  from orders
+) t
+where rn <= 3 and o_custkey < 100
+order by o_custkey, rn
+""")
+
+_dual("window_running_sum", """
+select o_orderkey, o_custkey,
+       round(sum(o_totalprice) over (partition by o_custkey
+                                     order by o_orderkey
+                                     rows between unbounded preceding
+                                     and current row), 2) as running_total,
+       rank() over (partition by o_custkey order by o_orderkey) as rk
+from orders
+where o_custkey < 50
+order by o_custkey, o_orderkey
+""")
+
+_dual("window_lag_lead_events", """
+select user_id, event_id,
+       round(value - lag(value) over w, 2)  as delta_prev,
+       lead(event_type) over w              as next_type
+from events
+where user_id < 20
+window w as (partition by user_id order by ts, event_id)
+order by user_id, event_id
+""")
+
+_dual("rollup_counts", """
+select l_returnflag, l_linestatus, count(*) as n,
+       grouping(l_returnflag) as g_rf, grouping(l_linestatus) as g_ls
+from lineitem
+group by rollup(l_returnflag, l_linestatus)
+order by g_rf, g_ls, l_returnflag, l_linestatus
+""")
+
+_dual("cube_counts", """
+select o_orderstatus, o_orderpriority, count(*) as n
+from orders
+group by cube(o_orderstatus, o_orderpriority)
+order by o_orderstatus nulls first, o_orderpriority nulls first
+""")
+
+_dual("grouping_sets", """
+select l_returnflag, l_linestatus, round(sum(l_quantity), 2) as qty
+from lineitem
+group by grouping sets ((l_returnflag), (l_linestatus), ())
+order by l_returnflag nulls first, l_linestatus nulls first
+""")
+
+_dual("setops_customers", """
+select c_custkey from customer where c_mktsegment = 'BUILDING'
+intersect
+select c_custkey from customer where c_acctbal > 0
+union
+select c_custkey from customer where c_mktsegment = 'MACHINERY'
+except
+select c_custkey from customer where c_acctbal < -500
+order by c_custkey
+""")
+
+_dual("cte_exists_in_subquery", """
+with big_orders as (
+  select o_orderkey, o_custkey, o_totalprice
+  from orders
+  where o_totalprice > (select avg(o_totalprice) from orders)
+)
+select count(*) as n_big,
+       count(distinct o_custkey) as n_custs
+from big_orders b
+where exists (select 1 from lineitem l where l.l_orderkey = b.o_orderkey
+              and l.l_quantity > 8)
+  and o_custkey in (select c_custkey from customer where c_acctbal > 0)
+""")
+
+_dual("case_cast_string_funcs", """
+select p_partkey,
+       upper(substr(p_name, 1, 8))                    as name_prefix,
+       case when p_size >= 30 then 'L'
+            when p_size >= 15 then 'M'
+            else 'S' end                              as size_class,
+       cast(floor(p_retailprice) as bigint)           as price_int,
+       length(p_brand)                                as brand_len,
+       concat(p_brand, ':', p_type)                   as brand_type
+from part
+where p_name like '%a%' and p_partkey between 100 and 400
+order by p_partkey
+""")
+
+_dual("listagg_nations_per_region", """
+select r_name,
+       concat_ws(',', sort_array(collect_list(n_name))) as nations,
+       count(*) as n
+from region join nation on r_regionkey = n_regionkey
+group by r_name
+order by r_name
+""", oracle="""
+select r_name,
+       string_agg(n_name, ',' order by n_name) as nations,
+       count(*) as n
+from region join nation on r_regionkey = n_regionkey
+group by r_name
+order by r_name
+""")
+
+_dual("date_parts_orders", """
+select cast(year(o_orderdate) as bigint)    as y,
+       cast(month(o_orderdate) as bigint)   as m,
+       count(*)                             as n,
+       round(sum(o_totalprice), 2)          as total
+from orders
+group by year(o_orderdate), month(o_orderdate)
+order by y, m
+""", oracle="""
+select extract(year from o_orderdate)  as y,
+       extract(month from o_orderdate) as m,
+       count(*)                        as n,
+       round(sum(o_totalprice), 2)     as total
+from orders
+group by 1, 2
+order by y, m
+""")
+
+_dual("events_hourly_rollup", """
+select date_trunc('hour', ts)        as hour_ts,
+       event_type,
+       count(*)                      as n,
+       round(sum(value), 2)          as total_value
+from events
+where event_type in ('purchase', 'click')
+group by date_trunc('hour', ts), event_type
+order by hour_ts, event_type
+""")
+
+_dual("events_json_props", """
+select cast(regexp_extract(props, '"k": ([0-9]+)', 1) as bigint) as k,
+       count(*) as n
+from events
+group by 1
+order by k
+""", oracle="""
+select cast(regexp_extract(props, '"k": ([0-9]+)', 1) as bigint) as k,
+       count(*) as n
+from events
+group by 1
+order by k
+""")
+
+_dual("topk_orders", """
+select o_orderkey, o_custkey, o_totalprice
+from orders
+order by o_totalprice desc, o_orderkey
+limit 25
+""")
+
+_dual("predicates_smoke", """
+select l_orderkey, l_linenumber, l_quantity
+from lineitem
+where l_quantity between 3 and 6
+  and l_returnflag in ('A', 'R')
+  and l_shipdate is not null
+  and l_linestatus not like 'X%'
+  and (l_tax > 0.05 or l_discount <= 0.02)
+order by l_orderkey, l_linenumber, l_quantity
+""")
+
+
+# ===========================================================================
+# Federation layer (demo web over the same parquet)
+# ===========================================================================
+
+def _fed(spark: SparkSession, sf_dir: str, relay: str,
+         sql_text: str, principal: str | None = None,
+         provenance: bool = False) -> DataFrame:
+    from dataweb_spark.demo import build_demo_web
+    from dataweb_spark.plans.gateway import QueryGateway
+    web = build_demo_web(sf_dir)
+    gw = QueryGateway(spark, web, relay)
+    return gw.query(sql_text, principal=principal,
+                    include_provenance=provenance)
+
+
+# Oracle building block: the entity view as plain SQL (both sources).
+# Mirrors demo.build_demo_web exactly: even orderkeys via the trino-shaped
+# source; odd orderkeys via the csv-shaped source filtered to returnflag='N'
+# (default principal) with orderkey/shipdate NULLed.
+_FED_VIEW_DEFAULT = """
+with src_trino as (
+  select l_tax * l_extendedprice as tax_amount,
+         l_extendedprice / l_quantity as unitprice,
+         cast(l_linenumber as bigint) as linenumber,
+         l_partkey as partkey, l_suppkey as suppkey, l_orderkey as orderkey,
+         l_quantity as quantity, l_extendedprice as extendedprice,
+         l_discount * 100 as discount_percent, l_tax * 100 as tax_percent,
+         l_returnflag as returnflag, l_linestatus as linestatus,
+         cast(l_shipdate as date) as shipdate
+  from lineitem where l_orderkey % 2 = 0
+), src_csv as (
+  select l_tax * l_extendedprice as tax_amount,
+         l_extendedprice / l_quantity as unitprice,
+         cast(l_linenumber as bigint) as linenumber,
+         l_partkey as partkey, l_suppkey as suppkey,
+         cast(null as bigint) as orderkey,
+         l_quantity as quantity, l_extendedprice as extendedprice,
+         l_discount * 100 as discount_percent, l_tax * 100 as tax_percent,
+         l_returnflag as returnflag, l_linestatus as linestatus,
+         cast(null as date) as shipdate
+  from lineitem where l_orderkey % 2 = 1 and l_returnflag = 'N'
+), entity_lineitem as (
+  select * from src_trino union all select * from src_csv
+)
+"""
+
+_FED_VIEW_ALL_ACCESS = _FED_VIEW_DEFAULT.replace(
+    "cast(null as bigint) as orderkey", "l_orderkey as orderkey") \
+    .replace("cast(null as date) as shipdate",
+             "cast(l_shipdate as date) as shipdate") \
+    .replace("and l_returnflag = 'N'", "")
+
+_df("fed_lineitem_count",
+    lambda spark, sf_dir: _fed(
+        spark, sf_dir, "na_us",
+        "select count(*) as n, count(orderkey) as n_orderkey, "
+        "count(shipdate) as n_shipdate from lineitem"),
+    oracle=_FED_VIEW_DEFAULT + """
+select count(*) as n, count(orderkey) as n_orderkey,
+       count(shipdate) as n_shipdate
+from entity_lineitem
+""")
+
+_df("fed_lineitem_q1",
+    lambda spark, sf_dir: _fed(
+        spark, sf_dir, "na_us", """
+select returnflag, linestatus,
+       round(sum(quantity), 2) as sum_qty,
+       round(sum(extendedprice * (1 - discount_percent / 100)), 2) as sum_disc_price,
+       round(avg(tax_percent), 4) as avg_tax_pct,
+       count(*) as count_order
+from lineitem
+group by returnflag, linestatus
+order by returnflag, linestatus
+"""),
+    oracle=_FED_VIEW_DEFAULT + """
+select returnflag, linestatus,
+       round(sum(quantity), 2) as sum_qty,
+       round(sum(extendedprice * (1 - discount_percent / 100)), 2) as sum_disc_price,
+       round(avg(tax_percent), 4) as avg_tax_pct,
+       count(*) as count_order
+from entity_lineitem
+group by returnflag, linestatus
+order by returnflag, linestatus
+""")
+
+_df("fed_lineitem_q1_all_access",
+    lambda spark, sf_dir: _fed(
+        spark, sf_dir, "na_us", """
+select returnflag, linestatus,
+       round(sum(quantity), 2) as sum_qty,
+       count(*) as count_order,
+       count(orderkey) as n_orderkey
+from lineitem
+group by returnflag, linestatus
+order by returnflag, linestatus
+""", principal="all_access"),
+    oracle=_FED_VIEW_ALL_ACCESS + """
+select returnflag, linestatus,
+       round(sum(quantity), 2) as sum_qty,
+       count(*) as count_order,
+       count(orderkey) as n_orderkey
+from entity_lineitem
+group by returnflag, linestatus
+order by returnflag, linestatus
+""")
+
+_df("fed_unitprice_transform",
+    lambda spark, sf_dir: _fed(
+        spark, sf_dir, "na_us", """
+select linenumber,
+       round(sum(tax_amount), 2) as total_tax_amount,
+       round(avg(unitprice), 4)  as avg_unitprice,
+       count(*) as n
+from lineitem
+where tax_percent > 3
+group by linenumber
+order by linenumber
+"""),
+    oracle=_FED_VIEW_DEFAULT + """
+select linenumber,
+       round(sum(tax_amount), 2) as total_tax_amount,
+       round(avg(unitprice), 4)  as avg_unitprice,
+       count(*) as n
+from entity_lineitem
+where tax_percent > 3
+group by linenumber
+order by linenumber
+""")
+
+
+def _fed_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataweb_spark.demo import build_demo_web
+    from dataweb_spark.plans.resolve import resolve_entity
+    web = build_demo_web(sf_dir)
+    df = resolve_entity(spark, web, "na_us", "lineitem")
+    return (df.groupBy(F.col("_source_relay_").alias("source_relay"),
+                       F.col("_source_id_").alias("source_id"))
+              .agg(F.count("*").alias("n"))
+              .orderBy("source_relay", "source_id"))
+
+
+_df("fed_provenance_counts", _fed_provenance, oracle="""
+select 'na_us' as source_relay, 'lineitem_trino' as source_id,
+       count(*) as n
+from lineitem where l_orderkey % 2 = 0
+union all
+select 'na_us' as source_relay, 'lineitem_csv' as source_id,
+       count(*) as n
+from lineitem where l_orderkey % 2 = 1 and l_returnflag = 'N'
+order by source_id
+""")
+
+_df("fed_remote_hop_count",
+    lambda spark, sf_dir: _fed(
+        spark, sf_dir, "global",
+        "select count(*) as n from lineitem"),
+    oracle=_FED_VIEW_DEFAULT + "select count(*) as n from entity_lineitem")
+
+
+def _fed_template_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-mode per-source partial aggregates (the raw-Flight path):
+    partial counts per source, tagged with provenance."""
+    from dataweb_spark.demo import build_demo_web
+    from dataweb_spark.plans.gateway import QueryGateway
+    web = build_demo_web(sf_dir)
+    gw = QueryGateway(spark, web, "na_us")
+    df = gw.query_template_union(
+        "select returnflag, count(*) as partial_n from lineitem "
+        "group by returnflag")
+    return (df.select(F.col("_source_id_").alias("source_id"),
+                      "returnflag", "partial_n")
+              .orderBy("source_id", "returnflag"))
+
+
+_df("fed_template_partials", _fed_template_partials, oracle="""
+select 'lineitem_trino' as source_id, l_returnflag as returnflag,
+       count(*) as partial_n
+from lineitem where l_orderkey % 2 = 0 group by l_returnflag
+union all
+select 'lineitem_csv' as source_id, l_returnflag as returnflag,
+       count(*) as partial_n
+from lineitem where l_orderkey % 2 = 1 and l_returnflag = 'N'
+group by l_returnflag
+order by source_id, returnflag
+""")
+
+
+# ===========================================================================
+# LLM-pipeline operators
+# ===========================================================================
+
+_dual("dedup_exact_groups", """
+select text, min(doc_id) as keeper_id, count(*) as n_copies
+from documents
+group by text
+having count(*) >= 1
+order by keeper_id
+""")
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return (docs.select(
+        "doc_id",
+        T.char_count("text").alias("n_chars_c"),
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_tokens_bpe"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        T.fingerprint("text").alias("fingerprint"))
+        .orderBy("doc_id"))
+
+
+_df("text_stats", _text_stats, oracle=r"""
+select doc_id,
+       length(text) as n_chars_c,
+       case when length(trim(text)) = 0 then 0
+            else len(string_split_regex(trim(text), '\s+')) end as n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           as n_tokens_bpe,
+       case when length(text) = 0 then 0.0
+            else round((length(text) -
+                        length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                       / cast(length(text) as double), 6) end as punct_ratio,
+       md5(text) as fingerprint
+from documents
+order by doc_id
+""")
+
+
+def _text_stopword_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return (docs.select(
+        "doc_id",
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(T.mean_word_length("text"), 6).alias("mean_word_len"))
+        .orderBy("doc_id"))
+
+
+_SW_LIST = "['the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','at','by']"
+
+_df("text_stopword_quality", _text_stopword_quality, oracle=rf"""
+with toks as (
+  select doc_id,
+         case when length(trim(text)) = 0 then []::varchar[]
+              else string_split_regex(trim(text), '\s+') end as t
+  from documents
+)
+select doc_id,
+       case when len(t) = 0 then 0.0
+            else round(len(list_filter(t, x -> list_contains({_SW_LIST}, lower(x))))
+                       / cast(len(t) as double), 6) end as stopword_ratio,
+       case when len(t) = 0 then 0.0
+            else round(list_sum(list_transform(t, x -> length(x)))
+                       / cast(len(t) as double), 6) end as mean_word_len
+from toks
+order by doc_id
+""")
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataweb_spark.functions import dedup as D
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id < 200") \
+        .select("doc_id", "text")
+    return (D.ngram_jaccard_pairs(docs, "doc_id", shingle_n=3, threshold=0.05)
+             .orderBy("id_a", "id_b"))
+
+
+_df("dedup_ngram_jaccard_exact", _ngram_jaccard, oracle=r"""
+with sh as (
+  select doc_id,
+         list_distinct(list_transform(
+           range(greatest(len(t) - 2, 1)),
+           i -> array_to_string(t[i+1:i+3], ' '))) as shingles
+  from (select doc_id, string_split_regex(trim(text), '\s+') as t
+        from documents where doc_id < 200)
+)
+select a.doc_id as id_a, b.doc_id as id_b,
+       round(len(list_intersect(a.shingles, b.shingles)) /
+             cast(len(list_distinct(a.shingles || b.shingles)) as double), 6)
+           as jaccard
+from sh a join sh b on a.doc_id < b.doc_id
+where len(list_intersect(a.shingles, b.shingles)) /
+      cast(len(list_distinct(a.shingles || b.shingles)) as double) >= 0.05
+order by id_a, id_b
+""")
+
+
+def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (LSH) — no SQL oracle; rows-only check."""
+    from dataweb_spark.functions import dedup as D
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    cands = D.minhash_lsh_candidates(docs, "doc_id", "text")
+    return D.jaccard_verify(docs, cands, "doc_id", threshold=0.5) \
+            .orderBy("id_a", "id_b")
+
+
+_df("dedup_minhash_lsh", _minhash_candidates)  # rows-only
+
+
+def _simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (xxhash64-based — not SQL-expressible): rows-only."""
+    from dataweb_spark.functions import dedup as D
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    return docs.select("doc_id", D.simhash64("text").alias("simhash")) \
+               .orderBy("doc_id")
+
+
+_df("dedup_simhash", _simhash_buckets)  # rows-only
+
+
+def _knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataweb_spark.functions import similarity as S
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return (S.brute_force_topk(emb, queries, k=5)
+             .select("query_id", "neighbor_id", "rank", "cos")
+             .orderBy("query_id", "rank"))
+
+
+_df("knn_bruteforce_cosine", _knn_brute, oracle="""
+with q as (
+  select vec_id as query_id, embedding as qv
+  from embeddings where vec_id < 5
+), scored as (
+  select q.query_id, e.vec_id as neighbor_id,
+         list_cosine_similarity(cast(e.embedding as double[]),
+                                cast(q.qv as double[])) as cos
+  from embeddings e, q
+  where e.vec_id <> q.query_id
+), ranked as (
+  select query_id, neighbor_id,
+         row_number() over (partition by query_id
+                            order by cos desc, neighbor_id) as rank,
+         round(cos, 6) as cos
+  from scored
+)
+select query_id, neighbor_id, rank, cos
+from ranked where rank <= 5
+order by query_id, rank
+""")
+
+
+def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate — no oracle (approx); rows-only check."""
+    from dataweb_spark.functions import similarity as S
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return (S.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+             .orderBy("query_id", "rank"))
+
+
+_df("knn_ivf_approx", _knn_ivf)  # rows-only
+
+
+def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup — approx; rows-only check."""
+    from dataweb_spark.functions import dedup as D
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return D.embedding_near_dups(emb, threshold=0.5, planes=6) \
+            .orderBy("id_a", "id_b")
+
+
+_df("dedup_embedding_cosine", _embedding_near_dups)  # rows-only
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,194 @@
+"""Tests for the LLM-pipeline operators: text analysis, dedup, similarity,
+multimodal plumbing (all beyond-reference; SURVEY.md §7 M6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataweb_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# -- text -----------------------------------------------------------------
+
+def test_token_count_matches_python(spark, docs):
+    rows = docs.select("doc_id", "text",
+                       text.token_count("text").alias("n")).limit(50).collect()
+    for r in rows:
+        assert r["n"] == len(r["text"].split()), r["text"][:40]
+
+
+def test_token_count_empty_string(spark):
+    df = spark.createDataFrame([("",), ("  ",), ("one two",)], ["text"])
+    vals = [r[0] for r in df.select(text.token_count("text")).collect()]
+    assert vals == [0, 0, 2]
+
+
+def test_text_stats_schema_and_ranges(spark, docs):
+    out = text.with_text_stats(docs.limit(100))
+    rows = out.collect()
+    for r in rows:
+        assert r["n_chars_computed"] == len(r["text"])
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["lang_pred"] in (*text.LANG_MARKERS, "und")
+        assert len(r["fingerprint"]) == 32
+
+
+def test_fingerprint_is_dup_key(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["id", "text"])
+    n = df.select(text.fingerprint("text").alias("f")).distinct().count()
+    assert n == 2
+
+
+# -- dedup ----------------------------------------------------------------
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "bbb"), (5, "ccc")],
+        ["id", "text"])
+    kept = dedup.exact_dedup(df, ["text"], "id")
+    assert sorted(r["id"] for r in kept.collect()) == [1, 3, 5]
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    """Plant a near-duplicate of an existing doc; the pipeline must pair it
+    with its original."""
+    base = docs.where("doc_id = 7").collect()[0]["text"]
+    tweaked = base + " extra token"
+    planted = spark.createDataFrame([(99999, tweaked)], ["doc_id", "text"])
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    pairs = dedup.minhash_lsh_candidates(corpus, "doc_id", "text")
+    verified = dedup.jaccard_verify(corpus, pairs, "doc_id", threshold=0.6)
+    hits = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (7, 99999) in hits
+
+
+def test_minhash_dedup_drops_planted(spark, docs):
+    base = docs.where("doc_id = 7").collect()[0]["text"]
+    planted = spark.createDataFrame([(99999, base + " x")], ["doc_id", "text"])
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    out = dedup.minhash_dedup(corpus, "doc_id", threshold=0.6)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 7 in ids and 99999 not in ids
+
+
+def test_simhash_deterministic_and_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely unrelated content here")],
+        ["id", "text"])
+    rows = dict(df.select("id", dedup.simhash64("text").alias("s")).collect())
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_simhash_candidates_pair_identical(spark, docs):
+    base = docs.where("doc_id = 3").collect()[0]["text"]
+    planted = spark.createDataFrame([(88888, base)], ["doc_id", "text"])
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    cands = dedup.simhash_candidates(corpus, "doc_id", band_bits=16)
+    hits = {(r["id_a"], r["id_b"]) for r in
+            cands.select("id_a", "id_b").collect()}
+    assert (3, 88888) in hits
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g x"), (3, "z y x w v u")],
+        ["id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(df, "id", threshold=0.3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_embedding_near_dups_planted(spark, emb):
+    v = emb.where("vec_id = 5").collect()[0]["embedding"]
+    planted = spark.createDataFrame([(77777, [x * 1.001 for x in v], 0)],
+                                    "vec_id long, embedding array<float>, label int")
+    corpus = emb.unionByName(planted)
+    dups = dedup.embedding_near_dups(corpus, threshold=0.99)
+    hits = {(r["id_a"], r["id_b"]) for r in dups.collect()}
+    assert (5, 77777) in hits
+
+
+# -- similarity -----------------------------------------------------------
+
+def test_brute_force_topk_self_similarity(spark, emb):
+    queries = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.brute_force_topk(emb, queries, k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        assert all(r["neighbor_id"] != q for r in rows)
+        coss = [r["cos"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert coss == sorted(coss, reverse=True)
+
+
+def test_lsh_topk_overlaps_bruteforce(spark, emb):
+    """LSH recall: planted exact duplicate must be found (same bucket)."""
+    v = emb.where("vec_id = 1").collect()[0]["embedding"]
+    queries = spark.createDataFrame([(1, v)],
+                                    "query_id long, embedding array<float>")
+    out = similarity.lsh_topk(emb, queries, k=3, planes=6)
+    rows = out.collect()
+    assert len(rows) >= 1  # at minimum some bucket-mates
+    assert all(r["neighbor_id"] != 1 for r in rows)
+
+
+def test_ivf_topk_recall_at_1(spark, emb):
+    """IVF with nprobe=4 on 16 cells: rank-1 neighbor must match brute force
+    for most queries (allow 1 miss of 5 for cell-boundary cases)."""
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    bf = {r["query_id"]: r["neighbor_id"]
+          for r in similarity.brute_force_topk(emb, queries, k=1).collect()}
+    ivf = {r["query_id"]: r["neighbor_id"]
+           for r in similarity.ivf_topk(emb, queries, k=1, n_cells=8,
+                                        nprobe=4).collect()}
+    agree = sum(1 for q in bf if ivf.get(q) == bf[q])
+    assert agree >= 4
+
+
+# -- multimodal -----------------------------------------------------------
+
+def test_media_pipeline_shapes(spark):
+    media = multimodal.synthesize_media(spark, n=32)
+    assert [f.name for f in media.schema.fields] == \
+        ["media_id", "kind", "content", "meta"]
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert r["n_bytes"] == 64  # sha2-512 → 64 bytes
+        assert 0 <= r["byte_mean"] <= 255
+        assert r["byte_entropy"] > 0
+
+    resized = multimodal.resize_stub(media, 224, 224)
+    assert resized.select("meta.width").distinct().collect()[0][0] == 224
+    assert resized.count() == 32
+
+    frames = multimodal.frame_sample_stub(media)
+    assert frames.count() == 32  # 64B blobs → 1 pseudo-frame each
+    assert frames.schema["frame_bytes"].dataType.typeName() == "binary"
+
+
+def test_decode_real_raises(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"bytes", "png")

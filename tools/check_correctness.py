@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Local replica of the driver's duckdb-oracle correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry and its DuckDB oracle on the
+same parquet tables, compares row count, column names, and values
+(column-name-sorted, row-sorted, floats rounded) and prints a per-query
+verdict. Use while iterating:
+
+    python tools/check_correctness.py --sf-dir /root/testdata/sf0.01 [-q name]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(rows: list[tuple], float_digits: int = 6) -> list[tuple]:
+    def norm(v):
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return round(v, float_digits)
+        if hasattr(v, "isoformat"):
+            return v.isoformat()[:26]
+        if isinstance(v, (list, tuple)):
+            return tuple(norm(x) for x in v)
+        try:
+            import decimal
+            if isinstance(v, decimal.Decimal):
+                return round(float(v), float_digits)
+        except Exception:
+            pass
+        return v
+    return sorted((tuple(norm(v) for v in r) for r in rows), key=repr)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("-q", "--query", action="append", default=None,
+                    help="only check these query names")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from dataweb_spark.session import get_spark
+
+    spark = get_spark("correctness", master="local[8]",
+                      extra_conf={"spark.sql.shuffle.partitions": "8"})
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"create view {t} as select * from "
+                    f"'{args.sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.query or list(qs)
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            ddf = con.execute(oracles[name])
+            dcols = [d[0] for d in ddf.description]
+            drows = ddf.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount {len(srows)} vs {len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns {sorted(scols)} vs {sorted(dcols)}")
+        if not problems:
+            # compare column-name-sorted values
+            sidx = [scols.index(c) for c in sorted(scols)]
+            didx = [dcols.index(c) for c in sorted(dcols)]
+            sn = normalize([tuple(r[i] for i in sidx) for r in srows])
+            dn = normalize([tuple(r[i] for i in didx) for r in drows])
+            if sn != dn:
+                diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+                problems.append(f"values differ, first diffs: {diffs}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
