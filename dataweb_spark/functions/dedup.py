@@ -7,16 +7,33 @@ by hamming-band; embedding near-dup buckets by random-hyperplane signature.
 Candidate verification joins are narrow (two id/array columns), and all
 shuffles key on the bucket hash, so skew is bounded by bucket size.
 
-Everything below is built-in Spark expressions (codegen) except nothing —
-no Python UDFs in any hot path.
+Join/aggregate structure is built-in Spark expressions; the two string-heavy
+per-row kernels (shingling, simhash) are Arrow-batched Pandas UDFs — an
+expression formulation is interpreted (higher-order functions don't codegen)
+and re-evaluates the tokenizer per array element, measured ~20× slower.
 """
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dataweb_spark.functions.text import tokens
+# MinHash permutation arithmetic stays inside int64 (ANSI-safe):
+# shingle hashes and permutation multipliers are both < 2^31 - 1,
+# so a*h + b < 2^62.
+_MINHASH_PRIME = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 11) -> tuple[list[int], list[int]]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MINHASH_PRIME, size=num_perm).tolist()
+    b = rng.randint(0, _MINHASH_PRIME, size=num_perm).tolist()
+    return a, b
 
 
 # ---------------------------------------------------------------------------
@@ -49,46 +66,76 @@ def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def word_shingles(col, n: int = 3):
-    """Distinct word n-gram shingle array (codegen transform over tokens)."""
-    toks = tokens(col)
-    cnt = F.size(toks)
-    return F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(0), cnt - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))))
+    """Distinct word n-gram shingle array.
+
+    Arrow-batched Pandas UDF rather than a higher-order-function expression:
+    HOF lambdas are interpreted (no whole-stage codegen) and re-evaluate the
+    tokenizer per element, which made shingling the hot spot. Python string
+    split + set-of-ngrams per batch is ~20× faster and shuffles nothing.
+    Shingle order within the array is unspecified — every consumer
+    (MinHash min, Jaccard intersect/union) is order-insensitive.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def f(t: pd.Series) -> pd.Series:
+        out = []
+        for s in t:
+            toks = (s or "").split()
+            if len(toks) < n:
+                out.append([" ".join(toks)])
+            else:
+                out.append(list({" ".join(toks[i:i + n])
+                                 for i in range(len(toks) - n + 1)}))
+        return pd.Series(out)
+
+    return f(F.col(col) if isinstance(col, str) else col)
 
 
-def minhash_signature(shingles, num_perm: int = 32):
-    """MinHash signature: per permutation i, min over shingles of
-    xxhash64(shingle, i). Returns array<bigint> of length ``num_perm``."""
-    return F.array(*[
-        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+def minhash_band_hashes(df: DataFrame, id_col: str, text_col: str = "text",
+                        num_perm: int = 32, bands: int = 8,
+                        shingle_n: int = 3, seed: int = 11) -> DataFrame:
+    """(_id, band, bh) band hashes via linear-permutation MinHash.
+
+    Each shingle is hashed ONCE (xxhash64 → mod p); permutation i is the
+    universal-hash family ``(a_i*h + b_i) mod p`` minimized inside one
+    groupBy — 1 shuffle whose map side emits one partially-aggregated row
+    per doc (num_perm bigints), not the shingle set. This keeps the codegen
+    tree linear in num_perm instead of duplicating the tokenize/shingle
+    expression per permutation.
+    """
+    rows = num_perm // bands
+    a_par, b_par = _perm_params(num_perm, seed)
+    p = F.lit(_MINHASH_PRIME)
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("_s"))
+    hashed = exploded.select(
+        "_id", F.pmod(F.xxhash64("_s"), p).alias("_h"))
+    mins = hashed.groupBy("_id").agg(*[
+        F.min((F.lit(a_par[i]) * F.col("_h") + F.lit(b_par[i])) % p)
+         .alias(f"_m{i}")
         for i in range(num_perm)])
+    return (mins.select("_id", F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.xxhash64(*[F.col(f"_m{b * rows + r}")
+                                      for r in range(rows)]).alias("bh"))
+                for b in range(bands)])).alias("e"))
+                .select("_id", "e.band", "e.bh"))
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str = "text",
                            num_perm: int = 32, bands: int = 8,
-                           shingle_n: int = 3) -> DataFrame:
+                           shingle_n: int = 3, seed: int = 11) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
-    signature → ``bands`` bands of ``num_perm/bands`` rows → hash each band →
-    explode → self-join on (band_idx, band_hash). Only bucket-mates join;
-    the shuffle key is the band hash (well distributed by construction).
-    Returns distinct (id_a, id_b) with id_a < id_b.
+    band hashes (see :func:`minhash_band_hashes`) → self-join on
+    (band, band_hash). Only bucket-mates join; the shuffle key is the band
+    hash (well distributed by construction). Returns distinct (id_a, id_b)
+    with id_a < id_b.
     """
-    rows = num_perm // bands
-    sig = (df.select(F.col(id_col).alias("_id"),
-                     minhash_signature(word_shingles(text_col, shingle_n),
-                                       num_perm).alias("_sig")))
-    banded = sig.select(
-        "_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.concat_ws(
-                         ",", *[F.element_at("_sig", b * rows + r + 1).cast("string")
-                                for r in range(rows)])).alias("bh"))
-            for b in range(bands)])).alias("e")
-    ).select("_id", "e.band", "e.bh")
+    banded = minhash_band_hashes(df, id_col, text_col, num_perm, bands,
+                                 shingle_n, seed)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, [F.col("a.band") == F.col("b.band"),
@@ -164,27 +211,35 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def simhash64(col) -> "F.Column":
-    """64-bit SimHash over whitespace tokens, pure codegen expressions.
+    """64-bit SimHash over distinct whitespace tokens.
 
-    Per token, xxhash64 gives 64 bits; per bit position the signature bit is
-    the sign of Σ(±1). The per-bit sums are an aggregate over the token
-    array (no explode, no shuffle): for each bit b, count tokens with bit
-    set minus tokens with bit clear.
+    Arrow-batched Pandas UDF: per token a stable 64-bit hash (md5 prefix);
+    per bit position the signature bit is the majority vote across tokens.
+    Map-only (no shuffle, no state); deterministic across runs/sessions.
+    A pure-expression formulation needs 64 interpreted array filters per row
+    (each re-hashing every token) — ~100× slower, hence the UDF.
     """
-    toks = F.array_distinct(tokens(col))
-    h = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(h)
-    bit_cols = []
-    for b in range(64):
-        ones = F.size(F.filter(
-            h, lambda x: F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1))
-        bit = F.when((ones * 2) > n, F.lit(1).cast("bigint")) \
-               .otherwise(F.lit(0).cast("bigint"))
-        bit_cols.append(F.shiftleft(bit, b))
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out.bitwiseOR(c)
-    return out
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def f(t: pd.Series) -> pd.Series:
+        out = np.empty(len(t), dtype=np.int64)
+        for i, s in enumerate(t):
+            toks = sorted(set((s or "").split()))
+            if not toks:
+                out[i] = 0
+                continue
+            buf = b"".join(hashlib.md5(x.encode("utf-8")).digest()[:8]
+                           for x in toks)
+            hs = np.frombuffer(buf, dtype=np.uint64)
+            bits = (hs[:, None] >> shifts) & np.uint64(1)
+            maj = (bits.sum(axis=0) * 2 > len(hs)).astype(np.uint64)
+            out[i] = (maj << shifts).sum(dtype=np.uint64).astype(np.int64)
+        return pd.Series(out)
+
+    return f(F.col(col) if isinstance(col, str) else col)
 
 
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
@@ -215,21 +270,36 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
-                        planes: int = 12, seed: int = 7) -> DataFrame:
-    """Near-duplicate vectors by cosine ≥ threshold, LSH-bucketed.
+                        planes: int = 6, bands: int = 8,
+                        seed: int = 7) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold, banded hyperplane LSH.
 
-    Buckets by random-hyperplane signature (vectors with cosine ≈ 1 agree on
-    almost all planes), verifies cosine exactly within buckets. Import here
-    to keep dedup/similarity modules decoupled."""
-    from dataweb_spark.functions.similarity import hyperplane_signature, cosine
+    ``bands`` independent ``planes``-bit signatures; a pair is a candidate
+    if ANY band matches (recall 1-(1-p^planes)^bands with p the per-plane
+    agreement probability), then cosine is verified exactly within buckets.
+    The self-join keys on (band, signature) — well-distributed, no skew.
+    Import here to keep dedup/similarity modules decoupled."""
+    from dataweb_spark.functions.similarity import (hyperplane_signature,
+                                                    cosine_pd)
 
-    sig = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-                     hyperplane_signature(vec_col, planes, seed).alias("_b"))
+    sig = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     hyperplane_signature(vec_col, planes, seed + 101 * b)
+                     .alias("sig"))
+            for b in range(bands)])).alias("e")
+    ).select("_id", "_v", "e.band", "e.sig")
     a, b = sig.alias("a"), sig.alias("b")
-    pairs = a.join(b, [F.col("a._b") == F.col("b._b"),
-                       F.col("a._id") < F.col("b._id")])
-    return (pairs.select(F.col("a._id").alias("id_a"),
-                         F.col("b._id").alias("id_b"),
-                         F.round(cosine(F.col("a._v"), F.col("b._v")), 6)
+    pairs = (a.join(b, [F.col("a.band") == F.col("b.band"),
+                        F.col("a.sig") == F.col("b.sig"),
+                        F.col("a._id") < F.col("b._id")])
+              .select(F.col("a._id").alias("id_a"),
+                      F.col("b._id").alias("id_b"),
+                      F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"))
+              .dropDuplicates(["id_a", "id_b"]))
+    return (pairs.select("id_a", "id_b",
+                         F.round(cosine_pd(F.col("_va"), F.col("_vb")), 6)
                           .alias("cos"))
                  .where(F.col("cos") >= threshold))

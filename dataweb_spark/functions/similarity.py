@@ -4,27 +4,35 @@ Three tiers, all DataFrame-native:
 
 * :func:`brute_force_topk` — exact cosine top-k. The corpus×query product is
   expressed as a broadcast join (queries are the small side); the per-pair
-  dot product is `F.zip_with` + `F.aggregate` (JVM codegen, no Python).
-  Exact baseline; cost O(|corpus|·|queries|) — fine when queries are
-  bounded, the standard pattern for eval sets.
+  dot product is `F.zip_with` + `F.aggregate` (JVM, sequential sum — bitwise
+  identical to the DuckDB oracle). Exact baseline; cost O(|corpus|·|queries|).
 * :func:`hyperplane_signature` / :func:`lsh_topk` — random-hyperplane LSH:
   one bucket join instead of a full product; recall < 1, cost ~O(n).
-* :func:`ivf_topk` — IVF: KMeans coarse quantizer (pyspark.ml), corpus
-  partitioned by nearest centroid, queries probe ``nprobe`` cells. The
-  100 TB path: the corpus shuffle is one-time, queries touch a fraction.
+* :func:`ivf_topk` — IVF: spherical k-means coarse quantizer fit driver-side
+  on a bounded sample (the quantizer never sees the full corpus — same
+  regime as FAISS IVF training), corpus assigned to nearest centroid in one
+  Arrow-batched map pass, queries probe ``nprobe`` cells. The 100 TB path:
+  the corpus shuffle is one-time, queries touch a fraction.
 
-All cosines are computed on l2-normalized copies so dot == cosine.
+Kernel choice: per-pair scalar dots on the *exact* path stay as codegen
+expressions (oracle-exact summation order); bulk vector×matrix work
+(signatures, cell assignment, approximate scoring) runs in Arrow-batched
+Pandas UDFs — numpy matmul is ~100× faster than interpreted higher-order
+functions for dense linear algebra.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def dot(a: Column, b: Column) -> Column:
+    """Sequential-sum dot product (codegen expression; oracle-exact)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
 
@@ -41,6 +49,31 @@ def normalize(v: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def dot_pd(a: Column, b: Column) -> Column:
+    """Arrow-batched dot product — the bulk-scoring kernel.
+
+    (UDF created per call: registration needs an active SparkSession,
+    so module import stays session-free.)"""
+    @pandas_udf("double")
+    def f(x: pd.Series, y: pd.Series) -> pd.Series:
+        A = np.array(x.tolist(), dtype=np.float64)
+        B = np.array(y.tolist(), dtype=np.float64)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+    return f(a, b)
+
+
+def cosine_pd(a: Column, b: Column) -> Column:
+    """Arrow-batched cosine — bulk kernel for approximate paths."""
+    @pandas_udf("double")
+    def f(x: pd.Series, y: pd.Series) -> pd.Series:
+        A = np.array(x.tolist(), dtype=np.float64)
+        B = np.array(y.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-300))
+    return f(a, b)
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -62,26 +95,29 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           F.round("cos", 6).alias("cos")))
 
 
-def _random_planes(dim: int, planes: int, seed: int) -> list[list[float]]:
+def _random_planes(dim: int, planes: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
-    return rng.randn(planes, dim).tolist()
+    return rng.randn(planes, dim)
 
 
 def hyperplane_signature(vec_col, planes: int = 12, seed: int = 7,
                          dim: int = 64) -> Column:
-    """Random-hyperplane LSH signature (bigint bucket id). Deterministic:
-    plane matrix is seeded numpy, embedded as literal arrays (broadcast by
-    the plan — a few KB)."""
+    """Random-hyperplane LSH signature (bigint bucket id).
+
+    One numpy matmul per Arrow batch: bits = (V @ Pᵀ ≥ 0), packed into an
+    int64. Deterministic (seeded plane matrix, closed over the UDF).
+    """
+    M = _random_planes(dim, planes, seed).T  # dim × planes
+    weights = (1 << np.arange(planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def sig(v: pd.Series) -> pd.Series:
+        A = np.array(v.tolist(), dtype=np.float64)
+        bits = (A @ M) >= 0
+        return pd.Series((bits @ weights).astype(np.int64))
+
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    v = v.cast("array<double>")
-    mat = _random_planes(dim, planes, seed)
-    sig = F.lit(0).cast("bigint")
-    for i, plane in enumerate(mat):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(v, p) >= 0, F.lit(1).cast("bigint")) \
-               .otherwise(F.lit(0).cast("bigint"))
-        sig = sig.bitwiseOR(F.shiftleft(bit, i))
-    return sig
+    return sig(v.cast("array<double>"))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -100,7 +136,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                        .alias("_bkt"))
     scored = (c.join(F.broadcast(q), on="_bkt")
                .where(F.col("neighbor_id") != F.col("query_id"))
-               .withColumn("cos", cosine(F.col("_cv"), F.col("_qv"))))
+               .withColumn("cos", cosine_pd(F.col("_cv"), F.col("_qv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -109,48 +145,84 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           F.round("cos", 6).alias("cos")))
 
 
+def _spherical_kmeans(X: np.ndarray, k: int, seed: int,
+                      iters: int = 10) -> np.ndarray:
+    """Driver-side spherical k-means (k-means++ init, Lloyd iterations) on
+    l2-normalized rows. Input is a bounded sample — O(sample·k·dim)."""
+    rng = np.random.RandomState(seed)
+    centers = [X[rng.randint(len(X))]]
+    for _ in range(k - 1):
+        d2 = np.min([np.sum((X - c) ** 2, axis=1) for c in centers], axis=0)
+        tot = d2.sum()
+        if tot <= 0:
+            centers.append(X[rng.randint(len(X))])
+        else:
+            centers.append(X[rng.choice(len(X), p=d2 / tot)])
+    C = np.array(centers)
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def _nearest_cells_udf(centers: np.ndarray, n: int):
+    """array<double> (normalized) → array<int> of the n nearest cell ids
+    (cosine = dot on normalized inputs); one matmul per Arrow batch."""
+    Ct = centers.T
+
+    @pandas_udf("array<int>")
+    def f(v: pd.Series) -> pd.Series:
+        A = np.array(v.tolist(), dtype=np.float64)
+        S = A @ Ct
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :n]
+        return pd.Series(idx.astype(np.int32).tolist())
+
+    return f
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", n_cells: int = 16,
-             nprobe: int = 3, seed: int = 7) -> DataFrame:
-    """IVF approximate top-k: KMeans cells + multi-probe.
+             nprobe: int = 3, seed: int = 7,
+             sample_per_cell: int = 100) -> DataFrame:
+    """IVF approximate top-k: sampled spherical-k-means cells + multi-probe.
 
-    Corpus rows are assigned to their nearest centroid once (one shuffle);
-    each query probes its ``nprobe`` nearest cells. At 100 TB the KMeans fit
-    runs on a sample and the cell assignment is a map-only pass.
+    Corpus rows are assigned to their nearest centroid in one Arrow-batched
+    map pass (no shuffle until the bucket join); each query probes its
+    ``nprobe`` nearest cells. The quantizer fits driver-side on
+    ~``sample_per_cell``·``n_cells`` rows regardless of corpus size.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     norm_corpus = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         normalize(F.col(vec_col).cast("array<double>")).alias("_cv"))
-    ml_df = norm_corpus.withColumn("features", array_to_vector("_cv"))
-    km = KMeans(k=n_cells, seed=seed, maxIter=10).fit(ml_df)
-    centers = [list(map(float, c)) for c in km.clusterCenters()]
 
-    def nearest_cells(vcol: Column, n: int) -> Column:
-        """Array of the n nearest cell ids (by dot on normalized vecs)."""
-        scored = F.array(*[
-            F.struct(dot(vcol, F.array(*[F.lit(float(x)) for x in c]))
-                     .alias("s"), F.lit(i).alias("cell"))
-            for i, c in enumerate(centers)])
-        return F.slice(F.reverse(F.array_sort(scored)), 1, n) \
-                .getField("cell")
+    target = sample_per_cell * n_cells
+    n = norm_corpus.count()
+    sample = (norm_corpus.sample(min(1.0, 1.2 * target / max(n, 1)),
+                                 seed=seed)
+              .limit(target) if n > target else norm_corpus)
+    X = np.array(sample.select("_cv").toPandas()["_cv"].tolist(),
+                 dtype=np.float64)
+    C = _spherical_kmeans(X, n_cells, seed)
 
-    c_assigned = ml_df.select(
+    cell1 = _nearest_cells_udf(C, 1)
+    celln = _nearest_cells_udf(C, nprobe)
+    c_assigned = norm_corpus.select(
         "neighbor_id", "_cv",
-        F.element_at(nearest_cells(F.col("_cv"), 1), 1).alias("_cell"))
+        F.element_at(cell1(F.col("_cv")), 1).alias("_cell"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         normalize(F.col(vec_col).cast("array<double>")).alias("_qv"))
     q_probed = q.select(
-        "query_id", "_qv",
-        F.explode(nearest_cells(F.col("_qv"), nprobe)).alias("_cell"))
+        "query_id", "_qv", F.explode(celln(F.col("_qv"))).alias("_cell"))
 
     scored = (c_assigned.join(F.broadcast(q_probed), on="_cell")
               .where(F.col("neighbor_id") != F.col("query_id"))
-              .withColumn("cos", dot(F.col("_cv"), F.col("_qv"))))
+              .withColumn("cos", dot_pd(F.col("_cv"), F.col("_qv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

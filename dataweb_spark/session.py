@@ -41,6 +41,15 @@ def get_spark(app_name: str = "dataweb_spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Small single-file inputs would otherwise scan as ONE task and
+        # serialize the whole pipeline; force file splits up to the core
+        # count. On a real cluster with many files this is a no-op.
+        .config("spark.sql.files.minPartitionNum",
+                os.environ.get("SPARK_GRAFT_MIN_PARTITIONS", "32"))
+        # ... and drop the 4 MiB open-cost floor so a ~1 MiB file can still
+        # split into minPartitionNum pieces (harmless at scale: the split
+        # size formula is min(maxPartitionBytes, max(openCost, bytes/core))).
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
