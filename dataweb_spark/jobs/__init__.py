@@ -1,0 +1,13 @@
+from dataweb_spark.jobs.manager import (
+    COMPLETE,
+    FAILED,
+    IN_PROGRESS,
+    QUEUED,
+    JobManager,
+    JobNotReady,
+    QueryJob,
+    QueryTask,
+)
+
+__all__ = ["JobManager", "JobNotReady", "QueryJob", "QueryTask",
+           "QUEUED", "IN_PROGRESS", "COMPLETE", "FAILED"]

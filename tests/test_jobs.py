@@ -1,0 +1,105 @@
+"""Async job layer — the REST POST/GET lifecycle analog (SURVEY.md §3.3):
+per-source tasks, parquet result store, allow_partial, NDJSON metadata,
+partial-failure tolerance."""
+
+import json
+
+import pytest
+
+from dataweb_spark.jobs import COMPLETE, FAILED, JobManager, JobNotReady
+from dataweb_spark.plans.validation import ValidationError
+
+
+@pytest.fixture()
+def manager(spark, demo_web, tmp_path):
+    m = JobManager(spark, demo_web, "na_us", results_dir=str(tmp_path))
+    yield m
+    m.shutdown()
+
+
+def test_template_job_per_source_tasks(manager, spark):
+    job_id = manager.submit(
+        "select returnflag, count(*) as n from lineitem group by returnflag")
+    st = manager.wait(job_id)
+    assert st["status"] == COMPLETE
+    # one task per mapped source of the demo web's lineitem entity
+    assert sorted(t["source"] for t in st["tasks"]) == \
+        ["lineitem_csv", "lineitem_trino"]
+    assert all(t["status"] == COMPLETE for t in st["tasks"])
+    # results persisted as parquet and read back with provenance
+    df = manager.result(job_id)
+    rows = df.collect()
+    assert {r["_source_id_"] for r in rows} == \
+        {"lineitem_csv", "lineitem_trino"}
+    # per-source PARTIAL counts sum to the entity-view total
+    total = sum(r["n"] for r in rows)
+    from dataweb_spark.plans.gateway import QueryGateway
+    gw = QueryGateway(spark, manager.web, "na_us")
+    expected = gw.query("select count(*) as n from lineitem").collect()[0]["n"]
+    assert total == expected
+
+
+def test_engine_job_single_task(manager, spark):
+    job_id = manager.submit(
+        "select returnflag, count(*) as n from lineitem group by returnflag",
+        mode="engine")
+    st = manager.wait(job_id)
+    assert st["status"] == COMPLETE
+    assert len(st["tasks"]) == 1
+    df = manager.result(job_id)
+    assert df.count() == 3  # A / N / R — final (non-partial) aggregate
+
+
+def test_result_before_done_requires_allow_partial(manager):
+    job_id = manager.submit("select count(*) as n from lineitem")
+    # immediately: either still running (JobNotReady) or already done
+    st = manager.status(job_id)
+    if st["status"] not in (COMPLETE, FAILED):
+        with pytest.raises(JobNotReady):
+            manager.result(job_id)
+    manager.wait(job_id)
+    assert manager.result(job_id).count() >= 1
+
+
+def test_ndjson_has_relay_metadata(manager):
+    job_id = manager.submit(
+        "select returnflag, count(*) as n from lineitem group by returnflag")
+    manager.wait(job_id)
+    recs = [json.loads(x) for x in manager.result_ndjson(job_id)]
+    assert recs, "no NDJSON records"
+    for r in recs:
+        assert r["_relay_metadata_"]["_source_relay_"] == "na_us"
+        assert r["_relay_metadata_"]["_source_id_"] in (
+            "lineitem_csv", "lineitem_trino")
+
+
+def test_partial_failure_tolerated(spark, demo_web, tmp_path):
+    """A source with a broken path fails its task; the other proceeds —
+    flight.rs:273-306 behavior."""
+    import copy
+
+    web = copy.deepcopy(demo_web)
+    bad = web.relay("na_us").sources["lineitem_csv"]
+    bad.options["table"] = "nonexistent_file.parquet"
+    m = JobManager(spark, web, "na_us", results_dir=str(tmp_path))
+    try:
+        job_id = m.submit("select count(*) as n from lineitem")
+        st = m.wait(job_id)
+        by_source = {t["source"]: t for t in st["tasks"]}
+        assert by_source["lineitem_csv"]["status"] == FAILED
+        assert by_source["lineitem_csv"]["error"]
+        assert by_source["lineitem_trino"]["status"] == COMPLETE
+        with pytest.raises(JobNotReady):
+            m.result(job_id)                       # failed task present
+        df = m.result(job_id, allow_partial=True)  # completed tasks only
+        assert df.count() == 1
+        assert df.collect()[0]["_source_id_"] == "lineitem_trino"
+    finally:
+        m.shutdown()
+
+
+def test_submit_rejects_bad_sql(manager):
+    with pytest.raises(ValidationError):
+        manager.submit("drop table lineitem")
+    with pytest.raises(ValidationError):
+        manager.submit("select * from nosuch")
