@@ -707,6 +707,120 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _df("dedup_embedding_cosine", _embedding_near_dups)  # rows-only
 
 
+# ===========================================================================
+# Structured Streaming (availableNow drains — batch-equivalent semantics)
+# ===========================================================================
+
+def _streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rollup drained with availableNow.
+
+    Append mode emits exactly the windows whose close precedes the final
+    watermark (max_ts - 2h) — the oracle reproduces that horizon filter."""
+    import tempfile
+
+    from dataweb_spark.streaming import events as E
+    stream = E.read_event_stream(spark, sf_dir)
+    cp = tempfile.mkdtemp(prefix="dw_cp_hourly_")
+    out = E.run_available_now(E.hourly_rollup(stream), cp)
+    return out.orderBy("hour_ts", "event_type")
+
+
+_df("streaming_hourly_rollup", _streaming_hourly, oracle="""
+with agg as (
+  select date_trunc('hour', ts) as hour_ts, event_type,
+         count(*) as n, round(sum(value), 2) as total_value
+  from events
+  group by 1, 2
+), mx as (select max(ts) as m from events)
+select a.hour_ts, a.event_type, a.n, a.total_value
+from agg a, mx
+where a.hour_ts + interval 1 hour <= m - interval 2 hour
+order by hour_ts, event_type
+""")
+
+
+def _streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running totals; final row per user must equal
+    the batch groupBy."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from dataweb_spark.streaming import events as E
+    stream = E.read_event_stream(spark, sf_dir)
+    cp = tempfile.mkdtemp(prefix="dw_cp_state_")
+    out = E.run_available_now(E.stateful_user_totals(stream), cp,
+                              output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (out.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+               .select("user_id", "n_events",
+                       F.round("total_value", 2).alias("total_value"))
+               .orderBy("user_id"))
+
+
+_df("streaming_stateful_user_totals", _streaming_user_totals, oracle="""
+select user_id, count(*) as n_events, round(sum(value), 2) as total_value
+from events
+group by user_id
+order by user_id
+""")
+
+
+# ===========================================================================
+# Multimodal column plumbing (deterministic fake media; real Spark shapes)
+# ===========================================================================
+
+def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_media(spark, n=64, kind="image")
+    return (media.groupBy("kind")
+            .agg(F.count("*").alias("n"),
+                 F.min("meta.width").alias("min_w"),
+                 F.max("meta.width").alias("max_w"),
+                 F.min("meta.height").alias("min_h"),
+                 F.max("meta.height").alias("max_h"),
+                 F.sum(F.length("content")).alias("total_bytes"))
+            .orderBy("kind"))
+
+
+_df("multimodal_meta", _multimodal_meta, oracle="""
+select 'image' as kind, count(*) as n,
+       min(range % 64 + 32) as min_w, max(range % 64 + 32) as max_w,
+       min(range % 48 + 32) as min_h, max(range % 48 + 32) as max_h,
+       cast(count(*) * 64 as bigint) as total_bytes
+from range(64)
+group by 1
+order by kind
+""")
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-feature extraction via mapInPandas (decode stubbed —
+    deterministic byte statistics). Rows-only: kernels aren't SQL."""
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_media(spark, n=64, kind="image")
+    return M.extract_features(media).orderBy("media_id")
+
+
+_df("multimodal_features", _multimodal_features)  # rows-only
+
+
+def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_media(spark, n=64, kind="video")
+    frames = M.frame_sample_stub(media)
+    return (frames.groupBy("media_id")
+            .agg(F.count("*").alias("n_frames"))
+            .orderBy("media_id"))
+
+
+_df("multimodal_frame_counts", _multimodal_frames, oracle="""
+select range as media_id, cast(1 as bigint) as n_frames
+from range(64)
+order by media_id
+""")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

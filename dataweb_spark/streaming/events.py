@@ -1,0 +1,159 @@
+"""Structured Streaming over the ``events`` table (beyond-reference).
+
+The reference has NO streaming operators — "streaming" there is transport of
+finite Arrow result sets (SURVEY.md §2.5). This module is the Spark-native
+extension the driver's ``events`` table invites: file-source streams,
+watermarked tumbling/sliding/session windows, and a custom stateful
+sessionizer via ``applyInPandasWithState``.
+
+Scale notes: every aggregation is keyed (event_type / user_id), so state is
+hash-partitioned across executors; watermarks bound state size — without
+them a windowed agg on an unbounded stream grows forever. ``availableNow``
+gives batch-equivalent, exactly-once catch-up runs — that equivalence is
+what the tests (and the DuckDB oracle on the batch form) verify.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("ts", LongType()),       # TIMESTAMP(NANOS) parquet → long
+    StructField("props", StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over ``{sf_dir}/events.parquet``.
+
+    The testdata's ``ts`` is nanosecond parquet, which Spark reads as long
+    under ``nanosAsLong`` — converted here to a microsecond timestamp.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (spark.readStream.schema(EVENT_SCHEMA).format("parquet")
+              .option("pathGlobFilter", "events.parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window rollup; append-mode emits each window
+    once its close passes the watermark (late rows beyond it are dropped)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("window.start").alias("hour_ts"),
+                    "event_type", "n", "total_value"))
+
+
+def sliding_rollup(events: DataFrame, window: str = "1 hour",
+                   slide: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window, slide), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("win_start"),
+                    F.col("window.end").alias("win_end"),
+                    "event_type", "n"))
+
+
+def session_rollup(events: DataFrame, gap: str = "15 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Session windows (gap-based) per user — built-in session_window."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("session_value"))
+            .select(F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "user_id", "n_events", "session_value"))
+
+
+SESSION_STATE_SCHEMA = StructType([       # per-user running session state
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+    StructField("last_ts", TimestampType()),
+])
+
+SESSION_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+    StructField("last_ts", TimestampType()),
+])
+
+
+def stateful_user_totals(events: DataFrame,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState`` — the arbitrary-state API a hypertable-style
+    rollup or custom sessionizer would use. State is one row per user
+    (bounded); timeout is event-time so idle users expire with the
+    watermark."""
+
+    def update(key: Tuple[int], pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total, last = state.get
+            state.remove()
+            yield pd.DataFrame([(user_id, n, total, last)],
+                               columns=[f.name for f in SESSION_OUT_SCHEMA])
+            return
+        n, total, last = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            last = mx if last is None else max(last, mx)
+        state.update((n, round(total, 6), last))
+        yield pd.DataFrame([(user_id, n, round(total, 6), last)],
+                           columns=[f.name for f in SESSION_OUT_SCHEMA])
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=SESSION_OUT_SCHEMA,
+                stateStructType=SESSION_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
+                      output_mode: str = "append",
+                      timeout_s: float = 300.0) -> DataFrame:
+    """Drain the stream with availableNow into a memory sink and return the
+    resulting table — batch-equivalent catch-up semantics."""
+    name = f"dw_stream_{uuid.uuid4().hex[:10]}"
+    q = (stream_df.writeStream
+         .format("memory").queryName(name)
+         .outputMode(output_mode)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_s)
+    spark = stream_df.sparkSession
+    return spark.table(name)

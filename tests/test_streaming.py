@@ -1,0 +1,80 @@
+"""Structured Streaming extension: availableNow drains must match the batch
+forms of the same aggregations (exactly-once, watermark-correct)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dataweb_spark.streaming import events as E
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_hourly_rollup_matches_batch(spark, sf_dir, tmp_path, batch_events):
+    stream = E.read_event_stream(spark, sf_dir)
+    assert stream.isStreaming
+    out = E.run_available_now(E.hourly_rollup(stream), str(tmp_path / "cp1"))
+    got = {(r["hour_ts"], r["event_type"]): (r["n"], r["total_value"])
+           for r in out.collect()}
+    exp_df = (batch_events.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"),
+                                   "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.round(F.sum("value"), 2).alias("total_value")))
+    exp = {(r["hour_ts"], r["event_type"]): (r["n"], r["total_value"])
+           for r in exp_df.collect()}
+    # Append mode emits a window only once the watermark passes its close;
+    # windows inside the final watermark horizon stay open at stream end.
+    import datetime
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=2)
+    assert got.items() <= exp.items()
+    missing = set(exp) - set(got)
+    assert all(h + datetime.timedelta(hours=1) > horizon
+               for h, _ in missing), "closed window missing from append output"
+    assert len(got) >= len(exp) - 4 * 3  # ≤4 open hours × ≤3 event types
+
+
+def test_session_rollup_runs(spark, sf_dir, tmp_path):
+    stream = E.read_event_stream(spark, sf_dir)
+    out = E.run_available_now(E.session_rollup(stream),
+                              str(tmp_path / "cp2"))
+    rows = out.collect()
+    assert rows
+    assert all(r["session_end"] > r["session_start"] for r in rows)
+
+
+def test_stateful_user_totals_matches_batch(spark, sf_dir, tmp_path,
+                                            batch_events):
+    stream = E.read_event_stream(spark, sf_dir)
+    out = E.run_available_now(E.stateful_user_totals(stream),
+                              str(tmp_path / "cp3"), output_mode="update")
+    # update-mode: keep the LAST emitted row per user (running totals)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (out.withColumn("rn", F.row_number().over(w))
+             .where("rn = 1").drop("rn"))
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+           for r in final.collect()}
+    exp = {r["user_id"]: (r["n"], round(r["total"], 2))
+           for r in (batch_events.groupBy("user_id")
+                     .agg(F.count("*").alias("n"),
+                          F.sum("value").alias("total"))).collect()}
+    assert got == exp
+
+
+def test_sliding_rollup_runs(spark, sf_dir, tmp_path):
+    stream = E.read_event_stream(spark, sf_dir)
+    out = E.run_available_now(E.sliding_rollup(stream), str(tmp_path / "cp4"))
+    rows = out.collect()
+    assert rows
+    # 1h window sliding by 30min → every event lands in exactly 2 windows
+    n_clicks_windowed = sum(r["n"] for r in rows
+                            if r["event_type"] == "click")
+    n_clicks = (spark.read.parquet(f"{sf_dir}/events.parquet")
+                .where("event_type = 'click'").count())
+    assert n_clicks_windowed == 2 * n_clicks
