@@ -329,6 +329,153 @@ order by l_orderkey, l_linenumber, l_quantity
 """)
 
 
+_dual("string_funcs_position_trim", """
+select p_partkey,
+       position('a' in p_name)                      as pos_a,
+       trim(both ' ' from p_name)                   as name_trim,
+       ltrim(p_brand)                               as brand_l,
+       replace(p_type, ' ', '_')                    as type_u,
+       lpad(cast(p_size as string), 4, '0')         as size_pad,
+       reverse(p_brand)                             as brand_rev,
+       substring(p_name from 2 for 5)               as name_mid
+from part
+where p_partkey between 1 and 120
+order by p_partkey
+""", oracle="""
+select p_partkey,
+       position('a' in p_name)                      as pos_a,
+       trim(p_name, ' ')                            as name_trim,
+       ltrim(p_brand)                               as brand_l,
+       replace(p_type, ' ', '_')                    as type_u,
+       lpad(cast(p_size as varchar), 4, '0')        as size_pad,
+       reverse(p_brand)                             as brand_rev,
+       substring(p_name, 2, 5)                      as name_mid
+from part
+where p_partkey between 1 and 120
+order by p_partkey
+""")
+
+_dual("array_agg_ordered_limited", """
+select r_regionkey,
+       slice(sort_array(collect_list(n_name)), 1, 3) as top3_nations,
+       size(collect_list(n_name))                    as n
+from region join nation on r_regionkey = n_regionkey
+group by r_regionkey
+order by r_regionkey
+""", oracle="""
+select r_regionkey,
+       (array_agg(n_name order by n_name))[1:3] as top3_nations,
+       count(*) as n
+from region join nation on r_regionkey = n_regionkey
+group by r_regionkey
+order by r_regionkey
+""")
+
+_dual("values_inline_join", """
+select v.code, count(*) as n, round(sum(o_totalprice), 2) as total
+from orders
+join (values ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
+     as v(status, code)
+  on o_orderstatus = v.status
+group by v.code
+order by v.code
+""")
+
+_dual("interval_date_arithmetic", """
+select o_orderkey,
+       cast(o_orderdate as date) + interval '30' day   as due_date,
+       cast(o_orderdate as date) - interval '1' month  as prior_month,
+       datediff(date '1998-01-01', cast(o_orderdate as date)) as days_to_98
+from orders
+where o_orderkey < 200
+order by o_orderkey
+""", oracle="""
+select o_orderkey,
+       cast(cast(o_orderdate as date) + interval 30 day as date)  as due_date,
+       cast(cast(o_orderdate as date) - interval 1 month as date) as prior_month,
+       date_diff('day', cast(o_orderdate as date), date '1998-01-01') as days_to_98
+from orders
+where o_orderkey < 200
+order by o_orderkey
+""")
+
+_dual("is_distinct_from_nulls", """
+select count(*) filter (where l_returnflag is distinct from 'N')   as n_not_n,
+       count(*) filter (where l_returnflag is not distinct from 'N') as n_is_n,
+       count(*) filter (where l_shipdate is null)                  as n_null_ship
+from lineitem
+""")
+
+_dual("like_family_predicates", """
+select count(*) filter (where p_name like '%ab%')          as n_like,
+       count(*) filter (where p_name ilike '%AB%')         as n_ilike,
+       count(*) filter (where p_name rlike '^[ab]')        as n_regex,
+       count(*) filter (where p_name not like 'z%')        as n_notlike
+from part
+""", oracle="""
+select count(*) filter (p_name like '%ab%')                 as n_like,
+       count(*) filter (p_name ilike '%AB%')                as n_ilike,
+       count(*) filter (regexp_matches(p_name, '^[ab]'))    as n_regex,
+       count(*) filter (p_name not like 'z%')               as n_notlike
+from part
+""")
+
+_dual("array_access_split", """
+select p_partkey,
+       split(p_type, ' ')[0]                 as type_head,
+       element_at(split(p_type, ' '), -1)    as type_tail,
+       size(split(p_type, ' '))              as type_words
+from part
+where p_partkey <= 100
+order by p_partkey
+""", oracle="""
+select p_partkey,
+       string_split(p_type, ' ')[1]           as type_head,
+       string_split(p_type, ' ')[-1]          as type_tail,
+       len(string_split(p_type, ' '))         as type_words
+from part
+where p_partkey <= 100
+order by p_partkey
+""")
+
+_dual("scalar_subquery_per_row", """
+select n_name,
+       (select count(*) from customer c where c.c_nationkey = n.n_nationkey)
+           as n_customers,
+       (select round(avg(c_acctbal), 2) from customer c
+        where c.c_nationkey = n.n_nationkey) as avg_bal
+from nation n
+order by n_name
+""")
+
+_dual("ntile_percentile_windows", """
+select q, count(*) as n,
+       round(min(o_totalprice), 2) as lo,
+       round(max(o_totalprice), 2) as hi
+from (
+  select o_totalprice, ntile(4) over (order by o_totalprice, o_orderkey) as q
+  from orders
+) t
+group by q
+order by q
+""")
+
+_dual("first_last_value_windows", """
+select o_custkey, o_orderkey,
+       first_value(o_orderkey) over w  as first_order,
+       last_value(o_orderkey) over
+         (partition by o_custkey order by o_orderdate, o_orderkey
+          rows between unbounded preceding and unbounded following)
+                                       as last_order,
+       nth_value(o_orderkey, 2) over w as second_order
+from orders
+where o_custkey < 30
+window w as (partition by o_custkey order by o_orderdate, o_orderkey
+             rows between unbounded preceding and unbounded following)
+order by o_custkey, o_orderkey
+""")
+
+
 # ===========================================================================
 # Federation layer (demo web over the same parquet)
 # ===========================================================================
