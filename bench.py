@@ -32,9 +32,14 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "text_stats",
+    "text_quality_langid",
     "knn_bruteforce_cosine",
     "knn_ivf_approx",
+    "events_sessionization",
+    "streaming_hourly_rollup",
+    "multimodal_features",
 ]
 
 

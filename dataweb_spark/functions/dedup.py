@@ -278,28 +278,32 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     if ANY band matches (recall 1-(1-p^planes)^bands with p the per-plane
     agreement probability), then cosine is verified exactly within buckets.
     The self-join keys on (band, signature) — well-distributed, no skew.
+    All band signatures come from ONE Arrow pass; the candidate join is
+    id-only (narrow) and vectors are joined back just for verification.
     Import here to keep dedup/similarity modules decoupled."""
-    from dataweb_spark.functions.similarity import (hyperplane_signature,
+    from dataweb_spark.functions.similarity import (hyperplane_signatures,
                                                     cosine_pd)
 
     sig = emb.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     hyperplane_signature(vec_col, planes, seed + 101 * b)
-                     .alias("sig"))
-            for b in range(bands)])).alias("e")
-    ).select("_id", "_v", "e.band", "e.sig")
+        F.posexplode(hyperplane_signatures(vec_col, planes, bands, seed))
+         .alias("band", "sig"))
     a, b = sig.alias("a"), sig.alias("b")
-    pairs = (a.join(b, [F.col("a.band") == F.col("b.band"),
+    cands = (a.join(b, [F.col("a.band") == F.col("b.band"),
                         F.col("a.sig") == F.col("b.sig"),
                         F.col("a._id") < F.col("b._id")])
               .select(F.col("a._id").alias("id_a"),
-                      F.col("b._id").alias("id_b"),
-                      F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"))
-              .dropDuplicates(["id_a", "id_b"]))
+                      F.col("b._id").alias("id_b"))
+              .distinct())
+    vec = emb.select(F.col(id_col).alias("_vid"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+    pairs = (cands
+             .join(vec.withColumnRenamed("_vid", "id_a")
+                      .withColumnRenamed("_v", "_va"), "id_a")
+             .join(vec.withColumnRenamed("_vid", "id_b")
+                      .withColumnRenamed("_v", "_vb"), "id_b"))
     return (pairs.select("id_a", "id_b",
                          F.round(cosine_pd(F.col("_va"), F.col("_vb")), 6)
                           .alias("cos"))
-                 .where(F.col("cos") >= threshold))
+                 .where(F.col("cos") >= threshold)
+                 .select("id_a", "id_b", "cos"))

@@ -120,6 +120,28 @@ def hyperplane_signature(vec_col, planes: int = 12, seed: int = 7,
     return sig(v.cast("array<double>"))
 
 
+def hyperplane_signatures(vec_col, planes: int = 6, bands: int = 8,
+                          seed: int = 7, dim: int = 64) -> Column:
+    """All ``bands`` hyperplane signatures in ONE Arrow batch pass —
+    a single (dim × bands·planes) matmul, packed per band into an
+    array<bigint>. Use with ``posexplode`` for banded-LSH self-joins;
+    one Python worker round-trip instead of one per band."""
+    rng_mats = [_random_planes(dim, planes, seed + 101 * b).T
+                for b in range(bands)]
+    M = np.concatenate(rng_mats, axis=1)          # dim × bands·planes
+    weights = (1 << np.arange(planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def sig(v: pd.Series) -> pd.Series:
+        A = np.array(v.tolist(), dtype=np.float64)
+        bits = ((A @ M) >= 0).reshape(len(A), len(rng_mats), -1)
+        packed = bits @ weights                   # n × bands
+        return pd.Series(packed.astype(np.int64).tolist())
+
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return sig(v.cast("array<double>"))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", planes: int = 8,

@@ -854,6 +854,120 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _df("dedup_embedding_cosine", _embedding_near_dups)  # rows-only
 
 
+def _events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via session_window in batch mode — the
+    hypertable-style rollup Spark expresses natively; oracle is the
+    gaps-and-islands SQL form."""
+    register_views(spark, sf_dir)
+    ev = spark.table("events").where("user_id < 40")
+    return (ev.groupBy(F.session_window("ts", "15 minutes"), "user_id")
+              .agg(F.count("*").alias("n_events"),
+                   F.round(F.sum("value"), 2).alias("session_value"))
+              .select("user_id",
+                      F.col("session_window.start").alias("session_start"),
+                      F.col("session_window.end").alias("session_end"),
+                      "n_events", "session_value")
+              .orderBy("user_id", "session_start"))
+
+
+_df("events_sessionization", _events_sessionization, oracle="""
+with e as (
+  select user_id, ts, value from events where user_id < 40
+), marked as (
+  select *,
+         case when lag(ts) over w is null
+                or ts - lag(ts) over w >= interval 15 minute
+              then 1 else 0 end as new_sess
+  from e
+  window w as (partition by user_id order by ts)
+), sess as (
+  select *, sum(new_sess) over (partition by user_id order by ts
+                                rows unbounded preceding) as sid
+  from marked
+)
+select user_id,
+       min(ts) as session_start,
+       max(ts) + interval 15 minute as session_end,
+       count(*) as n_events,
+       round(sum(value), 2) as session_value
+from sess
+group by user_id, sid
+order by user_id, session_start
+""")
+
+
+def _text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return (docs.select(
+        "doc_id",
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("lang_pred"))
+        .orderBy("doc_id"))
+
+
+_SW18 = ("['the','a','an','and','or','of','to','in','is','it','that',"
+         "'this','for','on','with','as','at','by']")
+
+_df("text_quality_langid", _text_quality_langid, oracle=rf"""
+with toks as (
+  select doc_id, text,
+         case when length(trim(text)) = 0 then []::varchar[]
+              else string_split_regex(trim(text), '\s+') end as t
+  from documents
+), feats as (
+  select doc_id, text, t,
+         length(text) as n,
+         case when length(text) = 0 then 0.0
+              else (length(text) -
+                    length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / cast(length(text) as double) end as punct,
+         case when len(t) = 0 then 0.0
+              else len(list_filter(t, x -> list_contains({_SW18}, lower(x))))
+                   / cast(len(t) as double) end as sw,
+         list_transform(t, x -> lower(x)) as lt
+  from toks
+), scored as (
+  select doc_id,
+         round(0.5 * (case when n >= 50 and n <= 10000 then 1.0
+                           when n < 50 then n / 50.0 else 0.5 end)
+             + 0.2 * (case when punct <= 0.2 then 1.0 else 0.5 end)
+             + 0.3 * (case when sw >= 0.05 and sw <= 0.6 then 1.0
+                           else 0.6 end), 6) as quality,
+         len(list_filter(lt, x -> list_contains(['the','and','of','to','is'], x))) as s_en,
+         len(list_filter(lt, x -> list_contains(['el','la','de','que','y'], x))) as s_es,
+         len(list_filter(lt, x -> list_contains(['le','la','et','les','des'], x))) as s_fr,
+         len(list_filter(lt, x -> list_contains(['der','die','und','das','ist'], x))) as s_de,
+         len(list_filter(lt, x -> list_contains(['的','是','了','在','我'], x))) as s_zh
+  from feats
+)
+select doc_id, quality,
+       case when greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 then 'und'
+            when s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) then 'en'
+            when s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) then 'es'
+            when s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) then 'fr'
+            when s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) then 'de'
+            else 'zh' end as lang_pred
+from scored
+order by doc_id
+""")
+
+
+def _text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling window-hash fingerprint (xxhash64 xor-fold — not SQL):
+    rows-only."""
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    return (spark.table("documents")
+            .select("doc_id",
+                    T.rolling_fingerprint("text").alias("rfp"))
+            .orderBy("doc_id"))
+
+
+_df("text_rolling_fingerprint", _text_rolling_fingerprint)  # rows-only
+
+
 # ===========================================================================
 # Structured Streaming (availableNow drains — batch-equivalent semantics)
 # ===========================================================================
