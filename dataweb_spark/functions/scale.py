@@ -1,0 +1,66 @@
+"""Scale utilities: skew-aware joins and co-partitioned layouts.
+
+These are the knobs a 100 TB deployment reaches for when AQE alone isn't
+enough (SURVEY.md §4 "Concurrency"/"shuffle" rows; the reference inherits
+all of this from its downstream engines and has no counterpart):
+
+* :func:`salted_join` — explicit key salting for a skewed inner/left join
+  against a smaller-but-not-broadcastable right side. The hot left keys are
+  split across ``salt`` buckets; the right side is replicated ``salt`` times
+  (only the right side grows — keep it the smaller input). AQE's
+  ``skewJoin`` handles sort-merge skew automatically; salting is for the
+  cases AQE can't re-split (aggregations feeding the join, non-SMJ plans).
+* :func:`write_bucketed` / :func:`read_bucketed_table` — persistent
+  bucketing so repeated equi-joins/aggregations on the same key avoid the
+  shuffle entirely (Spark reuses the bucketing as the required
+  distribution).
+* :func:`repartition_by_key` — co-partition two frames before an iterative
+  or multi-stage pipeline so downstream stages reuse one exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: str,
+                salt: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join with the left side's hot keys spread across ``salt``
+    buckets and the right side replicated per bucket.
+
+    Output columns = left ∪ (right − key), like ``left.join(right, on)``.
+    """
+    salted_l = left.withColumn(
+        "_salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                         F.lit(salt))).cast("int"))
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = salted_l.join(salted_r, on=[on, "_salt"], how=how)
+    return out.drop("_salt")
+
+
+def repartition_by_key(dfs: list[DataFrame], key: str,
+                       num_partitions: int | None = None) -> list[DataFrame]:
+    """Hash-co-partition several frames on the same key so a downstream
+    multi-way join/agg pipeline reuses a single exchange per input."""
+    if num_partitions:
+        return [df.repartition(num_partitions, key) for df in dfs]
+    return [df.repartition(key) for df in dfs]
+
+
+def write_bucketed(df: DataFrame, table_name: str, key: str,
+                   num_buckets: int = 32, path: str | None = None,
+                   sort_by: str | None = None) -> None:
+    """Persist with bucketing metadata; subsequent equi-joins/groupBys on
+    ``key`` between bucketed tables skip the shuffle."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, key)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def read_bucketed_table(spark, table_name: str) -> DataFrame:
+    return spark.table(table_name)

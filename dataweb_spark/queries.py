@@ -438,6 +438,20 @@ where p_partkey <= 100
 order by p_partkey
 """)
 
+_dual("try_cast_safe", """
+select count(*)                                           as n,
+       count(try_cast(p_brand as double))                 as n_brand_num,
+       count(try_cast(p_size as string))                  as n_size_str,
+       count(try_cast(substr(p_name, 1, 2) as int))       as n_name_int
+from part
+""", oracle="""
+select count(*)                                           as n,
+       count(try_cast(p_brand as double))                 as n_brand_num,
+       count(try_cast(p_size as varchar))                 as n_size_str,
+       count(try_cast(substr(p_name, 1, 2) as int))       as n_name_int
+from part
+""")
+
 _dual("scalar_subquery_per_row", """
 select n_name,
        (select count(*) from customer c where c.c_nationkey = n.n_nationkey)

@@ -1,0 +1,51 @@
+"""Scale utilities: salted joins must be value-equal to plain joins; bucketed
+tables must join without an exchange on the bucket key."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 90% of rows share key 0 — the classic hot-key shape
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"))
+    right = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    return left, right
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    from dataweb_spark.functions.scale import salted_join
+    left, right = skewed
+    plain = left.join(right, "k").select("k", "v", "w")
+    salted = salted_join(left, right, "k", salt=4).select("k", "v", "w")
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark, skewed):
+    from dataweb_spark.functions.scale import salted_join
+    left, _ = skewed
+    right = spark.range(0, 1).select(F.col("id").alias("k"),
+                                     F.lit("hit").alias("w"))
+    out = salted_join(left, right, "k", salt=4, how="left")
+    assert out.count() == left.count()
+    assert out.where("w is null").count() == left.where("k != 0").count()
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    from dataweb_spark.functions.scale import write_bucketed
+    d = tmp_path_factory.mktemp("buckets")
+    a = spark.range(0, 1000).select(F.col("id").alias("k"),
+                                    (F.col("id") * 3).alias("x"))
+    b = spark.range(0, 1000).select(F.col("id").alias("k"),
+                                    (F.col("id") * 5).alias("y"))
+    write_bucketed(a, "bt_a", "k", num_buckets=4, path=str(d / "a"))
+    write_bucketed(b, "bt_b", "k", num_buckets=4, path=str(d / "b"))
+    joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, \
+        "bucketed equi-join should not shuffle"
+    assert joined.count() == 1000
