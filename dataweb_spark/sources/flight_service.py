@@ -1,0 +1,150 @@
+"""Arrow Flight facade over the query gateway — the flight_server analog.
+
+Mirrors the reference's 2-step protocol (``test/flight_utils.py:42-75``,
+server side ``flight_server/src/flight.rs:471-630``):
+
+* ``list_flights`` — one descriptor per declared entity with its resolved
+  Arrow schema (``flight.rs:471-494``).
+* ``get_flight_info`` — descriptor ``cmd`` carries JSON
+  ``{"sql": ..., "principal": ..., "mode": "template"|"engine"}``; the
+  server validates, maps the query to per-source tasks and returns a
+  ``FlightInfo`` whose endpoints each carry a ticket
+  ``{"task_id", "relay", "source"}`` — one endpoint per mapped source
+  (``flight.rs:194-232``), or a single endpoint in engine mode.
+* ``do_get`` — executes the stored task and streams its Arrow record
+  batches (``flight.rs:449-460``).
+
+The per-source endpoint fan-out preserves the reference's
+partial-aggregate-per-source semantics: callers merge partials client-side
+exactly as ``test/validation.py:29-60`` does.
+
+Scale note: results stream through the driver here (single-process facade).
+On a real cluster the transport between engines is the shared object store
+(jobs layer) — this facade exists for protocol parity and lightweight
+clients, not bulk data movement.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+
+import pyarrow as pa
+import pyarrow.flight as flight
+
+from pyspark.sql import SparkSession
+
+from dataweb_spark.catalog.model import Web
+from dataweb_spark.plans.gateway import QueryGateway
+from dataweb_spark.plans.resolve import resolve_entity
+from dataweb_spark.plans.validation import ValidationError
+
+
+class RelayFlightServer(flight.FlightServerBase):
+    """One relay's Flight surface. Start with ``serve_in_background``."""
+
+    def __init__(self, spark: SparkSession, web: Web, relay_name: str,
+                 location: str = "grpc://127.0.0.1:0"):
+        super().__init__(location)
+        self.spark = spark
+        self.web = web
+        self.relay_name = relay_name
+        self.gateway = QueryGateway(spark, web, relay_name)
+        self._tasks: dict[str, object] = {}   # ticket id → DataFrame
+        self._lock = threading.Lock()
+
+    # -- catalog listing (flight.rs:471-494) ------------------------------
+
+    def list_flights(self, context, criteria):
+        relay = self.web.relay(self.relay_name)
+        for entity_name in relay.entities:
+            df = resolve_entity(self.spark, self.web, self.relay_name,
+                                entity_name)
+            if df is None:
+                continue
+            schema = _to_arrow_schema(df)
+            desc = flight.FlightDescriptor.for_path(entity_name)
+            yield flight.FlightInfo(schema, desc, [], -1, -1)
+
+    # -- query mapping (flight.rs:501-630) --------------------------------
+
+    def get_flight_info(self, context, descriptor):
+        req = json.loads(descriptor.command.decode("utf-8"))
+        sql = req["sql"]
+        principal = req.get("principal")
+        mode = req.get("mode", "template")
+        try:
+            if mode == "engine":
+                df = self.gateway.query(sql, principal)
+                parts = [(self.relay_name, "__engine__", df)]
+            else:
+                parts = self.gateway.query_template(sql, principal)
+        except ValidationError as e:
+            raise flight.FlightServerError(str(e)) from e
+
+        endpoints = []
+        schema = None
+        with self._lock:
+            for relay, source, df in parts:
+                task_id = uuid.uuid4().hex
+                self._tasks[task_id] = df
+                ticket = flight.Ticket(json.dumps(
+                    {"task_id": task_id, "relay": relay,
+                     "source": source}).encode("utf-8"))
+                endpoints.append(flight.FlightEndpoint(ticket, []))
+                if schema is None:
+                    schema = _to_arrow_schema(df)
+        return flight.FlightInfo(schema, descriptor, endpoints, -1, -1)
+
+    # -- task execution (flight.rs:449-460) -------------------------------
+
+    def do_get(self, context, ticket):
+        info = json.loads(ticket.ticket.decode("utf-8"))
+        with self._lock:
+            df = self._tasks.get(info["task_id"])
+        if df is None:
+            raise flight.FlightServerError(f"unknown task {info['task_id']}")
+        table = df.toArrow()
+        return flight.RecordBatchStream(table)
+
+
+def _to_arrow_schema(df) -> pa.Schema:
+    """Arrow schema of a DataFrame without executing it."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    return to_arrow_schema(df.schema)
+
+
+def serve_in_background(spark: SparkSession, web: Web, relay_name: str
+                        ) -> RelayFlightServer:
+    """Start the server on an ephemeral port; returns the running server
+    (``server.port`` for clients; ``server.shutdown()`` to stop)."""
+    server = RelayFlightServer(spark, web, relay_name)
+    t = threading.Thread(target=server.serve, daemon=True)
+    t.start()
+    return server
+
+
+# -- client helpers (test/flight_utils.py analog) -------------------------
+
+def flight_query(port: int, sql: str, principal: str | None = None,
+                 mode: str = "template") -> pa.Table:
+    """2-step client: get_flight_info → do_get every endpoint → concat.
+
+    The concat of per-source streams is exactly what the reference's test
+    client does (``flight_utils.py:66-75``)."""
+    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    cmd = json.dumps({"sql": sql, "principal": principal,
+                      "mode": mode}).encode("utf-8")
+    info = client.get_flight_info(flight.FlightDescriptor.for_command(cmd))
+    tables = []
+    for ep in info.endpoints:
+        reader = client.do_get(ep.ticket)
+        tables.append(reader.read_all())
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def flight_list_entities(port: int) -> dict[str, pa.Schema]:
+    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    return {fi.descriptor.path[0].decode("utf-8"): fi.schema
+            for fi in client.list_flights()}
