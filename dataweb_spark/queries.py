@@ -438,6 +438,45 @@ where p_partkey <= 100
 order by p_partkey
 """)
 
+_dual("stats_aggregates", """
+select l_returnflag,
+       round(stddev(l_quantity), 6)                   as sd_qty,
+       round(var_samp(l_extendedprice), 2)            as var_price,
+       round(corr(l_quantity, l_extendedprice), 6)    as corr_qe,
+       round(covar_samp(l_quantity, l_discount), 6)   as cov_qd,
+       round(percentile(l_quantity, 0.5), 2)          as median_qty,
+       round(percentile(l_extendedprice, 0.9), 2)     as p90_price
+from lineitem
+group by l_returnflag
+order by l_returnflag
+""", oracle="""
+select l_returnflag,
+       round(stddev_samp(l_quantity), 6)              as sd_qty,
+       round(var_samp(l_extendedprice), 2)            as var_price,
+       round(corr(l_quantity, l_extendedprice), 6)    as corr_qe,
+       round(covar_samp(l_quantity, l_discount), 6)   as cov_qd,
+       round(quantile_cont(l_quantity, 0.5), 2)       as median_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 2)  as p90_price
+from lineitem
+group by l_returnflag
+order by l_returnflag
+""")
+
+_dual("lateral_view_explode", """
+select t.word, count(*) as n
+from part
+lateral view explode(split(p_type, ' ')) t as word
+group by t.word
+order by n desc, t.word
+limit 15
+""", oracle="""
+select u.word, count(*) as n
+from part, unnest(string_split(p_type, ' ')) as u(word)
+group by u.word
+order by n desc, u.word
+limit 15
+""")
+
 _dual("try_cast_safe", """
 select count(*)                                           as n,
        count(try_cast(p_brand as double))                 as n_brand_num,

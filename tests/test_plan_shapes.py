@@ -1,0 +1,77 @@
+"""Physical-plan shape assertions — the 100 TB design contracts.
+
+These lock in the properties that make the architecture survive scale-up:
+filters/projections reach the parquet scans *through* the federation
+mapping layer, aggregation is partial below the entity-view union (one
+combine per source before any shuffle), and small dimensions broadcast.
+"""
+
+import re
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fed_filter_pushdown_through_transformations(spark, demo_web):
+    """A filter on a *logical* column (tax_percent = l_tax*100) must reach
+    both source scans rewritten into physical terms."""
+    from dataweb_spark.plans.gateway import QueryGateway
+    gw = QueryGateway(spark, demo_web, "na_us")
+    df = gw.query("select linenumber from lineitem where tax_percent > 3")
+    plan = _plan(df)
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 2, "expected one scan per mapped source"
+    # the transformed predicate appears as a data filter on l_tax
+    assert plan.count("l_tax") >= 2
+    for s in scans:
+        assert "DataFilters: [" in s
+        # column pruning: the scan must NOT read all 16 lineitem columns
+        read = re.search(r"FileScan parquet \[([^\]]*)\]", s).group(1)
+        assert len(read.split(",")) <= 6, f"scan reads too much: {read}"
+
+
+def test_fed_partial_aggregation_below_union(spark, demo_web):
+    """groupBy over the entity view: each union branch partially aggregates
+    before the exchange (map-side combine per source)."""
+    from dataweb_spark.plans.gateway import QueryGateway
+    gw = QueryGateway(spark, demo_web, "na_us")
+    df = gw.query("select returnflag, sum(quantity) as q from lineitem "
+                  "group by returnflag")
+    plan = _plan(df)
+    lines = plan.splitlines()
+    exchange_at = next(i for i, ln in enumerate(lines)
+                       if "Exchange hashpartitioning" in ln)
+    partial_at = next(i for i, ln in enumerate(lines)
+                      if "HashAggregate" in ln and "partial_sum" in ln)
+    # the partial (map-side) aggregate must run BEFORE the shuffle, i.e.
+    # deeper in the tree (later line) than the exchange, above the union
+    assert partial_at > exchange_at, "partial agg must precede the shuffle"
+    assert any("Union" in ln for ln in lines[partial_at:]), \
+        "partial agg should sit on top of the source union"
+    # exactly one shuffle for the final aggregate
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    from dataweb_spark.queries import register_views
+    register_views(spark, sf_dir)
+    df = spark.sql("""
+        select n_name, count(*) as n
+        from lineitem join supplier on l_suppkey = s_suppkey
+        join nation on s_nationkey = n_nationkey
+        group by n_name""")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, \
+        "small dims should broadcast, not sort-merge"
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    from dataweb_spark.queries import register_views
+    register_views(spark, sf_dir)
+    df = spark.sql("select * from orders order by o_totalprice desc limit 10")
+    assert "TakeOrderedAndProject" in _plan(df), \
+        "top-k should not global-sort"
