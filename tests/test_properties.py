@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) for the mapping/permission algebra —
+the reference has only golden-string tests (SURVEY.md §5); these pin the
+*semantics*: transformations round-trip through their inverses and compose
+associatively when evaluated as real SQL (DuckDB as the evaluator), and the
+permission algebra obeys set laws."""
+
+from hypothesis import given, settings, strategies as st
+
+import duckdb
+
+from dataweb_spark.catalog.model import (
+    SourcePermission, Transformation, effective_permission,
+)
+
+finite = st.floats(min_value=-1e6, max_value=1e6,
+                   allow_nan=False, allow_infinity=False)
+nonzero = finite.filter(lambda x: abs(x) > 1e-3)
+
+
+def _lit(v: float) -> str:
+    return f"cast({v!r} as double)"
+
+
+def _eval(expr: str) -> float:
+    return duckdb.sql(f"select cast(({expr}) as double)").fetchall()[0][0]
+
+
+@st.composite
+def linear_transform(draw):
+    a = draw(nonzero)
+    b = draw(finite)
+    return Transformation(f"{{v}} * cast({a!r} as double) + cast({b!r} as double)",
+                          f"({{v}} - cast({b!r} as double)) / cast({a!r} as double)"), a, b
+
+
+@given(linear_transform(), finite)
+@settings(max_examples=40, deadline=None)
+def test_transformation_inverse_roundtrip(t_ab, v):
+    t, a, b = t_ab
+    forward = _eval(t.apply(_lit(v)))
+    back = _eval(t.apply_inverse(_lit(forward)))
+    assert abs(back - v) <= 1e-6 * max(1.0, abs(v), abs(forward) / max(abs(a), 1e-3))
+
+
+@given(linear_transform(), linear_transform(), finite)
+@settings(max_examples=40, deadline=None)
+def test_transformation_compose_is_application(outer, inner, v):
+    t2, _, _ = outer
+    t1, _, _ = inner
+    composed = t2.compose(t1)
+    direct = _eval(t2.apply(f"({t1.apply(_lit(v))})"))
+    via_compose = _eval(composed.apply(_lit(v)))
+    assert abs(direct - via_compose) <= 1e-9 * max(1.0, abs(direct))
+
+
+cols = st.frozensets(st.sampled_from(["a", "b", "c", "d", "e"]), max_size=5)
+
+
+@given(cols, cols)
+@settings(max_examples=50, deadline=None)
+def test_permission_union_intersection_sets(c1, c2):
+    p1 = SourcePermission(c1, "x > 1")
+    p2 = SourcePermission(c2, "y < 2")
+    assert p1.union(p2).allowed_columns == c1 | c2
+    assert p1.intersection(p2).allowed_columns == c1 & c2
+
+
+@given(cols, cols, cols)
+@settings(max_examples=50, deadline=None)
+def test_effective_permission_algebra(cd, cu, cr):
+    """effective = default ∪ (user ∩ relay) — core/src/execute/mod.rs:148-196."""
+    d = SourcePermission(cd, "d")
+    u = SourcePermission(cu, "u")
+    r = SourcePermission(cr, "r")
+    eff = effective_permission(d, u, r)
+    assert eff.allowed_columns == cd | (cu & cr)
+
+
+@given(cols, cols)
+@settings(max_examples=30, deadline=None)
+def test_permission_row_predicate_structure(c1, c2):
+    """Row filters combine as OR (union) / AND (intersection) —
+    access_control.rs:127-143."""
+    p1 = SourcePermission(c1, "x > 1")
+    p2 = SourcePermission(c2, "y < 2")
+    assert "OR" in p1.union(p2).allowed_rows.upper()
+    assert "AND" in p1.intersection(p2).allowed_rows.upper()
