@@ -218,33 +218,35 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ``nprobe`` nearest cells. The quantizer fits driver-side on
     ~``sample_per_cell``·``n_cells`` rows regardless of corpus size.
     """
-    norm_corpus = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        normalize(F.col(vec_col).cast("array<double>")).alias("_cv"))
+    # Raw vectors throughout: argmax(dot(v, c)) over unit centroids is
+    # scale-invariant, so neither assignment nor probing needs normalized
+    # inputs (an expression-level normalize() is an interpreted higher-order
+    # function costing ~dim² ops/row — measured 3× the whole query).
+    raw = corpus.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).cast("array<double>").alias("_cv"))
 
     target = sample_per_cell * n_cells
-    n = norm_corpus.count()
-    sample = (norm_corpus.sample(min(1.0, 1.2 * target / max(n, 1)),
-                                 seed=seed)
-              .limit(target) if n > target else norm_corpus)
+    n = raw.count()
+    sample = (raw.sample(min(1.0, 1.2 * target / max(n, 1)), seed=seed)
+              .limit(target) if n > target else raw)
     X = np.array(sample.select("_cv").toPandas()["_cv"].tolist(),
                  dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = _spherical_kmeans(X, n_cells, seed)
 
     cell1 = _nearest_cells_udf(C, 1)
     celln = _nearest_cells_udf(C, nprobe)
-    c_assigned = norm_corpus.select(
+    c_assigned = raw.select(
         "neighbor_id", "_cv",
         F.element_at(cell1(F.col("_cv")), 1).alias("_cell"))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        normalize(F.col(vec_col).cast("array<double>")).alias("_qv"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("_qv"))
     q_probed = q.select(
         "query_id", "_qv", F.explode(celln(F.col("_qv"))).alias("_cell"))
 
     scored = (c_assigned.join(F.broadcast(q_probed), on="_cell")
               .where(F.col("neighbor_id") != F.col("query_id"))
-              .withColumn("cos", dot_pd(F.col("_cv"), F.col("_qv"))))
+              .withColumn("cos", cosine_pd(F.col("_cv"), F.col("_qv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
