@@ -310,6 +310,26 @@ group by 1
 order by k
 """)
 
+_dual("timezone_conversion", """
+select event_id,
+       from_utc_timestamp(ts, 'America/New_York') as ny_ts,
+       from_utc_timestamp(ts, 'Asia/Tokyo')       as tokyo_ts,
+       cast(hour(from_utc_timestamp(ts, 'America/New_York')) as bigint)
+                                                  as ny_hour
+from events
+where event_id < 200
+order by event_id
+""", oracle="""
+select event_id,
+       (ts at time zone 'UTC') at time zone 'America/New_York' as ny_ts,
+       (ts at time zone 'UTC') at time zone 'Asia/Tokyo'       as tokyo_ts,
+       extract(hour from (ts at time zone 'UTC')
+               at time zone 'America/New_York')                as ny_hour
+from events
+where event_id < 200
+order by event_id
+""")
+
 _dual("topk_orders", """
 select o_orderkey, o_custkey, o_totalprice
 from orders
@@ -820,6 +840,36 @@ where len(list_intersect(a.shingles, b.shingles)) /
       cast(len(list_distinct(a.shingles || b.shingles)) as double) >= 0.05
 order by id_a, id_b
 """)
+
+
+def _exact_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataweb_spark.functions import dedup as D
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    return D.exact_dedup(docs, ["text"], "doc_id").orderBy("doc_id")
+
+
+_df("dedup_exact_keep", _exact_dedup_keep, oracle="""
+select d.doc_id, d.text
+from documents d
+join (select text, min(doc_id) as keeper from documents group by text) k
+  on d.doc_id = k.keeper
+order by d.doc_id
+""")
+
+
+def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed top-k (approx) — rows-only check."""
+    from dataweb_spark.functions import similarity as S
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return (S.lsh_topk(emb, queries, k=5, planes=4)
+             .orderBy("query_id", "rank"))
+
+
+_df("knn_lsh_approx", _knn_lsh)  # rows-only
 
 
 def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
