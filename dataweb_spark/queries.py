@@ -310,6 +310,24 @@ group by 1
 order by k
 """)
 
+_dual("listagg_within_group_overlay", """
+select r_name,
+       listagg(n_name, '|') within group (order by n_name desc) as nations_desc,
+       overlay(r_name placing '**' from 2 for 2)                as name_masked,
+       count(*) filter (where (n_nationkey = null) is unknown)  as n_unknown
+from region join nation on r_regionkey = n_regionkey
+group by r_name
+order by r_name
+""", oracle="""
+select r_name,
+       string_agg(n_name, '|' order by n_name desc)             as nations_desc,
+       substr(r_name, 1, 1) || '**' || substr(r_name, 4)        as name_masked,
+       count(*) filter ((n_nationkey = null) is null)           as n_unknown
+from region join nation on r_regionkey = n_regionkey
+group by r_name
+order by r_name
+""")
+
 _dual("timezone_conversion", """
 select event_id,
        from_utc_timestamp(ts, 'America/New_York') as ny_ts,
