@@ -92,33 +92,58 @@ def word_shingles(col, n: int = 3):
     return f(F.col(col) if isinstance(col, str) else col)
 
 
+def minhash_signature(col, num_perm: int = 32, shingle_n: int = 3,
+                      seed: int = 11):
+    """array<bigint> MinHash signature, computed MAP-ONLY in one Arrow pass.
+
+    Per batch: tokenize → shingle set → stable 64-bit shingle hashes (md5
+    prefix, mod p) → linear permutations ``(a_i*h + b_i) mod p`` minimized
+    in numpy. No explode, no shuffle — the signature stage scales as a pure
+    projection; only the band self-join below shuffles (narrow rows).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    a_par = np.array(_perm_params(num_perm, seed)[0], dtype=np.int64)
+    b_par = np.array(_perm_params(num_perm, seed)[1], dtype=np.int64)
+    p = _MINHASH_PRIME
+    empty_sig = (b_par % p).tolist()   # doc with no shingles
+
+    @pandas_udf("array<long>")
+    def sig(t: pd.Series) -> pd.Series:
+        out = []
+        for s in t:
+            toks = (s or "").split()
+            if len(toks) < shingle_n:
+                shingles = {" ".join(toks)} if toks else set()
+            else:
+                shingles = {" ".join(toks[i:i + shingle_n])
+                            for i in range(len(toks) - shingle_n + 1)}
+            if not shingles:
+                out.append(empty_sig)
+                continue
+            buf = b"".join(hashlib.md5(x.encode("utf-8")).digest()[:8]
+                           for x in shingles)
+            h = np.frombuffer(buf, dtype=np.uint64).astype(np.int64) % p
+            # S×num_perm universal hashes, min over shingles
+            mins = ((h[:, None] * a_par + b_par) % p).min(axis=0)
+            out.append(mins.tolist())
+        return pd.Series(out)
+
+    return sig(F.col(col) if isinstance(col, str) else col)
+
+
 def minhash_band_hashes(df: DataFrame, id_col: str, text_col: str = "text",
                         num_perm: int = 32, bands: int = 8,
                         shingle_n: int = 3, seed: int = 11) -> DataFrame:
-    """(_id, band, bh) band hashes via linear-permutation MinHash.
-
-    Each shingle is hashed ONCE (xxhash64 → mod p); permutation i is the
-    universal-hash family ``(a_i*h + b_i) mod p`` minimized inside one
-    groupBy — 1 shuffle whose map side emits one partially-aggregated row
-    per doc (num_perm bigints), not the shingle set. This keeps the codegen
-    tree linear in num_perm instead of duplicating the tokenize/shingle
-    expression per permutation.
-    """
+    """(_id, band, bh) band hashes from the map-only signature: band b's
+    hash = xxhash64 over its ``num_perm/bands`` signature slots."""
     rows = num_perm // bands
-    a_par, b_par = _perm_params(num_perm, seed)
-    p = F.lit(_MINHASH_PRIME)
-    exploded = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("_s"))
-    hashed = exploded.select(
-        "_id", F.pmod(F.xxhash64("_s"), p).alias("_h"))
-    mins = hashed.groupBy("_id").agg(*[
-        F.min((F.lit(a_par[i]) * F.col("_h") + F.lit(b_par[i])) % p)
-         .alias(f"_m{i}")
-        for i in range(num_perm)])
-    return (mins.select("_id", F.explode(F.array(*[
+    sigd = df.select(F.col(id_col).alias("_id"),
+                     minhash_signature(text_col, num_perm, shingle_n, seed)
+                     .alias("_sig"))
+    return (sigd.select("_id", F.explode(F.array(*[
                 F.struct(F.lit(b).alias("band"),
-                         F.xxhash64(*[F.col(f"_m{b * rows + r}")
+                         F.xxhash64(*[F.element_at("_sig", b * rows + r + 1)
                                       for r in range(rows)]).alias("bh"))
                 for b in range(bands)])).alias("e"))
                 .select("_id", "e.band", "e.bh"))
@@ -145,24 +170,49 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str = "text",
              .distinct())
 
 
+def jaccard_pd(text_a, text_b, shingle_n: int = 3):
+    """Arrow-batched exact shingle-set Jaccard over a pair of text columns."""
+    from pyspark.sql.functions import pandas_udf
+
+    def shingle_set(s: str) -> set:
+        toks = (s or "").split()
+        if len(toks) < shingle_n:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i:i + shingle_n])
+                for i in range(len(toks) - shingle_n + 1)}
+
+    @pandas_udf("double")
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a))
+        for i, (x, y) in enumerate(zip(a, b)):
+            sx, sy = shingle_set(x), shingle_set(y)
+            u = len(sx | sy)
+            out[i] = (len(sx & sy) / u) if u else 0.0
+        return pd.Series(out)
+
+    return f(text_a, text_b)
+
+
 def jaccard_verify(df: DataFrame, candidates: DataFrame, id_col: str,
                    text_col: str = "text", shingle_n: int = 3,
                    threshold: float = 0.7) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard ≥ threshold.
 
-    Joins only the candidate ids against the (id, shingles) projection —
-    narrow build side, broadcast-eligible when candidates are few.
+    Texts are joined onto the (narrow, already-LSH-filtered) candidate
+    pairs and the Jaccard is computed pairwise in one Arrow pass — shingles
+    are built only for candidate rows, not the whole corpus.
     """
-    sh = df.select(F.col(id_col).alias("_jid"),
-                   word_shingles(text_col, shingle_n).alias("_sh"))
+    txt = df.select(F.col(id_col).alias("_jid"),
+                    F.col(text_col).alias("_jtxt"))
     out = (candidates
-           .join(sh.withColumnRenamed("_jid", "id_a")
-                   .withColumnRenamed("_sh", "sh_a"), "id_a")
-           .join(sh.withColumnRenamed("_jid", "id_b")
-                   .withColumnRenamed("_sh", "sh_b"), "id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (out.withColumn("jaccard", F.round(inter / union, 6))
+           .join(txt.withColumnRenamed("_jid", "id_a")
+                    .withColumnRenamed("_jtxt", "txt_a"), "id_a")
+           .join(txt.withColumnRenamed("_jid", "id_b")
+                    .withColumnRenamed("_jtxt", "txt_b"), "id_b"))
+    return (out.withColumn(
+                "jaccard",
+                F.round(jaccard_pd(F.col("txt_a"), F.col("txt_b"),
+                                   shingle_n), 6))
                .where(F.col("jaccard") >= threshold)
                .select("id_a", "id_b", "jaccard"))
 
