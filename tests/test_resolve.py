@@ -144,3 +144,38 @@ def test_remote_transformation_composition(spark, sf_dir):
     df = resolve_entity(spark, web, "home", "t")
     vals = sorted(r[0] for r in df.select("orig").collect())
     assert vals == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_remote_sql_template_filters_peer(spark, sf_dir):
+    """A non-identity sql_template is substituted as the peer-entity derived
+    table (map_remote.rs:17-63): here it filters and projects the peer's
+    rows before local renaming."""
+    peer = RelayCatalog(name="peer")
+    peer.add_entity(Entity("t", [Information("k", "bigint"),
+                                 Information("name", "string")]))
+    peer.add_connection(DataConnection("files", "file",
+                                       {"path": sf_dir, "format": "parquet"}))
+    peer.add_source(DataSource(
+        name="p_src", connection="files", entity="t",
+        source_sql="select * from {table}",
+        fields=[DataField("n_nationkey", "n_nationkey"),
+                DataField("n_name", "n_name")],
+        mappings=[Mapping("k", "n_nationkey"), Mapping("name", "n_name")],
+        options={"table": "nation.parquet"}))
+
+    home = RelayCatalog(name="home")
+    home.add_entity(Entity("t", [Information("key10", "bigint"),
+                                 Information("name", "string")]))
+    home.remote_mappings.append(RemoteEntityMapping(
+        local_entity="t", peer="peer", remote_entity="t",
+        sql_template="select * from {entity} where k < 5",
+        info_mappings=[RemoteInfoMapping(
+            "key10", "k", Transformation("{v} * 10", "{v} / 10"))]))
+
+    web = Web()
+    web.add_relay(peer)
+    web.add_relay(home)
+    df = resolve_entity(spark, web, "home", "t")
+    rows = {r["key10"]: r["name"] for r in df.collect()}
+    assert set(rows) == {0, 10, 20, 30, 40}  # k<5, scaled ×10
+    assert all(isinstance(v, str) and v for v in rows.values())
