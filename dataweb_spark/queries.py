@@ -698,6 +698,28 @@ order by linenumber
 """)
 
 
+def _fed_select_star_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's query2 analog (``test/queries.py:6-9``): a
+    ``select * … limit N`` template runs per source; the client gets the
+    concatenation (50,003-row pull, ``test/validation.py:11-19``).
+    Limit rows are engine-chosen → compare the deterministic COUNT."""
+    from dataweb_spark.demo import build_demo_web
+    from dataweb_spark.plans.gateway import QueryGateway
+    web = build_demo_web(sf_dir)
+    gw = QueryGateway(spark, web, "na_us")
+    df = gw.query_template_union("select * from lineitem limit 10000")
+    return df.groupBy().agg(F.count("*").alias("n"))
+
+
+_df("fed_select_star_limit", _fed_select_star_limit, oracle="""
+select cast(
+  least((select count(*) from lineitem where l_orderkey % 2 = 0), 10000) +
+  least((select count(*) from lineitem
+         where l_orderkey % 2 = 1 and l_returnflag = 'N'), 10000)
+  as bigint) as n
+""")
+
+
 def _fed_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataweb_spark.demo import build_demo_web
     from dataweb_spark.plans.resolve import resolve_entity
