@@ -1039,6 +1039,68 @@ order by user_id, session_start
 """)
 
 
+def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the latest at-or-before click by the same user —
+    oracle is DuckDB's native ASOF JOIN."""
+    from dataweb_spark.operators import as_of_join
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    purchases = (ev.where("event_type = 'purchase' and user_id < 30")
+                 .select("user_id", "event_id", "ts",
+                         F.round("value", 2).alias("purchase_value")))
+    clicks = (ev.where("event_type = 'click'")
+              .groupBy("user_id", "ts")
+              .agg(F.round(F.max("value"), 2).alias("click_value")))
+    out = as_of_join(purchases, clicks, key="user_id",
+                     right_cols=["click_value"])
+    return (out.select("user_id", "event_id", "purchase_value",
+                       F.col("click_value_right").alias("click_value"),
+                       F.col("ts_right").alias("click_ts"))
+               .orderBy("event_id"))
+
+
+_df("asof_join_purchase_click", _asof_purchase_click, oracle="""
+with p as (
+  select user_id, event_id, ts, round(value, 2) as purchase_value
+  from events where event_type = 'purchase' and user_id < 30
+), c as (
+  select user_id, ts, round(max(value), 2) as click_value
+  from events where event_type = 'click'
+  group by user_id, ts
+)
+select p.user_id, p.event_id, p.purchase_value, c.click_value,
+       c.ts as click_ts
+from p asof join c on p.user_id = c.user_id and p.ts >= c.ts
+order by event_id
+""")
+
+
+def _range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataweb_spark.operators import range_join
+    register_views(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("low", 0.0, 150000.0), ("mid", 100000.0, 400000.0),
+         ("high", 350000.0, 700000.0)], "band string, lo double, hi double")
+    orders = spark.table("orders").select("o_orderkey", "o_totalprice")
+    out = range_join(orders, bands, "o_totalprice", "lo", "hi",
+                     bucket_width=100000.0)
+    return (out.groupBy("band")
+               .agg(F.count("*").alias("n"),
+                    F.round(F.sum("o_totalprice"), 2).alias("total"))
+               .orderBy("band"))
+
+
+_df("range_join_price_bands", _range_join_price_bands, oracle="""
+select band, count(*) as n, round(sum(o_totalprice), 2) as total
+from orders
+join (values ('low', 0.0, 150000.0), ('mid', 100000.0, 400000.0),
+             ('high', 350000.0, 700000.0)) v(band, lo, hi)
+  on o_totalprice between lo and hi
+group by band
+order by band
+""")
+
+
 def _text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataweb_spark.functions import text as T
     register_views(spark, sf_dir)
