@@ -38,6 +38,8 @@ HEADLINE = [
     "knn_bruteforce_cosine",
     "knn_ivf_approx",
     "events_sessionization",
+    "asof_join_purchase_click",
+    "range_join_price_bands",
     "streaming_hourly_rollup",
     "multimodal_features",
 ]

@@ -1039,6 +1039,26 @@ order by user_id, session_start
 """)
 
 
+def _approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct + KLL-style quantile sketches (approximate → rows-only;
+    the exact counterparts `distinct_counts`/`stats_aggregates` are the
+    oracle-checked pair). Error bounds asserted in tests/test_functions."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        select l_returnflag,
+               approx_count_distinct(l_orderkey)          as approx_orders,
+               approx_count_distinct(l_partkey, 0.01)     as approx_parts,
+               approx_percentile(l_extendedprice, 0.5)    as approx_median,
+               approx_percentile(l_extendedprice,
+                                 array(0.1, 0.9), 1000)   as approx_deciles
+        from lineitem
+        group by l_returnflag
+        order by l_returnflag""")
+
+
+_df("approx_sketches", _approx_sketches)  # rows-only (approximate)
+
+
 def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each purchase, the latest at-or-before click by the same user —
     oracle is DuckDB's native ASOF JOIN."""

@@ -192,3 +192,24 @@ def test_media_pipeline_shapes(spark):
 def test_decode_real_raises(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(b"bytes", "png")
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    """HLL / approx-percentile stay within their configured error bounds
+    of the exact answers."""
+    from dataweb_spark.queries import queries
+    approx = {r["l_returnflag"]: r
+              for r in queries()["approx_sketches"](spark, sf_dir).collect()}
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from pyspark.sql import functions as F
+    exact = {r["l_returnflag"]: r for r in (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("orders"),
+             F.countDistinct("l_partkey").alias("parts"),
+             F.expr("percentile(l_extendedprice, 0.5)").alias("median"))
+        .collect())}
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_orders"] - e["orders"]) <= 0.1 * e["orders"]
+        assert abs(a["approx_parts"] - e["parts"]) <= 0.05 * e["parts"]
+        assert abs(a["approx_median"] - e["median"]) <= 0.1 * e["median"]
