@@ -11,9 +11,12 @@ Architecture (see SURVEY.md §7):
                   reference ``core/src/execute/map_local.rs`` / ``map_remote.rs``),
                   SQL gateway validation (``core/src/execute/validation.rs``).
 * ``sources``   — source readers (file dirs / JDBC; reference
-                  ``core/src/execute/data_stores/*``) and the result manager.
+                  ``core/src/execute/data_stores/*``) and the Arrow Flight
+                  facade (reference ``flight_server``).
 * ``functions`` — beyond-reference LLM-data-pipeline operators: dedup,
-                  similarity search, text analysis, multimodal columns.
+                  similarity search, text analysis, multimodal columns,
+                  scale utilities (salting / bucketing).
+* ``operators`` — temporal joins Spark lacks natively (as-of, range).
 * ``streaming`` — Structured Streaming extensions (no reference counterpart).
 * ``jobs``      — async job layer (reference ``query_runner`` + REST async path).
 

@@ -140,6 +140,39 @@ def rolling_fingerprint(col: str | Column = "text", window: int = 8) -> Column:
                        lambda acc, x: acc.bitwiseXOR(x))
 
 
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-training/RAG chunker. Pure codegen (sequence → transform → explode),
+    map-only; output rows ≈ n_tokens/stride per doc.
+
+    Chunks start every ``chunk_tokens - overlap`` tokens; the final partial
+    window is kept iff it starts before the text ends. Empty/whitespace
+    docs produce no rows.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0),
+                        F.greatest(n - 1, F.lit(0)),
+                        F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens))
+             .alias("chunk_text"),
+            F.least(n - s, F.lit(chunk_tokens)).cast("bigint")
+             .alias("chunk_tokens")))
+    return (df.where(n > 0)
+              .select(F.col(id_col), F.explode(chunks).alias("c"))
+              .select(id_col, "c.chunk_idx", "c.chunk_text",
+                      "c.chunk_tokens"))
+
+
 def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """Convenience: attach the full text-analysis column set."""
     return (df

@@ -1179,6 +1179,31 @@ order by doc_id
 """)
 
 
+def _text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id < 300")
+    return (T.chunk_documents(docs, chunk_tokens=64, overlap=16)
+              .orderBy("doc_id", "chunk_idx"))
+
+
+_df("text_chunking", _text_chunking, oracle=r"""
+with t as (
+  select doc_id, string_split_regex(trim(text), '\s+') as toks
+  from documents where doc_id < 300 and length(trim(text)) > 0
+), starts as (
+  select doc_id, toks,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1, 48)) as s
+  from t
+)
+select doc_id, cast(s / 48 as int) as chunk_idx,
+       array_to_string(toks[s + 1 : s + 64], ' ') as chunk_text,
+       least(len(toks) - s, 64) as chunk_tokens
+from starts
+order by doc_id, chunk_idx
+""")
+
+
 def _text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling window-hash fingerprint (xxhash64 xor-fold — not SQL):
     rows-only."""

@@ -213,3 +213,22 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
         assert abs(a["approx_orders"] - e["orders"]) <= 0.1 * e["orders"]
         assert abs(a["approx_parts"] - e["parts"]) <= 0.05 * e["parts"]
         assert abs(a["approx_median"] - e["median"]) <= 0.1 * e["median"]
+
+
+def test_chunk_documents_windows(spark):
+    from dataweb_spark.functions.text import chunk_documents
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100))),  # 100 tokens
+         (2, "a b c"),                                # 3 tokens, 1 chunk
+         (3, "   ")],                                 # whitespace → no rows
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["chunk_tokens"],
+                                            r["chunk_text"].split()[0])
+            for r in out.collect()}
+    # doc 1: starts at 0, 48, 96 → chunks of 64, 52, 4 tokens
+    assert rows[(1, 0)] == (64, "w0")
+    assert rows[(1, 1)] == (52, "w48")
+    assert rows[(1, 2)] == (4, "w96")
+    assert rows[(2, 0)] == (3, "a")
+    assert not any(d == 3 for d, _ in rows)
