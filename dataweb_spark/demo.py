@@ -188,3 +188,71 @@ def build_demo_web(sf_dir: str) -> Web:
     web.add_relay(na_us)
     web.add_relay(glob)
     return web
+
+
+def build_six_relay_web(sf_dir: str) -> Web:
+    """The reference's full dev topology (``deploy/compose.yaml``):
+    global ↔ {na, emea, apac}, na ↔ na_us — 5 answering relays, 6 sources.
+
+    ``lineitem`` is split across sources by ``l_orderkey % 6``:
+    na_us holds slices 0+1 (two sources), na/emea/apac hold 2·i and 2·i+1
+    via one source each... more precisely each relay r_i holds slices so the
+    union over the web from ``global`` covers every row exactly once (the
+    visited-set dedup keeps the doubly-reachable na_us counted once).
+    """
+    def lineitem_relay(name: str, slices: list[int]) -> RelayCatalog:
+        r = RelayCatalog(name=name)
+        r.add_entity(Entity("lineitem", list(LINEITEM_INFOS)))
+        r.add_connection(DataConnection(
+            name="files", kind="file",
+            options={"path": sf_dir, "format": "parquet"}))
+        for sl in slices:
+            r.add_source(DataSource(
+                name=f"lineitem_s{sl}",
+                connection="files",
+                entity="lineitem",
+                source_sql=("select *, l_extendedprice / l_quantity as unitprice, "
+                            "l_tax * l_extendedprice as tax_amount "
+                            f"from {{table}} where l_orderkey % 6 = {sl}"),
+                fields=[DataField(f, f) for f in _TRINO_FIELDS],
+                mappings=[
+                    Mapping("linenumber", "l_linenumber"),
+                    Mapping("partkey", "l_partkey"),
+                    Mapping("suppkey", "l_suppkey"),
+                    Mapping("orderkey", "l_orderkey"),
+                    Mapping("quantity", "l_quantity"),
+                    Mapping("extendedprice", "l_extendedprice"),
+                    Mapping("discount_percent", "l_discount", PCT),
+                    Mapping("tax_percent", "l_tax", PCT),
+                    Mapping("returnflag", "l_returnflag"),
+                    Mapping("linestatus", "l_linestatus"),
+                    Mapping("shipdate", "l_shipdate"),
+                    Mapping("unitprice", "unitprice"),
+                    Mapping("tax_amount", "tax_amount"),
+                ],
+                options={"table": "lineitem.parquet"},
+            ))
+        return r
+
+    def peer(r: RelayCatalog, peer_name: str) -> None:
+        r.remote_mappings.append(RemoteEntityMapping(
+            local_entity="lineitem", peer=peer_name, remote_entity="lineitem",
+            sql_template="select * from {entity}",
+            info_mappings=[RemoteInfoMapping(i.name, i.name)
+                           for i in LINEITEM_INFOS]))
+
+    na_us = lineitem_relay("na_us", [0, 1])    # two sources (csv+trino analog)
+    na = lineitem_relay("na", [2])
+    emea = lineitem_relay("emea", [3])
+    apac = lineitem_relay("apac", [4])
+    glob = lineitem_relay("global", [5])
+    peer(na, "na_us")
+    peer(glob, "na")
+    peer(glob, "emea")
+    peer(glob, "apac")
+    peer(glob, "na_us")  # doubly-reachable: direct + via na (cycle-dedup test)
+
+    web = Web()
+    for r in (na_us, na, emea, apac, glob):
+        web.add_relay(r)
+    return web

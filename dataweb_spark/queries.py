@@ -698,6 +698,66 @@ order by linenumber
 """)
 
 
+def _fed_six_relay_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance counts over the 6-source / 5-relay web resolved from
+    ``global`` — the ``test/validation.py:3-9`` analog (every row answered
+    exactly once despite na_us being reachable both directly and via na)."""
+    from dataweb_spark.demo import build_six_relay_web
+    from dataweb_spark.plans.resolve import resolve_entity
+    web = build_six_relay_web(sf_dir)
+    df = resolve_entity(spark, web, "global", "lineitem")
+    return (df.groupBy(F.col("_source_relay_").alias("relay"),
+                       F.col("_source_id_").alias("source"))
+              .agg(F.count("*").alias("n"))
+              .orderBy("relay", "source"))
+
+
+_df("fed_six_relay_provenance", _fed_six_relay_provenance, oracle="""
+select * from (
+  select 'na_us' as relay, 'lineitem_s0' as source, count(*) as n
+  from lineitem where l_orderkey % 6 = 0
+  union all
+  select 'na_us', 'lineitem_s1', count(*) from lineitem where l_orderkey % 6 = 1
+  union all
+  select 'na', 'lineitem_s2', count(*) from lineitem where l_orderkey % 6 = 2
+  union all
+  select 'emea', 'lineitem_s3', count(*) from lineitem where l_orderkey % 6 = 3
+  union all
+  select 'apac', 'lineitem_s4', count(*) from lineitem where l_orderkey % 6 = 4
+  union all
+  select 'global', 'lineitem_s5', count(*) from lineitem where l_orderkey % 6 = 5
+)
+order by relay, source
+""")
+
+
+def _fed_six_relay_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped aggregate across the whole 6-source web — the final
+    numbers must equal a single-table aggregate (federation is lossless)."""
+    from dataweb_spark.demo import build_six_relay_web
+    from dataweb_spark.plans.gateway import QueryGateway
+    web = build_six_relay_web(sf_dir)
+    gw = QueryGateway(spark, web, "global")
+    return gw.query("""
+        select returnflag, linestatus,
+               round(sum(quantity), 2) as sum_qty,
+               count(*) as count_order
+        from lineitem
+        group by returnflag, linestatus
+        order by returnflag, linestatus
+    """)
+
+
+_df("fed_six_relay_q1", _fed_six_relay_q1, oracle="""
+select l_returnflag as returnflag, l_linestatus as linestatus,
+       round(sum(l_quantity), 2) as sum_qty,
+       count(*) as count_order
+from lineitem
+group by l_returnflag, l_linestatus
+order by returnflag, linestatus
+""")
+
+
 def _fed_select_star_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's query2 analog (``test/queries.py:6-9``): a
     ``select * … limit N`` template runs per source; the client gets the
