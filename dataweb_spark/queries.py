@@ -1341,6 +1341,32 @@ order by user_id
 # Multimodal column plumbing (deterministic fake media; real Spark shapes)
 # ===========================================================================
 
+def _streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (purchase ↔ clicks ≤30 min prior,
+    same user), drained with availableNow — equals the batch theta join."""
+    import tempfile
+
+    from dataweb_spark.streaming import events as E
+    stream = E.read_event_stream(spark, sf_dir)
+    cp = tempfile.mkdtemp(prefix="dw_cp_attr_")
+    out = E.run_available_now(
+        E.attribution_join(stream.where("user_id < 25"),
+                           window_minutes=240, watermark="5 hours"), cp)
+    return out.orderBy("purchase_id", "click_id")
+
+
+_df("streaming_attribution_join", _streaming_attribution, oracle="""
+select p.user_id, p.event_id as purchase_id, c.event_id as click_id,
+       round(p.value, 2) as purchase_value
+from (select * from events where event_type = 'purchase' and user_id < 25) p
+join (select * from events where event_type = 'click' and user_id < 25) c
+  on p.user_id = c.user_id
+ and c.ts <= p.ts
+ and c.ts >= p.ts - interval 240 minute
+order by purchase_id, click_id
+""")
+
+
 def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataweb_spark.functions import multimodal as M
     media = M.synthesize_media(spark, n=64, kind="image")

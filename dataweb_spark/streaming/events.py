@@ -142,6 +142,34 @@ def stateful_user_totals(events: DataFrame,
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
+def attribution_join(events: DataFrame, window_minutes: int = 30,
+                     watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    clicks in the preceding ``window_minutes``. Both sides carry watermarks
+    and the join has an event-time range constraint, so Spark can expire
+    join state — the canonical attribution shape. availableNow drains are
+    batch-equivalent (oracle: the same theta join in plain SQL)."""
+    purchases = (events.where("event_type = 'purchase'")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("value").alias("purchase_value"))
+                 .withWatermark("p_ts", watermark))
+    clicks = (events.where("event_type = 'click'")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", watermark))
+    cond = ((F.col("p_user") == F.col("c_user")) &
+            (F.col("c_ts") <= F.col("p_ts")) &
+            (F.col("c_ts") >= F.col("p_ts") -
+             F.expr(f"interval {window_minutes} minutes")))
+    return (purchases.join(clicks, cond, "inner")
+            .select(F.col("p_user").alias("user_id"), "purchase_id",
+                    "click_id",
+                    F.round("purchase_value", 2).alias("purchase_value")))
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
                       output_mode: str = "append",
                       timeout_s: float = 300.0) -> DataFrame:
