@@ -566,6 +566,139 @@ window w as (partition by o_custkey order by o_orderdate, o_orderkey
 order by o_custkey, o_orderkey
 """)
 
+# --- TPC-H adaptations to the synthetic schema (no partsupp / commitdate /
+# shipmode / phone columns — predicates substituted with available ones).
+# Each exercises a distinct plan shape: semi-join, anti-join, correlated
+# aggregate subquery, disjunctive pushdown, self-join of a dimension.
+
+_dual("tpch_q4_order_priority", """
+select o_orderpriority, count(*) as order_count
+from orders
+where o_orderdate >= timestamp '1996-01-01'
+  and o_orderdate < timestamp '1996-07-01'
+  and exists (select 1 from lineitem
+              where l_orderkey = o_orderkey and l_shipdate > o_orderdate)
+group by o_orderpriority
+order by o_orderpriority
+""")
+
+_dual("tpch_q7_nation_volume", """
+select supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) as revenue
+from (
+  select n1.n_name as supp_nation, n2.n_name as cust_nation,
+         cast(year(l_shipdate) as int) as l_year,
+         l_extendedprice * (1 - l_discount) as volume
+  from supplier
+  join lineitem on s_suppkey = l_suppkey
+  join orders on o_orderkey = l_orderkey
+  join customer on c_custkey = o_custkey
+  join nation n1 on s_nationkey = n1.n_nationkey
+  join nation n2 on c_nationkey = n2.n_nationkey
+  where ((n1.n_name = 'NATION_3' and n2.n_name = 'NATION_7')
+      or (n1.n_name = 'NATION_7' and n2.n_name = 'NATION_3'))
+) shipping
+group by supp_nation, cust_nation, l_year
+order by supp_nation, cust_nation, l_year
+""")
+
+_dual("tpch_q8_market_share", """
+select o_year,
+       round(sum(case when nation = 'NATION_5' then volume else 0 end)
+             / sum(volume), 4) as mkt_share
+from (
+  select cast(year(o_orderdate) as int) as o_year,
+         l_extendedprice * (1 - l_discount) as volume,
+         n2.n_name as nation
+  from part
+  join lineitem on p_partkey = l_partkey
+  join orders on l_orderkey = o_orderkey
+  join customer on o_custkey = c_custkey
+  join nation n1 on c_nationkey = n1.n_nationkey
+  join region on n1.n_regionkey = r_regionkey
+  join supplier on s_suppkey = l_suppkey
+  join nation n2 on s_nationkey = n2.n_nationkey
+  where r_name = 'ASIA' and p_type = 'PROMO'
+) all_nations
+group by o_year
+order by o_year
+""")
+
+_dual("tpch_q9_product_profit", """
+select nation, o_year, round(sum(amount), 2) as sum_profit
+from (
+  select n_name as nation,
+         cast(year(o_orderdate) as int) as o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.1 * p_retailprice * l_quantity as amount
+  from part
+  join lineitem on p_partkey = l_partkey
+  join supplier on s_suppkey = l_suppkey
+  join orders on o_orderkey = l_orderkey
+  join nation on s_nationkey = n_nationkey
+  where p_name like '%gear%'
+) profit
+group by nation, o_year
+order by nation, o_year desc
+""")
+
+_dual("tpch_q14_promo_share", """
+select round(100.0 * sum(case when p_type = 'PROMO'
+                              then l_extendedprice * (1 - l_discount)
+                              else 0 end)
+             / sum(l_extendedprice * (1 - l_discount)), 4) as promo_revenue_pct
+from lineitem
+join part on l_partkey = p_partkey
+where l_shipdate >= timestamp '1997-01-01'
+  and l_shipdate < timestamp '1997-03-01'
+""")
+
+_dual("tpch_q17_small_quantity", """
+select round(sum(l_extendedprice) / 7.0, 2) as avg_yearly
+from lineitem
+join part on p_partkey = l_partkey
+where p_brand = 'Brand#11'
+  and l_quantity < (select 0.5 * avg(l_quantity)
+                    from lineitem l2 where l2.l_partkey = p_partkey)
+""")
+
+_dual("tpch_q18_large_volume", """
+select c_name, o_orderkey, round(o_totalprice, 2) as totalprice,
+       round(sum(l_quantity), 2) as total_qty
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on o_orderkey = l_orderkey
+where o_orderkey in (select l_orderkey from lineitem
+                     group by l_orderkey having sum(l_quantity) > 250)
+group by c_name, o_orderkey, o_totalprice
+order by totalprice desc, o_orderkey
+limit 20
+""")
+
+_dual("tpch_q19_disjunctive_revenue", """
+select round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from lineitem
+join part on p_partkey = l_partkey
+where (p_brand = 'Brand#11' and p_size between 1 and 15
+       and l_quantity between 1 and 20)
+   or (p_brand = 'Brand#22' and p_size between 1 and 25
+       and l_quantity between 3 and 30)
+   or (p_brand = 'Brand#3' and p_size between 1 and 35
+       and l_quantity between 5 and 40)
+""")
+
+_dual("tpch_q22_idle_customers", """
+select c_mktsegment, count(*) as numcust,
+       round(sum(c_acctbal), 2) as totacctbal
+from customer
+where c_acctbal > (select avg(c_acctbal) from customer where c_acctbal > 0)
+  and not exists (select 1 from orders
+                  where o_custkey = c_custkey
+                    and o_orderdate >= timestamp '2000-01-01')
+group by c_mktsegment
+order by c_mktsegment
+""")
+
 
 # ===========================================================================
 # Federation layer (demo web over the same parquet)
