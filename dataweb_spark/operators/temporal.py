@@ -88,14 +88,24 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str,
 def range_join(points: DataFrame, intervals: DataFrame,
                point_col: str, lo_col: str, hi_col: str,
                bucket_width: float, key: str | None = None,
-               how: str = "inner") -> DataFrame:
+               how: str = "inner",
+               broadcast_intervals: bool = False) -> DataFrame:
     """Join points to containing intervals (``lo <= point <= hi``) via
     bucketed pre-filtering instead of a broadcast-nested-loop.
 
     Each interval is replicated onto ``ceil((hi-lo)/width)+1`` buckets; the
     equi-join keys on (key?, bucket) and the exact containment predicate
     runs after. Choose ``bucket_width`` near the typical interval length so
-    replication stays O(1)."""
+    replication stays O(1).
+
+    With ``broadcast_intervals=True`` (the right call whenever the interval
+    set fits in an executor — band tables, calendars, SLA windows) the
+    exploded intervals are broadcast and the join needs NO shuffle of the
+    point side at all; the bucket ids only serve to keep the hash-join
+    probe O(1) per point instead of scanning every interval. Without it,
+    both sides shuffle on the bucket id — only sensible when intervals are
+    themselves huge; note a small bucket count then caps parallelism at
+    #buckets, so pick a width that yields >= cluster-cores buckets."""
     b = F.lit(float(bucket_width))
     p = points.withColumn("_bkt",
                           F.floor(F.col(point_col).cast("double") / b))
@@ -104,6 +114,8 @@ def range_join(points: DataFrame, intervals: DataFrame,
         F.explode(F.sequence(
             F.floor(F.col(lo_col).cast("double") / b),
             F.floor(F.col(hi_col).cast("double") / b))))
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
     on = ["_bkt"] + ([key] if key else [])
     out = (p.join(iv, on=on, how=how)
             .where(F.col(point_col).between(F.col(lo_col), F.col(hi_col))))

@@ -699,6 +699,51 @@ group by c_mktsegment
 order by c_mktsegment
 """)
 
+_dual("recursive_cte_series", """
+with recursive seq(n) as (
+  select 1 union all select n + 1 from seq where n < 12
+)
+select n,
+       (select count(*) from orders o where o.o_orderkey % 12 = n % 12)
+           as n_orders
+from seq
+order by n
+""")
+
+_dual("pivot_returnflag_status", """
+select * from (select l_linestatus, l_returnflag, l_quantity from lineitem)
+pivot (round(sum(l_quantity), 2)
+       for l_returnflag in ('A' as a_qty, 'N' as n_qty, 'R' as r_qty))
+order by l_linestatus
+""", oracle="""
+select l_linestatus,
+       round(sum(case when l_returnflag = 'A' then l_quantity end), 2) as a_qty,
+       round(sum(case when l_returnflag = 'N' then l_quantity end), 2) as n_qty,
+       round(sum(case when l_returnflag = 'R' then l_quantity end), 2) as r_qty
+from lineitem
+group by l_linestatus
+order by l_linestatus
+""")
+
+_dual("higher_order_array_funcs", """
+select vec_id,
+       round(aggregate(transform(slice(embedding, 1, 8),
+                                 x -> cast(x as double) * x),
+                       cast(0 as double), (a, x) -> a + x), 4) as sumsq8,
+       size(filter(embedding, x -> x > 0)) as n_pos
+from embeddings
+order by vec_id
+limit 200
+""", oracle="""
+select vec_id,
+       round(list_sum(list_transform(embedding[1:8],
+                      x -> cast(x as double) * cast(x as double))), 4) as sumsq8,
+       cast(len(list_filter(embedding, x -> x > 0)) as int) as n_pos
+from embeddings
+order by vec_id
+limit 200
+""")
+
 
 # ===========================================================================
 # Federation layer (demo web over the same parquet)
@@ -1296,7 +1341,7 @@ def _range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("high", 350000.0, 700000.0)], "band string, lo double, hi double")
     orders = spark.table("orders").select("o_orderkey", "o_totalprice")
     out = range_join(orders, bands, "o_totalprice", "lo", "hi",
-                     bucket_width=100000.0)
+                     bucket_width=100000.0, broadcast_intervals=True)
     return (out.groupBy("band")
                .agg(F.count("*").alias("n"),
                     F.round(F.sum("o_totalprice"), 2).alias("total"))

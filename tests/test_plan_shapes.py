@@ -75,3 +75,50 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     df = spark.sql("select * from orders order by o_totalprice desc limit 10")
     assert "TakeOrderedAndProject" in _plan(df), \
         "top-k should not global-sort"
+
+
+def test_range_join_broadcast_no_point_shuffle(spark, sf_dir):
+    """Small interval sets broadcast: the point side must reach the join
+    with NO shuffle (the 100 TB contract — only tiny intervals move)."""
+    from dataweb_spark.operators import range_join
+    from dataweb_spark.queries import register_views
+    register_views(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("low", 0.0, 150000.0), ("mid", 100000.0, 400000.0)],
+        "band string, lo double, hi double")
+    pts = spark.table("orders").select("o_orderkey", "o_totalprice")
+    df = range_join(pts, bands, "o_totalprice", "lo", "hi",
+                    bucket_width=100000.0, broadcast_intervals=True)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, \
+        "broadcast range join must not shuffle the point side"
+
+
+def test_exists_plans_semi_join(spark, sf_dir):
+    from dataweb_spark.queries import register_views
+    register_views(spark, sf_dir)
+    df = spark.sql("""
+        select count(*) as n from orders
+        where exists (select 1 from lineitem
+                      where l_orderkey = o_orderkey and l_shipdate > o_orderdate)""")
+    assert "Semi" in _plan(df), "EXISTS should plan as a semi join"
+
+
+def test_not_exists_plans_anti_join(spark, sf_dir):
+    from dataweb_spark.queries import register_views
+    register_views(spark, sf_dir)
+    df = spark.sql("""
+        select count(*) as n from customer
+        where not exists (select 1 from orders where o_custkey = c_custkey)""")
+    assert "Anti" in _plan(df), "NOT EXISTS should plan as an anti join"
+
+
+def test_correlated_agg_subquery_decorrelates(spark, sf_dir):
+    """TPC-H Q17 shape: the correlated avg must decorrelate into an
+    aggregate + equi-join, never a per-row nested loop."""
+    from dataweb_spark.queries import queries
+    df = queries()["tpch_q17_small_quantity"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
