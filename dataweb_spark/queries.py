@@ -1027,6 +1027,38 @@ having count(*) >= 1
 order by keeper_id
 """)
 
+# C4-style normalized-fingerprint dedup: case/punctuation/whitespace-
+# insensitive exact dup groups. Pure built-ins (no Python), so at scale it
+# is one map pass + one map-side-combined groupBy — the cheapest fuzzy-ish
+# dedup tier before MinHash.
+_dual("dedup_normalized_fingerprint", """
+select count(*)                                  as n_docs,
+       count(distinct norm_hash)                 as n_distinct,
+       count(*) - count(distinct norm_hash)      as n_redundant,
+       count(distinct text)
+         - count(distinct norm_hash)             as n_only_norm_dup
+from (
+  select text,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+                                                '[^a-z0-9 ]', ' '),
+                                 '  *', ' '))) as norm_hash
+  from documents
+) t
+""", oracle="""
+select count(*)                                  as n_docs,
+       count(distinct norm_hash)                 as n_distinct,
+       count(*) - count(distinct norm_hash)      as n_redundant,
+       count(distinct text)
+         - count(distinct norm_hash)             as n_only_norm_dup
+from (
+  select text,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+                                                '[^a-z0-9 ]', ' ', 'g'),
+                                 '  *', ' ', 'g'))) as norm_hash
+  from documents
+) t
+""")
+
 
 def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataweb_spark.functions import text as T
