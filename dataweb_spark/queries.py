@@ -699,6 +699,132 @@ group by c_mktsegment
 order by c_mktsegment
 """)
 
+_dual("tpch_q2_min_cost_supplier", """
+select distinct round(s_acctbal, 2) as acctbal, s_name, n_name,
+       p_partkey, p_brand
+from part
+join lineitem on p_partkey = l_partkey
+join supplier on s_suppkey = l_suppkey
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+where p_size = 15 and p_type = 'LARGE' and r_name = 'EUROPE'
+  and s_acctbal = (select min(s2.s_acctbal)
+                   from supplier s2
+                   join lineitem l2 on s2.s_suppkey = l2.l_suppkey
+                   join nation n2 on s2.s_nationkey = n2.n_nationkey
+                   join region r2 on n2.n_regionkey = r2.r_regionkey
+                   where l2.l_partkey = p_partkey and r2.r_name = 'EUROPE')
+order by acctbal desc, n_name, s_name, p_partkey
+limit 100
+""")
+
+_dual("tpch_q11_important_parts", """
+select l_partkey, round(sum(l_extendedprice * l_quantity), 2) as part_value
+from lineitem
+join supplier on l_suppkey = s_suppkey
+join nation on s_nationkey = n_nationkey
+where n_name = 'NATION_3'
+group by l_partkey
+having sum(l_extendedprice * l_quantity) >
+       (select sum(l_extendedprice * l_quantity) * 0.002
+        from lineitem
+        join supplier on l_suppkey = s_suppkey
+        join nation on s_nationkey = n_nationkey
+        where n_name = 'NATION_3')
+order by part_value desc, l_partkey
+""")
+
+_dual("tpch_q12_late_shipping_priority", """
+select l_returnflag,
+       sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                then 1 else 0 end) as high_line_count,
+       sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH')
+                then 1 else 0 end) as low_line_count
+from orders
+join lineitem on o_orderkey = l_orderkey
+where l_shipdate > o_orderdate + interval 30 day
+  and l_shipdate >= timestamp '1997-01-01'
+  and l_shipdate < timestamp '1998-01-01'
+group by l_returnflag
+order by l_returnflag
+""")
+
+_dual("tpch_q13_customer_distribution", """
+select c_count, count(*) as custdist
+from (select c_custkey, count(o_orderkey) as c_count
+      from customer
+      left outer join orders
+        on c_custkey = o_custkey and o_orderpriority <> '5-LOW'
+      group by c_custkey) c_orders
+group by c_count
+order by custdist desc, c_count desc
+""")
+
+_dual("tpch_q15_top_supplier", """
+with revenue as (
+  select l_suppkey as supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) as total_revenue
+  from lineitem
+  where l_shipdate >= timestamp '1997-01-01'
+    and l_shipdate < timestamp '1997-04-01'
+  group by l_suppkey)
+select s_suppkey, s_name, total_revenue
+from supplier
+join revenue on s_suppkey = supplier_no
+where total_revenue = (select max(total_revenue) from revenue)
+order by s_suppkey
+""")
+
+_dual("tpch_q16_supplier_part_counts", """
+select p_brand, p_type, p_size, count(distinct l_suppkey) as supplier_cnt
+from lineitem
+join part on p_partkey = l_partkey
+where p_brand <> 'Brand#1'
+  and p_type not like 'PROMO%'
+  and p_size in (1, 5, 9, 15, 23, 36, 45, 49)
+  and l_suppkey not in (select s_suppkey from supplier where s_acctbal < 0)
+group by p_brand, p_type, p_size
+order by supplier_cnt desc, p_brand, p_type, p_size
+limit 100
+""")
+
+_dual("tpch_q20_promotion_suppliers", """
+select s_name, round(s_acctbal, 2) as acctbal
+from supplier
+join nation on s_nationkey = n_nationkey
+where n_name = 'NATION_3'
+  and s_suppkey in (select l_suppkey
+                    from lineitem
+                    join part on l_partkey = p_partkey
+                    where p_name like '%gear%'
+                      and l_shipdate >= timestamp '1997-01-01'
+                      and l_shipdate < timestamp '1998-01-01'
+                    group by l_suppkey
+                    having sum(l_quantity) > 50)
+order by s_name
+""")
+
+_dual("tpch_q21_waiting_suppliers", """
+select s_name, count(*) as numwait
+from supplier
+join lineitem l1 on s_suppkey = l1.l_suppkey
+join orders on o_orderkey = l1.l_orderkey
+join nation on s_nationkey = n_nationkey
+where o_orderstatus = 'F'
+  and l1.l_returnflag = 'R'
+  and n_name = 'NATION_3'
+  and exists (select 1 from lineitem l2
+              where l2.l_orderkey = l1.l_orderkey
+                and l2.l_suppkey <> l1.l_suppkey)
+  and not exists (select 1 from lineitem l3
+                  where l3.l_orderkey = l1.l_orderkey
+                    and l3.l_suppkey <> l1.l_suppkey
+                    and l3.l_returnflag = 'R')
+group by s_name
+order by numwait desc, s_name
+limit 100
+""")
+
 _dual("recursive_cte_series", """
 with recursive seq(n) as (
   select 1 union all select n + 1 from seq where n < 12
