@@ -173,6 +173,59 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
                       "c.chunk_tokens"))
 
 
+def bigrams(col: str | Column = "text") -> Column:
+    """Adjacent token 2-grams (space-joined); <2 tokens → empty array."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                  F.element_at(toks, i + 1))))
+
+
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    * ``distinct_token_ratio`` — type/token ratio (map-only, codegen).
+    * ``top_bigram_frac`` — share of bigram occurrences taken by the most
+      frequent bigram (high → boilerplate/templated text).
+    * ``dup_bigram_frac`` — share of bigram occurrences whose bigram appears
+      more than once.
+
+    Distributed shape: explode bigrams → two-level groupBy. Both aggregations
+    are map-side-combinable and partition by ``id_col``, so at 100 TB this is
+    one shuffle keyed on (doc, bigram) + one reusing the doc keying; no
+    per-doc data ever concentrates on the driver. Docs with <2 tokens get
+    zero fractions (no bigrams).
+    """
+    base = df.select(
+        F.col(id_col),
+        F.round(
+            F.when(token_count(text_col) == 0, F.lit(0.0)).otherwise(
+                F.size(F.array_distinct(tokens(text_col))).cast("double")
+                / F.size(tokens(text_col))), 6).alias("distinct_token_ratio"),
+        bigrams(text_col).alias("_bigrams"))
+    per_bigram = (base
+                  .select(id_col, "distinct_token_ratio",
+                          F.explode_outer("_bigrams").alias("bigram"))
+                  .groupBy(id_col, "distinct_token_ratio", "bigram")
+                  .agg(F.count("bigram").alias("cnt")))
+    return (per_bigram
+            .groupBy(id_col, "distinct_token_ratio")
+            .agg(
+                F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_bigrams"),
+                F.round(F.coalesce(
+                    F.try_divide(F.max("cnt"), F.sum("cnt")), F.lit(0.0)), 6)
+                 .alias("top_bigram_frac"),
+                F.round(F.coalesce(
+                    F.try_divide(
+                        F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))),
+                        F.sum("cnt")), F.lit(0.0)), 6)
+                 .alias("dup_bigram_frac")))
+
+
 def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """Convenience: attach the full text-analysis column set."""
     return (df

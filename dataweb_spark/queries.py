@@ -1249,6 +1249,49 @@ order by doc_id
 """)
 
 
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    return (T.repetition_metrics(spark.table("documents"))
+             .orderBy("doc_id"))
+
+
+_df("text_repetition_gopher", _text_repetition, oracle=r"""
+with toks as (
+  select doc_id,
+         case when length(trim(text)) = 0 then []::varchar[]
+              else string_split_regex(trim(text), '\s+') end as t
+  from documents
+),
+bg as (
+  select doc_id,
+         case when len(t) < 2 then []::varchar[]
+              else list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i + 1]) end as bigrams,
+         case when len(t) = 0 then 0.0
+              else round(len(list_distinct(t)) / cast(len(t) as double), 6)
+              end as distinct_token_ratio
+  from toks
+),
+per_bigram as (
+  select doc_id, distinct_token_ratio, u.bigram, count(*) as cnt
+  from bg left join unnest(bg.bigrams) as u(bigram) on true
+  where u.bigram is not null
+  group by doc_id, distinct_token_ratio, u.bigram
+)
+select bg.doc_id, bg.distinct_token_ratio,
+       coalesce(sum(cnt), 0) as n_bigrams,
+       coalesce(round(max(cnt) / cast(sum(cnt) as double), 6), 0.0)
+           as top_bigram_frac,
+       coalesce(round(sum(case when cnt > 1 then cnt end)
+                      / cast(sum(cnt) as double), 6), 0.0) as dup_bigram_frac
+from bg
+left join per_bigram on bg.doc_id = per_bigram.doc_id
+group by bg.doc_id, bg.distinct_token_ratio
+order by bg.doc_id
+""")
+
+
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataweb_spark.functions import dedup as D
     register_views(spark, sf_dir)

@@ -232,3 +232,29 @@ def test_chunk_documents_windows(spark):
     assert rows[(1, 2)] == (4, "w96")
     assert rows[(2, 0)] == (3, "a")
     assert not any(d == 3 for d, _ in rows)
+
+
+def test_repetition_metrics_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),        # one repeated bigram dominates
+         (2, "w x y z"),            # all bigrams unique
+         (3, "solo"),               # <2 tokens -> no bigrams
+         (4, "")],                  # empty -> zeros
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            text.repetition_metrics(df).collect()}
+    # doc 1: bigrams = [a b, b a, a b, b a, a b] -> top 'a b' 3/5, all dup
+    assert rows[1]["n_bigrams"] == 5
+    assert rows[1]["top_bigram_frac"] == 0.6
+    assert rows[1]["dup_bigram_frac"] == 1.0
+    assert rows[1]["distinct_token_ratio"] == round(2 / 6, 6)
+    # doc 2: 3 unique bigrams
+    assert rows[2]["n_bigrams"] == 3
+    assert rows[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[2]["distinct_token_ratio"] == 1.0
+    # docs 3/4: degenerate
+    for d in (3, 4):
+        assert rows[d]["n_bigrams"] == 0
+        assert rows[d]["top_bigram_frac"] == 0.0
+        assert rows[d]["dup_bigram_frac"] == 0.0
