@@ -64,3 +64,20 @@ def write_bucketed(df: DataFrame, table_name: str, key: str,
 
 def read_bucketed_table(spark, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_by: list[str],
+                      mode: str = "overwrite",
+                      max_records_per_file: int | None = None) -> None:
+    """Hive-style partitioned parquet layout (``path/col=value/…``).
+
+    The standard 100 TB lake layout: queries filtering on the partition
+    columns scan only the matching directories (partition pruning — the
+    read-back plan shows ``PartitionFilters`` and skips the rest). Keep
+    partition columns low-cardinality (date, source, lang); use
+    ``max_records_per_file`` to bound file sizes under skew.
+    """
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_by).parquet(path)

@@ -49,3 +49,22 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
     assert "Exchange hashpartitioning" not in plan, \
         "bucketed equi-join should not shuffle"
     assert joined.count() == 1000
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    from dataweb_spark.functions.scale import write_partitioned
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+    out = str(tmp_path / "li_part")
+    write_partitioned(li, out, ["ship_month"])
+
+    back = spark.read.parquet(out).where(F.col("ship_month") == "1997-06")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the month filter must land as a partition (directory) filter, not a
+    # row-level data filter
+    assert "PartitionFilters" in plan
+    assert "1997-06" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    expected = li.where(F.col("ship_month") == "1997-06").count()
+    assert back.count() == expected and expected > 0
