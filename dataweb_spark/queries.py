@@ -1618,6 +1618,100 @@ order by doc_id
 """)
 
 
+def _pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline: quality/language filter → exact
+    dedup (keep lowest doc_id) → overlapping token-window chunking →
+    per-source corpus stats. Every stage is a distributed built-in op:
+    scoring is map-only codegen, dedup is one content-hash shuffle, chunking
+    is map-only explode, and the summary reuses the doc keying."""
+    from dataweb_spark.functions import dedup as D
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    scored = docs.select(
+        "doc_id", "source", "text",
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("lang_pred"))
+    kept = scored.where((F.col("quality") >= 0.75)
+                        & (F.col("lang_pred") == "en"))
+    deduped = D.exact_dedup(kept, ["text"], "doc_id")
+    chunks = T.chunk_documents(deduped, chunk_tokens=64, overlap=16)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_tokens").alias("chunk_toks"))
+    return (deduped.join(per_doc, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs_kept"),
+                 F.round(F.avg("quality"), 6).alias("avg_quality"),
+                 F.coalesce(F.sum("n_chunks"), F.lit(0)).alias("n_chunks"),
+                 F.coalesce(F.sum("chunk_toks"), F.lit(0))
+                  .alias("n_chunk_tokens"))
+            .orderBy("source"))
+
+
+_df("pipeline_training_data", _pipeline_training_data, oracle=rf"""
+with toks as (
+  select doc_id, source, text,
+         case when length(trim(text)) = 0 then []::varchar[]
+              else string_split_regex(trim(text), '\s+') end as t
+  from documents
+), feats as (
+  select doc_id, source, text, t,
+         length(text) as n,
+         case when length(text) = 0 then 0.0
+              else (length(text) -
+                    length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / cast(length(text) as double) end as punct,
+         case when len(t) = 0 then 0.0
+              else len(list_filter(t, x -> list_contains({_SW18}, lower(x))))
+                   / cast(len(t) as double) end as sw,
+         list_transform(t, x -> lower(x)) as lt
+  from toks
+), scored as (
+  select doc_id, source, text, t,
+         round(0.5 * (case when n >= 50 and n <= 10000 then 1.0
+                           when n < 50 then n / 50.0 else 0.5 end)
+             + 0.2 * (case when punct <= 0.2 then 1.0 else 0.5 end)
+             + 0.3 * (case when sw >= 0.05 and sw <= 0.6 then 1.0
+                           else 0.6 end), 6) as quality,
+         len(list_filter(lt, x -> list_contains(['the','and','of','to','is'], x))) as s_en,
+         len(list_filter(lt, x -> list_contains(['el','la','de','que','y'], x))) as s_es,
+         len(list_filter(lt, x -> list_contains(['le','la','et','les','des'], x))) as s_fr,
+         len(list_filter(lt, x -> list_contains(['der','die','und','das','ist'], x))) as s_de,
+         len(list_filter(lt, x -> list_contains(['的','是','了','在','我'], x))) as s_zh
+  from feats
+), kept as (
+  select doc_id, source, text, t, quality
+  from scored
+  where quality >= 0.75
+    and greatest(s_en, s_es, s_fr, s_de, s_zh) > 0
+    and s_en = greatest(s_en, s_es, s_fr, s_de, s_zh)
+), deduped as (
+  select doc_id, source, t, quality
+  from kept
+  qualify doc_id = min(doc_id) over (partition by text)
+), chunkstats as (
+  select doc_id, source, quality,
+         case when len(t) = 0 then 0
+              else len(range(0, greatest(len(t) - 1, 0) + 1, 48)) end
+             as n_chunks,
+         case when len(t) = 0 then 0
+              else list_sum(list_transform(
+                       range(0, greatest(len(t) - 1, 0) + 1, 48),
+                       s -> least(len(t) - s, 64))) end as chunk_toks
+  from deduped
+)
+select source,
+       count(*) as n_docs_kept,
+       round(avg(quality), 6) as avg_quality,
+       cast(coalesce(sum(n_chunks), 0) as bigint) as n_chunks,
+       cast(coalesce(sum(chunk_toks), 0) as bigint) as n_chunk_tokens
+from chunkstats
+group by source
+order by source
+""")
+
+
 def _text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataweb_spark.functions import text as T
     register_views(spark, sf_dir)
