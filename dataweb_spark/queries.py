@@ -825,6 +825,31 @@ order by numwait desc, s_name
 limit 100
 """)
 
+# The reference forwards ANY/ALL comparison subqueries (validation.rs:164-171)
+# to engines that support them; Spark's parser does not. The engine-mode
+# mapping is the standard min/max rewrite (x > ALL(S) ⇔ x > max(S) for
+# NULL-free S, x < ANY(S) ⇔ x < max(S)) — the oracle runs DuckDB's *native*
+# ANY/ALL to prove the rewrite's value equivalence.
+_dual("any_all_minmax_rewrite", """
+select s_suppkey, s_name,
+       s_acctbal > (select max(c_acctbal) from customer
+                    where c_nationkey = s_nationkey) as beats_all_customers,
+       s_acctbal < (select max(c_acctbal) from customer
+                    where c_nationkey = s_nationkey) as below_any_customer
+from supplier
+order by s_suppkey
+""", oracle="""
+select s_suppkey, s_name,
+       s_acctbal > all (select c_acctbal from customer
+                        where c_nationkey = s_nationkey)
+           as beats_all_customers,
+       s_acctbal < any (select c_acctbal from customer
+                        where c_nationkey = s_nationkey)
+           as below_any_customer
+from supplier
+order by s_suppkey
+""")
+
 _dual("recursive_cte_series", """
 with recursive seq(n) as (
   select 1 union all select n + 1 from seq where n < 12
