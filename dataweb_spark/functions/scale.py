@@ -81,3 +81,40 @@ def write_partitioned(df: DataFrame, path: str, partition_by: list[str],
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy(*partition_by).parquet(path)
+
+
+def compact_parquet(spark, path: str, target_file_mb: int = 256,
+                    partition_by: list[str] | None = None) -> int:
+    """Rewrite a parquet dataset into ~``target_file_mb``-sized files.
+
+    Streaming ingest and fine-grained task outputs leave lakes littered with
+    small files; at 100 TB the scan's task-scheduling overhead and NameNode/
+    listing pressure dominate. Sizing from the *current* on-disk footprint
+    (sum of data-file sizes via the Hadoop FS API — works for any scheme)
+    keeps one pass, no sampling. Returns the new file count.
+
+    The rewrite stages into ``path + '.compact.tmp'`` then swaps, so a
+    failure mid-write leaves the original intact.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    bytes_total = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, int(bytes_total / (target_file_mb * 1024 * 1024)) + 1)
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    writer = df.coalesce(n_files).write.mode("overwrite") \
+        if not partition_by else \
+        df.repartition(n_files, *partition_by).write.mode("overwrite") \
+          .partitionBy(*partition_by)
+    writer.parquet(tmp)
+
+    bak = path.rstrip("/") + ".compact.bak"
+    fs.rename(jpath, jvm.org.apache.hadoop.fs.Path(bak))
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(bak), True)
+    out = [f for f in fs.listStatus(jpath)
+           if f.getPath().getName().endswith(".parquet")]
+    return len(out)

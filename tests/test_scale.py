@@ -68,3 +68,21 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "1997-06" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     expected = li.where(F.col("ship_month") == "1997-06").count()
     assert back.count() == expected and expected > 0
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from dataweb_spark.functions.scale import compact_parquet
+    import glob
+
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    path = str(tmp_path / "many_small")
+    # simulate a small-file-littered ingest: 64 tiny files
+    src.repartition(64).write.parquet(path)
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 64
+    n_rows = src.count()
+
+    n_after = compact_parquet(spark, path, target_file_mb=256)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert after == n_after and after < 8
+    assert spark.read.parquet(path).count() == n_rows
