@@ -229,6 +229,60 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str = "text",
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Distributed connected components over an edge list → (node, component)
+    with component = min node id in the component.
+
+    Near-dup pairs (MinHash/SimHash/embedding LSH) are edges; a dedup
+    pipeline needs the transitive closure — the *cluster* — to pick one
+    representative per group, not per pair. This is min-label propagation
+    with pointer jumping (label ← label(label)) each round, so convergence
+    is O(log diameter) joins rather than O(diameter): a 1M-long chain
+    settles in ~20 rounds. Each round is two equi-joins + a groupBy, all
+    shuffle-partitioned on node id; per-round results are localCheckpointed
+    to cut the lineage (iterative plans otherwise grow unboundedly).
+    Converged when no label changes (cheap count per round).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+             .where(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+                 .withColumn("label", F.col("node")).localCheckpoint())
+    for _ in range(max_iter):
+        nbr = (sym.join(labels, sym["b"] == labels["node"])
+                  .groupBy(sym["a"].alias("node"))
+                  .agg(F.min("label").alias("nbr_label")))
+        stepped = (labels.join(nbr, "node", "left")
+                   .select("node",
+                           F.least(F.col("label"),
+                                   F.coalesce("nbr_label", F.col("label")))
+                            .alias("label")))
+        # pointer jumping: follow the label's own label
+        l2 = stepped.select(F.col("node").alias("pnode"),
+                            F.col("label").alias("plabel"))
+        jumped = (stepped.join(l2, stepped["label"] == l2["pnode"], "left")
+                  .select("node",
+                          F.coalesce("plabel", "label").alias("label"))
+                  .localCheckpoint())
+        changed = (jumped.alias("n").join(labels.alias("o"), "node")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
+                 src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Cluster summary from dup pairs: (component, cluster_size, keeper_id)
+    for every multi-member cluster. keeper = min id (= the component label)."""
+    cc = connected_components(pairs, src, dst)
+    return (cc.groupBy("component")
+              .agg(F.count("*").alias("cluster_size"),
+                   F.min("node").alias("keeper_id")))
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (direct, for modest candidate sets)
 # ---------------------------------------------------------------------------

@@ -1376,6 +1376,42 @@ def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _df("knn_lsh_approx", _knn_lsh)  # rows-only
 
 
+def _exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components exercised on a graph with a known closure:
+    chain edges between consecutive doc_ids sharing a 3-token-prefix
+    fingerprint (coarse enough that multi-member groups exist at sf0.01).
+    CC must recover exactly the fingerprint groups (keeper = min doc_id,
+    size = multiplicity), which a plain GROUP BY oracle checks."""
+    from dataweb_spark.functions import dedup as D
+    from pyspark.sql import Window
+    register_views(spark, sf_dir)
+    norm = F.md5(F.concat_ws(
+        " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3)))
+    docs = spark.table("documents").select("doc_id", norm.alias("nh"))
+    w = Window.partitionBy("nh").orderBy("doc_id")
+    edges = (docs.withColumn("prev", F.lag("doc_id").over(w))
+                 .where(F.col("prev").isNotNull())
+                 .select(F.col("prev").alias("id_a"),
+                         F.col("doc_id").alias("id_b")))
+    return (D.dup_clusters(None, edges, "doc_id")
+             .select("keeper_id", "cluster_size")
+             .orderBy("keeper_id"))
+
+
+_df("dedup_exact_clusters", _exact_clusters, oracle=r"""
+select min(doc_id) as keeper_id, count(*) as cluster_size
+from (
+  select doc_id,
+         md5(array_to_string(
+             (string_split_regex(trim(text), '\s+'))[1:3], ' ')) as nh
+  from documents
+) t
+group by nh
+having count(*) > 1
+order by keeper_id
+""")
+
+
 def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (LSH) — no SQL oracle; rows-only check."""
     from dataweb_spark.functions import dedup as D

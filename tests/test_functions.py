@@ -258,3 +258,29 @@ def test_repetition_metrics_edges(spark):
         assert rows[d]["n_bigrams"] == 0
         assert rows[d]["top_bigram_frac"] == 0.0
         assert rows[d]["dup_bigram_frac"] == 0.0
+
+
+def test_connected_components_merges_transitively(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9)], ["id_a", "id_b"])
+    cc = {r["node"]: r["component"]
+          for r in dedup.connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}  # self-loop 9 dropped
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 200-node chain: naive min-propagation needs 200 rounds; pointer
+    # jumping must finish within max_iter=25
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["id_a", "id_b"])
+    out = dedup.connected_components(edges, max_iter=25)
+    assert out.select("component").distinct().count() == 1
+    assert out.count() == 201
+
+
+def test_dup_clusters_keeper_and_size(spark):
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21)], ["id_a", "id_b"])
+    rows = {r["keeper_id"]: r["cluster_size"]
+            for r in dedup.dup_clusters(None, pairs, "doc_id").collect()}
+    assert rows == {10: 3, 20: 2}
