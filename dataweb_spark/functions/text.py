@@ -243,6 +243,107 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
                  .alias("dup_bigram_frac")))
 
 
+# PII scrub patterns, applied in order (IP before phone so dotted quads are
+# not half-eaten by the phone pattern). Regex syntax restricted to the
+# Java-regex ∩ RE2 common subset so the DuckDB oracle runs the same patterns.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<IP>", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("<PHONE>", r"\+?\d{3}[-.]\d{3,4}[-.]\d{4}\b"),
+]
+
+
+def scrub_pii(col: str | Column = "text") -> Column:
+    """Redact emails / IPv4s / phone numbers with typed placeholder tokens —
+    the standard pre-training privacy scrub. Pure ``regexp_replace`` chain:
+    map-only, whole-stage-codegen, no shuffle (scales linearly at 100 TB)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for token, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+_HEX = "0123456789abcdef"
+
+
+def hash_bucket(col: str | Column, buckets: int = 256) -> Column:
+    """Deterministic 0..buckets-1 bucket from md5 of the key.
+
+    Built from the first two md5 hex chars via ``array_position`` (present in
+    both Spark and DuckDB, so sampling decisions are oracle-reproducible —
+    unlike ``rand()`` or ``TABLESAMPLE``). 256 sub-buckets are folded into
+    ``buckets`` with a modulus; keys route identically on every engine and
+    every run, which is what makes train/eval splits stable across reruns of
+    a 100 TB pipeline."""
+    if not 1 <= buckets <= 256:
+        raise ValueError("buckets must be in 1..256")
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(c.cast("string"))
+    hex_arr = F.array(*[F.lit(ch) for ch in _HEX])
+    b = ((F.array_position(hex_arr, F.substring(h, 1, 1)) - 1) * 16
+         + (F.array_position(hex_arr, F.substring(h, 2, 1)) - 1))
+    return F.pmod(b, F.lit(buckets)).cast("int")
+
+
+def deterministic_sample(df: DataFrame, key_col: str,
+                         fraction: float | None = None,
+                         stratify_col: str | None = None,
+                         fractions: dict[str, float] | None = None,
+                         default_fraction: float = 0.0) -> DataFrame:
+    """Deterministic (hash-mod) sampling, optionally stratified.
+
+    ``fraction`` is quantized to /256 granularity. With ``stratify_col`` +
+    ``fractions`` each stratum gets its own rate (quality-weighted corpus
+    mixing). Map-only filter — no shuffle, reproducible across runs/engines.
+    """
+    bucket = hash_bucket(key_col, 256)
+    if stratify_col is None:
+        if fraction is None:
+            raise ValueError("fraction required without stratify_col")
+        return df.where(bucket < int(round(fraction * 256)))
+    thresh: Column = F.lit(int(round(default_fraction * 256)))
+    for value, frac in sorted((fractions or {}).items()):
+        thresh = F.when(F.col(stratify_col) == value,
+                        F.lit(int(round(frac * 256)))).otherwise(thresh)
+    return df.where(bucket < thresh)
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    Distributed shape: explode tokens → map-side-combined count per
+    (doc, term) → term doc-frequency from that same aggregate (one extra
+    shuffle keyed on term) → broadcast the global doc count (1-row agg,
+    never collected to the driver loop) → windowed top-k per doc. At 100 TB
+    both groupBys partial-aggregate before their shuffle and the only
+    row-explosion is the token explode, which pipelines into the first
+    partial aggregate without materializing.
+
+    idf = ln((N+1)/(df+1)) + 1 (smoothed); ties broken by term asc so the
+    result is deterministic.
+    """
+    from pyspark.sql import Window
+    base = (df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+              .where(F.size("_toks") > 0))
+    tf = (base.select(id_col, F.explode("_toks").alias("term"))
+              .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = base.select(
+        F.count("*").alias("n_docs"))  # 1-row agg, broadcast below
+    scored = (tf.join(docfreq, "term")
+                .crossJoin(F.broadcast(n_docs))
+                .withColumn(
+                    "tfidf",
+                    F.round(F.col("tf") * (F.log((F.col("n_docs") + 1)
+                                                 / (F.col("df") + 1)) + 1), 6)))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .where(F.col("rk") <= k)
+                  .select(id_col, "term", "tf", "df",
+                          F.col("rk").cast("int").alias("rk"), "tfidf"))
+
+
 def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """Convenience: attach the full text-analysis column set."""
     return (df

@@ -1812,6 +1812,118 @@ def _text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _df("text_rolling_fingerprint", _text_rolling_fingerprint)  # rows-only
 
 
+def _text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (email/IP/phone → typed tokens). The synthetic docs
+    carry no PII, so deterministic PII is appended from doc_id and the
+    scrubber must remove exactly it (n_redacted == 3 per doc)."""
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    synth = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@example.com or 555-010-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" at 10.0."), F.pmod(F.col("doc_id"), F.lit(256)), F.lit(".7"))
+    scrubbed = T.scrub_pii(synth)
+    return (docs.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.regexp_count(scrubbed, F.lit("<EMAIL>|<IP>|<PHONE>"))
+         .cast("bigint").alias("n_redacted"))
+        .orderBy("doc_id"))
+
+
+_df("text_pii_scrub", _text_pii_scrub, oracle=r"""
+with synth as (
+  select doc_id,
+         text || ' contact user' || doc_id || '@example.com or 555-010-' ||
+         lpad(cast(doc_id % 10000 as varchar), 4, '0') ||
+         ' at 10.0.' || (doc_id % 256) || '.7' as s
+  from documents
+), scrubbed as (
+  select doc_id,
+         regexp_replace(regexp_replace(regexp_replace(s,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g') as sc
+  from synth
+)
+select doc_id, md5(sc) as scrubbed_md5,
+       len(regexp_extract_all(sc, '<EMAIL>|<IP>|<PHONE>')) as n_redacted
+from scrubbed
+order by doc_id
+""")
+
+
+_HEX_LIST = "['" + "','".join("0123456789abcdef") + "']"
+
+
+def _sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-mod sampling, stratified by lang: 'en' at 50%,
+    others at 12.5% — reproducible across engines/runs (md5-bucket, not
+    rand()), the backbone of stable train/eval splits."""
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    sampled = T.deterministic_sample(
+        docs, "doc_id", stratify_col="lang",
+        fractions={"en": 0.5}, default_fraction=0.125)
+    return (sampled.select("doc_id", "lang",
+                           T.hash_bucket("doc_id").alias("bucket"))
+                   .orderBy("doc_id"))
+
+
+_df("sample_hash_deterministic", _sample_hash, oracle=rf"""
+with b as (
+  select doc_id, lang,
+         (list_position({_HEX_LIST},
+             substr(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16
+       + (list_position({_HEX_LIST},
+             substr(md5(cast(doc_id as varchar)), 2, 1)) - 1) as bucket
+  from documents
+)
+select doc_id, lang, bucket
+from b
+where bucket < case when lang = 'en' then 128 else 32 end
+order by doc_id
+""")
+
+
+def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    return (T.tfidf_top_terms(spark.table("documents"), k=3)
+             .orderBy("doc_id", "rk"))
+
+
+_df("text_tfidf_top_terms", _text_tfidf, oracle=r"""
+with toks as (
+  select doc_id, unnest(string_split_regex(trim(text), '\s+')) as term
+  from documents where length(trim(text)) > 0
+), tf as (
+  select doc_id, term, count(*) as tf
+  from toks group by doc_id, term
+), docfreq as (
+  select term, count(*) as df from tf group by term
+), n as (
+  select count(distinct doc_id) as n_docs from tf
+), scored as (
+  select tf.doc_id, tf.term, tf.tf, docfreq.df,
+         round(tf.tf * (ln((n.n_docs + 1) / cast(docfreq.df + 1 as double))
+                        + 1), 6) as tfidf
+  from tf join docfreq using (term) cross join n
+), ranked as (
+  select *, cast(row_number() over (partition by doc_id
+                                    order by tfidf desc, term asc) as int)
+            as rk
+  from scored
+)
+select doc_id, term, tf, df, rk, tfidf
+from ranked where rk <= 3
+order by doc_id, rk
+""")
+
+
 # ===========================================================================
 # Structured Streaming (availableNow drains — batch-equivalent semantics)
 # ===========================================================================

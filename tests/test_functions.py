@@ -284,3 +284,55 @@ def test_dup_clusters_keeper_and_size(spark):
     rows = {r["keeper_id"]: r["cluster_size"]
             for r in dedup.dup_clusters(None, pairs, "doc_id").collect()}
     assert rows == {10: 3, 20: 2}
+
+
+def test_scrub_pii_redacts_each_kind(spark):
+    df = spark.createDataFrame(
+        [("mail bob.smith+x@corp.example.co ok",),
+         ("server at 192.168.1.100 port 80",),
+         ("call 555-010-1234 or +44 nothing",),
+         ("clean text with no pii at all",)],
+        ["text"])
+    out = [r[0] for r in df.select(text.scrub_pii("text")).collect()]
+    assert out[0] == "mail <EMAIL> ok"
+    assert out[1] == "server at <IP> port 80"
+    assert out[2] == "call <PHONE> or +44 nothing"
+    assert out[3] == "clean text with no pii at all"
+
+
+def test_hash_bucket_deterministic_and_bounded(spark):
+    df = spark.range(500)
+    b = df.select(text.hash_bucket("id", 16).alias("b"))
+    rows = [r["b"] for r in b.collect()]
+    assert all(0 <= v < 16 for v in rows)
+    rows2 = [r["b"] for r in df.select(
+        text.hash_bucket("id", 16).alias("b")).collect()]
+    assert rows == rows2  # same keys -> same buckets, every run
+    assert len(set(rows)) > 8  # spreads across buckets
+
+
+def test_deterministic_sample_rates(spark):
+    df = spark.range(2000).withColumn(
+        "grp", F.when(F.col("id") % 2 == 0, "a").otherwise("b"))
+    flat = text.deterministic_sample(df, "id", fraction=0.25)
+    assert abs(flat.count() / 2000 - 0.25) < 0.05
+    strat = text.deterministic_sample(
+        df, "id", stratify_col="grp",
+        fractions={"a": 0.5}, default_fraction=0.0)
+    got = {r["grp"]: r["n"] for r in
+           strat.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["a"] / 1000 - 0.5) < 0.1
+    assert "b" not in got  # default 0.0 -> stratum fully excluded
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    df = spark.createDataFrame(
+        [(1, "common rare rare"),
+         (2, "common other other"),
+         (3, "common filler filler")],
+        ["doc_id", "text"])
+    top = {r["doc_id"]: r["term"]
+           for r in text.tfidf_top_terms(df, k=1).collect()}
+    # 'common' appears in every doc (idf floor ln(4/4)+1 = 1); the
+    # doc-unique term has both higher tf and higher idf -> wins
+    assert top == {1: "rare", 2: "other", 3: "filler"}
