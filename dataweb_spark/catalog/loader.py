@@ -124,6 +124,8 @@ def _parse_doc(catalog: RelayCatalog, doc: dict[str, Any]) -> None:
                 for u, p in doc.get("user_permissions", {}).items()
             },
             options=doc.get("options", {}),
+            bounds={c: (b[0], b[1])
+                    for c, b in doc.get("bounds", {}).items()},
         ))
     elif kind == "RemoteMapping":
         catalog.remote_mappings.append(RemoteEntityMapping(

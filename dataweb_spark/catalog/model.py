@@ -216,6 +216,11 @@ class DataSource:
     default_permission: SourcePermission | None = None
     user_permissions: dict[str, SourcePermission] = field(default_factory=dict)
     options: dict[str, str] = field(default_factory=dict)
+    # Optional declared value bounds per *logical* (entity-namespace) column:
+    # {"shipdate": ("1995-01-01", "1995-12-31")}. Used for source-level
+    # pruning (plans/pruning.py) — a query whose predicates are provably
+    # disjoint from these bounds skips this source's scan entirely.
+    bounds: dict[str, tuple] = field(default_factory=dict)
 
     def field_path(self, field_name: str) -> str:
         for f in self.fields:

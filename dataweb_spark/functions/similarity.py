@@ -206,6 +206,98 @@ def _nearest_cells_udf(centers: np.ndarray, n: int):
     return f
 
 
+def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q = round(v * 127 / max|v|)``.
+
+    4× smaller than float32 (32× vs the float64 compute form) — the standard
+    storage/bandwidth trick before ANN at 100 TB scale. Pure codegen
+    expressions (transform + aggregate), no Python; exact SQL equivalent
+    exists so the DuckDB oracle can verify. Zero vectors get scale 0 and
+    all-zero codes.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    absmax = F.aggregate(F.transform(v, lambda x: F.abs(x)),
+                         F.lit(0.0), lambda acc, x: F.greatest(acc, x))
+    scale = absmax / F.lit(127.0)
+    q = F.when(absmax == 0,
+               F.transform(v, lambda x: F.lit(0).cast("tinyint"))) \
+         .otherwise(F.transform(
+             v, lambda x: F.round(x / scale).cast("tinyint")))
+    recon_err = F.when(absmax == 0, F.lit(0.0)).otherwise(F.aggregate(
+        F.zip_with(v, q, lambda x, c: F.abs(x - c * scale)),
+        F.lit(0.0), lambda acc, x: F.greatest(acc, x)))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        q.alias("q"),
+        F.round(recon_err, 9).alias("max_abs_err"))
+
+
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_cells: int = 16, seed: int = 7,
+                   sample_per_cell: int = 100) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings with the
+    IVF coarse quantizer, then within each cell greedily keep the
+    lowest-id representative of every cosine ≥ ``threshold`` neighborhood.
+
+    Scale shape: the quadratic term is bounded per cell (O(Σ cell²·dim), not
+    O(n²·dim)) — grow ``n_cells`` with the corpus so cells stay ~constant
+    size. One shuffle (groupBy cell); the pairwise pass is an Arrow-batched
+    ``applyInPandas`` matmul per cell. Deterministic: seeded quantizer,
+    id-ordered greedy sweep.
+
+    Returns one row per input: (id, cell, is_dup, dup_of, max_sim) where
+    ``dup_of`` is the kept lower-id neighbor for dropped rows (NULL for
+    keepers) and ``max_sim`` is the similarity to it.
+    """
+    raw = corpus.select(F.col(id_col).alias("_id"),
+                        F.col(vec_col).cast("array<double>").alias("_cv"))
+    target = sample_per_cell * n_cells
+    n = raw.count()
+    sample = (raw.sample(min(1.0, 1.2 * target / max(n, 1)), seed=seed)
+              .limit(target) if n > target else raw)
+    X = np.array(sample.select("_cv").toPandas()["_cv"].tolist(),
+                 dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = _spherical_kmeans(X, n_cells, seed)
+    cell1 = _nearest_cells_udf(C, 1)
+    assigned = raw.select(
+        "_id", "_cv", F.element_at(cell1(F.col("_cv")), 1).alias("cell"))
+
+    out_schema = (f"{id_col} long, cell int, is_dup boolean, "
+                  f"dup_of long, max_sim double")
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        A = np.array(pdf["_cv"].tolist(), dtype=np.float64)
+        A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        S = A @ A.T
+        ids = pdf["_id"].to_numpy()
+        kept: list[int] = []
+        is_dup = np.zeros(len(pdf), dtype=bool)
+        dup_of = np.full(len(pdf), -1, dtype=np.int64)
+        max_sim = np.zeros(len(pdf), dtype=np.float64)
+        for i in range(len(pdf)):
+            if kept:
+                sims = S[i, kept]
+                j = int(np.argmax(sims))
+                max_sim[i] = sims[j]
+                if sims[j] >= threshold:
+                    is_dup[i] = True
+                    dup_of[i] = ids[kept[j]]
+                    continue
+            kept.append(i)
+        return pd.DataFrame({
+            id_col: ids, "cell": pdf["cell"].to_numpy(),
+            "is_dup": is_dup,
+            "dup_of": np.where(is_dup, dup_of, None),
+            "max_sim": np.round(max_sim, 6)})
+
+    return assigned.groupBy("cell").applyInPandas(dedup_cell, out_schema)
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", n_cells: int = 16,

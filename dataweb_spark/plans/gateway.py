@@ -23,9 +23,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataweb_spark.catalog.model import Web
+from dataweb_spark.plans.pruning import (
+    extract_entity_predicates,
+    source_can_match,
+)
 from dataweb_spark.plans.resolve import (
     PROVENANCE_RELAY,
     PROVENANCE_SOURCE,
+    _apply_remote_mapping,
+    _map_conjuncts_through,
     build_source_view,
     register_entity_views,
     resolve_entity,
@@ -45,7 +51,11 @@ class QueryGateway:
 
     def query(self, sql: str, principal: str | None = None,
               include_provenance: bool = False) -> DataFrame:
-        """Full SQL over entity views; joins across entities allowed."""
+        """Full SQL over entity views; joins across entities allowed.
+
+        Before view resolution, the query's per-entity filter conjuncts are
+        extracted (Spark's own parser) and used to prune sources whose
+        declared bounds can't match — see ``plans/pruning.py``."""
         entities = validate_sql(self.spark, sql, single_entity=False)
         known = self.web.relay(self.relay_name).entities
         unknown = {e for e in entities if e not in known}
@@ -53,8 +63,13 @@ class QueryGateway:
             raise ValidationError(
                 f"unknown entity(ies): {sorted(unknown)}; "
                 f"relay {self.relay_name!r} declares {sorted(known)}")
+        predicates = {
+            e: extract_entity_predicates(self.spark, sql, e)
+            for e in entities
+        }
         register_entity_views(self.spark, self.web, self.relay_name, principal,
-                              include_provenance=include_provenance)
+                              include_provenance=include_provenance,
+                              predicates=predicates)
         return self.spark.sql(sql)
 
     # -- template mode (raw Flight analog) ------------------------------
@@ -73,24 +88,38 @@ class QueryGateway:
         if entity_name not in relay.entities:
             raise ValidationError(f"unknown entity {entity_name!r}")
 
+        conjuncts = extract_entity_predicates(self.spark, sql, entity_name)
         results: list[tuple[str, str, DataFrame]] = []
         visited: set[tuple[str, str]] = set()
 
-        def visit(relay_name: str, ename: str) -> None:
+        def visit(relay_name: str, ename: str, conj: list,
+                  chain: list) -> None:
+            """``chain`` is the (declaring_relay, RemoteEntityMapping) hop
+            path from the home entity down to this relay — each peer source
+            view is mapped back into the home entity's namespace through it
+            (the ``map_remote_request`` identifier-rewrite analog,
+            ``core/src/execute/map_remote.rs:17-63``)."""
             key = (relay_name, ename)
             if key in visited:
                 return
             visited.add(key)
             r = self.web.relay(relay_name)
             for source in r.sources_for_entity(ename):
+                if (conj and source.bounds
+                        and not source_can_match(conj, source.bounds)):
+                    continue  # pruned endpoint: bounds disjoint from query
                 view = build_source_view(self.spark, r, source, principal)
+                for decl_relay, rm in reversed(chain):
+                    view = _apply_remote_mapping(self.spark, decl_relay,
+                                                 rm, view)
                 view.drop(PROVENANCE_RELAY, PROVENANCE_SOURCE) \
                     .createOrReplaceTempView(entity_name)
                 results.append((relay_name, source.name, self.spark.sql(sql)))
             for rm in r.remotes_for_entity(ename):
-                visit(rm.peer, rm.remote_entity)
+                visit(rm.peer, rm.remote_entity,
+                      _map_conjuncts_through(rm, conj), chain + [(r, rm)])
 
-        visit(self.relay_name, entity_name)
+        visit(self.relay_name, entity_name, conjuncts, [])
         return results
 
     def query_template_union(self, sql: str, principal: str | None = None

@@ -1,0 +1,170 @@
+"""Source-level pruning: skip entire mapped sources whose declared value
+bounds contradict the query's predicates.
+
+The reference queries *every* mapped source unconditionally
+(``core/src/execute/mod.rs:98-139`` iterates all mappings) — SURVEY.md §4
+flags source pruning as an improvement, not parity. At 100 TB this is the
+federation-layer analog of partition pruning: a web where each source holds
+one year of data should scan one source for a one-year query, not all of
+them. Catalyst prunes *files* via parquet min/max but still schedules a scan
+per union branch; this module removes the branch from the plan entirely.
+
+Mechanics — all Spark-native, no SQL re-parsing of our own:
+
+* ``extract_entity_predicates`` parses the user SQL with Spark's own parser
+  (``sessionState().sqlParser().parsePlan``) and walks the unresolved logical
+  plan for ``Filter`` nodes whose subtree reads exactly the target entity;
+  their conditions are decomposed into conjuncts of the shape
+  ``<column> <op> <literal>``.
+* Sources declare optional per-logical-column ``bounds`` (min/max) in the
+  catalog (YAML ``bounds: {shipdate: ["1995-01-01", "1995-12-31"]}``).
+* ``source_can_match`` is an interval-satisfiability check: a source is
+  pruned only when some conjunct is *provably* disjoint from its bounds.
+  Unknown operators, OR-trees, expressions, un-bounded sources → never
+  pruned (conservative, correctness-safe).
+
+Pruning decisions are deterministic and cheap (pure metadata); they happen
+at view-resolution time, before any Spark job runs.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+# Conjunct = (column_name, op, python_value); op ∈ {'=','<','<=','>','>='}
+Conjunct = tuple[str, str, Any]
+
+_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+_CMP_NODES = {
+    "EqualTo": "=",
+    "LessThan": "<",
+    "LessThanOrEqual": "<=",
+    "GreaterThan": ">",
+    "GreaterThanOrEqual": ">=",
+}
+
+
+def _literal_value(jlit) -> Any:
+    """Convert a Catalyst Literal to a comparable Python value."""
+    # Scala singleton types print as e.g. 'DateType$' — strip the marker
+    dt = jlit.dataType().getClass().getSimpleName().rstrip("$")
+    v = jlit.value()
+    if v is None:
+        return None
+    if dt in ("DateType",):
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(str(v)))
+    if dt in ("StringType",):
+        return str(v)
+    if dt in ("IntegerType", "LongType", "ShortType", "ByteType"):
+        return int(str(v))
+    if dt in ("DoubleType", "FloatType", "DecimalType"):
+        return float(str(v))
+    return None  # timestamps/binary/etc.: not comparable here -> ignored
+
+
+def _conjuncts_from_condition(jexpr, out: list[Conjunct]) -> None:
+    name = jexpr.getClass().getSimpleName()
+    if name == "And":
+        _conjuncts_from_condition(jexpr.left(), out)
+        _conjuncts_from_condition(jexpr.right(), out)
+        return
+    op = _CMP_NODES.get(name)
+    if op is None:
+        return  # OR / IN / functions / ... -> no pruning from this node
+    left, right = jexpr.left(), jexpr.right()
+    lname = left.getClass().getSimpleName()
+    rname = right.getClass().getSimpleName()
+    if lname == "UnresolvedAttribute" and rname == "Literal":
+        col, lit, o = left, right, op
+    elif lname == "Literal" and rname == "UnresolvedAttribute":
+        col, lit, o = right, left, _FLIP[op]
+    else:
+        return
+    v = _literal_value(lit)
+    if v is not None:
+        # nameParts.last: 'lineitem.shipdate' -> 'shipdate'
+        out.append((str(col.name()).split(".")[-1].lower(), o, v))
+
+
+def _relations_under(jplan) -> set[str]:
+    rels: set[str] = set()
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "UnresolvedRelation":
+            parts = node.multipartIdentifier()
+            rels.add(str(parts.apply(parts.size() - 1)).lower())
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return rels
+
+
+def extract_entity_predicates(spark: SparkSession, sql: str,
+                              entity: str) -> list[Conjunct]:
+    """Conjunctive ``col op literal`` predicates the query applies to
+    ``entity``, from Filter nodes scoped to that single relation."""
+    try:
+        jplan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    except Exception:
+        return []
+    out: list[Conjunct] = []
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if (node.getClass().getSimpleName() == "Filter"
+                and _relations_under(node) == {entity.lower()}):
+            _conjuncts_from_condition(node.condition(), out)
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return out
+
+
+def _coerce_pair(a: Any, b: Any) -> tuple[Any, Any] | None:
+    """Make bound and literal comparable; None when types don't mix."""
+    if isinstance(a, str) and isinstance(b, _dt.date):
+        try:
+            return _dt.date.fromisoformat(a), b
+        except ValueError:
+            return None
+    if isinstance(b, str) and isinstance(a, _dt.date):
+        try:
+            return a, _dt.date.fromisoformat(b)
+        except ValueError:
+            return None
+    num = (int, float)
+    if isinstance(a, num) and isinstance(b, num):
+        return a, b
+    if type(a) is type(b):
+        return a, b
+    return None
+
+
+def source_can_match(conjuncts: list[Conjunct],
+                     bounds: dict[str, tuple[Any, Any]]) -> bool:
+    """False only when some conjunct is provably disjoint from the source's
+    declared [lo, hi] for that column (inclusive bounds)."""
+    norm = {k.lower(): v for k, v in bounds.items()}
+    for col, op, value in conjuncts:
+        if col not in norm:
+            continue
+        lo, hi = norm[col]
+        if lo is not None:
+            p = _coerce_pair(lo, value)
+            if p is not None:
+                lo_c, v = p
+                if ((op == "=" and v < lo_c) or (op == "<" and v <= lo_c)
+                        or (op == "<=" and v < lo_c)):
+                    return False
+        if hi is not None:
+            p = _coerce_pair(hi, value)
+            if p is not None:
+                hi_c, v = p
+                if ((op == "=" and v > hi_c) or (op == ">" and v >= hi_c)
+                        or (op == ">=" and v > hi_c)):
+                    return False
+    return True

@@ -126,12 +126,40 @@ def _apply_remote_mapping(spark: SparkSession, relay: RelayCatalog,
     return df.select(*select_list)
 
 
+def _map_conjuncts_through(rm: RemoteEntityMapping,
+                           conjuncts: list | None) -> list | None:
+    """Rewrite pruning conjuncts from local-entity namespace into the peer
+    entity's namespace. Identity-transform renames pass through; columns
+    behind a non-identity transformation are dropped (conservative — the
+    peer just won't prune on them)."""
+    if not conjuncts:
+        return conjuncts
+    out = []
+    for col, op, value in conjuncts:
+        m = rm.mapping_for(col)
+        if m is None:
+            out.append((col, op, value))  # same-name passthrough
+        elif m.transformation.other_to_local == "{v}":
+            out.append((m.remote_info.lower(), op, value))
+        # else: transformed column -> not prunable downstream
+    return out
+
+
 def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
                    entity_name: str, principal: str | None = None,
-                   _visited: set[tuple[str, str]] | None = None) -> DataFrame | None:
+                   _visited: set[tuple[str, str]] | None = None,
+                   conjuncts: list | None = None) -> DataFrame | None:
     """Resolve an entity to the union of all its mapped sources, local and
     remote-recursive. Returns None if this (relay, entity) was already
-    visited (cycle) or maps to nothing."""
+    visited (cycle) or maps to nothing.
+
+    ``conjuncts`` (from ``pruning.extract_entity_predicates``) enables
+    source-level pruning: a source whose declared ``bounds`` are provably
+    disjoint from the query's predicates is dropped from the union — the
+    federation analog of partition pruning (the reference always scans every
+    mapping, ``core/src/execute/mod.rs:98-139``)."""
+    from dataweb_spark.plans.pruning import source_can_match
+
     visited = _visited if _visited is not None else set()
     key = (relay_name, entity_name)
     if key in visited:
@@ -144,10 +172,14 @@ def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
 
     parts: list[DataFrame] = []
     for source in relay.sources_for_entity(entity_name):
+        if (conjuncts and source.bounds
+                and not source_can_match(conjuncts, source.bounds)):
+            continue  # provably no matching rows in this source
         parts.append(build_source_view(spark, relay, source, principal))
     for rm in relay.remotes_for_entity(entity_name):
         peer_df = resolve_entity(spark, web, rm.peer, rm.remote_entity,
-                                 principal, visited)
+                                 principal, visited,
+                                 conjuncts=_map_conjuncts_through(rm, conjuncts))
         if peer_df is not None:
             parts.append(_apply_remote_mapping(spark, relay, rm, peer_df))
 
@@ -161,16 +193,19 @@ def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
 
 def register_entity_views(spark: SparkSession, web: Web, relay_name: str,
                           principal: str | None = None,
-                          include_provenance: bool = True) -> list[str]:
+                          include_provenance: bool = True,
+                          predicates: dict[str, list] | None = None) -> list[str]:
     """Register every entity of a relay as a temp view for SQL querying —
     the ``register_web_sources`` analog (``webengine/src/register.rs:36-90``).
 
-    Returns the list of registered entity names.
+    ``predicates`` maps entity name → pruning conjuncts for that query
+    (see ``resolve_entity``). Returns the list of registered entity names.
     """
     relay = web.relay(relay_name)
     registered = []
     for entity_name in relay.entities:
-        df = resolve_entity(spark, web, relay_name, entity_name, principal)
+        df = resolve_entity(spark, web, relay_name, entity_name, principal,
+                            conjuncts=(predicates or {}).get(entity_name))
         if df is None:
             continue
         if not include_provenance:

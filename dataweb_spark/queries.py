@@ -1166,6 +1166,55 @@ order by source_id, returnflag
 """)
 
 
+def _fed_source_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level pruning (beyond reference — it scans every mapping,
+    ``core/src/execute/mod.rs:98-139``): a year-partitioned federation where
+    the query's date predicate removes the old-epoch source from the plan
+    entirely. The oracle proves correctness; ``test_pruning.py`` proves the
+    pruned branch is truly absent."""
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Information, Mapping,
+        RelayCatalog, Web,
+    )
+    from dataweb_spark.plans.gateway import QueryGateway
+    relay = RelayCatalog(name="home")
+    relay.add_entity(Entity("sales", [
+        Information("shipdate", "date"), Information("qty", "double")]))
+    relay.add_connection(DataConnection("files", "file", {"path": sf_dir}))
+    for name, pred, bounds in [
+        ("sales_old", "l_shipdate < date '1996-01-01'",
+         {"shipdate": (None, "1995-12-31")}),
+        ("sales_new", "l_shipdate >= date '1996-01-01'",
+         {"shipdate": ("1996-01-01", None)}),
+    ]:
+        relay.add_source(DataSource(
+            name=name, connection="files", entity="sales",
+            source_sql=("select l_shipdate, l_quantity from {table} "
+                        f"where {pred}"),
+            mappings=[Mapping("shipdate", "l_shipdate"),
+                      Mapping("qty", "l_quantity")],
+            options={"table": "lineitem.parquet"}, bounds=bounds))
+    gw = QueryGateway(spark, Web(relays={"home": relay}), "home")
+    return gw.query("""
+        select _source_id_ as source_id, year(shipdate) as ship_year,
+               count(*) as n, round(sum(qty), 2) as sum_qty
+        from sales
+        where shipdate >= date '1996-06-01'
+        group by _source_id_, year(shipdate)
+        order by ship_year
+    """, include_provenance=True)
+
+
+_df("fed_source_pruning", _fed_source_pruning, oracle="""
+select 'sales_new' as source_id, year(l_shipdate) as ship_year,
+       count(*) as n, round(sum(l_quantity), 2) as sum_qty
+from lineitem
+where l_shipdate >= date '1996-06-01'
+group by ship_year
+order by ship_year
+""")
+
+
 # ===========================================================================
 # LLM-pipeline operators
 # ===========================================================================
@@ -1495,6 +1544,58 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _df("dedup_embedding_cosine", _embedding_near_dups)  # rows-only
+
+
+def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (4× storage cut before ANN)."""
+    from dataweb_spark.functions import similarity as S
+    register_views(spark, sf_dir)
+    return (S.quantize_embeddings(spark.table("embeddings"))
+             .orderBy("vec_id"))
+
+
+_df("embedding_quantize_int8", _embedding_quantize, oracle="""
+with v as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as e
+  from embeddings
+), s as (
+  select vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 as raw_scale
+  from v
+), q as (
+  select vec_id, e, raw_scale,
+         case when raw_scale = 0
+              then list_transform(e, x -> cast(0 as tinyint))
+              else list_transform(e, x -> cast(round(x / raw_scale) as tinyint))
+         end as q
+  from s
+)
+select vec_id, round(raw_scale, 9) as scale, q,
+       case when raw_scale = 0 then 0.0
+            else round(list_max(list_transform(
+                     list_zip(e, q),
+                     p -> abs(p[1] - p[2] * raw_scale))), 9)
+       end as max_abs_err
+from q
+order by vec_id
+""")
+
+
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-then-prune semantic dedup — per-cell summary
+    (kept/dropped). Approximate (k-means cells): rows-only check."""
+    from dataweb_spark.functions import similarity as S
+    register_views(spark, sf_dir)
+    out = S.semantic_dedup(spark.table("embeddings"), threshold=0.9,
+                           n_cells=8)
+    return (out.groupBy("cell")
+               .agg(F.count("*").alias("n"),
+                    F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                     .alias("n_dropped"))
+               .orderBy("cell"))
+
+
+_df("dedup_semantic_clusters", _semantic_dedup)  # rows-only
 
 
 def _events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:

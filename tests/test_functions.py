@@ -336,3 +336,28 @@ def test_tfidf_rare_term_outranks_common(spark):
     # 'common' appears in every doc (idf floor ln(4/4)+1 = 1); the
     # doc-unique term has both higher tf and higher idf -> wins
     assert top == {1: "rare", 2: "other", 3: "filler"}
+
+
+def test_quantize_embeddings_roundtrip_error(spark, emb):
+    q = similarity.quantize_embeddings(emb)
+    rows = q.collect()
+    assert all(len(r["q"]) == 64 for r in rows)
+    # symmetric int8: reconstruction error bounded by scale/2 per component
+    assert all(r["max_abs_err"] <= r["scale"] / 2 + 1e-9 for r in rows)
+    assert all(-127 <= min(r["q"]) and max(r["q"]) <= 127 for r in rows)
+
+
+def test_semantic_dedup_drops_planted_near_identical(spark):
+    import numpy as np
+    rng = np.random.RandomState(3)
+    base = rng.randn(20, 16)
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # plant: 100 and 101 are near-copies of vectors 0 and 1
+    rows += [(100, (base[0] + 1e-4 * rng.randn(16)).tolist()),
+             (101, (base[1] + 1e-4 * rng.randn(16)).tolist())]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.semantic_dedup(df, threshold=0.99, n_cells=2).collect()
+    dropped = {r["vec_id"]: r["dup_of"] for r in out if r["is_dup"]}
+    assert dropped == {100: 0, 101: 1}  # keep-lowest-id, dup_of points at it
+    kept = {r["vec_id"] for r in out if not r["is_dup"]}
+    assert kept == set(range(20))

@@ -1,0 +1,163 @@
+"""Source-level pruning: sources whose declared bounds contradict the query
+predicates are dropped from the union plan (SURVEY.md §4 — an improvement
+over the reference, which always scans every mapping,
+``core/src/execute/mod.rs:98-139``)."""
+
+import datetime
+
+import pytest
+
+from dataweb_spark.catalog.model import (
+    DataConnection, DataSource, Entity, Information, Mapping, RelayCatalog,
+    RemoteEntityMapping, RemoteInfoMapping, Web,
+)
+from dataweb_spark.plans.gateway import QueryGateway
+from dataweb_spark.plans.pruning import (
+    extract_entity_predicates, source_can_match,
+)
+from dataweb_spark.plans.resolve import PROVENANCE_SOURCE
+
+
+def _year_web(sf_dir: str, with_peer: bool = False) -> Web:
+    """One 'sales' entity split into per-epoch sources with declared bounds
+    (the year-partitioned-federation scenario pruning exists for)."""
+    relay = RelayCatalog(name="home")
+    relay.add_entity(Entity("sales", [
+        Information("shipdate", "date"),
+        Information("qty", "double"),
+    ]))
+    relay.add_connection(DataConnection("files", "file", {"path": sf_dir}))
+    for name, pred, bounds in [
+        ("sales_old", "l_shipdate < date '1996-01-01'",
+         {"shipdate": (None, "1995-12-31")}),
+        ("sales_new", "l_shipdate >= date '1996-01-01'",
+         {"shipdate": ("1996-01-01", None)}),
+    ]:
+        relay.add_source(DataSource(
+            name=name, connection="files", entity="sales",
+            source_sql=("select l_shipdate, l_quantity from {table} "
+                        f"where {pred}"),
+            mappings=[Mapping("shipdate", "l_shipdate"),
+                      Mapping("qty", "l_quantity")],
+            options={"table": "lineitem.parquet"},
+            bounds=bounds,
+        ))
+    relays = [relay]
+    if with_peer:
+        peer = RelayCatalog(name="peer")
+        peer.add_entity(Entity("sales_p", [
+            Information("sd", "date"), Information("qty", "double")]))
+        peer.add_connection(DataConnection("files", "file", {"path": sf_dir}))
+        peer.add_source(DataSource(
+            name="sales_peer_old", connection="files", entity="sales_p",
+            source_sql=("select l_shipdate, l_quantity from {table} "
+                        "where l_shipdate < date '1994-01-01'"),
+            mappings=[Mapping("sd", "l_shipdate"),
+                      Mapping("qty", "l_quantity")],
+            options={"table": "lineitem.parquet"},
+            bounds={"sd": (None, "1993-12-31")},
+        ))
+        relay.remote_mappings.append(RemoteEntityMapping(
+            local_entity="sales", peer="peer", remote_entity="sales_p",
+            info_mappings=[RemoteInfoMapping("shipdate", "sd")],
+        ))
+        relays.append(peer)
+    return Web(relays={r.name: r for r in relays})
+
+
+# -- predicate extraction ---------------------------------------------------
+
+def test_extract_conjuncts_ops_and_flip(spark):
+    cj = extract_entity_predicates(
+        spark,
+        "select * from sales where shipdate >= date '1996-06-01' "
+        "and 10 > qty and shipdate <= date '1996-12-31'",
+        "sales")
+    assert (("shipdate", ">=", datetime.date(1996, 6, 1)) in cj
+            and ("qty", "<", 10) in cj
+            and ("shipdate", "<=", datetime.date(1996, 12, 31)) in cj)
+
+
+def test_extract_ignores_or_trees(spark):
+    cj = extract_entity_predicates(
+        spark,
+        "select * from sales where qty > 5 or shipdate > date '1996-01-01'",
+        "sales")
+    assert cj == []  # disjunction can't prune either source
+
+
+def test_extract_scopes_to_single_relation(spark):
+    cj = extract_entity_predicates(
+        spark,
+        "select * from sales s join other o on s.qty = o.qty "
+        "where o.x > 3", "sales")
+    assert cj == []  # filter sits above a 2-relation subtree
+
+
+# -- interval satisfiability ------------------------------------------------
+
+def test_source_can_match_intervals():
+    bounds = {"d": ("1995-01-01", "1995-12-31")}
+    d = datetime.date
+    assert not source_can_match([("d", "=", d(1996, 3, 1))], bounds)
+    assert not source_can_match([("d", ">", d(1995, 12, 31))], bounds)
+    assert not source_can_match([("d", "<", d(1995, 1, 1))], bounds)
+    assert source_can_match([("d", ">=", d(1995, 12, 31))], bounds)
+    assert source_can_match([("d", "<=", d(1995, 1, 1))], bounds)
+    assert source_can_match([("other", "=", 99)], bounds)  # unbounded col
+    # open-ended bounds
+    assert not source_can_match([("d", "=", 5)], {"d": (10, None)})
+    assert source_can_match([("d", "=", 5)], {"d": (None, 10)})
+    # type mismatch -> conservative keep
+    assert source_can_match([("d", "=", 123)], bounds)
+
+
+# -- end-to-end: engine mode ------------------------------------------------
+
+def test_engine_query_prunes_disjoint_source(spark, sf_dir):
+    web = _year_web(sf_dir)
+    gw = QueryGateway(spark, web, "home")
+    sql = (f"select shipdate, qty, {PROVENANCE_SOURCE} from sales "
+           "where shipdate >= date '1996-06-01'")
+    pruned = gw.query(sql, include_provenance=True)
+    srcs = {r[0] for r in
+            pruned.select(PROVENANCE_SOURCE).distinct().collect()}
+    assert srcs == {"sales_new"}  # old-epoch branch removed from the plan
+    # correctness: same rows as querying without any bounds declared
+    web_nb = _year_web(sf_dir)
+    for s in web_nb.relay("home").sources.values():
+        s.bounds = {}
+    unpruned = QueryGateway(spark, web_nb, "home").query(
+        sql, include_provenance=True)
+    assert pruned.count() == unpruned.count()
+
+
+def test_engine_query_without_predicates_keeps_all(spark, sf_dir):
+    gw = QueryGateway(spark, _year_web(sf_dir), "home")
+    df = gw.query(f"select qty, {PROVENANCE_SOURCE} from sales",
+                  include_provenance=True)
+    srcs = {r[0] for r in df.select(PROVENANCE_SOURCE).distinct().collect()}
+    assert srcs == {"sales_old", "sales_new"}
+
+
+# -- end-to-end: template mode + remote hop --------------------------------
+
+def test_template_endpoints_pruned(spark, sf_dir):
+    gw = QueryGateway(spark, _year_web(sf_dir), "home")
+    eps = gw.query_template(
+        "select count(*) as n from sales "
+        "where shipdate < date '1995-01-01'")
+    assert [src for _, src, _ in eps] == ["sales_old"]
+
+
+def test_remote_hop_prunes_through_rename(spark, sf_dir):
+    """shipdate→sd rename: the conjunct follows the remote info mapping and
+    prunes the peer's source too."""
+    gw = QueryGateway(spark, _year_web(sf_dir, with_peer=True), "home")
+    sql = "select count(*) as n from sales where shipdate >= date '1996-01-01'"
+    eps = gw.query_template(sql)
+    assert [src for _, src, _ in eps] == ["sales_new"]
+    # and with an early date the peer participates
+    eps2 = gw.query_template(
+        "select count(*) as n from sales where shipdate < date '1993-06-01'")
+    assert [src for _, src, _ in eps2] == ["sales_old", "sales_peer_old"]
