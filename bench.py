@@ -49,7 +49,13 @@ HEADLINE = [
     "asof_join_purchase_click",
     "range_join_price_bands",
     "streaming_hourly_rollup",
+    "streaming_dedup_ingest",
     "multimodal_features",
+    "text_tfidf_top_terms",
+    "text_pii_scrub",
+    "dedup_semantic_clusters",
+    "embedding_quantize_int8",
+    "fed_source_pruning",
 ]
 
 

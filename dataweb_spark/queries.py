@@ -2057,6 +2057,32 @@ order by hour_ts, event_type
 """)
 
 
+def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup: the event stream unioned with itself (every
+    record twice) must come out exactly once through
+    ``dropDuplicatesWithinWatermark`` — per-event-type counts equal the
+    batch distinct counts."""
+    import tempfile
+
+    from dataweb_spark.streaming import events as E
+    doubled = E.read_event_stream(spark, sf_dir).union(
+        E.read_event_stream(spark, sf_dir))
+    cp = tempfile.mkdtemp(prefix="dw_cp_dedup_")
+    out = E.run_available_now(E.stream_dedup(doubled), cp)
+    return (out.groupBy("event_type")
+               .agg(F.count("*").alias("n"),
+                    F.count_distinct("event_id").alias("n_distinct"))
+               .orderBy("event_type"))
+
+
+_df("streaming_dedup_ingest", _streaming_dedup, oracle="""
+select event_type, count(*) as n, count(distinct event_id) as n_distinct
+from events
+group by event_type
+order by event_type
+""")
+
+
 def _streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState running totals; final row per user must equal
     the batch groupBy."""

@@ -170,6 +170,21 @@ def attribution_join(events: DataFrame, window_minutes: int = 30,
                     F.round("purchase_value", 2).alias("purchase_value")))
 
 
+def stream_dedup(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming ingest deduplication — ``dropDuplicatesWithinWatermark``.
+
+    The stateful twin of the batch exact-dedup tier: duplicate records
+    arriving within the watermark horizon of each other are emitted once.
+    State holds one entry per key and expires with the watermark, so memory
+    is bounded by the key arrival rate × horizon, not by stream length —
+    the property that makes continuous 100 TB ingest dedup feasible.
+    """
+    keys = keys or ["event_id"]
+    return (events.withWatermark("ts", watermark)
+                  .dropDuplicatesWithinWatermark(keys))
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
                       output_mode: str = "append",
                       timeout_s: float = 300.0) -> DataFrame:

@@ -78,3 +78,15 @@ def test_sliding_rollup_runs(spark, sf_dir, tmp_path):
     n_clicks = (spark.read.parquet(f"{sf_dir}/events.parquet")
                 .where("event_type = 'click'").count())
     assert n_clicks_windowed == 2 * n_clicks
+
+
+def test_stream_dedup_drops_doubled_records(spark, sf_dir):
+    import tempfile
+    from dataweb_spark.streaming import events as E
+    doubled = E.read_event_stream(spark, sf_dir).union(
+        E.read_event_stream(spark, sf_dir))
+    out = E.run_available_now(
+        E.stream_dedup(doubled), tempfile.mkdtemp(prefix="dw_cp_dd_"))
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert out.count() == batch.count()           # each dup emitted once
+    assert out.select("event_id").distinct().count() == batch.count()
