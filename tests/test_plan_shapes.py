@@ -122,3 +122,24 @@ def test_correlated_agg_subquery_decorrelates(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pruned_source_absent_from_plan(spark, sf_dir):
+    """Source pruning must remove the branch from the PHYSICAL plan — one
+    FileScan, no union of two epochs (tests/test_pruning.py proves values;
+    this locks the plan shape the 100 TB win depends on)."""
+    from dataweb_spark.queries import QUERIES
+    df = QUERIES["fed_source_pruning"](spark, sf_dir)
+    plan = _plan(df)
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 1, "pruned epoch still scanned"
+
+
+def test_tfidf_partial_aggregates_and_broadcast_count(spark, sf_dir):
+    """TF-IDF: both groupBys partial-aggregate before their exchanges and
+    the global doc count joins as a broadcast (no extra big shuffle)."""
+    from dataweb_spark.functions import text as T
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(T.tfidf_top_terms(docs, k=3))
+    assert "BroadcastExchange" in plan  # the 1-row n_docs side
+    assert re.search(r"HashAggregate.*partial_count", plan)
