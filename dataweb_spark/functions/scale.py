@@ -118,3 +118,66 @@ def compact_parquet(spark, path: str, target_file_mb: int = 256,
     out = [f for f in fs.listStatus(jpath)
            if f.getPath().getName().endswith(".parquet")]
     return len(out)
+
+
+def _zvalue(cols: list[str], bits: int = 16) -> F.Column:
+    """Interleaved-bit Z-value over per-column rank buckets (codegen only).
+
+    Each column contributes ``bits`` bits (its 0..2^bits-1 percent_rank
+    bucket); bit i of every column maps to position ``i*len(cols)+j`` of the
+    composite. Built from shiftleft/bitwise-or expressions — no UDF.
+    """
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    for j, c in enumerate(cols):
+        b = F.col(f"__zb_{c}")
+        for i in range(bits):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("bigint")
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def zorder_write(df: DataFrame, path: str, zorder_by: list[str],
+                 bits: int = 16, n_files: int | None = None,
+                 mode: str = "overwrite") -> None:
+    """Write parquet clustered on the Z-order curve of ``zorder_by``.
+
+    Multi-dimensional clustering for data skipping: parquet min/max stats
+    per file/row-group become selective for *every* Z-ordered column, not
+    just a single sort leader — filters on any of them prune files at scan
+    time. This is the Delta/Iceberg OPTIMIZE ZORDER technique expressed with
+    plain Spark: percent_rank-bucket each column (rank, not raw value, so
+    skew can't collapse the curve), interleave bits into a bigint Z-value,
+    range-partition + sort by it, drop the helper columns.
+
+    The rank pass is one window over the full data — at 100 TB replace it
+    with ``approxQuantile`` cut-points computed on a sample (same curve,
+    no global sort of ranks); the write path is identical.
+    """
+    from pyspark.sql import Window
+    out = df
+    hi = (1 << bits) - 1
+    for c in zorder_by:
+        w = Window.orderBy(F.col(c))
+        out = out.withColumn(
+            f"__zb_{c}",
+            F.round(F.percent_rank().over(w) * hi).cast("bigint"))
+    out = out.withColumn("__z", _zvalue(zorder_by, bits))
+    parts = n_files or max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    (out.repartitionByRange(parts, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__zb_{c}" for c in zorder_by])
+        .write.mode(mode).parquet(path))
+
+
+def file_stats(spark, path: str, cols: list[str]):
+    """Per-file min/max for ``cols`` (the stats the scan planner skips by).
+
+    Used to *measure* clustering quality: sum over files of
+    (max-min)/global_range — lower is tighter layout, more skippable."""
+    df = spark.read.parquet(path).withColumn(
+        "__file", F.input_file_name())
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return df.groupBy("__file").agg(*aggs)

@@ -86,3 +86,28 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     after = len(glob.glob(f"{path}/*.parquet"))
     assert after == n_after and after < 8
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_zorder_write_tightens_file_ranges(spark, sf_dir, tmp_path):
+    """Z-ordered layout: per-file [min,max] spans for BOTH cluster columns
+    must be far tighter than the unsorted layout — what parquet stat-based
+    file skipping depends on."""
+    from dataweb_spark.functions import scale
+
+    df = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey", "l_quantity"))
+    plain, zord = str(tmp_path / "plain"), str(tmp_path / "zord")
+    df.repartition(8).write.parquet(plain)
+    scale.zorder_write(df, zord, ["l_orderkey", "l_partkey"], n_files=8)
+
+    def avg_span(path, col):
+        stats = scale.file_stats(spark, path, [col]).collect()
+        lo = min(r[f"{col}_min"] for r in stats)
+        hi = max(r[f"{col}_max"] for r in stats)
+        return sum((r[f"{col}_max"] - r[f"{col}_min"]) / max(hi - lo, 1)
+                   for r in stats) / len(stats)
+
+    assert spark.read.parquet(zord).count() == df.count()
+    for col in ("l_orderkey", "l_partkey"):
+        tight, loose = avg_span(zord, col), avg_span(plain, col)
+        assert tight < loose * 0.7, (col, tight, loose)
