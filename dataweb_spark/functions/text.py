@@ -308,6 +308,35 @@ def deterministic_sample(df: DataFrame, key_col: str,
     return df.where(bucket < thresh)
 
 
+def corpus_mix(df: DataFrame, key_col: str, stratify_col: str,
+               targets: dict[str, float],
+               out_fraction: float = 1.0) -> DataFrame:
+    """Rebalance a corpus toward target stratum proportions by deterministic
+    down-sampling — the "data mixing" stage of a pre-training pipeline.
+
+    For stratum s with n_s rows out of N total, the kept rate is
+    ``min(1, out_fraction · target_s · N / n_s)`` (strata not in ``targets``
+    drop to 0), quantized to /256 hash buckets so the decision is
+    reproducible across engines and runs. Stratum counts come from one
+    map-side-combined groupBy broadcast back onto the filter — no second
+    pass over the data, no driver-side loop over rows.
+    """
+    n_total = F.broadcast(df.groupBy().agg(F.count("*").alias("_ntot")))
+    per_stratum = F.broadcast(
+        df.groupBy(stratify_col).agg(F.count("*").alias("_ns")))
+    share: Column = F.lit(0.0)
+    for value, frac in sorted(targets.items()):
+        share = F.when(F.col(stratify_col) == value,
+                       F.lit(frac)).otherwise(share)
+    rate = F.least(F.lit(1.0),
+                   out_fraction * share * F.col("_ntot") / F.col("_ns"))
+    # floor(x+0.5): identical half-rounding in Spark and DuckDB oracles
+    thresh = F.floor(rate * 256 + F.lit(0.5)).cast("int")
+    return (df.join(per_stratum, stratify_col).crossJoin(n_total)
+              .where(hash_bucket(key_col, 256) < thresh)
+              .drop("_ns", "_ntot"))
+
+
 def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 3) -> DataFrame:
     """Top-k TF-IDF terms per document.

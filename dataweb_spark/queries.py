@@ -1990,6 +1990,47 @@ order by doc_id
 """)
 
 
+def _corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-proportion corpus mixing (en 50% / fr 30% / de 20% of a 40%
+    budget) via deterministic per-stratum hash sampling."""
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    mixed = T.corpus_mix(spark.table("documents"), "doc_id", "lang",
+                         {"en": 0.5, "fr": 0.3, "de": 0.2},
+                         out_fraction=0.4)
+    return (mixed.groupBy("lang").agg(F.count("*").alias("n_kept"))
+                 .orderBy("lang"))
+
+
+_df("corpus_mix_proportions", _corpus_mix, oracle=rf"""
+with n as (select count(*) as ntot from documents),
+c as (select lang, count(*) as ns from documents group by lang),
+t as (
+  select c.lang, c.ns, n.ntot,
+         case c.lang when 'en' then 0.5 when 'fr' then 0.3
+                     when 'de' then 0.2 else 0.0 end as share
+  from c, n
+), thr as (
+  select lang,
+         cast(floor(least(1.0, 0.4 * share * ntot / ns) * 256 + 0.5) as int)
+             as threshold
+  from t
+), b as (
+  select d.doc_id, d.lang,
+         (list_position({_HEX_LIST},
+             substr(md5(cast(d.doc_id as varchar)), 1, 1)) - 1) * 16
+       + (list_position({_HEX_LIST},
+             substr(md5(cast(d.doc_id as varchar)), 2, 1)) - 1) as bucket
+  from documents d
+)
+select b.lang, count(*) as n_kept
+from b join thr using (lang)
+where b.bucket < thr.threshold
+group by b.lang
+order by b.lang
+""")
+
+
 def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataweb_spark.functions import text as T
     register_views(spark, sf_dir)

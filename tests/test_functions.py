@@ -361,3 +361,28 @@ def test_semantic_dedup_drops_planted_near_identical(spark):
     assert dropped == {100: 0, 101: 1}  # keep-lowest-id, dup_of points at it
     kept = {r["vec_id"] for r in out if not r["is_dup"]}
     assert kept == set(range(20))
+
+
+def test_corpus_mix_hits_target_proportions(spark):
+    df = (spark.range(4000)
+          .withColumn("grp", F.when(F.col("id") % 4 == 0, "a")
+                              .otherwise("b")))  # 25% a, 75% b
+    # ask for a 50/50 mix at 40% budget: a-rate = .4*.5*4000/1000 = 0.8,
+    # b-rate = .4*.5*4000/3000 = 0.267
+    out = text.corpus_mix(df, "id", "grp", {"a": 0.5, "b": 0.5},
+                          out_fraction=0.4)
+    got = {r["grp"]: r["n"] for r in
+           out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["a"] - 800) < 80 and abs(got["b"] - 800) < 80
+    # deterministic: second run identical
+    out2 = text.corpus_mix(df, "id", "grp", {"a": 0.5, "b": 0.5},
+                           out_fraction=0.4)
+    assert sorted(r["id"] for r in out.collect()) == \
+           sorted(r["id"] for r in out2.collect())
+
+
+def test_corpus_mix_unlisted_stratum_dropped(spark):
+    df = spark.range(100).withColumn(
+        "grp", F.when(F.col("id") < 50, "keep").otherwise("drop"))
+    out = text.corpus_mix(df, "id", "grp", {"keep": 1.0}, out_fraction=0.5)
+    assert out.where("grp = 'drop'").count() == 0
