@@ -850,6 +850,41 @@ from supplier
 order by s_suppkey
 """)
 
+# DISTINCT ON (validation.rs:413-422): Spark has no DISTINCT ON; the
+# engine-mode mapping is the row_number-over-partition rewrite. The oracle
+# runs DuckDB's *native* DISTINCT ON (with matching ORDER BY tiebreak) to
+# prove equivalence.
+_dual("distinct_on_rewrite", """
+select c_nationkey, c_custkey, c_acctbal
+from (select c_nationkey, c_custkey, c_acctbal,
+             row_number() over (partition by c_nationkey
+                                order by c_acctbal desc, c_custkey) as rn
+      from customer)
+where rn = 1
+order by c_nationkey
+""", oracle="""
+select distinct on (c_nationkey) c_nationkey, c_custkey, c_acctbal
+from customer
+order by c_nationkey, c_acctbal desc, c_custkey
+""")
+
+# IN UNNEST(<array>) (validation.rs:135-140): Spark's parser lacks IN UNNEST;
+# engine-mode mapping is array_contains. Oracle uses DuckDB's native
+# unnest-subquery form.
+_dual("in_unnest_rewrite", """
+select l_linenumber, count(*) as n
+from lineitem
+where array_contains(array(1, 3, 5), l_linenumber)
+group by l_linenumber
+order by l_linenumber
+""", oracle="""
+select l_linenumber, count(*) as n
+from lineitem
+where l_linenumber in (select unnest([1, 3, 5]))
+group by l_linenumber
+order by l_linenumber
+""")
+
 _dual("recursive_cte_series", """
 with recursive seq(n) as (
   select 1 union all select n + 1 from seq where n < 12
