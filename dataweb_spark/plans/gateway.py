@@ -50,12 +50,18 @@ class QueryGateway:
     # -- engine mode (webengine analog) ---------------------------------
 
     def query(self, sql: str, principal: str | None = None,
-              include_provenance: bool = False) -> DataFrame:
+              include_provenance: bool = False,
+              allow_partial: bool = False) -> DataFrame:
         """Full SQL over entity views; joins across entities allowed.
 
         Before view resolution, the query's per-entity filter conjuncts are
         extracted (Spark's own parser) and used to prune sources whose
-        declared bounds can't match — see ``plans/pruning.py``."""
+        declared bounds can't match — see ``plans/pruning.py``.
+
+        ``allow_partial=True`` applies the reference's peer-failure policy
+        (``flight.rs:273-306``): unreachable/broken sources are skipped and
+        the query answers from the rest; the skip list lands in
+        ``self.last_failures``."""
         entities = validate_sql(self.spark, sql, single_entity=False)
         known = self.web.relay(self.relay_name).entities
         unknown = {e for e in entities if e not in known}
@@ -67,9 +73,12 @@ class QueryGateway:
             e: extract_entity_predicates(self.spark, sql, e)
             for e in entities
         }
+        self.last_failures: list[tuple[str, str, str]] = []
         register_entity_views(self.spark, self.web, self.relay_name, principal,
                               include_provenance=include_provenance,
-                              predicates=predicates)
+                              predicates=predicates,
+                              allow_partial=allow_partial,
+                              failures=self.last_failures)
         return self.spark.sql(sql)
 
     # -- template mode (raw Flight analog) ------------------------------

@@ -148,7 +148,10 @@ def _map_conjuncts_through(rm: RemoteEntityMapping,
 def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
                    entity_name: str, principal: str | None = None,
                    _visited: set[tuple[str, str]] | None = None,
-                   conjuncts: list | None = None) -> DataFrame | None:
+                   conjuncts: list | None = None,
+                   allow_partial: bool = False,
+                   failures: list[tuple[str, str, str]] | None = None
+                   ) -> DataFrame | None:
     """Resolve an entity to the union of all its mapped sources, local and
     remote-recursive. Returns None if this (relay, entity) was already
     visited (cycle) or maps to nothing.
@@ -157,7 +160,14 @@ def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
     source-level pruning: a source whose declared ``bounds`` are provably
     disjoint from the query's predicates is dropped from the union — the
     federation analog of partition pruning (the reference always scans every
-    mapping, ``core/src/execute/mod.rs:98-139``)."""
+    mapping, ``core/src/execute/mod.rs:98-139``).
+
+    ``allow_partial`` replicates the reference's peer-failure policy
+    (failures logged and skipped, partial results proceed —
+    ``flight_server/src/flight.rs:273-306``): a source whose view can't be
+    built (missing path, bad SQL, unreachable engine) is dropped from the
+    union instead of failing the query; ``failures`` (if given) collects
+    ``(relay, source, error)`` for the caller's status surface."""
     from dataweb_spark.plans.pruning import source_can_match
 
     visited = _visited if _visited is not None else set()
@@ -175,11 +185,19 @@ def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
         if (conjuncts and source.bounds
                 and not source_can_match(conjuncts, source.bounds)):
             continue  # provably no matching rows in this source
-        parts.append(build_source_view(spark, relay, source, principal))
+        try:
+            parts.append(build_source_view(spark, relay, source, principal))
+        except Exception as e:  # noqa: BLE001 — partial-failure policy
+            if not allow_partial:
+                raise
+            if failures is not None:
+                failures.append((relay_name, source.name, str(e)))
     for rm in relay.remotes_for_entity(entity_name):
         peer_df = resolve_entity(spark, web, rm.peer, rm.remote_entity,
                                  principal, visited,
-                                 conjuncts=_map_conjuncts_through(rm, conjuncts))
+                                 conjuncts=_map_conjuncts_through(rm, conjuncts),
+                                 allow_partial=allow_partial,
+                                 failures=failures)
         if peer_df is not None:
             parts.append(_apply_remote_mapping(spark, relay, rm, peer_df))
 
@@ -194,18 +212,22 @@ def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
 def register_entity_views(spark: SparkSession, web: Web, relay_name: str,
                           principal: str | None = None,
                           include_provenance: bool = True,
-                          predicates: dict[str, list] | None = None) -> list[str]:
+                          predicates: dict[str, list] | None = None,
+                          allow_partial: bool = False,
+                          failures: list | None = None) -> list[str]:
     """Register every entity of a relay as a temp view for SQL querying —
     the ``register_web_sources`` analog (``webengine/src/register.rs:36-90``).
 
     ``predicates`` maps entity name → pruning conjuncts for that query
-    (see ``resolve_entity``). Returns the list of registered entity names.
+    (see ``resolve_entity``); ``allow_partial``/``failures`` forward the
+    peer-failure policy. Returns the list of registered entity names.
     """
     relay = web.relay(relay_name)
     registered = []
     for entity_name in relay.entities:
         df = resolve_entity(spark, web, relay_name, entity_name, principal,
-                            conjuncts=(predicates or {}).get(entity_name))
+                            conjuncts=(predicates or {}).get(entity_name),
+                            allow_partial=allow_partial, failures=failures)
         if df is None:
             continue
         if not include_provenance:

@@ -1616,6 +1616,21 @@ order by vec_id
 """)
 
 
+def _knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-k (4× IO cut; approx): rows-only check;
+    recall vs float brute force asserted in test_functions.py."""
+    from dataweb_spark.functions import similarity as S
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return (S.quantized_topk(emb, queries, k=5)
+             .orderBy("query_id", "rank"))
+
+
+_df("knn_quantized_int8", _knn_quantized)  # rows-only
+
+
 def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style cluster-then-prune semantic dedup — per-cell summary
     (kept/dropped). Approximate (k-means cells): rows-only check."""

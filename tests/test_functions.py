@@ -386,3 +386,15 @@ def test_corpus_mix_unlisted_stratum_dropped(spark):
         "grp", F.when(F.col("id") < 50, "keep").otherwise("drop"))
     out = text.corpus_mix(df, "id", "grp", {"keep": 1.0}, out_fraction=0.5)
     assert out.where("grp = 'drop'").count() == 0
+
+
+def test_quantized_topk_matches_float_rank1(spark, emb):
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    bf = {r["query_id"]: r["neighbor_id"]
+          for r in similarity.brute_force_topk(emb, queries, k=1).collect()}
+    qz = {r["query_id"]: r["neighbor_id"]
+          for r in similarity.quantized_topk(emb, queries, k=1).collect()}
+    # int8 quantization error must not move rank-1 for most queries
+    agree = sum(1 for q in bf if qz.get(q) == bf[q])
+    assert agree >= 4

@@ -161,3 +161,23 @@ def test_remote_hop_prunes_through_rename(spark, sf_dir):
     eps2 = gw.query_template(
         "select count(*) as n from sales where shipdate < date '1993-06-01'")
     assert [src for _, src, _ in eps2] == ["sales_old", "sales_peer_old"]
+
+
+# -- partial-failure policy (flight.rs:273-306 analog) ----------------------
+
+def test_allow_partial_skips_broken_source(spark, sf_dir):
+    web = _year_web(sf_dir)
+    web.relay("home").add_source(DataSource(
+        name="sales_broken", connection="files", entity="sales",
+        source_sql="select l_shipdate, l_quantity from {table}",
+        mappings=[Mapping("shipdate", "l_shipdate"),
+                  Mapping("qty", "l_quantity")],
+        options={"table": "no_such_file.parquet"}))
+    gw = QueryGateway(spark, web, "home")
+    sql = "select count(*) as n from sales"
+    with pytest.raises(Exception):
+        gw.query(sql)  # strict mode: broken source fails the query
+    n = gw.query(sql, allow_partial=True).collect()[0]["n"]
+    assert n > 0
+    assert [(r, s) for r, s, _ in gw.last_failures] == \
+        [("home", "sales_broken")]
