@@ -45,3 +45,54 @@ def test_yaml_remote_hop(spark, yaml_web, demo_web, sf_dir):
     gy = QueryGateway(spark, yaml_web, "global")
     gp = QueryGateway(spark, demo_web, "global")
     assert gy.query(q).collect() == gp.query(q).collect()
+
+
+def test_yaml_bounds_parse_and_prune(spark, tmp_path, sf_dir):
+    """A YAML-declared bounds block must parse into DataSource.bounds and
+    drive source pruning end-to-end."""
+    d = tmp_path / "web" / "relay_a"
+    d.mkdir(parents=True)
+    (d / "decls.yaml").write_text(f"""
+kind: Entity
+name: sales
+informations:
+  - {{name: shipdate, data_type: date}}
+  - {{name: qty, data_type: double}}
+---
+kind: DataConnection
+name: files
+connection_kind: file
+options: {{path: "{sf_dir}"}}
+---
+kind: DataSource
+name: sales_old
+connection: files
+entity: sales
+source_sql: "select l_shipdate, l_quantity from {{table}} where l_shipdate < date '1996-01-01'"
+mappings:
+  - {{information: shipdate, field: l_shipdate}}
+  - {{information: qty, field: l_quantity}}
+options: {{table: lineitem.parquet}}
+bounds:
+  shipdate: [null, "1995-12-31"]
+---
+kind: DataSource
+name: sales_new
+connection: files
+entity: sales
+source_sql: "select l_shipdate, l_quantity from {{table}} where l_shipdate >= date '1996-01-01'"
+mappings:
+  - {{information: shipdate, field: l_shipdate}}
+  - {{information: qty, field: l_quantity}}
+options: {{table: lineitem.parquet}}
+bounds:
+  shipdate: ["1996-01-01", null]
+""")
+    from dataweb_spark.catalog.loader import load_web_dir
+    web = load_web_dir(str(tmp_path / "web"))
+    assert web.relay("relay_a").sources["sales_old"].bounds == \
+        {"shipdate": (None, "1995-12-31")}
+    gw = QueryGateway(spark, web, "relay_a")
+    eps = gw.query_template(
+        "select count(*) as n from sales where shipdate < date '1995-06-01'")
+    assert [s for _, s, _ in eps] == ["sales_old"]
