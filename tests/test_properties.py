@@ -85,3 +85,44 @@ def test_permission_row_predicate_structure(c1, c2):
     p2 = SourcePermission(c2, "y < 2")
     assert "OR" in p1.union(p2).allowed_rows.upper()
     assert "AND" in p1.intersection(p2).allowed_rows.upper()
+
+
+# -- source-pruning soundness ----------------------------------------------
+# source_can_match may only return False when NO value inside [lo, hi]
+# satisfies the conjunct — otherwise pruning would drop real rows.
+
+ops = st.sampled_from(["=", "<", "<=", ">", ">="])
+ints = st.integers(min_value=-1000, max_value=1000)
+
+
+def _holds(op: str, x: int, v: int) -> bool:
+    return {"=": x == v, "<": x < v, "<=": x <= v,
+            ">": x > v, ">=": x >= v}[op]
+
+
+@given(ints, ints, ints, ops, ints)
+@settings(max_examples=300, deadline=None)
+def test_source_can_match_never_prunes_satisfiable(lo, hi, x, op, v):
+    from dataweb_spark.plans.pruning import source_can_match
+    lo, hi = min(lo, hi), max(lo, hi)
+    can = source_can_match([("c", op, v)], {"c": (lo, hi)})
+    if not can:
+        # pruned -> no x in [lo, hi] may satisfy the predicate
+        for probe in {lo, hi, x if lo <= x <= hi else lo,
+                      max(lo, min(hi, v)),
+                      max(lo, min(hi, v - 1)), max(lo, min(hi, v + 1))}:
+            assert not _holds(op, probe, v), (lo, hi, op, v, probe)
+
+
+@given(ints, ints, ops, ints)
+@settings(max_examples=200, deadline=None)
+def test_source_can_match_open_bounds_sound(lo, op, v, x):
+    from dataweb_spark.plans.pruning import source_can_match
+    # upper-open interval [lo, inf)
+    if not source_can_match([("c", op, v)], {"c": (lo, None)}):
+        probe = max(lo, x, v, v + 1)
+        assert not _holds(op, probe, v)
+    # lower-open interval (-inf, lo]
+    if not source_can_match([("c", op, v)], {"c": (None, lo)}):
+        probe = min(lo, x, v, v - 1)
+        assert not _holds(op, probe, v)
