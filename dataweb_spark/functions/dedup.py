@@ -411,3 +411,44 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                           .alias("cos"))
                  .where(F.col("cos") >= threshold)
                  .select("id_a", "id_b", "cos"))
+
+
+def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", window: int = 32,
+                     stride: int = 1) -> DataFrame:
+    """Cross-document duplicated-span detection — the token-window-hash
+    approximation of exact-substring training-data dedup (Lee et al. 2022
+    use suffix arrays; a ``window``-token rolling hash finds every repeated
+    span of ≥ ``window`` tokens at a fraction of the cost).
+
+    Shape at 100 TB: explode (doc, window_start, md5(window)) — rows ≈
+    tokens/stride per doc, pipelined straight into a map-side-combined
+    groupBy on the window key; repeated keys join back id-keyed. Two
+    shuffles, both on well-distributed hashes. Per-doc output:
+    ``n_windows``, ``n_dup_windows`` (windows whose text recurs anywhere in
+    the corpus, self included), ``dup_frac``.
+
+    Window keys are md5 over the space-joined window so the DuckDB oracle
+    reproduces them byte-for-byte.
+    """
+    from dataweb_spark.functions.text import tokens
+
+    base = (df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+              .withColumn("_n", F.size("_toks"))
+              .where(F.col("_n") >= window))
+    starts = F.sequence(F.lit(0), F.col("_n") - window, F.lit(stride))
+    spans = (base
+             .select(id_col, "_toks", F.explode(starts).alias("_s"))
+             .select(F.col(id_col), F.col("_s"),
+                     F.md5(F.concat_ws(
+                         " ", F.slice("_toks", F.col("_s") + 1, window)))
+                      .alias("_wkey")))
+    counts = spans.groupBy("_wkey").agg(F.count("*").alias("_wc"))
+    return (spans.join(counts, "_wkey")
+                 .groupBy(id_col)
+                 .agg(F.count("*").alias("n_windows"),
+                      F.sum(F.when(F.col("_wc") > 1, 1).otherwise(0))
+                       .alias("n_dup_windows"))
+                 .withColumn("dup_frac",
+                             F.round(F.col("n_dup_windows")
+                                     / F.col("n_windows"), 6)))

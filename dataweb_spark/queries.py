@@ -1616,6 +1616,42 @@ order by vec_id
 """)
 
 
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated 16-token spans (exact-substring dedup signal):
+    docs ranked by duplicated-window fraction."""
+    from dataweb_spark.functions import dedup as D
+    register_views(spark, sf_dir)
+    out = D.duplicated_spans(spark.table("documents"), window=16, stride=1)
+    return (out.where(F.col("n_dup_windows") > 0)
+               .orderBy(F.desc("dup_frac"), "doc_id"))
+
+
+_df("dedup_duplicated_spans", _dup_spans, oracle=r"""
+with t as (
+  select doc_id, string_split_regex(trim(text), '\s+') as toks
+  from documents where length(trim(text)) > 0
+), base as (
+  select doc_id, toks, len(toks) as n from t where len(toks) >= 16
+), spans as (
+  select doc_id,
+         md5(array_to_string(toks[s + 1 : s + 16], ' ')) as wkey
+  from base, unnest(range(0, n - 16 + 1)) as u(s)
+), counts as (
+  select wkey, count(*) as wc from spans group by wkey
+), per_doc as (
+  select doc_id, count(*) as n_windows,
+         sum(case when wc > 1 then 1 else 0 end) as n_dup_windows
+  from spans join counts using (wkey)
+  group by doc_id
+)
+select doc_id, n_windows, n_dup_windows,
+       round(n_dup_windows / cast(n_windows as double), 6) as dup_frac
+from per_doc
+where n_dup_windows > 0
+order by dup_frac desc, doc_id
+""")
+
+
 def _knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized cosine top-k (4× IO cut; approx): rows-only check;
     recall vs float brute force asserted in test_functions.py."""

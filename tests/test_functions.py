@@ -398,3 +398,22 @@ def test_quantized_topk_matches_float_rank1(spark, emb):
     # int8 quantization error must not move rank-1 for most queries
     agree = sum(1 for q in bf if qz.get(q) == bf[q])
     assert agree >= 4
+
+
+def test_duplicated_spans_planted_repeat(spark):
+    boiler = " ".join(f"w{i}" for i in range(16))
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"b{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, boiler + " " + uniq_a),
+         (2, boiler + " " + uniq_b),
+         (3, uniq_a + " tail tokens here")],  # uniq_a repeats doc 1
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            dedup.duplicated_spans(df, window=16).collect()}
+    # docs 1 and 2 share the 16-token boilerplate prefix window
+    assert rows[1]["n_dup_windows"] >= 1 and rows[2]["n_dup_windows"] >= 1
+    # doc 3 shares uniq_a's 16-token windows with doc 1
+    assert rows[3]["n_dup_windows"] >= 1
+    for r in rows.values():
+        assert 0 <= r["dup_frac"] <= 1
