@@ -452,3 +452,44 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
                  .withColumn("dup_frac",
                              F.round(F.col("n_dup_windows")
                                      / F.col("n_windows"), 6)))
+
+
+def contamination_check(corpus: DataFrame, evalset: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        window: int = 16) -> DataFrame:
+    """Benchmark-decontamination scan: which corpus documents contain a
+    ``window``-token span that also appears in the eval set.
+
+    Same window-hash shape as :func:`duplicated_spans`, but the join is a
+    semi-style inner join against the (small) eval side's distinct keys —
+    broadcastable for any real eval suite, so the corpus side adds ONE
+    map-side stage and one groupBy on ``id_col``; corpus spans never
+    self-shuffle. Output per contaminated corpus doc: window counts, the
+    contaminated fraction, and how many distinct eval docs were hit.
+    """
+    from dataweb_spark.functions.text import tokens
+
+    def spans(df: DataFrame, out_id: str) -> DataFrame:
+        base = (df.select(F.col(id_col).alias(out_id),
+                          tokens(text_col).alias("_toks"))
+                  .withColumn("_n", F.size("_toks"))
+                  .where(F.col("_n") >= window))
+        starts = F.sequence(F.lit(0), F.col("_n") - window, F.lit(1))
+        return (base
+                .select(out_id, "_toks", F.explode(starts).alias("_s"))
+                .select(F.col(out_id),
+                        F.md5(F.concat_ws(
+                            " ", F.slice("_toks", F.col("_s") + 1, window)))
+                         .alias("_wkey")))
+
+    c_spans = spans(corpus, id_col)
+    e_keys = spans(evalset, "_eval_id").distinct()
+    n_windows = c_spans.groupBy(id_col).agg(F.count("*").alias("n_windows"))
+    hits = (c_spans.join(F.broadcast(e_keys), "_wkey")
+                   .groupBy(id_col)
+                   .agg(F.count("*").alias("n_contaminated"),
+                        F.count_distinct("_eval_id").alias("n_eval_docs_hit")))
+    return (n_windows.join(hits, id_col)
+            .withColumn("contaminated_frac",
+                        F.round(F.col("n_contaminated")
+                                / F.col("n_windows"), 6)))

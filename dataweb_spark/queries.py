@@ -1652,6 +1652,47 @@ order by dup_frac desc, doc_id
 """)
 
 
+def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: corpus docs (doc_id % 10 != 0) sharing any
+    16-token span with the held-out eval split (doc_id % 10 = 0)."""
+    from dataweb_spark.functions import dedup as D
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    corpus = docs.where("doc_id % 10 != 0")
+    evalset = docs.where("doc_id % 10 = 0")
+    return (D.contamination_check(corpus, evalset, window=16)
+             .orderBy(F.desc("contaminated_frac"), "doc_id"))
+
+
+_df("dedup_contamination_check", _contamination, oracle=r"""
+with t as (
+  select doc_id, string_split_regex(trim(text), '\s+') as toks
+  from documents where length(trim(text)) > 0
+), base as (
+  select doc_id, toks, len(toks) as n from t where len(toks) >= 16
+), spans as (
+  select doc_id,
+         md5(array_to_string(toks[s + 1 : s + 16], ' ')) as wkey
+  from base, unnest(range(0, n - 16 + 1)) as u(s)
+), c_spans as (select * from spans where doc_id % 10 != 0),
+e_keys as (
+  select distinct doc_id as eval_id, wkey from spans where doc_id % 10 = 0
+), nw as (
+  select doc_id, count(*) as n_windows from c_spans group by doc_id
+), hits as (
+  select c.doc_id, count(*) as n_contaminated,
+         count(distinct e.eval_id) as n_eval_docs_hit
+  from c_spans c join e_keys e using (wkey)
+  group by c.doc_id
+)
+select nw.doc_id, nw.n_windows, hits.n_contaminated, hits.n_eval_docs_hit,
+       round(hits.n_contaminated / cast(nw.n_windows as double), 6)
+           as contaminated_frac
+from nw join hits using (doc_id)
+order by contaminated_frac desc, doc_id
+""")
+
+
 def _knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized cosine top-k (4× IO cut; approx): rows-only check;
     recall vs float brute force asserted in test_functions.py."""

@@ -417,3 +417,18 @@ def test_duplicated_spans_planted_repeat(spark):
     assert rows[3]["n_dup_windows"] >= 1
     for r in rows.values():
         assert 0 <= r["dup_frac"] <= 1
+
+
+def test_contamination_check_planted_leak(spark):
+    eval_text = " ".join(f"e{i}" for i in range(16))
+    clean = " ".join(f"c{i}" for i in range(30))
+    leaked = clean + " " + eval_text  # contains the eval span verbatim
+    corpus = spark.createDataFrame(
+        [(1, leaked), (2, clean + " more clean tokens here")],
+        ["doc_id", "text"])
+    evalset = spark.createDataFrame([(100, eval_text)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            dedup.contamination_check(corpus, evalset).collect()}
+    assert 1 in rows and rows[1]["n_contaminated"] >= 1
+    assert rows[1]["n_eval_docs_hit"] == 1
+    assert 2 not in rows  # clean doc absent from the report
