@@ -56,6 +56,8 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "embedding_quantize_int8",
     "fed_source_pruning",
+    "dedup_duplicated_spans",
+    "dedup_contamination_check",
 ]
 
 
