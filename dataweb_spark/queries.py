@@ -2225,6 +2225,39 @@ order by hour_ts, event_type
 """)
 
 
+def _streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1h/30min sliding-window rollup drained with availableNow;
+    append mode emits windows closed before the final watermark. Oracle:
+    each event belongs to the two 30-min-aligned windows covering it."""
+    import tempfile
+
+    from dataweb_spark.streaming import events as E
+    stream = E.read_event_stream(spark, sf_dir)
+    cp = tempfile.mkdtemp(prefix="dw_cp_slide_")
+    out = E.run_available_now(E.sliding_rollup(stream), cp)
+    return out.orderBy("win_start", "event_type")
+
+
+_df("streaming_sliding_rollup", _streaming_sliding, oracle="""
+with w as (
+  select e.event_type, e.ts,
+         time_bucket(interval 30 minute, e.ts)
+           - u.k * interval 30 minute as win_start
+  from events e, unnest(range(0, 2)) as u(k)
+), agg as (
+  select win_start, win_start + interval 1 hour as win_end,
+         event_type, count(*) as n
+  from w
+  where ts >= win_start and ts < win_start + interval 1 hour
+  group by win_start, event_type
+), mx as (select max(ts) as m from events)
+select a.win_start, a.win_end, a.event_type, a.n
+from agg a, mx
+where a.win_end <= m - interval 2 hour
+order by win_start, event_type
+""")
+
+
 def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest dedup: the event stream unioned with itself (every
     record twice) must come out exactly once through
