@@ -103,10 +103,43 @@ def _relations_under(jplan) -> set[str]:
     return rels
 
 
+# Nodes that may sit between a Filter and the base relation without
+# renaming, deriving, or aggregating columns. Anything else (Project with
+# aliases, Aggregate, Window, Distinct, ...) can expose a column whose NAME
+# matches a base column but whose VALUE is derived — e.g.
+# ``select * from (select max(shipdate) as shipdate from sales) where
+# shipdate < X`` — and pruning on it would be unsound.
+_TRANSPARENT_NODES = {"Filter", "SubqueryAlias", "UnresolvedRelation",
+                      "GlobalLimit", "LocalLimit"}
+
+
+def _filter_sees_base_columns(jfilter, entity: str) -> bool:
+    """True when every path from this Filter down to the scan passes only
+    through column-preserving nodes and ends at exactly ``entity``."""
+    rels: set[str] = set()
+    ch = jfilter.children()
+    stack = [ch.apply(i) for i in range(ch.size())]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name == "UnresolvedRelation":
+            parts = node.multipartIdentifier()
+            rels.add(str(parts.apply(parts.size() - 1)).lower())
+            continue
+        if name not in _TRANSPARENT_NODES:
+            return False
+        sub = node.children()
+        for i in range(sub.size()):
+            stack.append(sub.apply(i))
+    return rels == {entity.lower()}
+
+
 def extract_entity_predicates(spark: SparkSession, sql: str,
                               entity: str) -> list[Conjunct]:
     """Conjunctive ``col op literal`` predicates the query applies to
-    ``entity``, from Filter nodes scoped to that single relation."""
+    ``entity``, harvested only from Filter nodes whose child subtree is the
+    plain relation (no Aggregate/Project/Window in between) so every
+    referenced attribute is a base-table column."""
     try:
         jplan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
     except Exception:
@@ -116,7 +149,7 @@ def extract_entity_predicates(spark: SparkSession, sql: str,
     while stack:
         node = stack.pop()
         if (node.getClass().getSimpleName() == "Filter"
-                and _relations_under(node) == {entity.lower()}):
+                and _filter_sees_base_columns(node, entity)):
             _conjuncts_from_condition(node.condition(), out)
         ch = node.children()
         for i in range(ch.size()):

@@ -86,6 +86,40 @@ def test_extract_ignores_or_trees(spark):
     assert cj == []  # disjunction can't prune either source
 
 
+def test_extract_ignores_derived_columns(spark):
+    """A filter above an aggregate/projection must NOT be harvested even
+    when the derived column's name shadows a base column — pruning on
+    ``max(shipdate) as shipdate`` would silently drop sources the aggregate
+    depends on (r1 ADVICE, pruning.py)."""
+    cj = extract_entity_predicates(
+        spark,
+        "select * from (select max(shipdate) as shipdate from sales) "
+        "where shipdate < date '1995-01-01'", "sales")
+    assert cj == []
+    # renamed column: commitdate aliased to shipdate
+    cj2 = extract_entity_predicates(
+        spark,
+        "select * from (select qty as shipdate from sales) "
+        "where shipdate < date '1995-01-01'", "sales")
+    assert cj2 == []
+    # plain select-list projection between filter and relation (HAVING-like
+    # outer filter) — also derived scope, not harvested
+    cj3 = extract_entity_predicates(
+        spark,
+        "select * from (select shipdate, qty from sales) "
+        "where shipdate < date '1995-01-01'", "sales")
+    assert cj3 == []
+
+
+def test_extract_allows_alias_and_nested_filter(spark):
+    """Transparent wrappers (table alias, stacked WHERE) still harvest."""
+    cj = extract_entity_predicates(
+        spark,
+        "select qty from sales s where s.shipdate >= date '1996-06-01'",
+        "sales")
+    assert ("shipdate", ">=", datetime.date(1996, 6, 1)) in cj
+
+
 def test_extract_scopes_to_single_relation(spark):
     cj = extract_entity_predicates(
         spark,
