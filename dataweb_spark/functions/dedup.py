@@ -485,11 +485,20 @@ def contamination_check(corpus: DataFrame, evalset: DataFrame,
     c_spans = spans(corpus, id_col)
     e_keys = spans(evalset, "_eval_id").distinct()
     n_windows = c_spans.groupBy(id_col).agg(F.count("*").alias("n_windows"))
-    hits = (c_spans.join(F.broadcast(e_keys), "_wkey")
+    # n_contaminated counts the corpus doc's own window positions that leak
+    # — join against distinct eval KEYS, not (eval_doc, key) pairs, so a
+    # window shared by N eval docs still counts once and
+    # contaminated_frac stays ≤ 1 (r1 ADVICE). The per-eval-doc join
+    # survives only for n_eval_docs_hit.
+    hits = (c_spans.join(F.broadcast(e_keys.select("_wkey").distinct()),
+                         "_wkey")
                    .groupBy(id_col)
-                   .agg(F.count("*").alias("n_contaminated"),
-                        F.count_distinct("_eval_id").alias("n_eval_docs_hit")))
-    return (n_windows.join(hits, id_col)
+                   .agg(F.count("*").alias("n_contaminated")))
+    doc_hits = (c_spans.join(F.broadcast(e_keys), "_wkey")
+                       .groupBy(id_col)
+                       .agg(F.count_distinct("_eval_id")
+                             .alias("n_eval_docs_hit")))
+    return (n_windows.join(hits, id_col).join(doc_hits, id_col)
             .withColumn("contaminated_frac",
                         F.round(F.col("n_contaminated")
                                 / F.col("n_windows"), 6)))

@@ -112,9 +112,29 @@ def compact_parquet(spark, path: str, target_file_mb: int = 256,
     writer.parquet(tmp)
 
     bak = path.rstrip("/") + ".compact.bak"
-    fs.rename(jpath, jvm.org.apache.hadoop.fs.Path(bak))
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(bak), True)
+    jbak = jvm.org.apache.hadoop.fs.Path(bak)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    # Hadoop FS rename signals failure by returning false (stale target from
+    # a crashed prior run, cross-dir issues) — never delete anything until
+    # the swap is proven: the new data must be at `path` and read back.
+    if fs.exists(jbak):
+        raise IOError(f"stale backup {bak} exists — resolve it first "
+                      "(previous compaction may have failed mid-swap)")
+    if not fs.rename(jpath, jbak):
+        raise IOError(f"could not move {path} aside to {bak}; "
+                      "original left untouched")
+    if not fs.rename(jtmp, jpath):
+        # roll back: put the original data back in place
+        fs.rename(jbak, jpath)
+        raise IOError(f"could not move compacted data into {path}; "
+                      "original restored")
+    try:
+        spark.read.parquet(path).schema  # read-back sanity before discard
+    except Exception:
+        fs.delete(jpath, True)
+        fs.rename(jbak, jpath)
+        raise
+    fs.delete(jbak, True)
     out = [f for f in fs.listStatus(jpath)
            if f.getPath().getName().endswith(".parquet")]
     return len(out)

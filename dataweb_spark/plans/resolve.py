@@ -31,6 +31,7 @@ partial aggregation pushed below the union by Catalyst.
 
 from __future__ import annotations
 
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,11 +51,21 @@ PROVENANCE_RELAY = "_source_relay_"
 PROVENANCE_SOURCE = "_source_id_"
 
 
-def _apply_permission(df: DataFrame, perm: SourcePermission) -> DataFrame:
-    """``SELECT <allowed_columns> FROM (src) WHERE <allowed_rows>`` —
-    ``map_local.rs:40-76`` (golden nesting at ``:150-202``)."""
+def _apply_permission(df: DataFrame, perm: SourcePermission,
+                      allowed_paths: frozenset[str]) -> DataFrame:
+    """``SELECT <allowed columns> FROM (src) WHERE <allowed_rows>`` —
+    ``map_local.rs:40-76`` (golden nesting at ``:150-202``).
+
+    The projection keeps every physical column an allowed *path* reads —
+    for a nested/expression path (``meta.width``, ``get_json_object(...)``)
+    that is the underlying root column, so the later mapped expression can
+    still resolve. Extra struct members never leak: the entity select list
+    below only ever emits mapped expressions."""
     out = df.where(F.expr(perm.allowed_rows))
-    keep = [c for c in df.columns if c in perm.allowed_columns]
+    toks: set[str] = set()
+    for p in allowed_paths:
+        toks |= set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", p))
+    keep = [c for c in df.columns if c in allowed_paths or c in toks]
     return out.select(*keep)
 
 
@@ -68,8 +79,12 @@ def build_source_view(spark: SparkSession, relay: RelayCatalog,
     if source.default_permission is not None or source.user_permissions:
         user_perm = source.user_permissions.get(principal) if principal else None
         perm = effective_permission(source.default_permission, user_perm, None)
-        df = _apply_permission(df, perm)
-        allowed = perm.allowed_columns
+        # Resolve grants to DataField.path (reference checks the *path*,
+        # ``apply_info_substitutions``): a grant naming a field whose path
+        # differs (nested/JSON-path fields) must authorize that path, and
+        # the projection and the mapping-usability test must agree on it.
+        allowed = frozenset(source.field_path(c) for c in perm.allowed_columns)
+        df = _apply_permission(df, perm, allowed)
     else:
         allowed = None  # unguarded source: everything allowed
 
@@ -80,11 +95,13 @@ def build_source_view(spark: SparkSession, relay: RelayCatalog,
         col = None
         if m is not None:
             path = source.field_path(m.field)
-            # A mapping is usable only if its physical column survived the
+            root = path.split(".")[0]
+            # A mapping is usable only if its physical path survived the
             # permission projection (permission-denied info → NULL,
             # ``parse_utils.rs:211-217``).
-            if (allowed is None or m.field in allowed) and (
-                    path in available or path not in source.physical_columns()):
+            if (allowed is None or path in allowed) and (
+                    path in available or root in available
+                    or path not in source.physical_columns()):
                 col = F.expr(m.transformation.apply(path))
         if col is None:
             col = F.lit(None)

@@ -1682,16 +1682,22 @@ e_keys as (
   select distinct doc_id as eval_id, wkey from spans where doc_id % 10 = 0
 ), nw as (
   select doc_id, count(*) as n_windows from c_spans group by doc_id
+), ew as (
+  select distinct wkey from e_keys
 ), hits as (
-  select c.doc_id, count(*) as n_contaminated,
-         count(distinct e.eval_id) as n_eval_docs_hit
+  select doc_id, count(*) as n_contaminated
+  from c_spans join ew using (wkey)
+  group by doc_id
+), doc_hits as (
+  select c.doc_id, count(distinct e.eval_id) as n_eval_docs_hit
   from c_spans c join e_keys e using (wkey)
   group by c.doc_id
 )
-select nw.doc_id, nw.n_windows, hits.n_contaminated, hits.n_eval_docs_hit,
+select nw.doc_id, nw.n_windows, hits.n_contaminated,
+       doc_hits.n_eval_docs_hit,
        round(hits.n_contaminated / cast(nw.n_windows as double), 6)
            as contaminated_frac
-from nw join hits using (doc_id)
+from nw join hits using (doc_id) join doc_hits using (doc_id)
 order by contaminated_frac desc, doc_id
 """)
 

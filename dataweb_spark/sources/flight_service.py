@@ -102,7 +102,10 @@ class RelayFlightServer(flight.FlightServerBase):
     def do_get(self, context, ticket):
         info = json.loads(ticket.ticket.decode("utf-8"))
         with self._lock:
-            df = self._tasks.get(info["task_id"])
+            # Tickets are single-use in the reference protocol
+            # (``flight.rs:449-460``) — pop so a long-lived server doesn't
+            # retain one analyzed plan per endpoint per query forever.
+            df = self._tasks.pop(info["task_id"], None)
         if df is None:
             raise flight.FlightServerError(f"unknown task {info['task_id']}")
         table = df.toArrow()

@@ -432,3 +432,17 @@ def test_contamination_check_planted_leak(spark):
     assert 1 in rows and rows[1]["n_contaminated"] >= 1
     assert rows[1]["n_eval_docs_hit"] == 1
     assert 2 not in rows  # clean doc absent from the report
+
+
+def test_contamination_frac_bounded_with_duplicate_eval_docs(spark):
+    """A corpus window present in N eval docs counts once toward
+    n_contaminated — contaminated_frac must stay ≤ 1 (r1 ADVICE)."""
+    eval_text = " ".join(f"e{i}" for i in range(16))
+    corpus = spark.createDataFrame([(1, eval_text)], ["doc_id", "text"])
+    evalset = spark.createDataFrame(
+        [(100, eval_text), (101, eval_text), (102, eval_text)],
+        ["doc_id", "text"])
+    r = dedup.contamination_check(corpus, evalset).collect()[0]
+    assert r["n_contaminated"] == 1  # one window, counted once not thrice
+    assert r["n_eval_docs_hit"] == 3
+    assert r["contaminated_frac"] == 1.0

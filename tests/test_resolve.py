@@ -66,6 +66,43 @@ def test_permission_denied_column_is_null(spark, demo_web):
     assert csv2.where(F.col("orderkey").isNull()).count() == 0
 
 
+def test_permission_with_nested_field_path(spark, tmp_path):
+    """Grants resolve against DataField.path (reference
+    ``apply_info_substitutions``): a field named ``w`` with path
+    ``meta.width`` must survive the permission projection when granted,
+    and NULL out when denied — name≠path fields previously failed the
+    projection even when allowed (r1 ADVICE, model.py/resolve.py)."""
+    from dataweb_spark.catalog.model import SourcePermission
+
+    src_df = spark.createDataFrame(
+        [(1, (10, 20)), (2, (30, 40))],
+        "id int, meta struct<width:int,height:int>")
+    src_df.write.mode("overwrite").parquet(str(tmp_path / "m.parquet"))
+    relay = RelayCatalog(name="home")
+    relay.add_entity(Entity("media", [Information("mid", "int"),
+                                      Information("width", "int"),
+                                      Information("height", "int")]))
+    relay.add_connection(
+        DataConnection("files", "file", {"path": str(tmp_path)}))
+    relay.add_source(DataSource(
+        name="media_src", connection="files", entity="media",
+        source_sql="select * from {table}",
+        fields=[DataField("id", "id"),
+                DataField("w", "meta.width"),
+                DataField("h", "meta.height")],
+        mappings=[Mapping("mid", "id"), Mapping("width", "w"),
+                  Mapping("height", "h")],
+        options={"table": "m.parquet"},
+        default_permission=SourcePermission(frozenset({"id", "w"}), "true"),
+    ))
+    web = Web()
+    web.add_relay(relay)
+    rows = {r["mid"]: r for r in
+            resolve_entity(spark, web, "home", "media").collect()}
+    assert rows[1]["width"] == 10 and rows[2]["width"] == 30
+    assert rows[1]["height"] is None  # h not granted -> NULL-padded
+
+
 def test_transformation_values(spark, demo_web, lineitem_raw):
     """discount_percent must equal l_discount * 100 ((orderkey, linenumber)
     is not unique in the synthetic data, so compare via aggregates)."""

@@ -88,6 +88,25 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == n_rows
 
 
+def test_compact_parquet_refuses_stale_backup(spark, sf_dir, tmp_path):
+    """A leftover .compact.bak from a crashed run must abort the swap
+    before anything is moved or deleted (r1 ADVICE, scale.py)."""
+    from dataweb_spark.functions.scale import compact_parquet
+    import os
+
+    import pytest
+
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    path = str(tmp_path / "ds")
+    src.write.parquet(path)
+    os.makedirs(path + ".compact.bak")
+    n_rows = src.count()
+    with pytest.raises(IOError, match="stale backup"):
+        compact_parquet(spark, path, target_file_mb=256)
+    # original untouched
+    assert spark.read.parquet(path).count() == n_rows
+
+
 def test_zorder_write_tightens_file_ranges(spark, sf_dir, tmp_path):
     """Z-ordered layout: per-file [min,max] spans for BOTH cluster columns
     must be far tighter than the unsorted layout — what parquet stat-based
