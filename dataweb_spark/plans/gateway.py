@@ -78,7 +78,8 @@ class QueryGateway:
                               include_provenance=include_provenance,
                               predicates=predicates,
                               allow_partial=allow_partial,
-                              failures=self.last_failures)
+                              failures=self.last_failures,
+                              only=set(entities))
         return self.spark.sql(sql)
 
     # -- template mode (raw Flight analog) ------------------------------

@@ -231,17 +231,23 @@ def register_entity_views(spark: SparkSession, web: Web, relay_name: str,
                           include_provenance: bool = True,
                           predicates: dict[str, list] | None = None,
                           allow_partial: bool = False,
-                          failures: list | None = None) -> list[str]:
+                          failures: list | None = None,
+                          only: set[str] | None = None) -> list[str]:
     """Register every entity of a relay as a temp view for SQL querying —
     the ``register_web_sources`` analog (``webengine/src/register.rs:36-90``).
 
     ``predicates`` maps entity name → pruning conjuncts for that query
     (see ``resolve_entity``); ``allow_partial``/``failures`` forward the
-    peer-failure policy. Returns the list of registered entity names.
+    peer-failure policy. ``only`` restricts registration to the entities a
+    query actually references — on a catalog with hundreds of entities,
+    resolving all of them per call is pure planning latency. Returns the
+    list of registered entity names.
     """
     relay = web.relay(relay_name)
     registered = []
     for entity_name in relay.entities:
+        if only is not None and entity_name not in only:
+            continue
         df = resolve_entity(spark, web, relay_name, entity_name, principal,
                             conjuncts=(predicates or {}).get(entity_name),
                             allow_partial=allow_partial, failures=failures)

@@ -1252,6 +1252,104 @@ order by ship_year
 """)
 
 
+# -- two-process federation over real gRPC ----------------------------------
+# A SEPARATE python/JVM process serves the demo na_us relay via Arrow Flight
+# (tools/run_flight_relay.py); the local "edge" relay maps its lineitem
+# entity onto that peer through a `flight` connection. Closes the reference's
+# process/network boundary (relay→relay get_flight_info fan-out,
+# flight_server/src/flight.rs:237-309; deploy/compose.yaml topology), with
+# handshake-token auth (pki/mod.rs:12-25 analog) instead of trusted strings.
+
+_PEER_TOKENS = {"edge-relay-token": "reader"}
+_FLIGHT_PEERS: dict[str, tuple] = {}
+
+
+def _flight_peer_port(sf_dir: str) -> int:
+    """Spawn (once per sf_dir, cached) the peer-relay subprocess; return
+    its Flight port."""
+    import atexit
+    import json as _json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    ent = _FLIGHT_PEERS.get(sf_dir)
+    if ent is not None and ent[0].poll() is None:
+        return ent[1]
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "run_flight_relay.py")
+    proc = subprocess.Popen(
+        [sys.executable, script, sf_dir, _json.dumps(_PEER_TOKENS)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+    port = None
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        if not line:
+            if proc.poll() is not None:
+                raise RuntimeError("flight peer process died during startup")
+            time.sleep(0.2)
+            continue
+        if line.startswith("PORT "):
+            port = int(line.split()[1])
+            break
+    if port is None:
+        proc.kill()
+        raise RuntimeError("flight peer startup timed out")
+    _FLIGHT_PEERS[sf_dir] = (proc, port)
+    atexit.register(proc.kill)
+    return port
+
+
+def _fed_flight_two_process(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge relay federating lineitem rows from a peer relay that lives in
+    another process, over authenticated gRPC. The peer applies ITS OWN
+    mapping + permission algebra (default principal — the handshake token
+    maps to an unprivileged user), so the oracle is the same mapped-union
+    SQL as fed_lineitem_q1."""
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Mapping, RelayCatalog, Web,
+    )
+    from dataweb_spark.demo import LINEITEM_INFOS
+    from dataweb_spark.plans.gateway import QueryGateway
+
+    port = _flight_peer_port(sf_dir)
+    edge = RelayCatalog(name="edge")
+    edge.add_entity(Entity("lineitem", list(LINEITEM_INFOS)))
+    edge.add_connection(DataConnection(
+        "peer_flight", "flight",
+        {"port": str(port), "token": "edge-relay-token"}))
+    edge.add_source(DataSource(
+        name="lineitem_peer", connection="peer_flight", entity="lineitem",
+        source_sql="select * from {table}",
+        mappings=[Mapping(i.name, i.name) for i in LINEITEM_INFOS],
+        options={"entity": "lineitem", "mode": "engine"}))
+    web = Web()
+    web.add_relay(edge)
+    gw = QueryGateway(spark, web, "edge")
+    return gw.query("""
+        select returnflag, count(*) as n,
+               round(sum(quantity), 2) as sum_qty,
+               count(orderkey) as n_orderkey
+        from lineitem
+        group by returnflag
+        order by returnflag
+    """)
+
+
+_df("fed_flight_two_process", _fed_flight_two_process,
+    oracle=_FED_VIEW_DEFAULT + """
+select returnflag, count(*) as n,
+       round(sum(quantity), 2) as sum_qty,
+       count(orderkey) as n_orderkey
+from entity_lineitem
+group by returnflag
+order by returnflag
+""")
+
+
 # ===========================================================================
 # LLM-pipeline operators
 # ===========================================================================
@@ -2427,8 +2525,8 @@ _DRIVER_WINDOW = [
     "higher_order_array_funcs",
     "any_all_minmax_rewrite",
     "distinct_on_rewrite",
-    "in_unnest_rewrite",
-    # federation layer (11)
+    # federation layer (12, incl. the two-process gRPC hop)
+    "fed_flight_two_process",
     "fed_lineitem_count",
     "fed_lineitem_q1",
     "fed_lineitem_q1_all_access",

@@ -41,18 +41,72 @@ from dataweb_spark.plans.resolve import resolve_entity
 from dataweb_spark.plans.validation import ValidationError
 
 
+class _TokenServerAuthHandler(flight.ServerAuthHandler):
+    """Handshake-token authentication: token → principal.
+
+    The reference derives principals from mTLS x509 fingerprints
+    (``core/src/pki/mod.rs:12-25``, ``core/src/model/user.rs:17-28``); the
+    in-container analog is a pre-shared token map. After the handshake every
+    call carries the token and ``context.peer_identity()`` returns the
+    mapped principal — the request JSON can no longer spoof one."""
+
+    def __init__(self, tokens: dict[str, str]):
+        super().__init__()
+        self._tokens = dict(tokens)
+
+    def authenticate(self, outgoing, incoming):
+        token = incoming.read().decode("utf-8")
+        if token not in self._tokens:
+            raise flight.FlightUnauthenticatedError("unknown token")
+        outgoing.write(token.encode("utf-8"))
+
+    def is_valid(self, token):
+        t = token.decode("utf-8") if isinstance(token, bytes) else str(token)
+        if t not in self._tokens:
+            raise flight.FlightUnauthenticatedError("invalid or missing token")
+        return self._tokens[t].encode("utf-8")
+
+
+class _TokenClientAuth(flight.ClientAuthHandler):
+    def __init__(self, token: str):
+        super().__init__()
+        self._token = token.encode("utf-8")
+
+    def authenticate(self, outgoing, incoming):
+        outgoing.write(self._token)
+        self._token = incoming.read()
+
+    def get_token(self):
+        return self._token
+
+
 class RelayFlightServer(flight.FlightServerBase):
-    """One relay's Flight surface. Start with ``serve_in_background``."""
+    """One relay's Flight surface. Start with ``serve_in_background``.
+
+    ``tokens`` (token → principal) turns on handshake authentication: the
+    effective principal is the handshake identity, request-JSON principals
+    are ignored, and ``do_get`` re-checks that the caller is the principal
+    the task was planned for (origin-user re-check,
+    ``flight_server/src/flight.rs:396-447``). Without ``tokens`` the server
+    trusts the request principal — dev mode only."""
 
     def __init__(self, spark: SparkSession, web: Web, relay_name: str,
-                 location: str = "grpc://127.0.0.1:0"):
-        super().__init__(location)
+                 location: str = "grpc://127.0.0.1:0",
+                 tokens: dict[str, str] | None = None):
+        auth = _TokenServerAuthHandler(tokens) if tokens else None
+        super().__init__(location, auth_handler=auth)
         self.spark = spark
         self.web = web
         self.relay_name = relay_name
         self.gateway = QueryGateway(spark, web, relay_name)
-        self._tasks: dict[str, object] = {}   # ticket id → DataFrame
+        self._authed = tokens is not None
+        self._tasks: dict[str, tuple] = {}   # ticket id → (df, principal)
         self._lock = threading.Lock()
+
+    def _principal(self, context, requested: str | None) -> str | None:
+        if not self._authed:
+            return requested
+        return context.peer_identity().decode("utf-8")
 
     # -- catalog listing (flight.rs:471-494) ------------------------------
 
@@ -72,7 +126,7 @@ class RelayFlightServer(flight.FlightServerBase):
     def get_flight_info(self, context, descriptor):
         req = json.loads(descriptor.command.decode("utf-8"))
         sql = req["sql"]
-        principal = req.get("principal")
+        principal = self._principal(context, req.get("principal"))
         mode = req.get("mode", "template")
         try:
             if mode == "engine":
@@ -88,7 +142,7 @@ class RelayFlightServer(flight.FlightServerBase):
         with self._lock:
             for relay, source, df in parts:
                 task_id = uuid.uuid4().hex
-                self._tasks[task_id] = df
+                self._tasks[task_id] = (df, principal)
                 ticket = flight.Ticket(json.dumps(
                     {"task_id": task_id, "relay": relay,
                      "source": source}).encode("utf-8"))
@@ -105,9 +159,17 @@ class RelayFlightServer(flight.FlightServerBase):
             # Tickets are single-use in the reference protocol
             # (``flight.rs:449-460``) — pop so a long-lived server doesn't
             # retain one analyzed plan per endpoint per query forever.
-            df = self._tasks.pop(info["task_id"], None)
-        if df is None:
+            task = self._tasks.pop(info["task_id"], None)
+        if task is None:
             raise flight.FlightServerError(f"unknown task {info['task_id']}")
+        df, owner = task
+        if self._authed:
+            caller = context.peer_identity().decode("utf-8")
+            if caller != owner:
+                # origin-user re-check (flight.rs:396-447): a ticket planned
+                # for one principal cannot be redeemed by another.
+                raise flight.FlightUnauthorizedError(
+                    f"task belongs to principal {owner!r}")
         table = df.toArrow()
         return flight.RecordBatchStream(table)
 
@@ -118,11 +180,12 @@ def _to_arrow_schema(df) -> pa.Schema:
     return to_arrow_schema(df.schema)
 
 
-def serve_in_background(spark: SparkSession, web: Web, relay_name: str
+def serve_in_background(spark: SparkSession, web: Web, relay_name: str,
+                        tokens: dict[str, str] | None = None
                         ) -> RelayFlightServer:
     """Start the server on an ephemeral port; returns the running server
     (``server.port`` for clients; ``server.shutdown()`` to stop)."""
-    server = RelayFlightServer(spark, web, relay_name)
+    server = RelayFlightServer(spark, web, relay_name, tokens=tokens)
     t = threading.Thread(target=server.serve, daemon=True)
     t.start()
     return server
@@ -130,13 +193,23 @@ def serve_in_background(spark: SparkSession, web: Web, relay_name: str
 
 # -- client helpers (test/flight_utils.py analog) -------------------------
 
+def _connect(host: str, port: int, token: str | None) -> flight.FlightClient:
+    client = flight.connect(f"grpc://{host}:{port}")
+    if token is not None:
+        client.authenticate(_TokenClientAuth(token))
+    return client
+
+
 def flight_query(port: int, sql: str, principal: str | None = None,
-                 mode: str = "template") -> pa.Table:
+                 mode: str = "template", host: str = "127.0.0.1",
+                 token: str | None = None) -> pa.Table:
     """2-step client: get_flight_info → do_get every endpoint → concat.
 
     The concat of per-source streams is exactly what the reference's test
-    client does (``flight_utils.py:66-75``)."""
-    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    client does (``flight_utils.py:66-75``). With ``token`` the client
+    authenticates first and the server derives the principal from the
+    handshake, ignoring ``principal``."""
+    client = _connect(host, port, token)
     cmd = json.dumps({"sql": sql, "principal": principal,
                       "mode": mode}).encode("utf-8")
     info = client.get_flight_info(flight.FlightDescriptor.for_command(cmd))
@@ -147,7 +220,8 @@ def flight_query(port: int, sql: str, principal: str | None = None,
     return pa.concat_tables(tables, promote_options="default")
 
 
-def flight_list_entities(port: int) -> dict[str, pa.Schema]:
-    client = flight.connect(f"grpc://127.0.0.1:{port}")
+def flight_list_entities(port: int, host: str = "127.0.0.1",
+                         token: str | None = None) -> dict[str, pa.Schema]:
+    client = _connect(host, port, token)
     return {fi.descriptor.path[0].decode("utf-8"): fi.schema
             for fi in client.list_flights()}

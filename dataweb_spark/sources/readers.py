@@ -44,6 +44,28 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
         return reader.format(fmt).load(path)
     if conn.kind == "view":
         return spark.table(source.options.get("table", source.name))
+    if conn.kind == "flight":
+        # Peer-relay federation over real gRPC: the raw table is the remote
+        # relay's ANSWER to a query (engine mode by default — the peer's own
+        # mapped/permissioned union), pulled as Arrow record batches. This
+        # is the relay→relay ``get_flight_info`` fan-out
+        # (``flight_server/src/flight.rs:237-309``) with the peer a separate
+        # process. Batches land on the driver — protocol/control path; bulk
+        # multi-executor transfer stays on the jobs layer (shared store).
+        from dataweb_spark.sources.flight_service import flight_query
+        sql = source.options.get(
+            "sql", f"select * from {source.options.get('entity', source.name)}")
+        table = flight_query(
+            int(conn.options["port"]), sql,
+            principal=source.options.get("principal",
+                                         conn.options.get("principal")),
+            mode=source.options.get("mode", "engine"),
+            host=conn.options.get("host", "127.0.0.1"),
+            token=conn.options.get("token"))
+        try:
+            return spark.createDataFrame(table)
+        except Exception:  # older arrow-table support: go through pandas
+            return spark.createDataFrame(table.to_pandas())
     if conn.kind == "jdbc":
         reader = (spark.read.format("jdbc")
                   .option("url", conn.options["url"])

@@ -56,3 +56,56 @@ def test_invalid_sql_is_flight_error(server):
     import pyarrow.flight as flight
     with pytest.raises(flight.FlightServerError):
         flight_query(server.port, "drop table lineitem")
+
+
+# -- handshake-token authentication (pki/mod.rs:12-25 analog) ---------------
+
+@pytest.fixture(scope="module")
+def auth_server(spark, demo_web):
+    s = serve_in_background(spark, demo_web, "na_us", tokens={
+        "tok-reader": "reader", "tok-admin": "all_access"})
+    yield s
+    s.shutdown()
+
+
+def test_auth_unknown_token_refused(auth_server):
+    import pyarrow.flight as flight
+    with pytest.raises(flight.FlightError):
+        flight_query(auth_server.port, "select count(*) as n from lineitem",
+                     token="no-such-token")
+
+
+def test_auth_missing_token_refused(auth_server):
+    import pyarrow.flight as flight
+    with pytest.raises(flight.FlightError):
+        flight_query(auth_server.port, "select count(*) as n from lineitem")
+
+
+def test_auth_principal_comes_from_handshake_not_request(auth_server):
+    """A reader token asking for principal=all_access in the request JSON
+    must still get the reader's (default-permission) row count — the
+    identity is the handshake, the JSON field is ignored."""
+    q = "select count(*) as n from lineitem"
+    n_spoofed = sum(flight_query(auth_server.port, q, principal="all_access",
+                                 token="tok-reader")["n"].to_pylist())
+    n_admin = sum(flight_query(auth_server.port, q,
+                               token="tok-admin")["n"].to_pylist())
+    assert n_spoofed < n_admin
+
+
+def test_auth_ticket_not_redeemable_by_other_principal(auth_server):
+    """Origin-user re-check on do_get (flight.rs:396-447): a ticket planned
+    for one principal is refused when another principal redeems it."""
+    import json
+
+    import pyarrow.flight as flight
+
+    from dataweb_spark.sources.flight_service import _connect
+
+    reader = _connect("127.0.0.1", auth_server.port, "tok-reader")
+    cmd = json.dumps({"sql": "select count(*) as n from lineitem",
+                      "mode": "engine"}).encode("utf-8")
+    info = reader.get_flight_info(flight.FlightDescriptor.for_command(cmd))
+    admin = _connect("127.0.0.1", auth_server.port, "tok-admin")
+    with pytest.raises(flight.FlightError):
+        admin.do_get(info.endpoints[0].ticket).read_all()

@@ -1,0 +1,69 @@
+"""Two-process federation: relay A (this process) federates entity rows
+from relay B living in a SEPARATE python/JVM process over authenticated
+Arrow Flight gRPC — the reference's process/network topology
+(``deploy/compose.yaml``; relay→relay fan-out
+``flight_server/src/flight.rs:237-309``) demonstrated for real, not
+collapsed into one session."""
+
+import pytest
+
+from dataweb_spark.catalog.model import (
+    DataConnection, DataSource, Entity, Mapping, RelayCatalog, Web,
+)
+from dataweb_spark.plans.gateway import QueryGateway
+
+
+@pytest.fixture(scope="module")
+def peer_port(sf_dir):
+    from dataweb_spark.queries import _flight_peer_port
+    return _flight_peer_port(sf_dir)  # spawns (or reuses) the subprocess
+
+
+@pytest.fixture(scope="module")
+def edge_gateway(spark, peer_port):
+    from dataweb_spark.demo import LINEITEM_INFOS
+    edge = RelayCatalog(name="edge")
+    edge.add_entity(Entity("lineitem", list(LINEITEM_INFOS)))
+    edge.add_connection(DataConnection(
+        "peer_flight", "flight",
+        {"port": str(peer_port), "token": "edge-relay-token"}))
+    edge.add_source(DataSource(
+        name="lineitem_peer", connection="peer_flight", entity="lineitem",
+        source_sql="select * from {table}",
+        mappings=[Mapping(i.name, i.name) for i in LINEITEM_INFOS],
+        options={"entity": "lineitem", "mode": "engine"}))
+    web = Web()
+    web.add_relay(edge)
+    return QueryGateway(spark, web, "edge")
+
+
+def test_peer_is_a_separate_process(sf_dir, peer_port):
+    from dataweb_spark.queries import _FLIGHT_PEERS
+    proc, port = _FLIGHT_PEERS[sf_dir]
+    assert port == peer_port
+    assert proc.poll() is None  # alive
+    assert proc.pid != __import__("os").getpid()
+
+
+def test_federated_rows_match_local_resolution(spark, demo_web,
+                                               edge_gateway):
+    """Rows pulled over the wire == the peer's own (permissioned, mapped)
+    entity view resolved locally."""
+    from dataweb_spark.plans.resolve import resolve_entity
+    local = resolve_entity(spark, demo_web, "na_us", "lineitem")
+    n_fed = edge_gateway.query(
+        "select count(*) as n from lineitem").collect()[0]["n"]
+    assert n_fed == local.count()
+
+
+def test_federated_aggregate_values(spark, demo_web, edge_gateway):
+    from pyspark.sql import functions as F
+    from dataweb_spark.plans.resolve import resolve_entity
+    fed = {r["returnflag"]: r["sum_qty"] for r in edge_gateway.query(
+        "select returnflag, round(sum(quantity), 2) as sum_qty "
+        "from lineitem group by returnflag").collect()}
+    local = {r["returnflag"]: r["sum_qty"] for r in
+             resolve_entity(spark, demo_web, "na_us", "lineitem")
+             .groupBy("returnflag")
+             .agg(F.round(F.sum("quantity"), 2).alias("sum_qty")).collect()}
+    assert fed == local
