@@ -1681,6 +1681,78 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _df("dedup_embedding_cosine", _embedding_near_dups)  # rows-only
 
 
+def _embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable oracle for the banded-LSH near-dup path: plant
+    scale-invariant duplicates (2× each vector for vec_id < 50 — positive
+    scaling flips no hyperplane sign, so every planted pair collides in
+    every band and LSH recall is exactly 1 by construction). The oracle
+    computes the SAME exact all-pairs cosine set independently in DuckDB;
+    equality proves the LSH+verify pipeline misses nothing it owes."""
+    from dataweb_spark.functions import dedup as D
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    planted = emb.where("vec_id < 50").select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: (x * F.lit(2.0)).cast("float"))
+         .alias("embedding"))
+    corpus = emb.unionByName(planted)
+    return (D.embedding_near_dups(corpus, threshold=0.99)
+             .orderBy("id_a", "id_b"))
+
+
+_df("dedup_embedding_recall", _embedding_recall, oracle="""
+with base as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as e
+  from embeddings
+), planted as (
+  select vec_id + 10000 as vec_id, list_transform(e, x -> x * 2.0) as e
+  from base where vec_id < 50
+), corpus as (
+  select * from base union all select * from planted
+), pairs as (
+  select a.vec_id as id_a, b.vec_id as id_b,
+         round(list_cosine_similarity(a.e, b.e), 6) as cos
+  from corpus a join corpus b on a.vec_id < b.vec_id
+)
+select id_a, id_b, cos from pairs
+where cos >= 0.99
+order by id_a, id_b
+""")
+
+
+def _knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 contract for IVF vs the exact brute-force counterpart,
+    computed in one job: per query, the IVF top-5 must overlap the exact
+    top-5 in ≥ 4 of 5 positions (one allowed cell-boundary miss). The
+    emitted booleans are deterministic (seeded quantizer, id tie-breaks),
+    so the row set is hash-checkable; the oracle row is the contract."""
+    from dataweb_spark.functions import similarity as S
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    bf = S.brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    ivf = S.ivf_topk(emb, q, k=5, n_cells=8, nprobe=6) \
+           .select("query_id", "neighbor_id")
+    hits = (bf.join(ivf, ["query_id", "neighbor_id"])
+              .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    return (bf.groupBy("query_id")
+              .agg(F.count("*").cast("bigint").alias("k"))
+              .join(hits, "query_id", "left")
+              .select("query_id", "k",
+                      (F.coalesce(F.col("n_hits"), F.lit(0)) >= 4)
+                      .alias("recall_ok"))
+              .orderBy("query_id"))
+
+
+_df("knn_ivf_recall", _knn_ivf_recall, oracle="""
+select range as query_id, cast(5 as bigint) as k, true as recall_ok
+from range(5)
+order by query_id
+""")
+
+
 def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization (4× storage cut before ANN)."""
     from dataweb_spark.functions import similarity as S
@@ -2515,7 +2587,6 @@ _DRIVER_WINDOW = [
     "tpch_q3_shipping_priority",
     "tpch_q9_product_profit",
     "tpch_q12_late_shipping_priority",
-    "tpch_q18_large_volume",
     "array_agg_ordered_limited",
     "window_topn_per_customer",
     "grouping_sets",
@@ -2524,7 +2595,9 @@ _DRIVER_WINDOW = [
     "pivot_returnflag_status",
     "higher_order_array_funcs",
     "any_all_minmax_rewrite",
-    "distinct_on_rewrite",
+    # approximate-op recall oracles (hash-checkable companions)
+    "dedup_embedding_recall",
+    "knn_ivf_recall",
     # federation layer (12, incl. the two-process gRPC hop)
     "fed_flight_two_process",
     "fed_lineitem_count",

@@ -96,3 +96,70 @@ def test_jdbc_provenance(spark, jdbc_web):
               for r in df.groupBy("_source_id_")
                          .agg(F.count("*").alias("n")).collect()}
     assert counts == {"meas_jdbc": 10, "meas_file": 10}
+
+
+def test_jdbc_drifted_engine_types_cast_to_declared(spark, derby,
+                                                    tmp_path_factory):
+    """Engine-side types drift from the declaration (DECIMAL(12,3) where
+    the entity says double, BIGINT where it says int) — the resolved view
+    must still carry the DECLARED entity schema and the same values as an
+    undrifted twin source, so federated unions and oracle hashes stay
+    stable (trino.rs:89-101 / flight_sql.rs:146-160 cast-to-declared
+    analog)."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(URL + ";create=true")
+    st = conn.createStatement()
+    st.execute("create table drifted (mid bigint, label varchar(32), "
+               "val decimal(12,3))")
+    for i in range(10):
+        st.execute(f"insert into drifted values ({i}, 'd{i}', {i}.125)")
+    conn.commit()
+
+    d = tmp_path_factory.mktemp("driftweb")
+    spark.createDataFrame(
+        [(i, f"d{i}", i + 0.125) for i in range(10)],
+        "mid int, label string, val double") \
+        .write.mode("overwrite").parquet(str(d / "drift_pq"))
+
+    relay = RelayCatalog(name="home")
+    relay.add_entity(Entity("drifted", [
+        Information("mid", "int"),        # engine stores BIGINT
+        Information("label", "string"),
+        Information("val", "double"),     # engine stores DECIMAL(12,3)
+    ]))
+    relay.add_connection(DataConnection(
+        name="derby", kind="jdbc",
+        options={"url": URL,
+                 "driver": "org.apache.derby.jdbc.EmbeddedDriver"}))
+    relay.add_connection(DataConnection(
+        name="files", kind="file", options={"path": str(d)}))
+    relay.add_source(DataSource(
+        name="drift_jdbc", connection="derby", entity="drifted",
+        source_sql="select * from {table}",
+        fields=[DataField("MID", "MID"), DataField("LABEL", "LABEL"),
+                DataField("VAL", "VAL")],
+        mappings=[Mapping("mid", "MID"), Mapping("label", "LABEL"),
+                  Mapping("val", "VAL")],
+        options={"table": "drifted"}))
+    relay.add_source(DataSource(
+        name="drift_file", connection="files", entity="drifted",
+        source_sql="select * from {table}",
+        fields=[DataField(c, c) for c in ("mid", "label", "val")],
+        mappings=[Mapping(c, c) for c in ("mid", "label", "val")],
+        options={"path": "drift_pq", "format": "parquet"}))
+    web = Web()
+    web.add_relay(relay)
+
+    gw = QueryGateway(spark, web, "home")
+    df = gw.query("select mid, label, val from drifted")
+    # declared schema, not the engine's drifted one
+    assert dict(df.dtypes) == {"mid": "int", "label": "string",
+                               "val": "double"}
+    # both branches produce bit-identical values after the declared cast
+    rows = df.collect()
+    assert len(rows) == 20
+    by_mid = {}
+    for r in rows:
+        by_mid.setdefault(r["mid"], []).append((r["label"], r["val"]))
+    for i in range(10):
+        assert by_mid[i][0] == by_mid[i][1] == (f"d{i}", i + 0.125)
