@@ -1,0 +1,200 @@
+"""File-backed cross-process job queue + result store.
+
+The reference separates submission from execution: the REST server enqueues
+a persisted request, `query_runner` worker processes claim and execute it,
+results land in a shared object store, and the submitter polls status until
+it can read them back (``query_runner/src/lib.rs:117-221``,
+``rest_server/src/query/route.rs:110-137``; RabbitMQ broker option
+``core/src/messaging/mod.rs:49-92``). This module is that topology on a
+shared filesystem — the natural Spark deployment shape, where the "broker"
+is the object store itself:
+
+* ``submit`` writes the job spec to ``queued/`` (atomic tmp+rename).
+* A worker (any process) ``claim``\\ s by renaming into ``claimed/`` —
+  rename is atomic, exactly one worker wins a job.
+* The worker executes via :class:`~dataweb_spark.jobs.manager.JobManager`
+  (task parquet results under ``results/``) and mirrors per-task status
+  into ``status/{job_id}.json``, appending every observed job-level state
+  to ``history`` so the Queued → InProgress → Complete machine is
+  auditable even by a poller that misses a transition.
+* ``result`` reads completed task parquets back and unions them with
+  provenance — the result-source analog, with the reference's
+  ``allow_partial`` polling semantics (``route.rs:110-127``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataweb_spark.jobs.manager import (
+    COMPLETE,
+    FAILED,
+    IN_PROGRESS,
+    QUEUED,
+    JobManager,
+    JobNotReady,
+)
+from dataweb_spark.plans.resolve import PROVENANCE_RELAY, PROVENANCE_SOURCE
+
+
+class FileJobQueue:
+    """Shared-filesystem job queue; safe for many submitters + workers."""
+
+    def __init__(self, root: str):
+        self.root = root
+        for d in ("queued", "claimed", "status", "results"):
+            os.makedirs(os.path.join(root, d), exist_ok=True)
+
+    # -- submitter side ---------------------------------------------------
+
+    def submit(self, sql: str, principal: str | None = None,
+               mode: str = "template") -> str:
+        job_id = uuid.uuid4().hex[:12]
+        self._write_status(job_id, {
+            "job_id": job_id, "status": QUEUED, "history": [QUEUED],
+            "tasks": []})
+        self._atomic_json(
+            os.path.join(self.root, "queued", f"{job_id}.json"),
+            {"job_id": job_id, "sql": sql, "principal": principal,
+             "mode": mode})
+        return job_id
+
+    def read_status(self, job_id: str) -> dict | None:
+        path = os.path.join(self.root, "status", f"{job_id}.json")
+        try:
+            with open(path, encoding="utf-8") as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def wait(self, job_id: str, timeout: float = 120.0,
+             poll: float = 0.05) -> dict:
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            st = self.read_status(job_id)
+            if st and st["status"] in (COMPLETE, FAILED):
+                return st
+            time.sleep(poll)
+        return self.read_status(job_id) or {"job_id": job_id,
+                                            "status": QUEUED, "tasks": []}
+
+    def result(self, spark: SparkSession, job_id: str,
+               allow_partial: bool = False) -> DataFrame:
+        """Union of completed task results read back from the store."""
+        st = self.read_status(job_id)
+        if st is None:
+            raise JobNotReady(f"job {job_id}: no status recorded")
+        tasks = st.get("tasks", [])
+        pending = [t for t in tasks if t["status"] in (QUEUED, IN_PROGRESS)]
+        failed = [t for t in tasks if t["status"] == FAILED]
+        if (not tasks or pending or failed) and not allow_partial:
+            raise JobNotReady(
+                f"job {job_id}: {len(pending)} pending, {len(failed)} failed "
+                f"(pass allow_partial=True for completed-task results)")
+        parts = []
+        for t in tasks:
+            if t["status"] != COMPLETE or not t.get("result_path"):
+                continue
+            df = spark.read.parquet(t["result_path"])
+            parts.append(df.withColumn(PROVENANCE_RELAY, F.lit(t["relay"]))
+                           .withColumn(PROVENANCE_SOURCE, F.lit(t["source"])))
+        if not parts:
+            raise JobNotReady(f"job {job_id}: no completed tasks")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    # -- worker side ------------------------------------------------------
+
+    def claim(self) -> dict | None:
+        """Atomically take one queued job (rename wins exactly once)."""
+        qdir = os.path.join(self.root, "queued")
+        for name in sorted(os.listdir(qdir)):
+            if not name.endswith(".json"):
+                continue
+            src = os.path.join(qdir, name)
+            dst = os.path.join(self.root, "claimed", name)
+            try:
+                os.rename(src, dst)
+            except (FileNotFoundError, OSError):
+                continue  # another worker won this one
+            with open(dst, encoding="utf-8") as f:
+                return json.load(f)
+        return None
+
+    def mirror_status(self, job_id: str, status: str,
+                      tasks: list[dict]) -> None:
+        st = self.read_status(job_id) or {"job_id": job_id, "history": []}
+        hist = st.get("history", [])
+        if not hist or hist[-1] != status:
+            hist = hist + [status]
+        self._write_status(job_id, {"job_id": job_id, "status": status,
+                                    "history": hist, "tasks": tasks})
+
+    # -- internals --------------------------------------------------------
+
+    def _write_status(self, job_id: str, payload: dict) -> None:
+        self._atomic_json(
+            os.path.join(self.root, "status", f"{job_id}.json"), payload)
+
+    @staticmethod
+    def _atomic_json(path: str, payload: dict) -> None:
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)
+
+
+def run_worker(spark: SparkSession, web, relay_name: str,
+               queue: FileJobQueue, poll: float = 0.1,
+               stop_file: str | None = None,
+               max_jobs: int | None = None) -> int:
+    """Worker loop: claim → execute → mirror status. Returns jobs run.
+
+    Executes each claimed job through a :class:`JobManager` whose results
+    dir is the store's ``results/`` tree, mirroring the status machine
+    (with history) into the store as it progresses."""
+    manager = JobManager(spark, web, relay_name,
+                         results_dir=os.path.join(queue.root, "results"))
+    done = 0
+    while max_jobs is None or done < max_jobs:
+        if stop_file and os.path.exists(stop_file):
+            break
+        spec = queue.claim()
+        if spec is None:
+            time.sleep(poll)
+            continue
+        job_id = spec["job_id"]
+        try:
+            local_id = manager.submit(spec["sql"], spec.get("principal"),
+                                      spec.get("mode", "template"))
+        except Exception as e:  # validation failure → FAILED, recorded
+            queue.mirror_status(job_id, FAILED, [
+                {"task_id": "-", "relay": relay_name, "source": "-",
+                 "status": FAILED, "n_rows": None, "result_path": None,
+                 "error": f"{type(e).__name__}: {e}"}])
+            done += 1
+            continue
+        while True:
+            st = manager.status(local_id)
+            tasks = [dict(t, result_path=_task_path(manager, t))
+                     for t in st["tasks"]]
+            queue.mirror_status(job_id, st["status"], tasks)
+            if st["status"] in (COMPLETE, FAILED):
+                break
+            time.sleep(poll)
+        done += 1
+    return done
+
+
+def _task_path(manager: JobManager, t: dict) -> str | None:
+    job_tasks = [jt for j in manager._jobs.values()
+                 for jt in j.tasks.values() if jt.task_id == t["task_id"]]
+    return job_tasks[0].result_path if job_tasks else None
