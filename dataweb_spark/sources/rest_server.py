@@ -1,0 +1,125 @@
+"""Thin HTTP entry point over the async jobs layer — the rest_server analog.
+
+Routes (``rest_server/src/query/route.rs:149-268`` / ``:57-147``):
+
+* ``POST /query``          body ``{"sql": ..., "principal": ..., "mode": ...}``
+                           → ``202 {"job_id": ...}`` (enqueued)
+* ``GET  /query/{id}``     → job status JSON (the poll target); add
+                           ``?allow_partial=true`` to mark partial reads OK
+* ``GET  /query/{id}/results[?allow_partial=true]``
+                           → ``application/x-ndjson`` stream, one record per
+                           row with ``_relay_metadata_`` injected — or
+                           ``409`` + status JSON while tasks are pending
+                           (unless ``allow_partial``), matching the
+                           reference's "status until everything lands"
+                           polling contract.
+
+Built on stdlib ``http.server`` (nothing to install); each request is
+handled on its own thread (``ThreadingHTTPServer``) and execution is the
+``JobManager`` thread pool — the HTTP layer never blocks on Spark actions.
+A production deployment would put any WSGI front on the same JobManager;
+this shim exists so network clients can drive the engine end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+
+from dataweb_spark.catalog.model import Web
+from dataweb_spark.jobs.manager import (
+    COMPLETE,
+    FAILED,
+    JobManager,
+    JobNotReady,
+)
+from dataweb_spark.plans.validation import ValidationError
+
+_QUERY = re.compile(r"^/query/([0-9a-f]+)$")
+_RESULTS = re.compile(r"^/query/([0-9a-f]+)/results$")
+
+
+class RestRelayServer:
+    """HTTP facade over a :class:`JobManager`. ``start()`` → ``.port``."""
+
+    def __init__(self, spark: SparkSession, web: Web, relay_name: str,
+                 host: str = "127.0.0.1", port: int = 0):
+        self.manager = JobManager(spark, web, relay_name)
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet test output
+                pass
+
+            def _send(self, code: int, payload, content_type: str
+                      = "application/json") -> None:
+                body = (payload if isinstance(payload, bytes)
+                        else json.dumps(payload).encode("utf-8"))
+                self.send_response(code)
+                self.send_header("Content-Type", content_type)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if urlparse(self.path).path != "/query":
+                    return self._send(404, {"error": "not found"})
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n).decode("utf-8"))
+                    job_id = outer.manager.submit(
+                        req["sql"], req.get("principal"),
+                        req.get("mode", "template"))
+                except (ValidationError, ValueError, KeyError) as e:
+                    return self._send(400, {"error": str(e)})
+                self._send(202, {"job_id": job_id})
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                partial = parse_qs(url.query).get(
+                    "allow_partial", ["false"])[0].lower() == "true"
+                m = _RESULTS.match(url.path)
+                if m:
+                    return self._results(m.group(1), partial)
+                m = _QUERY.match(url.path)
+                if m:
+                    try:
+                        return self._send(200, outer.manager.status(m.group(1)))
+                    except KeyError:
+                        return self._send(404, {"error": "unknown job"})
+                self._send(404, {"error": "not found"})
+
+            def _results(self, job_id: str, partial: bool) -> None:
+                try:
+                    st = outer.manager.status(job_id)
+                except KeyError:
+                    return self._send(404, {"error": "unknown job"})
+                if st["status"] not in (COMPLETE, FAILED) and not partial:
+                    # poll contract: status, not data, until it all lands
+                    return self._send(409, st)
+                try:
+                    lines = outer.manager.result_ndjson(
+                        job_id, allow_partial=partial)
+                    body = ("\n".join(lines) + "\n").encode("utf-8")
+                except JobNotReady as e:
+                    return self._send(409, {"error": str(e), **st})
+                self._send(200, body, content_type="application/x-ndjson")
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "RestRelayServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self.manager.shutdown()
