@@ -461,44 +461,49 @@ def contamination_check(corpus: DataFrame, evalset: DataFrame,
     ``window``-token span that also appears in the eval set.
 
     Same window-hash shape as :func:`duplicated_spans`, but the join is a
-    semi-style inner join against the (small) eval side's distinct keys —
-    broadcastable for any real eval suite, so the corpus side adds ONE
-    map-side stage and one groupBy on ``id_col``; corpus spans never
-    self-shuffle. Output per contaminated corpus doc: window counts, the
-    contaminated fraction, and how many distinct eval docs were hit.
+    single left join against the (small) eval side's distinct
+    ``(eval_doc, key)`` pairs — broadcastable for any real eval suite, so
+    the corpus text is tokenized and exploded exactly ONCE and never
+    self-shuffles. Per-position/per-eval-doc multiplicities from the join
+    are collapsed by distinct counts over the span offset: a corpus window
+    shared by N eval docs still counts once, keeping
+    ``contaminated_frac`` ≤ 1 (r1 ADVICE). Output per contaminated corpus
+    doc: window counts, the contaminated fraction, and how many distinct
+    eval docs were hit.
     """
     from dataweb_spark.functions.text import tokens
 
-    def spans(df: DataFrame, out_id: str) -> DataFrame:
+    def spans(df: DataFrame, out_id: str, keep_pos: bool) -> DataFrame:
         base = (df.select(F.col(id_col).alias(out_id),
                           tokens(text_col).alias("_toks"))
                   .withColumn("_n", F.size("_toks"))
                   .where(F.col("_n") >= window))
         starts = F.sequence(F.lit(0), F.col("_n") - window, F.lit(1))
+        pos = (["_s"] if keep_pos else [])
         return (base
                 .select(out_id, "_toks", F.explode(starts).alias("_s"))
-                .select(F.col(out_id),
+                .select(F.col(out_id), *pos,
                         F.md5(F.concat_ws(
                             " ", F.slice("_toks", F.col("_s") + 1, window)))
                          .alias("_wkey")))
 
-    c_spans = spans(corpus, id_col)
-    e_keys = spans(evalset, "_eval_id").distinct()
-    n_windows = c_spans.groupBy(id_col).agg(F.count("*").alias("n_windows"))
-    # n_contaminated counts the corpus doc's own window positions that leak
-    # — join against distinct eval KEYS, not (eval_doc, key) pairs, so a
-    # window shared by N eval docs still counts once and
-    # contaminated_frac stays ≤ 1 (r1 ADVICE). The per-eval-doc join
-    # survives only for n_eval_docs_hit.
-    hits = (c_spans.join(F.broadcast(e_keys.select("_wkey").distinct()),
-                         "_wkey")
-                   .groupBy(id_col)
-                   .agg(F.count("*").alias("n_contaminated")))
-    doc_hits = (c_spans.join(F.broadcast(e_keys), "_wkey")
-                       .groupBy(id_col)
-                       .agg(F.count_distinct("_eval_id")
-                             .alias("n_eval_docs_hit")))
-    return (n_windows.join(hits, id_col).join(doc_hits, id_col)
+    c_spans = spans(corpus, id_col, keep_pos=True)
+    # One row per eval WINDOW KEY with the set of eval docs containing it:
+    # the left join below multiplies no corpus rows (unique join key), so
+    # per-doc aggregation needs no distinct/Expand — plain count/sum plus
+    # a flatten of the (rare) hit sets.
+    e_keys = (spans(evalset, "_eval_id", keep_pos=False).distinct()
+              .groupBy("_wkey")
+              .agg(F.collect_set("_eval_id").alias("_edocs")))
+    joined = c_spans.join(F.broadcast(e_keys), "_wkey", "left")
+    return (joined.groupBy(id_col)
+            .agg(F.count("*").alias("n_windows"),
+                 F.sum(F.when(F.col("_edocs").isNotNull(), 1).otherwise(0))
+                  .alias("n_contaminated"),
+                 F.size(F.array_distinct(
+                     F.flatten(F.collect_list("_edocs"))))
+                  .cast("bigint").alias("n_eval_docs_hit"))
+            .where(F.col("n_contaminated") > 0)
             .withColumn("contaminated_frac",
                         F.round(F.col("n_contaminated")
                                 / F.col("n_windows"), 6)))

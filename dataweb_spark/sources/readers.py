@@ -52,16 +52,25 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
         # (``flight_server/src/flight.rs:237-309``) with the peer a separate
         # process. Batches land on the driver — protocol/control path; bulk
         # multi-executor transfer stays on the jobs layer (shared store).
-        from dataweb_spark.sources.flight_service import flight_query
+        from dataweb_spark.sources.flight_service import (
+            flight_query,
+            flight_read_distributed,
+        )
         sql = source.options.get(
             "sql", f"select * from {source.options.get('entity', source.name)}")
-        table = flight_query(
-            int(conn.options["port"]), sql,
-            principal=source.options.get("principal",
-                                         conn.options.get("principal")),
-            mode=source.options.get("mode", "engine"),
-            host=conn.options.get("host", "127.0.0.1"),
-            token=conn.options.get("token"))
+        host = conn.options.get("host", "127.0.0.1")
+        port = int(conn.options["port"])
+        principal = source.options.get("principal",
+                                       conn.options.get("principal"))
+        mode = source.options.get("mode", "engine")
+        token = conn.options.get("token")
+        if source.options.get("distribute", "false") == "true":
+            # partition-per-endpoint executor-side streams (WebEntityScan
+            # analog) — batches never touch the driver
+            return flight_read_distributed(spark, host, port, sql,
+                                           principal, mode, token)
+        table = flight_query(port, sql, principal=principal, mode=mode,
+                             host=host, token=token)
         try:
             return spark.createDataFrame(table)
         except Exception:  # older arrow-table support: go through pandas

@@ -67,3 +67,50 @@ def test_federated_aggregate_values(spark, demo_web, edge_gateway):
              .groupBy("returnflag")
              .agg(F.round(F.sum("quantity"), 2).alias("sum_qty")).collect()}
     assert fed == local
+
+
+def test_distributed_flight_scan_partition_per_endpoint(spark, demo_web,
+                                                        peer_port):
+    """WebEntityScan analog: executors stream the peer's batches, one
+    partition per Flight endpoint (template mode on the demo web maps to
+    its 2 sources → 2 endpoints → 2 partitions)."""
+    from dataweb_spark.sources.flight_service import flight_read_distributed
+    df = flight_read_distributed(
+        spark, "127.0.0.1", peer_port,
+        "select returnflag, quantity from lineitem",
+        mode="template", token="edge-relay-token")
+    assert df.rdd.getNumPartitions() == 2
+    from dataweb_spark.plans.resolve import resolve_entity
+    local = resolve_entity(spark, demo_web, "na_us", "lineitem")
+    assert df.count() == local.count()
+
+
+def test_distributed_flight_source_in_gateway(spark, demo_web, peer_port):
+    """The distribute=true source option end-to-end through an edge
+    gateway — same values as the driver-pull path."""
+    from pyspark.sql import functions as F
+    from dataweb_spark.demo import LINEITEM_INFOS
+    from dataweb_spark.plans.resolve import resolve_entity
+    edge = RelayCatalog(name="edge2")
+    edge.add_entity(Entity("lineitem", list(LINEITEM_INFOS)))
+    edge.add_connection(DataConnection(
+        "peer_flight", "flight",
+        {"port": str(peer_port), "token": "edge-relay-token"}))
+    edge.add_source(DataSource(
+        name="lineitem_peer_dist", connection="peer_flight",
+        entity="lineitem",
+        source_sql="select * from {table}",
+        mappings=[Mapping(i.name, i.name) for i in LINEITEM_INFOS],
+        options={"entity": "lineitem", "mode": "engine",
+                 "distribute": "true"}))
+    web = Web()
+    web.add_relay(edge)
+    gw = QueryGateway(spark, web, "edge2")
+    fed = {r["returnflag"]: r["sum_qty"] for r in gw.query(
+        "select returnflag, round(sum(quantity), 2) as sum_qty "
+        "from lineitem group by returnflag").collect()}
+    local = {r["returnflag"]: r["sum_qty"] for r in
+             resolve_entity(spark, demo_web, "na_us", "lineitem")
+             .groupBy("returnflag")
+             .agg(F.round(F.sum("quantity"), 2).alias("sum_qty")).collect()}
+    assert fed == local
