@@ -932,6 +932,63 @@ order by vec_id
 limit 200
 """)
 
+# QUALIFY has no Spark parser support → window-subquery rewrite, proven
+# against DuckDB's native QUALIFY clause (same rewrite family as
+# DISTINCT ON / ANY / IN UNNEST above).
+_dual("qualify_rewrite", """
+select c_custkey, o_orderkey, o_totalprice
+from (select c_custkey, o_orderkey, o_totalprice,
+             row_number() over (partition by c_custkey
+                                order by o_totalprice desc, o_orderkey) as rn
+      from customer join orders on c_custkey = o_custkey
+      where c_custkey < 60) t
+where rn = 1
+order by c_custkey
+""", oracle="""
+select c_custkey, o_orderkey, o_totalprice
+from customer join orders on c_custkey = o_custkey
+where c_custkey < 60
+qualify row_number() over (partition by c_custkey
+                           order by o_totalprice desc, o_orderkey) = 1
+order by c_custkey
+""")
+
+# GROUPING()/GROUPING_ID disambiguate rollup NULLs from data NULLs —
+# both engines implement the SQL-standard function.
+_dual("grouping_function_rollup", """
+select coalesce(o_orderstatus, '<all>') as status,
+       coalesce(o_orderpriority, '<all>') as priority,
+       cast(grouping(o_orderstatus) as bigint) as g_status,
+       cast(grouping(o_orderpriority) as bigint) as g_priority,
+       count(*) as n
+from orders
+group by rollup(o_orderstatus, o_orderpriority)
+order by g_status, g_priority, status, priority
+""")
+
+# SQL-standard correlated LATERAL derived table (Spark 4 native; DuckDB
+# native) — the per-row top-n pattern without a window function.
+_dual("lateral_join_topn", """
+select r_name, t.n_name, t.nk
+from region,
+lateral (select n_name, n_nationkey as nk
+         from nation
+         where n_regionkey = r_regionkey
+         order by n_nationkey desc
+         limit 2) t
+order by r_name, t.nk
+""")
+
+# SQL-standard UNPIVOT (wide → long), same clause in both engines.
+_dual("unpivot_part_sizes", """
+select p_partkey, dim, val
+from (select p_partkey, p_size as size_units,
+             p_retailprice as price_units
+      from part where p_partkey <= 40)
+unpivot (val for dim in (size_units, price_units))
+order by p_partkey, dim
+""")
+
 
 # ===========================================================================
 # Federation layer (demo web over the same parquet)
