@@ -1666,6 +1666,46 @@ def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _df("dedup_minhash_lsh", _minhash_candidates)  # rows-only
 
 
+def _minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable oracle for the MinHash-LSH path: over a bounded
+    sub-corpus (doc_id < 200, so the oracle's exact all-pairs Jaccard
+    stays O(200²) at any sf), the LSH candidates verified at
+    Jaccard ≥ 0.9 must equal the exact pair set. The synthetic corpus
+    plants near-dups at ≥ 0.95 — ~0.41 per-band collision prob at
+    j=0.95 across 8 independent bands makes a miss ~1e-8, and the seeded
+    pipeline is deterministic, so equality is stable."""
+    from dataweb_spark.functions import dedup as D
+    register_views(spark, sf_dir)
+    docs = (spark.table("documents").select("doc_id", "text")
+            .where("doc_id < 200")
+            .where(F.size(F.split(F.trim("text"), r"\s+")) >= 3))
+    cands = D.minhash_lsh_candidates(docs, "doc_id", "text")
+    return (D.jaccard_verify(docs, cands, "doc_id", threshold=0.9)
+            .orderBy("id_a", "id_b"))
+
+
+_df("dedup_minhash_recall", _minhash_recall, oracle=r"""
+with t as (
+  select doc_id, string_split_regex(trim(text), '\s+') as toks
+  from documents where doc_id < 200
+), sh as (
+  select doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) as s
+  from t where len(toks) >= 3
+), pairs as (
+  select a.doc_id as id_a, b.doc_id as id_b,
+         round(len(list_intersect(a.s, b.s))
+               / cast(len(a.s) + len(b.s)
+                      - len(list_intersect(a.s, b.s)) as double), 6)
+             as jaccard
+  from sh a join sh b on a.doc_id < b.doc_id
+)
+select id_a, id_b, jaccard from pairs
+where jaccard >= 0.9
+order by id_a, id_b
+""")
+
+
 def _simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (xxhash64-based — not SQL-expressible): rows-only."""
     from dataweb_spark.functions import dedup as D
@@ -2671,7 +2711,7 @@ _DRIVER_WINDOW = [
     # LLM-pipeline + temporal + streaming (24)
     "dedup_exact_groups",
     "dedup_normalized_fingerprint",
-    "dedup_exact_keep",
+    "dedup_minhash_recall",
     "dedup_exact_clusters",
     "dedup_ngram_jaccard_exact",
     "dedup_duplicated_spans",
