@@ -17,6 +17,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
@@ -74,6 +76,17 @@ def main() -> None:
     # One throwaway job so JVM/codegen/scan warmup isn't charged to the
     # first timed query (timings measure steady-state query cost).
     spark.table("lineitem").count()
+    # ... and fork the Arrow python-worker pool once, so the first
+    # pandas_udf query isn't charged ~3s of worker startup either (on a
+    # real cluster the pool is long-lived; measured r2: cold 6.2s vs
+    # warm 3.5s on dedup_minhash_lsh).
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(10_000).repartition(64).select(_warm(col("id"))).count()
 
     qs = queries()
     timings: dict[str, float] = {}

@@ -1718,6 +1718,49 @@ def _simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _df("dedup_simhash", _simhash_buckets)  # rows-only
 
 
+def _simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable oracle for the SimHash hamming-band path: plant
+    verbatim copies (identical text ⇒ identical 64-bit simhash ⇒ every
+    band collides, recall exactly 1 by construction), take band-collision
+    candidates, verify exact text equality, and compare against the
+    independently computed md5-equality pair set in DuckDB. Validates the
+    banding/pairing machinery end-to-end with a true oracle."""
+    from dataweb_spark.functions import dedup as D
+    register_views(spark, sf_dir)
+    base = (spark.table("documents").select("doc_id", "text")
+            .where("doc_id < 200"))
+    planted = base.where("doc_id < 50").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = base.unionByName(planted)
+    cands = D.simhash_candidates(corpus, "doc_id", "text")
+    txt = corpus.select(F.col("doc_id").alias("_tid"), "text")
+    return (cands
+            .join(txt.withColumnRenamed("_tid", "id_a")
+                     .withColumnRenamed("text", "txt_a"), "id_a")
+            .join(txt.withColumnRenamed("_tid", "id_b")
+                     .withColumnRenamed("text", "txt_b"), "id_b")
+            .where((F.col("sh_a") == F.col("sh_b"))
+                   & (F.col("txt_a") == F.col("txt_b")))
+            .select("id_a", "id_b")
+            .orderBy("id_a", "id_b"))
+
+
+_df("dedup_simhash_recall", _simhash_recall, oracle="""
+with base as (
+  select doc_id, text from documents where doc_id < 200
+), corpus as (
+  select * from base
+  union all
+  select doc_id + 100000 as doc_id, text from base where doc_id < 50
+)
+select a.doc_id as id_a, b.doc_id as id_b
+from corpus a join corpus b
+  on a.doc_id < b.doc_id and md5(a.text) = md5(b.text)
+ and a.text = b.text
+order by id_a, id_b
+""")
+
+
 def _knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataweb_spark.functions import similarity as S
     register_views(spark, sf_dir)
@@ -1981,7 +2024,45 @@ def _knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("query_id", "rank"))
 
 
-_df("knn_quantized_int8", _knn_quantized)  # rows-only
+# Fully oracle-checkable despite being the "approximate" tier: symmetric
+# int8 quantization is deterministic integer math, so DuckDB reproduces
+# the exact same codes, dot products, and ranking.
+_df("knn_quantized_int8", _knn_quantized, oracle="""
+with v as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as e
+  from embeddings
+), s as (
+  select vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 as raw_scale
+  from v
+), qz as (
+  select vec_id,
+         case when raw_scale = 0 then list_transform(e, x -> 0.0)
+              else list_transform(e,
+                   x -> cast(cast(round(x / raw_scale) as tinyint) as double))
+         end as qd
+  from s
+), qs as (
+  select vec_id as query_id, qd as qq from qz where vec_id < 5
+), scored as (
+  select qs.query_id, c.vec_id as neighbor_id,
+         list_dot_product(c.qd, qs.qq)
+           / greatest(sqrt(list_dot_product(c.qd, c.qd))
+                      * sqrt(list_dot_product(qs.qq, qs.qq)), 1e-300)
+             as cos_q
+  from qz c, qs
+  where c.vec_id <> qs.query_id
+), ranked as (
+  select query_id, neighbor_id,
+         row_number() over (partition by query_id
+                            order by cos_q desc, neighbor_id) as rank,
+         round(cos_q, 6) as cos_q
+  from scored
+)
+select query_id, neighbor_id, rank, cos_q
+from ranked where rank <= 5
+order by query_id, rank
+""")
 
 
 def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
