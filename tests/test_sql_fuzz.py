@@ -69,8 +69,9 @@ def engines(spark, sf_dir):
     from dataweb_spark.queries import register_views
     register_views(spark, sf_dir)
     con = duckdb.connect()
-    con.execute(f"create view lineitem as "
-                f"select * from '{sf_dir}/lineitem.parquet'")
+    for t in ("lineitem", "orders"):
+        con.execute(f"create view {t} as "
+                    f"select * from '{sf_dir}/{t}.parquet'")
     return spark, con
 
 
@@ -85,3 +86,50 @@ def test_differential_grid(engines):
         if _norm(srows) != _norm(drows):
             bad.append((q, len(srows), len(drows)))
     assert not bad, f"{len(bad)} diverging queries, first: {bad[:3]}"
+
+
+WFUNCS = [
+    "cast(row_number() over w as bigint)",
+    "cast(rank() over w as bigint)",
+    "cast(dense_rank() over w as bigint)",
+    "round(sum(o_totalprice) over w, 2)",
+    "round(min(o_totalprice) over w, 2)",
+    "lag(o_orderkey, 1) over w",
+    "lead(o_orderkey, 2, -1) over w",
+    "cast(count(*) over w as bigint)",
+]
+
+FRAMES = [
+    "",                                                    # default frame
+    "rows between 2 preceding and current row",
+    "rows between unbounded preceding and current row",
+    "range between unbounded preceding and current row",
+    "rows between current row and unbounded following",
+]
+
+
+def test_window_differential_grid(engines):
+    """Window frames / ranking / navigation must agree with DuckDB —
+    default frames, ROWS vs RANGE, and nav-function defaults are where
+    engines classically diverge."""
+    spark, con = engines
+    bad = []
+    n = 0
+    for f in WFUNCS:
+        for frame in FRAMES:
+            # frame clauses are illegal for ranking/nav functions
+            if frame and ("rank" in f or "row_number" in f
+                          or "lag" in f or "lead" in f):
+                continue
+            w = ("w as (partition by o_orderstatus order by "
+                 f"o_orderdate, o_orderkey {frame})")
+            q = (f"select o_orderkey, {f} as v from orders "
+                 f"where o_custkey < 200 window {w} "
+                 "order by o_orderkey")
+            n += 1
+            srows = [tuple(r) for r in spark.sql(q).collect()]
+            drows = con.execute(q).fetchall()
+            if _norm(srows) != _norm(drows):
+                bad.append((q, len(srows), len(drows)))
+    assert n >= 20
+    assert not bad, f"{len(bad)} diverging window queries: {bad[:2]}"
