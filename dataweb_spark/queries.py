@@ -2798,7 +2798,7 @@ _DRIVER_WINDOW = [
     "dedup_duplicated_spans",
     "dedup_contamination_check",
     "text_stats",
-    "text_stopword_quality",
+    "knn_quantized_int8",
     "text_repetition_gopher",
     "text_quality_langid",
     "text_tfidf_top_terms",
