@@ -72,9 +72,20 @@ def _apply_permission(df: DataFrame, perm: SourcePermission,
 def build_source_view(spark: SparkSession, relay: RelayCatalog,
                       source: DataSource, principal: str | None = None) -> DataFrame:
     """One source's contribution to its entity, in entity namespace."""
+    df = read_source_frame(spark, relay.connections[source.connection],
+                           source)
+    return map_source_frame(df, relay, source, principal)
+
+
+def map_source_frame(df: DataFrame, relay: RelayCatalog, source: DataSource,
+                     principal: str | None = None) -> DataFrame:
+    """Permission + mapping pipeline over an already-read raw frame.
+
+    Split from :func:`build_source_view` so streaming ingest
+    (``streaming/federation.py``) applies the IDENTICAL expressions to an
+    unbounded frame — one implementation of the mapping semantics, two
+    execution modes."""
     entity = relay.entities[source.entity]
-    conn = relay.connections[source.connection]
-    df = read_source_frame(spark, conn, source)
 
     if source.default_permission is not None or source.user_permissions:
         user_perm = source.user_permissions.get(principal) if principal else None

@@ -2698,6 +2698,42 @@ order by purchase_id, click_id
 """)
 
 
+def _streaming_fed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ENTITY federation: the demo web's two mapped lineitem
+    sources read as file STREAMS, pushed through the identical
+    permission/transformation/NULL-padding pipeline as the batch resolver
+    (shared ``map_source_frame``), drained with availableNow, and
+    aggregated — so the oracle is the same mapped-union SQL as
+    fed_lineitem_q1. Proves the governance layer composes with
+    Structured Streaming, which the batch-only reference cannot do."""
+    import tempfile
+
+    from dataweb_spark.demo import build_demo_web
+    from dataweb_spark.streaming.events import run_available_now
+    from dataweb_spark.streaming.federation import stream_entity_view
+
+    web = build_demo_web(sf_dir)
+    sdf = stream_entity_view(spark, web, "na_us", "lineitem")
+    cp = tempfile.mkdtemp(prefix="dw_cp_fed_ingest_")
+    out = run_available_now(sdf, cp)
+    return (out.groupBy("returnflag")
+               .agg(F.count("*").alias("n"),
+                    F.round(F.sum("quantity"), 2).alias("sum_qty"),
+                    F.count("orderkey").alias("n_orderkey"))
+               .orderBy("returnflag"))
+
+
+_df("streaming_fed_ingest", _streaming_fed_ingest,
+    oracle=_FED_VIEW_DEFAULT + """
+select returnflag, count(*) as n,
+       round(sum(quantity), 2) as sum_qty,
+       count(orderkey) as n_orderkey
+from entity_lineitem
+group by returnflag
+order by returnflag
+""")
+
+
 def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataweb_spark.functions import multimodal as M
     media = M.synthesize_media(spark, n=64, kind="image")
@@ -2802,7 +2838,7 @@ _DRIVER_WINDOW = [
     "text_repetition_gopher",
     "text_quality_langid",
     "text_tfidf_top_terms",
-    "text_chunking",
+    "streaming_fed_ingest",
     "text_pii_scrub",
     "sample_hash_deterministic",
     "corpus_mix_proportions",
