@@ -114,3 +114,71 @@ def test_distributed_flight_source_in_gateway(spark, demo_web, peer_port):
              .groupBy("returnflag")
              .agg(F.round(F.sum("quantity"), 2).alias("sum_qty")).collect()}
     assert fed == local
+
+
+@pytest.fixture(scope="module")
+def two_peer_ports(sf_dir):
+    """Two MORE peer processes (emea + apac of the six-relay topology),
+    started in parallel — with the main test process that makes a
+    3-process federation."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "run_flight_relay.py")
+    procs = [subprocess.Popen(
+        [sys.executable, script, sf_dir, '{"tok": "reader"}', relay],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        for relay in ("emea", "apac")]
+    ports = []
+    deadline = time.time() + 300
+    for p in procs:
+        port = None
+        while time.time() < deadline:
+            line = p.stdout.readline()
+            if line.startswith("PORT "):
+                port = int(line.split()[1])
+                break
+            if p.poll() is not None:
+                break
+        assert port, "peer startup failed"
+        ports.append(port)
+    yield ports
+    for p in procs:
+        p.kill()
+
+
+def test_three_process_disjoint_union(spark, two_peer_ports, sf_dir):
+    """Edge relay federating DISJOINT slices (l_orderkey%6 ∈ {3,4}) from
+    two independent peer processes over gRPC — the compose.yaml topology
+    with real process boundaries. Union must cover both slices exactly."""
+    from dataweb_spark.demo import LINEITEM_INFOS
+    from dataweb_spark.plans.resolve import PROVENANCE_SOURCE
+
+    edge = RelayCatalog(name="edge3")
+    edge.add_entity(Entity("lineitem", list(LINEITEM_INFOS)))
+    for relay, port in zip(("emea", "apac"), two_peer_ports):
+        edge.add_connection(DataConnection(
+            f"peer_{relay}", "flight", {"port": str(port), "token": "tok"}))
+        edge.add_source(DataSource(
+            name=f"lineitem_{relay}", connection=f"peer_{relay}",
+            entity="lineitem",
+            source_sql="select * from {table}",
+            mappings=[Mapping(i.name, i.name) for i in LINEITEM_INFOS],
+            options={"entity": "lineitem", "mode": "engine"}))
+    web = Web()
+    web.add_relay(edge)
+    gw = QueryGateway(spark, web, "edge3")
+
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    want = raw.where("l_orderkey % 6 in (3, 4)").count()
+    df = gw.query(f"select count(*) as n, {PROVENANCE_SOURCE} "
+                  f"from lineitem group by {PROVENANCE_SOURCE}",
+                  include_provenance=True)
+    by_src = {r[PROVENANCE_SOURCE]: r["n"] for r in df.collect()}
+    assert set(by_src) == {"lineitem_emea", "lineitem_apac"}
+    assert sum(by_src.values()) == want
+    assert by_src["lineitem_emea"] == \
+        raw.where("l_orderkey % 6 = 3").count()

@@ -2,6 +2,8 @@
 """Serve a demo-web relay over Arrow Flight from a SEPARATE process.
 
 Usage:  python tools/run_flight_relay.py <sf_dir> [tokens_json] [relay]
+        relay "na_us" (default) serves the 2-source demo web; any other
+        relay name serves that relay of the six-relay dev topology
 
 Prints ``PORT <n>`` on stdout once the server is accepting connections,
 then serves until killed. This is the multi-process half of the
@@ -25,14 +27,15 @@ def main() -> None:
     tokens = json.loads(sys.argv[2]) if len(sys.argv) > 2 else None
     relay = sys.argv[3] if len(sys.argv) > 3 else "na_us"
 
-    from dataweb_spark.demo import build_demo_web
+    from dataweb_spark.demo import build_demo_web, build_six_relay_web
     from dataweb_spark.session import get_spark
     from dataweb_spark.sources.flight_service import serve_in_background
 
     spark = get_spark("flight-relay-peer", master="local[4]", extra_conf={
         "spark.sql.shuffle.partitions": "8",
     })
-    web = build_demo_web(sf_dir)
+    web = build_demo_web(sf_dir) if relay == "na_us" \
+        else build_six_relay_web(sf_dir)
     server = serve_in_background(spark, web, relay, tokens=tokens)
     print(f"PORT {server.port}", flush=True)
     while True:
