@@ -446,3 +446,20 @@ def test_contamination_frac_bounded_with_duplicate_eval_docs(spark):
     assert r["n_contaminated"] == 1  # one window, counted once not thrice
     assert r["n_eval_docs_hit"] == 3
     assert r["contaminated_frac"] == 1.0
+
+
+def test_minhash_simhash_handle_non_ascii(spark):
+    """Signatures must not crash (or drift across batches) on non-ASCII
+    text — np.bytes_ coercion ASCII-encodes, so the kernel utf-8-encodes
+    explicitly; verbatim CJK/accented copies must still collide."""
+    base = "机器 学习 模型 训练 数据 去重 étude naïve façade " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "different tokens entirely here okay")],
+        ["doc_id", "text"])
+    pairs = dedup.jaccard_verify(
+        df, dedup.minhash_lsh_candidates(df, "doc_id"), "doc_id",
+        threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    sh = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", dedup.simhash64("text").alias("sh")).collect()}
+    assert sh[1] == sh[2] != sh[3]
