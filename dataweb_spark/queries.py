@@ -979,6 +979,17 @@ lateral (select n_name, n_nationkey as nk
 order by r_name, t.nk
 """)
 
+# GROUP BY ALL / ORDER BY ALL (DuckDB-origin ergonomics, adopted by
+# Spark 4) — same clause in both engines.
+_dual("group_by_all", """
+select o_orderstatus, o_orderpriority,
+       count(*) as n, round(sum(o_totalprice), 2) as total
+from orders
+where o_custkey < 500
+group by all
+order by all
+""")
+
 # SQL-standard UNPIVOT (wide → long), same clause in both engines.
 _dual("unpivot_part_sizes", """
 select p_partkey, dim, val
