@@ -139,10 +139,28 @@ def extract_entity_predicates(spark: SparkSession, sql: str,
     """Conjunctive ``col op literal`` predicates the query applies to
     ``entity``, harvested only from Filter nodes whose child subtree is the
     plain relation (no Aggregate/Project/Window in between) so every
-    referenced attribute is a base-table column."""
+    referenced attribute is a base-table column.
+
+    If the query references the entity MORE than once (self-join of
+    differently-filtered derived tables), the harvested conjuncts from the
+    two branches would be conjoined — unsound for both pruning and peer
+    pushdown — so multi-reference queries yield no conjuncts."""
     try:
         jplan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
     except Exception:
+        return []
+    n_refs = 0
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "UnresolvedRelation":
+            parts = node.multipartIdentifier()
+            if str(parts.apply(parts.size() - 1)).lower() == entity.lower():
+                n_refs += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    if n_refs != 1:
         return []
     out: list[Conjunct] = []
     stack = [jplan]
@@ -151,6 +169,102 @@ def extract_entity_predicates(spark: SparkSession, sql: str,
         if (node.getClass().getSimpleName() == "Filter"
                 and _filter_sees_base_columns(node, entity)):
             _conjuncts_from_condition(node.condition(), out)
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return out
+
+
+# Nodes through which a LIMIT may be pushed below without changing which
+# rows *can* appear: projection keeps cardinality, aliases/limits are
+# transparent. A Filter/Sort/Aggregate/Join/Distinct below the limit makes
+# per-source limiting unsound (fewer-than-N surviving rows) or order-
+# dependent, so any other node aborts.
+_LIMIT_TRANSPARENT = {"Project", "SubqueryAlias", "GlobalLimit", "LocalLimit",
+                      "UnresolvedRelation"}
+
+
+def extract_entity_limit(spark: SparkSession, sql: str,
+                         entity: str) -> int | None:
+    """The smallest LIMIT the query provably applies directly over
+    ``entity`` with nothing but projections in between — safe to replicate
+    per federated source (each source returning ≤N rows still leaves the
+    outer LIMIT N over the union correct under LIMIT-without-ORDER
+    semantics). None when no such limit exists."""
+    try:
+        jplan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    except Exception:
+        return None
+    best: int | None = None
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "GlobalLimit":
+            lim = node.limitExpr()
+            if lim.getClass().getSimpleName() == "Literal":
+                # chain below must be limit-transparent and end at entity
+                ok, rels = True, set()
+                sub = [node.children().apply(i)
+                       for i in range(node.children().size())]
+                while sub:
+                    n2 = sub.pop()
+                    nm = n2.getClass().getSimpleName()
+                    if nm == "UnresolvedRelation":
+                        parts = n2.multipartIdentifier()
+                        rels.add(str(parts.apply(parts.size() - 1)).lower())
+                        continue
+                    if nm not in _LIMIT_TRANSPARENT:
+                        ok = False
+                        break
+                    c2 = n2.children()
+                    for i in range(c2.size()):
+                        sub.append(c2.apply(i))
+                if ok and rels == {entity.lower()}:
+                    v = int(str(lim.value()))
+                    best = v if best is None else min(best, v)
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return best
+
+
+def _collect_attrs(jexpr, out: set[str]) -> bool:
+    """Gather UnresolvedAttribute name parts from an expression tree; returns
+    False when a star is seen (meaning: everything referenced)."""
+    name = jexpr.getClass().getSimpleName()
+    if name in ("UnresolvedStar", "UnresolvedRegex"):
+        return False
+    if name == "UnresolvedAttribute":
+        parts = jexpr.nameParts()
+        for i in range(parts.size()):
+            out.add(str(parts.apply(i)).lower())
+        return True
+    ch = jexpr.children()
+    for i in range(ch.size()):
+        if not _collect_attrs(ch.apply(i), out):
+            return False
+    return True
+
+
+def extract_referenced_columns(spark: SparkSession,
+                               sql: str) -> set[str] | None:
+    """Every identifier token the query references anywhere (column names
+    and qualifiers alike, lowercased) — a conservative OVER-approximation of
+    the columns read, used to project federated peer scans. ``None`` means
+    "could be anything" (a ``*`` appears somewhere, or parsing failed):
+    callers must then fetch every mapped column."""
+    try:
+        jplan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    except Exception:
+        return None
+    out: set[str] = set()
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        exprs = node.expressions()
+        for i in range(exprs.size()):
+            if not _collect_attrs(exprs.apply(i), out):
+                return None
         ch = node.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))

@@ -1905,11 +1905,21 @@ order by query_id
 
 
 def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric per-vector int8 quantization (4× storage cut before ANN)."""
+    """Symmetric per-vector int8 quantization (4× storage cut before ANN).
+
+    The raw ``array<tinyint>`` codes are reduced to an md5 digest of their
+    comma-joined decimal form so the result is hashable by the driver's
+    canonicalizer (pandas cannot sort/factorize list cells); the digest
+    pins every code byte, so this is a *stronger* check than row counts."""
     from dataweb_spark.functions import similarity as S
     register_views(spark, sf_dir)
-    return (S.quantize_embeddings(spark.table("embeddings"))
-             .orderBy("vec_id"))
+    out = S.quantize_embeddings(spark.table("embeddings"))
+    return (out.select(
+                "vec_id", "scale",
+                F.md5(F.concat_ws(",", F.transform(
+                    F.col("q"), lambda x: x.cast("string")))).alias("q_digest"),
+                "max_abs_err")
+               .orderBy("vec_id"))
 
 
 _df("embedding_quantize_int8", _embedding_quantize, oracle="""
@@ -1928,7 +1938,9 @@ with v as (
          end as q
   from s
 )
-select vec_id, round(raw_scale, 9) as scale, q,
+select vec_id, round(raw_scale, 9) as scale,
+       md5(array_to_string(list_transform(q, x -> cast(x as varchar)), ','))
+           as q_digest,
        case when raw_scale = 0 then 0.0
             else round(list_max(list_transform(
                      list_zip(e, q),
@@ -2807,60 +2819,69 @@ order by media_id
 # its relative order after the window.
 
 _DRIVER_WINDOW = [
-    # SQL surface spread (15)
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q9_product_profit",
-    "tpch_q12_late_shipping_priority",
-    "array_agg_ordered_limited",
-    "window_topn_per_customer",
-    "grouping_sets",
-    "setops_customers",
-    "recursive_cte_series",
-    "pivot_returnflag_status",
-    "higher_order_array_funcs",
-    "any_all_minmax_rewrite",
-    # approximate-op recall oracles (hash-checkable companions)
-    "dedup_embedding_recall",
-    "knn_ivf_recall",
-    # federation layer (12, incl. the two-process gRPC hop)
+    # --- r4 rotation: every query that was never green in a driver window
+    # (r1∪r2∪r3) comes first, so all 121 declared queries end the round with
+    # at least one driver-checked row. 30 never-checked + the r3 red row
+    # (streaming_hourly_rollup, fixed this round) + 19 sentinels guarding
+    # the layers touched this round (federation pushdown, streaming,
+    # quantized ANN).
+    # never driver-checked: TPC-H tail (4)
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    # never driver-checked: SQL-extension rewrites (7)
+    "distinct_on_rewrite",
+    "in_unnest_rewrite",
+    "qualify_rewrite",
+    "grouping_function_rollup",
+    "lateral_join_topn",
+    "group_by_all",
+    "unpivot_part_sizes",
+    # never driver-checked: LLM-pipeline tail (13)
+    "text_stopword_quality",
+    "text_chunking",
+    "text_rolling_fingerprint",
+    "dedup_exact_keep",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_recall",
+    "dedup_embedding_cosine",
+    "dedup_semantic_clusters",
+    "knn_lsh_approx",
+    "knn_ivf_approx",
+    "embedding_quantize_int8",
+    "approx_sketches",
+    # never driver-checked: streaming + multimodal (6)
+    "streaming_sliding_rollup",
+    "streaming_stateful_user_totals",
+    "streaming_attribution_join",
+    "multimodal_meta",
+    "multimodal_features",
+    "multimodal_frame_counts",
+    # red in r3 (availableNow no-data-batch race) — fixed, must re-verify
+    "streaming_hourly_rollup",
+    # sentinels: federation layer (7)
     "fed_flight_two_process",
-    "fed_lineitem_count",
     "fed_lineitem_q1",
-    "fed_lineitem_q1_all_access",
     "fed_unitprice_transform",
-    "fed_six_relay_provenance",
     "fed_six_relay_q1",
-    "fed_select_star_limit",
-    "fed_provenance_counts",
-    "fed_remote_hop_count",
-    "fed_template_partials",
     "fed_source_pruning",
-    # LLM-pipeline + temporal + streaming (24)
-    "dedup_exact_groups",
-    "dedup_normalized_fingerprint",
+    "fed_template_partials",
+    "fed_select_star_limit",
+    # sentinels: recall oracles + ANN + temporal + streaming + text (12)
     "dedup_minhash_recall",
     "dedup_exact_clusters",
-    "dedup_ngram_jaccard_exact",
-    "dedup_duplicated_spans",
-    "dedup_contamination_check",
-    "text_stats",
+    "dedup_embedding_recall",
+    "knn_ivf_recall",
     "knn_quantized_int8",
-    "text_repetition_gopher",
-    "text_quality_langid",
-    "text_tfidf_top_terms",
-    "streaming_fed_ingest",
-    "text_pii_scrub",
-    "sample_hash_deterministic",
-    "corpus_mix_proportions",
-    "pipeline_training_data",
-    "embedding_quantize_int8",
     "knn_bruteforce_cosine",
-    "events_sessionization",
+    "streaming_dedup_ingest",
+    "streaming_fed_ingest",
     "asof_join_purchase_click",
     "range_join_price_bands",
-    "streaming_hourly_rollup",
-    "streaming_dedup_ingest",
+    "text_quality_langid",
+    "pipeline_training_data",
 ]
 
 

@@ -15,6 +15,7 @@ what the tests (and the DuckDB oracle on the batch form) verify.
 
 from __future__ import annotations
 
+import os
 import uuid
 from typing import Iterator, Tuple
 
@@ -41,16 +42,28 @@ def read_event_stream(spark: SparkSession, sf_dir: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over ``{sf_dir}/events.parquet``.
 
-    The testdata's ``ts`` is nanosecond parquet, which Spark reads as long
-    under ``nanosAsLong`` — converted here to a microsecond timestamp.
+    ``ts`` precision is probed from the file, matching the batch reader
+    (``queries.load_table``): TIMESTAMP(NANOS) parquet arrives as long
+    under ``nanosAsLong`` and is converted to a microsecond timestamp;
+    TIMESTAMP(MICROS) reads natively. Hardcoding either precision breaks
+    silently when the generator changes — a nanos assumption on micros
+    data lands every event in Jan 1970 and append-mode windows never
+    close past the watermark (0 rows out).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = (spark.readStream.schema(EVENT_SCHEMA).format("parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = (spark.readStream.schema(schema).format("parquet")
               .option("pathGlobFilter", "events.parquet"))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP; the cast keeps the wall-clock value
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -189,14 +202,58 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
                       output_mode: str = "append",
                       timeout_s: float = 300.0) -> DataFrame:
     """Drain the stream with availableNow into a memory sink and return the
-    resulting table — batch-equivalent catch-up semantics."""
-    name = f"dw_stream_{uuid.uuid4().hex[:10]}"
-    q = (stream_df.writeStream
-         .format("memory").queryName(name)
-         .outputMode(output_mode)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination(timeout_s)
+    resulting table — batch-equivalent catch-up semantics.
+
+    Append-mode windowed aggregates only emit once the watermark passes the
+    window close, which happens in the no-data micro-batch AFTER the data
+    batch commits its watermark. availableNow may terminate before that
+    finalizing batch runs (observed: a full drain yielding 0 rows under
+    load). Append mode therefore drains into a *parquet* sink — the only
+    sink kind that supports checkpoint recovery — and retries on the SAME
+    checkpoint when the result comes back empty: the second run starts from
+    the persisted watermark and state, so its no-data batch
+    deterministically flushes every window already closed by run 1. When
+    run 1 did emit, the rerun is skipped (append sinks are exactly-once per
+    committed batch, so a no-op rerun could only add the not-yet-emitted
+    tail, which is empty here).
+
+    Update mode emits in the data batch itself (no finalizing-batch
+    dependency) and the memory sink keeps full update history, so it stays
+    on the single-drain memory path.
+    """
     spark = stream_df.sparkSession
-    return spark.table(name)
+
+    if output_mode != "append":
+        name = f"dw_stream_{uuid.uuid4().hex[:10]}"
+        q = (stream_df.writeStream
+             .format("memory").queryName(name)
+             .outputMode(output_mode)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            q.awaitTermination(30.0)
+        return spark.table(name)
+
+    cp = os.path.join(checkpoint_dir, "cp")
+    out_dir = os.path.join(checkpoint_dir, "out")
+
+    def drain() -> None:
+        q = (stream_df.writeStream
+             .format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", cp)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            q.awaitTermination(30.0)
+
+    drain()
+    result = spark.read.schema(stream_df.schema).parquet(out_dir)
+    if result.isEmpty():
+        drain()
+        result = spark.read.schema(stream_df.schema).parquet(out_dir)
+    return result

@@ -12,7 +12,9 @@ from dataweb_spark.streaming import events as E
 def batch_events(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def test_hourly_rollup_matches_batch(spark, sf_dir, tmp_path, batch_events):
