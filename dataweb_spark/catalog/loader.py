@@ -144,6 +144,42 @@ def _parse_doc(catalog: RelayCatalog, doc: dict[str, Any]) -> None:
         raise ValueError(f"unknown config kind {kind!r}")
 
 
+def apply_config_documents(catalog: RelayCatalog,
+                           docs: Iterable[dict[str, Any]]) -> list[str]:
+    """Upsert parsed config documents into a LIVE catalog — the server side
+    of ``relayctl apply -f`` (``rest_server/src/admin/utils.rs:28-120``):
+    same-name Entity/DataConnection/DataSource declarations replace the
+    existing object; a RemoteMapping replaces the one with the same
+    (local_entity, peer, remote_entity) triple or appends. Documents apply
+    in the reference's precedence order
+    (``core/src/model/config_commands/mod.rs:53-67``) regardless of input
+    order. Returns ``"Kind/name"`` labels of everything applied.
+
+    Queries resolve entity views from the catalog per call, so the next
+    query after an apply sees the new shape — no restart, no cache flush.
+    """
+    docs = [d for d in docs if d]
+    docs.sort(key=lambda d: _APPLY_PRECEDENCE.index(d.get("kind", "Entity"))
+              if d.get("kind") in _APPLY_PRECEDENCE else 99)
+    applied: list[str] = []
+    for doc in docs:
+        kind = doc.get("kind")
+        if kind == "Entity":
+            catalog.entities.pop(doc.get("name"), None)
+        elif kind == "DataSource":
+            catalog.sources.pop(doc.get("name"), None)
+        elif kind == "RemoteMapping":
+            key = (doc.get("local_entity"), doc.get("peer"),
+                   doc.get("remote_entity", doc.get("local_entity")))
+            catalog.remote_mappings = [
+                rm for rm in catalog.remote_mappings
+                if (rm.local_entity, rm.peer, rm.remote_entity) != key]
+        _parse_doc(catalog, doc)
+        applied.append(
+            f"{kind}/{doc.get('name', doc.get('local_entity', '?'))}")
+    return applied
+
+
 def load_relay_dir(name: str, path: str) -> RelayCatalog:
     """Load one relay's config directory into a RelayCatalog."""
     catalog = RelayCatalog(name=name)

@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 
 from dataweb_spark.catalog.model import Web
 from dataweb_spark.plans.pruning import (
+    extract_entity_limit,
     extract_entity_predicates,
+    extract_referenced_columns,
     source_can_match,
 )
 from dataweb_spark.plans.resolve import (
@@ -73,13 +75,21 @@ class QueryGateway:
             e: extract_entity_predicates(self.spark, sql, e)
             for e in entities
         }
+        limits = {}
+        for e in entities:
+            lim = extract_entity_limit(self.spark, sql, e)
+            if lim is not None:
+                limits[e] = lim
+        referenced = extract_referenced_columns(self.spark, sql)
         self.last_failures: list[tuple[str, str, str]] = []
         register_entity_views(self.spark, self.web, self.relay_name, principal,
                               include_provenance=include_provenance,
                               predicates=predicates,
                               allow_partial=allow_partial,
                               failures=self.last_failures,
-                              only=set(entities))
+                              only=set(entities),
+                              limits=limits,
+                              referenced=referenced)
         return self.spark.sql(sql)
 
     # -- template mode (raw Flight analog) ------------------------------
@@ -99,16 +109,21 @@ class QueryGateway:
             raise ValidationError(f"unknown entity {entity_name!r}")
 
         conjuncts = extract_entity_predicates(self.spark, sql, entity_name)
+        limit = extract_entity_limit(self.spark, sql, entity_name)
+        referenced = extract_referenced_columns(self.spark, sql)
         results: list[tuple[str, str, DataFrame]] = []
         visited: set[tuple[str, str]] = set()
 
         def visit(relay_name: str, ename: str, conj: list,
+                  lim: int | None, ref: set[str] | None,
                   chain: list) -> None:
             """``chain`` is the (declaring_relay, RemoteEntityMapping) hop
             path from the home entity down to this relay — each peer source
             view is mapped back into the home entity's namespace through it
             (the ``map_remote_request`` identifier-rewrite analog,
-            ``core/src/execute/map_remote.rs:17-63``)."""
+            ``core/src/execute/map_remote.rs:17-63``). ``conj``/``lim``/
+            ``ref`` are the pushdown facts, re-mapped (or conservatively
+            dropped) at every hop."""
             key = (relay_name, ename)
             if key in visited:
                 return
@@ -118,7 +133,9 @@ class QueryGateway:
                 if (conj and source.bounds
                         and not source_can_match(conj, source.bounds)):
                     continue  # pruned endpoint: bounds disjoint from query
-                view = build_source_view(self.spark, r, source, principal)
+                view = build_source_view(
+                    self.spark, r, source, principal, conjuncts=conj,
+                    limit=lim, referenced=ref)
                 for decl_relay, rm in reversed(chain):
                     view = _apply_remote_mapping(self.spark, decl_relay,
                                                  rm, view)
@@ -126,10 +143,17 @@ class QueryGateway:
                     .createOrReplaceTempView(entity_name)
                 results.append((relay_name, source.name, self.spark.sql(sql)))
             for rm in r.remotes_for_entity(ename):
+                from dataweb_spark.plans.resolve import (
+                    _map_referenced_through,
+                    _template_trivial,
+                )
                 visit(rm.peer, rm.remote_entity,
-                      _map_conjuncts_through(rm, conj), chain + [(r, rm)])
+                      _map_conjuncts_through(rm, conj),
+                      lim if _template_trivial(rm) else None,
+                      _map_referenced_through(rm, ref),
+                      chain + [(r, rm)])
 
-        visit(self.relay_name, entity_name, conjuncts, [])
+        visit(self.relay_name, entity_name, conjuncts, limit, referenced, [])
         return results
 
     def query_template_union(self, sql: str, principal: str | None = None

@@ -70,21 +70,38 @@ def _apply_permission(df: DataFrame, perm: SourcePermission,
 
 
 def build_source_view(spark: SparkSession, relay: RelayCatalog,
-                      source: DataSource, principal: str | None = None) -> DataFrame:
-    """One source's contribution to its entity, in entity namespace."""
-    df = read_source_frame(spark, relay.connections[source.connection],
-                           source)
-    return map_source_frame(df, relay, source, principal)
+                      source: DataSource, principal: str | None = None,
+                      conjuncts: list | None = None,
+                      limit: int | None = None,
+                      referenced: set[str] | None = None) -> DataFrame:
+    """One source's contribution to its entity, in entity namespace.
+
+    ``conjuncts``/``limit``/``referenced`` are the query's pushdown facts
+    (from ``plans/pruning.py``); they only change execution for flight-peer
+    sources, where the peer SQL is narrowed instead of ``select *``
+    (``readers._peer_sql``). For file/JDBC/view sources Catalyst already
+    pushes predicates and projections into the scan."""
+    df, projected = read_source_frame(spark,
+                                      relay.connections[source.connection],
+                                      source, conjuncts, limit, referenced)
+    return map_source_frame(df, relay, source, principal,
+                            projected=projected)
 
 
 def map_source_frame(df: DataFrame, relay: RelayCatalog, source: DataSource,
-                     principal: str | None = None) -> DataFrame:
+                     principal: str | None = None,
+                     projected: set[str] | None = None) -> DataFrame:
     """Permission + mapping pipeline over an already-read raw frame.
 
     Split from :func:`build_source_view` so streaming ingest
     (``streaming/federation.py``) applies the IDENTICAL expressions to an
     unbounded frame — one implementation of the mapping semantics, two
-    execution modes."""
+    execution modes.
+
+    ``projected`` (flight pushdown only) names the informations whose peer
+    columns were actually fetched; the rest are NULL-filled — sound because
+    the projection over-approximates the user query's column references, so
+    a NULL-filled information is never read."""
     entity = relay.entities[source.entity]
 
     if source.default_permission is not None or source.user_permissions:
@@ -104,7 +121,7 @@ def map_source_frame(df: DataFrame, relay: RelayCatalog, source: DataSource,
     for info in entity.informations:
         m = source.mapping_for(info.name)
         col = None
-        if m is not None:
+        if m is not None and (projected is None or info.name in projected):
             path = source.field_path(m.field)
             root = path.split(".")[0]
             # A mapping is usable only if its physical path survived the
@@ -154,14 +171,21 @@ def _apply_remote_mapping(spark: SparkSession, relay: RelayCatalog,
     return df.select(*select_list)
 
 
+def _template_trivial(rm: RemoteEntityMapping) -> bool:
+    t = (rm.sql_template or "").strip().lower()
+    return not t or t == "select * from {entity}"
+
+
 def _map_conjuncts_through(rm: RemoteEntityMapping,
                            conjuncts: list | None) -> list | None:
     """Rewrite pruning conjuncts from local-entity namespace into the peer
     entity's namespace. Identity-transform renames pass through; columns
     behind a non-identity transformation are dropped (conservative — the
-    peer just won't prune on them)."""
-    if not conjuncts:
-        return conjuncts
+    peer just won't prune on them). A non-trivial ``sql_template`` rewrites
+    the peer frame wholesale (may aggregate/derive), so nothing maps
+    through it."""
+    if not conjuncts or not _template_trivial(rm):
+        return None
     out = []
     for col, op, value in conjuncts:
         m = rm.mapping_for(col)
@@ -173,12 +197,29 @@ def _map_conjuncts_through(rm: RemoteEntityMapping,
     return out
 
 
+def _map_referenced_through(rm: RemoteEntityMapping,
+                            referenced: set[str] | None) -> set[str] | None:
+    """Grow the referenced-token set with the peer-side names of renamed
+    columns so projection pushdown survives remote hops. Token sets are
+    over-approximations; adding names is always sound, dropping never
+    happens."""
+    if referenced is None or not _template_trivial(rm):
+        return None
+    out = set(referenced)
+    for m in rm.info_mappings:
+        if m.local_info.lower() in referenced:
+            out.add(m.remote_info.lower())
+    return out
+
+
 def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
                    entity_name: str, principal: str | None = None,
                    _visited: set[tuple[str, str]] | None = None,
                    conjuncts: list | None = None,
                    allow_partial: bool = False,
-                   failures: list[tuple[str, str, str]] | None = None
+                   failures: list[tuple[str, str, str]] | None = None,
+                   limit: int | None = None,
+                   referenced: set[str] | None = None
                    ) -> DataFrame | None:
     """Resolve an entity to the union of all its mapped sources, local and
     remote-recursive. Returns None if this (relay, entity) was already
@@ -214,7 +255,9 @@ def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
                 and not source_can_match(conjuncts, source.bounds)):
             continue  # provably no matching rows in this source
         try:
-            parts.append(build_source_view(spark, relay, source, principal))
+            parts.append(build_source_view(spark, relay, source, principal,
+                                           conjuncts=conjuncts, limit=limit,
+                                           referenced=referenced))
         except Exception as e:  # noqa: BLE001 — partial-failure policy
             if not allow_partial:
                 raise
@@ -225,7 +268,10 @@ def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
                                  principal, visited,
                                  conjuncts=_map_conjuncts_through(rm, conjuncts),
                                  allow_partial=allow_partial,
-                                 failures=failures)
+                                 failures=failures,
+                                 limit=limit if _template_trivial(rm) else None,
+                                 referenced=_map_referenced_through(
+                                     rm, referenced))
         if peer_df is not None:
             parts.append(_apply_remote_mapping(spark, relay, rm, peer_df))
 
@@ -243,7 +289,9 @@ def register_entity_views(spark: SparkSession, web: Web, relay_name: str,
                           predicates: dict[str, list] | None = None,
                           allow_partial: bool = False,
                           failures: list | None = None,
-                          only: set[str] | None = None) -> list[str]:
+                          only: set[str] | None = None,
+                          limits: dict[str, int] | None = None,
+                          referenced: set[str] | None = None) -> list[str]:
     """Register every entity of a relay as a temp view for SQL querying —
     the ``register_web_sources`` analog (``webengine/src/register.rs:36-90``).
 
@@ -261,7 +309,9 @@ def register_entity_views(spark: SparkSession, web: Web, relay_name: str,
             continue
         df = resolve_entity(spark, web, relay_name, entity_name, principal,
                             conjuncts=(predicates or {}).get(entity_name),
-                            allow_partial=allow_partial, failures=failures)
+                            allow_partial=allow_partial, failures=failures,
+                            limit=(limits or {}).get(entity_name),
+                            referenced=referenced)
         if df is None:
             continue
         if not include_provenance:

@@ -102,6 +102,12 @@ class RelayFlightServer(flight.FlightServerBase):
         self._authed = tokens is not None
         self._tasks: dict[str, tuple] = {}   # ticket id → (df, principal)
         self._lock = threading.Lock()
+        # Transfer accounting: what this relay actually shipped. The
+        # pushdown tests (and operators) read these via the ``stats``
+        # action to prove a narrowed peer query shrank the transfer.
+        self.served_rows = 0
+        self.served_batches = 0
+        self._max_tasks = 4096  # re-planned-but-unredeemed ticket bound
 
     def _principal(self, context, requested: str | None) -> str | None:
         if not self._authed:
@@ -149,6 +155,11 @@ class RelayFlightServer(flight.FlightServerBase):
                 endpoints.append(flight.FlightEndpoint(ticket, []))
                 if schema is None:
                     schema = _to_arrow_schema(df)
+            # Retried executor tasks re-plan (a fresh get_flight_info per
+            # retry); the superseded plans' tickets are never redeemed —
+            # evict oldest so a long-lived relay stays bounded.
+            while len(self._tasks) > self._max_tasks:
+                self._tasks.pop(next(iter(self._tasks)))
         return flight.FlightInfo(schema, descriptor, endpoints, -1, -1)
 
     # -- task execution (flight.rs:449-460) -------------------------------
@@ -171,7 +182,20 @@ class RelayFlightServer(flight.FlightServerBase):
                 raise flight.FlightUnauthorizedError(
                     f"task belongs to principal {owner!r}")
         table = df.toArrow()
+        with self._lock:
+            self.served_rows += table.num_rows
+            self.served_batches += 1
         return flight.RecordBatchStream(table)
+
+    # -- transfer stats (Flight action) -----------------------------------
+
+    def do_action(self, context, action):
+        if action.type == "stats":
+            with self._lock:
+                body = json.dumps({"served_rows": self.served_rows,
+                                   "served_batches": self.served_batches})
+            return [body.encode("utf-8")]
+        raise flight.FlightServerError(f"unknown action {action.type!r}")
 
 
 def _to_arrow_schema(df) -> pa.Schema:
@@ -227,6 +251,16 @@ def flight_list_entities(port: int, host: str = "127.0.0.1",
             for fi in client.list_flights()}
 
 
+def flight_stats(port: int, host: str = "127.0.0.1",
+                 token: str | None = None) -> dict:
+    """Transfer counters of a (possibly remote-process) relay — how many
+    rows/batches it has served. Lets tests and operators PROVE that a
+    pushed-down peer query shrank the transfer, across process boundaries."""
+    client = _connect(host, port, token)
+    (result,) = client.do_action(flight.Action("stats", b""))
+    return json.loads(result.body.to_pybytes().decode("utf-8"))
+
+
 def flight_read_distributed(spark: SparkSession, host: str, port: int,
                             sql: str, principal: str | None = None,
                             mode: str = "template",
@@ -240,17 +274,22 @@ def flight_read_distributed(spark: SparkSession, host: str, port: int,
     ``mapInArrow`` — result bytes never touch the driver, and endpoint
     count = scan parallelism exactly as in the reference.
 
-    Caveat: tickets are single-use (reference protocol), so a re-executed
-    task cannot re-redeem one — use the driver-side :func:`flight_query`
-    pull when task retries matter more than transfer locality.
+    Tickets are single-use (reference protocol), so a RETRIED Spark task
+    cannot re-redeem the one it was handed: on an unknown-ticket failure the
+    task re-plans with its own ``get_flight_info`` (same command) and
+    redeems the endpoint at its ordinal position — endpoint order is the
+    server's stable per-source plan order, so position identifies "this
+    task's slice" across plans.
     """
     from pyspark.sql.pandas.types import from_arrow_schema
 
     client = _connect(host, port, token)
-    cmd = json.dumps({"sql": sql, "principal": principal,
-                      "mode": mode}).encode("utf-8")
-    info = client.get_flight_info(flight.FlightDescriptor.for_command(cmd))
-    tickets = [(ep.ticket.ticket,) for ep in info.endpoints]
+    cmd_bytes = json.dumps({"sql": sql, "principal": principal,
+                            "mode": mode}).encode("utf-8")
+    info = client.get_flight_info(
+        flight.FlightDescriptor.for_command(cmd_bytes))
+    tickets = [(ep.ticket.ticket, idx, cmd_bytes)
+               for idx, ep in enumerate(info.endpoints)]
     out_schema = from_arrow_schema(info.schema)
     arrow_schema = info.schema
 
@@ -259,9 +298,21 @@ def flight_read_distributed(spark: SparkSession, host: str, port: int,
         c = fl.connect(f"grpc://{host}:{port}")
         if token is not None:
             c.authenticate(_TokenClientAuth(token))
+
+        def redeem(tk, idx, cmd):
+            try:
+                return c.do_get(fl.Ticket(tk))
+            except fl.FlightError:
+                # ticket already consumed (task retry): re-plan and redeem
+                # this task's ordinal endpoint from the fresh plan
+                info2 = c.get_flight_info(
+                    fl.FlightDescriptor.for_command(cmd))
+                return c.do_get(info2.endpoints[idx].ticket)
+
         for batch in batch_iter:
-            for tk in batch.column("ticket").to_pylist():
-                reader = c.do_get(fl.Ticket(tk))
+            rows = batch.to_pylist()
+            for row in rows:
+                reader = redeem(row["ticket"], row["idx"], row["cmd"])
                 for chunk in reader:
                     if chunk.data.num_rows:
                         # cast defensively: concat/union on the caller side
@@ -270,6 +321,6 @@ def flight_read_distributed(spark: SparkSession, host: str, port: int,
                                 .cast(arrow_schema).to_batches()[0]
         c.close()
 
-    tdf = spark.createDataFrame(tickets, "ticket binary") \
+    tdf = spark.createDataFrame(tickets, "ticket binary, idx int, cmd binary") \
                .repartition(max(len(tickets), 1))
     return tdf.mapInArrow(fetch, out_schema)

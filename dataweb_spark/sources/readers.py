@@ -10,26 +10,147 @@ and the task SQL itself is executed by Catalyst against the returned frame:
 * ``jdbc``  — TrinoRunner / FlightSQLRunner (``trino.rs:27-200``,
   ``flight_sql.rs:37-163``): external engines over JDBC. Spark's JDBC source
   gives pushdown + partitioned reads; schema inference is the engine's.
+* ``flight`` — a peer relay over Arrow Flight gRPC; see ``_peer_sql`` for
+  the projection/filter/limit pushdown (``expr_to_sql.rs`` analog).
 * ``view``  — an already-registered Spark table/view (used by tests and for
   in-session derived data; no reference counterpart needed).
 
 Scale notes: file reads are planned by Spark's FileSourceScanExec with
 partition pruning + predicate pushdown; we never materialize on the driver.
+Flight-peer reads default to the executor-side ``mapInArrow`` path
+(partition per endpoint, batches never touch the driver) and narrow the
+peer query instead of shipping the whole entity.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from dataweb_spark.catalog.model import DataConnection, DataSource
 
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _sql_literal(v) -> str | None:
+    """Render a pruning-conjunct literal as a SQL literal the peer's parser
+    (Spark SQL via its gateway) accepts. None = not renderable → skip."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return None  # timestamps not pushed (tz pitfalls) — filtered locally
+    if isinstance(v, _dt.date):
+        return f"date '{v.isoformat()}'"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return None
+
+
+def _peer_sql(source: DataSource, conjuncts: list | None, limit: int | None,
+              referenced: set[str] | None) -> tuple[str, set[str] | None]:
+    """Compose the SQL sent to a flight peer — the client-side unparser
+    analog of the reference (``webengine/src/web_source.rs:105-123``,
+    ``webengine/src/expr_to_sql.rs:32-106``). Instead of
+    ``select * from <entity>``, the peer receives:
+
+    * a **projection** to the peer columns this relay's mappings actually
+      read, narrowed further to the columns the user query references
+      (``pruning.extract_referenced_columns`` over-approximation) — skipped
+      entirely when the source carries local permissions, whose row filters
+      reference physical columns the projection analysis doesn't model;
+    * the query's **filter conjuncts**, rewritten through identity-transform
+      mappings into peer namespace (non-identity transforms are dropped —
+      the peer just doesn't pre-filter on them; correctness is preserved
+      because the full predicate still runs locally, exactly the
+      ``Inexact``-filter semantics of ``web_source.rs:145-159``);
+    * the query's **LIMIT** when it provably sits directly over the entity
+      (``pruning.extract_entity_limit``) and the source is unpermissioned.
+
+    Returns ``(sql, projected_info_names)`` where the second element names
+    the entity informations whose peer columns were fetched (None = all) —
+    the caller's mapping step must emit NULL for the rest instead of
+    referencing columns the narrowed answer no longer carries.
+    """
+    entity = source.options.get("entity", source.name)
+    has_perms = (source.default_permission is not None
+                 or bool(source.user_permissions))
+    src_sql = (source.source_sql or "").strip().lower()
+    if src_sql and src_sql != "select * from {table}":
+        # A non-trivial source_sql runs OVER the peer answer: mapped field
+        # paths name ITS output columns, not the peer's — nothing here can
+        # be soundly rewritten into the peer query.
+        return f"select * from {entity}", None
+
+    # -- projection -------------------------------------------------------
+    projected: set[str] | None = None
+    cols: list[str] = []
+    if source.mappings and not has_perms:
+        wanted = []
+        for m in source.mappings:
+            path = source.field_path(m.field)
+            if not _IDENT.match(path):
+                wanted = None  # nested/expression path: fetch everything
+                break
+            if referenced is None or m.information.lower() in referenced \
+                    or path.lower() in referenced:
+                wanted.append((m.information, path))
+        if wanted is not None:
+            if not wanted:
+                # e.g. `select count(*) from e`: no columns referenced, but
+                # row COUNT must survive — fetch one cheap column.
+                m0 = source.mappings[0]
+                wanted = [(m0.information, source.field_path(m0.field))]
+            if len(wanted) < len(source.mappings):
+                projected = {info for info, _ in wanted}
+                seen: set[str] = set()
+                cols = [p for _, p in wanted
+                        if not (p in seen or seen.add(p))]
+
+    select_list = ", ".join(cols) if cols else "*"
+
+    # -- filters ----------------------------------------------------------
+    preds: list[str] = []
+    for col, op, value in conjuncts or []:
+        m = source.mapping_for(col)
+        if m is None:
+            target = col  # same-name passthrough (unmapped = identity)
+        elif m.transformation.other_to_local == "{v}":
+            target = source.field_path(m.field)
+        else:
+            continue  # transformed column: peer-side value differs — skip
+        lit = _sql_literal(value)
+        if lit is None or not _IDENT.match(target):
+            continue
+        preds.append(f"{target} {op} {lit}")
+
+    sql = f"select {select_list} from {entity}"
+    if preds:
+        sql += " where " + " and ".join(preds)
+    if limit is not None and not has_perms and not preds:
+        # LIMIT is only extracted for filter-free plans; a pushed WHERE here
+        # means conjuncts came from elsewhere in the query — don't combine.
+        sql += f" limit {int(limit)}"
+    return sql, projected
+
 
 def read_connection_table(spark: SparkSession, conn: DataConnection,
-                          source: DataSource) -> DataFrame:
-    """Read the raw physical table behind a DataSource (no source_sql yet)."""
+                          source: DataSource,
+                          conjuncts: list | None = None,
+                          limit: int | None = None,
+                          referenced: set[str] | None = None
+                          ) -> tuple[DataFrame, set[str] | None]:
+    """Read the raw physical table behind a DataSource (no source_sql yet).
+
+    Returns ``(frame, projected_info_names)``: the second element is only
+    non-None for flight sources whose peer answer was narrowed — the
+    mapping step must NULL-fill the unfetched informations.
+    """
     if conn.kind == "file":
         base = conn.options.get("path", ".")
         rel = source.options.get("path", source.options.get("table", source.name))
@@ -41,40 +162,47 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
                            .option("inferSchema", source.options.get("inferSchema", "true"))
         if "schema" in source.options:
             reader = reader.schema(source.options["schema"])
-        return reader.format(fmt).load(path)
+        return reader.format(fmt).load(path), None
     if conn.kind == "view":
-        return spark.table(source.options.get("table", source.name))
+        return spark.table(source.options.get("table", source.name)), None
     if conn.kind == "flight":
         # Peer-relay federation over real gRPC: the raw table is the remote
         # relay's ANSWER to a query (engine mode by default — the peer's own
-        # mapped/permissioned union), pulled as Arrow record batches. This
-        # is the relay→relay ``get_flight_info`` fan-out
-        # (``flight_server/src/flight.rs:237-309``) with the peer a separate
-        # process. Batches land on the driver — protocol/control path; bulk
-        # multi-executor transfer stays on the jobs layer (shared store).
+        # mapped/permissioned union). This is the relay→relay
+        # ``get_flight_info`` fan-out (``flight_server/src/flight.rs:237-309``)
+        # with the peer a separate process. The peer SQL carries the pushed
+        # projection/filters/limit (``_peer_sql``); the peer's own gateway
+        # re-extracts them for ITS pruning and peer pushdown, so narrowing
+        # cascades across hops.
         from dataweb_spark.sources.flight_service import (
             flight_query,
             flight_read_distributed,
         )
-        sql = source.options.get(
-            "sql", f"select * from {source.options.get('entity', source.name)}")
+        projected: set[str] | None = None
+        if "sql" in source.options:
+            sql = source.options["sql"]  # explicit template: never rewritten
+        else:
+            sql, projected = _peer_sql(source, conjuncts, limit, referenced)
         host = conn.options.get("host", "127.0.0.1")
         port = int(conn.options["port"])
         principal = source.options.get("principal",
                                        conn.options.get("principal"))
         mode = source.options.get("mode", "engine")
         token = conn.options.get("token")
-        if source.options.get("distribute", "false") == "true":
-            # partition-per-endpoint executor-side streams (WebEntityScan
-            # analog) — batches never touch the driver
+        if source.options.get("distribute", "true") != "false":
+            # DEFAULT: partition-per-endpoint executor-side streams
+            # (WebEntityScan analog) — batches never touch the driver.
+            # Task retries re-plan via get_flight_info (single-use tickets).
             return flight_read_distributed(spark, host, port, sql,
-                                           principal, mode, token)
+                                           principal, mode, token), projected
+        # Explicit small-result opt-out: one driver pull (control-plane
+        # convenience; not for bulk transfer).
         table = flight_query(port, sql, principal=principal, mode=mode,
                              host=host, token=token)
         try:
-            return spark.createDataFrame(table)
+            return spark.createDataFrame(table), projected
         except Exception:  # older arrow-table support: go through pandas
-            return spark.createDataFrame(table.to_pandas())
+            return spark.createDataFrame(table.to_pandas()), projected
     if conn.kind == "jdbc":
         reader = (spark.read.format("jdbc")
                   .option("url", conn.options["url"])
@@ -86,12 +214,16 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
         if "partitionColumn" in source.options:
             for k in ("partitionColumn", "lowerBound", "upperBound", "numPartitions"):
                 reader = reader.option(k, source.options[k])
-        return reader.load()
+        return reader.load(), None
     raise ValueError(f"unknown connection kind {conn.kind!r}")
 
 
 def read_source_frame(spark: SparkSession, conn: DataConnection,
-                      source: DataSource) -> DataFrame:
+                      source: DataSource,
+                      conjuncts: list | None = None,
+                      limit: int | None = None,
+                      referenced: set[str] | None = None
+                      ) -> tuple[DataFrame, set[str] | None]:
     """Raw table + ``source_sql`` applied as a derived table.
 
     The reference substitutes ``source_sql`` as a table factor
@@ -100,10 +232,11 @@ def read_source_frame(spark: SparkSession, conn: DataConnection,
     transform — Catalyst folds it into the scan (projection pushdown still
     reaches parquet because the view is logical, not materialized).
     """
-    raw = read_connection_table(spark, conn, source)
+    raw, projected = read_connection_table(spark, conn, source,
+                                           conjuncts, limit, referenced)
     sql = source.source_sql
     if not sql or sql.strip().lower() in ("select * from {table}",):
-        return raw
+        return raw, projected
     view = f"__dw_src_{uuid.uuid4().hex[:12]}"
     raw.createOrReplaceTempView(view)
-    return spark.sql(sql.replace("{table}", view))
+    return spark.sql(sql.replace("{table}", view)), projected

@@ -13,6 +13,16 @@ Routes (``rest_server/src/query/route.rs:149-268`` / ``:57-147``):
                            (unless ``allow_partial``), matching the
                            reference's "status until everything lands"
                            polling contract.
+* ``POST /admin/apply``    body: YAML config documents (the kinds
+                           ``catalog/loader.py`` parses) — upserted into the
+                           LIVE relay catalog; the next query sees the new
+                           mapping. The ``relayctl apply -f`` server side
+                           (``rest_server/src/admin/utils.rs:28-120``).
+                           Guarded by the ``X-Admin-Token`` header (the
+                           in-container stand-in for the reference's
+                           ``is_admin`` x509 principal attribute,
+                           ``core/src/model/user.rs:17-28``); disabled
+                           entirely when the server has no admin token.
 
 Built on stdlib ``http.server`` (nothing to install); each request is
 handled on its own thread (``ThreadingHTTPServer``) and execution is the
@@ -48,8 +58,12 @@ class RestRelayServer:
     """HTTP facade over a :class:`JobManager`. ``start()`` → ``.port``."""
 
     def __init__(self, spark: SparkSession, web: Web, relay_name: str,
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0,
+                 admin_token: str | None = None):
         self.manager = JobManager(spark, web, relay_name)
+        self.web = web
+        self.relay_name = relay_name
+        self._admin_token = admin_token
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -67,7 +81,10 @@ class RestRelayServer:
                 self.wfile.write(body)
 
             def do_POST(self):
-                if urlparse(self.path).path != "/query":
+                path = urlparse(self.path).path
+                if path == "/admin/apply":
+                    return self._admin_apply()
+                if path != "/query":
                     return self._send(404, {"error": "not found"})
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
@@ -78,6 +95,26 @@ class RestRelayServer:
                 except (ValidationError, ValueError, KeyError) as e:
                     return self._send(400, {"error": str(e)})
                 self._send(202, {"job_id": job_id})
+
+            def _admin_apply(self) -> None:
+                import yaml
+
+                from dataweb_spark.catalog.loader import (
+                    apply_config_documents,
+                )
+                if outer._admin_token is None:
+                    return self._send(403, {"error": "admin disabled"})
+                if self.headers.get("X-Admin-Token") != outer._admin_token:
+                    return self._send(403, {"error": "bad admin token"})
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    body = self.rfile.read(n).decode("utf-8")
+                    docs = list(yaml.safe_load_all(body))
+                    applied = apply_config_documents(
+                        outer.web.relay(outer.relay_name), docs)
+                except Exception as e:  # bad YAML / unknown kind / bad doc
+                    return self._send(400, {"error": str(e)})
+                self._send(200, {"applied": applied})
 
             def do_GET(self):
                 url = urlparse(self.path)

@@ -51,7 +51,7 @@ def _stream_raw(spark: SparkSession, conn, source) -> DataFrame:
     # (declared via options['schema'] or engine-inferred), so batch and
     # stream agree by construction.
     from dataweb_spark.sources.readers import read_connection_table
-    schema = read_connection_table(spark, conn, source).schema
+    schema = read_connection_table(spark, conn, source)[0].schema
     reader = spark.readStream.schema(schema)
     if fmt == "csv":
         reader = reader.option("header", source.options.get("header", "true"))

@@ -1,0 +1,177 @@
+"""Projection/filter/limit pushdown into flight-peer scans.
+
+The reference serializes (projection, pushed filters, limit) into each
+per-endpoint scan (``webengine/src/web_source.rs:105-123``, unparser
+``webengine/src/expr_to_sql.rs:32-106``); ``readers._peer_sql`` is the
+Spark-side analog. These tests prove BOTH properties the reference
+guarantees: answers unchanged, and the transfer actually shrinks (via the
+relay's served-rows counter)."""
+
+import pytest
+
+from dataweb_spark.catalog.model import (
+    DataConnection,
+    DataSource,
+    Entity,
+    Mapping,
+    RelayCatalog,
+    SourcePermission,
+    Transformation,
+    Web,
+)
+from dataweb_spark.plans.gateway import QueryGateway
+from dataweb_spark.sources.readers import _peer_sql
+
+
+# ---------------------------------------------------------------------------
+# _peer_sql unit behavior (the expr_to_sql analog)
+# ---------------------------------------------------------------------------
+
+def _src(**kw):
+    defaults = dict(name="s", connection="c", entity="e",
+                    source_sql="select * from {table}",
+                    mappings=[Mapping("a", "a"), Mapping("b", "b_phys"),
+                              Mapping("c", "c")],
+                    options={"entity": "peer_e"})
+    defaults.update(kw)
+    return DataSource(**defaults)
+
+
+def test_peer_sql_projects_referenced_columns():
+    sql, projected = _peer_sql(_src(), None, None, {"a", "b"})
+    assert sql == "select a, b_phys from peer_e"
+    assert projected == {"a", "b"}
+
+
+def test_peer_sql_star_fetches_everything():
+    sql, projected = _peer_sql(_src(), None, None, None)
+    assert sql == "select * from peer_e"
+    assert projected is None
+
+
+def test_peer_sql_no_referenced_columns_keeps_row_count():
+    # `select count(*) from e` references nothing — one column must still
+    # be fetched so the peer's row count survives.
+    sql, projected = _peer_sql(_src(), None, None, {"count"})
+    assert sql == "select a from peer_e"
+    assert projected == {"a"}
+
+
+def test_peer_sql_pushes_identity_conjuncts():
+    sql, _ = _peer_sql(_src(), [("a", "<", 10), ("b", "=", "x")], None, None)
+    assert sql == "select * from peer_e where a < 10 and b_phys = 'x'"
+
+
+def test_peer_sql_drops_transformed_conjuncts():
+    src = _src(mappings=[
+        Mapping("a", "a", Transformation("{v} * 100", "{v} / 100")),
+        Mapping("b", "b"),
+    ])
+    sql, _ = _peer_sql(src, [("a", "<", 10), ("b", ">=", 5)], None, None)
+    # a is behind a non-identity transform: peer-side raw values differ
+    assert sql == "select * from peer_e where b >= 5"
+
+
+def test_peer_sql_escapes_string_literals():
+    sql, _ = _peer_sql(_src(), [("a", "=", "O'Brien")], None, None)
+    assert "a = 'O''Brien'" in sql
+
+
+def test_peer_sql_date_literal():
+    import datetime
+    sql, _ = _peer_sql(_src(), [("a", "<=", datetime.date(1995, 3, 15))],
+                       None, None)
+    assert "a <= date '1995-03-15'" in sql
+
+
+def test_peer_sql_limit_only_without_filters():
+    sql, _ = _peer_sql(_src(), None, 7, None)
+    assert sql.endswith("limit 7")
+    sql2, _ = _peer_sql(_src(), [("a", "<", 10)], 7, None)
+    assert "limit" not in sql2
+
+
+def test_peer_sql_permissions_disable_projection_and_limit():
+    src = _src(default_permission=SourcePermission(
+        frozenset(["a", "b"]), "a < 100"))
+    sql, projected = _peer_sql(src, [("a", "<", 10)], 7, {"a"})
+    assert sql == "select * from peer_e where a < 10"
+    assert projected is None
+
+
+def test_peer_sql_nontrivial_source_sql_disables_everything():
+    src = _src(source_sql="select a, a * 2 as b_phys from {table}")
+    sql, projected = _peer_sql(src, [("a", "<", 10)], 7, {"a"})
+    assert sql == "select * from peer_e"
+    assert projected is None
+
+
+# ---------------------------------------------------------------------------
+# End-to-end against a live relay (in-process server, separate gRPC socket)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def peer_server(spark, demo_web):
+    from dataweb_spark.sources.flight_service import serve_in_background
+    s = serve_in_background(spark, demo_web, "na_us")
+    yield s
+    s.shutdown()
+
+
+@pytest.fixture()
+def edge_gateway(spark, peer_server):
+    from dataweb_spark.demo import LINEITEM_INFOS
+    edge = RelayCatalog(name="edge_pd")
+    edge.add_entity(Entity("lineitem", list(LINEITEM_INFOS)))
+    edge.add_connection(DataConnection(
+        "peer_flight", "flight", {"port": str(peer_server.port)}))
+    edge.add_source(DataSource(
+        name="lineitem_peer", connection="peer_flight", entity="lineitem",
+        source_sql="select * from {table}",
+        mappings=[Mapping(i.name, i.name) for i in LINEITEM_INFOS],
+        options={"entity": "lineitem", "mode": "engine"}))
+    web = Web()
+    web.add_relay(edge)
+    return QueryGateway(spark, web, "edge_pd")
+
+
+def test_filter_pushdown_shrinks_transfer_same_answer(
+        spark, demo_web, peer_server, edge_gateway):
+    from dataweb_spark.plans.resolve import resolve_entity
+
+    local = resolve_entity(spark, demo_web, "na_us", "lineitem")
+    want = (local.where("quantity < 5")
+                 .groupBy("returnflag").count().collect())
+    want = {r["returnflag"]: r["count"] for r in want}
+    total = local.count()
+
+    before = peer_server.served_rows
+    got = edge_gateway.query(
+        "select returnflag, count(*) as n from lineitem "
+        "where quantity < 5 group by returnflag")
+    got = {r["returnflag"]: r["n"] for r in got.collect()}
+    shipped = peer_server.served_rows - before
+
+    assert got == want                      # answers unchanged
+    assert 0 < shipped < total              # peer pre-filtered the transfer
+    assert shipped == local.where("quantity < 5").count()
+
+
+def test_limit_pushdown_bounds_transfer(peer_server, edge_gateway):
+    before = peer_server.served_rows
+    rows = edge_gateway.query("select * from lineitem limit 7").collect()
+    shipped = peer_server.served_rows - before
+    assert len(rows) == 7
+    assert shipped <= 7
+
+
+def test_projection_pushdown_end_to_end(spark, demo_web, peer_server,
+                                        edge_gateway):
+    """A narrow query must still answer correctly when the peer returns
+    only the referenced columns (the rest NULL-filled locally)."""
+    from dataweb_spark.plans.resolve import resolve_entity
+    want = (resolve_entity(spark, demo_web, "na_us", "lineitem")
+            .selectExpr("sum(quantity) as s").collect()[0]["s"])
+    got = edge_gateway.query(
+        "select sum(quantity) as s from lineitem").collect()[0]["s"]
+    assert got == want

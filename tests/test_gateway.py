@@ -145,9 +145,9 @@ def test_query_resolves_only_referenced_entities(spark, demo_web,
     touched: list[str] = []
     real = R.build_source_view
 
-    def spy(spark_, relay, source, principal=None):
+    def spy(spark_, relay, source, principal=None, **kw):
         touched.append(source.entity)
-        return real(spark_, relay, source, principal)
+        return real(spark_, relay, source, principal, **kw)
 
     monkeypatch.setattr(R, "build_source_view", spy)
     gw = QueryGateway(spark, demo_web, "global")

@@ -93,3 +93,143 @@ def test_bad_sql_is_400(rest):
 def test_unknown_job_404(rest):
     code, _ = _get(rest.port, "/query/deadbeef0000")
     assert code == 404
+
+
+# ---------------------------------------------------------------------------
+# POST /admin/apply — live reconfiguration (relayctl apply analog)
+# ---------------------------------------------------------------------------
+
+def _post_yaml(port, path, body, token=None):
+    headers = {"Content-Type": "application/x-yaml"}
+    if token is not None:
+        headers["X-Admin-Token"] = token
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=body.encode(), method="POST", headers=headers)
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture()
+def admin_rest(spark, sf_dir):
+    """A mutable single-relay web (separate from the shared demo_web so
+    apply tests don't reconfigure other modules' fixtures)."""
+    from dataweb_spark.demo import build_demo_web
+    web = build_demo_web(sf_dir)
+    s = RestRelayServer(spark, web, "na_us",
+                        admin_token="secret-admin").start()
+    yield s
+    s.shutdown()
+
+
+def _query_rows(port, sql):
+    code, body = _post(port, {"sql": sql, "mode": "engine"})
+    assert code == 202, body
+    job_id = body["job_id"]
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        code, raw = _get(port, f"/query/{job_id}")
+        st = json.loads(raw)
+        if st["status"] in ("COMPLETE", "FAILED"):
+            break
+        time.sleep(0.1)
+    assert st["status"] == "COMPLETE", st
+    code, raw = _get(port, f"/query/{job_id}/results")
+    assert code == 200
+    return [json.loads(x) for x in raw.decode().splitlines()]
+
+
+def test_admin_apply_reconfigures_live_relay(admin_rest, sf_dir):
+    """Apply a new Entity + DataSource to a RUNNING relay; the next query
+    resolves it — no restart (rest_server/src/admin/utils.rs:28-120)."""
+    doc = f"""
+kind: Entity
+name: regions_admin
+informations:
+  - {{name: region_name, data_type: string}}
+  - {{name: region_key, data_type: bigint}}
+---
+kind: DataSource
+name: regions_admin_src
+connection: files
+entity: regions_admin
+source_sql: "select * from {{table}}"
+options: {{table: region.parquet}}
+mappings:
+  - {{information: region_name, field: r_name}}
+  - {{information: region_key, field: r_regionkey}}
+"""
+    # before: unknown entity
+    code, body = _post(admin_rest.port,
+                       {"sql": "select * from regions_admin",
+                        "mode": "engine"})
+    assert code == 400
+
+    code, body = _post_yaml(admin_rest.port, "/admin/apply", doc,
+                            token="secret-admin")
+    assert code == 200, body
+    assert body["applied"] == ["Entity/regions_admin",
+                               "DataSource/regions_admin_src"]
+
+    rows = _query_rows(admin_rest.port,
+                       "select region_name from regions_admin "
+                       "order by region_key")
+    assert len(rows) == 5  # TPC-H regions
+
+
+def test_admin_apply_upserts_existing_source(admin_rest):
+    """Re-applying a same-name DataSource replaces it: narrow the trino
+    source's row permission and the next query sees fewer rows."""
+    before = sum(r["n"] for r in _query_rows(
+        admin_rest.port, "select count(*) as n from lineitem"))
+    doc = """
+kind: DataSource
+name: lineitem_trino
+connection: files
+entity: lineitem
+source_sql: "select * from {table}"
+options: {table: lineitem.parquet}
+fields:
+  - {name: l_linenumber, path: l_linenumber}
+  - {name: l_quantity, path: l_quantity}
+  - {name: l_returnflag, path: l_returnflag}
+default_permission:
+  allowed_columns: "*"
+  allowed_rows: "l_returnflag = 'A'"
+mappings:
+  - {information: linenumber, field: l_linenumber}
+  - {information: quantity, field: l_quantity}
+  - {information: returnflag, field: l_returnflag}
+"""
+    code, body = _post_yaml(admin_rest.port, "/admin/apply", doc,
+                            token="secret-admin")
+    assert code == 200, body
+    after = sum(r["n"] for r in _query_rows(
+        admin_rest.port, "select count(*) as n from lineitem"))
+    assert 0 < after < before
+
+
+def test_admin_apply_requires_token(admin_rest):
+    code, body = _post_yaml(admin_rest.port, "/admin/apply",
+                            "kind: Entity\nname: x\ninformations: []",
+                            token="wrong")
+    assert code == 403
+    code, body = _post_yaml(admin_rest.port, "/admin/apply",
+                            "kind: Entity\nname: x\ninformations: []")
+    assert code == 403
+
+
+def test_admin_apply_disabled_without_server_token(rest):
+    code, body = _post_yaml(rest.port, "/admin/apply",
+                            "kind: Entity\nname: x\ninformations: []",
+                            token="anything")
+    assert code == 403 and body["error"] == "admin disabled"
+
+
+def test_admin_apply_bad_yaml_is_400(admin_rest):
+    code, body = _post_yaml(admin_rest.port, "/admin/apply",
+                            "kind: Nonsense\nname: x", token="secret-admin")
+    assert code == 400
