@@ -1418,6 +1418,72 @@ order by returnflag
 """)
 
 
+_FLIGHTSQL_ENGINES: dict[str, object] = {}
+
+
+def _fed_flightsql_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity mapped to an EXTERNAL SQL engine (DuckDB behind a
+    FlightSQL-style gRPC endpoint) — the TrinoRunner/FlightSQLRunner path
+    (``core/src/execute/data_stores/trino.rs:27-200``,
+    ``flight_sql.rs:37-163``). The engine executes the pushed-down query in
+    its OWN dialect; executors stream the Arrow result. The oracle is the
+    same aggregation in plain DuckDB — engine and oracle share a dialect
+    but run through completely different paths (gRPC+Spark vs embedded)."""
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Information, Mapping,
+        RelayCatalog, Web,
+    )
+    from dataweb_spark.plans.gateway import QueryGateway
+    from dataweb_spark.sources.flightsql import serve_duckdb_flightsql
+
+    eng = _FLIGHTSQL_ENGINES.get(sf_dir)
+    if eng is None:
+        eng = serve_duckdb_flightsql(
+            {"lineitem_tbl": f"{sf_dir}/lineitem.parquet"})
+        _FLIGHTSQL_ENGINES[sf_dir] = eng
+    relay = RelayCatalog(name="engine_edge")
+    relay.add_entity(Entity("items", [
+        Information("orderkey", "bigint"),
+        Information("quantity", "double"),
+        Information("extendedprice", "double"),
+        Information("returnflag", "string"),
+    ]))
+    relay.add_connection(DataConnection(
+        "duck", "flightsql",
+        {"port": str(eng.port), "dialect": "duckdb"}))
+    relay.add_source(DataSource(
+        name="items_duck", connection="duck", entity="items",
+        source_sql="select * from {table}",
+        mappings=[Mapping("orderkey", "l_orderkey"),
+                  Mapping("quantity", "l_quantity"),
+                  Mapping("extendedprice", "l_extendedprice"),
+                  Mapping("returnflag", "l_returnflag")],
+        options={"table": "lineitem_tbl"}))
+    web = Web()
+    web.add_relay(relay)
+    gw = QueryGateway(spark, web, "engine_edge")
+    return gw.query("""
+        select returnflag, count(*) as n,
+               round(sum(quantity), 2) as sum_qty,
+               round(sum(extendedprice), 2) as sum_price
+        from items
+        where quantity < 30
+        group by returnflag
+        order by returnflag
+    """)
+
+
+_df("fed_flightsql_engine", _fed_flightsql_engine, oracle="""
+select l_returnflag as returnflag, count(*) as n,
+       round(sum(l_quantity), 2) as sum_qty,
+       round(sum(l_extendedprice), 2) as sum_price
+from lineitem
+where l_quantity < 30
+group by l_returnflag
+order by l_returnflag
+""")
+
+
 # ===========================================================================
 # LLM-pipeline operators
 # ===========================================================================
@@ -2861,7 +2927,8 @@ _DRIVER_WINDOW = [
     "multimodal_frame_counts",
     # red in r3 (availableNow no-data-batch race) — fixed, must re-verify
     "streaming_hourly_rollup",
-    # sentinels: federation layer (7)
+    # sentinels: federation layer (8, incl. the external-engine dialect)
+    "fed_flightsql_engine",
     "fed_flight_two_process",
     "fed_lineitem_q1",
     "fed_unitprice_transform",
@@ -2880,7 +2947,6 @@ _DRIVER_WINDOW = [
     "streaming_fed_ingest",
     "asof_join_purchase_click",
     "range_join_price_bands",
-    "text_quality_langid",
     "pipeline_training_data",
 ]
 

@@ -1,0 +1,99 @@
+"""Engine-dialect SQL rendering for external-engine pushdown.
+
+The reference hand-generates engine SQL per dialect: Trino queries are
+built as strings and shipped over the Trino HTTP protocol
+(``core/src/execute/data_stores/trino.rs:103-190``), FlightSQL text goes
+through the Flight handshake (``flight_sql.rs:37-163``), and the client
+unparser renders DataFusion exprs back to SQL
+(``webengine/src/expr_to_sql.rs:32-190``, literal support ``:124-190``).
+This module is the Spark-side analog: one renderer, per-dialect quoting
+and literal forms, used by the ``flightsql`` connection kind and available
+for JDBC ``dbtable`` subquery pushdown.
+
+Only the conjunct shapes ``pruning.py`` extracts are rendered (col op
+literal, AND-joined) — everything else stays local, exactly the
+``Inexact``-filter contract of ``web_source.rs:145-159``. Unsupported
+literal types return None and the conjunct is skipped (the reference drops
+unparseable filters the same way, ``expr_to_sql.rs:14-30``).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+from dataclasses import dataclass
+
+_PLAIN_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+@dataclass(frozen=True)
+class Dialect:
+    """Identifier quoting + literal rendering for one engine family."""
+
+    name: str
+    ident_quote: str  # '"' (ANSI: Trino, DuckDB, Postgres) or '`' (Spark)
+
+    def ident(self, name: str) -> str | None:
+        """Quote an identifier; None when it can't be safely rendered."""
+        if self.ident_quote in name:
+            return None  # embedded quote: refuse rather than escape-guess
+        if _PLAIN_IDENT.match(name):
+            return name  # plain names stay bare (matches reference output)
+        return f"{self.ident_quote}{name}{self.ident_quote}"
+
+    def literal(self, v) -> str | None:
+        """Literal forms per ``expr_to_sql.rs:124-190``: bool, ints, floats,
+        strings, dates. Timestamps/binary/arrays are not pushed."""
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, _dt.datetime):
+            return None
+        if isinstance(v, _dt.date):
+            return f"DATE '{v.isoformat()}'"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return None
+
+
+SPARK = Dialect("spark", "`")
+TRINO = Dialect("trino", '"')
+DUCKDB = Dialect("duckdb", '"')
+
+DIALECTS = {d.name: d for d in (SPARK, TRINO, DUCKDB)}
+
+
+def render_select(dialect: Dialect, table: str,
+                  columns: list[str] | None = None,
+                  conjuncts: list | None = None,
+                  limit: int | None = None) -> str:
+    """``SELECT <cols|*> FROM <table> [WHERE c1 AND c2 ...] [LIMIT n]``.
+
+    ``conjuncts`` are pruning triples ``(col, op, value)``; unrenderable
+    ones are silently skipped (filtering stays local — never wrong, only
+    less pushed). ``table`` may be a multi-part name (``catalog.schema.t``);
+    each part is quoted independently.
+    """
+    tbl = ".".join(filter(None, (dialect.ident(p)
+                                 for p in table.split("."))))
+    cols = "*"
+    if columns:
+        rendered = [dialect.ident(c) for c in columns]
+        if all(r is not None for r in rendered):
+            cols = ", ".join(rendered)
+    sql = f"SELECT {cols} FROM {tbl}"
+    preds = []
+    for col, op, value in conjuncts or []:
+        ident = dialect.ident(col)
+        lit = dialect.literal(value)
+        if ident is not None and lit is not None \
+                and op in ("=", "<", "<=", ">", ">="):
+            preds.append(f"({ident} {op} {lit})")
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    if limit is not None:
+        sql += f" LIMIT {int(limit)}"
+    return sql

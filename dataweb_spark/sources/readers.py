@@ -24,7 +24,6 @@ peer query instead of shipping the whole entity.
 
 from __future__ import annotations
 
-import datetime as _dt
 import os
 import re
 import uuid
@@ -36,20 +35,72 @@ from dataweb_spark.catalog.model import DataConnection, DataSource
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
-def _sql_literal(v) -> str | None:
-    """Render a pruning-conjunct literal as a SQL literal the peer's parser
-    (Spark SQL via its gateway) accepts. None = not renderable → skip."""
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, (int, float)):
-        return repr(v)
-    if isinstance(v, _dt.datetime):
-        return None  # timestamps not pushed (tz pitfalls) — filtered locally
-    if isinstance(v, _dt.date):
-        return f"date '{v.isoformat()}'"
-    if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
-    return None
+def _pushdown_parts(source: DataSource, conjuncts: list | None,
+                    limit: int | None, referenced: set[str] | None
+                    ) -> tuple[list[str] | None, list, int | None,
+                               set[str] | None]:
+    """Select which pushdown facts survive this source's mapping shape.
+
+    Returns ``(columns, kept_conjuncts, limit, projected_infos)``:
+
+    * ``columns`` — physical columns to fetch (None = all);
+    * ``kept_conjuncts`` — ``(physical_col, op, value)`` triples rewritten
+      through identity-transform mappings (non-identity → dropped: the
+      engine-side raw value differs from the entity value);
+    * ``limit`` — forwarded only for unpermissioned sources with no pushed
+      filters (the LIMIT extractor only fires on filter-free plans, so a
+      conjunct here means it came from elsewhere in the query);
+    * ``projected_infos`` — entity informations whose columns are fetched
+      (None = all): the mapping step NULL-fills the rest.
+
+    A non-trivial ``source_sql`` disables everything — it runs OVER the
+    fetched frame, so mapped paths name ITS output, not the engine's.
+    """
+    has_perms = (source.default_permission is not None
+                 or bool(source.user_permissions))
+    src_sql = (source.source_sql or "").strip().lower()
+    if src_sql and src_sql != "select * from {table}":
+        return None, [], None, None
+
+    projected: set[str] | None = None
+    cols: list[str] | None = None
+    if source.mappings and not has_perms:
+        wanted = []
+        for m in source.mappings:
+            path = source.field_path(m.field)
+            if not _IDENT.match(path):
+                wanted = None  # nested/expression path: fetch everything
+                break
+            if referenced is None or m.information.lower() in referenced \
+                    or path.lower() in referenced:
+                wanted.append((m.information, path))
+        if wanted is not None:
+            if not wanted:
+                # e.g. `select count(*) from e`: no columns referenced, but
+                # row COUNT must survive — fetch one cheap column.
+                m0 = source.mappings[0]
+                wanted = [(m0.information, source.field_path(m0.field))]
+            if len(wanted) < len(source.mappings):
+                projected = {info for info, _ in wanted}
+                seen: set[str] = set()
+                cols = [p for _, p in wanted
+                        if not (p in seen or seen.add(p))]
+
+    kept = []
+    for col, op, value in conjuncts or []:
+        m = source.mapping_for(col)
+        if m is None:
+            target = col  # same-name passthrough (unmapped = identity)
+        elif m.transformation.other_to_local == "{v}":
+            target = source.field_path(m.field)
+        else:
+            continue  # transformed column: engine-side value differs — skip
+        if _IDENT.match(target):
+            kept.append((target, op, value))
+
+    eff_limit = limit if (limit is not None and not has_perms
+                          and not kept) else None
+    return cols, kept, eff_limit, projected
 
 
 def _peer_sql(source: DataSource, conjuncts: list | None, limit: int | None,
@@ -77,65 +128,12 @@ def _peer_sql(source: DataSource, conjuncts: list | None, limit: int | None,
     the caller's mapping step must emit NULL for the rest instead of
     referencing columns the narrowed answer no longer carries.
     """
+    from dataweb_spark.sources.dialects import SPARK, render_select
+
     entity = source.options.get("entity", source.name)
-    has_perms = (source.default_permission is not None
-                 or bool(source.user_permissions))
-    src_sql = (source.source_sql or "").strip().lower()
-    if src_sql and src_sql != "select * from {table}":
-        # A non-trivial source_sql runs OVER the peer answer: mapped field
-        # paths name ITS output columns, not the peer's — nothing here can
-        # be soundly rewritten into the peer query.
-        return f"select * from {entity}", None
-
-    # -- projection -------------------------------------------------------
-    projected: set[str] | None = None
-    cols: list[str] = []
-    if source.mappings and not has_perms:
-        wanted = []
-        for m in source.mappings:
-            path = source.field_path(m.field)
-            if not _IDENT.match(path):
-                wanted = None  # nested/expression path: fetch everything
-                break
-            if referenced is None or m.information.lower() in referenced \
-                    or path.lower() in referenced:
-                wanted.append((m.information, path))
-        if wanted is not None:
-            if not wanted:
-                # e.g. `select count(*) from e`: no columns referenced, but
-                # row COUNT must survive — fetch one cheap column.
-                m0 = source.mappings[0]
-                wanted = [(m0.information, source.field_path(m0.field))]
-            if len(wanted) < len(source.mappings):
-                projected = {info for info, _ in wanted}
-                seen: set[str] = set()
-                cols = [p for _, p in wanted
-                        if not (p in seen or seen.add(p))]
-
-    select_list = ", ".join(cols) if cols else "*"
-
-    # -- filters ----------------------------------------------------------
-    preds: list[str] = []
-    for col, op, value in conjuncts or []:
-        m = source.mapping_for(col)
-        if m is None:
-            target = col  # same-name passthrough (unmapped = identity)
-        elif m.transformation.other_to_local == "{v}":
-            target = source.field_path(m.field)
-        else:
-            continue  # transformed column: peer-side value differs — skip
-        lit = _sql_literal(value)
-        if lit is None or not _IDENT.match(target):
-            continue
-        preds.append(f"{target} {op} {lit}")
-
-    sql = f"select {select_list} from {entity}"
-    if preds:
-        sql += " where " + " and ".join(preds)
-    if limit is not None and not has_perms and not preds:
-        # LIMIT is only extracted for filter-free plans; a pushed WHERE here
-        # means conjuncts came from elsewhere in the query — don't combine.
-        sql += f" limit {int(limit)}"
+    cols, kept, eff_limit, projected = _pushdown_parts(
+        source, conjuncts, limit, referenced)
+    sql = render_select(SPARK, entity, cols, kept, eff_limit)
     return sql, projected
 
 
@@ -203,6 +201,26 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
             return spark.createDataFrame(table), projected
         except Exception:  # older arrow-table support: go through pandas
             return spark.createDataFrame(table.to_pandas()), projected
+    if conn.kind == "flightsql":
+        # External SQL engine over Arrow Flight (FlightSQLRunner analog,
+        # ``flight_sql.rs:37-163``): SQL text in the engine's OWN dialect,
+        # Arrow batches back, streamed by executors. Pushdown goes through
+        # the dialect renderer (``trino.rs:103-190`` analog).
+        from dataweb_spark.sources.dialects import DIALECTS, DUCKDB, render_select
+        from dataweb_spark.sources.flightsql import flightsql_read
+        projected = None
+        if "sql" in source.options:
+            sql = source.options["sql"]
+        else:
+            dialect = DIALECTS.get(
+                conn.options.get("dialect", "duckdb"), DUCKDB)
+            table = source.options.get("table", source.name)
+            cols, kept, eff_limit, projected = _pushdown_parts(
+                source, conjuncts, limit, referenced)
+            sql = render_select(dialect, table, cols, kept, eff_limit)
+        host = conn.options.get("host", "127.0.0.1")
+        return flightsql_read(spark, host, int(conn.options["port"]),
+                              sql), projected
     if conn.kind == "jdbc":
         reader = (spark.read.format("jdbc")
                   .option("url", conn.options["url"])

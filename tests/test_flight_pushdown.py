@@ -39,13 +39,13 @@ def _src(**kw):
 
 def test_peer_sql_projects_referenced_columns():
     sql, projected = _peer_sql(_src(), None, None, {"a", "b"})
-    assert sql == "select a, b_phys from peer_e"
+    assert sql == "SELECT a, b_phys FROM peer_e"
     assert projected == {"a", "b"}
 
 
 def test_peer_sql_star_fetches_everything():
     sql, projected = _peer_sql(_src(), None, None, None)
-    assert sql == "select * from peer_e"
+    assert sql == "SELECT * FROM peer_e"
     assert projected is None
 
 
@@ -53,13 +53,13 @@ def test_peer_sql_no_referenced_columns_keeps_row_count():
     # `select count(*) from e` references nothing — one column must still
     # be fetched so the peer's row count survives.
     sql, projected = _peer_sql(_src(), None, None, {"count"})
-    assert sql == "select a from peer_e"
+    assert sql == "SELECT a FROM peer_e"
     assert projected == {"a"}
 
 
 def test_peer_sql_pushes_identity_conjuncts():
     sql, _ = _peer_sql(_src(), [("a", "<", 10), ("b", "=", "x")], None, None)
-    assert sql == "select * from peer_e where a < 10 and b_phys = 'x'"
+    assert sql == "SELECT * FROM peer_e WHERE (a < 10) AND (b_phys = 'x')"
 
 
 def test_peer_sql_drops_transformed_conjuncts():
@@ -69,40 +69,40 @@ def test_peer_sql_drops_transformed_conjuncts():
     ])
     sql, _ = _peer_sql(src, [("a", "<", 10), ("b", ">=", 5)], None, None)
     # a is behind a non-identity transform: peer-side raw values differ
-    assert sql == "select * from peer_e where b >= 5"
+    assert sql == "SELECT * FROM peer_e WHERE (b >= 5)"
 
 
 def test_peer_sql_escapes_string_literals():
     sql, _ = _peer_sql(_src(), [("a", "=", "O'Brien")], None, None)
-    assert "a = 'O''Brien'" in sql
+    assert "(a = 'O''Brien')" in sql
 
 
 def test_peer_sql_date_literal():
     import datetime
     sql, _ = _peer_sql(_src(), [("a", "<=", datetime.date(1995, 3, 15))],
                        None, None)
-    assert "a <= date '1995-03-15'" in sql
+    assert "(a <= DATE '1995-03-15')" in sql
 
 
 def test_peer_sql_limit_only_without_filters():
     sql, _ = _peer_sql(_src(), None, 7, None)
-    assert sql.endswith("limit 7")
+    assert sql.endswith("LIMIT 7")
     sql2, _ = _peer_sql(_src(), [("a", "<", 10)], 7, None)
-    assert "limit" not in sql2
+    assert "LIMIT" not in sql2
 
 
 def test_peer_sql_permissions_disable_projection_and_limit():
     src = _src(default_permission=SourcePermission(
         frozenset(["a", "b"]), "a < 100"))
     sql, projected = _peer_sql(src, [("a", "<", 10)], 7, {"a"})
-    assert sql == "select * from peer_e where a < 10"
+    assert sql == "SELECT * FROM peer_e WHERE (a < 10)"
     assert projected is None
 
 
 def test_peer_sql_nontrivial_source_sql_disables_everything():
     src = _src(source_sql="select a, a * 2 as b_phys from {table}")
     sql, projected = _peer_sql(src, [("a", "<", 10)], 7, {"a"})
-    assert sql == "select * from peer_e"
+    assert sql == "SELECT * FROM peer_e"
     assert projected is None
 
 
