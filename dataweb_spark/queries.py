@@ -2848,14 +2848,40 @@ order by kind
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-feature extraction via mapInPandas (decode stubbed —
-    deterministic byte statistics). Rows-only: kernels aren't SQL."""
+    """REAL image decode → features: deterministic BMPs are synthesized
+    distributed, decoded by the pure-numpy 24-bit BMP codec, and reduced to
+    dimension/pixel statistics. The image pixels follow a closed form
+    ``(3x + 5y + 7m + 11c) mod 256``, so the DuckDB oracle aggregates the
+    SAME values analytically — a full encode→decode→feature hash check
+    (the aHash bits are pinned separately by pytest round-trips)."""
     from dataweb_spark.functions import multimodal as M
-    media = M.synthesize_media(spark, n=64, kind="image")
-    return M.extract_features(media).orderBy("media_id")
+    media = M.synthesize_bmp_media(spark, n=64)
+    return (M.extract_image_features(media)
+             .select("media_id", "width", "height", "px_sum", "px_mean")
+             .orderBy("media_id"))
 
 
-_df("multimodal_features", _multimodal_features)  # rows-only
+_df("multimodal_features", _multimodal_features, oracle="""
+with m as (select range as media_id from range(64)),
+dims as (
+  select media_id, cast(8 + media_id % 5 as int) as width,
+         cast(8 + media_id % 3 as int) as height
+  from m
+), px as (
+  select d.media_id, d.width, d.height,
+         (3 * x.x + 5 * y.y + 7 * d.media_id + 11 * c.c) % 256 as v
+  from dims d,
+       unnest(range(d.width)) as x(x),
+       unnest(range(d.height)) as y(y),
+       unnest(range(3)) as c(c)
+)
+select media_id, width, height,
+       cast(sum(v) as bigint) as px_sum,
+       round(sum(v) / cast(width * height * 3 as double), 6) as px_mean
+from px
+group by media_id, width, height
+order by media_id
+""")
 
 
 def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

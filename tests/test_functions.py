@@ -189,9 +189,65 @@ def test_media_pipeline_shapes(spark):
     assert frames.schema["frame_bytes"].dataType.typeName() == "binary"
 
 
-def test_decode_real_raises(spark):
+def test_decode_real_raises_for_compressed_formats(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(b"bytes", "png")
+
+
+def test_bmp_roundtrip_exact():
+    import numpy as np
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (8, 8), (11, 13)]:  # odd widths hit padding
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        data = multimodal.encode_bmp(px)
+        assert data[:2] == b"BM"
+        back = multimodal.decode_bmp(data)
+        assert back.shape == (h, w, 3)
+        assert (back == px).all()
+
+
+def test_ppm_roundtrip_exact():
+    import numpy as np
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    back = multimodal.decode_ppm(multimodal.encode_ppm(px))
+    assert (back == px).all()
+
+
+def test_ppm_decode_with_comment_header():
+    import numpy as np
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    data = b"P6\n# a comment\n2 2\n255\n" + px.tobytes()
+    assert (multimodal.decode_ppm(data) == px).all()
+
+
+def test_image_features_match_closed_form(spark):
+    """Real BMP decode recovers exactly the synthesized pixels, so features
+    equal the generator's closed form (3x+5y+7m+11c) mod 256."""
+    import numpy as np
+    media = multimodal.synthesize_bmp_media(spark, n=16)
+    feats = {r["media_id"]: r for r in
+             multimodal.extract_image_features(media).collect()}
+    assert len(feats) == 16
+    for m in range(16):
+        w, h = 8 + m % 5, 8 + m % 3
+        x = np.arange(w).reshape(1, w, 1)
+        y = np.arange(h).reshape(h, 1, 1)
+        c = np.arange(3).reshape(1, 1, 3)
+        px = (3 * x + 5 * y + 7 * m + 11 * c) % 256
+        r = feats[m]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["px_sum"] == int(px.sum())
+        assert r["px_mean"] == round(float(px.mean()), 6)
+
+
+def test_ahash_is_deterministic_and_discriminative(spark):
+    media = multimodal.synthesize_bmp_media(spark, n=16)
+    a = {r["media_id"]: r["ahash64"] for r in
+         multimodal.extract_image_features(media).collect()}
+    b = {r["media_id"]: r["ahash64"] for r in
+         multimodal.extract_image_features(media).collect()}
+    assert a == b                       # deterministic
+    assert len(set(a.values())) > 1     # not a constant
 
 
 def test_approx_sketches_error_bounds(spark, sf_dir):
