@@ -80,6 +80,88 @@ class _TokenClientAuth(flight.ClientAuthHandler):
         return self._token
 
 
+class _CertServerAuthHandler(flight.ServerAuthHandler):
+    """x509-fingerprint principals with challenge-proof of key possession.
+
+    The reference's identity model (``core/src/pki/mod.rs:12-25``,
+    ``core/src/model/user.rs:17-28``): a registry maps the SHA-256
+    fingerprint of a DER client certificate to a principal. The handshake
+    proves the caller actually HOLDS the certificate's private key:
+
+      server → nonce ; client → DER cert ‖ signature(nonce) ;
+      server: verify sig against the cert's own public key, fingerprint
+      the DER, look the fingerprint up, return a random session token.
+
+    Presenting a stolen certificate without its key fails verification;
+    an unregistered fingerprint is rejected; request-JSON principals are
+    ignored downstream exactly as with token auth."""
+
+    def __init__(self, users):
+        super().__init__()
+        # users: iterable of pki.X509User (or fingerprint→principal dict)
+        if isinstance(users, dict):
+            self._by_fp = dict(users)
+        else:
+            self._by_fp = {u.x509_sha256: u.principal for u in users}
+        self._sessions: dict[bytes, str] = {}
+        self._lock = threading.Lock()
+
+    def authenticate(self, outgoing, incoming):
+        import os
+
+        from dataweb_spark.sources.pki import (
+            fingerprint_der,
+            verify_possession,
+        )
+        nonce = os.urandom(32)
+        outgoing.write(nonce)
+        payload = incoming.read()
+        if len(payload) < 4:
+            raise flight.FlightUnauthenticatedError("malformed handshake")
+        cert_len = int.from_bytes(payload[:4], "big")
+        der, sig = payload[4:4 + cert_len], payload[4 + cert_len:]
+        if not verify_possession(der, nonce, sig):
+            raise flight.FlightUnauthenticatedError(
+                "certificate possession proof failed")
+        fp = fingerprint_der(der)
+        principal = self._by_fp.get(fp)
+        if principal is None:
+            raise flight.FlightUnauthenticatedError(
+                f"unregistered certificate fingerprint {fp[:16]}…")
+        token = os.urandom(24)
+        with self._lock:
+            self._sessions[token] = principal
+        outgoing.write(token)
+
+    def is_valid(self, token):
+        with self._lock:
+            principal = self._sessions.get(bytes(token))
+        if principal is None:
+            raise flight.FlightUnauthenticatedError(
+                "invalid or missing session token")
+        return principal.encode("utf-8")
+
+
+class _CertClientAuth(flight.ClientAuthHandler):
+    """Client half of :class:`_CertServerAuthHandler`."""
+
+    def __init__(self, cert_der: bytes, private_key):
+        super().__init__()
+        self._der = cert_der
+        self._key = private_key
+        self._token = b""
+
+    def authenticate(self, outgoing, incoming):
+        from dataweb_spark.sources.pki import sign_nonce
+        nonce = incoming.read()
+        sig = sign_nonce(self._key, nonce)
+        outgoing.write(len(self._der).to_bytes(4, "big") + self._der + sig)
+        self._token = incoming.read()
+
+    def get_token(self):
+        return self._token
+
+
 class RelayFlightServer(flight.FlightServerBase):
     """One relay's Flight surface. Start with ``serve_in_background``.
 
@@ -92,14 +174,22 @@ class RelayFlightServer(flight.FlightServerBase):
 
     def __init__(self, spark: SparkSession, web: Web, relay_name: str,
                  location: str = "grpc://127.0.0.1:0",
-                 tokens: dict[str, str] | None = None):
-        auth = _TokenServerAuthHandler(tokens) if tokens else None
+                 tokens: dict[str, str] | None = None,
+                 x509_users=None):
+        if tokens and x509_users:
+            raise ValueError("choose token auth OR x509 auth, not both")
+        if x509_users is not None:
+            auth = _CertServerAuthHandler(x509_users)
+        elif tokens:
+            auth = _TokenServerAuthHandler(tokens)
+        else:
+            auth = None
         super().__init__(location, auth_handler=auth)
         self.spark = spark
         self.web = web
         self.relay_name = relay_name
         self.gateway = QueryGateway(spark, web, relay_name)
-        self._authed = tokens is not None
+        self._authed = auth is not None
         self._tasks: dict[str, tuple] = {}   # ticket id → (df, principal)
         self._lock = threading.Lock()
         # Transfer accounting: what this relay actually shipped. The
@@ -205,11 +295,12 @@ def _to_arrow_schema(df) -> pa.Schema:
 
 
 def serve_in_background(spark: SparkSession, web: Web, relay_name: str,
-                        tokens: dict[str, str] | None = None
-                        ) -> RelayFlightServer:
+                        tokens: dict[str, str] | None = None,
+                        x509_users=None) -> RelayFlightServer:
     """Start the server on an ephemeral port; returns the running server
     (``server.port`` for clients; ``server.shutdown()`` to stop)."""
-    server = RelayFlightServer(spark, web, relay_name, tokens=tokens)
+    server = RelayFlightServer(spark, web, relay_name, tokens=tokens,
+                               x509_users=x509_users)
     t = threading.Thread(target=server.serve, daemon=True)
     t.start()
     return server
@@ -217,23 +308,28 @@ def serve_in_background(spark: SparkSession, web: Web, relay_name: str,
 
 # -- client helpers (test/flight_utils.py analog) -------------------------
 
-def _connect(host: str, port: int, token: str | None) -> flight.FlightClient:
+def _connect(host: str, port: int, token: str | None,
+             cert: tuple | None = None) -> flight.FlightClient:
     client = flight.connect(f"grpc://{host}:{port}")
-    if token is not None:
+    if cert is not None:
+        client.authenticate(_CertClientAuth(*cert))
+    elif token is not None:
         client.authenticate(_TokenClientAuth(token))
     return client
 
 
 def flight_query(port: int, sql: str, principal: str | None = None,
                  mode: str = "template", host: str = "127.0.0.1",
-                 token: str | None = None) -> pa.Table:
+                 token: str | None = None,
+                 cert: tuple | None = None) -> pa.Table:
     """2-step client: get_flight_info → do_get every endpoint → concat.
 
     The concat of per-source streams is exactly what the reference's test
-    client does (``flight_utils.py:66-75``). With ``token`` the client
-    authenticates first and the server derives the principal from the
-    handshake, ignoring ``principal``."""
-    client = _connect(host, port, token)
+    client does (``flight_utils.py:66-75``). With ``token`` (or ``cert``,
+    a ``(der_bytes, private_key)`` pair) the client authenticates first
+    and the server derives the principal from the handshake, ignoring
+    ``principal``."""
+    client = _connect(host, port, token, cert)
     cmd = json.dumps({"sql": sql, "principal": principal,
                       "mode": mode}).encode("utf-8")
     info = client.get_flight_info(flight.FlightDescriptor.for_command(cmd))

@@ -1,0 +1,114 @@
+"""x509 principal identity — the reference PKI model re-expressed.
+
+The reference derives every principal from its mTLS client certificate:
+the SHA-256 fingerprint of the DER bytes IS the user's primary identity,
+with subject/issuer DNs and arbitrary attributes alongside
+(``core/src/pki/mod.rs:12-25``, ``core/src/model/user.rs:17-28``). gRPC
+terminates TLS below the reference's handler layer; pyarrow's Flight
+handshake doesn't surface the peer certificate, so possession is proven
+INSIDE the handshake instead: the server issues a random nonce, the
+client returns its DER certificate plus an Ed25519/RSA signature over the
+nonce, and the server verifies the signature against the certificate's
+own public key before fingerprinting it. Same trust outcome — a
+transport-derived identity that cannot be spoofed by naming someone
+else's principal or replaying someone else's certificate — via an
+explicit challenge instead of TLS-internal proof.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class X509User:
+    """``model/user.rs:17-28`` analog: fingerprint-keyed principal."""
+
+    x509_sha256: str          # uppercase hex SHA-256 of the DER cert
+    principal: str            # name used for permission resolution
+    x509_subject: str = ""
+    x509_issuer: str = ""
+    attributes: dict = field(default_factory=dict)  # e.g. {"is_admin": True}
+
+
+def fingerprint_der(der: bytes) -> str:
+    """Uppercase-hex SHA-256 of DER bytes — ``pki/mod.rs:12-16`` exactly."""
+    return hashlib.sha256(der).hexdigest().upper()
+
+
+def parse_certificate(der: bytes) -> tuple[str, str, str]:
+    """``(fingerprint, subject_dn, issuer_dn)`` — ``pki/mod.rs:12-25``."""
+    from cryptography import x509
+
+    cert = x509.load_der_x509_certificate(der)
+    return (fingerprint_der(der),
+            cert.subject.rfc4514_string(),
+            cert.issuer.rfc4514_string())
+
+
+def verify_possession(der: bytes, nonce: bytes, signature: bytes) -> bool:
+    """True iff ``signature`` over ``nonce`` verifies against the
+    certificate's own public key (Ed25519 or RSA-PSS/SHA256)."""
+    from cryptography import x509
+    from cryptography.exceptions import InvalidSignature
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import ed25519, padding, rsa
+
+    try:
+        cert = x509.load_der_x509_certificate(der)
+        pub = cert.public_key()
+        if isinstance(pub, ed25519.Ed25519PublicKey):
+            pub.verify(signature, nonce)
+            return True
+        if isinstance(pub, rsa.RSAPublicKey):
+            pub.verify(signature, nonce,
+                       padding.PSS(mgf=padding.MGF1(hashes.SHA256()),
+                                   salt_length=padding.PSS.MAX_LENGTH),
+                       hashes.SHA256())
+            return True
+        return False
+    except (InvalidSignature, ValueError):
+        return False
+
+
+def sign_nonce(private_key, nonce: bytes) -> bytes:
+    """Client side of :func:`verify_possession`."""
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import ed25519, padding
+
+    if isinstance(private_key, ed25519.Ed25519PrivateKey):
+        return private_key.sign(nonce)
+    return private_key.sign(
+        nonce,
+        padding.PSS(mgf=padding.MGF1(hashes.SHA256()),
+                    salt_length=padding.PSS.MAX_LENGTH),
+        hashes.SHA256())
+
+
+def generate_identity(common_name: str):
+    """Self-signed Ed25519 identity for tests/dev: ``(cert_der, key)``.
+
+    Production deployments bring CA-issued certs; identity here is the
+    FINGERPRINT (registered out-of-band, like the reference's ``users``
+    table), so self-signed vs CA-signed only changes who can mint new
+    certs, not how principals resolve.
+    """
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives.asymmetric import ed25519
+    from cryptography.x509.oid import NameOID
+
+    key = ed25519.Ed25519PrivateKey.generate()
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, common_name)])
+    now = datetime.datetime(2020, 1, 1)
+    cert = (x509.CertificateBuilder()
+            .subject_name(name).issuer_name(name)
+            .public_key(key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now)
+            .not_valid_after(now + datetime.timedelta(days=36500))
+            .sign(key, algorithm=None))
+    from cryptography.hazmat.primitives.serialization import Encoding
+    return cert.public_bytes(Encoding.DER), key

@@ -1,0 +1,115 @@
+"""x509-fingerprint principal identity over the Flight surface.
+
+Mirrors the reference's PKI model (``core/src/pki/mod.rs:12-25``,
+``core/src/model/user.rs:17-28``, origin-user re-check
+``flight_server/src/flight.rs:396-447``): principals are SHA-256
+fingerprints of DER certificates, proven by key possession in the
+handshake. Spoof suite: stolen-cert-without-key, unregistered cert,
+request-JSON principal override, cross-principal ticket redemption."""
+
+import hashlib
+
+import pytest
+import pyarrow.flight as flight
+
+from dataweb_spark.sources import pki
+from dataweb_spark.sources.flight_service import (
+    flight_query,
+    serve_in_background,
+)
+
+
+@pytest.fixture(scope="module")
+def identities():
+    reader_der, reader_key = pki.generate_identity("reader")
+    admin_der, admin_key = pki.generate_identity("all-access")
+    rogue_der, rogue_key = pki.generate_identity("rogue")
+    return {"reader": (reader_der, reader_key),
+            "admin": (admin_der, admin_key),
+            "rogue": (rogue_der, rogue_key)}
+
+
+@pytest.fixture(scope="module")
+def x509_server(spark, demo_web, identities):
+    users = [
+        pki.X509User(pki.fingerprint_der(identities["reader"][0]),
+                     principal="reader"),
+        pki.X509User(pki.fingerprint_der(identities["admin"][0]),
+                     principal="all_access"),
+    ]
+    s = serve_in_background(spark, demo_web, "na_us", x509_users=users)
+    yield s
+    s.shutdown()
+
+
+def test_parse_certificate_matches_reference_shape(identities):
+    der, _ = identities["reader"]
+    fp, subject, issuer = pki.parse_certificate(der)
+    assert fp == hashlib.sha256(der).hexdigest().upper()  # pki/mod.rs:12-16
+    assert "CN=reader" in subject
+    assert subject == issuer  # self-signed
+
+
+def test_fingerprint_identity_resolves_permissions(x509_server, identities):
+    """Same query, two certificates → the cert's principal decides what is
+    visible (all_access sees policy-hidden rows)."""
+    q = "select count(*) as n from lineitem"
+    n_reader = sum(flight_query(x509_server.port, q,
+                                cert=identities["reader"])["n"].to_pylist())
+    n_admin = sum(flight_query(x509_server.port, q,
+                               cert=identities["admin"])["n"].to_pylist())
+    assert n_admin > n_reader > 0
+
+
+def test_request_json_principal_is_ignored(x509_server, identities):
+    """Transport-derived identity: naming all_access in the request JSON
+    while presenting the reader cert must NOT escalate."""
+    q = "select count(*) as n from lineitem"
+    n = sum(flight_query(x509_server.port, q, principal="all_access",
+                         cert=identities["reader"])["n"].to_pylist())
+    n_reader = sum(flight_query(x509_server.port, q,
+                                cert=identities["reader"])["n"].to_pylist())
+    assert n == n_reader
+
+
+def test_unregistered_fingerprint_rejected(x509_server, identities):
+    with pytest.raises(flight.FlightUnauthenticatedError):
+        flight_query(x509_server.port, "select 1",
+                     cert=identities["rogue"])
+
+
+def test_stolen_cert_without_key_rejected(x509_server, identities):
+    """Replaying a registered certificate signed with the WRONG private
+    key fails the possession proof."""
+    reader_der, _ = identities["reader"]
+    _, rogue_key = identities["rogue"]
+    with pytest.raises(flight.FlightUnauthenticatedError):
+        flight_query(x509_server.port, "select 1",
+                     cert=(reader_der, rogue_key))
+
+
+def test_no_auth_without_certificate(x509_server):
+    with pytest.raises((flight.FlightUnauthenticatedError,
+                        flight.FlightServerError)):
+        flight_query(x509_server.port, "select count(*) as n from lineitem")
+
+
+def test_origin_user_recheck_across_principals(x509_server, identities):
+    """A ticket planned for one fingerprint-principal cannot be redeemed
+    by another (flight.rs:396-447)."""
+    import json
+
+    from dataweb_spark.sources.flight_service import (
+        _CertClientAuth,
+        _connect,
+    )
+    c_admin = _connect("127.0.0.1", x509_server.port, None,
+                       identities["admin"])
+    cmd = json.dumps({"sql": "select count(*) as n from lineitem",
+                      "mode": "engine"}).encode()
+    info = c_admin.get_flight_info(flight.FlightDescriptor.for_command(cmd))
+    c_reader = flight.connect(f"grpc://127.0.0.1:{x509_server.port}")
+    c_reader.authenticate(_CertClientAuth(*identities["reader"]))
+    with pytest.raises((flight.FlightUnauthorizedError,
+                        flight.FlightServerError)):
+        c_reader.do_get(info.endpoints[0].ticket).read_all()
