@@ -175,7 +175,8 @@ class RelayFlightServer(flight.FlightServerBase):
     def __init__(self, spark: SparkSession, web: Web, relay_name: str,
                  location: str = "grpc://127.0.0.1:0",
                  tokens: dict[str, str] | None = None,
-                 x509_users=None):
+                 x509_users=None,
+                 job_store=None):
         if tokens and x509_users:
             raise ValueError("choose token auth OR x509 auth, not both")
         if x509_users is not None:
@@ -198,6 +199,7 @@ class RelayFlightServer(flight.FlightServerBase):
         self.served_rows = 0
         self.served_batches = 0
         self._max_tasks = 4096  # re-planned-but-unredeemed ticket bound
+        self.job_store = job_store  # enables do_put result push
 
     def _principal(self, context, requested: str | None) -> str | None:
         if not self._authed:
@@ -277,6 +279,56 @@ class RelayFlightServer(flight.FlightServerBase):
             self.served_batches += 1
         return flight.RecordBatchStream(table)
 
+    # -- result push (flight.rs do_put analog) ----------------------------
+
+    def do_put(self, context, descriptor, reader, writer):
+        """A remote worker pushes one task's result stream to THIS relay.
+
+        The reference's workers stream results back to the origin relay
+        via ``do_put`` keyed by request/task ids
+        (``flight_server/src/flight.rs`` put path); here the pushed stream
+        lands in the relay's job store as a completed-task parquet, so
+        submitters poll/read it exactly like locally-executed tasks. The
+        job must already exist in the store (a blind push to an unknown
+        job id is refused), and when auth is on the pusher's
+        transport-derived principal is recorded with the task."""
+        import pyarrow.parquet as pq
+
+        if self.job_store is None:
+            raise flight.FlightServerError("result push not enabled "
+                                           "(no job store)")
+        meta = json.loads(descriptor.command.decode("utf-8"))
+        job_id = meta["job_id"]
+        st = self.job_store.read_status(job_id)
+        if st is None:
+            raise flight.FlightServerError(f"unknown job {job_id!r}")
+        principal = None
+        if self._authed:
+            principal = context.peer_identity().decode("utf-8")
+        table = reader.read_all()
+        import os as _os
+        out_dir = _os.path.join(self.job_store.root, "results",
+                                f"task_{meta['task_id']}")
+        _os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(table, _os.path.join(out_dir, "part-0.parquet"))
+        task = {"task_id": meta["task_id"],
+                "relay": meta.get("relay", "remote"),
+                "source": meta.get("source", "pushed"),
+                "status": "COMPLETE", "n_rows": table.num_rows,
+                "result_path": out_dir, "error": None,
+                "pushed_by": principal}
+        tasks = [t for t in st.get("tasks", [])
+                 if t["task_id"] != meta["task_id"]] + [task]
+        pending = any(t["status"] not in ("COMPLETE", "FAILED")
+                      for t in tasks)
+        if meta.get("final") and not pending:
+            status = "COMPLETE"
+        elif st.get("status") in ("COMPLETE", "FAILED"):
+            status = st["status"]  # never regress a terminal job
+        else:
+            status = "IN_PROGRESS"
+        self.job_store.mirror_status(job_id, status, tasks)
+
     # -- transfer stats (Flight action) -----------------------------------
 
     def do_action(self, context, action):
@@ -296,11 +348,12 @@ def _to_arrow_schema(df) -> pa.Schema:
 
 def serve_in_background(spark: SparkSession, web: Web, relay_name: str,
                         tokens: dict[str, str] | None = None,
-                        x509_users=None) -> RelayFlightServer:
+                        x509_users=None,
+                        job_store=None) -> RelayFlightServer:
     """Start the server on an ephemeral port; returns the running server
     (``server.port`` for clients; ``server.shutdown()`` to stop)."""
     server = RelayFlightServer(spark, web, relay_name, tokens=tokens,
-                               x509_users=x509_users)
+                               x509_users=x509_users, job_store=job_store)
     t = threading.Thread(target=server.serve, daemon=True)
     t.start()
     return server
@@ -345,6 +398,22 @@ def flight_list_entities(port: int, host: str = "127.0.0.1",
     client = _connect(host, port, token)
     return {fi.descriptor.path[0].decode("utf-8"): fi.schema
             for fi in client.list_flights()}
+
+
+def flight_put_result(port: int, job_id: str, task_id: str, table: pa.Table,
+                      relay: str = "remote", source: str = "pushed",
+                      final: bool = True, host: str = "127.0.0.1",
+                      token: str | None = None,
+                      cert: tuple | None = None) -> None:
+    """Worker side of the result push: stream ``table`` to the origin
+    relay's ``do_put`` as the result of ``(job_id, task_id)``."""
+    client = _connect(host, port, token, cert)
+    cmd = json.dumps({"job_id": job_id, "task_id": task_id, "relay": relay,
+                      "source": source, "final": final}).encode("utf-8")
+    writer, _ = client.do_put(
+        flight.FlightDescriptor.for_command(cmd), table.schema)
+    writer.write_table(table)
+    writer.close()
 
 
 def flight_stats(port: int, host: str = "127.0.0.1",

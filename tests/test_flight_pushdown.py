@@ -175,3 +175,32 @@ def test_projection_pushdown_end_to_end(spark, demo_web, peer_server,
     got = edge_gateway.query(
         "select sum(quantity) as s from lineitem").collect()[0]["s"]
     assert got == want
+
+
+def test_distributed_scan_retries_consumed_ticket(spark, demo_web,
+                                                  peer_server):
+    """Tickets are single-use; a Spark task whose ticket was already
+    redeemed (task retry after executor loss) must re-plan via a fresh
+    get_flight_info and still deliver every row."""
+    import json
+
+    import pyarrow.flight as flight
+
+    from dataweb_spark.plans.resolve import resolve_entity
+    from dataweb_spark.sources.flight_service import flight_read_distributed
+
+    sql = "select returnflag, quantity from lineitem"
+    df = flight_read_distributed(spark, "127.0.0.1", peer_server.port, sql,
+                                 mode="template")
+    # burn the planned tickets before the Spark job runs, simulating a
+    # first attempt that died after redemption
+    c = flight.connect(f"grpc://127.0.0.1:{peer_server.port}")
+    cmd = json.dumps({"sql": sql, "principal": None,
+                      "mode": "template"}).encode()
+    info = c.get_flight_info(flight.FlightDescriptor.for_command(cmd))
+    # the df holds ITS OWN earlier tickets; consume those by redeeming the
+    # same ordinal endpoints is not possible directly — instead redeem the
+    # df's tickets via the server's task table by running the job twice:
+    n_expected = resolve_entity(spark, demo_web, "na_us", "lineitem").count()
+    assert df.count() == n_expected   # first run consumes the tickets
+    assert df.count() == n_expected   # second run MUST re-plan (retry path)

@@ -215,3 +215,59 @@ def test_allow_partial_skips_broken_source(spark, sf_dir):
     assert n > 0
     assert [(r, s) for r, s, _ in gw.last_failures] == \
         [("home", "sales_broken")]
+
+
+# ---------------------------------------------------------------------------
+# r4 extractor additions: limit, referenced columns, self-join guard
+# ---------------------------------------------------------------------------
+
+def test_self_join_yields_no_conjuncts(spark):
+    """Two differently-filtered references to one entity must harvest
+    NOTHING — conjoining the branch filters would prune (and push) rows
+    the other branch needs."""
+    from dataweb_spark.plans.pruning import extract_entity_predicates
+    sql = ("select * from (select * from lineitem where quantity < 5) a "
+           "join (select * from lineitem where quantity > 40) b "
+           "on a.orderkey = b.orderkey")
+    assert extract_entity_predicates(spark, sql, "lineitem") == []
+
+
+def test_single_reference_still_harvests(spark):
+    from dataweb_spark.plans.pruning import extract_entity_predicates
+    out = extract_entity_predicates(
+        spark, "select * from lineitem where quantity < 5", "lineitem")
+    assert ("quantity", "<", 5) in out
+
+
+def test_extract_entity_limit_plain(spark):
+    from dataweb_spark.plans.pruning import extract_entity_limit
+    assert extract_entity_limit(
+        spark, "select * from lineitem limit 7", "lineitem") == 7
+    assert extract_entity_limit(
+        spark, "select quantity from lineitem limit 3", "lineitem") == 3
+
+
+def test_extract_entity_limit_refuses_unsafe_shapes(spark):
+    from dataweb_spark.plans.pruning import extract_entity_limit
+    for sql in (
+        "select * from lineitem where quantity < 5 limit 7",   # filter below
+        "select * from lineitem order by quantity limit 7",    # top-k
+        "select returnflag, count(*) from lineitem group by returnflag limit 2",
+        "select * from lineitem",                               # no limit
+        "select distinct returnflag from lineitem limit 2",     # distinct
+    ):
+        assert extract_entity_limit(spark, sql, "lineitem") is None, sql
+
+
+def test_extract_referenced_columns_tokens(spark):
+    from dataweb_spark.plans.pruning import extract_referenced_columns
+    ref = extract_referenced_columns(
+        spark, "select quantity, sum(extendedprice) as s from lineitem "
+               "where returnflag = 'N' group by quantity")
+    assert {"quantity", "extendedprice", "returnflag"} <= ref
+
+
+def test_extract_referenced_columns_star_means_everything(spark):
+    from dataweb_spark.plans.pruning import extract_referenced_columns
+    assert extract_referenced_columns(
+        spark, "select * from lineitem") is None

@@ -92,3 +92,78 @@ def test_validation_failure_is_failed_job(store):
     st = store.wait(job_id, timeout=120)
     assert st["status"] == FAILED
     assert "ValidationError" in st["tasks"][0]["error"]
+
+
+# ---------------------------------------------------------------------------
+# Flight do_put result push (flight.rs put path) — a worker that does NOT
+# share the submitter's filesystem streams its task result back over gRPC.
+# ---------------------------------------------------------------------------
+
+def test_do_put_result_push_roundtrip(spark, demo_web, tmp_path):
+    import pyarrow as pa
+
+    from dataweb_spark.jobs.store import FileJobQueue
+    from dataweb_spark.sources.flight_service import (
+        flight_put_result,
+        serve_in_background,
+    )
+
+    queue = FileJobQueue(str(tmp_path / "store"))
+    server = serve_in_background(spark, demo_web, "na_us",
+                                 tokens={"wtok": "worker"},
+                                 job_store=queue)
+    try:
+        job_id = queue.submit("select 1 as x", mode="engine")
+        table = pa.table({"x": [1, 2, 3], "y": ["a", "b", "c"]})
+        flight_put_result(server.port, job_id, "t1", table,
+                          relay="remote_worker", source="pushed_src",
+                          token="wtok")
+        st = queue.wait(job_id, timeout=10)
+        assert st["status"] == "COMPLETE"
+        (task,) = st["tasks"]
+        assert task["n_rows"] == 3
+        assert task["pushed_by"] == "worker"  # transport-derived principal
+        df = queue.result(spark, job_id)
+        rows = {(r["x"], r["y"]) for r in df.collect()}
+        assert rows == {(1, "a"), (2, "b"), (3, "c")}
+        assert df.select("_source_relay_").distinct().collect()[0][0] \
+            == "remote_worker"
+    finally:
+        server.shutdown()
+
+
+def test_do_put_unknown_job_refused(spark, demo_web, tmp_path):
+    import pyarrow as pa
+    import pyarrow.flight as flight
+
+    from dataweb_spark.jobs.store import FileJobQueue
+    from dataweb_spark.sources.flight_service import (
+        flight_put_result,
+        serve_in_background,
+    )
+
+    queue = FileJobQueue(str(tmp_path / "store2"))
+    server = serve_in_background(spark, demo_web, "na_us", job_store=queue)
+    try:
+        with pytest.raises(flight.FlightError):
+            flight_put_result(server.port, "no_such_job", "t1",
+                              pa.table({"x": [1]}))
+    finally:
+        server.shutdown()
+
+
+def test_do_put_disabled_without_store(spark, demo_web):
+    import pyarrow as pa
+    import pyarrow.flight as flight
+
+    from dataweb_spark.sources.flight_service import (
+        flight_put_result,
+        serve_in_background,
+    )
+
+    server = serve_in_background(spark, demo_web, "na_us")
+    try:
+        with pytest.raises(flight.FlightError):
+            flight_put_result(server.port, "j", "t", pa.table({"x": [1]}))
+    finally:
+        server.shutdown()
