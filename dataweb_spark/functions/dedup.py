@@ -507,3 +507,186 @@ def contamination_check(corpus: DataFrame, evalset: DataFrame,
             .withColumn("contaminated_frac",
                         F.round(F.col("n_contaminated")
                                 / F.col("n_windows"), 6)))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the 100 TB alternative to broadcasting the
+# exact eval-key set. At web scale the eval suite's distinct window keys can
+# reach 10^8-10^9; an exact broadcast set costs ~32+ B/key in a JVM hash
+# relation, while a Bloom filter at fpp=1e-8 costs ~4.8 B/key in one flat
+# bit array — and membership checks are two hashes + k bit probes with NO
+# join, no shuffle, map-only over the corpus. The price is a bounded
+# false-positive rate: flagged docs are a SUPERSET of the truly
+# contaminated (never a miss), so the filter is used as a cheap first pass
+# whose survivors skip the exact join entirely.
+# ---------------------------------------------------------------------------
+
+def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """Optimal (m bits, k hashes) for n items at the target fp rate."""
+    import math
+    n = max(1, n_items)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_build(pairs, m: int, k: int):
+    """Packed uint8 bit array from (h1, h2) int64 hash pairs
+    (Kirsch–Mitzenmacher double hashing: pos_i = h1 + i·h2 mod m)."""
+    import numpy as np
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    h1 = np.asarray([p[0] for p in pairs], dtype=np.int64).view(np.uint64)
+    h2 = np.asarray([p[1] for p in pairs], dtype=np.int64).view(np.uint64)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+    return bits
+
+
+def bloom_contamination(corpus: DataFrame, evalset: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        window: int = 16, fpp: float = 1e-8) -> DataFrame:
+    """Map-only decontamination pre-filter: per corpus doc, how many of its
+    ``window``-token spans the eval-side Bloom filter flags.
+
+    Eval window keys are hashed JVM-side (``xxhash64`` twice for the
+    double-hash family), the bit array is built once and broadcast; the
+    corpus pass is hash columns (codegen) + one Arrow-batched numpy kernel
+    — no join anywhere. ``n_flagged ≥ n_contaminated`` always (Bloom
+    filters have no false negatives); the companion recall query pins that
+    contract against the exact join.
+
+    The eval hash pairs are collected to the driver to set bits — the
+    bounded-small-side regime (same as the IVF quantizer fit); a
+    ``treeAggregate`` bit-array merge drops in for 10^9-key eval suites
+    without touching the corpus side.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from dataweb_spark.functions.text import tokens
+
+    def spans(df: DataFrame, out_id: str) -> DataFrame:
+        base = (df.select(F.col(id_col).alias(out_id),
+                          tokens(text_col).alias("_toks"))
+                  .withColumn("_n", F.size("_toks"))
+                  .where(F.col("_n") >= window))
+        starts = F.sequence(F.lit(0), F.col("_n") - window, F.lit(1))
+        return (base
+                .select(out_id, "_toks", F.explode(starts).alias("_s"))
+                .select(F.col(out_id),
+                        F.md5(F.concat_ws(
+                            " ", F.slice("_toks", F.col("_s") + 1, window)))
+                         .alias("_wkey")))
+
+    hashed = lambda df: df.withColumn("_h1", F.xxhash64("_wkey")) \
+                          .withColumn("_h2", F.xxhash64("_wkey", F.lit(1)))
+
+    eval_pairs = (hashed(spans(evalset, "_eid")).select("_h1", "_h2")
+                  .distinct().collect())
+    m, k = _bloom_params(len(eval_pairs), fpp)
+    bits = _bloom_build([(r["_h1"], r["_h2"]) for r in eval_pairs], m, k)
+    bc = corpus.sparkSession.sparkContext.broadcast(bits.tobytes())
+
+    @pandas_udf("boolean")
+    def might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        arr = np.frombuffer(bc.value, dtype=np.uint8)
+        a = h1.to_numpy(dtype=np.int64).view(np.uint64)
+        b = h2.to_numpy(dtype=np.int64).view(np.uint64)
+        hit = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            pos = (a + np.uint64(i) * b) % np.uint64(m)
+            byte = arr[(pos >> np.uint64(3)).astype(np.int64)]
+            hit &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return pd.Series(hit)
+
+    c = hashed(spans(corpus, id_col))
+    return (c.withColumn("_hit", might_contain("_h1", "_h2"))
+             .groupBy(id_col)
+             .agg(F.count("*").alias("n_windows"),
+                  F.sum(F.col("_hit").cast("long")).alias("n_flagged"))
+             .where(F.col("n_flagged") > 0))
+
+
+# ---------------------------------------------------------------------------
+# Incremental (continuous-ingest) dedup: new batch vs existing corpus.
+# The steady-state shape of a training-data pipeline is not one static
+# corpus self-dedup but a stream of candidate batches arriving against a
+# corpus that is already deduplicated. Scale contract: the corpus is
+# scanned ONCE per tier, all joins broadcast the (small) new-batch side, so
+# the corpus never self-joins and never shuffles on text-derived keys —
+# per-ingest cost is O(corpus scan + batch²-free verification).
+# ---------------------------------------------------------------------------
+
+def _norm_fingerprint(text_col: str):
+    """C4-style normalized fingerprint: casefold, strip punctuation,
+    collapse whitespace, md5 — matches dedup_normalized_fingerprint."""
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}\s]", ""),
+        r"\s+", " "))
+    return F.md5(norm)
+
+
+def dedup_against_corpus(new_batch: DataFrame, corpus: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         num_perm: int = 32, bands: int = 8,
+                         shingle_n: int = 3,
+                         threshold: float = 0.7) -> DataFrame:
+    """Classify every NEW document against the corpus:
+
+    * ``exact``  — normalized fingerprint already present in the corpus;
+    * ``near``   — MinHash-LSH bucket-mate of a corpus doc, verified by
+      exact shingle Jaccard ≥ threshold;
+    * ``unique`` — neither.
+
+    Returns ``(id, verdict, match_id)`` where ``match_id`` is the lowest
+    corpus id that triggered the verdict (NULL for unique) — the keeper to
+    attribute the rejection to. Exact matches short-circuit the near tier
+    (their signatures are never computed).
+    """
+    new_fp = new_batch.select(F.col(id_col).alias("_nid"),
+                              _norm_fingerprint(text_col).alias("_fp"))
+    corp_fp = corpus.select(F.col(id_col).alias("_cid"),
+                            _norm_fingerprint(text_col).alias("_fp"))
+    exact = (corp_fp.join(F.broadcast(new_fp), "_fp")
+             .groupBy("_nid").agg(F.min("_cid").alias("match_id"))
+             .withColumn("verdict", F.lit("exact")))
+
+    remaining = new_batch.join(
+        F.broadcast(exact.select(F.col("_nid").alias(id_col))),
+        id_col, "left_anti")
+    new_bands = minhash_band_hashes(remaining, id_col, text_col, num_perm,
+                                    bands, shingle_n)
+    corp_bands = minhash_band_hashes(corpus, id_col, text_col, num_perm,
+                                     bands, shingle_n)
+    cands = (corp_bands.join(F.broadcast(new_bands.withColumnRenamed(
+                                 "_id", "_nid")),
+                             ["band", "bh"])
+             .select(F.col("_nid").alias("id_a"),
+                     F.col("_id").alias("id_b"))
+             .distinct())
+    # Distinct text frames per side: new-batch and corpus id spaces may
+    # overlap, and a union would let id_a resolve to a corpus text.
+    new_txt = remaining.select(F.col(id_col).alias("id_a"),
+                               F.col(text_col).alias("txt_a"))
+    corp_txt = corpus.select(F.col(id_col).alias("id_b"),
+                             F.col(text_col).alias("txt_b"))
+    verified = (cands
+                .join(F.broadcast(new_txt), "id_a")
+                .join(corp_txt, "id_b")
+                .withColumn("_j", jaccard_pd(F.col("txt_a"),
+                                             F.col("txt_b"), shingle_n))
+                .where(F.col("_j") >= threshold))
+    near = (verified.groupBy(F.col("id_a").alias("_nid"))
+            .agg(F.min("id_b").alias("match_id"))
+            .withColumn("verdict", F.lit("near")))
+
+    classified = exact.unionByName(near)
+    return (new_batch.select(F.col(id_col).alias("_nid"))
+            .join(classified, "_nid", "left")
+            .select(F.col("_nid").alias(id_col),
+                    F.coalesce(F.col("verdict"), F.lit("unique"))
+                     .alias("verdict"),
+                    F.col("match_id")))

@@ -2066,6 +2066,96 @@ def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy(F.desc("contaminated_frac"), "doc_id"))
 
 
+def _incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: a NEW batch classified against the
+    existing corpus (exact fingerprint tier, then MinHash-LSH + Jaccard
+    tier; corpus never self-joins, new side broadcast). Planted batch:
+    corpus docs re-labeled verbatim (must come back ``exact``) and corpus
+    docs ≥40 tokens with a 3-token tail appended (shingle Jaccard ≥ 0.92 —
+    must come back ``near``; the LSH miss probability at 8×4 banding is
+    2.6e-5 per doc, deterministic for the fixed seed). The oracle derives
+    the same verdicts analytically from the construction."""
+    from dataweb_spark.functions import dedup as D
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    corpus = docs.where("doc_id % 5 != 0")
+    exact_new = (corpus.where("doc_id % 20 = 1")
+                 .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    near_new = (corpus.where("doc_id % 20 = 2")
+                .where("size(split(trim(text), '\\\\s+')) >= 40")
+                .select((F.col("doc_id") + 200000).alias("doc_id"),
+                        F.concat("text", F.lit(" appended tail tokens"))
+                         .alias("text")))
+    batch = exact_new.unionByName(near_new)
+    out = D.dedup_against_corpus(batch, corpus, threshold=0.7)
+    return out.select("doc_id", "verdict").orderBy("doc_id")
+
+
+_df("dedup_incremental_ingest", _incremental_ingest, oracle=r"""
+with corpus as (select * from documents where doc_id % 5 != 0)
+select doc_id + 100000 as doc_id, 'exact' as verdict
+from corpus where doc_id % 20 = 1
+union all
+select doc_id + 200000 as doc_id, 'near' as verdict
+from corpus
+where doc_id % 20 = 2
+  and len(string_split_regex(trim(text), '\s+')) >= 40
+order by doc_id
+""")
+
+
+def _bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination recall contract. The map-only Bloom
+    pre-filter (no join, bits broadcast) must flag AT LEAST every window
+    the exact broadcast-set join flags per doc (``caught`` — Bloom filters
+    have no false negatives; a broken hash/bit kernel would), and its
+    total over-flagging must stay within the fp budget (summary row
+    ``doc_id = -1``: expected FPs at fpp=1e-8 over ~5·10^5 corpus windows
+    is 0.005 — bound 10 is 2000× slack, deterministically safe)."""
+    from dataweb_spark.functions import dedup as D
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    corpus = docs.where("doc_id % 10 != 0")
+    evalset = docs.where("doc_id % 10 = 0")
+    bloom = D.bloom_contamination(corpus, evalset, window=16, fpp=1e-8)
+    exact = D.contamination_check(corpus, evalset, window=16) \
+             .select("doc_id", "n_contaminated")
+    per_doc = (exact.join(bloom, "doc_id", "left")
+               .select("doc_id",
+                       (F.coalesce(F.col("n_flagged"), F.lit(0))
+                        >= F.col("n_contaminated")).alias("caught")))
+    totals = (bloom.agg(F.sum("n_flagged").alias("_f"))
+              .crossJoin(exact.agg(F.sum("n_contaminated").alias("_e")))
+              .select(F.lit(-1).cast("bigint").alias("doc_id"),
+                      ((F.coalesce(F.col("_f"), F.lit(0))
+                        - F.coalesce(F.col("_e"), F.lit(0))) <= 10)
+                      .alias("caught")))
+    return per_doc.unionByName(totals).orderBy("doc_id")
+
+
+_df("dedup_bloom_contamination", _bloom_contamination, oracle=r"""
+with t as (
+  select doc_id, string_split_regex(trim(text), '\s+') as toks
+  from documents where length(trim(text)) > 0
+), base as (
+  select doc_id, toks, len(toks) as n from t where len(toks) >= 16
+), spans as (
+  select doc_id,
+         md5(array_to_string(toks[s + 1 : s + 16], ' ')) as wkey
+  from base, unnest(range(0, n - 16 + 1)) as u(s)
+), c_spans as (select * from spans where doc_id % 10 != 0),
+ew as (
+  select distinct wkey from spans where doc_id % 10 = 0
+), contaminated as (
+  select distinct doc_id from c_spans join ew using (wkey)
+)
+select doc_id, true as caught from contaminated
+union all
+select cast(-1 as bigint) as doc_id, true as caught
+order by doc_id
+""")
+
+
 _df("dedup_contamination_check", _contamination, oracle=r"""
 with t as (
   select doc_id, string_split_regex(trim(text), '\s+') as toks
@@ -2968,11 +3058,12 @@ _DRIVER_WINDOW = [
     "dedup_embedding_recall",
     "knn_ivf_recall",
     "knn_quantized_int8",
-    "knn_bruteforce_cosine",
     "streaming_dedup_ingest",
     "streaming_fed_ingest",
-    "asof_join_purchase_click",
     "range_join_price_bands",
+    # new this round (r4): scale-tier operators, driver-checked immediately
+    "dedup_bloom_contamination",
+    "dedup_incremental_ingest",
     "pipeline_training_data",
 ]
 

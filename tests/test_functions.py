@@ -519,3 +519,44 @@ def test_minhash_simhash_handle_non_ascii(spark):
     sh = {r["doc_id"]: r["sh"] for r in df.select(
         "doc_id", dedup.simhash64("text").alias("sh")).collect()}
     assert sh[1] == sh[2] != sh[3]
+
+
+# -- incremental ingest dedup + bloom decontamination ---------------------
+
+def test_dedup_against_corpus_verdicts(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "completely different corpus text about spark and arrow"),
+         (3, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, "The quick brown fox jumps over the lazy dog again and again."),
+         (200, "the quick brown fox jumps over the lazy dog again and again extra"),
+         (300, "totally novel document with no relation to anything before"),
+         # id collides with corpus id 2 but is a different document
+         (2, "another unrelated fresh document that matches nothing at all")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["verdict"], r["match_id"]) for r in
+           dedup.dedup_against_corpus(batch, corpus, shingle_n=2,
+                                      threshold=0.5).collect()}
+    assert out[100] == ("exact", 1)   # normalization kills case/punct; min id
+    assert out[200][0] == "near"      # one appended token
+    assert out[200][1] in (1, 3)
+    assert out[300] == ("unique", None)
+    assert out[2] == ("unique", None)  # id collision must not leak corpus text
+
+
+def test_bloom_contamination_superset_of_exact(spark, sf_dir):
+    import pyspark.sql.functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where("doc_id % 10 != 0")
+    evalset = docs.where("doc_id % 10 = 0")
+    bloom = {r["doc_id"]: r["n_flagged"] for r in
+             dedup.bloom_contamination(corpus, evalset, window=16).collect()}
+    exact = {r["doc_id"]: r["n_contaminated"] for r in
+             dedup.contamination_check(corpus, evalset, window=16).collect()}
+    assert exact, "planted contamination must exist"
+    for doc_id, n in exact.items():
+        assert bloom.get(doc_id, 0) >= n   # no false negatives, ever
+    total_fp = sum(bloom.values()) - sum(exact.values())
+    assert total_fp <= 10
