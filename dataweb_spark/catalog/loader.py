@@ -70,7 +70,7 @@ from dataweb_spark.catalog.model import (
 )
 
 _APPLY_PRECEDENCE = [
-    "Entity", "DataConnection", "DataSource", "RemoteMapping",
+    "Entity", "DataConnection", "DataSource", "RemoteMapping", "User",
 ]
 
 
@@ -139,6 +139,15 @@ def _parse_doc(catalog: RelayCatalog, doc: dict[str, Any]) -> None:
                                   _parse_transform(m))
                 for m in doc.get("info_mappings", [])
             ],
+        ))
+    elif kind == "User":
+        from dataweb_spark.sources.pki import X509User
+        catalog.add_user(X509User(
+            x509_sha256=str(doc["x509_sha256"]).upper(),
+            principal=doc["principal"],
+            x509_subject=doc.get("x509_subject", ""),
+            x509_issuer=doc.get("x509_issuer", ""),
+            attributes=doc.get("attributes", {}),
         ))
     else:
         raise ValueError(f"unknown config kind {kind!r}")

@@ -289,6 +289,10 @@ class RelayCatalog:
     connections: dict[str, DataConnection] = field(default_factory=dict)
     sources: dict[str, DataSource] = field(default_factory=dict)
     remote_mappings: list[RemoteEntityMapping] = field(default_factory=list)
+    # x509-fingerprint → identity (the ``users`` table analog,
+    # ``core/src/model/user.rs:17-28``); values are ``pki.X509User``.
+    # Feed to ``RelayFlightServer(x509_users=relay.users)``.
+    users: dict = field(default_factory=dict)
 
     def add_entity(self, e: Entity) -> None:
         if e.name in self.entities:
@@ -309,6 +313,9 @@ class RelayCatalog:
                     f"source {s.name!r}: duplicate mapping for {m.information!r}")
             seen.add(m.information)
         self.sources[s.name] = s
+
+    def add_user(self, u) -> None:
+        self.users[u.x509_sha256] = u
 
     def sources_for_entity(self, entity: str) -> list[DataSource]:
         return [s for s in self.sources.values() if s.entity == entity]

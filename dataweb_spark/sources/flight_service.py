@@ -98,9 +98,13 @@ class _CertServerAuthHandler(flight.ServerAuthHandler):
 
     def __init__(self, users):
         super().__init__()
-        # users: iterable of pki.X509User (or fingerprint→principal dict)
+        # users: iterable of pki.X509User, or a dict keyed by fingerprint
+        # whose values are X509User objects (RelayCatalog.users) or plain
+        # principal strings.
         if isinstance(users, dict):
-            self._by_fp = dict(users)
+            self._by_fp = {fp: (u.principal if hasattr(u, "principal")
+                                else u)
+                           for fp, u in users.items()}
         else:
             self._by_fp = {u.x509_sha256: u.principal for u in users}
         self._sessions: dict[bytes, str] = {}

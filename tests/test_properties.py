@@ -126,3 +126,58 @@ def test_source_can_match_open_bounds_sound(lo, op, v, x):
     if not source_can_match([("c", op, v)], {"c": (None, lo)}):
         probe = min(lo, x, v, v - 1)
         assert not _holds(op, probe, v)
+
+
+# ---------------------------------------------------------------------------
+# Raster codec round-trips: every (H, W, 3) uint8 array must survive
+# encode → decode bit-exactly (BMP hits the 4-byte row-padding edge cases
+# whenever W % 4 != 0; PPM has none but shares the harness).
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from dataweb_spark.functions import multimodal as M
+
+dims = st.integers(min_value=1, max_value=23)
+
+
+@settings(max_examples=40, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_bmp_roundtrip_property(h, w, seed):
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (M.decode_bmp(M.encode_bmp(px)) == px).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_ppm_roundtrip_property(h, w, seed):
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (M.decode_ppm(M.encode_ppm(px)) == px).all()
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: no false negatives, ever — for ANY member set and fp target,
+# every inserted (h1, h2) pair must test positive against the built bits.
+# ---------------------------------------------------------------------------
+
+from dataweb_spark.functions.dedup import _bloom_build, _bloom_params
+
+h64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(pairs=st.lists(st.tuples(h64, h64), min_size=1, max_size=200),
+       fpp=st.sampled_from([1e-2, 1e-4, 1e-8]))
+def test_bloom_never_false_negative(pairs, fpp):
+    m, k = _bloom_params(len(pairs), fpp)
+    bits = _bloom_build(pairs, m, k)
+    h1 = np.asarray([p[0] for p in pairs], dtype=np.int64).view(np.uint64)
+    h2 = np.asarray([p[1] for p in pairs], dtype=np.int64).view(np.uint64)
+    hit = np.ones(len(pairs), dtype=bool)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+        hit &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 == 1
+    assert hit.all()

@@ -96,3 +96,49 @@ bounds:
     eps = gw.query_template(
         "select count(*) as n from sales where shipdate < date '1995-06-01'")
     assert [s for _, s, _ in eps] == ["sales_old"]
+
+
+def test_user_kind_loads_and_drives_x509_auth(spark, sf_dir, tmp_path):
+    """The sixth config kind (User — the reference's fingerprint-keyed
+    users table): declared in YAML, loaded into the catalog, and usable
+    directly as a Flight server's x509 registry."""
+    import pyarrow.flight as flight
+    import pytest as _pytest
+
+    from dataweb_spark.catalog.loader import load_relay_dir
+    from dataweb_spark.demo import build_demo_web
+    from dataweb_spark.sources import pki
+    from dataweb_spark.sources.flight_service import (
+        flight_query,
+        serve_in_background,
+    )
+
+    der, key = pki.generate_identity("yaml-user")
+    fp, subject, _ = pki.parse_certificate(der)
+    d = tmp_path / "relay"
+    d.mkdir()
+    (d / "users.yaml").write_text(f"""
+kind: User
+x509_sha256: {fp}
+principal: all_access
+x509_subject: "{subject}"
+attributes: {{is_admin: true}}
+""")
+    cat = load_relay_dir("users_only", str(d))
+    assert cat.users[fp].principal == "all_access"
+    assert cat.users[fp].attributes["is_admin"] is True
+
+    web = build_demo_web(sf_dir)
+    server = serve_in_background(spark, web, "na_us",
+                                 x509_users=cat.users)
+    try:
+        n = sum(flight_query(server.port,
+                             "select count(*) as n from lineitem",
+                             cert=(der, key))["n"].to_pylist())
+        assert n > 0
+        rogue_der, rogue_key = pki.generate_identity("rogue")
+        with _pytest.raises(flight.FlightUnauthenticatedError):
+            flight_query(server.port, "select 1",
+                         cert=(rogue_der, rogue_key))
+    finally:
+        server.shutdown()
