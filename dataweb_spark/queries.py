@@ -2261,6 +2261,33 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _df("dedup_semantic_clusters", _semantic_dedup)  # rows-only
 
 
+def _semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for SemDeDup: planted EXACT copies (vec_id < 25
+    re-labeled +20000, identical embedding) must be flagged dup. Identical
+    vectors always quantize to the same cell, their cosine to the original
+    (or to whichever keeper absorbed the original) is ≥ threshold, and the
+    greedy sweep is id-ordered, so every copy (the higher id) is dropped —
+    deterministically, hence hash-checkable."""
+    from dataweb_spark.functions import similarity as S
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    planted = (emb.where("vec_id < 25")
+               .select((F.col("vec_id") + 20000).alias("vec_id"),
+                       "embedding"))
+    out = S.semantic_dedup(emb.unionByName(planted), threshold=0.99,
+                           n_cells=8)
+    return (out.where("vec_id >= 20000")
+               .select("vec_id", F.col("is_dup").alias("copy_dropped"))
+               .orderBy("vec_id"))
+
+
+_df("dedup_semantic_recall", _semantic_recall, oracle="""
+select range + 20000 as vec_id, true as copy_dropped
+from range(25)
+order by vec_id
+""")
+
+
 def _events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via session_window in batch mode — the
     hypertable-style rollup Spark expresses natively; oracle is the
@@ -2574,6 +2601,35 @@ def _text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _df("text_rolling_fingerprint", _text_rolling_fingerprint)  # rows-only
+
+
+def _rolling_fp_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral contract for the rolling fingerprint (xxhash64 isn't
+    portable to the oracle engine, so invariants are checked instead — the
+    ANN-recall-oracle pattern): the fingerprint depends only on the TOKEN
+    sequence (whitespace-normalized reconstruction hashes identically),
+    and appending a tail changes it."""
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").where("length(trim(text)) > 0") \
+                .where("doc_id % 25 = 0")
+    rebuilt = F.concat_ws(" ", F.split(F.trim("text"), r"\s+"))
+    tailed = F.concat("text", F.lit(" zz tail marker unique"))
+    out = docs.select(
+        "doc_id",
+        (T.rolling_fingerprint("text") == T.rolling_fingerprint(rebuilt))
+        .alias("tokens_determine_fp"),
+        (T.rolling_fingerprint("text") != T.rolling_fingerprint(tailed))
+        .alias("edit_changes_fp"))
+    return out.orderBy("doc_id")
+
+
+_df("text_rolling_fp_contract", _rolling_fp_contract, oracle=r"""
+select doc_id, true as tokens_determine_fp, true as edit_changes_fp
+from documents
+where length(trim(text)) > 0 and doc_id % 25 = 0
+order by doc_id
+""")
 
 
 def _text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
