@@ -172,8 +172,19 @@ class JobManager:
                 if job.mode == "engine":
                     df = self.gateway.query(job.sql, job.principal)
                 else:
-                    view = build_source_view(self.spark, relay, source,
-                                             job.principal)
+                    from dataweb_spark.plans.pruning import (
+                        extract_entity_limit,
+                        extract_entity_predicates,
+                        extract_referenced_columns,
+                    )
+                    view = build_source_view(
+                        self.spark, relay, source, job.principal,
+                        conjuncts=extract_entity_predicates(
+                            self.spark, job.sql, source.entity),
+                        limit=extract_entity_limit(
+                            self.spark, job.sql, source.entity),
+                        referenced=extract_referenced_columns(
+                            self.spark, job.sql))
                     entity = source.entity
                     view.drop(PROVENANCE_RELAY, PROVENANCE_SOURCE) \
                         .createOrReplaceTempView(entity)
