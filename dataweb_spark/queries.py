@@ -3122,6 +3122,9 @@ _DRIVER_WINDOW = [
     "dedup_incremental_ingest",
     "pipeline_training_data",
 ]
+# r5 rotation note: window is full at 50 — rotate in the two r4 late
+# additions (dedup_semantic_recall, text_rolling_fp_contract) plus any r4
+# red rows; everything else has a green row in r1∪r2∪r4 once r4 lands.
 
 
 def _apply_driver_window() -> None:
