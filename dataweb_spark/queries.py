@@ -553,6 +553,104 @@ group by q
 order by q
 """)
 
+# Explicit NULLS LAST + IGNORE NULLS forward-fill: default null ordering
+# differs between engines (Spark asc = nulls first, DuckDB asc = nulls
+# last), so portable SQL must say it — and last_value IGNORE NULLS over a
+# running frame is the canonical gap-fill idiom.
+_dual("nulls_ordering_ignore_nulls", """
+with t as (
+  select l_orderkey, l_linenumber,
+         nullif(max(l_returnflag), 'N') as rf
+  from lineitem where l_orderkey < 200
+  group by l_orderkey, l_linenumber
+)
+select l_orderkey, l_linenumber, rf,
+       last_value(rf) ignore nulls over
+         (partition by l_orderkey order by l_linenumber
+          rows between unbounded preceding and current row) as rf_filled,
+       cast(row_number() over
+         (order by rf nulls last, l_orderkey, l_linenumber) as bigint)
+         as rk_nulls_last
+from t
+order by l_orderkey, l_linenumber
+""", oracle="""
+with t as (
+  select l_orderkey, l_linenumber,
+         nullif(max(l_returnflag), 'N') as rf
+  from lineitem where l_orderkey < 200
+  group by l_orderkey, l_linenumber
+)
+select l_orderkey, l_linenumber, rf,
+       last_value(rf ignore nulls) over
+         (partition by l_orderkey order by l_linenumber
+          rows between unbounded preceding and current row) as rf_filled,
+       cast(row_number() over
+         (order by rf nulls last, l_orderkey, l_linenumber) as bigint)
+         as rk_nulls_last
+from t
+order by l_orderkey, l_linenumber
+""")
+
+
+# GPT-style sequence packing: concatenate the token stream in doc_id order
+# and cut every `budget` tokens. bin(doc) = floor(tokens_before_doc /
+# budget) — one window cumsum, no sequential state, so it scales to any
+# corpus (per-partition cumsums + a broadcast of partition offsets at real
+# scale). Emitted per bin: docs starting there, their token mass, and how
+# many straddle the cut (get split across training sequences).
+_dual("pipeline_sequence_packing", """
+with t as (
+  select doc_id,
+         case when length(trim(text)) = 0 then 0
+              else size(split(trim(text), '\\\\s+')) end as n_tok
+  from documents
+), c as (
+  select doc_id, n_tok,
+         sum(n_tok) over (order by doc_id
+                          rows between unbounded preceding and current row)
+           as c_tok
+  from t
+), b as (
+  select doc_id, n_tok,
+         cast(floor((c_tok - n_tok) / 512.0) as bigint) as bin_id,
+         cast(floor((c_tok - 1) / 512.0) as bigint) as bin_end
+  from c where n_tok > 0
+)
+select bin_id, count(*) as n_docs,
+       cast(sum(n_tok) as bigint) as n_tokens,
+       cast(sum(case when bin_end > bin_id then 1 else 0 end) as bigint)
+         as n_straddling
+from b
+group by bin_id
+order by bin_id
+""", oracle=r"""
+with t as (
+  select doc_id,
+         case when length(trim(text)) = 0 then 0
+              else len(string_split_regex(trim(text), '\s+')) end as n_tok
+  from documents
+), c as (
+  select doc_id, n_tok,
+         sum(n_tok) over (order by doc_id
+                          rows between unbounded preceding and current row)
+           as c_tok
+  from t
+), b as (
+  select doc_id, n_tok,
+         cast(floor((c_tok - n_tok) / 512.0) as bigint) as bin_id,
+         cast(floor((c_tok - 1) / 512.0) as bigint) as bin_end
+  from c where n_tok > 0
+)
+select bin_id, count(*) as n_docs,
+       cast(sum(n_tok) as bigint) as n_tokens,
+       cast(sum(case when bin_end > bin_id then 1 else 0 end) as bigint)
+         as n_straddling
+from b
+group by bin_id
+order by bin_id
+""")
+
+
 _dual("first_last_value_windows", """
 select o_custkey, o_orderkey,
        first_value(o_orderkey) over w  as first_order,
