@@ -180,6 +180,33 @@ where o_custkey < 50
 order by o_custkey, o_orderkey
 """)
 
+# JSON-path field access over a string column — the Spark face of the
+# reference's nested ``DataField.path`` (``data_stores/mod.rs:57-62``,
+# JSON file sources ``file_directory.rs:78-90``): the mapping layer reads
+# nested JSON with exactly this expression shape.
+_dual("events_json_props", """
+select event_type,
+       count(*) as n,
+       cast(sum(cast(get_json_object(props, '$.k') as bigint)) as bigint)
+         as sum_k,
+       round(avg(cast(get_json_object(props, '$.k') as bigint)), 6) as avg_k,
+       cast(min(cast(get_json_object(props, '$.k') as bigint)) as bigint)
+         as min_k
+from events
+group by event_type
+order by event_type
+""", oracle="""
+select event_type,
+       count(*) as n,
+       cast(sum(cast(props->>'$.k' as bigint)) as bigint) as sum_k,
+       round(avg(cast(props->>'$.k' as bigint)), 6) as avg_k,
+       cast(min(cast(props->>'$.k' as bigint)) as bigint) as min_k
+from events
+group by event_type
+order by event_type
+""")
+
+
 _dual("window_lag_lead_events", """
 select user_id, event_id,
        round(value - lag(value) over w, 2)  as delta_prev,
