@@ -64,6 +64,109 @@ class Transformation:
     def is_identity(self) -> bool:
         return self.other_to_local.strip() == "{v}"
 
+    def push_conjunct(self, op: str, value):
+        """Rewrite the entity-namespace conjunct ``entity_col op value`` into
+        physical-namespace conjuncts over the raw column, or None when this
+        transformation can't carry it.
+
+        The reference stores both transform directions precisely so
+        predicates survive non-identity mappings
+        (``core/src/model/mappings.rs:124-149``); without this, a filter on
+        a transformed column never reaches the peer and the whole entity
+        ships. Identity passes the conjunct through untouched. A non-identity
+        transform is handled when its forward template is *affine* in
+        ``{v}`` (single occurrence, +,-,*,/ with numeric constants, ``{v}``
+        not in a denominator) and the literal is numeric: the boundary is
+        inverted exactly (Fraction arithmetic), the operator flips when the
+        slope is negative, and the pushed bounds are widened to NON-strict
+        comparisons ± a 1e-9 relative margin — floating-point evaluation of
+        the forward transform inside the engine can round values near the
+        boundary, and a pushed filter must never drop a row the local
+        predicate (which always re-runs — Inexact semantics,
+        ``web_source.rs:145-159``) would keep. Equality becomes a widened
+        range for the same reason.
+
+        Returns a list of ``(op, value)`` pairs to AND together.
+        """
+        if self.is_identity:
+            return [(op, value)]
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return None
+        if op not in ("=", "<", "<=", ">", ">="):
+            return None
+        coeffs = _affine_coeffs(self.other_to_local)
+        if coeffs is None:
+            return None
+        a, b = coeffs
+        if a == 0:
+            return None
+        from fractions import Fraction
+        p = (Fraction(value) - b) / a  # exact boundary in physical namespace
+        if a < 0:  # order-reversing transform: flip the comparison
+            op = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}[op]
+        delta = Fraction(1, 10**9) * max(abs(p), Fraction(1))
+        lo = float(p - delta)
+        hi = float(p + delta)
+        if op == "=":
+            return [(">=", lo), ("<=", hi)]
+        if op in ("<", "<="):
+            return [("<=", hi)]
+        return [(">=", lo)]
+
+
+def _affine_coeffs(template: str):
+    """``(a, b)`` as exact Fractions with ``template({v}) == a*v + b``, or
+    None when the template isn't provably affine arithmetic."""
+    import ast
+    from fractions import Fraction
+
+    if template.count("{v}") != 1:
+        return None
+    try:
+        tree = ast.parse(template.replace("{v}", "__v__"), mode="eval")
+    except SyntaxError:
+        return None
+
+    def _eval(node, v: Fraction):
+        if isinstance(node, ast.Expression):
+            return _eval(node.body, v)
+        if isinstance(node, ast.Constant) and isinstance(
+                node.value, (int, float)) and not isinstance(node.value, bool):
+            return Fraction(node.value)
+        if isinstance(node, ast.Name) and node.id == "__v__":
+            return v
+        if isinstance(node, ast.UnaryOp) and isinstance(
+                node.op, (ast.UAdd, ast.USub)):
+            x = _eval(node.operand, v)
+            return x if isinstance(node.op, ast.UAdd) else -x
+        if isinstance(node, ast.BinOp) and isinstance(
+                node.op, (ast.Add, ast.Sub, ast.Mult, ast.Div)):
+            if isinstance(node.op, ast.Div) and _contains_v(node.right):
+                raise ValueError("{v} in denominator: not affine")
+            left = _eval(node.left, v)
+            right = _eval(node.right, v)
+            if isinstance(node.op, ast.Add):
+                return left + right
+            if isinstance(node.op, ast.Sub):
+                return left - right
+            if isinstance(node.op, ast.Mult):
+                return left * right
+            if right == 0:
+                raise ValueError("division by zero constant")
+            return left / right
+        raise ValueError(f"non-affine node {type(node).__name__}")
+
+    def _contains_v(node) -> bool:
+        return any(isinstance(n, ast.Name) and n.id == "__v__"
+                   for n in ast.walk(node))
+
+    try:
+        b = _eval(tree, Fraction(0))
+        a = _eval(tree, Fraction(1)) - b
+    except (ValueError, ZeroDivisionError):
+        return None
+    return a, b
+
 
 IDENTITY = Transformation()
 

@@ -56,9 +56,12 @@ class FileJobQueue:
     def submit(self, sql: str, principal: str | None = None,
                mode: str = "template") -> str:
         job_id = uuid.uuid4().hex[:12]
+        # principal recorded in the STATUS too: do_put authorizes result
+        # pushes against it (a job submitted under one principal refuses
+        # pushes from another).
         self._write_status(job_id, {
             "job_id": job_id, "status": QUEUED, "history": [QUEUED],
-            "tasks": []})
+            "principal": principal, "tasks": []})
         self._atomic_json(
             os.path.join(self.root, "queued", f"{job_id}.json"),
             {"job_id": job_id, "sql": sql, "principal": principal,
@@ -136,7 +139,8 @@ class FileJobQueue:
         if not hist or hist[-1] != status:
             hist = hist + [status]
         self._write_status(job_id, {"job_id": job_id, "status": status,
-                                    "history": hist, "tasks": tasks})
+                                    "history": hist, "tasks": tasks,
+                                    "principal": st.get("principal")})
 
     # -- internals --------------------------------------------------------
 

@@ -134,6 +134,22 @@ def _filter_sees_base_columns(jfilter, entity: str) -> bool:
     return rels == {entity.lower()}
 
 
+def _count_entity_refs(jplan, entity: str) -> int:
+    """How many times the parsed plan references ``entity`` as a relation."""
+    n_refs = 0
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "UnresolvedRelation":
+            parts = node.multipartIdentifier()
+            if str(parts.apply(parts.size() - 1)).lower() == entity.lower():
+                n_refs += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return n_refs
+
+
 def extract_entity_predicates(spark: SparkSession, sql: str,
                               entity: str) -> list[Conjunct]:
     """Conjunctive ``col op literal`` predicates the query applies to
@@ -149,18 +165,7 @@ def extract_entity_predicates(spark: SparkSession, sql: str,
         jplan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
     except Exception:
         return []
-    n_refs = 0
-    stack = [jplan]
-    while stack:
-        node = stack.pop()
-        if node.getClass().getSimpleName() == "UnresolvedRelation":
-            parts = node.multipartIdentifier()
-            if str(parts.apply(parts.size() - 1)).lower() == entity.lower():
-                n_refs += 1
-        ch = node.children()
-        for i in range(ch.size()):
-            stack.append(ch.apply(i))
-    if n_refs != 1:
+    if _count_entity_refs(jplan, entity) != 1:
         return []
     out: list[Conjunct] = []
     stack = [jplan]
@@ -190,10 +195,18 @@ def extract_entity_limit(spark: SparkSession, sql: str,
     ``entity`` with nothing but projections in between — safe to replicate
     per federated source (each source returning ≤N rows still leaves the
     outer LIMIT N over the union correct under LIMIT-without-ORDER
-    semantics). None when no such limit exists."""
+    semantics). None when no such limit exists.
+
+    As with predicate extraction, a query that references the entity MORE
+    than once (e.g. a limited derived table joined back against the raw
+    entity) must not push the one branch's LIMIT into the shared entity
+    view — the other branch needs the untruncated rows — so multi-reference
+    queries yield no limit."""
     try:
         jplan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
     except Exception:
+        return None
+    if _count_entity_refs(jplan, entity) != 1:
         return None
     best: int | None = None
     stack = [jplan]

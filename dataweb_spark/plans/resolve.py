@@ -180,20 +180,28 @@ def _map_conjuncts_through(rm: RemoteEntityMapping,
                            conjuncts: list | None) -> list | None:
     """Rewrite pruning conjuncts from local-entity namespace into the peer
     entity's namespace. Identity-transform renames pass through; columns
-    behind a non-identity transformation are dropped (conservative — the
-    peer just won't prune on them). A non-trivial ``sql_template`` rewrites
-    the peer frame wholesale (may aggregate/derive), so nothing maps
-    through it."""
+    behind an invertible (affine) transformation are rewritten through
+    ``Transformation.push_conjunct`` — exact boundary inversion with widened
+    non-strict bounds, matching the reference's inverse-transform
+    composition (``mappings.rs:124-149``); non-invertible transforms are
+    dropped (conservative — the peer just won't prune on them). A
+    non-trivial ``sql_template`` rewrites the peer frame wholesale (may
+    aggregate/derive), so nothing maps through it."""
     if not conjuncts or not _template_trivial(rm):
         return None
     out = []
     for col, op, value in conjuncts:
         m = rm.mapping_for(col)
         if m is None:
-            out.append((col, op, value))  # same-name passthrough
-        elif m.transformation.other_to_local == "{v}":
-            out.append((m.remote_info.lower(), op, value))
-        # else: transformed column -> not prunable downstream
+            # Unmapped column: _apply_remote_mapping passes it through by
+            # name when the peer frame carries it (same-name semantics), so
+            # the conjunct keeps its name too.
+            out.append((col, op, value))
+        else:
+            rewritten = m.transformation.push_conjunct(op, value)
+            if rewritten is not None:
+                out.extend((m.remote_info.lower(), o, v)
+                           for o, v in rewritten)
     return out
 
 

@@ -32,6 +32,13 @@ class Dialect:
 
     name: str
     ident_quote: str  # '"' (ANSI: Trino, DuckDB, Postgres) or '`' (Spark)
+    # True when the consuming engine treats backslash as an escape inside
+    # string literals (Spark's default parser). For those engines a literal
+    # containing a backslash can't be rendered with quote-doubling alone —
+    # a trailing '\' would escape our closing quote and crafted input could
+    # break out of the string, so such literals are refused (the conjunct
+    # stays local).
+    c_style_strings: bool = False
 
     def ident(self, name: str) -> str | None:
         """Quote an identifier; None when it can't be safely rendered."""
@@ -55,11 +62,13 @@ class Dialect:
         if isinstance(v, _dt.date):
             return f"DATE '{v.isoformat()}'"
         if isinstance(v, str):
+            if self.c_style_strings and "\\" in v:
+                return None
             return "'" + v.replace("'", "''") + "'"
         return None
 
 
-SPARK = Dialect("spark", "`")
+SPARK = Dialect("spark", "`", c_style_strings=True)
 TRINO = Dialect("trino", '"')
 DUCKDB = Dialect("duckdb", '"')
 
@@ -75,10 +84,15 @@ def render_select(dialect: Dialect, table: str,
     ``conjuncts`` are pruning triples ``(col, op, value)``; unrenderable
     ones are silently skipped (filtering stays local — never wrong, only
     less pushed). ``table`` may be a multi-part name (``catalog.schema.t``);
-    each part is quoted independently.
+    each part is quoted independently. An unrenderable table part is an
+    error — silently dropping it would target a DIFFERENT table.
     """
-    tbl = ".".join(filter(None, (dialect.ident(p)
-                                 for p in table.split("."))))
+    parts = [dialect.ident(p) for p in table.split(".")]
+    if any(p is None for p in parts):
+        raise ValueError(
+            f"table name {table!r} not renderable in dialect "
+            f"{dialect.name!r}")
+    tbl = ".".join(parts)
     cols = "*"
     if columns:
         rendered = [dialect.ident(c) for c in columns]

@@ -27,6 +27,7 @@ clients, not bulk data movement.
 from __future__ import annotations
 
 import json
+import re
 import threading
 import uuid
 
@@ -166,6 +167,11 @@ class _CertClientAuth(flight.ClientAuthHandler):
         return self._token
 
 
+# Ids that appear in filesystem paths (job/task ids) must be plain
+# identifiers — anything else is a path-traversal attempt.
+_SAFE_ID = re.compile(r"[A-Za-z0-9_-]+")
+
+
 class RelayFlightServer(flight.FlightServerBase):
     """One relay's Flight surface. Start with ``serve_in_background``.
 
@@ -303,26 +309,46 @@ class RelayFlightServer(flight.FlightServerBase):
                                            "(no job store)")
         meta = json.loads(descriptor.command.decode("utf-8"))
         job_id = meta["job_id"]
+        task_id = meta["task_id"]
+        # job_id/task_id reach os.path.join below — a crafted id like
+        # "../../tmp/evil" would escape the store root and let any network
+        # client write parquet anywhere, so both must be plain identifiers.
+        for label, ident in (("job_id", job_id), ("task_id", task_id)):
+            if not isinstance(ident, str) or not _SAFE_ID.fullmatch(ident):
+                raise flight.FlightServerError(
+                    f"invalid {label} {ident!r}: must match "
+                    f"{_SAFE_ID.pattern}")
         st = self.job_store.read_status(job_id)
         if st is None:
             raise flight.FlightServerError(f"unknown job {job_id!r}")
         principal = None
         if self._authed:
             principal = context.peer_identity().decode("utf-8")
+            job_principal = st.get("principal")
+            if job_principal is not None and principal != job_principal:
+                # A job submitted under one principal only accepts result
+                # pushes from that principal — otherwise any authenticated
+                # client could overwrite another submitter's results.
+                raise flight.FlightUnauthorizedError(
+                    f"job {job_id!r} belongs to principal "
+                    f"{job_principal!r}")
         table = reader.read_all()
         import os as _os
         out_dir = _os.path.join(self.job_store.root, "results",
-                                f"task_{meta['task_id']}")
+                                f"task_{task_id}")
+        root_real = _os.path.realpath(self.job_store.root)
+        if not _os.path.realpath(out_dir).startswith(root_real + _os.sep):
+            raise flight.FlightServerError("result path escapes job store")
         _os.makedirs(out_dir, exist_ok=True)
         pq.write_table(table, _os.path.join(out_dir, "part-0.parquet"))
-        task = {"task_id": meta["task_id"],
+        task = {"task_id": task_id,
                 "relay": meta.get("relay", "remote"),
                 "source": meta.get("source", "pushed"),
                 "status": "COMPLETE", "n_rows": table.num_rows,
                 "result_path": out_dir, "error": None,
                 "pushed_by": principal}
         tasks = [t for t in st.get("tasks", [])
-                 if t["task_id"] != meta["task_id"]] + [task]
+                 if t["task_id"] != task_id] + [task]
         pending = any(t["status"] not in ("COMPLETE", "FAILED")
                       for t in tasks)
         if meta.get("final") and not pending:

@@ -45,8 +45,9 @@ def _pushdown_parts(source: DataSource, conjuncts: list | None,
 
     * ``columns`` — physical columns to fetch (None = all);
     * ``kept_conjuncts`` — ``(physical_col, op, value)`` triples rewritten
-      through identity-transform mappings (non-identity → dropped: the
-      engine-side raw value differs from the entity value);
+      through the mapping transformations (identity renames; invertible
+      affine transforms invert the literal with safety-widened bounds;
+      anything else → dropped);
     * ``limit`` — forwarded only for unpermissioned sources with no pushed
       filters (the LIMIT extractor only fires on filter-free plans, so a
       conjunct here means it came from elsewhere in the query);
@@ -90,13 +91,18 @@ def _pushdown_parts(source: DataSource, conjuncts: list | None,
     for col, op, value in conjuncts or []:
         m = source.mapping_for(col)
         if m is None:
-            target = col  # same-name passthrough (unmapped = identity)
-        elif m.transformation.other_to_local == "{v}":
-            target = source.field_path(m.field)
-        else:
-            continue  # transformed column: engine-side value differs — skip
+            # Unmapped information: the local view NULL-fills it
+            # (parse_utils.rs:23-25), so this conjunct matches no rows of
+            # this source anyway — and the engine-side table may not even
+            # HAVE a column by this name, so pushing the local name through
+            # would error the whole peer query. Drop it.
+            continue
+        target = source.field_path(m.field)
+        rewritten = m.transformation.push_conjunct(op, value)
+        if rewritten is None:
+            continue  # non-invertible transform: filter stays local
         if _IDENT.match(target):
-            kept.append((target, op, value))
+            kept.extend((target, o, v) for o, v in rewritten)
 
     eff_limit = limit if (limit is not None and not has_perms
                           and not kept) else None
@@ -115,11 +121,14 @@ def _peer_sql(source: DataSource, conjuncts: list | None, limit: int | None,
       (``pruning.extract_referenced_columns`` over-approximation) — skipped
       entirely when the source carries local permissions, whose row filters
       reference physical columns the projection analysis doesn't model;
-    * the query's **filter conjuncts**, rewritten through identity-transform
-      mappings into peer namespace (non-identity transforms are dropped —
-      the peer just doesn't pre-filter on them; correctness is preserved
-      because the full predicate still runs locally, exactly the
-      ``Inexact``-filter semantics of ``web_source.rs:145-159``);
+    * the query's **filter conjuncts**, rewritten into peer namespace —
+      identity mappings rename, invertible (affine) transformations invert
+      the boundary with widened non-strict bounds
+      (``Transformation.push_conjunct``, the ``mappings.rs:124-149``
+      inverse-composition analog), anything else is dropped — the peer just
+      doesn't pre-filter on it; correctness is preserved because the full
+      predicate still runs locally, exactly the ``Inexact``-filter
+      semantics of ``web_source.rs:145-159``;
     * the query's **LIMIT** when it provably sits directly over the entity
       (``pruning.extract_entity_limit``) and the source is unpermissioned.
 

@@ -62,14 +62,54 @@ def test_peer_sql_pushes_identity_conjuncts():
     assert sql == "SELECT * FROM peer_e WHERE (a < 10) AND (b_phys = 'x')"
 
 
-def test_peer_sql_drops_transformed_conjuncts():
+def test_peer_sql_inverts_affine_transformed_conjuncts():
     src = _src(mappings=[
         Mapping("a", "a", Transformation("{v} * 100", "{v} / 100")),
         Mapping("b", "b"),
     ])
     sql, _ = _peer_sql(src, [("a", "<", 10), ("b", ">=", 5)], None, None)
-    # a is behind a non-identity transform: peer-side raw values differ
-    assert sql == "SELECT * FROM peer_e WHERE (b >= 5)"
+    # a's boundary is inverted through the transform (10/100 = 0.1), with a
+    # 1e-9-relative widening and a non-strict op so engine-side float
+    # rounding can never drop a row the local predicate keeps
+    assert sql == ("SELECT * FROM peer_e WHERE (a <= 0.100000001) "
+                   "AND (b >= 5)")
+
+
+def test_peer_sql_negative_slope_flips_operator():
+    src = _src(mappings=[
+        Mapping("a", "a", Transformation("100 - {v}", "100 - {v}")),
+        Mapping("b", "b"), Mapping("c", "c"),
+    ])
+    sql, _ = _peer_sql(src, [("a", "<", 30)], None, None)
+    # f(x) = 100 - x is decreasing: local a < 30 ⟺ peer x > 70
+    assert sql == "SELECT * FROM peer_e WHERE (a >= 69.99999993)"
+
+
+def test_peer_sql_equality_on_transformed_column_becomes_range():
+    src = _src(mappings=[
+        Mapping("a", "a", Transformation("{v} * 100", "{v} / 100")),
+        Mapping("b", "b"), Mapping("c", "c"),
+    ])
+    sql, _ = _peer_sql(src, [("a", "=", 10)], None, None)
+    assert sql == ("SELECT * FROM peer_e WHERE (a >= 0.099999999) "
+                   "AND (a <= 0.100000001)")
+
+
+def test_peer_sql_drops_non_invertible_transforms():
+    src = _src(mappings=[
+        Mapping("a", "a", Transformation("abs({v})", "{v}")),
+        Mapping("b", "b"), Mapping("c", "c"),
+    ])
+    sql, _ = _peer_sql(src, [("a", "<", 10)], None, None)
+    assert sql == "SELECT * FROM peer_e"
+
+
+def test_peer_sql_drops_unmapped_conjuncts():
+    # 'z' has no mapping: the local view NULL-fills it, and the peer table
+    # may not have a column by that name at all — pushing it would error
+    # the whole peer query.
+    sql, _ = _peer_sql(_src(), [("z", "<", 10), ("a", "=", 1)], None, None)
+    assert sql == "SELECT * FROM peer_e WHERE (a = 1)"
 
 
 def test_peer_sql_escapes_string_literals():
@@ -155,6 +195,49 @@ def test_filter_pushdown_shrinks_transfer_same_answer(
     assert got == want                      # answers unchanged
     assert 0 < shipped < total              # peer pre-filtered the transfer
     assert shipped == local.where("quantity < 5").count()
+
+
+def test_transformed_filter_pushdown_shrinks_transfer(
+        spark, demo_web, peer_server):
+    """A filter on a column behind a NON-identity mapping must still narrow
+    the peer transfer (``mappings.rs:124-149`` inverse composition): the
+    edge stores tax as a fraction derived from the peer's percent column
+    via ``{v} / 100``, and a local ``tax_frac < 0.05`` must reach the peer
+    as a widened bound on ``tax_percent`` — answers unchanged."""
+    from dataweb_spark.catalog.model import Information
+    from dataweb_spark.plans.resolve import resolve_entity
+
+    edge = RelayCatalog(name="edge_tf")
+    edge.add_entity(Entity("items", [
+        Information("orderkey", "bigint"),
+        Information("tax_frac", "double"),
+    ]))
+    edge.add_connection(DataConnection(
+        "peer_flight", "flight", {"port": str(peer_server.port)}))
+    edge.add_source(DataSource(
+        name="items_peer", connection="peer_flight", entity="items",
+        source_sql="select * from {table}",
+        mappings=[Mapping("orderkey", "orderkey"),
+                  Mapping("tax_frac", "tax_percent",
+                          Transformation("{v} / 100", "{v} * 100"))],
+        options={"entity": "lineitem", "mode": "engine"}))
+    web = Web()
+    web.add_relay(edge)
+    gw = QueryGateway(spark, web, "edge_tf")
+
+    peer = resolve_entity(spark, demo_web, "na_us", "lineitem")
+    want = (peer.selectExpr("tax_percent / 100 as tax_frac")
+                .where("tax_frac < 0.05").count())
+    total = peer.count()
+
+    before = peer_server.served_rows
+    got = gw.query("select count(*) as n from items "
+                   "where tax_frac < 0.05").collect()[0]["n"]
+    shipped = peer_server.served_rows - before
+
+    assert got == want              # answers unchanged (local re-filter)
+    assert want <= shipped < total  # peer pre-filtered: a strict subset
+                                    # shipped, never fewer than the matches
 
 
 def test_limit_pushdown_bounds_transfer(peer_server, edge_gateway):

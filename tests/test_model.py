@@ -89,3 +89,56 @@ def test_duplicate_entity_rejected():
     cat.add_entity(Entity("e", []))
     with pytest.raises(ValueError, match="duplicate entity"):
         cat.add_entity(Entity("e", []))
+
+
+# ---------------------------------------------------------------------------
+# Invertible conjunct pushdown (mappings.rs:124-149 inverse composition)
+# ---------------------------------------------------------------------------
+
+def test_push_conjunct_identity_passthrough():
+    t = Transformation()
+    assert t.push_conjunct("<", 10) == [("<", 10)]
+    assert t.push_conjunct("=", "x") == [("=", "x")]  # any type, untouched
+
+
+def test_push_conjunct_affine_inversion():
+    t = Transformation("{v} * 100", "{v} / 100")
+    [(op, v)] = t.push_conjunct("<", 10)
+    assert op == "<=" and 0.1 < v <= 0.1 + 2e-9
+    [(op2, v2)] = t.push_conjunct(">=", 10)
+    assert op2 == ">=" and v2 < 0.1
+
+
+def test_push_conjunct_affine_with_offset():
+    # f(x) = 2*(x + 3)/4 - 1 = x/2 + 0.5 ; f(x) < 5  <=>  x < 9
+    t = Transformation("2 * ({v} + 3) / 4 - 1", "")
+    [(op, v)] = t.push_conjunct("<", 5)
+    assert op == "<=" and 9 < v < 9.001
+
+
+def test_push_conjunct_negative_slope_flips():
+    t = Transformation("100 - {v}", "100 - {v}")
+    [(op, v)] = t.push_conjunct("<", 30)   # 100 - x < 30  <=>  x > 70
+    assert op == ">=" and 69.9 < v < 70
+    [(op2, v2)] = t.push_conjunct(">", 30)  # 100 - x > 30  <=>  x < 70
+    assert op2 == "<=" and 70 < v2 < 70.1
+
+
+def test_push_conjunct_equality_becomes_widened_range():
+    t = Transformation("{v} * 100", "{v} / 100")
+    [(o1, lo), (o2, hi)] = t.push_conjunct("=", 10)
+    assert (o1, o2) == (">=", "<=") and lo < 0.1 < hi
+
+
+def test_push_conjunct_refuses_non_invertible():
+    assert Transformation("abs({v})", "{v}").push_conjunct("<", 1) is None
+    assert Transformation("{v} * {v}", "{v}").push_conjunct("<", 1) is None
+    assert Transformation("1 / {v}", "{v}").push_conjunct("<", 1) is None
+    assert Transformation("{v} * 0", "{v}").push_conjunct("<", 1) is None
+    assert Transformation("cast({v} as int)", "{v}").push_conjunct("<", 1) is None
+
+
+def test_push_conjunct_refuses_non_numeric_values():
+    t = Transformation("{v} * 100", "{v} / 100")
+    assert t.push_conjunct("=", "text") is None
+    assert t.push_conjunct("=", True) is None

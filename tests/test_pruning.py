@@ -259,6 +259,15 @@ def test_extract_entity_limit_refuses_unsafe_shapes(spark):
         assert extract_entity_limit(spark, sql, "lineitem") is None, sql
 
 
+def test_extract_entity_limit_refuses_multi_reference(spark):
+    """One branch's transparent LIMIT must not truncate the shared entity
+    view that the OTHER branch reads in full (ADVICE r4)."""
+    from dataweb_spark.plans.pruning import extract_entity_limit
+    sql = ("select * from (select * from lineitem limit 5) a "
+           "join lineitem b on a.orderkey = b.orderkey")
+    assert extract_entity_limit(spark, sql, "lineitem") is None
+
+
 def test_extract_referenced_columns_tokens(spark):
     from dataweb_spark.plans.pruning import extract_referenced_columns
     ref = extract_referenced_columns(

@@ -167,3 +167,61 @@ def test_do_put_disabled_without_store(spark, demo_web):
             flight_put_result(server.port, "j", "t", pa.table({"x": [1]}))
     finally:
         server.shutdown()
+
+
+def test_do_put_path_traversal_refused(spark, demo_web, tmp_path):
+    """task_id/job_id reach the filesystem path — traversal attempts must
+    be rejected before any directory is created (ADVICE r4)."""
+    import pyarrow as pa
+    import pyarrow.flight as flight
+
+    from dataweb_spark.jobs.store import FileJobQueue
+    from dataweb_spark.sources.flight_service import (
+        flight_put_result,
+        serve_in_background,
+    )
+
+    queue = FileJobQueue(str(tmp_path / "store3"))
+    server = serve_in_background(spark, demo_web, "na_us", job_store=queue)
+    try:
+        job_id = queue.submit("select 1 as x", mode="engine")
+        evil = "x/../../../../tmp/evil"
+        with pytest.raises(flight.FlightError, match="invalid task_id"):
+            flight_put_result(server.port, job_id, evil, pa.table({"x": [1]}))
+        assert not os.path.exists("/tmp/evil")
+        with pytest.raises(flight.FlightError, match="invalid job_id"):
+            flight_put_result(server.port, "../other", "t1",
+                              pa.table({"x": [1]}))
+    finally:
+        server.shutdown()
+
+
+def test_do_put_cross_principal_refused(spark, demo_web, tmp_path):
+    """A job submitted under one principal must not accept result pushes
+    from a different authenticated principal (ADVICE r4)."""
+    import pyarrow as pa
+    import pyarrow.flight as flight
+
+    from dataweb_spark.jobs.store import FileJobQueue
+    from dataweb_spark.sources.flight_service import (
+        flight_put_result,
+        serve_in_background,
+    )
+
+    queue = FileJobQueue(str(tmp_path / "store4"))
+    server = serve_in_background(spark, demo_web, "na_us",
+                                 tokens={"tok_a": "alice", "tok_b": "bob"},
+                                 job_store=queue)
+    try:
+        job_id = queue.submit("select 1 as x", mode="engine",
+                              principal="alice")
+        with pytest.raises(flight.FlightError, match="belongs to principal"):
+            flight_put_result(server.port, job_id, "t1",
+                              pa.table({"x": [1]}), token="tok_b")
+        # the rightful principal still succeeds
+        flight_put_result(server.port, job_id, "t1",
+                          pa.table({"x": [1]}), token="tok_a")
+        st = queue.read_status(job_id)
+        assert st["tasks"][0]["pushed_by"] == "alice"
+    finally:
+        server.shutdown()
