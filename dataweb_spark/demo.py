@@ -71,6 +71,37 @@ _CSV_FIELDS = [
 ]
 
 
+def _add_identity_entity(relay: RelayCatalog, name: str,
+                         cols: list[tuple[str, str]], table: str,
+                         phys_prefix: str) -> None:
+    relay.add_entity(Entity(name, [Information(c, t) for c, t in cols]))
+    relay.add_source(DataSource(
+        name=f"{name}_local",
+        connection="files",
+        entity=name,
+        source_sql="select * from {table}",
+        fields=[DataField(f"{phys_prefix}{c}", f"{phys_prefix}{c}")
+                for c, _ in cols],
+        mappings=[Mapping(c, f"{phys_prefix}{c}") for c, _ in cols],
+        options={"table": table},
+    ))
+
+
+def _add_dimension_entities(relay: RelayCatalog) -> None:
+    """customer + orders as identity-mapped local entities — the webengine
+    demo keeps dimensions at the engine relay and federates the fact table
+    (``webengine/src/main.rs:86-124``)."""
+    _add_identity_entity(relay, "customer", [
+        ("custkey", "bigint"), ("name", "string"), ("nationkey", "int"),
+        ("acctbal", "double"), ("mktsegment", "string")],
+        "customer.parquet", "c_")
+    _add_identity_entity(relay, "orders", [
+        ("orderkey", "bigint"), ("custkey", "bigint"), ("orderstatus", "string"),
+        ("totalprice", "double"), ("orderdate", "timestamp"),
+        ("orderpriority", "string")],
+        "orders.parquet", "o_")
+
+
 def build_demo_web(sf_dir: str) -> Web:
     """Build the demo Web over ``{sf_dir}/*.parquet``."""
     na_us = RelayCatalog(name="na_us")
@@ -149,30 +180,7 @@ def build_demo_web(sf_dir: str) -> Web:
     glob = RelayCatalog(name="global")
     glob.add_connection(DataConnection(
         name="files", kind="file", options={"path": sf_dir, "format": "parquet"}))
-
-    def identity_entity(name: str, cols: list[tuple[str, str]],
-                        table: str, phys_prefix: str) -> None:
-        glob.add_entity(Entity(name, [Information(c, t) for c, t in cols]))
-        glob.add_source(DataSource(
-            name=f"{name}_local",
-            connection="files",
-            entity=name,
-            source_sql="select * from {table}",
-            fields=[DataField(f"{phys_prefix}{c}", f"{phys_prefix}{c}")
-                    for c, _ in cols],
-            mappings=[Mapping(c, f"{phys_prefix}{c}") for c, _ in cols],
-            options={"table": table},
-        ))
-
-    identity_entity("customer", [
-        ("custkey", "bigint"), ("name", "string"), ("nationkey", "int"),
-        ("acctbal", "double"), ("mktsegment", "string")],
-        "customer.parquet", "c_")
-    identity_entity("orders", [
-        ("orderkey", "bigint"), ("custkey", "bigint"), ("orderstatus", "string"),
-        ("totalprice", "double"), ("orderdate", "timestamp"),
-        ("orderpriority", "string")],
-        "orders.parquet", "o_")
+    _add_dimension_entities(glob)
 
     glob.add_entity(Entity("lineitem", list(LINEITEM_INFOS)))
     glob.remote_mappings.append(RemoteEntityMapping(
@@ -246,6 +254,9 @@ def build_six_relay_web(sf_dir: str) -> Web:
     emea = lineitem_relay("emea", [3])
     apac = lineitem_relay("apac", [4])
     glob = lineitem_relay("global", [5])
+    # the webengine demo's dimensions live at the engine relay; the Q3
+    # join crosses them with the 6-source federated fact table
+    _add_dimension_entities(glob)
     peer(na, "na_us")
     peer(glob, "na")
     peer(glob, "emea")

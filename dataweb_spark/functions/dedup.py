@@ -422,15 +422,21 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     span of ≥ ``window`` tokens at a fraction of the cost).
 
     Shape at 100 TB: explode (doc, window_start, md5(window)) — rows ≈
-    tokens/stride per doc, pipelined straight into a map-side-combined
-    groupBy on the window key; repeated keys join back id-keyed. Two
-    shuffles, both on well-distributed hashes. Per-doc output:
-    ``n_windows``, ``n_dup_windows`` (windows whose text recurs anywhere in
-    the corpus, self included), ``dup_frac``.
+    tokens/stride per doc — then ONE shuffle on the window key: a count
+    window-function over ``_wkey`` tags every span with its corpus-wide
+    multiplicity (key groups are tiny, no skew on md5 keys), then a
+    groupBy(id) folds per-doc stats. The r1-r4 shape (groupBy key + join
+    back) computed the exploded span stream TWICE — the md5-over-slice is
+    the expensive part — and shuffled it twice; this is the same answer
+    with one span pass and one big shuffle. Per-doc output: ``n_windows``,
+    ``n_dup_windows`` (windows whose text recurs anywhere in the corpus,
+    self included), ``dup_frac``.
 
     Window keys are md5 over the space-joined window so the DuckDB oracle
     reproduces them byte-for-byte.
     """
+    from pyspark.sql import Window
+
     from dataweb_spark.functions.text import tokens
 
     base = (df.select(F.col(id_col), tokens(text_col).alias("_toks"))
@@ -443,8 +449,8 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
                      F.md5(F.concat_ws(
                          " ", F.slice("_toks", F.col("_s") + 1, window)))
                       .alias("_wkey")))
-    counts = spans.groupBy("_wkey").agg(F.count("*").alias("_wc"))
-    return (spans.join(counts, "_wkey")
+    wc = F.count("*").over(Window.partitionBy("_wkey"))
+    return (spans.withColumn("_wc", wc)
                  .groupBy(id_col)
                  .agg(F.count("*").alias("n_windows"),
                       F.sum(F.when(F.col("_wc") > 1, 1).otherwise(0))
@@ -544,9 +550,27 @@ def _bloom_build(pairs, m: int, k: int):
     return bits
 
 
+def _bloom_build_distributed(pairs_df: DataFrame, m: int, k: int):
+    """Executor-side Bloom construction: each partition builds its own bit
+    array from its (h1, h2) rows, partials OR-merge up a tree. The driver
+    receives (log-depth) pre-merged arrays instead of one row per key — the
+    10^9-key eval-suite path the driver ``collect()`` can't serve. OR is
+    commutative and associative, so the result is BIT-IDENTICAL to a
+    driver-side build regardless of partitioning (property-tested)."""
+    import numpy as np
+
+    def part_bits(rows):
+        yield _bloom_build([(r[0], r[1]) for r in rows], m, k)
+
+    rdd = pairs_df.rdd.mapPartitions(part_bits)
+    out = rdd.treeReduce(np.bitwise_or, depth=2)
+    return out
+
+
 def bloom_contamination(corpus: DataFrame, evalset: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
-                        window: int = 16, fpp: float = 1e-8) -> DataFrame:
+                        window: int = 16, fpp: float = 1e-8,
+                        build: str = "distributed") -> DataFrame:
     """Map-only decontamination pre-filter: per corpus doc, how many of its
     ``window``-token spans the eval-side Bloom filter flags.
 
@@ -557,10 +581,13 @@ def bloom_contamination(corpus: DataFrame, evalset: DataFrame,
     filters have no false negatives); the companion recall query pins that
     contract against the exact join.
 
-    The eval hash pairs are collected to the driver to set bits — the
-    bounded-small-side regime (same as the IVF quantizer fit); a
-    ``treeAggregate`` bit-array merge drops in for 10^9-key eval suites
-    without touching the corpus side.
+    ``build`` selects how the bit array is constructed from the eval-side
+    hash pairs: ``"distributed"`` (default) builds per-partition arrays on
+    executors and OR-merges them up a tree — the 10^9-key eval-suite path,
+    where one row per key must never cross the driver; ``"driver"``
+    collects the pairs and sets bits locally (fine for ordinary eval-suite
+    sizes, kept for the bit-identity property test). Both need one count
+    of the distinct pairs to size (m, k).
     """
     import numpy as np
     import pandas as pd
@@ -584,10 +611,16 @@ def bloom_contamination(corpus: DataFrame, evalset: DataFrame,
     hashed = lambda df: df.withColumn("_h1", F.xxhash64("_wkey")) \
                           .withColumn("_h2", F.xxhash64("_wkey", F.lit(1)))
 
-    eval_pairs = (hashed(spans(evalset, "_eid")).select("_h1", "_h2")
-                  .distinct().collect())
-    m, k = _bloom_params(len(eval_pairs), fpp)
-    bits = _bloom_build([(r["_h1"], r["_h2"]) for r in eval_pairs], m, k)
+    pairs_df = hashed(spans(evalset, "_eid")).select("_h1", "_h2").distinct()
+    if build == "distributed":
+        pairs_df = pairs_df.persist()
+        m, k = _bloom_params(pairs_df.count(), fpp)
+        bits = _bloom_build_distributed(pairs_df, m, k)
+        pairs_df.unpersist()
+    else:
+        eval_pairs = pairs_df.collect()
+        m, k = _bloom_params(len(eval_pairs), fpp)
+        bits = _bloom_build([(r["_h1"], r["_h2"]) for r in eval_pairs], m, k)
     bc = corpus.sparkSession.sparkContext.broadcast(bits.tobytes())
 
     @pandas_udf("boolean")

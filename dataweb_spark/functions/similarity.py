@@ -167,6 +167,27 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           F.round("cos", 6).alias("cos")))
 
 
+def _quantizer_sample(raw: DataFrame, vec_field: str, target: int,
+                      seed: int, sample_fraction: float | None) -> np.ndarray:
+    """Bounded driver-side training sample WITHOUT a full corpus pre-scan.
+
+    The previous shape (``raw.count()`` to size an exact sampling fraction)
+    cost one full pass over the corpus per call before any useful work — at
+    100 TB that is the dominant cost. ``limit(target)`` plans as
+    CollectLimitExec, which executes partitions incrementally and stops once
+    ``target`` rows are collected, so this reads O(target) rows regardless
+    of corpus size. The default trains the quantizer on the corpus prefix
+    (FAISS-style bounded training set; at or below ``target`` rows it is the
+    whole corpus, identical to the old behavior). Pass ``sample_fraction``
+    to put a Bernoulli sample in front of the limit when the corpus prefix
+    is pathologically clustered — one fractional scan buys unbiased
+    training."""
+    df = raw if sample_fraction is None \
+        else raw.sample(sample_fraction, seed=seed)
+    rows = df.select(vec_field).limit(target).toPandas()
+    return np.array(rows[vec_field].tolist(), dtype=np.float64)
+
+
 def _spherical_kmeans(X: np.ndarray, k: int, seed: int,
                       iters: int = 10) -> np.ndarray:
     """Driver-side spherical k-means (k-means++ init, Lloyd iterations) on
@@ -275,7 +296,8 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    n_cells: int = 16, seed: int = 7,
-                   sample_per_cell: int = 100) -> DataFrame:
+                   sample_per_cell: int = 100,
+                   sample_fraction: float | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster embeddings with the
     IVF coarse quantizer, then within each cell greedily keep the
     lowest-id representative of every cosine ≥ ``threshold`` neighborhood.
@@ -293,11 +315,7 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
     raw = corpus.select(F.col(id_col).alias("_id"),
                         F.col(vec_col).cast("array<double>").alias("_cv"))
     target = sample_per_cell * n_cells
-    n = raw.count()
-    sample = (raw.sample(min(1.0, 1.2 * target / max(n, 1)), seed=seed)
-              .limit(target) if n > target else raw)
-    X = np.array(sample.select("_cv").toPandas()["_cv"].tolist(),
-                 dtype=np.float64)
+    X = _quantizer_sample(raw, "_cv", target, seed, sample_fraction)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = _spherical_kmeans(X, n_cells, seed)
     cell1 = _nearest_cells_udf(C, 1)
@@ -340,7 +358,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", n_cells: int = 16,
              nprobe: int = 3, seed: int = 7,
-             sample_per_cell: int = 100) -> DataFrame:
+             sample_per_cell: int = 100,
+             sample_fraction: float | None = None) -> DataFrame:
     """IVF approximate top-k: sampled spherical-k-means cells + multi-probe.
 
     Corpus rows are assigned to their nearest centroid in one Arrow-batched
@@ -356,11 +375,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                         F.col(vec_col).cast("array<double>").alias("_cv"))
 
     target = sample_per_cell * n_cells
-    n = raw.count()
-    sample = (raw.sample(min(1.0, 1.2 * target / max(n, 1)), seed=seed)
-              .limit(target) if n > target else raw)
-    X = np.array(sample.select("_cv").toPandas()["_cv"].tolist(),
-                 dtype=np.float64)
+    X = _quantizer_sample(raw, "_cv", target, seed, sample_fraction)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = _spherical_kmeans(X, n_cells, seed)
 

@@ -1317,6 +1317,51 @@ order by returnflag, linestatus
 """)
 
 
+def _fed_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference webengine's flagship demo: TPC-H Q3 as a FEDERATED
+    cross-entity join (``webengine/src/main.rs:86-124``) — local customer /
+    orders dimensions at the ``global`` relay joined with the ``lineitem``
+    fact federated across all six sources of the relay web. Exercises
+    engine-mode multi-entity joins where one side is a remote-recursive
+    union, with the revenue term computed through the ``discount_percent``
+    mapping transformation ({v}·100) at every source."""
+    from dataweb_spark.demo import build_six_relay_web
+    from dataweb_spark.plans.gateway import QueryGateway
+    web = build_six_relay_web(sf_dir)
+    gw = QueryGateway(spark, web, "global")
+    return gw.query("""
+        select o.orderkey,
+               round(sum(l.extendedprice
+                         * (1 - l.discount_percent / 100)), 2) as revenue,
+               cast(o.orderdate as date) as orderdate
+        from customer c
+        join orders o on c.custkey = o.custkey
+        join lineitem l on l.orderkey = o.orderkey
+        where c.mktsegment = 'BUILDING'
+          and o.orderdate < timestamp '1995-03-15'
+          and l.shipdate > date '1995-03-15'
+        group by o.orderkey, cast(o.orderdate as date)
+        order by revenue desc, o.orderkey
+        limit 10
+    """)
+
+
+_df("fed_q3_shipping_priority", _fed_q3_shipping_priority, oracle="""
+select o_orderkey as orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       cast(o_orderdate as date) as orderdate
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on l_orderkey = o_orderkey
+where c_mktsegment = 'BUILDING'
+  and o_orderdate < timestamp '1995-03-15'
+  and l_shipdate > date '1995-03-15'
+group by o_orderkey, cast(o_orderdate as date)
+order by revenue desc, orderkey
+limit 10
+""")
+
+
 def _fed_select_star_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's query2 analog (``test/queries.py:6-9``): a
     ``select * … limit N`` template runs per source; the client gets the
@@ -1806,17 +1851,35 @@ order by d.doc_id
 
 
 def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed top-k (approx) — rows-only check."""
+    """Hyperplane-LSH bucketed top-k, checked via the planted-copy
+    invariant: an exact copy of each query vector (id + 30000) has an
+    IDENTICAL hyperplane signature, so it lands in the query's bucket by
+    construction and must come back as the rank-1 neighbor at cosine 1.
+    Deterministic (seeded planes, id tie-breaks) and bucket-membership is
+    what LSH actually guarantees — a brute-force-overlap contract would
+    overclaim (single-band recall on organic neighbors is well below 1)."""
     from dataweb_spark.functions import similarity as S
     register_views(spark, sf_dir)
     emb = spark.table("embeddings")
     queries = emb.where("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return (S.lsh_topk(emb, queries, k=5, planes=4)
-             .orderBy("query_id", "rank"))
+    planted = queries.select(
+        (F.col("query_id") + 30000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    top = S.lsh_topk(corpus, queries, k=5, planes=4)
+    return (top.where("rank = 1")
+               .select("query_id",
+                       (F.col("neighbor_id") == F.col("query_id") + 30000)
+                       .alias("copy_is_top"),
+                       (F.col("cos") >= 0.999999).alias("cos_is_one"))
+               .orderBy("query_id"))
 
 
-_df("knn_lsh_approx", _knn_lsh)  # rows-only
+_df("knn_lsh_approx", _knn_lsh, oracle="""
+select range as query_id, true as copy_is_top, true as cos_is_one
+from range(5)
+order by query_id
+""")
 
 
 def _exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1856,16 +1919,41 @@ order by keeper_id
 
 
 def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (LSH) — no SQL oracle; rows-only check."""
+    """Full-corpus MinHash-LSH near-dup pass, verified at Jaccard ≥ 0.9 —
+    the production shape (banded LSH candidates + exact verify, never
+    all-pairs). At ≥ 0.9 the planted near-dups collide in some band with
+    near-certainty and the seeded pipeline is deterministic, so the result
+    equals the oracle's exact all-pairs set (the bounded-subcorpus twin
+    ``dedup_minhash_recall`` pins the same property at doc_id < 200;
+    r4 VERDICT asked for the rows-only form to become oracle-checked)."""
     from dataweb_spark.functions import dedup as D
     register_views(spark, sf_dir)
     docs = spark.table("documents").select("doc_id", "text")
     cands = D.minhash_lsh_candidates(docs, "doc_id", "text")
-    return D.jaccard_verify(docs, cands, "doc_id", threshold=0.5) \
+    return D.jaccard_verify(docs, cands, "doc_id", threshold=0.9) \
             .orderBy("id_a", "id_b")
 
 
-_df("dedup_minhash_lsh", _minhash_candidates)  # rows-only
+_df("dedup_minhash_lsh", _minhash_candidates, oracle=r"""
+with t as (
+  select doc_id, string_split_regex(trim(text), '\s+') as toks
+  from documents
+), sh as (
+  select doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) as s
+  from t where len(toks) >= 3
+), pairs as (
+  select a.doc_id as id_a, b.doc_id as id_b,
+         round(len(list_intersect(a.s, b.s))
+               / cast(len(a.s) + len(b.s)
+                      - len(list_intersect(a.s, b.s)) as double), 6)
+             as jaccard
+  from sh a join sh b on a.doc_id < b.doc_id
+)
+select id_a, id_b, jaccard from pairs
+where jaccard >= 0.9
+order by id_a, id_b
+""")
 
 
 def _minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1909,15 +1997,39 @@ order by id_a, id_b
 
 
 def _simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (xxhash64-based — not SQL-expressible): rows-only."""
+    """SimHash signatures over the full corpus plus planted verbatim copies,
+    checked via the copy invariant: identical text must produce an identical
+    64-bit signature. The signature VALUE is xxhash64-based and not portable
+    to the oracle engine; its determinism and text-dependence are. ``n_sigs``
+    aggregates over every computed signature so the full-corpus map pass
+    stays in the measured plan (bench comparability with r1-r4)."""
     from dataweb_spark.functions import dedup as D
     register_views(spark, sf_dir)
     docs = spark.table("documents").select("doc_id", "text")
-    return docs.select("doc_id", D.simhash64("text").alias("simhash")) \
-               .orderBy("doc_id")
+    planted = docs.where("doc_id < 50").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    sigs = docs.unionByName(planted).select(
+        "doc_id", D.simhash64("text").alias("simhash"))
+    n_sigs = sigs.agg(
+        F.count(F.col("simhash")).alias("n_sigs"))
+    orig = sigs.where("doc_id < 50").select(
+        F.col("doc_id").alias("o_id"), F.col("simhash").alias("o_sig"))
+    copies = sigs.where("doc_id >= 100000").select(
+        (F.col("doc_id") - 100000).alias("o_id"),
+        F.col("simhash").alias("c_sig"))
+    return (orig.join(copies, "o_id").crossJoin(F.broadcast(n_sigs))
+            .select(F.col("o_id").alias("doc_id"),
+                    (F.col("o_sig") == F.col("c_sig")).alias("sig_equal"),
+                    "n_sigs")
+            .orderBy("doc_id"))
 
 
-_df("dedup_simhash", _simhash_buckets)  # rows-only
+_df("dedup_simhash", _simhash_buckets, oracle="""
+select doc_id, true as sig_equal,
+       (select count(*) + 50 from documents) as n_sigs
+from documents where doc_id < 50
+order by doc_id
+""")
 
 
 def _simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1998,21 +2110,48 @@ order by query_id, rank
 
 
 def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate — no oracle (approx); rows-only check."""
+    """IVF approximate top-k with its structural contract made explicit:
+    per query, exactly k rows, ranks 1..k with cosine non-increasing, no
+    self-matches. (The probed-cell result set itself is quantizer-dependent
+    and not SQL-expressible; the exact-recall property is pinned separately
+    by ``knn_ivf_recall``.) Compute shape identical to r1-r4 bench rows —
+    the contract is a trivial aggregate over the same IVF output."""
     from dataweb_spark.functions import similarity as S
     register_views(spark, sf_dir)
     emb = spark.table("embeddings")
     queries = emb.where("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return (S.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
-             .orderBy("query_id", "rank"))
+    from pyspark.sql import Window
+    top = S.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+    w_prev = F.lag("cos").over(
+        Window.partitionBy("query_id").orderBy("rank"))
+    return (top.withColumn("_prev_cos", w_prev)
+               .groupBy("query_id")
+               .agg(F.count("*").alias("n"),
+                    (F.sort_array(F.collect_list("rank"))
+                     == F.sequence(F.lit(1), F.lit(5))).alias("ranks_ok"),
+                    F.min(F.coalesce(F.col("_prev_cos") >= F.col("cos"),
+                                     F.lit(True))).alias("cos_sorted"),
+                    F.min(F.col("neighbor_id") != F.col("query_id"))
+                    .alias("no_self"))
+               .orderBy("query_id"))
 
 
-_df("knn_ivf_approx", _knn_ivf)  # rows-only
+_df("knn_ivf_approx", _knn_ivf, oracle="""
+select range as query_id, cast(5 as bigint) as n, true as ranks_ok,
+       true as cos_sorted, true as no_self
+from range(5)
+order by query_id
+""")
 
 
 def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH embedding near-dup — approx; rows-only check."""
+    """Hyperplane-LSH embedding near-dup over the full corpus. The banded
+    LSH (6 planes × 8 bands) recalls every organic cos ≥ 0.5 pair of the
+    synthetic corpus (verified empirically; the seeded pipeline is
+    deterministic), so the candidate-verified result equals the oracle's
+    exact all-pairs set — the same contract the planted-pair twin
+    ``dedup_embedding_recall`` pins."""
     from dataweb_spark.functions import dedup as D
     register_views(spark, sf_dir)
     emb = spark.table("embeddings")
@@ -2020,7 +2159,18 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b")
 
 
-_df("dedup_embedding_cosine", _embedding_near_dups)  # rows-only
+_df("dedup_embedding_cosine", _embedding_near_dups, oracle="""
+with v as (
+  select vec_id, cast(embedding as double[]) as e from embeddings
+), pairs as (
+  select a.vec_id as id_a, b.vec_id as id_b,
+         list_cosine_similarity(a.e, b.e) as raw_cos
+  from v a join v b on a.vec_id < b.vec_id
+)
+select id_a, id_b, round(raw_cos, 6) as cos from pairs
+where raw_cos >= 0.5
+order by id_a, id_b
+""")
 
 
 def _embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2370,20 +2520,35 @@ order by query_id, rank
 
 
 def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style cluster-then-prune semantic dedup — per-cell summary
-    (kept/dropped). Approximate (k-means cells): rows-only check."""
+    """SemDeDup-style cluster-then-prune semantic dedup, checked via its
+    conservation contract: every input row comes back exactly once from the
+    per-cell pipeline (nothing lost or duplicated across the groupBy +
+    applyInPandas pass) and every non-empty cell retains a keeper. Cell ids
+    and sizes are quantizer-dependent (not SQL-expressible); the planted
+    recall property is pinned by ``dedup_semantic_recall``. Same full
+    semantic_dedup compute as the r1-r4 bench rows."""
     from dataweb_spark.functions import similarity as S
     register_views(spark, sf_dir)
-    out = S.semantic_dedup(spark.table("embeddings"), threshold=0.9,
-                           n_cells=8)
-    return (out.groupBy("cell")
-               .agg(F.count("*").alias("n"),
-                    F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
-                     .alias("n_dropped"))
-               .orderBy("cell"))
+    emb = spark.table("embeddings")
+    out = S.semantic_dedup(emb, threshold=0.9, n_cells=8)
+    per_cell = (out.groupBy("cell")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                      .alias("n_dropped")))
+    return (per_cell.agg(
+                F.sum("n").cast("bigint").alias("n_accounted"),
+                F.min(F.col("n") > F.col("n_dropped"))
+                 .alias("each_cell_has_keeper"))
+            .crossJoin(F.broadcast(
+                emb.agg(F.count("*").cast("bigint").alias("n_vectors"))))
+            .select("n_vectors", "n_accounted", "each_cell_has_keeper"))
 
 
-_df("dedup_semantic_clusters", _semantic_dedup)  # rows-only
+_df("dedup_semantic_clusters", _semantic_dedup, oracle="""
+select count(*) as n_vectors, count(*) as n_accounted,
+       true as each_cell_has_keeper
+from embeddings
+""")
 
 
 def _semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2456,23 +2621,51 @@ order by user_id, session_start
 
 
 def _approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct + KLL-style quantile sketches (approximate → rows-only;
-    the exact counterparts `distinct_counts`/`stats_aggregates` are the
-    oracle-checked pair). Error bounds asserted in tests/test_functions."""
+    """HLL distinct + KLL-style quantile sketches, checked via error-bound
+    contracts computed against the EXACT aggregates in the same query
+    (sketches are deterministic for fixed data, so the booleans are
+    hash-stable): HLL within 15% at default rsd and 3% at rsd=0.01
+    (measured max at sf0.01: 8.6% / 0.65%), approx percentiles inside the
+    exact ±5-percentile-rank band. Exact distinct counts are emitted too so
+    the oracle pins real values, not just booleans. Scalar decile columns —
+    the r4 array output crashed the driver canonicalizer."""
     register_views(spark, sf_dir)
     return spark.sql("""
         select l_returnflag,
-               approx_count_distinct(l_orderkey)          as approx_orders,
-               approx_count_distinct(l_partkey, 0.01)     as approx_parts,
-               approx_percentile(l_extendedprice, 0.5)    as approx_median,
+               count(distinct l_orderkey)                 as exact_orders,
+               count(distinct l_partkey)                  as exact_parts,
+               abs(approx_count_distinct(l_orderkey)
+                   - count(distinct l_orderkey))
+                 <= 0.15 * count(distinct l_orderkey)     as hll_orders_ok,
+               abs(approx_count_distinct(l_partkey, 0.01)
+                   - count(distinct l_partkey))
+                 <= 0.03 * count(distinct l_partkey)      as hll_parts_ok,
+               approx_percentile(l_extendedprice, 0.5)
+                 between percentile(l_extendedprice, 0.45)
+                     and percentile(l_extendedprice, 0.55) as median_ok,
                approx_percentile(l_extendedprice,
-                                 array(0.1, 0.9), 1000)   as approx_deciles
+                                 array(0.1, 0.9), 1000)[0]
+                 between percentile(l_extendedprice, 0.05)
+                     and percentile(l_extendedprice, 0.15) as p10_ok,
+               approx_percentile(l_extendedprice,
+                                 array(0.1, 0.9), 1000)[1]
+                 between percentile(l_extendedprice, 0.85)
+                     and percentile(l_extendedprice, 0.95) as p90_ok
         from lineitem
         group by l_returnflag
         order by l_returnflag""")
 
 
-_df("approx_sketches", _approx_sketches)  # rows-only (approximate)
+_df("approx_sketches", _approx_sketches, oracle="""
+select l_returnflag,
+       count(distinct l_orderkey) as exact_orders,
+       count(distinct l_partkey)  as exact_parts,
+       true as hll_orders_ok, true as hll_parts_ok,
+       true as median_ok, true as p10_ok, true as p90_ok
+from lineitem
+group by l_returnflag
+order by l_returnflag
+""")
 
 
 def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2714,18 +2907,9 @@ order by doc_id, chunk_idx
 """)
 
 
-def _text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling window-hash fingerprint (xxhash64 xor-fold — not SQL):
-    rows-only."""
-    from dataweb_spark.functions import text as T
-    register_views(spark, sf_dir)
-    return (spark.table("documents")
-            .select("doc_id",
-                    T.rolling_fingerprint("text").alias("rfp"))
-            .orderBy("doc_id"))
-
-
-_df("text_rolling_fingerprint", _text_rolling_fingerprint)  # rows-only
+# (the raw rolling-fingerprint dump was retired in r5: its xxhash64 values
+# can't be oracle-checked, and ``text_rolling_fp_contract`` below pins the
+# operator's behavioral contract instead — r4 VERDICT item 1b.)
 
 
 def _rolling_fp_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3182,74 +3366,71 @@ order by media_id
 # its relative order after the window.
 
 _DRIVER_WINDOW = [
-    # --- r4 rotation: every query that was never green in a driver window
-    # (r1∪r2∪r3) comes first, so all 121 declared queries end the round with
-    # at least one driver-checked row. 30 never-checked + the r3 red row
-    # (streaming_hourly_rollup, fixed this round) + 19 sentinels guarding
-    # the layers touched this round (federation pushdown, streaming,
-    # quantized ANN).
-    # never driver-checked: TPC-H tail (4)
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    # never driver-checked: SQL-extension rewrites (7)
-    "distinct_on_rewrite",
-    "in_unnest_rewrite",
-    "qualify_rewrite",
-    "grouping_function_rollup",
-    "lateral_join_topn",
-    "group_by_all",
-    "unpivot_part_sizes",
-    # never driver-checked: LLM-pipeline tail (13)
-    "text_stopword_quality",
-    "text_chunking",
-    "text_rolling_fingerprint",
-    "dedup_exact_keep",
+    # --- r5 rotation (VERDICT r4 item 1): every entry below carries an
+    # oracle, so the window is 50/50 green-ABLE — no structurally-red rows.
+    # (a) the 4 queries never driver-checked after their late r4 landing
+    "dedup_semantic_recall",
+    "text_rolling_fp_contract",
+    "nulls_ordering_ignore_nulls",
+    "pipeline_sequence_packing",
+    # (b) the r4 red rows, reshaped this round into oracle-checked
+    # contracts (invariant oracles per VERDICT 1a/1b); the raw
+    # text_rolling_fingerprint dump was retired for its contract twin
+    "approx_sketches",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_simhash_recall",
     "dedup_embedding_cosine",
     "dedup_semantic_clusters",
     "knn_lsh_approx",
     "knn_ivf_approx",
-    "embedding_quantize_int8",
-    "approx_sketches",
-    # never driver-checked: streaming + multimodal (6)
-    "streaming_sliding_rollup",
-    "streaming_stateful_user_totals",
-    "streaming_attribution_join",
-    "multimodal_meta",
-    "multimodal_features",
-    "multimodal_frame_counts",
-    # red in r3 (availableNow no-data-batch race) — fixed, must re-verify
-    "streaming_hourly_rollup",
-    # sentinels: federation layer (8, incl. the external-engine dialect)
-    "fed_flightsql_engine",
-    "fed_flight_two_process",
+    # (c) new in r5: federated cross-entity join (VERDICT item 3) +
+    # the round's other additions
+    "fed_q3_shipping_priority",
+    # (d) sentinels guarding the layers changed this round —
+    # pushdown/extractors (invertible transforms, unmapped-conjunct drop,
+    # multi-ref limit guard):
     "fed_lineitem_q1",
     "fed_unitprice_transform",
     "fed_six_relay_q1",
+    "fed_select_star_limit",
     "fed_source_pruning",
     "fed_template_partials",
-    "fed_select_star_limit",
-    # sentinels: recall oracles + ANN + temporal + streaming + text (12)
-    "dedup_minhash_recall",
-    "dedup_exact_clusters",
-    "dedup_embedding_recall",
+    "fed_flight_two_process",
+    "fed_flightsql_engine",
+    # similarity/dedup internals (quantizer sample path changed):
     "knn_ivf_recall",
+    "knn_bruteforce_cosine",
     "knn_quantized_int8",
-    "streaming_dedup_ingest",
-    "streaming_fed_ingest",
-    "range_join_price_bands",
-    # new this round (r4): scale-tier operators, driver-checked immediately
+    "embedding_quantize_int8",
+    "dedup_embedding_recall",
+    "dedup_minhash_recall",
+    "dedup_simhash_recall",
+    "dedup_exact_keep",
+    "dedup_exact_clusters",
     "dedup_bloom_contamination",
     "dedup_incremental_ingest",
+    # jobs/do_put + streaming + multimodal + big-SQL sentinels:
+    "streaming_hourly_rollup",
+    "streaming_dedup_ingest",
+    "streaming_fed_ingest",
+    "streaming_sliding_rollup",
+    "multimodal_features",
+    "multimodal_frame_counts",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
+    "events_sessionization",
+    "asof_join_purchase_click",
+    "range_join_price_bands",
+    "text_stopword_quality",
+    "text_chunking",
+    "dedup_duplicated_spans",
     "pipeline_training_data",
+    "grouping_function_rollup",
+    "qualify_rewrite",
 ]
-# r5 rotation note: window is full at 50 — rotate in the two r4 late
-# additions (dedup_semantic_recall, text_rolling_fp_contract) plus any r4
-# red rows; everything else has a green row in r1∪r2∪r4 once r4 lands.
+# window budget: 50 checked by the driver; keep the list at exactly 50.
 
 
 def _apply_driver_window() -> None:
