@@ -186,7 +186,8 @@ class RelayFlightServer(flight.FlightServerBase):
                  location: str = "grpc://127.0.0.1:0",
                  tokens: dict[str, str] | None = None,
                  x509_users=None,
-                 job_store=None):
+                 job_store=None,
+                 tls: tuple[bytes, bytes] | None = None):
         if tokens and x509_users:
             raise ValueError("choose token auth OR x509 auth, not both")
         if x509_users is not None:
@@ -195,7 +196,17 @@ class RelayFlightServer(flight.FlightServerBase):
             auth = _TokenServerAuthHandler(tokens)
         else:
             auth = None
-        super().__init__(location, auth_handler=auth)
+        tls_certificates = None
+        if tls is not None:
+            # TLS on the gRPC channel itself (the reference runs mTLS
+            # end-to-end): the possession-challenge handshake above now
+            # rides an encrypted transport instead of plaintext.
+            cert_pem, key_pem = tls
+            tls_certificates = [flight.CertKeyPair(cert_pem, key_pem)]
+            if location.startswith("grpc://"):
+                location = "grpc+tls://" + location[len("grpc://"):]
+        super().__init__(location, auth_handler=auth,
+                         tls_certificates=tls_certificates)
         self.spark = spark
         self.web = web
         self.relay_name = relay_name
@@ -379,11 +390,15 @@ def _to_arrow_schema(df) -> pa.Schema:
 def serve_in_background(spark: SparkSession, web: Web, relay_name: str,
                         tokens: dict[str, str] | None = None,
                         x509_users=None,
-                        job_store=None) -> RelayFlightServer:
+                        job_store=None,
+                        tls: tuple[bytes, bytes] | None = None
+                        ) -> RelayFlightServer:
     """Start the server on an ephemeral port; returns the running server
-    (``server.port`` for clients; ``server.shutdown()`` to stop)."""
+    (``server.port`` for clients; ``server.shutdown()`` to stop).
+    ``tls`` is a ``(cert_pem, key_pem)`` pair enabling grpc+tls."""
     server = RelayFlightServer(spark, web, relay_name, tokens=tokens,
-                               x509_users=x509_users, job_store=job_store)
+                               x509_users=x509_users, job_store=job_store,
+                               tls=tls)
     t = threading.Thread(target=server.serve, daemon=True)
     t.start()
     return server
@@ -392,8 +407,13 @@ def serve_in_background(spark: SparkSession, web: Web, relay_name: str,
 # -- client helpers (test/flight_utils.py analog) -------------------------
 
 def _connect(host: str, port: int, token: str | None,
-             cert: tuple | None = None) -> flight.FlightClient:
-    client = flight.connect(f"grpc://{host}:{port}")
+             cert: tuple | None = None,
+             tls_root_certs: bytes | None = None) -> flight.FlightClient:
+    if tls_root_certs is not None:
+        client = flight.connect(f"grpc+tls://{host}:{port}",
+                                tls_root_certs=tls_root_certs)
+    else:
+        client = flight.connect(f"grpc://{host}:{port}")
     if cert is not None:
         client.authenticate(_CertClientAuth(*cert))
     elif token is not None:
@@ -404,15 +424,16 @@ def _connect(host: str, port: int, token: str | None,
 def flight_query(port: int, sql: str, principal: str | None = None,
                  mode: str = "template", host: str = "127.0.0.1",
                  token: str | None = None,
-                 cert: tuple | None = None) -> pa.Table:
+                 cert: tuple | None = None,
+                 tls_root_certs: bytes | None = None) -> pa.Table:
     """2-step client: get_flight_info → do_get every endpoint → concat.
 
     The concat of per-source streams is exactly what the reference's test
     client does (``flight_utils.py:66-75``). With ``token`` (or ``cert``,
     a ``(der_bytes, private_key)`` pair) the client authenticates first
     and the server derives the principal from the handshake, ignoring
-    ``principal``."""
-    client = _connect(host, port, token, cert)
+    ``principal``. ``tls_root_certs`` (PEM) switches to grpc+tls."""
+    client = _connect(host, port, token, cert, tls_root_certs)
     cmd = json.dumps({"sql": sql, "principal": principal,
                       "mode": mode}).encode("utf-8")
     info = client.get_flight_info(flight.FlightDescriptor.for_command(cmd))
@@ -424,8 +445,10 @@ def flight_query(port: int, sql: str, principal: str | None = None,
 
 
 def flight_list_entities(port: int, host: str = "127.0.0.1",
-                         token: str | None = None) -> dict[str, pa.Schema]:
-    client = _connect(host, port, token)
+                         token: str | None = None,
+                         tls_root_certs: bytes | None = None
+                         ) -> dict[str, pa.Schema]:
+    client = _connect(host, port, token, tls_root_certs=tls_root_certs)
     return {fi.descriptor.path[0].decode("utf-8"): fi.schema
             for fi in client.list_flights()}
 
@@ -434,10 +457,11 @@ def flight_put_result(port: int, job_id: str, task_id: str, table: pa.Table,
                       relay: str = "remote", source: str = "pushed",
                       final: bool = True, host: str = "127.0.0.1",
                       token: str | None = None,
-                      cert: tuple | None = None) -> None:
+                      cert: tuple | None = None,
+                      tls_root_certs: bytes | None = None) -> None:
     """Worker side of the result push: stream ``table`` to the origin
     relay's ``do_put`` as the result of ``(job_id, task_id)``."""
-    client = _connect(host, port, token, cert)
+    client = _connect(host, port, token, cert, tls_root_certs)
     cmd = json.dumps({"job_id": job_id, "task_id": task_id, "relay": relay,
                       "source": source, "final": final}).encode("utf-8")
     writer, _ = client.do_put(
@@ -447,11 +471,12 @@ def flight_put_result(port: int, job_id: str, task_id: str, table: pa.Table,
 
 
 def flight_stats(port: int, host: str = "127.0.0.1",
-                 token: str | None = None) -> dict:
+                 token: str | None = None,
+                 tls_root_certs: bytes | None = None) -> dict:
     """Transfer counters of a (possibly remote-process) relay — how many
     rows/batches it has served. Lets tests and operators PROVE that a
     pushed-down peer query shrank the transfer, across process boundaries."""
-    client = _connect(host, port, token)
+    client = _connect(host, port, token, tls_root_certs=tls_root_certs)
     (result,) = client.do_action(flight.Action("stats", b""))
     return json.loads(result.body.to_pybytes().decode("utf-8"))
 
@@ -459,7 +484,8 @@ def flight_stats(port: int, host: str = "127.0.0.1",
 def flight_read_distributed(spark: SparkSession, host: str, port: int,
                             sql: str, principal: str | None = None,
                             mode: str = "template",
-                            token: str | None = None):
+                            token: str | None = None,
+                            tls_root_certs: bytes | None = None):
     """Partition-per-endpoint Flight scan: executors stream the batches.
 
     The ``WebEntityScan`` physical plan analog
@@ -478,7 +504,7 @@ def flight_read_distributed(spark: SparkSession, host: str, port: int,
     """
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    client = _connect(host, port, token)
+    client = _connect(host, port, token, tls_root_certs=tls_root_certs)
     cmd_bytes = json.dumps({"sql": sql, "principal": principal,
                             "mode": mode}).encode("utf-8")
     info = client.get_flight_info(
@@ -490,7 +516,11 @@ def flight_read_distributed(spark: SparkSession, host: str, port: int,
 
     def fetch(batch_iter):
         import pyarrow.flight as fl
-        c = fl.connect(f"grpc://{host}:{port}")
+        if tls_root_certs is not None:
+            c = fl.connect(f"grpc+tls://{host}:{port}",
+                           tls_root_certs=tls_root_certs)
+        else:
+            c = fl.connect(f"grpc://{host}:{port}")
         if token is not None:
             c.authenticate(_TokenClientAuth(token))
 

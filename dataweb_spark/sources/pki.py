@@ -86,6 +86,43 @@ def sign_nonce(private_key, nonce: bytes) -> bytes:
         hashes.SHA256())
 
 
+def generate_tls_identity(common_name: str = "localhost"
+                          ) -> tuple[bytes, bytes]:
+    """Self-signed TLS server identity as ``(cert_pem, key_pem)`` for the
+    gRPC channel itself (the reference terminates mTLS on every relay —
+    ``deploy/`` ships per-relay certs). RSA-2048 + SAN for localhost /
+    127.0.0.1 so gRPC hostname verification passes in tests; production
+    brings CA-issued certs, the server only needs the PEM pair."""
+    import datetime
+    import ipaddress
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, common_name)])
+    now = datetime.datetime(2020, 1, 1)
+    cert = (x509.CertificateBuilder()
+            .subject_name(name).issuer_name(name)
+            .public_key(key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now)
+            .not_valid_after(now + datetime.timedelta(days=36500))
+            .add_extension(x509.SubjectAlternativeName([
+                x509.DNSName("localhost"),
+                x509.IPAddress(ipaddress.ip_address("127.0.0.1")),
+            ]), critical=False)
+            .sign(key, algorithm=hashes.SHA256()))
+    cert_pem = cert.public_bytes(serialization.Encoding.PEM)
+    key_pem = key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.TraditionalOpenSSL,
+        serialization.NoEncryption())
+    return cert_pem, key_pem
+
+
 def generate_identity(common_name: str):
     """Self-signed Ed25519 identity for tests/dev: ``(cert_der, key)``.
 

@@ -230,6 +230,27 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
         host = conn.options.get("host", "127.0.0.1")
         return flightsql_read(spark, host, int(conn.options["port"]),
                               sql), projected
+    if conn.kind == "trino":
+        # Trino REST protocol (TrinoRunner analog, ``trino.rs:27-200``):
+        # SQL in the TRINO dialect over HTTP, JSON row-pages back with
+        # nextUri paging; schema from declared column types, or inferred
+        # from the first data page when the engine doesn't declare usable
+        # ones (``trino.rs:89-173``). Entity-level CASTs restore logical
+        # types from the JSON transport forms.
+        from dataweb_spark.sources.dialects import TRINO, render_select
+        from dataweb_spark.sources.httpjson import trino_read
+        projected = None
+        if "sql" in source.options:
+            sql = source.options["sql"]
+        else:
+            table = source.options.get("table", source.name)
+            cols, kept, eff_limit, projected = _pushdown_parts(
+                source, conjuncts, limit, referenced)
+            sql = render_select(TRINO, table, cols, kept, eff_limit)
+        host = conn.options.get("host", "127.0.0.1")
+        base_url = conn.options.get(
+            "url", f"http://{host}:{conn.options.get('port')}")
+        return trino_read(spark, base_url, sql), projected
     if conn.kind == "jdbc":
         reader = (spark.read.format("jdbc")
                   .option("url", conn.options["url"])

@@ -202,3 +202,115 @@ def test_engine_transformed_filter_pushdown(spark, sf_dir, engine):
     assert got == want
     pushed = [q for q in engine.executed[n_before:] if "WHERE" in q]
     assert pushed and any("l_tax <=" in q for q in pushed), engine.executed
+
+
+# ---------------------------------------------------------------------------
+# Trino-protocol engine (HTTP + JSON row-pages + nextUri paging +
+# schema-inference fallback, trino.rs:27-200 / 89-173 analogs)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def trino_engine(sf_dir):
+    from dataweb_spark.sources.httpjson import serve_trino_like
+    s = serve_trino_like({"lineitem_tbl": f"{sf_dir}/lineitem.parquet"},
+                         page_size=500)
+    yield s
+    s.shutdown()
+
+
+def _trino_gateway(spark, engine, relay_name="trino_edge"):
+    from dataweb_spark.catalog.model import Transformation
+    relay = RelayCatalog(name=relay_name)
+    relay.add_entity(Entity("items", [
+        Information("orderkey", "bigint"),
+        Information("quantity", "double"),
+        Information("returnflag", "string"),
+        Information("shipdate", "date"),
+        Information("tax_percent", "double"),
+    ]))
+    relay.add_connection(DataConnection(
+        "trino", "trino", {"url": engine.base_url}))
+    relay.add_source(DataSource(
+        name="items_trino", connection="trino", entity="items",
+        source_sql="select * from {table}",
+        mappings=[Mapping("orderkey", "l_orderkey"),
+                  Mapping("quantity", "l_quantity"),
+                  Mapping("returnflag", "l_returnflag"),
+                  Mapping("shipdate", "l_shipdate"),
+                  Mapping("tax_percent", "l_tax",
+                          Transformation("{v} * 100", "{v} / 100"))],
+        options={"table": "lineitem_tbl"}))
+    web = Web()
+    web.add_relay(relay)
+    return QueryGateway(spark, web, relay_name)
+
+
+def test_trino_rows_match_parquet(spark, sf_dir, trino_engine):
+    gw = _trino_gateway(spark, trino_engine)
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = gw.query("select count(*) as n from items").collect()[0]["n"]
+    assert got == raw.count()  # > page_size: the nextUri chain was walked
+
+
+def test_trino_filter_pushdown_in_trino_dialect(spark, sf_dir, trino_engine):
+    gw = _trino_gateway(spark, trino_engine)
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    want = {r["l_returnflag"]: r["count"] for r in
+            raw.where("l_quantity < 10")
+               .groupBy("l_returnflag").count().collect()}
+    n_before = len(trino_engine.executed)
+    got = {r["returnflag"]: r["n"] for r in gw.query(
+        "select returnflag, count(*) as n from items "
+        "where quantity < 10 group by returnflag").collect()}
+    assert got == want
+    pushed = [q for q in trino_engine.executed[n_before:] if "WHERE" in q]
+    assert pushed and any("l_quantity < 10" in q for q in pushed)
+
+
+def test_trino_temporal_types_roundtrip(spark, sf_dir, trino_engine):
+    """JSON carries dates as ISO strings; the entity cast must restore a
+    real date column with correct values."""
+    gw = _trino_gateway(spark, trino_engine)
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    want = raw.where("l_shipdate >= date '1995-01-01'").count()
+    df = gw.query("select shipdate from items "
+                  "where shipdate >= date '1995-01-01'")
+    assert dict(df.dtypes)["shipdate"] == "date"
+    assert df.count() == want
+
+
+def test_trino_transformed_filter_pushdown(spark, sf_dir, trino_engine):
+    gw = _trino_gateway(spark, trino_engine)
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    want = raw.selectExpr("l_tax * 100 as p").where("p < 5").count()
+    n_before = len(trino_engine.executed)
+    got = gw.query("select count(*) as n from items "
+                   "where tax_percent < 5").collect()[0]["n"]
+    assert got == want
+    pushed = [q for q in trino_engine.executed[n_before:] if "WHERE" in q]
+    assert pushed and any("l_tax <=" in q for q in pushed)
+
+
+def test_trino_schema_inference_fallback(spark, sf_dir):
+    """The engine declares every column type 'unknown' (trino.rs:89-173):
+    the runner must infer the transport schema from the first data page
+    and the entity casts must still restore the declared logical types —
+    the deliberately-drifted-view case."""
+    from dataweb_spark.sources.httpjson import serve_trino_like
+    s = serve_trino_like({"lineitem_tbl": f"{sf_dir}/lineitem.parquet"},
+                         page_size=500, declare_types=False)
+    try:
+        gw = _trino_gateway(spark, s, relay_name="trino_edge_infer")
+        raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        df = gw.query("select orderkey, quantity, shipdate from items "
+                      "where quantity < 10")
+        types = dict(df.dtypes)
+        assert types == {"orderkey": "bigint", "quantity": "double",
+                         "shipdate": "date"}
+        assert df.count() == raw.where("l_quantity < 10").count()
+        s2 = df.agg({"quantity": "sum"}).collect()[0][0]
+        w2 = raw.where("l_quantity < 10").agg({"l_quantity": "sum"}) \
+                .collect()[0][0]
+        assert abs(s2 - w2) < 1e-6
+    finally:
+        s.shutdown()

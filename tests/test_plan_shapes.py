@@ -143,3 +143,44 @@ def test_tfidf_partial_aggregates_and_broadcast_count(spark, sf_dir):
     plan = _plan(T.tfidf_top_terms(docs, k=3))
     assert "BroadcastExchange" in plan  # the 1-row n_docs side
     assert re.search(r"HashAggregate.*partial_count", plan)
+
+
+def test_fed_q3_filters_reach_every_source_branch(spark, sf_dir):
+    """The federated Q3 (webengine/src/main.rs:86-124 analog): each of the
+    six lineitem source scans must carry the shipdate filter pushed through
+    its mapping, and the dimension scans their own filters — no branch may
+    scan unfiltered (VERDICT r4 item 3 'done' criterion)."""
+    from dataweb_spark.demo import build_six_relay_web
+    from dataweb_spark.plans.gateway import QueryGateway
+    web = build_six_relay_web(sf_dir)
+    gw = QueryGateway(spark, web, "global")
+    df = gw.query("""
+        select o.orderkey,
+               round(sum(l.extendedprice
+                         * (1 - l.discount_percent / 100)), 2) as revenue,
+               cast(o.orderdate as date) as orderdate
+        from customer c
+        join orders o on c.custkey = o.custkey
+        join lineitem l on l.orderkey = o.orderkey
+        where c.mktsegment = 'BUILDING'
+          and o.orderdate < timestamp '1995-03-15'
+          and l.shipdate > date '1995-03-15'
+        group by o.orderkey, cast(o.orderdate as date)
+        order by revenue desc, o.orderkey
+        limit 10
+    """)
+    plan = _plan(df)
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    li = [s for s in scans if "l_orderkey" in s or "l_shipdate" in s]
+    cust = [s for s in scans if "c_mktsegment" in s]
+    orders = [s for s in scans if "o_orderdate" in s]
+    assert len(li) == 6, f"expected 6 federated lineitem scans, got {len(li)}"
+    for s in li:
+        assert "l_shipdate" in s and "DataFilters: [" in s, s
+        # projection pruning: Q3 touches 4 lineitem columns + shipdate
+        read = re.search(r"FileScan parquet \[([^\]]*)\]", s).group(1)
+        assert len(read.split(",")) <= 6, f"scan reads too much: {read}"
+    assert cust and all("DataFilters: [" in s for s in cust)
+    assert orders and all("DataFilters: [" in s for s in orders)
+    # top-10 must not globally sort
+    assert "TakeOrderedAndProject" in plan

@@ -113,3 +113,84 @@ def test_origin_user_recheck_across_principals(x509_server, identities):
     with pytest.raises((flight.FlightUnauthorizedError,
                         flight.FlightServerError)):
         c_reader.do_get(info.endpoints[0].ticket).read_all()
+
+
+# ---------------------------------------------------------------------------
+# TLS transport (the reference runs mTLS on the channel itself — the
+# possession-challenge handshake must ride an encrypted gRPC connection).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tls_identity():
+    return pki.generate_tls_identity("localhost")
+
+
+@pytest.fixture(scope="module")
+def tls_x509_server(spark, demo_web, identities, tls_identity):
+    users = [
+        pki.X509User(pki.fingerprint_der(identities["reader"][0]),
+                     principal="reader"),
+        pki.X509User(pki.fingerprint_der(identities["admin"][0]),
+                     principal="all_access"),
+    ]
+    s = serve_in_background(spark, demo_web, "na_us", x509_users=users,
+                            tls=tls_identity)
+    yield s
+    s.shutdown()
+
+
+def test_auth_suite_over_tls(tls_x509_server, identities, tls_identity):
+    """The full fingerprint-identity flow over an encrypted channel:
+    per-principal visibility, JSON-principal spoof ignored, stolen cert
+    refused — same outcomes as plaintext, now on grpc+tls."""
+    root = tls_identity[0]
+    q = "select count(*) as n from lineitem"
+    n_reader = sum(flight_query(
+        tls_x509_server.port, q, cert=identities["reader"],
+        tls_root_certs=root)["n"].to_pylist())
+    n_admin = sum(flight_query(
+        tls_x509_server.port, q, cert=identities["admin"],
+        tls_root_certs=root)["n"].to_pylist())
+    assert n_admin > n_reader > 0
+    n_spoof = sum(flight_query(
+        tls_x509_server.port, q, principal="all_access",
+        cert=identities["reader"], tls_root_certs=root)["n"].to_pylist())
+    assert n_spoof == n_reader
+    stolen = (identities["admin"][0], identities["rogue"][1])
+    with pytest.raises(flight.FlightError):
+        flight_query(tls_x509_server.port, q, cert=stolen,
+                     tls_root_certs=root)
+
+
+def test_plaintext_client_cannot_reach_tls_server(tls_x509_server,
+                                                  identities):
+    with pytest.raises(flight.FlightError):
+        flight_query(tls_x509_server.port, "select 1 as x",
+                     cert=identities["reader"])
+
+
+def test_wrong_root_cert_rejected(tls_x509_server, identities):
+    other_root, _ = pki.generate_tls_identity("localhost")
+    with pytest.raises(flight.FlightError):
+        flight_query(tls_x509_server.port, "select 1 as x",
+                     cert=identities["reader"], tls_root_certs=other_root)
+
+
+def test_distributed_scan_over_tls(spark, tls_x509_server, demo_web,
+                                   tls_identity, identities):
+    """The executor-side mapInArrow path must also carry TLS (each task
+    opens its own encrypted channel)."""
+    from dataweb_spark.plans.resolve import resolve_entity
+    from dataweb_spark.sources.flight_service import flight_read_distributed
+
+    # token-free TLS server (no auth) so executor tasks need no handshake
+    s2 = serve_in_background(spark, demo_web, "na_us", tls=tls_identity)
+    try:
+        df = flight_read_distributed(
+            spark, "127.0.0.1", s2.port,
+            "select returnflag, quantity from lineitem",
+            mode="template", tls_root_certs=tls_identity[0])
+        want = resolve_entity(spark, demo_web, "na_us", "lineitem").count()
+        assert df.count() == want
+    finally:
+        s2.shutdown()
