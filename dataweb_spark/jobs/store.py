@@ -43,38 +43,9 @@ from dataweb_spark.jobs.manager import (
 from dataweb_spark.plans.resolve import PROVENANCE_RELAY, PROVENANCE_SOURCE
 
 
-class FileJobQueue:
-    """Shared-filesystem job queue; safe for many submitters + workers."""
-
-    def __init__(self, root: str):
-        self.root = root
-        for d in ("queued", "claimed", "status", "results"):
-            os.makedirs(os.path.join(root, d), exist_ok=True)
-
-    # -- submitter side ---------------------------------------------------
-
-    def submit(self, sql: str, principal: str | None = None,
-               mode: str = "template") -> str:
-        job_id = uuid.uuid4().hex[:12]
-        # principal recorded in the STATUS too: do_put authorizes result
-        # pushes against it (a job submitted under one principal refuses
-        # pushes from another).
-        self._write_status(job_id, {
-            "job_id": job_id, "status": QUEUED, "history": [QUEUED],
-            "principal": principal, "tasks": []})
-        self._atomic_json(
-            os.path.join(self.root, "queued", f"{job_id}.json"),
-            {"job_id": job_id, "sql": sql, "principal": principal,
-             "mode": mode})
-        return job_id
-
-    def read_status(self, job_id: str) -> dict | None:
-        path = os.path.join(self.root, "status", f"{job_id}.json")
-        try:
-            with open(path, encoding="utf-8") as f:
-                return json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
-            return None
+class _JobQueueCommon:
+    """Submitter-facing polling/result logic shared by every broker kind
+    (``read_status`` is the only storage primitive it needs)."""
 
     def wait(self, job_id: str, timeout: float = 120.0,
              poll: float = 0.05) -> dict:
@@ -113,6 +84,40 @@ class FileJobQueue:
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
+
+
+class FileJobQueue(_JobQueueCommon):
+    """Shared-filesystem job queue; safe for many submitters + workers."""
+
+    def __init__(self, root: str):
+        self.root = root
+        for d in ("queued", "claimed", "status", "results"):
+            os.makedirs(os.path.join(root, d), exist_ok=True)
+
+    # -- submitter side ---------------------------------------------------
+
+    def submit(self, sql: str, principal: str | None = None,
+               mode: str = "template") -> str:
+        job_id = uuid.uuid4().hex[:12]
+        # principal recorded in the STATUS too: do_put authorizes result
+        # pushes against it (a job submitted under one principal refuses
+        # pushes from another).
+        self._write_status(job_id, {
+            "job_id": job_id, "status": QUEUED, "history": [QUEUED],
+            "principal": principal, "tasks": []})
+        self._atomic_json(
+            os.path.join(self.root, "queued", f"{job_id}.json"),
+            {"job_id": job_id, "sql": sql, "principal": principal,
+             "mode": mode})
+        return job_id
+
+    def read_status(self, job_id: str) -> dict | None:
+        path = os.path.join(self.root, "status", f"{job_id}.json")
+        try:
+            with open(path, encoding="utf-8") as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
 
     # -- worker side ------------------------------------------------------
 
@@ -154,6 +159,61 @@ class FileJobQueue:
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(payload, f)
         os.replace(tmp, path)
+
+
+class InMemoryJobQueue(_JobQueueCommon):
+    """Channel-broker alternative (``core/src/messaging/mod.rs:49-92``):
+    the reference lets deployments swap the persisted queue for a message
+    channel (its RabbitMQ option; in-process mpsc in tests). Here the
+    control plane is a lock-guarded deque + status dict — submission,
+    claiming, and status never touch the filesystem; only task RESULTS do
+    (they're data, written as parquet under ``root`` like every other
+    sink). Single-process topology: submitter threads + worker threads in
+    one driver, the common shape for a notebook or service embedding the
+    engine. Same interface as :class:`FileJobQueue`, so ``run_worker``
+    and the Flight ``do_put`` path take either."""
+
+    def __init__(self, root: str | None = None):
+        import tempfile
+        import threading
+
+        self.root = root or tempfile.mkdtemp(prefix="dw_jobs_")
+        os.makedirs(os.path.join(self.root, "results"), exist_ok=True)
+        self._lock = threading.Lock()
+        self._queued: list[dict] = []
+        self._status: dict[str, dict] = {}
+
+    def submit(self, sql: str, principal: str | None = None,
+               mode: str = "template") -> str:
+        job_id = uuid.uuid4().hex[:12]
+        with self._lock:
+            self._status[job_id] = {
+                "job_id": job_id, "status": QUEUED, "history": [QUEUED],
+                "principal": principal, "tasks": []}
+            self._queued.append({"job_id": job_id, "sql": sql,
+                                 "principal": principal, "mode": mode})
+        return job_id
+
+    def read_status(self, job_id: str) -> dict | None:
+        import copy
+        with self._lock:
+            st = self._status.get(job_id)
+            return copy.deepcopy(st) if st is not None else None
+
+    def claim(self) -> dict | None:
+        with self._lock:
+            return self._queued.pop(0) if self._queued else None
+
+    def mirror_status(self, job_id: str, status: str,
+                      tasks: list[dict]) -> None:
+        with self._lock:
+            st = self._status.get(job_id, {"job_id": job_id, "history": []})
+            hist = st.get("history", [])
+            if not hist or hist[-1] != status:
+                hist = hist + [status]
+            self._status[job_id] = {
+                "job_id": job_id, "status": status, "history": hist,
+                "tasks": tasks, "principal": st.get("principal")}
 
 
 def run_worker(spark: SparkSession, web, relay_name: str,

@@ -1654,6 +1654,73 @@ order by l_returnflag
 """)
 
 
+_TRINO_ENGINES: dict[str, object] = {}
+
+
+def _fed_trino_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity mapped to a Trino-protocol engine (HTTP + JSON row-pages +
+    nextUri paging — ``trino.rs:27-200``), with the engine declaring NO
+    usable column types so the runner's first-page schema-inference
+    fallback (``trino.rs:89-173``) is on the driver-checked path. The
+    pushed-down query renders in the TRINO dialect; dates ride as JSON
+    strings and the entity casts restore them."""
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Information, Mapping,
+        RelayCatalog, Web,
+    )
+    from dataweb_spark.plans.gateway import QueryGateway
+    from dataweb_spark.sources.httpjson import serve_trino_like
+
+    eng = _TRINO_ENGINES.get(sf_dir)
+    if eng is None:
+        eng = serve_trino_like(
+            {"lineitem_tbl": f"{sf_dir}/lineitem.parquet"},
+            page_size=5000, declare_types=False)
+        _TRINO_ENGINES[sf_dir] = eng
+    relay = RelayCatalog(name="trino_edge")
+    relay.add_entity(Entity("items", [
+        Information("orderkey", "bigint"),
+        Information("quantity", "double"),
+        Information("returnflag", "string"),
+        Information("shipdate", "date"),
+    ]))
+    relay.add_connection(DataConnection(
+        "trino", "trino", {"url": eng.base_url}))
+    relay.add_source(DataSource(
+        name="items_trino", connection="trino", entity="items",
+        source_sql="select * from {table}",
+        mappings=[Mapping("orderkey", "l_orderkey"),
+                  Mapping("quantity", "l_quantity"),
+                  Mapping("returnflag", "l_returnflag"),
+                  Mapping("shipdate", "l_shipdate")],
+        options={"table": "lineitem_tbl"}))
+    web = Web()
+    web.add_relay(relay)
+    gw = QueryGateway(spark, web, "trino_edge")
+    return gw.query("""
+        select returnflag, count(*) as n,
+               round(sum(quantity), 2) as sum_qty,
+               min(shipdate) as first_ship,
+               max(shipdate) as last_ship
+        from items
+        where quantity < 30
+        group by returnflag
+        order by returnflag
+    """)
+
+
+_df("fed_trino_engine", _fed_trino_engine, oracle="""
+select l_returnflag as returnflag, count(*) as n,
+       round(sum(l_quantity), 2) as sum_qty,
+       cast(min(l_shipdate) as date) as first_ship,
+       cast(max(l_shipdate) as date) as last_ship
+from lineitem
+where l_quantity < 30
+group by l_returnflag
+order by l_returnflag
+""")
+
+
 # ===========================================================================
 # LLM-pipeline operators
 # ===========================================================================
@@ -3397,6 +3464,7 @@ _DRIVER_WINDOW = [
     "fed_template_partials",
     "fed_flight_two_process",
     "fed_flightsql_engine",
+    "fed_trino_engine",
     # similarity/dedup internals (quantizer sample path changed):
     "knn_ivf_recall",
     "knn_bruteforce_cosine",
@@ -3428,7 +3496,6 @@ _DRIVER_WINDOW = [
     "dedup_duplicated_spans",
     "pipeline_training_data",
     "grouping_function_rollup",
-    "qualify_rewrite",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
 

@@ -103,3 +103,40 @@ def test_submit_rejects_bad_sql(manager):
         manager.submit("drop table lineitem")
     with pytest.raises(ValidationError):
         manager.submit("select * from nosuch")
+
+
+# ---------------------------------------------------------------------------
+# In-memory channel broker (messaging/mod.rs:49-92 analog)
+# ---------------------------------------------------------------------------
+
+def test_inmemory_queue_end_to_end(spark, demo_web):
+    """Submit → worker thread claims over the in-process channel → status
+    machine observed → results read back; no control-plane files."""
+    import os
+    import threading
+
+    from dataweb_spark.jobs.manager import COMPLETE, QUEUED
+    from dataweb_spark.jobs.store import InMemoryJobQueue, run_worker
+
+    q = InMemoryJobQueue()
+    t = threading.Thread(
+        target=run_worker,
+        args=(spark, demo_web, "na_us", q),
+        kwargs={"max_jobs": 2}, daemon=True)
+    t.start()
+    job1 = q.submit("select returnflag, sum(quantity) as q from lineitem "
+                    "group by returnflag", mode="engine")
+    job2 = q.submit("drop table lineitem")  # must fail validation
+    st1 = q.wait(job1, timeout=120)
+    st2 = q.wait(job2, timeout=120)
+    t.join(timeout=30)
+    assert st1["status"] == COMPLETE
+    assert st1["history"][0] == QUEUED and st1["history"][-1] == COMPLETE
+    assert st2["status"] == "FAILED"
+    df = q.result(spark, job1)
+    rows = {r["returnflag"]: round(r["q"], 2) for r in df.collect()}
+    assert set(rows) == {"N", "A", "R"}
+    # control plane stayed in memory: no queued/claimed/status dirs
+    assert not os.path.exists(os.path.join(q.root, "queued"))
+    assert not os.path.exists(os.path.join(q.root, "status"))
+    assert os.path.exists(os.path.join(q.root, "results"))
