@@ -92,6 +92,9 @@ class Transformation:
             return [(op, value)]
         if isinstance(value, bool) or not isinstance(value, (int, float)):
             return None
+        import math
+        if isinstance(value, float) and not math.isfinite(value):
+            return None  # NaN/inf boundaries don't render as SQL literals
         if op not in ("=", "<", "<=", ">", ">="):
             return None
         coeffs = _affine_coeffs(self.other_to_local)

@@ -181,3 +181,48 @@ def test_bloom_never_false_negative(pairs, fpp):
         byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
         hit &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 == 1
     assert hit.all()
+
+
+# ---------------------------------------------------------------------------
+# Invertible-conjunct pushdown: the pushed physical-namespace bounds must be
+# a SUPERSET of the rows the entity-namespace predicate keeps (Inexact
+# semantics: over-fetch is re-filtered locally; under-fetch is wrong).
+# ---------------------------------------------------------------------------
+
+_ops = {"=": lambda x, y: x == y, "<": lambda x, y: x < y,
+        "<=": lambda x, y: x <= y, ">": lambda x, y: x > y,
+        ">=": lambda x, y: x >= y}
+
+small = st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False)
+small_nz = small.filter(lambda x: abs(x) > 1e-6)
+
+
+@given(a=small_nz, b=small, value=small, x=small,
+       op=st.sampled_from(list(_ops)))
+@settings(max_examples=300, deadline=None)
+def test_push_conjunct_never_drops_matching_rows(a, b, value, x, op):
+    t = Transformation(f"{{v}} * {a!r} + {b!r}",
+                       f"({{v}} - {b!r}) / {a!r}")
+    pushed = t.push_conjunct(op, value)
+    assert pushed is not None, "plain affine template must be invertible"
+    fx = x * a + b  # engine-side float evaluation of the forward transform
+    if _ops[op](fx, value):
+        for o2, v2 in pushed:
+            assert _ops[o2](x, v2), (
+                f"pushed bound drops a matching row: x={x!r} f(x)={fx!r} "
+                f"{op} {value!r} but fails {o2} {v2!r}")
+
+
+@given(a=small_nz, b=small, value=small,
+       op=st.sampled_from(["<", "<=", ">", ">="]))
+@settings(max_examples=150, deadline=None)
+def test_push_conjunct_bounds_are_tight(a, b, value, op):
+    """The widened bound must stay within ~2e-9 relative of the exact
+    inverse boundary — over-fetch is bounded, not unbounded."""
+    from fractions import Fraction
+    t = Transformation(f"{{v}} * {a!r} + {b!r}", "")
+    [(o2, v2)] = t.push_conjunct(op, value)
+    p = (Fraction(value) - Fraction(b)) / Fraction(a)
+    width = abs(Fraction(v2) - p)
+    assert width <= Fraction(2, 10**9) * max(abs(p), Fraction(1))
