@@ -27,6 +27,7 @@ from dataweb_spark.plans.pruning import (
     extract_entity_limit,
     extract_entity_predicates,
     extract_referenced_columns,
+    output_shape_has_star,
     source_can_match,
 )
 from dataweb_spark.plans.resolve import (
@@ -39,6 +40,40 @@ from dataweb_spark.plans.resolve import (
     resolve_entity,
 )
 from dataweb_spark.plans.validation import ValidationError, validate_sql
+
+
+def _forwardable_flight_peer(relay, source, entity_name: str):
+    """``(host, port, token)`` when a whole template query can be forwarded
+    to this flight-peer source unchanged, else None.
+
+    Forwarding is sound only when this relay's view of the peer is a pure
+    identity window: the peer entity has the same name, EVERY local
+    information is mapped to the same-named peer column with the identity
+    transformation, and there is no local permission wrapper or derived
+    ``source_sql`` — any of those means local semantics must apply to raw
+    rows, so the row path stays. ``forward: "false"`` opts a source out."""
+    conn = relay.connections.get(source.connection)
+    if conn is None or conn.kind != "flight":
+        return None
+    if source.options.get("forward", "true") == "false":
+        return None
+    if source.options.get("sql"):
+        return None  # explicit peer template: already a forwarded form
+    if source.default_permission is not None or source.user_permissions:
+        return None
+    src_sql = (source.source_sql or "").strip().lower()
+    if src_sql and src_sql != "select * from {table}":
+        return None
+    if source.options.get("entity", source.name) != entity_name:
+        return None
+    entity = relay.entities[entity_name]
+    for info in entity.informations:
+        m = source.mapping_for(info.name)
+        if (m is None or not m.transformation.is_identity
+                or source.field_path(m.field) != info.name):
+            return None
+    host = conn.options.get("host", "127.0.0.1")
+    return host, int(conn.options["port"]), conn.options.get("token")
 
 
 class QueryGateway:
@@ -101,6 +136,15 @@ class QueryGateway:
         Returns ``[(relay, source_id, partial_df), ...]`` — one entry per
         "endpoint", like the FlightInfo endpoint list
         (``flight.rs:194-232``). Aggregates come back as per-source partials.
+
+        Flight-peer sources whose mapping is a pure identity passthrough
+        receive the query ITSELF (relay→relay forwarding,
+        ``flight.rs:237-309``): the peer maps it per its own sources and
+        only the per-source PARTIAL results cross the wire — for an
+        aggregate template, group rows instead of entity rows. Sources
+        with permissions, transformations, renames, or a non-trivial
+        ``source_sql`` keep the row path (the local relay's mapping
+        semantics must apply to raw rows).
         """
         entities = validate_sql(self.spark, sql, single_entity=True)
         entity_name = next(iter(entities))
@@ -111,6 +155,10 @@ class QueryGateway:
         conjuncts = extract_entity_predicates(self.spark, sql, entity_name)
         limit = extract_entity_limit(self.spark, sql, entity_name)
         referenced = extract_referenced_columns(self.spark, sql)
+        # A width-dependent output (top-level SELECT *) must not be
+        # forwarded: the peer's entity may carry more columns than this
+        # relay's identity window declares, changing the result schema.
+        star_out = output_shape_has_star(self.spark, sql)
         results: list[tuple[str, str, DataFrame]] = []
         visited: set[tuple[str, str]] = set()
 
@@ -133,6 +181,17 @@ class QueryGateway:
                 if (conj and source.bounds
                         and not source_can_match(conj, source.bounds)):
                     continue  # pruned endpoint: bounds disjoint from query
+                if not chain and not star_out:
+                    fwd = _forwardable_flight_peer(r, source, ename)
+                    if fwd is not None:
+                        from dataweb_spark.sources.flight_service import (
+                            flight_forward_template,
+                        )
+                        host, fport, tok = fwd
+                        results.extend(flight_forward_template(
+                            self.spark, host, fport, sql, principal,
+                            token=tok))
+                        continue
                 view = build_source_view(
                     self.spark, r, source, principal, conjuncts=conj,
                     limit=lim, referenced=ref)

@@ -284,6 +284,39 @@ def extract_referenced_columns(spark: SparkSession,
     return out
 
 
+# Nodes a star-shape probe may walk through from the top: they pass their
+# child's output schema up unchanged.
+_OUTPUT_PASSTHROUGH = {"Sort", "GlobalLimit", "LocalLimit", "SubqueryAlias",
+                       "Distinct", "Deduplicate", "Filter", "UnresolvedHint"}
+
+
+def output_shape_has_star(spark: SparkSession, sql: str) -> bool:
+    """True when the query's OUTPUT column set depends on the relation's
+    width — a top-level ``SELECT *`` (or ``tbl.*`` / regex projection).
+    Stars nested inside functions (``count(*)``) don't widen the output and
+    return False. Conservative: unparseable/unrecognized shapes → True."""
+    try:
+        jplan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    except Exception:
+        return True
+    node = jplan
+    while (node.getClass().getSimpleName() in _OUTPUT_PASSTHROUGH
+           and node.children().size() == 1):
+        node = node.children().apply(0)
+    name = node.getClass().getSimpleName()
+    if name == "Project":
+        exprs = node.projectList()
+    elif name == "Aggregate":
+        exprs = node.aggregateExpressions()
+    else:
+        return True
+    for i in range(exprs.size()):
+        if exprs.apply(i).getClass().getSimpleName() in (
+                "UnresolvedStar", "UnresolvedRegex"):
+            return True
+    return False
+
+
 def _coerce_pair(a: Any, b: Any) -> tuple[Any, Any] | None:
     """Make bound and literal comparable; None when types don't mix."""
     if isinstance(a, str) and isinstance(b, _dt.date):

@@ -1588,6 +1588,65 @@ order by returnflag
 """)
 
 
+def _fed_template_agg_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relay→relay TEMPLATE forwarding (``flight.rs:237-309``): the edge
+    sends the aggregate template ITSELF to the other-process peer, which
+    maps it per ITS two sources and answers per-source PARTIAL aggregates —
+    only group rows cross the wire. The edge merges the partials exactly as
+    the reference's clients do (``test/validation.py:29-60``): sum of
+    counts, sum of sums. The oracle is the same aggregate over the
+    mapped-union SQL, proving forwarding+merge is lossless."""
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Mapping, RelayCatalog, Web,
+    )
+    from dataweb_spark.demo import LINEITEM_INFOS
+    from dataweb_spark.plans.gateway import QueryGateway
+
+    port = _flight_peer_port(sf_dir)
+    edge = RelayCatalog(name="edge_fwd")
+    edge.add_entity(Entity("lineitem", list(LINEITEM_INFOS)))
+    edge.add_connection(DataConnection(
+        "peer_flight", "flight",
+        {"port": str(port), "token": "edge-relay-token"}))
+    edge.add_source(DataSource(
+        name="lineitem_peer", connection="peer_flight", entity="lineitem",
+        source_sql="select * from {table}",
+        mappings=[Mapping(i.name, i.name) for i in LINEITEM_INFOS],
+        options={"entity": "lineitem"}))
+    web = Web()
+    web.add_relay(edge)
+    gw = QueryGateway(spark, web, "edge_fwd")
+    partials = gw.query_template_union("""
+        select returnflag, count(*) as n, sum(quantity) as sum_qty
+        from lineitem
+        group by returnflag
+    """)
+    return (partials
+            .groupBy("returnflag")
+            .agg(F.sum("n").cast("bigint").alias("n"),
+                 F.round(F.sum("sum_qty"), 2).alias("sum_qty"),
+                 F.count("*").cast("bigint").alias("n_partials"))
+            .orderBy("returnflag"))
+
+
+_df("fed_template_agg_forward", _fed_template_agg_forward,
+    oracle=_FED_VIEW_DEFAULT + """
+, partials as (
+  select returnflag, count(*) as n, sum(quantity) as sum_qty
+  from src_trino group by returnflag
+  union all
+  select returnflag, count(*) as n, sum(quantity) as sum_qty
+  from src_csv group by returnflag
+)
+select returnflag, cast(sum(n) as bigint) as n,
+       round(sum(sum_qty), 2) as sum_qty,
+       count(*) as n_partials
+from partials
+group by returnflag
+order by returnflag
+""")
+
+
 _FLIGHTSQL_ENGINES: dict[str, object] = {}
 
 
@@ -3495,7 +3554,7 @@ _DRIVER_WINDOW = [
     "text_chunking",
     "dedup_duplicated_spans",
     "pipeline_training_data",
-    "grouping_function_rollup",
+    "fed_template_agg_forward",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
 

@@ -502,8 +502,6 @@ def flight_read_distributed(spark: SparkSession, host: str, port: int,
     server's stable per-source plan order, so position identifies "this
     task's slice" across plans.
     """
-    from pyspark.sql.pandas.types import from_arrow_schema
-
     client = _connect(host, port, token, tls_root_certs=tls_root_certs)
     cmd_bytes = json.dumps({"sql": sql, "principal": principal,
                             "mode": mode}).encode("utf-8")
@@ -511,8 +509,20 @@ def flight_read_distributed(spark: SparkSession, host: str, port: int,
         flight.FlightDescriptor.for_command(cmd_bytes))
     tickets = [(ep.ticket.ticket, idx, cmd_bytes)
                for idx, ep in enumerate(info.endpoints)]
-    out_schema = from_arrow_schema(info.schema)
-    arrow_schema = info.schema
+    return _tickets_frame(spark, host, port, tickets, info.schema,
+                          token=token, tls_root_certs=tls_root_certs)
+
+
+def _tickets_frame(spark: SparkSession, host: str, port: int,
+                   tickets: list, arrow_schema,
+                   token: str | None = None,
+                   tls_root_certs: bytes | None = None):
+    """One Spark partition per (ticket, ordinal, plan-command) triple; each
+    task redeems its ticket on an executor and streams the batches
+    (re-planning at its ordinal on a consumed ticket — task retries)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    out_schema = from_arrow_schema(arrow_schema)
 
     def fetch(batch_iter):
         import pyarrow.flight as fl
@@ -549,3 +559,36 @@ def flight_read_distributed(spark: SparkSession, host: str, port: int,
     tdf = spark.createDataFrame(tickets, "ticket binary, idx int, cmd binary") \
                .repartition(max(len(tickets), 1))
     return tdf.mapInArrow(fetch, out_schema)
+
+
+def flight_forward_template(spark: SparkSession, host: str, port: int,
+                            sql: str, principal: str | None = None,
+                            token: str | None = None,
+                            tls_root_certs: bytes | None = None
+                            ) -> list[tuple[str, str, "DataFrame"]]:
+    """Forward a template-mode query to a peer relay WHOLE — the
+    relay→relay fan-out of the reference (``flight.rs:237-309``): the peer
+    maps the one-entity SQL per ITS sources and answers one endpoint per
+    source carrying that source's PARTIAL result. Only the partials cross
+    the wire (for aggregates: group rows, not entity rows). Returns
+    ``[(peer_relay, peer_source, partial_df), ...]`` with the peer's own
+    endpoint identities; each frame streams on an executor
+    (single-endpoint ``mapInArrow``)."""
+    client = _connect(host, port, token, tls_root_certs=tls_root_certs)
+    cmd_bytes = json.dumps({"sql": sql, "principal": principal,
+                            "mode": "template"}).encode("utf-8")
+    info = client.get_flight_info(
+        flight.FlightDescriptor.for_command(cmd_bytes))
+    out = []
+    for idx, ep in enumerate(info.endpoints):
+        try:
+            meta = json.loads(ep.ticket.ticket.decode("utf-8"))
+        except Exception:
+            meta = {}
+        df = _tickets_frame(spark, host, port,
+                            [(ep.ticket.ticket, idx, cmd_bytes)],
+                            info.schema, token=token,
+                            tls_root_certs=tls_root_certs)
+        out.append((meta.get("relay", "peer"),
+                    meta.get("source", "peer"), df))
+    return out

@@ -9,6 +9,8 @@ relay's served-rows counter)."""
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from dataweb_spark.catalog.model import (
     DataConnection,
     DataSource,
@@ -287,3 +289,48 @@ def test_distributed_scan_retries_consumed_ticket(spark, demo_web,
     n_expected = resolve_entity(spark, demo_web, "na_us", "lineitem").count()
     assert df.count() == n_expected   # first run consumes the tickets
     assert df.count() == n_expected   # second run MUST re-plan (retry path)
+
+
+def test_template_aggregate_forwarded_to_peer(spark, demo_web, peer_server,
+                                              edge_gateway):
+    """Relay→relay template forwarding (flight.rs:237-309): an aggregate
+    template sent to an identity flight peer must ship GROUP partials, not
+    entity rows, and carry the peer's own endpoint identities."""
+    from dataweb_spark.plans.resolve import resolve_entity
+    sql = ("select returnflag, count(*) as n, "
+           "round(sum(quantity), 2) as sum_qty from lineitem "
+           "group by returnflag")
+    before = peer_server.served_rows
+    parts = edge_gateway.query_template(sql)
+    # peer has two lineitem sources → two forwarded endpoints, named by
+    # the PEER's catalog, not the edge's
+    assert sorted((r, s) for r, s, _ in parts) == [
+        ("na_us", "lineitem_csv"), ("na_us", "lineitem_trino")]
+    merged = {}
+    for _, _, df in parts:
+        for row in df.collect():
+            g = merged.setdefault(row["returnflag"], [0, 0.0])
+            g[0] += row["n"]
+            g[1] += row["sum_qty"]
+    shipped = peer_server.served_rows - before
+    local = resolve_entity(spark, demo_web, "na_us", "lineitem")
+    want = {r["returnflag"]: [r["n"], round(r["q"], 2)] for r in
+            local.groupBy("returnflag")
+                 .agg(F.count("*").alias("n"), F.sum("quantity").alias("q"))
+                 .collect()}
+    got = {k: [n, round(s, 2)] for k, (n, s) in merged.items()}
+    assert got == want
+    # the transfer was partials: a handful of group rows, not the corpus
+    assert 0 < shipped <= 12, shipped
+
+
+def test_template_star_query_not_forwarded_but_correct(
+        spark, demo_web, peer_server, edge_gateway):
+    """select * keeps the row path (output width must be the EDGE's
+    declared window) and still answers correctly."""
+    from dataweb_spark.plans.resolve import resolve_entity
+    df = edge_gateway.query_template_union("select * from lineitem")
+    local = resolve_entity(spark, demo_web, "na_us", "lineitem")
+    assert df.count() == local.count()
+    assert set(df.columns) == set(local.columns) | {"_source_relay_",
+                                                    "_source_id_"}

@@ -280,3 +280,22 @@ def test_extract_referenced_columns_star_means_everything(spark):
     from dataweb_spark.plans.pruning import extract_referenced_columns
     assert extract_referenced_columns(
         spark, "select * from lineitem") is None
+
+
+def test_output_shape_star_probe(spark):
+    from dataweb_spark.plans.pruning import output_shape_has_star
+    star = ["select * from lineitem",
+            "select * from lineitem limit 5",
+            "select l.* from lineitem l",
+            "select returnflag, * from lineitem",
+            "select distinct * from lineitem"]
+    no_star = ["select count(*) as n from lineitem",
+               "select returnflag, count(*) as n from lineitem "
+               "group by returnflag",
+               "select returnflag, sum(quantity) as q from lineitem "
+               "where quantity < 5 group by returnflag order by returnflag",
+               "select quantity + 1 as q from lineitem limit 3"]
+    for sql in star:
+        assert output_shape_has_star(spark, sql), sql
+    for sql in no_star:
+        assert not output_shape_has_star(spark, sql), sql
