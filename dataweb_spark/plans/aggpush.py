@@ -1,0 +1,280 @@
+"""Engine-mode partial-aggregate pushdown over federated peers.
+
+For a single-entity aggregate query, shipping entity ROWS from network
+peers and aggregating locally moves O(corpus) bytes; shipping per-source
+PARTIAL aggregates moves O(groups). The reference gets this for free in
+its template path (per-source partials merged client-side,
+``test/validation.py:29-60``); this module brings the same economics to
+ENGINE mode: when the query decomposes into distributive aggregates, the
+gateway runs the *partial* form through the template machinery (which
+forwards it whole to identity flight peers — ``flight_forward_template``)
+and merges the partials with Spark aggregation, reproducing engine-mode
+semantics exactly.
+
+Everything is plan-driven: the query is parsed with Spark's own parser,
+the accepted shape is validated node-by-node, and clause text is
+regenerated with Catalyst's ``Expression.sql()`` — no regex surgery on
+user SQL. Anything outside the accepted shape (non-distributive
+aggregates, scalar wrappers around aggs, DISTINCT, HAVING, subqueries,
+expressions in GROUP BY, window functions) returns None and the caller
+keeps the row path; the decomposition rules are the classic ones (sum of
+counts, sum of sums, min of mins, avg as sum/count).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_AGG_FNS = {"count", "sum", "min", "max", "avg"}
+
+
+@dataclass
+class AggQuerySpec:
+    """A validated single-entity aggregate query, decomposed."""
+
+    entity: str
+    # output columns in order: ("group", source_attr, out_name) or
+    # ("agg", fn, arg_sql_or_None_for_star, out_name)
+    outputs: list[tuple] = field(default_factory=list)
+    group_attrs: list[str] = field(default_factory=list)
+    where_sql: str | None = None
+    # (output_name, ascending) pairs, applied after the merge
+    order_by: list[tuple[str, bool]] = field(default_factory=list)
+    limit: int | None = None
+
+    def partial_sql(self) -> str:
+        """The per-source/per-peer query: same filter + grouping, partial
+        aggregate columns under stable ``__p{i}`` names."""
+        items = []
+        for i, out in enumerate(self.outputs):
+            if out[0] == "group":
+                items.append(f"{out[1]} AS {out[2]}")
+            else:
+                _, fn, arg, _ = out
+                if fn == "avg":
+                    items.append(f"sum({arg}) AS __p{i}_s")
+                    items.append(f"count({arg}) AS __p{i}_c")
+                else:
+                    items.append(f"{fn}({arg if arg else '1'}) AS __p{i}")
+        sql = f"SELECT {', '.join(items)} FROM {self.entity}"
+        if self.where_sql:
+            sql += f" WHERE {self.where_sql}"
+        if self.group_attrs:
+            sql += " GROUP BY " + ", ".join(self.group_attrs)
+        return sql
+
+    def merge(self, partials: DataFrame) -> DataFrame:
+        """Combine the unioned per-source partials into the engine-mode
+        answer: sum of counts/sums, min of mins, max of maxes, avg from
+        summed (sum, count) pairs — then the original projection order,
+        ORDER BY, and LIMIT."""
+        group_names = [o[2] for o in self.outputs if o[0] == "group"]
+        aggs = []
+        for i, out in enumerate(self.outputs):
+            if out[0] != "agg":
+                continue
+            _, fn, arg, name = out
+            if fn == "count":
+                aggs.append(F.sum(f"__p{i}").cast("bigint").alias(name))
+            elif fn == "sum":
+                aggs.append(F.sum(f"__p{i}").alias(name))
+            elif fn == "min":
+                aggs.append(F.min(f"__p{i}").alias(name))
+            elif fn == "max":
+                aggs.append(F.max(f"__p{i}").alias(name))
+            else:  # avg = total sum / total non-null count
+                aggs.append((F.sum(f"__p{i}_s")
+                             / F.sum(f"__p{i}_c")).alias(name))
+        if group_names:
+            out = partials.groupBy(*group_names).agg(*aggs)
+        else:
+            out = partials.agg(*aggs)
+        out = out.select(*[o[2] if o[0] == "group" else o[3]
+                           for o in self.outputs])
+        if self.order_by:
+            out = out.orderBy(*[F.col(c).asc() if asc else F.col(c).desc()
+                                for c, asc in self.order_by])
+        if self.limit is not None:
+            out = out.limit(self.limit)
+        return out
+
+
+def _cls(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _tree_has(jnode, substrings: tuple[str, ...]) -> bool:
+    """True when any node class in the expression/plan tree matches."""
+    stack = [jnode]
+    while stack:
+        n = stack.pop()
+        name = _cls(n)
+        if any(s in name for s in substrings):
+            return True
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return False
+
+
+def _bare_attr(jexpr) -> str | None:
+    """Single-part unqualified column name, else None."""
+    if _cls(jexpr) != "UnresolvedAttribute":
+        return None
+    parts = jexpr.nameParts()
+    if parts.size() != 1:
+        return None
+    return str(parts.apply(0))
+
+
+def _agg_call(jexpr):
+    """``(fn, arg_sql | None)`` for a supported plain aggregate call —
+    count(*)/count(col)/sum/min/max/avg over a bare column — else None."""
+    if _cls(jexpr) != "UnresolvedFunction":
+        return None
+    parts = jexpr.nameParts()
+    if parts.size() != 1:
+        return None
+    fn = str(parts.apply(0)).lower()
+    if fn not in _AGG_FNS or jexpr.isDistinct():
+        return None
+    args = jexpr.arguments()
+    if args.size() != 1:
+        return None
+    a0 = args.apply(0)
+    if fn == "count" and _cls(a0) == "Literal":
+        return "count", None  # count(*) parses as count(1)
+    col = _bare_attr(a0)
+    if col is None:
+        return None
+    return fn, col
+
+
+def extract_aggregate_query(spark: SparkSession, sql: str,
+                            entity: str) -> AggQuerySpec | None:
+    """Validate + decompose ``sql`` as a partial-aggregatable single-entity
+    aggregate; None for anything outside the shape (caller keeps the row
+    path). The filter passes through VERBATIM (regenerated by Catalyst) —
+    it runs per source/peer exactly as template mode runs it today."""
+    try:
+        jplan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    except Exception:
+        return None
+    spec = AggQuerySpec(entity=entity)
+    node = jplan
+
+    if _cls(node) == "GlobalLimit":
+        lim = node.limitExpr()
+        if _cls(lim) != "Literal":
+            return None
+        spec.limit = int(str(lim.value()))
+        node = node.children().apply(0)
+        if _cls(node) == "LocalLimit":
+            node = node.children().apply(0)
+
+    order_attrs: list[tuple[str, bool]] = []
+    if _cls(node) == "Sort":
+        orders = node.order()
+        for i in range(orders.size()):
+            so = orders.apply(i)
+            col = _bare_attr(so.child())
+            if col is None:
+                return None
+            direction = _cls(so.direction())
+            nulls = _cls(so.nullOrdering())
+            # only default null ordering reproduces via plain asc()/desc()
+            if (direction, nulls) not in (("Ascending$", "NullsFirst$"),
+                                          ("Descending$", "NullsLast$"),
+                                          ("Ascending", "NullsFirst"),
+                                          ("Descending", "NullsLast")):
+                return None
+            order_attrs.append((col, direction.startswith("Ascending")))
+        node = node.children().apply(0)
+
+    if _cls(node) == "Aggregate":
+        groups = node.groupingExpressions()
+        for i in range(groups.size()):
+            col = _bare_attr(groups.apply(i))
+            if col is None:
+                return None
+            spec.group_attrs.append(col)
+        exprs = node.aggregateExpressions()
+    elif _cls(node) == "Project":
+        # A GROUP-BY-less aggregate (`select count(*) from e`) is still a
+        # Project at the unresolved stage: accept only when EVERY output is
+        # an aliased aggregate call (a mixed/plain projection is not an
+        # aggregate query).
+        exprs = node.projectList()
+        if exprs.size() == 0:
+            return None
+        for i in range(exprs.size()):
+            e = exprs.apply(i)
+            if _cls(e) != "Alias" or _agg_call(e.child()) is None:
+                return None
+    else:
+        return None
+    names_seen: set[str] = set()
+    for i in range(exprs.size()):
+        e = exprs.apply(i)
+        if _cls(e) == "UnresolvedAttribute":
+            col = _bare_attr(e)
+            if col is None or col not in spec.group_attrs:
+                return None
+            out_name = col
+            spec.outputs.append(("group", col, col))
+        elif _cls(e) == "Alias":
+            child = e.child()
+            out_name = str(e.name())
+            gcol = _bare_attr(child)
+            if gcol is not None:
+                if gcol not in spec.group_attrs:
+                    return None
+                spec.outputs.append(("group", gcol, out_name))
+            else:
+                call = _agg_call(child)
+                if call is None:
+                    return None
+                spec.outputs.append(("agg", call[0], call[1], out_name))
+        else:
+            return None
+        if out_name.lower() in names_seen:
+            return None  # ambiguous merge frame
+        names_seen.add(out_name.lower())
+
+    node = node.children().apply(0)
+    if _cls(node) == "Filter":
+        cond = node.condition()
+        # subqueries/EXISTS can't re-run per source; windows never valid here
+        if _tree_has(cond, ("Subquery", "Exists", "Window")):
+            return None
+        try:
+            spec.where_sql = cond.sql()
+        except Exception:
+            return None
+        node = node.children().apply(0)
+
+    if _cls(node) != "UnresolvedRelation":
+        return None
+    parts = node.multipartIdentifier()
+    if (parts.size() != 1
+            or str(parts.apply(0)).lower() != entity.lower()):
+        return None
+
+    # ORDER BY keys must be output columns of the merged frame
+    out_names = {o[2].lower() if o[0] == "group" else o[3].lower()
+                 for o in spec.outputs}
+    for col, asc in order_attrs:
+        if col.lower() not in out_names:
+            return None
+        spec.order_by.append((col, asc))
+
+    # sanity: the constructed partial query must itself parse
+    try:
+        spark._jsparkSession.sessionState().sqlParser() \
+             .parsePlan(spec.partial_sql())
+    except Exception:
+        return None
+    return spec

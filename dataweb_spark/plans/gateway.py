@@ -88,7 +88,8 @@ class QueryGateway:
 
     def query(self, sql: str, principal: str | None = None,
               include_provenance: bool = False,
-              allow_partial: bool = False) -> DataFrame:
+              allow_partial: bool = False,
+              partial_aggregate: bool = True) -> DataFrame:
         """Full SQL over entity views; joins across entities allowed.
 
         Before view resolution, the query's per-entity filter conjuncts are
@@ -98,7 +99,14 @@ class QueryGateway:
         ``allow_partial=True`` applies the reference's peer-failure policy
         (``flight.rs:273-306``): unreachable/broken sources are skipped and
         the query answers from the rest; the skip list lands in
-        ``self.last_failures``."""
+        ``self.last_failures``.
+
+        ``partial_aggregate`` (default on): a single-entity query that
+        decomposes into distributive aggregates, over an entity with at
+        least one forwardable flight peer, executes as per-source PARTIAL
+        aggregates merged locally (``plans/aggpush.py``) — network peers
+        ship O(groups) rows instead of O(corpus). Identical answers;
+        set False to force the row path."""
         entities = validate_sql(self.spark, sql, single_entity=False)
         known = self.web.relay(self.relay_name).entities
         unknown = {e for e in entities if e not in known}
@@ -106,6 +114,21 @@ class QueryGateway:
             raise ValidationError(
                 f"unknown entity(ies): {sorted(unknown)}; "
                 f"relay {self.relay_name!r} declares {sorted(known)}")
+        if (partial_aggregate and not include_provenance
+                and not allow_partial and len(entities) == 1):
+            ename = next(iter(entities))
+            relay = self.web.relay(self.relay_name)
+            if any(_forwardable_flight_peer(relay, s, ename) is not None
+                   for s in relay.sources_for_entity(ename)):
+                from dataweb_spark.plans.aggpush import (
+                    extract_aggregate_query,
+                )
+                spec = extract_aggregate_query(self.spark, sql, ename)
+                if spec is not None:
+                    self.last_failures = []  # template path fails loudly
+                    partials = self.query_template_union(
+                        spec.partial_sql(), principal)
+                    return spec.merge(partials)
         predicates = {
             e: extract_entity_predicates(self.spark, sql, e)
             for e in entities

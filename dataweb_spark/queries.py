@@ -1647,6 +1647,62 @@ order by returnflag
 """)
 
 
+def _fed_engine_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-mode partial-aggregate pushdown (``plans/aggpush.py``): the
+    single-entity aggregate decomposes, the other-process peer relay
+    receives the PARTIAL form (via template forwarding) and ships group
+    rows; the edge merges sum-of-counts / sum-of-sums / min-of-mins and
+    reapplies ordering. The oracle is the same aggregate over the
+    mapped-union SQL — decompose+merge must be lossless. Rounding happens
+    AFTER the merge (a round() inside the SQL would put the query outside
+    the decomposable shape, by design)."""
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Mapping, RelayCatalog, Web,
+    )
+    from dataweb_spark.demo import LINEITEM_INFOS
+    from dataweb_spark.plans.gateway import QueryGateway
+
+    port = _flight_peer_port(sf_dir)
+    edge = RelayCatalog(name="edge_agg")
+    edge.add_entity(Entity("lineitem", list(LINEITEM_INFOS)))
+    edge.add_connection(DataConnection(
+        "peer_flight", "flight",
+        {"port": str(port), "token": "edge-relay-token"}))
+    edge.add_source(DataSource(
+        name="lineitem_peer", connection="peer_flight", entity="lineitem",
+        source_sql="select * from {table}",
+        mappings=[Mapping(i.name, i.name) for i in LINEITEM_INFOS],
+        options={"entity": "lineitem"}))
+    web = Web()
+    web.add_relay(edge)
+    gw = QueryGateway(spark, web, "edge_agg")
+    df = gw.query("""
+        select returnflag, linestatus, count(*) as n,
+               count(orderkey) as n_ok, sum(quantity) as sq,
+               avg(quantity) as aq, min(shipdate) as first_ship
+        from lineitem
+        group by returnflag, linestatus
+    """)
+    return (df.select("returnflag", "linestatus", "n", "n_ok",
+                      F.round("sq", 2).alias("sum_qty"),
+                      F.round("aq", 4).alias("avg_qty"),
+                      "first_ship")
+              .orderBy("returnflag", "linestatus"))
+
+
+_df("fed_engine_agg_pushdown", _fed_engine_agg_pushdown,
+    oracle=_FED_VIEW_DEFAULT + """
+select returnflag, linestatus, count(*) as n,
+       count(orderkey) as n_ok,
+       round(sum(quantity), 2) as sum_qty,
+       round(avg(quantity), 4) as avg_qty,
+       min(shipdate) as first_ship
+from entity_lineitem
+group by returnflag, linestatus
+order by returnflag, linestatus
+""")
+
+
 _FLIGHTSQL_ENGINES: dict[str, object] = {}
 
 
@@ -3544,7 +3600,7 @@ _DRIVER_WINDOW = [
     "multimodal_features",
     "multimodal_frame_counts",
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
+    "fed_engine_agg_pushdown",
     "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
     "events_sessionization",

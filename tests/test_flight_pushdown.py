@@ -187,16 +187,56 @@ def test_filter_pushdown_shrinks_transfer_same_answer(
     want = {r["returnflag"]: r["count"] for r in want}
     total = local.count()
 
+    # row path (partial_aggregate off): the peer ships exactly the
+    # FILTERED rows — filter pushdown at work
     before = peer_server.served_rows
     got = edge_gateway.query(
         "select returnflag, count(*) as n from lineitem "
-        "where quantity < 5 group by returnflag")
+        "where quantity < 5 group by returnflag", partial_aggregate=False)
     got = {r["returnflag"]: r["n"] for r in got.collect()}
     shipped = peer_server.served_rows - before
-
     assert got == want                      # answers unchanged
     assert 0 < shipped < total              # peer pre-filtered the transfer
     assert shipped == local.where("quantity < 5").count()
+
+    # default engine path: the aggregate decomposes, the peer ships GROUP
+    # partials — transfer no longer scales with the row count at all
+    before = peer_server.served_rows
+    got2 = edge_gateway.query(
+        "select returnflag, count(*) as n from lineitem "
+        "where quantity < 5 group by returnflag")
+    got2 = {r["returnflag"]: r["n"] for r in got2.collect()}
+    shipped2 = peer_server.served_rows - before
+    assert got2 == want
+    assert 0 < shipped2 <= 12, shipped2     # group rows, not entity rows
+
+
+def test_engine_partial_aggregate_differential(spark, demo_web, peer_server,
+                                               edge_gateway):
+    """Every accepted aggregate shape must answer IDENTICALLY through the
+    partial-merge path and the row path."""
+    grid = [
+        "select count(*) as n from lineitem",
+        "select count(orderkey) as n, sum(quantity) as q from lineitem",
+        "select returnflag, count(*) as n from lineitem group by returnflag",
+        "select linestatus, avg(quantity) as aq, min(shipdate) as d0, "
+        "max(extendedprice) as mx from lineitem group by linestatus",
+        "select returnflag as rf, sum(tax_amount) as t from lineitem "
+        "where quantity < 9 group by returnflag order by t desc limit 2",
+        "select returnflag, linestatus, count(*) as n from lineitem "
+        "group by returnflag, linestatus order by returnflag, linestatus",
+        # NULL-heavy column: csv source maps no orderkey (NULL-filled)
+        "select returnflag, count(orderkey) as n, avg(orderkey) as a "
+        "from lineitem group by returnflag",
+    ]
+    for sql in grid:
+        fast = edge_gateway.query(sql).collect()
+        slow = edge_gateway.query(sql, partial_aggregate=False).collect()
+        def canon(rows):
+            return sorted(
+                [tuple(round(v, 6) if isinstance(v, float) else v
+                       for v in r) for r in rows], key=repr)
+        assert canon(fast) == canon(slow), sql
 
 
 def test_transformed_filter_pushdown_shrinks_transfer(

@@ -213,12 +213,23 @@ def test_pushdown_shrinks_cross_process_transfer(spark, sf_dir, peer_port):
     total = local.count()
     want = local.where("quantity < 5").count()
 
+    # row path: exactly the FILTERED rows cross the process boundary
     before = flight_stats(peer_port, token="edge-relay-token")["served_rows"]
     got = gw.query("select count(*) as n from lineitem "
-                   "where quantity < 5").collect()[0]["n"]
+                   "where quantity < 5",
+                   partial_aggregate=False).collect()[0]["n"]
     shipped = flight_stats(peer_port,
                            token="edge-relay-token")["served_rows"] - before
-
     assert got == want            # answers unchanged by the pushdown
     assert 0 < shipped < total    # the PEER pre-filtered before the wire
     assert shipped == want        # exactly the matching rows crossed it
+
+    # default engine path: the aggregate decomposes and the peer ships one
+    # PARTIAL row per source — transfer independent of the row count
+    before = flight_stats(peer_port, token="edge-relay-token")["served_rows"]
+    got2 = gw.query("select count(*) as n from lineitem "
+                    "where quantity < 5").collect()[0]["n"]
+    shipped2 = flight_stats(peer_port,
+                            token="edge-relay-token")["served_rows"] - before
+    assert got2 == want
+    assert 0 < shipped2 <= 2, shipped2
