@@ -2,11 +2,14 @@
 
 Media are opaque ``binary`` columns + a typed metadata struct; all transforms
 run as Arrow-batched ``mapInPandas`` / pandas UDFs so bytes never cross the
-JVM↔Python boundary row-at-a-time. The actual codecs (PIL/ffmpeg/…) are NOT
-in this container, so the decode kernels are stubbed: ``decode_fake`` is a
-deterministic stand-in (byte-statistics) that keeps schema, partitioning,
-batch shape and UDF signatures real and testable; ``decode_real`` raises
-``NotImplementedError`` until a codec library is installed.
+JVM↔Python boundary row-at-a-time. Uncompressed formats decode for REAL in
+pure numpy — BMP/PPM rasters and RIFF/WAVE PCM-16 audio — so the
+encode→decode→feature paths are fully verifiable; compressed codecs
+(jpg/png/mp3/mp4, via PIL/ffmpeg/…) are NOT in this container, so those
+kernels stay stubbed: ``decode_fake``-style byte statistics keep schema,
+partitioning, batch shape and UDF signatures real and testable, and
+``decode_real`` raises ``NotImplementedError`` until a codec library is
+installed.
 
 Scale notes: media rows are large — transforms use ``mapInPandas`` (per
 batch, streaming) rather than collect; ``maxRecordsPerBatch`` bounds Arrow
@@ -171,6 +174,126 @@ def decode_ppm(data: bytes):
         raise NotImplementedError("only 8-bit PPM supported")
     arr = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
     return arr.reshape(h, w, 3)
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Encode an int16 sample array — shape (n,) mono or (n, channels) —
+    as a canonical RIFF/WAVE PCM file (fmt chunk + data chunk,
+    little-endian 16-bit)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    n, channels = arr.shape
+    block_align = channels * 2
+    byte_rate = sample_rate * block_align
+    data = arr.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      block_align, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes):
+    """Decode a RIFF/WAVE PCM-16 stream into
+    ``(sample_rate, samples[n, channels] int16)``. Walks the chunk list
+    (extra chunks like LIST/INFO are skipped), so well-formed files from
+    other writers decode too."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    payload = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or payload is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM-16 WAV supported (format={audio_format}, "
+            f"bits={bits})")
+    arr = np.frombuffer(payload, dtype="<i2")
+    return sample_rate, arr.reshape(-1, channels)
+
+
+def synthesize_wav_media(spark, n: int = 64,
+                         sample_rate: int = 8000) -> DataFrame:
+    """Deterministic REAL-WAV media table: clip ``m`` is mono PCM-16 with
+    ``900 + (m % 4)·150`` samples following the closed form
+    ``((17·i + 29·m) mod 256 − 128) · 128`` — analytically aggregatable by
+    an external oracle, so encode→decode→feature is hash-checkable (the
+    audio sibling of ``synthesize_bmp_media``). Distributed generation."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["id"]:
+                m = int(m)
+                cnt = 900 + (m % 4) * 150
+                i = np.arange(cnt)
+                samples = (((17 * i + 29 * m) % 256 - 128) * 128) \
+                    .astype(np.int16)
+                rows.append((m, "audio", encode_wav(samples, sample_rate),
+                             {"format": "wav", "width": None, "height": None,
+                              "duration_s": cnt / sample_rate}))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "content",
+                                        "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_s", DoubleType()),
+    StructField("peak_abs", IntegerType()),
+    StructField("rms", DoubleType()),
+])
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL WAV decode → audio features: sample count, duration, peak
+    amplitude, RMS (over all channels). Arrow-batched ``mapInPandas``;
+    blobs never leave the executors — swap the kernel for a mel-spectrogram
+    extractor when a DSP library exists, keep the plumbing."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rate, samples = decode_wav(bytes(content))
+                flat = samples.astype(np.float64).ravel()
+                out.append((int(mid), int(rate), int(samples.shape[0]),
+                            round(samples.shape[0] / rate, 6),
+                            int(np.abs(flat).max()) if flat.size else 0,
+                            round(float(np.sqrt(np.mean(flat ** 2))), 6)
+                            if flat.size else 0.0))
+            yield pd.DataFrame(out, columns=[f.name for f
+                                             in AUDIO_FEATURE_SCHEMA])
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def synthesize_bmp_media(spark, n: int = 64) -> DataFrame:

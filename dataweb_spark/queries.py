@@ -3521,6 +3521,38 @@ order by media_id
 """)
 
 
+def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode → features: deterministic RIFF/WAVE PCM-16 clips
+    are synthesized distributed, decoded by the pure-numpy WAV codec, and
+    reduced to duration/peak/RMS. Samples follow the closed form
+    ``((17i + 29m) mod 256 − 128)·128``, so the oracle aggregates the SAME
+    values analytically — the audio sibling of ``multimodal_features``
+    (every intermediate sum stays < 2^53, so double arithmetic is exact on
+    both engines and round-6 RMS hash-matches)."""
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_wav_media(spark, n=64)
+    return M.extract_audio_features(media).orderBy("media_id")
+
+
+_df("multimodal_audio_features", _multimodal_audio, oracle="""
+with m as (select range as media_id from range(64)),
+cnt as (select media_id, 900 + (media_id % 4) * 150 as n from m),
+s as (
+  select c.media_id, c.n,
+         (((17 * i.i + 29 * c.media_id) % 256) - 128) * 128 as v
+  from cnt c, unnest(range(c.n)) as i(i)
+)
+select media_id, cast(8000 as int) as sample_rate,
+       cast(n as bigint) as n_samples,
+       round(n / 8000.0, 6) as duration_s,
+       cast(max(abs(v)) as int) as peak_abs,
+       round(sqrt(avg(cast(v as double) * v)), 6) as rms
+from s
+group by media_id, n
+order by media_id
+""")
+
+
 def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataweb_spark.functions import multimodal as M
     media = M.synthesize_media(spark, n=64, kind="video")
@@ -3596,7 +3628,7 @@ _DRIVER_WINDOW = [
     "streaming_hourly_rollup",
     "streaming_dedup_ingest",
     "streaming_fed_ingest",
-    "streaming_sliding_rollup",
+    "multimodal_audio_features",
     "multimodal_features",
     "multimodal_frame_counts",
     "tpch_q1_pricing_summary",
@@ -3613,6 +3645,13 @@ _DRIVER_WINDOW = [
     "fed_template_agg_forward",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
+# r5 swaps: tpch_q3_shipping_priority / grouping_function_rollup /
+# qualify_rewrite rotated OUT (multi-round green, layers untouched) to make
+# room for fed_engine_agg_pushdown, fed_template_agg_forward, and
+# fed_trino_engine. Rotated-out names stay in QUERIES (checkable any round).
+# r6 note: every one of the 131 declared queries has a green row in
+# r1∪…∪r4 ∪ (local r5 full sweep); after the r5 driver run lands, rotate
+# any red rows back in plus whatever r6 adds.
 
 
 def _apply_driver_window() -> None:

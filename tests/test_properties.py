@@ -226,3 +226,46 @@ def test_push_conjunct_bounds_are_tight(a, b, value, op):
     p = (Fraction(value) - Fraction(b)) / Fraction(a)
     width = abs(Fraction(v2) - p)
     assert width <= Fraction(2, 10**9) * max(abs(p), Fraction(1))
+
+
+wav_n = st.integers(min_value=1, max_value=500)
+wav_ch = st.integers(min_value=1, max_value=2)
+
+
+@settings(max_examples=40, deadline=None)
+@given(n=wav_n, ch=wav_ch, seed=st.integers(min_value=0, max_value=2**31 - 1),
+       rate=st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_property(n, ch, seed, rate):
+    rng = np.random.RandomState(seed)
+    samples = rng.randint(-32768, 32768, size=(n, ch)).astype(np.int16)
+    rate2, back = M.decode_wav(M.encode_wav(samples, rate))
+    assert rate2 == rate
+    assert back.shape == (n, ch)
+    assert np.array_equal(back, samples)
+
+
+def test_wav_decoder_skips_extra_chunks():
+    """Files from other writers carry LIST/INFO chunks between fmt and
+    data — the chunk walk must skip them."""
+    import struct
+    samples = np.arange(-5, 5, dtype=np.int16)
+    raw = M.encode_wav(samples, 8000)
+    # splice a LIST chunk (odd size → word-alignment padding exercised)
+    fmt_end = raw.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = raw[:fmt_end] + extra + raw[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    rate, back = M.decode_wav(spliced)
+    assert rate == 8000 and np.array_equal(back.ravel(), samples)
+
+
+def test_wav_decoder_rejects_non_pcm():
+    import struct
+    raw = bytearray(M.encode_wav(np.zeros(4, dtype=np.int16)))
+    fmt_at = raw.index(b"fmt ") + 8
+    struct.pack_into("<H", raw, fmt_at, 3)  # IEEE float format tag
+    try:
+        M.decode_wav(bytes(raw))
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError as e:
+        assert "PCM-16" in str(e)
