@@ -216,3 +216,92 @@ def load_web_dir(path: str) -> Web:
         if os.path.isdir(sub):
             web.add_relay(load_relay_dir(relay_name, sub))
     return web
+
+
+# ---------------------------------------------------------------------------
+# Catalog → config export (the ``relayctl get/export`` analog): the exact
+# inverse of the parser above, so a live catalog — including one mutated
+# through ``POST /admin/apply`` — can be checkpointed back to the YAML form
+# it was born from. Round-trip contract: ``load(dump(web)) ≡ web``
+# (property-tested).
+# ---------------------------------------------------------------------------
+
+def _dump_transform(t: Transformation) -> dict[str, Any]:
+    if t.is_identity:
+        return {}
+    return {"transform": t.other_to_local, "inverse": t.local_to_other}
+
+
+def _dump_permission(p: SourcePermission | None) -> dict[str, Any] | None:
+    if p is None:
+        return None
+    return {"allowed_columns": sorted(p.allowed_columns),
+            "allowed_rows": p.allowed_rows}
+
+
+def relay_documents(catalog: RelayCatalog) -> list[dict[str, Any]]:
+    """One config document per catalog object, in apply-precedence order."""
+    docs: list[dict[str, Any]] = []
+    for e in catalog.entities.values():
+        docs.append({"kind": "Entity", "name": e.name,
+                     "informations": [{"name": i.name,
+                                       "data_type": i.data_type}
+                                      for i in e.informations]})
+    for c in catalog.connections.values():
+        docs.append({"kind": "DataConnection", "name": c.name,
+                     "connection_kind": c.kind, "options": dict(c.options)})
+    for s in catalog.sources.values():
+        doc: dict[str, Any] = {
+            "kind": "DataSource", "name": s.name,
+            "connection": s.connection, "entity": s.entity,
+            "source_sql": s.source_sql,
+            "fields": [{"name": f.name, "path": f.path} for f in s.fields],
+            "mappings": [dict({"information": m.information,
+                               "field": m.field},
+                              **_dump_transform(m.transformation))
+                         for m in s.mappings],
+            "options": dict(s.options),
+        }
+        if s.default_permission is not None:
+            doc["default_permission"] = _dump_permission(s.default_permission)
+        if s.user_permissions:
+            doc["user_permissions"] = {
+                u: _dump_permission(p) for u, p in s.user_permissions.items()}
+        if s.bounds:
+            doc["bounds"] = {c: [b[0], b[1]] for c, b in s.bounds.items()}
+        docs.append(doc)
+    for rm in catalog.remote_mappings:
+        docs.append({"kind": "RemoteMapping",
+                     "local_entity": rm.local_entity, "peer": rm.peer,
+                     "remote_entity": rm.remote_entity,
+                     "sql_template": rm.sql_template,
+                     "info_mappings": [
+                         dict({"local_info": m.local_info,
+                               "remote_info": m.remote_info},
+                              **_dump_transform(m.transformation))
+                         for m in rm.info_mappings]})
+    for u in catalog.users.values():
+        docs.append({"kind": "User", "x509_sha256": u.x509_sha256,
+                     "principal": u.principal,
+                     "x509_subject": u.x509_subject,
+                     "x509_issuer": u.x509_issuer,
+                     "attributes": dict(u.attributes)})
+    return docs
+
+
+def dump_relay_dir(catalog: RelayCatalog, path: str) -> str:
+    """Write one relay's catalog as ``relay.yaml`` under ``path``."""
+    os.makedirs(path, exist_ok=True)
+    out = os.path.join(path, "relay.yaml")
+    with open(out, "w") as fh:
+        yaml.safe_dump_all(relay_documents(catalog), fh, sort_keys=False)
+    return out
+
+
+def dump_web_dir(web: Web, path: str) -> list[str]:
+    """Write every relay of a Web as a config directory tree —
+    ``load_web_dir``'s inverse."""
+    written = []
+    for name, relay in web.relays.items():
+        written.append(dump_relay_dir(relay, os.path.join(path, name)))
+    return written

@@ -142,3 +142,72 @@ attributes: {{is_admin: true}}
                          cert=(rogue_der, rogue_key))
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Export round-trip (relayctl get/export analog)
+# ---------------------------------------------------------------------------
+
+def test_dump_load_roundtrip_demo_web(spark, sf_dir, tmp_path):
+    """dump → load must reproduce an equivalent web: same catalogs, and
+    the flagship query answers identically through both."""
+    from dataweb_spark.catalog.loader import dump_web_dir, load_web_dir
+    from dataweb_spark.demo import build_demo_web
+    from dataweb_spark.plans.gateway import QueryGateway
+
+    web = build_demo_web(sf_dir)
+    dump_web_dir(web, str(tmp_path / "export"))
+    back = load_web_dir(str(tmp_path / "export"))
+
+    assert set(back.relays) == set(web.relays)
+    for name, relay in web.relays.items():
+        r2 = back.relays[name]
+        assert set(r2.entities) == set(relay.entities)
+        assert set(r2.sources) == set(relay.sources)
+        for sname, s in relay.sources.items():
+            s2 = r2.sources[sname]
+            assert s2.mappings == s.mappings
+            assert s2.default_permission == s.default_permission
+            assert s2.user_permissions == s.user_permissions
+            assert s2.source_sql == s.source_sql
+        assert r2.remote_mappings == relay.remote_mappings
+
+    sql = ("select returnflag, count(*) as n, round(sum(quantity), 2) as q "
+           "from lineitem group by returnflag order by returnflag")
+    a = QueryGateway(spark, web, "na_us").query(sql).collect()
+    b = QueryGateway(spark, back, "na_us").query(sql).collect()
+    assert a == b
+
+
+def test_dump_load_roundtrip_preserves_users_and_bounds(tmp_path, sf_dir):
+    from dataweb_spark.catalog.loader import (
+        dump_relay_dir, load_relay_dir,
+    )
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Information, Mapping,
+        RelayCatalog, Transformation,
+    )
+    from dataweb_spark.sources import pki
+
+    r = RelayCatalog(name="rt")
+    r.add_entity(Entity("e", [Information("a", "bigint"),
+                              Information("b", "double")]))
+    r.add_connection(DataConnection("files", "file", {"path": sf_dir}))
+    r.add_source(DataSource(
+        name="s1", connection="files", entity="e",
+        source_sql="select * from {table}",
+        mappings=[Mapping("a", "x"),
+                  Mapping("b", "y", Transformation("{v} * 100", "{v} / 100"))],
+        options={"table": "lineitem.parquet"},
+        bounds={"a": (1, 9)}))
+    der, _key = pki.generate_identity("rt-user")
+    r.add_user(pki.X509User(pki.fingerprint_der(der), principal="reader",
+                            attributes={"is_admin": False}))
+    dump_relay_dir(r, str(tmp_path / "rt"))
+    back = load_relay_dir("rt", str(tmp_path / "rt"))
+    s = back.sources["s1"]
+    assert s.mappings[1].transformation == Transformation("{v} * 100",
+                                                          "{v} / 100")
+    assert s.bounds == {"a": (1, 9)}
+    (u,) = back.users.values()
+    assert u.principal == "reader" and u.attributes == {"is_admin": False}
