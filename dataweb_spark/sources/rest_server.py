@@ -23,6 +23,9 @@ Routes (``rest_server/src/query/route.rs:149-268`` / ``:57-147``):
                            ``is_admin`` x509 principal attribute,
                            ``core/src/model/user.rs:17-28``); disabled
                            entirely when the server has no admin token.
+* ``GET  /admin/config``   the LIVE catalog exported as YAML config
+                           documents (``relayctl get`` analog) — apply ∘
+                           export round-trips; same admin-token guard.
 
 Built on stdlib ``http.server`` (nothing to install); each request is
 handled on its own thread (``ThreadingHTTPServer``) and execution is the
@@ -129,7 +132,27 @@ class RestRelayServer:
                         return self._send(200, outer.manager.status(m.group(1)))
                     except KeyError:
                         return self._send(404, {"error": "unknown job"})
+                if url.path == "/admin/config":
+                    return self._admin_config()
                 self._send(404, {"error": "not found"})
+
+            def _admin_config(self) -> None:
+                """``relayctl get/export`` over HTTP: the live catalog as
+                YAML config documents — what you apply is what you get
+                back, including every /admin/apply mutation since start.
+                Same guard as apply (the catalog embeds permission SQL and
+                user registrations)."""
+                import yaml
+
+                from dataweb_spark.catalog.loader import relay_documents
+                if outer._admin_token is None:
+                    return self._send(403, {"error": "admin disabled"})
+                if self.headers.get("X-Admin-Token") != outer._admin_token:
+                    return self._send(403, {"error": "bad admin token"})
+                docs = relay_documents(outer.web.relay(outer.relay_name))
+                body = yaml.safe_dump_all(docs, sort_keys=False)
+                self._send(200, body.encode("utf-8"),
+                           content_type="application/yaml")
 
             def _results(self, job_id: str, partial: bool) -> None:
                 try:

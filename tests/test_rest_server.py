@@ -233,3 +233,54 @@ def test_admin_apply_bad_yaml_is_400(admin_rest):
     code, body = _post_yaml(admin_rest.port, "/admin/apply",
                             "kind: Nonsense\nname: x", token="secret-admin")
     assert code == 400
+
+
+def test_admin_config_export_roundtrip(admin_rest):
+    """GET /admin/config returns the live catalog as YAML documents;
+    applying a mutation first must be visible in the export, and the
+    export must re-load into an equivalent catalog."""
+    import yaml
+
+    from dataweb_spark.catalog.loader import apply_config_documents
+    from dataweb_spark.catalog.model import RelayCatalog
+
+    # mutate the live relay through the apply path
+    code, body = _post_yaml(admin_rest.port, "/admin/apply", """
+kind: Entity
+name: tiny
+informations:
+  - {name: k, data_type: bigint}
+""", token="secret-admin")
+    assert code == 200, body
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{admin_rest.port}/admin/config",
+        headers={"X-Admin-Token": "secret-admin"})
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        text = r.read().decode()
+    docs = [d for d in yaml.safe_load_all(text) if d]
+    names = {(d["kind"], d.get("name", d.get("local_entity")))
+             for d in docs}
+    assert ("Entity", "lineitem") in names
+    assert ("Entity", "tiny") in names          # the live mutation exported
+    assert ("DataSource", "lineitem_trino") in names
+
+    rebuilt = RelayCatalog(name="rebuilt")
+    apply_config_documents(rebuilt, docs)
+    live = admin_rest.web.relay("na_us")
+    assert set(rebuilt.entities) == set(live.entities)
+    assert set(rebuilt.sources) == set(live.sources)
+    for n, s in live.sources.items():
+        assert rebuilt.sources[n].mappings == s.mappings
+        assert rebuilt.sources[n].default_permission == s.default_permission
+
+
+def test_admin_config_requires_token(admin_rest):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{admin_rest.port}/admin/config")
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected 403")
+    except urllib.error.HTTPError as e:
+        assert e.code == 403
