@@ -269,12 +269,17 @@ class TrinoLikeServer:
             return v
 
         qid = _uuid.uuid4().hex[:12]
-        self._results[qid] = {
-            "columns": [{"name": f.name, "type": trino_type(f.type)}
-                        for f in tbl.schema],
-            "rows": [[jsonable(v) for v in row.values()]
-                     for row in tbl.to_pylist()],
-        }
+        with self._lock:
+            self._results[qid] = {
+                "columns": [{"name": f.name, "type": trino_type(f.type)}
+                            for f in tbl.schema],
+                "rows": [[jsonable(v) for v in row.values()]
+                         for row in tbl.to_pylist()],
+            }
+            # abandoned chains (e.g. a client that only peeked the first
+            # page for schema resolution) must not accumulate forever
+            while len(self._results) > 64:
+                self._results.pop(next(iter(self._results)))
         return self._page(qid, 0)
 
     def _page(self, qid: str, idx: int) -> dict:
