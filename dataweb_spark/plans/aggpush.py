@@ -37,7 +37,7 @@ class AggQuerySpec:
 
     entity: str
     # output columns in order: ("group", source_attr, out_name) or
-    # ("agg", fn, arg_sql_or_None_for_star, out_name)
+    # ("agg", fn, arg_sql_or_None_for_star, out_name, round_digits_or_None)
     outputs: list[tuple] = field(default_factory=list)
     group_attrs: list[str] = field(default_factory=list)
     where_sql: str | None = None
@@ -53,7 +53,10 @@ class AggQuerySpec:
             if out[0] == "group":
                 items.append(f"{out[1]} AS {out[2]}")
             else:
-                _, fn, arg, _ = out
+                # rounding happens at MERGE time over the combined value;
+                # partials stay unrounded (rounding partials would change
+                # the combined sum)
+                _, fn, arg, _, _digits = out
                 if fn == "avg":
                     items.append(f"sum({arg}) AS __p{i}_s")
                     items.append(f"count({arg}) AS __p{i}_c")
@@ -76,18 +79,20 @@ class AggQuerySpec:
         for i, out in enumerate(self.outputs):
             if out[0] != "agg":
                 continue
-            _, fn, arg, name = out
+            _, fn, arg, name, digits = out
             if fn == "count":
-                aggs.append(F.sum(f"__p{i}").cast("bigint").alias(name))
+                expr = F.sum(f"__p{i}").cast("bigint")
             elif fn == "sum":
-                aggs.append(F.sum(f"__p{i}").alias(name))
+                expr = F.sum(f"__p{i}")
             elif fn == "min":
-                aggs.append(F.min(f"__p{i}").alias(name))
+                expr = F.min(f"__p{i}")
             elif fn == "max":
-                aggs.append(F.max(f"__p{i}").alias(name))
+                expr = F.max(f"__p{i}")
             else:  # avg = total sum / total non-null count
-                aggs.append((F.sum(f"__p{i}_s")
-                             / F.sum(f"__p{i}_c")).alias(name))
+                expr = F.sum(f"__p{i}_s") / F.sum(f"__p{i}_c")
+            if digits is not None:
+                expr = F.round(expr, digits)
+            aggs.append(expr.alias(name))
         if group_names:
             out = partials.groupBy(*group_names).agg(*aggs)
         else:
@@ -131,8 +136,24 @@ def _bare_attr(jexpr) -> str | None:
 
 
 def _agg_call(jexpr):
-    """``(fn, arg_sql | None)`` for a supported plain aggregate call —
-    count(*)/count(col)/sum/min/max/avg over a bare column — else None."""
+    """``(fn, arg_sql | None, round_digits | None)`` for a supported
+    aggregate call — count(*)/count(col)/sum/min/max/avg over a bare
+    column, optionally wrapped in ``round(..., n)`` (rounding commutes
+    with the merge: it applies once over the COMBINED value) — else
+    None."""
+    digits = None
+    if _cls(jexpr) == "UnresolvedFunction":
+        parts = jexpr.nameParts()
+        if (parts.size() == 1
+                and str(parts.apply(0)).lower() == "round"
+                and not jexpr.isDistinct()):
+            args = jexpr.arguments()
+            if args.size() == 2 and _cls(args.apply(1)) == "Literal":
+                try:
+                    digits = int(str(args.apply(1).value()))
+                except ValueError:
+                    return None
+                jexpr = args.apply(0)
     if _cls(jexpr) != "UnresolvedFunction":
         return None
     parts = jexpr.nameParts()
@@ -146,11 +167,11 @@ def _agg_call(jexpr):
         return None
     a0 = args.apply(0)
     if fn == "count" and _cls(a0) == "Literal":
-        return "count", None  # count(*) parses as count(1)
+        return "count", None, digits  # count(*) parses as count(1)
     col = _bare_attr(a0)
     if col is None:
         return None
-    return fn, col
+    return fn, col, digits
 
 
 def extract_aggregate_query(spark: SparkSession, sql: str,
@@ -237,7 +258,8 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
                 call = _agg_call(child)
                 if call is None:
                     return None
-                spec.outputs.append(("agg", call[0], call[1], out_name))
+                spec.outputs.append(
+                    ("agg", call[0], call[1], out_name, call[2]))
         else:
             return None
         if out_name.lower() in names_seen:

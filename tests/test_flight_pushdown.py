@@ -228,6 +228,11 @@ def test_engine_partial_aggregate_differential(spark, demo_web, peer_server,
         # NULL-heavy column: csv source maps no orderkey (NULL-filled)
         "select returnflag, count(orderkey) as n, avg(orderkey) as a "
         "from lineitem group by returnflag",
+        # round() wrappers commute with the merge (applied once, combined)
+        "select returnflag, round(sum(quantity), 2) as q, "
+        "round(avg(extendedprice), 4) as p from lineitem "
+        "group by returnflag order by returnflag",
+        "select round(sum(tax_amount), 2) as t from lineitem",
     ]
     for sql in grid:
         fast = edge_gateway.query(sql).collect()
