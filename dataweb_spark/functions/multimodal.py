@@ -2,14 +2,15 @@
 
 Media are opaque ``binary`` columns + a typed metadata struct; all transforms
 run as Arrow-batched ``mapInPandas`` / pandas UDFs so bytes never cross the
-JVM↔Python boundary row-at-a-time. Uncompressed formats decode for REAL in
-pure numpy — BMP/PPM rasters and RIFF/WAVE PCM-16 audio — so the
-encode→decode→feature paths are fully verifiable; compressed codecs
-(jpg/png/mp3/mp4, via PIL/ffmpeg/…) are NOT in this container, so those
-kernels stay stubbed: ``decode_fake``-style byte statistics keep schema,
-partitioning, batch shape and UDF signatures real and testable, and
-``decode_real`` raises ``NotImplementedError`` until a codec library is
-installed.
+JVM↔Python boundary row-at-a-time. Formats whose spec needs nothing beyond
+numpy + the stdlib decode for REAL — BMP/PPM rasters, PNG (zlib inflate +
+all five scanline filters), and RIFF/WAVE PCM-16 audio — so the
+encode→decode→feature paths are fully verifiable; codecs that genuinely
+require external libraries (jpg/mp3/mp4, via PIL/ffmpeg/…) are NOT in this
+container, so those kernels stay stubbed: ``decode_fake``-style byte
+statistics keep schema, partitioning, batch shape and UDF signatures real
+and testable, and ``decode_real`` raises ``NotImplementedError`` until a
+codec library is installed.
 
 Scale notes: media rows are large — transforms use ``mapInPandas`` (per
 batch, streaming) rather than collect; ``maxRecordsPerBatch`` bounds Arrow
@@ -71,15 +72,17 @@ def synthesize_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
 
 
 def decode_real(content: bytes, fmt: str):
-    """Decode a media blob to pixels. Uncompressed raster formats (BMP,
-    PPM) decode here in pure numpy — REAL codecs, fully verifiable.
-    Compressed formats (jpg/png/audio/video) require libraries not present
-    in this container and raise until one is installed."""
+    """Decode a media blob to pixels. BMP and PPM rasters decode in pure
+    numpy; PNG decodes via stdlib zlib + the pure-numpy unfilter below —
+    all REAL codecs, fully verifiable. Formats that require external
+    libraries (jpg/mp3/mp4) raise until one is installed."""
     fmt = (fmt or "").lower()
     if fmt == "bmp":
         return decode_bmp(content)
     if fmt in ("ppm", "pnm"):
         return decode_ppm(content)
+    if fmt == "png":
+        return decode_png(content)
     raise NotImplementedError(
         f"decode of {fmt!r} requires PIL/av/soundfile; install a codec "
         f"library and extend decode_real")
@@ -174,6 +177,141 @@ def decode_ppm(data: bytes):
         raise NotImplementedError("only 8-bit PPM supported")
     arr = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
     return arr.reshape(h, w, 3)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """Encode a uint8 array as a real, spec-compliant PNG (stdlib zlib —
+    no external codec). Shapes: ``(H, W)`` → greyscale (color type 0),
+    ``(H, W, 3)`` → truecolor (2), ``(H, W, 4)`` → truecolor+alpha (6);
+    8-bit, non-interlaced. ``filter_type`` (0-4) applies that scanline
+    filter (None/Sub/Up/Average/Paeth) to every row, so round-trip tests
+    can exercise each unfilter path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    if filter_type not in range(5):
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    raw = arr.astype(np.int16)
+    prior = np.zeros((w, ch), dtype=np.int16)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        left = np.vstack([np.zeros((1, ch), np.int16), cur[:-1]])
+        if filter_type == 0:
+            out = cur
+        elif filter_type == 1:
+            out = cur - left
+        elif filter_type == 2:
+            out = cur - prior
+        elif filter_type == 3:
+            out = cur - (left + prior) // 2
+        else:  # Paeth
+            ul = np.vstack([np.zeros((1, ch), np.int16), prior[:-1]])
+            out = cur - _paeth(left, prior, ul)
+        lines.append(bytes([filter_type]) + (out % 256).astype(np.uint8)
+                     .tobytes())
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a, b, c):
+    """PNG Paeth predictor, vectorized over a scanline (int16 arrays)."""
+    import numpy as np
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(data: bytes):
+    """Decode an 8-bit non-interlaced PNG (color types 0/2/6) into an
+    ``(H, W, 3)`` uint8 RGB array: chunk walk, zlib inflate, then
+    sequential per-scanline unfilter (all five filter types). Greyscale is
+    replicated across channels; alpha is dropped."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG color types 0/2/4/6 supported "
+            f"(depth={depth}, color={color_type}, interlace={interlace})")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has wrong length")
+    flat = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    recon = np.zeros((h, w, channels), dtype=np.int16)
+    prior = np.zeros((w, channels), dtype=np.int16)
+    for y in range(h):
+        ftype = int(flat[y, 0])
+        line = flat[y, 1:].reshape(w, channels).astype(np.int16)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:
+            cur = (line + prior) % 256
+        elif ftype in (1, 3, 4):
+            # left-dependent recurrence — sequential over pixels
+            cur = np.zeros((w, channels), dtype=np.int16)
+            for x in range(w):
+                left = cur[x - 1] if x else np.zeros(channels, np.int16)
+                up = prior[x]
+                ul = prior[x - 1] if x else np.zeros(channels, np.int16)
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter byte {ftype}")
+        recon[y] = cur
+        prior = cur
+    px = recon.astype(np.uint8)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:  # grey + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]
 
 
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:
@@ -296,6 +434,69 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
         kernel, schema=AUDIO_FEATURE_SCHEMA)
 
 
+def synthesize_sine_media(spark, n: int = 64, sample_rate: int = 8000,
+                          n_samples: int = 1000) -> DataFrame:
+    """Deterministic pure-tone WAV table: clip ``m`` is a PCM-16 sine of
+    frequency ``8·(25 + m % 50)`` Hz — an exact integer number of periods
+    over ``n_samples`` at ``sample_rate`` (bin width 8 Hz), so its DFT has
+    all energy in one bin and the spectral features below have closed-form
+    expected values an external oracle can state analytically."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["id"]:
+                m = int(m)
+                freq = (sample_rate / n_samples) * (25 + m % 50)
+                t = np.arange(n_samples) / sample_rate
+                samples = np.round(
+                    12000.0 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+                rows.append((m, "audio", encode_wav(samples, sample_rate),
+                             {"format": "wav", "width": None, "height": None,
+                              "duration_s": n_samples / sample_rate}))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "content",
+                                        "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+SPECTRUM_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("n_bins", IntegerType()),
+    StructField("dominant_bin", IntegerType()),
+    StructField("dominant_freq_hz", DoubleType()),
+])
+
+
+def extract_audio_spectrum(media: DataFrame) -> DataFrame:
+    """REAL frequency analysis: WAV decode → rfft (numpy) → dominant
+    non-DC bin and its frequency. Integer outputs are robust to PCM-16
+    quantization noise (which perturbs magnitudes ~90 dB below a tone),
+    so pure-tone inputs are exactly oracle-checkable. Arrow-batched
+    ``mapInPandas`` — the FFT runs where the bytes live."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rate, samples = decode_wav(bytes(content))
+                mono = samples[:, 0].astype(np.float64)
+                spec = np.abs(np.fft.rfft(mono))
+                n_bins = spec.size
+                k = 1 + int(np.argmax(spec[1:])) if n_bins > 1 else 0
+                out.append((int(mid), int(mono.size), int(n_bins), k,
+                            round(k * rate / mono.size, 6)))
+            yield pd.DataFrame(out, columns=[f.name for f
+                                             in SPECTRUM_SCHEMA])
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, schema=SPECTRUM_SCHEMA)
+
+
 def synthesize_bmp_media(spark, n: int = 64) -> DataFrame:
     """Deterministic REAL-BMP media table: image ``m`` is ``(8 + m % 3)``
     rows × ``(8 + m % 5)`` cols with pixel value
@@ -317,6 +518,35 @@ def synthesize_bmp_media(spark, n: int = 64) -> DataFrame:
                 px = ((3 * x + 5 * y + 7 * m + 11 * c) % 256).astype(np.uint8)
                 rows.append((m, "image", encode_bmp(px),
                              {"format": "bmp", "width": w, "height": h,
+                              "duration_s": None}))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "content",
+                                        "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synthesize_png_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL-PNG media table: same analytic pixel closed form
+    as ``synthesize_bmp_media`` (``(3x + 5y + 7m + 11c) mod 256`` over
+    ``(8 + m % 3) × (8 + m % 5)``), but zlib-compressed through the real
+    PNG encoder with scanline filter ``m % 5`` — so a full-table decode
+    exercises every PNG filter type, and the SAME external oracle verifies
+    the features analytically. Distributed generation."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["id"]:
+                m = int(m)
+                w, h = 8 + m % 5, 8 + m % 3
+                x = np.arange(w).reshape(1, w, 1)
+                y = np.arange(h).reshape(h, 1, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = ((3 * x + 5 * y + 7 * m + 11 * c) % 256).astype(np.uint8)
+                rows.append((m, "image", encode_png(px, filter_type=m % 5),
+                             {"format": "png", "width": w, "height": h,
                               "duration_s": None}))
             yield pd.DataFrame(rows,
                                columns=["media_id", "kind", "content",
@@ -419,13 +649,70 @@ def extract_features(media: DataFrame,
         kernel, schema=FEATURE_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: updates metadata, passes content through the same
-    mapInPandas shape a real resampler would use (kernel stubbed to
-    identity bytes — container has no image codec)."""
+def _box_resize(px, width: int, height: int):
+    """Integer-grid box-average resample of an (H, W, 3) uint8 raster to
+    ``width × height``: target cell (X, Y) is the floor-of-mean of source
+    box ``x ∈ [X·w//W, max((X+1)·w//W, X·w//W + 1))`` (same for y) —
+    downscale boxes are the classic area partition, upscale boxes
+    degenerate to one pixel (nearest-neighbor). Box sums come from a 2-D
+    integral image: O(H·W) total, vectorized."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    x0 = np.arange(width) * w // width
+    x1 = np.maximum((np.arange(width) + 1) * w // width, x0 + 1)
+    y0 = np.arange(height) * h // height
+    y1 = np.maximum((np.arange(height) + 1) * h // height, y0 + 1)
+    integ = np.zeros((h + 1, w + 1, 3), dtype=np.int64)
+    integ[1:, 1:] = px.astype(np.int64).cumsum(0).cumsum(1)
+    sums = (integ[np.ix_(y1, x1)] - integ[np.ix_(y0, x1)]
+            - integ[np.ix_(y1, x0)] + integ[np.ix_(y0, x0)])
+    counts = ((y1 - y0)[:, None] * (x1 - x0)[None, :])[:, :, None]
+    return (sums // counts).astype(np.uint8)
+
+
+def resize_media(media: DataFrame, width: int, height: int,
+                 out_format: str = "bmp") -> DataFrame:
+    """REAL image resize: decode (BMP/PPM/PNG), integer-grid box-average
+    resample to ``width × height``, re-encode. Target cell ``(X, Y)``
+    averages the source box ``x ∈ [X·w//W, max((X+1)·w//W, X·w//W + 1))``
+    (same for y): downscale boxes are the classic area partition, upscale
+    boxes degenerate to one pixel (nearest-neighbor). Each cell becomes
+    ``floor(sum / count)`` — deliberately integer so an external SQL oracle
+    can reproduce every resized pixel exactly, making the
+    decode→resample→encode path hash-checkable end-to-end (see
+    ``_box_resize``). Arrow-batched ``mapInPandas``; blobs never leave the
+    executors. Blobs in formats the decoder doesn't support fail the task
+    (fail-fast beats silently passing bytes through)."""
+    encoders = {"bmp": encode_bmp, "ppm": encode_ppm,
+                "png": encode_png}
+    enc = encoders[out_format]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # real impl: decode → resample(width, height) → re-encode
+            rows = []
+            for mid, kind, content, meta in zip(
+                    pdf["media_id"], pdf["kind"], pdf["content"],
+                    pdf["meta"]):
+                px = decode_real(bytes(content), (meta or {}).get("format"))
+                out = _box_resize(px, width, height)
+                rows.append((int(mid), kind, enc(out),
+                             {"format": out_format, "width": width,
+                              "height": height, "duration_s": None}))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "meta"])
+
+    return media.select("media_id", "kind", "content", "meta") \
+                .mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing for blobs in formats WITHOUT a real decoder here
+    (jpg/mp4): updates metadata, passes content through the same
+    mapInPandas shape ``resize_media`` uses for decodable formats."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # real impl (see resize_media): decode → resample → re-encode
             yield pdf
 
     resized = media.select("media_id", "kind", "content").mapInPandas(

@@ -3569,6 +3569,110 @@ order by media_id
 """)
 
 
+def _multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode → features: the same analytic raster closed form as
+    ``multimodal_features``, but zlib-compressed through the pure-python
+    PNG encoder with scanline filter ``m % 5`` — decoding the table
+    exercises every PNG filter type (None/Sub/Up/Average/Paeth), and the
+    identical DuckDB oracle verifies the recovered pixels analytically.
+    Proves the compressed-codec path end-to-end with no codec library."""
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_png_media(spark, n=64)
+    return (M.extract_image_features(media)
+             .select("media_id", "width", "height", "px_sum", "px_mean")
+             .orderBy("media_id"))
+
+
+_df("multimodal_png_features", _multimodal_png, oracle="""
+with m as (select range as media_id from range(64)),
+dims as (
+  select media_id, cast(8 + media_id % 5 as int) as width,
+         cast(8 + media_id % 3 as int) as height
+  from m
+), px as (
+  select d.media_id, d.width, d.height,
+         (3 * x.x + 5 * y.y + 7 * d.media_id + 11 * c.c) % 256 as v
+  from dims d,
+       unnest(range(d.width)) as x(x),
+       unnest(range(d.height)) as y(y),
+       unnest(range(3)) as c(c)
+)
+select media_id, width, height,
+       cast(sum(v) as bigint) as px_sum,
+       round(sum(v) / cast(width * height * 3 as double), 6) as px_mean
+from px
+group by media_id, width, height
+order by media_id
+""")
+
+
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize: analytic BMPs are decoded, box-average-resampled to
+    4×4 on the integer grid (target cell = floor-mean of its source box),
+    re-encoded, decoded AGAIN, and reduced to pixel statistics. Floor-of-
+    mean makes every resized pixel an exact integer, so the DuckDB oracle
+    reproduces the full decode→resample→encode→decode chain analytically
+    (source boxes partition the raster: all images downscale)."""
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_bmp_media(spark, n=64)
+    resized = M.resize_media(media, 4, 4)
+    return (M.extract_image_features(resized)
+             .select("media_id", "width", "height", "px_sum", "px_mean")
+             .orderBy("media_id"))
+
+
+_df("multimodal_resize", _multimodal_resize, oracle="""
+with m as (select range as media_id from range(64)),
+dims as (
+  select media_id, 8 + media_id % 5 as w, 8 + media_id % 3 as h from m
+), px as (
+  select d.media_id, d.w, d.h, x.x as x, y.y as y, c.c as c,
+         (3 * x.x + 5 * y.y + 7 * d.media_id + 11 * c.c) % 256 as v
+  from dims d,
+       unnest(range(d.w)) as x(x),
+       unnest(range(d.h)) as y(y),
+       unnest(range(3)) as c(c)
+), grid as (
+  select media_id, w, h, xx.cx as cx, yy.cy as cy
+  from dims, unnest(range(4)) as xx(cx), unnest(range(4)) as yy(cy)
+), cells as (
+  select g.media_id, g.cx, g.cy, p.c, sum(p.v) // count(*) as rv
+  from grid g join px p on p.media_id = g.media_id
+   and p.x >= (g.cx * g.w) // 4 and p.x < ((g.cx + 1) * g.w) // 4
+   and p.y >= (g.cy * g.h) // 4 and p.y < ((g.cy + 1) * g.h) // 4
+  group by g.media_id, g.cx, g.cy, p.c
+)
+select media_id, cast(4 as int) as width, cast(4 as int) as height,
+       cast(sum(rv) as bigint) as px_sum,
+       round(sum(rv) / 48.0, 6) as px_mean
+from cells
+group by media_id
+order by media_id
+""")
+
+
+def _multimodal_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frequency analysis: pure-tone PCM-16 clips (an exact integer
+    number of periods each, so the DFT concentrates in one bin) are
+    decoded and FFT'd on the executors; the dominant bin must land exactly
+    on the synthesized frequency. PCM-16 quantization noise sits ~90 dB
+    below the tone and cannot move an argmax, so integer bin outputs are
+    deterministic and the oracle states them in closed form."""
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_sine_media(spark, n=64)
+    return M.extract_audio_spectrum(media).orderBy("media_id")
+
+
+_df("multimodal_audio_spectrum", _multimodal_spectrum, oracle="""
+select range as media_id, cast(1000 as bigint) as n_samples,
+       cast(501 as int) as n_bins,
+       cast(25 + range % 50 as int) as dominant_bin,
+       round((25 + range % 50) * 8.0, 6) as dominant_freq_hz
+from range(64)
+order by media_id
+""")
+
+
 # ===========================================================================
 # Driver window ordering
 # ===========================================================================
@@ -3631,11 +3735,15 @@ _DRIVER_WINDOW = [
     "multimodal_audio_features",
     "multimodal_features",
     "multimodal_frame_counts",
-    "tpch_q1_pricing_summary",
+    # new in r5 session 2: real PNG codec, real resize, FFT spectrum —
+    # never driver-checked, so they take window slots from multi-round
+    # greens (tpch_q1/q9, events_sessionization rotated out; still
+    # declared + locally swept):
+    "multimodal_png_features",
+    "multimodal_resize",
+    "multimodal_audio_spectrum",
     "fed_engine_agg_pushdown",
-    "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
-    "events_sessionization",
     "asof_join_purchase_click",
     "range_join_price_bands",
     "text_stopword_quality",

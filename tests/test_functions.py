@@ -190,8 +190,9 @@ def test_media_pipeline_shapes(spark):
 
 
 def test_decode_real_raises_for_compressed_formats(spark):
+    # png decodes for real now (stdlib zlib); jpg still needs a library
     with pytest.raises(NotImplementedError):
-        multimodal.decode_real(b"bytes", "png")
+        multimodal.decode_real(b"bytes", "jpg")
 
 
 def test_bmp_roundtrip_exact():
@@ -238,6 +239,52 @@ def test_image_features_match_closed_form(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert r["px_sum"] == int(px.sum())
         assert r["px_mean"] == round(float(px.mean()), 6)
+
+
+def test_png_media_features_match_bmp_media(spark):
+    """The PNG path (zlib compress + per-image filter type m%5) must
+    recover the identical rasters the BMP path produces — same closed
+    form, two real codecs."""
+    bmp = multimodal.extract_image_features(
+        multimodal.synthesize_bmp_media(spark, n=12)).collect()
+    png = multimodal.extract_image_features(
+        multimodal.synthesize_png_media(spark, n=12)).collect()
+    assert sorted(map(tuple, bmp)) == sorted(map(tuple, png))
+
+
+def test_resize_media_distributed_matches_kernel(spark):
+    """resize_media over Spark equals _box_resize applied locally to the
+    same synthesized rasters — and the output re-decodes (real re-encode)."""
+    import numpy as np
+    media = multimodal.synthesize_bmp_media(spark, n=8)
+    out = {r["media_id"]: r for r in
+           multimodal.resize_media(media, 5, 3).collect()}
+    assert len(out) == 8
+    for m in range(8):
+        w, h = 8 + m % 5, 8 + m % 3
+        x = np.arange(w).reshape(1, w, 1)
+        y = np.arange(h).reshape(h, 1, 1)
+        c = np.arange(3).reshape(1, 1, 3)
+        px = ((3 * x + 5 * y + 7 * m + 11 * c) % 256).astype(np.uint8)
+        want = multimodal._box_resize(px, 5, 3)
+        got = multimodal.decode_bmp(bytes(out[m]["content"]))
+        assert (got == want).all()
+        assert out[m]["meta"]["width"] == 5
+        assert out[m]["meta"]["height"] == 3
+
+
+def test_audio_spectrum_finds_planted_tone(spark):
+    """Every pure-tone clip's dominant FFT bin must equal the synthesized
+    frequency's bin exactly (integral periods → no leakage)."""
+    media = multimodal.synthesize_sine_media(spark, n=16)
+    rows = {r["media_id"]: r for r in
+            multimodal.extract_audio_spectrum(media).collect()}
+    assert len(rows) == 16
+    for m in range(16):
+        r = rows[m]
+        assert r["n_samples"] == 1000 and r["n_bins"] == 501
+        assert r["dominant_bin"] == 25 + m % 50
+        assert r["dominant_freq_hz"] == (25 + m % 50) * 8.0
 
 
 def test_ahash_is_deterministic_and_discriminative(spark):

@@ -157,6 +157,55 @@ def test_ppm_roundtrip_property(h, w, seed):
     assert (M.decode_ppm(M.encode_ppm(px)) == px).all()
 
 
+@settings(max_examples=40, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(min_value=0, max_value=2**31 - 1),
+       ftype=st.integers(min_value=0, max_value=4))
+def test_png_roundtrip_property(h, w, seed, ftype):
+    """PNG survives encode → decode bit-exactly under every scanline
+    filter type (None/Sub/Up/Average/Paeth), and agrees with the BMP
+    codec on the same raster."""
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (M.decode_png(M.encode_png(px, filter_type=ftype)) == px).all()
+    assert (M.decode_png(M.encode_png(px, filter_type=ftype))
+            == M.decode_bmp(M.encode_bmp(px))).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_png_grey_and_alpha_decode(h, w, seed):
+    """Greyscale PNGs decode replicated to 3 channels; RGBA drops alpha."""
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    assert (M.decode_png(M.encode_png(g, filter_type=2))
+            == np.repeat(g[:, :, None], 3, axis=2)).all()
+    a = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    assert (M.decode_png(M.encode_png(a, filter_type=4))
+            == a[:, :, :3]).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(min_value=0, max_value=2**31 - 1),
+       tw=st.integers(min_value=1, max_value=8),
+       th=st.integers(min_value=1, max_value=8))
+def test_resize_box_mean_property(h, w, seed, tw, th):
+    """The integral-image resize kernel (_box_resize, the exact math
+    resize_media runs per blob) equals a naive per-cell floor-of-mean over
+    the same boxes, for downscale AND upscale shapes."""
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+    got = M._box_resize(px, tw, th)
+    x0 = np.arange(tw) * w // tw
+    x1 = np.maximum((np.arange(tw) + 1) * w // tw, x0 + 1)
+    y0 = np.arange(th) * h // th
+    y1 = np.maximum((np.arange(th) + 1) * h // th, y0 + 1)
+    for Y in range(th):
+        for X in range(tw):
+            box = px[y0[Y]:y1[Y], x0[X]:x1[X]].astype(np.int64)
+            want = box.reshape(-1, 3).sum(0) // (box.shape[0] * box.shape[1])
+            assert (got[Y, X] == want).all()
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter: no false negatives, ever — for ANY member set and fp target,
 # every inserted (h1, h2) pair must test positive against the built bits.
