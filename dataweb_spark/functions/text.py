@@ -373,6 +373,46 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
                           F.col("rk").cast("int").alias("rk"), "tfidf"))
 
 
+def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      alpha: float = 1.0) -> DataFrame:
+    """Per-document log-likelihood under a corpus-trained unigram language
+    model — the CCNet/Gopher-style "perplexity filter" shape, self-trained
+    so it needs no external model file. Add-``alpha`` smoothing:
+
+        logp(tok) = ln((count(tok) + alpha) / (T + alpha·V))
+
+    with T = total corpus tokens, V = vocabulary size. Returns one row per
+    non-empty document: token count, average token log-prob, perplexity
+    (exp(-avg)). Low avg_logp ⇒ unusual token mix ⇒ quality outlier.
+
+    Distributed shape: one explode → map-side-combined token-count groupBy
+    (the trained model, vocabulary-sized) → the totals come from a 1-row
+    aggregate broadcast as a crossJoin, never collected → score-side join
+    keyed on token, then a per-doc re-aggregate. At 100 TB the model table
+    is Zipf-bounded (vocab ≪ corpus) so the score join broadcasts when it
+    fits and AQE handles the 'the'/'and' hot keys otherwise; no driver
+    materialization anywhere."""
+    base = (df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+              .where(F.size("_toks") > 0))
+    toks = base.select(id_col, F.explode("_toks").alias("tok"))
+    model = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    totals = model.agg(F.sum("cnt").alias("t_tokens"),
+                       F.count("*").alias("v_size"))
+    scored = (toks.join(model, "tok")
+                  .crossJoin(F.broadcast(totals))
+                  .withColumn("logp", F.log((F.col("cnt") + F.lit(alpha))
+                                            / (F.col("t_tokens")
+                                               + F.lit(alpha)
+                                               * F.col("v_size")))))
+    return (scored.groupBy(id_col)
+                  .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                       F.round(F.sum("logp") / F.count("*"), 6)
+                        .alias("avg_logp"),
+                       F.round(F.exp(-F.sum("logp") / F.count("*")), 6)
+                        .alias("perplexity")))
+
+
 def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """Convenience: attach the full text-analysis column set."""
     return (df

@@ -337,6 +337,89 @@ def _coerce_pair(a: Any, b: Any) -> tuple[Any, Any] | None:
     return None
 
 
+# Entity-column types whose min/max are meaningful for interval pruning
+# (matches what _literal_value can produce from query conjuncts).
+_STATS_TYPES = ("int", "bigint", "smallint", "tinyint", "long", "short",
+                "byte", "float", "double", "date", "string")
+
+
+def collect_source_stats(spark: SparkSession, web, relay_name: str,
+                         entity_name: str | None = None,
+                         overwrite: bool = False,
+                         connection_types: tuple[str, ...] = ("file", "view"),
+                         ) -> dict[tuple[str, str], dict[str, tuple]]:
+    """Auto-derive zone maps: compute per-source min/max over the mapped
+    *logical* columns and install them as ``DataSource.bounds``, so
+    source-level pruning works without hand-declared bounds (the federation
+    analog of parquet footer statistics — one cheap stats pass buys branch
+    elimination on every later query).
+
+    Soundness: stats run over the UNPERMISSIONED mapped frame (a
+    per-principal row policy narrows what a principal sees, never widens
+    it, so unpermissioned bounds cover every principal), and over the
+    logical columns (transformations applied), the same namespace query
+    conjuncts use. Bounds describe the data as-scanned: re-collect after
+    rewriting a source (append-only growth widens ranges — stale bounds can
+    then wrongly prune, exactly like any warehouse zone map, so ingest
+    pipelines should pair appends with a re-collect or ``overwrite``).
+
+    Scale shape: ONE min/max aggregate job per source — column-pruned scan,
+    map-side partial agg, single-row result (metadata, not data, comes to
+    the driver). Remote sources are each relay's own responsibility
+    (recursion passes mapped conjuncts to peers, who prune against their
+    own zone maps); by default only local ``file``/``view`` connections are
+    scanned. Returns ``{(relay, source): {col: (lo, hi)}}`` of newly
+    installed bounds. Already-declared bounds are kept unless
+    ``overwrite``.
+    """
+    import dataclasses
+    import datetime
+    from pyspark.sql import functions as F
+    from dataweb_spark.plans.resolve import map_source_frame
+    from dataweb_spark.sources.readers import read_source_frame
+
+    def _plain(v):
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        return v
+
+    installed: dict[tuple[str, str], dict[str, tuple]] = {}
+    relay = web.relay(relay_name)
+    for source in relay.sources.values():
+        if entity_name is not None and source.entity != entity_name:
+            continue
+        conn = relay.connections[source.connection]
+        if conn.kind not in connection_types:
+            continue
+        entity = relay.entities[source.entity]
+        cols = [i.name for i in entity.informations
+                if i.data_type.lower().startswith(_STATS_TYPES)
+                and source.mapping_for(i.name) is not None
+                and (overwrite or i.name not in source.bounds)]
+        if not cols:
+            continue
+        bare = dataclasses.replace(source, default_permission=None,
+                                   user_permissions={})
+        raw, projected = read_source_frame(spark, conn, bare,
+                                           None, None, None)
+        mapped = map_source_frame(raw, relay, bare, principal=None,
+                                  projected=projected)
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        row = mapped.agg(*aggs).collect()[0]
+        new: dict[str, tuple] = {}
+        for c in cols:
+            lo, hi = _plain(row[f"_lo_{c}"]), _plain(row[f"_hi_{c}"])
+            if lo is None and hi is None:
+                continue  # empty source / all-NULL column: nothing to say
+            new[c] = (lo, hi)
+        if new:
+            source.bounds = {**source.bounds, **new}
+            installed[(relay_name, source.name)] = new
+    return installed
+
+
 def source_can_match(conjuncts: list[Conjunct],
                      bounds: dict[str, tuple[Any, Any]]) -> bool:
     """False only when some conjunct is provably disjoint from the source's

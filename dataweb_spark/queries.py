@@ -1490,6 +1490,61 @@ order by ship_year
 """)
 
 
+def _fed_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning (beyond reference): a 3-epoch federation with NO
+    hand-declared bounds — ``collect_source_stats`` derives per-source
+    min/max from the data (one column-pruned min/max aggregate per source,
+    the federation analog of parquet footer stats), and a both-sided date
+    range then provably eliminates the early and late epochs from the
+    union plan. The oracle proves the answer is unchanged;
+    ``test_pruning.py`` proves the collected bounds and branch removal."""
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Information, Mapping,
+        RelayCatalog, Web,
+    )
+    from dataweb_spark.plans.gateway import QueryGateway
+    from dataweb_spark.plans.pruning import collect_source_stats
+    relay = RelayCatalog(name="home")
+    relay.add_entity(Entity("sales", [
+        Information("shipdate", "date"), Information("qty", "double")]))
+    relay.add_connection(DataConnection("files", "file", {"path": sf_dir}))
+    for name, pred in [
+        ("epoch_early", "l_shipdate < date '1995-01-01'"),
+        ("epoch_mid", "l_shipdate >= date '1995-01-01' "
+                      "and l_shipdate < date '1997-01-01'"),
+        ("epoch_late", "l_shipdate >= date '1997-01-01'"),
+    ]:
+        relay.add_source(DataSource(
+            name=name, connection="files", entity="sales",
+            source_sql=("select l_shipdate, l_quantity from {table} "
+                        f"where {pred}"),
+            mappings=[Mapping("shipdate", "l_shipdate"),
+                      Mapping("qty", "l_quantity")],
+            options={"table": "lineitem.parquet"}))
+    web = Web(relays={"home": relay})
+    collect_source_stats(spark, web, "home")
+    gw = QueryGateway(spark, web, "home")
+    return gw.query("""
+        select _source_id_ as source_id, year(shipdate) as ship_year,
+               count(*) as n, round(sum(qty), 2) as sum_qty
+        from sales
+        where shipdate >= date '1995-06-01'
+          and shipdate <= date '1996-06-30'
+        group by _source_id_, year(shipdate)
+        order by ship_year
+    """, include_provenance=True)
+
+
+_df("fed_zonemap_pruning", _fed_zonemap_pruning, oracle="""
+select 'epoch_mid' as source_id, year(l_shipdate) as ship_year,
+       count(*) as n, round(sum(l_quantity), 2) as sum_qty
+from lineitem
+where l_shipdate >= date '1995-06-01' and l_shipdate <= date '1996-06-30'
+group by ship_year
+order by ship_year
+""")
+
+
 # -- two-process federation over real gRPC ----------------------------------
 # A SEPARATE python/JVM process serves the demo na_us relay via Arrow Flight
 # (tools/run_flight_relay.py); the local "edge" relay maps its lineitem
@@ -3569,6 +3624,41 @@ order by media_id
 """)
 
 
+def _text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram LM scoring (the CCNet/Gopher perplexity-filter
+    shape): one pass trains token counts, a second scores every document's
+    average token log-probability and perplexity against them. Exactly
+    re-expressible in SQL, so the oracle replays train+score end-to-end."""
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    return (T.unigram_lm_scores(spark.table("documents"))
+             .orderBy("doc_id"))
+
+
+_df("text_lm_logprob", _text_lm_logprob, oracle=r"""
+with toks as (
+  select doc_id, u.tok
+  from (select doc_id, string_split_regex(trim(text), '\s+') as t
+        from documents
+        where length(trim(text)) > 0) d,
+       unnest(d.t) as u(tok)
+),
+model as (select tok, count(*) as cnt from toks group by tok),
+totals as (select sum(cnt) as t_tokens, count(*) as v_size from model)
+select t.doc_id,
+       cast(count(*) as bigint) as n_tokens,
+       round(sum(ln((m.cnt + 1.0) / (tt.t_tokens + 1.0 * tt.v_size)))
+             / count(*), 6) as avg_logp,
+       round(exp(-sum(ln((m.cnt + 1.0) / (tt.t_tokens + 1.0 * tt.v_size)))
+                 / count(*)), 6) as perplexity
+from toks t
+join model m using (tok)
+cross join totals tt
+group by t.doc_id
+order by t.doc_id
+""")
+
+
 def _multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode → features: the same analytic raster closed form as
     ``multimodal_features``, but zlib-compressed through the pure-python
@@ -3712,6 +3802,8 @@ _DRIVER_WINDOW = [
     "fed_six_relay_q1",
     "fed_select_star_limit",
     "fed_source_pruning",
+    "fed_zonemap_pruning",
+    "text_lm_logprob",
     "fed_template_partials",
     "fed_flight_two_process",
     "fed_flightsql_engine",
@@ -3735,17 +3827,16 @@ _DRIVER_WINDOW = [
     "multimodal_audio_features",
     "multimodal_features",
     "multimodal_frame_counts",
-    # new in r5 session 2: real PNG codec, real resize, FFT spectrum —
-    # never driver-checked, so they take window slots from multi-round
-    # greens (tpch_q1/q9, events_sessionization rotated out; still
+    # new in r5 session 2: real PNG codec, real resize, FFT spectrum,
+    # unigram-LM scoring, zone-map pruning — never driver-checked, so they
+    # take window slots from multi-round greens (tpch_q1/q9/q21,
+    # events_sessionization, range_join_price_bands rotated out; still
     # declared + locally swept):
     "multimodal_png_features",
     "multimodal_resize",
     "multimodal_audio_spectrum",
     "fed_engine_agg_pushdown",
-    "tpch_q21_waiting_suppliers",
     "asof_join_purchase_click",
-    "range_join_price_bands",
     "text_stopword_quality",
     "text_chunking",
     "dedup_duplicated_spans",

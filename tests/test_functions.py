@@ -444,6 +444,29 @@ def test_tfidf_rare_term_outranks_common(spark):
     assert top == {1: "rare", 2: "other", 3: "filler"}
 
 
+def test_unigram_lm_flags_rare_token_doc(spark):
+    """A document of corpus-rare tokens must score a lower average
+    log-prob (higher perplexity) than documents of common tokens — the
+    basic contract of a perplexity quality filter."""
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((99, "zyxgloq vphantasm qqrux"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.unigram_lm_scores(df).collect()}
+    assert len(out) == 11
+    common_best = min(out[i]["avg_logp"] for i in range(10))
+    assert out[99]["avg_logp"] < common_best
+    assert out[99]["perplexity"] > max(out[i]["perplexity"]
+                                       for i in range(10))
+    assert out[0]["n_tokens"] == 6
+
+
+def test_unigram_lm_drops_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "   "), (3, "")], ["doc_id", "text"])
+    ids = [r["doc_id"] for r in text.unigram_lm_scores(df).collect()]
+    assert ids == [1]
+
+
 def test_quantize_embeddings_roundtrip_error(spark, emb):
     q = similarity.quantize_embeddings(emb)
     rows = q.collect()

@@ -299,3 +299,57 @@ def test_output_shape_star_probe(spark):
         assert output_shape_has_star(spark, sql), sql
     for sql in no_star:
         assert not output_shape_has_star(spark, sql), sql
+
+
+# -- zone maps: auto-collected bounds ---------------------------------------
+
+def test_collect_source_stats_installs_bounds_and_prunes(spark, sf_dir):
+    """Bounds computed from the data must enable the same branch
+    elimination as hand-declared bounds — zone maps for free."""
+    from dataweb_spark.plans.pruning import collect_source_stats
+    web = _year_web(sf_dir)
+    for s in web.relay("home").sources.values():
+        s.bounds = {}
+    installed = collect_source_stats(spark, web, "home")
+    assert set(installed) == {("home", "sales_old"), ("home", "sales_new")}
+    old = web.relay("home").sources["sales_old"].bounds
+    new = web.relay("home").sources["sales_new"].bounds
+    assert old["shipdate"][1] < "1996-01-01"    # iso date strings
+    assert new["shipdate"][0] >= "1996-01-01"
+    assert old["qty"][0] >= 1.0
+    gw = QueryGateway(spark, web, "home")
+    df = gw.query(
+        f"select qty, {PROVENANCE_SOURCE} from sales "
+        "where shipdate >= date '1996-06-01'", include_provenance=True)
+    srcs = {r[0] for r in df.select(PROVENANCE_SOURCE).distinct().collect()}
+    assert srcs == {"sales_new"}
+
+
+def test_collect_source_stats_covers_all_principals(spark, sf_dir):
+    """Stats must be computed over the UNPERMISSIONED frame: a narrow
+    default row policy must not narrow the installed bounds, or a wider
+    principal's rows could be wrongly pruned."""
+    from dataweb_spark.catalog.model import SourcePermission
+    from dataweb_spark.plans.pruning import collect_source_stats
+    web = _year_web(sf_dir)
+    src = web.relay("home").sources["sales_new"]
+    src.bounds = {}
+    src.default_permission = SourcePermission(
+        frozenset({"l_shipdate", "l_quantity"}), "l_quantity < 2")
+    collect_source_stats(spark, web, "home")
+    assert src.bounds["qty"][1] > 2.0  # policy-hidden rows still covered
+
+
+def test_collect_source_stats_respects_declared_bounds(spark, sf_dir):
+    """Hand-declared bounds win unless overwrite=True; the other column
+    still gets stats."""
+    from dataweb_spark.plans.pruning import collect_source_stats
+    web = _year_web(sf_dir)
+    src = web.relay("home").sources["sales_old"]
+    declared = src.bounds["shipdate"]
+    collect_source_stats(spark, web, "home")
+    assert src.bounds["shipdate"] == declared
+    assert "qty" in src.bounds
+    collect_source_stats(spark, web, "home", overwrite=True)
+    assert src.bounds["shipdate"] != declared  # now data-derived (lo, hi)
+    assert src.bounds["shipdate"][0] is not None
