@@ -4,10 +4,11 @@ Media are opaque ``binary`` columns + a typed metadata struct; all transforms
 run as Arrow-batched ``mapInPandas`` / pandas UDFs so bytes never cross the
 JVM↔Python boundary row-at-a-time. Formats whose spec needs nothing beyond
 numpy + the stdlib decode for REAL — BMP/PPM rasters, PNG (zlib inflate +
-all five scanline filters), and RIFF/WAVE PCM-16 audio — so the
-encode→decode→feature paths are fully verifiable; codecs that genuinely
-require external libraries (jpg/mp3/mp4, via PIL/ffmpeg/…) are NOT in this
-container, so those kernels stay stubbed: ``decode_fake``-style byte
+all five scanline filters), RIFF/WAVE PCM-16 audio, and RIFF/AVI
+uncompressed video — so the encode→decode→feature paths are fully
+verifiable; codecs that genuinely require external libraries
+(jpg/mp3/mp4, via PIL/ffmpeg/…) are NOT in this container, so those
+kernels stay stubbed: ``decode_fake``-style byte
 statistics keep schema, partitioning, batch shape and UDF signatures real
 and testable, and ``decode_real`` raises ``NotImplementedError`` until a
 codec library is installed.
@@ -102,19 +103,13 @@ def encode_bmp(pixels) -> bytes:
 
     arr = np.asarray(pixels, dtype=np.uint8)
     h, w, _ = arr.shape
-    row_bytes = w * 3
-    pad = (-row_bytes) % 4
-    img_size = (row_bytes + pad) * h
+    img_size = (w * 3 + ((-w * 3) % 4)) * h
     header = (b"BM"
               + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
                             img_size, 2835, 2835, 0, 0))
-    bgr = arr[::-1, :, ::-1]  # bottom-up rows, BGR channel order
-    rows = bgr.reshape(h, row_bytes)
-    if pad:
-        rows = np.concatenate(
-            [rows, np.zeros((h, pad), dtype=np.uint8)], axis=1)
-    return header + rows.tobytes()
+    # rows bottom-up in BGR, 4-byte padded — the shared DIB layout
+    return header + _dib_body(arr)
 
 
 def decode_bmp(data: bytes):
@@ -312,6 +307,117 @@ def decode_png(data: bytes):
     if channels == 2:  # grey + alpha
         return np.repeat(px[:, :, :1], 3, axis=2)
     return px[:, :, :3]
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    import struct
+    pad = b"\x00" if len(body) % 2 else b""
+    return cid + struct.pack("<I", len(body)) + body + pad
+
+
+def _dib_body(frame) -> bytes:
+    """Bottom-up BGR 4-byte-padded pixel rows — the shared raster layout of
+    BMP files and AVI '00db' (uncompressed DIB) frames."""
+    import numpy as np
+    h, w, _ = frame.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    rows = frame[::-1, :, ::-1].reshape(h, row_bytes)
+    if pad:
+        rows = np.concatenate(
+            [rows, np.zeros((h, pad), dtype=np.uint8)], axis=1)
+    return rows.tobytes()
+
+
+def _dib_frames(payloads: list[bytes], w: int, h: int):
+    import numpy as np
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    out = np.empty((len(payloads), h, w, 3), dtype=np.uint8)
+    for i, body in enumerate(payloads):
+        rows = np.frombuffer(body, dtype=np.uint8, count=stride * h)
+        out[i] = rows.reshape(h, stride)[:, :row_bytes] \
+                     .reshape(h, w, 3)[::-1, :, ::-1]
+    return out
+
+
+def encode_avi(frames, fps: int = 10) -> bytes:
+    """Encode an (N, H, W, 3) uint8 RGB frame stack as a real uncompressed
+    AVI (RIFF 'AVI ': hdrl{avih, strl{strh 'vids'/'DIB ', strf
+    BITMAPINFOHEADER}}, movi{'00db' DIB frames}, idx1) — the video sibling
+    of the WAV/BMP codecs, pure struct+numpy."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = arr.shape
+    bodies = [_dib_body(f) for f in arr]
+    frame_size = len(bodies[0]) if bodies else 0
+    avih = struct.pack("<14I", 1_000_000 // fps, frame_size * fps, 0,
+                       0x10, n, 0, 1, frame_size, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, n, frame_size,
+                                            0xFFFFFFFF, 0)
+            + struct.pack("<4h", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
+                       2835, 2835, 0, 0)
+    strl = _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh)
+                       + _riff_chunk(b"strf", strf))
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+    movi_items = [_riff_chunk(b"00db", b) for b in bodies]
+    movi = _riff_chunk(b"LIST", b"movi" + b"".join(movi_items))
+    idx, off = [], 4  # offsets relative to the 'movi' fourcc
+    for b in bodies:
+        idx.append(struct.pack("<4sIII", b"00db", 0x10, off, len(b)))
+        off += 8 + len(b) + (len(b) % 2)
+    idx1 = _riff_chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(data: bytes):
+    """Decode an uncompressed 24-bit AVI into ``(fps, frames[N,H,W,3])``.
+    Walks the RIFF chunk tree (unknown chunks skipped, so files from other
+    writers with extra headers decode too); '00dc'/BI_RGB streams only."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    dims = {}
+    payloads: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body = buf[pos + 8:pos + 8 + size]
+            if cid == b"LIST":
+                walk(body[4:])
+            elif cid == b"avih":
+                vals = struct.unpack_from("<14I", body, 0)
+                dims["n"], dims["w"], dims["h"] = vals[4], vals[8], vals[9]
+            elif cid == b"strh" and body[:4] == b"vids":
+                scale, rate = struct.unpack_from("<II", body, 20)
+                dims["fps"] = rate // max(scale, 1)
+            elif cid == b"strf":
+                _sz, _w, _h, _pl, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", body, 0)
+                if bpp != 24 or comp != 0:
+                    raise NotImplementedError(
+                        f"only uncompressed 24-bit AVI supported "
+                        f"(bpp={bpp}, compression={comp})")
+            elif cid in (b"00db", b"00dc"):
+                payloads.append(body)
+            pos += 8 + size + (size % 2)
+
+    walk(data[12:])
+    if "w" not in dims or not payloads:
+        raise ValueError("missing avih header or frame data")
+    return dims.get("fps", 0), _dib_frames(payloads, dims["w"], dims["h"])
 
 
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:
@@ -706,6 +812,96 @@ def resize_media(media: DataFrame, width: int, height: int,
                 .mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
+def synthesize_avi_media(spark, n: int = 32, fps: int = 10) -> DataFrame:
+    """Deterministic REAL-AVI media table: clip ``m`` has ``4 + m % 3``
+    frames of ``(6 + m % 2) × (8 + m % 3)`` with pixel value
+    ``(3x + 5y + 7m + 11c + 13f) mod 256`` — the video member of the
+    analytic-closed-form family (BMP/PNG images, WAV audio), so
+    decode→sample→feature is verifiable by an external oracle.
+    Distributed generation."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["id"]:
+                m = int(m)
+                w, h, nf = 8 + m % 3, 6 + m % 2, 4 + m % 3
+                f = np.arange(nf).reshape(nf, 1, 1, 1)
+                y = np.arange(h).reshape(1, h, 1, 1)
+                x = np.arange(w).reshape(1, 1, w, 1)
+                c = np.arange(3).reshape(1, 1, 1, 3)
+                px = ((3 * x + 5 * y + 7 * m + 11 * c + 13 * f) % 256) \
+                    .astype(np.uint8)
+                rows.append((m, "video", encode_avi(px, fps),
+                             {"format": "avi", "width": w, "height": h,
+                              "duration_s": nf / fps}))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "content",
+                                        "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("content", BinaryType()),
+    StructField("meta", MEDIA_SCHEMA["meta"].dataType),
+])
+
+
+def sample_frames(media: DataFrame, every: int = 1) -> DataFrame:
+    """REAL video frame sampling: decode AVI, keep every ``every``-th
+    frame, re-encode each kept frame as a standalone BMP — one output row
+    per sampled frame, ready for the image feature/resize/dedup kernels.
+    The row-explosion (frames ≫ clips) happens inside ``mapInPandas``, so
+    it pipelines batch-by-batch without materializing whole videos."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _fps, frames = decode_avi(bytes(content))
+                _n, h, w, _ = frames.shape
+                for i in range(0, frames.shape[0], every):
+                    rows.append((int(mid), i, encode_bmp(frames[i]),
+                                 {"format": "bmp", "width": w, "height": h,
+                                  "duration_s": None}))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
+                                              "content", "meta"])
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, schema=FRAME_SCHEMA)
+
+
+FRAME_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("px_sum", LongType()),
+])
+
+
+def extract_frame_features(frames: DataFrame) -> DataFrame:
+    """Per-sampled-frame pixel statistics (decode the BMP each row carries
+    — the full video path is decode AVI → re-encode frame → decode frame,
+    every step a real codec)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, fidx, content, meta in zip(
+                    pdf["media_id"], pdf["frame_idx"], pdf["content"],
+                    pdf["meta"]):
+                px = decode_real(bytes(content), (meta or {}).get("format"))
+                h, w, _ = px.shape
+                out.append((int(mid), int(fidx), w, h, int(px.sum())))
+            yield pd.DataFrame(out, columns=[f.name for f
+                                             in FRAME_FEATURE_SCHEMA])
+
+    return frames.mapInPandas(kernel, schema=FRAME_FEATURE_SCHEMA)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing for blobs in formats WITHOUT a real decoder here
     (jpg/mp4): updates metadata, passes content through the same
@@ -728,10 +924,10 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def frame_sample_stub(media: DataFrame, every_s: float = 1.0) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled frame.
-
-    Kernel stubbed (no ffmpeg): emits ``ceil(n_bytes/1024)`` pseudo-frames
-    per blob so the explode/partitioning shape is real.
+    """Frame-sampling plumbing for container formats WITHOUT a real
+    decoder here (mp4/mkv — see ``sample_frames`` for the real AVI path):
+    one output row per pseudo-frame (``ceil(n_bytes/1024)`` per blob) so
+    the explode/partitioning shape is real.
     """
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

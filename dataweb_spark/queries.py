@@ -3763,6 +3763,47 @@ order by media_id
 """)
 
 
+def _multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path: analytic uncompressed AVIs are decoded, every 2nd
+    frame is sampled and re-encoded as a standalone BMP, and each sampled
+    frame is decoded again for pixel statistics — three real codec steps.
+    Frame pixels follow ``(3x + 5y + 7m + 11c + 13f) mod 256``, so the
+    DuckDB oracle reproduces every sampled frame's sum analytically."""
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_avi_media(spark, n=32)
+    frames = M.sample_frames(media, every=2)
+    return (M.extract_frame_features(frames)
+             .orderBy("media_id", "frame_idx"))
+
+
+_df("multimodal_video_frames", _multimodal_video, oracle="""
+with m as (select range as media_id from range(32)),
+dims as (
+  select media_id, cast(8 + media_id % 3 as int) as w,
+         cast(6 + media_id % 2 as int) as h,
+         4 + media_id % 3 as nf
+  from m
+), fr as (
+  select d.media_id, d.w, d.h, f.f as f
+  from dims d, unnest(range(d.nf)) as f(f)
+  where f.f % 2 = 0
+), px as (
+  select r.media_id, r.w, r.h, r.f,
+         (3 * x.x + 5 * y.y + 7 * r.media_id + 11 * c.c + 13 * r.f) % 256
+             as v
+  from fr r,
+       unnest(range(r.w)) as x(x),
+       unnest(range(r.h)) as y(y),
+       unnest(range(3)) as c(c)
+)
+select media_id, cast(f as int) as frame_idx, w as width, h as height,
+       cast(sum(v) as bigint) as px_sum
+from px
+group by media_id, f, w, h
+order by media_id, frame_idx
+""")
+
+
 # ===========================================================================
 # Driver window ordering
 # ===========================================================================
@@ -3835,8 +3876,8 @@ _DRIVER_WINDOW = [
     "multimodal_png_features",
     "multimodal_resize",
     "multimodal_audio_spectrum",
+    "multimodal_video_frames",
     "fed_engine_agg_pushdown",
-    "asof_join_purchase_click",
     "text_stopword_quality",
     "text_chunking",
     "dedup_duplicated_spans",

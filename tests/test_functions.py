@@ -287,6 +287,29 @@ def test_audio_spectrum_finds_planted_tone(spark):
         assert r["dominant_freq_hz"] == (25 + m % 50) * 8.0
 
 
+def test_sample_frames_real_avi_path(spark):
+    """sample_frames must emit exactly the even-indexed frames of each
+    clip, re-encoded as standalone BMPs that decode back to the closed
+    form — decode AVI → encode BMP → decode BMP, all real codecs."""
+    import numpy as np
+    media = multimodal.synthesize_avi_media(spark, n=6)
+    frames = multimodal.sample_frames(media, every=2).collect()
+    got = {(r["media_id"], r["frame_idx"]):
+           multimodal.decode_bmp(bytes(r["content"])) for r in frames}
+    expect_keys = set()
+    for m in range(6):
+        w, h, nf = 8 + m % 3, 6 + m % 2, 4 + m % 3
+        for f in range(0, nf, 2):
+            expect_keys.add((m, f))
+            x = np.arange(w).reshape(1, w, 1)
+            y = np.arange(h).reshape(h, 1, 1)
+            c = np.arange(3).reshape(1, 1, 3)
+            px = ((3 * x + 5 * y + 7 * m + 11 * c + 13 * f) % 256) \
+                .astype(np.uint8)
+            assert (got[(m, f)] == px).all()
+    assert set(got) == expect_keys
+
+
 def test_ahash_is_deterministic_and_discriminative(spark):
     media = multimodal.synthesize_bmp_media(spark, n=16)
     a = {r["media_id"]: r["ahash64"] for r in

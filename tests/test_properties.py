@@ -185,6 +185,20 @@ def test_png_grey_and_alpha_decode(h, w, seed):
 
 
 @settings(max_examples=30, deadline=None)
+@given(n=st.integers(min_value=1, max_value=6), h=dims, w=dims,
+       seed=st.integers(min_value=0, max_value=2**31 - 1),
+       fps=st.integers(min_value=1, max_value=60))
+def test_avi_roundtrip_property(n, h, w, seed, fps):
+    """Every (N, H, W, 3) uint8 frame stack survives AVI encode → decode
+    bit-exactly, with fps preserved (odd widths hit DIB row padding)."""
+    fr = np.random.default_rng(seed).integers(
+        0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    got_fps, back = M.decode_avi(M.encode_avi(fr, fps=fps))
+    assert got_fps == fps
+    assert back.shape == fr.shape and (back == fr).all()
+
+
+@settings(max_examples=30, deadline=None)
 @given(h=dims, w=dims, seed=st.integers(min_value=0, max_value=2**31 - 1),
        tw=st.integers(min_value=1, max_value=8),
        th=st.integers(min_value=1, max_value=8))
