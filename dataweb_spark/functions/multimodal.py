@@ -671,13 +671,34 @@ IMAGE_FEATURE_SCHEMA = StructType([
 ])
 
 
-def extract_image_features(media: DataFrame) -> DataFrame:
-    """REAL decode → feature extraction: dimensions, pixel sum/mean, and a
-    64-bit average-hash (8×8 block-mean luma thresholded at the global
-    mean — the standard aHash, pure numpy). Runs as Arrow-batched
-    ``mapInPandas``; blobs never leave the executors."""
+def _ahash64(px) -> int:
+    """64-bit average-hash of an (H, W, 3) raster: 8×8 block-mean luma
+    thresholded at the global mean (the standard aHash), as a SIGNED
+    64-bit int (Spark LongType). Pure numpy; any raster size via integer
+    grid assignment."""
     import numpy as np
 
+    h, w, _ = px.shape
+    luma = px.astype(np.float64).mean(axis=2)
+    gy = (np.arange(h) * 8 // h)
+    gx = (np.arange(w) * 8 // w)
+    blocks = np.zeros((8, 8))
+    counts = np.zeros((8, 8))
+    np.add.at(blocks, (gy[:, None], gx[None, :]), luma)
+    np.add.at(counts, (gy[:, None], gx[None, :]), 1.0)
+    blocks /= np.maximum(counts, 1.0)
+    bits = (blocks > luma.mean()).flatten()
+    ah = 0
+    for i, b in enumerate(bits):
+        if b:
+            ah |= (1 << i)
+    return ah - (1 << 64) if ah >= (1 << 63) else ah
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """REAL decode → feature extraction: dimensions, pixel sum/mean, and
+    the 64-bit average-hash (``_ahash64``). Runs as Arrow-batched
+    ``mapInPandas``; blobs never leave the executors."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -686,23 +707,8 @@ def extract_image_features(media: DataFrame) -> DataFrame:
                 fmt = (meta or {}).get("format")
                 px = decode_real(bytes(content), fmt)
                 h, w, _ = px.shape
-                luma = px.astype(np.float64).mean(axis=2)
-                # 8×8 block means via integer grid assignment (any size)
-                gy = (np.arange(h) * 8 // h)
-                gx = (np.arange(w) * 8 // w)
-                blocks = np.zeros((8, 8))
-                counts = np.zeros((8, 8))
-                np.add.at(blocks, (gy[:, None], gx[None, :]), luma)
-                np.add.at(counts, (gy[:, None], gx[None, :]), 1.0)
-                blocks /= np.maximum(counts, 1.0)
-                bits = (blocks > luma.mean()).flatten()
-                ah = 0
-                for i, b in enumerate(bits):
-                    if b:
-                        ah |= (1 << i)
-                ah = ah - (1 << 64) if ah >= (1 << 63) else ah
                 out.append((int(mid), w, h, int(px.sum()),
-                            round(float(px.mean()), 6), ah))
+                            round(float(px.mean()), 6), _ahash64(px)))
             yield pd.DataFrame(out, columns=[f.name for f
                                              in IMAGE_FEATURE_SCHEMA])
 
@@ -812,20 +818,24 @@ def resize_media(media: DataFrame, width: int, height: int,
                 .mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
-def synthesize_avi_media(spark, n: int = 32, fps: int = 10) -> DataFrame:
-    """Deterministic REAL-AVI media table: clip ``m`` has ``4 + m % 3``
-    frames of ``(6 + m % 2) × (8 + m % 3)`` with pixel value
-    ``(3x + 5y + 7m + 11c + 13f) mod 256`` — the video member of the
+def synthesize_avi_media(spark, n: int = 32, fps: int = 10,
+                         key_mod: int | None = None) -> DataFrame:
+    """Deterministic REAL-AVI media table: clip ``m`` has ``4 + k % 3``
+    frames of ``(6 + k % 2) × (8 + k % 3)`` with pixel value
+    ``(3x + 5y + 7k + 11c + 13f) mod 256`` — the video member of the
     analytic-closed-form family (BMP/PNG images, WAV audio), so
-    decode→sample→feature is verifiable by an external oracle.
-    Distributed generation."""
+    decode→sample→feature is verifiable by an external oracle. By default
+    ``k = m`` (every clip distinct); ``key_mod`` plants exact visual
+    duplicates (``k = m % key_mod``) for dedup contracts. Distributed
+    generation."""
     import numpy as np
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for m in pdf["id"]:
-                m = int(m)
+            for mid in pdf["id"]:
+                mid = int(mid)
+                m = mid % key_mod if key_mod else mid
                 w, h, nf = 8 + m % 3, 6 + m % 2, 4 + m % 3
                 f = np.arange(nf).reshape(nf, 1, 1, 1)
                 y = np.arange(h).reshape(1, h, 1, 1)
@@ -833,7 +843,7 @@ def synthesize_avi_media(spark, n: int = 32, fps: int = 10) -> DataFrame:
                 c = np.arange(3).reshape(1, 1, 1, 3)
                 px = ((3 * x + 5 * y + 7 * m + 11 * c + 13 * f) % 256) \
                     .astype(np.uint8)
-                rows.append((m, "video", encode_avi(px, fps),
+                rows.append((mid, "video", encode_avi(px, fps),
                              {"format": "avi", "width": w, "height": h,
                               "duration_s": nf / fps}))
             yield pd.DataFrame(rows,
@@ -872,6 +882,46 @@ def sample_frames(media: DataFrame, every: int = 1) -> DataFrame:
 
     return media.select("media_id", "content").mapInPandas(
         kernel, schema=FRAME_SCHEMA)
+
+
+SIGNATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_frames", IntegerType()),
+    StructField("signature", StringType()),
+])
+
+
+def video_signature(media: DataFrame, every: int = 1) -> DataFrame:
+    """Visual-temporal video fingerprint: decode AVI, fingerprint every
+    ``every``-th frame as ``aHash:dims:pixel-sum``, join into one
+    signature string. Re-containered copies of the same footage collapse
+    to one signature (the fingerprint sees pixels, not bytes), while the
+    aHash component keeps block structure and the sum/dims components
+    split brightness-shifted footage a bare perceptual hash would merge.
+    Video-level dedup becomes an ordinary groupBy on the signature — the
+    video member of the dedup family (exact/MinHash/SimHash/embedding/
+    semantic → visual-temporal). One mapInPandas pass; signatures are
+    tiny strings, so the downstream dedup shuffle moves fingerprints,
+    never pixels."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _fps, frames = decode_avi(bytes(content))
+                _n, h, w, _c = frames.shape
+                parts = []
+                for i in range(0, frames.shape[0], every):
+                    fr = frames[i]
+                    parts.append(
+                        f"{_ahash64(fr) & 0xFFFFFFFFFFFFFFFF:016x}"
+                        f":{w}x{h}:{int(fr.sum())}")
+                out.append((int(mid), int(frames.shape[0]),
+                            "-".join(parts)))
+            yield pd.DataFrame(out, columns=[f.name for f
+                                             in SIGNATURE_SCHEMA])
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, schema=SIGNATURE_SCHEMA)
 
 
 FRAME_FEATURE_SCHEMA = StructType([

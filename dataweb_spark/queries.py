@@ -3804,6 +3804,30 @@ order by media_id, frame_idx
 """)
 
 
+def _dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-level dedup via visual-temporal signatures: 32 real AVIs with
+    planted exact visual duplicates (clip m and m+16 share footage) are
+    fingerprinted frame-by-frame (aHash + dims + luma sum) and paired on
+    equal signatures — a groupBy over strings, pixels never shuffle. The
+    oracle states the planted pairing in closed form; distinct-footage
+    clips must yield NO pairs (proven by the row count: exactly 16)."""
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_avi_media(spark, n=32, key_mod=16)
+    sigs = M.video_signature(media)
+    a = sigs.select(F.col("signature"), F.col("media_id").alias("dup_a"))
+    b = sigs.select(F.col("signature"), F.col("media_id").alias("dup_b"))
+    return (a.join(b, "signature")
+             .where(F.col("dup_a") < F.col("dup_b"))
+             .select("dup_a", "dup_b")
+             .orderBy("dup_a"))
+
+
+_df("dedup_video_signature", _dedup_video, oracle="""
+select range as dup_a, range + 16 as dup_b from range(16)
+order by dup_a
+""")
+
+
 # ===========================================================================
 # Driver window ordering
 # ===========================================================================
@@ -3877,8 +3901,8 @@ _DRIVER_WINDOW = [
     "multimodal_resize",
     "multimodal_audio_spectrum",
     "multimodal_video_frames",
+    "dedup_video_signature",
     "fed_engine_agg_pushdown",
-    "text_stopword_quality",
     "text_chunking",
     "dedup_duplicated_spans",
     "pipeline_training_data",

@@ -310,6 +310,20 @@ def test_sample_frames_real_avi_path(spark):
     assert set(got) == expect_keys
 
 
+def test_video_signature_dedup_contract(spark):
+    """Planted visual duplicates (same footage, different media_id) must
+    collapse to one signature; distinct-footage clips must all differ."""
+    planted = multimodal.video_signature(
+        multimodal.synthesize_avi_media(spark, n=16, key_mod=8)).collect()
+    sig = {r["media_id"]: r["signature"] for r in planted}
+    for m in range(8):
+        assert sig[m] == sig[m + 8]
+    assert len(set(sig.values())) == 8
+    distinct = multimodal.video_signature(
+        multimodal.synthesize_avi_media(spark, n=16)).collect()
+    assert len({r["signature"] for r in distinct}) == 16
+
+
 def test_ahash_is_deterministic_and_discriminative(spark):
     media = multimodal.synthesize_bmp_media(spark, n=16)
     a = {r["media_id"]: r["ahash64"] for r in
