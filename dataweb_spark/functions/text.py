@@ -413,6 +413,53 @@ def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
                         .alias("perplexity")))
 
 
+def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     alpha: float = 1.0) -> DataFrame:
+    """Per-document log-likelihood under a corpus-trained BIGRAM language
+    model — the conditional-probability upgrade of
+    :func:`unigram_lm_scores` (repetitive/boilerplate text scores high,
+    shuffled-word salads score low even when their unigrams are common).
+    Add-``alpha`` smoothing over the bigram-prefix contexts:
+
+        logp(w2 | w1) = ln((count(w1 w2) + alpha) / (count(w1 ·) + alpha·V))
+
+    with V = vocabulary size. One row per document with ≥ 2 tokens:
+    bigram count, average conditional log-prob, perplexity.
+
+    Distributed shape: bigrams come from ``zip_with`` over shifted array
+    slices (no position self-join), then two map-side-combined groupBys
+    train the pair/context tables; V rides a broadcast 1-row aggregate and
+    the score join keys on (w1, w2) — Zipf-bounded like the unigram model,
+    AQE splits the hot function-word contexts."""
+    base = (df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+              .withColumn("_n", F.size("_toks"))
+              .where(F.col("_n") >= 2))
+    pair = F.zip_with(
+        F.slice(F.col("_toks"), 1, F.col("_n") - 1),
+        F.slice(F.col("_toks"), 2, F.col("_n") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    bigrams = (base.select(id_col, F.explode(pair).alias("_bg"))
+                   .select(id_col, F.col("_bg.w1").alias("w1"),
+                           F.col("_bg.w2").alias("w2")))
+    model2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    model1 = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (base.select(F.explode("_toks").alias("_t"))
+                 .agg(F.countDistinct("_t").alias("v_size")))
+    scored = (bigrams.join(model2, ["w1", "w2"]).join(model1, "w1")
+                     .crossJoin(F.broadcast(vocab))
+                     .withColumn("logp",
+                                 F.log((F.col("c12") + F.lit(alpha))
+                                       / (F.col("c1") + F.lit(alpha)
+                                          * F.col("v_size")))))
+    return (scored.groupBy(id_col)
+                  .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+                       F.round(F.sum("logp") / F.count("*"), 6)
+                        .alias("avg_logp"),
+                       F.round(F.exp(-F.sum("logp") / F.count("*")), 6)
+                        .alias("perplexity")))
+
+
 def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """Convenience: attach the full text-analysis column set."""
     return (df

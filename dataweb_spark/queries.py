@@ -11,9 +11,11 @@ Groups:
 * ``fed_*`` — the federation layer (entity views, mapping, transformations,
   permissions, provenance, remote hop) with oracles that re-express the
   mapped union in plain SQL.
-* ``dedup_* / text_* / knn_*`` — beyond-reference LLM-pipeline operators.
-  Approximate ops (MinHash LSH, hyperplane LSH, IVF) have no SQL oracle →
-  rows-only checks; each has an exact oracle-checked counterpart.
+* ``dedup_* / text_* / knn_* / multimodal_*`` — beyond-reference
+  LLM-pipeline operators. Approximate ops (MinHash LSH, hyperplane LSH,
+  IVF) carry invariant-contract oracles (r5): the deterministic parts
+  hash-match and the approximate parts are bounded/recall-checked in SQL;
+  each also has an exact oracle-checked counterpart.
 """
 
 from __future__ import annotations
@@ -3659,6 +3661,49 @@ order by t.doc_id
 """)
 
 
+def _text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram LM scoring: conditional next-token
+    log-probability with add-one smoothing over prefix contexts — the
+    stronger perplexity filter (word salads with common unigrams still
+    score low). Train and score replayed end-to-end by the SQL oracle."""
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    return (T.bigram_lm_scores(spark.table("documents"))
+             .orderBy("doc_id"))
+
+
+_df("text_bigram_lm", _text_bigram_lm, oracle=r"""
+with toks as (
+  select doc_id, string_split_regex(trim(text), '\s+') as t
+  from documents
+  where len(string_split_regex(trim(text), '\s+')) >= 2
+    and length(trim(text)) > 0
+),
+bg as (
+  select doc_id, t[i.i] as w1, t[i.i + 1] as w2
+  from toks, unnest(range(1, len(t))) as i(i)
+),
+m2 as (select w1, w2, count(*) as c12 from bg group by w1, w2),
+m1 as (select w1, count(*) as c1 from bg group by w1),
+v as (
+  select count(distinct u.tok) as v_size
+  from toks, unnest(t) as u(tok)
+)
+select b.doc_id,
+       cast(count(*) as bigint) as n_bigrams,
+       round(sum(ln((m2.c12 + 1.0) / (m1.c1 + 1.0 * v.v_size)))
+             / count(*), 6) as avg_logp,
+       round(exp(-sum(ln((m2.c12 + 1.0) / (m1.c1 + 1.0 * v.v_size)))
+                 / count(*)), 6) as perplexity
+from bg b
+join m2 on b.w1 = m2.w1 and b.w2 = m2.w2
+join m1 on b.w1 = m1.w1
+cross join v
+group by b.doc_id
+order by b.doc_id
+""")
+
+
 def _multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode → features: the same analytic raster closed form as
     ``multimodal_features``, but zlib-compressed through the pure-python
@@ -3869,6 +3914,7 @@ _DRIVER_WINDOW = [
     "fed_source_pruning",
     "fed_zonemap_pruning",
     "text_lm_logprob",
+    "text_bigram_lm",
     "fed_template_partials",
     "fed_flight_two_process",
     "fed_flightsql_engine",
@@ -3881,7 +3927,6 @@ _DRIVER_WINDOW = [
     "dedup_embedding_recall",
     "dedup_minhash_recall",
     "dedup_simhash_recall",
-    "dedup_exact_keep",
     "dedup_exact_clusters",
     "dedup_bloom_contamination",
     "dedup_incremental_ingest",

@@ -497,6 +497,25 @@ def test_unigram_lm_flags_rare_token_doc(spark):
     assert out[0]["n_tokens"] == 6
 
 
+def test_bigram_lm_flags_word_salad(spark):
+    """A shuffled doc with the SAME unigrams as the common pattern must
+    score lower under the bigram model — the signal unigram LM cannot
+    see."""
+    rows = [(i, "the cat sat down . the cat sat down .")
+            for i in range(8)]
+    rows.append((99, "down sat . the cat down the . sat cat"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uni = {r["doc_id"]: r["avg_logp"]
+           for r in text.unigram_lm_scores(df).collect()}
+    bi = {r["doc_id"]: r for r in text.bigram_lm_scores(df).collect()}
+    # same token multiset -> unigram model cannot separate them (equal
+    # within rounding); bigram model must
+    assert abs(uni[99] - uni[0]) < 1e-6
+    assert bi[99]["avg_logp"] < bi[0]["avg_logp"]
+    assert bi[99]["perplexity"] > bi[0]["perplexity"]
+    assert bi[0]["n_bigrams"] == 9
+
+
 def test_unigram_lm_drops_empty_docs(spark):
     df = spark.createDataFrame(
         [(1, "hello world"), (2, "   "), (3, "")], ["doc_id", "text"])
