@@ -154,6 +154,22 @@ def rolling_fingerprint(col: str | Column = "text", window: int = 8) -> Column:
     return F.when(n == 0, F.xxhash64(F.lit(""))).otherwise(folded)
 
 
+def letter_freq_embedding(col: str | Column = "text") -> Column:
+    """26-dim letter-frequency embedding (counts of a..z over the
+    lowercased text) as ``array<double>`` — a fully deterministic,
+    oracle-exact stand-in for a learned text encoder, used to test
+    retrieval plumbing end-to-end. Counts are integers, so dot products
+    and squared norms are exact in ANY summation order: cross-engine
+    cosine scores match to the last bit. Pure codegen (26
+    length/replace terms), map-only — no Python in the hot path."""
+    t = F.lower(col if isinstance(col, Column) else F.col(col))
+    counts = [
+        (F.length(t) - F.length(F.regexp_replace(t, ch, ""))).cast("double")
+        for ch in "abcdefghijklmnopqrstuvwxyz"
+    ]
+    return F.array(*counts)
+
+
 def chunk_documents(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", chunk_tokens: int = 64,
                     overlap: int = 16) -> DataFrame:

@@ -2859,6 +2859,74 @@ order by user_id, session_start
 """)
 
 
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension builder (gaps-and-islands): collapse
+    each user's event-type run into one versioned validity interval with
+    ``valid_from``/``valid_to``/``is_current`` — the standard warehouse
+    MERGE/SCD2 materialization, expressed shuffle-minimally: ONE exchange on
+    ``user_id`` serves the lag, the running version sum, the island
+    aggregate, and the lead (all four windows share the partitioning, so
+    Catalyst plans a single sort+shuffle). Mirrors the dimension-history
+    shape a training-data pipeline keeps for provenance snapshots."""
+    from pyspark.sql import Window
+    register_views(spark, sf_dir)
+    ev = spark.table("events").where("user_id < 30")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (ev.withColumn("prev_type", F.lag("event_type").over(w))
+              .withColumn("chg", F.when(F.col("prev_type").isNull() |
+                                        (F.col("prev_type") !=
+                                         F.col("event_type")), 1)
+                                  .otherwise(0))
+              .withColumn("version", F.sum("chg").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0))))
+    hist = (runs.groupBy("user_id", "version", "event_type")
+                .agg(F.min("ts").alias("valid_from"),
+                     F.count("*").alias("n_events"),
+                     F.round(F.sum("value"), 2).alias("segment_value")))
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return (hist.withColumn("valid_to", F.lead("valid_from").over(w2))
+                .withColumn("is_current", F.col("valid_to").isNull())
+                .select("user_id",
+                        F.col("version").cast("int").alias("version"),
+                        "event_type", "valid_from", "valid_to",
+                        "n_events", "segment_value", "is_current")
+                .orderBy("user_id", "version"))
+
+
+_df("scd2_event_history", _scd2_history, oracle="""
+with e as (
+  select user_id, event_id, event_type, ts, value
+  from events where user_id < 30
+), marked as (
+  select *,
+         case when lag(event_type) over w is null
+                or lag(event_type) over w != event_type
+              then 1 else 0 end as chg
+  from e
+  window w as (partition by user_id order by ts, event_id)
+), runs as (
+  select *, sum(chg) over (partition by user_id order by ts, event_id
+                           rows unbounded preceding) as version
+  from marked
+), hist as (
+  select user_id, version, event_type,
+         min(ts) as valid_from,
+         count(*) as n_events,
+         round(sum(value), 2) as segment_value
+  from runs
+  group by user_id, version, event_type
+)
+select user_id, cast(version as int) as version, event_type, valid_from,
+       lead(valid_from) over (partition by user_id order by version)
+           as valid_to,
+       n_events, segment_value,
+       lead(valid_from) over (partition by user_id order by version) is null
+           as is_current
+from hist
+order by user_id, version
+""")
+
+
 def _approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct + KLL-style quantile sketches, checked via error-bound
     contracts computed against the EXACT aggregates in the same query
@@ -3144,6 +3212,80 @@ select doc_id, cast(s / 48 as int) as chunk_idx,
 from starts
 order by doc_id, chunk_idx
 """)
+
+
+def _rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval pipeline: chunk the corpus (overlapping
+    64-token windows), embed every chunk AND every query with the
+    deterministic letter-frequency encoder, exact cosine top-5 chunks per
+    query. Composition of three already-proven operators (chunker →
+    embedder → brute_force_topk), oracle-exact because the embedding is
+    integer-valued (dot/norms identical across engines to the last bit).
+    Scale shape: chunk+embed are map-only codegen; the tiny query side
+    broadcasts; ranking shuffles only (n_chunks × n_queries) score rows
+    partitioned by query — the same plan the ANN path shares."""
+    from dataweb_spark.functions import similarity as S
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    chunks = T.chunk_documents(docs.where("doc_id >= 10"))
+    emb = T.letter_freq_embedding("chunk_text")
+    corpus = (chunks.select(
+        (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("vec_id"),
+        emb.alias("embedding"))
+        .where(S.dot(F.col("embedding"), F.col("embedding")) > 0))
+    qs = (docs.where("doc_id < 3")
+              .select(F.col("doc_id").alias("query_id"),
+                      T.letter_freq_embedding("text").alias("embedding")))
+    top = S.brute_force_topk(corpus, qs, k=5)
+    return (top.select(
+        "query_id", "rank",
+        F.expr("neighbor_id div 10000").alias("doc_id"),
+        (F.col("neighbor_id") % 10000).cast("int").alias("chunk_idx"),
+        "cos")
+        .orderBy("query_id", "rank"))
+
+
+_RAG_LETTERS = "[" + ", ".join(
+    f"cast(length(t) - length(replace(t, '{ch}', '')) as double)"
+    for ch in "abcdefghijklmnopqrstuvwxyz") + "]"
+
+_df("pipeline_rag_retrieval", _rag_retrieval, oracle=r"""
+with corpus_docs as (
+  select doc_id, string_split_regex(trim(text), '\s+') as toks
+  from documents where doc_id >= 10 and length(trim(text)) > 0
+), starts as (
+  select doc_id, toks,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1, 48)) as s
+  from corpus_docs
+), chunks as (
+  select doc_id, cast(s / 48 as int) as chunk_idx,
+         lower(array_to_string(toks[s + 1 : s + 64], ' ')) as t
+  from starts
+), cvec as (
+  select doc_id, chunk_idx, {L} as e from chunks
+), cnz as (
+  select doc_id, chunk_idx, e, list_dot_product(e, e) as n2
+  from cvec where list_dot_product(e, e) > 0
+), qvec as (
+  select doc_id as query_id, {L} as e
+  from (select doc_id, lower(text) as t from documents where doc_id < 3)
+), qnz as (
+  select query_id, e, list_dot_product(e, e) as n2 from qvec
+), scored as (
+  select q.query_id, c.doc_id, c.chunk_idx,
+         list_dot_product(c.e, q.e) / (sqrt(c.n2) * sqrt(q.n2)) as raw_cos
+  from cnz c, qnz q
+), ranked as (
+  select query_id, doc_id, chunk_idx, raw_cos,
+         row_number() over (partition by query_id
+                            order by raw_cos desc, doc_id, chunk_idx) as rank
+  from scored
+)
+select query_id, rank, doc_id, chunk_idx, round(raw_cos, 6) as cos
+from ranked where rank <= 5
+order by query_id, rank
+""".replace("{L}", _RAG_LETTERS))
 
 
 # (the raw rolling-fingerprint dump was retired in r5: its xxhash64 values
