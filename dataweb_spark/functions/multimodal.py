@@ -994,3 +994,120 @@ def frame_sample_stub(media: DataFrame, every_s: float = 1.0) -> DataFrame:
             StructField("media_id", LongType()),
             StructField("frame_idx", IntegerType()),
             StructField("frame_bytes", BinaryType())]))
+
+
+def synthesize_bmp_near_dups(spark, n: int = 64, n_dups: int = 16) -> DataFrame:
+    """REAL-BMP corpus with PLANTED near-duplicates for perceptual-hash
+    dedup: image ``m < n`` has pixel value
+    ``(3x + 5y + 7m + 11c + (x+1)(y+2)(3m+1)) mod 256`` (the multiplicative
+    term decorrelates images — plain gradients collide under aHash), and
+    image ``m >= n`` is a copy of base ``m - n`` with +1 perturbation where
+    ``(x + y) % 5 == 0`` (a re-encode/noise stand-in that flips 0–3
+    signature bits). Closed form, so an external SQL oracle reproduces
+    every pixel, every signature bit, and every near-dup pair exactly.
+    Distributed generation (mapInPandas over a range)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["id"]:
+                m = int(m)
+                b, dup = (m, False) if m < n else (m - n, True)
+                w, h = 8 + b % 5, 8 + b % 3
+                x = np.arange(w).reshape(1, w, 1)
+                y = np.arange(h).reshape(h, 1, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = 3 * x + 5 * y + 7 * b + 11 * c \
+                    + (x + 1) * (y + 2) * (3 * b + 1)
+                if dup:
+                    px = px + ((x + y) % 5 == 0)
+                px = (px % 256).astype(np.uint8)
+                rows.append((m, "image", encode_bmp(px),
+                             {"format": "bmp", "width": w, "height": h,
+                              "duration_s": None}))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "meta"])
+
+    return spark.range(n + n_dups).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _ahash64_exact(px) -> int:
+    """Integer-exact 64-bit average hash: bit ``(by·8 + bx)`` is set iff
+    the block's summed channel values exceed the image mean —
+    ``block_sum · n_pixels > total_sum · block_pixels`` compared in
+    INTEGER arithmetic (no float block means), so any engine reproduces
+    the exact same bits from the same pixels regardless of summation
+    order. Grid assignment matches ``_ahash64``: pixel row ``y`` maps to
+    block row ``y·8 // h``."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    ls = px.astype(np.int64).sum(axis=2)
+    gy = (np.arange(h) * 8) // h
+    gx = (np.arange(w) * 8) // w
+    bs = np.zeros((8, 8), dtype=np.int64)
+    bc = np.zeros((8, 8), dtype=np.int64)
+    np.add.at(bs, (gy[:, None], gx[None, :]), ls)
+    np.add.at(bc, (gy[:, None], gx[None, :]), 1)
+    ts, tc = int(ls.sum()), h * w
+    bits = (bs * tc > ts * bc).flatten()
+    ah = 0
+    for i, b in enumerate(bits):
+        if b:
+            ah |= (1 << i)
+    return ah - (1 << 64) if ah >= (1 << 63) else ah
+
+
+def image_signature(media: DataFrame) -> DataFrame:
+    """REAL decode → integer-exact perceptual signature (``_ahash64_exact``)
+    per image. Arrow-batched ``mapInPandas``; blobs never leave the
+    executors — only 8-byte signatures shuffle afterwards (the property
+    that makes image dedup feasible at 100 TB: the pair search runs on
+    signatures, never on pixels)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"],
+                                          pdf["meta"]):
+                px = decode_real(bytes(content), (meta or {}).get("format"))
+                out.append((int(mid), _ahash64_exact(px)))
+            yield pd.DataFrame(out, columns=["media_id", "sig64"])
+
+    return media.select("media_id", "content", "meta").mapInPandas(
+        kernel, schema=StructType([StructField("media_id", LongType()),
+                                   StructField("sig64", LongType())]))
+
+
+def phash_near_dup_pairs(sig: DataFrame, bands: int = 8,
+                         max_hamming: int = 6) -> DataFrame:
+    """Banded near-duplicate pair search over 64-bit signatures: split each
+    signature into ``bands`` equal bit-bands, self-join on (band, value)
+    — two signatures within ``max_hamming < bands`` Hamming distance share
+    at least one unchanged band (pigeonhole), so banding has FULL recall
+    and candidates-then-verify equals the exact all-pairs answer without
+    the O(n²) scan. Shuffles only (band, band_value) keys; verification is
+    ``bit_count(a XOR b)`` on the carried signatures (codegen, no second
+    scan of the corpus). The LSH-for-Hamming analog of the MinHash band
+    join in ``dedup.py``."""
+    if max_hamming >= bands:
+        raise ValueError("full recall needs max_hamming < bands")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    bandvals = F.array(*[
+        F.shiftrightunsigned(F.col("sig64"), width * b).bitwiseAND(mask)
+        for b in range(bands)])
+    banded = (sig.select("media_id", "sig64",
+                         F.posexplode(bandvals).alias("band", "bval")))
+    left = banded.select(F.col("media_id").alias("id_a"),
+                         F.col("sig64").alias("sig_a"), "band", "bval")
+    right = banded.select(F.col("media_id").alias("id_b"),
+                          F.col("sig64").alias("sig_b"), "band", "bval")
+    cands = (left.join(right, ["band", "bval"])
+                 .where(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b", "sig_a", "sig_b").distinct())
+    return (cands.withColumn(
+                "hamming",
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+                 .where(F.col("hamming") <= max_hamming)
+                 .select("id_a", "id_b", "hamming"))

@@ -4015,6 +4015,75 @@ order by dup_a
 """)
 
 
+def _dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual hash: 80 real BMPs (64 distinct + 16
+    planted perturbed copies) are decoded, reduced to an integer-exact
+    64-bit aHash on the executors (pixels never shuffle — only 8-byte
+    signatures do), and paired by the banded Hamming join
+    (8 bands × 8 bits; max_hamming 6 < 8 bands ⇒ banding has FULL recall,
+    so candidates-then-verify EQUALS exact all-pairs — the property the
+    oracle checks by computing the all-pairs answer from the closed-form
+    pixels). The image sibling of MinHash-LSH text dedup."""
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_bmp_near_dups(spark, n=64, n_dups=16)
+    sig = M.image_signature(media)
+    return (M.phash_near_dup_pairs(sig, bands=8, max_hamming=6)
+             .orderBy("id_a", "id_b"))
+
+
+_df("dedup_image_phash", _dedup_image_phash, oracle="""
+with imgs as (
+  select m.range as media_id,
+         cast(case when m.range < 64 then m.range
+                   else m.range - 64 end as bigint) as b,
+         m.range >= 64 as dup
+  from range(80) m
+), dims as (
+  select media_id, b, dup,
+         cast(8 + b % 5 as bigint) as w, cast(8 + b % 3 as bigint) as h
+  from imgs
+), px as (
+  select d.media_id, d.w, d.h, x.x, y.y,
+         ((3*x.x + 5*y.y + 7*d.b + 11*c.c
+           + (x.x + 1)*(y.y + 2)*(3*d.b + 1)
+           + case when d.dup and (x.x + y.y) % 5 = 0 then 1 else 0 end)
+          % 256) as v
+  from dims d,
+       unnest(range(d.w)) as x(x),
+       unnest(range(d.h)) as y(y),
+       unnest(range(3)) as c(c)
+), luma as (
+  select media_id, w, h, (y*8) // h as gy, (x*8) // w as gx,
+         sum(v) as ls
+  from px group by media_id, w, h, x, y
+), blocks as (
+  select media_id, gy, gx, sum(ls) as bs, count(*) as bc,
+         any_value(w * h) as tc
+  from luma group by media_id, gy, gx
+), totals as (
+  select media_id, sum(ls) as ts from luma group by media_id
+), bits as (
+  select b.media_id,
+         sum(case when b.bs * b.tc > t.ts * b.bc
+                  then (1::HUGEINT << cast(b.gy*8 + b.gx as int))
+                  else 0::HUGEINT end) as uh
+  from blocks b join totals t using (media_id)
+  group by b.media_id
+), sigs as (
+  select media_id,
+         cast(case when uh >= (1::HUGEINT << 63)
+                   then uh - (1::HUGEINT << 64) else uh end
+              as bigint) as sig64
+  from bits
+)
+select a.media_id as id_a, b.media_id as id_b,
+       bit_count(xor(a.sig64, b.sig64)) as hamming
+from sigs a join sigs b on a.media_id < b.media_id
+where bit_count(xor(a.sig64, b.sig64)) <= 6
+order by id_a, id_b
+""")
+
+
 # ===========================================================================
 # Driver window ordering
 # ===========================================================================
@@ -4073,8 +4142,6 @@ _DRIVER_WINDOW = [
     "dedup_bloom_contamination",
     "dedup_incremental_ingest",
     # jobs/do_put + streaming + multimodal + big-SQL sentinels:
-    "streaming_hourly_rollup",
-    "streaming_dedup_ingest",
     "streaming_fed_ingest",
     "multimodal_audio_features",
     "multimodal_features",
@@ -4090,10 +4157,18 @@ _DRIVER_WINDOW = [
     "multimodal_video_frames",
     "dedup_video_signature",
     "fed_engine_agg_pushdown",
-    "text_chunking",
     "dedup_duplicated_spans",
     "pipeline_training_data",
     "fed_template_agg_forward",
+    # (e) new in r5 session 3 — never driver-checked, so they take window
+    # slots from multi-round greens whose layers are untouched this round
+    # (streaming_hourly_rollup, streaming_dedup_ingest, and text_chunking
+    # rotated out; the chunker is still window-exercised through
+    # pipeline_rag_retrieval, and streaming_fed_ingest keeps the streaming
+    # runtime in the window):
+    "scd2_event_history",
+    "pipeline_rag_retrieval",
+    "dedup_image_phash",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
 # r5 swaps: tpch_q3_shipping_priority / grouping_function_rollup /

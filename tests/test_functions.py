@@ -334,6 +334,55 @@ def test_ahash_is_deterministic_and_discriminative(spark):
     assert len(set(a.values())) > 1     # not a constant
 
 
+def test_image_phash_banding_equals_exact_all_pairs(spark):
+    """8 bands × 8 bits at max_hamming 6 < 8 must have FULL recall
+    (pigeonhole): the banded pair search equals brute-force all-pairs."""
+    media = multimodal.synthesize_bmp_near_dups(spark, n=32, n_dups=8)
+    sigs = {r["media_id"]: r["sig64"] for r in
+            multimodal.image_signature(media).collect()}
+    exact = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            hd = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            if hd <= 6:
+                exact.add((a, b, hd))
+    banded = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+              multimodal.phash_near_dup_pairs(
+                  multimodal.image_signature(media),
+                  bands=8, max_hamming=6).collect()}
+    assert banded == exact
+    # every planted copy pairs with its base
+    assert all(any(p[:2] == (m, m + 32) for p in banded) for m in range(8))
+
+
+def test_image_phash_rejects_no_recall_guarantee():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        multimodal.phash_near_dup_pairs(None, bands=4, max_hamming=6)
+
+
+def test_exact_ahash_matches_closed_form_bits():
+    """_ahash64_exact bit (by·8+bx) is set iff block_sum·n_px >
+    total_sum·block_px — check against a direct recomputation."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    got = multimodal._ahash64_exact(px)
+    ls = px.astype(np.int64).sum(axis=2)
+    ts, tc = int(ls.sum()), 9 * 11
+    want = 0
+    for by in range(8):
+        for bx in range(8):
+            ys = [y for y in range(9) if (y * 8) // 9 == by]
+            xs = [x for x in range(11) if (x * 8) // 11 == bx]
+            bs = int(ls[np.ix_(ys, xs)].sum())
+            if bs * tc > ts * len(ys) * len(xs):
+                want |= 1 << (by * 8 + bx)
+    want = want - (1 << 64) if want >= (1 << 63) else want
+    assert got == want
+
+
 def test_approx_sketches_error_bounds(spark, sf_dir):
     """The r5 contract form computes the bounds checks in-query: every
     boolean must come back true and the exact distinct counts must match
