@@ -126,6 +126,7 @@ def _parse_doc(catalog: RelayCatalog, doc: dict[str, Any]) -> None:
             options=doc.get("options", {}),
             bounds={c: (b[0], b[1])
                     for c, b in doc.get("bounds", {}).items()},
+            replica_group=doc.get("replica_group"),
         ))
     elif kind == "RemoteMapping":
         catalog.remote_mappings.append(RemoteEntityMapping(
@@ -269,6 +270,8 @@ def relay_documents(catalog: RelayCatalog) -> list[dict[str, Any]]:
                 u: _dump_permission(p) for u, p in s.user_permissions.items()}
         if s.bounds:
             doc["bounds"] = {c: [b[0], b[1]] for c, b in s.bounds.items()}
+        if s.replica_group is not None:
+            doc["replica_group"] = s.replica_group
         docs.append(doc)
     for rm in catalog.remote_mappings:
         docs.append({"kind": "RemoteMapping",

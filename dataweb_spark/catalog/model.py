@@ -327,6 +327,13 @@ class DataSource:
     # pruning (plans/pruning.py) — a query whose predicates are provably
     # disjoint from these bounds skips this source's scan entirely.
     bounds: dict[str, tuple] = field(default_factory=dict)
+    # Optional replica set: sources of the same entity sharing a
+    # ``replica_group`` declare IDENTICAL data (mirrors). The resolver
+    # scans exactly ONE member per group (declared order = preference) and
+    # fails over to the next when a member can't build — HA + no duplicate
+    # scanning, beyond the reference (which unions every mapping and would
+    # double-count a mirror, core/src/execute/mod.rs:98-139).
+    replica_group: str | None = None
 
     def field_path(self, field_name: str) -> str:
         for f in self.fields:

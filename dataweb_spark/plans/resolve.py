@@ -257,20 +257,47 @@ def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
     if entity_name not in relay.entities:
         raise KeyError(f"relay {relay_name!r} has no entity {entity_name!r}")
 
-    parts: list[DataFrame] = []
+    # Group mirrored sources: members of one replica_group declare
+    # identical data, so exactly ONE is scanned (declared order =
+    # preference) with failover to the next on build error. Ungrouped
+    # sources stay singleton groups with the original semantics.
+    groups: list[list] = []
+    by_group: dict[str, list] = {}
     for source in relay.sources_for_entity(entity_name):
-        if (conjuncts and source.bounds
-                and not source_can_match(conjuncts, source.bounds)):
-            continue  # provably no matching rows in this source
-        try:
-            parts.append(build_source_view(spark, relay, source, principal,
-                                           conjuncts=conjuncts, limit=limit,
-                                           referenced=referenced))
-        except Exception as e:  # noqa: BLE001 — partial-failure policy
-            if not allow_partial:
-                raise
-            if failures is not None:
-                failures.append((relay_name, source.name, str(e)))
+        g = getattr(source, "replica_group", None)
+        if g is None:
+            groups.append([source])
+        elif g in by_group:
+            by_group[g].append(source)
+        else:
+            by_group[g] = [source]
+            groups.append(by_group[g])
+
+    parts: list[DataFrame] = []
+    for group in groups:
+        members = [s for s in group
+                   if not (conjuncts and s.bounds
+                           and not source_can_match(conjuncts, s.bounds))]
+        if not members:
+            continue  # provably no matching rows in this source/replica set
+        built, err, failed_over = None, None, []
+        for source in members:
+            try:
+                built = build_source_view(spark, relay, source, principal,
+                                          conjuncts=conjuncts, limit=limit,
+                                          referenced=referenced)
+                break
+            except Exception as e:  # noqa: BLE001 — replica failover
+                err = e
+                failed_over.append((relay_name, source.name, str(e)))
+        if failures is not None:
+            failures.extend(failed_over)
+        if built is not None:
+            parts.append(built)
+        elif not allow_partial:
+            # every member of the group failed (for a singleton, the one
+            # source) — original partial-failure policy applies
+            raise err
     for rm in relay.remotes_for_entity(entity_name):
         peer_df = resolve_entity(spark, web, rm.peer, rm.remote_entity,
                                  principal, visited,

@@ -1492,6 +1492,58 @@ order by ship_year
 """)
 
 
+def _fed_replica_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica failover (beyond reference): the entity's 1996+ epoch is
+    declared TWICE as a ``replica_group`` mirror pair whose preferred
+    member points at a missing path — the resolver must scan exactly one
+    mirror (no double-counting) and fail over to the healthy one, so the
+    answer equals the plain single-copy SQL. The reference unions every
+    mapping (``core/src/execute/mod.rs:98-139``): a mirrored source there
+    would double-count and a dead one would fail the query."""
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Information, Mapping,
+        RelayCatalog, Web,
+    )
+    from dataweb_spark.plans.gateway import QueryGateway
+    relay = RelayCatalog(name="home")
+    relay.add_entity(Entity("sales", [
+        Information("shipdate", "date"), Information("qty", "double")]))
+    relay.add_connection(DataConnection("files", "file", {"path": sf_dir}))
+    relay.add_source(DataSource(
+        name="sales_old", connection="files", entity="sales",
+        source_sql=("select l_shipdate, l_quantity from {table} "
+                    "where l_shipdate < date '1996-01-01'"),
+        mappings=[Mapping("shipdate", "l_shipdate"),
+                  Mapping("qty", "l_quantity")],
+        options={"table": "lineitem.parquet"}))
+    for name, table in [("sales_new_m1", "missing_mirror.parquet"),
+                        ("sales_new_m2", "lineitem.parquet")]:
+        relay.add_source(DataSource(
+            name=name, connection="files", entity="sales",
+            source_sql=("select l_shipdate, l_quantity from {table} "
+                        "where l_shipdate >= date '1996-01-01'"),
+            mappings=[Mapping("shipdate", "l_shipdate"),
+                      Mapping("qty", "l_quantity")],
+            options={"table": table}, replica_group="sales_new"))
+    gw = QueryGateway(spark, Web(relays={"home": relay}), "home")
+    return gw.query("""
+        select year(shipdate) as ship_year, count(*) as n,
+               round(sum(qty), 2) as sum_qty
+        from sales
+        group by year(shipdate)
+        order by ship_year
+    """)
+
+
+_df("fed_replica_failover", _fed_replica_failover, oracle="""
+select year(l_shipdate) as ship_year, count(*) as n,
+       round(sum(l_quantity), 2) as sum_qty
+from lineitem
+group by ship_year
+order by ship_year
+""")
+
+
 def _fed_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map pruning (beyond reference): a 3-epoch federation with NO
     hand-declared bounds — ``collect_source_stats`` derives per-source
@@ -4132,7 +4184,6 @@ _DRIVER_WINDOW = [
     "fed_trino_engine",
     # similarity/dedup internals (quantizer sample path changed):
     "knn_ivf_recall",
-    "knn_bruteforce_cosine",
     "knn_quantized_int8",
     "embedding_quantize_int8",
     "dedup_embedding_recall",
@@ -4169,6 +4220,9 @@ _DRIVER_WINDOW = [
     "scd2_event_history",
     "pipeline_rag_retrieval",
     "dedup_image_phash",
+    # (knn_bruteforce_cosine rotated out for this one — brute_force_topk
+    # stays window-exercised through pipeline_rag_retrieval):
+    "fed_replica_failover",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
 # r5 swaps: tpch_q3_shipping_priority / grouping_function_rollup /

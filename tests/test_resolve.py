@@ -216,3 +216,61 @@ def test_remote_sql_template_filters_peer(spark, sf_dir):
     rows = {r["key10"]: r["name"] for r in df.collect()}
     assert set(rows) == {0, 10, 20, 30, 40}  # k<5, scaled ×10
     assert all(isinstance(v, str) and v for v in rows.values())
+
+
+# -- replica groups (HA mirrors — beyond-reference) -------------------------
+
+def _replica_web(sf_dir: str, first_table: str = "region.parquet",
+                 second_table: str = "region.parquet") -> Web:
+    r = RelayCatalog(name="home")
+    r.add_entity(Entity("t", [Information("v", "bigint")]))
+    r.add_connection(DataConnection("files", "file",
+                                    {"path": sf_dir, "format": "parquet"}))
+    for name, table in [("mirror_a", first_table), ("mirror_b", second_table)]:
+        r.add_source(DataSource(
+            name=name, connection="files", entity="t",
+            source_sql="select * from {table}",
+            fields=[DataField("r_regionkey", "r_regionkey")],
+            mappings=[Mapping("v", "r_regionkey")],
+            options={"table": table},
+            replica_group="regions"))
+    return Web(relays={"home": r})
+
+
+def test_replica_group_scans_exactly_one_member(spark, sf_dir):
+    web = _replica_web(sf_dir)
+    df = resolve_entity(spark, web, "home", "t")
+    # region has 5 rows; two mirrors must NOT double-count
+    assert df.count() == 5
+    srcs = {r[0] for r in df.select(PROVENANCE_SOURCE).distinct().collect()}
+    assert srcs == {"mirror_a"}  # declared order = preference
+
+
+def test_replica_group_fails_over_to_healthy_mirror(spark, sf_dir):
+    web = _replica_web(sf_dir, first_table="no_such_file.parquet")
+    failures = []
+    df = resolve_entity(spark, web, "home", "t", failures=failures)
+    assert df.count() == 5
+    srcs = {r[0] for r in df.select(PROVENANCE_SOURCE).distinct().collect()}
+    assert srcs == {"mirror_b"}
+    assert [(rel, s) for rel, s, _ in failures] == [("home", "mirror_a")]
+
+
+def test_replica_group_all_members_down_raises(spark, sf_dir):
+    web = _replica_web(sf_dir, first_table="no_such_file.parquet",
+                       second_table="also_missing.parquet")
+    with pytest.raises(Exception):
+        resolve_entity(spark, web, "home", "t")
+    # allow_partial: the whole group is skipped like a failed source
+    assert resolve_entity(spark, web, "home", "t",
+                          allow_partial=True) is None
+
+
+def test_replica_yaml_round_trip(tmp_path, sf_dir):
+    from dataweb_spark.catalog.loader import dump_web_dir, load_web_dir
+    web = _replica_web(sf_dir)
+    dump_web_dir(web, str(tmp_path))
+    back = load_web_dir(str(tmp_path))
+    srcs = back.relay("home").sources
+    assert all(srcs[n].replica_group == "regions"
+               for n in ("mirror_a", "mirror_b"))
