@@ -127,6 +127,7 @@ def _parse_doc(catalog: RelayCatalog, doc: dict[str, Any]) -> None:
             bounds={c: (b[0], b[1])
                     for c, b in doc.get("bounds", {}).items()},
             replica_group=doc.get("replica_group"),
+            stat_rows=doc.get("stat_rows"),
         ))
     elif kind == "RemoteMapping":
         catalog.remote_mappings.append(RemoteEntityMapping(
@@ -272,6 +273,8 @@ def relay_documents(catalog: RelayCatalog) -> list[dict[str, Any]]:
             doc["bounds"] = {c: [b[0], b[1]] for c, b in s.bounds.items()}
         if s.replica_group is not None:
             doc["replica_group"] = s.replica_group
+        if s.stat_rows is not None:
+            doc["stat_rows"] = s.stat_rows
         docs.append(doc)
     for rm in catalog.remote_mappings:
         docs.append({"kind": "RemoteMapping",

@@ -334,6 +334,14 @@ class DataSource:
     # scanning, beyond the reference (which unions every mapping and would
     # double-count a mirror, core/src/execute/mod.rs:98-139).
     replica_group: str | None = None
+    # Optional collected row count (set by plans.pruning.collect_source_stats
+    # in the same single stats pass as the zone maps). When EVERY source of
+    # an all-local entity carries one and the sum is small, the entity view
+    # gets a broadcast hint — federated views are black boxes to Spark's
+    # size estimator (a peer-backed mapInArrow scan has no sizeInBytes), so
+    # without this, joining a tiny dimension entity across the web plans a
+    # full shuffle join at 100 TB.
+    stat_rows: int | None = None
 
     def field_path(self, field_name: str) -> str:
         for f in self.fields:

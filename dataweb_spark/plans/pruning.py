@@ -396,7 +396,7 @@ def collect_source_stats(spark: SparkSession, web, relay_name: str,
                 if i.data_type.lower().startswith(_STATS_TYPES)
                 and source.mapping_for(i.name) is not None
                 and (overwrite or i.name not in source.bounds)]
-        if not cols:
+        if not cols and source.stat_rows is not None and not overwrite:
             continue
         bare = dataclasses.replace(source, default_permission=None,
                                    user_permissions={})
@@ -404,10 +404,13 @@ def collect_source_stats(spark: SparkSession, web, relay_name: str,
                                            None, None, None)
         mapped = map_source_frame(raw, relay, bare, principal=None,
                                   projected=projected)
-        aggs = []
+        # row count rides the SAME single stats job (used for the
+        # small-entity broadcast decision, see register_entity_views)
+        aggs = [F.count(F.lit(1)).alias("_n_rows")]
         for c in cols:
             aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
         row = mapped.agg(*aggs).collect()[0]
+        source.stat_rows = int(row["_n_rows"])
         new: dict[str, tuple] = {}
         for c in cols:
             lo, hi = _plain(row[f"_lo_{c}"]), _plain(row[f"_hi_{c}"])

@@ -339,6 +339,8 @@ def register_entity_views(spark: SparkSession, web: Web, relay_name: str,
     """
     relay = web.relay(relay_name)
     registered = []
+    threshold = int(spark.conf.get("spark.dataweb.broadcastRowThreshold",
+                                   "1000000"))
     for entity_name in relay.entities:
         if only is not None and entity_name not in only:
             continue
@@ -351,6 +353,35 @@ def register_entity_views(spark: SparkSession, web: Web, relay_name: str,
             continue
         if not include_provenance:
             df = df.drop(PROVENANCE_RELAY, PROVENANCE_SOURCE)
+        est = _entity_row_estimate(relay, entity_name)
+        if est is not None and est <= threshold:
+            # Small all-local entity: hint broadcast. Federated views are
+            # black boxes to Spark's size estimator (peer-backed mapInArrow
+            # scans report no sizeInBytes), so a tiny dimension entity
+            # would otherwise shuffle-join against a 100 TB fact entity.
+            df = df.hint("broadcast")
         df.createOrReplaceTempView(entity_name)
         registered.append(entity_name)
     return registered
+
+
+def _entity_row_estimate(relay: RelayCatalog, entity_name: str) -> int | None:
+    """Collected-stats row estimate for an entity view: the sum of
+    ``DataSource.stat_rows`` over its local sources (replica mirrors
+    counted once), or None when any source lacks stats or the entity has
+    remote branches (a peer's volume is its own business — never assume a
+    remote is small)."""
+    if relay.remotes_for_entity(entity_name):
+        return None
+    seen_groups: set[str] = set()
+    total = 0
+    for s in relay.sources_for_entity(entity_name):
+        g = getattr(s, "replica_group", None)
+        if g is not None:
+            if g in seen_groups:
+                continue
+            seen_groups.add(g)
+        if s.stat_rows is None:
+            return None
+        total += s.stat_rows
+    return total

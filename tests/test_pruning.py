@@ -353,3 +353,86 @@ def test_collect_source_stats_respects_declared_bounds(spark, sf_dir):
     collect_source_stats(spark, web, "home", overwrite=True)
     assert src.bounds["shipdate"] != declared  # now data-derived (lo, hi)
     assert src.bounds["shipdate"][0] is not None
+
+
+# -- collected-stats broadcast of small entities ----------------------------
+
+def _dim_fact_web(sf_dir: str) -> Web:
+    r = RelayCatalog(name="home")
+    r.add_entity(Entity("nations", [Information("nationkey", "bigint"),
+                                    Information("nname", "string")]))
+    r.add_entity(Entity("suppliers", [Information("suppkey", "bigint"),
+                                      Information("snation", "bigint"),
+                                      Information("sbal", "double")]))
+    r.add_connection(DataConnection("files", "file", {"path": sf_dir}))
+    r.add_source(DataSource(
+        name="nation_src", connection="files", entity="nations",
+        source_sql="select * from {table}",
+        mappings=[Mapping("nationkey", "n_nationkey"),
+                  Mapping("nname", "n_name")],
+        options={"table": "nation.parquet"}))
+    r.add_source(DataSource(
+        name="supp_src", connection="files", entity="suppliers",
+        source_sql="select * from {table}",
+        mappings=[Mapping("suppkey", "s_suppkey"),
+                  Mapping("snation", "s_nationkey"),
+                  Mapping("sbal", "s_acctbal")],
+        options={"table": "supplier.parquet"}))
+    return Web(relays={"home": r})
+
+
+def test_stats_rowcount_drives_broadcast_hint(spark, sf_dir):
+    """collect_source_stats records row counts in the same stats pass; a
+    small all-local entity view then carries a broadcast hint, so the
+    join plans BroadcastHashJoin even with size-based auto-broadcast
+    DISABLED (the federated-view situation: Spark can't size the view)."""
+    from dataweb_spark.plans.pruning import collect_source_stats
+    web = _dim_fact_web(sf_dir)
+    collect_source_stats(spark, web, "home")
+    home = web.relay("home")
+    assert home.sources["nation_src"].stat_rows == 25
+    assert home.sources["supp_src"].stat_rows > 0
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gw = QueryGateway(spark, web, "home")
+        df = gw.query("""
+            select nname, count(*) as n, round(sum(sbal), 2) as bal
+            from suppliers join nations on snation = nationkey
+            group by nname order by nname
+        """)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        expect = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+                  .select("s_nationkey").distinct().count())
+        assert df.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_no_stats_no_hint_and_remote_never_assumed_small(spark, sf_dir):
+    from dataweb_spark.plans.resolve import _entity_row_estimate
+    web = _dim_fact_web(sf_dir)
+    home = web.relay("home")
+    # no stats collected -> unknown
+    assert _entity_row_estimate(home, "nations") is None
+    home.sources["nation_src"].stat_rows = 25
+    assert _entity_row_estimate(home, "nations") == 25
+    # an entity with remote branches is never assumed small
+    home.remote_mappings.append(RemoteEntityMapping(
+        local_entity="nations", peer="elsewhere", remote_entity="n",
+        info_mappings=[RemoteInfoMapping("nationkey", "nk")]))
+    assert _entity_row_estimate(home, "nations") is None
+
+
+def test_replica_mirrors_counted_once_in_estimate(sf_dir):
+    from dataweb_spark.plans.resolve import _entity_row_estimate
+    web = _dim_fact_web(sf_dir)
+    home = web.relay("home")
+    home.sources["nation_src"].stat_rows = 25
+    import dataclasses
+    home.sources["nation_src"].replica_group = "n"
+    mirror = dataclasses.replace(home.sources["nation_src"],
+                                 name="nation_mirror", stat_rows=25)
+    home.add_source(mirror)
+    assert _entity_row_estimate(home, "nations") == 25
