@@ -359,13 +359,18 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              query_id_col: str = "query_id", n_cells: int = 16,
              nprobe: int = 3, seed: int = 7,
              sample_per_cell: int = 100,
-             sample_fraction: float | None = None) -> DataFrame:
+             sample_fraction: float | None = None,
+             fit: str = "sample") -> DataFrame:
     """IVF approximate top-k: sampled spherical-k-means cells + multi-probe.
 
     Corpus rows are assigned to their nearest centroid in one Arrow-batched
     map pass (no shuffle until the bucket join); each query probes its
     ``nprobe`` nearest cells. The quantizer fits driver-side on
-    ~``sample_per_cell``·``n_cells`` rows regardless of corpus size.
+    ~``sample_per_cell``·``n_cells`` rows regardless of corpus size
+    (``fit="sample"``, the FAISS regime); ``fit="distributed"`` trains on
+    the FULL corpus via :func:`kmeans_fit_distributed` instead — O(iters)
+    map-only scans, for corpora whose prefix/sample misrepresents the
+    density (the swap SCALE.md §8 promises, same surrounding plan).
     """
     # Raw vectors throughout: argmax(dot(v, c)) over unit centroids is
     # scale-invariant, so neither assignment nor probing needs normalized
@@ -374,10 +379,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     raw = corpus.select(F.col(id_col).alias("neighbor_id"),
                         F.col(vec_col).cast("array<double>").alias("_cv"))
 
-    target = sample_per_cell * n_cells
-    X = _quantizer_sample(raw, "_cv", target, seed, sample_fraction)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    C = _spherical_kmeans(X, n_cells, seed)
+    if fit == "distributed":
+        C = kmeans_fit_distributed(raw, n_cells, vec_col="_cv", seed=seed,
+                                   init_sample=sample_per_cell * n_cells)
+    else:
+        target = sample_per_cell * n_cells
+        X = _quantizer_sample(raw, "_cv", target, seed, sample_fraction)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        C = _spherical_kmeans(X, n_cells, seed)
 
     cell1 = _nearest_cells_udf(C, 1)
     celln = _nearest_cells_udf(C, nprobe)
@@ -398,3 +407,63 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   .where(F.col("rank") <= k)
                   .select("query_id", "neighbor_id", "rank",
                           F.round("cos", 6).alias("cos")))
+
+
+def _kmeans_assign_partials(raw: DataFrame, C: np.ndarray,
+                            vec_field: str = "_v") -> np.ndarray:
+    """One Lloyd iteration's statistics, distributed: every partition
+    computes its own fixed-size (k × dim) cell-sum matrix + counts against
+    the broadcast centers (one Arrow-batched matmul pass), and only those
+    partials — metadata, not data — come to the driver for the merge.
+    No shuffle; cost = one corpus scan. Returns the merged (k, dim+1)
+    array: column 0 is the count, the rest the vector sum."""
+    k, d = C.shape
+    Ct = C.T
+
+    def kern(batches):
+        sums = np.zeros((k, d))
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(pdf[vec_field].tolist(), dtype=np.float64)
+            A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+            assign = np.argmax(A @ Ct, axis=1)
+            np.add.at(sums, assign, A)
+            counts += np.bincount(assign, minlength=k)
+        yield pd.DataFrame({"cell": np.arange(k, dtype=np.int32),
+                            "n": counts, "s": list(sums)})
+
+    parts = raw.mapInPandas(
+        kern, schema="cell int, n long, s array<double>").collect()
+    merged = np.zeros((k, d + 1))
+    for r in parts:
+        merged[r["cell"], 0] += r["n"]
+        merged[r["cell"], 1:] += np.asarray(r["s"])
+    return merged
+
+
+def kmeans_fit_distributed(df: DataFrame, k: int, vec_col: str = "embedding",
+                           iters: int = 5, seed: int = 7,
+                           init_sample: int = 4096) -> np.ndarray:
+    """Spherical k-means fit over the FULL corpus, distributed — the
+    extreme-scale replacement for the bounded-sample driver fit that
+    ``ivf_topk``/``semantic_dedup`` default to (SCALE.md §8): warm-start
+    centers come from k-means++ on a bounded sample, then each Lloyd
+    iteration is ONE map-only Spark job over all rows
+    (``_kmeans_assign_partials``) with a driver-side merge of k fixed-size
+    partials per partition. No shuffle, no per-row collect, O(iters) scans.
+    Empty cells keep their previous center (standard Lloyd degeneracy
+    handling). Returns unit-norm (k × dim) centers."""
+    raw = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    X = _quantizer_sample(raw, "_v", init_sample, seed, None)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = _spherical_kmeans(X, k, seed, iters=3)
+    for _ in range(iters):
+        m = _kmeans_assign_partials(raw, C)
+        counts, sums = m[:, 0], m[:, 1:]
+        nz = counts > 0
+        C = C.copy()
+        C[nz] = sums[nz] / counts[nz, None]
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C

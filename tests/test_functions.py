@@ -166,6 +166,34 @@ def test_ivf_topk_recall_at_1(spark, emb):
     assert agree >= 4
 
 
+def test_kmeans_distributed_improves_fit_and_normalizes(spark, emb):
+    """Full-corpus Lloyd iterations must return unit-norm centers and not
+    degrade the mean best-cosine objective vs the warm-start sample fit."""
+    import numpy as np
+    from dataweb_spark.functions import similarity as S
+    X = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    warm = S._spherical_kmeans(X[:64], 8, seed=7, iters=3)
+    C = S.kmeans_fit_distributed(emb, 8, init_sample=64)
+    assert C.shape == (8, X.shape[1])
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+    obj = lambda M: float(np.mean(np.max(X @ M.T, axis=1)))  # noqa: E731
+    assert obj(C) >= obj(warm) - 1e-9
+
+
+def test_ivf_topk_distributed_fit_recall(spark, emb):
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    bf = {r["query_id"]: r["neighbor_id"]
+          for r in similarity.brute_force_topk(emb, queries, k=1).collect()}
+    ivf = {r["query_id"]: r["neighbor_id"]
+           for r in similarity.ivf_topk(emb, queries, k=1, n_cells=8,
+                                        nprobe=4,
+                                        fit="distributed").collect()}
+    agree = sum(1 for q in bf if ivf.get(q) == bf[q])
+    assert agree >= 4
+
+
 # -- multimodal -----------------------------------------------------------
 
 def test_media_pipeline_shapes(spark):
