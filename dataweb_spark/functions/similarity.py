@@ -78,15 +78,22 @@ def cosine_pd(a: Column, b: Column) -> Column:
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     query_id_col: str = "query_id") -> DataFrame:
+                     query_id_col: str = "query_id",
+                     kernel: str = "expr") -> DataFrame:
     """Exact cosine top-k per query. Queries broadcast; ties broken by
-    neighbor id for full determinism. Self-matches excluded."""
+    neighbor id for full determinism. Self-matches excluded.
+    ``kernel="expr"`` scores with the sequential-sum codegen expression
+    (oracle-exact for any floats); ``kernel="arrow"`` scores with the
+    Arrow-batched numpy kernel — pick it for bulk scoring, and note it is
+    STILL oracle-exact whenever the vectors are integer-valued (sums of
+    integers are order-independent)."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("_cv"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("_qv"))
+    cos_fn = cosine_pd if kernel == "arrow" else cosine
     scored = (c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-               .withColumn("cos", cosine(F.col("_cv"), F.col("_qv"))))
+               .withColumn("cos", cos_fn(F.col("_cv"), F.col("_qv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -170,6 +170,34 @@ def letter_freq_embedding(col: str | Column = "text") -> Column:
     return F.array(*counts)
 
 
+def letter_freq_embedding_pd(col: str | Column = "text") -> Column:
+    """Arrow-batched form of :func:`letter_freq_embedding` — the SAME
+    integers, computed in ONE numpy bincount pass per batch instead of 52
+    inlined string expressions (the bulk-kernel policy, SCALE.md §4: a
+    Catalyst-inlined expression tree gets re-evaluated per downstream
+    reference, while a Python-UDF output column is materialized once).
+    a–z never collide with UTF-8 continuation/lead bytes, so byte-level
+    counting over the utf-8 encoding equals per-character counting."""
+    from pyspark.sql.functions import pandas_udf
+    import numpy as np
+    import pandas as pd
+
+    # (no signature annotations: this module uses PEP-563 postponed
+    # annotations, which pandas_udf can't resolve against local names —
+    # the decorator's returnType carries the schema instead)
+    @pandas_udf("array<double>")
+    def f(s):
+        out = []
+        for t in s:
+            b = np.frombuffer((t or "").lower().encode("utf-8", "ignore"),
+                              dtype=np.uint8)
+            out.append(np.bincount(b, minlength=256)[97:123]
+                       .astype(np.float64))
+        return pd.Series(out)
+
+    return f(col if isinstance(col, Column) else F.col(col))
+
+
 def chunk_documents(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", chunk_tokens: int = 64,
                     overlap: int = 16) -> DataFrame:

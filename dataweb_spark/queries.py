@@ -3272,24 +3272,28 @@ def _rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic letter-frequency encoder, exact cosine top-5 chunks per
     query. Composition of three already-proven operators (chunker →
     embedder → brute_force_topk), oracle-exact because the embedding is
-    integer-valued (dot/norms identical across engines to the last bit).
-    Scale shape: chunk+embed are map-only codegen; the tiny query side
-    broadcasts; ranking shuffles only (n_chunks × n_queries) score rows
-    partitioned by query — the same plan the ANN path shares."""
+    integer-valued (dot/norms identical across engines to the last bit,
+    in ANY summation order — which also licenses the Arrow kernels).
+    Scale shape: chunk is map-only codegen; embed is ONE Arrow bincount
+    pass whose output column is materialized (the codegen expression form
+    would be re-inlined into every downstream reference and re-evaluated
+    per scored pair — measured 4× slower); the tiny query side broadcasts;
+    ranking shuffles only (n_chunks × n_queries) score rows partitioned by
+    query — the same plan the ANN path shares."""
     from dataweb_spark.functions import similarity as S
     from dataweb_spark.functions import text as T
     register_views(spark, sf_dir)
     docs = spark.table("documents")
     chunks = T.chunk_documents(docs.where("doc_id >= 10"))
-    emb = T.letter_freq_embedding("chunk_text")
+    emb = T.letter_freq_embedding_pd("chunk_text")
     corpus = (chunks.select(
         (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("vec_id"),
         emb.alias("embedding"))
         .where(S.dot(F.col("embedding"), F.col("embedding")) > 0))
     qs = (docs.where("doc_id < 3")
               .select(F.col("doc_id").alias("query_id"),
-                      T.letter_freq_embedding("text").alias("embedding")))
-    top = S.brute_force_topk(corpus, qs, k=5)
+                      T.letter_freq_embedding_pd("text").alias("embedding")))
+    top = S.brute_force_topk(corpus, qs, k=5, kernel="arrow")
     return (top.select(
         "query_id", "rank",
         F.expr("neighbor_id div 10000").alias("doc_id"),

@@ -362,6 +362,19 @@ def test_ahash_is_deterministic_and_discriminative(spark):
     assert len(set(a.values())) > 1     # not a constant
 
 
+def test_letter_embedding_arrow_equals_expr(spark, sf_dir):
+    """The Arrow bincount kernel must produce the exact integers of the
+    52-expression codegen form on the real corpus."""
+    from dataweb_spark.functions import text as T
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id < 100"))
+    both = docs.select(
+        "doc_id", T.letter_freq_embedding("text").alias("e_expr"),
+        T.letter_freq_embedding_pd("text").alias("e_arrow"))
+    bad = both.where("e_expr != e_arrow").count()
+    assert bad == 0
+
+
 def test_image_phash_banding_equals_exact_all_pairs(spark):
     """8 bands × 8 bits at max_hamming 6 < 8 must have FULL recall
     (pigeonhole): the banded pair search equals brute-force all-pairs."""
