@@ -111,22 +111,35 @@ def compact_parquet(spark, path: str, target_file_mb: int = 256,
           .partitionBy(*partition_by)
     writer.parquet(tmp)
 
-    bak = path.rstrip("/") + ".compact.bak"
+    _atomic_swap(spark, path, tmp, label="compact")
+    out = [f for f in fs.listStatus(jpath)
+           if f.getPath().getName().endswith(".parquet")]
+    return len(out)
+
+
+def _atomic_swap(spark, path: str, tmp: str, label: str = "rewrite") -> None:
+    """Swap a staged rewrite at ``tmp`` into ``path`` with crash safety:
+    original moved aside to ``.bak``, new data renamed in, read-back sanity
+    check before the backup is discarded; any failure restores the
+    original. Hadoop FS rename signals failure by returning false (stale
+    target from a crashed prior run, cross-dir issues) — never delete
+    anything until the swap is proven."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    bak = path.rstrip("/") + f".{label}.bak"
     jbak = jvm.org.apache.hadoop.fs.Path(bak)
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    # Hadoop FS rename signals failure by returning false (stale target from
-    # a crashed prior run, cross-dir issues) — never delete anything until
-    # the swap is proven: the new data must be at `path` and read back.
     if fs.exists(jbak):
         raise IOError(f"stale backup {bak} exists — resolve it first "
-                      "(previous compaction may have failed mid-swap)")
+                      f"(previous {label} may have failed mid-swap)")
     if not fs.rename(jpath, jbak):
         raise IOError(f"could not move {path} aside to {bak}; "
                       "original left untouched")
     if not fs.rename(jtmp, jpath):
-        # roll back: put the original data back in place
-        fs.rename(jbak, jpath)
-        raise IOError(f"could not move compacted data into {path}; "
+        fs.rename(jbak, jpath)  # roll back: original data back in place
+        raise IOError(f"could not move {label} data into {path}; "
                       "original restored")
     try:
         spark.read.parquet(path).schema  # read-back sanity before discard
@@ -135,9 +148,56 @@ def compact_parquet(spark, path: str, target_file_mb: int = 256,
         fs.rename(jbak, jpath)
         raise
     fs.delete(jbak, True)
-    out = [f for f in fs.listStatus(jpath)
-           if f.getPath().getName().endswith(".parquet")]
-    return len(out)
+
+
+def merge_upsert(spark, path: str, updates: DataFrame, key: str,
+                 deleted_col: str | None = None) -> dict:
+    """MERGE INTO for a plain-parquet lake (no table format required):
+    upsert ``updates`` into the dataset at ``path`` by ``key`` — matched
+    base rows are replaced by their update, unmatched updates are
+    inserted, and rows whose update has ``deleted_col`` true are removed.
+    The steady-state shape of incremental corpus maintenance (re-crawled
+    documents, takedowns, fixed records).
+
+    Scale shape: ONE pass over the base — a left-anti join against the
+    update KEYS (column-pruned; Spark broadcasts the key side in the
+    steady-state small-batch regime, AQE falls back to shuffle for bulk
+    backfills) — unioned with the surviving updates, staged to a temp dir
+    and atomically swapped like :func:`compact_parquet` (crash mid-write
+    leaves the original intact). The base is never collected, never
+    re-read twice. Row counts come from one count per (tiny) update side +
+    the base, not from extra full passes.
+
+    Returns {"inserted", "updated", "deleted", "total"}.
+    """
+    base = spark.read.parquet(path)
+    up = updates
+    if deleted_col is not None:
+        tombstones = up.where(F.col(deleted_col)).select(key)
+        up = up.where(~F.col(deleted_col)).drop(deleted_col)
+    else:
+        tombstones = None
+    all_keys = updates.select(key)
+    up = up.select(*base.columns)
+
+    # All counts BEFORE the swap: ``base`` is a lazy reference to ``path``
+    # and would re-read the MERGED data afterwards.
+    n_base = base.count()
+    n_matched = (base.select(key).join(F.broadcast(all_keys), key, "semi")
+                 .count())
+    n_up = up.count()
+    n_deleted = 0 if tombstones is None else (
+        base.select(key).join(F.broadcast(tombstones), key, "semi").count())
+    survivors = base.join(F.broadcast(all_keys), key, "left_anti")
+    merged = survivors.unionByName(up)
+
+    tmp = path.rstrip("/") + ".merge.tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    _atomic_swap(spark, path, tmp, label="merge")
+    return {"inserted": n_up - (n_matched - n_deleted),
+            "updated": n_matched - n_deleted,
+            "deleted": n_deleted,
+            "total": n_base - n_matched + n_up}
 
 
 def _zvalue(cols: list[str], bits: int = 16) -> F.Column:

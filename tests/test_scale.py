@@ -130,3 +130,51 @@ def test_zorder_write_tightens_file_ranges(spark, sf_dir, tmp_path):
     for col in ("l_orderkey", "l_partkey"):
         tight, loose = avg_span(zord, col), avg_span(plain, col)
         assert tight < loose * 0.7, (col, tight, loose)
+
+
+def test_merge_upsert_insert_update_delete(spark, tmp_path):
+    from dataweb_spark.functions.scale import merge_upsert
+    path = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(i, f"v{i}", "old") for i in range(10)],
+        "k long, payload string, tag string").write.parquet(path)
+    updates = spark.createDataFrame(
+        [(3, "v3-new", "new", False),    # update
+         (7, "v7-new", "new", False),    # update
+         (42, "v42", "new", False),      # insert
+         (5, None, None, True)],         # delete
+        "k long, payload string, tag string, _deleted boolean")
+    stats = merge_upsert(spark, path, updates, key="k",
+                         deleted_col="_deleted")
+    assert stats == {"inserted": 1, "updated": 2, "deleted": 1, "total": 10}
+    after = {r["k"]: (r["payload"], r["tag"])
+             for r in spark.read.parquet(path).collect()}
+    assert len(after) == 10
+    assert 5 not in after
+    assert after[3] == ("v3-new", "new")
+    assert after[7] == ("v7-new", "new")
+    assert after[42] == ("v42", "new")
+    assert after[0] == ("v0", "old")
+
+
+def test_merge_upsert_without_tombstones(spark, tmp_path):
+    from dataweb_spark.functions.scale import merge_upsert
+    path = str(tmp_path / "lake2")
+    spark.range(5).selectExpr("id as k", "id * 10 as v").write.parquet(path)
+    updates = spark.createDataFrame([(4, 99), (5, 50)], "k long, v long")
+    stats = merge_upsert(spark, path, updates, key="k")
+    assert stats == {"inserted": 1, "updated": 1, "deleted": 0, "total": 6}
+    after = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert after[4] == 99 and after[5] == 50 and after[0] == 0
+
+
+def test_merge_upsert_failed_write_leaves_original(spark, tmp_path):
+    """A staged write that fails must leave the base dataset untouched."""
+    from dataweb_spark.functions.scale import merge_upsert
+    path = str(tmp_path / "lake3")
+    spark.range(5).selectExpr("id as k", "id as v").write.parquet(path)
+    bad = spark.range(3).selectExpr(
+        "id as k", "assert_true(id < 2) as v")  # fails mid-job
+    with pytest.raises(Exception):
+        merge_upsert(spark, path, bad, key="k")
+    assert spark.read.parquet(path).count() == 5
