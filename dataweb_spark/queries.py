@@ -3344,6 +3344,54 @@ order by query_id, rank
 """.replace("{L}", _RAG_LETTERS))
 
 
+def _text_bpe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING over the corpus (the real scale shape: corpus
+    → word histogram in one map-side-combined pass, Zipf-bounded histogram
+    → driver merge loop, learned ranks broadcast → Arrow encode with
+    per-batch word caching), then the behavioral contract per language:
+    exact word/char totals (oracle-pinned) plus the segmentation
+    invariants — every word's tokens concatenate back to the word
+    (roundtrip), and words ≤ bpe_tokens ≤ chars per doc. The merge table
+    itself is pinned by pytest (planted-pair corpus); the invariant-oracle
+    pattern of the ANN/contract queries."""
+    from dataweb_spark.functions import tokenizer as TK
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    hist = TK.word_histogram(docs, min_freq=2, max_words=50000)
+    wc = [(r["word"], r["n"]) for r in hist.collect()]
+    merges = TK.train_bpe_merges(wc, 20)
+    stats = (TK.bpe_token_stats(docs, merges)
+             .join(docs.select("doc_id", "lang"), "doc_id"))
+    return (stats.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_words").alias("total_words"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min((F.col("n_words") <= F.col("n_bpe_tokens")) &
+                       (F.col("n_bpe_tokens") <= F.col("n_chars")))
+                  .alias("bpe_bounded"),
+                 F.min("roundtrip_ok").alias("all_roundtrip"))
+            .orderBy("lang"))
+
+
+_df("text_bpe_contract", _text_bpe_contract, oracle=r"""
+with d as (
+  select lang, doc_id,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> w != '')) as n_words,
+         length(regexp_replace(text, '\s', '', 'g')) as n_chars
+  from documents
+)
+select lang, count(*) as n_docs,
+       cast(sum(n_words) as bigint) as total_words,
+       cast(sum(n_chars) as bigint) as total_chars,
+       true as bpe_bounded,
+       true as all_roundtrip
+from d
+group by lang
+order by lang
+""")
+
+
 # (the raw rolling-fingerprint dump was retired in r5: its xxhash64 values
 # can't be oracle-checked, and ``text_rolling_fp_contract`` below pins the
 # operator's behavioral contract instead — r4 VERDICT item 1b.)
@@ -4189,7 +4237,6 @@ _DRIVER_WINDOW = [
     # similarity/dedup internals (quantizer sample path changed):
     "knn_ivf_recall",
     "knn_quantized_int8",
-    "embedding_quantize_int8",
     "dedup_embedding_recall",
     "dedup_minhash_recall",
     "dedup_simhash_recall",
@@ -4227,6 +4274,9 @@ _DRIVER_WINDOW = [
     # (knn_bruteforce_cosine rotated out for this one — brute_force_topk
     # stays window-exercised through pipeline_rag_retrieval):
     "fed_replica_failover",
+    # (embedding_quantize_int8 rotated out — quantization stays
+    # window-exercised through knn_quantized_int8):
+    "text_bpe_contract",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
 # r5 swaps: tpch_q3_shipping_priority / grouping_function_rollup /

@@ -362,6 +362,40 @@ def test_ahash_is_deterministic_and_discriminative(spark):
     assert len(set(a.values())) > 1     # not a constant
 
 
+def test_bpe_training_learns_planted_pair_first(spark):
+    """A corpus dominated by one bigram must learn that merge first, and
+    full word merges must follow: 'ababab' collapses to ONE token after
+    enough merges."""
+    from dataweb_spark.functions import tokenizer as TK
+    docs = spark.createDataFrame(
+        [(i, "ababab xy xy") for i in range(20)], "doc_id long, text string")
+    wc = [(r["word"], r["n"])
+          for r in TK.word_histogram(docs).collect()]
+    merges = TK.train_bpe_merges(wc, 10)
+    assert merges[0] == ("a", "b")
+    seg = {r["doc_id"]: r for r in TK.bpe_token_stats(docs, merges).collect()}
+    assert all(r["roundtrip_ok"] for r in seg.values())
+    assert all(r["n_bpe_tokens"] == 3 for r in seg.values())  # 3 words→3 toks
+
+
+def test_bpe_training_is_deterministic():
+    from dataweb_spark.functions import tokenizer as TK
+    wc = [("banana", 5), ("bandana", 3), ("cabana", 2)]
+    m1 = TK.train_bpe_merges(wc, 8)
+    m2 = TK.train_bpe_merges(list(reversed(wc)), 8)
+    assert m1 == m2  # input order must not matter
+
+
+def test_bpe_segment_respects_merge_ranks():
+    """Encoding must apply the LOWEST-rank merge first (GPT-2 semantics):
+    with merges [(a,b), (ab,c)], 'abc' → ['abc'], not ['a','bc']."""
+    from dataweb_spark.functions.tokenizer import _segment
+    ranks = {("a", "b"): 0, ("ab", "c"): 1, ("b", "c"): 2}
+    assert _segment("abc", ranks) == ["abc"]
+    assert _segment("xbc", ranks) == ["x", "bc"]
+    assert _segment("zzz", ranks) == ["z", "z", "z"]
+
+
 def test_letter_embedding_arrow_equals_expr(spark, sf_dir):
     """The Arrow bincount kernel must produce the exact integers of the
     52-expression codegen form on the real corpus."""
