@@ -1111,3 +1111,74 @@ def phash_near_dup_pairs(sig: DataFrame, bands: int = 8,
                 F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
                  .where(F.col("hamming") <= max_hamming)
                  .select("id_a", "id_b", "hamming"))
+
+
+def synthesize_tone_sequence_media(spark, n: int = 24, n_dups: int = 8,
+                                   segs: int = 4, seg_samples: int = 512,
+                                   sample_rate: int = 8000) -> DataFrame:
+    """REAL-WAV corpus with PLANTED near-duplicate clips for audio
+    fingerprinting: clip ``m < n`` is ``segs`` concatenated pure tones
+    whose segment-``j`` DFT bin is ``20 + (7m + 3j) mod 40`` (7 is
+    invertible mod 40, so every clip's bin sequence is distinct for
+    ``n ≤ 40``; each tone runs an exact integer number of periods per
+    segment). Clip ``m >= n`` repeats base ``m − n`` at HALF amplitude —
+    the re-encoded/re-mastered copy whose spectral fingerprint must still
+    match. Closed form, so the oracle states the expected pairing
+    analytically. Distributed generation."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["id"]:
+                m = int(m)
+                b, amp = (m, 12000.0) if m < n else (m - n, 6000.0)
+                parts = []
+                for j in range(segs):
+                    k = 20 + (7 * b + 3 * j) % 40
+                    t = np.arange(seg_samples) / sample_rate
+                    freq = k * sample_rate / seg_samples
+                    parts.append(np.round(
+                        amp * np.sin(2 * np.pi * freq * t)))
+                samples = np.concatenate(parts).astype(np.int16)
+                rows.append((m, "audio", encode_wav(samples, sample_rate),
+                             {"format": "wav", "width": None, "height": None,
+                              "duration_s": segs * seg_samples
+                              / sample_rate}))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "meta"])
+
+    return spark.range(n + n_dups).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def audio_signature(media: DataFrame, seg_samples: int = 512) -> DataFrame:
+    """Spectral audio fingerprint (chromaprint-shaped): decode → frame into
+    ``seg_samples`` windows → rfft per window → dominant non-DC bin →
+    signature = the dash-joined bin sequence (+ sample count). Amplitude-
+    INVARIANT by construction (argmax of magnitudes), so gain-changed /
+    re-mastered copies fingerprint identically, while any tone change
+    flips a bin. Arrow-batched ``mapInPandas``: FFTs run where the bytes
+    live; only ~short signature strings shuffle — the audio sibling of
+    ``video_signature``."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _rate, samples = decode_wav(bytes(content))
+                mono = samples[:, 0].astype(np.float64)
+                n_frames = len(mono) // seg_samples
+                bins = []
+                for j in range(n_frames):
+                    seg = mono[j * seg_samples:(j + 1) * seg_samples]
+                    spec = np.abs(np.fft.rfft(seg))
+                    bins.append(1 + int(np.argmax(spec[1:]))
+                                if spec.size > 1 else 0)
+                sig = f"{len(mono)}:" + "-".join(map(str, bins))
+                out.append((int(mid), sig))
+            yield pd.DataFrame(out, columns=["media_id", "signature"])
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, schema=StructType([StructField("media_id", LongType()),
+                                   StructField("signature", StringType())]))

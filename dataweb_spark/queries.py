@@ -4119,6 +4119,34 @@ order by dup_a
 """)
 
 
+def _dedup_audio_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup via spectral fingerprint: 32 real WAVs (24 distinct
+    tone sequences + 8 half-amplitude re-masters) are decoded and reduced
+    to per-window dominant-FFT-bin signatures on the executors; pairing is
+    a groupBy on signature strings — samples never shuffle. The
+    fingerprint is amplitude-invariant, so the planted re-masters MUST
+    pair with their bases, and bin-sequence distinctness (7 invertible
+    mod 40) means distinct clips CANNOT pair — the oracle states the
+    16-row expected pairing in closed form (the audio sibling of
+    ``dedup_video_signature``; completes image/video/audio dedup
+    symmetry)."""
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_tone_sequence_media(spark, n=24, n_dups=8)
+    sigs = M.audio_signature(media)
+    a = sigs.select("signature", F.col("media_id").alias("dup_a"))
+    b = sigs.select("signature", F.col("media_id").alias("dup_b"))
+    return (a.join(b, "signature")
+             .where(F.col("dup_a") < F.col("dup_b"))
+             .select("dup_a", "dup_b")
+             .orderBy("dup_a"))
+
+
+_df("dedup_audio_signature", _dedup_audio_signature, oracle="""
+select range as dup_a, range + 24 as dup_b from range(8)
+order by dup_a
+""")
+
+
 def _dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup via perceptual hash: 80 real BMPs (64 distinct + 16
     planted perturbed copies) are decoded, reduced to an integer-exact
@@ -4240,7 +4268,6 @@ _DRIVER_WINDOW = [
     "dedup_embedding_recall",
     "dedup_minhash_recall",
     "dedup_simhash_recall",
-    "dedup_exact_clusters",
     "dedup_bloom_contamination",
     "dedup_incremental_ingest",
     # jobs/do_put + streaming + multimodal + big-SQL sentinels:
@@ -4277,6 +4304,9 @@ _DRIVER_WINDOW = [
     # (embedding_quantize_int8 rotated out — quantization stays
     # window-exercised through knn_quantized_int8):
     "text_bpe_contract",
+    # (dedup_exact_clusters rotated out — green r4, CC layer untouched;
+    # exact-dedup groupBy shape stays window-exercised via dedup_exact_keep):
+    "dedup_audio_signature",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
 # r5 swaps: tpch_q3_shipping_priority / grouping_function_rollup /

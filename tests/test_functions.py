@@ -409,6 +409,18 @@ def test_letter_embedding_arrow_equals_expr(spark, sf_dir):
     assert bad == 0
 
 
+def test_audio_signature_amplitude_invariant_and_distinct(spark):
+    """Half-amplitude re-masters must fingerprint identically to their
+    base clip; distinct tone sequences must never collide."""
+    media = multimodal.synthesize_tone_sequence_media(spark, n=12, n_dups=4)
+    sigs = {r["media_id"]: r["signature"]
+            for r in multimodal.audio_signature(media).collect()}
+    for m in range(4):
+        assert sigs[m + 12] == sigs[m]
+    base = [sigs[m] for m in range(12)]
+    assert len(set(base)) == 12
+
+
 def test_image_phash_banding_equals_exact_all_pairs(spark):
     """8 bands × 8 bits at max_hamming 6 < 8 must have FULL recall
     (pigeonhole): the banded pair search equals brute-force all-pairs."""
