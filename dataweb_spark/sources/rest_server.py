@@ -62,7 +62,8 @@ class RestRelayServer:
 
     def __init__(self, spark: SparkSession, web: Web, relay_name: str,
                  host: str = "127.0.0.1", port: int = 0,
-                 admin_token: str | None = None):
+                 admin_token: str | None = None,
+                 tls: tuple[bytes, bytes] | None = None):
         self.manager = JobManager(spark, web, relay_name)
         self.web = web
         self.relay_name = relay_name
@@ -171,6 +172,23 @@ class RestRelayServer:
                 self._send(200, body, content_type="application/x-ndjson")
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.tls = tls is not None
+        if tls is not None:
+            # HTTPS like the reference's rest_server (its integration tests
+            # hit https://localhost:844x): wrap the listening socket with
+            # the same PEM identity shape the gRPC surface uses
+            # (pki.generate_tls_identity); clients verify against the cert.
+            import ssl
+            import tempfile
+            cert_pem, key_pem = tls
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            with tempfile.NamedTemporaryFile(suffix=".pem") as cf, \
+                    tempfile.NamedTemporaryFile(suffix=".pem") as kf:
+                cf.write(cert_pem); cf.flush()
+                kf.write(key_pem); kf.flush()
+                ctx.load_cert_chain(cf.name, kf.name)
+            self._httpd.socket = ctx.wrap_socket(self._httpd.socket,
+                                                 server_side=True)
         self.port = self._httpd.server_address[1]
         self._thread: threading.Thread | None = None
 

@@ -284,3 +284,58 @@ def test_admin_config_requires_token(admin_rest):
         raise AssertionError("expected 403")
     except urllib.error.HTTPError as e:
         assert e.code == 403
+
+
+# -- HTTPS (the reference's rest tests hit https://localhost:844x) ----------
+
+def test_rest_over_tls_end_to_end(spark, demo_web, tmp_path):
+    """POST /query → poll → NDJSON over HTTPS: the client verifies the
+    server cert (same PEM identity shape as the gRPC TLS surface), and a
+    plaintext client must be rejected by the TLS layer."""
+    import ssl
+    import urllib.error
+    from dataweb_spark.sources.pki import generate_tls_identity
+    cert_pem, key_pem = generate_tls_identity()
+    s = RestRelayServer(spark, demo_web, "na_us",
+                        tls=(cert_pem, key_pem)).start()
+    try:
+        ca = tmp_path / "ca.pem"
+        ca.write_bytes(cert_pem)
+        ctx = ssl.create_default_context(cafile=str(ca))
+
+        def post(payload):
+            req = urllib.request.Request(
+                f"https://127.0.0.1:{s.port}/query",
+                data=json.dumps(payload).encode(), method="POST",
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, context=ctx) as r:
+                return r.status, json.loads(r.read())
+
+        code, body = post({"sql": "select returnflag, count(*) as n "
+                                  "from lineitem group by returnflag",
+                           "mode": "engine"})
+        assert code == 202
+        job = body["job_id"]
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            with urllib.request.urlopen(
+                    f"https://127.0.0.1:{s.port}/query/{job}",
+                    context=ctx) as r:
+                st = json.loads(r.read())
+            if st["status"].upper() in ("COMPLETE", "FAILED"):
+                break
+            time.sleep(0.3)
+        assert st["status"].upper() == "COMPLETE"
+        with urllib.request.urlopen(
+                f"https://127.0.0.1:{s.port}/query/{job}/results",
+                context=ctx) as r:
+            lines = [json.loads(x) for x in r.read().splitlines() if x]
+        assert len(lines) == 3  # N/A/R
+        assert all("_relay_metadata_" in x for x in lines)
+
+        # plaintext client against the TLS port must fail at the transport
+        with pytest.raises(Exception):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{s.port}/query/{job}", timeout=5)
+    finally:
+        s.shutdown()
