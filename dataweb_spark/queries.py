@@ -1544,6 +1544,63 @@ order by ship_year
 """)
 
 
+def _fed_documents_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition proof: an LLM-pipeline operator over a FEDERATED entity.
+    ``documents`` is split across two differently-shaped mapped sources
+    (odd/even, renamed columns), resolved to one entity view by the
+    federation layer, and exact-dedup'd by content hash — the two halves of
+    the engine working as one plan: per-source scans union below the
+    dedup groupBy, with no materialization between the layers. Oracle is
+    plain SQL over the unsplit table (the union IS documents)."""
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Information, Mapping,
+        RelayCatalog, Web,
+    )
+    from dataweb_spark.functions import dedup as D
+    from dataweb_spark.plans.resolve import (
+        PROVENANCE_RELAY, PROVENANCE_SOURCE, resolve_entity,
+    )
+    relay = RelayCatalog(name="home")
+    relay.add_entity(Entity("docs", [
+        Information("docid", "bigint"), Information("body", "string"),
+        Information("language", "string")]))
+    relay.add_connection(DataConnection("files", "file", {"path": sf_dir}))
+    for name, pred in [("docs_even", "doc_id % 2 = 0"),
+                       ("docs_odd", "doc_id % 2 = 1")]:
+        relay.add_source(DataSource(
+            name=name, connection="files", entity="docs",
+            source_sql=f"select * from {{table}} where {pred}",
+            mappings=[Mapping("docid", "doc_id"), Mapping("body", "text"),
+                      Mapping("language", "lang")],
+            options={"table": "documents.parquet"}))
+    web = Web(relays={"home": relay})
+    df = resolve_entity(spark, web, "home", "docs") \
+        .drop(PROVENANCE_RELAY, PROVENANCE_SOURCE)
+    groups = D.exact_dup_groups(df, "body", "docid")
+    return (groups.agg(
+        F.count("*").alias("n_texts"),
+        F.sum("n_copies").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+         .cast("bigint").alias("n_dup_groups"),
+        F.max("n_copies").cast("bigint").alias("max_multiplicity"),
+        F.min("keeper_id").alias("min_keeper")))
+
+
+_df("fed_documents_dedup", _fed_documents_dedup, oracle="""
+with g as (
+  select text, min(doc_id) as keeper_id, count(*) as multiplicity
+  from documents group by text
+)
+select count(*) as n_texts,
+       cast(sum(multiplicity) as bigint) as n_docs,
+       cast(sum(case when multiplicity > 1 then 1 else 0 end) as bigint)
+           as n_dup_groups,
+       cast(max(multiplicity) as bigint) as max_multiplicity,
+       min(keeper_id) as min_keeper
+from g
+""")
+
+
 def _fed_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map pruning (beyond reference): a 3-epoch federation with NO
     hand-declared bounds — ``collect_source_stats`` derives per-source
@@ -4266,7 +4323,6 @@ _DRIVER_WINDOW = [
     "knn_ivf_recall",
     "knn_quantized_int8",
     "dedup_embedding_recall",
-    "dedup_minhash_recall",
     "dedup_simhash_recall",
     "dedup_bloom_contamination",
     "dedup_incremental_ingest",
@@ -4307,6 +4363,9 @@ _DRIVER_WINDOW = [
     # (dedup_exact_clusters rotated out — green r4, CC layer untouched;
     # exact-dedup groupBy shape stays window-exercised via dedup_exact_keep):
     "dedup_audio_signature",
+    # (dedup_minhash_recall rotated out — green r4, its operator stays
+    # window-exercised via the oracle-checked dedup_minhash_lsh contract):
+    "fed_documents_dedup",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
 # r5 swaps: tpch_q3_shipping_priority / grouping_function_rollup /
