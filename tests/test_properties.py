@@ -332,3 +332,55 @@ def test_wav_decoder_rejects_non_pcm():
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError as e:
         assert "PCM-16" in str(e)
+
+
+# -- BPE tokenizer ----------------------------------------------------------
+
+words_strategy = st.lists(
+    st.tuples(st.text(alphabet="abcdef", min_size=1, max_size=10),
+              st.integers(min_value=1, max_value=50)),
+    min_size=1, max_size=30, unique_by=lambda t: t[0])
+
+
+@given(words_strategy, st.integers(min_value=0, max_value=30))
+@settings(max_examples=40, deadline=None)
+def test_bpe_segments_always_reconstruct(words, n_merges):
+    """For ANY word histogram and merge budget: segmentation of every
+    trained-on word concatenates back to the word, and merges never
+    exceed the budget."""
+    from dataweb_spark.functions.tokenizer import (_segment,
+                                                   train_bpe_merges)
+    merges = train_bpe_merges(words, n_merges)
+    assert len(merges) <= n_merges
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, _ in words:
+        seg = _segment(w, ranks)
+        assert "".join(seg) == w
+        assert all(s for s in seg)
+
+
+@given(words_strategy, st.integers(min_value=1, max_value=20))
+@settings(max_examples=30, deadline=None)
+def test_bpe_training_invariant_to_input_order(words, n_merges):
+    from dataweb_spark.functions.tokenizer import train_bpe_merges
+    assert train_bpe_merges(words, n_merges) == \
+        train_bpe_merges(list(reversed(words)), n_merges)
+
+
+# -- perceptual-hash banding ------------------------------------------------
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=2, max_size=12, unique=True),
+       st.integers(min_value=0, max_value=7))
+@settings(max_examples=40, deadline=None)
+def test_phash_pigeonhole_band_guarantee(sigs, max_h):
+    """Any two 64-bit signatures within max_hamming < 8 share at least one
+    of the 8 8-bit bands exactly (the full-recall guarantee the banded
+    join relies on)."""
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1:]:
+            hd = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+            if hd <= max_h:
+                shares = any(((a >> (8 * k)) & 255) == ((b >> (8 * k)) & 255)
+                             for k in range(8))
+                assert shares
