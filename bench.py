@@ -69,6 +69,20 @@ HEADLINE = [
     "dedup_contamination_check",
 ]
 
+# r5 operators timed OUTSIDE the headline total (the headline set is frozen
+# for comparability with the BASELINE.md table sum): one run each, reported
+# under "extras" in the JSON.
+EXTRAS = [
+    "fed_q3_shipping_priority",
+    "fed_replica_failover",
+    "fed_documents_dedup",
+    "scd2_event_history",
+    "pipeline_rag_retrieval",
+    "dedup_image_phash",
+    "dedup_audio_signature",
+    "text_bpe_contract",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -111,6 +125,13 @@ def main() -> None:
         print(f"# {name}: median {timings[name]}s / cold {cold[name]}s "
               f"({n} rows)", file=sys.stderr)
 
+    extras: dict[str, float] = {}
+    for name in EXTRAS:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        extras[name] = round(time.time() - t0, 3)
+        print(f"# extra {name}: {extras[name]}s ({n} rows)", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -120,6 +141,7 @@ def main() -> None:
         "cold": cold,
         "runs": runs,
         "agg": "median",
+        "extras": extras,
         "sf": sf,
     }))
 

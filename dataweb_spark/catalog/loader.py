@@ -311,3 +311,76 @@ def dump_web_dir(web: Web, path: str) -> list[str]:
     for name, relay in web.relays.items():
         written.append(dump_relay_dir(relay, os.path.join(path, name)))
     return written
+
+
+# ---------------------------------------------------------------------------
+# Referential validation (the config mistakes users actually make: typo'd
+# connection names, mappings to informations the entity doesn't declare,
+# remote mappings to peers that aren't in the web). The reference surfaces
+# these lazily at query time; validating at apply time turns a mid-query
+# failure into an immediate, named config error.
+# ---------------------------------------------------------------------------
+
+def validate_web(web: Web) -> list[str]:
+    """Referential-integrity check over a loaded catalog. Returns a list of
+    human-readable problems (empty = consistent). Checked per relay:
+    sources reference existing connections/entities, mappings and bounds
+    reference declared informations, declared fields cover mapped fields,
+    replica groups don't span entities; across relays: remote mappings
+    reference existing peers/entities/informations."""
+    problems: list[str] = []
+    for rname, relay in web.relays.items():
+        group_entity: dict[str, str] = {}
+        for s in relay.sources.values():
+            where = f"relay {rname!r} source {s.name!r}"
+            if s.connection not in relay.connections:
+                problems.append(f"{where}: unknown connection "
+                                f"{s.connection!r}")
+            if s.entity not in relay.entities:
+                problems.append(f"{where}: unknown entity {s.entity!r}")
+                continue
+            entity = relay.entities[s.entity]
+            infos = set(entity.info_names())
+            declared_fields = {f.name for f in s.fields}
+            for m in s.mappings:
+                if m.information not in infos:
+                    problems.append(
+                        f"{where}: mapping to undeclared information "
+                        f"{m.information!r}")
+                if declared_fields and m.field not in declared_fields:
+                    problems.append(
+                        f"{where}: mapping from undeclared field "
+                        f"{m.field!r}")
+            for col in s.bounds:
+                if col not in infos:
+                    problems.append(f"{where}: bounds on undeclared "
+                                    f"information {col!r}")
+            if s.replica_group is not None:
+                seen = group_entity.setdefault(s.replica_group, s.entity)
+                if seen != s.entity:
+                    problems.append(
+                        f"{where}: replica_group {s.replica_group!r} spans "
+                        f"entities {seen!r} and {s.entity!r}")
+        for rm in relay.remote_mappings:
+            where = (f"relay {rname!r} remote mapping "
+                     f"{rm.local_entity!r}→{rm.peer!r}.{rm.remote_entity!r}")
+            if rm.local_entity not in relay.entities:
+                problems.append(f"{where}: unknown local entity")
+                continue
+            if rm.peer not in web.relays:
+                problems.append(f"{where}: unknown peer relay")
+                continue
+            peer = web.relays[rm.peer]
+            if rm.remote_entity not in peer.entities:
+                problems.append(f"{where}: peer has no such entity")
+                continue
+            local_infos = set(relay.entities[rm.local_entity].info_names())
+            remote_infos = set(peer.entities[rm.remote_entity].info_names())
+            for im in rm.info_mappings:
+                if im.local_info not in local_infos:
+                    problems.append(f"{where}: unknown local information "
+                                    f"{im.local_info!r}")
+                if im.remote_info not in remote_infos:
+                    problems.append(f"{where}: unknown remote information "
+                                    f"{im.remote_info!r}")
+    return problems

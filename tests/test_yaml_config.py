@@ -211,3 +211,65 @@ def test_dump_load_roundtrip_preserves_users_and_bounds(tmp_path, sf_dir):
     assert s.bounds == {"a": (1, 9)}
     (u,) = back.users.values()
     assert u.principal == "reader" and u.attributes == {"is_admin": False}
+
+
+# -- referential validation -------------------------------------------------
+
+def test_validate_web_flags_every_dangling_reference(sf_dir):
+    from dataweb_spark.catalog.loader import validate_web
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Information, Mapping,
+        RelayCatalog, RemoteEntityMapping, RemoteInfoMapping, Web,
+    )
+    r = RelayCatalog(name="home")
+    r.add_entity(Entity("t", [Information("v", "bigint")]))
+    r.add_connection(DataConnection("files", "file", {"path": sf_dir}))
+    r.add_source(DataSource(
+        name="bad", connection="nosuch_conn", entity="nosuch_entity",
+        source_sql="select * from {table}", mappings=[],
+        options={"table": "region.parquet"}))
+    r.add_source(DataSource(
+        name="bad2", connection="files", entity="t",
+        source_sql="select * from {table}",
+        mappings=[Mapping("nosuch_info", "r_regionkey")],
+        options={"table": "region.parquet"},
+        bounds={"nosuch_col": (0, 1)}))
+    r.remote_mappings.append(RemoteEntityMapping(
+        local_entity="t", peer="ghost", remote_entity="t",
+        info_mappings=[RemoteInfoMapping("v", "v")]))
+    problems = validate_web(Web(relays={"home": r}))
+    text = "\n".join(problems)
+    assert "unknown connection 'nosuch_conn'" in text
+    assert "unknown entity 'nosuch_entity'" in text
+    assert "undeclared information 'nosuch_info'" in text
+    assert "bounds on undeclared information 'nosuch_col'" in text
+    assert "unknown peer relay" in text
+    assert len(problems) == 5
+
+
+def test_validate_web_clean_on_all_shipped_webs(sf_dir):
+    from dataweb_spark.catalog.loader import load_web_dir, validate_web
+    from dataweb_spark.demo import build_demo_web, build_six_relay_web
+    assert validate_web(load_web_dir("configs/demo_web")) == []
+    assert validate_web(build_demo_web(sf_dir)) == []
+    assert validate_web(build_six_relay_web(sf_dir)) == []
+
+
+def test_validate_web_flags_cross_entity_replica_group(sf_dir):
+    from dataweb_spark.catalog.loader import validate_web
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Information, Mapping,
+        RelayCatalog, Web,
+    )
+    r = RelayCatalog(name="home")
+    for e in ("a", "b"):
+        r.add_entity(Entity(e, [Information("v", "bigint")]))
+    r.add_connection(DataConnection("files", "file", {"path": sf_dir}))
+    for name, ent in [("s1", "a"), ("s2", "b")]:
+        r.add_source(DataSource(
+            name=name, connection="files", entity=ent,
+            source_sql="select * from {table}",
+            mappings=[Mapping("v", "r_regionkey")],
+            options={"table": "region.parquet"}, replica_group="g"))
+    problems = validate_web(Web(relays={"home": r}))
+    assert any("spans entities" in p for p in problems)
