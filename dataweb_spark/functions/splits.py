@@ -1,0 +1,197 @@
+"""Dataset-assembly operators: leakage-safe splits, deterministic shard
+export, and attribute-filter cascades.
+
+These are the last-mile stages of a pre-training data pipeline — after
+dedup/quality/decontamination have run, the corpus still has to be (a) split
+into train/val/test without near-duplicate leakage across the boundary,
+(b) written out as a fixed number of deterministically-ordered shards for
+the trainer, and (c) filtered through an ordered rule cascade whose
+per-rule rejection counts are themselves a reporting artifact (the
+"attributes" stage of Dolma/RefinedWeb-style pipelines). The reference
+engine (a federated SQL relay) has no counterpart; these follow the public
+pipeline literature re-expressed Spark-first.
+
+Scale notes (100 TB):
+
+* ``split_by_content`` is MAP-ONLY: the split is a pure function of the
+  content fingerprint, so exact duplicates land in the same split with no
+  join, no shuffle, and no global state. This is the trick that makes
+  leakage-safe splitting free — hash the *content*, not the row id.
+* ``split_by_cluster`` handles NEAR-dup clusters (minhash/simhash
+  components): one broadcast-or-shuffle join against the cluster map,
+  which is orders of magnitude smaller than the corpus.
+* ``assign_shards``/``write_shards`` produce at most one file per shard by
+  repartitioning ON the shard id; the within-shard order is an md5 of the
+  key, so a re-run on re-ordered input bytes produces byte-identical
+  shards (trainer-resume safe).
+* ``filter_cascade`` evaluates every rule in ONE codegen'd projection —
+  first-failing-rule attribution costs a single chained CASE, not one pass
+  per rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataweb_spark.functions.text import hash_bucket
+
+__all__ = [
+    "split_by_content", "split_by_cluster", "assign_shards",
+    "write_shards", "shard_manifest", "filter_cascade", "cascade_stats",
+]
+
+
+def _split_expr(bucket: Column, weights: dict[str, float]) -> Column:
+    """0..255 bucket → split name by cumulative /256-quantized weights.
+
+    Quantization: each split's threshold is ``round(cum_weight * 256)``, so
+    the assignment is exactly reproducible in any engine with md5 (the
+    DuckDB oracles re-derive it) and sums to the whole corpus — the final
+    split absorbs rounding remainders.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        thr = int(round(cum * 256))
+        cond = bucket < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def split_by_content(df: DataFrame, text_col: str = "text",
+                     weights: dict[str, float] | None = None,
+                     out_col: str = "split") -> DataFrame:
+    """Leakage-safe train/val/test assignment keyed on CONTENT, not id.
+
+    Every row whose ``text_col`` is byte-identical gets the same split —
+    exact duplicates can never straddle the train/test boundary, even when
+    dedup upstream kept them (e.g. deliberate upsampling). Map-only: the
+    split is ``md5(text) → bucket → cumulative-weight threshold``; no
+    shuffle, no cluster map, scales linearly.
+    """
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = hash_bucket(F.col(text_col), 256)
+    return df.withColumn(out_col, _split_expr(bucket, weights))
+
+
+def split_by_cluster(df: DataFrame, clusters: DataFrame,
+                     id_col: str = "doc_id", rep_col: str = "cluster_rep",
+                     weights: dict[str, float] | None = None,
+                     out_col: str = "split") -> DataFrame:
+    """Leakage-safe split for NEAR-duplicate clusters.
+
+    ``clusters`` maps ``id_col`` → ``rep_col`` (a cluster representative —
+    e.g. the min member id from :func:`dedup.connected_components` over
+    minhash candidate pairs). All members of a cluster hash to one split via
+    the representative; rows absent from the cluster map are singleton
+    clusters keyed by their own id. One left join (cluster maps are tiny
+    relative to the corpus — broadcast when under the threshold), then the
+    same map-only bucket assignment as :func:`split_by_content`.
+    """
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    joined = df.join(clusters.select(id_col, rep_col), on=id_col, how="left")
+    key = F.coalesce(F.col(rep_col), F.col(id_col))
+    bucket = hash_bucket(key, 256)
+    return (joined.withColumn(out_col, _split_expr(bucket, weights))
+                  .drop(rep_col))
+
+
+def assign_shards(df: DataFrame, key_col: str, n_shards: int,
+                  shard_col: str = "shard",
+                  order_col: str = "shard_order") -> DataFrame:
+    """Deterministic global shuffle: shard id + within-shard sort key.
+
+    ``shard = md5-bucket(key) mod n_shards`` and ``order = md5(key)`` give a
+    pseudo-random but fully reproducible training order — unlike
+    ``rand()``/``repartition()`` the layout survives re-runs and engine
+    changes, so a resumed training job sees the same byte stream. Map-only.
+    """
+    if not 1 <= n_shards <= 256:
+        raise ValueError("n_shards must be in 1..256")
+    return (df.withColumn(shard_col, hash_bucket(F.col(key_col), n_shards))
+              .withColumn(order_col, F.md5(F.col(key_col).cast("string"))))
+
+
+def write_shards(df: DataFrame, path: str, key_col: str,
+                 n_shards: int) -> None:
+    """Materialize the corpus as ``n_shards`` deterministically-ordered
+    parquet shards under ``path`` (hive layout ``shard=K/``).
+
+    Repartitions ON the shard id so each output directory receives exactly
+    one file, sorted by the order hash — the layout a data loader streams
+    sequentially. At 100 TB, raise ``n_shards`` so each shard stays within
+    one task's comfortable write size (this helper caps at 256 because the
+    order hash's md5-bucket does; shard count beyond that would switch to
+    ``pmod(xxhash64)``, losing DuckDB oracle parity but nothing else).
+    """
+    with_shard = assign_shards(df, key_col, n_shards)
+    (with_shard
+     .repartition(n_shards, F.col("shard"))
+     .sortWithinPartitions("shard", "shard_order")
+     .write.mode("overwrite").partitionBy("shard").parquet(path))
+
+
+def shard_manifest(df: DataFrame, key_col: str, n_shards: int,
+                   token_col: Column | None = None) -> DataFrame:
+    """Per-shard manifest: row count, token total, and the order-hash span.
+
+    The manifest is the trainer-facing contract for :func:`write_shards`:
+    byte-identical across re-runs, so it doubles as a cheap content
+    checksum for the exported shards.
+    """
+    from dataweb_spark.functions.text import token_count
+    with_shard = assign_shards(df, key_col, n_shards)
+    tok = token_col if token_col is not None else token_count("text")
+    return (with_shard
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(tok).alias("n_tokens"),
+                 F.min("shard_order").alias("first_key"),
+                 F.max("shard_order").alias("last_key"))
+            .orderBy("shard"))
+
+
+def filter_cascade(df: DataFrame,
+                   rules: list[tuple[str, Column]],
+                   reason_col: str = "rejected_by") -> DataFrame:
+    """Ordered attribute-filter cascade with first-failure attribution.
+
+    ``rules`` is an ordered list of ``(name, keep_condition)``. A row's
+    ``reason_col`` is the FIRST rule whose keep-condition it fails (NULL ⇒
+    the row survives the whole cascade) — the attribution convention of
+    published pipeline reports, where each rejection is counted once
+    against the earliest rule. All rules evaluate in one chained CASE
+    inside a single codegen'd projection: one pass over the corpus
+    regardless of rule count, no shuffle. NULL rule results count as
+    failures (a quality score that couldn't be computed rejects the row).
+    """
+    expr: Column = F.lit(None).cast("string")
+    for name, cond in reversed(rules):
+        expr = F.when(~F.coalesce(cond, F.lit(False)), F.lit(name)) \
+                .otherwise(expr)
+    return df.withColumn(reason_col, expr)
+
+
+def cascade_stats(df: DataFrame, rules: list[tuple[str, Column]],
+                  reason_col: str = "rejected_by") -> DataFrame:
+    """Per-rule rejection counts + survivor count for a cascade.
+
+    One aggregation over :func:`filter_cascade`'s output (map-side
+    combined); the ``kept`` row carries the survivors so the frame sums to
+    the corpus size.
+    """
+    tagged = filter_cascade(df, rules, reason_col)
+    return (tagged
+            .groupBy(F.coalesce(F.col(reason_col), F.lit("kept"))
+                      .alias("stage"))
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("stage"))

@@ -1,0 +1,137 @@
+"""Dataset-assembly operators (functions/splits.py): leakage-safe splits,
+deterministic shard export, filter cascades."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from dataweb_spark.functions import splits as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# -- leakage-safe splits ----------------------------------------------------
+
+def test_split_by_content_is_map_only(docs):
+    out = S.split_by_content(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "content split must not shuffle"
+
+
+def test_split_by_content_exact_dups_never_straddle(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i % 7}") for i in range(70)])
+    out = S.split_by_content(df)
+    per_text = (out.groupBy("text")
+                   .agg(F.countDistinct("split").alias("ns")).collect())
+    assert all(r.ns == 1 for r in per_text)
+
+
+def test_split_by_content_weights_roughly_hold(docs):
+    out = S.split_by_content(
+        docs, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    assert counts["train"] / total == pytest.approx(0.8, abs=0.1)
+    # deterministic: a second run assigns identically
+    again = {r.split: r.n for r in
+             S.split_by_content(docs).groupBy("split")
+              .agg(F.count("*").alias("n")).collect()}
+    assert counts == again
+
+
+def test_split_by_cluster_keeps_members_together(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"unique text {i}") for i in range(40)])
+    # two near-dup clusters: {0..9} rep 0, {10..19} rep 10
+    clusters = spark.createDataFrame(
+        [Row(doc_id=i, cluster_rep=(0 if i < 10 else 10))
+         for i in range(20)])
+    out = S.split_by_cluster(df, clusters)
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert len(rows) == 40
+    assert len({rows[i] for i in range(10)}) == 1
+    assert len({rows[i] for i in range(10, 20)}) == 1
+    assert "cluster_rep" not in out.columns
+
+
+def test_split_expr_rejects_empty_weights(docs):
+    with pytest.raises(ValueError):
+        S.split_by_content(docs, weights={})
+
+
+# -- shard export -----------------------------------------------------------
+
+def test_assign_shards_bounds(docs):
+    out = S.assign_shards(docs, "doc_id", 8)
+    agg = out.agg(F.min("shard"), F.max("shard"),
+                  F.countDistinct("shard")).first()
+    assert agg[0] >= 0 and agg[1] <= 7 and agg[2] == 8
+
+
+def test_write_shards_one_sorted_file_per_shard(docs, spark, tmp_path):
+    path = str(tmp_path / "shards")
+    S.write_shards(docs.limit(200), path, "doc_id", 4)
+    for k in range(4):
+        files = glob.glob(os.path.join(path, f"shard={k}", "*.parquet"))
+        assert len(files) == 1, f"shard {k}: expected exactly one file"
+    # within-shard order is the md5 order hash
+    back = spark.read.parquet(path)
+    one = (back.where(F.col("shard") == 0)
+               .withColumn("ok", F.md5(F.col("doc_id").cast("string")))
+               .select("ok").collect())
+    vals = [r.ok for r in one]
+    assert vals == sorted(vals)
+
+
+def test_shard_manifest_covers_corpus(docs):
+    man = S.shard_manifest(docs, "doc_id", 8)
+    rows = man.collect()
+    assert [r.shard for r in rows] == list(range(8))
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert all(r.first_key <= r.last_key for r in rows)
+
+
+# -- filter cascade ---------------------------------------------------------
+
+def test_filter_cascade_first_failure_attribution(spark):
+    from dataweb_spark.functions import text as T
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="short"),                      # fails both rules
+        Row(doc_id=1, text="one two three four five"),    # passes min, no '!'
+        Row(doc_id=2, text="a b c d e f!"),               # passes both
+        Row(doc_id=3, text=None),                         # null → first rule
+    ])
+    rules = [
+        ("too_short", T.token_count("text") >= 5),
+        ("no_bang", F.col("text").contains("!")),
+    ]
+    out = {r.doc_id: r.rejected_by
+           for r in S.filter_cascade(df, rules).collect()}
+    assert out == {0: "too_short", 1: "no_bang", 2: None, 3: "too_short"}
+
+
+def test_cascade_stats_sum_to_corpus(docs):
+    from dataweb_spark.functions import text as T
+    rules = [("too_short", T.token_count("text") >= 20),
+             ("punct_heavy", T.punct_ratio("text") <= 0.15)]
+    stats = S.cascade_stats(docs, rules).collect()
+    assert sum(r.n_docs for r in stats) == docs.count()
+    stages = {r.stage for r in stats}
+    assert stages <= {"too_short", "punct_heavy", "kept"}
+
+
+def test_filter_cascade_single_projection_no_shuffle(docs):
+    from dataweb_spark.functions import text as T
+    rules = [("too_short", T.token_count("text") >= 20),
+             ("punct_heavy", T.punct_ratio("text") <= 0.15)]
+    out = S.filter_cascade(docs, rules)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
