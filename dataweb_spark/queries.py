@@ -4446,15 +4446,20 @@ _DRIVER_WINDOW = [
     # similarity/dedup internals (quantizer sample path changed):
     "knn_ivf_recall",
     "knn_quantized_int8",
-    "dedup_embedding_recall",
-    "dedup_simhash_recall",
     "dedup_bloom_contamination",
     "dedup_incremental_ingest",
     # jobs/do_put + streaming + multimodal + big-SQL sentinels:
     "streaming_fed_ingest",
     "multimodal_audio_features",
     "multimodal_features",
-    "multimodal_frame_counts",
+    # (f) new in r5 session 4 — dataset-assembly ops, never driver-checked,
+    # taking slots from r4 greens with in-window layer redundancy
+    # (dedup_simhash_recall → dedup_simhash contract; dedup_embedding_recall
+    # → dedup_embedding_cosine contract; multimodal_frame_counts →
+    # multimodal_video_frames + dedup_video_signature):
+    "pipeline_leakage_safe_split",
+    "pipeline_shard_manifest",
+    "pipeline_filter_cascade",
     # new in r5 session 2: real PNG codec, real resize, FFT spectrum,
     # unigram-LM scoring, zone-map pruning — never driver-checked, so they
     # take window slots from multi-round greens (tpch_q1/q9/q21,
