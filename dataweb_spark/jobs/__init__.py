@@ -1,4 +1,5 @@
 from dataweb_spark.jobs.manager import (
+    CANCELLED,
     COMPLETE,
     FAILED,
     IN_PROGRESS,
@@ -10,4 +11,4 @@ from dataweb_spark.jobs.manager import (
 )
 
 __all__ = ["JobManager", "JobNotReady", "QueryJob", "QueryTask",
-           "QUEUED", "IN_PROGRESS", "COMPLETE", "FAILED"]
+           "QUEUED", "IN_PROGRESS", "COMPLETE", "FAILED", "CANCELLED"]

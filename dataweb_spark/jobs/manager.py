@@ -48,6 +48,7 @@ QUEUED = "QUEUED"
 IN_PROGRESS = "IN_PROGRESS"
 COMPLETE = "COMPLETE"
 FAILED = "FAILED"
+CANCELLED = "CANCELLED"
 
 
 @dataclass
@@ -72,12 +73,15 @@ class QueryJob:
     mode: str  # "engine" | "template"
     tasks: dict[str, QueryTask] = field(default_factory=dict)
     created_at: float = field(default_factory=time.time)
+    cancel_requested: bool = False
 
     @property
     def status(self) -> str:
         st = [t.status for t in self.tasks.values()]
         if any(s in (QUEUED, IN_PROGRESS) for s in st):
             return IN_PROGRESS if any(s != QUEUED for s in st) else QUEUED
+        if any(s == CANCELLED for s in st):
+            return CANCELLED
         if all(s == FAILED for s in st):
             return FAILED
         return COMPLETE
@@ -164,7 +168,17 @@ class JobManager:
     # -- worker ----------------------------------------------------------
 
     def _run_task(self, job: QueryJob, task: QueryTask, relay, source) -> None:
+        if job.cancel_requested:
+            if task.status == QUEUED:
+                task.status = CANCELLED
+            return
         task.status = IN_PROGRESS
+        # Tag this pool thread's Spark actions with a per-job group so
+        # cancel() can interrupt running stages (thread-local property —
+        # other sessions/threads are untouched).
+        self.spark.sparkContext.setJobGroup(
+            f"dwjob-{job.job_id}", f"dataweb job {job.job_id}",
+            interruptOnCancel=True)
         try:
             # Plan under the lock (temp views are session-global; analysis
             # binds the view into the DataFrame so execution can overlap).
@@ -189,14 +203,24 @@ class JobManager:
                     view.drop(PROVENANCE_RELAY, PROVENANCE_SOURCE) \
                         .createOrReplaceTempView(entity)
                     df = self.spark.sql(job.sql)
+            if job.cancel_requested:
+                # cancel landed during planning, before any Spark job
+                # existed for cancelJobGroup to interrupt
+                task.error = "cancelled"
+                task.status = CANCELLED
+                return
             path = os.path.join(self.results_dir, f"task_{task.task_id}")
             df.write.mode("overwrite").parquet(path)
             task.result_path = path
             task.n_rows = self.spark.read.parquet(path).count()
             task.status = COMPLETE
         except Exception as e:  # partial-failure tolerance (flight.rs:273-306)
-            task.error = f"{type(e).__name__}: {e}"
-            task.status = FAILED
+            if job.cancel_requested:
+                task.error = "cancelled"
+                task.status = CANCELLED
+            else:
+                task.error = f"{type(e).__name__}: {e}"
+                task.status = FAILED
 
     # -- poll ------------------------------------------------------------
 
@@ -217,9 +241,45 @@ class JobManager:
         deadline = time.time() + timeout
         while time.time() < deadline:
             st = self.status(job_id)
-            if st["status"] in (COMPLETE, FAILED):
+            if st["status"] in (COMPLETE, FAILED, CANCELLED):
                 return st
             time.sleep(poll)
+        return self.status(job_id)
+
+    # -- cancel ----------------------------------------------------------
+
+    def cancel(self, job_id: str, principal: str | None = None) -> dict:
+        """Best-effort job cancellation (``route.rs`` DELETE analog).
+
+        Queued tasks flip to CANCELLED and never start; running tasks get
+        their Spark job group interrupted (stages killed mid-flight), which
+        surfaces as a CANCELLED task rather than FAILED. Tasks that already
+        completed keep their results — readable via
+        ``result(allow_partial=True)``. A job submitted under a principal
+        can only be cancelled by that principal (same authorization rule as
+        the do_put result push)."""
+        job = self._jobs[job_id]
+        if job.principal is not None and principal != job.principal:
+            raise PermissionError(
+                f"job {job_id} belongs to principal {job.principal!r}")
+        job.cancel_requested = True
+        with self._lock:
+            for t in job.tasks.values():
+                if t.status == QUEUED:
+                    t.status = CANCELLED
+        sc = self.spark.sparkContext
+        group = f"dwjob-{job_id}"
+        # The future-jobs variant also kills Spark jobs the task is ABOUT
+        # to start — plain cancelJobGroup only hits currently-active jobs,
+        # leaving a race in the window where the action is still in
+        # physical planning (no active job yet). PySpark doesn't surface
+        # it (Spark 4.1), so go through the JVM context.
+        if hasattr(sc, "cancelJobGroupAndFutureJobs"):
+            sc.cancelJobGroupAndFutureJobs(group)
+        elif hasattr(sc._jsc.sc(), "cancelJobGroupAndFutureJobs"):
+            sc._jsc.sc().cancelJobGroupAndFutureJobs(group)
+        else:  # pragma: no cover — Spark < 3.5
+            sc.cancelJobGroup(group)
         return self.status(job_id)
 
     # -- results ---------------------------------------------------------
@@ -230,7 +290,8 @@ class JobManager:
         job = self._jobs[job_id]
         pending = [t for t in job.tasks.values()
                    if t.status in (QUEUED, IN_PROGRESS)]
-        failed = [t for t in job.tasks.values() if t.status == FAILED]
+        failed = [t for t in job.tasks.values()
+                  if t.status in (FAILED, CANCELLED)]
         if (pending or failed) and not allow_partial:
             raise JobNotReady(
                 f"job {job_id}: {len(pending)} pending, {len(failed)} failed "

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataweb_spark.jobs.manager import (
+    CANCELLED,
     COMPLETE,
     FAILED,
     IN_PROGRESS,
@@ -52,7 +53,7 @@ class _JobQueueCommon:
         deadline = time.time() + timeout
         while time.time() < deadline:
             st = self.read_status(job_id)
-            if st and st["status"] in (COMPLETE, FAILED):
+            if st and st["status"] in (COMPLETE, FAILED, CANCELLED):
                 return st
             time.sleep(poll)
         return self.read_status(job_id) or {"job_id": job_id,
@@ -66,7 +67,7 @@ class _JobQueueCommon:
             raise JobNotReady(f"job {job_id}: no status recorded")
         tasks = st.get("tasks", [])
         pending = [t for t in tasks if t["status"] in (QUEUED, IN_PROGRESS)]
-        failed = [t for t in tasks if t["status"] == FAILED]
+        failed = [t for t in tasks if t["status"] in (FAILED, CANCELLED)]
         if (not tasks or pending or failed) and not allow_partial:
             raise JobNotReady(
                 f"job {job_id}: {len(pending)} pending, {len(failed)} failed "
@@ -91,7 +92,7 @@ class FileJobQueue(_JobQueueCommon):
 
     def __init__(self, root: str):
         self.root = root
-        for d in ("queued", "claimed", "status", "results"):
+        for d in ("queued", "claimed", "cancelled", "status", "results"):
             os.makedirs(os.path.join(root, d), exist_ok=True)
 
     # -- submitter side ---------------------------------------------------
@@ -119,6 +120,33 @@ class FileJobQueue(_JobQueueCommon):
         except (FileNotFoundError, json.JSONDecodeError):
             return None
 
+    def cancel(self, job_id: str, principal: str | None = None) -> dict:
+        """Cancel a queued or claimed job.
+
+        A still-queued job is taken off the queue with the SAME atomic
+        rename the workers use to claim — exactly one of {worker, cancel}
+        wins the file. A claimed job gets ``cancel_requested`` set in its
+        status; the executing worker observes the flag between polls and
+        interrupts the job through :meth:`JobManager.cancel`. Principal
+        rule matches do_put: a job submitted under a principal refuses
+        cancellation from anyone else."""
+        st = self.read_status(job_id)
+        if st is None:
+            raise KeyError(f"unknown job {job_id}")
+        if st.get("principal") and principal != st["principal"]:
+            raise PermissionError(
+                f"job {job_id} belongs to principal {st['principal']!r}")
+        src = os.path.join(self.root, "queued", f"{job_id}.json")
+        dst = os.path.join(self.root, "cancelled", f"{job_id}.json")
+        try:
+            os.rename(src, dst)
+            self.mirror_status(job_id, CANCELLED, st.get("tasks", []))
+        except (FileNotFoundError, OSError):
+            # already claimed (or finished): flag it for the worker
+            st["cancel_requested"] = True
+            self._write_status(job_id, st)
+        return self.read_status(job_id)
+
     # -- worker side ------------------------------------------------------
 
     def claim(self) -> dict | None:
@@ -143,9 +171,10 @@ class FileJobQueue(_JobQueueCommon):
         hist = st.get("history", [])
         if not hist or hist[-1] != status:
             hist = hist + [status]
-        self._write_status(job_id, {"job_id": job_id, "status": status,
-                                    "history": hist, "tasks": tasks,
-                                    "principal": st.get("principal")})
+        self._write_status(job_id, {
+            "job_id": job_id, "status": status, "history": hist,
+            "tasks": tasks, "principal": st.get("principal"),
+            "cancel_requested": st.get("cancel_requested", False)})
 
     # -- internals --------------------------------------------------------
 
@@ -204,6 +233,31 @@ class InMemoryJobQueue(_JobQueueCommon):
         with self._lock:
             return self._queued.pop(0) if self._queued else None
 
+    def cancel(self, job_id: str, principal: str | None = None) -> dict:
+        """Channel-broker cancel: dequeue-or-flag under the same lock the
+        workers claim under, so exactly one of {worker, cancel} gets a
+        still-queued job."""
+        with self._lock:
+            st = self._status.get(job_id)
+            if st is None:
+                raise KeyError(f"unknown job {job_id}")
+            if st.get("principal") and principal != st["principal"]:
+                raise PermissionError(
+                    f"job {job_id} belongs to principal "
+                    f"{st['principal']!r}")
+            before = len(self._queued)
+            self._queued = [s for s in self._queued
+                            if s["job_id"] != job_id]
+            if len(self._queued) < before:
+                hist = st.get("history", [])
+                if not hist or hist[-1] != CANCELLED:
+                    hist = hist + [CANCELLED]
+                self._status[job_id] = dict(
+                    st, status=CANCELLED, history=hist)
+            else:
+                self._status[job_id] = dict(st, cancel_requested=True)
+        return self.read_status(job_id)
+
     def mirror_status(self, job_id: str, status: str,
                       tasks: list[dict]) -> None:
         with self._lock:
@@ -213,7 +267,8 @@ class InMemoryJobQueue(_JobQueueCommon):
                 hist = hist + [status]
             self._status[job_id] = {
                 "job_id": job_id, "status": status, "history": hist,
-                "tasks": tasks, "principal": st.get("principal")}
+                "tasks": tasks, "principal": st.get("principal"),
+                "cancel_requested": st.get("cancel_requested", False)}
 
 
 def run_worker(spark: SparkSession, web, relay_name: str,
@@ -246,12 +301,19 @@ def run_worker(spark: SparkSession, web, relay_name: str,
                  "error": f"{type(e).__name__}: {e}"}])
             done += 1
             continue
+        cancel_sent = False
         while True:
+            qst = queue.read_status(job_id) or {}
+            if qst.get("cancel_requested") and not cancel_sent:
+                # submitter cancelled after the claim: interrupt the
+                # running Spark stages through the manager
+                manager.cancel(local_id, spec.get("principal"))
+                cancel_sent = True
             st = manager.status(local_id)
             tasks = [dict(t, result_path=_task_path(manager, t))
                      for t in st["tasks"]]
             queue.mirror_status(job_id, st["status"], tasks)
-            if st["status"] in (COMPLETE, FAILED):
+            if st["status"] in (COMPLETE, FAILED, CANCELLED):
                 break
             time.sleep(poll)
         done += 1

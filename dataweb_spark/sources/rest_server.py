@@ -120,6 +120,24 @@ class RestRelayServer:
                     return self._send(400, {"error": str(e)})
                 self._send(200, {"applied": applied})
 
+            def do_DELETE(self):
+                """DELETE /query/{id}: best-effort cancel. Queued tasks
+                never start; running stages are interrupted; finished work
+                keeps its results (fetch with allow_partial=true)."""
+                url = urlparse(self.path)
+                m = _QUERY.match(url.path)
+                if not m:
+                    return self._send(404, {"error": "not found"})
+                principal = parse_qs(url.query).get(
+                    "principal", [None])[0]
+                try:
+                    st = outer.manager.cancel(m.group(1), principal)
+                except KeyError:
+                    return self._send(404, {"error": "unknown job"})
+                except PermissionError as e:
+                    return self._send(403, {"error": str(e)})
+                self._send(200, st)
+
             def do_GET(self):
                 url = urlparse(self.path)
                 partial = parse_qs(url.query).get(

@@ -140,3 +140,129 @@ def test_inmemory_queue_end_to_end(spark, demo_web):
     assert not os.path.exists(os.path.join(q.root, "queued"))
     assert not os.path.exists(os.path.join(q.root, "status"))
     assert os.path.exists(os.path.join(q.root, "results"))
+
+
+# -- cancellation -----------------------------------------------------------
+
+def test_cancel_queued_and_running_jobs(spark, demo_web, tmp_path):
+    """DELETE-analog semantics: queued tasks never start; a running job's
+    Spark stages are interrupted through its job group."""
+    import time as _t
+
+    from dataweb_spark.jobs import CANCELLED
+
+    spark.udf.register("dw_sleep_key",
+                       lambda x: (_t.sleep(0.4), x)[1], "long")
+    m = JobManager(spark, demo_web, "na_us",
+                   results_dir=str(tmp_path), max_workers=1)
+    try:
+        # j1 occupies the single pool worker with a multi-second write
+        j1 = m.submit("select dw_sleep_key(cast(quantity as bigint)) as k "
+                      "from lineitem limit 20", mode="engine")
+        # j2's tasks sit QUEUED behind it
+        j2 = m.submit("select count(*) as n from lineitem")
+        st2 = m.cancel(j2)
+        assert st2["status"] == CANCELLED
+        assert all(t["status"] == CANCELLED for t in st2["tasks"])
+        # interrupt the running job mid-write
+        st1 = m.cancel(j1)
+        st1 = m.wait(j1, timeout=60)
+        assert st1["status"] == CANCELLED
+        # j2 stayed cancelled even after the pool drained
+        assert m.status(j2)["status"] == CANCELLED
+        with pytest.raises(JobNotReady):
+            m.result(j2)
+        # nothing completed → even allow_partial has no rows to return
+        with pytest.raises(JobNotReady):
+            m.result(j2, allow_partial=True)
+    finally:
+        m.shutdown()
+
+
+def test_cancel_honors_principal(spark, demo_web, tmp_path):
+    m = JobManager(spark, demo_web, "na_us", results_dir=str(tmp_path))
+    try:
+        j = m.submit("select count(*) as n from lineitem",
+                     principal="na_analyst")
+        with pytest.raises(PermissionError):
+            m.cancel(j, principal="someone_else")
+        m.wait(j)
+    finally:
+        m.shutdown()
+
+
+def test_filequeue_cancel_wins_the_claim_race(tmp_path):
+    from dataweb_spark.jobs import CANCELLED
+    from dataweb_spark.jobs.store import FileJobQueue
+
+    q = FileJobQueue(str(tmp_path / "q"))
+    job_id = q.submit("select count(*) as n from lineitem")
+    st = q.cancel(job_id)
+    assert st["status"] == CANCELLED
+    # the claim rename loses: no worker can ever take this job
+    assert q.claim() is None
+    # terminal for waiters too
+    assert q.wait(job_id, timeout=1)["status"] == CANCELLED
+
+
+def test_filequeue_cancel_after_claim_sets_flag(tmp_path):
+    from dataweb_spark.jobs.store import FileJobQueue
+
+    q = FileJobQueue(str(tmp_path / "q"))
+    job_id = q.submit("select 1")
+    assert q.claim()["job_id"] == job_id
+    st = q.cancel(job_id)
+    assert st["cancel_requested"] is True
+    # worker mirrors preserve the flag
+    q.mirror_status(job_id, "IN_PROGRESS", [])
+    assert q.read_status(job_id)["cancel_requested"] is True
+
+
+def test_inmemory_queue_cancel(tmp_path):
+    from dataweb_spark.jobs import CANCELLED
+    from dataweb_spark.jobs.store import InMemoryJobQueue
+
+    q = InMemoryJobQueue(str(tmp_path / "q"))
+    a = q.submit("select 1", principal="alice")
+    with pytest.raises(PermissionError):
+        q.cancel(a, principal="bob")
+    st = q.cancel(a, principal="alice")
+    assert st["status"] == CANCELLED
+    assert q.claim() is None
+    with pytest.raises(KeyError):
+        q.cancel("nosuchjob")
+    # claimed job: flag, not dequeue
+    b = q.submit("select 2")
+    assert q.claim()["job_id"] == b
+    assert q.cancel(b)["cancel_requested"] is True
+
+
+def test_worker_propagates_cancel_to_running_job(spark, demo_web, tmp_path):
+    """Cancel after the claim: the worker sees cancel_requested in the
+    store and interrupts the job through JobManager.cancel."""
+    import threading
+    import time as _t
+
+    from dataweb_spark.jobs import CANCELLED
+    from dataweb_spark.jobs.store import FileJobQueue, run_worker
+
+    spark.udf.register("dw_sleep2", lambda x: (_t.sleep(0.4), x)[1], "long")
+    q = FileJobQueue(str(tmp_path / "q"))
+    job_id = q.submit("select dw_sleep2(cast(quantity as bigint)) as k "
+                      "from lineitem limit 20", mode="engine")
+    w = threading.Thread(target=run_worker,
+                         args=(spark, demo_web, "na_us", q),
+                         kwargs={"max_jobs": 1}, daemon=True)
+    w.start()
+    # wait until the worker has claimed it and mirrored progress
+    for _ in range(400):
+        if q.read_status(job_id)["status"] != "QUEUED":
+            break
+        _t.sleep(0.05)
+    assert q.read_status(job_id)["status"] == "IN_PROGRESS"
+    st = q.cancel(job_id)
+    assert st["cancel_requested"] is True
+    final = q.wait(job_id, timeout=60)
+    assert final["status"] == CANCELLED
+    w.join(timeout=60)
+    assert not w.is_alive()

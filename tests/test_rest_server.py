@@ -339,3 +339,53 @@ def test_rest_over_tls_end_to_end(spark, demo_web, tmp_path):
                 f"http://127.0.0.1:{s.port}/query/{job}", timeout=5)
     finally:
         s.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# DELETE /query/{id} — cancellation
+# ---------------------------------------------------------------------------
+
+def _delete(port, path):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", method="DELETE")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_delete_cancels_job(rest):
+    code, body = _post(rest.port, {
+        "sql": "select count(*) as n from lineitem"})
+    assert code == 202
+    job_id = body["job_id"]
+    code, st = _delete(rest.port, f"/query/{job_id}")
+    assert code == 200
+    # best-effort: cancelled if it was still pending, complete if the tiny
+    # query beat the DELETE — terminal either way, never an error
+    assert st["status"] in ("CANCELLED", "COMPLETE")
+    for _ in range(100):
+        code, raw = _get(rest.port, f"/query/{job_id}")
+        if json.loads(raw)["status"] in ("CANCELLED", "COMPLETE", "FAILED"):
+            break
+        time.sleep(0.05)
+    assert json.loads(raw)["status"] in ("CANCELLED", "COMPLETE")
+
+
+def test_delete_unknown_job_404(rest):
+    code, body = _delete(rest.port, "/query/deadbeef0000")
+    assert code == 404
+
+
+def test_delete_foreign_principal_403(rest):
+    code, body = _post(rest.port, {
+        "sql": "select count(*) as n from lineitem",
+        "principal": "na_analyst"})
+    assert code == 202
+    job_id = body["job_id"]
+    code, err = _delete(rest.port, f"/query/{job_id}")  # no principal
+    assert code == 403 and "error" in err
+    code, st = _delete(rest.port,
+                       f"/query/{job_id}?principal=na_analyst")
+    assert code == 200
