@@ -362,9 +362,11 @@ def test_delete_cancels_job(rest):
     job_id = body["job_id"]
     code, st = _delete(rest.port, f"/query/{job_id}")
     assert code == 200
-    # best-effort: cancelled if it was still pending, complete if the tiny
-    # query beat the DELETE — terminal either way, never an error
-    assert st["status"] in ("CANCELLED", "COMPLETE")
+    # the response is a snapshot: cancelled if still pending, complete if
+    # the tiny query beat the DELETE, in-progress if the interrupt is
+    # still propagating — but it must reach a terminal state, and never
+    # FAILED (cancellation is not an error)
+    assert st["status"] in ("CANCELLED", "COMPLETE", "IN_PROGRESS")
     for _ in range(100):
         code, raw = _get(rest.port, f"/query/{job_id}")
         if json.loads(raw)["status"] in ("CANCELLED", "COMPLETE", "FAILED"):
@@ -389,3 +391,78 @@ def test_delete_foreign_principal_403(rest):
     code, st = _delete(rest.port,
                        f"/query/{job_id}?principal=na_analyst")
     assert code == 200
+
+
+# ---------------------------------------------------------------------------
+# relayctl CLI (tools/relayctl.py — relayctl/src/main.rs analog)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def relayctl_env(admin_rest, monkeypatch):
+    monkeypatch.setenv("RELAY_ENDPOINT",
+                       f"http://127.0.0.1:{admin_rest.port}")
+    monkeypatch.setenv("ADMIN_TOKEN", "secret-admin")
+    import importlib
+    import sys as _sys
+    _sys.path.insert(0, "tools")
+    try:
+        yield importlib.import_module("relayctl")
+    finally:
+        _sys.path.remove("tools")
+
+
+def test_relayctl_query_roundtrip(relayctl_env, capsys):
+    rc = relayctl_env.main([
+        "query", "select returnflag, count(*) as n from lineitem "
+                 "group by returnflag", "--mode", "engine"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    recs = [json.loads(x) for x in out.splitlines()]
+    assert {r["returnflag"] for r in recs} == {"A", "N", "R"}
+
+
+def test_relayctl_apply_get_roundtrip(relayctl_env, tmp_path, capsys):
+    (tmp_path / "ent.yaml").write_text("""
+kind: Entity
+name: ctl_regions
+informations:
+  - {name: rname, data_type: string}
+---
+kind: DataSource
+name: ctl_regions_src
+connection: files
+entity: ctl_regions
+source_sql: "select * from {table}"
+options: {table: region.parquet}
+mappings:
+  - {information: rname, field: r_name}
+""")
+    assert relayctl_env.main(["apply", "-f", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "applied!" in out
+    # the live catalog now exports the new entity
+    assert relayctl_env.main(["get"]) == 0
+    exported = capsys.readouterr().out
+    assert "ctl_regions" in exported
+    # and queries resolve it
+    rc = relayctl_env.main([
+        "query", "select rname from ctl_regions order by rname",
+        "--mode", "engine"])
+    assert rc == 0
+    assert len(capsys.readouterr().out.splitlines()) == 5
+
+
+def test_relayctl_status_and_cancel(relayctl_env, capsys):
+    import os
+
+    port = int(os.environ["RELAY_ENDPOINT"].rsplit(":", 1)[1])
+    code, body = _post(port, {"sql": "select count(*) as n from lineitem"})
+    assert code == 202
+    job_id = body["job_id"]
+    assert relayctl_env.main(["status", job_id]) == 0
+    st = json.loads(capsys.readouterr().out)
+    assert st["job_id"] == job_id
+    assert relayctl_env.main(["cancel", job_id]) == 0
+    st = json.loads(capsys.readouterr().out)
+    assert st["status"] in ("CANCELLED", "COMPLETE")
+    assert relayctl_env.main(["cancel", "deadbeef0000"]) == 1
