@@ -39,6 +39,7 @@ from dataweb_spark.functions.text import hash_bucket
 __all__ = [
     "split_by_content", "split_by_cluster", "assign_shards",
     "write_shards", "shard_manifest", "filter_cascade", "cascade_stats",
+    "upsample_epochs",
 ]
 
 
@@ -158,6 +159,43 @@ def shard_manifest(df: DataFrame, key_col: str, n_shards: int,
                  F.min("shard_order").alias("first_key"),
                  F.max("shard_order").alias("last_key"))
             .orderBy("shard"))
+
+
+def upsample_epochs(df: DataFrame, key_col: str, stratify_col: str,
+                    epochs: dict[str, float],
+                    epoch_col: str = "epoch") -> DataFrame:
+    """Materialize a per-stratum epoch recipe (e.g. ``{"en": 1.0,
+    "fr": 2.3}``): every row of stratum s appears ``floor(e_s)`` times,
+    plus one extra copy for a deterministic ``frac(e_s)`` hash-slice of the
+    stratum — the "N.M epochs of source X" data recipe of published
+    pre-training mixes, where high-quality sources repeat and the
+    fractional tail is a stable subset (not a random one, so re-runs and
+    engines agree row-for-row).
+
+    ``epoch_col`` numbers the copies 1..ceil(e_s) — downstream shuffling
+    (``assign_shards`` on ``(key, epoch)``) spreads repeats across shards.
+    Strata absent from ``epochs`` get 0 epochs (dropped). Map-only:
+    replication is an ``explode(sequence(...))`` over a per-row literal
+    count, no join, no shuffle, linear at 100 TB.
+    """
+    full: Column = F.lit(0)
+    frac_thr: Column = F.lit(0)
+    for value, e in sorted(epochs.items()):
+        if e < 0:
+            raise ValueError(f"epochs[{value!r}] must be >= 0")
+        full = F.when(F.col(stratify_col) == value,
+                      F.lit(int(e))).otherwise(full)
+        frac_thr = F.when(F.col(stratify_col) == value,
+                          F.lit(int(round((e - int(e)) * 256)))) \
+                    .otherwise(frac_thr)
+    bucket = hash_bucket(F.col(key_col), 256)
+    n_copies = full + F.when(bucket < frac_thr, 1).otherwise(0)
+    return (df.withColumn("_n_copies", n_copies)
+              .where(F.col("_n_copies") > 0)
+              .withColumn(epoch_col,
+                          F.explode(F.sequence(F.lit(1),
+                                               F.col("_n_copies"))))
+              .drop("_n_copies"))
 
 
 def filter_cascade(df: DataFrame,

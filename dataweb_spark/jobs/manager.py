@@ -62,6 +62,7 @@ class QueryTask:
     error: str | None = None
     result_path: str | None = None
     n_rows: int | None = None
+    elapsed_s: float | None = None
 
 
 @dataclass
@@ -173,6 +174,7 @@ class JobManager:
                 task.status = CANCELLED
             return
         task.status = IN_PROGRESS
+        t_start = time.time()
         # Tag this pool thread's Spark actions with a per-job group so
         # cancel() can interrupt running stages (thread-local property —
         # other sessions/threads are untouched).
@@ -221,6 +223,8 @@ class JobManager:
             else:
                 task.error = f"{type(e).__name__}: {e}"
                 task.status = FAILED
+        finally:
+            task.elapsed_s = round(time.time() - t_start, 3)
 
     # -- poll ------------------------------------------------------------
 
@@ -232,7 +236,8 @@ class JobManager:
             "mode": job.mode,
             "tasks": [
                 {"task_id": t.task_id, "relay": t.relay, "source": t.source,
-                 "status": t.status, "n_rows": t.n_rows, "error": t.error}
+                 "status": t.status, "n_rows": t.n_rows, "error": t.error,
+                 "elapsed_s": t.elapsed_s}
                 for t in job.tasks.values()],
         }
 

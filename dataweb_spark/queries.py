@@ -4397,6 +4397,41 @@ select stage, count(*) as n_docs from tagged group by stage order by stage
 """)
 
 
+def _pipeline_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-recipe materialization (functions/splits.py): en×1.0, fr×2.25,
+    de×0.5 — integer part replicates every row, fractional part repeats a
+    deterministic hash-slice, other langs drop. Map-only explode."""
+    from dataweb_spark.functions import splits as S
+    register_views(spark, sf_dir)
+    up = S.upsample_epochs(spark.table("documents"), "doc_id", "lang",
+                           {"en": 1.0, "fr": 2.25, "de": 0.5})
+    return (up.groupBy("lang", "epoch")
+              .agg(F.count("*").alias("n_docs"))
+              .orderBy("lang", "epoch"))
+
+
+_df("pipeline_upsample_epochs", _pipeline_upsample, oracle=rf"""
+with e as (
+  select * from (values ('en', 1, 0), ('fr', 2, 64), ('de', 0, 128))
+           as t(lang, n_full, thr)
+), b as (
+  select d.doc_id, d.lang, e.n_full,
+         e.n_full + case when
+             (list_position({_HEX_LIST},
+                  substr(md5(cast(d.doc_id as varchar)), 1, 1)) - 1) * 16
+           + (list_position({_HEX_LIST},
+                  substr(md5(cast(d.doc_id as varchar)), 2, 1)) - 1) < e.thr
+           then 1 else 0 end as n
+  from documents d join e using (lang)
+), x as (
+  select lang, cast(unnest(range(1, n + 1)) as int) as epoch
+  from b where n > 0
+)
+select lang, epoch, count(*) as n_docs
+from x group by lang, epoch order by lang, epoch
+""")
+
+
 # ===========================================================================
 # Driver window ordering
 # ===========================================================================

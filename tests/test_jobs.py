@@ -266,3 +266,12 @@ def test_worker_propagates_cancel_to_running_job(spark, demo_web, tmp_path):
     assert final["status"] == CANCELLED
     w.join(timeout=60)
     assert not w.is_alive()
+
+
+def test_task_status_records_elapsed_time(manager):
+    job_id = manager.submit(
+        "select returnflag, count(*) as n from lineitem group by returnflag")
+    st = manager.wait(job_id)
+    assert st["status"] == COMPLETE
+    for t in st["tasks"]:
+        assert t["elapsed_s"] is not None and t["elapsed_s"] > 0

@@ -135,3 +135,48 @@ def test_filter_cascade_single_projection_no_shuffle(docs):
     out = S.filter_cascade(docs, rules)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# -- epoch upsampling -------------------------------------------------------
+
+def test_upsample_epochs_counts(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang=("en" if i < 100 else "fr"))
+         for i in range(200)])
+    up = S.upsample_epochs(df, "doc_id", "lang", {"en": 2.0, "fr": 0.0})
+    counts = {r.lang: r.n for r in
+              up.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 200}  # fr dropped, en exactly doubled
+    epochs = {r.epoch for r in up.select("epoch").distinct().collect()}
+    assert epochs == {1, 2}
+
+
+def test_upsample_epochs_fractional_is_deterministic_slice(spark):
+    df = spark.createDataFrame([Row(doc_id=i, lang="en")
+                                for i in range(1000)])
+    up = S.upsample_epochs(df, "doc_id", "lang", {"en": 1.5})
+    n = up.count()
+    # every doc once + a ~50% hash slice twice
+    assert 1000 < n < 2000
+    assert abs(n - 1500) < 100
+    # the extra copies are the same docs on every run
+    again = S.upsample_epochs(df, "doc_id", "lang", {"en": 1.5})
+    ids = sorted(r.doc_id for r in up.where(F.col("epoch") == 2).collect())
+    ids2 = sorted(r.doc_id for r in
+                  again.where(F.col("epoch") == 2).collect())
+    assert ids == ids2 and len(ids) == n - 1000
+
+
+def test_upsample_epochs_is_map_only(spark, sf_dir):
+    import os
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    up = S.upsample_epochs(docs, "doc_id", "lang", {"en": 2.5})
+    plan = up._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_upsample_epochs_rejects_negative(spark, sf_dir):
+    import os
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    with pytest.raises(ValueError):
+        S.upsample_epochs(docs, "doc_id", "lang", {"en": -1.0})
