@@ -4432,6 +4432,79 @@ from x group by lang, epoch order by lang, epoch
 """)
 
 
+def _pipeline_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-assembly ops COMPOSED end-to-end: attribute cascade →
+    leakage-safe train split → epoch-recipe upsampling → deterministic
+    shard manifest. Everything stays map-only until the final 4-group
+    aggregate; the whole chain is one codegen'd pass over the corpus."""
+    from dataweb_spark.functions import splits as S
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    rules = [("too_short", T.token_count("text") >= 20),
+             ("low_stopword", T.stopword_ratio("text") >= 0.02)]
+    kept = (S.filter_cascade(docs, rules)
+             .where(F.col("rejected_by").isNull()))
+    train = (S.split_by_content(kept, "text")
+              .where(F.col("split") == "train"))
+    up = S.upsample_epochs(train, "doc_id", "lang",
+                           {"en": 1.5, "fr": 2.0})
+    keyed = up.withColumn(
+        "copy_key", F.concat_ws("#", F.col("doc_id").cast("string"),
+                                F.col("epoch").cast("string")))
+    return S.shard_manifest(keyed, "copy_key", 4)
+
+
+_df("pipeline_assembly_manifest", _pipeline_assembly, oracle=rf"""
+with m as (
+  select doc_id, lang, text,
+         case when length(trim(text)) = 0 then 0
+              else len(string_split_regex(trim(text), '\s+')) end as n_tok,
+         case when length(trim(text)) = 0 then []::varchar[]
+              else string_split_regex(trim(text), '\s+') end as t
+  from documents
+), kept as (
+  select doc_id, lang, text, n_tok from m
+  where coalesce(n_tok >= 20, false)
+    and coalesce(
+        case when len(t) = 0 then 0.0
+             else len(list_filter(t, x -> list_contains({_SW_LIST},
+                                                        lower(x))))
+                  / cast(len(t) as double) end >= 0.02, false)
+), train as (
+  select doc_id, lang, n_tok,
+         (list_position({_HEX_LIST},
+              substr(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16
+       + (list_position({_HEX_LIST},
+              substr(md5(cast(doc_id as varchar)), 2, 1)) - 1) as dbucket
+  from kept
+  where (list_position({_HEX_LIST}, substr(md5(text), 1, 1)) - 1) * 16
+      + (list_position({_HEX_LIST}, substr(md5(text), 2, 1)) - 1) < 205
+), up as (
+  select tr.doc_id, tr.n_tok,
+         e.n_full + case when tr.dbucket < e.thr then 1 else 0 end as n
+  from train tr
+  join (values ('en', 1, 128), ('fr', 2, 0)) as e(lang, n_full, thr)
+    using (lang)
+), copies as (
+  select cast(doc_id as varchar) || '#' ||
+         cast(cast(unnest(range(1, n + 1)) as int) as varchar) as copy_key,
+         n_tok
+  from up where n > 0
+), keyed as (
+  select md5(copy_key) as okey, n_tok,
+         ((list_position({_HEX_LIST},
+               substr(md5(copy_key), 1, 1)) - 1) * 16
+        + (list_position({_HEX_LIST},
+               substr(md5(copy_key), 2, 1)) - 1)) % 4 as shard
+  from copies
+)
+select shard, count(*) as n_docs, cast(sum(n_tok) as bigint) as n_tokens,
+       min(okey) as first_key, max(okey) as last_key
+from keyed group by shard order by shard
+""")
+
+
 # ===========================================================================
 # Driver window ordering
 # ===========================================================================
@@ -4536,9 +4609,12 @@ _DRIVER_WINDOW = [
 # qualify_rewrite rotated OUT (multi-round green, layers untouched) to make
 # room for fed_engine_agg_pushdown, fed_template_agg_forward, and
 # fed_trino_engine. Rotated-out names stay in QUERIES (checkable any round).
-# r6 note: every one of the 131 declared queries has a green row in
-# r1∪…∪r4 ∪ (local r5 full sweep); after the r5 driver run lands, rotate
-# any red rows back in plus whatever r6 adds.
+# r6 note: every declared query has a green row in r1∪…∪r4 ∪ (local r5
+# full sweep: 147/147, plus the 5 late-r5 dataset-assembly queries
+# verified individually). After the r5 driver run lands, rotate any red
+# rows back in, plus the late-r5 additions not yet in a window
+# (pipeline_upsample_epochs, pipeline_assembly_manifest) and whatever r6
+# adds.
 
 
 def _apply_driver_window() -> None:
