@@ -251,6 +251,15 @@ class JobManager:
             time.sleep(poll)
         return self.status(job_id)
 
+    def list_jobs(self) -> list[dict]:
+        """Submission-ordered job summaries (newest last) — the ops-facing
+        queue view behind ``GET /query``."""
+        with self._lock:
+            jobs = sorted(self._jobs.values(), key=lambda j: j.created_at)
+        return [{"job_id": j.job_id, "status": j.status, "mode": j.mode,
+                 "principal": j.principal, "created_at": j.created_at,
+                 "n_tasks": len(j.tasks)} for j in jobs]
+
     # -- cancel ----------------------------------------------------------
 
     def cancel(self, job_id: str, principal: str | None = None) -> dict:

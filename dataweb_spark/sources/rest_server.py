@@ -151,6 +151,9 @@ class RestRelayServer:
                         return self._send(200, outer.manager.status(m.group(1)))
                     except KeyError:
                         return self._send(404, {"error": "unknown job"})
+                if url.path == "/query":
+                    return self._send(
+                        200, {"jobs": outer.manager.list_jobs()})
                 if url.path == "/admin/config":
                     return self._admin_config()
                 self._send(404, {"error": "not found"})

@@ -466,3 +466,28 @@ def test_relayctl_status_and_cancel(relayctl_env, capsys):
     st = json.loads(capsys.readouterr().out)
     assert st["status"] in ("CANCELLED", "COMPLETE")
     assert relayctl_env.main(["cancel", "deadbeef0000"]) == 1
+
+
+def test_list_jobs_endpoint(rest):
+    code, body = _post(rest.port, {
+        "sql": "select count(*) as n from lineitem"})
+    assert code == 202
+    job_id = body["job_id"]
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{rest.port}/query") as r:
+        listing = json.loads(r.read())
+    ids = [j["job_id"] for j in listing["jobs"]]
+    assert job_id in ids
+    row = next(j for j in listing["jobs"] if j["job_id"] == job_id)
+    assert row["mode"] == "template" and row["n_tasks"] == 2
+
+
+def test_relayctl_jobs_listing(relayctl_env, capsys):
+    import os
+
+    port = int(os.environ["RELAY_ENDPOINT"].rsplit(":", 1)[1])
+    code, body = _post(port, {"sql": "select count(*) as n from lineitem"})
+    assert code == 202
+    assert relayctl_env.main(["jobs"]) == 0
+    out = capsys.readouterr().out
+    assert body["job_id"] in out

@@ -131,6 +131,17 @@ def cmd_query(endpoint: str, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_jobs(endpoint: str, _args: argparse.Namespace) -> int:
+    code, body = _call(endpoint, "GET", "/query")
+    if code != 200:
+        print(body.decode(errors="replace"), file=sys.stderr)
+        return 1
+    for j in json.loads(body)["jobs"]:
+        print(f"{j['job_id']}  {j['status']:<12} {j['mode']:<9} "
+              f"tasks={j['n_tasks']} principal={j['principal'] or '-'}")
+    return 0
+
+
 def cmd_status(endpoint: str, args: argparse.Namespace) -> int:
     code, body = _call(endpoint, "GET", f"/query/{args.job_id}")
     print(body.decode(errors="replace"))
@@ -170,6 +181,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--timeout", type=float, default=120.0)
     sp.add_argument("--poll", type=float, default=0.2)
     sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("jobs", help="list jobs (GET /query)")
+    sp.set_defaults(fn=cmd_jobs)
 
     sp = sub.add_parser("status", help="job status JSON")
     sp.add_argument("job_id")
