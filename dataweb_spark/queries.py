@@ -4555,19 +4555,21 @@ _DRIVER_WINDOW = [
     "knn_ivf_recall",
     "knn_quantized_int8",
     "dedup_bloom_contamination",
-    "dedup_incremental_ingest",
     # jobs/do_put + streaming + multimodal + big-SQL sentinels:
     "streaming_fed_ingest",
     "multimodal_audio_features",
-    "multimodal_features",
     # (f) new in r5 session 4 — dataset-assembly ops, never driver-checked,
     # taking slots from r4 greens with in-window layer redundancy
     # (dedup_simhash_recall → dedup_simhash contract; dedup_embedding_recall
     # → dedup_embedding_cosine contract; multimodal_frame_counts →
-    # multimodal_video_frames + dedup_video_signature):
+    # multimodal_video_frames + dedup_video_signature; multimodal_features
+    # → multimodal_png_features + multimodal_resize + dedup_image_phash;
+    # dedup_incremental_ingest → dedup_minhash_lsh band layer + r4 green):
     "pipeline_leakage_safe_split",
     "pipeline_shard_manifest",
     "pipeline_filter_cascade",
+    "pipeline_upsample_epochs",
+    "pipeline_assembly_manifest",
     # new in r5 session 2: real PNG codec, real resize, FFT spectrum,
     # unigram-LM scoring, zone-map pruning — never driver-checked, so they
     # take window slots from multi-round greens (tpch_q1/q9/q21,
@@ -4612,9 +4614,7 @@ _DRIVER_WINDOW = [
 # r6 note: every declared query has a green row in r1∪…∪r4 ∪ (local r5
 # full sweep: 147/147, plus the 5 late-r5 dataset-assembly queries
 # verified individually). After the r5 driver run lands, rotate any red
-# rows back in, plus the late-r5 additions not yet in a window
-# (pipeline_upsample_epochs, pipeline_assembly_manifest) and whatever r6
-# adds.
+# rows back in plus whatever r6 adds.
 
 
 def _apply_driver_window() -> None:
