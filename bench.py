@@ -81,6 +81,9 @@ EXTRAS = [
     "dedup_image_phash",
     "dedup_audio_signature",
     "text_bpe_contract",
+    "pipeline_leakage_safe_split",
+    "pipeline_upsample_epochs",
+    "pipeline_assembly_manifest",
 ]
 
 

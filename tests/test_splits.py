@@ -180,3 +180,45 @@ def test_upsample_epochs_rejects_negative(spark, sf_dir):
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     with pytest.raises(ValueError):
         S.upsample_epochs(docs, "doc_id", "lang", {"en": -1.0})
+
+
+def test_split_assignment_invariant_under_partitioning(docs):
+    """The split/shard decisions are pure row functions — physical layout
+    (partition count, row order) cannot change membership."""
+    base = {r.doc_id: r.split for r in
+            S.split_by_content(docs).select("doc_id", "split").collect()}
+    repart = {r.doc_id: r.split for r in
+              S.split_by_content(docs.repartition(7))
+               .select("doc_id", "split").collect()}
+    assert base == repart
+    m1 = [(r.shard, r.n_docs) for r in
+          S.shard_manifest(docs, "doc_id", 8).collect()]
+    m2 = [(r.shard, r.n_docs) for r in
+          S.shard_manifest(docs.repartition(5), "doc_id", 8).collect()]
+    assert m1 == m2
+
+
+def test_cascade_and_split_work_in_streaming(spark, sf_dir, tmp_path):
+    """The assembly ops are stateless row functions, so the SAME code runs
+    under Structured Streaming: an availableNow drain over the documents
+    file stream produces exactly the batch assignment."""
+    from dataweb_spark.functions import text as T
+    from dataweb_spark.streaming.events import run_available_now
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("pathGlobFilter", "documents.parquet")
+              .load(sf_dir))
+    assert stream.isStreaming
+    rules = [("too_short", T.token_count("text") >= 20)]
+
+    def assemble(df):
+        return (S.split_by_content(S.filter_cascade(df, rules))
+                 .select("doc_id", "rejected_by", "split"))
+
+    out = run_available_now(assemble(stream), str(tmp_path / "cp_asm"))
+    got = {(r.doc_id, r.rejected_by, r.split) for r in out.collect()}
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exp = {(r.doc_id, r.rejected_by, r.split)
+           for r in assemble(batch).collect()}
+    assert got == exp and len(got) == batch.count()
