@@ -115,10 +115,21 @@ def assign_shards(df: DataFrame, key_col: str, n_shards: int,
     pseudo-random but fully reproducible training order — unlike
     ``rand()``/``repartition()`` the layout survives re-runs and engine
     changes, so a resumed training job sees the same byte stream. Map-only.
+
+    Up to 256 shards the shard id comes from the md5 bucket (exactly
+    reproducible in the DuckDB oracles); beyond that it switches to
+    ``pmod(xxhash64(key), n)`` — still deterministic across runs and
+    cluster layouts, losing only cross-engine oracle parity. 100 TB at
+    ~1 GB/shard is ~10⁵ shards, so the large path is the production one.
     """
-    if not 1 <= n_shards <= 256:
-        raise ValueError("n_shards must be in 1..256")
-    return (df.withColumn(shard_col, hash_bucket(F.col(key_col), n_shards))
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if n_shards <= 256:
+        shard = hash_bucket(F.col(key_col), n_shards)
+    else:
+        shard = F.pmod(F.xxhash64(F.col(key_col).cast("string")),
+                       F.lit(n_shards)).cast("int")
+    return (df.withColumn(shard_col, shard)
               .withColumn(order_col, F.md5(F.col(key_col).cast("string"))))
 
 
@@ -130,9 +141,8 @@ def write_shards(df: DataFrame, path: str, key_col: str,
     Repartitions ON the shard id so each output directory receives exactly
     one file, sorted by the order hash — the layout a data loader streams
     sequentially. At 100 TB, raise ``n_shards`` so each shard stays within
-    one task's comfortable write size (this helper caps at 256 because the
-    order hash's md5-bucket does; shard count beyond that would switch to
-    ``pmod(xxhash64)``, losing DuckDB oracle parity but nothing else).
+    one task's comfortable write size (beyond 256 shards the shard id
+    switches to ``pmod(xxhash64)`` — see :func:`assign_shards`).
     """
     with_shard = assign_shards(df, key_col, n_shards)
     (with_shard

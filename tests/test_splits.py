@@ -222,3 +222,16 @@ def test_cascade_and_split_work_in_streaming(spark, sf_dir, tmp_path):
     exp = {(r.doc_id, r.rejected_by, r.split)
            for r in assemble(batch).collect()}
     assert got == exp and len(got) == batch.count()
+
+
+def test_assign_shards_large_count_path(docs):
+    """>256 shards: xxhash64 path — uniform-ish, bounded, deterministic."""
+    out = S.assign_shards(docs, "doc_id", 1000)
+    agg = out.agg(F.min("shard"), F.max("shard")).first()
+    assert agg[0] >= 0 and agg[1] <= 999
+    a = {r.doc_id: r.shard for r in
+         out.select("doc_id", "shard").collect()}
+    b = {r.doc_id: r.shard for r in
+         S.assign_shards(docs.repartition(3), "doc_id", 1000)
+          .select("doc_id", "shard").collect()}
+    assert a == b
