@@ -4505,6 +4505,103 @@ from keyed group by shard order by shard
 """)
 
 
+def _pipeline_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup-safe splitting end-to-end: MinHash-LSH candidates →
+    exact-Jaccard verify → connected components → cluster-keyed split.
+    The oracle recomputes the clusters independently (exact all-pairs
+    Jaccard + recursive-CTE transitive closure in DuckDB) and the split
+    thresholds, and checks the leakage invariant: zero clusters straddle
+    splits. Valid as an exact oracle because LSH+verify ≡ exact all-pairs
+    at this threshold (the green ``dedup_minhash_recall`` contract)."""
+    from dataweb_spark.functions import dedup as D
+    from dataweb_spark.functions import splits as S
+    register_views(spark, sf_dir)
+    docs = (spark.table("documents").where("doc_id < 200")
+            .select("doc_id", "text"))
+    cands = D.minhash_lsh_candidates(docs, "doc_id", "text")
+    pairs = D.jaccard_verify(docs, cands, "doc_id", threshold=0.9)
+    clusters = (D.connected_components(pairs)
+                .select(F.col("node").alias("doc_id"),
+                        F.col("component").alias("cluster_rep")))
+    assigned = (docs.join(clusters, "doc_id", "left")
+                .withColumn("_key", F.coalesce("cluster_rep", "doc_id")))
+    from dataweb_spark.functions.text import hash_bucket
+    bucket = hash_bucket(F.col("_key"), 256)
+    assigned = assigned.withColumn(
+        "split", F.when(bucket < 205, "train")
+                  .when(bucket < 230, "val").otherwise("test"))
+    straddle = (assigned.where(F.col("cluster_rep").isNotNull())
+                .groupBy("cluster_rep")
+                .agg(F.countDistinct("split").alias("ns"))
+                .agg(F.coalesce(
+                        F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)),
+                        F.lit(0)).cast("bigint")
+                     .alias("n_straddling_clusters")))
+    return (assigned.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("cluster_rep").isNotNull(), 1)
+                        .otherwise(0)).cast("bigint")
+                  .alias("n_cluster_members"))
+            .crossJoin(F.broadcast(straddle))
+            .orderBy("split"))
+
+
+_df("pipeline_cluster_safe_split", _pipeline_cluster_split, oracle=rf"""
+with t as (
+  select doc_id, string_split_regex(trim(text), '\s+') as toks
+  from documents where doc_id < 200
+), sh as (
+  select doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) as s
+  from t where len(toks) >= 3
+), p as (
+  select a.doc_id as id_a, b.doc_id as id_b
+  from sh a join sh b on a.doc_id < b.doc_id
+  where len(list_intersect(a.s, b.s))
+        / cast(len(a.s) + len(b.s)
+               - len(list_intersect(a.s, b.s)) as double) >= 0.9
+), edges as (
+  select id_a as a, id_b as b from p
+  union select id_b, id_a from p
+), closure as (
+  with recursive reach(node, lbl) as (
+    select a, a from edges
+    union
+    select e.b, r.lbl from reach r join edges e on e.a = r.node
+  )
+  select node, min(lbl) as component from reach group by node
+), assigned as (
+  select d.doc_id, c.component,
+         coalesce(c.component, d.doc_id) as key,
+         (list_position({_HEX_LIST},
+              substr(md5(cast(coalesce(c.component, d.doc_id) as varchar)),
+                     1, 1)) - 1) * 16
+       + (list_position({_HEX_LIST},
+              substr(md5(cast(coalesce(c.component, d.doc_id) as varchar)),
+                     2, 1)) - 1) as bucket
+  from (select doc_id from documents where doc_id < 200) d
+  left join closure c on c.node = d.doc_id
+), labeled as (
+  select doc_id, component,
+         case when bucket < 205 then 'train'
+              when bucket < 230 then 'val' else 'test' end as split
+  from assigned
+), straddle as (
+  select cast(coalesce(sum(case when ns > 1 then 1 else 0 end), 0)
+              as bigint) as n_straddling_clusters
+  from (select component, count(distinct split) as ns
+        from labeled where component is not null group by component)
+)
+select l.split, count(*) as n_docs,
+       cast(sum(case when l.component is not null then 1 else 0 end)
+            as bigint) as n_cluster_members,
+       straddle.n_straddling_clusters
+from labeled l, straddle
+group by l.split, straddle.n_straddling_clusters
+order by l.split
+""")
+
+
 # ===========================================================================
 # Driver window ordering
 # ===========================================================================
