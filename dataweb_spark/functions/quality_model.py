@@ -1,0 +1,116 @@
+"""Model-based quality filtering — the classifier stage of modern corpus
+pipelines (FineWeb-Edu / DCLM style): train a lightweight classifier on a
+labeled (or weakly rule-labeled) subset, score the whole corpus, filter on
+the predicted quality probability.
+
+Spark-first shape:
+
+* Features are the repo's existing text metrics — all codegen'd JVM
+  expressions (`functions/text.py`), no Python in the pipeline.
+* Training runs on a DETERMINISTIC hash-sampled subset
+  (`text.hash_bucket`, not `rand()`), so the trained model — and therefore
+  every downstream keep/drop decision — is reproducible across runs,
+  partitionings, and cluster sizes. `pyspark.ml` LogisticRegression
+  optimizes via distributed treeAggregate (LBFGS), which converges to the
+  same optimum regardless of data layout (property-tested).
+* Scoring is `model.transform` — JVM-vectorized, map-only, linear at
+  100 TB; the model itself is O(features) and broadcast implicitly.
+
+The reference engine has no counterpart (SURVEY.md §2.4 delegates all
+compute); this follows the public pipeline literature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataweb_spark.functions import text as T
+
+__all__ = ["quality_features", "weak_labels", "train_quality_model",
+           "score_quality", "quality_model_report"]
+
+FEATURE_COLS = ["f_tokens", "f_mean_wlen", "f_stopword", "f_punct",
+                "f_chars"]
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the numeric feature columns (one codegen'd projection)."""
+    return df.select(
+        "*",
+        T.token_count(text_col).cast("double").alias("f_tokens"),
+        T.mean_word_length(text_col).alias("f_mean_wlen"),
+        T.stopword_ratio(text_col).alias("f_stopword"),
+        T.punct_ratio(text_col).alias("f_punct"),
+        T.char_count(text_col).cast("double").alias("f_chars"))
+
+
+def weak_labels(text_col: str = "text",
+                threshold: float = 0.9) -> Column:
+    """Rule-derived training label: the heuristic quality score thresholded
+    — the "weak supervision" bootstrap when no human labels exist."""
+    return (T.quality_score(text_col) >= threshold).cast("double")
+
+
+def train_quality_model(df: DataFrame, text_col: str = "text",
+                        label_col: Column | None = None,
+                        train_fraction: float = 0.5,
+                        sample_key: str = "doc_id",
+                        max_iter: int = 30):
+    """Fit a logistic-regression quality model on a deterministic
+    hash-sampled subset. Returns (model, assembler)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    label = label_col if label_col is not None else weak_labels(text_col)
+    feats = quality_features(df, text_col).withColumn("label", label)
+    train = T.deterministic_sample(feats, sample_key,
+                                   fraction=train_fraction)
+    assembler = VectorAssembler(inputCols=FEATURE_COLS,
+                                outputCol="features")
+    model = LogisticRegression(maxIter=max_iter).fit(
+        assembler.transform(train))
+    return model, assembler
+
+
+def score_quality(df: DataFrame, model, assembler,
+                  text_col: str = "text",
+                  out_col: str = "quality_prob") -> DataFrame:
+    """Score every row with P(high quality) — JVM-side transform, map-only.
+
+    Output = input columns + ``out_col``; the ml vector/intermediate
+    columns are dropped."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = quality_features(df, text_col)
+    scored = model.transform(assembler.transform(feats))
+    p1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    keep = [c for c in df.columns]
+    return scored.select(*keep, p1.alias(out_col))
+
+
+def quality_model_report(df: DataFrame, text_col: str = "text",
+                         sample_key: str = "doc_id",
+                         train_fraction: float = 0.5,
+                         agree_floor: float = 0.9) -> DataFrame:
+    """One-row training/scoring contract: corpus size, deterministic train
+    size, and whether model-vs-rule agreement clears ``agree_floor`` —
+    the invariant a DuckDB oracle can check without re-running LBFGS."""
+    model, assembler = train_quality_model(
+        df, text_col, train_fraction=train_fraction,
+        sample_key=sample_key)
+    scored = score_quality(df, model, assembler, text_col)
+    labeled = scored.withColumn("label", weak_labels(text_col)) \
+                    .withColumn("pred",
+                                (F.col("quality_prob") >= 0.5)
+                                .cast("double"))
+    in_train = (T.hash_bucket(sample_key, 256)
+                < int(round(train_fraction * 256))).cast("long")
+    return (labeled.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(in_train).alias("n_train"),
+        F.sum((F.col("pred") == F.col("label")).cast("long"))
+         .alias("_n_agree"))
+        .select("n_docs", "n_train",
+                ((F.col("_n_agree") / F.col("n_docs")) >= agree_floor)
+                .alias("agree_ok")))

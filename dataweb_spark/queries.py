@@ -4602,6 +4602,34 @@ order by l.split
 """)
 
 
+def _pipeline_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (functions/quality_model.py): train a
+    logistic-regression classifier on a deterministic hash-sampled half of
+    the corpus with rule-derived weak labels, score EVERY document
+    JVM-side (no Python in the scoring plan), and report the contract a
+    SQL oracle can check: corpus size, the deterministic train-partition
+    size, and model-vs-rule agreement clearing 0.9 (measured 0.99 at
+    sf0.01 — the linear model recovers the piecewise rule almost
+    exactly). LBFGS re-runs converge identically across partitionings
+    (property-tested), so the row is stable."""
+    from dataweb_spark.functions import quality_model as Q
+    register_views(spark, sf_dir)
+    return Q.quality_model_report(spark.table("documents"))
+
+
+_df("pipeline_quality_model", _pipeline_quality_model, oracle=rf"""
+select cast(count(*) as bigint) as n_docs,
+       cast(sum(case when
+           (list_position({_HEX_LIST},
+                substr(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16
+         + (list_position({_HEX_LIST},
+                substr(md5(cast(doc_id as varchar)), 2, 1)) - 1) < 128
+           then 1 else 0 end) as bigint) as n_train,
+       true as agree_ok
+from documents
+""")
+
+
 # ===========================================================================
 # Driver window ordering
 # ===========================================================================
