@@ -1,0 +1,148 @@
+"""Federation EXPLAIN — what a query will do to every mapped source,
+BEFORE running it.
+
+The reference gives users no pre-flight visibility into its request
+mapping; debugging "why is this peer shipping the whole table" means
+reading relay logs. This surface replays the resolver's own decision
+functions (`pruning.source_can_match`, `readers._pushdown_parts`,
+`readers._peer_sql`, `resolve._map_conjuncts_through`) in REPORT mode —
+no data is read, no peer is contacted — and returns one row per
+(entity, relay, source):
+
+* ``action`` — ``scan`` | ``pruned`` (declared/zone-map bounds disjoint
+  from the query's conjuncts) | ``replica-standby`` (mirror not scanned
+  unless the preferred member fails);
+* ``pushed_sql`` — for network kinds (``flight``), the exact narrowed SQL
+  the peer will receive; for engine kinds (``flightsql``/``trino``/
+  ``jdbc``) the pushdown facts rendered as a WHERE/column list;
+* ``pushed_filters`` / ``projected`` / ``forwarded_limit`` — the
+  conjuncts (rewritten through mapping transformations, including
+  inverted affine transforms), the narrowed physical column list, and
+  the LIMIT, when each survives the source's mapping shape.
+
+Because it only calls pure decision functions, the report is exact by
+construction: the same inputs drive the real scan.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataweb_spark.catalog.model import Web
+
+EXPLAIN_COLUMNS = ["entity", "relay", "source", "kind", "action",
+                   "pushed_sql", "pushed_filters", "projected",
+                   "forwarded_limit"]
+
+
+def explain_entity(spark: SparkSession, web: Web, relay_name: str,
+                   entity_name: str, sql: str,
+                   principal: str | None = None) -> list[dict]:
+    """Rows for one entity's resolution under ``sql``'s pushdown facts."""
+    from dataweb_spark.plans.pruning import (
+        extract_entity_limit,
+        extract_entity_predicates,
+        extract_referenced_columns,
+        source_can_match,
+    )
+
+    conjuncts = extract_entity_predicates(spark, sql, entity_name)
+    limit = extract_entity_limit(spark, sql, entity_name)
+    referenced = extract_referenced_columns(spark, sql)
+    rows: list[dict] = []
+    _walk(web, relay_name, entity_name, conjuncts, limit, referenced,
+          set(), rows)
+    return rows
+
+
+def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
+          limit, referenced, visited: set, rows: list[dict]) -> None:
+    from dataweb_spark.plans.pruning import source_can_match
+    from dataweb_spark.plans.resolve import (
+        _map_conjuncts_through,
+        _map_referenced_through,
+        _template_trivial,
+    )
+    from dataweb_spark.sources.readers import _peer_sql, _pushdown_parts
+
+    key = (relay_name, entity_name)
+    if key in visited:
+        return
+    visited.add(key)
+    relay = web.relay(relay_name)
+    if entity_name not in relay.entities:
+        return
+
+    seen_groups: set[str] = set()
+    for source in relay.sources_for_entity(entity_name):
+        kind = relay.connections[source.connection].kind \
+            if source.connection in relay.connections else "?"
+        row = {"entity": entity_name, "relay": relay_name,
+               "source": source.name, "kind": kind, "action": "scan",
+               "pushed_sql": None, "pushed_filters": None,
+               "projected": None, "forwarded_limit": None}
+        group = getattr(source, "replica_group", None)
+        if group is not None and group in seen_groups:
+            row["action"] = "replica-standby"
+            rows.append(row)
+            continue
+        if conjuncts and source.bounds \
+                and not source_can_match(conjuncts, source.bounds):
+            row["action"] = "pruned"
+            rows.append(row)
+            continue
+        if group is not None:
+            seen_groups.add(group)
+        cols, kept, eff_limit, projected = _pushdown_parts(
+            source, conjuncts, limit, referenced)
+        if kind == "flight":
+            peer_sql, _proj = _peer_sql(source, conjuncts, limit,
+                                        referenced)
+            row["pushed_sql"] = peer_sql
+        if kept:
+            row["pushed_filters"] = json.dumps(
+                [[c, op, str(v)] for c, op, v in kept])
+        elif conjuncts and kind in ("file", "view", "jdbc"):
+            # local/JDBC branches: Catalyst rewrites the entity-namespace
+            # conjuncts through the mapping projection into the scan's
+            # PushedFilters even when source_sql shapes the frame — report
+            # them in entity namespace (hop-mapped, transforms inverted)
+            row["pushed_filters"] = json.dumps(
+                [[c, op, str(v)] for c, op, v in conjuncts])
+        if cols:
+            row["projected"] = json.dumps(cols)
+        row["forwarded_limit"] = eff_limit
+        rows.append(row)
+
+    for rm in relay.remotes_for_entity(entity_name):
+        _walk(web, rm.peer, rm.remote_entity,
+              _map_conjuncts_through(rm, conjuncts),
+              limit if _template_trivial(rm) else None,
+              _map_referenced_through(rm, referenced),
+              visited, rows)
+
+
+def explain_federation(spark: SparkSession, web: Web, relay_name: str,
+                       sql: str,
+                       principal: str | None = None) -> DataFrame:
+    """Per-source resolution report for every entity ``sql`` references.
+
+    Pure metadata walk — nothing is scanned, no peer is contacted."""
+    from dataweb_spark.plans.validation import validate_sql
+
+    entities = validate_sql(spark, sql)
+    relay = web.relay(relay_name)
+    rows: list[dict] = []
+    for e in sorted(entities):
+        if e in relay.entities:
+            rows.extend(explain_entity(spark, web, relay_name, e, sql,
+                                       principal))
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+    schema = StructType(
+        [StructField(c, StringType()) for c in EXPLAIN_COLUMNS[:-1]]
+        + [StructField("forwarded_limit", IntegerType())])
+    return spark.createDataFrame(
+        [tuple(r[c] for c in EXPLAIN_COLUMNS) for r in rows], schema)

@@ -259,6 +259,16 @@ class QueryGateway:
     def query_schema(self, sql: str, principal: str | None = None):
         return self.query(sql, principal).schema
 
+    # -- federation explain ---------------------------------------------
+
+    def explain(self, sql: str, principal: str | None = None) -> DataFrame:
+        """Pre-flight per-source resolution report: which sources scan,
+        prune, or stand by, and exactly what SQL/filters/limit each
+        network peer receives. Metadata-only — nothing is scanned."""
+        from dataweb_spark.plans.explain import explain_federation
+        return explain_federation(self.spark, self.web, self.relay_name,
+                                  sql, principal)
+
     # -- NDJSON export (REST analog) ------------------------------------
 
     def to_ndjson(self, df: DataFrame, drop_null_columns: bool = True

@@ -88,6 +88,8 @@ class RestRelayServer:
                 path = urlparse(self.path).path
                 if path == "/admin/apply":
                     return self._admin_apply()
+                if path == "/explain":
+                    return self._explain()
                 if path != "/query":
                     return self._send(404, {"error": "not found"})
                 try:
@@ -99,6 +101,19 @@ class RestRelayServer:
                 except (ValidationError, ValueError, KeyError) as e:
                     return self._send(400, {"error": str(e)})
                 self._send(202, {"job_id": job_id})
+
+            def _explain(self) -> None:
+                """POST /explain {sql, principal?} → per-source resolution
+                rows; metadata-only, no scan, no peer contact."""
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n).decode("utf-8"))
+                    df = outer.manager.gateway.explain(
+                        req["sql"], req.get("principal"))
+                    rows = [r.asDict() for r in df.collect()]
+                except (ValidationError, ValueError, KeyError) as e:
+                    return self._send(400, {"error": str(e)})
+                self._send(200, {"sources": rows})
 
             def _admin_apply(self) -> None:
                 import yaml

@@ -491,3 +491,33 @@ def test_relayctl_jobs_listing(relayctl_env, capsys):
     assert relayctl_env.main(["jobs"]) == 0
     out = capsys.readouterr().out
     assert body["job_id"] in out
+
+
+def test_explain_endpoint(rest):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{rest.port}/explain",
+        data=json.dumps({"sql": "select count(*) as n from lineitem "
+                                "where quantity < 5"}).encode(),
+        method="POST", headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        body = json.loads(r.read())
+    assert len(body["sources"]) == 2
+    assert all(s["action"] == "scan" for s in body["sources"])
+    # bad SQL → 400
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{rest.port}/explain",
+        data=json.dumps({"sql": "drop table lineitem"}).encode(),
+        method="POST", headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_relayctl_explain(relayctl_env, capsys):
+    rc = relayctl_env.main([
+        "explain", "select count(*) as n from lineitem where quantity < 5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "lineitem_csv" in out and "scan" in out

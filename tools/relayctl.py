@@ -131,6 +131,25 @@ def cmd_query(endpoint: str, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(endpoint: str, args: argparse.Namespace) -> int:
+    payload = {"sql": args.sql}
+    if args.principal:
+        payload["principal"] = args.principal
+    code, body = _call(endpoint, "POST", "/explain",
+                       json.dumps(payload).encode(),
+                       {"Content-Type": "application/json"})
+    if code != 200:
+        print(body.decode(errors="replace"), file=sys.stderr)
+        return 1
+    for r in json.loads(body)["sources"]:
+        extra = r["pushed_sql"] or r["pushed_filters"] or ""
+        lim = f" limit={r['forwarded_limit']}" if r["forwarded_limit"] \
+            else ""
+        print(f"{r['entity']}  {r['relay']}/{r['source']} [{r['kind']}] "
+              f"{r['action']}{lim}  {extra}")
+    return 0
+
+
 def cmd_jobs(endpoint: str, _args: argparse.Namespace) -> int:
     code, body = _call(endpoint, "GET", "/query")
     if code != 200:
@@ -181,6 +200,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--timeout", type=float, default=120.0)
     sp.add_argument("--poll", type=float, default=0.2)
     sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("explain", help="per-source resolution report")
+    sp.add_argument("sql")
+    sp.add_argument("--principal")
+    sp.set_defaults(fn=cmd_explain)
 
     sp = sub.add_parser("jobs", help="list jobs (GET /query)")
     sp.set_defaults(fn=cmd_jobs)
