@@ -4630,6 +4630,52 @@ from documents
 """)
 
 
+def _fed_explain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The federation EXPLAIN surface (plans/explain.py) under oracle
+    check: the per-source resolution report for a filtered query over the
+    demo web plus a bounds-pruned web — pure metadata, so the expected
+    rows are an exact VALUES literal."""
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Information, Mapping,
+        RelayCatalog, Web,
+    )
+    from dataweb_spark.demo import build_demo_web
+    from dataweb_spark.plans.explain import explain_federation
+    demo = explain_federation(
+        spark, build_demo_web(sf_dir), "na_us",
+        "select returnflag, count(*) as n from lineitem "
+        "where quantity < 5 group by returnflag")
+    r = RelayCatalog(name="home")
+    r.add_entity(Entity("t", [Information("v", "bigint")]))
+    r.add_connection(DataConnection("files", "file", {"path": sf_dir}))
+    for name, bounds in [("lo", {"v": (0, 10)}), ("hi", {"v": (50, 99)})]:
+        r.add_source(DataSource(
+            name=name, connection="files", entity="t",
+            source_sql="select * from {table}",
+            mappings=[Mapping("v", "r_regionkey")],
+            options={"table": "region.parquet"}, bounds=bounds))
+    pruned = explain_federation(spark, Web(relays={"home": r}), "home",
+                                "select * from t where v > 40")
+    return (demo.unionByName(pruned)
+            .select("entity", "relay", "source", "kind", "action",
+                    F.coalesce("pushed_filters", F.lit("-"))
+                     .alias("pushed_filters"))
+            .orderBy("relay", "source"))
+
+
+_df("fed_explain_report", _fed_explain_report, oracle="""
+select * from (values
+  ('t', 'home', 'hi', 'file', 'scan', '[["r_regionkey", ">", "40"]]'),
+  ('t', 'home', 'lo', 'file', 'pruned', '-'),
+  ('lineitem', 'na_us', 'lineitem_csv', 'file', 'scan',
+   '[["quantity", "<", "5"]]'),
+  ('lineitem', 'na_us', 'lineitem_trino', 'file', 'scan',
+   '[["quantity", "<", "5"]]')
+) as t(entity, relay, source, kind, action, pushed_filters)
+order by relay, source
+""")
+
+
 # ===========================================================================
 # Driver window ordering
 # ===========================================================================
