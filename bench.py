@@ -84,6 +84,9 @@ EXTRAS = [
     "pipeline_leakage_safe_split",
     "pipeline_upsample_epochs",
     "pipeline_assembly_manifest",
+    "pipeline_quality_model",
+    "pipeline_cluster_safe_split",
+    "fed_explain_report",
 ]
 
 
