@@ -295,6 +295,45 @@ def relay_documents(catalog: RelayCatalog) -> list[dict[str, Any]]:
     return docs
 
 
+def _doc_key(doc: dict[str, Any]) -> tuple:
+    """Identity of a config document: (kind, name) for named kinds, the
+    mapping triple for RemoteMapping, the cert fingerprint for User."""
+    kind = doc.get("kind")
+    if kind == "RemoteMapping":
+        return (kind, doc.get("local_entity"), doc.get("peer"),
+                doc.get("remote_entity"))
+    if kind == "User":
+        return (kind, doc.get("x509_sha256"))
+    return (kind, doc.get("name"))
+
+
+def diff_config_documents(catalog: RelayCatalog,
+                          docs: Iterable[dict[str, Any]]) -> list[str]:
+    """Dry-run of ``apply_config_documents``: what WOULD change.
+
+    Applies the documents to a deep copy of the catalog and diffs the
+    canonical export (`relay_documents`) before vs after — so the answer
+    reflects exactly the upsert semantics the real apply uses, including
+    precedence ordering and same-name replacement. Returns
+    ``"Kind/name: added|changed"`` labels (unchanged objects omitted;
+    apply never removes, so there are no removals). The live catalog is
+    untouched — the ``kubectl diff`` analog for ``relayctl apply``."""
+    import copy
+
+    before = {_doc_key(d): d for d in relay_documents(catalog)}
+    trial = copy.deepcopy(catalog)
+    apply_config_documents(trial, docs)
+    out: list[str] = []
+    for d in relay_documents(trial):
+        key = _doc_key(d)
+        label = "/".join(str(p) for p in key)
+        if key not in before:
+            out.append(f"{label}: added")
+        elif before[key] != d:
+            out.append(f"{label}: changed")
+    return sorted(out)
+
+
 def dump_relay_dir(catalog: RelayCatalog, path: str) -> str:
     """Write one relay's catalog as ``relay.yaml`` under ``path``."""
     os.makedirs(path, exist_ok=True)

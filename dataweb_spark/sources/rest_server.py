@@ -88,6 +88,8 @@ class RestRelayServer:
                 path = urlparse(self.path).path
                 if path == "/admin/apply":
                     return self._admin_apply()
+                if path == "/admin/diff":
+                    return self._admin_apply(dry_run=True)
                 if path == "/explain":
                     return self._explain()
                 if path != "/query":
@@ -115,11 +117,12 @@ class RestRelayServer:
                     return self._send(400, {"error": str(e)})
                 self._send(200, {"sources": rows})
 
-            def _admin_apply(self) -> None:
+            def _admin_apply(self, dry_run: bool = False) -> None:
                 import yaml
 
                 from dataweb_spark.catalog.loader import (
                     apply_config_documents,
+                    diff_config_documents,
                 )
                 if outer._admin_token is None:
                     return self._send(403, {"error": "admin disabled"})
@@ -129,8 +132,12 @@ class RestRelayServer:
                     n = int(self.headers.get("Content-Length", "0"))
                     body = self.rfile.read(n).decode("utf-8")
                     docs = list(yaml.safe_load_all(body))
-                    applied = apply_config_documents(
-                        outer.web.relay(outer.relay_name), docs)
+                    relay = outer.web.relay(outer.relay_name)
+                    if dry_run:  # /admin/diff: live catalog untouched
+                        return self._send(
+                            200, {"diff": diff_config_documents(relay,
+                                                                docs)})
+                    applied = apply_config_documents(relay, docs)
                 except Exception as e:  # bad YAML / unknown kind / bad doc
                     return self._send(400, {"error": str(e)})
                 self._send(200, {"applied": applied})

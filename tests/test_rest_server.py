@@ -521,3 +521,23 @@ def test_relayctl_explain(relayctl_env, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "lineitem_csv" in out and "scan" in out
+
+
+def test_admin_diff_dry_run(admin_rest):
+    doc = """
+kind: Entity
+name: diff_probe
+informations:
+  - {name: x, data_type: bigint}
+"""
+    code, body = _post_yaml(admin_rest.port, "/admin/diff", doc,
+                            token="secret-admin")
+    assert code == 200
+    assert body["diff"] == ["Entity/diff_probe: added"]
+    # dry run: the entity is NOT queryable afterwards
+    code, _ = _post(admin_rest.port, {"sql": "select * from diff_probe",
+                                      "mode": "engine"})
+    assert code == 400
+    # same guard as apply
+    code, _ = _post_yaml(admin_rest.port, "/admin/diff", doc, token="nope")
+    assert code == 403

@@ -273,3 +273,39 @@ def test_validate_web_flags_cross_entity_replica_group(sf_dir):
             options={"table": "region.parquet"}, replica_group="g"))
     problems = validate_web(Web(relays={"home": r}))
     assert any("spans entities" in p for p in problems)
+
+
+# -- dry-run diff -----------------------------------------------------------
+
+def test_diff_config_documents_reports_without_mutating(sf_dir):
+    from dataweb_spark.catalog.loader import (
+        diff_config_documents, relay_documents,
+    )
+    from dataweb_spark.demo import build_demo_web
+    relay = build_demo_web(sf_dir).relay("na_us")
+    before = relay_documents(relay)
+    docs = [
+        {"kind": "Entity", "name": "brand_new",
+         "informations": [{"name": "x", "data_type": "bigint"}]},
+        # same-name upsert of an existing source with a changed option
+        {"kind": "DataSource", "name": "lineitem_trino",
+         "connection": "files", "entity": "lineitem",
+         "source_sql": "select * from {table}",
+         "options": {"table": "lineitem.parquet", "new_opt": "1"},
+         "mappings": [{"information": "quantity", "field": "l_quantity"}]},
+    ]
+    diff = diff_config_documents(relay, docs)
+    assert "Entity/brand_new: added" in diff
+    assert "DataSource/lineitem_trino: changed" in diff
+    assert len(diff) == 2  # nothing else reported
+    # live catalog untouched
+    assert relay_documents(relay) == before
+
+
+def test_diff_identical_reapply_is_empty(sf_dir):
+    from dataweb_spark.catalog.loader import (
+        diff_config_documents, relay_documents,
+    )
+    from dataweb_spark.demo import build_demo_web
+    relay = build_demo_web(sf_dir).relay("na_us")
+    assert diff_config_documents(relay, relay_documents(relay)) == []

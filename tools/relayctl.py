@@ -88,6 +88,31 @@ def cmd_apply(endpoint: str, args: argparse.Namespace) -> int:
     return rc
 
 
+def cmd_diff(endpoint: str, args: argparse.Namespace) -> int:
+    """Dry-run apply: POST each YAML file to /admin/diff, print what
+    WOULD change (kubectl-diff analog; live catalog untouched)."""
+    files = _yaml_files(args.filepath)
+    if not files:
+        print(f"no YAML files under {args.filepath}", file=sys.stderr)
+        return 1
+    rc = 0
+    for f in files:
+        with open(f, "rb") as fh:
+            code, body = _call(endpoint, "POST", "/admin/diff", fh.read(),
+                               _admin_headers())
+        if code == 200:
+            changes = json.loads(body)["diff"]
+            for c in changes:
+                print(f"{f}: {c}")
+            if not changes:
+                print(f"{f}: no changes")
+        else:
+            print(f"Unable to diff {f}: {body.decode(errors='replace')}",
+                  file=sys.stderr)
+            rc = 1
+    return rc
+
+
 def cmd_get(endpoint: str, _args: argparse.Namespace) -> int:
     code, body = _call(endpoint, "GET", "/admin/config",
                        headers=_admin_headers())
@@ -186,6 +211,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("apply", help="apply YAML config (file or dir)")
     sp.add_argument("-f", "--filepath", required=True)
     sp.set_defaults(fn=cmd_apply)
+
+    sp = sub.add_parser("diff", help="dry-run apply: what would change")
+    sp.add_argument("-f", "--filepath", required=True)
+    sp.set_defaults(fn=cmd_diff)
 
     sp = sub.add_parser("get", help="export live catalog as YAML")
     sp.set_defaults(fn=cmd_get)
