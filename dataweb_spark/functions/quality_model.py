@@ -22,13 +22,14 @@ compute); this follows the public pipeline literature.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataweb_spark.functions import text as T
 
 __all__ = ["quality_features", "weak_labels", "train_quality_model",
-           "score_quality", "quality_model_report"]
+           "score_quality", "quality_model_report", "save_quality_model",
+           "load_quality_model"]
 
 FEATURE_COLS = ["f_tokens", "f_mean_wlen", "f_stopword", "f_punct",
                 "f_chars"]
@@ -87,6 +88,23 @@ def score_quality(df: DataFrame, model, assembler,
     p1 = F.element_at(vector_to_array(F.col("probability")), 2)
     keep = [c for c in df.columns]
     return scored.select(*keep, p1.alias(out_col))
+
+
+def save_quality_model(model, assembler, path: str) -> None:
+    """Persist the trained model + feature assembler under ``path`` —
+    train once on the cluster, score any number of later corpora/batches
+    without retraining (the model artifact is a few KB of parquet)."""
+    model.write().overwrite().save(path + "/model")
+    assembler.write().overwrite().save(path + "/assembler")
+
+
+def load_quality_model(spark: SparkSession, path: str):
+    """Inverse of :func:`save_quality_model` → (model, assembler)."""
+    from pyspark.ml.classification import LogisticRegressionModel
+    from pyspark.ml.feature import VectorAssembler
+
+    return (LogisticRegressionModel.load(path + "/model"),
+            VectorAssembler.load(path + "/assembler"))
 
 
 def quality_model_report(df: DataFrame, text_col: str = "text",

@@ -57,3 +57,14 @@ def test_model_separates_rule_classes(docs):
                    .agg(F.avg("quality_prob").alias("m")).collect()}
     if len(means) == 2:  # both classes present at this SF
         assert means[1.0] - means[0.0] > 0.5
+
+
+def test_model_save_load_roundtrip(spark, docs, tmp_path):
+    model, assembler = Q.train_quality_model(docs)
+    Q.save_quality_model(model, assembler, str(tmp_path / "qm"))
+    m2, a2 = Q.load_quality_model(spark, str(tmp_path / "qm"))
+    s1 = {r.doc_id: r.quality_prob
+          for r in Q.score_quality(docs, model, assembler).collect()}
+    s2 = {r.doc_id: r.quality_prob
+          for r in Q.score_quality(docs, m2, a2).collect()}
+    assert s1 == s2
