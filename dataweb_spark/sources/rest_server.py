@@ -138,9 +138,18 @@ class RestRelayServer:
                             200, {"diff": diff_config_documents(relay,
                                                                 docs)})
                     applied = apply_config_documents(relay, docs)
+                    # post-apply referential check: dangling references
+                    # are reported as warnings (the apply stands — the
+                    # missing half may arrive in the next document, same
+                    # as the reference's lazy resolution), scoped to this
+                    # relay so cross-relay webs don't warn spuriously
+                    from dataweb_spark.catalog.loader import validate_web
+                    problems = [p for p in validate_web(outer.web)
+                                if f"relay {outer.relay_name!r}" in p]
                 except Exception as e:  # bad YAML / unknown kind / bad doc
                     return self._send(400, {"error": str(e)})
-                self._send(200, {"applied": applied})
+                self._send(200, {"applied": applied,
+                                 "warnings": problems})
 
             def do_DELETE(self):
                 """DELETE /query/{id}: best-effort cancel. Queued tasks

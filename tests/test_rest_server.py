@@ -541,3 +541,39 @@ informations:
     # same guard as apply
     code, _ = _post_yaml(admin_rest.port, "/admin/diff", doc, token="nope")
     assert code == 403
+
+
+def test_admin_apply_warns_on_dangling_reference(admin_rest):
+    """A source referencing a not-yet-applied connection applies (the
+    missing half may come next) but the response carries the referential
+    warning from validate_web."""
+    doc = """
+kind: Entity
+name: warn_probe
+informations:
+  - {name: x, data_type: bigint}
+---
+kind: DataSource
+name: warn_probe_src
+connection: ghost_connection
+entity: warn_probe
+source_sql: "select * from {table}"
+options: {table: region.parquet}
+mappings:
+  - {information: x, field: r_regionkey}
+"""
+    code, body = _post_yaml(admin_rest.port, "/admin/apply", doc,
+                            token="secret-admin")
+    assert code == 200
+    assert any("ghost_connection" in w for w in body["warnings"])
+    # a clean apply reports no warnings about itself
+    doc2 = """
+kind: DataConnection
+name: ghost_connection
+connection_kind: file
+options: {path: /root/testdata/sf0.001}
+"""
+    code, body = _post_yaml(admin_rest.port, "/admin/apply", doc2,
+                            token="secret-admin")
+    assert code == 200
+    assert not any("ghost_connection" in w for w in body["warnings"])

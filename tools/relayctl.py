@@ -81,6 +81,8 @@ def cmd_apply(endpoint: str, args: argparse.Namespace) -> int:
                                _admin_headers())
         if code == 200:
             print(f"{f} applied!")
+            for w in json.loads(body).get("warnings", []):
+                print(f"  warning: {w}", file=sys.stderr)
         else:  # keep going, like the reference CLI
             print(f"Unable to apply {f}: {body.decode(errors='replace')}",
                   file=sys.stderr)
