@@ -297,6 +297,32 @@ PII_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+def compression_ratio(col: str | Column = "text") -> Column:
+    """zlib-compressed size / raw utf-8 size — the classic redundancy
+    quality signal (low ratio ⇒ highly repetitive/boilerplate text;
+    near-1 ⇒ high-entropy or very short text). Empty text → 1.0.
+
+    Arrow-batched Pandas UDF (zlib has no Catalyst analog); one
+    compress per document, embarrassingly parallel, no shuffle. zlib
+    level 6 output is fully deterministic for a given input, so the
+    column is stable across runs/partitionings — but NOT reproducible in
+    SQL engines, so driver oracles check planted-ordering invariants
+    rather than raw values."""
+    from pyspark.sql.functions import pandas_udf
+    import pandas as pd
+    import zlib
+
+    @pandas_udf("double")
+    def f(s):
+        out = []
+        for t in s:
+            b = (t or "").encode("utf-8", "ignore")
+            out.append(len(zlib.compress(b, 6)) / len(b) if b else 1.0)
+        return pd.Series(out)
+
+    return f(col if isinstance(col, Column) else F.col(col))
+
+
 def scrub_pii(col: str | Column = "text") -> Column:
     """Redact emails / IPv4s / phone numbers with typed placeholder tokens —
     the standard pre-training privacy scrub. Pure ``regexp_replace`` chain:

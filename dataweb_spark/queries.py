@@ -4676,6 +4676,38 @@ order by relay, source
 """)
 
 
+def _text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (functions/text.py) under an
+    ordering-invariant contract: for each base doc, a planted
+    200×-repeated-word twin must compress strictly better than the
+    original text, and both ratios stay in (0, 1.2]. The ratio VALUE is
+    zlib-specific (not SQL-reproducible); the invariants are exact."""
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    base = (spark.table("documents").where("doc_id < 50")
+            .select("doc_id", "text"))
+    word = F.coalesce(F.element_at(T.tokens("text"), 1), F.lit("x"))
+    planted = base.select(
+        "doc_id",
+        T.compression_ratio(F.repeat(F.concat(word, F.lit(" ")), 200))
+         .alias("r_rep"),
+        T.compression_ratio("text").alias("r_orig"))
+    return (planted.select(
+        "doc_id",
+        (F.col("r_rep") < F.col("r_orig")).alias("rep_lt_orig"),
+        ((F.col("r_rep") > 0) & (F.col("r_rep") <= 1.2)
+         & (F.col("r_orig") > 0) & (F.col("r_orig") <= 1.2))
+         .alias("in_bounds"))
+        .orderBy("doc_id"))
+
+
+_df("text_compression_ratio", _text_compression, oracle="""
+select doc_id, true as rep_lt_orig, true as in_bounds
+from documents where doc_id < 50
+order by doc_id
+""")
+
+
 # ===========================================================================
 # Driver window ordering
 # ===========================================================================

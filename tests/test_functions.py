@@ -882,3 +882,20 @@ def test_similarity_paths_need_no_corpus_count(spark, sf_dir, monkeypatch):
     monkeypatch.undo()
     assert ivf.count() == 9
     assert sem.count() == emb.count()
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    from pyspark.sql import Row, functions as F
+    from dataweb_spark.functions import text as T
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="spam " * 500),
+        Row(doc_id=1, text=" ".join(f"w{i}x{i*7%13}" for i in range(500))),
+        Row(doc_id=2, text=""),
+        Row(doc_id=3, text=None),
+    ])
+    rows = {r.doc_id: r.r for r in
+            df.select("doc_id",
+                      T.compression_ratio("text").alias("r")).collect()}
+    assert rows[0] < rows[1]          # repetition compresses better
+    assert rows[2] == 1.0 and rows[3] == 1.0
+    assert all(0 < v <= 1.2 for v in rows.values())

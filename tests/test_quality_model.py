@@ -68,3 +68,23 @@ def test_model_save_load_roundtrip(spark, docs, tmp_path):
     s2 = {r.doc_id: r.quality_prob
           for r in Q.score_quality(docs, m2, a2).collect()}
     assert s1 == s2
+
+
+def test_model_scores_a_stream(spark, sf_dir, tmp_path, docs):
+    """A pre-trained model scores a documents STREAM with the same code
+    path (stateless transform) — train-batch, score-streaming."""
+    from dataweb_spark.streaming.events import run_available_now
+
+    model, assembler = Q.train_quality_model(docs)
+    schema = docs.schema
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("pathGlobFilter", "documents.parquet")
+              .load(sf_dir))
+    scored = Q.score_quality(stream, model, assembler) \
+              .select("doc_id", "quality_prob")
+    out = run_available_now(scored, str(tmp_path / "cp_qm"))
+    got = {r.doc_id: r.quality_prob for r in out.collect()}
+    exp = {r.doc_id: r.quality_prob
+           for r in Q.score_quality(docs, model, assembler)
+                     .select("doc_id", "quality_prob").collect()}
+    assert got == exp
