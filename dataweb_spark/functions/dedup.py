@@ -460,6 +460,39 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
                                      / F.col("n_windows"), 6)))
 
 
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    sep: str = "\n\n") -> DataFrame:
+    """Paragraph-level exact dedup (the C4/Dolma intra-corpus stage):
+    every distinct paragraph survives exactly once — at its globally
+    FIRST occurrence, min ``(doc, position)`` — and documents are
+    reassembled from their surviving paragraphs in original order (a doc
+    whose every paragraph was seen earlier disappears).
+
+    Scale shape: explode to paragraphs (map-only), ONE shuffle on the
+    paragraph hash for the first-occurrence row_number, one groupBy doc
+    to reassemble. No all-pairs anything; duplicate-heavy corpora shrink
+    at the first shuffle. Returns (id, text, n_paras).
+    """
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep))
+         .alias("_pos", "_para"))
+    w = Window.partitionBy(F.md5("_para")).orderBy(id_col, "_pos")
+    kept = (paras.withColumn("_rn", F.row_number().over(w))
+                 .where(F.col("_rn") == 1))
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("_pos", "_para"))),
+                        lambda s: s["_para"]),
+                    sep).alias(text_col),
+                 F.count("*").alias("n_paras")))
+
+
 def contamination_check(corpus: DataFrame, evalset: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
                         window: int = 16) -> DataFrame:

@@ -39,7 +39,7 @@ from dataweb_spark.functions.text import hash_bucket
 __all__ = [
     "split_by_content", "split_by_cluster", "assign_shards",
     "write_shards", "shard_manifest", "filter_cascade", "cascade_stats",
-    "upsample_epochs",
+    "upsample_epochs", "select_token_budget",
 ]
 
 
@@ -206,6 +206,55 @@ def upsample_epochs(df: DataFrame, key_col: str, stratify_col: str,
                           F.explode(F.sequence(F.lit(1),
                                                F.col("_n_copies"))))
               .drop("_n_copies"))
+
+
+def select_token_budget(df: DataFrame, budget_tokens: int,
+                        quality_col: str = "quality",
+                        key_col: str = "doc_id",
+                        token_col: Column | None = None) -> DataFrame:
+    """Greedy best-first corpus selection under a token budget: take docs
+    in (quality-bucket desc, key asc) order while the running token total
+    stays ≤ ``budget_tokens`` — the "data selection" stage when compute
+    affords only a slice of the corpus.
+
+    100 TB shape: a naive global-order running sum needs a total sort +
+    an unpartitioned window (single-task bottleneck). Instead: quality is
+    discretized to 256 buckets (the selection order is defined ON the
+    discretization, so the result is exact, not approximate); one
+    map-side-combined histogram pass gives per-bucket token sums; the
+    256-row cumulative runs driver-side to find the cutoff bucket; whole
+    buckets above the cutoff are kept with a broadcast filter, and only
+    the single boundary bucket pays a key-ordered running sum. Work on
+    the corpus: two map passes + one window over ~1/256 of the data.
+    """
+    from dataweb_spark.functions.text import token_count
+    from pyspark.sql import Window
+
+    tok = token_col if token_col is not None else token_count("text")
+    q256 = F.least(F.lit(255),
+                   F.floor(F.col(quality_col) * 256).cast("int"))
+    base = df.withColumn("_tok", tok).withColumn("_q", q256)
+    hist = (base.groupBy("_q").agg(F.sum("_tok").alias("_bucket_toks"))
+            .orderBy(F.desc("_q")).collect())
+    cum = 0
+    cutoff, boundary_budget = -1, 0
+    for r in hist:  # ≤256 rows on the driver
+        if cum + r._bucket_toks <= budget_tokens:
+            cum += r._bucket_toks
+            cutoff = r._q
+        else:
+            cutoff = r._q
+            boundary_budget = budget_tokens - cum
+            break
+    else:
+        return base.drop("_tok", "_q")  # whole corpus fits
+    above = base.where(F.col("_q") > cutoff)
+    w = Window.partitionBy("_q").orderBy(key_col)
+    boundary = (base.where(F.col("_q") == cutoff)
+                .withColumn("_cum", F.sum("_tok").over(w))
+                .where(F.col("_cum") <= boundary_budget)
+                .drop("_cum"))
+    return above.unionByName(boundary).drop("_tok", "_q")
 
 
 def filter_cascade(df: DataFrame,

@@ -4708,6 +4708,128 @@ order by doc_id
 """)
 
 
+def _pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-first corpus selection under a token budget
+    (functions/splits.py): greedy in (quality-bucket desc, doc_id)
+    order until the running token total hits 20k. The Spark side is the
+    SCALABLE two-pass form (histogram → driver cutoff over ≤256 rows →
+    window on ONE boundary bucket); the oracle is the naive global
+    running sum — identical answers by construction because the
+    selection order is defined on the 256-bucket discretization."""
+    from dataweb_spark.functions import splits as S
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    docs = (spark.table("documents")
+            .withColumn("quality", T.quality_score("text")))
+    kept = S.select_token_budget(docs, 20_000)
+    return (kept.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count("text")).alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc")))
+
+
+_df("pipeline_token_budget", _pipeline_token_budget, oracle=rf"""
+with t as (
+  select doc_id,
+         case when length(trim(text)) = 0 then []::varchar[]
+              else string_split_regex(trim(text), '\s+') end as toks,
+         text
+  from documents
+), feats as (
+  select doc_id, len(toks) as n_tok,
+         length(text) as n,
+         case when length(text) = 0 then 0.0
+              else (length(text) -
+                    length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / cast(length(text) as double) end as punct,
+         case when len(toks) = 0 then 0.0
+              else len(list_filter(toks, x -> list_contains({_SW_LIST},
+                                                            lower(x))))
+                   / cast(len(toks) as double) end as sw
+  from t
+), q as (
+  select doc_id, n_tok,
+         round(0.5 * (case when n >= 50 and n <= 10000 then 1.0
+                           when n < 50 then n / 50.0 else 0.5 end)
+             + 0.2 * (case when punct <= 0.2 then 1.0 else 0.5 end)
+             + 0.3 * (case when sw >= 0.05 and sw <= 0.6 then 1.0
+                           else 0.6 end), 6) as quality
+  from feats
+), b as (
+  select doc_id, n_tok,
+         least(255, cast(floor(quality * 256) as int)) as q256
+  from q
+), ordered as (
+  select doc_id, n_tok,
+         sum(n_tok) over (order by q256 desc, doc_id asc
+                          rows unbounded preceding) as cum
+  from b
+)
+select cast(count(*) as bigint) as n_docs,
+       cast(sum(n_tok) as bigint) as n_tokens,
+       min(doc_id) as first_doc, max(doc_id) as last_doc
+from ordered where cum <= 20000
+""")
+
+
+def _dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (functions/dedup.py) over a corpus
+    with REAL paragraph duplication: each synthetic page is 3 consecutive
+    base docs joined as paragraphs, so every base paragraph recurs in up
+    to 3 pages. Dedup keeps the globally-first occurrence and reassembles
+    pages; exact DuckDB oracle reproduces the whole pipeline."""
+    from dataweb_spark.functions import dedup as D
+    register_views(spark, sf_dir)
+    from pyspark.sql import Window
+    base = spark.table("documents").where("doc_id < 100") \
+                .select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    pages = (base.select(
+        "doc_id",
+        F.lead("text", 1).over(w).alias("_t1"),
+        F.lead("text", 2).over(w).alias("_t2"), "text")
+        .where(F.col("_t1").isNotNull() & F.col("_t2").isNotNull())
+        .select("doc_id",
+                F.concat("text", F.lit("\n\n"), "_t1", F.lit("\n\n"),
+                         "_t2").alias("text")))
+    out = D.paragraph_dedup(pages)
+    return (out.select("doc_id", F.md5("text").alias("fp"), "n_paras")
+               .orderBy("doc_id"))
+
+
+_df("dedup_paragraphs", _dedup_paragraphs, oracle="""
+with base as (
+  select doc_id, text from documents where doc_id < 100
+), pages as (
+  select doc_id,
+         text || chr(10) || chr(10) || t1 || chr(10) || chr(10) || t2
+             as text
+  from (select doc_id, text,
+               lead(text, 1) over (order by doc_id) as t1,
+               lead(text, 2) over (order by doc_id) as t2
+        from base)
+  where t1 is not null and t2 is not null
+), paras as (
+  select doc_id, i.i as pos, parts[i.i] as para
+  from (select doc_id,
+               string_split(text, chr(10) || chr(10)) as parts
+        from pages),
+       unnest(range(1, len(parts) + 1)) as i(i)
+), firsted as (
+  select doc_id, pos, para,
+         row_number() over (partition by md5(para)
+                            order by doc_id, pos) as rn
+  from paras
+)
+select doc_id,
+       md5(string_agg(para, chr(10) || chr(10) order by pos)) as fp,
+       count(*) as n_paras
+from firsted where rn = 1
+group by doc_id order by doc_id
+""")
+
+
 # ===========================================================================
 # Driver window ordering
 # ===========================================================================

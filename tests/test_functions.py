@@ -899,3 +899,16 @@ def test_compression_ratio_orders_redundancy(spark):
     assert rows[0] < rows[1]          # repetition compresses better
     assert rows[2] == 1.0 and rows[3] == 1.0
     assert all(0 < v <= 1.2 for v in rows.values())
+
+
+def test_paragraph_dedup_first_occurrence_and_vanishing_doc(spark):
+    from pyspark.sql import Row
+    from dataweb_spark.functions.dedup import paragraph_dedup
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="alpha\n\nbeta"),
+        Row(doc_id=1, text="beta\n\ngamma"),   # beta already seen
+        Row(doc_id=2, text="alpha\n\nbeta"),   # nothing new → vanishes
+    ])
+    out = {r.doc_id: (r.text, r.n_paras)
+           for r in paragraph_dedup(df).collect()}
+    assert out == {0: ("alpha\n\nbeta", 2), 1: ("gamma", 1)}

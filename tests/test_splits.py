@@ -235,3 +235,33 @@ def test_assign_shards_large_count_path(docs):
          S.assign_shards(docs.repartition(3), "doc_id", 1000)
           .select("doc_id", "shard").collect()}
     assert a == b
+
+
+# -- token-budget selection -------------------------------------------------
+
+def test_select_token_budget_greedy_prefix(spark):
+    rows = [Row(doc_id=i, text="w " * 100, quality=q)
+            for i, q in enumerate([0.9, 0.9, 0.5, 0.5, 0.1])]
+    df = spark.createDataFrame(rows)
+    # 100 tokens/doc; budget 250 → the two 0.9-bucket docs (200 tokens);
+    # doc 2 would overflow to 300
+    kept = sorted(r.doc_id for r in
+                  S.select_token_budget(df, 250).collect())
+    assert kept == [0, 1]
+    # budget 300 → exactly one 0.5-bucket doc joins, in doc_id order
+    kept = sorted(r.doc_id for r in
+                  S.select_token_budget(df, 300).collect())
+    assert kept == [0, 1, 2]
+    # budget covers everything → whole corpus
+    assert S.select_token_budget(df, 10_000).count() == 5
+    # budget smaller than the best doc → nothing
+    assert S.select_token_budget(df, 50).count() == 0
+
+
+def test_select_token_budget_is_deterministic(docs):
+    from dataweb_spark.functions import text as T
+    q = docs.withColumn("quality", T.quality_score("text"))
+    a = sorted(r.doc_id for r in S.select_token_budget(q, 5000).collect())
+    b = sorted(r.doc_id for r in
+               S.select_token_budget(q.repartition(7), 5000).collect())
+    assert a == b and len(a) > 0
