@@ -87,6 +87,9 @@ EXTRAS = [
     "pipeline_quality_model",
     "pipeline_cluster_safe_split",
     "fed_explain_report",
+    "dedup_paragraphs",
+    "pipeline_token_budget",
+    "text_compression_ratio",
 ]
 
 
