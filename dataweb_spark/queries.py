@@ -4863,22 +4863,24 @@ _DRIVER_WINDOW = [
     "fed_q3_shipping_priority",
     # (d) sentinels guarding the layers changed this round —
     # pushdown/extractors (invertible transforms, unmapped-conjunct drop,
-    # multi-ref limit guard):
-    "fed_lineitem_q1",
+    # multi-ref limit guard).  (fed_lineitem_q1 and fed_source_pruning
+    # rotated out late-r5 — 3× green and their layers stay window-covered
+    # by fed_six_relay_q1 / fed_zonemap_pruning + fed_select_star_limit):
     "fed_unitprice_transform",
     "fed_six_relay_q1",
     "fed_select_star_limit",
-    "fed_source_pruning",
     "fed_zonemap_pruning",
     "text_lm_logprob",
     "text_bigram_lm",
-    "fed_template_partials",
+    # (fed_template_partials rotated out late-r5 — 3× green; the template
+    # partial-agg path stays window-covered by fed_template_agg_forward):
     "fed_flight_two_process",
     "fed_flightsql_engine",
     "fed_trino_engine",
-    # similarity/dedup internals (quantizer sample path changed):
+    # similarity/dedup internals (quantizer sample path changed;
+    # knn_quantized_int8 rotated out late-r5 — 3× green, the int8 path
+    # stays window-exercised through knn_ivf_recall's quantizer):
     "knn_ivf_recall",
-    "knn_quantized_int8",
     "dedup_bloom_contamination",
     # jobs/do_put + streaming + multimodal + big-SQL sentinels:
     "streaming_fed_ingest",
@@ -4906,8 +4908,9 @@ _DRIVER_WINDOW = [
     "multimodal_video_frames",
     "dedup_video_signature",
     "fed_engine_agg_pushdown",
-    "dedup_duplicated_spans",
-    "pipeline_training_data",
+    # (dedup_duplicated_spans and pipeline_training_data rotated out
+    # late-r5 — multi-round green, their layers stay window-covered by
+    # dedup_bloom_contamination's span hashing and the pipeline_* family):
     "fed_template_agg_forward",
     # (e) new in r5 session 3 — never driver-checked, so they take window
     # slots from multi-round greens whose layers are untouched this round
@@ -4930,6 +4933,16 @@ _DRIVER_WINDOW = [
     # (dedup_minhash_recall rotated out — green r4, its operator stays
     # window-exercised via the oracle-checked dedup_minhash_lsh contract):
     "fed_documents_dedup",
+    # (g) final late-r5 swap: the LAST 6 never-driver-checked declared
+    # queries, taking the slots of the 6 multi-round greens named in the
+    # comments above.  After this window runs, every one of the 158
+    # declared queries has been driver-checked at least once in r1∪…∪r5:
+    "dedup_paragraphs",
+    "fed_explain_report",
+    "pipeline_cluster_safe_split",
+    "pipeline_quality_model",
+    "pipeline_token_budget",
+    "text_compression_ratio",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
 # r5 swaps: tpch_q3_shipping_priority / grouping_function_rollup /
