@@ -1,0 +1,94 @@
+"""Persisted dedup index: equivalence with the per-batch recompute path,
+incremental append semantics, and param-safety."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataweb_spark.functions.dedup import dedup_against_corpus
+from dataweb_spark.functions.dedup_index import (append_batch,
+                                                 build_dedup_index,
+                                                 classify_against_index,
+                                                 load_index_params)
+
+
+@pytest.fixture(scope="module")
+def corpus_and_batch(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river"),
+         (2, "pack my box with five dozen liquor jugs for the party"),
+         (3, "a completely different document about spark physical plans"),
+         (4, "duplicate detection at scale needs banded minhash signatures")],
+        ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog near the river"),
+         (102, "pack my box with five dozen liquor jugs for the big party"),
+         (103, "an entirely novel text with no counterpart in the corpus")],
+        ["doc_id", "text"])
+    return corpus, batch
+
+
+def test_matches_recompute_path(spark, tmp_path, corpus_and_batch):
+    corpus, batch = corpus_and_batch
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx)
+    got = {r["doc_id"]: (r["verdict"], r["match_id"])
+           for r in classify_against_index(spark, batch, idx,
+                                           corpus).collect()}
+    want = {r["doc_id"]: (r["verdict"], r["match_id"])
+            for r in dedup_against_corpus(batch, corpus).collect()}
+    assert got == want
+    assert got[101] == ("exact", 1)
+    assert got[102][0] == "near" and got[102][1] == 2
+    assert got[103] == ("unique", None)
+
+
+def test_append_then_reclassify_flags_exact(spark, tmp_path,
+                                            corpus_and_batch):
+    corpus, batch = corpus_and_batch
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx)
+    verdicts = classify_against_index(spark, batch, idx, corpus)
+    admitted = batch.join(
+        verdicts.where(F.col("verdict") == "unique").select("doc_id"),
+        "doc_id")
+    append_batch(admitted, idx)
+    # The admitted doc's fingerprint is now in the index: resubmitting the
+    # same batch flags it exact against itself, others unchanged.
+    merged_text = corpus.unionByName(admitted)
+    again = {r["doc_id"]: r["verdict"]
+             for r in classify_against_index(spark, batch, idx,
+                                             merged_text).collect()}
+    assert again == {101: "exact", 102: "near", 103: "exact"}
+
+
+def test_candidate_free_batch_is_cheap_and_unique(spark, tmp_path,
+                                                  corpus_and_batch):
+    corpus, _ = corpus_and_batch
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx)
+    novel = spark.createDataFrame(
+        [(201, "zebra xylophone quartz jackdaw vexing wizard flummox")],
+        ["doc_id", "text"])
+    rows = classify_against_index(spark, novel, idx, corpus).collect()
+    assert [(r["doc_id"], r["verdict"]) for r in rows] == [(201, "unique")]
+
+
+def test_params_persist_and_missing_meta_rejected(spark, tmp_path,
+                                                  corpus_and_batch):
+    corpus, _ = corpus_and_batch
+    idx = str(tmp_path / "idx")
+    p = build_dedup_index(corpus, idx, num_perm=16, bands=4)
+    assert load_index_params(idx)["num_perm"] == 16 and p["bands"] == 4
+    with pytest.raises(ValueError, match="not a dedup index"):
+        load_index_params(str(tmp_path / "nowhere"))
+
+
+def test_batch_side_broadcast_index_side_streams(spark, tmp_path,
+                                                 corpus_and_batch):
+    corpus, batch = corpus_and_batch
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx)
+    plan = classify_against_index(spark, batch, idx,
+                                  corpus)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastExchange" in plan  # batch/candidate sides broadcast
