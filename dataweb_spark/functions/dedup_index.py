@@ -137,6 +137,51 @@ def classify_against_index(spark: SparkSession, new_batch: DataFrame,
                     F.col("match_id")))
 
 
+def streaming_ingest_gate(stream_df: DataFrame, index_path: str,
+                          corpus_path: str, checkpoint: str,
+                          threshold: float = 0.7):
+    """The production ingest loop: ``readStream → foreachBatch(classify →
+    admit)`` — EXACTLY the batch classify/append code, one implementation
+    for both modes (the repo-wide batch/stream rule).
+
+    Per micro-batch: collapse within-batch exact dups (the index can't
+    see them yet — first occurrence wins), classify survivors against the
+    persisted index, append admitted docs' text to ``corpus_path`` and
+    their derived rows to the index.  State lives entirely in the two
+    on-disk tables, so the stream restarts from the checkpoint with no
+    in-memory state to rebuild.  Returns the started StreamingQuery.
+    """
+    from pyspark.sql import Window
+
+    params = load_index_params(index_path)
+    id_col, text_col = params["id_col"], params["text_col"]
+
+    def _gate(batch: DataFrame, _epoch: int) -> None:
+        w = (Window.partitionBy(_norm_fingerprint(text_col))
+             .orderBy(id_col))
+        firsts = (batch.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1).drop("_rn"))
+        spark_b = firsts.sparkSession
+        corpus = spark_b.read.parquet(corpus_path)
+        verdicts = classify_against_index(spark_b, firsts, index_path,
+                                          corpus, threshold)
+        admitted = firsts.join(
+            verdicts.where(F.col("verdict") == "unique").select(id_col),
+            id_col)
+        admitted.persist()
+        try:
+            admitted.write.mode("append").parquet(corpus_path)
+            append_batch(admitted, index_path)
+        finally:
+            admitted.unpersist()
+
+    return (stream_df.writeStream
+            .foreachBatch(_gate)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def append_batch(admitted: DataFrame, path: str) -> None:
     """Append index rows for admitted (kept) docs — no rebuild, no
     corpus rescan.  One text pass over the batch only."""

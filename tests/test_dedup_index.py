@@ -83,6 +83,45 @@ def test_params_persist_and_missing_meta_rejected(spark, tmp_path,
         load_index_params(str(tmp_path / "nowhere"))
 
 
+def test_streaming_ingest_gate_one_impl(spark, tmp_path, corpus_and_batch):
+    """readStream → foreachBatch(classify → admit): exact dups of the
+    corpus and within-batch repeats are rejected, uniques land in both
+    the corpus dir and the index; a second drain of the SAME docs from a
+    fresh file admits nothing (the index now knows them)."""
+    from dataweb_spark.functions.dedup_index import streaming_ingest_gate
+
+    corpus, _ = corpus_and_batch
+    idx, corp_dir = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    landing, ck = str(tmp_path / "landing"), str(tmp_path / "ck")
+    build_dedup_index(corpus, idx)
+    corpus.write.parquet(corp_dir)
+
+    batch = spark.createDataFrame(
+        [(301, "a genuinely new stream document about watermark state"),
+         (302, "a genuinely new stream document about watermark state"),
+         (303, "the quick brown fox jumps over the lazy dog near the river")],
+        ["doc_id", "text"])
+    batch.write.parquet(landing)
+
+    def drain():
+        stream = (spark.readStream
+                  .schema("doc_id long, text string").parquet(landing))
+        q = streaming_ingest_gate(stream, idx, corp_dir, ck)
+        q.awaitTermination(120)
+
+    drain()
+    admitted = spark.read.parquet(corp_dir).where("doc_id >= 300")
+    assert [r["doc_id"] for r in admitted.collect()] == [301]
+
+    spark.createDataFrame(
+        [(401, "a genuinely new stream document about watermark state")],
+        ["doc_id", "text"]).write.mode("append").parquet(landing)
+    drain()
+    ids = {r["doc_id"] for r in
+           spark.read.parquet(corp_dir).where("doc_id >= 300").collect()}
+    assert ids == {301}  # 401 is an exact dup of the now-indexed 301
+
+
 def test_batch_side_broadcast_index_side_streams(spark, tmp_path,
                                                  corpus_and_batch):
     corpus, batch = corpus_and_batch
