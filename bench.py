@@ -141,6 +141,33 @@ def main() -> None:
         extras[name] = round(time.time() - t0, 3)
         print(f"# extra {name}: {extras[name]}s ({n} rows)", file=sys.stderr)
 
+    # Persisted-index ingest (library op, not a declared query — it needs
+    # writable index state): the index BUILD is the one-off, so it runs
+    # untimed; the timed number is the steady-state per-batch cost —
+    # classify 500 docs against the persisted index of the whole
+    # documents table, corpus text untouched except for near-candidates.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dataweb_spark.functions.dedup_index import (build_dedup_index,
+                                                     classify_against_index)
+    idx_dir = tempfile.mkdtemp(prefix="bench_dedup_idx_")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        build_dedup_index(docs, idx_dir)
+        batch = (docs.limit(500)
+                 .withColumn("doc_id", F.col("doc_id") + 10_000_000))
+        t0 = time.time()
+        n = classify_against_index(spark, batch, idx_dir, docs).count()
+        extras["dedup_index_classify"] = round(time.time() - t0, 3)
+        print(f"# extra dedup_index_classify: "
+              f"{extras['dedup_index_classify']}s ({n} rows)",
+              file=sys.stderr)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
