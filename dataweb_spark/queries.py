@@ -4949,10 +4949,13 @@ _DRIVER_WINDOW = [
 # qualify_rewrite rotated OUT (multi-round green, layers untouched) to make
 # room for fed_engine_agg_pushdown, fed_template_agg_forward, and
 # fed_trino_engine. Rotated-out names stay in QUERIES (checkable any round).
-# r6 note: every declared query has a green row in r1∪…∪r4 ∪ (local r5
-# full sweep: 147/147, plus the 5 late-r5 dataset-assembly queries
-# verified individually). After the r5 driver run lands, rotate any red
-# rows back in plus whatever r6 adds.
+# r6 note: once this window runs, every one of the 158 declared queries
+# has been driver-checked at least once in r1∪…∪r5 (end-of-r5 local
+# sweep: 158/158 green, zero rows-only; all 50 window outputs verified
+# scalar-column-only, so the r4 approx_sketches canonicalizer-crash
+# class can't recur). For r6: rotate any CORRECTNESS_r05 red rows back
+# in, plus r6 additions — first in line is a declared-query form of the
+# persisted dedup index (functions/dedup_index.py, pytest-proven in r5).
 
 
 def _apply_driver_window() -> None:
