@@ -42,6 +42,43 @@ def test_matches_recompute_path(spark, tmp_path, corpus_and_batch):
     assert got[103] == ("unique", None)
 
 
+def test_randomized_equivalence_with_recompute_path(spark, tmp_path):
+    """Seeded random corpora: index-path verdicts == recompute-path
+    verdicts on every doc, across three generated corpus/batch draws
+    with planted exact dups, word-swap near-dups, and novel docs."""
+    import random
+
+    vocab = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu").split()
+    for trial in range(3):
+        rng = random.Random(100 + trial)
+        corpus_rows = [(i, " ".join(rng.choices(vocab, k=12)))
+                       for i in range(20)]
+        batch_rows = []
+        for j in range(12):
+            bid = 1000 + j
+            kind = rng.randrange(3)
+            if kind == 0:                       # exact dup of a corpus doc
+                batch_rows.append((bid, rng.choice(corpus_rows)[1]))
+            elif kind == 1:                     # near-dup: swap one word
+                toks = rng.choice(corpus_rows)[1].split()
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+                batch_rows.append((bid, " ".join(toks)))
+            else:                               # fresh draw
+                batch_rows.append((bid, " ".join(rng.choices(vocab, k=12))))
+        corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+        batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+        idx = str(tmp_path / f"idx{trial}")
+        build_dedup_index(corpus, idx)
+        got = {r["doc_id"]: (r["verdict"], r["match_id"])
+               for r in classify_against_index(spark, batch, idx,
+                                               corpus).collect()}
+        want = {r["doc_id"]: (r["verdict"], r["match_id"])
+                for r in dedup_against_corpus(batch, corpus).collect()}
+        assert got == want, f"trial {trial}"
+
+
 def test_append_then_reclassify_flags_exact(spark, tmp_path,
                                             corpus_and_batch):
     corpus, batch = corpus_and_batch
