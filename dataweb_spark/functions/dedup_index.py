@@ -190,3 +190,22 @@ def append_batch(admitted: DataFrame, path: str) -> None:
                                 params["text_col"], params)
     fp.write.mode("append").parquet(os.path.join(path, "fp"))
     band_rows.write.mode("append").parquet(os.path.join(path, "bands"))
+
+
+def compact_index(spark: SparkSession, path: str,
+                  target_file_mb: int = 256) -> tuple[int, int]:
+    """Periodic maintenance: every :func:`append_batch` adds one file set
+    per table, so a long-lived ingest loop accumulates small files and
+    the classify scans pay listing/task-scheduling overhead instead of
+    IO.  Rewrites both tables to ~``target_file_mb`` files via the
+    atomic-swap compactor (:func:`scale.compact_parquet` — a failure
+    mid-rewrite leaves the live index intact).  Returns the new
+    (fp_files, band_files) counts.  Run between drains, not during one.
+    """
+    from dataweb_spark.functions.scale import compact_parquet
+
+    load_index_params(path)  # refuse to "compact" a non-index directory
+    return (compact_parquet(spark, os.path.join(path, "fp"),
+                            target_file_mb),
+            compact_parquet(spark, os.path.join(path, "bands"),
+                            target_file_mb))

@@ -110,6 +110,36 @@ def test_candidate_free_batch_is_cheap_and_unique(spark, tmp_path,
     assert [(r["doc_id"], r["verdict"]) for r in rows] == [(201, "unique")]
 
 
+def test_compact_index_preserves_verdicts(spark, tmp_path,
+                                          corpus_and_batch):
+    """After several appends, compaction shrinks both tables to one file
+    each and classify answers are unchanged."""
+    import glob
+
+    from dataweb_spark.functions.dedup_index import compact_index
+
+    corpus, batch = corpus_and_batch
+    idx = str(tmp_path / "idx")
+    build_dedup_index(corpus, idx)
+    for i in range(3):
+        extra = spark.createDataFrame(
+            [(500 + i, f"filler append number {i} with its own words")],
+            ["doc_id", "text"])
+        append_batch(extra, idx)
+    before = {r["doc_id"]: (r["verdict"], r["match_id"])
+              for r in classify_against_index(spark, batch, idx,
+                                              corpus).collect()}
+    n_fp, n_bands = compact_index(spark, idx)
+    assert n_fp == 1 and n_bands == 1
+    assert len(glob.glob(f"{idx}/fp/*.parquet")) == 1
+    after = {r["doc_id"]: (r["verdict"], r["match_id"])
+             for r in classify_against_index(spark, batch, idx,
+                                             corpus).collect()}
+    assert after == before
+    with pytest.raises(ValueError, match="not a dedup index"):
+        compact_index(spark, str(tmp_path / "not_an_index"))
+
+
 def test_params_persist_and_missing_meta_rejected(spark, tmp_path,
                                                   corpus_and_batch):
     corpus, _ = corpus_and_batch
