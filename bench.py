@@ -169,7 +169,7 @@ def main() -> None:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -179,7 +179,15 @@ def main() -> None:
         "agg": "median",
         "extras": extras,
         "sf": sf,
-    }))
+    })
+    # Stop Spark and drain buffers BEFORE the metric line so JVM-shutdown
+    # stack traces (accumulator broken-pipe noise etc.) can't land on
+    # stdout after it — the driver parses the metric from the tail of
+    # stdout, and r5's artifact was voided by exactly that race.
+    spark.stop()
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,38 @@ from dataweb_spark.functions.dedup import (_norm_fingerprint, jaccard_pd,
 _META = "meta.json"
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API, so the
+    params file lands on the same filesystem as the parquet tables (an
+    index on HDFS/S3 would silently mislocate a local ``open()``)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str | None:
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        jvm = spark._jvm
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def _index_rows(df: DataFrame, id_col: str, text_col: str,
                 params: dict) -> tuple[DataFrame, DataFrame]:
     """(fp_rows, band_rows) for one frame — one text scan serves both."""
@@ -65,13 +97,22 @@ def build_dedup_index(corpus: DataFrame, path: str,
     fp, band_rows = _index_rows(corpus, id_col, text_col, params)
     fp.write.mode("overwrite").parquet(os.path.join(path, "fp"))
     band_rows.write.mode("overwrite").parquet(os.path.join(path, "bands"))
-    with open(os.path.join(path, _META), "w") as fh:
-        json.dump(params, fh)
+    _fs_write_text(corpus.sparkSession, os.path.join(path, _META),
+                   json.dumps(params))
     return params
 
 
-def load_index_params(path: str) -> dict:
+def load_index_params(path: str, spark: SparkSession | None = None) -> dict:
+    """Read the params file via the Hadoop FS API (same filesystem as the
+    tables — works for hdfs://, s3a://, file:). Falls back to local
+    ``open()`` only when no SparkSession exists."""
     meta = os.path.join(path, _META)
+    spark = spark or SparkSession.getActiveSession()
+    if spark is not None:
+        text = _fs_read_text(spark, meta)
+        if text is None:
+            raise ValueError(f"not a dedup index (missing {_META}): {path}")
+        return json.loads(text)
     if not os.path.exists(meta):
         raise ValueError(f"not a dedup index (missing {_META}): {path}")
     return json.load(open(meta))
@@ -144,14 +185,39 @@ def streaming_ingest_gate(stream_df: DataFrame, index_path: str,
     admit)`` — EXACTLY the batch classify/append code, one implementation
     for both modes (the repo-wide batch/stream rule).
 
-    Per micro-batch: collapse within-batch exact dups (the index can't
-    see them yet — first occurrence wins), classify survivors against the
-    persisted index, append admitted docs' text to ``corpus_path`` and
-    their derived rows to the index.  State lives entirely in the two
-    on-disk tables, so the stream restarts from the checkpoint with no
-    in-memory state to rebuild.  Returns the started StreamingQuery.
+    Per micro-batch: collapse within-batch duplicates, classify survivors
+    against the persisted index, append admitted docs' text to
+    ``corpus_path`` and their derived rows to the index.  State lives
+    entirely in the two on-disk tables, so the stream restarts from the
+    checkpoint with no in-memory state to rebuild.
+
+    Within-batch collapse is two-tier, mirroring the cross-batch verdicts:
+    exact dups keep the first occurrence (min id per fingerprint), then
+    near-dups are collapsed pair-greedily — the higher id of every
+    verified near pair is dropped (:func:`dedup.minhash_dedup` with the
+    index's own signature params).  Pair-greedy is at least as aggressive
+    as one-at-a-time arrival order: in a near-chain A–B, B–C (A,C not
+    near), arrival order would re-admit C after rejecting B, while this
+    gate drops both B and C.  Deterministic, and documented as the one
+    divergence from :func:`dedup.dedup_against_corpus` semantics.
+
+    Replay idempotency: ``foreachBatch`` is at-least-once, so a crash
+    after the corpus append but before the checkpoint commit replays the
+    micro-batch.  The gate anti-joins the batch against the corpus ids
+    before admitting — already-appended docs are never appended twice —
+    and (re-)appends index rows for them, covering the crash window where
+    the corpus append committed but ``append_batch`` did not.  A replay
+    after BOTH appends leaves duplicate index rows, which are semantically
+    harmless (every index consumer min-reduces or distincts) and are
+    dropped by :func:`compact_index`.  Precondition: ``id_col`` is a
+    stable unique key across the stream — a re-sent id is treated as a
+    replay of the same document.
+
+    Returns the started StreamingQuery.
     """
     from pyspark.sql import Window
+
+    from dataweb_spark.functions.dedup import minhash_dedup
 
     params = load_index_params(index_path)
     id_col, text_col = params["id_col"], params["text_col"]
@@ -161,17 +227,27 @@ def streaming_ingest_gate(stream_df: DataFrame, index_path: str,
              .orderBy(id_col))
         firsts = (batch.withColumn("_rn", F.row_number().over(w))
                   .where(F.col("_rn") == 1).drop("_rn"))
+        firsts = minhash_dedup(firsts, id_col, text_col,
+                               params["num_perm"], params["bands"],
+                               params["shingle_n"], threshold)
         spark_b = firsts.sparkSession
         corpus = spark_b.read.parquet(corpus_path)
-        verdicts = classify_against_index(spark_b, firsts, index_path,
+        # Replay guard: docs already in the corpus (same id) were admitted
+        # by a crashed run of this epoch — never re-append their text, but
+        # make sure their index rows exist (the crash may have hit between
+        # the corpus append and append_batch).
+        corpus_ids = corpus.select(id_col)
+        replayed = firsts.join(corpus_ids, id_col, "semi")
+        fresh = firsts.join(corpus_ids, id_col, "left_anti")
+        verdicts = classify_against_index(spark_b, fresh, index_path,
                                           corpus, threshold)
-        admitted = firsts.join(
+        admitted = fresh.join(
             verdicts.where(F.col("verdict") == "unique").select(id_col),
             id_col)
         admitted.persist()
         try:
             admitted.write.mode("append").parquet(corpus_path)
-            append_batch(admitted, index_path)
+            append_batch(admitted.unionByName(replayed), index_path)
         finally:
             admitted.unpersist()
 
@@ -199,13 +275,15 @@ def compact_index(spark: SparkSession, path: str,
     the classify scans pay listing/task-scheduling overhead instead of
     IO.  Rewrites both tables to ~``target_file_mb`` files via the
     atomic-swap compactor (:func:`scale.compact_parquet` — a failure
-    mid-rewrite leaves the live index intact).  Returns the new
+    mid-rewrite leaves the live index intact), dropping the exact-
+    duplicate rows that crash-replayed gate epochs can leave behind
+    (see :func:`streaming_ingest_gate`).  Returns the new
     (fp_files, band_files) counts.  Run between drains, not during one.
     """
     from dataweb_spark.functions.scale import compact_parquet
 
     load_index_params(path)  # refuse to "compact" a non-index directory
     return (compact_parquet(spark, os.path.join(path, "fp"),
-                            target_file_mb),
+                            target_file_mb, drop_duplicates=True),
             compact_parquet(spark, os.path.join(path, "bands"),
-                            target_file_mb))
+                            target_file_mb, drop_duplicates=True))

@@ -84,7 +84,8 @@ def write_partitioned(df: DataFrame, path: str, partition_by: list[str],
 
 
 def compact_parquet(spark, path: str, target_file_mb: int = 256,
-                    partition_by: list[str] | None = None) -> int:
+                    partition_by: list[str] | None = None,
+                    drop_duplicates: bool = False) -> int:
     """Rewrite a parquet dataset into ~``target_file_mb``-sized files.
 
     Streaming ingest and fine-grained task outputs leave lakes littered with
@@ -104,6 +105,10 @@ def compact_parquet(spark, path: str, target_file_mb: int = 256,
     n_files = max(1, int(bytes_total / (target_file_mb * 1024 * 1024)) + 1)
 
     df = spark.read.parquet(path)
+    if drop_duplicates:
+        # Opt-in (adds a shuffle): scrub exact-duplicate rows left by
+        # at-least-once appenders (e.g. dedup_index crash replays).
+        df = df.dropDuplicates()
     tmp = path.rstrip("/") + ".compact.tmp"
     writer = df.coalesce(n_files).write.mode("overwrite") \
         if not partition_by else \
@@ -168,9 +173,23 @@ def merge_upsert(spark, path: str, updates: DataFrame, key: str,
     re-read twice. Row counts come from one count per (tiny) update side +
     the base, not from extra full passes.
 
+    Precondition: ``updates`` has ONE row per ``key`` (duplicate update
+    keys would all survive the anti-join and land as duplicate rows in the
+    merged table, and the returned counts would skew) — validated here
+    with one agg on the (small) update side; the base table is likewise
+    expected to be key-unique, which this function preserves.
+
     Returns {"inserted", "updated", "deleted", "total"}.
     """
     base = spark.read.parquet(path)
+    n_keys, n_rows = (updates.agg(
+        F.countDistinct(key).alias("k"),
+        F.count(F.lit(1)).alias("n")).first())
+    if n_keys != n_rows:
+        raise ValueError(
+            f"merge_upsert requires one update row per '{key}': got "
+            f"{n_rows} rows over {n_keys} distinct keys — dedup the "
+            "update batch (e.g. keep latest per key) before merging")
     up = updates
     if deleted_col is not None:
         tombstones = up.where(F.col(deleted_col)).select(key)

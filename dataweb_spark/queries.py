@@ -61,12 +61,16 @@ ORACLES: dict[str, str] = {}
 
 def _dual(name: str, sql_text: str, oracle: str | None = None) -> None:
     """Register a query that runs the same (or near-same) SQL on both."""
+    # A duplicate registration silently shadows the earlier one (the r5
+    # events_json_props bug) — fail loudly at import instead.
+    assert name not in QUERIES, f"duplicate query registration: {name}"
     QUERIES[name] = _sql(sql_text)
     ORACLES[name] = oracle if oracle is not None else sql_text
 
 
 def _df(name: str, fn: Callable[[SparkSession, str], DataFrame],
         oracle: str | None = None) -> None:
+    assert name not in QUERIES, f"duplicate query registration: {name}"
     QUERIES[name] = fn
     if oracle is not None:
         ORACLES[name] = oracle
@@ -325,7 +329,10 @@ group by date_trunc('hour', ts), event_type
 order by hour_ts, event_type
 """)
 
-_dual("events_json_props", """
+# Regexp-extraction form (green r1 under the name events_json_props, which
+# it used to shadow — renamed in r6 so the get_json_object JSON-path form
+# above actually registers; see VERDICT r5 "What's wrong" #1).
+_dual("events_json_regexp", """
 select cast(regexp_extract(props, '"k": ([0-9]+)', 1) as bigint) as k,
        count(*) as n
 from events
@@ -2723,6 +2730,176 @@ select doc_id + 200000 as doc_id, 'near' as verdict
 from corpus
 where doc_id % 20 = 2
   and len(string_split_regex(trim(text), '\s+')) >= 40
+order by doc_id
+""")
+
+
+def _novel_text(id_col: F.Column) -> F.Column:
+    """Deterministic synthetic text guaranteed non-near vs the natural-
+    language corpus AND vs every other planted novel doc: all tokens are
+    per-doc-distinct digit strings, so pairwise shingle Jaccard is 0."""
+    return F.concat_ws(
+        " ", F.lit("novel"),
+        (id_col * 7919).cast("string"),
+        (id_col * 104729).cast("string"),
+        (id_col * 1299709).cast("string"))
+
+
+def _index_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ingest classify against the PERSISTED dedup index
+    (``functions/dedup_index.py`` — fp + band parquet tables built once;
+    the batch classifies against those, corpus text read only for
+    near-candidates). Planted batch = the ``dedup_incremental_ingest``
+    construction (exact re-labels → ``exact``; ≥40-token docs with a
+    3-token tail → ``near``, shingle Jaccard ≥ 0.92, LSH miss 2.6e-5 at
+    the fixed seed) plus novel digit-token docs (→ ``unique``). Verdict
+    semantics are property-tested equal to ``dedup_against_corpus``
+    (tests/test_dedup_index.py); this query makes them oracle-checked."""
+    import tempfile
+
+    from dataweb_spark.functions import dedup_index as DI
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    corpus = docs.where("doc_id % 5 != 0")
+    idx = tempfile.mkdtemp(prefix="dw_idx_classify_")
+    DI.build_dedup_index(corpus, idx)
+    exact_new = (corpus.where("doc_id % 20 = 1")
+                 .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    near_new = (corpus.where("doc_id % 20 = 2")
+                .where("size(split(trim(text), '\\\\s+')) >= 40")
+                .select((F.col("doc_id") + 200000).alias("doc_id"),
+                        F.concat("text", F.lit(" appended tail tokens"))
+                         .alias("text")))
+    novel_new = (corpus.where("doc_id % 20 = 3")
+                 .select((F.col("doc_id") + 300000).alias("doc_id"),
+                         _novel_text(F.col("doc_id") + 300000).alias("text")))
+    batch = exact_new.unionByName(near_new).unionByName(novel_new)
+    out = DI.classify_against_index(spark, batch, idx, corpus, threshold=0.7)
+    return out.select("doc_id", "verdict").orderBy("doc_id")
+
+
+_df("dedup_index_classify", _index_classify, oracle=r"""
+with corpus as (select * from documents where doc_id % 5 != 0)
+select doc_id + 100000 as doc_id, 'exact' as verdict
+from corpus where doc_id % 20 = 1
+union all
+select doc_id + 200000 as doc_id, 'near' as verdict
+from corpus
+where doc_id % 20 = 2
+  and len(string_split_regex(trim(text), '\s+')) >= 40
+union all
+select doc_id + 300000 as doc_id, 'unique' as verdict
+from corpus where doc_id % 20 = 3
+order by doc_id
+""")
+
+
+def _index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index APPEND path: build the persisted index over the even half of
+    the corpus, ``append_batch`` the odd half (no rebuild, one text pass
+    over the delta only), then classify planted dups of BOTH halves — an
+    ``exact`` verdict against an appended doc proves the appended fp rows
+    serve lookups, a ``near`` verdict against one proves the appended band
+    rows do."""
+    import tempfile
+
+    from dataweb_spark.functions import dedup_index as DI
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    base = docs.where("doc_id % 5 != 0 and doc_id % 2 = 0")
+    delta = docs.where("doc_id % 5 != 0 and doc_id % 2 = 1")
+    idx = tempfile.mkdtemp(prefix="dw_idx_incr_")
+    DI.build_dedup_index(base, idx)
+    DI.append_batch(delta, idx)
+    corpus = base.unionByName(delta)
+    exact_base = (base.where("doc_id % 20 = 2")
+                  .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    exact_delta = (delta.where("doc_id % 20 = 1")
+                   .select((F.col("doc_id") + 200000).alias("doc_id"),
+                           "text"))
+    near_delta = (delta.where("doc_id % 20 = 3")
+                  .where("size(split(trim(text), '\\\\s+')) >= 40")
+                  .select((F.col("doc_id") + 300000).alias("doc_id"),
+                          F.concat("text", F.lit(" appended tail tokens"))
+                           .alias("text")))
+    batch = exact_base.unionByName(exact_delta).unionByName(near_delta)
+    out = DI.classify_against_index(spark, batch, idx, corpus, threshold=0.7)
+    return out.select("doc_id", "verdict").orderBy("doc_id")
+
+
+_df("dedup_index_incremental", _index_incremental, oracle=r"""
+with corpus as (select * from documents where doc_id % 5 != 0)
+select doc_id + 100000 as doc_id, 'exact' as verdict
+from corpus where doc_id % 20 = 2
+union all
+select doc_id + 200000 as doc_id, 'exact' as verdict
+from corpus where doc_id % 20 = 1
+union all
+select doc_id + 300000 as doc_id, 'near' as verdict
+from corpus
+where doc_id % 20 = 3
+  and len(string_split_regex(trim(text), '\s+')) >= 40
+order by doc_id
+""")
+
+
+def _index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``streaming_ingest_gate`` drain equivalence: seed a corpus + index,
+    stream one planted batch through the foreachBatch gate (availableNow),
+    and return the FINAL corpus ids. Exact/near dups of the corpus must be
+    rejected; novel docs admitted; a within-batch exact copy of each novel
+    doc collapses to the first occurrence; a within-batch NEAR variant
+    (same 50 digit tokens + 3-token tail, Jaccard 48/51 ≈ 0.94) is dropped
+    by the pair-greedy near collapse. The oracle derives the final corpus
+    analytically: the seed ∪ the novel docs, nothing else."""
+    import tempfile
+
+    from dataweb_spark.functions import dedup_index as DI
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    corpus0 = docs.where("doc_id % 5 != 0")
+    idx = tempfile.mkdtemp(prefix="dw_idx_gate_")
+    corpus_dir = tempfile.mkdtemp(prefix="dw_idx_gate_c_") + "/corpus"
+    in_dir = tempfile.mkdtemp(prefix="dw_idx_gate_in_")
+    cp = tempfile.mkdtemp(prefix="dw_idx_gate_cp_")
+    DI.build_dedup_index(corpus0, idx)
+    corpus0.write.parquet(corpus_dir)
+
+    long_novel = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.lit(50)),
+                    lambda i: (F.col("doc_id") * 1000 + i).cast("string")),
+        " ")
+    exact_new = (corpus0.where("doc_id % 20 = 1")
+                 .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    near_new = (corpus0.where("doc_id % 20 = 2")
+                .where("size(split(trim(text), '\\\\s+')) >= 40")
+                .select((F.col("doc_id") + 200000).alias("doc_id"),
+                        F.concat("text", F.lit(" appended tail tokens"))
+                         .alias("text")))
+    seeds = corpus0.where("doc_id % 20 = 3").select("doc_id")
+    novel = seeds.select((F.col("doc_id") + 300000).alias("doc_id"),
+                         long_novel.alias("text"))
+    batch_copy = novel.select((F.col("doc_id") + 100000).alias("doc_id"),
+                              "text")
+    batch_near = novel.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" tail tokens appended")).alias("text"))
+    batch = (exact_new.unionByName(near_new).unionByName(novel)
+             .unionByName(batch_copy).unionByName(batch_near))
+    batch.write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(batch.schema).parquet(in_dir)
+    q = DI.streaming_ingest_gate(stream, idx, corpus_dir, cp, threshold=0.7)
+    q.awaitTermination()
+    return (spark.read.parquet(corpus_dir)
+            .select("doc_id").orderBy("doc_id"))
+
+
+_df("dedup_index_gate", _index_gate, oracle=r"""
+select doc_id from documents where doc_id % 5 != 0
+union all
+select doc_id + 300000 as doc_id
+from documents where doc_id % 5 != 0 and doc_id % 20 = 3
 order by doc_id
 """)
 
