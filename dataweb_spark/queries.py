@@ -5018,121 +5018,79 @@ group by doc_id order by doc_id
 # its relative order after the window.
 
 _DRIVER_WINDOW = [
-    # --- r5 rotation (VERDICT r4 item 1): every entry below carries an
-    # oracle, so the window is 50/50 green-ABLE — no structurally-red rows.
-    # (a) the 4 queries never driver-checked after their late r4 landing
-    "dedup_semantic_recall",
-    "text_rolling_fp_contract",
-    "nulls_ordering_ignore_nulls",
-    "pipeline_sequence_packing",
-    # (b) the r4 red rows, reshaped this round into oracle-checked
-    # contracts (invariant oracles per VERDICT 1a/1b); the raw
-    # text_rolling_fingerprint dump was retired for its contract twin
-    "approx_sketches",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_semantic_clusters",
-    "knn_lsh_approx",
-    "knn_ivf_approx",
-    # (c) new in r5: federated cross-entity join (VERDICT item 3) +
-    # the round's other additions
-    "fed_q3_shipping_priority",
-    # (d) sentinels guarding the layers changed this round —
-    # pushdown/extractors (invertible transforms, unmapped-conjunct drop,
-    # multi-ref limit guard).  (fed_lineitem_q1 and fed_source_pruning
-    # rotated out late-r5 — 3× green and their layers stay window-covered
-    # by fed_six_relay_q1 / fed_zonemap_pruning + fed_select_star_limit):
-    "fed_unitprice_transform",
-    "fed_six_relay_q1",
-    "fed_select_star_limit",
-    "fed_zonemap_pruning",
-    "text_lm_logprob",
-    "text_bigram_lm",
-    # (fed_template_partials rotated out late-r5 — 3× green; the template
-    # partial-agg path stays window-covered by fed_template_agg_forward):
-    "fed_flight_two_process",
-    "fed_flightsql_engine",
-    "fed_trino_engine",
-    # similarity/dedup internals (quantizer sample path changed;
-    # knn_quantized_int8 rotated out late-r5 — 3× green, the int8 path
-    # stays window-exercised through knn_ivf_recall's quantizer):
-    "knn_ivf_recall",
-    "dedup_bloom_contamination",
-    # jobs/do_put + streaming + multimodal + big-SQL sentinels:
-    "streaming_fed_ingest",
-    "multimodal_audio_features",
-    # (f) new in r5 session 4 — dataset-assembly ops, never driver-checked,
-    # taking slots from r4 greens with in-window layer redundancy
-    # (dedup_simhash_recall → dedup_simhash contract; dedup_embedding_recall
-    # → dedup_embedding_cosine contract; multimodal_frame_counts →
-    # multimodal_video_frames + dedup_video_signature; multimodal_features
-    # → multimodal_png_features + multimodal_resize + dedup_image_phash;
-    # dedup_incremental_ingest → dedup_minhash_lsh band layer + r4 green):
-    "pipeline_leakage_safe_split",
-    "pipeline_shard_manifest",
-    "pipeline_filter_cascade",
-    "pipeline_upsample_epochs",
-    "pipeline_assembly_manifest",
-    # new in r5 session 2: real PNG codec, real resize, FFT spectrum,
-    # unigram-LM scoring, zone-map pruning — never driver-checked, so they
-    # take window slots from multi-round greens (tpch_q1/q9/q21,
-    # events_sessionization, range_join_price_bands rotated out; still
-    # declared + locally swept):
-    "multimodal_png_features",
-    "multimodal_resize",
-    "multimodal_audio_spectrum",
-    "multimodal_video_frames",
-    "dedup_video_signature",
-    "fed_engine_agg_pushdown",
-    # (dedup_duplicated_spans and pipeline_training_data rotated out
-    # late-r5 — multi-round green, their layers stay window-covered by
-    # dedup_bloom_contamination's span hashing and the pipeline_* family):
-    "fed_template_agg_forward",
-    # (e) new in r5 session 3 — never driver-checked, so they take window
-    # slots from multi-round greens whose layers are untouched this round
-    # (streaming_hourly_rollup, streaming_dedup_ingest, and text_chunking
-    # rotated out; the chunker is still window-exercised through
-    # pipeline_rag_retrieval, and streaming_fed_ingest keeps the streaming
-    # runtime in the window):
-    "scd2_event_history",
-    "pipeline_rag_retrieval",
-    "dedup_image_phash",
-    # (knn_bruteforce_cosine rotated out for this one — brute_force_topk
-    # stays window-exercised through pipeline_rag_retrieval):
-    "fed_replica_failover",
-    # (embedding_quantize_int8 rotated out — quantization stays
-    # window-exercised through knn_quantized_int8):
-    "text_bpe_contract",
-    # (dedup_exact_clusters rotated out — green r4, CC layer untouched;
-    # exact-dedup groupBy shape stays window-exercised via dedup_exact_keep):
-    "dedup_audio_signature",
-    # (dedup_minhash_recall rotated out — green r4, its operator stays
-    # window-exercised via the oracle-checked dedup_minhash_lsh contract):
-    "fed_documents_dedup",
-    # (g) final late-r5 swap: the LAST 6 never-driver-checked declared
-    # queries, taking the slots of the 6 multi-round greens named in the
-    # comments above.  After this window runs, every one of the 158
-    # declared queries has been driver-checked at least once in r1∪…∪r5:
-    "dedup_paragraphs",
-    "fed_explain_report",
-    "pipeline_cluster_safe_split",
-    "pipeline_quality_model",
-    "pipeline_token_budget",
-    "text_compression_ratio",
+    # --- r6 rotation. CORRECTNESS_r05 was 50/50 green and with it every
+    # declared query has ≥1 driver check across r1∪…∪r5, so the ENTIRE r5
+    # window rotates out (all fresh greens, layers stable). The r6 window =
+    # (a) the round's new queries, (b) ALL 41 queries whose latest driver
+    # check is four rounds old (VERDICT r5 item 4: re-rotate the r1-stale
+    # greens, oldest first), (c) four dedup-layer sentinels guarding the
+    # exact-fingerprint / jaccard / against-corpus layers the r6 ingest-gate
+    # rework touches.
+    # (a) new in r6 — the persisted dedup index (VERDICT r5 item 1: build/
+    # classify, append path, and the foreachBatch gate drain), the
+    # un-shadowed JSON-path query (item 3), and the regexp form under its
+    # new name:
+    "dedup_index_classify",
+    "dedup_index_incremental",
+    "dedup_index_gate",
+    "events_json_props",
+    "events_json_regexp",
+    # (b) the 41 r1-stale queries (every query whose latest check is r1,
+    # minus events_json_props which is now the JSON-path form above):
+    "agg_having_filter",
+    "array_access_split",
+    "case_cast_string_funcs",
+    "cte_exists_in_subquery",
+    "cube_counts",
+    "date_parts_orders",
+    "distinct_counts",
+    "events_hourly_rollup",
+    "first_last_value_windows",
+    "interval_date_arithmetic",
+    "is_distinct_from_nulls",
+    "lateral_view_explode",
+    "like_family_predicates",
+    "listagg_nations_per_region",
+    "listagg_within_group_overlay",
+    "ntile_percentile_windows",
+    "predicates_smoke",
+    "rollup_counts",
+    "scalar_subquery_per_row",
+    "stats_aggregates",
+    "string_funcs_position_trim",
+    "timezone_conversion",
+    "topk_orders",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q5_regional_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_idle_customers",
+    "try_cast_safe",
+    "values_inline_join",
+    "window_lag_lead_events",
+    "window_running_sum",
+    # (c) dedup-layer sentinels for the r6 gate rework (r3/r4 checks,
+    # oldest non-r1 evidence; dedup_incremental_ingest is the one-at-a-time
+    # sibling the index path is property-tied to):
+    "dedup_incremental_ingest",
+    "dedup_normalized_fingerprint",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard_exact",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
-# r5 swaps: tpch_q3_shipping_priority / grouping_function_rollup /
-# qualify_rewrite rotated OUT (multi-round green, layers untouched) to make
-# room for fed_engine_agg_pushdown, fed_template_agg_forward, and
-# fed_trino_engine. Rotated-out names stay in QUERIES (checkable any round).
-# r6 note: once this window runs, every one of the 158 declared queries
-# has been driver-checked at least once in r1∪…∪r5 (end-of-r5 local
-# sweep: 158/158 green, zero rows-only; all 50 window outputs verified
-# scalar-column-only, so the r4 approx_sketches canonicalizer-crash
-# class can't recur). For r6: rotate any CORRECTNESS_r05 red rows back
-# in, plus r6 additions — first in line is a declared-query form of the
-# persisted dedup index (functions/dedup_index.py, pytest-proven in r5).
+# Rotated-out names stay in QUERIES (checkable any round; full local sweep
+# covers all of them each round). After this window runs, the maximum
+# driver-check age across all declared queries drops from 5 rounds to 3
+# (the r3 cohort), and the r3 cohort is next in line for r7.
 
 
 def _apply_driver_window() -> None:
