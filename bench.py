@@ -154,6 +154,7 @@ def main() -> None:
     from dataweb_spark.functions.dedup_index import (build_dedup_index,
                                                      classify_against_index)
     idx_dir = tempfile.mkdtemp(prefix="bench_dedup_idx_")
+    corpus_dir = tempfile.mkdtemp(prefix="bench_dedup_corpus_") + "/corpus"
     try:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         build_dedup_index(docs, idx_dir)
@@ -165,8 +166,63 @@ def main() -> None:
         print(f"# extra dedup_index_classify: "
               f"{extras['dedup_index_classify']}s ({n} rows)",
               file=sys.stderr)
+
+        # Steady-state ingest loop (VERDICT r5 item 5): 10 sequential
+        # 500-doc batches — half re-labeled corpus dups (rejected), half
+        # novel digit-token docs (admitted) — each batch classify →
+        # corpus append → index append, so the timing includes the
+        # small-file growth the loop actually accrues; then one
+        # compact_index pass, timed separately, with file counts on
+        # stderr. This measures the per-batch cost curve instead of
+        # arguing it.
+        from dataweb_spark.functions.dedup_index import (append_batch,
+                                                         compact_index)
+        docs.select("doc_id", "text").write.parquet(corpus_dir)
+        loop_t0 = time.time()
+        admitted_total = 0
+        for i in range(10):
+            off = 20_000_000 + i * 1_000_000
+            dups = (docs.limit(250)
+                    .select((F.col("doc_id") + off).alias("doc_id"), "text"))
+            novel = (docs.limit(250)
+                     .select((F.col("doc_id") + off + 500_000)
+                             .alias("doc_id"),
+                             F.concat_ws(
+                                 " ", F.lit("novel"),
+                                 ((F.col("doc_id") + off) * 7919)
+                                 .cast("string"),
+                                 ((F.col("doc_id") + off) * 104729)
+                                 .cast("string")).alias("text")))
+            b = dups.unionByName(novel)
+            corpus = spark.read.parquet(corpus_dir)
+            v = classify_against_index(spark, b, idx_dir, corpus)
+            admitted = b.join(
+                v.where(F.col("verdict") == "unique").select("doc_id"),
+                "doc_id")
+            admitted.persist()
+            # Materialize the cache BEFORE the corpus append: the append
+            # refreshes corpus_dir, which invalidates any uncached plan
+            # reading it — a post-write recompute would re-classify the
+            # batch against the corpus it was just appended to.
+            admitted_total += admitted.count()
+            admitted.write.mode("append").parquet(corpus_dir)
+            append_batch(admitted, idx_dir)
+            admitted.unpersist()
+        extras["dedup_index_ingest_loop"] = round(time.time() - loop_t0, 3)
+        print(f"# extra dedup_index_ingest_loop: "
+              f"{extras['dedup_index_ingest_loop']}s "
+              f"(10 batches x 500 docs, {admitted_total} admitted)",
+              file=sys.stderr)
+        t0 = time.time()
+        fp_files, band_files = compact_index(spark, idx_dir)
+        extras["dedup_index_compact"] = round(time.time() - t0, 3)
+        print(f"# extra dedup_index_compact: "
+              f"{extras['dedup_index_compact']}s "
+              f"(-> {fp_files} fp files, {band_files} band files)",
+              file=sys.stderr)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     line = json.dumps({

@@ -245,11 +245,23 @@ def streaming_ingest_gate(stream_df: DataFrame, index_path: str,
             verdicts.where(F.col("verdict") == "unique").select(id_col),
             id_col)
         admitted.persist()
+        replayed.persist()
         try:
+            # Materialize BOTH caches BEFORE the corpus append: the append
+            # refreshes corpus_path, invalidating uncached plans that read
+            # it — an uncached recompute of ``admitted`` would re-classify
+            # the batch against the corpus it was just appended to
+            # (self-exact ⇒ empty index append), and an uncached
+            # ``replayed`` would re-match the freshly appended ids
+            # (⇒ double index rows every epoch). The counts pin both sets
+            # so no later job reads corpus_path post-append.
+            admitted.count()
+            replayed.count()
             admitted.write.mode("append").parquet(corpus_path)
             append_batch(admitted.unionByName(replayed), index_path)
         finally:
             admitted.unpersist()
+            replayed.unpersist()
 
     return (stream_df.writeStream
             .foreachBatch(_gate)

@@ -189,6 +189,75 @@ def test_streaming_ingest_gate_one_impl(spark, tmp_path, corpus_and_batch):
     assert ids == {301}  # 401 is an exact dup of the now-indexed 301
 
 
+def test_gate_replay_idempotent(spark, tmp_path, corpus_and_batch):
+    """At-least-once replay: a doc whose text already landed in the corpus
+    (crashed epoch: corpus append committed, index append didn't) must not
+    be appended twice, and its index rows must be repaired on replay."""
+    from dataweb_spark.functions.dedup_index import streaming_ingest_gate
+
+    corpus, _ = corpus_and_batch
+    idx, corp_dir = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    landing, ck = str(tmp_path / "landing"), str(tmp_path / "ck")
+    build_dedup_index(corpus, idx)
+    corpus.write.parquet(corp_dir)
+
+    crashed = spark.createDataFrame(
+        [(601, "text admitted by a crashed epoch before its index append")],
+        ["doc_id", "text"])
+    # Simulate the crash window: corpus has the doc, the index does not.
+    crashed.write.mode("append").parquet(corp_dir)
+
+    batch = crashed.unionByName(spark.createDataFrame(
+        [(602, "a brand new document arriving alongside the replay")],
+        ["doc_id", "text"]))
+    batch.write.parquet(landing)
+    stream = (spark.readStream
+              .schema("doc_id long, text string").parquet(landing))
+    q = streaming_ingest_gate(stream, idx, corp_dir, ck)
+    q.awaitTermination(120)
+
+    after = spark.read.parquet(corp_dir).where("doc_id >= 600")
+    counts = {r["doc_id"]: r["n"] for r in
+              after.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {601: 1, 602: 1}  # replay never duplicated 601
+    fp = spark.read.parquet(f"{idx}/fp").where("id >= 600")
+    assert ({r["id"] for r in fp.select("id").collect()} == {601, 602})
+    # Clean epochs append exactly one fp row per admitted doc (a recompute
+    # of the replayed set after the corpus append would double them).
+    assert fp.count() == 2
+
+
+def test_gate_within_batch_near_collapse(spark, tmp_path, corpus_and_batch):
+    """Two near-duplicate (non-identical) docs in one micro-batch collapse
+    pair-greedily: only the lower id is admitted and indexed."""
+    from dataweb_spark.functions.dedup_index import streaming_ingest_gate
+
+    corpus, _ = corpus_and_batch
+    idx, corp_dir = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    landing, ck = str(tmp_path / "landing"), str(tmp_path / "ck")
+    build_dedup_index(corpus, idx)
+    corpus.write.parquet(corp_dir)
+
+    base = ("streaming near duplicate pair check with plenty of shared "
+            "tokens so the shingle jaccard stays far above the threshold "
+            "for the banded minhash candidate join to catch reliably")
+    batch = spark.createDataFrame(
+        [(701, base), (702, base + " trailing tokens appended")],
+        ["doc_id", "text"])
+    batch.write.parquet(landing)
+    stream = (spark.readStream
+              .schema("doc_id long, text string").parquet(landing))
+    q = streaming_ingest_gate(stream, idx, corp_dir, ck)
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in
+           spark.read.parquet(corp_dir).where("doc_id >= 700").collect()}
+    assert got == {701}
+    fp_ids = {r["id"] for r in
+              spark.read.parquet(f"{idx}/fp").where("id >= 700").collect()}
+    assert fp_ids == {701}
+
+
 def test_batch_side_broadcast_index_side_streams(spark, tmp_path,
                                                  corpus_and_batch):
     corpus, batch = corpus_and_batch
