@@ -1,23 +1,32 @@
-"""FlightSQL-style external engine: SQL in, Arrow record batches out.
+"""FlightSQL external engine: SQL in, Arrow record batches out.
 
 The reference's FlightSQLRunner (``core/src/execute/data_stores/
-flight_sql.rs:37-163``) speaks to any engine that accepts a SQL string
-over Arrow Flight and streams batches back, inferring the schema from a
-peeked first batch when none is declared (``flight_sql.rs:146-160``).
-Two halves here:
+flight_sql.rs:100-117``) drives the STANDARD FlightSQL flow —
+``prepare(sql)`` → ``stmt.execute()`` → ``do_get`` per endpoint — and
+infers the schema from a peeked first batch when none is declared
+(``flight_sql.rs:146-160``). Two halves here:
 
 * :class:`DuckDbFlightSqlServer` — an in-process engine speaking that
   protocol, backed by DuckDB over parquet files. This is a REAL second
   engine dialect (DuckDB SQL, not Spark SQL) behind a real gRPC socket,
   standing in for Dremio/ballista/etc. that can't be installed in-sandbox.
-* :func:`flightsql_read` — the Spark-side runner: executors stream the
-  result batches via ``mapInArrow`` (driver only plans), schema obtained
-  from the engine up front (``GetFlightInfo`` carries it, as FlightSQL's
-  ``execute`` does).
+* :func:`flightsql_read` — the Spark-side runner: the driver prepares and
+  plans (``DoAction CreatePreparedStatement`` →
+  ``GetFlightInfo(CommandPreparedStatementQuery)``), executors stream the
+  result batches via ``mapInArrow``.
 
-Tickets carry the SQL itself: the engine is stateless, so a retried Spark
-task simply re-executes — no single-use-ticket bookkeeping (unlike the
-relay protocol, where tickets index planned per-source tasks).
+Commands ride the standard protobuf-``Any`` envelope
+(:mod:`flightsql_proto` — hand-encoded; no FlightSQL client exists for
+Python and protobuf codegen isn't in-sandbox), so a real FlightSQL
+engine could be dropped behind :func:`flightsql_read` for this flow.
+Raw-SQL commands/tickets are still accepted server-side for
+compatibility with pre-envelope clients.
+
+Tickets carry the SQL itself (as ``TicketStatementQuery.statement_handle``
+— the standard leaves ticket contents server-defined): the engine is
+stateless, so a retried Spark task simply re-executes — no
+single-use-ticket bookkeeping (unlike the relay protocol, where tickets
+index planned per-source tasks).
 
 Scale notes: one endpoint = one partition today (engines like Trino
 parallelize internally; the transfer is the bottleneck only when the
@@ -30,9 +39,12 @@ from __future__ import annotations
 
 import json
 import threading
+import uuid
 
 import pyarrow as pa
 import pyarrow.flight as flight
+
+from dataweb_spark.sources import flightsql_proto as fsp
 
 
 class DuckDbFlightSqlServer(flight.FlightServerBase):
@@ -55,27 +67,68 @@ class DuckDbFlightSqlServer(flight.FlightServerBase):
         # threading pattern. Fresh connections inside gRPC handler threads
         # crash natively under concurrency.
         self._con = duckdb.connect()
+        self._prepared: dict[bytes, str] = {}
         for name, path in tables.items():
             self._con.execute(
                 f"create view \"{name}\" as "
                 f"select * from read_parquet('{path}')")
 
-    def get_flight_info(self, context, descriptor):
-        sql = descriptor.command.decode("utf-8")
+    def _peek_schema(self, sql: str) -> pa.Schema:
         cur = self._con.cursor()
         try:
             # Schema without execution: LIMIT 0 over the query (the peek-
             # first-batch analog of flight_sql.rs:146-160, no data pulled).
-            schema = cur.execute(
+            return cur.execute(
                 f"select * from ({sql}) q limit 0").arrow().schema
         finally:
             cur.close()
-        ticket = flight.Ticket(sql.encode("utf-8"))
+
+    def do_action(self, context, action):
+        """Standard prepared-statement actions (FlightSql.proto):
+        CreatePreparedStatement registers a handle → SQL mapping and
+        returns the dataset schema; ClosePreparedStatement drops it."""
+        body = action.body.to_pybytes() if action.body else b""
+        if action.type == fsp.CREATE_PREPARED_ACTION:
+            sql = fsp.parse_create_prepared_request(body)
+            schema = self._peek_schema(sql)
+            handle = uuid.uuid4().bytes
+            with self._lock:
+                self._prepared[handle] = sql
+            return iter([flight.Result(fsp.create_prepared_result(
+                handle, schema.serialize().to_pybytes()))])
+        if action.type == fsp.CLOSE_PREPARED_ACTION:
+            _, handle = fsp.parse_command(body)
+            with self._lock:
+                self._prepared.pop(handle, None)
+            return iter([])
+        raise flight.FlightServerError(f"unknown action {action.type!r}")
+
+    def _resolve_sql(self, raw: bytes) -> str:
+        """FlightSQL envelope (prepared handle / direct statement /
+        statement ticket) or, failing that, legacy raw SQL bytes."""
+        try:
+            kind, payload = fsp.parse_command(raw)
+        except (ValueError, IndexError):
+            return raw.decode("utf-8")  # pre-envelope client
+        if kind == "prepared":
+            with self._lock:
+                sql = self._prepared.get(payload)
+            if sql is None:
+                raise flight.FlightServerError("unknown prepared-statement "
+                                               "handle (already closed?)")
+            return sql
+        return payload.decode("utf-8")  # statement / ticket carry the SQL
+
+    def get_flight_info(self, context, descriptor):
+        sql = self._resolve_sql(descriptor.command)
+        schema = self._peek_schema(sql)
+        ticket = flight.Ticket(
+            fsp.ticket_statement_query(sql.encode("utf-8")))
         return flight.FlightInfo(schema, descriptor,
                                  [flight.FlightEndpoint(ticket, [])], -1, -1)
 
     def do_get(self, context, ticket):
-        sql = ticket.ticket.decode("utf-8")
+        sql = self._resolve_sql(ticket.ticket)
         with self._lock:
             self.executed.append(sql)
         cur = self._con.cursor()
@@ -100,15 +153,32 @@ def serve_duckdb_flightsql(tables: dict[str, str]) -> DuckDbFlightSqlServer:
 def flightsql_read(spark, host: str, port: int, sql: str):
     """Run ``sql`` on the engine; stream result batches on executors.
 
-    The driver makes one ``get_flight_info`` call (schema + endpoints);
-    each endpoint becomes a Spark partition whose task opens its own
-    Flight connection — the FlightSQLRunner's stream, distributed.
+    Driver-side planning follows the reference's flow
+    (``flight_sql.rs:109-117``): ``prepare(sql)`` →
+    ``execute`` (= ``GetFlightInfo`` on the prepared handle) → one Spark
+    partition per endpoint, each task opening its own Flight connection
+    for ``do_get``. Engines without the prepared-statement actions get
+    the direct ``CommandStatementQuery`` envelope instead.
     """
     from pyspark.sql.pandas.types import from_arrow_schema
 
     client = flight.connect(f"grpc://{host}:{port}")
-    info = client.get_flight_info(
-        flight.FlightDescriptor.for_command(sql.encode("utf-8")))
+    handle = None
+    try:
+        res = list(client.do_action(flight.Action(
+            fsp.CREATE_PREPARED_ACTION, fsp.create_prepared_request(sql))))
+        handle, _ = fsp.parse_create_prepared_result(
+            res[0].body.to_pybytes())
+        command = fsp.prepared_statement_query(handle)
+    except flight.FlightError:
+        command = fsp.statement_query(sql)  # engine lacks prepare support
+    info = client.get_flight_info(flight.FlightDescriptor.for_command(
+        command))
+    if handle is not None:
+        # Planning is done; endpoints' tickets are self-contained, so the
+        # prepared statement can be released before executors fetch.
+        list(client.do_action(flight.Action(
+            fsp.CLOSE_PREPARED_ACTION, fsp.close_prepared_request(handle))))
     arrow_schema = info.schema
     out_schema = from_arrow_schema(arrow_schema)
     tickets = [(ep.ticket.ticket,) for ep in info.endpoints]

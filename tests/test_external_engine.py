@@ -314,3 +314,86 @@ def test_trino_schema_inference_fallback(spark, sf_dir):
         assert abs(s2 - w2) < 1e-6
     finally:
         s.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Standard FlightSQL prepared-statement envelope (flight_sql.rs:109-117)
+# ---------------------------------------------------------------------------
+
+def test_flightsql_prepared_statement_envelope(engine):
+    """Protocol-shape test: the prepare → execute → do_get flow with
+    protobuf-Any-wrapped commands, exactly as arrow-flight's
+    FlightSqlServiceClient sends them — so a standards-speaking engine
+    could be dropped behind flightsql_read for this flow."""
+    import pyarrow as pa
+    import pyarrow.flight as fl
+
+    from dataweb_spark.sources import flightsql_proto as fsp
+
+    client = fl.connect(f"grpc://127.0.0.1:{engine.port}")
+    res = list(client.do_action(fl.Action(
+        fsp.CREATE_PREPARED_ACTION,
+        fsp.create_prepared_request(
+            "select count(*) as n from lineitem_tbl"))))
+    handle, schema_bytes = fsp.parse_create_prepared_result(
+        res[0].body.to_pybytes())
+    assert handle and len(handle) == 16
+    schema = pa.ipc.read_schema(pa.BufferReader(schema_bytes))
+    assert schema.field("n").type == pa.int64()
+
+    info = client.get_flight_info(fl.FlightDescriptor.for_command(
+        fsp.prepared_statement_query(handle)))
+    assert info.schema.equals(schema)
+    total = sum(client.do_get(ep.ticket).read_all().num_rows
+                for ep in info.endpoints)
+    assert total == 1
+
+    list(client.do_action(fl.Action(
+        fsp.CLOSE_PREPARED_ACTION, fsp.close_prepared_request(handle))))
+    with pytest.raises(fl.FlightError):
+        client.get_flight_info(fl.FlightDescriptor.for_command(
+            fsp.prepared_statement_query(handle)))
+
+
+def test_flightsql_direct_statement_and_legacy_commands(engine):
+    """CommandStatementQuery (no prepare) and pre-envelope raw-SQL
+    commands both still resolve."""
+    import pyarrow.flight as fl
+
+    from dataweb_spark.sources import flightsql_proto as fsp
+
+    client = fl.connect(f"grpc://127.0.0.1:{engine.port}")
+    sql = "select count(*) as n from lineitem_tbl"
+    for command in (fsp.statement_query(sql), sql.encode("utf-8")):
+        info = client.get_flight_info(
+            fl.FlightDescriptor.for_command(command))
+        got = client.do_get(info.endpoints[0].ticket).read_all()
+        assert got.num_rows == 1 and got.column("n")[0].as_py() > 0
+    # legacy raw-SQL ticket (pre-envelope client retrying a task)
+    got = client.do_get(fl.Ticket(sql.encode("utf-8"))).read_all()
+    assert got.num_rows == 1
+
+
+def test_flightsql_proto_roundtrip():
+    """Wire-format codec: every message round-trips, and non-envelope
+    bytes raise (the legacy-fallback signal)."""
+    import pytest as _pytest
+
+    from dataweb_spark.sources import flightsql_proto as fsp
+
+    sql = "select 1 as x -- unicode: déjà vu ✓"
+    assert fsp.parse_create_prepared_request(
+        fsp.create_prepared_request(sql)) == sql
+    h, ds = fsp.parse_create_prepared_result(
+        fsp.create_prepared_result(b"\x00hand\xffle", b"schema-bytes"))
+    assert h == b"\x00hand\xffle" and ds == b"schema-bytes"
+    assert fsp.parse_command(fsp.prepared_statement_query(b"h1")) == \
+        ("prepared", b"h1")
+    assert fsp.parse_command(fsp.statement_query(sql)) == \
+        ("statement", sql.encode())
+    assert fsp.parse_command(fsp.ticket_statement_query(b"t1")) == \
+        ("ticket", b"t1")
+    assert fsp.parse_command(fsp.close_prepared_request(b"h2")) == \
+        ("close", b"h2")
+    with _pytest.raises(ValueError):
+        fsp.parse_command(b"select 1")  # raw SQL is not an envelope
