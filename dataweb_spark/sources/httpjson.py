@@ -149,7 +149,8 @@ def trino_read(spark, base_url: str, sql: str):
     """Run ``sql`` on a Trino-protocol engine; stream row pages on an
     executor. One partition: the page chain is one protocol cursor (the
     engine parallelizes internally; transfer narrowing comes from the
-    dialect pushdown upstream)."""
+    dialect pushdown upstream). For large un-aggregated pulls, see
+    :func:`trino_read_partitioned`."""
     from pyspark.sql.pandas.types import from_arrow_schema
 
     arrow_schema = trino_resolve_schema(base_url, sql)
@@ -164,6 +165,59 @@ def trino_read(spark, base_url: str, sql: str):
                         yield _rows_to_batch(rows, arrow_schema)
 
     seed = spark.createDataFrame([(1,)], "task int").repartition(1)
+    return seed.mapInArrow(fetch, out_schema)
+
+
+def partition_predicates(column: str, lower: int, upper: int,
+                         num_partitions: int) -> list[str]:
+    """JDBC-style range split over a numeric column: ``num_partitions``
+    disjoint, complete predicates. First stride is open below (and takes
+    NULLs), last is open above — rows outside [lower, upper) are never
+    lost, exactly like Spark's JDBC partitioned read."""
+    n = max(1, int(num_partitions))
+    if n == 1 or upper <= lower:
+        return ["1 = 1"]
+    bounds = [lower + (upper - lower) * i // n for i in range(1, n)]
+    preds = [f"{column} < {bounds[0]} OR {column} IS NULL"]
+    preds += [f"{column} >= {bounds[i]} AND {column} < {bounds[i + 1]}"
+              for i in range(len(bounds) - 1)]
+    preds.append(f"{column} >= {bounds[-1]}")
+    return preds
+
+
+def trino_read_partitioned(spark, base_url: str, sql: str, column: str,
+                           lower: int, upper: int, num_partitions: int):
+    """Parallel page chains for large un-aggregated pulls: one statement
+    (its own protocol cursor) per range-split predicate over ``column``,
+    each walked by its own executor task — N cursors where
+    :func:`trino_read` has one. The Trino protocol keeps each chain
+    sequential, but chains are independent statements, so transfer
+    parallelism scales with ``num_partitions`` exactly as Spark's JDBC
+    ``partitionColumn`` read does (the reference's serial TrinoRunner
+    stream has no analog — this is the scale path past it).
+
+    ``column`` is the engine-side name in the result of ``sql``; callers
+    must not push a LIMIT into ``sql`` (per-chain limits would each pick
+    their own rows)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    preds = partition_predicates(column, lower, upper, num_partitions)
+    subs = [f"SELECT * FROM ({sql}) q WHERE {p}" for p in preds]
+    # Schema from the ORIGINAL statement (a sub-range may be empty, which
+    # would force all-string inference on undeclared types).
+    arrow_schema = trino_resolve_schema(base_url, sql)
+    out_schema = from_arrow_schema(arrow_schema)
+
+    def fetch(batch_iter):
+        for batch in batch_iter:
+            for sub in batch.column("sub").to_pylist():
+                for page in _walk_pages(base_url, sub):
+                    rows = page.get("data") or []
+                    if rows:
+                        yield _rows_to_batch(rows, arrow_schema)
+
+    seed = spark.createDataFrame([(s,) for s in subs], "sub string") \
+                .repartition(len(subs))
     return seed.mapInArrow(fetch, out_schema)
 
 

@@ -238,18 +238,36 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
         # ones (``trino.rs:89-173``). Entity-level CASTs restore logical
         # types from the JSON transport forms.
         from dataweb_spark.sources.dialects import TRINO, render_select
-        from dataweb_spark.sources.httpjson import trino_read
+        from dataweb_spark.sources.httpjson import (trino_read,
+                                                    trino_read_partitioned)
         projected = None
+        eff_limit = None
         if "sql" in source.options:
             sql = source.options["sql"]
         else:
             table = source.options.get("table", source.name)
             cols, kept, eff_limit, projected = _pushdown_parts(
                 source, conjuncts, limit, referenced)
+            pcol = source.options.get("partitionColumn")
+            if pcol and cols is not None and pcol not in cols:
+                # The range-split wrapper filters on the engine-side split
+                # column, so it must survive the pushed projection (the
+                # mapping step ignores unmapped extras).
+                cols = cols + [pcol]
             sql = render_select(TRINO, table, cols, kept, eff_limit)
         host = conn.options.get("host", "127.0.0.1")
         base_url = conn.options.get(
             "url", f"http://{host}:{conn.options.get('port')}")
+        # Large un-aggregated pulls: range-split parallel page chains when
+        # the source declares a split column (engine-side name), mirroring
+        # the jdbc kind's partitionColumn. Skipped when a LIMIT was pushed
+        # (per-chain limits would each pick their own rows).
+        if "partitionColumn" in source.options and eff_limit is None:
+            return trino_read_partitioned(
+                spark, base_url, sql, source.options["partitionColumn"],
+                int(source.options["lowerBound"]),
+                int(source.options["upperBound"]),
+                int(source.options.get("numPartitions", 4))), projected
         return trino_read(spark, base_url, sql), projected
     if conn.kind == "jdbc":
         reader = (spark.read.format("jdbc")

@@ -397,3 +397,57 @@ def test_flightsql_proto_roundtrip():
         ("close", b"h2")
     with _pytest.raises(ValueError):
         fsp.parse_command(b"select 1")  # raw SQL is not an envelope
+
+
+# ---------------------------------------------------------------------------
+# Partitioned Trino pulls (range-split parallel page chains)
+# ---------------------------------------------------------------------------
+
+def test_trino_partitioned_parallel_page_chains(spark, sf_dir,
+                                                trino_engine):
+    """A source with partitionColumn runs N INDEPENDENT statements (each
+    its own protocol cursor/page chain) whose range predicates are
+    disjoint and complete — rows match the single-cursor read exactly."""
+    relay = RelayCatalog(name="trino_edge_part")
+    relay.add_entity(Entity("items", [
+        Information("orderkey", "bigint"),
+        Information("quantity", "double"),
+    ]))
+    relay.add_connection(DataConnection(
+        "trino", "trino", {"url": trino_engine.base_url}))
+    relay.add_source(DataSource(
+        name="items_trino_part", connection="trino", entity="items",
+        source_sql="select * from {table}",
+        mappings=[Mapping("orderkey", "l_orderkey"),
+                  Mapping("quantity", "l_quantity")],
+        options={"table": "lineitem_tbl", "partitionColumn": "l_orderkey",
+                 "lowerBound": "0", "upperBound": "6000",
+                 "numPartitions": "4"}))
+    web = Web()
+    web.add_relay(relay)
+    gw = QueryGateway(spark, web, "trino_edge_part")
+
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_before = len(trino_engine.executed)
+    got = gw.query("select sum(quantity) as s, count(*) as n "
+                   "from items").collect()[0]
+    ran = trino_engine.executed[n_before:]
+    # one schema-resolution statement + 4 range chains
+    chains = [q for q in ran if "WHERE" in q and "l_orderkey" in q]
+    assert len(chains) == 4, ran
+    assert sum("IS NULL" in q for q in chains) == 1       # open below
+    assert sum(q.rstrip().endswith(">= 4500") for q in chains) == 1
+    assert got["n"] == raw.count()
+    assert abs(got["s"] - raw.agg({"l_quantity": "sum"})
+               .collect()[0][0]) < 1e-6
+
+
+def test_trino_partition_predicates_disjoint_complete():
+    from dataweb_spark.sources.httpjson import partition_predicates
+
+    preds = partition_predicates("k", 0, 10, 3)
+    assert preds == ["k < 3 OR k IS NULL",
+                     "k >= 3 AND k < 6",
+                     "k >= 6"]
+    assert partition_predicates("k", 5, 5, 8) == ["1 = 1"]
+    assert partition_predicates("k", 0, 100, 1) == ["1 = 1"]
