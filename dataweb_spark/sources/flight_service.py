@@ -187,7 +187,8 @@ class RelayFlightServer(flight.FlightServerBase):
                  tokens: dict[str, str] | None = None,
                  x509_users=None,
                  job_store=None,
-                 tls: tuple[bytes, bytes] | None = None):
+                 tls: tuple[bytes, bytes] | None = None,
+                 mtls_ca: bytes | None = None):
         if tokens and x509_users:
             raise ValueError("choose token auth OR x509 auth, not both")
         if x509_users is not None:
@@ -197,6 +198,8 @@ class RelayFlightServer(flight.FlightServerBase):
         else:
             auth = None
         tls_certificates = None
+        if mtls_ca is not None and tls is None:
+            raise ValueError("mtls_ca requires tls (server cert/key)")
         if tls is not None:
             # TLS on the gRPC channel itself (the reference runs mTLS
             # end-to-end): the possession-challenge handshake above now
@@ -205,8 +208,17 @@ class RelayFlightServer(flight.FlightServerBase):
             tls_certificates = [flight.CertKeyPair(cert_pem, key_pem)]
             if location.startswith("grpc://"):
                 location = "grpc+tls://" + location[len("grpc://"):]
+        # ``mtls_ca`` enables HANDSHAKE-level mutual TLS (the reference's
+        # transport model, ``pki/mod.rs:12-25``): gRPC rejects any client
+        # whose certificate doesn't chain to this CA before a single RPC
+        # runs. Principal RESOLUTION still uses the possession-challenge
+        # handshake (pyarrow doesn't surface the verified peer cert to
+        # handlers), so the two layers compose: the CA gates the
+        # transport, the challenge binds the principal.
         super().__init__(location, auth_handler=auth,
-                         tls_certificates=tls_certificates)
+                         tls_certificates=tls_certificates,
+                         verify_client=mtls_ca is not None,
+                         root_certificates=mtls_ca or b"")
         self.spark = spark
         self.web = web
         self.relay_name = relay_name
@@ -391,14 +403,17 @@ def serve_in_background(spark: SparkSession, web: Web, relay_name: str,
                         tokens: dict[str, str] | None = None,
                         x509_users=None,
                         job_store=None,
-                        tls: tuple[bytes, bytes] | None = None
+                        tls: tuple[bytes, bytes] | None = None,
+                        mtls_ca: bytes | None = None
                         ) -> RelayFlightServer:
     """Start the server on an ephemeral port; returns the running server
     (``server.port`` for clients; ``server.shutdown()`` to stop).
-    ``tls`` is a ``(cert_pem, key_pem)`` pair enabling grpc+tls."""
+    ``tls`` is a ``(cert_pem, key_pem)`` pair enabling grpc+tls;
+    ``mtls_ca`` (CA bundle PEM) additionally requires every client to
+    present a certificate chaining to that CA at the TLS handshake."""
     server = RelayFlightServer(spark, web, relay_name, tokens=tokens,
                                x509_users=x509_users, job_store=job_store,
-                               tls=tls)
+                               tls=tls, mtls_ca=mtls_ca)
     t = threading.Thread(target=server.serve, daemon=True)
     t.start()
     return server
@@ -408,10 +423,15 @@ def serve_in_background(spark: SparkSession, web: Web, relay_name: str,
 
 def _connect(host: str, port: int, token: str | None,
              cert: tuple | None = None,
-             tls_root_certs: bytes | None = None) -> flight.FlightClient:
+             tls_root_certs: bytes | None = None,
+             client_tls: tuple[bytes, bytes] | None = None
+             ) -> flight.FlightClient:
     if tls_root_certs is not None:
-        client = flight.connect(f"grpc+tls://{host}:{port}",
-                                tls_root_certs=tls_root_certs)
+        kwargs = {"tls_root_certs": tls_root_certs}
+        if client_tls is not None:
+            # Mutual TLS: present our (cert_pem, key_pem) at the handshake.
+            kwargs["cert_chain"], kwargs["private_key"] = client_tls
+        client = flight.connect(f"grpc+tls://{host}:{port}", **kwargs)
     else:
         client = flight.connect(f"grpc://{host}:{port}")
     if cert is not None:

@@ -3,16 +3,23 @@
 The reference derives every principal from its mTLS client certificate:
 the SHA-256 fingerprint of the DER bytes IS the user's primary identity,
 with subject/issuer DNs and arbitrary attributes alongside
-(``core/src/pki/mod.rs:12-25``, ``core/src/model/user.rs:17-28``). gRPC
-terminates TLS below the reference's handler layer; pyarrow's Flight
-handshake doesn't surface the peer certificate, so possession is proven
-INSIDE the handshake instead: the server issues a random nonce, the
-client returns its DER certificate plus an Ed25519/RSA signature over the
-nonce, and the server verifies the signature against the certificate's
-own public key before fingerprinting it. Same trust outcome — a
-transport-derived identity that cannot be spoofed by naming someone
-else's principal or replaying someone else's certificate — via an
-explicit challenge instead of TLS-internal proof.
+(``core/src/pki/mod.rs:12-25``, ``core/src/model/user.rs:17-28``). Two
+layers reproduce that model:
+
+* **Transport gate** (r6): with ``mtls_ca`` set on the server, gRPC
+  performs true handshake-level mutual TLS — a client whose certificate
+  doesn't chain to the CA is rejected before any RPC runs
+  (:func:`generate_ca` / :func:`generate_client_identity`).
+* **Principal binding**: pyarrow's handlers can't see the verified peer
+  certificate, so identity is bound INSIDE the Flight handshake: the
+  server issues a random nonce, the client returns its DER certificate
+  plus an Ed25519/RSA signature over the nonce, and the server verifies
+  the signature against the certificate's own public key before
+  fingerprinting it.
+
+Composed, the trust outcome matches the reference — a transport-verified,
+possession-proven identity that cannot be spoofed by naming someone
+else's principal or replaying someone else's certificate.
 """
 
 from __future__ import annotations
@@ -149,3 +156,63 @@ def generate_identity(common_name: str):
             .sign(key, algorithm=None))
     from cryptography.hazmat.primitives.serialization import Encoding
     return cert.public_bytes(Encoding.DER), key
+
+
+def generate_ca(common_name: str = "dataweb-test-ca"):
+    """Self-signed CA for transport-level client verification:
+    ``(ca_cert_pem, ca_key)``. The cert PEM is what a server passes as
+    ``mtls_ca`` (gRPC ``root_certificates`` + ``verify_client``); the key
+    signs client identities via :func:`generate_client_identity`."""
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, common_name)])
+    now = datetime.datetime(2020, 1, 1)
+    cert = (x509.CertificateBuilder()
+            .subject_name(name).issuer_name(name)
+            .public_key(key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now)
+            .not_valid_after(now + datetime.timedelta(days=36500))
+            .add_extension(x509.BasicConstraints(ca=True, path_length=0),
+                           critical=True)
+            .sign(key, algorithm=hashes.SHA256()))
+    return cert.public_bytes(serialization.Encoding.PEM), key
+
+
+def generate_client_identity(ca_cert_pem: bytes, ca_key,
+                             common_name: str) -> tuple[bytes, bytes]:
+    """CA-signed client identity ``(cert_pem, key_pem)`` for gRPC mutual
+    TLS (``FlightClient`` ``cert_chain``/``private_key``). The DER form of
+    the cert can ALSO enroll as the fingerprint principal, so one identity
+    serves both the transport gate and the permission layer."""
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    ca_cert = x509.load_pem_x509_certificate(ca_cert_pem)
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    now = datetime.datetime(2020, 1, 1)
+    cert = (x509.CertificateBuilder()
+            .subject_name(x509.Name([
+                x509.NameAttribute(NameOID.COMMON_NAME, common_name)]))
+            .issuer_name(ca_cert.subject)
+            .public_key(key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now)
+            .not_valid_after(now + datetime.timedelta(days=36500))
+            .sign(ca_key, algorithm=hashes.SHA256()))
+    cert_pem = cert.public_bytes(serialization.Encoding.PEM)
+    key_pem = key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.TraditionalOpenSSL,
+        serialization.NoEncryption())
+    return cert_pem, key_pem

@@ -194,3 +194,71 @@ def test_distributed_scan_over_tls(spark, tls_x509_server, demo_web,
         assert df.count() == want
     finally:
         s2.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Handshake-level mutual TLS (r6): the gRPC channel itself rejects clients
+# whose certificate doesn't chain to the server's CA — the reference's
+# transport model (pki/mod.rs:12-25) — composing with the fingerprint
+# principal layer above.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mtls_setup(spark, demo_web, identities, tls_identity):
+    ca_pem, ca_key = pki.generate_ca()
+    client_tls = pki.generate_client_identity(ca_pem, ca_key, "reader-box")
+    users = [
+        pki.X509User(pki.fingerprint_der(identities["reader"][0]),
+                     principal="reader"),
+    ]
+    s = serve_in_background(spark, demo_web, "na_us", x509_users=users,
+                            tls=tls_identity, mtls_ca=ca_pem)
+    yield s, client_tls
+    s.shutdown()
+
+
+def test_mtls_client_with_ca_cert_admitted(mtls_setup, identities,
+                                           tls_identity):
+    """A CA-signed client passes the TLS handshake AND the possession
+    challenge; per-principal permissions apply as usual."""
+    server, client_tls = mtls_setup
+    from dataweb_spark.sources.flight_service import _connect
+    client = _connect("127.0.0.1", server.port, None,
+                      cert=identities["reader"],
+                      tls_root_certs=tls_identity[0],
+                      client_tls=client_tls)
+    flights = list(client.list_flights())
+    assert flights  # catalog listing works over the mutual channel
+
+
+def test_mtls_client_without_cert_rejected(mtls_setup, identities,
+                                           tls_identity):
+    """No client certificate → the TLS handshake itself fails; no RPC
+    (not even the auth handshake) ever runs."""
+    server, _ = mtls_setup
+    with pytest.raises(flight.FlightError):
+        flight_query(server.port, "select 1 as x",
+                     cert=identities["reader"],
+                     tls_root_certs=tls_identity[0])
+
+
+def test_mtls_foreign_ca_cert_rejected(mtls_setup, identities,
+                                       tls_identity):
+    """A certificate from a DIFFERENT CA is refused at the handshake."""
+    server, _ = mtls_setup
+    other_ca, other_key = pki.generate_ca("other-ca")
+    foreign = pki.generate_client_identity(other_ca, other_key, "intruder")
+    from dataweb_spark.sources.flight_service import _connect
+    with pytest.raises(flight.FlightError):
+        client = _connect("127.0.0.1", server.port, None,
+                          cert=identities["reader"],
+                          tls_root_certs=tls_identity[0],
+                          client_tls=foreign)
+        list(client.list_flights())
+
+
+def test_mtls_requires_server_tls(spark, demo_web):
+    ca_pem, _ = pki.generate_ca()
+    with pytest.raises(ValueError, match="mtls_ca requires tls"):
+        from dataweb_spark.sources.flight_service import RelayFlightServer
+        RelayFlightServer(spark, demo_web, "na_us", mtls_ca=ca_pem)
