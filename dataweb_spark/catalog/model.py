@@ -16,6 +16,7 @@ Spark types are declared as DDL strings (``"bigint"``, ``"double"``,
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 
@@ -282,13 +283,34 @@ class DataConnection:
     options: dict[str, str] = field(default_factory=dict)
 
 
+def jsonpath_to_spark(path: str) -> str:
+    """Reference-style JSONPath field paths → Spark nested access.
+
+    The reference declares nested fields in JSONPath syntax —
+    ``'$.nested.array[1].field'`` (``data_stores/mod.rs:57-62``) — against
+    JSON records that Spark's JSON reader parses into structs/arrays, where
+    the same access is ``nested.array[1].field`` (both 0-index arrays). A
+    config ported verbatim therefore works unchanged. Paths not starting
+    with ``$`` pass through untouched (already Spark expressions)."""
+    if not path.startswith("$"):
+        return path
+    out = path[1:]
+    if out.startswith("."):
+        out = out[1:]
+    # JSONPath bracket field access $['a b'] → Spark backtick identifier
+    out = re.sub(r"\['([^']*)'\]", lambda m: f".`{m.group(1)}`", out)
+    return out.lstrip(".")
+
+
 @dataclass
 class DataField:
     """A physical column of a DataSource (``data_stores/mod.rs:55-62``).
 
     ``path`` is a SQL expression in the source namespace — usually a bare
-    column name, but may be nested access (``props.a.b``) or
-    ``get_json_object(...)`` for JSON-path fields.
+    column name, but may be nested access (``props.a.b``),
+    ``get_json_object(...)``, or a reference-style JSONPath string
+    (``$.nested.array[1].field``), which :func:`jsonpath_to_spark`
+    rewrites to the equivalent struct access at resolution time.
     """
 
     name: str
@@ -346,7 +368,7 @@ class DataSource:
     def field_path(self, field_name: str) -> str:
         for f in self.fields:
             if f.name == field_name:
-                return f.path
+                return jsonpath_to_spark(f.path)
         # Bare-name fallback: a field not declared explicitly maps to itself.
         return field_name
 
