@@ -283,6 +283,33 @@ def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
                    F.min("node").alias("keeper_id")))
 
 
+def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, id_col: str,
+                          score_col: str,
+                          src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Quality-aware dedup: each transitive near-dup cluster keeps its
+    HIGHEST-``score_col`` member (ties → lowest id); unclustered rows pass
+    through. The keep-best policy a training pipeline wants when dup
+    copies differ in quality (cleaner extraction, fewer boilerplate
+    artifacts) — min-id keeping (:func:`minhash_dedup`) throws the best
+    copy away whenever it isn't the oldest.
+
+    Scale shape: connected components over the (candidate-bounded) pair
+    list — O(log diameter) rounds — then ONE ``max_by`` groupBy over
+    cluster members and one anti-join of the losers; scores never
+    shuffle with the full corpus, only with cluster members.
+    """
+    cc = connected_components(pairs, src, dst)
+    members = df.join(cc, df[id_col] == cc["node"]) \
+                .select(F.col(id_col), F.col("component"), F.col(score_col))
+    best = members.groupBy("component").agg(
+        F.expr(f"max_by({id_col}, named_struct('s', {score_col}, "
+               f"'i', -{id_col}))").alias("_keeper"))
+    losers = (members.join(best, "component")
+              .where(F.col(id_col) != F.col("_keeper"))
+              .select(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (direct, for modest candidate sets)
 # ---------------------------------------------------------------------------

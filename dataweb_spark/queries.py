@@ -2904,6 +2904,47 @@ order by doc_id
 """)
 
 
+def _quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup (``keep_best_per_cluster``): each
+    transitive near-dup cluster keeps its highest-score member instead of
+    the min-id one. Planted clusters of three (50-digit-token base, a
+    3-token-tail variant, a 6-token-tail variant whose text extends the
+    first — pairwise shingle Jaccard 0.89–0.94, token sets disjoint
+    ACROSS clusters so no cross-edges) run through the real pipeline
+    (MinHash-LSH candidates → Jaccard verify → CC → max_by keeper); with
+    score = token count the 6-token variant must win every cluster."""
+    from dataweb_spark.functions import dedup as D
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    seeds = docs.where("doc_id % 5 != 0 and doc_id % 20 = 3") \
+                .select("doc_id")
+    base_txt = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.lit(50)),
+                    lambda i: (F.col("doc_id") * 1000 + i).cast("string")),
+        " ")
+    base = seeds.select("doc_id", base_txt.alias("text"))
+    v1 = base.select((F.col("doc_id") + 100000).alias("doc_id"),
+                     F.concat("text", F.lit(" extra tail x")).alias("text"))
+    v2 = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text",
+                 F.lit(" extra tail x plus more tokens")).alias("text"))
+    corpus = base.unionByName(v1).unionByName(v2)
+    scored = corpus.withColumn(
+        "score", F.size(F.split(F.trim("text"), r"\s+")))
+    cands = D.minhash_lsh_candidates(scored, "doc_id", "text")
+    pairs = D.jaccard_verify(scored, cands, "doc_id", "text", 3, 0.7)
+    kept = D.keep_best_per_cluster(scored, pairs, "doc_id", "score")
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+_df("dedup_quality_keeper", _quality_keeper, oracle="""
+select doc_id + 200000 as doc_id
+from documents where doc_id % 5 != 0 and doc_id % 20 = 3
+order by doc_id
+""")
+
+
 def _bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination recall contract. The map-only Bloom
     pre-filter (no join, bits broadcast) must flag AT LEAST every window
@@ -5078,13 +5119,16 @@ _DRIVER_WINDOW = [
     "values_inline_join",
     "window_lag_lead_events",
     "window_running_sum",
-    # (c) dedup-layer sentinels for the r6 gate rework (r3/r4 checks,
-    # oldest non-r1 evidence; dedup_incremental_ingest is the one-at-a-time
-    # sibling the index path is property-tied to):
+    # (c) the round's second new-operator query (quality-aware cluster
+    # keeper) + dedup-layer sentinels for the r6 gate rework (r3/r4
+    # checks; dedup_incremental_ingest is the one-at-a-time sibling the
+    # index path is property-tied to; dedup_ngram_jaccard_exact yielded
+    # its slot to the new query — its jaccard layer stays window-covered
+    # by dedup_quality_keeper's verify stage and the index queries):
+    "dedup_quality_keeper",
     "dedup_incremental_ingest",
     "dedup_normalized_fingerprint",
     "dedup_exact_groups",
-    "dedup_ngram_jaccard_exact",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
 # Rotated-out names stay in QUERIES (checkable any round; full local sweep

@@ -267,3 +267,21 @@ def test_batch_side_broadcast_index_side_streams(spark, tmp_path,
                                   corpus)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastExchange" in plan  # batch/candidate sides broadcast
+
+
+def test_keep_best_per_cluster_policy(spark):
+    """Highest score wins per transitive cluster, lowest id breaks ties,
+    unclustered rows pass through untouched."""
+    from dataweb_spark.functions.dedup import keep_best_per_cluster
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 30.0),    # chain cluster, tie at 30
+         (4, 99.0),                          # unclustered
+         (5, 1.0), (6, 2.0)],                # pair cluster
+        ["doc_id", "score"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in
+                  keep_best_per_cluster(df, pairs, "doc_id",
+                                        "score").collect())
+    assert kept == [2, 4, 6]  # tie 2-vs-3 -> lower id 2; 4 untouched
