@@ -290,15 +290,23 @@ def jsonpath_to_spark(path: str) -> str:
     ``'$.nested.array[1].field'`` (``data_stores/mod.rs:57-62``) — against
     JSON records that Spark's JSON reader parses into structs/arrays, where
     the same access is ``nested.array[1].field`` (both 0-index arrays). A
-    config ported verbatim therefore works unchanged. Paths not starting
-    with ``$`` pass through untouched (already Spark expressions)."""
-    if not path.startswith("$"):
+    config ported verbatim therefore works unchanged. Only paths whose
+    root is the JSONPath ``$`` followed by ``.`` or ``[`` are translated:
+    a physical column literally NAMED ``$type``/``$oid`` (common in .NET /
+    Mongo-export JSON) passes through untouched, as does any plain Spark
+    expression. Unsupported JSONPath operators (recursive descent ``..``,
+    wildcards ``*``) raise instead of half-translating."""
+    if not (path.startswith("$.") or path.startswith("$[")):
         return path
+    if ".." in path or "*" in path:
+        raise ValueError(
+            f"unsupported JSONPath in DataField.path: {path!r} "
+            "(recursive descent and wildcards have no Spark column "
+            "equivalent — map an explicit path)")
     out = path[1:]
-    if out.startswith("."):
-        out = out[1:]
-    # JSONPath bracket field access $['a b'] → Spark backtick identifier
-    out = re.sub(r"\['([^']*)'\]", lambda m: f".`{m.group(1)}`", out)
+    # JSONPath bracket field access $['a b'] / $["a b"] → backtick ident
+    out = re.sub(r"""\[(['"])([^'"]*)\1\]""",
+                 lambda m: f".`{m.group(2)}`", out)
     return out.lstrip(".")
 
 

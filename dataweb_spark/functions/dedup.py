@@ -301,9 +301,14 @@ def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, id_col: str,
     cc = connected_components(pairs, src, dst)
     members = df.join(cc, df[id_col] == cc["node"]) \
                 .select(F.col(id_col), F.col("component"), F.col(score_col))
-    best = members.groupBy("component").agg(
-        F.expr(f"max_by({id_col}, named_struct('s', {score_col}, "
-               f"'i', -{id_col}))").alias("_keeper"))
+    # Two cluster-bounded aggs instead of a max_by(-id) trick so ids of
+    # ANY orderable type work (the rest of this module supports string
+    # ids; negating one would null out under non-ANSI or fail under ANSI).
+    best_score = members.groupBy("component").agg(
+        F.max(score_col).alias("_best_score"))
+    best = (members.join(best_score, "component")
+            .where(F.col(score_col) == F.col("_best_score"))
+            .groupBy("component").agg(F.min(id_col).alias("_keeper")))
     losers = (members.join(best, "component")
               .where(F.col(id_col) != F.col("_keeper"))
               .select(id_col))

@@ -244,24 +244,25 @@ def streaming_ingest_gate(stream_df: DataFrame, index_path: str,
         admitted = fresh.join(
             verdicts.where(F.col("verdict") == "unique").select(id_col),
             id_col)
-        admitted.persist()
-        replayed.persist()
-        try:
-            # Materialize BOTH caches BEFORE the corpus append: the append
-            # refreshes corpus_path, invalidating uncached plans that read
-            # it — an uncached recompute of ``admitted`` would re-classify
-            # the batch against the corpus it was just appended to
-            # (self-exact ⇒ empty index append), and an uncached
-            # ``replayed`` would re-match the freshly appended ids
-            # (⇒ double index rows every epoch). The counts pin both sets
-            # so no later job reads corpus_path post-append.
-            admitted.count()
-            replayed.count()
-            admitted.write.mode("append").parquet(corpus_path)
-            append_batch(admitted.unionByName(replayed), index_path)
-        finally:
-            admitted.unpersist()
-            replayed.unpersist()
+        # Stage the decisions DURABLY before any append. Appending to
+        # corpus_path refreshes it, invalidating any plan that reads it —
+        # a recompute of ``admitted`` after the append would re-classify
+        # the batch against the corpus it was just appended to
+        # (self-exact ⇒ empty index append), and a recomputed ``replayed``
+        # would re-match the freshly appended ids (⇒ double index rows).
+        # persist() alone cannot guarantee this (cached partitions lost to
+        # an executor death recompute from lineage), so the admit/replay
+        # verdicts are written once to a per-stream staging dir under the
+        # checkpoint (overwrite per epoch = replay-idempotent) and both
+        # appends read from THAT — lineage-free, crash-consistent.
+        staging = os.path.join(checkpoint, "_gate_staging")
+        (admitted.withColumn("_admit", F.lit(True))
+         .unionByName(replayed.withColumn("_admit", F.lit(False)))
+         .write.mode("overwrite").parquet(staging))
+        staged = spark_b.read.parquet(staging)
+        staged.where(F.col("_admit")).drop("_admit") \
+              .write.mode("append").parquet(corpus_path)
+        append_batch(staged.drop("_admit"), index_path)
 
     return (stream_df.writeStream
             .foreachBatch(_gate)

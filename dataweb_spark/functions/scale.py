@@ -182,13 +182,17 @@ def merge_upsert(spark, path: str, updates: DataFrame, key: str,
     Returns {"inserted", "updated", "deleted", "total"}.
     """
     base = spark.read.parquet(path)
-    n_keys, n_rows = (updates.agg(
-        F.countDistinct(key).alias("k"),
-        F.count(F.lit(1)).alias("n")).first())
-    if n_keys != n_rows:
+    # NULL-safe duplicate check (countDistinct ignores NULLs, which would
+    # reject any batch carrying a legitimate NULL-key insert): only
+    # genuinely repeated non-null keys are errors. NULL-key rows keep the
+    # historical behavior — they never match base rows, so they insert.
+    n_dup_keys = (updates.where(F.col(key).isNotNull())
+                  .groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+                  .where("c > 1").count())
+    if n_dup_keys:
         raise ValueError(
-            f"merge_upsert requires one update row per '{key}': got "
-            f"{n_rows} rows over {n_keys} distinct keys — dedup the "
+            f"merge_upsert requires one update row per '{key}': "
+            f"{n_dup_keys} keys appear more than once — dedup the "
             "update batch (e.g. keep latest per key) before merging")
     up = updates
     if deleted_col is not None:

@@ -62,15 +62,18 @@ ORACLES: dict[str, str] = {}
 def _dual(name: str, sql_text: str, oracle: str | None = None) -> None:
     """Register a query that runs the same (or near-same) SQL on both."""
     # A duplicate registration silently shadows the earlier one (the r5
-    # events_json_props bug) — fail loudly at import instead.
-    assert name not in QUERIES, f"duplicate query registration: {name}"
+    # events_json_props bug) — fail loudly at import instead. ValueError,
+    # not assert: the guard must survive python -O.
+    if name in QUERIES:
+        raise ValueError(f"duplicate query registration: {name}")
     QUERIES[name] = _sql(sql_text)
     ORACLES[name] = oracle if oracle is not None else sql_text
 
 
 def _df(name: str, fn: Callable[[SparkSession, str], DataFrame],
         oracle: str | None = None) -> None:
-    assert name not in QUERIES, f"duplicate query registration: {name}"
+    if name in QUERIES:
+        raise ValueError(f"duplicate query registration: {name}")
     QUERIES[name] = fn
     if oracle is not None:
         ORACLES[name] = oracle

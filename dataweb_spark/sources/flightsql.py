@@ -94,6 +94,10 @@ class DuckDbFlightSqlServer(flight.FlightServerBase):
             handle = uuid.uuid4().bytes
             with self._lock:
                 self._prepared[handle] = sql
+                # Crashed clients never Close: cap the registry (oldest
+                # handles evicted; an evicted handle just re-prepares).
+                while len(self._prepared) > 128:
+                    self._prepared.pop(next(iter(self._prepared)))
             return iter([flight.Result(fsp.create_prepared_result(
                 handle, schema.serialize().to_pybytes()))])
         if action.type == fsp.CLOSE_PREPARED_ACTION:
@@ -170,15 +174,24 @@ def flightsql_read(spark, host: str, port: int, sql: str):
         handle, _ = fsp.parse_create_prepared_result(
             res[0].body.to_pybytes())
         command = fsp.prepared_statement_query(handle)
-    except flight.FlightError:
-        command = fsp.statement_query(sql)  # engine lacks prepare support
-    info = client.get_flight_info(flight.FlightDescriptor.for_command(
-        command))
-    if handle is not None:
-        # Planning is done; endpoints' tickets are self-contained, so the
-        # prepared statement can be released before executors fetch.
-        list(client.do_action(flight.Action(
-            fsp.CLOSE_PREPARED_ACTION, fsp.close_prepared_request(handle))))
+    except (flight.FlightError, ValueError, IndexError):
+        # Engine lacks prepare support, returned no Result, or a malformed
+        # body — all mean the same thing: use the direct-statement form.
+        handle = None
+        command = fsp.statement_query(sql)
+    try:
+        info = client.get_flight_info(flight.FlightDescriptor.for_command(
+            command))
+    finally:
+        if handle is not None:
+            # Planning is done (or failed); endpoints' tickets are
+            # self-contained, so release the server-side handle either way.
+            try:
+                list(client.do_action(flight.Action(
+                    fsp.CLOSE_PREPARED_ACTION,
+                    fsp.close_prepared_request(handle))))
+            except flight.FlightError:
+                pass  # the server's handle cap bounds a failed close
     arrow_schema = info.schema
     out_schema = from_arrow_schema(arrow_schema)
     tickets = [(ep.ticket.ticket,) for ep in info.endpoints]

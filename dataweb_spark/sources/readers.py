@@ -261,8 +261,18 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
         # Large un-aggregated pulls: range-split parallel page chains when
         # the source declares a split column (engine-side name), mirroring
         # the jdbc kind's partitionColumn. Skipped when a LIMIT was pushed
-        # (per-chain limits would each pick their own rows).
-        if "partitionColumn" in source.options and eff_limit is None:
+        # AND for custom-sql sources (a LIMIT or other nondeterministic
+        # clause inside user SQL would re-execute per chain, each picking
+        # its own rows) — those keep the single-cursor read.
+        if ("partitionColumn" in source.options and eff_limit is None
+                and "sql" not in source.options):
+            missing = [k for k in ("lowerBound", "upperBound")
+                       if k not in source.options]
+            if missing:
+                raise ValueError(
+                    f"trino source {source.name!r}: partitionColumn "
+                    f"requires {missing} (jdbc-style contract: "
+                    "partitionColumn/lowerBound/upperBound[/numPartitions])")
             return trino_read_partitioned(
                 spark, base_url, sql, source.options["partitionColumn"],
                 int(source.options["lowerBound"]),

@@ -133,12 +133,21 @@ def test_jsonpath_field_paths_from_reference_configs(spark, fmt_dir):
 
 
 def test_jsonpath_to_spark_translation():
+    import pytest as _pytest
+
     from dataweb_spark.catalog.model import jsonpath_to_spark as jp
 
     assert jp("$.a.b") == "a.b"
     assert jp("$.nested.array[1].field") == "nested.array[1].field"
     assert jp("$['a b'].c") == "`a b`.c"
+    assert jp('$["a b"].c') == "`a b`.c"
     assert jp("$.x['y z']") == "x.`y z`"
     assert jp("payload.metric") == "payload.metric"     # passthrough
     assert jp("get_json_object(props, '$.k')") == \
         "get_json_object(props, '$.k')"                  # expression form
+    # a column literally named $type/$oid is NOT a JSONPath — untouched
+    assert jp("$type") == "$type"
+    assert jp("$oid") == "$oid"
+    for bad in ("$..x", "$.a[*]"):                       # loud, not silent
+        with _pytest.raises(ValueError, match="unsupported JSONPath"):
+            jp(bad)
