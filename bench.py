@@ -90,6 +90,9 @@ EXTRAS = [
     "dedup_paragraphs",
     "pipeline_token_budget",
     "text_compression_ratio",
+    # r6 additions
+    "dedup_quality_keeper",
+    "dedup_index_incremental",
 ]
 
 

@@ -451,3 +451,29 @@ def test_trino_partition_predicates_disjoint_complete():
                      "k >= 6"]
     assert partition_predicates("k", 5, 5, 8) == ["1 = 1"]
     assert partition_predicates("k", 0, 100, 1) == ["1 = 1"]
+
+
+def test_trino_partitioned_rows_outside_bounds_survive(spark, sf_dir,
+                                                       trino_engine):
+    """lower/upper only STEER the split — rows outside [lower, upper)
+    must still arrive (first stride open below + NULLs, last open
+    above), exactly like Spark's JDBC contract."""
+    relay = RelayCatalog(name="trino_edge_narrow")
+    relay.add_entity(Entity("items", [
+        Information("orderkey", "bigint"),
+    ]))
+    relay.add_connection(DataConnection(
+        "trino", "trino", {"url": trino_engine.base_url}))
+    relay.add_source(DataSource(
+        name="items_trino_narrow", connection="trino", entity="items",
+        source_sql="select * from {table}",
+        mappings=[Mapping("orderkey", "l_orderkey")],
+        options={"table": "lineitem_tbl", "partitionColumn": "l_orderkey",
+                 "lowerBound": "2000", "upperBound": "2400",
+                 "numPartitions": "3"}))
+    web = Web()
+    web.add_relay(relay)
+    gw = QueryGateway(spark, web, "trino_edge_narrow")
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = gw.query("select count(*) as n from items").collect()[0]["n"]
+    assert got == raw.count()  # nothing below 2000 or above 2400 lost
