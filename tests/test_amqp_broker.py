@@ -1,0 +1,138 @@
+"""AMQP 0-9-1 broker kind: wire-protocol semantics + job-queue e2e.
+
+The reference's RabbitMQ broker option (``core/src/messaging/mod.rs:49-92``,
+``messaging/rabbitmq.rs``) carried over a real-protocol in-process broker,
+following the repo's external-system pattern (Trino/FlightSQL stand-ins).
+"""
+
+import threading
+import time
+
+import pytest
+
+from dataweb_spark.jobs.amqp import AmqpClient, AmqpJobQueue, MiniAmqpBroker
+
+
+@pytest.fixture(scope="module")
+def broker():
+    b = MiniAmqpBroker(username="worker", password="s3cret")
+    yield b
+    b.shutdown()
+
+
+def _client(broker):
+    return AmqpClient("127.0.0.1", broker.port, "worker", "s3cret")
+
+
+def test_plain_auth_enforced(broker):
+    with pytest.raises((ConnectionError, OSError)):
+        AmqpClient("127.0.0.1", broker.port, "worker", "wrong")
+    c = _client(broker)  # correct creds pass the same handshake
+    c.queue_declare("auth_probe")
+    c.close()
+
+
+def test_publish_get_ack_roundtrip(broker):
+    c = _client(broker)
+    c.queue_declare("q_get")
+    c.publish("q_get", b"one")
+    c.publish("q_get", b"two")
+    tag, body = c.get("q_get")
+    assert body == b"one"
+    c.ack(tag)
+    tag2, body2 = c.get("q_get")
+    assert body2 == b"two" and tag2 != tag
+    c.ack(tag2)
+    assert c.get("q_get") is None          # basic.get-empty
+    c.close()
+
+
+def test_consume_prefetch_one_and_ack_flow(broker):
+    """The reference consumer's exact shape (rabbitmq.rs:57-75):
+    basic.qos(prefetch=1) + basic.consume — a second message is NOT
+    delivered until the first is acked."""
+    pub = _client(broker)
+    con = _client(broker)
+    pub.queue_declare("q_consume")
+    con.queue_declare("q_consume")
+    con.basic_qos(1)
+    con.consume("q_consume")
+    pub.publish("q_consume", b"first")
+    pub.publish("q_consume", b"second")
+    tag, body = con.next_delivery(timeout=10)
+    assert body == b"first"
+    time.sleep(0.3)                        # give a wrong impl time to push
+    assert broker.queue_depth("q_consume") == 1  # second held back
+    con.ack(tag)
+    tag2, body2 = con.next_delivery(timeout=10)
+    assert body2 == b"second"
+    con.ack(tag2)
+    pub.close()
+    con.close()
+
+
+def test_unacked_requeued_on_connection_drop(broker):
+    """At-least-once: a consumer dying mid-message puts it back."""
+    pub = _client(broker)
+    doomed = _client(broker)
+    pub.queue_declare("q_requeue")
+    pub.publish("q_requeue", b"precious")
+    # basic.publish is asynchronous (no confirm): wait for the broker to
+    # process the content frames before a DIFFERENT connection gets.
+    deadline = time.time() + 5
+    while broker.queue_depth("q_requeue") == 0 and time.time() < deadline:
+        time.sleep(0.02)
+    got = doomed.get("q_requeue")
+    assert got is not None and got[1] == b"precious"
+    doomed._sock.close()                   # dies without ack
+    time.sleep(0.3)
+    got2 = pub.get("q_requeue")
+    assert got2 is not None and got2[1] == b"precious"
+    pub.ack(got2[0])
+    pub.close()
+
+
+def test_amqp_job_queue_end_to_end(spark, demo_web, tmp_path, broker):
+    """submit → worker claims over AMQP → status machine → results read
+    back; the broker carries ONLY control-plane messages (job specs),
+    status/results stay in the shared store — the reference topology."""
+    from dataweb_spark.jobs.manager import COMPLETE, FAILED, QUEUED
+    from dataweb_spark.jobs.store import run_worker
+
+    q = AmqpJobQueue(str(tmp_path / "store"), "127.0.0.1", broker.port,
+                     queue="jobs_e2e", username="worker",
+                     password="s3cret")
+    t = threading.Thread(
+        target=run_worker, args=(spark, demo_web, "na_us", q),
+        kwargs={"max_jobs": 2}, daemon=True)
+    t.start()
+    job1 = q.submit("select returnflag, sum(quantity) as q from lineitem "
+                    "group by returnflag", mode="engine")
+    job2 = q.submit("drop table lineitem")  # must fail validation
+    st1 = q.wait(job1, timeout=120)
+    st2 = q.wait(job2, timeout=120)
+    t.join(timeout=30)
+    assert st1["status"] == COMPLETE
+    assert st1["history"][0] == QUEUED and st1["history"][-1] == COMPLETE
+    assert st2["status"] == FAILED
+    rows = {r["returnflag"]: round(r["q"], 2)
+            for r in q.result(spark, job1).collect()}
+    assert set(rows) == {"N", "A", "R"}
+
+
+def test_amqp_cancel_before_claim_skipped(spark, demo_web, tmp_path,
+                                          broker):
+    """A job cancelled while still on the broker is acked-and-skipped by
+    claim (the message can't be atomically removed like a queued file)."""
+    from dataweb_spark.jobs.manager import CANCELLED
+
+    q = AmqpJobQueue(str(tmp_path / "store2"), "127.0.0.1", broker.port,
+                     queue="jobs_cancel", username="worker",
+                     password="s3cret")
+    job = q.submit("select 1 as x from lineitem", principal="alice")
+    with pytest.raises(PermissionError):
+        q.cancel(job, principal="mallory")
+    st = q.cancel(job, principal="alice")
+    assert st["status"] == CANCELLED
+    assert q.claim() is None               # message consumed + skipped
+    assert broker.queue_depth("jobs_cancel") == 0
