@@ -146,10 +146,14 @@ def _read_frame(sock: socket.socket) -> tuple[int, int, bytes]:
 
 
 def _content_frames(channel: int, body: bytes) -> bytes:
-    # content HEADER: class-id, weight 0, body size, property flags 0
+    # content HEADER: class-id, weight 0, body size, property flags 0.
+    # Empty bodies ship NO body frame (AMQP 0-9-1 §4.2.6 — the reader
+    # stops at body_size, so an empty body frame would desync the stream).
     header = struct.pack(">HHQH", 60, 0, len(body), 0)
-    return _frame(FRAME_HEADER, channel, header) + \
-        _frame(FRAME_BODY, channel, body)
+    out = _frame(FRAME_HEADER, channel, header)
+    if body:
+        out += _frame(FRAME_BODY, channel, body)
+    return out
 
 
 def _read_content(sock: socket.socket) -> bytes:
@@ -305,9 +309,13 @@ class MiniAmqpBroker:
                 self._send_method(sock, state, channel, B_GET_EMPTY,
                                   _shortstr(""))
             else:
-                state["tag"] += 1
-                tag = state["tag"]
-                state["unacked"][tag] = (qname, body)
+                with self._lock:
+                    # state is shared with _pump (publisher threads): tag
+                    # allocation and unacked bookkeeping stay under the
+                    # broker lock everywhere.
+                    state["tag"] += 1
+                    tag = state["tag"]
+                    state["unacked"][tag] = (qname, body)
                 args = (struct.pack(">Q", tag) + b"\x00" + _shortstr("") +
                         _shortstr(qname) + struct.pack(">I", depth))
                 # ONE sendall under the write lock: a concurrent _pump
@@ -325,17 +333,20 @@ class MiniAmqpBroker:
             with self._lock:
                 self._queues.setdefault(qname, deque())
                 self._consumers[ctag] = {
-                    "sock": sock, "channel": channel, "queue": qname,
-                    "state": state}
+                    "ctag": ctag, "sock": sock, "channel": channel,
+                    "queue": qname, "state": state}
             self._send_method(sock, state, channel, B_CONSUME_OK,
                               _shortstr(ctag))
             self._pump(qname)
         elif cm == B_ACK:
             tag = r.longlong()
             multiple = r.octet()
-            acked = [t for t in state["unacked"]
-                     if t == tag or (multiple and t <= tag)]
-            queues = {state["unacked"].pop(t)[0] for t in acked}
+            with self._lock:
+                # spec: delivery-tag 0 + multiple acks everything
+                acked = [t for t in state["unacked"]
+                         if t == tag
+                         or (multiple and (tag == 0 or t <= tag))]
+                queues = {state["unacked"].pop(t)[0] for t in acked}
             for qname in queues:
                 self._pump(qname)
         elif cm == CONN_CLOSE:
@@ -367,8 +378,8 @@ class MiniAmqpBroker:
                 st["tag"] += 1
                 tag = st["tag"]
                 st["unacked"][tag] = (qname, body)
-            ctag = next(t for t, c in self._consumers.items()
-                        if c is picked)
+                ctag = picked["ctag"]  # read under the lock — the
+                # consumer may be deregistered the moment we release it
             args = (_shortstr(ctag) + struct.pack(">Q", tag) + b"\x00" +
                     _shortstr("") + _shortstr(qname))
             try:
@@ -457,12 +468,18 @@ class AmqpClient:
 
     def next_delivery(self, timeout: float | None = None
                       ) -> tuple[int, bytes]:
-        """Block until the broker pushes a ``basic.deliver``."""
-        self._sock.settimeout(timeout)
-        try:
-            ftype, _, payload = _read_frame(self._sock)
-        finally:
-            self._sock.settimeout(None)
+        """Block until the broker pushes a ``basic.deliver``.
+
+        The timeout is applied BEFORE any byte is consumed (select), so a
+        timeout never leaves the frame stream mid-frame; once the first
+        byte of a delivery is on the wire, the frame is read to completion
+        under the connection's normal socket timeout."""
+        import select
+        if timeout is not None:
+            ready, _, _ = select.select([self._sock], [], [], timeout)
+            if not ready:
+                raise TimeoutError("no delivery within timeout")
+        ftype, _, payload = _read_frame(self._sock)
         cm = struct.unpack_from(">HH", payload)
         if cm != B_DELIVER:
             raise ConnectionError(f"unexpected {cm}")
@@ -494,7 +511,15 @@ class AmqpJobQueue(FileJobQueue):
     """Job queue whose CONTROL PLANE rides AMQP: ``submit`` publishes the
     job spec, ``claim`` is ``basic.get`` + ack. Status and results stay
     in the file store (the reference keeps them in DB/object store; the
-    broker only moves task messages, ``rabbitmq.rs:199``)."""
+    broker only moves task messages, ``rabbitmq.rs:199``).
+
+    Claim/cancel atomicity: a broker message can't be removed the way a
+    queued FILE can, so the ``claimed/{job}.json`` marker is the single
+    arbiter — created with ``O_EXCL`` by exactly one of {worker, cancel}.
+    A worker that loses the race acks-and-skips; a cancel that loses sets
+    ``cancel_requested`` for the executing worker, identical to the
+    file-queue's post-claim path.
+    """
 
     def __init__(self, root: str, host: str, port: int,
                  queue: str = "dataweb_tasks", username: str = "guest",
@@ -503,6 +528,8 @@ class AmqpJobQueue(FileJobQueue):
         self._amqp = (host, port, username, password)
         self._queue = queue
         self._local = threading.local()
+        self._clients: list[AmqpClient] = []
+        self._clients_lock = threading.Lock()
 
     def _client(self) -> AmqpClient:
         c = getattr(self._local, "client", None)
@@ -512,17 +539,36 @@ class AmqpJobQueue(FileJobQueue):
             c.queue_declare(self._queue)
             c.basic_qos(1)
             self._local.client = c
+            with self._clients_lock:
+                self._clients.append(c)
         return c
+
+    def close(self) -> None:
+        """Close every AMQP connection this queue opened (any thread)."""
+        with self._clients_lock:
+            clients, self._clients = self._clients, []
+        for c in clients:
+            c.close()
+        self._local = threading.local()
+
+    def _try_create_marker(self, job_id: str, payload: dict) -> bool:
+        """Exclusive-create the claim arbiter; False if someone else won.
+        Existence is the atomic signal — the payload is informational."""
+        path = os.path.join(self.root, "claimed", f"{job_id}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(payload, f)
+        return True
 
     def submit(self, sql: str, principal: str | None = None,
                mode: str = "template") -> str:
         job_id = uuid.uuid4().hex[:12]
-        self._write_status(job_id, {
-            "job_id": job_id, "status": QUEUED, "history": [QUEUED],
-            "principal": principal, "tasks": []})
+        self._write_status(job_id, self._initial_status(job_id, principal))
         self._client().publish(self._queue, json.dumps(
-            {"job_id": job_id, "sql": sql, "principal": principal,
-             "mode": mode}).encode("utf-8"))
+            self._job_spec(job_id, sql, principal, mode)).encode("utf-8"))
         return job_id
 
     def claim(self) -> dict | None:
@@ -532,16 +578,10 @@ class AmqpJobQueue(FileJobQueue):
                 return None
             tag, body = got
             spec = json.loads(body.decode("utf-8"))
-            # Broker messages can't be atomically removed on cancel the
-            # way a queued FILE can: ack-and-skip jobs already cancelled.
-            st = self.read_status(spec["job_id"])
             self._client().ack(tag)
-            if st and st.get("status") == CANCELLED:
-                continue
-            with open(os.path.join(self.root, "claimed",
-                                   f"{spec['job_id']}.json"), "w",
-                      encoding="utf-8") as f:
-                json.dump(spec, f)
+            if not self._try_create_marker(
+                    spec["job_id"], dict(spec, winner="worker")):
+                continue  # cancel (or a duplicate delivery) won this job
             return spec
 
     def cancel(self, job_id: str, principal: str | None = None) -> dict:
@@ -551,10 +591,14 @@ class AmqpJobQueue(FileJobQueue):
         if st.get("principal") and principal != st["principal"]:
             raise PermissionError(
                 f"job {job_id} belongs to principal {st['principal']!r}")
-        claimed = os.path.join(self.root, "claimed", f"{job_id}.json")
-        if os.path.exists(claimed):
+        if self._try_create_marker(job_id, {"job_id": job_id,
+                                            "winner": "cancel"}):
+            # We won the arbiter: no worker will ever run this job (its
+            # claim attempt finds the marker and skips).
+            self.mirror_status(job_id, CANCELLED, st.get("tasks", []))
+        else:
+            # A worker holds it: flag the executing job, same as the
+            # file queue's claimed path.
             st["cancel_requested"] = True
             self._write_status(job_id, st)
-        else:
-            self.mirror_status(job_id, CANCELLED, st.get("tasks", []))
         return self.read_status(job_id)

@@ -48,6 +48,19 @@ class _JobQueueCommon:
     """Submitter-facing polling/result logic shared by every broker kind
     (``read_status`` is the only storage primitive it needs)."""
 
+    @staticmethod
+    def _initial_status(job_id: str, principal: str | None) -> dict:
+        """One definition of the submit-time status payload for every
+        broker kind — a new field added here reaches all of them."""
+        return {"job_id": job_id, "status": QUEUED, "history": [QUEUED],
+                "principal": principal, "tasks": []}
+
+    @staticmethod
+    def _job_spec(job_id: str, sql: str, principal: str | None,
+                  mode: str) -> dict:
+        return {"job_id": job_id, "sql": sql, "principal": principal,
+                "mode": mode}
+
     def wait(self, job_id: str, timeout: float = 120.0,
              poll: float = 0.05) -> dict:
         deadline = time.time() + timeout
@@ -103,13 +116,10 @@ class FileJobQueue(_JobQueueCommon):
         # principal recorded in the STATUS too: do_put authorizes result
         # pushes against it (a job submitted under one principal refuses
         # pushes from another).
-        self._write_status(job_id, {
-            "job_id": job_id, "status": QUEUED, "history": [QUEUED],
-            "principal": principal, "tasks": []})
+        self._write_status(job_id, self._initial_status(job_id, principal))
         self._atomic_json(
             os.path.join(self.root, "queued", f"{job_id}.json"),
-            {"job_id": job_id, "sql": sql, "principal": principal,
-             "mode": mode})
+            self._job_spec(job_id, sql, principal, mode))
         return job_id
 
     def read_status(self, job_id: str) -> dict | None:
@@ -216,11 +226,9 @@ class InMemoryJobQueue(_JobQueueCommon):
                mode: str = "template") -> str:
         job_id = uuid.uuid4().hex[:12]
         with self._lock:
-            self._status[job_id] = {
-                "job_id": job_id, "status": QUEUED, "history": [QUEUED],
-                "principal": principal, "tasks": []}
-            self._queued.append({"job_id": job_id, "sql": sql,
-                                 "principal": principal, "mode": mode})
+            self._status[job_id] = self._initial_status(job_id, principal)
+            self._queued.append(self._job_spec(job_id, sql, principal,
+                                               mode))
         return job_id
 
     def read_status(self, job_id: str) -> dict | None:

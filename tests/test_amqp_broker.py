@@ -136,3 +136,41 @@ def test_amqp_cancel_before_claim_skipped(spark, demo_web, tmp_path,
     assert st["status"] == CANCELLED
     assert q.claim() is None               # message consumed + skipped
     assert broker.queue_depth("jobs_cancel") == 0
+
+
+def test_empty_body_roundtrip(broker):
+    """Zero-length bodies ship no BODY frame; the stream stays in sync."""
+    c = _client(broker)
+    c.queue_declare("q_empty")
+    c.publish("q_empty", b"")
+    c.publish("q_empty", b"after-empty")
+    tag, body = c.get("q_empty")
+    assert body == b""
+    c.ack(tag)
+    tag2, body2 = c.get("q_empty")          # connection still healthy
+    assert body2 == b"after-empty"
+    c.ack(tag2)
+    c.close()
+
+
+def test_claim_cancel_arbiter_exactly_one_winner(tmp_path, broker):
+    """The claimed-marker O_EXCL creation is the atomic arbiter: after a
+    cancel wins it, a claim of the same job acks-and-skips — and vice
+    versa, a claim that wins routes cancel to cancel_requested."""
+    from dataweb_spark.jobs.manager import CANCELLED
+
+    q = AmqpJobQueue(str(tmp_path / "store3"), "127.0.0.1", broker.port,
+                     queue="jobs_arbiter", username="worker",
+                     password="s3cret")
+    # cancel wins
+    j1 = q.submit("select 1 as x from lineitem")
+    q.cancel(j1)
+    assert q.claim() is None
+    assert q.read_status(j1)["status"] == CANCELLED
+    # claim wins
+    j2 = q.submit("select 2 as x from lineitem")
+    spec = q.claim()
+    assert spec["job_id"] == j2
+    st = q.cancel(j2)
+    assert st["cancel_requested"] is True   # routed to the running worker
+    q.close()
