@@ -61,6 +61,11 @@ def test_consume_prefetch_one_and_ack_flow(broker):
     pub.publish("q_consume", b"second")
     tag, body = con.next_delivery(timeout=10)
     assert body == b"first"
+    # wait for the (async) second publish to land on the broker...
+    deadline = time.time() + 5
+    while (broker.queue_depth("q_consume") == 0
+           and time.time() < deadline):
+        time.sleep(0.02)
     time.sleep(0.3)                        # give a wrong impl time to push
     assert broker.queue_depth("q_consume") == 1  # second held back
     con.ack(tag)
@@ -85,8 +90,14 @@ def test_unacked_requeued_on_connection_drop(broker):
     got = doomed.get("q_requeue")
     assert got is not None and got[1] == b"precious"
     doomed._sock.close()                   # dies without ack
-    time.sleep(0.3)
-    got2 = pub.get("q_requeue")
+    # requeue happens on the broker's connection-cleanup path: poll until
+    # the message is visible again rather than trusting a fixed sleep
+    deadline = time.time() + 5
+    got2 = None
+    while got2 is None and time.time() < deadline:
+        got2 = pub.get("q_requeue")
+        if got2 is None:
+            time.sleep(0.02)
     assert got2 is not None and got2[1] == b"precious"
     pub.ack(got2[0])
     pub.close()
