@@ -2893,7 +2893,10 @@ def _index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = spark.readStream.schema(batch.schema).parquet(in_dir)
     q = DI.streaming_ingest_gate(stream, idx, corpus_dir, cp, threshold=0.7)
-    q.awaitTermination()
+    # availableNow terminates after the drain; the bound means a wedged
+    # stream fails the check instead of hanging the whole driver run.
+    if not q.awaitTermination(600):
+        q.stop()
     return (spark.read.parquet(corpus_dir)
             .select("doc_id").orderBy("doc_id"))
 
