@@ -145,14 +145,21 @@ def _read_frame(sock: socket.socket) -> tuple[int, int, bytes]:
     return ftype, channel, payload
 
 
+# Negotiated in connection.tune; bodies are chunked to fit (frame payload
+# max; the 8 bytes of frame framing ride outside the negotiated size).
+FRAME_MAX = 131072
+
+
 def _content_frames(channel: int, body: bytes) -> bytes:
     # content HEADER: class-id, weight 0, body size, property flags 0.
-    # Empty bodies ship NO body frame (AMQP 0-9-1 §4.2.6 — the reader
-    # stops at body_size, so an empty body frame would desync the stream).
+    # Empty bodies ship NO body frame, and larger bodies are CHUNKED at
+    # the negotiated frame-max (AMQP 0-9-1 §4.2.6 — a single oversized
+    # body frame would violate the tune contract against a real broker;
+    # a 1 MB SQL job spec is a legitimate message here).
     header = struct.pack(">HHQH", 60, 0, len(body), 0)
     out = _frame(FRAME_HEADER, channel, header)
-    if body:
-        out += _frame(FRAME_BODY, channel, body)
+    for off in range(0, len(body), FRAME_MAX):
+        out += _frame(FRAME_BODY, channel, body[off:off + FRAME_MAX])
     return out
 
 

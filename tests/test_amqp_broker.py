@@ -185,3 +185,32 @@ def test_claim_cancel_arbiter_exactly_one_winner(tmp_path, broker):
     st = q.cancel(j2)
     assert st["cancel_requested"] is True   # routed to the running worker
     q.close()
+
+
+def test_body_chunking_roundtrip(broker):
+    """Bodies at/over the negotiated frame-max are chunked into multiple
+    BODY frames and reassembled exactly (a 1 MB SQL job spec must ride)."""
+    import hashlib
+    import random
+
+    from dataweb_spark.jobs.amqp import FRAME_MAX
+
+    rng = random.Random(7)
+    c = _client(broker)
+    c.queue_declare("q_chunks")
+    sizes = [1, FRAME_MAX - 1, FRAME_MAX, FRAME_MAX + 1,
+             3 * FRAME_MAX + 17]
+    sent = []
+    for n in sizes:
+        body = bytes(rng.getrandbits(8) for _ in range(min(n, 4096)))
+        body = (body * (n // len(body) + 1))[:n]  # n bytes, varied content
+        sent.append(hashlib.md5(body).hexdigest())
+        c.publish("q_chunks", body)
+    got = []
+    for n in sizes:
+        tag, body = c.get("q_chunks")
+        assert len(body) == n
+        got.append(hashlib.md5(body).hexdigest())
+        c.ack(tag)
+    assert got == sent                      # FIFO and byte-exact
+    c.close()
