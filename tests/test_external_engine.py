@@ -477,3 +477,44 @@ def test_trino_partitioned_rows_outside_bounds_survive(spark, sf_dir,
     raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     got = gw.query("select count(*) as n from items").collect()[0]["n"]
     assert got == raw.count()  # nothing below 2000 or above 2400 lost
+
+
+def test_partition_predicates_property(subtests=None):
+    """Property: for ANY bounds/partition count, the predicates are
+    pairwise disjoint and jointly complete over the integers (plus NULL),
+    verified by brute-force evaluation over a covering sample."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataweb_spark.sources.httpjson import partition_predicates
+
+    def matches(pred: str, v) -> bool:
+        if pred == "1 = 1":
+            return True
+        clauses = pred.split(" OR ")
+        def one(c, v):
+            if c.endswith("IS NULL"):
+                return v is None
+            parts = c.split(" AND ")
+            ok = True
+            for p in parts:
+                _, op, bound = p.split(" ", 2)
+                if v is None:
+                    return False
+                b = int(bound)
+                ok &= v < b if op == "<" else v >= b if op == ">=" else False
+            return ok
+        return any(one(c.strip(), v) for c in clauses)
+
+    @settings(max_examples=60, deadline=None)
+    @given(lower=st.integers(-1000, 1000), span=st.integers(0, 2000),
+           n=st.integers(1, 12))
+    def check(lower, span, n):
+        upper = lower + span
+        preds = partition_predicates("k", lower, upper, n)
+        sample = set(range(lower - 3, upper + 4)) | {None}
+        for v in sample:
+            hits = sum(matches(p, v) for p in preds)
+            assert hits == 1, (v, preds)
+
+    check()

@@ -151,3 +151,27 @@ def test_jsonpath_to_spark_translation():
     for bad in ("$..x", "$.a[*]"):                       # loud, not silent
         with _pytest.raises(ValueError, match="unsupported JSONPath"):
             jp(bad)
+
+
+def test_jsonpath_translation_property():
+    """Property: for any dotted identifier path (with optional array
+    indices and bracket-quoted segments), the '$.'-prefixed JSONPath form
+    translates to exactly the Spark-native access the plain form uses."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataweb_spark.catalog.model import jsonpath_to_spark as jp
+
+    ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+    seg = st.one_of(
+        ident,
+        st.tuples(ident, st.integers(0, 9)).map(lambda t: f"{t[0]}[{t[1]}]"))
+
+    @settings(max_examples=80, deadline=None)
+    @given(segs=st.lists(seg, min_size=1, max_size=4))
+    def check(segs):
+        spark_path = ".".join(segs)
+        assert jp("$." + spark_path) == spark_path
+        assert jp(spark_path) == spark_path          # passthrough
+
+    check()
