@@ -285,3 +285,59 @@ def test_keep_best_per_cluster_policy(spark):
                   keep_best_per_cluster(df, pairs, "doc_id",
                                         "score").collect())
     assert kept == [2, 4, 6]  # tie 2-vs-3 -> lower id 2; 4 untouched
+
+
+def test_gate_invariants_on_random_corpus(spark, tmp_path):
+    """Seeded random stream with planted exact/near dups: after the drain
+    (1) the corpus holds no two docs with the same normalized fingerprint,
+    (2) the index fp table covers exactly the corpus ids, and (3) every
+    stream doc is either in the corpus or exact/near-matched by it."""
+    import random
+
+    from dataweb_spark.functions.dedup import _norm_fingerprint
+    from dataweb_spark.functions.dedup_index import streaming_ingest_gate
+
+    vocab = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec").split()
+    rng = random.Random(42)
+    corpus_rows = [(i, " ".join(rng.choices(vocab, k=10)))
+                   for i in range(15)]
+    stream_rows = []
+    for j in range(10):
+        sid = 900 + j
+        kind = rng.randrange(3)
+        if kind == 0:                      # exact dup of corpus
+            stream_rows.append((sid, rng.choice(corpus_rows)[1]))
+        elif kind == 1:                    # near dup: one word swapped
+            toks = rng.choice(corpus_rows)[1].split()
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            stream_rows.append((sid, " ".join(toks)))
+        else:                              # fresh draw
+            stream_rows.append((sid, " ".join(rng.choices(vocab, k=10))))
+
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(stream_rows, ["doc_id", "text"])
+    idx, corp_dir = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    landing, ck = str(tmp_path / "landing"), str(tmp_path / "ck")
+    build_dedup_index(corpus, idx)
+    corpus.write.parquet(corp_dir)
+    batch.write.parquet(landing)
+    stream = (spark.readStream
+              .schema("doc_id long, text string").parquet(landing))
+    q = streaming_ingest_gate(stream, idx, corp_dir, ck)
+    q.awaitTermination(120)
+
+    after = spark.read.parquet(corp_dir)
+    fps = after.select(_norm_fingerprint("text").alias("fp"))
+    assert fps.count() == fps.distinct().count()        # (1) no exact dups
+    corpus_ids = {r["doc_id"] for r in after.select("doc_id").collect()}
+    fp_ids = {r["id"] for r in
+              spark.read.parquet(f"{idx}/fp").select("id").collect()}
+    assert fp_ids == corpus_ids                          # (2) index == corpus
+    from dataweb_spark.functions.dedup import dedup_against_corpus
+    verdicts = {r["doc_id"]: r["verdict"] for r in
+                dedup_against_corpus(batch, after).collect()}
+    for sid, _ in stream_rows:                           # (3) accounted for
+        if sid in corpus_ids:
+            continue                       # admitted
+        assert verdicts[sid] in ("exact", "near"), (sid, verdicts[sid])
