@@ -2950,6 +2950,56 @@ from documents where doc_id % 5 != 0 and doc_id % 20 = 3
 order by doc_id
 """)
 
+# Per-source corpus health report — the data-quality dashboard a training
+# pipeline runs before every assembly: per provenance source, volume,
+# exact-dup rate (normalized fingerprints), size stats, language spread,
+# and the empty-doc fraction. All map-side-combined aggregates over one
+# scan; GROUP BY source is low-cardinality so the shuffle ships one row
+# per (source, partial).
+_dual("corpus_source_report", """
+select source,
+       count(*)                                       as n_docs,
+       count(distinct norm_hash)                      as n_unique,
+       round(1.0 - count(distinct norm_hash)
+                   / cast(count(*) as double), 6)     as dup_rate,
+       cast(min(n_chars) as bigint)                   as min_chars,
+       cast(max(n_chars) as bigint)                   as max_chars,
+       round(avg(n_chars), 4)                         as avg_chars,
+       count(distinct lang)                           as n_langs,
+       round(avg(case when length(trim(text)) = 0
+                      then 1.0 else 0.0 end), 6)      as empty_frac
+from (
+  select source, lang, n_chars, text,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+                                                '[^a-z0-9 ]', ' '),
+                                 '  *', ' '))) as norm_hash
+  from documents
+) t
+group by source
+order by source
+""", oracle="""
+select source,
+       count(*)                                       as n_docs,
+       count(distinct norm_hash)                      as n_unique,
+       round(1.0 - count(distinct norm_hash)
+                   / cast(count(*) as double), 6)     as dup_rate,
+       cast(min(n_chars) as bigint)                   as min_chars,
+       cast(max(n_chars) as bigint)                   as max_chars,
+       round(avg(n_chars), 4)                         as avg_chars,
+       count(distinct lang)                           as n_langs,
+       round(avg(case when length(trim(text)) = 0
+                      then 1.0 else 0.0 end), 6)      as empty_frac
+from (
+  select source, lang, n_chars, text,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+                                                '[^a-z0-9 ]', ' ', 'g'),
+                                 '  *', ' ', 'g'))) as norm_hash
+  from documents
+) t
+group by source
+order by source
+""")
+
 
 def _bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination recall contract. The map-only Bloom
@@ -5140,7 +5190,9 @@ _DRIVER_WINDOW = [
 # Rotated-out names stay in QUERIES (checkable any round; full local sweep
 # covers all of them each round). After this window runs, the maximum
 # driver-check age across all declared queries drops from 5 rounds to 3
-# (the r3 cohort), and the r3 cohort is next in line for r7.
+# (the r3 cohort), and the r3 cohort is next in line for r7 — along with
+# corpus_source_report (declared late-r6, locally swept green, never
+# driver-checked; window it first in r7).
 
 
 def _apply_driver_window() -> None:
