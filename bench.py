@@ -228,7 +228,7 @@ def main() -> None:
         shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    line = json.dumps({
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -238,7 +238,37 @@ def main() -> None:
         "agg": "median",
         "extras": extras,
         "sf": sf,
+    }
+    # Full per-query detail goes to a sidecar file (and stderr), NOT the
+    # final stdout line: the driver parses the metric from a bounded tail
+    # window of stdout, and the r6 artifact was voided because the ~4 KB
+    # detail dict pushed the JSON's opening brace out of that window
+    # (r5's was voided by a JVM-shutdown race; both fixed here).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=2)
+    print(f"# full detail -> {detail_path}", file=sys.stderr)
+    print("# " + json.dumps(detail), file=sys.stderr)
+    # Compact final line: summary only (no cold/extras dicts), well
+    # inside any tail-parse window. Include per-query medians only if the
+    # whole line stays under 1 KB; otherwise drop them (detail file has
+    # everything).
+    line = json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
     })
+    if len(line) > 1000:
+        line = json.dumps({
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {},
+            "sf": sf,
+        })
     # Stop Spark and drain buffers BEFORE the metric line so JVM-shutdown
     # stack traces (accumulator broken-pipe noise etc.) can't land on
     # stdout after it — the driver parses the metric from the tail of

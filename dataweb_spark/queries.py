@@ -5115,84 +5115,78 @@ group by doc_id order by doc_id
 # its relative order after the window.
 
 _DRIVER_WINDOW = [
-    # --- r6 rotation. CORRECTNESS_r05 was 50/50 green and with it every
-    # declared query has ≥1 driver check across r1∪…∪r5, so the ENTIRE r5
-    # window rotates out (all fresh greens, layers stable). The r6 window =
-    # (a) the round's new queries, (b) ALL 41 queries whose latest driver
-    # check is four rounds old (VERDICT r5 item 4: re-rotate the r1-stale
-    # greens, oldest first), (c) four dedup-layer sentinels guarding the
-    # exact-fingerprint / jaccard / against-corpus layers the r6 ingest-gate
-    # rework touches.
-    # (a) new in r6 — the persisted dedup index (VERDICT r5 item 1: build/
-    # classify, append path, and the foreachBatch gate drain), the
-    # un-shadowed JSON-path query (item 3), and the regexp form under its
-    # new name:
-    "dedup_index_classify",
-    "dedup_index_incremental",
-    "dedup_index_gate",
-    "events_json_props",
-    "events_json_regexp",
-    # (b) the 41 r1-stale queries (every query whose latest check is r1,
-    # minus events_json_props which is now the JSON-path form above):
-    "agg_having_filter",
-    "array_access_split",
-    "case_cast_string_funcs",
-    "cte_exists_in_subquery",
-    "cube_counts",
-    "date_parts_orders",
-    "distinct_counts",
-    "events_hourly_rollup",
-    "first_last_value_windows",
-    "interval_date_arithmetic",
-    "is_distinct_from_nulls",
-    "lateral_view_explode",
-    "like_family_predicates",
-    "listagg_nations_per_region",
-    "listagg_within_group_overlay",
-    "ntile_percentile_windows",
-    "predicates_smoke",
-    "rollup_counts",
-    "scalar_subquery_per_row",
-    "stats_aggregates",
-    "string_funcs_position_trim",
-    "timezone_conversion",
-    "topk_orders",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q5_regional_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_idle_customers",
-    "try_cast_safe",
-    "values_inline_join",
-    "window_lag_lead_events",
-    "window_running_sum",
-    # (c) the round's second new-operator query (quality-aware cluster
-    # keeper) + dedup-layer sentinels for the r6 gate rework (r3/r4
-    # checks; dedup_incremental_ingest is the one-at-a-time sibling the
-    # index path is property-tied to; dedup_ngram_jaccard_exact yielded
-    # its slot to the new query — its jaccard layer stays window-covered
-    # by dedup_quality_keeper's verify stage and the index queries):
-    "dedup_quality_keeper",
-    "dedup_incremental_ingest",
-    "dedup_normalized_fingerprint",
-    "dedup_exact_groups",
+    # --- r7 rotation. CORRECTNESS_r06 was 50/50 green, so the whole r6
+    # window rotates out. The r7 window = (a) corpus_source_report — the
+    # only declared query with no driver evidence (VERDICT r6 item 2),
+    # (b) the ENTIRE 30-query r3 cohort — now the oldest evidence
+    # (VERDICT r6 item 3, oldest first), (c) 19 of the 34-query r4 cohort,
+    # prioritising the layers with the most moving parts (streaming,
+    # multimodal, federation, dedup-recall, quantized-ANN, assembly); the
+    # remaining 15 r4 names are plain SQL-surface/TPC-H forms queued for
+    # r8, after which max driver-check age is ≤2 rounds everywhere.
+    # (a) never driver-checked:
+    "corpus_source_report",
+    # (b) the 30-query r3 cohort:
+    "any_all_minmax_rewrite",
+    "array_agg_ordered_limited",
+    "asof_join_purchase_click",
+    "corpus_mix_proportions",
+    "dedup_contamination_check",
+    "dedup_duplicated_spans",
+    "dedup_ngram_jaccard_exact",
+    "events_sessionization",
+    "fed_lineitem_count",
+    "fed_lineitem_q1_all_access",
+    "fed_provenance_counts",
+    "fed_remote_hop_count",
+    "fed_six_relay_provenance",
+    "grouping_sets",
+    "higher_order_array_funcs",
+    "knn_bruteforce_cosine",
+    "pivot_returnflag_status",
+    "recursive_cte_series",
+    "sample_hash_deterministic",
+    "setops_customers",
+    "text_pii_scrub",
+    "text_quality_langid",
+    "text_repetition_gopher",
+    "text_stats",
+    "text_tfidf_top_terms",
+    "tpch_q12_late_shipping_priority",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q9_product_profit",
+    "window_topn_per_customer",
+    # (c) 19 r4-cohort queries, complex layers first:
+    "streaming_attribution_join",
+    "streaming_dedup_ingest",
+    "streaming_hourly_rollup",
+    "streaming_sliding_rollup",
+    "streaming_stateful_user_totals",
+    "multimodal_features",
+    "multimodal_frame_counts",
+    "multimodal_meta",
+    "fed_lineitem_q1",
+    "fed_source_pruning",
+    "fed_template_partials",
+    "dedup_embedding_recall",
+    "dedup_minhash_recall",
+    "dedup_simhash_recall",
+    "dedup_exact_clusters",
+    "dedup_exact_keep",
+    "knn_quantized_int8",
+    "embedding_quantize_int8",
+    "pipeline_training_data",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
 # Rotated-out names stay in QUERIES (checkable any round; full local sweep
-# covers all of them each round). After this window runs, the maximum
-# driver-check age across all declared queries drops from 5 rounds to 3
-# (the r3 cohort), and the r3 cohort is next in line for r7 — along with
-# corpus_source_report (declared late-r6, locally swept green, never
-# driver-checked; window it first in r7).
+# covers all of them each round). After this window runs, every declared
+# query has driver evidence and the oldest evidence anywhere is r4 (the 15
+# remaining r4-cohort SQL-surface names: distinct_on_rewrite, group_by_all,
+# grouping_function_rollup, in_unnest_rewrite, lateral_join_topn,
+# qualify_rewrite, range_join_price_bands, text_chunking,
+# text_rolling_fingerprint, text_stopword_quality, tpch_q15/q16/q20/q21,
+# unpivot_part_sizes) — window those first in r8 for max age ≤2 rounds.
 
 
 def _apply_driver_window() -> None:

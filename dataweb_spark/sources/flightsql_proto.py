@@ -51,8 +51,16 @@ def _field_bytes(num: int, payload: bytes) -> bytes:
 
 
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Bounded varint read: truncated input or a varint longer than the
+    10 bytes a 64-bit value needs raises ValueError (never IndexError) —
+    these bytes come off sockets, so attacker-shaped input must fail
+    loudly, not crash or spin."""
     shift = n = 0
     while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
+        if shift > 63:
+            raise ValueError("oversized varint (>10 bytes)")
         b = buf[pos]
         pos += 1
         n |= (b & 0x7F) << shift
@@ -63,7 +71,9 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
 
 def _decode_fields(buf: bytes) -> dict[int, bytes]:
     """Last-one-wins map of length-delimited fields; other wire types are
-    skipped (these messages only use wire type 2, but be tolerant)."""
+    skipped (these messages only use wire type 2, but be tolerant).
+    Declared lengths past the end of the buffer raise ValueError instead
+    of silently truncating."""
     fields: dict[int, bytes] = {}
     pos = 0
     while pos < len(buf):
@@ -71,6 +81,8 @@ def _decode_fields(buf: bytes) -> dict[int, bytes]:
         num, wt = tag >> 3, tag & 7
         if wt == 2:
             ln, pos = _read_varint(buf, pos)
+            if ln > len(buf) - pos:
+                raise ValueError("field length past end of buffer")
             fields[num] = buf[pos:pos + ln]
             pos += ln
         elif wt == 0:
@@ -81,6 +93,8 @@ def _decode_fields(buf: bytes) -> dict[int, bytes]:
             pos += 8
         else:  # groups (3/4) don't appear in proto3
             raise ValueError(f"unsupported wire type {wt}")
+        if pos > len(buf):
+            raise ValueError("fixed-width field past end of buffer")
     return fields
 
 
