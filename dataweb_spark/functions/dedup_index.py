@@ -134,6 +134,15 @@ def classify_against_index(spark: SparkSession, new_batch: DataFrame,
     fp_idx = spark.read.parquet(os.path.join(path, "fp"))
     band_idx = spark.read.parquet(os.path.join(path, "bands"))
 
+    # The batch feeds four separate subtrees (exact-fp broadcast, band
+    # broadcast, text broadcast, final verdict join) — without a cache
+    # each broadcast job recomputes the whole upstream batch pipeline
+    # (in the streaming gate that pipeline includes a window + the
+    # within-batch minhash collapse).  Persist once; Spark's cache
+    # matches the other call-site references to the same analyzed plan,
+    # and the ContextCleaner drops the blocks when the frame is GC'd.
+    new_batch = new_batch.persist()
+
     new_fp, _ = _index_rows(new_batch, id_col, text_col, params)
     exact = (fp_idx.join(F.broadcast(new_fp.withColumnRenamed("id", "_nid")),
                          "fp")
@@ -260,9 +269,14 @@ def streaming_ingest_gate(stream_df: DataFrame, index_path: str,
          .unionByName(replayed.withColumn("_admit", F.lit(False)))
          .write.mode("overwrite").parquet(staging))
         staged = spark_b.read.parquet(staging)
-        staged.where(F.col("_admit")).drop("_admit") \
-              .write.mode("append").parquet(corpus_path)
-        append_batch(staged.drop("_admit"), index_path)
+        # Both appends read ONLY the durable staging dir, so they are
+        # independent — overlap them (same fixed-job-overhead argument as
+        # append_batch; crash ordering is irrelevant because replay of
+        # this epoch re-stages and re-appends idempotently either way).
+        _concurrent_writes(
+            lambda: staged.where(F.col("_admit")).drop("_admit")
+                          .write.mode("append").parquet(corpus_path),
+            lambda: append_batch(staged.drop("_admit"), index_path))
 
     return (stream_df.writeStream
             .foreachBatch(_gate)
@@ -271,14 +285,43 @@ def streaming_ingest_gate(stream_df: DataFrame, index_path: str,
             .start())
 
 
+def _concurrent_writes(*thunks) -> None:
+    """Run small independent write jobs from separate threads so the
+    scheduler overlaps them — per-batch ingest cost is dominated by fixed
+    job overhead (task launch + parquet commit), not data, so two 1-row
+    appends run back-to-back cost ~2× what they cost overlapped.  Spark
+    supports concurrent jobs from one session (one job group per thread);
+    the first exception (if any) is re-raised after all threads join."""
+    import threading
+
+    errs: list[BaseException] = []
+
+    def _run(t):
+        try:
+            t()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errs.append(e)
+
+    threads = [threading.Thread(target=_run, args=(t,)) for t in thunks]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+
+
 def append_batch(admitted: DataFrame, path: str) -> None:
     """Append index rows for admitted (kept) docs — no rebuild, no
-    corpus rescan.  One text pass over the batch only."""
+    corpus rescan.  One text pass over the batch only; the two table
+    appends run concurrently (independent outputs, shared input scan)."""
     params = load_index_params(path)
     fp, band_rows = _index_rows(admitted, params["id_col"],
                                 params["text_col"], params)
-    fp.write.mode("append").parquet(os.path.join(path, "fp"))
-    band_rows.write.mode("append").parquet(os.path.join(path, "bands"))
+    _concurrent_writes(
+        lambda: fp.write.mode("append").parquet(os.path.join(path, "fp")),
+        lambda: band_rows.write.mode("append")
+                         .parquet(os.path.join(path, "bands")))
 
 
 def compact_index(spark: SparkSession, path: str,

@@ -78,40 +78,42 @@ def _longstr(b: bytes) -> bytes:
 
 
 class _Reader:
+    """Bounds-checked payload reader: truncated or malformed method
+    arguments raise :class:`ValueError` (never IndexError/struct.error/
+    UnicodeDecodeError) — payloads arrive off sockets, so attacker-shaped
+    bytes must tear down the one connection, not crash a broker thread
+    with an unhandled exception type."""
+
     def __init__(self, buf: bytes):
         self.buf, self.pos = buf, 0
 
-    def octet(self) -> int:
-        v = self.buf[self.pos]
-        self.pos += 1
-        return v
-
-    def short(self) -> int:
-        v = struct.unpack_from(">H", self.buf, self.pos)[0]
-        self.pos += 2
-        return v
-
-    def long(self) -> int:
-        v = struct.unpack_from(">I", self.buf, self.pos)[0]
-        self.pos += 4
-        return v
-
-    def longlong(self) -> int:
-        v = struct.unpack_from(">Q", self.buf, self.pos)[0]
-        self.pos += 8
-        return v
-
-    def shortstr(self) -> str:
-        n = self.octet()
-        v = self.buf[self.pos:self.pos + n].decode("utf-8")
-        self.pos += n
-        return v
-
-    def longstr(self) -> bytes:
-        n = self.long()
+    def _take(self, n: int) -> bytes:
+        if n > len(self.buf) - self.pos:
+            raise ValueError("truncated method arguments")
         v = self.buf[self.pos:self.pos + n]
         self.pos += n
         return v
+
+    def octet(self) -> int:
+        return self._take(1)[0]
+
+    def short(self) -> int:
+        return struct.unpack(">H", self._take(2))[0]
+
+    def long(self) -> int:
+        return struct.unpack(">I", self._take(4))[0]
+
+    def longlong(self) -> int:
+        return struct.unpack(">Q", self._take(8))[0]
+
+    def shortstr(self) -> str:
+        try:
+            return self._take(self.octet()).decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise ValueError(f"shortstr not utf-8: {e}") from None
+
+    def longstr(self) -> bytes:
+        return self._take(self.long())
 
     def table(self) -> bytes:  # opaque skip — content unused here
         return self.longstr()
@@ -139,6 +141,11 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
 def _read_frame(sock: socket.socket) -> tuple[int, int, bytes]:
     head = _recv_exact(sock, 7)
     ftype, channel, size = struct.unpack(">BHI", head)
+    if size > FRAME_MAX:
+        # A forged header could otherwise declare a ~4 GiB payload and
+        # hold the reader buffering it; both ends negotiate FRAME_MAX in
+        # connection.tune, so anything larger is a protocol violation.
+        raise ConnectionError(f"frame size {size} exceeds tuned maximum")
     payload = _recv_exact(sock, size)
     if _recv_exact(sock, 1)[0] != FRAME_END:
         raise ConnectionError("bad frame end")
@@ -167,7 +174,13 @@ def _read_content(sock: socket.socket) -> bytes:
     ftype, _, payload = _read_frame(sock)
     if ftype != FRAME_HEADER:
         raise ConnectionError(f"expected content header, got {ftype}")
+    if len(payload) < 14:
+        raise ConnectionError("truncated content header")
     body_size = struct.unpack_from(">Q", payload, 4)[0]
+    if body_size > 64 * 1024 * 1024:
+        # Job specs are ≤1M-char SQL (validate_sql); a declared multi-GiB
+        # body is a protocol abuse, not a legitimate message.
+        raise ConnectionError(f"content body size {body_size} too large")
     body = b""
     while len(body) < body_size:
         ftype, _, chunk = _read_frame(sock)
@@ -244,7 +257,10 @@ class MiniAmqpBroker:
             self._send_method(sock, state, 0, CONN_OPEN_OK, _shortstr(""))
             while True:
                 self._dispatch(sock, state)
-        except (ConnectionError, OSError):
+        except (ConnectionError, OSError, ValueError, struct.error):
+            # ValueError/struct.error = malformed frame or method args
+            # (garbage bytes, truncated payloads): drop the connection,
+            # requeue its unacked deliveries, keep serving everyone else.
             pass
         finally:
             self._requeue_unacked(state)
