@@ -4,11 +4,12 @@ Media are opaque ``binary`` columns + a typed metadata struct; all transforms
 run as Arrow-batched ``mapInPandas`` / pandas UDFs so bytes never cross the
 JVM↔Python boundary row-at-a-time. Formats whose spec needs nothing beyond
 numpy + the stdlib decode for REAL — BMP/PPM rasters, PNG (zlib inflate +
-all five scanline filters), RIFF/WAVE PCM-16 audio, and RIFF/AVI
-uncompressed video — so the encode→decode→feature paths are fully
-verifiable; codecs that genuinely require external libraries
-(jpg/mp3/mp4, via PIL/ffmpeg/…) are NOT in this container, so those
-kernels stay stubbed: ``decode_fake``-style byte
+all five scanline filters), baseline JPEG (ITU-T T.81 sequential DCT:
+Huffman entropy decode, dequantize, IDCT, chroma upsample — encoder too),
+RIFF/WAVE PCM-16 audio, and RIFF/AVI uncompressed video — so the
+encode→decode→feature paths are fully verifiable; codecs that genuinely
+require external libraries (mp3/mp4, via ffmpeg/…) are NOT in this
+container, so those kernels stay stubbed: ``decode_fake``-style byte
 statistics keep schema, partitioning, batch shape and UDF signatures real
 and testable, and ``decode_real`` raises ``NotImplementedError`` until a
 codec library is installed.
@@ -74,9 +75,10 @@ def synthesize_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
 
 def decode_real(content: bytes, fmt: str):
     """Decode a media blob to pixels. BMP and PPM rasters decode in pure
-    numpy; PNG decodes via stdlib zlib + the pure-numpy unfilter below —
-    all REAL codecs, fully verifiable. Formats that require external
-    libraries (jpg/mp3/mp4) raise until one is installed."""
+    numpy; PNG decodes via stdlib zlib + the pure-numpy unfilter below;
+    baseline JPEG decodes via the pure-numpy Huffman+IDCT decoder — all
+    REAL codecs, fully verifiable. Formats that require external
+    libraries (mp3/mp4) raise until one is installed."""
     fmt = (fmt or "").lower()
     if fmt == "bmp":
         return decode_bmp(content)
@@ -84,6 +86,8 @@ def decode_real(content: bytes, fmt: str):
         return decode_ppm(content)
     if fmt == "png":
         return decode_png(content)
+    if fmt in ("jpg", "jpeg"):
+        return decode_jpeg(content)
     raise NotImplementedError(
         f"decode of {fmt!r} requires PIL/av/soundfile; install a codec "
         f"library and extend decode_real")
@@ -307,6 +311,521 @@ def decode_png(data: bytes):
     if channels == 2:  # grey + alpha
         return np.repeat(px[:, :, :1], 3, axis=2)
     return px[:, :, :3]
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81) — pure numpy/stdlib encoder + decoder
+# ---------------------------------------------------------------------------
+# Sequential baseline DCT with Huffman coding, the profile every camera
+# and library emits by default. Tables are the public Annex K defaults.
+# The encoder writes 4:4:4 (or single-component greyscale); the decoder
+# handles any sampling factors (4:2:0/4:2:2/4:4:4), restart intervals,
+# and multi-table scans — enough to decode typical third-party baselines,
+# not just our own output. Progressive (SOF2) and arithmetic coding are
+# rejected loudly.
+
+_JPEG_QY = [16, 11, 10, 16, 24, 40, 51, 61,
+            12, 12, 14, 19, 26, 58, 60, 55,
+            14, 13, 16, 24, 40, 57, 69, 56,
+            14, 17, 22, 29, 51, 87, 80, 62,
+            18, 22, 37, 56, 68, 109, 103, 77,
+            24, 35, 55, 64, 81, 104, 113, 92,
+            49, 64, 78, 87, 103, 121, 120, 101,
+            72, 92, 95, 98, 112, 100, 103, 99]
+_JPEG_QC = [17, 18, 24, 47, 99, 99, 99, 99,
+            18, 21, 26, 66, 99, 99, 99, 99,
+            24, 26, 56, 99, 99, 99, 99, 99,
+            47, 66, 99, 99, 99, 99, 99, 99,
+            99, 99, 99, 99, 99, 99, 99, 99,
+            99, 99, 99, 99, 99, 99, 99, 99,
+            99, 99, 99, 99, 99, 99, 99, 99,
+            99, 99, 99, 99, 99, 99, 99, 99]
+_ZIGZAG = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+           12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+           35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+           58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+# Annex K default Huffman specs: (BITS counts per code length 1..16, VALS)
+_HUFF_DC_Y = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+              list(range(12)))
+_HUFF_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_HUFF_AC_Y = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_HUFF_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _dct_matrix():
+    import numpy as np
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    a[0, :] = 0.5 / np.sqrt(2.0)
+    return a
+
+
+def _jpeg_scaled_table(base, quality: int):
+    """IJG quality scaling: 1–100 → per-entry divisor in 1..255."""
+    import numpy as np
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (np.array(base, dtype=np.int64) * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32)
+
+
+def _huff_encode_table(bits, vals):
+    """(BITS, VALS) → {symbol: (code, length)} via canonical assignment."""
+    out, code = {}, 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals):
+    """(BITS, VALS) → {(length, code): symbol}."""
+    out, code = {}, 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(b)
+            if b == 0xFF:          # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)   # pad with 1-bits per T.81
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """DPCM/AC magnitude coding: value → (category, extra-bits value)."""
+    s = abs(v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(pixels, quality: int = 75) -> bytes:
+    """Encode an (H, W) greyscale or (H, W, 3) RGB uint8 array as a
+    baseline JFIF JPEG (SOF0, 4:4:4, Annex-K Huffman tables)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.float64)
+    grey = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if grey:
+        comps = [arr]
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        comps = [0.299 * r + 0.587 * g + 0.114 * b,
+                 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b]
+    qy = _jpeg_scaled_table(_JPEG_QY, quality)
+    qc = _jpeg_scaled_table(_JPEG_QC, quality)
+    qtabs = [qy] if grey else [qy, qc]
+    A = _dct_matrix()
+    zz = np.array(_ZIGZAG)
+
+    enc_dc = [_huff_encode_table(*_HUFF_DC_Y),
+              _huff_encode_table(*_HUFF_DC_C)]
+    enc_ac = [_huff_encode_table(*_HUFF_AC_Y),
+              _huff_encode_table(*_HUFF_AC_C)]
+
+    bw = _BitWriter()
+    by, bx = -(-h // 8), -(-w // 8)
+    pred = [0] * len(comps)
+    padded = []
+    for plane in comps:
+        p = np.empty((by * 8, bx * 8))
+        p[:h, :w] = plane
+        p[h:, :w] = plane[h - 1:h, :]       # edge-replicate padding
+        p[:, w:] = p[:, w - 1:w]
+        padded.append(p - 128.0)
+    for yb in range(by):
+        for xb in range(bx):
+            for ci, plane in enumerate(padded):
+                ti = 0 if ci == 0 else 1
+                q = qtabs[min(ti, len(qtabs) - 1)]
+                block = plane[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8]
+                coeff = A @ block @ A.T
+                quant = np.round(coeff.flatten() / q.astype(np.float64))
+                quant = quant.astype(np.int64)[zz]
+                diff = int(quant[0]) - pred[ci]
+                pred[ci] = int(quant[0])
+                s, extra = _magnitude(diff)
+                code, ln = enc_dc[ti][s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(extra, s)
+                run = 0
+                for v in quant[1:]:
+                    v = int(v)
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[ti][0xF0]   # ZRL
+                        bw.put(code, ln)
+                        run -= 16
+                    s, extra = _magnitude(v)
+                    code, ln = enc_ac[ti][(run << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(extra, s)
+                    run = 0
+                if run:
+                    code, ln = enc_ac[ti][0x00]       # EOB
+                    bw.put(code, ln)
+    scan = bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tid, table):
+        return seg(0xDB, bytes([tid]) +
+                   bytes(int(table.flatten()[z]) for z in _ZIGZAG))
+
+    def dht(cls, tid, spec):
+        bits, vals = spec
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) +
+                   bytes(vals))
+
+    ncomp = 1 if grey else 3
+    sof_comps = b"".join(
+        bytes([i + 1, 0x11, 0 if i == 0 else 1]) for i in range(ncomp))
+    sos_comps = b"".join(
+        bytes([i + 1, 0x00 if i == 0 else 0x11]) for i in range(ncomp))
+    out = (b"\xFF\xD8" +
+           seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00") +
+           dqt(0, qy) + (b"" if grey else dqt(1, qc)) +
+           seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) +
+               sof_comps) +
+           dht(0, 0, _HUFF_DC_Y) + dht(1, 0, _HUFF_AC_Y) +
+           (b"" if grey else dht(0, 1, _HUFF_DC_C) +
+            dht(1, 1, _HUFF_AC_C)) +
+           seg(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3F\x00") +
+           scan + b"\xFF\xD9")
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; RSTn markers are surfaced via ``restart()``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos = data, pos
+        self.acc, self.nbits = 0, 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d) - 1:
+            raise ValueError("truncated JPEG scan")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(f"marker 0x{nxt:02x} inside scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker at the current (byte-aligned) position."""
+        self.acc, self.nbits = 0, 0
+        d = self.data
+        if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+        else:
+            raise ValueError("expected restart marker")
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _decode_huff(br: _BitReader, table) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(data: bytes):
+    """Decode a baseline sequential JPEG (SOF0) into an (H, W, 3) uint8
+    RGB array (greyscale replicated across channels). Handles arbitrary
+    sampling factors, restart intervals, and multiple quant/Huffman
+    tables; progressive/arithmetic/hierarchical JPEGs raise
+    NotImplementedError. Corrupt streams raise ValueError — the kernels
+    run inside executors, so parse failures must be classifiable, not
+    arbitrary exception types."""
+    import struct
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream: {type(e).__name__}: {e}") \
+            from None
+
+
+def _decode_jpeg(data: bytes):
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG stream (no SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = data[pos + 1]
+        if marker == 0xD9:          # EOI
+            break
+        (size,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4:pos + 2 + size]
+        pos += 2 + size
+        if marker == 0xDB:          # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                n = 64 * (2 if pq else 1)
+                raw = body[off + 1:off + 1 + n]
+                vals = (np.frombuffer(raw, dtype=">u2") if pq
+                        else np.frombuffer(raw, dtype=np.uint8))
+                t = np.zeros(64, dtype=np.int32)
+                t[np.array(_ZIGZAG)] = vals
+                qtabs[tq] = t.reshape(8, 8)
+                off += 1 + n
+        elif marker == 0xC4:        # DHT
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1:off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17:off + 17 + nv])
+                htabs[(cls, tid)] = _huff_decode_table(bits, vals)
+                off += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 (baseline/ext seq)
+            prec, ih, iw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            sof = (ih, iw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02x})")
+        elif marker == 0xDD:        # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:        # SOS — entropy-coded data follows
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan_comps = []
+            by_id = {c["id"]: c for c in sof[2]}
+            for i in range(ns):
+                cs, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                c = by_id[cs]
+                scan_comps.append((c, tabs >> 4, tabs & 0x0F))
+            ih, iw, comps = sof
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-iw // (8 * hmax))
+            mcuy = -(-ih // (8 * vmax))
+            A = _dct_matrix()
+            planes = {}
+            for c in comps:
+                planes[c["id"]] = np.zeros(
+                    (mcuy * 8 * c["v"], mcux * 8 * c["h"]))
+            if ns == 1:
+                c, _, _ = scan_comps[0]
+                # non-interleaved: MCU is a single block of that component
+                bw_ = -(-(iw * c["h"]) // (hmax * 8))
+                bh_ = -(-(ih * c["v"]) // (vmax * 8))
+                order = [(c, tdc, tac, x, y)
+                         for (c, tdc, tac) in scan_comps
+                         for y in range(bh_) for x in range(bw_)]
+                per_mcu = 1
+                mcus = bw_ * bh_
+            else:
+                order = None
+                per_mcu = sum(c["h"] * c["v"] for c, _, _ in scan_comps)
+                mcus = mcux * mcuy
+            br = _BitReader(data, pos)
+            pred = {c["id"]: 0 for c, _, _ in scan_comps}
+            zz = np.array(_ZIGZAG)
+
+            def decode_block(c, tdc, tac, bx_, by_):
+                dc_t = htabs.get((0, tdc))
+                ac_t = htabs.get((1, tac))
+                q = qtabs.get(c["tq"])
+                if dc_t is None or ac_t is None or q is None:
+                    raise ValueError("scan references missing table")
+                s = _decode_huff(br, dc_t)
+                diff = _extend(br.bits(s), s) if s else 0
+                pred[c["id"]] += diff
+                coef = np.zeros(64)
+                coef[0] = pred[c["id"]]
+                k = 1
+                while k < 64:
+                    rs = _decode_huff(br, ac_t)
+                    r, s = rs >> 4, rs & 0x0F
+                    if rs == 0x00:      # EOB
+                        break
+                    if rs == 0xF0:      # ZRL
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    coef[k] = _extend(br.bits(s), s)
+                    k += 1
+                dq = np.zeros(64)
+                dq[zz] = coef
+                block = A.T @ (dq.reshape(8, 8) * q) @ A + 128.0
+                pl = planes[c["id"]]
+                pl[by_ * 8:by_ * 8 + 8, bx_ * 8:bx_ * 8 + 8] = block
+
+            done = 0
+            try:
+                if ns == 1:
+                    for (c, tdc, tac, x, y) in order:
+                        try:
+                            decode_block(c, tdc, tac, x, y)
+                        except _RestartMarker:
+                            raise ValueError("unexpected restart") from None
+                        done += 1
+                        if restart_interval and done % restart_interval == 0 \
+                                and done < mcus:
+                            br.restart()
+                            pred = {k: 0 for k in pred}
+                else:
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            for (c, tdc, tac) in scan_comps:
+                                for v in range(c["v"]):
+                                    for hh in range(c["h"]):
+                                        decode_block(
+                                            c, tdc, tac,
+                                            mx * c["h"] + hh,
+                                            my * c["v"] + v)
+                            done += 1
+                            if restart_interval and \
+                                    done % restart_interval == 0 and \
+                                    done < mcus:
+                                br.restart()
+                                pred = {k: 0 for k in pred}
+            except _RestartMarker as e:
+                raise ValueError(
+                    f"restart marker 0x{e.marker:02x} without DRI") from None
+
+            out_planes = []
+            for c in comps:
+                pl = planes[c["id"]]
+                ry, rx = vmax // c["v"], hmax // c["h"]
+                if ry > 1 or rx > 1:     # nearest-neighbour upsample
+                    pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
+                out_planes.append(pl[:ih, :iw])
+            if len(out_planes) == 1:
+                y = np.clip(np.round(out_planes[0]), 0, 255) \
+                      .astype(np.uint8)
+                return np.repeat(y[:, :, None], 3, axis=2)
+            y, cb, cr = out_planes[0], out_planes[1] - 128, \
+                out_planes[2] - 128
+            rgb = np.stack([y + 1.402 * cr,
+                            y - 0.344136 * cb - 0.714136 * cr,
+                            y + 1.772 * cb], axis=2)
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        elif marker in (0xD8,):
+            raise ValueError("unexpected SOI")
+        # APPn/COM/others: skipped
+    raise ValueError("no SOS scan in JPEG stream")
 
 
 def _riff_chunk(cid: bytes, body: bytes) -> bytes:
@@ -654,6 +1173,41 @@ def synthesize_png_media(spark, n: int = 64) -> DataFrame:
                 rows.append((m, "image", encode_png(px, filter_type=m % 5),
                              {"format": "png", "width": w, "height": h,
                               "duration_s": None}))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "content",
+                                        "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synthesize_jpeg_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL-JPEG media table with an EXACTLY verifiable
+    decode: image ``m`` is ``8*(1 + m % 3)`` rows × ``8*(1 + m % 4)``
+    cols of constant-grey 8×8 blocks, block ``(bx, by)`` holding value
+    ``(16*bx + 40*by + 7*m) % 256`` in all three channels. Constant
+    blocks have a DC-only DCT, and at quality 75 the luma DC quantizer
+    divides the DC exactly (step 8 against ``8*(v-128)``) while grey
+    pixels pin both chroma planes to exactly 128 (zero after level
+    shift) — so the full encode→Huffman→decode→feature path reproduces
+    the closed form bit-exactly and an external oracle can aggregate the
+    SAME values analytically. Distributed generation; the lossy general
+    case is covered by pytest round-trip bounds instead."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["id"]:
+                m = int(m)
+                bw, bh = 1 + m % 4, 1 + m % 3
+                bx = np.arange(bw).reshape(1, bw)
+                by = np.arange(bh).reshape(bh, 1)
+                vals = (16 * bx + 40 * by + 7 * m) % 256
+                px = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+                rgb = np.repeat(px[:, :, None], 3, 2)
+                rows.append((m, "image", encode_jpeg(rgb, quality=75),
+                             {"format": "jpg", "width": 8 * bw,
+                              "height": 8 * bh, "duration_s": None}))
             yield pd.DataFrame(rows,
                                columns=["media_id", "kind", "content",
                                         "meta"])

@@ -4155,6 +4155,46 @@ order by media_id
 """)
 
 
+def _multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode → features: deterministic constant-block
+    grey JPEGs are synthesized distributed, encoded by the pure-numpy
+    T.81 encoder (DCT → quantize → Huffman), decoded back by the
+    pure-numpy decoder, and reduced to dimension/pixel statistics.
+    Constant 8×8 blocks + the quality-75 luma DC step (8) make the lossy
+    codec EXACT on this family (see ``synthesize_jpeg_media``), so the
+    DuckDB oracle aggregates the same closed form ``(16bx + 40by + 7m)
+    mod 256`` analytically — a full encode→Huffman→decode→feature hash
+    check over a real JPEG bitstream."""
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_jpeg_media(spark, n=64)
+    return (M.extract_image_features(media)
+             .select("media_id", "width", "height", "px_sum", "px_mean")
+             .orderBy("media_id"))
+
+
+_df("multimodal_jpeg_features", _multimodal_jpeg_features, oracle="""
+with m as (select range as media_id from range(64)),
+dims as (
+  select media_id, cast(1 + media_id % 4 as int) as bw,
+         cast(1 + media_id % 3 as int) as bh
+  from m
+), blocks as (
+  select d.media_id, d.bw, d.bh,
+         (16 * x.x + 40 * y.y + 7 * d.media_id) % 256 as v
+  from dims d,
+       unnest(range(d.bw)) as x(x),
+       unnest(range(d.bh)) as y(y)
+)
+select media_id, cast(8 * bw as int) as width, cast(8 * bh as int) as height,
+       cast(sum(v) * 64 * 3 as bigint) as px_sum,
+       round(sum(v) * 64 * 3 / cast(8 * bw * 8 * bh * 3 as double), 6)
+           as px_mean
+from blocks
+group by media_id, bw, bh
+order by media_id
+""")
+
+
 def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode → features: deterministic RIFF/WAVE PCM-16 clips
     are synthesized distributed, decoded by the pure-numpy WAV codec, and
@@ -5173,7 +5213,11 @@ _DRIVER_WINDOW = [
     "dedup_minhash_recall",
     "dedup_simhash_recall",
     "dedup_exact_clusters",
-    "dedup_exact_keep",
+    # (d) new in r7 — the baseline-JPEG codec's encode→decode→feature
+    # query (takes the slot dedup_exact_keep would have had; that layer
+    # stays covered by dedup_exact_clusters above and r6's fresh
+    # dedup_exact_groups — dedup_exact_keep joins the r8 cohort):
+    "multimodal_jpeg_features",
     "knn_quantized_int8",
     "embedding_quantize_int8",
     "pipeline_training_data",

@@ -218,8 +218,11 @@ def test_media_pipeline_shapes(spark):
 
 
 def test_decode_real_raises_for_compressed_formats(spark):
-    # png decodes for real now (stdlib zlib); jpg still needs a library
+    # png and baseline jpg decode for real now; mp3 still needs a library
     with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"bytes", "mp3")
+    # jpg dispatches to the real decoder, which rejects non-JPEG bytes
+    with pytest.raises(ValueError):
         multimodal.decode_real(b"bytes", "jpg")
 
 

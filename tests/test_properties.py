@@ -198,6 +198,62 @@ def test_avi_roundtrip_property(n, h, w, seed, fps):
     assert back.shape == fr.shape and (back == fr).all()
 
 
+@settings(max_examples=25, deadline=None)
+@given(bw=st.integers(min_value=1, max_value=4),
+       bh=st.integers(min_value=1, max_value=4),
+       seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_jpeg_constant_blocks_roundtrip_exact(bw, bh, seed):
+    """Constant-grey 8×8 blocks survive the baseline JPEG codec
+    BIT-EXACTLY at quality 75: the DCT of a constant block is DC-only,
+    the q75 luma DC step (8) divides ``8*(v-128)`` for every integer v,
+    and grey pixels pin both chroma planes to 128 — the property the
+    ``multimodal_jpeg_features`` oracle is built on."""
+    vals = np.random.default_rng(seed).integers(0, 256, size=(bh, bw))
+    px = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    rgb = np.repeat(px[:, :, None], 3, 2)
+    assert (M.decode_jpeg(M.encode_jpeg(rgb, quality=75)) == rgb).all()
+    # single-component greyscale stream too
+    grey = M.decode_jpeg(M.encode_jpeg(px, quality=75))
+    assert (grey == rgb).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(min_value=1, max_value=40),
+       w=st.integers(min_value=1, max_value=40),
+       seed=st.integers(min_value=0, max_value=2**31 - 1),
+       quality=st.integers(min_value=70, max_value=100))
+def test_jpeg_smooth_image_bounded_error(h, w, seed, quality):
+    """General (smooth) rasters are lossy but bounded: a low-frequency
+    image decodes within a small per-pixel error at quality ≥70, with
+    exact dimensions (incl. non-multiple-of-8 edges)."""
+    rng = np.random.default_rng(seed)
+    a, b, c = rng.integers(0, 4, size=3)
+    x = np.arange(w).reshape(1, w, 1)
+    y = np.arange(h).reshape(h, 1, 1)
+    ch = np.arange(3).reshape(1, 1, 3)
+    px = ((a * x + b * y + 20 * ch) % 256).astype(np.uint8)
+    back = M.decode_jpeg(M.encode_jpeg(px, quality=quality))
+    assert back.shape == (h, w, 3)
+    err = np.abs(back.astype(int) - px.astype(int))
+    assert err.max() <= 24, err.max()
+
+
+@settings(max_examples=100, deadline=None)
+@given(buf=st.binary(max_size=150))
+def test_jpeg_decoder_garbage_never_crashes(buf):
+    """Arbitrary bytes → ValueError/NotImplementedError only (the decode
+    kernels run inside executors; unhandled exception types would fail
+    whole tasks on corrupt inputs instead of being classifiable)."""
+    try:
+        M.decode_jpeg(b"\xff\xd8" + buf)
+    except (ValueError, NotImplementedError):
+        pass
+    try:
+        M.decode_jpeg(buf)
+    except (ValueError, NotImplementedError):
+        pass
+
+
 @settings(max_examples=30, deadline=None)
 @given(h=dims, w=dims, seed=st.integers(min_value=0, max_value=2**31 - 1),
        tw=st.integers(min_value=1, max_value=8),
