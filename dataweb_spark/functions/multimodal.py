@@ -860,35 +860,48 @@ def _dib_frames(payloads: list[bytes], w: int, h: int):
     return out
 
 
-def encode_avi(frames, fps: int = 10) -> bytes:
-    """Encode an (N, H, W, 3) uint8 RGB frame stack as a real uncompressed
-    AVI (RIFF 'AVI ': hdrl{avih, strl{strh 'vids'/'DIB ', strf
-    BITMAPINFOHEADER}}, movi{'00db' DIB frames}, idx1) — the video sibling
-    of the WAV/BMP codecs, pure struct+numpy."""
+_MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian
+
+
+def encode_avi(frames, fps: int = 10, codec: str = "DIB ",
+               quality: int = 90) -> bytes:
+    """Encode an (N, H, W, 3) uint8 RGB frame stack as a real AVI
+    (RIFF 'AVI ': hdrl{avih, strl{strh 'vids', strf BITMAPINFOHEADER}},
+    movi{frames}, idx1) — the video sibling of the WAV/BMP codecs, pure
+    struct+numpy. ``codec='DIB '`` writes uncompressed bottom-up DIB
+    frames ('00db'); ``codec='MJPG'`` writes Motion-JPEG — each frame an
+    independent baseline JPEG from :func:`encode_jpeg` ('00dc', tables
+    included in every frame, so any standard MJPEG reader decodes it)."""
     import struct
 
     import numpy as np
 
     arr = np.asarray(frames, dtype=np.uint8)
     n, h, w, _ = arr.shape
-    bodies = [_dib_body(f) for f in arr]
-    frame_size = len(bodies[0]) if bodies else 0
+    mjpg = codec.upper().startswith("MJPG")
+    if mjpg:
+        bodies = [encode_jpeg(f, quality=quality) for f in arr]
+        fourcc, chunk_id, compression = b"MJPG", b"00dc", _MJPG_FOURCC
+    else:
+        bodies = [_dib_body(f) for f in arr]
+        fourcc, chunk_id, compression = b"DIB ", b"00db", 0
+    frame_size = max((len(b) for b in bodies), default=0)
     avih = struct.pack("<14I", 1_000_000 // fps, frame_size * fps, 0,
                        0x10, n, 0, 1, frame_size, w, h, 0, 0, 0, 0)
-    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
-                                            1, fps, 0, n, frame_size,
-                                            0xFFFFFFFF, 0)
+    strh = (b"vids" + fourcc + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                           1, fps, 0, n, frame_size,
+                                           0xFFFFFFFF, 0)
             + struct.pack("<4h", 0, 0, w, h))
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
-                       2835, 2835, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, compression,
+                       frame_size, 2835, 2835, 0, 0)
     strl = _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh)
                        + _riff_chunk(b"strf", strf))
     hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
-    movi_items = [_riff_chunk(b"00db", b) for b in bodies]
+    movi_items = [_riff_chunk(chunk_id, b) for b in bodies]
     movi = _riff_chunk(b"LIST", b"movi" + b"".join(movi_items))
     idx, off = [], 4  # offsets relative to the 'movi' fourcc
     for b in bodies:
-        idx.append(struct.pack("<4sIII", b"00db", 0x10, off, len(b)))
+        idx.append(struct.pack("<4sIII", chunk_id, 0x10, off, len(b)))
         off += 8 + len(b) + (len(b) % 2)
     idx1 = _riff_chunk(b"idx1", b"".join(idx))
     body = b"AVI " + hdrl + movi + idx1
@@ -896,9 +909,11 @@ def encode_avi(frames, fps: int = 10) -> bytes:
 
 
 def decode_avi(data: bytes):
-    """Decode an uncompressed 24-bit AVI into ``(fps, frames[N,H,W,3])``.
-    Walks the RIFF chunk tree (unknown chunks skipped, so files from other
-    writers with extra headers decode too); '00dc'/BI_RGB streams only."""
+    """Decode an AVI into ``(fps, frames[N,H,W,3])`` — uncompressed
+    24-bit DIB streams and Motion-JPEG ('MJPG') streams, whose frames
+    decode through the baseline JPEG decoder. Walks the RIFF chunk tree
+    (unknown chunks skipped, so files from other writers with extra
+    headers decode too)."""
     import struct
 
     import numpy as np
@@ -925,9 +940,11 @@ def decode_avi(data: bytes):
             elif cid == b"strf":
                 _sz, _w, _h, _pl, bpp, comp = struct.unpack_from(
                     "<IiiHHI", body, 0)
-                if bpp != 24 or comp != 0:
+                if comp == _MJPG_FOURCC:
+                    dims["mjpg"] = True
+                elif bpp != 24 or comp != 0:
                     raise NotImplementedError(
-                        f"only uncompressed 24-bit AVI supported "
+                        f"only uncompressed 24-bit or MJPG AVI supported "
                         f"(bpp={bpp}, compression={comp})")
             elif cid in (b"00db", b"00dc"):
                 payloads.append(body)
@@ -936,6 +953,9 @@ def decode_avi(data: bytes):
     walk(data[12:])
     if "w" not in dims or not payloads:
         raise ValueError("missing avih header or frame data")
+    if dims.get("mjpg"):
+        frames = np.stack([decode_jpeg(p) for p in payloads])
+        return dims.get("fps", 0), frames
     return dims.get("fps", 0), _dib_frames(payloads, dims["w"], dims["h"])
 
 
@@ -1413,6 +1433,45 @@ FRAME_SCHEMA = StructType([
     StructField("content", BinaryType()),
     StructField("meta", MEDIA_SCHEMA["meta"].dataType),
 ])
+
+
+def synthesize_mjpeg_media(spark, n: int = 48, fps: int = 10) -> DataFrame:
+    """Deterministic REAL Motion-JPEG media table with an EXACTLY
+    verifiable decode: clip ``m`` has ``2 + m % 3`` frames of
+    ``8*(1 + m % 2)`` × ``8*(1 + m % 4)`` constant-grey 8×8 blocks,
+    block ``(bx, by)`` of frame ``f`` holding
+    ``(16*bx + 40*by + 7*m + 13*f) % 256`` in all channels — the same
+    DC-exact quality-75 construction as :func:`synthesize_jpeg_media`,
+    lifted to video: every frame is an independent baseline JPEG inside
+    a real AVI container, and decode→sample→feature reproduces the
+    closed form bit-exactly for an external oracle. Distributed
+    generation."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                m = int(mid)
+                bh, bw, nf = 1 + m % 2, 1 + m % 4, 2 + m % 3
+                f = np.arange(nf).reshape(nf, 1, 1)
+                by = np.arange(bh).reshape(1, bh, 1)
+                bx = np.arange(bw).reshape(1, 1, bw)
+                vals = (16 * bx + 40 * by + 7 * m + 13 * f) % 256
+                px = np.repeat(np.repeat(vals, 8, 1), 8, 2)
+                frames = np.repeat(px[:, :, :, None], 3, 3) \
+                           .astype(np.uint8)
+                rows.append((m, "video",
+                             encode_avi(frames, fps, codec="MJPG",
+                                        quality=75),
+                             {"format": "avi", "width": 8 * bw,
+                              "height": 8 * bh,
+                              "duration_s": nf / fps}))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "content",
+                                        "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every: int = 1) -> DataFrame:

@@ -4243,6 +4243,47 @@ order by media_id
 """)
 
 
+def _multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video decode → per-frame features: Motion-JPEG
+    AVIs (every frame an independent baseline JPEG from the pure-numpy
+    T.81 encoder) are synthesized distributed, frame-sampled through
+    ``decode_avi`` → ``decode_jpeg`` → BMP re-encode, and reduced to
+    per-frame pixel statistics. The constant-block quality-75
+    construction makes the lossy codec exact (see
+    ``synthesize_mjpeg_media``), so the oracle aggregates the closed form
+    ``(16bx + 40by + 7m + 13f) mod 256`` analytically."""
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_mjpeg_media(spark, n=48)
+    frames = M.sample_frames(media, every=1)
+    return (M.extract_frame_features(frames)
+             .select("media_id", "frame_idx", "width", "height", "px_sum")
+             .orderBy("media_id", "frame_idx"))
+
+
+_df("multimodal_mjpeg_frames", _multimodal_mjpeg_frames, oracle="""
+with m as (select range as media_id from range(48)),
+dims as (
+  select media_id, cast(1 + media_id % 2 as int) as bh,
+         cast(1 + media_id % 4 as int) as bw,
+         cast(2 + media_id % 3 as int) as nf
+  from m
+), px as (
+  select d.media_id, f.f as frame_idx, d.bw, d.bh,
+         (16 * x.x + 40 * y.y + 7 * d.media_id + 13 * f.f) % 256 as v
+  from dims d,
+       unnest(range(d.nf)) as f(f),
+       unnest(range(d.bw)) as x(x),
+       unnest(range(d.bh)) as y(y)
+)
+select media_id, cast(frame_idx as int) as frame_idx,
+       cast(8 * bw as int) as width, cast(8 * bh as int) as height,
+       cast(sum(v) * 64 * 3 as bigint) as px_sum
+from px
+group by media_id, frame_idx, bw, bh
+order by media_id, frame_idx
+""")
+
+
 def _text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained unigram LM scoring (the CCNet/Gopher perplexity-filter
     shape): one pass trains token counts, a second scores every document's
@@ -5216,11 +5257,14 @@ _DRIVER_WINDOW = [
     # (d) new in r7 — the baseline-JPEG codec's encode→decode→feature
     # query (takes the slot dedup_exact_keep would have had; that layer
     # stays covered by dedup_exact_clusters above and r6's fresh
-    # dedup_exact_groups — dedup_exact_keep joins the r8 cohort):
+    # dedup_exact_groups — dedup_exact_keep joins the r8 cohort), and the
+    # Motion-JPEG per-frame decode query (takes pipeline_training_data's
+    # slot — that query joins the r8 cohort; new queries outrank an age
+    # refresh, per the corpus_source_report lesson):
     "multimodal_jpeg_features",
+    "multimodal_mjpeg_frames",
     "knn_quantized_int8",
     "embedding_quantize_int8",
-    "pipeline_training_data",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
 # Rotated-out names stay in QUERIES (checkable any round; full local sweep

@@ -217,6 +217,25 @@ def test_jpeg_constant_blocks_roundtrip_exact(bw, bh, seed):
     assert (grey == rgb).all()
 
 
+@settings(max_examples=15, deadline=None)
+@given(n=st.integers(min_value=1, max_value=4),
+       bw=st.integers(min_value=1, max_value=3),
+       bh=st.integers(min_value=1, max_value=3),
+       fps=st.integers(min_value=1, max_value=30),
+       seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_mjpeg_avi_constant_blocks_roundtrip_exact(n, bw, bh, fps, seed):
+    """Motion-JPEG AVI (every frame an independent baseline JPEG inside
+    the RIFF container) roundtrips constant-grey-block frames bit-exactly
+    at quality 75, with fps and frame count preserved."""
+    vals = np.random.default_rng(seed).integers(0, 256, size=(n, bh, bw))
+    px = np.repeat(np.repeat(vals, 8, 1), 8, 2)
+    frames = np.repeat(px[:, :, :, None], 3, 3).astype(np.uint8)
+    got_fps, back = M.decode_avi(
+        M.encode_avi(frames, fps=fps, codec="MJPG", quality=75))
+    assert got_fps == fps
+    assert back.shape == frames.shape and (back == frames).all()
+
+
 @settings(max_examples=25, deadline=None)
 @given(h=st.integers(min_value=1, max_value=40),
        w=st.integers(min_value=1, max_value=40),
