@@ -189,7 +189,8 @@ def classify_against_index(spark: SparkSession, new_batch: DataFrame,
 
 def streaming_ingest_gate(stream_df: DataFrame, index_path: str,
                           corpus_path: str, checkpoint: str,
-                          threshold: float = 0.7):
+                          threshold: float = 0.7,
+                          compact_every: int | None = None):
     """The production ingest loop: ``readStream → foreachBatch(classify →
     admit)`` — EXACTLY the batch classify/append code, one implementation
     for both modes (the repo-wide batch/stream rule).
@@ -221,6 +222,17 @@ def streaming_ingest_gate(stream_df: DataFrame, index_path: str,
     dropped by :func:`compact_index`.  Precondition: ``id_col`` is a
     stable unique key across the stream — a re-sent id is treated as a
     replay of the same document.
+
+    Compaction cadence: every :func:`append_batch` adds one small file
+    set per table, so a 1000-batch day would pay ~1000× the file-listing
+    cost on every classify scan by evening. ``compact_every=N`` runs
+    :func:`compact_index` inside the gate after every N-th epoch —
+    epochs are strictly sequential within a stream, so this is the one
+    place mid-ingest compaction is safe (no concurrent classify can be
+    reading the tables it swaps; the compactor itself is atomic-swap, so
+    a crash mid-compaction leaves the live index intact and replay
+    simply re-runs it). For multi-stream or externally-scheduled setups
+    leave it ``None`` and run ``compact_index`` between drains.
 
     Returns the started StreamingQuery.
     """
@@ -277,6 +289,8 @@ def streaming_ingest_gate(stream_df: DataFrame, index_path: str,
             lambda: staged.where(F.col("_admit")).drop("_admit")
                           .write.mode("append").parquet(corpus_path),
             lambda: append_batch(staged.drop("_admit"), index_path))
+        if compact_every and (_epoch + 1) % compact_every == 0:
+            compact_index(spark_b, index_path)
 
     return (stream_df.writeStream
             .foreachBatch(_gate)

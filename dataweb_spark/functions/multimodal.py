@@ -457,9 +457,17 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, (v if v >= 0 else v + (1 << s) - 1)
 
 
-def encode_jpeg(pixels, quality: int = 75) -> bytes:
+def encode_jpeg(pixels, quality: int = 75, subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """Encode an (H, W) greyscale or (H, W, 3) RGB uint8 array as a
-    baseline JFIF JPEG (SOF0, 4:4:4, Annex-K Huffman tables)."""
+    baseline JFIF JPEG (SOF0, Annex-K Huffman tables).
+
+    ``subsampling='444'`` (default) keeps full-resolution chroma;
+    ``'420'`` box-averages chroma 2×2 (the common camera layout: MCUs
+    interleave 4 Y blocks + Cb + Cr). ``restart_interval=N`` emits a DRI
+    segment and an RSTn marker every N MCUs (byte-aligned, DC predictors
+    reset) — both options exist chiefly so the decoder's subsampling and
+    restart paths are proven by our own round-trips, not just claimed."""
     import struct
 
     import numpy as np
@@ -474,6 +482,15 @@ def encode_jpeg(pixels, quality: int = 75) -> bytes:
         comps = [0.299 * r + 0.587 * g + 0.114 * b,
                  128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
                  128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b]
+    sub420 = (subsampling == "420") and not grey
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    # per-component (h, v) sampling factors
+    factors = [(1, 1)] if grey else \
+        ([(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1), (1, 1), (1, 1)])
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     qy = _jpeg_scaled_table(_JPEG_QY, quality)
     qc = _jpeg_scaled_table(_JPEG_QC, quality)
     qtabs = [qy] if grey else [qy, qc]
@@ -485,50 +502,78 @@ def encode_jpeg(pixels, quality: int = 75) -> bytes:
     enc_ac = [_huff_encode_table(*_HUFF_AC_Y),
               _huff_encode_table(*_HUFF_AC_C)]
 
-    bw = _BitWriter()
-    by, bx = -(-h // 8), -(-w // 8)
-    pred = [0] * len(comps)
+    def pad_to(plane, ph, pw):
+        sh, sw = plane.shape
+        p = np.empty((ph, pw))
+        p[:sh, :sw] = plane
+        if ph > sh:
+            p[sh:, :sw] = plane[sh - 1:sh, :]   # edge-replicate padding
+        if pw > sw:
+            p[:, sw:] = p[:, sw - 1:sw]
+        return p
+
     padded = []
-    for plane in comps:
-        p = np.empty((by * 8, bx * 8))
-        p[:h, :w] = plane
-        p[h:, :w] = plane[h - 1:h, :]       # edge-replicate padding
-        p[:, w:] = p[:, w - 1:w]
-        padded.append(p - 128.0)
-    for yb in range(by):
-        for xb in range(bx):
-            for ci, plane in enumerate(padded):
-                ti = 0 if ci == 0 else 1
-                q = qtabs[min(ti, len(qtabs) - 1)]
-                block = plane[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8]
-                coeff = A @ block @ A.T
-                quant = np.round(coeff.flatten() / q.astype(np.float64))
-                quant = quant.astype(np.int64)[zz]
-                diff = int(quant[0]) - pred[ci]
-                pred[ci] = int(quant[0])
-                s, extra = _magnitude(diff)
-                code, ln = enc_dc[ti][s]
+    for (fh, fv), plane in zip(factors, comps):
+        if (fh, fv) != (hmax, vmax):            # chroma downsample (420)
+            ry, rx = vmax // fv, hmax // fh
+            full = pad_to(plane, -(-h // ry) * ry, -(-w // rx) * rx)
+            plane = full.reshape(full.shape[0] // ry, ry,
+                                 full.shape[1] // rx, rx).mean(axis=(1, 3))
+        padded.append(pad_to(plane, mcuy * 8 * fv, mcux * 8 * fh) - 128.0)
+
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+
+    def put_block(ci, yb, xb):
+        ti = 0 if ci == 0 else 1
+        q = qtabs[min(ti, len(qtabs) - 1)]
+        block = padded[ci][yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8]
+        coeff = A @ block @ A.T
+        quant = np.round(coeff.flatten() / q.astype(np.float64))
+        quant = quant.astype(np.int64)[zz]
+        diff = int(quant[0]) - pred[ci]
+        pred[ci] = int(quant[0])
+        s, extra = _magnitude(diff)
+        code, ln = enc_dc[ti][s]
+        bw.put(code, ln)
+        if s:
+            bw.put(extra, s)
+        run = 0
+        for v in quant[1:]:
+            v = int(v)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[ti][0xF0]   # ZRL
                 bw.put(code, ln)
-                if s:
-                    bw.put(extra, s)
-                run = 0
-                for v in quant[1:]:
-                    v = int(v)
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = enc_ac[ti][0xF0]   # ZRL
-                        bw.put(code, ln)
-                        run -= 16
-                    s, extra = _magnitude(v)
-                    code, ln = enc_ac[ti][(run << 4) | s]
-                    bw.put(code, ln)
-                    bw.put(extra, s)
-                    run = 0
-                if run:
-                    code, ln = enc_ac[ti][0x00]       # EOB
-                    bw.put(code, ln)
+                run -= 16
+            s, extra = _magnitude(v)
+            code, ln = enc_ac[ti][(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(extra, s)
+            run = 0
+        if run:
+            code, ln = enc_ac[ti][0x00]       # EOB
+            bw.put(code, ln)
+
+    done = rst = 0
+    n_mcus = mcux * mcuy
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (fh, fv) in enumerate(factors):
+                for v in range(fv):
+                    for hh in range(fh):
+                        put_block(ci, my * fv + v, mx * fh + hh)
+            done += 1
+            if restart_interval and done % restart_interval == 0 \
+                    and done < n_mcus:
+                # byte-align (1-bit pad), emit RSTn, reset DC prediction
+                bw.flush()
+                bw.out.append(0xFF)
+                bw.out.append(0xD0 + rst % 8)
+                rst += 1
+                pred[:] = [0] * len(comps)
     scan = bw.flush()
 
     def seg(marker, body):
@@ -545,7 +590,8 @@ def encode_jpeg(pixels, quality: int = 75) -> bytes:
 
     ncomp = 1 if grey else 3
     sof_comps = b"".join(
-        bytes([i + 1, 0x11, 0 if i == 0 else 1]) for i in range(ncomp))
+        bytes([i + 1, (factors[i][0] << 4) | factors[i][1],
+               0 if i == 0 else 1]) for i in range(ncomp))
     sos_comps = b"".join(
         bytes([i + 1, 0x00 if i == 0 else 0x11]) for i in range(ncomp))
     out = (b"\xFF\xD8" +
@@ -556,6 +602,8 @@ def encode_jpeg(pixels, quality: int = 75) -> bytes:
            dht(0, 0, _HUFF_DC_Y) + dht(1, 0, _HUFF_AC_Y) +
            (b"" if grey else dht(0, 1, _HUFF_DC_C) +
             dht(1, 1, _HUFF_AC_C)) +
+           (seg(0xDD, struct.pack(">H", restart_interval))
+            if restart_interval else b"") +
            seg(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3F\x00") +
            scan + b"\xFF\xD9")
     return out

@@ -189,6 +189,55 @@ def test_streaming_ingest_gate_one_impl(spark, tmp_path, corpus_and_batch):
     assert ids == {301}  # 401 is an exact dup of the now-indexed 301
 
 
+def test_gate_compact_every_keeps_file_count_flat(spark, tmp_path,
+                                                  corpus_and_batch):
+    """``compact_every=1`` compacts the index after every epoch — the
+    file count stays flat across drains instead of growing one file set
+    per append, and verdict semantics are unchanged (novel docs still
+    admitted, dups still rejected)."""
+    import os
+
+    from dataweb_spark.functions.dedup_index import streaming_ingest_gate
+
+    corpus, _ = corpus_and_batch
+    idx, corp_dir = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    landing, ck = str(tmp_path / "landing"), str(tmp_path / "ck")
+    build_dedup_index(corpus, idx)
+    corpus.write.parquet(corp_dir)
+
+    def n_files(sub):
+        return len([f for f in os.listdir(os.path.join(idx, sub))
+                    if f.endswith(".parquet")])
+
+    def drain():
+        stream = (spark.readStream
+                  .schema("doc_id long, text string").parquet(landing))
+        q = streaming_ingest_gate(stream, idx, corp_dir, ck,
+                                  compact_every=1)
+        q.awaitTermination(120)
+
+    for i, text in enumerate([
+            "first wave of novel ingest text about compaction cadence",
+            "second wave of novel ingest text concerning file listings",
+            "third wave of novel ingest text regarding steady state"]):
+        spark.createDataFrame([(500 + i, text)], ["doc_id", "text"]) \
+             .write.mode("append").parquet(landing)
+        drain()
+    assert n_files("fp") == 1 and n_files("bands") == 1
+    admitted = {r["doc_id"] for r in
+                spark.read.parquet(corp_dir).where("doc_id >= 500")
+                .collect()}
+    assert admitted == {500, 501, 502}
+    # and the compacted index still rejects a replayed duplicate
+    spark.createDataFrame(
+        [(600, "first wave of novel ingest text about compaction cadence")],
+        ["doc_id", "text"]).write.mode("append").parquet(landing)
+    drain()
+    ids = {r["doc_id"] for r in
+           spark.read.parquet(corp_dir).where("doc_id >= 600").collect()}
+    assert ids == set()
+
+
 def test_gate_replay_idempotent(spark, tmp_path, corpus_and_batch):
     """At-least-once replay: a doc whose text already landed in the corpus
     (crashed epoch: corpus append committed, index append didn't) must not

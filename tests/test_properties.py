@@ -217,6 +217,33 @@ def test_jpeg_constant_blocks_roundtrip_exact(bw, bh, seed):
     assert (grey == rgb).all()
 
 
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(min_value=1, max_value=40),
+       w=st.integers(min_value=1, max_value=40),
+       seed=st.integers(min_value=0, max_value=2**31 - 1),
+       ri=st.integers(min_value=0, max_value=6),
+       sub=st.sampled_from(["444", "420"]))
+def test_jpeg_subsampling_and_restarts_decode_identically(h, w, seed, ri,
+                                                          sub):
+    """4:2:0 subsampling and restart intervals change the BITSTREAM, not
+    the decode: the same raster encoded with/without RSTn markers decodes
+    to identical pixels (restart path = byte-align + DC reset only), and
+    4:2:0 streams exercise the decoder's chroma-upsample path with exact
+    dimensions on non-MCU-multiple edges."""
+    rng = np.random.default_rng(seed)
+    a, b = rng.integers(0, 4, size=2)
+    x = np.arange(w).reshape(1, w, 1)
+    y = np.arange(h).reshape(h, 1, 1)
+    ch = np.arange(3).reshape(1, 1, 3)
+    px = ((a * x + b * y + 25 * ch) % 256).astype(np.uint8)
+    plain = M.decode_jpeg(M.encode_jpeg(px, 90, subsampling=sub))
+    assert plain.shape == (h, w, 3)
+    if ri:
+        with_rst = M.decode_jpeg(
+            M.encode_jpeg(px, 90, subsampling=sub, restart_interval=ri))
+        assert (with_rst == plain).all()
+
+
 @settings(max_examples=15, deadline=None)
 @given(n=st.integers(min_value=1, max_value=4),
        bw=st.integers(min_value=1, max_value=3),
