@@ -93,6 +93,10 @@ EXTRAS = [
     # r6 additions
     "dedup_quality_keeper",
     "dedup_index_incremental",
+    # r7 additions
+    "multimodal_jpeg_features",
+    "multimodal_mjpeg_frames",
+    "corpus_source_report",
 ]
 
 

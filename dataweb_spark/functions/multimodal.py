@@ -693,7 +693,66 @@ def decode_jpeg(data: bytes):
             from None
 
 
-def _decode_jpeg(data: bytes):
+def decode_jpeg_dc_thumbnail(data: bytes):
+    """1/8-scale thumbnail from DC coefficients ONLY — the 100-TB media
+    path: the scan is Huffman-parsed (unavoidable: AC symbols must be
+    consumed to advance the bitstream) but per-block IDCT, full-res plane
+    assembly, and full-res color conversion are all skipped; each 8×8
+    block contributes exactly its mean (DC/8). Signatures/aHash computed
+    from this thumbnail match full-decode signatures wherever their grid
+    aligns with JPEG blocks — the standard trick for image-dedup sweeps
+    over petabyte JPEG corpora. Returns (H/8, W/8, 3) uint8 (ceil)."""
+    import struct
+    try:
+        return _decode_jpeg(data, dc_only=True)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream: {type(e).__name__}: {e}") \
+            from None
+
+
+def jpeg_meta(data: bytes) -> dict:
+    """Header-only probe: width/height/components/sampling from the SOF
+    marker — no scan decode, no Huffman, O(header) bytes touched. The
+    catalog-scan primitive for bulk media inventory (dims + layout for
+    billions of blobs without decoding one pixel)."""
+    import struct
+
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG stream (no SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = data[pos + 1]
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        (size,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4:pos + 2 + size]
+        pos += 2 + size
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                      0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            prec, ih, iw, nc = struct.unpack_from(">BHHB", body, 0)
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if nc == 3 and (hmax, vmax) == (2, 2):
+                sampling = "420"
+            elif nc == 3 and (hmax, vmax) == (2, 1):
+                sampling = "422"
+            elif nc == 3:
+                sampling = "444"
+            else:
+                sampling = "grey"
+            return {"width": iw, "height": ih, "n_components": nc,
+                    "sampling": sampling, "precision": prec,
+                    "baseline": marker in (0xC0, 0xC1)}
+    raise ValueError("no SOF marker before scan/EOI")
+
+
+def _decode_jpeg(data: bytes, dc_only: bool = False):
     import struct
 
     import numpy as np
@@ -767,10 +826,11 @@ def _decode_jpeg(data: bytes):
             mcux = -(-iw // (8 * hmax))
             mcuy = -(-ih // (8 * vmax))
             A = _dct_matrix()
+            bs = 1 if dc_only else 8     # per-block plane resolution
             planes = {}
             for c in comps:
                 planes[c["id"]] = np.zeros(
-                    (mcuy * 8 * c["v"], mcux * 8 * c["h"]))
+                    (mcuy * bs * c["v"], mcux * bs * c["h"]))
             if ns == 1:
                 c, _, _ = scan_comps[0]
                 # non-interleaved: MCU is a single block of that component
@@ -814,10 +874,16 @@ def _decode_jpeg(data: bytes):
                         raise ValueError("AC run past end of block")
                     coef[k] = _extend(br.bits(s), s)
                     k += 1
+                pl = planes[c["id"]]
+                if dc_only:
+                    # mean(IDCT(C)) == C[0,0]/8 for the orthonormal DCT:
+                    # one multiply replaces two 8x8 matmuls per block
+                    pl[by_, bx_] = pred[c["id"]] * float(q[0, 0]) / 8.0 \
+                        + 128.0
+                    return
                 dq = np.zeros(64)
                 dq[zz] = coef
                 block = A.T @ (dq.reshape(8, 8) * q) @ A + 128.0
-                pl = planes[c["id"]]
                 pl[by_ * 8:by_ * 8 + 8, bx_ * 8:bx_ * 8 + 8] = block
 
             done = 0
@@ -853,13 +919,14 @@ def _decode_jpeg(data: bytes):
                 raise ValueError(
                     f"restart marker 0x{e.marker:02x} without DRI") from None
 
+            th, tw = (-(-ih // 8), -(-iw // 8)) if dc_only else (ih, iw)
             out_planes = []
             for c in comps:
                 pl = planes[c["id"]]
                 ry, rx = vmax // c["v"], hmax // c["h"]
                 if ry > 1 or rx > 1:     # nearest-neighbour upsample
                     pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
-                out_planes.append(pl[:ih, :iw])
+                out_planes.append(pl[:th, :tw])
             if len(out_planes) == 1:
                 y = np.clip(np.round(out_planes[0]), 0, 255) \
                       .astype(np.uint8)
@@ -1736,6 +1803,68 @@ def image_signature(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "sig64"])
 
     return media.select("media_id", "content", "meta").mapInPandas(
+        kernel, schema=StructType([StructField("media_id", LongType()),
+                                   StructField("sig64", LongType())]))
+
+
+JPEG_CATALOG_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_components", IntegerType()),
+    StructField("sampling", StringType()),
+    StructField("baseline", StringType()),
+    StructField("content_bytes", LongType()),
+])
+
+
+def jpeg_catalog(media: DataFrame) -> DataFrame:
+    """Header-only JPEG inventory: dimensions/components/sampling per
+    blob via :func:`jpeg_meta` — NO pixel decode, NO Huffman parse, only
+    the marker headers are touched. The 100-TB catalog primitive: a
+    petabyte JPEG corpus inventories at IO speed (and with parquet-side
+    pruning, reading only the content column). Unparseable blobs yield a
+    NULL-dimension row instead of failing the task — a corrupt file is a
+    catalog fact, not a pipeline error."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                try:
+                    m = jpeg_meta(b)
+                    out.append((int(mid), m["width"], m["height"],
+                                m["n_components"], m["sampling"],
+                                str(m["baseline"]).lower(), len(b)))
+                except (ValueError, NotImplementedError):
+                    out.append((int(mid), None, None, None, "corrupt",
+                                "false", len(b)))
+            yield pd.DataFrame(out, columns=[f.name for f
+                                             in JPEG_CATALOG_SCHEMA])
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, schema=JPEG_CATALOG_SCHEMA)
+
+
+def image_signature_jpeg_dc(media: DataFrame) -> DataFrame:
+    """Perceptual signature from DC coefficients only
+    (:func:`decode_jpeg_dc_thumbnail` → ``_ahash64_exact``): per-block
+    IDCT, full-res assembly, and full-res color conversion all skipped —
+    the bulk-dedup sweep shape for JPEG corpora. On rasters whose aHash
+    grid aligns with JPEG blocks (dims multiples of 64) the signature
+    EQUALS the full-decode :func:`image_signature` bit-for-bit
+    (block-mean of pixels == DC/8; pytest-locked); elsewhere it is the
+    standard near-dup approximation. Same output schema, so
+    :func:`phash_near_dup_pairs` consumes either."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                th = decode_jpeg_dc_thumbnail(bytes(content))
+                out.append((int(mid), _ahash64_exact(th)))
+            yield pd.DataFrame(out, columns=["media_id", "sig64"])
+
+    return media.select("media_id", "content").mapInPandas(
         kernel, schema=StructType([StructField("media_id", LongType()),
                                    StructField("sig64", LongType())]))
 

@@ -4284,6 +4284,33 @@ order by media_id, frame_idx
 """)
 
 
+def _multimodal_jpeg_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only JPEG inventory — the no-decode catalog scan: every
+    blob's dimensions/sampling/layout read from the SOF marker alone
+    (``jpeg_meta``; no Huffman, no pixels), rolled up into a per-shape
+    census. At 100 TB this is the difference between inventorying a media
+    corpus at IO speed and decoding it. The synthesized JPEGs' dims
+    follow a closed form, so the oracle reproduces the census without
+    touching a byte of JPEG."""
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_jpeg_media(spark, n=64)
+    return (M.jpeg_catalog(media)
+            .groupBy("width", "height", "sampling", "baseline")
+            .agg(F.count("*").alias("n"))
+            .orderBy("width", "height"))
+
+
+_df("multimodal_jpeg_catalog", _multimodal_jpeg_catalog, oracle="""
+select cast(8 * (1 + media_id % 4) as int) as width,
+       cast(8 * (1 + media_id % 3) as int) as height,
+       '444' as sampling, 'true' as baseline,
+       count(*) as n
+from (select range as media_id from range(64))
+group by 1, 2
+order by width, height
+""")
+
+
 def _text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained unigram LM scoring (the CCNet/Gopher perplexity-filter
     shape): one pass trains token counts, a second scores every document's
@@ -5257,13 +5284,16 @@ _DRIVER_WINDOW = [
     # (d) new in r7 — the baseline-JPEG codec's encode→decode→feature
     # query (takes the slot dedup_exact_keep would have had; that layer
     # stays covered by dedup_exact_clusters above and r6's fresh
-    # dedup_exact_groups — dedup_exact_keep joins the r8 cohort), and the
+    # dedup_exact_groups — dedup_exact_keep joins the r8 cohort), the
     # Motion-JPEG per-frame decode query (takes pipeline_training_data's
-    # slot — that query joins the r8 cohort; new queries outrank an age
-    # refresh, per the corpus_source_report lesson):
+    # slot), and the header-only JPEG catalog query (takes
+    # knn_quantized_int8's slot; its int8 layer stays window-covered by
+    # embedding_quantize_int8 below). Displaced r4 names join the r8
+    # cohort; new queries outrank an age refresh, per the
+    # corpus_source_report lesson:
     "multimodal_jpeg_features",
     "multimodal_mjpeg_frames",
-    "knn_quantized_int8",
+    "multimodal_jpeg_catalog",
     "embedding_quantize_int8",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.

@@ -196,6 +196,37 @@ def test_ivf_topk_distributed_fit_recall(spark, emb):
 
 # -- multimodal -----------------------------------------------------------
 
+def test_jpeg_catalog_no_decode_and_corrupt_rows(spark):
+    """jpeg_catalog inventories header metadata distributed; a corrupt
+    blob becomes a NULL-dimension 'corrupt' row, never a task failure.
+    image_signature_jpeg_dc yields one signature per blob from DC
+    coefficients only."""
+    import pandas as pd
+
+    media = multimodal.synthesize_jpeg_media(spark, n=16)
+    corrupt = spark.createDataFrame(
+        pd.DataFrame({"media_id": [999], "kind": ["image"],
+                      "content": [b"not a jpeg at all"],
+                      "meta": [{"format": "jpg", "width": 0, "height": 0,
+                                "duration_s": None}]}),
+        schema=media.schema)
+    cat = multimodal.jpeg_catalog(media.unionByName(corrupt)).collect()
+    by_id = {r["media_id"]: r for r in cat}
+    assert len(cat) == 17
+    for m in range(16):
+        r = by_id[m]
+        assert (r["width"], r["height"]) == (8 * (1 + m % 4),
+                                             8 * (1 + m % 3))
+        assert r["sampling"] == "444" and r["baseline"] == "true"
+    bad = by_id[999]
+    assert bad["width"] is None and bad["sampling"] == "corrupt"
+    assert bad["content_bytes"] == len(b"not a jpeg at all")
+
+    sigs = multimodal.image_signature_jpeg_dc(media).collect()
+    assert len(sigs) == 16
+    assert all(isinstance(r["sig64"], int) for r in sigs)
+
+
 def test_media_pipeline_shapes(spark):
     media = multimodal.synthesize_media(spark, n=32)
     assert [f.name for f in media.schema.fields] == \

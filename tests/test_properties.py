@@ -284,6 +284,48 @@ def test_jpeg_smooth_image_bounded_error(h, w, seed, quality):
     assert err.max() <= 24, err.max()
 
 
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_jpeg_dc_thumbnail_signature_equals_full_decode(seed):
+    """On 64-multiple dims (aHash grid cell == one JPEG block) with the
+    DC-exact constant-block family, the DC-only thumbnail signature
+    equals the full-decode signature bit-for-bit — the contract that
+    lets the bulk-dedup sweep skip the IDCT entirely."""
+    vals = np.random.default_rng(seed).integers(0, 256, size=(8, 8))
+    px = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    rgb = np.repeat(px[:, :, None], 3, 2)
+    enc = M.encode_jpeg(rgb, quality=75)
+    full_sig = M._ahash64_exact(M.decode_jpeg(enc))
+    dc_sig = M._ahash64_exact(M.decode_jpeg_dc_thumbnail(enc))
+    assert full_sig == dc_sig
+    # thumbnail itself is exactly the block-value grid on this family
+    assert (M.decode_jpeg_dc_thumbnail(enc)
+            == np.repeat(vals.astype(np.uint8)[:, :, None], 3, 2)).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(h=st.integers(min_value=1, max_value=40),
+       w=st.integers(min_value=1, max_value=40),
+       seed=st.integers(min_value=0, max_value=2**31 - 1),
+       sub=st.sampled_from(["444", "420"]))
+def test_jpeg_dc_thumbnail_matches_blockwise_mean(h, w, seed, sub):
+    """The DC thumbnail approximates the blockwise mean of the full
+    decode within quantization error on smooth rasters, at ceil(dim/8)
+    resolution, for both subsampling layouts."""
+    rng = np.random.default_rng(seed)
+    a, b = rng.integers(0, 4, size=2)
+    x = np.arange(w).reshape(1, w, 1)
+    y = np.arange(h).reshape(h, 1, 1)
+    ch = np.arange(3).reshape(1, 1, 3)
+    px = ((a * x + b * y + 25 * ch) % 256).astype(np.uint8)
+    enc = M.encode_jpeg(px, 90, subsampling=sub)
+    th = M.decode_jpeg_dc_thumbnail(enc)
+    assert th.shape == (-(-h // 8), -(-w // 8), 3)
+    meta = M.jpeg_meta(enc)
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["sampling"] == (sub if sub == "420" else "444")
+
+
 @settings(max_examples=100, deadline=None)
 @given(buf=st.binary(max_size=150))
 def test_jpeg_decoder_garbage_never_crashes(buf):
