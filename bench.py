@@ -96,6 +96,7 @@ EXTRAS = [
     # r7 additions
     "multimodal_jpeg_features",
     "multimodal_mjpeg_frames",
+    "multimodal_mp4_frames",
     "corpus_source_report",
 ]
 

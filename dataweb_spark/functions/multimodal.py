@@ -6,10 +6,13 @@ JVM↔Python boundary row-at-a-time. Formats whose spec needs nothing beyond
 numpy + the stdlib decode for REAL — BMP/PPM rasters, PNG (zlib inflate +
 all five scanline filters), baseline JPEG (ITU-T T.81 sequential DCT:
 Huffman entropy decode, dequantize, IDCT, chroma upsample — encoder too),
-RIFF/WAVE PCM-16 audio, and RIFF/AVI uncompressed video — so the
-encode→decode→feature paths are fully verifiable; codecs that genuinely
-require external libraries (mp3/mp4, via ffmpeg/…) are NOT in this
-container, so those kernels stay stubbed: ``decode_fake``-style byte
+RIFF/WAVE PCM-16 audio, RIFF/AVI video (uncompressed DIB and Motion-JPEG),
+and ISO BMFF MP4 (full box grammar + stsd/stts/stsc/stsz/stco sample
+tables, Motion-JPEG track) — so the encode→decode→feature paths are fully
+verifiable; codecs that genuinely require external libraries (mp3 —
+its polyphase window is tabulated, not derivable; H.264/HEVC video
+essence) are NOT in this container, so those kernels stay stubbed:
+``decode_fake``-style byte
 statistics keep schema, partitioning, batch shape and UDF signatures real
 and testable, and ``decode_real`` raises ``NotImplementedError`` until a
 codec library is installed.
@@ -1074,6 +1077,263 @@ def decode_avi(data: bytes):
     return dims.get("fps", 0), _dib_frames(payloads, dims["w"], dims["h"])
 
 
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF container codec (pure struct+numpy — no external library)
+#
+# The reference treats video blobs as opaque bytes plus typed metadata
+# (SURVEY.md §2 multimodal columns); here the container itself is a real
+# codec: a Motion-JPEG video track in an ISO base-media file (ISO/IEC
+# 14496-12 box grammar, QuickTime-compatible 'jpeg' VisualSampleEntry —
+# every sample an independent baseline JPEG from encode_jpeg, so any
+# standard player decodes our files and we decode standard MJPEG-in-MP4).
+# ---------------------------------------------------------------------------
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    import struct
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _full_box(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+    import struct
+    return _box(btype, struct.pack(">B3s", version,
+                                   flags.to_bytes(3, "big")) + body)
+
+
+_MP4_MATRIX = (b"\x00\x01\x00\x00" + b"\x00" * 4 * 3
+               + b"\x00\x01\x00\x00" + b"\x00" * 4 * 3
+               + b"\x40\x00\x00\x00")  # unity 3x3 fixed-point matrix
+
+
+def encode_mp4(frames, fps: int = 10, quality: int = 75,
+               samples_per_chunk: int = 4) -> bytes:
+    """Encode an (N, H, W, 3) uint8 RGB frame stack as a real ISO BMFF
+    MP4 with one Motion-JPEG video track: ``ftyp`` + ``mdat`` (each
+    sample an independent baseline JPEG) + ``moov`` with the full sample
+    table — ``stsd`` ('jpeg' visual sample entry), ``stts`` (constant
+    delta), ``stsc`` (samples grouped ``samples_per_chunk`` per chunk so
+    the chunk-offset machinery is exercised, not degenerate), ``stsz``
+    (per-sample sizes), ``stco`` (absolute chunk offsets). ``mdat``
+    precedes ``moov`` so offsets are known when the table is written."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = arr.shape
+    bodies = [encode_jpeg(f, quality=quality) for f in arr]
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
+    mdat = _box(b"mdat", b"".join(bodies))
+    k = max(1, samples_per_chunk)
+
+    # chunk layout: full chunks of k samples + one partial tail chunk
+    sizes = [len(b) for b in bodies]
+    chunk_offsets = []
+    base = len(ftyp) + 8  # first sample starts right after the mdat header
+    off = base
+    for c0 in range(0, n, k):
+        chunk_offsets.append(off)
+        off += sum(sizes[c0:c0 + k])
+
+    mvhd = _full_box(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, fps, n) + struct.pack(">i", 0x00010000)
+        + struct.pack(">h", 0x0100) + b"\x00" * 10 + _MP4_MATRIX
+        + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _full_box(b"tkhd", 0, 7, struct.pack(
+        ">IIIII", 0, 0, 1, 0, n) + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0) + _MP4_MATRIX
+        + struct.pack(">II", w << 16, h << 16))
+    mdhd = _full_box(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, fps, n, 0x55C4, 0))  # language 'und'
+    hdlr = _full_box(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12
+                     + b"VideoHandler\x00")
+    name = b"Motion-JPEG"
+    entry = _box(b"jpeg", b"\x00" * 6 + struct.pack(">H", 1)
+                 + b"\x00" * 16 + struct.pack(">HH", w, h)
+                 + struct.pack(">II", 0x00480000, 0x00480000)
+                 + b"\x00" * 4 + struct.pack(">H", 1)
+                 + bytes([len(name)]) + name + b"\x00" * (31 - len(name))
+                 + struct.pack(">Hh", 24, -1))
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc_entries = [(1, min(k, n), 1)]
+    if n > k and n % k:
+        stsc_entries.append((n // k + 1, n % k, 1))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(
+        ">I", len(stsc_entries)) + b"".join(
+        struct.pack(">III", *e) for e in stsc_entries))
+    stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                     + b"".join(struct.pack(">I", s) for s in sizes))
+    stco = _full_box(b"stco", 0, 0, struct.pack(
+        ">I", len(chunk_offsets)) + b"".join(
+        struct.pack(">I", o) for o in chunk_offsets))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full_box(b"dref", 0, 0, struct.pack(">I", 1)
+                     + _full_box(b"url ", 0, 1, b""))
+    minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _walk_boxes(buf: bytes, pos: int, end: int):
+    """Yield ``(fourcc, body_start, body_end)`` for each box in
+    ``buf[pos:end]``; handles 64-bit largesize (size==1) and
+    to-end-of-file (size==0) boxes; truncation raises ValueError."""
+    import struct
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        btype = buf[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"truncated/overlong box {btype!r}")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find_box(buf: bytes, pos: int, end: int, path: tuple) -> tuple:
+    """Return ``(body_start, body_end)`` of the first box at ``path``
+    (a tuple of fourccs) or raise ValueError."""
+    for btype, s, e in _walk_boxes(buf, pos, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return s, e
+            return _find_box(buf, s, e, path[1:])
+    raise ValueError(f"missing {b'/'.join(path)!r} box")
+
+
+def decode_mp4(data: bytes):
+    """Decode an ISO BMFF MP4 into ``(fps, frames[N,H,W,3])``. Walks the
+    box tree to the first video track's sample table, reconstructs every
+    sample's file offset from stsc/stco(co64)/stsz, and decodes each
+    Motion-JPEG sample through the baseline JPEG decoder. Non-MJPEG
+    codecs (avc1/hvc1/mp4v...) raise NotImplementedError — H.264-class
+    entropy decoding needs an external library; the container layer
+    itself is fully real. Unknown sibling boxes (free/udta/skip, other
+    tracks) are skipped, so files from other writers parse."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF stream (missing ftyp)")
+    moov = _find_box(data, 0, len(data), (b"moov",))
+
+    video_stbl = None
+    fourcc = None
+    timescale = fps = None
+    for btype, s, e in _walk_boxes(data, *moov):
+        if btype != b"trak":
+            continue
+        try:
+            mdia = _find_box(data, s, e, (b"mdia",))
+            hs, he = _find_box(data, *mdia, (b"hdlr",))
+            if data[hs + 8:hs + 12] != b"vide":
+                continue
+            ms, _me = _find_box(data, *mdia, (b"mdhd",))
+            ver = data[ms]
+            timescale = struct.unpack_from(
+                ">I", data, ms + (20 if ver == 1 else 12))[0]
+            video_stbl = _find_box(data, *mdia, (b"minf", b"stbl"))
+        except ValueError:
+            continue
+        break
+    if video_stbl is None:
+        raise ValueError("no video track found")
+
+    boxes = {btype: (s, e)
+             for btype, s, e in _walk_boxes(data, *video_stbl)}
+    for req in (b"stsd", b"stsz", b"stsc"):
+        if req not in boxes:
+            raise ValueError(f"missing {req!r} box")
+    if b"stco" not in boxes and b"co64" not in boxes:
+        raise ValueError("missing stco/co64 box")
+
+    s, e = boxes[b"stsd"]
+    for btype, es, ee in _walk_boxes(data, s + 8, e):
+        fourcc = btype
+        break
+    if fourcc is None:
+        raise ValueError("empty stsd box")
+    if fourcc not in (b"jpeg", b"mjpa"):
+        raise NotImplementedError(
+            f"only Motion-JPEG ('jpeg') MP4 tracks supported, got "
+            f"{fourcc!r}; H.264/HEVC/MPEG-4 Part 2 need an external codec")
+
+    s, _e = boxes[b"stsz"]
+    sample_size, n = struct.unpack_from(">II", data, s + 4)
+    sizes = ([sample_size] * n if sample_size
+             else list(struct.unpack_from(f">{n}I", data, s + 12)))
+
+    s, _e = boxes[b"stsc"]
+    (n_stsc,) = struct.unpack_from(">I", data, s + 4)
+    stsc = [struct.unpack_from(">III", data, s + 8 + 12 * i)
+            for i in range(n_stsc)]
+
+    if b"stco" in boxes:
+        s, _e = boxes[b"stco"]
+        (n_chunks,) = struct.unpack_from(">I", data, s + 4)
+        offsets = struct.unpack_from(f">{n_chunks}I", data, s + 8)
+    else:
+        s, _e = boxes[b"co64"]
+        (n_chunks,) = struct.unpack_from(">I", data, s + 4)
+        offsets = struct.unpack_from(f">{n_chunks}Q", data, s + 8)
+
+    # expand stsc runs -> samples-per-chunk for every chunk
+    per_chunk = []
+    for i, (first, spc, _sdi) in enumerate(stsc):
+        last = (stsc[i + 1][0] - 1) if i + 1 < len(stsc) else n_chunks
+        per_chunk.extend([spc] * (last - first + 1))
+    if len(per_chunk) != n_chunks:
+        raise ValueError("stsc chunk map inconsistent with stco")
+
+    payloads = []
+    si = 0
+    for chunk_off, spc in zip(offsets, per_chunk):
+        off = chunk_off
+        for _ in range(spc):
+            if si >= n:
+                break
+            payloads.append(data[off:off + sizes[si]])
+            off += sizes[si]
+            si += 1
+    if si != n:
+        raise ValueError("sample table covers fewer samples than stsz")
+
+    # fps: constant-delta stts if present, else timescale alone
+    if b"stts" in boxes and timescale:
+        s, _e = boxes[b"stts"]
+        (n_stts,) = struct.unpack_from(">I", data, s + 4)
+        if n_stts >= 1:
+            _cnt, delta = struct.unpack_from(">II", data, s + 8)
+            fps = timescale // max(delta, 1)
+    frames = np.stack([decode_jpeg(p) for p in payloads])
+    return fps or 0, frames
+
+
+def _sniff_video(data: bytes) -> str:
+    """Container detection by magic: RIFF/AVI vs ISO BMFF ftyp."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "mp4"
+    raise ValueError("unrecognized video container")
+
+
+def decode_video(data: bytes):
+    """Decode any supported video container into ``(fps, frames)`` —
+    RIFF/AVI (DIB or MJPG) and ISO BMFF MP4 (Motion-JPEG track),
+    dispatched by magic bytes so callers never carry format flags."""
+    return (decode_avi if _sniff_video(data) == "avi"
+            else decode_mp4)(data)
+
+
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     """Encode an int16 sample array — shape (n,) mono or (n, channels) —
     as a canonical RIFF/WAVE PCM file (fmt chunk + data chunk,
@@ -1589,17 +1849,57 @@ def synthesize_mjpeg_media(spark, n: int = 48, fps: int = 10) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthesize_mp4_media(spark, n: int = 40, fps: int = 12) -> DataFrame:
+    """Deterministic REAL MP4 media table with an EXACTLY verifiable
+    decode: clip ``m`` has ``2 + m % 4`` frames of ``8*(1 + m % 3)`` ×
+    ``8*(1 + m % 2)`` constant-grey 8×8 blocks, block ``(bx, by)`` of
+    frame ``f`` holding ``(24*bx + 48*by + 5*m + 11*f) % 256`` in all
+    channels — the DC-exact quality-75 construction (constant blocks
+    survive the lossy JPEG path bit-exactly), packed as a Motion-JPEG
+    track in a real ISO BMFF container (``encode_mp4``: ftyp/mdat/moov
+    with full stsd/stts/stsc/stsz/stco sample tables, multi-sample
+    chunks). Distributed generation; an external oracle reproduces
+    decode→sample→feature from the closed form."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                m = int(mid)
+                bh, bw, nf = 1 + m % 2, 1 + m % 3, 2 + m % 4
+                f = np.arange(nf).reshape(nf, 1, 1)
+                by = np.arange(bh).reshape(1, bh, 1)
+                bx = np.arange(bw).reshape(1, 1, bw)
+                vals = (24 * bx + 48 * by + 5 * m + 11 * f) % 256
+                px = np.repeat(np.repeat(vals, 8, 1), 8, 2)
+                frames = np.repeat(px[:, :, :, None], 3, 3) \
+                           .astype(np.uint8)
+                rows.append((m, "video",
+                             encode_mp4(frames, fps, quality=75),
+                             {"format": "mp4", "width": 8 * bw,
+                              "height": 8 * bh,
+                              "duration_s": nf / fps}))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "content",
+                                        "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every: int = 1) -> DataFrame:
-    """REAL video frame sampling: decode AVI, keep every ``every``-th
-    frame, re-encode each kept frame as a standalone BMP — one output row
-    per sampled frame, ready for the image feature/resize/dedup kernels.
-    The row-explosion (frames ≫ clips) happens inside ``mapInPandas``, so
-    it pipelines batch-by-batch without materializing whole videos."""
+    """REAL video frame sampling: decode the container (AVI or MP4,
+    sniffed per blob by magic bytes, so mixed corpora work), keep every
+    ``every``-th frame, re-encode each kept frame as a standalone BMP —
+    one output row per sampled frame, ready for the image
+    feature/resize/dedup kernels. The row-explosion (frames ≫ clips)
+    happens inside ``mapInPandas``, so it pipelines batch-by-batch
+    without materializing whole videos."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                _fps, frames = decode_avi(bytes(content))
+                _fps, frames = decode_video(bytes(content))
                 _n, h, w, _ = frames.shape
                 for i in range(0, frames.shape[0], every):
                     rows.append((int(mid), i, encode_bmp(frames[i]),
@@ -1620,7 +1920,8 @@ SIGNATURE_SCHEMA = StructType([
 
 
 def video_signature(media: DataFrame, every: int = 1) -> DataFrame:
-    """Visual-temporal video fingerprint: decode AVI, fingerprint every
+    """Visual-temporal video fingerprint: decode the container (AVI or
+    MP4, sniffed per blob), fingerprint every
     ``every``-th frame as ``aHash:dims:pixel-sum``, join into one
     signature string. Re-containered copies of the same footage collapse
     to one signature (the fingerprint sees pixels, not bytes), while the
@@ -1635,7 +1936,7 @@ def video_signature(media: DataFrame, every: int = 1) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                _fps, frames = decode_avi(bytes(content))
+                _fps, frames = decode_video(bytes(content))
                 _n, h, w, _c = frames.shape
                 parts = []
                 for i in range(0, frames.shape[0], every):

@@ -4284,6 +4284,49 @@ order by media_id, frame_idx
 """)
 
 
+def _multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 decode → per-frame features: ISO BMFF files (full box
+    grammar — ftyp/mdat/moov with stsd/stts/stsc/stsz/stco sample
+    tables, Motion-JPEG track, multi-sample chunks) are synthesized
+    distributed, frame-sampled through ``decode_mp4`` → ``decode_jpeg``
+    → BMP re-encode (mixed AVI/MP4 corpora share this path via
+    magic-byte container sniffing), and reduced to per-frame pixel
+    statistics. The constant-block quality-75 construction makes the
+    lossy codec exact (see ``synthesize_mp4_media``), so the oracle
+    aggregates the closed form ``(24bx + 48by + 5m + 11f) mod 256``
+    analytically."""
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_mp4_media(spark, n=40)
+    frames = M.sample_frames(media, every=1)
+    return (M.extract_frame_features(frames)
+             .select("media_id", "frame_idx", "width", "height", "px_sum")
+             .orderBy("media_id", "frame_idx"))
+
+
+_df("multimodal_mp4_frames", _multimodal_mp4_frames, oracle="""
+with m as (select range as media_id from range(40)),
+dims as (
+  select media_id, cast(1 + media_id % 2 as int) as bh,
+         cast(1 + media_id % 3 as int) as bw,
+         cast(2 + media_id % 4 as int) as nf
+  from m
+), px as (
+  select d.media_id, f.f as frame_idx, d.bw, d.bh,
+         (24 * x.x + 48 * y.y + 5 * d.media_id + 11 * f.f) % 256 as v
+  from dims d,
+       unnest(range(d.nf)) as f(f),
+       unnest(range(d.bw)) as x(x),
+       unnest(range(d.bh)) as y(y)
+)
+select media_id, cast(frame_idx as int) as frame_idx,
+       cast(8 * bw as int) as width, cast(8 * bh as int) as height,
+       cast(sum(v) * 64 * 3 as bigint) as px_sum
+from px
+group by media_id, frame_idx, bw, bh
+order by media_id, frame_idx
+""")
+
+
 def _multimodal_jpeg_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only JPEG inventory — the no-decode catalog scan: every
     blob's dimensions/sampling/layout read from the SOF marker alone

@@ -372,6 +372,43 @@ def test_sample_frames_real_avi_path(spark):
     assert set(got) == expect_keys
 
 
+def test_sample_frames_mixed_containers(spark):
+    """A corpus mixing AVI and MP4 blobs flows through ONE sample_frames
+    pass (container sniffed per blob); and the SAME footage packed in
+    both containers yields identical video_signatures — cross-container
+    dedup sees pixels, not bytes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    avi = multimodal.synthesize_avi_media(spark, n=4)
+    mp4 = multimodal.synthesize_mp4_media(spark, n=4).withColumn(
+        "media_id", F.col("media_id") + 100)
+    frames = multimodal.sample_frames(avi.unionByName(mp4), every=1)
+    rows = frames.groupBy("media_id").count().collect()
+    got = {r["media_id"]: r["count"] for r in rows}
+    for m in range(4):
+        assert got[m] == 4 + m % 3          # AVI closed form
+        assert got[m + 100] == 2 + m % 4    # MP4 closed form
+
+    # same pixels, two containers -> one signature
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 256, (3, 2, 2))
+    px = np.repeat(np.repeat(vals, 8, 1), 8, 2)
+    fr = np.repeat(px[:, :, :, None], 3, 3).astype(np.uint8)
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "media_id": [0, 1],
+        "kind": ["video", "video"],
+        "content": [multimodal.encode_avi(fr, 10, codec="MJPG",
+                                          quality=75),
+                    multimodal.encode_mp4(fr, 10, quality=75)],
+        "meta": [None, None],
+    })
+    both = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    sigs = {r["media_id"]: r["signature"]
+            for r in multimodal.video_signature(both).collect()}
+    assert sigs[0] == sigs[1]
+
+
 def test_video_signature_dedup_contract(spark):
     """Planted visual duplicates (same footage, different media_id) must
     collapse to one signature; distinct-footage clips must all differ."""

@@ -263,6 +263,78 @@ def test_mjpeg_avi_constant_blocks_roundtrip_exact(n, bw, bh, fps, seed):
     assert back.shape == frames.shape and (back == frames).all()
 
 
+@settings(max_examples=15, deadline=None)
+@given(n=st.integers(min_value=1, max_value=6),
+       bw=st.integers(min_value=1, max_value=3),
+       bh=st.integers(min_value=1, max_value=3),
+       fps=st.integers(min_value=1, max_value=30),
+       k=st.integers(min_value=1, max_value=5),
+       seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_mp4_roundtrip_property(n, bw, bh, fps, k, seed):
+    """ISO BMFF MP4 (Motion-JPEG track) roundtrips constant-grey-block
+    frames bit-exactly at quality 75 across every chunk layout — n below
+    / equal to / above samples_per_chunk, with and without a partial tail
+    chunk — with fps and frame count preserved through the
+    stts/stsc/stsz/stco sample tables."""
+    vals = np.random.default_rng(seed).integers(0, 256, size=(n, bh, bw))
+    px = np.repeat(np.repeat(vals, 8, 1), 8, 2)
+    frames = np.repeat(px[:, :, :, None], 3, 3).astype(np.uint8)
+    blob = M.encode_mp4(frames, fps=fps, quality=75, samples_per_chunk=k)
+    got_fps, back = M.decode_mp4(blob)
+    assert got_fps == fps
+    assert back.shape == frames.shape and (back == frames).all()
+    # container sniffing picks the right decoder for both families
+    got_fps2, back2 = M.decode_video(blob)
+    assert got_fps2 == fps and (back2 == frames).all()
+
+
+def test_mp4_foreign_writer_tolerance():
+    """Files from other muxers carry extra boxes and 64-bit offset
+    tables: stray free/udta siblings are skipped, a co64 (64-bit) chunk
+    offset table decodes like stco, and non-MJPEG codec fourccs raise
+    NotImplementedError (not a crash) naming the codec."""
+    import struct
+
+    frames = np.full((3, 8, 16, 3), 77, dtype=np.uint8)
+    blob = M.encode_mp4(frames, fps=10, samples_per_chunk=2)
+
+    # inject a top-level free box between mdat and moov
+    moov_at = blob.index(b"moov") - 4
+    free = struct.pack(">I", 16) + b"free" + b"\x00" * 8
+    padded = blob[:moov_at] + free + blob[moov_at:]
+    fps, back = M.decode_mp4(padded)
+    assert fps == 10 and (back == frames).all()
+
+    # rewrite stco as co64 (same offsets, 8-byte entries)
+    at = blob.index(b"stco") - 4
+    (size,) = struct.unpack_from(">I", blob, at)
+    (n_chunks,) = struct.unpack_from(">I", blob, at + 12)
+    offs = struct.unpack_from(f">{n_chunks}I", blob, at + 16)
+    co64 = (struct.pack(">I", 16 + 8 * n_chunks) + b"co64"
+            + b"\x00" * 4 + struct.pack(">I", n_chunks)
+            + b"".join(struct.pack(">Q", o) for o in offs))
+    grown = len(co64) - size
+
+    def bump(buf, fourcc, delta):
+        i = buf.index(fourcc) - 4
+        (s,) = struct.unpack_from(">I", buf, i)
+        return buf[:i] + struct.pack(">I", s + delta) + buf[i + 4:]
+
+    v = blob[:at] + co64 + blob[at + size:]
+    for outer in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        v = bump(v, outer, grown)
+    fps, back = M.decode_mp4(v)
+    assert fps == 10 and (back == frames).all()
+
+    # foreign codec fourcc -> loud NotImplementedError
+    avc = blob.replace(b"jpeg", b"avc1", 1)
+    try:
+        M.decode_mp4(avc)
+        raise AssertionError("avc1 should not decode")
+    except NotImplementedError as e:
+        assert "avc1" in str(e)
+
+
 @settings(max_examples=25, deadline=None)
 @given(h=st.integers(min_value=1, max_value=40),
        w=st.integers(min_value=1, max_value=40),
