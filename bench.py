@@ -97,6 +97,7 @@ EXTRAS = [
     "multimodal_jpeg_features",
     "multimodal_mjpeg_frames",
     "multimodal_mp4_frames",
+    "multimodal_flac_features",
     "corpus_source_report",
 ]
 

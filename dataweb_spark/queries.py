@@ -4227,6 +4227,53 @@ order by media_id
 """)
 
 
+def _multimodal_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode → features: deterministic FLAC clips
+    (fixed-predictor + rice encoding from the pure-numpy/stdlib codec —
+    every spec constant derivable, CRC-8/16 + MD5 sealed) are synthesized
+    distributed, decoded losslessly, and reduced to duration/peak/RMS
+    through the SAME ``extract_audio_features`` kernel as WAV (container
+    sniffed per blob). Lossless means the closed form
+    ``((23i + 31m) mod 256 − 128)·128`` survives the codec bit-exactly,
+    so the oracle aggregates it analytically; a size-contract column pins
+    the compression claim (encoded bytes < raw PCM bytes) into the
+    hash-checked result."""
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_flac_media(spark, n=48)
+    feats = M.extract_audio_features(media)
+    sizes = media.select(
+        "media_id",
+        F.length("content").alias("flac_bytes"),
+    )
+    return (feats.join(sizes, "media_id")
+            .withColumn("compressed",
+                        (F.col("flac_bytes")
+                         < 2 * F.col("n_samples")).cast("boolean"))
+            .select("media_id", "sample_rate", "n_samples", "duration_s",
+                    "peak_abs", "rms", "compressed")
+            .orderBy("media_id"))
+
+
+_df("multimodal_flac_features", _multimodal_flac_features, oracle="""
+with m as (select range as media_id from range(48)),
+cnt as (select media_id, 800 + (media_id % 5) * 200 as n from m),
+s as (
+  select c.media_id, c.n,
+         (((23 * i.i + 31 * c.media_id) % 256) - 128) * 128 as v
+  from cnt c, unnest(range(c.n)) as i(i)
+)
+select media_id, cast(8000 as int) as sample_rate,
+       cast(n as bigint) as n_samples,
+       round(n / 8000.0, 6) as duration_s,
+       cast(max(abs(v)) as int) as peak_abs,
+       round(sqrt(avg(cast(v as double) * v)), 6) as rms,
+       true as compressed
+from s
+group by media_id, n
+order by media_id
+""")
+
+
 def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataweb_spark.functions import multimodal as M
     media = M.synthesize_media(spark, n=64, kind="video")

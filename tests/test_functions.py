@@ -349,6 +349,39 @@ def test_audio_spectrum_finds_planted_tone(spark):
         assert r["dominant_freq_hz"] == (25 + m % 50) * 8.0
 
 
+def test_audio_features_mixed_wav_flac(spark):
+    """A corpus mixing WAV and FLAC blobs flows through ONE
+    extract_audio_features pass (container sniffed per blob), and the
+    SAME samples in either container yield identical features — FLAC is
+    lossless, so the kernels can't tell."""
+    from pyspark.sql import functions as F
+    wav = multimodal.synthesize_wav_media(spark, n=4)
+    flac = multimodal.synthesize_flac_media(spark, n=4).withColumn(
+        "media_id", F.col("media_id") + 100)
+    feats = multimodal.extract_audio_features(wav.unionByName(flac))
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 8
+    for m in range(4):
+        assert rows[m]["n_samples"] == 900 + (m % 4) * 150
+        assert rows[m + 100]["n_samples"] == 800 + (m % 5) * 200
+
+    # identical samples, two containers -> identical features
+    import numpy as np
+    import pandas as pd
+    x = (np.arange(1200) * 37 % 4096 - 2048).astype(np.int16)
+    pdf = pd.DataFrame({
+        "media_id": [0, 1],
+        "kind": ["audio", "audio"],
+        "content": [multimodal.encode_wav(x, 8000),
+                    multimodal.encode_flac(x, 8000)],
+        "meta": [None, None],
+    })
+    both = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    f0, f1 = sorted(multimodal.extract_audio_features(both).collect(),
+                    key=lambda r: r["media_id"])
+    assert f0.asDict(True) | {"media_id": 1} == f1.asDict(True)
+
+
 def test_sample_frames_real_avi_path(spark):
     """sample_frames must emit exactly the even-indexed frames of each
     clip, re-encoded as standalone BMPs that decode back to the closed

@@ -336,6 +336,158 @@ def test_mp4_foreign_writer_tolerance():
 
 
 @settings(max_examples=25, deadline=None)
+@given(n=st.integers(min_value=1, max_value=9000),
+       ch=st.integers(min_value=1, max_value=2),
+       seed=st.integers(min_value=0, max_value=2**31 - 1),
+       rate=st.sampled_from([8000, 16000, 44100]),
+       smooth=st.booleans())
+def test_flac_roundtrip_property(n, ch, seed, rate, smooth):
+    """Every int16 signal — smooth random walks (fixed predictors win)
+    and white noise (verbatim fallback) — survives FLAC encode → decode
+    bit-exactly, across frame boundaries, partial tail blocks, and both
+    channel counts; sample rate is preserved via STREAMINFO."""
+    rng = np.random.default_rng(seed)
+    if smooth:
+        x = rng.integers(-300, 300, (n, ch)).cumsum(axis=0)
+        x = np.clip(x, -32768, 32767).astype(np.int16)
+    else:
+        x = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+    blob = M.encode_flac(x, rate, block_size=1024)
+    got_rate, back = M.decode_flac(blob)
+    assert got_rate == rate
+    assert back.shape == x.shape and (back == x).all()
+    if smooth and n > 2048:
+        assert len(blob) < x.nbytes    # predictors actually compress
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1),
+       flip=st.integers(min_value=0, max_value=10**9))
+def test_flac_corruption_never_crashes(seed, flip):
+    """A random byte-flip anywhere in a FLAC stream either fails loudly
+    (ValueError / NotImplementedError — CRCs, MD5, sync, reserved codes)
+    or still decodes; it never crashes or hangs the kernel."""
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-500, 500, 700).cumsum().astype(np.int16)
+    blob = bytearray(M.encode_flac(x, 8000, block_size=256))
+    blob[flip % len(blob)] ^= 1 + (flip % 255)
+    try:
+        M.decode_flac(bytes(blob))
+    except (ValueError, NotImplementedError, IndexError):
+        pass
+
+
+def _craft_flac(channels, bs, ch_code, write_subframes):
+    """Hand-mux a single-frame FLAC stream the way a foreign encoder
+    would: STREAMINFO (zero MD5 → decoder skips the hash check), frame
+    header with an 8-bit blocksize field, caller-supplied subframes."""
+    import struct
+    bw = M._FlacBitWriter()
+    bw.write(1, 1); bw.write(0, 7); bw.write(34, 24)
+    bw.write(bs, 16); bw.write(bs, 16)
+    bw.write(0, 24); bw.write(0, 24)
+    bw.write(8000, 20); bw.write(channels - 1, 3); bw.write(15, 5)
+    bw.write(0, 4); bw.write(bs, 32)
+    out = [b"fLaC", bw.bytes() + b"\x00" * 16]
+
+    hdr = M._FlacBitWriter()
+    hdr.write(0b11111111111110, 14); hdr.write(0, 1); hdr.write(0, 1)
+    hdr.write(0b0110, 4)            # 8-bit blocksize-1 field follows
+    hdr.write(0, 4)                 # sample rate from STREAMINFO
+    hdr.write(ch_code, 4)
+    hdr.write(0b100, 3); hdr.write(0, 1)
+    hdr.write(0, 8)                 # frame number 0
+    hdr.write(bs - 1, 8)
+    hbytes = hdr.bytes()
+    hbytes += bytes([M._crc8_flac(hbytes)])
+
+    body = M._FlacBitWriter()
+    for b in hbytes:
+        body.write(b, 8)
+    write_subframes(body)
+    fbytes = body.bytes()
+    out.append(fbytes + struct.pack(">H", M._crc16_flac(fbytes)))
+    return b"".join(out)
+
+
+def test_flac_foreign_writer_surface():
+    """Decoder features our encoder never emits, hand-muxed as a foreign
+    writer would: left-side and mid-side stereo decorrelation (17-bit
+    side channel), rice method 1 (5-bit params), escaped raw-bit
+    partitions, and wasted-bits shifting — each must reconstruct the
+    exact samples."""
+    left = np.array([100, -5, 327, 4, 8, -1000, 77, 3], dtype=np.int64)
+    right = np.array([90, 0, -327, 4, 1, 500, -77, 2], dtype=np.int64)
+    side = left - right
+    mid = (left + right) >> 1
+
+    def verbatim(body, samples, cbps):
+        body.write(0, 1); body.write(0b000001, 6); body.write(0, 1)
+        for v in samples:
+            body.write(int(v) & ((1 << cbps) - 1), cbps)
+
+    # left-side: sub0 = left @16, sub1 = side @17
+    blob = _craft_flac(2, 8, 8, lambda b: (verbatim(b, left, 16),
+                                           verbatim(b, side, 17)))
+    _sr, back = M.decode_flac(blob)
+    assert (back[:, 0] == left).all() and (back[:, 1] == right).all()
+
+    # right-side: sub0 = side @17, sub1 = right @16
+    blob = _craft_flac(2, 8, 9, lambda b: (verbatim(b, side, 17),
+                                           verbatim(b, right, 16)))
+    _sr, back = M.decode_flac(blob)
+    assert (back[:, 0] == left).all() and (back[:, 1] == right).all()
+
+    # mid-side: sub0 = mid @16, sub1 = side @17
+    blob = _craft_flac(2, 8, 10, lambda b: (verbatim(b, mid, 16),
+                                            verbatim(b, side, 17)))
+    _sr, back = M.decode_flac(blob)
+    assert (back[:, 0] == left).all() and (back[:, 1] == right).all()
+
+    # rice method 1 + FIXED order 0 (mono): residuals ARE the samples
+    vals = np.array([0, -1, 3, -7, 2, 100, -64, 5], dtype=np.int64)
+
+    def rice1(body):
+        body.write(0, 1); body.write(0b001000, 6); body.write(0, 1)
+        body.write(1, 2)            # method 1: 5-bit rice params
+        body.write(0, 4)            # partition order 0
+        body.write(3, 5)            # param 3
+        for v in vals:
+            u = (int(v) << 1) ^ (int(v) >> 63)
+            for _ in range(u >> 3):
+                body.write(0, 1)
+            body.write(1, 1)
+            body.write(u & 7, 3)
+
+    _sr, back = M.decode_flac(_craft_flac(1, 8, 0, rice1))
+    assert (back[:, 0] == vals).all()
+
+    # escaped partition: raw 12-bit residuals, FIXED order 0
+    def escaped(body):
+        body.write(0, 1); body.write(0b001000, 6); body.write(0, 1)
+        body.write(0, 2); body.write(0, 4)
+        body.write(0b1111, 4)       # method-0 escape
+        body.write(12, 5)           # raw bit width
+        for v in vals:
+            body.write(int(v) & 0xFFF, 12)
+
+    _sr, back = M.decode_flac(_craft_flac(1, 8, 0, escaped))
+    assert (back[:, 0] == vals).all()
+
+    # wasted bits: all samples share a factor of 4 -> shift of 2
+    shifted = vals * 4
+
+    def wasted(body):
+        body.write(0, 1); body.write(0b000001, 6)
+        body.write(1, 1)            # wasted-bits flag
+        body.write(0, 1); body.write(1, 1)   # unary 1 -> wasted = 2
+        for v in vals:
+            body.write(int(v) & 0x3FFF, 14)  # cbps = 16 - 2
+    _sr, back = M.decode_flac(_craft_flac(1, 8, 0, wasted))
+    assert (back[:, 0] == shifted).all()
+
+
+@settings(max_examples=25, deadline=None)
 @given(h=st.integers(min_value=1, max_value=40),
        w=st.integers(min_value=1, max_value=40),
        seed=st.integers(min_value=0, max_value=2**31 - 1),
