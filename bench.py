@@ -98,6 +98,7 @@ EXTRAS = [
     "multimodal_mjpeg_frames",
     "multimodal_mp4_frames",
     "multimodal_flac_features",
+    "dedup_remove_spans",
     "corpus_source_report",
 ]
 

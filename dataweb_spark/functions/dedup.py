@@ -492,6 +492,94 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
                                      / F.col("n_windows"), 6)))
 
 
+def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            window: int = 32) -> DataFrame:
+    """Exact-substring REMOVAL — the second half of Lee et al. 2022:
+    :func:`duplicated_spans` *scores* corpus-level span duplication; this
+    rewrites the corpus so every duplicated run of ≥ ``window`` tokens
+    survives in exactly ONE place (its globally-first occurrence by
+    ``(id, position)``) and is cut everywhere else, token-aligned.
+
+    Shape at 100 TB (all JVM-side, no Python):
+    1. explode stride-1 window hashes (rows ≈ tokens/doc), ONE shuffle on
+       the md5 window key; ``row_number`` picks the global first
+       occurrence — every later occurrence marks its token interval
+       ``[s, s+window)`` for removal.
+    2. overlapping removal intervals are merged per doc with a
+       gaps-and-islands window (running max of interval ends), so
+       coverage explodes to ≤ n_tokens rows — NOT windows × dups —
+       even for a doc that is one giant repeat. (A per-token
+       ``exists(removals)`` filter would be O(tokens × removals) on
+       exactly those pathological docs; this stays linear.)
+    3. covered token indices anti-join the posexploded token stream;
+       kept tokens re-assemble in order. Docs shorter than ``window``
+       tokens pass through untouched.
+
+    Every step is deterministic SQL the DuckDB oracle replays, so the
+    rewritten text is hash-checkable end-to-end. Returns
+    ``(id, clean_text, n_tokens, n_removed)``.
+    """
+    from pyspark.sql import Window
+
+    from dataweb_spark.functions.text import tokens
+
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("_toks")) \
+                .withColumn("_n", F.size("_toks"))
+    base = toks_df.where(F.col("_n") >= window)
+    starts = F.sequence(F.lit(0), F.col("_n") - window)
+    spans = (base
+             .select(id_col, "_toks", F.explode(starts).alias("_s"))
+             .select(F.col(id_col), F.col("_s"),
+                     F.md5(F.concat_ws(
+                         " ", F.slice("_toks", F.col("_s") + 1, window)))
+                      .alias("_wkey")))
+    rn = F.row_number().over(
+        Window.partitionBy("_wkey").orderBy(id_col, "_s"))
+    removals = spans.withColumn("_rn", rn).where(F.col("_rn") > 1) \
+                    .select(id_col, "_s")
+
+    # merge overlapping [s, s+window) intervals per doc: an interval
+    # starts an island when it begins at/after the running max end of
+    # everything before it
+    doc_w = Window.partitionBy(id_col).orderBy("_s")
+    prev_end = F.max(F.col("_s") + window).over(
+        doc_w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (removals
+               .withColumn("_new", F.when(prev_end.isNull()
+                                          | (F.col("_s") >= prev_end), 1)
+                           .otherwise(0))
+               .withColumn("_isl", F.sum("_new").over(
+                   doc_w.rowsBetween(Window.unboundedPreceding, 0)))
+               .groupBy(id_col, "_isl")
+               .agg(F.min("_s").alias("_lo"),
+                    (F.max("_s") + window).alias("_hi")))
+    covered = islands.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi") - 1)).alias("_i"))
+
+    tok_stream = toks_df.select(
+        F.col(id_col), F.col("_n"),
+        F.posexplode_outer("_toks").alias("_i", "_tok"))
+    # left join + flag, NOT an anti-join: a fully-duplicated doc keeps
+    # its (empty) output row instead of vanishing from the corpus
+    flagged = tok_stream.join(
+        covered.withColumn("_cov", F.lit(1)), [id_col, "_i"], "left")
+    keep = F.col("_cov").isNull() & F.col("_tok").isNotNull()
+    return (flagged.groupBy(id_col)
+            .agg(F.max("_n").alias("n_tokens"),
+                 F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.when(keep, F.struct("_i", "_tok")))),
+                     lambda x: x["_tok"])).alias("clean_text"),
+                 F.count(F.when(keep, 1)).alias("_n_kept"))
+            .select(id_col,
+                    "clean_text",
+                    "n_tokens",
+                    (F.col("n_tokens") - F.col("_n_kept"))
+                    .alias("n_removed")))
+
+
 def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
                     sep: str = "\n\n") -> DataFrame:

@@ -2687,6 +2687,75 @@ order by dup_frac desc, doc_id
 """)
 
 
+def _remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL (Lee et al. 2022's rewrite, not just the
+    score): every duplicated ≥16-token run survives in exactly one
+    place — its globally-first ``(doc, position)`` occurrence — and is
+    cut token-aligned everywhere else. The oracle replays first-
+    occurrence ranking, interval merging, and token reassembly in SQL,
+    so the rewritten text is pinned by ``md5(clean_text)``, not just
+    counted."""
+    from dataweb_spark.functions import dedup as D
+    register_views(spark, sf_dir)
+    out = D.remove_duplicated_spans(spark.table("documents"), window=16)
+    return (out.where(F.col("n_removed") > 0)
+               .select("doc_id", "n_tokens", "n_removed",
+                       F.md5("clean_text").alias("clean_fp"))
+               .orderBy("doc_id"))
+
+
+_df("dedup_remove_spans", _remove_dup_spans, oracle=r"""
+with t as (
+  select doc_id, string_split_regex(trim(text), '\s+') as toks
+  from documents where length(trim(text)) > 0
+), alltok as (
+  select doc_id, len(toks) as n, toks from t
+), base as (select * from alltok where n >= 16),
+spans as (
+  select doc_id, u.s,
+         md5(array_to_string(toks[u.s + 1 : u.s + 16], ' ')) as wkey
+  from base, unnest(range(0, n - 16 + 1)) as u(s)
+), ranked as (
+  select doc_id, s,
+         row_number() over (partition by wkey order by doc_id, s) as rn
+  from spans
+), removals as (select doc_id, s from ranked where rn > 1),
+prevs as (
+  select doc_id, s,
+         max(s + 16) over (partition by doc_id order by s
+             rows between unbounded preceding and 1 preceding) as pe
+  from removals
+), isl as (
+  select doc_id, s,
+         sum(case when pe is null or s >= pe then 1 else 0 end)
+             over (partition by doc_id order by s) as island
+  from prevs
+), merged as (
+  select doc_id, min(s) as lo, max(s) + 16 as hi
+  from isl group by doc_id, island
+), covered as (
+  select doc_id, i.i from merged, unnest(range(lo, hi)) as i(i)
+), tokstream as (
+  select a.doc_id, a.n, i.i, a.toks[i.i + 1] as tok
+  from alltok a, unnest(range(0, a.n)) as i(i)
+), kept as (
+  select t.doc_id, t.n, t.i, t.tok, c.i is not null as cov
+  from tokstream t
+  left join covered c on t.doc_id = c.doc_id and t.i = c.i
+), rebuilt as (
+  select doc_id, max(n) as n_tokens,
+         cast(max(n) - count(case when not cov then 1 end) as bigint)
+             as n_removed,
+         md5(coalesce(
+             string_agg(case when not cov then tok end, ' ' order by i),
+             '')) as clean_fp
+  from kept group by doc_id
+)
+select doc_id, cast(n_tokens as int) as n_tokens, n_removed, clean_fp
+from rebuilt where n_removed > 0 order by doc_id
+""")
+
+
 def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination scan: corpus docs (doc_id % 10 != 0) sharing any
     16-token span with the held-out eval split (doc_id % 10 = 0)."""

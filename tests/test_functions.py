@@ -844,6 +844,35 @@ def test_duplicated_spans_planted_repeat(spark):
         assert 0 <= r["dup_frac"] <= 1
 
 
+def test_remove_duplicated_spans_semantics(spark):
+    """Exact-substring removal contract: the globally-first occurrence
+    keeps its text verbatim; later occurrences lose exactly the
+    duplicated token interval; a fully-duplicated doc survives as an
+    EMPTY row (never vanishes); sub-window docs and empty docs pass
+    through; token conservation holds per doc."""
+    span = " ".join(f"w{i}" for i in range(6))
+    df = spark.createDataFrame(
+        [(1, span + " unique one two three"),
+         (2, "prefix " + span + " suffix tokens here"),
+         (3, span + " " + span),     # overlapping + repeated: all covered
+         (4, "short doc"),
+         (5, "")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            dedup.remove_duplicated_spans(df, window=6).collect()}
+    assert len(rows) == 5            # every doc keeps a row
+    assert rows[1]["clean_text"] == span + " unique one two three"
+    assert rows[1]["n_removed"] == 0
+    assert rows[2]["clean_text"] == "prefix suffix tokens here"
+    assert rows[2]["n_removed"] == 6
+    assert rows[3]["clean_text"] == "" and rows[3]["n_removed"] == 12
+    assert rows[4]["clean_text"] == "short doc"
+    assert rows[5]["clean_text"] == "" and rows[5]["n_tokens"] == 0
+    for r in rows.values():
+        n_kept = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert n_kept + r["n_removed"] == r["n_tokens"]
+
+
 def test_contamination_check_planted_leak(spark):
     eval_text = " ".join(f"e{i}" for i in range(16))
     clean = " ".join(f"c{i}" for i in range(30))
