@@ -99,6 +99,7 @@ EXTRAS = [
     "multimodal_mp4_frames",
     "multimodal_flac_features",
     "dedup_remove_spans",
+    "dedup_video_cross_container",
     "corpus_source_report",
 ]
 

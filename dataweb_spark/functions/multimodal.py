@@ -2376,6 +2376,49 @@ def synthesize_mp4_media(spark, n: int = 40, fps: int = 12) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synthesize_cross_container_media(spark, n: int = 16,
+                                     fps: int = 10) -> DataFrame:
+    """Planted cross-container duplicates: clip ``m`` (< n) is a
+    Motion-JPEG AVI of closed-form footage; clip ``m + n`` is the SAME
+    footage muxed as an ISO BMFF MP4. Footage: ``2 + m % 3`` frames of
+    ``8·(1 + m % 2)`` × ``8·(1 + m % 3)`` constant-grey blocks holding
+    ``(32·bx + 56·by + 9·m + 17·f) % 256`` — distinct per ``m`` by
+    construction, identical across the two containers, and exact
+    through quality-75 JPEG. ``video_signature`` must therefore pair
+    ``(m, m+n)`` exactly: container-invariant dedup, provable by an
+    external oracle without decoding a byte."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                i = int(mid)
+                m = i % n
+                bh, bw, nf = 1 + m % 2, 1 + m % 3, 2 + m % 3
+                f = np.arange(nf).reshape(nf, 1, 1)
+                by = np.arange(bh).reshape(1, bh, 1)
+                bx = np.arange(bw).reshape(1, 1, bw)
+                vals = (32 * bx + 56 * by + 9 * m + 17 * f) % 256
+                px = np.repeat(np.repeat(vals, 8, 1), 8, 2)
+                frames = np.repeat(px[:, :, :, None], 3, 3) \
+                           .astype(np.uint8)
+                if i < n:
+                    blob, fmt = encode_avi(frames, fps, codec="MJPG",
+                                           quality=75), "avi"
+                else:
+                    blob, fmt = encode_mp4(frames, fps, quality=75), "mp4"
+                rows.append((i, "video", blob,
+                             {"format": fmt, "width": 8 * bw,
+                              "height": 8 * bh,
+                              "duration_s": nf / fps}))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "content",
+                                        "meta"])
+
+    return spark.range(2 * n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every: int = 1) -> DataFrame:
     """REAL video frame sampling: decode the container (AVI or MP4,
     sniffed per blob by magic bytes, so mixed corpora work), keep every

@@ -4717,6 +4717,33 @@ order by dup_a
 """)
 
 
+def _dedup_video_cross_container(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Container-invariant video dedup: 16 clips of distinct closed-form
+    footage, each present TWICE — as a Motion-JPEG AVI (id m) and as the
+    same footage muxed into an ISO BMFF MP4 (id m+16). The visual-
+    temporal signature decodes whichever container each blob carries
+    (magic-byte sniff) and fingerprints pixels, so re-containered copies
+    MUST pair ``(m, m+16)`` exactly and distinct footage cannot pair —
+    re-encoding a video library from AVI to MP4 doesn't fool the dedup
+    pass. Oracle states the pairing in closed form."""
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_cross_container_media(spark, n=16)
+    sigs = M.video_signature(media)
+    a = sigs.select("signature", F.col("media_id").alias("dup_a"))
+    b = sigs.select("signature", F.col("media_id").alias("dup_b"))
+    return (a.join(b, "signature")
+             .where(F.col("dup_a") < F.col("dup_b"))
+             .select("dup_a", "dup_b")
+             .orderBy("dup_a"))
+
+
+_df("dedup_video_cross_container", _dedup_video_cross_container, oracle="""
+select range as dup_a, range + 16 as dup_b from range(16)
+order by dup_a
+""")
+
+
 def _dedup_audio_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup via spectral fingerprint: 32 real WAVs (24 distinct
     tone sequences + 8 half-amplitude re-masters) are decoded and reduced
