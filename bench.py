@@ -100,6 +100,7 @@ EXTRAS = [
     "multimodal_flac_features",
     "dedup_remove_spans",
     "dedup_video_cross_container",
+    "multimodal_media_catalog",
     "corpus_source_report",
 ]
 

@@ -1105,7 +1105,7 @@ _MP4_MATRIX = (b"\x00\x01\x00\x00" + b"\x00" * 4 * 3
 
 
 def encode_mp4(frames, fps: int = 10, quality: int = 75,
-               samples_per_chunk: int = 4) -> bytes:
+               samples_per_chunk: int = 4, faststart: bool = False) -> bytes:
     """Encode an (N, H, W, 3) uint8 RGB frame stack as a real ISO BMFF
     MP4 with one Motion-JPEG video track: ``ftyp`` + ``mdat`` (each
     sample an independent baseline JPEG) + ``moov`` with the full sample
@@ -1113,7 +1113,11 @@ def encode_mp4(frames, fps: int = 10, quality: int = 75,
     delta), ``stsc`` (samples grouped ``samples_per_chunk`` per chunk so
     the chunk-offset machinery is exercised, not degenerate), ``stsz``
     (per-sample sizes), ``stco`` (absolute chunk offsets). ``mdat``
-    precedes ``moov`` so offsets are known when the table is written."""
+    precedes ``moov`` by default; ``faststart=True`` writes ``moov``
+    first (the web/streaming layout — a catalog probe then reads the
+    whole sample table from the first few KB without seeking past the
+    media payload; the moov size is offset-independent, so chunk
+    offsets are computed after sizing it)."""
     import struct
 
     import numpy as np
@@ -1127,12 +1131,15 @@ def encode_mp4(frames, fps: int = 10, quality: int = 75,
 
     # chunk layout: full chunks of k samples + one partial tail chunk
     sizes = [len(b) for b in bodies]
-    chunk_offsets = []
-    base = len(ftyp) + 8  # first sample starts right after the mdat header
-    off = base
-    for c0 in range(0, n, k):
-        chunk_offsets.append(off)
-        off += sum(sizes[c0:c0 + k])
+
+    def chunk_offsets_from(base: int) -> list:
+        offs, off = [], base
+        for c0 in range(0, n, k):
+            offs.append(off)
+            off += sum(sizes[c0:c0 + k])
+        return offs
+
+    chunk_offsets = chunk_offsets_from(len(ftyp) + 8)
 
     mvhd = _full_box(b"mvhd", 0, 0, struct.pack(
         ">IIII", 0, 0, fps, n) + struct.pack(">i", 0x00010000)
@@ -1163,18 +1170,27 @@ def encode_mp4(frames, fps: int = 10, quality: int = 75,
         struct.pack(">III", *e) for e in stsc_entries))
     stsz = _full_box(b"stsz", 0, 0, struct.pack(">II", 0, n)
                      + b"".join(struct.pack(">I", s) for s in sizes))
-    stco = _full_box(b"stco", 0, 0, struct.pack(
-        ">I", len(chunk_offsets)) + b"".join(
-        struct.pack(">I", o) for o in chunk_offsets))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
-    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
-    dref = _full_box(b"dref", 0, 0, struct.pack(">I", 1)
-                     + _full_box(b"url ", 0, 1, b""))
-    minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    trak = _box(b"trak", tkhd + mdia)
-    moov = _box(b"moov", mvhd + trak)
-    return ftyp + mdat + moov
+
+    def build_moov(offsets: list) -> bytes:
+        stco = _full_box(b"stco", 0, 0, struct.pack(
+            ">I", len(offsets)) + b"".join(
+            struct.pack(">I", o) for o in offsets))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        dref = _full_box(b"dref", 0, 0, struct.pack(">I", 1)
+                         + _full_box(b"url ", 0, 1, b""))
+        minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + trak)
+
+    if faststart:
+        # moov size is independent of the offset VALUES (fixed-width
+        # fields), so size it once, then rewrite with real offsets
+        moov_size = len(build_moov(chunk_offsets))
+        moov = build_moov(chunk_offsets_from(len(ftyp) + moov_size + 8))
+        return ftyp + moov + mdat
+    return ftyp + mdat + build_moov(chunk_offsets)
 
 
 def _walk_boxes(buf: bytes, pos: int, end: int):
@@ -2374,6 +2390,196 @@ def synthesize_mp4_media(spark, n: int = 40, fps: int = 12) -> DataFrame:
                                         "meta"])
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def media_probe(data: bytes) -> dict:
+    """Header-only probe across EVERY supported container — the
+    format-agnostic big sibling of :func:`jpeg_meta`: sniff the magic,
+    read ONLY headers/metadata tables (BMP/PNG/PPM/JPEG headers, WAV fmt
+    + data-size, FLAC STREAMINFO, AVI hdrl — the movi payload list is
+    never entered, MP4 moov — mdat is never touched), and return
+    ``{kind, format, width, height, n_frames, sample_rate, channels,
+    n_samples, duration_s}`` with None for fields the kind lacks. O(header)
+    bytes per blob regardless of blob size — the primitive that
+    inventories a 100-TB mixed-media corpus at IO speed without decoding
+    a pixel or a sample."""
+    import struct
+
+    out = {"kind": None, "format": None, "width": None, "height": None,
+           "n_frames": None, "sample_rate": None, "channels": None,
+           "n_samples": None, "duration_s": None}
+
+    if data[:2] == b"BM":
+        (_off,) = struct.unpack_from("<I", data, 10)
+        _sz, w, h = struct.unpack_from("<Iii", data, 14)
+        out.update(kind="image", format="bmp", width=w, height=abs(h))
+        return out
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        if data[12:16] != b"IHDR":
+            raise ValueError("PNG missing IHDR")
+        w, h = struct.unpack_from(">II", data, 16)
+        out.update(kind="image", format="png", width=w, height=h)
+        return out
+    if data[:2] == b"P6":
+        fields = data[2:64].split()
+        if len(fields) < 2:
+            raise ValueError("truncated PPM header")
+        out.update(kind="image", format="ppm",
+                   width=int(fields[0]), height=int(fields[1]))
+        return out
+    if data[:2] == b"\xFF\xD8":
+        m = jpeg_meta(data)
+        out.update(kind="image", format="jpeg",
+                   width=m["width"], height=m["height"])
+        return out
+    if data[:4] == b"fLaC":
+        br = _FlacBitReader(data, 8)    # skip marker + block header
+        br.read(16), br.read(16), br.read(24), br.read(24)
+        rate = br.read(20)
+        ch = br.read(3) + 1
+        br.read(5)
+        total = br.read(36)
+        out.update(kind="audio", format="flac", sample_rate=rate,
+                   channels=ch, n_samples=total,
+                   duration_s=round(total / rate, 6) if rate else None)
+        return out
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        pos, fmt, data_size = 12, None, None
+        while pos + 8 <= len(data):
+            cid = data[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", data, pos + 8)
+            elif cid == b"data":
+                data_size = size        # size only — payload untouched
+            pos += 8 + size + (size % 2)
+        if fmt is None or data_size is None:
+            raise ValueError("missing fmt/data chunk")
+        _af, ch, rate, _br, block_align, _bits = fmt
+        n = data_size // max(block_align, 1)
+        out.update(kind="audio", format="wav", sample_rate=rate,
+                   channels=ch, n_samples=n,
+                   duration_s=round(n / rate, 6) if rate else None)
+        return out
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        dims, fps = {}, None
+        pos = 12
+        while pos + 8 <= len(data):
+            cid = data[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            if cid == b"LIST":
+                ltype = data[pos + 8:pos + 12]
+                if ltype in (b"hdrl", b"strl"):
+                    # descend into header lists only — movi is skipped
+                    inner = pos + 12
+                    end = pos + 8 + size
+                    stack = [(inner, end)]
+                    while stack:
+                        p, e = stack.pop()
+                        while p + 8 <= e:
+                            c2 = data[p:p + 4]
+                            (s2,) = struct.unpack_from("<I", data, p + 4)
+                            if c2 == b"LIST" \
+                                    and data[p + 8:p + 12] == b"strl":
+                                stack.append((p + 12, p + 8 + s2))
+                            elif c2 == b"avih":
+                                vals = struct.unpack_from(
+                                    "<14I", data, p + 8)
+                                dims["n"], dims["w"], dims["h"] = \
+                                    vals[4], vals[8], vals[9]
+                            elif c2 == b"strh" \
+                                    and data[p + 8:p + 12] == b"vids":
+                                scale, rate = struct.unpack_from(
+                                    "<II", data, p + 28)
+                                fps = rate // max(scale, 1)
+                            p += 8 + s2 + (s2 % 2)
+            pos += 8 + size + (size % 2)
+        if "w" not in dims:
+            raise ValueError("missing avih header")
+        out.update(kind="video", format="avi", width=dims["w"],
+                   height=dims["h"], n_frames=dims["n"],
+                   duration_s=round(dims["n"] / fps, 6) if fps else None)
+        return out
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        moov = _find_box(data, 0, len(data), (b"moov",))
+        for btype, s, e in _walk_boxes(data, *moov):
+            if btype != b"trak":
+                continue
+            try:
+                mdia = _find_box(data, s, e, (b"mdia",))
+                hs, _he = _find_box(data, *mdia, (b"hdlr",))
+                if data[hs + 8:hs + 12] != b"vide":
+                    continue
+                ms, _me = _find_box(data, *mdia, (b"mdhd",))
+                ver = data[ms]
+                off = 20 if ver == 1 else 12
+                timescale = struct.unpack_from(">I", data, ms + off)[0]
+                stbl = _find_box(data, *mdia, (b"minf", b"stbl"))
+                zs, _ze = _find_box(data, *stbl, (b"stsz",))
+                _fixed, n = struct.unpack_from(">II", data, zs + 4)
+                ds, de = _find_box(data, *stbl, (b"stsd",))
+                width = height = None
+                for _cc, es, _ee in _walk_boxes(data, ds + 8, de):
+                    width, height = struct.unpack_from(">HH", data,
+                                                       es + 24)
+                    break
+                ts, _te = _find_box(data, *stbl, (b"stts",))
+                _n_stts = struct.unpack_from(">I", data, ts + 4)[0]
+                _cnt, delta = struct.unpack_from(">II", data, ts + 8)
+                fps = timescale // max(delta, 1)
+                out.update(kind="video", format="mp4", width=width,
+                           height=height, n_frames=n,
+                           duration_s=round(n / fps, 6) if fps else None)
+                return out
+            except ValueError:
+                continue
+        raise ValueError("no video track found")
+    raise ValueError("unrecognized media container")
+
+
+MEDIA_CATALOG_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("format", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_s", DoubleType()),
+    StructField("content_bytes", LongType()),
+])
+
+
+def media_catalog(media: DataFrame) -> DataFrame:
+    """Format-agnostic header-only inventory: one row per blob with
+    kind/format/dims/frame-count/sample-count/duration from
+    :func:`media_probe` — no pixel or sample decode anywhere, so a mixed
+    100-TB corpus catalogs at IO speed. Unparseable blobs yield a
+    ``kind='corrupt'`` row instead of failing the task (a corrupt file
+    is a catalog fact, not a pipeline error)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                try:
+                    m = media_probe(b)
+                    out.append((int(mid), m["kind"], m["format"],
+                                m["width"], m["height"], m["n_frames"],
+                                m["sample_rate"], m["channels"],
+                                m["n_samples"], m["duration_s"], len(b)))
+                except (ValueError, NotImplementedError, struct.error,
+                        IndexError):
+                    out.append((int(mid), "corrupt", None, None, None,
+                                None, None, None, None, None, len(b)))
+            yield pd.DataFrame(out, columns=[f.name for f
+                                             in MEDIA_CATALOG_SCHEMA])
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, schema=MEDIA_CATALOG_SCHEMA)
 
 
 def synthesize_cross_container_media(spark, n: int = 16,

@@ -4443,6 +4443,94 @@ order by media_id, frame_idx
 """)
 
 
+def _multimodal_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-agnostic header-only inventory over a MIXED corpus: eight
+    blobs each of BMP/PNG/PPM-sibling rasters, JPEG, WAV, FLAC, AVI,
+    Motion-JPEG AVI and MP4 (plus one corrupt blob) catalogued in ONE
+    ``media_catalog`` pass — magic-sniffed, only headers/sample-tables
+    read (WAV's data payload, AVI's movi list and MP4's mdat are never
+    entered), so a 100-TB mixed-media lake inventories at IO speed. All
+    dims/counts/durations follow the synthesizers' closed forms, so the
+    oracle reproduces the whole catalog without touching a byte of
+    media; the corrupt blob must surface as a ``kind='corrupt'`` row,
+    not a task failure."""
+    import pandas as pd
+
+    from dataweb_spark.functions import multimodal as M
+
+    def shift(df, off):
+        return df.withColumn("media_id", F.col("media_id") + off)
+
+    corrupt = spark.createDataFrame(
+        pd.DataFrame({"media_id": [800], "kind": ["?"],
+                      "content": [b"not a media container"],
+                      "meta": [None]}),
+        schema=M.MEDIA_SCHEMA)
+    media = (M.synthesize_bmp_media(spark, n=8)
+             .unionByName(shift(M.synthesize_png_media(spark, n=8), 100))
+             .unionByName(shift(M.synthesize_jpeg_media(spark, n=8), 200))
+             .unionByName(shift(M.synthesize_wav_media(spark, n=8), 300))
+             .unionByName(shift(M.synthesize_flac_media(spark, n=8), 400))
+             .unionByName(shift(M.synthesize_avi_media(spark, n=8), 500))
+             .unionByName(shift(M.synthesize_mjpeg_media(spark, n=8), 600))
+             .unionByName(shift(M.synthesize_mp4_media(spark, n=8), 700))
+             .unionByName(corrupt))
+    return (M.media_catalog(media)
+            .select("media_id", "kind", "format", "width", "height",
+                    "n_frames", "sample_rate", "channels", "n_samples",
+                    "duration_s")
+            .orderBy("media_id"))
+
+
+_df("multimodal_media_catalog", _multimodal_media_catalog, oracle="""
+with m as (select range as i from range(8))
+select * from (
+  select i as media_id, 'image' as kind, 'bmp' as format,
+         cast(8 + i % 5 as int) as width, cast(8 + i % 3 as int) as height,
+         cast(null as int) as n_frames, cast(null as int) as sample_rate,
+         cast(null as int) as channels, cast(null as bigint) as n_samples,
+         cast(null as double) as duration_s
+  from m
+  union all
+  select i + 100, 'image', 'png', cast(8 + i % 5 as int),
+         cast(8 + i % 3 as int), null, null, null, null, null
+  from m
+  union all
+  select i + 200, 'image', 'jpeg', cast(8 * (1 + i % 4) as int),
+         cast(8 * (1 + i % 3) as int), null, null, null, null, null
+  from m
+  union all
+  select i + 300, 'audio', 'wav', null, null, null, 8000, 1,
+         cast(900 + (i % 4) * 150 as bigint),
+         round((900 + (i % 4) * 150) / 8000.0, 6)
+  from m
+  union all
+  select i + 400, 'audio', 'flac', null, null, null, 8000, 1,
+         cast(800 + (i % 5) * 200 as bigint),
+         round((800 + (i % 5) * 200) / 8000.0, 6)
+  from m
+  union all
+  select i + 500, 'video', 'avi', cast(8 + i % 3 as int),
+         cast(6 + i % 2 as int), cast(4 + i % 3 as int), null, null,
+         null, round((4 + i % 3) / 10.0, 6)
+  from m
+  union all
+  select i + 600, 'video', 'avi', cast(8 * (1 + i % 4) as int),
+         cast(8 * (1 + i % 2) as int), cast(2 + i % 3 as int), null,
+         null, null, round((2 + i % 3) / 10.0, 6)
+  from m
+  union all
+  select i + 700, 'video', 'mp4', cast(8 * (1 + i % 3) as int),
+         cast(8 * (1 + i % 2) as int), cast(2 + i % 4 as int), null,
+         null, null, round((2 + i % 4) / 12.0, 6)
+  from m
+  union all
+  select 800, 'corrupt', null, null, null, null, null, null, null, null
+)
+order by media_id
+""")
+
+
 def _multimodal_jpeg_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only JPEG inventory — the no-decode catalog scan: every
     blob's dimensions/sampling/layout read from the SOF marker alone

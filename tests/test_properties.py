@@ -335,6 +335,49 @@ def test_mp4_foreign_writer_tolerance():
         assert "avc1" in str(e)
 
 
+def test_media_probe_header_only():
+    """media_probe must read ONLY headers: streams truncated to just
+    their metadata (WAV cut at the data-chunk header, AVI cut before
+    movi, faststart MP4 cut at mdat) still probe fully — the property
+    that makes a 100-TB catalog scan IO-bound on headers, not payloads.
+    Both MP4 layouts decode identically; garbage raises ValueError."""
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (2, 3))
+    fr = np.repeat(np.repeat(np.repeat(px, 8, 0), 8, 1)[None, :, :, None],
+                   3, 3).astype(np.uint8)
+    fr = np.repeat(fr, 5, 0)
+
+    for fast in (False, True):
+        blob = M.encode_mp4(fr, fps=10, faststart=fast)
+        fps, out = M.decode_mp4(blob)
+        assert fps == 10 and (out == fr).all()
+        m = M.media_probe(blob)
+        assert (m["kind"], m["n_frames"], m["width"], m["height"]) \
+            == ("video", 5, 24, 16)
+
+    fast_blob = M.encode_mp4(fr, fps=10, faststart=True)
+    truncated = fast_blob[:fast_blob.index(b"mdat") - 4]
+    assert M.media_probe(truncated)["n_frames"] == 5
+
+    wav = M.encode_wav(np.arange(3000).astype(np.int16), 8000)
+    assert M.media_probe(wav[:52])["n_samples"] == 3000
+
+    avi = M.encode_avi(fr, 10)
+    cut = avi[:avi.index(b"movi") - 8]
+    assert M.media_probe(cut)["n_frames"] == 5
+
+    flac = M.encode_flac(np.arange(2000).astype(np.int16), 16000)
+    m = M.media_probe(flac[:42])
+    assert m["n_samples"] == 2000 and m["sample_rate"] == 16000
+
+    for bad in (b"", b"garbage bytes here", b"\x00" * 64):
+        try:
+            M.media_probe(bad)
+            raise AssertionError("garbage probed")
+        except (ValueError, IndexError):
+            pass
+
+
 @settings(max_examples=25, deadline=None)
 @given(n=st.integers(min_value=1, max_value=9000),
        ch=st.integers(min_value=1, max_value=2),
