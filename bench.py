@@ -101,6 +101,7 @@ EXTRAS = [
     "dedup_remove_spans",
     "dedup_video_cross_container",
     "multimodal_media_catalog",
+    "multimodal_audio_resample",
     "corpus_source_report",
 ]
 

@@ -1224,6 +1224,23 @@ def _find_box(buf: bytes, pos: int, end: int, path: tuple) -> tuple:
     raise ValueError(f"missing {b'/'.join(path)!r} box")
 
 
+def _classify_parse_errors(fn):
+    """Corrupt-stream hardening: fixed-offset header reads on attacker
+    bytes can raise struct.error/IndexError; decode kernels classify
+    per-row failures by (ValueError, NotImplementedError), so convert."""
+    import functools
+    import struct
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, IndexError) as exc:
+            raise ValueError(f"truncated/corrupt stream: {exc}") from exc
+    return wrapped
+
+
+@_classify_parse_errors
 def decode_mp4(data: bytes):
     """Decode an ISO BMFF MP4 into ``(fps, frames[N,H,W,3])``. Walks the
     box tree to the first video track's sample table, reconstructs every
@@ -1669,6 +1686,7 @@ def encode_flac(samples, sample_rate: int = 8000,
     return b"".join(out)
 
 
+@_classify_parse_errors
 def decode_flac(data: bytes, verify_md5: bool = True):
     """Decode a FLAC stream into ``(sample_rate, samples[n, ch] int16)``.
     Reads the fixed-predictor surface of the format: CONSTANT/VERBATIM/
@@ -1844,7 +1862,9 @@ def decode_flac(data: bytes, verify_md5: bool = True):
             chans_out[ci].append(x)
         got += bs
 
-    arr = np.stack([np.concatenate(c) for c in chans_out], axis=1)
+    arr = np.stack([np.concatenate(c) if c
+                    else np.zeros(0, dtype=np.int64)
+                    for c in chans_out], axis=1)
     arr = arr[:total].astype(np.int16)
     if verify_md5 and md5 != b"\x00" * 16:
         if hashlib.md5(arr.astype("<i2").tobytes()).digest() != md5:
@@ -1951,6 +1971,44 @@ def synthesize_sine_media(spark, n: int = 64, sample_rate: int = 8000,
                                         "meta"])
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def resample_audio(media: DataFrame, factor: int = 4) -> DataFrame:
+    """Integer-factor audio downsampling — the audio sibling of the
+    integer-exact image resize: each output sample is the FLOOR of the
+    mean of ``factor`` consecutive input samples (per channel), the
+    sample rate divides by ``factor`` (duration preserved), and the
+    trailing partial group is dropped. Floor-of-mean keeps every output
+    value integer-exact, so resampled audio is reproducible across
+    engines and re-runs (no float dither), and an external oracle can
+    replay the whole decimation analytically. Decodes WAV or FLAC
+    (sniffed); re-encodes WAV. Arrow-batched ``mapInPandas`` — samples
+    never leave the executors."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rate, samples = decode_audio(bytes(content))
+                n = samples.shape[0] - samples.shape[0] % factor
+                grouped = samples[:n].astype(np.int64) \
+                    .reshape(-1, factor, samples.shape[1])
+                out = np.floor_divide(grouped.sum(axis=1), factor) \
+                    .astype(np.int16)
+                new_rate = rate // factor
+                rows.append((int(mid), "audio",
+                             encode_wav(out, new_rate),
+                             {"format": "wav", "width": None,
+                              "height": None,
+                              "duration_s": (out.shape[0] / new_rate
+                                             if new_rate else None)}))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "content",
+                                        "meta"])
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, schema=MEDIA_SCHEMA)
 
 
 def synthesize_flac_media(spark, n: int = 48,
@@ -2392,6 +2450,7 @@ def synthesize_mp4_media(spark, n: int = 40, fps: int = 12) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+@_classify_parse_errors
 def media_probe(data: bytes) -> dict:
     """Header-only probe across EVERY supported container — the
     format-agnostic big sibling of :func:`jpeg_meta`: sniff the magic,

@@ -4443,6 +4443,44 @@ order by media_id, frame_idx
 """)
 
 
+def _multimodal_audio_resample(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Integer-exact audio downsampling: WAV clips decimate 4× by
+    floor-of-mean groups (rate 8000 → 2000, duration preserved, partial
+    tail dropped), then feature-extract through the standard kernel.
+    Because every output sample is integer-exact (no float dither), the
+    oracle replays decode → group → floor-mean → features entirely in
+    SQL — the audio sibling of ``multimodal_resize``'s exact-resample
+    contract."""
+    from dataweb_spark.functions import multimodal as M
+    media = M.synthesize_wav_media(spark, n=32)
+    small = M.resample_audio(media, factor=4)
+    return M.extract_audio_features(small).orderBy("media_id")
+
+
+_df("multimodal_audio_resample", _multimodal_audio_resample, oracle="""
+with m as (select range as media_id from range(32)),
+cnt as (select media_id, 900 + (media_id % 4) * 150 as n from m),
+s as (
+  select c.media_id, i.i // 4 as j,
+         (((17 * i.i + 29 * c.media_id) % 256) - 128) * 128 as v
+  from cnt c, unnest(range(c.n)) as i(i)
+), grp as (
+  select media_id, j,
+         cast(floor(sum(v) / 4.0) as bigint) as w
+  from s group by media_id, j having count(*) = 4
+)
+select media_id, cast(2000 as int) as sample_rate,
+       cast(count(*) as bigint) as n_samples,
+       round(count(*) / 2000.0, 6) as duration_s,
+       cast(max(abs(w)) as int) as peak_abs,
+       round(sqrt(avg(cast(w as double) * w)), 6) as rms
+from grp
+group by media_id
+order by media_id
+""")
+
+
 def _multimodal_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format-agnostic header-only inventory over a MIXED corpus: eight
     blobs each of BMP/PNG/PPM-sibling rasters, JPEG, WAV, FLAC, AVI,

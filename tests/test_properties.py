@@ -610,6 +610,61 @@ def test_jpeg_decoder_garbage_never_crashes(buf):
 
 
 @settings(max_examples=30, deadline=None)
+@given(n=st.integers(min_value=0, max_value=5000),
+       ch=st.integers(min_value=1, max_value=2),
+       factor=st.integers(min_value=2, max_value=8),
+       seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_audio_resample_floor_mean_property(n, ch, factor, seed):
+    """Decimation contract, checked sample-by-sample against a naive
+    loop: output j = floor(mean(input[j*f:(j+1)*f])) per channel
+    (floor toward -inf, negatives included), tail partial group
+    dropped, identical whether the input container is WAV or FLAC."""
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+    expect = np.array(
+        [[int(np.floor(x[j * factor:(j + 1) * factor, c]
+                       .astype(np.int64).mean())) for c in range(ch)]
+         for j in range(n // factor)], dtype=np.int16) \
+        .reshape(n // factor, ch)
+
+    for blob in (M.encode_wav(x, 8000), M.encode_flac(x, 8000)):
+        rate, samples = M.decode_audio(blob)
+        m = samples.shape[0] - samples.shape[0] % factor
+        grouped = samples[:m].astype(np.int64) \
+            .reshape(-1, factor, samples.shape[1])
+        out = np.floor_divide(grouped.sum(axis=1), factor) \
+            .astype(np.int16)
+        assert out.shape == expect.shape and (out == expect).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(buf=st.binary(min_size=0, max_size=400))
+def test_mp4_flac_decoders_garbage_never_crashes(buf):
+    """Arbitrary bytes — bare, and wearing each container's magic —
+    raise only ValueError/NotImplementedError from the MP4 and FLAC
+    decoders and the media probe (classifiable per-row failures, never
+    task-killing exception types). IndexError is additionally tolerated
+    from media_probe's fixed-offset header reads."""
+    for data in (buf,
+                 b"\x00\x00\x00\x14ftypisom" + buf,
+                 b"fLaC" + buf,
+                 b"RIFF" + buf[:4] + b"AVI " + buf,
+                 b"RIFF" + buf[:4] + b"WAVE" + buf):
+        try:
+            M.decode_mp4(data)
+        except (ValueError, NotImplementedError):
+            pass
+        try:
+            M.decode_flac(data)
+        except (ValueError, NotImplementedError):
+            pass
+        try:
+            M.media_probe(data)
+        except (ValueError, NotImplementedError, IndexError):
+            pass
+
+
+@settings(max_examples=30, deadline=None)
 @given(h=dims, w=dims, seed=st.integers(min_value=0, max_value=2**31 - 1),
        tw=st.integers(min_value=1, max_value=8),
        th=st.integers(min_value=1, max_value=8))
