@@ -1499,6 +1499,32 @@ class _FlacBitWriter:
         return bytes(self.out)
 
 
+def _read_rice_residuals(br, bs: int, order: int) -> list:
+    """Read one subframe's rice-coded residual section (methods 0/1,
+    any partition order, escaped raw-bit partitions) — shared by the
+    FIXED and LPC subframe decoders."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved residual coding method")
+    p_order = br.read(4)
+    plen = bs >> p_order
+    res = []
+    for pi in range(1 << p_order):
+        cnt = plen - order if pi == 0 else plen
+        pbits = 5 if method else 4
+        param = br.read(pbits)
+        if param == (1 << pbits) - 1:     # escape: raw bits
+            raw = br.read(5)
+            res.extend(br.read_signed(raw) if raw else 0
+                       for _ in range(cnt))
+        else:
+            for _ in range(cnt):
+                q = br.read_unary()
+                u = (q << param) | (br.read(param) if param else 0)
+                res.append((u >> 1) ^ -(u & 1))
+    return res
+
+
 class _FlacBitReader:
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
@@ -1689,13 +1715,13 @@ def encode_flac(samples, sample_rate: int = 8000,
 @_classify_parse_errors
 def decode_flac(data: bytes, verify_md5: bool = True):
     """Decode a FLAC stream into ``(sample_rate, samples[n, ch] int16)``.
-    Reads the fixed-predictor surface of the format: CONSTANT/VERBATIM/
-    FIXED subframes, rice methods 0/1 incl. escaped (raw) partitions,
-    any partition order, wasted bits, and the left-side/right-side/
-    mid-side stereo modes; CRC-8, CRC-16 and the STREAMINFO MD5 are all
-    verified (corrupt streams raise ValueError). LPC subframes raise
-    NotImplementedError (the encoder never emits them; other writers'
-    default mode does — re-encode with fixed predictors)."""
+    Reads the full 16-bit surface of the format: CONSTANT/VERBATIM/
+    FIXED *and* LPC subframes (any order; coefficients, precision and
+    quantization shift come from the stream — nothing tabulated), rice
+    methods 0/1 incl. escaped (raw) partitions, any partition order,
+    wasted bits, and the left-side/right-side/mid-side stereo modes;
+    CRC-8, CRC-16 and the STREAMINFO MD5 are all verified (corrupt
+    streams raise ValueError)."""
     import hashlib
     import struct
 
@@ -1811,31 +1837,37 @@ def decode_flac(data: bytes, verify_md5: bool = True):
             elif 0b001000 <= stype <= 0b001100:
                 order = stype & 0x07
                 warm = [br.read_signed(cbps) for _ in range(order)]
-                method = br.read(2)
-                if method > 1:
-                    raise ValueError("reserved residual coding method")
-                p_order = br.read(4)
-                plen = bs >> p_order
-                res = []
-                for pi in range(1 << p_order):
-                    cnt = plen - order if pi == 0 else plen
-                    pbits = 5 if method else 4
-                    param = br.read(pbits)
-                    if param == (1 << pbits) - 1:     # escape: raw bits
-                        raw = br.read(5)
-                        res.extend(br.read_signed(raw) if raw else 0
-                                   for _ in range(cnt))
-                    else:
-                        for _ in range(cnt):
-                            q = br.read_unary()
-                            u = (q << param) | (br.read(param)
-                                                if param else 0)
-                            res.append((u >> 1) ^ -(u & 1))
+                res = _read_rice_residuals(br, bs, order)
                 x = _fixed_restore(warm, res, order)
             elif stype >= 0b100000:
-                raise NotImplementedError(
-                    "LPC subframes not supported (fixed-predictor "
-                    "encoder subset)")
+                # LPC subframe: what real encoders emit by default —
+                # order, coefficient precision, quantization shift and
+                # the coefficients themselves are all in the stream
+                # (nothing tabulated), then the same rice residuals
+                order = (stype & 0x1F) + 1
+                warm = [br.read_signed(cbps) for _ in range(order)]
+                prec = br.read(4) + 1
+                if prec == 16:
+                    raise ValueError("invalid LPC precision escape")
+                shift = br.read(5)
+                if shift >= 16:
+                    shift -= 32          # 5-bit signed per spec
+                coefs = [br.read_signed(prec) for _ in range(order)]
+                res = _read_rice_residuals(br, bs, order)
+                x = np.empty(bs, dtype=np.int64)
+                x[:order] = warm
+                if shift >= 0:
+                    for i in range(order, bs):
+                        acc = 0
+                        for j, c in enumerate(coefs):
+                            acc += c * x[i - 1 - j]
+                        x[i] = res[i - order] + (acc >> shift)
+                else:
+                    for i in range(order, bs):
+                        acc = 0
+                        for j, c in enumerate(coefs):
+                            acc += c * x[i - 1 - j]
+                        x[i] = res[i - order] + (acc << -shift)
             else:
                 raise ValueError(f"reserved subframe type {stype:#08b}")
             if wasted:

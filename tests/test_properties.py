@@ -517,6 +517,34 @@ def test_flac_foreign_writer_surface():
     _sr, back = M.decode_flac(_craft_flac(1, 8, 0, escaped))
     assert (back[:, 0] == vals).all()
 
+    # LPC subframe (what real encoders emit by default): order 2,
+    # coeffs [3, -1], shift 1 — x[i] = res[i] + ((3*x[i-1] - x[i-2]) >> 1)
+    warm = [100, 120]
+    residuals = [5, -3, 0, 7, -20, 2]
+    expect = list(warm)
+    for r in residuals:
+        acc = 3 * expect[-1] - 1 * expect[-2]
+        expect.append(r + (acc >> 1))
+
+    def lpc(body):
+        body.write(0, 1)
+        body.write(0b100000 | (2 - 1), 6)   # LPC, order 2
+        body.write(0, 1)
+        for v in warm:
+            body.write(v & 0xFFFF, 16)
+        body.write(4 - 1, 4)                # coefficient precision 4
+        body.write(1, 5)                    # quantization shift 1
+        body.write(3 & 0xF, 4)              # c0 = 3
+        body.write(-1 & 0xF, 4)             # c1 = -1
+        body.write(0, 2); body.write(0, 4)  # rice method 0, 1 partition
+        body.write(0b1111, 4)               # escaped partition
+        body.write(16, 5)                   # raw 16-bit residuals
+        for r in residuals:
+            body.write(r & 0xFFFF, 16)
+
+    _sr, back = M.decode_flac(_craft_flac(1, 8, 0, lpc))
+    assert back[:, 0].tolist() == expect
+
     # wasted bits: all samples share a factor of 4 -> shift of 2
     shifted = vals * 4
 
