@@ -5577,21 +5577,21 @@ _DRIVER_WINDOW = [
     "tpch_q3_shipping_priority",
     "tpch_q9_product_profit",
     "window_topn_per_customer",
-    # (c) 19 r4-cohort queries, complex layers first:
-    "streaming_attribution_join",
+    # (c) r4-cohort queries, complex layers first (9 remain; six slots
+    # ceded mid-r7 to the new queries in (d) — new queries outrank an
+    # age refresh, the corpus_source_report lesson. Displaced to the r8
+    # cohort: streaming_attribution_join, streaming_sliding_rollup,
+    # multimodal_frame_counts, multimodal_meta, fed_template_partials,
+    # dedup_simhash_recall — each layer stays window-covered by the
+    # names below or the real-codec queries in (d)):
     "streaming_dedup_ingest",
     "streaming_hourly_rollup",
-    "streaming_sliding_rollup",
     "streaming_stateful_user_totals",
     "multimodal_features",
-    "multimodal_frame_counts",
-    "multimodal_meta",
     "fed_lineitem_q1",
     "fed_source_pruning",
-    "fed_template_partials",
     "dedup_embedding_recall",
     "dedup_minhash_recall",
-    "dedup_simhash_recall",
     "dedup_exact_clusters",
     # (d) new in r7 — the baseline-JPEG codec's encode→decode→feature
     # query (takes the slot dedup_exact_keep would have had; that layer
@@ -5607,16 +5607,31 @@ _DRIVER_WINDOW = [
     "multimodal_mjpeg_frames",
     "multimodal_jpeg_catalog",
     "embedding_quantize_int8",
+    # mid-r7 additions (all locally oracle-swept green at sf0.01):
+    # the ISO BMFF MP4 decode query, the FLAC codec query, the
+    # exact-substring removal rewrite, cross-container video dedup,
+    # the format-agnostic header-only catalog, and integer-exact audio
+    # resampling:
+    "multimodal_mp4_frames",
+    "multimodal_flac_features",
+    "dedup_remove_spans",
+    "dedup_video_cross_container",
+    "multimodal_media_catalog",
+    "multimodal_audio_resample",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
 # Rotated-out names stay in QUERIES (checkable any round; full local sweep
-# covers all of them each round). After this window runs, every declared
-# query has driver evidence and the oldest evidence anywhere is r4 (the 15
-# remaining r4-cohort SQL-surface names: distinct_on_rewrite, group_by_all,
+# covers all of them each round). After this window runs, the oldest
+# evidence anywhere is r4 — the r8 cohort is the 15 remaining r4
+# SQL-surface names (distinct_on_rewrite, group_by_all,
 # grouping_function_rollup, in_unnest_rewrite, lateral_join_topn,
 # qualify_rewrite, range_join_price_bands, text_chunking,
 # text_rolling_fingerprint, text_stopword_quality, tpch_q15/q16/q20/q21,
-# unpivot_part_sizes) — window those first in r8 for max age ≤2 rounds.
+# unpivot_part_sizes) plus the six (c)-slot names displaced mid-r7
+# (streaming_attribution_join, streaming_sliding_rollup,
+# multimodal_frame_counts, multimodal_meta, fed_template_partials,
+# dedup_simhash_recall) and dedup_exact_keep — window those first in r8
+# for max age ≤2 rounds everywhere.
 
 
 def _apply_driver_window() -> None:
