@@ -102,6 +102,7 @@ EXTRAS = [
     "dedup_video_cross_container",
     "multimodal_media_catalog",
     "multimodal_audio_resample",
+    "dedup_minhash_char_cjk",
     "corpus_source_report",
 ]
 

@@ -92,14 +92,38 @@ def word_shingles(col, n: int = 3):
     return f(F.col(col) if isinstance(col, str) else col)
 
 
+def _shingle_set(s: str, shingle_n: int, shingle: str) -> set:
+    """Shingle a document: ``shingle='token'`` joins whitespace-token
+    n-grams (space-joined, the oracle-reproducible form); ``'char'``
+    takes raw character n-grams over the untokenized string — the mode
+    for scripts that don't delimit words with whitespace (CJK, Thai),
+    where token shingling would collapse every document to one shingle.
+    Python slicing and DuckDB substring() both count code points, so
+    char shingles stay oracle-reproducible for any script."""
+    if shingle == "char":
+        s = s or ""
+        if not s:
+            return set()
+        if len(s) < shingle_n:
+            return {s}
+        return {s[i:i + shingle_n] for i in range(len(s) - shingle_n + 1)}
+    toks = (s or "").split()
+    if len(toks) < shingle_n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + shingle_n])
+            for i in range(len(toks) - shingle_n + 1)}
+
+
 def minhash_signature(col, num_perm: int = 32, shingle_n: int = 3,
-                      seed: int = 11):
+                      seed: int = 11, shingle: str = "token"):
     """array<bigint> MinHash signature, computed MAP-ONLY in one Arrow pass.
 
-    Per batch: tokenize → shingle set → stable 64-bit shingle hashes (md5
-    prefix, mod p) → linear permutations ``(a_i*h + b_i) mod p`` minimized
-    in numpy. No explode, no shuffle — the signature stage scales as a pure
-    projection; only the band self-join below shuffles (narrow rows).
+    Per batch: shingle set (token n-grams, or char n-grams for
+    whitespace-free scripts — see :func:`_shingle_set`) → stable 64-bit
+    shingle hashes (md5 prefix, mod p) → linear permutations
+    ``(a_i*h + b_i) mod p`` minimized in numpy. No explode, no shuffle —
+    the signature stage scales as a pure projection; only the band
+    self-join below shuffles (narrow rows).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -112,12 +136,7 @@ def minhash_signature(col, num_perm: int = 32, shingle_n: int = 3,
     def sig(t: pd.Series) -> pd.Series:
         out = []
         for s in t:
-            toks = (s or "").split()
-            if len(toks) < shingle_n:
-                shingles = {" ".join(toks)} if toks else set()
-            else:
-                shingles = {" ".join(toks[i:i + shingle_n])
-                            for i in range(len(toks) - shingle_n + 1)}
+            shingles = _shingle_set(s, shingle_n, shingle)
             if not shingles:
                 out.append(empty_sig)
                 continue
@@ -134,12 +153,14 @@ def minhash_signature(col, num_perm: int = 32, shingle_n: int = 3,
 
 def minhash_band_hashes(df: DataFrame, id_col: str, text_col: str = "text",
                         num_perm: int = 32, bands: int = 8,
-                        shingle_n: int = 3, seed: int = 11) -> DataFrame:
+                        shingle_n: int = 3, seed: int = 11,
+                        shingle: str = "token") -> DataFrame:
     """(_id, band, bh) band hashes from the map-only signature: band b's
     hash = xxhash64 over its ``num_perm/bands`` signature slots."""
     rows = num_perm // bands
     sigd = df.select(F.col(id_col).alias("_id"),
-                     minhash_signature(text_col, num_perm, shingle_n, seed)
+                     minhash_signature(text_col, num_perm, shingle_n, seed,
+                                       shingle)
                      .alias("_sig"))
     return (sigd.select("_id", F.explode(F.array(*[
                 F.struct(F.lit(b).alias("band"),
@@ -151,7 +172,8 @@ def minhash_band_hashes(df: DataFrame, id_col: str, text_col: str = "text",
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str = "text",
                            num_perm: int = 32, bands: int = 8,
-                           shingle_n: int = 3, seed: int = 11) -> DataFrame:
+                           shingle_n: int = 3, seed: int = 11,
+                           shingle: str = "token") -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     band hashes (see :func:`minhash_band_hashes`) → self-join on
@@ -160,7 +182,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str = "text",
     with id_a < id_b.
     """
     banded = minhash_band_hashes(df, id_col, text_col, num_perm, bands,
-                                 shingle_n, seed)
+                                 shingle_n, seed, shingle)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, [F.col("a.band") == F.col("b.band"),
@@ -170,22 +192,17 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str = "text",
              .distinct())
 
 
-def jaccard_pd(text_a, text_b, shingle_n: int = 3):
+def jaccard_pd(text_a, text_b, shingle_n: int = 3,
+               shingle: str = "token"):
     """Arrow-batched exact shingle-set Jaccard over a pair of text columns."""
     from pyspark.sql.functions import pandas_udf
-
-    def shingle_set(s: str) -> set:
-        toks = (s or "").split()
-        if len(toks) < shingle_n:
-            return {" ".join(toks)} if toks else set()
-        return {" ".join(toks[i:i + shingle_n])
-                for i in range(len(toks) - shingle_n + 1)}
 
     @pandas_udf("double")
     def f(a: pd.Series, b: pd.Series) -> pd.Series:
         out = np.empty(len(a))
         for i, (x, y) in enumerate(zip(a, b)):
-            sx, sy = shingle_set(x), shingle_set(y)
+            sx = _shingle_set(x, shingle_n, shingle)
+            sy = _shingle_set(y, shingle_n, shingle)
             u = len(sx | sy)
             out[i] = (len(sx & sy) / u) if u else 0.0
         return pd.Series(out)
@@ -195,7 +212,8 @@ def jaccard_pd(text_a, text_b, shingle_n: int = 3):
 
 def jaccard_verify(df: DataFrame, candidates: DataFrame, id_col: str,
                    text_col: str = "text", shingle_n: int = 3,
-                   threshold: float = 0.7) -> DataFrame:
+                   threshold: float = 0.7,
+                   shingle: str = "token") -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard ≥ threshold.
 
     Texts are joined onto the (narrow, already-LSH-filtered) candidate
@@ -212,7 +230,7 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, id_col: str,
     return (out.withColumn(
                 "jaccard",
                 F.round(jaccard_pd(F.col("txt_a"), F.col("txt_b"),
-                                   shingle_n), 6))
+                                   shingle_n, shingle), 6))
                .where(F.col("jaccard") >= threshold)
                .select("id_a", "id_b", "jaccard"))
 

@@ -2687,6 +2687,70 @@ order by dup_frac desc, doc_id
 """)
 
 
+def _dedup_minhash_char_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-shingle MinHash-LSH for whitespace-free scripts: 30 CJK docs
+    (no spaces anywhere — token shingling would collapse each to ONE
+    shingle and miss every near-dup) plus 8 planted single-character
+    edits. Character 4-gram shingles → 32-perm MinHash → 8-band LSH →
+    exact char-Jaccard verify at ≥0.85 must equal the DuckDB exact
+    all-pairs answer (single edits in ~100-char docs keep J ≥ 0.92, where
+    8 bands × 4 rows detect with certainty for this fixed seed). Python
+    slicing and DuckDB substring() both count code points, so the oracle
+    rebuilds the same docs from chr() and replays the Jaccard
+    byte-for-byte."""
+    from dataweb_spark.functions import dedup as D
+    docs = [(m, "".join(chr(0x4E00 + (7 * i + 13 * m) % 400)
+                        for i in range(100 + m % 5)))
+            for m in range(30)]
+    for m in range(8):
+        length = 100 + m % 5
+        chars = list(docs[m][1])
+        chars[(11 * m) % length] = chr(0x4E00 + 450 + m)
+        docs.append((m + 100, "".join(chars)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    cands = D.minhash_lsh_candidates(df, "doc_id", num_perm=32, bands=8,
+                                     shingle_n=4, shingle="char")
+    return (D.jaccard_verify(df, cands, "doc_id", shingle_n=4,
+                             threshold=0.85, shingle="char")
+             .orderBy("id_a", "id_b"))
+
+
+_df("dedup_minhash_char_cjk", _dedup_minhash_char_cjk, oracle="""
+with base as (
+  select m.m as doc_id,
+         string_agg(chr(cast(19968 + (7 * i.i + 13 * m.m) % 400 as int)), ''
+                    order by i.i) as text
+  from (select range as m from range(30)) m,
+       unnest(range(100 + m.m % 5)) as i(i)
+  group by m.m
+), dup as (
+  select d.m + 100 as doc_id,
+         string_agg(case when i.i = (11 * d.m) % (100 + d.m % 5)
+                         then chr(cast(19968 + 450 + d.m as int))
+                         else chr(cast(19968 + (7 * i.i + 13 * d.m) % 400 as int)) end,
+                    '' order by i.i) as text
+  from (select range as m from range(8)) d,
+       unnest(range(100 + d.m % 5)) as i(i)
+  group by d.m
+), all_docs as (select * from base union all select * from dup),
+grams as (
+  select distinct doc_id, substring(text, g.g + 1, 4) as gram
+  from all_docs, unnest(range(length(text) - 3)) as g(g)
+), inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as i
+  from grams a join grams b on a.gram = b.gram and a.doc_id < b.doc_id
+  group by a.doc_id, b.doc_id
+), sizes as (select doc_id, count(*) as n from grams group by doc_id)
+select p.id_a, p.id_b,
+       round(p.i / cast(sa.n + sb.n - p.i as double), 6) as jaccard
+from inter p
+join sizes sa on p.id_a = sa.doc_id
+join sizes sb on p.id_b = sb.doc_id
+where round(p.i / cast(sa.n + sb.n - p.i as double), 6) >= 0.85
+order by id_a, id_b
+""")
+
+
 def _remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring REMOVAL (Lee et al. 2022's rewrite, not just the
     score): every duplicated ≥16-token run survives in exactly one
@@ -5588,7 +5652,6 @@ _DRIVER_WINDOW = [
     "streaming_hourly_rollup",
     "streaming_stateful_user_totals",
     "multimodal_features",
-    "fed_lineitem_q1",
     "fed_source_pruning",
     "dedup_embedding_recall",
     "dedup_minhash_recall",
@@ -5618,6 +5681,9 @@ _DRIVER_WINDOW = [
     "dedup_video_cross_container",
     "multimodal_media_catalog",
     "multimodal_audio_resample",
+    # (fed_lineitem_q1 ceded its slot — headline-benched every round and
+    # its all_access sibling is in (b); the char-shingle CJK query is new)
+    "dedup_minhash_char_cjk",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
 # Rotated-out names stay in QUERIES (checkable any round; full local sweep

@@ -844,6 +844,33 @@ def test_duplicated_spans_planted_repeat(spark):
         assert 0 <= r["dup_frac"] <= 1
 
 
+def test_minhash_char_shingles_catch_cjk_near_dups(spark):
+    """Whitespace-free scripts: token shingling collapses a CJK doc to
+    ONE shingle, so a single-char edit drops token-Jaccard to 0 and the
+    near-dup is invisible; char shingling keeps J high and the LSH+verify
+    pipeline must catch the planted pair."""
+    base = "".join(chr(0x4E00 + (7 * i) % 300) for i in range(120))
+    edited = base[:60] + chr(0x4E00 + 350) + base[61:]
+    df = spark.createDataFrame(
+        [(1, base), (2, edited),
+         (3, "".join(chr(0x4E00 + (11 * i + 5) % 300) for i in range(120)))],
+        ["doc_id", "text"])
+
+    char_pairs = dedup.jaccard_verify(
+        df, dedup.minhash_lsh_candidates(df, "doc_id", shingle_n=4,
+                                         shingle="char"),
+        "doc_id", shingle_n=4, threshold=0.85, shingle="char").collect()
+    assert [(r["id_a"], r["id_b"]) for r in char_pairs] == [(1, 2)]
+    assert char_pairs[0]["jaccard"] >= 0.9
+
+    # token mode on the same corpus: each doc is one giant "token",
+    # the edit zeroes the Jaccard, nothing pairs
+    tok_pairs = dedup.jaccard_verify(
+        df, dedup.minhash_lsh_candidates(df, "doc_id"),
+        "doc_id", threshold=0.5).collect()
+    assert tok_pairs == []
+
+
 def test_remove_duplicated_spans_semantics(spark):
     """Exact-substring removal contract: the globally-first occurrence
     keeps its text verbatim; later occurrences lose exactly the
