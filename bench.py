@@ -103,6 +103,7 @@ EXTRAS = [
     "multimodal_media_catalog",
     "multimodal_audio_resample",
     "dedup_minhash_char_cjk",
+    "streaming_media_dedup",
     "corpus_source_report",
 ]
 
