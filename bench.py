@@ -104,6 +104,7 @@ EXTRAS = [
     "multimodal_audio_resample",
     "dedup_minhash_char_cjk",
     "streaming_media_dedup",
+    "media_index_classify",
     "corpus_source_report",
 ]
 

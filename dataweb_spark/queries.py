@@ -4973,6 +4973,94 @@ order by dup_a
 """)
 
 
+def _media_index_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted MEDIA dedup index — the steady-state ingest gate lifted
+    from text to blobs: a 24-image corpus builds its signature index
+    ONCE (md5-of-pixels exact tier + banded-aHash near tier); the ingest
+    batch then classifies against those narrow tables with the batch
+    side broadcast — corpus blobs never re-read, pixels never shuffled.
+    Planted batch: ids 1000-1007 are pixel-exact PNG re-encodes of BMP
+    corpus images 0-7 (different container, same raster → exact_dup with
+    the right match_id), 1008-1015 are one-pixel perturbations of corpus
+    images 8-15 (→ near_dup via Hamming ≤ 6, matched to their source),
+    1016-1023 are novel rasters (→ novel, NULL match). The oracle states
+    the 24 verdicts in closed form."""
+    import hashlib
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from dataweb_spark.functions import media_index as MI
+    from dataweb_spark.functions import multimodal as M
+
+    def _pixels(seed: int):
+        """md5-chain pseudorandom raster — engine/version-stable, and
+        random enough that 24 aHashes are 24 independent 64-bit values
+        (cross-image Hamming ~32, so near-tier matches are unambiguous
+        — the synthetic gradients of synthesize_bmp_media all share one
+        thresholded pattern and would collide)."""
+        h, w = 16 + seed % 5, 16 + seed % 7
+        need = h * w * 3
+        buf = b"".join(hashlib.md5(f"{seed}:{k}".encode()).digest()
+                       for k in range(need // 16 + 1))
+        return np.frombuffer(buf[:need], dtype=np.uint8) \
+            .reshape(h, w, 3).copy()
+
+    def corpus_gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                m = int(mid)
+                px = _pixels(m)
+                rows.append((m, "image", M.encode_bmp(px),
+                             {"format": "bmp", "width": px.shape[1],
+                              "height": px.shape[0], "duration_s": None}))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "meta"])
+
+    corpus = spark.range(24).mapInPandas(corpus_gen, schema=M.MEDIA_SCHEMA)
+    idx = tempfile.mkdtemp(prefix="dw_media_idx_")
+    MI.build_media_index(corpus, idx)
+
+    def batch_gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                i = int(mid)
+                if i < 8:                  # pixel-exact PNG re-encode
+                    px = _pixels(i)
+                    blob, fmt = M.encode_png(px), "png"
+                elif i < 16:               # one-bit perturbation
+                    px = _pixels(i)
+                    px[px.shape[0] // 2, px.shape[1] // 2, 0] ^= 1
+                    blob, fmt = M.encode_bmp(px), "bmp"
+                else:                      # novel raster
+                    px = _pixels(10_000 + i)
+                    blob, fmt = M.encode_bmp(px), "bmp"
+                rows.append((1000 + i, "image", blob,
+                             {"format": fmt, "width": px.shape[1],
+                              "height": px.shape[0], "duration_s": None}))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "meta"])
+
+    batch = spark.range(24).mapInPandas(batch_gen, schema=M.MEDIA_SCHEMA)
+    return (MI.classify_media_batch(spark, batch, idx)
+            .select("media_id", "verdict", "match_id")
+            .orderBy("media_id"))
+
+
+_df("media_index_classify", _media_index_classify, oracle="""
+select 1000 + i as media_id,
+       case when i < 8 then 'exact_dup'
+            when i < 16 then 'near_dup'
+            else 'novel' end as verdict,
+       case when i < 16 then cast(i as bigint) else null end as match_id
+from (select range as i from range(24))
+order by media_id
+""")
+
+
 def _dedup_audio_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup via spectral fingerprint: 32 real WAVs (24 distinct
     tone sequences + 8 half-amplitude re-masters) are decoded and reduced
@@ -5689,7 +5777,6 @@ _DRIVER_WINDOW = [
     # names below or the real-codec queries in (d)):
     "streaming_dedup_ingest",
     "streaming_hourly_rollup",
-    "streaming_stateful_user_totals",
     "fed_source_pruning",
     "dedup_embedding_recall",
     "dedup_minhash_recall",
@@ -5724,6 +5811,10 @@ _DRIVER_WINDOW = [
     # char-shingle CJK query and the streaming media dedup are new)
     "dedup_minhash_char_cjk",
     "streaming_media_dedup",
+    # (streaming_stateful_user_totals ceded its slot to the new media
+    # index query; streaming stays covered by dedup_ingest,
+    # hourly_rollup and streaming_media_dedup above)
+    "media_index_classify",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
 # Rotated-out names stay in QUERIES (checkable any round; full local sweep

@@ -1,0 +1,106 @@
+"""Persisted media-dedup index: build → classify → append contracts
+(the media analog of test_dedup_index.py). All planted constructions are
+deterministic md5-chain rasters / closed-form samples."""
+
+import hashlib
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dataweb_spark.functions import media_index as MI
+from dataweb_spark.functions import multimodal as M
+
+
+def _pixels(seed: int, h: int = 16, w: int = 16):
+    need = h * w * 3
+    buf = b"".join(hashlib.md5(f"{seed}:{k}".encode()).digest()
+                   for k in range(need // 16 + 1))
+    return np.frombuffer(buf[:need], dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def _frames(seed: int, n: int = 3):
+    vals = np.array([[(seed * 37 + f * 11 + b * 5) % 256
+                      for b in range(2)] for f in range(n)]) \
+        .reshape(n, 1, 2)
+    px = np.repeat(np.repeat(vals, 8, 1), 8, 2)
+    return np.repeat(px[:, :, :, None], 3, 3).astype(np.uint8)
+
+
+def _media_df(spark, rows):
+    pdf = pd.DataFrame({
+        "media_id": [r[0] for r in rows],
+        "kind": ["?"] * len(rows),
+        "content": [r[1] for r in rows],
+        "meta": [None] * len(rows),
+    })
+    return spark.createDataFrame(pdf, schema=M.MEDIA_SCHEMA)
+
+
+def test_media_index_cross_kind_classify_and_append(spark):
+    """One index serves images, video AND audio: a PNG re-encode of an
+    indexed BMP is exact (pixel md5), an MP4 re-container of an indexed
+    MJPEG-AVI is exact (visual-temporal sig), a half-amplitude re-master
+    of an indexed WAV is exact (amplitude-invariant spectral sig), a
+    perturbed image is near, novel blobs are novel — and after
+    append_media_batch, re-classifying the same batch flips every novel
+    to exact_dup (the steady-state ingest loop)."""
+    tone = np.round(8000 * np.sin(2 * np.pi * 40
+                                  * np.arange(2048) / 8000)) \
+        .astype(np.int16)
+    corpus = _media_df(spark, [
+        (0, M.encode_bmp(_pixels(0))),
+        (1, M.encode_bmp(_pixels(1))),
+        (2, M.encode_avi(_frames(2), 10, codec="MJPG", quality=75)),
+        (3, M.encode_wav(tone, 8000)),
+    ])
+    idx = tempfile.mkdtemp(prefix="t_media_idx_")
+    MI.build_media_index(corpus, idx)
+
+    perturbed = _pixels(1)
+    perturbed[8, 8, 0] ^= 1
+    batch = _media_df(spark, [
+        (100, M.encode_png(_pixels(0))),                 # image exact
+        (101, M.encode_bmp(perturbed)),                  # image near
+        (102, M.encode_mp4(_frames(2), 10, quality=75)),  # video exact
+        (103, M.encode_wav((tone // 2).astype(np.int16), 8000)),  # audio
+        (104, M.encode_bmp(_pixels(50))),                # novel image
+        (105, b"definitely not media"),                  # corrupt
+    ])
+    got = {r["media_id"]: r for r in
+           MI.classify_media_batch(spark, batch, idx).collect()}
+    assert got[100]["verdict"] == "exact_dup" and got[100]["match_id"] == 0
+    assert got[101]["verdict"] == "near_dup" and got[101]["match_id"] == 1
+    assert got[102]["verdict"] == "exact_dup" and got[102]["match_id"] == 2
+    assert got[103]["verdict"] == "exact_dup" and got[103]["match_id"] == 3
+    assert got[104]["verdict"] == "novel" and got[104]["match_id"] is None
+    assert got[105]["verdict"] == "novel" and got[105]["kind"] == "corrupt"
+
+    # admit the novels, re-classify: everything now dups (corrupt blobs
+    # dedup on their byte hash too)
+    admitted = batch.join(
+        MI.classify_media_batch(spark, batch, idx)
+          .where("verdict = 'novel'").select("media_id"), "media_id")
+    MI.append_media_batch(admitted, idx)
+    again = {r["media_id"]: r for r in
+             MI.classify_media_batch(spark, batch, idx).collect()}
+    assert again[104]["verdict"] == "exact_dup" \
+        and again[104]["match_id"] == 104
+    assert again[105]["verdict"] == "exact_dup" \
+        and again[105]["match_id"] == 105
+    for mid in (100, 102, 103):
+        assert again[mid]["verdict"] == "exact_dup"
+
+
+def test_media_index_requires_meta(spark):
+    df = _media_df(spark, [(0, M.encode_bmp(_pixels(0)))])
+    with pytest.raises(ValueError, match="no media index"):
+        MI.classify_media_batch(spark, df, tempfile.mkdtemp())
+
+
+def test_media_index_rejects_bad_band_params(spark):
+    df = _media_df(spark, [(0, M.encode_bmp(_pixels(0)))])
+    with pytest.raises(ValueError, match="full recall"):
+        MI.build_media_index(df, tempfile.mkdtemp(), bands=8,
+                             max_hamming=8)
