@@ -197,8 +197,14 @@ def _hostile(broker, payload: bytes, with_header: bool):
                 s.recv(4096)
             except OSError:
                 pass
-        s.sendall(payload)
-        s.shutdown(socket.SHUT_WR)
+        try:
+            s.sendall(payload)
+            s.shutdown(socket.SHUT_WR)
+        except OSError:
+            # the broker may RST mid-send for sufficiently hostile bytes
+            # — from the fuzzer's side that's a pass (it dropped us), so
+            # only the follow-up good-client probe judges broker health
+            return
         s.settimeout(2)
         try:  # let the broker react; it may send close frames or just drop
             while s.recv(4096):
