@@ -210,6 +210,51 @@ def classify_media_batch(spark: SparkSession, batch: DataFrame, path: str,
     return out
 
 
+def streaming_media_gate(stream_df: DataFrame, index_path: str,
+                         checkpoint: str, id_col: str = "media_id"):
+    """Streaming media ingest gate — the media face of
+    ``dedup_index.streaming_ingest_gate``, same one-implementation rule:
+    ``readStream → foreachBatch(classify → admit)`` over EXACTLY the
+    batch classify/append code. Per micro-batch: collapse within-batch
+    duplicates (min id per signature string — exact tier; media near
+    tiers are signature-string-equal by construction for re-encodes/
+    re-containers/re-masters, so the string collapse covers them),
+    classify survivors against the persisted index, append novel blobs'
+    signature rows. State lives entirely in the on-disk tables; the
+    stream restarts from the checkpoint with nothing to rebuild.
+
+    Replay idempotency: ``foreachBatch`` is at-least-once — the gate
+    anti-joins the batch against already-indexed ids first, so a replay
+    after the append admits nothing twice (precondition: ``id_col`` is a
+    stable unique key; a re-sent id is a replay of the same blob).
+
+    Returns the started StreamingQuery (caller awaits/ stops)."""
+    from pyspark.sql import Window
+
+    def _gate(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        indexed = (spark.read.parquet(f"{index_path}/sigs")
+                   .select(F.col("id").alias(id_col)))
+        fresh = batch.join(indexed, id_col, "left_anti")
+        sigs = media_signatures(fresh, id_col)
+        keep = (sigs.withColumn(
+                    "_rn", F.row_number().over(
+                        Window.partitionBy("sig").orderBy("id")))
+                .where(F.col("_rn") == 1).select(F.col("id").alias(id_col)))
+        survivors = fresh.join(F.broadcast(keep), id_col)
+        verdicts = classify_media_batch(spark, survivors, index_path)
+        admitted = survivors.join(
+            F.broadcast(verdicts.where(F.col("verdict") == "novel")
+                        .select(id_col)), id_col)
+        append_media_batch(admitted, index_path, id_col)
+
+    return (stream_df.writeStream
+            .foreachBatch(_gate)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def append_media_batch(admitted: DataFrame, path: str,
                        id_col: str = "media_id") -> None:
     """Append admitted blobs' signature rows — one pass over the batch,

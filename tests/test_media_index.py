@@ -93,6 +93,53 @@ def test_media_index_cross_kind_classify_and_append(spark):
         assert again[mid]["verdict"] == "exact_dup"
 
 
+def test_streaming_media_gate_admits_only_novel(spark):
+    """Drain a media drop-directory stream through the gate: corpus
+    duplicates (any container) are rejected, within-batch duplicate
+    signatures collapse to one admit, novels land in the index — and a
+    direct replay of the same batch admits nothing (idempotency)."""
+    corpus = _media_df(spark, [
+        (0, M.encode_bmp(_pixels(0))),
+        (1, M.encode_avi(_frames(1), 10, codec="MJPG", quality=75)),
+    ])
+    idx = tempfile.mkdtemp(prefix="t_media_gate_idx_")
+    MI.build_media_index(corpus, idx)
+
+    drop = tempfile.mkdtemp(prefix="t_media_gate_drop_")
+    batch = _media_df(spark, [
+        (100, M.encode_png(_pixels(0))),          # corpus dup (re-encode)
+        (101, M.encode_mp4(_frames(1), 10, quality=75)),  # re-container
+        (102, M.encode_bmp(_pixels(7))),          # novel
+        (103, M.encode_bmp(_pixels(7))),          # within-batch dup of 102
+        (104, M.encode_bmp(_pixels(9))),          # novel
+    ])
+    batch.write.parquet(f"{drop}/media")
+    schema = spark.read.parquet(f"{drop}/media").schema
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .load(f"{drop}/media"))
+    q = MI.streaming_media_gate(stream, idx, f"{drop}/cp")
+    assert q.awaitTermination(300)
+
+    ids = sorted(r["id"] for r in
+                 spark.read.parquet(f"{idx}/sigs").collect())
+    assert ids == [0, 1, 102, 104]
+
+    # the whole batch now classifies as duplicate (103's twin 102 won)
+    got = {r["media_id"]: r["verdict"] for r in
+           MI.classify_media_batch(spark, batch, idx).collect()}
+    assert got == {100: "exact_dup", 101: "exact_dup", 102: "exact_dup",
+                   103: "exact_dup", 104: "exact_dup"}
+
+    # at-least-once replay: the same blobs arrive again as new files —
+    # the gate's anti-join on indexed ids admits nothing twice
+    batch.write.mode("append").parquet(f"{drop}/media")
+    q2 = MI.streaming_media_gate(stream, idx, f"{drop}/cp")
+    assert q2.awaitTermination(300)
+    ids2 = sorted(r["id"] for r in
+                  spark.read.parquet(f"{idx}/sigs").collect())
+    assert ids2 == ids
+
+
 def test_media_index_requires_meta(spark):
     df = _media_df(spark, [(0, M.encode_bmp(_pixels(0)))])
     with pytest.raises(ValueError, match="no media index"):
