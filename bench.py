@@ -240,6 +240,41 @@ def main() -> None:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
 
+    # Media-index steady state (r7): index 2000 rasters once (untimed),
+    # then time one 500-blob ingest step — 250 pixel-exact re-encodes of
+    # corpus images (classify must reject) + 250 novel rasters (admit +
+    # append). Measures the narrow-table classify cost, not blob IO.
+    from dataweb_spark.functions import media_index as MIdx
+    from dataweb_spark.functions import multimodal as MM
+    med_idx = tempfile.mkdtemp(prefix="bench_media_idx_")
+    try:
+        MIdx.build_media_index(MM.synthesize_bmp_media(spark, n=2000),
+                               med_idx)
+        dups = (MM.synthesize_bmp_media(spark, n=250)
+                .withColumn("media_id", F.col("media_id") + 1_000_000))
+        novel = (MM.synthesize_jpeg_media(spark, n=250)
+                 .withColumn("media_id", F.col("media_id") + 2_000_000))
+        mbatch = dups.unionByName(novel)
+        t0 = time.time()
+        v = MIdx.classify_media_batch(spark, mbatch, med_idx)
+        counts = {r["verdict"]: r["n"] for r in
+                  v.groupBy("verdict").agg(F.count("*").alias("n"))
+                   .collect()}
+        extras["media_index_classify_500"] = round(time.time() - t0, 3)
+        print(f"# extra media_index_classify_500: "
+              f"{extras['media_index_classify_500']}s ({counts})",
+              file=sys.stderr)
+        admitted = mbatch.join(
+            v.where(F.col("verdict") == "novel").select("media_id"),
+            "media_id")
+        t0 = time.time()
+        MIdx.append_media_batch(admitted, med_idx)
+        extras["media_index_append"] = round(time.time() - t0, 3)
+        print(f"# extra media_index_append: "
+              f"{extras['media_index_append']}s", file=sys.stderr)
+    finally:
+        shutil.rmtree(med_idx, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_queries_total",
