@@ -1590,15 +1590,87 @@ def _fixed_restore(warmup, residual, order: int):
     return cur
 
 
+def _flac_best_fixed(x, bs: int):
+    """(order, residual) with the smallest absolute-residual mass."""
+    import numpy as np
+    best_order, best_res, best_cost = 0, x, None
+    for order in range(min(5, bs)):
+        res = _fixed_residual(x, order)
+        cost = int(np.abs(res).sum()) if res.size else 0
+        if best_cost is None or cost < best_cost:
+            best_order, best_res, best_cost = order, res, cost
+    return best_order, best_res
+
+
+def _flac_rice_plan(res):
+    """(param, zigzag array, total bits) for one residual block."""
+    import numpy as np
+    mean = (2 * int(np.abs(res).sum()) // max(len(res), 1)) or 1
+    param = min(max(mean.bit_length() - 1, 0), 14)
+    zz = ((res << 1) ^ (res >> 63)).astype(np.uint64)
+    bits = int((zz >> np.uint64(param)).sum()) + len(res) * (1 + param)
+    return param, zz, bits
+
+
+def _flac_subframe_bits(x, cbps: int, bs: int) -> int:
+    """Estimated encoded size of one subframe — drives the stereo-
+    decorrelation choice without encoding every candidate."""
+    if bs and (x == x[0]).all():
+        return 8 + cbps
+    order, res = _flac_best_fixed(x, bs)
+    _p, _zz, rice_bits = _flac_rice_plan(res)
+    return 8 + min(order * cbps + 6 + rice_bits, bs * cbps)
+
+
+def _flac_write_subframe(body, x, cbps: int, bs: int) -> None:
+    """CONSTANT / FIXED+rice / VERBATIM subframe at ``cbps`` bits
+    (17 for a stereo side channel)."""
+    mask = (1 << cbps) - 1
+    if bs and (x == x[0]).all():
+        body.write(0, 1)
+        body.write(0b000000, 6)   # CONSTANT
+        body.write(0, 1)
+        body.write(int(x[0]) & mask, cbps)
+        return
+    best_order, res = _flac_best_fixed(x, bs)
+    param, zz, rice_bits = _flac_rice_plan(res)
+    if rice_bits > (cbps + 1) * bs:       # rice would expand: VERBATIM
+        body.write(0, 1)
+        body.write(0b000001, 6)
+        body.write(0, 1)
+        for v in x:
+            body.write(int(v) & mask, cbps)
+        return
+    body.write(0, 1)
+    body.write(0b001000 | best_order, 6)   # FIXED subframe
+    body.write(0, 1)                       # no wasted bits
+    for v in x[:best_order]:
+        body.write(int(v) & mask, cbps)    # warmup
+    body.write(0, 2)                       # rice method 0
+    body.write(0, 4)                       # partition order 0
+    body.write(param, 4)
+    for u in zz:
+        q = int(u) >> param
+        for _ in range(q):
+            body.write(0, 1)
+        body.write(1, 1)
+        if param:
+            body.write(int(u) & ((1 << param) - 1), param)
+
+
 def encode_flac(samples, sample_rate: int = 8000,
-                block_size: int = 4096) -> bytes:
+                block_size: int = 4096, stereo: str = "auto") -> bytes:
     """Encode int16 PCM — shape (n,) mono or (n, channels) — as a real
     FLAC stream: fLaC marker + STREAMINFO (with audio MD5) + fixed-
-    blocksize frames, each channel an independent FIXED-predictor
-    subframe (best order 0–4 by absolute-residual sum, falling back to
-    VERBATIM when rice would expand), residuals rice-coded at the
-    per-subframe optimal parameter, partition order 0, CRC-8/CRC-16
-    sealed."""
+    blocksize frames of FIXED-predictor subframes (best order 0–4 by
+    absolute-residual sum, VERBATIM fallback when rice would expand),
+    residuals rice-coded at the per-subframe optimal parameter,
+    partition order 0, CRC-8/CRC-16 sealed. Two-channel frames pick the
+    cheapest of the four spec channel assignments per frame —
+    independent, left/side, right/side, mid/side (17-bit side channel) —
+    by estimated subframe bits, the decorrelation that makes correlated
+    stereo (the normal case) compress toward the mono cost
+    (``stereo='indep'`` disables the search)."""
     import hashlib
     import struct
 
@@ -1650,7 +1722,27 @@ def encode_flac(samples, sample_rate: int = 8000,
             bs_code, bs_tail = 0b0111, bs - 1   # 16-bit blocksize-1 field
         hdr.write(bs_code, 4)
         hdr.write(0, 4)                   # sample rate: from STREAMINFO
-        hdr.write(channels - 1, 4)        # independent channels
+
+        # channel assignment: for stereo, pick the cheapest of the four
+        # spec modes by estimated subframe bits (side channels get 17)
+        subframes = [(blk[:, ch], 16) for ch in range(channels)]
+        ch_code = channels - 1
+        if channels == 2 and stereo == "auto" and bs:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            mid = (left + right) >> 1
+            options = [
+                (channels - 1, [(left, 16), (right, 16)]),
+                (8, [(left, 16), (side, 17)]),      # left/side
+                (9, [(side, 17), (right, 16)]),     # right/side
+                (10, [(mid, 16), (side, 17)]),      # mid/side
+            ]
+            ch_code, subframes = min(
+                options,
+                key=lambda o: sum(_flac_subframe_bits(x, c, bs)
+                                  for x, c in o[1]))
+
+        hdr.write(ch_code, 4)
         hdr.write(0b100, 3)               # 16 bits per sample
         hdr.write(0, 1)                   # reserved
         for byte in _flac_utf8_number(frame_no):
@@ -1663,50 +1755,8 @@ def encode_flac(samples, sample_rate: int = 8000,
         body = _FlacBitWriter()
         for byte in hbytes:
             body.write(byte, 8)
-        for ch in range(channels):
-            x = blk[:, ch]
-            if bs and (x == x[0]).all():
-                body.write(0, 1)
-                body.write(0b000000, 6)   # CONSTANT
-                body.write(0, 1)
-                body.write(int(x[0]) & 0xFFFF, 16)
-                continue
-            # pick the fixed order with the smallest residual mass
-            best_order, best_res, best_cost = 0, x, None
-            for order in range(min(5, bs)):
-                res = _fixed_residual(x, order)
-                cost = int(np.abs(res).sum()) if res.size else 0
-                if best_cost is None or cost < best_cost:
-                    best_order, best_res, best_cost = order, res, cost
-            res = best_res
-            # rice parameter ~ log2(mean |residual|)
-            mean = (2 * int(np.abs(res).sum()) // max(len(res), 1)) or 1
-            param = min(max(mean.bit_length() - 1, 0), 14)
-            zz = ((res << 1) ^ (res >> 63)).astype(np.uint64)
-            rice_bits = int((zz >> np.uint64(param)).sum()) \
-                + len(res) * (1 + param)
-            if rice_bits > 17 * bs:       # rice would expand: VERBATIM
-                body.write(0, 1)
-                body.write(0b000001, 6)
-                body.write(0, 1)
-                for v in x:
-                    body.write(int(v) & 0xFFFF, 16)
-                continue
-            body.write(0, 1)
-            body.write(0b001000 | best_order, 6)   # FIXED subframe
-            body.write(0, 1)                       # no wasted bits
-            for v in x[:best_order]:
-                body.write(int(v) & 0xFFFF, 16)    # warmup
-            body.write(0, 2)                       # rice method 0
-            body.write(0, 4)                       # partition order 0
-            body.write(param, 4)
-            for u in zz:
-                q = int(u) >> param
-                for _ in range(q):
-                    body.write(0, 1)
-                body.write(1, 1)
-                if param:
-                    body.write(int(u) & ((1 << param) - 1), param)
+        for x, cbps in subframes:
+            _flac_write_subframe(body, x, cbps, bs)
         fbytes = body.bytes()                      # aligns trailing bits
         out.append(fbytes + struct.pack(">H", _crc16_flac(fbytes)))
     return b"".join(out)

@@ -420,6 +420,34 @@ def test_flac_corruption_never_crashes(seed, flip):
         pass
 
 
+def test_flac_stereo_decorrelation_compresses_and_roundtrips():
+    """The encoder's per-frame channel-assignment search: dual-mono
+    collapses to ~half (side channel constant 0), correlated stereo
+    beats independent coding, uncorrelated noise never regresses — and
+    every mode round-trips bit-exactly through the decoder's four
+    stereo reconstructions."""
+    rng = np.random.default_rng(9)
+    t = np.arange(6000)
+    left = np.round(9000 * np.sin(t / 40)).astype(np.int64)
+    right = left + rng.integers(-50, 50, len(t))
+    corr = np.stack([left, right], 1).astype(np.int16)
+    auto = M.encode_flac(corr, 44100)
+    indep = M.encode_flac(corr, 44100, stereo="indep")
+    assert (M.decode_flac(auto)[1] == corr).all()
+    assert (M.decode_flac(indep)[1] == corr).all()
+    assert len(auto) < len(indep)
+
+    dual = np.stack([left, left], 1).astype(np.int16)
+    a2 = M.encode_flac(dual, 8000)
+    assert (M.decode_flac(a2)[1] == dual).all()
+    assert len(a2) < 0.6 * len(M.encode_flac(dual, 8000, stereo="indep"))
+
+    noise = rng.integers(-32768, 32768, (4000, 2)).astype(np.int16)
+    a3 = M.encode_flac(noise, 8000)
+    assert (M.decode_flac(a3)[1] == noise).all()
+    assert len(a3) <= len(M.encode_flac(noise, 8000, stereo="indep"))
+
+
 def _craft_flac(channels, bs, ch_code, write_subframes):
     """Hand-mux a single-frame FLAC stream the way a foreign encoder
     would: STREAMINFO (zero MD5 → decoder skips the hash check), frame
