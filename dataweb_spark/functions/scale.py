@@ -284,3 +284,69 @@ def file_stats(spark, path: str, cols: list[str]):
     for c in cols:
         aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
     return df.groupBy("__file").agg(*aggs)
+
+
+def vacuum_lake(spark, path: str, retain_hours: float = 24.0,
+                dry_run: bool = False) -> list[str]:
+    """Reclaim crash debris around a plain-parquet lake path: staged
+    rewrites (``{path}.{label}.tmp``) and swap backups
+    (``{path}.{label}.bak``) left by a ``compact_parquet`` /
+    ``merge_upsert`` / ``zorder_write`` that died mid-flight, plus
+    Spark's own ``_temporary`` job dirs inside the path. A stale
+    ``.bak`` otherwise BLOCKS every future swap (by design —
+    ``_atomic_swap`` refuses to guess); this is the operator remedy.
+
+    Safety rails, in order:
+    * only siblings matching the exact ``{basename}.{label}.tmp|.bak``
+      shape are candidates — never the live path, never unrelated data;
+    * age-gated on filesystem modification time (``retain_hours``), so
+      an in-flight rewrite's staging dir is never yanked mid-swap;
+    * a ``.bak`` is removed only if the LIVE path currently reads as
+      parquet — if the live copy is broken, the backup is the recovery
+      data and vacuum refuses to touch it;
+    * ``dry_run=True`` lists what would go without deleting.
+
+    Runs on the Hadoop FileSystem API, so it works wherever the lake
+    lives (local/HDFS/S3A). Returns the removed (or listed) paths.
+    """
+    import time
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    if not fs.exists(jpath):
+        raise ValueError(f"no lake at {path}")
+    cutoff_ms = (time.time() - retain_hours * 3600.0) * 1000.0
+    base = path.rstrip("/").rsplit("/", 1)[-1]
+    parent = jpath.getParent()
+
+    def live_readable() -> bool:
+        try:
+            spark.read.parquet(path).schema
+            return True
+        except Exception:
+            return False
+
+    victims: list[str] = []
+    for status in fs.listStatus(parent):
+        name = status.getPath().getName()
+        if not name.startswith(base + "."):
+            continue
+        if not (name.endswith(".tmp") or name.endswith(".bak")):
+            continue
+        if status.getModificationTime() > cutoff_ms:
+            continue                      # could be an in-flight rewrite
+        if name.endswith(".bak") and not live_readable():
+            continue                      # backup IS the recovery data
+        victims.append(str(status.getPath().toUri().getPath()))
+        if not dry_run:
+            fs.delete(status.getPath(), True)
+
+    tmp_dir = jvm.org.apache.hadoop.fs.Path(path, "_temporary")
+    if fs.exists(tmp_dir) \
+            and fs.getFileStatus(tmp_dir).getModificationTime() <= cutoff_ms:
+        victims.append(str(tmp_dir.toUri().getPath()))
+        if not dry_run:
+            fs.delete(tmp_dir, True)
+    return victims

@@ -178,3 +178,48 @@ def test_merge_upsert_failed_write_leaves_original(spark, tmp_path):
     with pytest.raises(Exception):
         merge_upsert(spark, path, bad, key="k")
     assert spark.read.parquet(path).count() == 5
+
+
+def test_vacuum_lake_reclaims_crash_debris(spark, tmp_path):
+    """vacuum_lake removes age-expired .tmp/.bak siblings and _temporary
+    job dirs, honors retention for fresh artifacts, refuses to drop a
+    .bak while the live path is unreadable, and dry_run deletes
+    nothing."""
+    import os
+
+    from dataweb_spark.functions.scale import vacuum_lake
+
+    lake = str(tmp_path / "lake")
+    spark.range(100).write.parquet(lake)
+    # crash debris: a staged rewrite, a swap backup, a Spark job temp dir
+    spark.range(5).write.parquet(lake + ".compact.tmp")
+    spark.range(5).write.parquet(lake + ".merge.bak")
+    os.makedirs(f"{lake}/_temporary/0")
+
+    listed = vacuum_lake(spark, lake, retain_hours=0, dry_run=True)
+    assert len(listed) == 3
+    assert os.path.exists(lake + ".compact.tmp")      # dry run: intact
+
+    # fresh artifacts survive a retention window
+    assert vacuum_lake(spark, lake, retain_hours=1.0) == []
+    assert os.path.exists(lake + ".merge.bak")
+
+    removed = vacuum_lake(spark, lake, retain_hours=0)
+    assert len(removed) == 3
+    assert not os.path.exists(lake + ".compact.tmp")
+    assert not os.path.exists(lake + ".merge.bak")
+    assert not os.path.exists(f"{lake}/_temporary")
+    assert spark.read.parquet(lake).count() == 100    # live data untouched
+
+    # a .bak guarding a BROKEN live path is recovery data — kept
+    broken = str(tmp_path / "broken")
+    spark.range(10).write.parquet(broken + ".merge.bak")
+    os.makedirs(broken)
+    open(f"{broken}/not_parquet", "w").write("junk")
+    kept = vacuum_lake(spark, broken, retain_hours=0)
+    assert os.path.exists(broken + ".merge.bak")
+    assert broken + ".merge.bak" not in kept
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no lake"):
+        vacuum_lake(spark, str(tmp_path / "missing"), retain_hours=0)
