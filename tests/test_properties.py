@@ -269,17 +269,20 @@ def test_mjpeg_avi_constant_blocks_roundtrip_exact(n, bw, bh, fps, seed):
        bh=st.integers(min_value=1, max_value=3),
        fps=st.integers(min_value=1, max_value=30),
        k=st.integers(min_value=1, max_value=5),
+       fast=st.booleans(),
        seed=st.integers(min_value=0, max_value=2**31 - 1))
-def test_mp4_roundtrip_property(n, bw, bh, fps, k, seed):
+def test_mp4_roundtrip_property(n, bw, bh, fps, k, fast, seed):
     """ISO BMFF MP4 (Motion-JPEG track) roundtrips constant-grey-block
     frames bit-exactly at quality 75 across every chunk layout — n below
     / equal to / above samples_per_chunk, with and without a partial tail
-    chunk — with fps and frame count preserved through the
-    stts/stsc/stsz/stco sample tables."""
+    chunk, mdat-first AND faststart (moov-first) box orders — with fps
+    and frame count preserved through the stts/stsc/stsz/stco sample
+    tables."""
     vals = np.random.default_rng(seed).integers(0, 256, size=(n, bh, bw))
     px = np.repeat(np.repeat(vals, 8, 1), 8, 2)
     frames = np.repeat(px[:, :, :, None], 3, 3).astype(np.uint8)
-    blob = M.encode_mp4(frames, fps=fps, quality=75, samples_per_chunk=k)
+    blob = M.encode_mp4(frames, fps=fps, quality=75, samples_per_chunk=k,
+                        faststart=fast)
     got_fps, back = M.decode_mp4(blob)
     assert got_fps == fps
     assert back.shape == frames.shape and (back == frames).all()
