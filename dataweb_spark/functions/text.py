@@ -542,3 +542,111 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
             .withColumn("quality", quality_score(col))
             .withColumn("lang_pred", lang_id(col))
             .withColumn("fingerprint", fingerprint(col)))
+
+
+# ===========================================================================
+# HTML → text extraction (the C4/RefinedWeb ingestion front door)
+# ===========================================================================
+
+# Strip steps applied in order. Regex syntax restricted to the
+# Java-regex ∩ RE2 common subset (inline (?is) flags, lazy quantifiers,
+# no lookaround/backrefs) so the DuckDB oracle runs the same patterns.
+# Replacement is ' ' (inline-safe) or '\n' (block boundary).
+HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    # script/style payloads are code, never content — drop whole elements
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level boundaries become newlines so line-level filters
+    # (c4_line_filter) see the document's visual line structure
+    (r"(?i)</?(p|div|br|hr|h[1-6]|li|ul|ol|tr|td|th|table|section|article"
+     r"|header|footer|nav|blockquote|title|pre)\b[^>]*>", "\n"),
+    # every remaining tag is inline markup — drop the tag, keep the text
+    (r"<[^>]+>", " "),
+]
+
+# Minimal entity decode (the ones boilerplate HTML actually emits), applied
+# AFTER tag stripping. Literal replaces — identical on every engine.
+# '&amp;' is decoded last so '&amp;lt;' yields '&lt;', not '<'.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+# Whitespace normalization after stripping: collapse runs of spaces/tabs,
+# then collapse whitespace runs containing a newline to ONE newline.
+HTML_WS_STEPS: list[tuple[str, str]] = [
+    (r"[ \t]+", " "),
+    (r"\s*\n\s*", "\n"),
+    (r"^\n+|\n+$", ""),
+]
+
+
+def html_to_text(col: str | Column = "text") -> Column:
+    """Boilerplate-stripping HTML → text extraction.
+
+    The C4/RefinedWeb ingestion step re-expressed as a pure
+    ``regexp_replace``/``replace`` chain: drop script/style/comments,
+    turn block-tag boundaries into newlines (so downstream line filters
+    see visual lines), strip remaining tags, decode common entities,
+    normalize whitespace. Map-only, whole-stage-codegen, no shuffle —
+    scales linearly over a 100-TB crawl. Every pattern lives in the
+    Java∩RE2 subset so a SQL oracle replays the chain verbatim.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    for pat, rep in HTML_WS_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
+
+
+# ===========================================================================
+# C4-style line-level cleaning
+# ===========================================================================
+
+# The C4 heuristics (Raffel et al. 2020, §2.2), one CASE per line:
+# keep a line iff it ends in terminal punctuation, has >= min_words words,
+# and contains none of the blocklist markers; keep the page iff enough
+# lines survive.
+C4_TERMINAL_PUNCT = "[.!?\"']$"
+C4_BLOCKLIST_LOWER = ["lorem ipsum", "javascript"]
+C4_BRACE = "{"
+
+
+def c4_line_keep(line: Column, min_words: int = 5) -> Column:
+    """Boolean: does one line survive the C4 line filters?"""
+    t = F.trim(line)
+    keep = t.rlike(C4_TERMINAL_PUNCT)
+    keep = keep & (F.size(F.split(t, r"\s+")) >= min_words)
+    for marker in C4_BLOCKLIST_LOWER:
+        keep = keep & ~F.lower(t).contains(marker)
+    return keep & ~t.contains(C4_BRACE)
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text",
+                   min_words: int = 5, min_lines: int = 3,
+                   out_col: str = "clean_text") -> DataFrame:
+    """C4-style line-level document cleaning.
+
+    Splits each document into lines, keeps only lines passing
+    ``c4_line_keep``, reassembles the survivors, and attaches
+    ``n_lines`` / ``n_kept`` / ``doc_pass`` (enough lines survived).
+    The whole operator is one codegen'd projection — ``split`` →
+    ``filter`` (array lambda) → ``array_join`` — no explode, no
+    shuffle, no Python. Compose after :func:`html_to_text` for the
+    crawl→corpus front half of a C4 pipeline.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(lines, lambda l: c4_line_keep(l, min_words))
+    return (df
+            .withColumn("n_lines", F.size(lines).cast("bigint"))
+            .withColumn("n_kept", F.size(kept).cast("bigint"))
+            .withColumn(out_col, F.array_join(kept, "\n"))
+            .withColumn("doc_pass", F.col("n_kept") >= min_lines))

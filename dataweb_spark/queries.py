@@ -5716,6 +5716,128 @@ group by doc_id order by doc_id
 
 
 # ===========================================================================
+# HTML extraction + C4 line cleaning (the crawl→corpus front half)
+# ===========================================================================
+
+# Deterministic messy-HTML synthesis shared verbatim by the Spark query and
+# the DuckDB oracle (ANSI `||` / CASE only): script+style payloads with
+# braces, a comment, entities, block tags, a planted lorem-ipsum line on
+# doc_id%5 and a third good sentence on doc_id%3 (so some docs pass the
+# 3-line page filter and some don't).
+_HTML_SYNTH_SQL = """
+'<html><head><title>Doc ' || doc_id || '</title>'
+|| '<style type="text/css">body {margin: 0; }</style>'
+|| '<script>var n = ' || doc_id || '; if (n > 0) { track(n); }</script>'
+|| '</head><body>'
+|| '<!-- generated ' || doc_id || ' -->'
+|| '<h1>Title &amp; sample ' || doc_id || '</h1>'
+|| '<p>' || text || '.</p>'
+|| '<p>Short one.</p>'
+|| (case when doc_id % 5 = 0
+         then '<p>Buy now lorem ipsum dolor sit amet.</p>' else '' end)
+|| (case when doc_id % 3 = 0
+         then '<p>An extra closing sentence for good measure.</p>'
+         else '' end)
+|| '<div class="foot">&quot;quoted&quot; &lt;escaped&gt;&nbsp;tail no '
+|| (doc_id % 7) || '.</div>'
+|| '</body></html>'
+"""
+
+
+def _duck_html_chain(expr: str) -> str:
+    """Render ``text.html_to_text`` as one DuckDB expression — the oracle
+    replays the exact strip/entity/whitespace chain (patterns are module
+    constants in the Java∩RE2 subset, single-sourced here)."""
+    from dataweb_spark.functions.text import (
+        HTML_ENTITIES, HTML_STRIP_STEPS, HTML_WS_STEPS)
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def rep(r: str) -> str:
+        return "chr(10)" if r == "\n" else lit(r)
+
+    e = expr
+    for pat, r in HTML_STRIP_STEPS:
+        e = f"regexp_replace({e}, {lit(pat)}, {rep(r)}, 'g')"
+    for ent, ch in HTML_ENTITIES:
+        e = f"replace({e}, {lit(ent)}, {lit(ch)})"
+    for pat, r in HTML_WS_STEPS:
+        e = f"regexp_replace({e}, {lit(pat)}, {rep(r)}, 'g')"
+    return f"trim({e})"
+
+
+def _text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (C4/RefinedWeb ingestion): strip
+    script/style/comments, block tags → newlines, drop inline tags, decode
+    entities, normalize whitespace — one codegen'd regexp chain, map-only.
+    The oracle replays the identical pattern chain on the identical
+    synthesized HTML."""
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    synth = spark.sql(
+        f"select doc_id, {_HTML_SYNTH_SQL} as html from documents")
+    return (synth.select(
+                "doc_id",
+                F.md5(T.html_to_text("html")).alias("extracted_md5"),
+                F.length(T.html_to_text("html")).cast("bigint")
+                 .alias("n_chars_extracted"),
+                F.size(F.split(T.html_to_text("html"), r"\n"))
+                 .cast("bigint").alias("n_lines"))
+            .orderBy("doc_id"))
+
+
+_df("text_html_extract", _text_html_extract, oracle=rf"""
+with synth as (select doc_id, {_HTML_SYNTH_SQL} as html from documents),
+ext as (select doc_id, {_duck_html_chain('html')} as extracted from synth)
+select doc_id, md5(extracted) as extracted_md5,
+       length(extracted) as n_chars_extracted,
+       len(string_split(extracted, chr(10))) as n_lines
+from ext order by doc_id
+""")
+
+
+def _text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 page-cleaning back half composed onto the HTML front half:
+    extracted lines are kept iff they end in terminal punctuation, carry
+    >= 5 words and hit no blocklist marker (lorem ipsum / javascript /
+    brace); the page passes iff >= 3 lines survive. split → array filter →
+    array_join, all codegen, no explode, no shuffle."""
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    synth = spark.sql(
+        f"select doc_id, {_HTML_SYNTH_SQL} as html from documents")
+    ext = synth.select(
+        "doc_id", T.html_to_text("html").alias("extracted"))
+    return (T.c4_line_filter(ext, "extracted")
+             .select("doc_id", "n_lines", "n_kept", "doc_pass",
+                     F.md5(F.col("clean_text")).alias("clean_md5"))
+             .orderBy("doc_id"))
+
+
+_C4_KEEP_DUCK = r"""regexp_matches(trim(l), '[.!?"'']$')
+      and len(string_split_regex(trim(l), '\s+')) >= 5
+      and not contains(lower(trim(l)), 'lorem ipsum')
+      and not contains(lower(trim(l)), 'javascript')
+      and not contains(trim(l), '{')"""
+
+_df("text_c4_filter", _text_c4_filter, oracle=rf"""
+with synth as (select doc_id, {_HTML_SYNTH_SQL} as html from documents),
+ext as (select doc_id, {_duck_html_chain('html')} as extracted from synth),
+c4 as (
+  select doc_id,
+         string_split(extracted, chr(10)) as lines,
+         list_filter(string_split(extracted, chr(10)),
+                     l -> {_C4_KEEP_DUCK}) as kept
+  from ext)
+select doc_id, len(lines) as n_lines, len(kept) as n_kept,
+       len(kept) >= 3 as doc_pass,
+       md5(array_to_string(kept, chr(10))) as clean_md5
+from c4 order by doc_id
+""")
+
+
+# ===========================================================================
 # Driver window ordering
 # ===========================================================================
 # The driver's CORRECTNESS gate checks the FIRST 50 registered queries; round

@@ -1072,3 +1072,47 @@ def test_paragraph_dedup_first_occurrence_and_vanishing_doc(spark):
     out = {r.doc_id: (r.text, r.n_paras)
            for r in paragraph_dedup(df).collect()}
     assert out == {0: ("alpha\n\nbeta", 2), 1: ("gamma", 1)}
+
+
+def test_html_to_text_strips_boilerplate_exactly(spark):
+    from pyspark.sql import Row
+    from dataweb_spark.functions import text as T
+    html = ('<html><head><title>T</title><style>h1 {x}</style>'
+            '<script>if (a<b && c>d) { evil(); }</script></head>'
+            '<body><!-- note --><h1 class="big">Hello &amp; bye</h1>'
+            '<p>One  two\tthree.</p><span>inline</span>'
+            '<div>&quot;q&quot;&nbsp;&lt;tag&gt; &amp;lt;literal</div>'
+            '</body></html>')
+    df = spark.createDataFrame([Row(doc_id=0, text=html)])
+    out = df.select(T.html_to_text("text").alias("t")).collect()[0].t
+    # title/block boundaries -> newlines; script (angle brackets inside!),
+    # style and comments gone; inline tags drop to spaces; entities decode
+    # with &amp; LAST so '&amp;lt;' stays the literal text '&lt;'
+    assert out == ('T\nHello & bye\nOne two three.\ninline\n'
+                   '"q" <tag> &lt;literal')
+
+
+def test_c4_line_filter_keeps_only_good_lines(spark):
+    from pyspark.sql import Row
+    from dataweb_spark.functions import text as T
+    lines = [
+        "This is a perfectly fine sentence here.",   # kept
+        "Too short.",                                # <5 words
+        "no terminal punctuation on this long line", # no end punct
+        "Some lorem ipsum dolor sit amet filler.",   # blocklist
+        "Enable JavaScript to view this site now.",  # blocklist
+        "function f() { return 1; }",                # brace
+        'A quoted ending works as terminal too."',   # kept
+    ]
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="\n".join(lines)),
+        Row(doc_id=1, text="One good closing sentence is not enough."),
+    ])
+    out = {r.doc_id: r for r in T.c4_line_filter(df).collect()}
+    assert out[0].n_lines == 7 and out[0].n_kept == 2
+    assert out[0].clean_text == lines[0] + "\n" + lines[6]
+    assert not out[0].doc_pass          # 2 kept < min_lines=3
+    assert out[1].n_kept == 1 and not out[1].doc_pass
+    # min_lines is tunable
+    relaxed = T.c4_line_filter(df, min_lines=2).collect()
+    assert {r.doc_id: r.doc_pass for r in relaxed} == {0: True, 1: False}
