@@ -650,3 +650,29 @@ def c4_line_filter(df: DataFrame, text_col: str = "text",
             .withColumn("n_kept", F.size(kept).cast("bigint"))
             .withColumn(out_col, F.array_join(kept, "\n"))
             .withColumn("doc_pass", F.col("n_kept") >= min_lines))
+
+
+def ccnet_buckets(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", lang_col: str = "lang",
+                  n_buckets: int = 3) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (head/middle/tail).
+
+    Scores every document with the self-trained unigram LM
+    (:func:`unigram_lm_scores`), then splits each language into
+    ``n_buckets`` equal-size perplexity tiers — the CCNet shape where
+    downstream sampling keeps 'head' (lowest-perplexity, most fluent)
+    and drops or down-weights 'tail'. One extra shuffle on the language
+    key over the LM scoring pass; the ntile window orders by the rounded
+    perplexity with the id as tiebreak, so tier assignment is
+    deterministic and engine-reproducible.
+    """
+    from pyspark.sql import Window
+    scored = unigram_lm_scores(df, id_col, text_col)
+    joined = scored.join(df.select(id_col, lang_col), id_col)
+    w = Window.partitionBy(lang_col).orderBy("perplexity", id_col)
+    tier = F.ntile(n_buckets).over(w)
+    label = (F.when(tier == 1, "head")
+              .when(tier == n_buckets, "tail")
+              .otherwise("middle")) if n_buckets == 3 \
+        else F.concat(F.lit("tier"), tier.cast("string"))
+    return joined.withColumn("ppl_bucket", label)

@@ -5837,6 +5837,61 @@ from c4 order by doc_id
 """)
 
 
+def _text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity tiers: self-trained unigram LM
+    scores every doc, ntile(3) within each language (rounded perplexity +
+    doc_id tiebreak, so tier assignment is engine-deterministic) splits
+    head/middle/tail — the bucketing that CCNet's quality-aware sampling
+    keys on. The oracle replays train → score → ntile end-to-end."""
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    tiers = T.ccnet_buckets(spark.table("documents"))
+    return (tiers.groupBy("lang", "ppl_bucket")
+                 .agg(F.count("*").cast("bigint").alias("n_docs"),
+                      F.round(F.avg("perplexity"), 2).alias("avg_ppl"),
+                      F.min("perplexity").alias("min_ppl"),
+                      F.max("perplexity").alias("max_ppl"))
+                 .orderBy("lang", "ppl_bucket"))
+
+
+_df("text_ccnet_buckets", _text_ccnet_buckets, oracle=r"""
+with toks as (
+  select doc_id, u.tok
+  from (select doc_id, string_split_regex(trim(text), '\s+') as t
+        from documents
+        where length(trim(text)) > 0) d,
+       unnest(d.t) as u(tok)
+),
+model as (select tok, count(*) as cnt from toks group by tok),
+totals as (select sum(cnt) as t_tokens, count(*) as v_size from model),
+scored as (
+  select t.doc_id,
+         round(exp(-sum(ln((m.cnt + 1.0) / (tt.t_tokens + 1.0 * tt.v_size)))
+                   / count(*)), 6) as perplexity
+  from toks t
+  join model m using (tok)
+  cross join totals tt
+  group by t.doc_id
+),
+tiers as (
+  select d.lang, s.perplexity,
+         ntile(3) over (partition by d.lang
+                        order by s.perplexity, s.doc_id) as tier
+  from scored s join documents d using (doc_id)
+)
+select lang,
+       case when tier = 1 then 'head'
+            when tier = 3 then 'tail' else 'middle' end as ppl_bucket,
+       count(*) as n_docs,
+       round(avg(perplexity), 2) as avg_ppl,
+       min(perplexity) as min_ppl,
+       max(perplexity) as max_ppl
+from tiers
+group by 1, 2
+order by lang, ppl_bucket
+""")
+
+
 # ===========================================================================
 # Driver window ordering
 # ===========================================================================

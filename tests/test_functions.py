@@ -1116,3 +1116,26 @@ def test_c4_line_filter_keeps_only_good_lines(spark):
     # min_lines is tunable
     relaxed = T.c4_line_filter(df, min_lines=2).collect()
     assert {r.doc_id: r.doc_pass for r in relaxed} == {0: True, 1: False}
+
+
+def test_ccnet_buckets_order_and_balance(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from dataweb_spark.functions import text as T
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tiers = T.ccnet_buckets(docs)
+    agg = (tiers.groupBy("lang", "ppl_bucket")
+                .agg(F.count("*").alias("n"),
+                     F.min("perplexity").alias("lo"),
+                     F.max("perplexity").alias("hi"))
+           .collect())
+    by_lang = {}
+    for r in agg:
+        by_lang.setdefault(r.lang, {})[r.ppl_bucket] = r
+    for lang, b in by_lang.items():
+        assert set(b) <= {"head", "middle", "tail"}
+        if {"head", "tail"} <= set(b):
+            # tiers are ordered: every head doc <= every tail doc
+            assert b["head"].hi <= b["tail"].lo
+        # ntile keeps tier sizes within 1 of each other
+        sizes = [r.n for r in b.values()]
+        assert max(sizes) - min(sizes) <= 1
