@@ -5892,6 +5892,38 @@ order by lang, ppl_bucket
 """)
 
 
+def _warc_records_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) ingestion — the Common Crawl front door: documents
+    packed into per-record-gzip ``.warc.gz`` blobs (10 records/blob, gzip
+    member per record — the framing that makes a 100-TB crawl splittable),
+    then exploded back into records by the Arrow-batched parser. Every
+    parsed field (URI, type, length, payload hash) derives from the source
+    row, so the oracle states the full result in closed form."""
+    from dataweb_spark.sources import warc as W
+    register_views(spark, sf_dir)
+    blobs = W.synthesize_warc_blobs(spark.table("documents"),
+                                    docs_per_blob=10, compress=True)
+    recs = W.parse_warc_records(blobs)
+    return (recs.select("blob_id", "rec_index", "warc_type", "target_uri",
+                        "content_type", "content_length",
+                        F.md5("payload").alias("payload_md5"))
+                .orderBy("blob_id", "rec_index"))
+
+
+_df("warc_records_parse", _warc_records_parse, oracle=r"""
+select doc_id // 10 as blob_id,
+       cast(row_number() over (partition by doc_id // 10
+                               order by doc_id) - 1 as int) as rec_index,
+       'response' as warc_type,
+       'http://example.com/' || source || '/' || doc_id as target_uri,
+       'text/plain' as content_type,
+       strlen(text) as content_length,
+       md5(text) as payload_md5
+from documents
+order by blob_id, rec_index
+""")
+
+
 # ===========================================================================
 # Driver window ordering
 # ===========================================================================
