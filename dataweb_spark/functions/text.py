@@ -662,14 +662,20 @@ def ccnet_buckets(df: DataFrame, id_col: str = "doc_id",
     ``n_buckets`` equal-size perplexity tiers — the CCNet shape where
     downstream sampling keeps 'head' (lowest-perplexity, most fluent)
     and drops or down-weights 'tail'. One extra shuffle on the language
-    key over the LM scoring pass; the ntile window orders by the rounded
-    perplexity with the id as tiebreak, so tier assignment is
+    key over the LM scoring pass; the ntile window orders by ``ppl_e2``
+    (the centi-perplexity as a bigint — an INTEGER, so the sort key is
+    bit-identical across engines; rounded doubles are not: Spark rounds
+    via shortest-decimal BigDecimal HALF_UP, DuckDB rounds the raw
+    binary double) with the id as tiebreak, so tier assignment is
     deterministic and engine-reproducible.
     """
     from pyspark.sql import Window
-    scored = unigram_lm_scores(df, id_col, text_col)
+    scored = (unigram_lm_scores(df, id_col, text_col)
+              .withColumn("ppl_e2",
+                          F.round(F.col("perplexity") * 100)
+                           .cast("bigint")))
     joined = scored.join(df.select(id_col, lang_col), id_col)
-    w = Window.partitionBy(lang_col).orderBy("perplexity", id_col)
+    w = Window.partitionBy(lang_col).orderBy("ppl_e2", id_col)
     tier = F.ntile(n_buckets).over(w)
     label = (F.when(tier == 1, "head")
               .when(tier == n_buckets, "tail")

@@ -3089,18 +3089,29 @@ order by doc_id
 # and the empty-doc fraction. All map-side-combined aggregates over one
 # scan; GROUP BY source is low-cardinality so the shuffle ships one row
 # per (source, partial).
+#
+# INTEGER-EXACT outputs (r8): the r7 driver red on this query was a
+# cross-engine float-rounding boundary — Spark round() goes through
+# shortest-decimal BigDecimal HALF_UP while DuckDB rounds the raw binary
+# double (round(cast(286.54335 as double), 4) → 286.5434 vs 286.5433),
+# so ANY rounded-double output column is a per-dataset flake. The rates
+# are now fixed-point bigints computed with pure integer arithmetic
+# (Spark `div` / DuckDB `//`, both floor on non-negative ints) — no
+# double ever enters the result.
 _dual("corpus_source_report", """
 select source,
        count(*)                                       as n_docs,
        count(distinct norm_hash)                      as n_unique,
-       round(1.0 - count(distinct norm_hash)
-                   / cast(count(*) as double), 6)     as dup_rate,
+       cast((count(*) - count(distinct norm_hash)) * 1000000
+            div count(*) as bigint)                   as dup_rate_e6,
        cast(min(n_chars) as bigint)                   as min_chars,
        cast(max(n_chars) as bigint)                   as max_chars,
-       round(avg(n_chars), 4)                         as avg_chars,
+       cast(sum(n_chars) * 10000
+            div count(*) as bigint)                   as avg_chars_e4,
        count(distinct lang)                           as n_langs,
-       round(avg(case when length(trim(text)) = 0
-                      then 1.0 else 0.0 end), 6)      as empty_frac
+       cast(sum(case when length(trim(text)) = 0
+                     then 1 else 0 end) * 1000000
+            div count(*) as bigint)                   as empty_frac_e6
 from (
   select source, lang, n_chars, text,
          md5(trim(regexp_replace(regexp_replace(lower(text),
@@ -3114,14 +3125,16 @@ order by source
 select source,
        count(*)                                       as n_docs,
        count(distinct norm_hash)                      as n_unique,
-       round(1.0 - count(distinct norm_hash)
-                   / cast(count(*) as double), 6)     as dup_rate,
+       cast((count(*) - count(distinct norm_hash)) * 1000000
+            // count(*) as bigint)                    as dup_rate_e6,
        cast(min(n_chars) as bigint)                   as min_chars,
        cast(max(n_chars) as bigint)                   as max_chars,
-       round(avg(n_chars), 4)                         as avg_chars,
+       cast(sum(n_chars) * 10000
+            // count(*) as bigint)                    as avg_chars_e4,
        count(distinct lang)                           as n_langs,
-       round(avg(case when length(trim(text)) = 0
-                      then 1.0 else 0.0 end), 6)      as empty_frac
+       cast(sum(case when length(trim(text)) = 0
+                     then 1 else 0 end) * 1000000
+            // count(*) as bigint)                    as empty_frac_e6
 from (
   select source, lang, n_chars, text,
          md5(trim(regexp_replace(regexp_replace(lower(text),
@@ -5839,18 +5852,23 @@ from c4 order by doc_id
 
 def _text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-language perplexity tiers: self-trained unigram LM
-    scores every doc, ntile(3) within each language (rounded perplexity +
-    doc_id tiebreak, so tier assignment is engine-deterministic) splits
-    head/middle/tail — the bucketing that CCNet's quality-aware sampling
-    keys on. The oracle replays train → score → ntile end-to-end."""
+    scores every doc, ntile(3) within each language (integer centi-
+    perplexity + doc_id tiebreak, so tier assignment is engine-
+    deterministic) splits head/middle/tail — the bucketing that CCNet's
+    quality-aware sampling keys on. All output stats are fixed-point
+    bigints over the per-doc ``ppl_e2`` integers (no rounded-double
+    output column — the r7 ``corpus_source_report`` lesson: Spark and
+    DuckDB round doubles differently at decimal boundaries). The oracle
+    replays train → score → ntile end-to-end."""
     from dataweb_spark.functions import text as T
     register_views(spark, sf_dir)
     tiers = T.ccnet_buckets(spark.table("documents"))
     return (tiers.groupBy("lang", "ppl_bucket")
                  .agg(F.count("*").cast("bigint").alias("n_docs"),
-                      F.round(F.avg("perplexity"), 2).alias("avg_ppl"),
-                      F.min("perplexity").alias("min_ppl"),
-                      F.max("perplexity").alias("max_ppl"))
+                      F.expr("cast(sum(ppl_e2) * 100 div count(*) "
+                             "as bigint)").alias("avg_ppl_e4"),
+                      F.min("ppl_e2").alias("min_ppl_e2"),
+                      F.max("ppl_e2").alias("max_ppl_e2"))
                  .orderBy("lang", "ppl_bucket"))
 
 
@@ -5866,26 +5884,27 @@ model as (select tok, count(*) as cnt from toks group by tok),
 totals as (select sum(cnt) as t_tokens, count(*) as v_size from model),
 scored as (
   select t.doc_id,
-         round(exp(-sum(ln((m.cnt + 1.0) / (tt.t_tokens + 1.0 * tt.v_size)))
-                   / count(*)), 6) as perplexity
+         cast(round(round(exp(-sum(ln((m.cnt + 1.0)
+                                      / (tt.t_tokens + 1.0 * tt.v_size)))
+                              / count(*)), 6) * 100) as bigint) as ppl_e2
   from toks t
   join model m using (tok)
   cross join totals tt
   group by t.doc_id
 ),
 tiers as (
-  select d.lang, s.perplexity,
+  select d.lang, s.ppl_e2,
          ntile(3) over (partition by d.lang
-                        order by s.perplexity, s.doc_id) as tier
+                        order by s.ppl_e2, s.doc_id) as tier
   from scored s join documents d using (doc_id)
 )
 select lang,
        case when tier = 1 then 'head'
             when tier = 3 then 'tail' else 'middle' end as ppl_bucket,
        count(*) as n_docs,
-       round(avg(perplexity), 2) as avg_ppl,
-       min(perplexity) as min_ppl,
-       max(perplexity) as max_ppl
+       cast(sum(ppl_e2) * 100 // count(*) as bigint) as avg_ppl_e4,
+       min(ppl_e2) as min_ppl_e2,
+       max(ppl_e2) as max_ppl_e2
 from tiers
 group by 1, 2
 order by lang, ppl_bucket

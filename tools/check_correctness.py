@@ -3,10 +3,18 @@
 
 Runs every ``__spark_entry__.queries()`` entry and its DuckDB oracle on the
 same parquet tables, compares row count, column names, and values
-(column-name-sorted, row-sorted, floats rounded) and prints a per-query
+(column-name-sorted, row-sorted, floats EXACT) and prints a per-query
 verdict. Use while iterating:
 
     python tools/check_correctness.py --sf-dir /root/testdata/sf0.01 [-q name]
+
+Float comparison is exact by default (r8): the r7 driver red on
+``corpus_source_report`` was a last-decimal divergence that the old
+6dp-rounding compare could never catch — the driver's value-hash is
+exact, so this gate must be too. A query whose floats differ at exact
+precision but agree to 9 significant digits is reported ``WEAK`` (likely
+fp-summation-order noise — it may still hash green at the driver, but it
+is one dataset away from a red; prefer integer-exact output columns).
 """
 
 from __future__ import annotations
@@ -24,14 +32,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def normalize(rows: list[tuple], float_digits: int = 6) -> list[tuple]:
+def normalize(rows: list[tuple],
+              sig_digits: int | None = None) -> list[tuple]:
+    """Canonicalize rows for comparison. ``sig_digits=None`` keeps floats
+    EXACT (the driver's hash is exact); ``sig_digits=9`` collapses
+    fp-summation-order noise for the WEAK fallback pass."""
     def norm(v):
         if isinstance(v, bool):
             return v
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            return round(v, float_digits)
+            if sig_digits is not None and v != 0.0:
+                return float(f"{v:.{sig_digits}g}")
+            return v
         if hasattr(v, "isoformat"):
             return v.isoformat()[:26]
         if isinstance(v, (list, tuple)):
@@ -39,7 +53,7 @@ def normalize(rows: list[tuple], float_digits: int = 6) -> list[tuple]:
         try:
             import decimal
             if isinstance(v, decimal.Decimal):
-                return round(float(v), float_digits)
+                return norm(float(v))
         except Exception:
             pass
         return v
@@ -66,7 +80,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.query or list(qs)
-    n_pass = n_fail = n_rowsonly = 0
+    n_pass = n_fail = n_rowsonly = n_weak = 0
     for name in names:
         t0 = time.time()
         try:
@@ -116,23 +130,40 @@ def main() -> int:
                             f"vs duckdb {dpd[c].dtype}")
             except Exception as e:  # arrays etc. may not convert
                 problems.append(f"pandas conversion failed: {e}")
+        weak = False
         if not problems:
-            # compare column-name-sorted values
+            # compare column-name-sorted values, floats EXACT
             sidx = [scols.index(c) for c in sorted(scols)]
             didx = [dcols.index(c) for c in sorted(dcols)]
-            sn = normalize([tuple(r[i] for i in sidx) for r in srows])
-            dn = normalize([tuple(r[i] for i in didx) for r in drows])
+            srows_s = [tuple(r[i] for i in sidx) for r in srows]
+            drows_s = [tuple(r[i] for i in didx) for r in drows]
+            sn = normalize(srows_s)
+            dn = normalize(drows_s)
             if sn != dn:
-                diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-                problems.append(f"values differ, first diffs: {diffs}")
+                # fallback: 9 significant digits — collapses fp-sum-order
+                # noise but NOT the 1e-4-class rounding divergences
+                sn9 = normalize(srows_s, sig_digits=9)
+                dn9 = normalize(drows_s, sig_digits=9)
+                if sn9 == dn9:
+                    weak = True
+                else:
+                    diffs = [(a, b) for a, b in zip(sn9, dn9)
+                             if a != b][:3]
+                    problems.append(f"values differ, first diffs: {diffs}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
+        elif weak:
+            print(f"WEAK  {name}: {len(srows)} rows — floats differ at "
+                  f"exact precision, agree at 9 sig digits "
+                  f"[{time.time()-t0:.1f}s]")
+            n_weak += 1
         else:
             print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
 
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    print(f"\n{n_pass} pass, {n_weak} weak, {n_fail} fail, "
+          f"{n_rowsonly} rows-only")
     return 1 if n_fail else 0
 
 
