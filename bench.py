@@ -252,8 +252,36 @@ def main() -> None:
                                med_idx)
         dups = (MM.synthesize_bmp_media(spark, n=250)
                 .withColumn("media_id", F.col("media_id") + 1_000_000))
-        novel = (MM.synthesize_jpeg_media(spark, n=250)
-                 .withColumn("media_id", F.col("media_id") + 2_000_000))
+
+        # novel blobs MUST be md5-chain pseudorandom rasters: the
+        # synthesize_jpeg_media gradients all share one thresholded
+        # aHash pattern and would classify near_dup against the BMP
+        # corpus, so the timed step would skip the admit path it claims
+        # to measure. Random rasters have cross-image Hamming ~32.
+        def _novel_gen(batches):
+            import hashlib as _hl
+            import numpy as _np
+            import pandas as _pd
+            for pdf in batches:
+                rows = []
+                for mid in pdf["id"]:
+                    m = int(mid)
+                    h, w = 16 + m % 5, 16 + m % 7
+                    need = h * w * 3
+                    buf = b"".join(
+                        _hl.md5(f"bench-novel:{m}:{k}".encode()).digest()
+                        for k in range(need // 16 + 1))
+                    px = _np.frombuffer(buf[:need], dtype=_np.uint8) \
+                        .reshape(h, w, 3).copy()
+                    rows.append((2_000_000 + m, "image",
+                                 MM.encode_bmp(px),
+                                 {"format": "bmp", "width": w,
+                                  "height": h, "duration_s": None}))
+                yield _pd.DataFrame(rows, columns=["media_id", "kind",
+                                                   "content", "meta"])
+
+        novel = spark.range(250).mapInPandas(_novel_gen,
+                                             schema=MM.MEDIA_SCHEMA)
         mbatch = dups.unionByName(novel)
         t0 = time.time()
         v = MIdx.classify_media_batch(spark, mbatch, med_idx)
@@ -261,6 +289,9 @@ def main() -> None:
                   v.groupBy("verdict").agg(F.count("*").alias("n"))
                    .collect()}
         extras["media_index_classify_500"] = round(time.time() - t0, 3)
+        # the timing above is only meaningful if the batch actually
+        # exercises both the reject and the admit paths it claims to
+        assert counts == {"exact_dup": 250, "novel": 250}, counts
         print(f"# extra media_index_classify_500: "
               f"{extras['media_index_classify_500']}s ({counts})",
               file=sys.stderr)

@@ -4,7 +4,7 @@ The text gate (``dedup_index.py``) materializes fingerprints + MinHash
 bands once so steady-state ingest never rescans corpus text. Media
 corpora need the same shape even more urgently: blobs are KB-GB each,
 so "recompute corpus signatures per batch" is a non-starter at 100 TB.
-This module materializes two narrow tables
+This module materializes three narrow tables
 
     ``{path}/sigs``   (id, kind, sig)   — exact-tier signature strings:
                       images key on md5(pixels)+dims (container-
@@ -14,13 +14,23 @@ This module materializes two narrow tables
                       amplitude-invariant spectral fingerprint
                       (re-masters collapse)
     ``{path}/ahash``  (id, sig64)       — image perceptual hashes for
-                      the NEAR tier: banded Hamming lookup
+                      the image NEAR tier: banded Hamming lookup
                       (pigeonhole-complete for max_hamming < bands)
+    ``{path}/vhash``  (id, fidx, sig64) — per-frame video perceptual
+                      hashes for the VIDEO near tier: banded Hamming
+                      lookup per frame position, near when >= 80% of
+                      frame positions match within max_hamming — so a
+                      RE-ENCODED (not just re-containered) copy with a
+                      few perturbed frames still collapses
     ``{path}/meta.json``                — params, checked on read
 
 and classifies each ingest batch against THOSE — batch side broadcast,
-pixels/samples never shuffle, corpus blobs never re-read. Admitted rows
-append (:func:`append_media_batch`); nothing is rebuilt.
+pixels/samples never shuffle, corpus blobs never re-read. Blobs are
+DECODED EXACTLY ONCE per pass: every public entry point accepts a
+precomputed ``sig_df`` (one :func:`media_signatures` output) so callers
+that classify AND append — the streaming gate — pay one decode, not
+three. Admitted rows append (:func:`append_media_batch`); nothing is
+rebuilt.
 
 Reference anchor: the ingest-dedup gate of ``SURVEY.md §2`` (incremental
 ingest), lifted from text to the multimodal columns — beyond-reference,
@@ -37,8 +47,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (LongType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (ArrayType, LongType, StringType,
+                               StructField, StructType)
 
 from dataweb_spark.functions.dedup_index import (_fs_read_text,
                                                  _fs_write_text)
@@ -49,52 +59,61 @@ SIG_SCHEMA = StructType([
     StructField("id", LongType()),
     StructField("kind", StringType()),
     StructField("sig", StringType()),
-    StructField("sig64", LongType()),    # images only, else NULL
+    StructField("sig64", LongType()),             # images only, else NULL
+    StructField("frame_sigs", ArrayType(LongType())),   # videos only
 ])
+
+# A batch video is near an indexed video when matched·DEN >= n·NUM of the
+# longer video's frame positions match within max_hamming (integer-exact
+# 80% rule — no float threshold to diverge between engines).
+_VIDEO_NEAR_NUM = 4
+_VIDEO_NEAR_DEN = 5
 
 
 def media_signatures(media: DataFrame,
                      id_col: str = "media_id") -> DataFrame:
-    """One Arrow pass → (id, kind, sig, sig64) per blob. Kind is sniffed
-    from magic bytes (not trusted from metadata), so mixed and
-    mislabelled corpora fingerprint correctly:
+    """One Arrow pass → (id, kind, sig, sig64, frame_sigs) per blob.
+    Kind is sniffed from magic bytes (not trusted from metadata), so
+    mixed and mislabelled corpora fingerprint correctly:
 
     * image → ``sig = "i:<md5(raw pixels)>:<h>x<w>"`` (exact across
       containers — any lossless re-encode of the same raster collapses)
       plus ``sig64`` = the integer-exact aHash for the near tier;
     * video → ``sig = "v:" + per-frame "<ahash>:<dims>:<pixel-sum>"``
       joined ``|`` (container-invariant, same construction as
-      ``video_signature``);
+      ``video_signature``) plus ``frame_sigs`` = the per-frame aHash
+      list for the video near tier;
     * audio → ``sig = "a:" + dominant-FFT-bin sequence over 512-sample
       windows`` (amplitude-invariant, same construction as
       ``audio_signature``).
 
-    Undecodable blobs get ``kind='corrupt'``, ``sig = "c:<md5(bytes)>"``
-    — corrupt duplicates still dedup, and one bad blob never fails the
-    batch."""
+    Each blob is probed and decoded ONCE. Undecodable blobs get
+    ``kind='corrupt'``, ``sig = "c:<md5(bytes)>"`` — corrupt duplicates
+    still dedup, and one bad blob never fails the batch."""
     import numpy as np
 
     from dataweb_spark.functions import multimodal as M
 
     def one(content: bytes):
         try:
-            kind = M.media_probe(content)["kind"]
+            info = M.media_probe(content)
+            kind = info["kind"]
         except (ValueError, NotImplementedError):
-            kind = "corrupt"
+            info, kind = None, "corrupt"
         try:
             if kind == "image":
-                fmt = M.media_probe(content)["format"]
-                px = M.decode_real(content, fmt)
+                px = M.decode_real(content, info["format"])
                 h, w = px.shape[0], px.shape[1]
                 dig = hashlib.md5(
                     np.ascontiguousarray(px).tobytes()).hexdigest()
-                return kind, f"i:{dig}:{h}x{w}", M._ahash64_exact(px)
+                return kind, f"i:{dig}:{h}x{w}", M._ahash64_exact(px), None
             if kind == "video":
                 _fps, frames = M.decode_video(content)
                 _n, h, w, _c = frames.shape
-                parts = [f"{M._ahash64_exact(fr):016x}:{w}x{h}"
-                         f":{int(fr.sum())}" for fr in frames]
-                return kind, "v:" + "|".join(parts), None
+                fsigs = [M._ahash64_exact(fr) for fr in frames]
+                parts = [f"{fs:016x}:{w}x{h}:{int(fr.sum())}"
+                         for fs, fr in zip(fsigs, frames)]
+                return kind, "v:" + "|".join(parts), None, fsigs
             if kind == "audio":
                 _rate, samples = M.decode_audio(content)
                 mono = samples[:, 0].astype(np.float64)
@@ -104,22 +123,29 @@ def media_signatures(media: DataFrame,
                     spec = np.abs(np.fft.rfft(mono[s0:s0 + seg]))
                     bins.append(str(1 + int(np.argmax(spec[1:])))
                                 if spec.size > 1 else "0")
-                return kind, "a:" + "|".join(bins), None
+                return kind, "a:" + "|".join(bins), None, None
         except (ValueError, NotImplementedError):
             kind = "corrupt"
         dig = hashlib.md5(content).hexdigest()
-        return "corrupt", f"c:{dig}", None
+        return "corrupt", f"c:{dig}", None, None
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf[id_col], pdf["content"]):
-                kind, sig, sig64 = one(bytes(content))
-                out.append((int(mid), kind, sig, sig64))
+                kind, sig, sig64, fsigs = one(bytes(content))
+                out.append((int(mid), kind, sig, sig64, fsigs))
             yield pd.DataFrame(out, columns=[f.name for f in SIG_SCHEMA])
 
     return media.select(id_col, "content").mapInPandas(
         kernel, schema=SIG_SCHEMA)
+
+
+def _vhash_rows(sigs: DataFrame) -> DataFrame:
+    """Explode video signature rows into (id, fidx, sig64) — the narrow
+    per-frame near-tier table."""
+    return (sigs.where(F.col("frame_sigs").isNotNull())
+            .select("id", F.posexplode("frame_sigs").alias("fidx", "sig64")))
 
 
 def build_media_index(media: DataFrame, path: str,
@@ -132,12 +158,15 @@ def build_media_index(media: DataFrame, path: str,
     spark = media.sparkSession
     sigs = media_signatures(media, id_col)
     sigs.write.mode("overwrite").parquet(f"{path}/sigs")
-    (spark.read.parquet(f"{path}/sigs")
-     .where(F.col("sig64").isNotNull())
+    persisted = spark.read.parquet(f"{path}/sigs")
+    (persisted.where(F.col("sig64").isNotNull())
      .select("id", "sig64")
      .write.mode("overwrite").parquet(f"{path}/ahash"))
+    _vhash_rows(persisted).write.mode("overwrite").parquet(f"{path}/vhash")
     _fs_write_text(spark, f"{path}/{_META}", json.dumps(
-        {"bands": bands, "max_hamming": max_hamming}))
+        {"bands": bands, "max_hamming": max_hamming,
+         "video_near_num": _VIDEO_NEAR_NUM,
+         "video_near_den": _VIDEO_NEAR_DEN}))
 
 
 def _load_params(spark: SparkSession, path: str) -> dict:
@@ -148,25 +177,42 @@ def _load_params(spark: SparkSession, path: str) -> dict:
 
 
 def classify_media_batch(spark: SparkSession, batch: DataFrame, path: str,
-                         id_col: str = "media_id") -> DataFrame:
+                         id_col: str = "media_id",
+                         sig_df: DataFrame | None = None) -> DataFrame:
     """Classify an ingest batch against the persisted index:
 
     * ``exact_dup`` — signature string already indexed (any kind; for
-      images this is pixel-exact across containers);
-    * ``near_dup``  — images only: banded-Hamming aHash lookup within
+      images this is pixel-exact across containers, for videos
+      visual-temporal-exact across containers, for audio
+      amplitude-invariant);
+    * ``near_dup``  — images: banded-Hamming aHash lookup within
       ``max_hamming`` (pigeonhole-complete recall for
-      ``max_hamming < bands``);
+      ``max_hamming < bands``); videos: banded-Hamming per-frame aHash
+      lookup, near when >= 80% of the longer video's frame positions
+      match within ``max_hamming`` — catches re-ENCODES whose perturbed
+      frames break the exact visual-temporal string;
     * ``novel``     — neither.
 
     ``match_id`` = the lowest-id indexed match (nearest first for the
-    near tier). The batch side is broadcast into both lookups; the index
-    tables stream; corpus blobs are never touched."""
+    image near tier). The batch side is broadcast into every lookup; the
+    index tables stream; corpus blobs are never touched. Pass ``sig_df``
+    (a :func:`media_signatures` output for ``batch``) to skip the decode
+    entirely — callers that classify AND append should compute
+    signatures once and thread them through."""
     params = _load_params(spark, path)
     bands, max_h = params["bands"], params["max_hamming"]
+    near_num = params.get("video_near_num", _VIDEO_NEAR_NUM)
+    near_den = params.get("video_near_den", _VIDEO_NEAR_DEN)
     width = 64 // bands
     mask = (1 << width) - 1
 
-    bsig = media_signatures(batch, id_col).persist()
+    if sig_df is not None:
+        bsig = sig_df
+    else:
+        # one decode pass, materialized eagerly so the three join
+        # subtrees below reuse the rows instead of re-decoding the
+        # batch blobs (and nothing is left pinned in the cache)
+        bsig = media_signatures(batch, id_col).localCheckpoint(eager=True)
     isig = spark.read.parquet(f"{path}/sigs")
 
     exact = (isig.join(F.broadcast(bsig.select("sig", F.col("id")
@@ -175,39 +221,63 @@ def classify_media_batch(spark: SparkSession, batch: DataFrame, path: str,
 
     iah = spark.read.parquet(f"{path}/ahash")
 
-    def banded(df, idc, sigc):
+    def banded(df, idc, sigc, extra=()):
         vals = F.array(*[
             F.shiftrightunsigned(F.col(sigc), width * b).bitwiseAND(mask)
             for b in range(bands)])
-        return df.select(F.col(idc), F.col(sigc),
+        return df.select(F.col(idc), F.col(sigc), *[F.col(c) for c in extra],
                          F.posexplode(vals).alias("band", "bval"))
 
     bh = banded(bsig.where(F.col("sig64").isNotNull())
                 .select(F.col("id").alias("_bid"),
                         F.col("sig64").alias("_bsig")), "_bid", "_bsig")
     ih = banded(iah.select("id", "sig64"), "id", "sig64")
-    near = (ih.join(F.broadcast(bh), ["band", "bval"])
-            .select("_bid", "id",
-                    F.bit_count(F.col("sig64").bitwiseXOR(F.col("_bsig")))
-                    .alias("hamming"))
-            .where(F.col("hamming") <= max_h)
-            .groupBy("_bid")
-            .agg(F.min(F.struct("hamming", "id")).alias("m"))
-            .select("_bid", F.col("m.id").alias("near_match")))
+    near_img = (ih.join(F.broadcast(bh), ["band", "bval"])
+                .select("_bid", "id",
+                        F.bit_count(F.col("sig64")
+                                    .bitwiseXOR(F.col("_bsig")))
+                        .alias("hamming"))
+                .where(F.col("hamming") <= max_h)
+                .groupBy("_bid")
+                .agg(F.min(F.struct("hamming", "id")).alias("m"))
+                .select("_bid", F.col("m.id").alias("near_match")))
 
-    out = (bsig.select(F.col("id").alias("_bid"), "kind")
-           .join(exact, "_bid", "left")
-           .join(near, "_bid", "left")
-           .select(F.col("_bid").alias(id_col), "kind",
-                   F.when(F.col("exact_match").isNotNull(), "exact_dup")
-                    .when(F.col("near_match").isNotNull(), "near_dup")
-                    .otherwise("novel").alias("verdict"),
-                   F.coalesce("exact_match", "near_match")
-                    .alias("match_id")))
-    # bsig stays persisted until the returned frame is evaluated — an
-    # eager unpersist here would silently re-decode the batch blobs once
-    # per join subtree; the context cleaner reclaims it afterwards.
-    return out
+    # VIDEO near tier: per-frame banded Hamming at matching frame
+    # positions; a candidate pair qualifies when matched frame positions
+    # cover >= near_num/near_den of the LONGER video (integer compare).
+    ivh = spark.read.parquet(f"{path}/vhash")
+    bvf = (bsig.where(F.col("frame_sigs").isNotNull())
+           .select(F.col("id").alias("_bid"),
+                   F.size("frame_sigs").alias("_bn"),
+                   F.posexplode("frame_sigs").alias("fidx", "_bsig")))
+    bvh = banded(bvf, "_bid", "_bsig", extra=("fidx", "_bn"))
+    ivn = ivh.groupBy("id").agg((F.max("fidx") + 1).alias("_in"))
+    frame_hits = (banded(ivh, "id", "sig64", extra=("fidx",))
+                  .join(F.broadcast(bvh), ["fidx", "band", "bval"])
+                  .where(F.bit_count(F.col("sig64")
+                                     .bitwiseXOR(F.col("_bsig"))) <= max_h)
+                  .select("_bid", "id", "fidx", "_bn").distinct())
+    near_vid = (frame_hits.groupBy("_bid", "id", "_bn")
+                .agg(F.count("*").alias("matched"))
+                .join(ivn, "id")
+                .where(F.col("matched") * near_den
+                       >= F.greatest("_bn", "_in") * near_num)
+                .groupBy("_bid").agg(F.min("id").alias("near_match")))
+
+    # a blob has exactly one kind, so the image and video near frames
+    # never share a _bid — union then reduce is safe
+    near = (near_img.unionByName(near_vid)
+            .groupBy("_bid").agg(F.min("near_match").alias("near_match")))
+
+    return (bsig.select(F.col("id").alias("_bid"), "kind")
+            .join(exact, "_bid", "left")
+            .join(near, "_bid", "left")
+            .select(F.col("_bid").alias(id_col), "kind",
+                    F.when(F.col("exact_match").isNotNull(), "exact_dup")
+                     .when(F.col("near_match").isNotNull(), "near_dup")
+                     .otherwise("novel").alias("verdict"),
+                    F.coalesce("exact_match", "near_match")
+                     .alias("match_id")))
 
 
 def streaming_media_gate(stream_df: DataFrame, index_path: str,
@@ -215,13 +285,14 @@ def streaming_media_gate(stream_df: DataFrame, index_path: str,
     """Streaming media ingest gate — the media face of
     ``dedup_index.streaming_ingest_gate``, same one-implementation rule:
     ``readStream → foreachBatch(classify → admit)`` over EXACTLY the
-    batch classify/append code. Per micro-batch: collapse within-batch
-    duplicates (min id per signature string — exact tier; media near
-    tiers are signature-string-equal by construction for re-encodes/
-    re-containers/re-masters, so the string collapse covers them),
-    classify survivors against the persisted index, append novel blobs'
-    signature rows. State lives entirely in the on-disk tables; the
-    stream restarts from the checkpoint with nothing to rebuild.
+    batch classify/append code. Per micro-batch: signatures are computed
+    ONCE (one decode per blob) and threaded through every step —
+    within-batch collapse (min id per signature string — exact tier;
+    media near tiers are signature-string-equal by construction for
+    re-encodes/re-containers/re-masters, so the string collapse covers
+    them), classify survivors against the persisted index, append novel
+    blobs' signature rows. State lives entirely in the on-disk tables;
+    the stream restarts from the checkpoint with nothing to rebuild.
 
     Replay idempotency: ``foreachBatch`` is at-least-once — the gate
     anti-joins the batch against already-indexed ids first, so a replay
@@ -236,17 +307,20 @@ def streaming_media_gate(stream_df: DataFrame, index_path: str,
         indexed = (spark.read.parquet(f"{index_path}/sigs")
                    .select(F.col("id").alias(id_col)))
         fresh = batch.join(indexed, id_col, "left_anti")
-        sigs = media_signatures(fresh, id_col)
+        # ONE decode pass per micro-batch; localCheckpoint materializes
+        # the narrow signature rows so collapse/classify/append all
+        # reuse them (and nothing stays pinned after the batch)
+        sigs = media_signatures(fresh, id_col).localCheckpoint(eager=True)
         keep = (sigs.withColumn(
                     "_rn", F.row_number().over(
                         Window.partitionBy("sig").orderBy("id")))
-                .where(F.col("_rn") == 1).select(F.col("id").alias(id_col)))
-        survivors = fresh.join(F.broadcast(keep), id_col)
-        verdicts = classify_media_batch(spark, survivors, index_path)
-        admitted = survivors.join(
+                .where(F.col("_rn") == 1).drop("_rn"))
+        verdicts = classify_media_batch(spark, None, index_path,
+                                        id_col, sig_df=keep)
+        admitted_sigs = keep.join(
             F.broadcast(verdicts.where(F.col("verdict") == "novel")
-                        .select(id_col)), id_col)
-        append_media_batch(admitted, index_path, id_col)
+                        .select(F.col(id_col).alias("id"))), "id")
+        append_media_batch(None, index_path, id_col, sig_df=admitted_sigs)
 
     return (stream_df.writeStream
             .foreachBatch(_gate)
@@ -255,12 +329,18 @@ def streaming_media_gate(stream_df: DataFrame, index_path: str,
             .start())
 
 
-def append_media_batch(admitted: DataFrame, path: str,
-                       id_col: str = "media_id") -> None:
+def append_media_batch(admitted: DataFrame | None, path: str,
+                       id_col: str = "media_id",
+                       sig_df: DataFrame | None = None) -> None:
     """Append admitted blobs' signature rows — one pass over the batch,
-    no index rebuild, no corpus re-read."""
-    sigs = media_signatures(admitted, id_col).persist()
+    no index rebuild, no corpus re-read. Pass ``sig_df`` (the admitted
+    subset of an existing :func:`media_signatures` output) to append
+    without touching the blobs at all."""
+    if sig_df is not None:
+        sigs = sig_df
+    else:
+        sigs = media_signatures(admitted, id_col).localCheckpoint(eager=True)
     sigs.write.mode("append").parquet(f"{path}/sigs")
     (sigs.where(F.col("sig64").isNotNull()).select("id", "sig64")
      .write.mode("append").parquet(f"{path}/ahash"))
-    sigs.unpersist()
+    _vhash_rows(sigs).write.mode("append").parquet(f"{path}/vhash")

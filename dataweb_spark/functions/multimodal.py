@@ -1462,12 +1462,16 @@ def _crc16_flac(data: bytes) -> int:
 
 def _flac_utf8_number(v: int) -> bytes:
     """FLAC frame/sample numbers use the UTF-8 length-prefix scheme
-    extended to 36-bit values."""
+    extended to 36-bit values. An encoding with ``n`` continuation bytes
+    carries ``(6 - n) + 6n = 6 + 5n`` payload bits (lead byte keeps
+    ``6 - n`` free bits, each continuation 6), so the minimal byte count
+    is the smallest ``n`` with ``v < 2^(6+5n)`` — strict decoders reject
+    overlong forms."""
     if v < 0x80:
         return bytes([v])
     out = []
     n_bytes = 1
-    while v >= (1 << (6 - n_bytes + 5 * n_bytes)) and n_bytes < 6:
+    while v >= (1 << (6 + 5 * n_bytes)) and n_bytes < 6:
         n_bytes += 1
     for _ in range(n_bytes):
         out.append(0x80 | (v & 0x3F))

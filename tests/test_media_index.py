@@ -140,6 +140,44 @@ def test_streaming_media_gate_admits_only_novel(spark):
     assert ids2 == ids
 
 
+def _rand_frames(seed: int, n: int = 6, h: int = 16, w: int = 16):
+    """n independent md5-chain random frames — cross-frame and
+    cross-video aHash Hamming ~32, so near-tier matches are
+    unambiguous (the structured _frames blocks all share one
+    thresholded pattern and would collide)."""
+    return np.stack([_pixels(seed * 1000 + f, h, w) for f in range(n)])
+
+
+def test_media_index_video_near_tier(spark):
+    """A RE-ENCODED video copy with one replaced frame breaks the
+    exact visual-temporal string (per-frame pixel sums differ) but must
+    classify near_dup via the banded per-frame-aHash tier (>= 80% of
+    frame positions within max_hamming); a two-frame-replaced copy
+    (4/6 < 80%) and a fully different video stay novel."""
+    corpus = _media_df(spark, [
+        (0, M.encode_avi(_rand_frames(1), 10)),
+        (1, M.encode_avi(_rand_frames(2), 10)),
+    ])
+    idx = tempfile.mkdtemp(prefix="t_media_vnear_")
+    MI.build_media_index(corpus, idx)
+
+    one_off = _rand_frames(2).copy()
+    one_off[3] = _pixels(999)              # replace one frame outright
+    two_off = _rand_frames(1).copy()
+    two_off[0] = _pixels(998)
+    two_off[5] = _pixels(997)
+    batch = _media_df(spark, [
+        (100, M.encode_avi(one_off, 10)),   # 5/6 frames match → near
+        (101, M.encode_avi(two_off, 10)),   # 4/6 < 80% → novel
+        (102, M.encode_avi(_rand_frames(9), 10)),   # different → novel
+    ])
+    got = {r["media_id"]: r for r in
+           MI.classify_media_batch(spark, batch, idx).collect()}
+    assert got[100]["verdict"] == "near_dup" and got[100]["match_id"] == 1
+    assert got[101]["verdict"] == "novel"
+    assert got[102]["verdict"] == "novel"
+
+
 def test_media_index_requires_meta(spark):
     df = _media_df(spark, [(0, M.encode_bmp(_pixels(0)))])
     with pytest.raises(ValueError, match="no media index"):

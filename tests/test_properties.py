@@ -406,6 +406,40 @@ def test_flac_roundtrip_property(n, ch, seed, rate, smooth):
         assert len(blob) < x.nbytes    # predictors actually compress
 
 
+def test_flac_utf8_number_minimal_and_roundtrips():
+    """FLAC frame/sample numbers must use the MINIMAL UTF-8-style byte
+    count — an encoding with n continuation bytes carries 6+5n payload
+    bits, and strict external decoders reject overlong forms (the old
+    6+4n threshold emitted 1024 as 3 bytes instead of 2). Assert exact
+    byte counts at every boundary and bit-exact round-trip."""
+    from dataweb_spark.functions.multimodal import _flac_utf8_number
+
+    def decode(b: bytes) -> int:
+        lead = b[0]
+        if lead < 0x80:
+            assert len(b) == 1
+            return lead
+        extra = 0
+        while extra < 7 and lead & (0x80 >> extra):
+            extra += 1
+        assert len(b) == extra          # lead + (extra-1) continuations
+        v = lead & (0xFF >> (extra + 1))
+        for c in b[1:]:
+            assert c & 0xC0 == 0x80     # valid continuation byte
+            v = (v << 6) | (c & 0x3F)
+        return v
+
+    assert _flac_utf8_number(1024) == b"\xd0\x80"   # 2 bytes, not 3
+    for v, nbytes in [(0, 1), (0x7F, 1), (0x80, 2), (1024, 2),
+                      (2**11 - 1, 2), (2**11, 3), (2**16 - 1, 3),
+                      (2**16, 4), (2**21 - 1, 4), (2**21, 5),
+                      (2**26 - 1, 5), (2**26, 6), (2**31 - 1, 6),
+                      (2**31, 7), (2**36 - 1, 7)]:
+        b = _flac_utf8_number(v)
+        assert len(b) == nbytes, (v, b.hex())
+        assert decode(b) == v
+
+
 @settings(max_examples=30, deadline=None)
 @given(seed=st.integers(min_value=0, max_value=2**31 - 1),
        flip=st.integers(min_value=0, max_value=10**9))

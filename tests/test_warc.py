@@ -1,0 +1,116 @@
+"""WARC (ISO 28500) record source: record framing, per-record-gzip
+member splitting, the malformed-record ValueError contract, and the
+binaryFile directory ingest face."""
+
+import gzip
+import tempfile
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from dataweb_spark.sources import warc as W
+
+
+def _docs(spark, n=25):
+    return (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .orderBy("doc_id").limit(n))
+
+
+def _blob_df(spark, blob: bytes, blob_id: int = 0):
+    pdf = pd.DataFrame({"blob_id": [blob_id], "warc": [blob]})
+    return spark.createDataFrame(pdf, schema="blob_id long, warc binary")
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_warc_roundtrip_fields_match_source_rows(spark, compress):
+    docs = _docs(spark)
+    blobs = W.synthesize_warc_blobs(docs, docs_per_blob=10,
+                                    compress=compress)
+    recs = W.parse_warc_records(blobs).collect()
+    by_uri = {r.target_uri: r for r in recs}
+    for d in docs.collect():
+        uri = f"http://example.com/{d.source}/{d.doc_id}"
+        r = by_uri[uri]
+        assert r.warc_type == "response"
+        assert r.record_id == f"<urn:dataweb:doc-{d.doc_id}>"
+        assert r.content_type == "text/plain"
+        assert bytes(r.payload).decode("utf-8") == d.text
+        assert r.content_length == len(d.text.encode("utf-8"))
+        assert r.blob_id == d.doc_id // 10
+    # records are consecutive in doc_id order within a blob
+    idx = {(r.blob_id, r.rec_index) for r in recs}
+    assert len(idx) == len(recs)
+
+
+def test_warc_missing_content_length_is_valueerror():
+    """A record without Content-Length must fail the module's documented
+    ValueError contract — not leak KeyError into the Spark task."""
+    rec = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x/1\r\n"
+           b"\r\n"
+           b"body\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(W._parse_warc_bytes(rec))
+
+
+def test_warc_malformed_records_are_valueerror():
+    with pytest.raises(ValueError, match="bad WARC Content-Length"):
+        list(W._parse_warc_bytes(
+            b"WARC/1.0\r\nContent-Length: nope\r\n\r\nx\r\n\r\n"))
+    with pytest.raises(ValueError, match="bad WARC version"):
+        list(W._parse_warc_bytes(
+            b"HTTP/1.0\r\nContent-Length: 1\r\n\r\nx\r\n\r\n"))
+    with pytest.raises(ValueError, match="truncated WARC payload"):
+        list(W._parse_warc_bytes(
+            b"WARC/1.0\r\nContent-Length: 999\r\n\r\nshort"))
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        full = gzip.compress(b"WARC/1.0\r\nContent-Length: 1\r\n\r\nx",
+                             mtime=0)
+        list(W._parse_warc_bytes(full[:-3]))
+
+
+def test_warc_gzip_members_split_independently():
+    """.warc.gz framing: each record its own gzip member, concatenated —
+    the member boundary is what makes a 100-TB crawl splittable."""
+    r1 = W.build_warc_record(1, "web", "alpha")
+    r2 = W.build_warc_record(2, "web", "beta gamma")
+    blob = gzip.compress(r1, mtime=0) + gzip.compress(r2, mtime=0)
+    got = list(W._parse_warc_bytes(blob))
+    assert [g[4] for g in got] == [5, 10]        # content lengths
+    assert [g[5] for g in got] == [b"alpha", b"beta gamma"]
+
+
+def test_warc_directory_ingest_face(spark):
+    """write_warc_directory → read_warc_directory → parse equals the
+    in-memory parse: the filesystem face adds no records, loses none,
+    and recovers blob ids from the file names."""
+    docs = _docs(spark)
+    blobs = W.synthesize_warc_blobs(docs, docs_per_blob=10, compress=True)
+    d = tempfile.mkdtemp(prefix="t_warc_dir_")
+    n = W.write_warc_directory(blobs, d)
+    assert n == blobs.count()
+
+    via_fs = (W.parse_warc_records(W.read_warc_directory(spark, d))
+              .select("blob_id", "rec_index", "target_uri",
+                      F.md5("payload").alias("h")))
+    direct = (W.parse_warc_records(blobs)
+              .select("blob_id", "rec_index", "target_uri",
+                      F.md5("payload").alias("h")))
+    assert sorted(map(tuple, via_fs.collect())) \
+        == sorted(map(tuple, direct.collect()))
+
+
+def test_warc_directory_blob_id_falls_back_to_path_hash(spark):
+    import os
+    d = tempfile.mkdtemp(prefix="t_warc_noid_")
+    rec = gzip.compress(W.build_warc_record(7, "web", "hello"), mtime=0)
+    with open(os.path.join(d, "no-digits-here.warc.gz"), "wb") as f:
+        f.write(rec)
+    rows = W.read_warc_directory(spark, d).collect()
+    assert len(rows) == 1 and rows[0].blob_id is not None
+    parsed = W.parse_warc_records(
+        W.read_warc_directory(spark, d)).collect()
+    assert parsed[0].target_uri == "http://example.com/web/7"
