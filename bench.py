@@ -106,6 +106,17 @@ EXTRAS = [
     "streaming_media_dedup",
     "media_index_classify",
     "corpus_source_report",
+    # r8 additions
+    "warc_records_parse",
+    "warc_directory_ingest",
+    "text_html_extract",
+    "text_c4_filter",
+    "text_ccnet_buckets",
+    "media_index_video_near",
+    "pipeline_crawl_corpus",
+    "crawl_url_normalize",
+    "crawl_domain_caps",
+    "pipeline_dsir_selection",
 ]
 
 

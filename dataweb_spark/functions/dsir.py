@@ -1,0 +1,111 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023).
+
+The data-selection step a pretraining pipeline runs between cleaning
+and assembly: score every raw document by how target-like it is under
+hashed n-gram bag-of-words language models,
+
+    log w(x) = sum_over_grams( ln p_target(bucket) - ln q_raw(bucket) )
+
+then keep the top-weighted slice. Engine shape (all Spark built-ins):
+
+* grams: whitespace bigrams, hashed into ``16^hex_chars`` buckets by an
+  md5-prefix — md5 is ENGINE-PORTABLE, so a DuckDB oracle replays the
+  exact bucket assignment (xxhash64 is not);
+* the two bucket models are map-side-combined groupBys bounded by the
+  bucket count (4096 rows at the default), broadcast into the scoring
+  join — never collected;
+* per-doc score: one explode → broadcast join → re-aggregate, the same
+  proven shape as ``unigram_lm_scores``;
+* outputs are FIXED-POINT bigints (``weight_e4``) — the r7
+  ``corpus_source_report`` lesson: rounded-double outputs diverge
+  between engines at decimal boundaries;
+* selection is deterministic top-k by ``(weight_e4 DESC, id)`` — an
+  integer sort key, so reruns, engines and resumed jobs pick the same
+  slice (the paper's Gumbel resampling adds sampling noise; at corpus
+  scale the top-k slice is the production variant).
+
+At 100 TB: models are 4096-row broadcasts; the only wide shuffle is the
+gram explode's re-aggregate on doc_id, linear in corpus tokens. The
+top-k is a TakeOrderedAndProject when k is small, a filter on the
+weight threshold when it is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataweb_spark.functions.text import tokens
+
+
+def hashed_gram_buckets(col: str | Column = "text",
+                        hex_chars: int = 3) -> Column:
+    """Array of hashed-bigram bucket keys for a document: consecutive
+    token pairs joined with one space, bucketed by the first
+    ``hex_chars`` hex digits of their md5 (16^hex_chars buckets).
+    Empty / one-token docs → empty array."""
+    t = tokens(col)
+    return F.when(F.size(t) < 2, F.array().cast("array<string>")) \
+            .otherwise(F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.substring(
+                    F.md5(F.concat_ws(" ",
+                                      F.element_at(t, i),
+                                      F.element_at(t, i + 1))),
+                    1, hex_chars)))
+
+
+def bucket_model(df: DataFrame, id_col: str, text_col: str,
+                 hex_chars: int = 3) -> DataFrame:
+    """Hashed-bigram counts: (bucket, cnt), bounded by 16^hex_chars
+    rows — map-side-combined, broadcastable."""
+    return (df.select(F.explode(hashed_gram_buckets(text_col, hex_chars))
+                      .alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("cnt")))
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 hex_chars: int = 3) -> DataFrame:
+    """Per-raw-document DSIR importance weight.
+
+    Both models use add-1 smoothing over the full 16^hex_chars bucket
+    space:  p(b) = (cnt_target(b) + 1) / (T_target + B). Returns
+    (id, n_grams, weight_e4) for every raw doc with >= 1 bigram;
+    ``weight_e4`` = round(log-weight * 1e4) as bigint."""
+    n_buckets = 16 ** hex_chars
+    tmod = bucket_model(target, id_col, text_col, hex_chars)
+    rmod = bucket_model(raw, id_col, text_col, hex_chars)
+    t_tot = tmod.agg(F.sum("cnt").alias("t_tot"))
+    r_tot = rmod.agg(F.sum("cnt").alias("r_tot"))
+
+    grams = (raw.select(F.col(id_col),
+                        F.explode(hashed_gram_buckets(text_col, hex_chars))
+                        .alias("bucket")))
+    scored = (grams
+              .join(F.broadcast(tmod.withColumnRenamed("cnt", "t_cnt")),
+                    "bucket", "left")
+              .join(F.broadcast(rmod.withColumnRenamed("cnt", "r_cnt")),
+                    "bucket", "left")
+              .crossJoin(F.broadcast(t_tot))
+              .crossJoin(F.broadcast(r_tot))
+              .withColumn(
+                  "logw",
+                  F.log((F.coalesce("t_cnt", F.lit(0)) + F.lit(1.0))
+                        / (F.col("t_tot") + F.lit(float(n_buckets))))
+                  - F.log((F.coalesce("r_cnt", F.lit(0)) + F.lit(1.0))
+                          / (F.col("r_tot") + F.lit(float(n_buckets))))))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_grams"),
+                 F.round(F.sum("logw") * 10000).cast("bigint")
+                  .alias("weight_e4")))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, k: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                hex_chars: int = 3) -> DataFrame:
+    """Deterministic DSIR top-k: the k raw docs most target-like by
+    (weight_e4 DESC, id) — an integer sort key, engine-reproducible."""
+    w = dsir_weights(raw, target, id_col, text_col, hex_chars)
+    return (w.orderBy(F.col("weight_e4").desc(), F.col(id_col))
+             .limit(k))

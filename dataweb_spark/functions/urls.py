@@ -1,0 +1,163 @@
+"""URL / domain layer — the crawl FRONT half's first gate.
+
+Every web-scale corpus pipeline (C4, RefinedWeb, FineWeb, Dolma) starts
+by normalizing page URLs, extracting the registered domain, dropping
+blocklisted hosts, and capping how many pages any one domain may
+contribute (a handful of mega-domains otherwise dominate the token
+mix). This module expresses all four as codegen column expressions and
+narrow-key shuffles:
+
+* :func:`url_host` / :func:`url_path` — pure ``regexp_extract`` parses
+  (kept in the Java∩RE2 regex subset so a SQL oracle replays them);
+* :func:`registered_domain` — last-two-labels heuristic with the common
+  multi-part public suffixes (co.uk, com.au, ...) special-cased; a full
+  public-suffix list is a broadcast join away, the shape is identical;
+* :func:`normalize_url` — lowercase scheme+host, strip fragment,
+  default ports, tracking params (``utm_*``/``fbclid``/``gclid``),
+  empty query remnants and trailing slashes — the canonical form URL
+  dedup keys on;
+* :func:`domain_caps` — deterministic per-domain page cap: hash-ordered
+  ``row_number`` per registered domain (one shuffle on the domain key;
+  hot mega-domains are exactly what AQE skew-join/salting notes in
+  SCALE.md address — the cap itself SHRINKS the skew downstream);
+* :func:`blocklist_filter` — anti-join against a (small, broadcast)
+  blocked-domain table.
+
+Everything is map-only except the two narrow-key joins; page bodies
+never shuffle. No counterpart in the reference repo (its sources are
+SQL engines / file directories) — part of the greenfield LLM-pipeline
+layer, like all of ``functions/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Multi-part public suffixes common enough for the heuristic tier; the
+# real PSL is ~9k rows — broadcast-join it in production, same plan.
+MULTI_PART_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tr", "com.ar", "co.za", "com.sg", "com.hk",
+]
+
+# tracking params stripped by normalize_url (lowercase-compared)
+TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid|msclkid|ref)"
+
+
+def url_host(col: str | Column = "url") -> Column:
+    """Lowercased host (no scheme, userinfo, port, path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
+
+
+def url_path(col: str | Column = "url") -> Column:
+    """Path component ('' when absent); query/fragment excluded."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+
+
+def registered_domain(col: str | Column = "url") -> Column:
+    """Registered (pay-level) domain of the URL's host: the last two
+    labels, or three when the last two form a known multi-part public
+    suffix (``news.bbc.co.uk`` → ``bbc.co.uk``). IP hosts pass through
+    whole."""
+    host = url_host(col)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(".", F.element_at(parts, -3), F.element_at(parts, -2),
+                        F.element_at(parts, -1))
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    multi = F.lit(False)
+    for suf in MULTI_PART_SUFFIXES:
+        multi = multi | (last2 == suf)
+    return (F.when(is_ip | (n <= 2), host)
+             .when(multi & (n >= 3), last3)
+             .otherwise(last2))
+
+
+def normalize_url(col: str | Column = "url") -> Column:
+    """Canonical URL form for exact URL dedup:
+
+    1. lowercase the scheme and host (userinfo/path/query stay
+       case-sensitive per RFC 3986);
+    2. drop the fragment;
+    3. drop default ports (``:80`` for http, ``:443`` for https);
+    4. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+       ``msclkid``, ``ref``): the query string is split on ``&``,
+       filtered with an array lambda and rejoined — order-robust for
+       ANY number of adjacent tracking params, unlike a global
+       regexp_replace whose scan never revisits replaced text;
+    5. drop one trailing slash from a non-root path.
+
+    Regexes stay in the Java∩RE2 subset (group captures, no
+    lookaround) — map-only, whole-stage-codegen, exactly replayable as
+    a SQL oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    # 1. lowercase scheme and host[:port] ONLY — userinfo, path and
+    # query are case-sensitive per RFC 3986
+    scheme = F.lower(F.regexp_extract(
+        c, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    userinfo = F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/@?#]*@)", 1)
+    hostport = F.lower(F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]*)", 1))
+    tail = F.regexp_replace(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*", "")
+    u = F.concat(scheme, F.lit("://"), userinfo, hostport, tail)
+    # 2. fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 3. default ports (group-capture, not lookahead — RE2 has none)
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?].*)?$", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?].*)?$", "$1$2")
+    # 4. tracking params via split → filter → rejoin
+    base = F.regexp_replace(u, r"\?.*$", "")
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike("^" + TRACKING_PARAM_RE + "="))
+    u = F.when(F.size(kept) > 0,
+               F.concat(base, F.lit("?"), F.array_join(kept, "&"))) \
+         .otherwise(base)
+    # 5. trailing slash on a non-root path
+    u = F.regexp_replace(u, r"(://[^/?#]+/[^?#]*?)/(\?|$)", "$1$2")
+    return u
+
+
+def domain_caps(df: DataFrame, url_col: str = "url",
+                max_per_domain: int = 100,
+                id_col: str = "doc_id") -> DataFrame:
+    """FineWeb-style per-domain contribution cap: keep at most
+    ``max_per_domain`` pages per registered domain, chosen by a
+    DETERMINISTIC hash order (md5 of the normalized URL, id tiebreak —
+    md5 is engine-portable, so a SQL oracle replays the exact same
+    choice) so reruns and engines agree — never "first N seen", which
+    is partition-order-dependent. One shuffle on the (narrow) domain
+    key; page bodies ride along once — at 100 TB, project down to
+    (id, url) first, cap, then semi-join bodies back."""
+    norm = normalize_url(url_col)
+    ranked = (df.withColumn("_dom", registered_domain(url_col))
+                .withColumn("_ord", F.md5(norm))
+                .withColumn("_rn", F.row_number().over(
+                    Window.partitionBy("_dom").orderBy("_ord", id_col))))
+    return (ranked.where(F.col("_rn") <= max_per_domain)
+            .drop("_ord", "_rn")
+            .withColumnRenamed("_dom", "domain"))
+
+
+def blocklist_filter(df: DataFrame, blocked: DataFrame,
+                     url_col: str = "url") -> DataFrame:
+    """Drop pages whose REGISTERED domain is blocklisted (UT1-style
+    adult/malware lists): broadcast anti-join on the domain key — the
+    list is ~1M rows at worst, always the small side."""
+    dom = registered_domain(url_col).alias("_dom")
+    return (df.withColumn("_dom", dom)
+              .join(F.broadcast(blocked.select(
+                  F.col(blocked.columns[0]).alias("_dom"))),
+                  "_dom", "left_anti")
+              .drop("_dom"))

@@ -5943,6 +5943,437 @@ order by blob_id, rec_index
 """)
 
 
+def _warc_directory_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC FILESYSTEM face (VERDICT r7 item 5): ``.warc.gz`` files in
+    a directory → ``binaryFile`` rows (one per file, the ~1 GB Common
+    Crawl granularity) → record parse → per-source crawl inventory. The
+    fixture writer materializes real files; blob ids round-trip through
+    the file names; every aggregate derives from the source rows so the
+    oracle states the result in closed form — all counters integer-exact.
+    """
+    import tempfile
+
+    from dataweb_spark.sources import warc as W
+    register_views(spark, sf_dir)
+    blobs = W.synthesize_warc_blobs(spark.table("documents"),
+                                    docs_per_blob=10, compress=True)
+    d = tempfile.mkdtemp(prefix="dw_warc_dir_")
+    W.write_warc_directory(blobs, d)
+    recs = W.parse_warc_records(W.read_warc_directory(spark, d))
+    return (recs.withColumn("source", F.split("target_uri", "/").getItem(3))
+                .groupBy("source")
+                .agg(F.count("*").cast("bigint").alias("n_records"),
+                     F.sum("content_length").cast("bigint")
+                      .alias("total_payload_bytes"),
+                     F.countDistinct(F.md5("payload"))
+                      .alias("n_unique_payloads"),
+                     F.countDistinct("blob_id").alias("n_blobs"))
+                .orderBy("source"))
+
+
+_df("warc_directory_ingest", _warc_directory_ingest, oracle="""
+select source,
+       count(*) as n_records,
+       cast(sum(strlen(text)) as bigint) as total_payload_bytes,
+       count(distinct md5(text)) as n_unique_payloads,
+       count(distinct doc_id // 10) as n_blobs
+from documents
+group by source
+order by source
+""")
+
+
+def _media_index_video_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near tier of the persisted media index (VERDICT r7 item 6):
+    the exact tier keys on the per-frame visual-temporal string, so a
+    RE-ENCODED copy with even one perturbed frame used to escape as
+    novel. The banded per-frame-aHash Hamming tier closes it: near when
+    >= 80% of the longer video's frame positions match within
+    max_hamming. Planted batch over an 8-video corpus (6 md5-chain
+    random frames each — cross-video frame Hamming ~32, unambiguous):
+    ids 1000-1003 are one-frame-REPLACED copies of videos 0-3 (5/6 =
+    83% → near_dup), 1004-1007 are two-frame-replaced copies of videos
+    4-7 (4/6 = 67% → novel: the threshold bites), 1008-1011 are
+    byte-identical copies of 0-3 (exact_dup outranks near), 1012-1015
+    are novel videos. The oracle states the 16 verdicts in closed form.
+    """
+    import hashlib
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from dataweb_spark.functions import media_index as MI
+    from dataweb_spark.functions import multimodal as M
+
+    def _pixels(seed: int):
+        h, w = 16, 16
+        need = h * w * 3
+        buf = b"".join(hashlib.md5(f"vnear:{seed}:{k}".encode()).digest()
+                       for k in range(need // 16 + 1))
+        return np.frombuffer(buf[:need], dtype=np.uint8) \
+            .reshape(h, w, 3).copy()
+
+    def _frames(vid: int):
+        return np.stack([_pixels(vid * 1000 + f) for f in range(6)])
+
+    def corpus_gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                m = int(mid)
+                rows.append((m, "video", M.encode_avi(_frames(m), 10),
+                             {"format": "avi", "width": 16, "height": 16,
+                              "duration_s": 0.6}))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "meta"])
+
+    corpus = spark.range(8).mapInPandas(corpus_gen, schema=M.MEDIA_SCHEMA)
+    idx = tempfile.mkdtemp(prefix="dw_media_vnear_")
+    MI.build_media_index(corpus, idx)
+
+    def batch_gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                i = int(mid)
+                if i < 4:                   # one frame replaced → near
+                    fr = _frames(i).copy()
+                    fr[3] = _pixels(90_000 + i)
+                elif i < 8:                 # two frames replaced → novel
+                    fr = _frames(i).copy()
+                    fr[0] = _pixels(91_000 + i)
+                    fr[5] = _pixels(92_000 + i)
+                elif i < 12:                # byte-identical → exact
+                    fr = _frames(i - 8)
+                else:                       # novel video
+                    fr = _frames(100 + i)
+                rows.append((1000 + i, "video", M.encode_avi(fr, 10),
+                             {"format": "avi", "width": 16, "height": 16,
+                              "duration_s": 0.6}))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "meta"])
+
+    batch = spark.range(16).mapInPandas(batch_gen, schema=M.MEDIA_SCHEMA)
+    return (MI.classify_media_batch(spark, batch, idx)
+            .select("media_id", "verdict", "match_id")
+            .orderBy("media_id"))
+
+
+_df("media_index_video_near", _media_index_video_near, oracle="""
+select 1000 + i as media_id,
+       case when i < 4 then 'near_dup'
+            when i < 8 then 'novel'
+            when i < 12 then 'exact_dup'
+            else 'novel' end as verdict,
+       case when i < 4 then cast(i as bigint)
+            when i >= 8 and i < 12 then cast(i - 8 as bigint)
+            else null end as match_id
+from (select range as i from range(16))
+order by media_id
+""")
+
+
+def _pipeline_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl→corpus pipeline (VERDICT r7 item 7) — the r7
+    front half composed onto the existing back half in ONE query: pages
+    are packed into per-record-gzip WARC blobs, parsed back
+    (``parse_warc_records``), boilerplate-stripped (``html_to_text``),
+    C4-line-cleaned (``c4_line_filter``, doc-pass gate), exact-deduped
+    on the CLEANED text (min doc_id per md5 — post-cleaning dedup is the
+    production order: boilerplate must not mask duplicate bodies), then
+    CCNet-bucketed per language with the self-trained unigram LM. All
+    output stats are fixed-point bigints. The oracle replays the whole
+    chain; the WARC hop round-trips payload bytes exactly (proven by
+    ``warc_records_parse``), so the oracle composes from the page text.
+    Scale shape: pack/parse are Arrow map passes, extract+clean are
+    codegen projections, dedup is one hash shuffle, the LM is the
+    proven map-side-combined unigram shape — no new shuffle class."""
+    from pyspark.sql import Window
+
+    from dataweb_spark.functions import text as T
+    from dataweb_spark.sources import warc as W
+    register_views(spark, sf_dir)
+    synth = spark.sql(
+        f"select doc_id, source, {_HTML_SYNTH_SQL} as html from documents")
+    blobs = W.synthesize_warc_blobs(
+        synth.select("doc_id", "source", F.col("html").alias("text")),
+        docs_per_blob=10, compress=True)
+    pages = W.parse_warc_records(blobs).select(
+        F.split("target_uri", "/").getItem(4).cast("long").alias("doc_id"),
+        F.col("payload").cast("string").alias("html"))
+    ext = pages.select("doc_id", T.html_to_text("html").alias("extracted"))
+    cleaned = (T.c4_line_filter(ext, "extracted")
+               .where(F.col("doc_pass"))
+               .select("doc_id", "clean_text"))
+    w = Window.partitionBy(F.md5("clean_text")).orderBy("doc_id")
+    deduped = (cleaned.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1).drop("_rn"))
+    docs = deduped.join(
+        spark.table("documents").select("doc_id", "lang"), "doc_id")
+    tiers = T.ccnet_buckets(docs, text_col="clean_text")
+    return (tiers.groupBy("lang", "ppl_bucket")
+                 .agg(F.count("*").cast("bigint").alias("n_docs"),
+                      F.expr("cast(sum(ppl_e2) * 100 div count(*) "
+                             "as bigint)").alias("avg_ppl_e4"),
+                      F.min("ppl_e2").alias("min_ppl_e2"),
+                      F.max("ppl_e2").alias("max_ppl_e2"))
+                 .orderBy("lang", "ppl_bucket"))
+
+
+_df("pipeline_crawl_corpus", _pipeline_crawl_corpus, oracle=rf"""
+with synth as (
+  select doc_id, lang, {_HTML_SYNTH_SQL} as html from documents),
+ext as (
+  select doc_id, lang, {_duck_html_chain('html')} as extracted from synth),
+c4 as (
+  select doc_id, lang,
+         list_filter(string_split(extracted, chr(10)),
+                     l -> {_C4_KEEP_DUCK}) as kept
+  from ext),
+cleaned as (
+  select doc_id, lang, array_to_string(kept, chr(10)) as clean_text
+  from c4 where len(kept) >= 3),
+deduped as (
+  select doc_id, lang, clean_text
+  from cleaned
+  qualify row_number() over (partition by md5(clean_text)
+                             order by doc_id) = 1),
+toks as (
+  select doc_id, u.tok
+  from (select doc_id, string_split_regex(trim(clean_text), '\s+') as t
+        from deduped
+        where length(trim(clean_text)) > 0) d,
+       unnest(d.t) as u(tok)
+),
+model as (select tok, count(*) as cnt from toks group by tok),
+totals as (select sum(cnt) as t_tokens, count(*) as v_size from model),
+scored as (
+  select t.doc_id,
+         cast(round(round(exp(-sum(ln((m.cnt + 1.0)
+                                      / (tt.t_tokens + 1.0 * tt.v_size)))
+                              / count(*)), 6) * 100) as bigint) as ppl_e2
+  from toks t
+  join model m using (tok)
+  cross join totals tt
+  group by t.doc_id
+),
+tiers as (
+  select d.lang, s.ppl_e2,
+         ntile(3) over (partition by d.lang
+                        order by s.ppl_e2, s.doc_id) as tier
+  from scored s join deduped d using (doc_id)
+)
+select lang,
+       case when tier = 1 then 'head'
+            when tier = 3 then 'tail' else 'middle' end as ppl_bucket,
+       count(*) as n_docs,
+       cast(sum(ppl_e2) * 100 // count(*) as bigint) as avg_ppl_e4,
+       min(ppl_e2) as min_ppl_e2,
+       max(ppl_e2) as max_ppl_e2
+from tiers
+group by 1, 2
+order by lang, ppl_bucket
+""")
+
+
+# Messy-URL synthesizer (shared literal, both dialects): mixed-case
+# scheme/host, www and multi-part-suffix variants, default ports,
+# adjacent tracking params, trailing slashes, fragments.
+_URL_SYNTH_SQL = """
+'HTTP://' || case when doc_id % 4 = 0 then 'WWW.' else '' end
+|| 'Site-' || (doc_id % 37)
+|| case when doc_id % 11 = 0 then '.CO.UK' else '.Example.COM' end
+|| case when doc_id % 3 = 0 then ':80' else '' end
+|| '/Page/' || (doc_id % 97)
+|| case when doc_id % 5 = 0 then '/' else '' end
+|| case when doc_id % 2 = 0
+        then '?utm_source=feed&utm_campaign=c' || (doc_id % 3)
+             || '&id=' || (doc_id % 7) || '&ref=tw'
+        else '' end
+|| case when doc_id % 13 = 0 then '#sec-' || (doc_id % 4) else '' end
+"""
+
+
+def _duck_url_norm(expr: str) -> str:
+    """Render ``urls.normalize_url`` as one DuckDB expression — the
+    oracle replays the exact scheme/host-lower → fragment → default-port
+    → tracking-param-filter → trailing-slash chain (patterns single-
+    sourced from the module constants, Java∩RE2 subset)."""
+    from dataweb_spark.functions.urls import TRACKING_PARAM_RE
+    scheme = (f"lower(regexp_extract({expr}, "
+              "'^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))")
+    userinfo = (f"regexp_extract({expr}, "
+                "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/@?#]*@)', 1)")
+    hostport = (f"lower(regexp_extract({expr}, "
+                "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]*)', 1))")
+    tail = (f"regexp_replace({expr}, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*', '')")
+    u = f"({scheme} || '://' || {userinfo} || {hostport} || {tail})"
+    u = f"regexp_replace({u}, '#.*$', '')"
+    u = (f"regexp_replace({u}, "
+         r"'^(http://[^/:?#]+):80([/?].*)?$', '\1\2')")
+    u = (f"regexp_replace({u}, "
+         r"'^(https://[^/:?#]+):443([/?].*)?$', '\1\2')")
+    base = rf"regexp_replace({u}, '\?.*$', '')"
+    query = rf"regexp_extract({u}, '\?(.*)$', 1)"
+    kept = (f"list_filter(string_split({query}, '&'), "
+            f"p -> p != '' and not regexp_matches(p, "
+            f"'^{TRACKING_PARAM_RE}='))")
+    u = (f"(case when len({kept}) > 0 "
+         f"then {base} || '?' || array_to_string({kept}, '&') "
+         f"else {base} end)")
+    return (f"regexp_replace({u}, "
+            r"'(://[^/?#]+/[^?#]*?)/(\?|$)', '\1\2')")
+
+
+def _duck_url_domain(expr: str) -> str:
+    """Render ``urls.registered_domain`` in DuckDB (host lower, last two
+    labels, known multi-part suffixes → three, IPs whole)."""
+    from dataweb_spark.functions.urls import MULTI_PART_SUFFIXES
+    host = (f"lower(regexp_extract({expr}, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1))")
+    parts = f"string_split({host}, '.')"
+    sufs = ", ".join(f"'{s}'" for s in MULTI_PART_SUFFIXES)
+    last2 = f"({parts}[-2] || '.' || {parts}[-1])"
+    last3 = f"({parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1])"
+    return (f"(case when regexp_matches({host}, "
+            r"'^\d{1,3}(\.\d{1,3}){3}$') " + f"or len({parts}) <= 2 "
+            f"then {host} "
+            f"when {last2} in ({sufs}) and len({parts}) >= 3 "
+            f"then {last3} else {last2} end)")
+
+
+def _crawl_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the crawl front gate's FIRST operator
+    (C4/RefinedWeb/FineWeb all key URL dedup on the canonical form):
+    lowercase scheme+host, strip fragment/default ports/tracking params
+    (split→filter→rejoin, robust to adjacent runs)/trailing slash, plus
+    registered-domain extraction with multi-part public suffixes. All
+    codegen regexp/array-lambda chains, map-only, no shuffle — linear
+    over a 100-TB crawl. The oracle replays the exact chain
+    (``functions/urls.py``; patterns single-sourced)."""
+    from dataweb_spark.functions import urls as U
+    register_views(spark, sf_dir)
+    synth = spark.sql(
+        f"select doc_id, {_URL_SYNTH_SQL} as url from documents")
+    return (synth.select(
+                "doc_id",
+                U.normalize_url("url").alias("url_norm"),
+                U.registered_domain("url").alias("domain"),
+                U.url_host("url").alias("host"),
+                U.url_path("url").alias("path"))
+            .orderBy("doc_id"))
+
+
+_df("crawl_url_normalize", _crawl_url_normalize, oracle=rf"""
+with synth as (select doc_id, {_URL_SYNTH_SQL} as url from documents)
+select doc_id,
+       {_duck_url_norm('url')} as url_norm,
+       {_duck_url_domain('url')} as domain,
+       lower(regexp_extract(url,
+         '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) as host,
+       regexp_extract(url,
+         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) as path
+from synth
+order by doc_id
+""")
+
+
+def _crawl_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (the FineWeb-style gate that stops a
+    handful of mega-domains dominating the token mix): keep at most 5
+    pages per registered domain, chosen by DETERMINISTIC hash order
+    (md5 of the normalized URL, id tiebreak — engine-portable, so the
+    oracle picks the exact same pages; never "first N seen"). One
+    shuffle on the narrow domain key. Output pins the kept SET per
+    domain (id sum + min/max), not just counts."""
+    from dataweb_spark.functions import urls as U
+    register_views(spark, sf_dir)
+    synth = spark.sql(
+        f"select doc_id, {_URL_SYNTH_SQL} as url from documents")
+    capped = U.domain_caps(synth, max_per_domain=5, id_col="doc_id")
+    return (capped.groupBy("domain")
+            .agg(F.count("*").cast("bigint").alias("n_kept"),
+                 F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+                 F.min("doc_id").alias("min_kept_id"),
+                 F.max("doc_id").alias("max_kept_id"))
+            .orderBy("domain"))
+
+
+_df("crawl_domain_caps", _crawl_domain_caps, oracle=rf"""
+with synth as (select doc_id, {_URL_SYNTH_SQL} as url from documents),
+ranked as (
+  select doc_id,
+         {_duck_url_domain('url')} as domain,
+         row_number() over (
+           partition by {_duck_url_domain('url')}
+           order by md5({_duck_url_norm('url')}), doc_id) as rn
+  from synth)
+select domain,
+       count(*) as n_kept,
+       cast(sum(doc_id) as bigint) as kept_id_sum,
+       min(doc_id) as min_kept_id,
+       max(doc_id) as max_kept_id
+from ranked
+where rn <= 5
+group by domain
+order by domain
+""")
+
+
+def _pipeline_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023) — score every raw doc by
+    hashed-bigram importance weight ln p_target/q_raw (target = the
+    English slice, models self-trained, md5-prefix buckets so the
+    oracle replays the exact bucket assignment), keep the deterministic
+    top-50 by (weight_e4 DESC, id). Models are 4096-row broadcast
+    aggregates; scoring is one explode → broadcast join → re-agg —
+    the proven unigram-LM shape. Weights are fixed-point bigints."""
+    from dataweb_spark.functions import dsir as DS
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    target = docs.where(F.col("lang") == "en")
+    sel = DS.dsir_select(docs, target, 50)
+    return (sel.join(docs.select("doc_id", "lang", "source"), "doc_id")
+               .select("doc_id", "lang", "source", "n_grams", "weight_e4")
+               .orderBy("doc_id"))
+
+
+_df("pipeline_dsir_selection", _pipeline_dsir_selection, oracle=r"""
+with toks as (
+  select doc_id, string_split_regex(trim(text), '\s+') as t
+  from documents where length(trim(text)) > 0),
+grams as (
+  select doc_id, substr(md5(t[i] || ' ' || t[i+1]), 1, 3) as bucket
+  from toks, unnest(generate_series(1, len(t) - 1)) as g(i)),
+tmod as (
+  select bucket, count(*) as t_cnt from grams
+  join documents using (doc_id) where lang = 'en' group by bucket),
+rmod as (select bucket, count(*) as r_cnt from grams group by bucket),
+tt as (select sum(t_cnt) as t_tot from tmod),
+rt as (select sum(r_cnt) as r_tot from rmod),
+scored as (
+  select g.doc_id,
+         count(*) as n_grams,
+         cast(round(sum(
+             ln((coalesce(m.t_cnt, 0) + 1.0) / (tt.t_tot + 4096.0))
+           - ln((r.r_cnt + 1.0) / (rt.r_tot + 4096.0))) * 10000)
+           as bigint) as weight_e4
+  from grams g
+  left join tmod m using (bucket)
+  join rmod r using (bucket)
+  cross join tt cross join rt
+  group by g.doc_id),
+top as (
+  select * from scored
+  qualify row_number() over (order by weight_e4 desc, doc_id) <= 50)
+select t.doc_id, d.lang, d.source, t.n_grams, t.weight_e4
+from top t join documents d using (doc_id)
+order by t.doc_id
+""")
+
+
 # ===========================================================================
 # Driver window ordering
 # ===========================================================================
@@ -5954,109 +6385,106 @@ order by blob_id, rec_index
 # its relative order after the window.
 
 _DRIVER_WINDOW = [
-    # --- r7 rotation. CORRECTNESS_r06 was 50/50 green, so the whole r6
-    # window rotates out. The r7 window = (a) corpus_source_report — the
-    # only declared query with no driver evidence (VERDICT r6 item 2),
-    # (b) the ENTIRE 30-query r3 cohort — now the oldest evidence
-    # (VERDICT r6 item 3, oldest first), (c) 19 of the 34-query r4 cohort,
-    # prioritising the layers with the most moving parts (streaming,
-    # multimodal, federation, dedup-recall, quantized-ANN, assembly); the
-    # remaining 15 r4 names are plain SQL-surface/TPC-H forms queued for
-    # r8, after which max driver-check age is ≤2 rounds everywhere.
-    # (a) never driver-checked:
+    # --- r8 rotation. CORRECTNESS_r07 was 49/50 (corpus_source_report
+    # hash-red on a float-rounding boundary — now integer-exact); the
+    # whole r7 window rotates out. The r8 window =
+    # (a) corpus_source_report re-check (VERDICT r7 item 1 — the fix
+    # must land a green driver row):
     "corpus_source_report",
-    # (b) the 30-query r3 cohort:
-    "any_all_minmax_rewrite",
-    "array_agg_ordered_limited",
-    "asof_join_purchase_click",
-    "corpus_mix_proportions",
-    "dedup_contamination_check",
-    "dedup_duplicated_spans",
-    "dedup_ngram_jaccard_exact",
-    "events_sessionization",
-    "fed_lineitem_count",
-    "fed_lineitem_q1_all_access",
-    "fed_provenance_counts",
-    "fed_remote_hop_count",
-    "fed_six_relay_provenance",
-    "grouping_sets",
-    "higher_order_array_funcs",
-    "knn_bruteforce_cosine",
-    "pivot_returnflag_status",
-    "recursive_cte_series",
-    "sample_hash_deterministic",
-    "setops_customers",
-    "text_pii_scrub",
-    "text_quality_langid",
-    "text_repetition_gopher",
-    "text_stats",
-    "text_tfidf_top_terms",
-    "tpch_q12_late_shipping_priority",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q9_product_profit",
-    "window_topn_per_customer",
-    # (c) r4-cohort queries, complex layers first (9 remain; six slots
-    # ceded mid-r7 to the new queries in (d) — new queries outrank an
-    # age refresh, the corpus_source_report lesson. Displaced to the r8
-    # cohort: streaming_attribution_join, streaming_sliding_rollup,
-    # multimodal_frame_counts, multimodal_meta, fed_template_partials,
-    # dedup_simhash_recall — each layer stays window-covered by the
-    # names below or the real-codec queries in (d)):
-    "streaming_dedup_ingest",
-    "streaming_hourly_rollup",
-    "fed_source_pruning",
-    "dedup_embedding_recall",
-    "dedup_minhash_recall",
-    "dedup_exact_clusters",
-    # (d) new in r7 — the baseline-JPEG codec's encode→decode→feature
-    # query (takes the slot dedup_exact_keep would have had; that layer
-    # stays covered by dedup_exact_clusters above and r6's fresh
-    # dedup_exact_groups — dedup_exact_keep joins the r8 cohort), the
-    # Motion-JPEG per-frame decode query (takes pipeline_training_data's
-    # slot), and the header-only JPEG catalog query (takes
-    # knn_quantized_int8's slot; its int8 layer stays window-covered by
-    # embedding_quantize_int8 below). Displaced r4 names join the r8
-    # cohort; new queries outrank an age refresh, per the
-    # corpus_source_report lesson:
-    "multimodal_jpeg_features",
-    "multimodal_mjpeg_frames",
-    "multimodal_jpeg_catalog",
-    "embedding_quantize_int8",
-    # mid-r7 additions (all locally oracle-swept green at sf0.01):
-    # the ISO BMFF MP4 decode query, the FLAC codec query, the
-    # exact-substring removal rewrite, cross-container video dedup,
-    # the format-agnostic header-only catalog, and integer-exact audio
-    # resampling:
-    "multimodal_mp4_frames",
-    "multimodal_flac_features",
-    "dedup_remove_spans",
-    "dedup_video_cross_container",
-    "multimodal_media_catalog",
-    "multimodal_audio_resample",
-    # (fed_lineitem_q1 and multimodal_features ceded their slots — both
-    # headline-benched every round with window-covered siblings; the
-    # char-shingle CJK query and the streaming media dedup are new)
-    "dedup_minhash_char_cjk",
-    "streaming_media_dedup",
-    # (streaming_stateful_user_totals ceded its slot to the new media
-    # index query; streaming stays covered by dedup_ingest,
-    # hourly_rollup and streaming_media_dedup above)
-    "media_index_classify",
+    # (b) new in r8 — the WARC filesystem ingest face (item 5), the
+    # video near-dup tier of the media index (item 6), and the
+    # end-to-end crawl->corpus pipeline composition (item 7):
+    "warc_directory_ingest",
+    "media_index_video_near",
+    "pipeline_crawl_corpus",
+    # (c) the four post-sweep r7 queries with zero driver evidence
+    # (VERDICT r7 item 3); text_ccnet_buckets' ppl outputs are now
+    # integer-exact (item 2):
+    "warc_records_parse",
+    "text_html_extract",
+    "text_c4_filter",
+    "text_ccnet_buckets",
+    # (d) ALL 27 r4-age names — the full remaining r4 evidence tail
+    # (VERDICT r7 item 4: the 15 SQL-surface names, the 6 mid-r7
+    # displacements, dedup_exact_keep, plus the 5 r4 stragglers that
+    # ceded slots earlier: fed_lineitem_q1, knn_quantized_int8,
+    # multimodal_features, pipeline_training_data,
+    # streaming_stateful_user_totals). After this window the oldest
+    # driver evidence anywhere is r5:
+    "dedup_exact_keep",
+    "dedup_simhash_recall",
+    "distinct_on_rewrite",
+    "fed_lineitem_q1",
+    "fed_template_partials",
+    "group_by_all",
+    "grouping_function_rollup",
+    "in_unnest_rewrite",
+    "knn_quantized_int8",
+    "lateral_join_topn",
+    "multimodal_features",
+    "multimodal_frame_counts",
+    "multimodal_meta",
+    "pipeline_training_data",
+    "qualify_rewrite",
+    "range_join_price_bands",
+    "streaming_attribution_join",
+    "streaming_sliding_rollup",
+    "streaming_stateful_user_totals",
+    "text_chunking",
+    # (text_rolling_fingerprint was renamed text_rolling_fp_contract in
+    # r5 — that name sits in cohort (e) below; approx_sketches takes
+    # this slot, the sketch layer's only query)
+    "approx_sketches",
+    "text_stopword_quality",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "unpivot_part_sizes",
+    # (f) new mid-r8 — the URL/domain crawl gate (normalize + per-domain
+    # caps) and DSIR importance resampling; new queries outrank age
+    # refreshes (dedup_minhash_lsh, dedup_semantic_recall and
+    # knn_lsh_approx ceded their slots — each layer stays window-covered
+    # by the fresh r7 recall siblings — and join the r9 cohort):
+    "crawl_url_normalize",
+    "crawl_domain_caps",
+    "pipeline_dsir_selection",
+    # (e) 12 of the 50 r5-age names, moving-parts layers first (real
+    # wire protocols, two-process federation, ANN recall, assembly);
+    # the remaining r5 names head the r9 cohort:
+    "fed_engine_agg_pushdown",
+    "fed_flight_two_process",
+    "fed_flightsql_engine",
+    "fed_trino_engine",
+    "fed_template_agg_forward",
+    "fed_replica_failover",
+    "fed_zonemap_pruning",
+    "streaming_fed_ingest",
+    "knn_ivf_recall",
+    "pipeline_quality_model",
+    "pipeline_token_budget",
+    "text_rolling_fp_contract",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
 # Rotated-out names stay in QUERIES (checkable any round; full local sweep
 # covers all of them each round). After this window runs, the oldest
-# evidence anywhere is r4 — the r8 cohort is the 15 remaining r4
-# SQL-surface names (distinct_on_rewrite, group_by_all,
-# grouping_function_rollup, in_unnest_rewrite, lateral_join_topn,
-# qualify_rewrite, range_join_price_bands, text_chunking,
-# text_rolling_fingerprint, text_stopword_quality, tpch_q15/q16/q20/q21,
-# unpivot_part_sizes) plus the six (c)-slot names displaced mid-r7
-# (streaming_attribution_join, streaming_sliding_rollup,
-# multimodal_frame_counts, multimodal_meta, fed_template_partials,
-# dedup_simhash_recall) and dedup_exact_keep — window those first in r8
-# for max age ≤2 rounds everywhere.
+# evidence anywhere is r5 — the r9 cohort is the 35 remaining r5-age
+# names (approx_sketches took an r8 slot; the rest: dedup_audio_signature,
+# dedup_bloom_contamination, dedup_embedding_cosine, dedup_image_phash,
+# dedup_paragraphs, dedup_semantic_clusters, dedup_simhash,
+# dedup_video_signature, fed_documents_dedup, fed_explain_report,
+# fed_q3_shipping_priority, fed_select_star_limit, fed_six_relay_q1,
+# fed_unitprice_transform, knn_ivf_approx, multimodal_audio_features,
+# multimodal_audio_spectrum, multimodal_png_features, multimodal_resize,
+# multimodal_video_frames, nulls_ordering_ignore_nulls,
+# pipeline_assembly_manifest, pipeline_cluster_safe_split,
+# pipeline_filter_cascade, pipeline_leakage_safe_split,
+# pipeline_rag_retrieval, pipeline_sequence_packing,
+# pipeline_shard_manifest, pipeline_upsample_epochs, scd2_event_history,
+# text_bigram_lm, text_compression_ratio, text_lm_logprob, plus
+# whichever r5 names the r8 window displaced) — window those first in
+# r9, then start the r6 cohort in r10. New queries outrank age
+# refreshes for slots, as always.
 
 
 def _apply_driver_window() -> None:

@@ -1,0 +1,116 @@
+"""URL/domain layer (crawl front gate) and DSIR importance resampling."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from dataweb_spark.functions import dsir as DS
+from dataweb_spark.functions import urls as U
+
+
+def _urls_df(spark, urls):
+    pdf = pd.DataFrame({"doc_id": range(len(urls)), "url": urls})
+    return spark.createDataFrame(pdf)
+
+
+@pytest.mark.parametrize("raw,want", [
+    # case: scheme+host lowered, userinfo/path/query untouched
+    ("HTTP://WWW.Example.COM/A/b?Q=X", "http://www.example.com/A/b?Q=X"),
+    ("ftp://User@Files.Site.ORG/d/", "ftp://User@files.site.org/d"),
+    # fragment, default ports
+    ("http://h.com/x#sec", "http://h.com/x"),
+    ("http://h.com:80/x", "http://h.com/x"),
+    ("https://h.com:443/x", "https://h.com/x"),
+    ("http://h.com:8080/x", "http://h.com:8080/x"),   # non-default kept
+    # tracking params: adjacent runs, leading, trailing, sole
+    ("http://h/p?utm_a=1&utm_b=2&utm_c=3&x=1", "http://h/p?x=1"),
+    ("http://h/p?x=1&utm_a=1&ref=z", "http://h/p?x=1"),
+    ("http://h/p?utm_a=1", "http://h/p"),
+    ("http://h/?utm_a=1&utm_b=2", "http://h/"),
+    ("http://h/p?gclid=9&fbclid=8&id=3", "http://h/p?id=3"),
+    # trailing slash: stripped on non-root, kept on root
+    ("http://h.com/a/b/", "http://h.com/a/b"),
+    ("http://h.com/", "http://h.com/"),
+    ("http://h.com/a/?x=1", "http://h.com/a?x=1"),
+])
+def test_normalize_url_cases(spark, raw, want):
+    got = _urls_df(spark, [raw]).select(
+        U.normalize_url("url").alias("n")).collect()[0].n
+    assert got == want
+
+
+def test_registered_domain_and_host_path(spark):
+    cases = {
+        "http://news.bbc.co.uk/story": ("news.bbc.co.uk", "bbc.co.uk",
+                                        "/story"),
+        "https://a.b.example.com/x/y": ("a.b.example.com", "example.com",
+                                        "/x/y"),
+        "http://localhost/x": ("localhost", "localhost", "/x"),
+        "http://1.2.3.4:99/x": ("1.2.3.4", "1.2.3.4", "/x"),
+        "http://Shop.Com.AU.example.com.au/p":
+            ("shop.com.au.example.com.au", "example.com.au", "/p"),
+    }
+    rows = _urls_df(spark, list(cases)).select(
+        "url", U.url_host("url").alias("h"),
+        U.registered_domain("url").alias("d"),
+        U.url_path("url").alias("p")).collect()
+    for r in rows:
+        h, d, p = cases[r.url]
+        assert (r.h, r.d, r.p) == (h, d, p), r.url
+
+
+def test_domain_caps_deterministic_and_bounded(spark):
+    urls = [f"http://big.com/p{i}" for i in range(40)] \
+        + [f"http://small.org/q{i}" for i in range(3)]
+    df = _urls_df(spark, urls)
+    capped = U.domain_caps(df, max_per_domain=5)
+    by_dom = {r.domain: r.n for r in
+              capped.groupBy("domain").agg(F.count("*").alias("n"))
+              .collect()}
+    assert by_dom == {"big.com": 5, "small.org": 3}
+    # determinism: same input → same kept set (hash order, not
+    # partition order)
+    kept1 = sorted(r.doc_id for r in capped.select("doc_id").collect())
+    kept2 = sorted(r.doc_id for r in
+                   U.domain_caps(df.repartition(7), max_per_domain=5)
+                   .select("doc_id").collect())
+    assert kept1 == kept2
+
+
+def test_blocklist_filter_drops_by_registered_domain(spark):
+    df = _urls_df(spark, ["http://ok.com/a", "http://bad.com/b",
+                          "http://www.bad.com/c", "http://fine.org/d"])
+    blocked = spark.createDataFrame(pd.DataFrame({"domain": ["bad.com"]}))
+    kept = sorted(r.url for r in
+                  U.blocklist_filter(df, blocked).select("url").collect())
+    assert kept == ["http://fine.org/d", "http://ok.com/a"]
+
+
+def test_dsir_selects_target_like_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("lang") == "en")
+    n_en = target.count()
+    n_all = docs.count()
+    sel = DS.dsir_select(docs, target, 20)
+    picked = sel.join(docs.select("doc_id", "lang"), "doc_id")
+    en_frac = picked.where(F.col("lang") == "en").count() / 20
+    # selection must beat the base rate by a wide margin
+    assert en_frac >= min(0.99, n_en / n_all + 0.25)
+    # weights are integer-exact and the cut is the true top-k
+    w = DS.dsir_weights(docs, target)
+    top = [r.doc_id for r in
+           w.orderBy(F.col("weight_e4").desc(), "doc_id").limit(20)
+           .collect()]
+    assert sorted(top) == sorted(r.doc_id for r in sel.collect())
+
+
+def test_dsir_weights_shape(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    w = DS.dsir_weights(docs, docs.limit(10))
+    assert dict(w.dtypes) == {"doc_id": "bigint", "n_grams": "bigint",
+                              "weight_e4": "bigint"}
+    # every doc with >= 2 tokens gets exactly one weight row
+    from dataweb_spark.functions.text import tokens
+    n_expected = docs.where(F.size(tokens("text")) >= 2).count()
+    assert w.count() == n_expected
