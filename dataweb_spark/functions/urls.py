@@ -96,8 +96,9 @@ def normalize_url(col: str | Column = "url") -> Column:
     5. drop one trailing slash from a non-root path.
 
     Regexes stay in the Java∩RE2 subset (group captures, no
-    lookaround) — map-only, whole-stage-codegen, exactly replayable as
-    a SQL oracle."""
+    lookaround) — map-only, all JVM-side (the array-lambda filter is a
+    codegen-fallback expression, still no Python), exactly replayable
+    as a SQL oracle."""
     c = F.col(col) if isinstance(col, str) else col
     # 1. lowercase scheme and host[:port] ONLY — userinfo, path and
     # query are case-sensitive per RFC 3986

@@ -184,3 +184,58 @@ def test_fed_q3_filters_reach_every_source_branch(spark, sf_dir):
     assert orders and all("DataFilters: [" in s for s in orders)
     # top-10 must not globally sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_url_normalize_is_one_codegen_projection(spark, sf_dir):
+    """normalize_url + registered_domain compile to ONE JVM projection
+    over the scan — no shuffle, no Python (the array-lambda filter is a
+    codegen-fallback expression but stays JVM-side). The property that
+    makes the URL gate linear at 100 TB."""
+    from dataweb_spark.functions import urls as U
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.selectExpr(
+        "doc_id", "'http://Ex.COM/p/' || doc_id || '?utm_a=1' as url"
+    ).select("doc_id", U.normalize_url("url").alias("n"),
+             U.registered_domain("url").alias("d"))
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.lstrip().startswith("Project")   # one projection, no more
+
+
+def test_domain_caps_single_shuffle_on_domain_key(spark, sf_dir):
+    """domain_caps: exactly one exchange (the domain-key window) — the
+    cap must not add a second shuffle on top of its own partitioning."""
+    from dataweb_spark.functions import urls as U
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.selectExpr(
+        "doc_id", "'http://s' || (doc_id % 9) || '.com/p' || doc_id as url")
+    plan = _plan(U.domain_caps(urls, max_per_domain=3))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_models_broadcast_never_shuffle_grams_twice(spark, sf_dir):
+    """DSIR scoring: both bucket models and both totals join as
+    BROADCASTS; the only wide exchanges are the bounded model groupBys
+    and the per-doc re-aggregate — gram rows never sort-merge-join."""
+    from dataweb_spark.functions import dsir as DS
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(DS.dsir_weights(docs, docs.where(F.col("lang") == "en")))
+    assert plan.count("BroadcastExchange") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_warc_parse_is_map_only(spark, sf_dir):
+    """parse_warc_records: the record explode is one Arrow map pass —
+    blob bytes never shuffle (the splittable-crawl contract)."""
+    from dataweb_spark.sources import warc as W
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    blobs = W.synthesize_warc_blobs(docs, docs_per_blob=10, compress=True)
+    recs = W.parse_warc_records(blobs)
+    # everything after the pack (which needs its blob grouping) is
+    # map-only: no exchange between MapInPandas and the output
+    plan = _plan(recs)
+    tail = plan.split("MapInPandas")[0]
+    assert "Exchange" not in tail
