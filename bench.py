@@ -117,6 +117,7 @@ EXTRAS = [
     "crawl_url_normalize",
     "crawl_domain_caps",
     "pipeline_dsir_selection",
+    "media_index_audio_near",
 ]
 
 

@@ -16,12 +16,16 @@ This module materializes three narrow tables
     ``{path}/ahash``  (id, sig64)       — image perceptual hashes for
                       the image NEAR tier: banded Hamming lookup
                       (pigeonhole-complete for max_hamming < bands)
-    ``{path}/vhash``  (id, fidx, sig64) — per-frame video perceptual
-                      hashes for the VIDEO near tier: banded Hamming
-                      lookup per frame position, near when >= 80% of
-                      frame positions match within max_hamming — so a
-                      RE-ENCODED (not just re-containered) copy with a
-                      few perturbed frames still collapses
+    ``{path}/vhash``  (id, fidx, sig64) — POSITION signatures for the
+                      video/audio near tier: per-frame perceptual
+                      hashes for videos, hashed per-window dominant-FFT
+                      bins for audio. Banded Hamming lookup per
+                      position, near when >= 80% of the longer side's
+                      positions match — so a RE-ENCODED video with a
+                      few perturbed frames, or an audio EDIT touching a
+                      few windows, still collapses (cross-kind rows
+                      cannot reach 80% against each other: the hashes
+                      come from disjoint constructions)
     ``{path}/meta.json``                — params, checked on read
 
 and classifies each ingest batch against THOSE — batch side broadcast,
@@ -63,11 +67,20 @@ SIG_SCHEMA = StructType([
     StructField("frame_sigs", ArrayType(LongType())),   # videos only
 ])
 
-# A batch video is near an indexed video when matched·DEN >= n·NUM of the
-# longer video's frame positions match within max_hamming (integer-exact
+# A batch video/audio is near an indexed one when matched·DEN >= n·NUM of
+# the longer side's positions match within max_hamming (integer-exact
 # 80% rule — no float threshold to diverge between engines).
 _VIDEO_NEAR_NUM = 4
 _VIDEO_NEAR_DEN = 5
+
+
+def _bin_sig64(bin_str: str) -> int:
+    """Hash an audio window's dominant-bin label to a signed 64-bit
+    position signature: distinct bins land ~32 Hamming apart, so the
+    banded-Hamming position lookup degenerates to equality for audio."""
+    v = int.from_bytes(
+        hashlib.md5(b"abin:" + bin_str.encode()).digest()[:8], "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def media_signatures(media: DataFrame,
@@ -85,7 +98,10 @@ def media_signatures(media: DataFrame,
       list for the video near tier;
     * audio → ``sig = "a:" + dominant-FFT-bin sequence over 512-sample
       windows`` (amplitude-invariant, same construction as
-      ``audio_signature``).
+      ``audio_signature``) plus ``frame_sigs`` = the per-window bins
+      hashed to 64 bits (md5 prefix), so the position near tier treats
+      window matches as effective equality (distinct bins land ~32
+      Hamming apart, far outside ``max_hamming``).
 
     Each blob is probed and decoded ONCE. Undecodable blobs get
     ``kind='corrupt'``, ``sig = "c:<md5(bytes)>"`` — corrupt duplicates
@@ -123,7 +139,8 @@ def media_signatures(media: DataFrame,
                     spec = np.abs(np.fft.rfft(mono[s0:s0 + seg]))
                     bins.append(str(1 + int(np.argmax(spec[1:])))
                                 if spec.size > 1 else "0")
-                return kind, "a:" + "|".join(bins), None, None
+                fsigs = [_bin_sig64(b) for b in bins]
+                return kind, "a:" + "|".join(bins), None, fsigs
         except (ValueError, NotImplementedError):
             kind = "corrupt"
         dig = hashlib.md5(content).hexdigest()
@@ -187,10 +204,12 @@ def classify_media_batch(spark: SparkSession, batch: DataFrame, path: str,
       amplitude-invariant);
     * ``near_dup``  — images: banded-Hamming aHash lookup within
       ``max_hamming`` (pigeonhole-complete recall for
-      ``max_hamming < bands``); videos: banded-Hamming per-frame aHash
-      lookup, near when >= 80% of the longer video's frame positions
-      match within ``max_hamming`` — catches re-ENCODES whose perturbed
-      frames break the exact visual-temporal string;
+      ``max_hamming < bands``); videos/audio: banded-Hamming POSITION
+      lookup (per-frame aHash / hashed per-window bin), near when
+      >= 80% of the longer side's positions match within
+      ``max_hamming`` — catches video re-ENCODES whose perturbed frames
+      break the exact visual-temporal string, and audio EDITS touching
+      a few windows;
     * ``novel``     — neither.
 
     ``match_id`` = the lowest-id indexed match (nearest first for the
@@ -242,9 +261,10 @@ def classify_media_batch(spark: SparkSession, batch: DataFrame, path: str,
                 .agg(F.min(F.struct("hamming", "id")).alias("m"))
                 .select("_bid", F.col("m.id").alias("near_match")))
 
-    # VIDEO near tier: per-frame banded Hamming at matching frame
-    # positions; a candidate pair qualifies when matched frame positions
-    # cover >= near_num/near_den of the LONGER video (integer compare).
+    # POSITION near tier (video frames / audio windows): banded Hamming
+    # at matching positions; a candidate pair qualifies when matched
+    # positions cover >= near_num/near_den of the LONGER side (integer
+    # compare).
     ivh = spark.read.parquet(f"{path}/vhash")
     bvf = (bsig.where(F.col("frame_sigs").isNotNull())
            .select(F.col("id").alias("_bid"),

@@ -6322,6 +6322,93 @@ order by domain
 """)
 
 
+def _media_index_audio_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near tier of the persisted media index — the audio sibling
+    of ``media_index_video_near``, closing the last exact-only media
+    kind: per-window dominant-FFT bins hash to 64-bit position
+    signatures; near when >= 80% of the longer clip's window positions
+    match. Planted batch over a 6-clip corpus (20 tone windows each,
+    bin patterns are cyclic shifts so distinct clips agree at ZERO
+    positions): ids 1000-1003 are one-window EDITS of clips 0-3 (19/20
+    = 95% → near_dup), 1004-1007 are half-edited copies (10/20 = 50% →
+    novel: the threshold bites), 1008-1009 are byte-identical copies of
+    4-5 (exact_dup outranks near), 1010-1011 are novel sequences. The
+    oracle states the 12 verdicts in closed form."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from dataweb_spark.functions import media_index as MI
+    from dataweb_spark.functions import multimodal as M
+
+    def _tone_windows(freqs):
+        t = np.arange(512) / 8000.0
+        return np.concatenate([
+            np.round(8000 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+            for f in freqs])
+
+    def _freqs(clip: int):
+        return [400 + 80 * ((clip * 7 + k) % 11) for k in range(20)]
+
+    def corpus_gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                m = int(mid)
+                rows.append((m, "audio",
+                             M.encode_wav(_tone_windows(_freqs(m)), 8000),
+                             {"format": "wav", "width": None,
+                              "height": None, "duration_s": 1.28}))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "meta"])
+
+    corpus = spark.range(6).mapInPandas(corpus_gen, schema=M.MEDIA_SCHEMA)
+    idx = tempfile.mkdtemp(prefix="dw_media_anear_")
+    MI.build_media_index(corpus, idx)
+
+    def batch_gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                i = int(mid)
+                if i < 4:                   # one window edited → near
+                    fr = _freqs(i)
+                    fr[7] = 2600
+                elif i < 8:                 # half edited → novel
+                    fr = [2000 + 160 * (k % 3) if k % 2 else f
+                          for k, f in enumerate(_freqs(i - 4))]
+                elif i < 10:                # byte-identical → exact
+                    fr = _freqs(i - 4)
+                else:                       # novel sequence
+                    fr = [3000 + 80 * ((i + k) % 6) for k in range(20)]
+                rows.append((1000 + i, "audio",
+                             M.encode_wav(_tone_windows(fr), 8000),
+                             {"format": "wav", "width": None,
+                              "height": None, "duration_s": 1.28}))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "meta"])
+
+    batch = spark.range(12).mapInPandas(batch_gen, schema=M.MEDIA_SCHEMA)
+    return (MI.classify_media_batch(spark, batch, idx)
+            .select("media_id", "verdict", "match_id")
+            .orderBy("media_id"))
+
+
+_df("media_index_audio_near", _media_index_audio_near, oracle="""
+select 1000 + i as media_id,
+       case when i < 4 then 'near_dup'
+            when i < 8 then 'novel'
+            when i < 10 then 'exact_dup'
+            else 'novel' end as verdict,
+       case when i < 4 then cast(i as bigint)
+            when i >= 8 and i < 10 then cast(i - 4 as bigint)
+            else null end as match_id
+from (select range as i from range(12))
+order by media_id
+""")
+
+
 def _pipeline_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023) — score every raw doc by
     hashed-bigram importance weight ln p_target/q_raw (target = the
@@ -6449,6 +6536,10 @@ _DRIVER_WINDOW = [
     "crawl_url_normalize",
     "crawl_domain_caps",
     "pipeline_dsir_selection",
+    # (pipeline_token_budget ceded its slot to the audio near tier —
+    # assembly stays window-covered by sample_hash_deterministic and
+    # corpus_mix_proportions, both r7-fresh; it joins the r9 cohort)
+    "media_index_audio_near",
     # (e) 12 of the 50 r5-age names, moving-parts layers first (real
     # wire protocols, two-process federation, ANN recall, assembly);
     # the remaining r5 names head the r9 cohort:
@@ -6462,7 +6553,6 @@ _DRIVER_WINDOW = [
     "streaming_fed_ingest",
     "knn_ivf_recall",
     "pipeline_quality_model",
-    "pipeline_token_budget",
     "text_rolling_fp_contract",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.

@@ -178,6 +178,45 @@ def test_media_index_video_near_tier(spark):
     assert got[102]["verdict"] == "novel"
 
 
+def test_media_index_audio_near_tier(spark):
+    """An audio EDIT (a few windows' content replaced) breaks the exact
+    spectral string but must classify near_dup via the position tier
+    (>= 80% of window positions keep their dominant bin); an edit
+    touching half the clip, and a different tone sequence, stay novel."""
+    def _tone_windows(freqs):
+        # one 512-sample window per frequency step → one dominant bin
+        # per window position
+        t = np.arange(512) / 8000.0
+        return np.concatenate([
+            np.round(8000 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+            for f in freqs])
+
+    base = [400 + 80 * (k % 7) for k in range(20)]     # 20 windows
+    other = [440 + 80 * ((k + 3) % 7) for k in range(20)]
+    corpus = _media_df(spark, [
+        (0, M.encode_wav(_tone_windows(base), 8000)),
+        (1, M.encode_wav(_tone_windows(other), 8000)),
+    ])
+    idx = tempfile.mkdtemp(prefix="t_media_anear_")
+    MI.build_media_index(corpus, idx)
+
+    near_edit = list(base)
+    near_edit[7] = 1200                                 # 1/20 = 5% edited
+    far_edit = [1200 + 160 * (k % 5) if k % 2 else base[k]
+                for k in range(20)]                     # 50% edited
+    batch = _media_df(spark, [
+        (100, M.encode_wav(_tone_windows(near_edit), 8000)),
+        (101, M.encode_wav(_tone_windows(far_edit), 8000)),
+        (102, M.encode_wav(_tone_windows(
+            [2000 + 80 * (k % 6) for k in range(20)]), 8000)),
+    ])
+    got = {r["media_id"]: r for r in
+           MI.classify_media_batch(spark, batch, idx).collect()}
+    assert got[100]["verdict"] == "near_dup" and got[100]["match_id"] == 0
+    assert got[101]["verdict"] == "novel"
+    assert got[102]["verdict"] == "novel"
+
+
 def test_media_index_requires_meta(spark):
     df = _media_df(spark, [(0, M.encode_bmp(_pixels(0)))])
     with pytest.raises(ValueError, match="no media index"):
