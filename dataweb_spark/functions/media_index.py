@@ -232,6 +232,11 @@ def classify_media_batch(spark: SparkSession, batch: DataFrame, path: str,
         # subtrees below reuse the rows instead of re-decoding the
         # batch blobs (and nothing is left pinned in the cache)
         bsig = media_signatures(batch, id_col).localCheckpoint(eager=True)
+    # tier pruning: a kind-homogeneous batch (the common case) must not
+    # pay the other kinds' join stages. Cheap — bsig is materialized
+    # (callers passing sig_df should pass it materialized too).
+    has_img = not bsig.where(F.col("sig64").isNotNull()).isEmpty()
+    has_pos = not bsig.where(F.col("frame_sigs").isNotNull()).isEmpty()
     isig = spark.read.parquet(f"{path}/sigs")
 
     exact = (isig.join(F.broadcast(bsig.select("sig", F.col("id")
@@ -247,57 +252,68 @@ def classify_media_batch(spark: SparkSession, batch: DataFrame, path: str,
         return df.select(F.col(idc), F.col(sigc), *[F.col(c) for c in extra],
                          F.posexplode(vals).alias("band", "bval"))
 
-    bh = banded(bsig.where(F.col("sig64").isNotNull())
-                .select(F.col("id").alias("_bid"),
-                        F.col("sig64").alias("_bsig")), "_bid", "_bsig")
-    ih = banded(iah.select("id", "sig64"), "id", "sig64")
-    near_img = (ih.join(F.broadcast(bh), ["band", "bval"])
-                .select("_bid", "id",
-                        F.bit_count(F.col("sig64")
-                                    .bitwiseXOR(F.col("_bsig")))
-                        .alias("hamming"))
-                .where(F.col("hamming") <= max_h)
-                .groupBy("_bid")
-                .agg(F.min(F.struct("hamming", "id")).alias("m"))
-                .select("_bid", F.col("m.id").alias("near_match")))
+    near_parts = []
+    if has_img:
+        bh = banded(bsig.where(F.col("sig64").isNotNull())
+                    .select(F.col("id").alias("_bid"),
+                            F.col("sig64").alias("_bsig")), "_bid", "_bsig")
+        ih = banded(iah.select("id", "sig64"), "id", "sig64")
+        near_parts.append(
+            (ih.join(F.broadcast(bh), ["band", "bval"])
+             .select("_bid", "id",
+                     F.bit_count(F.col("sig64")
+                                 .bitwiseXOR(F.col("_bsig")))
+                     .alias("hamming"))
+             .where(F.col("hamming") <= max_h)
+             .groupBy("_bid")
+             .agg(F.min(F.struct("hamming", "id")).alias("m"))
+             .select("_bid", F.col("m.id").alias("near_match"))))
 
     # POSITION near tier (video frames / audio windows): banded Hamming
     # at matching positions; a candidate pair qualifies when matched
     # positions cover >= near_num/near_den of the LONGER side (integer
     # compare).
-    ivh = spark.read.parquet(f"{path}/vhash")
-    bvf = (bsig.where(F.col("frame_sigs").isNotNull())
-           .select(F.col("id").alias("_bid"),
-                   F.size("frame_sigs").alias("_bn"),
-                   F.posexplode("frame_sigs").alias("fidx", "_bsig")))
-    bvh = banded(bvf, "_bid", "_bsig", extra=("fidx", "_bn"))
-    ivn = ivh.groupBy("id").agg((F.max("fidx") + 1).alias("_in"))
-    frame_hits = (banded(ivh, "id", "sig64", extra=("fidx",))
-                  .join(F.broadcast(bvh), ["fidx", "band", "bval"])
-                  .where(F.bit_count(F.col("sig64")
-                                     .bitwiseXOR(F.col("_bsig"))) <= max_h)
-                  .select("_bid", "id", "fidx", "_bn").distinct())
-    near_vid = (frame_hits.groupBy("_bid", "id", "_bn")
-                .agg(F.count("*").alias("matched"))
-                .join(ivn, "id")
-                .where(F.col("matched") * near_den
-                       >= F.greatest("_bn", "_in") * near_num)
-                .groupBy("_bid").agg(F.min("id").alias("near_match")))
+    if has_pos:
+        ivh = spark.read.parquet(f"{path}/vhash")
+        bvf = (bsig.where(F.col("frame_sigs").isNotNull())
+               .select(F.col("id").alias("_bid"),
+                       F.size("frame_sigs").alias("_bn"),
+                       F.posexplode("frame_sigs").alias("fidx", "_bsig")))
+        bvh = banded(bvf, "_bid", "_bsig", extra=("fidx", "_bn"))
+        ivn = ivh.groupBy("id").agg((F.max("fidx") + 1).alias("_in"))
+        frame_hits = (banded(ivh, "id", "sig64", extra=("fidx",))
+                      .join(F.broadcast(bvh), ["fidx", "band", "bval"])
+                      .where(F.bit_count(
+                          F.col("sig64").bitwiseXOR(F.col("_bsig")))
+                          <= max_h)
+                      .select("_bid", "id", "fidx", "_bn").distinct())
+        near_parts.append(
+            (frame_hits.groupBy("_bid", "id", "_bn")
+             .agg(F.count("*").alias("matched"))
+             .join(ivn, "id")
+             .where(F.col("matched") * near_den
+                    >= F.greatest("_bn", "_in") * near_num)
+             .groupBy("_bid").agg(F.min("id").alias("near_match"))))
 
-    # a blob has exactly one kind, so the image and video near frames
-    # never share a _bid — union then reduce is safe
-    near = (near_img.unionByName(near_vid)
-            .groupBy("_bid").agg(F.min("near_match").alias("near_match")))
-
-    return (bsig.select(F.col("id").alias("_bid"), "kind")
-            .join(exact, "_bid", "left")
-            .join(near, "_bid", "left")
-            .select(F.col("_bid").alias(id_col), "kind",
-                    F.when(F.col("exact_match").isNotNull(), "exact_dup")
-                     .when(F.col("near_match").isNotNull(), "near_dup")
-                     .otherwise("novel").alias("verdict"),
-                    F.coalesce("exact_match", "near_match")
-                     .alias("match_id")))
+    out = (bsig.select(F.col("id").alias("_bid"), "kind")
+           .join(exact, "_bid", "left"))
+    if near_parts:
+        # a blob has exactly one kind, so the image and position near
+        # frames never share a _bid — union then reduce is safe
+        near = near_parts[0]
+        for p in near_parts[1:]:
+            near = near.unionByName(p)
+        near = (near.groupBy("_bid")
+                .agg(F.min("near_match").alias("near_match")))
+        out = out.join(near, "_bid", "left")
+    else:
+        out = out.withColumn("near_match", F.lit(None).cast("long"))
+    return out.select(F.col("_bid").alias(id_col), "kind",
+                      F.when(F.col("exact_match").isNotNull(), "exact_dup")
+                       .when(F.col("near_match").isNotNull(), "near_dup")
+                       .otherwise("novel").alias("verdict"),
+                      F.coalesce("exact_match", "near_match")
+                       .alias("match_id"))
 
 
 def streaming_media_gate(stream_df: DataFrame, index_path: str,
