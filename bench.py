@@ -118,6 +118,7 @@ EXTRAS = [
     "crawl_domain_caps",
     "pipeline_dsir_selection",
     "media_index_audio_near",
+    "graph_pagerank_domains",
 ]
 
 

@@ -1,0 +1,74 @@
+"""Link-graph operators — domain-level PageRank for crawl curation.
+
+Crawl pipelines rank domains/pages by link authority to prioritize
+fetch order and to weight quality signals (the original use of
+PageRank). This module implements the iterative rank as PURE INTEGER
+arithmetic so the result is bit-exact across engines, reruns and
+partitionings:
+
+    score_0(n)   = init
+    contrib(e)   = score_i(src(e)) div out_deg(src(e))
+    score_i+1(n) = init·(den-num) div den
+                   + num · Σ_in-edges contrib div den
+
+(``div`` = floor division on non-negative bigints — identical in Spark
+and DuckDB — with damping num/den = 85/100; float PageRank would drift
+across summation orders, the r7 ``corpus_source_report`` lesson
+applied to iteration.)
+
+Distributed shape: each iteration is one join (edges × scores, scores
+is the small side once ranks converge to the node table) and one
+groupBy(dst) re-aggregate — the Pregel message-passing step expressed
+as DataFrame ops. k iterations = k narrow-key shuffles; at web scale
+(~1e9 domains) the node table is a few GB — checkpoint every few
+iterations to truncate lineage (`localCheckpoint`), partition edges by
+src so the contribution join co-locates. Pointer-jumping connected
+components for the same graphs lives in ``dedup.connected_components``.
+
+No counterpart in the reference repo — greenfield LLM-pipeline layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_integer(edges: DataFrame, k: int = 5,
+                     init: int = 1_000_000_000,
+                     damp_num: int = 85, damp_den: int = 100,
+                     src: str = "src", dst: str = "dst",
+                     checkpoint_every: int = 0) -> DataFrame:
+    """k iterations of integer-exact PageRank over an edge list.
+
+    Parallel edges contribute once each (multiplicity = link weight).
+    Every node present as a source or destination participates; nodes
+    without out-edges contribute nothing (their mass evaporates — the
+    standard simplification; add self-loops upstream for the strict
+    stochastic variant). Returns (node, score) with ``score`` bigint.
+
+    ``checkpoint_every`` > 0 truncates lineage with an eager
+    localCheckpoint every that-many iterations — required for large k
+    on real clusters, left off for small k so tests stay plan-pure."""
+    nodes = (edges.select(F.col(src).alias("node"))
+             .unionByName(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    out_deg = edges.groupBy(src).agg(F.count("*").alias("out_deg"))
+    base = init * (damp_den - damp_num) // damp_den
+    scores = nodes.withColumn("score", F.lit(init).cast("bigint"))
+    for i in range(k):
+        contrib = (edges
+                   .join(scores.withColumnRenamed("node", src), src)
+                   .join(out_deg, src)
+                   .select(F.col(dst).alias("node"),
+                           F.expr("score div out_deg").alias("c")))
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("in_sum"))
+        scores = (nodes.join(inflow, "node", "left")
+                  .select("node",
+                          (F.lit(base)
+                           + F.expr(f"{damp_num} * coalesce(in_sum, 0) "
+                                    f"div {damp_den}"))
+                          .cast("bigint").alias("score")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            scores = scores.localCheckpoint(eager=True)
+    return scores

@@ -6461,6 +6461,63 @@ order by t.doc_id
 """)
 
 
+def _graph_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level link-graph PageRank (crawl-curation ranking): a
+    100-node domain multigraph synthesized from the documents table
+    (three out-links per doc, edge multiplicity = link weight), ranked
+    by 5 iterations of INTEGER-EXACT PageRank — every step is bigint
+    floor-division, so the scores are bit-identical across engines,
+    partitionings and reruns (float PageRank drifts with summation
+    order). Each iteration is one join + one groupBy(dst) — the Pregel
+    message-passing step as DataFrame ops; the oracle unrolls the same
+    five iterations as chained CTEs."""
+    from dataweb_spark.functions import graph as G
+    register_views(spark, sf_dir)
+    edges = spark.sql("""
+        select doc_id % 100 as src, dst from (
+          select doc_id,
+                 explode(array((doc_id * 7 + 1) % 100,
+                               (doc_id * 31 + 2) % 100,
+                               (doc_id * 13 + 3) % 100)) as dst
+          from documents) t""")
+    ranks = G.pagerank_integer(edges, k=5)
+    return ranks.orderBy(F.col("score").desc(), "node").limit(20)
+
+
+def _duck_pagerank_sql(k: int = 5, init: int = 1_000_000_000,
+                       num: int = 85, den: int = 100) -> str:
+    """Unroll the integer PageRank recurrence as k chained DuckDB CTEs
+    (same edge synth, same bigint floor-division arithmetic)."""
+    base = init * (den - num) // den
+    sql = f"""
+with edges as (
+  select doc_id % 100 as src, (doc_id * 7 + 1) % 100 as dst from documents
+  union all
+  select doc_id % 100, (doc_id * 31 + 2) % 100 from documents
+  union all
+  select doc_id % 100, (doc_id * 13 + 3) % 100 from documents),
+nodes as (select src as node from edges union select dst from edges),
+odeg as (select src, count(*) as out_deg from edges group by src),
+s0 as (select node, cast({init} as bigint) as score from nodes)"""
+    for i in range(k):
+        sql += f""",
+s{i + 1} as (
+  select n.node,
+         cast({base} + {num} * coalesce(sum(s.score // o.out_deg), 0)
+              // {den} as bigint) as score
+  from nodes n
+  left join edges e on e.dst = n.node
+  left join s{i} s on s.node = e.src
+  left join odeg o on o.src = e.src
+  group by n.node)"""
+    return sql + (f"\nselect node, score from s{k} "
+                  "order by score desc, node limit 20")
+
+
+_df("graph_pagerank_domains", _graph_pagerank_domains,
+    oracle=_duck_pagerank_sql())
+
+
 # ===========================================================================
 # Driver window ordering
 # ===========================================================================
@@ -6538,8 +6595,12 @@ _DRIVER_WINDOW = [
     "pipeline_dsir_selection",
     # (pipeline_token_budget ceded its slot to the audio near tier —
     # assembly stays window-covered by sample_hash_deterministic and
-    # corpus_mix_proportions, both r7-fresh; it joins the r9 cohort)
+    # corpus_mix_proportions, both r7-fresh; it joins the r9 cohort.
+    # knn_ivf_recall ceded its slot to the integer PageRank — ANN stays
+    # window-covered by knn_bruteforce_cosine and embedding_quantize_int8,
+    # both r7-fresh)
     "media_index_audio_near",
+    "graph_pagerank_domains",
     # (e) 12 of the 50 r5-age names, moving-parts layers first (real
     # wire protocols, two-process federation, ANN recall, assembly);
     # the remaining r5 names head the r9 cohort:
@@ -6551,7 +6612,6 @@ _DRIVER_WINDOW = [
     "fed_replica_failover",
     "fed_zonemap_pruning",
     "streaming_fed_ingest",
-    "knn_ivf_recall",
     "pipeline_quality_model",
     "text_rolling_fp_contract",
 ]

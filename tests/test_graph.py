@@ -1,0 +1,47 @@
+"""Integer-exact PageRank: determinism, damping mass, ranking sanity."""
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from dataweb_spark.functions import graph as G
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        pd.DataFrame({"src": [p[0] for p in pairs],
+                      "dst": [p[1] for p in pairs]}))
+
+
+def test_pagerank_is_partition_invariant(spark):
+    pairs = [(i % 13, (i * 7 + 1) % 13) for i in range(200)] \
+        + [(i % 13, (i * 5 + 2) % 13) for i in range(200)]
+    e = _edges(spark, pairs)
+    r1 = {r.node: r.score for r in G.pagerank_integer(e, k=4).collect()}
+    r2 = {r.node: r.score for r in
+          G.pagerank_integer(e.repartition(11), k=4).collect()}
+    assert r1 == r2
+    assert all(isinstance(v, int) for v in r1.values())
+
+
+def test_pagerank_hub_and_target_dominate_leaves(spark):
+    # star: everyone links to node 0; node 0 links only to node 1 — the
+    # hub and the hub's sole target accumulate the mass (the target
+    # ends HIGHER: it receives the hub's entire score each step),
+    # symmetric leaves get the bare teleport base and tie exactly
+    pairs = [(i, 0) for i in range(1, 10)] + [(0, 1)]
+    r = {x.node: x.score for x in
+         G.pagerank_integer(_edges(spark, pairs), k=8).collect()}
+    leaves = [r[i] for i in range(2, 10)]
+    assert r[1] > r[0] > max(leaves)
+    assert len(set(leaves)) == 1          # symmetric leaves tie exactly
+    assert leaves[0] == 10**9 * 15 // 100
+
+
+def test_pagerank_base_floor_for_no_inlinks(spark):
+    # 0 -> 1 only: node 0 has no in-links, so after any iteration its
+    # score is exactly the integer teleport base
+    r = {x.node: x.score for x in
+         G.pagerank_integer(_edges(spark, [(0, 1)]), k=3,
+                            init=10**9).collect()}
+    assert r[0] == 10**9 * 15 // 100
