@@ -91,14 +91,20 @@ def synthesize_warc_blobs(docs: DataFrame, docs_per_blob: int = 10,
 
 def _split_gzip_members(blob: bytes) -> Iterator[bytes]:
     """Yield each gzip member's decompressed bytes from a multi-member
-    stream (the .warc.gz framing)."""
+    stream (the .warc.gz framing). Corrupt deflate streams surface as
+    the module's documented ValueError, never a bare zlib.error."""
     rest = blob
     while rest:
         d = zlib.decompressobj(wbits=31)
-        out = d.decompress(rest)
-        if not d.eof:
-            raise ValueError("truncated gzip member in WARC blob")
-        yield out + d.flush()
+        try:
+            out = d.decompress(rest)
+            if not d.eof:
+                raise ValueError("truncated gzip member in WARC blob")
+            tail = d.flush()
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member in WARC blob: {e}") \
+                from None
+        yield out + tail
         rest = d.unused_data
 
 

@@ -114,3 +114,41 @@ def test_dsir_weights_shape(spark, sf_dir):
     from dataweb_spark.functions.text import tokens
     n_expected = docs.where(F.size(tokens("text")) >= 2).count()
     assert w.count() == n_expected
+
+
+# ---------------------------------------------------------------------------
+# property tests: normalization idempotency + parser fuzz
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_URL_CHARS = st.text(
+    alphabet="abcXYZ019-._~:/?#@&=%", min_size=0, max_size=40)
+
+
+@settings(max_examples=25, deadline=None)
+@given(scheme=st.sampled_from(["http", "HTTPS", "Ftp"]),
+       host=st.from_regex(r"[A-Za-z0-9.-]{1,20}", fullmatch=True),
+       rest=_URL_CHARS)
+def test_normalize_url_is_idempotent(spark, scheme, host, rest):
+    """normalize(normalize(u)) == normalize(u): the canonical form is a
+    fixed point — URL dedup keyed on it is stable under re-ingestion."""
+    from pyspark.sql import functions as F
+    url = f"{scheme}://{host}/{rest}"
+    df = _urls_df(spark, [url])
+    once = df.select(U.normalize_url("url").alias("u"))
+    row = once.select(
+        "u", U.normalize_url(F.col("u")).alias("u2")).collect()[0]
+    assert row.u2 == row.u, (url, row.u, row.u2)
+
+
+@settings(max_examples=25, deadline=None)
+@given(junk=st.text(min_size=0, max_size=60))
+def test_url_parsers_never_crash(spark, junk):
+    """Arbitrary junk (no scheme, control chars, empty) must flow
+    through host/domain/normalize without task failure — a crawl's URL
+    column is never clean."""
+    rows = _urls_df(spark, [junk]).select(
+        U.url_host("url"), U.registered_domain("url"),
+        U.normalize_url("url"), U.url_path("url")).collect()
+    assert len(rows) == 1

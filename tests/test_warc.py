@@ -114,3 +114,36 @@ def test_warc_directory_blob_id_falls_back_to_path_hash(spark):
     parsed = W.parse_warc_records(
         W.read_warc_directory(spark, d)).collect()
     assert parsed[0].target_uri == "http://example.com/web/7"
+
+
+# ---------------------------------------------------------------------------
+# fuzz: arbitrary bytes never crash the parser with anything but the
+# documented ValueError (or parse cleanly)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=50, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=300))
+def test_warc_parser_fuzz_classified_errors(junk):
+    try:
+        list(W._parse_warc_bytes(junk))
+    except ValueError:
+        pass        # the documented malformed-record contract
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1),
+       flip=st.integers(min_value=0, max_value=10**9))
+def test_warc_gzip_bitflip_fuzz(seed, flip):
+    """A byte-flip anywhere in a .warc.gz blob either still parses or
+    fails with the documented ValueError — a bare zlib.error would kill
+    the Spark task unclassified."""
+    rec = W.build_warc_record(seed % 1000, "web", f"text {seed}")
+    blob = bytearray(gzip.compress(rec, mtime=0))
+    blob[flip % len(blob)] ^= 1 + (flip % 255)
+    try:
+        list(W._parse_warc_bytes(bytes(blob)))
+    except ValueError:
+        pass
