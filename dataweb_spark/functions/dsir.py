@@ -16,9 +16,14 @@ then keep the top-weighted slice. Engine shape (all Spark built-ins):
   join — never collected;
 * per-doc score: one explode → broadcast join → re-aggregate, the same
   proven shape as ``unigram_lm_scores``;
-* outputs are FIXED-POINT bigints (``weight_e4``) — the r7
-  ``corpus_source_report`` lesson: rounded-double outputs diverge
-  between engines at decimal boundaries;
+* scoring is INTEGER-EXACT end to end: the per-bucket log ratio
+  ``ln p − ln q`` is rounded ONCE, inside the bounded model table, to a
+  fixed-point bigint (``lw_e12``); per-doc weights are then pure bigint
+  sums + integer ``div`` — order-independent, so engines, reruns and
+  partitionings agree bit-for-bit. (The r7 ``corpus_source_report``
+  lesson, finished: ``round(sum(<double>)·10^k)`` puts the knife-edge
+  rounding AFTER an order-sensitive float sum; rounding per-bucket
+  before an exact integer sum removes the knife edge entirely.)
 * selection is deterministic top-k by ``(weight_e4 DESC, id)`` — an
   integer sort key, so reruns, engines and resumed jobs pick the same
   slice (the paper's Gumbel resampling adds sampling noise; at corpus
@@ -64,40 +69,60 @@ def bucket_model(df: DataFrame, id_col: str, text_col: str,
             .groupBy("bucket").agg(F.count("*").alias("cnt")))
 
 
-def dsir_weights(raw: DataFrame, target: DataFrame,
-                 id_col: str = "doc_id", text_col: str = "text",
-                 hex_chars: int = 3) -> DataFrame:
-    """Per-raw-document DSIR importance weight.
+def log_ratio_model(raw: DataFrame, target: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    hex_chars: int = 3) -> DataFrame:
+    """Fixed-point DSIR model table: (bucket, lw_e12) with
 
-    Both models use add-1 smoothing over the full 16^hex_chars bucket
-    space:  p(b) = (cnt_target(b) + 1) / (T_target + B). Returns
-    (id, n_grams, weight_e4) for every raw doc with >= 1 bigram;
-    ``weight_e4`` = round(log-weight * 1e4) as bigint."""
+        lw_e12 = round( (ln p_target(b) − ln q_raw(b)) · 1e12 )  bigint
+
+    over add-1-smoothed models,  p(b) = (cnt(b)+1) / (tot + B).  The
+    double→bigint rounding happens HERE, once per bucket (≤ 16^hex_chars
+    rows), so downstream per-doc scoring is a pure bigint sum — a
+    single bucket's last-ulp ln() divergence between engines can shift
+    one table entry by 1e-12, which integer ``div`` at e4 output
+    granularity cannot surface. Covers every bucket present in either
+    corpus; raw-gram buckets are all present by construction (the raw
+    model is built from the same rows), so an inner scoring join loses
+    nothing."""
     n_buckets = 16 ** hex_chars
     tmod = bucket_model(target, id_col, text_col, hex_chars)
     rmod = bucket_model(raw, id_col, text_col, hex_chars)
     t_tot = tmod.agg(F.sum("cnt").alias("t_tot"))
     r_tot = rmod.agg(F.sum("cnt").alias("r_tot"))
+    return (rmod.withColumnRenamed("cnt", "r_cnt")
+            .join(tmod.withColumnRenamed("cnt", "t_cnt"), "bucket", "full")
+            .crossJoin(F.broadcast(t_tot))
+            .crossJoin(F.broadcast(r_tot))
+            .select(
+                "bucket",
+                F.round((F.log((F.coalesce("t_cnt", F.lit(0)) + F.lit(1.0))
+                               / (F.col("t_tot") + F.lit(float(n_buckets))))
+                         - F.log((F.coalesce("r_cnt", F.lit(0)) + F.lit(1.0))
+                                 / (F.col("r_tot")
+                                    + F.lit(float(n_buckets)))))
+                        * F.lit(1e12)).cast("bigint").alias("lw_e12")))
 
+
+def dsir_weights(raw: DataFrame, target: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 hex_chars: int = 3) -> DataFrame:
+    """Per-raw-document DSIR importance weight.
+
+    Returns (id, n_grams, weight_e4) for every raw doc with >= 1
+    bigram; ``weight_e4 = sum(lw_e12) div 1e8`` — an exact bigint sum
+    over the :func:`log_ratio_model` table followed by integer
+    division (truncating toward zero in BOTH Spark ``div`` and DuckDB
+    ``//``), so the output is bit-identical across engines, reruns and
+    partitionings."""
+    model = log_ratio_model(raw, target, id_col, text_col, hex_chars)
     grams = (raw.select(F.col(id_col),
                         F.explode(hashed_gram_buckets(text_col, hex_chars))
                         .alias("bucket")))
-    scored = (grams
-              .join(F.broadcast(tmod.withColumnRenamed("cnt", "t_cnt")),
-                    "bucket", "left")
-              .join(F.broadcast(rmod.withColumnRenamed("cnt", "r_cnt")),
-                    "bucket", "left")
-              .crossJoin(F.broadcast(t_tot))
-              .crossJoin(F.broadcast(r_tot))
-              .withColumn(
-                  "logw",
-                  F.log((F.coalesce("t_cnt", F.lit(0)) + F.lit(1.0))
-                        / (F.col("t_tot") + F.lit(float(n_buckets))))
-                  - F.log((F.coalesce("r_cnt", F.lit(0)) + F.lit(1.0))
-                          / (F.col("r_tot") + F.lit(float(n_buckets))))))
-    return (scored.groupBy(id_col)
+    return (grams.join(F.broadcast(model), "bucket")
+            .groupBy(id_col)
             .agg(F.count("*").cast("bigint").alias("n_grams"),
-                 F.round(F.sum("logw") * 10000).cast("bigint")
+                 F.expr("sum(lw_e12) div 100000000").cast("bigint")
                   .alias("weight_e4")))
 
 

@@ -63,11 +63,20 @@ def pagerank_integer(edges: DataFrame, k: int = 5,
                    .select(F.col(dst).alias("node"),
                            F.expr("score div out_deg").alias("c")))
         inflow = contrib.groupBy("node").agg(F.sum("c").alias("in_sum"))
+        # damp via the overflow-free exact identity
+        #   (a·n) div d == (a div d)·n + ((a mod d)·n) div d   (a ≥ 0)
+        # — a bare a·n would overflow bigint once in_sum nears
+        # 2^63/num (a hub absorbing most of a ~1e9-node graph's mass at
+        # init=1e9), and Spark's non-ANSI mode would wrap SILENTLY.
+        # Here the largest product is (a div d)·n < a, and the
+        # remainder term is bounded by (d-1)·n.
         scores = (nodes.join(inflow, "node", "left")
                   .select("node",
                           (F.lit(base)
-                           + F.expr(f"{damp_num} * coalesce(in_sum, 0) "
-                                    f"div {damp_den}"))
+                           + F.expr(f"(coalesce(in_sum, 0) div {damp_den})"
+                                    f" * {damp_num}"
+                                    f" + ((coalesce(in_sum, 0) % {damp_den})"
+                                    f" * {damp_num}) div {damp_den}"))
                           .cast("bigint").alias("score")))
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             scores = scores.localCheckpoint(eager=True)

@@ -43,8 +43,13 @@ MULTI_PART_SUFFIXES = [
     "co.kr", "com.tr", "com.ar", "co.za", "com.sg", "com.hk",
 ]
 
-# tracking params stripped by normalize_url (lowercase-compared)
-TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid|msclkid|ref)"
+# tracking params stripped by normalize_url (lowercase-compared).
+# Deliberately NOT bare ``ref``: on many major sites it is a functional
+# parameter (GitHub's ``?ref=<branch>`` selects different content), so
+# stripping it would collapse distinct pages onto one canonical URL and
+# URL dedup would wrongly drop them. ``ref_src``/``ref_url`` (Twitter
+# embed attribution) are tracking-only and safe to strip.
+TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid|msclkid|ref_src|ref_url)"
 
 
 def url_host(col: str | Column = "url") -> Column:
@@ -95,6 +100,13 @@ def normalize_url(col: str | Column = "url") -> Column:
        regexp_replace whose scan never revisits replaced text;
     5. drop one trailing slash from a non-root path.
 
+    Inputs WITHOUT a valid ``scheme://`` prefix (schemeless, relative,
+    or junk values — common in real crawl URL columns) pass through
+    UNCHANGED: the scheme/host/tail decomposition below only holds for
+    absolute URLs, and rebuilding from empty extracts would prepend
+    ``://`` on every application, breaking the fixed-point contract URL
+    dedup keys on across re-ingestion generations.
+
     Regexes stay in the Java∩RE2 subset (group captures, no
     lookaround) — map-only, all JVM-side (the array-lambda filter is a
     codegen-fallback expression, still no Python), exactly replayable
@@ -127,7 +139,9 @@ def normalize_url(col: str | Column = "url") -> Column:
          .otherwise(base)
     # 5. trailing slash on a non-root path
     u = F.regexp_replace(u, r"(://[^/?#]+/[^?#]*?)/(\?|$)", "$1$2")
-    return u
+    # schemeless/junk guard: the decomposition above is only valid for
+    # absolute URLs — anything else is its own canonical form
+    return F.when(scheme == "", c).otherwise(u)
 
 
 def domain_caps(df: DataFrame, url_col: str = "url",

@@ -6179,8 +6179,12 @@ order by lang, ppl_bucket
 
 # Messy-URL synthesizer (shared literal, both dialects): mixed-case
 # scheme/host, www and multi-part-suffix variants, default ports,
-# adjacent tracking params, trailing slashes, fragments.
+# adjacent tracking params (ref_src stripped, functional ref KEPT),
+# trailing slashes, fragments — plus schemeless/junk rows (every 17th)
+# that must pass through normalize_url UNCHANGED (fixed-point guard).
 _URL_SYNTH_SQL = """
+case when doc_id % 17 = 0 then 'Site-' || (doc_id % 37) || '.example.com/Bare/' || (doc_id % 97)
+else
 'HTTP://' || case when doc_id % 4 = 0 then 'WWW.' else '' end
 || 'Site-' || (doc_id % 37)
 || case when doc_id % 11 = 0 then '.CO.UK' else '.Example.COM' end
@@ -6189,9 +6193,10 @@ _URL_SYNTH_SQL = """
 || case when doc_id % 5 = 0 then '/' else '' end
 || case when doc_id % 2 = 0
         then '?utm_source=feed&utm_campaign=c' || (doc_id % 3)
-             || '&id=' || (doc_id % 7) || '&ref=tw'
+             || '&id=' || (doc_id % 7) || '&ref=tw&ref_src=twsrc'
         else '' end
 || case when doc_id % 13 = 0 then '#sec-' || (doc_id % 4) else '' end
+end
 """
 
 
@@ -6223,8 +6228,11 @@ def _duck_url_norm(expr: str) -> str:
     u = (f"(case when len({kept}) > 0 "
          f"then {base} || '?' || array_to_string({kept}, '&') "
          f"else {base} end)")
-    return (f"regexp_replace({u}, "
-            r"'(://[^/?#]+/[^?#]*?)/(\?|$)', '\1\2')")
+    u = (f"regexp_replace({u}, "
+         r"'(://[^/?#]+/[^?#]*?)/(\?|$)', '\1\2')")
+    # schemeless/junk guard — mirrors normalize_url: inputs without a
+    # valid scheme:// prefix pass through unchanged
+    return (f"(case when {scheme} = '' then {expr} else {u} end)")
 
 
 def _duck_url_domain(expr: str) -> str:
@@ -6416,7 +6424,10 @@ def _pipeline_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the exact bucket assignment), keep the deterministic
     top-50 by (weight_e4 DESC, id). Models are 4096-row broadcast
     aggregates; scoring is one explode → broadcast join → re-agg —
-    the proven unigram-LM shape. Weights are fixed-point bigints."""
+    the proven unigram-LM shape. INTEGER-EXACT: the log ratio is
+    rounded once per bucket into the model table (lw_e12 bigint);
+    per-doc weights are exact bigint sums + div — no
+    round(sum(double)) knife edge (r8 watch item, closed)."""
     from dataweb_spark.functions import dsir as DS
     register_views(spark, sf_dir)
     docs = spark.table("documents")
@@ -6440,17 +6451,20 @@ tmod as (
 rmod as (select bucket, count(*) as r_cnt from grams group by bucket),
 tt as (select sum(t_cnt) as t_tot from tmod),
 rt as (select sum(r_cnt) as r_tot from rmod),
+model as (
+  select bucket,
+         cast(round((
+             ln((coalesce(t_cnt, 0) + 1.0) / (tt.t_tot + 4096.0))
+           - ln((coalesce(r_cnt, 0) + 1.0) / (rt.r_tot + 4096.0)))
+           * 1000000000000.0) as bigint) as lw_e12
+  from rmod full join tmod using (bucket)
+  cross join tt cross join rt),
 scored as (
   select g.doc_id,
          count(*) as n_grams,
-         cast(round(sum(
-             ln((coalesce(m.t_cnt, 0) + 1.0) / (tt.t_tot + 4096.0))
-           - ln((r.r_cnt + 1.0) / (rt.r_tot + 4096.0))) * 10000)
-           as bigint) as weight_e4
+         cast(sum(m.lw_e12) // 100000000 as bigint) as weight_e4
   from grams g
-  left join tmod m using (bucket)
-  join rmod r using (bucket)
-  cross join tt cross join rt
+  join model m using (bucket)
   group by g.doc_id),
 top as (
   select * from scored

@@ -164,17 +164,21 @@ def read_warc_directory(spark, path: str,
     One row per FILE — Common Crawl ships ~1 GB member-concatenated
     gzip files, so file-per-row is the standard crawl granularity
     (parallelism = number of files; a 100-TB crawl is ~100k files, far
-    more than any executor count). ``blob_id`` is the first integer in
-    the file name when present (``blob-00000042.warc.gz`` → 42, the
-    :func:`write_warc_directory` convention) and falls back to a
-    64-bit hash of the full path otherwise — stable either way across
-    retries and re-lists. Hadoop-FS URIs (s3a://, hdfs://) work as-is.
+    more than any executor count). ``blob_id`` is the file-name integer
+    ONLY for names matching the :func:`write_warc_directory` convention
+    exactly (``blob-00000042.warc[.gz]`` → 42); every other name —
+    date-prefixed Common Crawl segments, ``part-1.warc.gz`` repeated
+    across subdirectories — gets a 64-bit hash of the FULL path, so two
+    files never silently collide onto one blob_id (downstream dedup and
+    the directory-ingest oracle rely on (blob_id, rec_index)
+    uniqueness). Stable either way across retries and re-lists.
+    Hadoop-FS URIs (s3a://, hdfs://) work as-is.
     """
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", pattern)
              .load(path))
     name = F.element_at(F.split(F.col("path"), "/"), -1)
-    num = F.regexp_extract(name, r"(\d+)", 1)
+    num = F.regexp_extract(name, r"^blob-(\d+)\.warc(?:\.gz)?$", 1)
     blob_id = (F.when(num != "", num.cast("long"))
                 .otherwise(F.xxhash64("path")))
     return files.select(blob_id.alias("blob_id"),

@@ -45,3 +45,17 @@ def test_pagerank_base_floor_for_no_inlinks(spark):
          G.pagerank_integer(_edges(spark, [(0, 1)]), k=3,
                             init=10**9).collect()}
     assert r[0] == 10**9 * 15 // 100
+
+
+def test_pagerank_no_bigint_overflow_on_huge_mass(spark):
+    # in_sum near 2^62: a bare 85*in_sum would wrap bigint silently
+    # (Spark non-ANSI); the (a div d)*n + ((a%d)*n) div d identity must
+    # give the exact mathematical value instead of garbage
+    init = 2 ** 62
+    r = {x.node: x.score for x in
+         G.pagerank_integer(_edges(spark, [(0, 1)]), k=1,
+                            init=init).collect()}
+    base = init * 15 // 100
+    want = base + (init * 85) // 100   # exact in Python's unbounded ints
+    assert r[1] == want
+    assert r[1] > 0

@@ -25,14 +25,21 @@ def _urls_df(spark, urls):
     ("http://h.com:8080/x", "http://h.com:8080/x"),   # non-default kept
     # tracking params: adjacent runs, leading, trailing, sole
     ("http://h/p?utm_a=1&utm_b=2&utm_c=3&x=1", "http://h/p?x=1"),
-    ("http://h/p?x=1&utm_a=1&ref=z", "http://h/p?x=1"),
+    ("http://h/p?x=1&utm_a=1&ref_src=z", "http://h/p?x=1"),
     ("http://h/p?utm_a=1", "http://h/p"),
     ("http://h/?utm_a=1&utm_b=2", "http://h/"),
     ("http://h/p?gclid=9&fbclid=8&id=3", "http://h/p?id=3"),
+    # bare ref is FUNCTIONAL (GitHub ?ref=<branch>) — kept
+    ("http://h/p?ref=main&utm_a=1", "http://h/p?ref=main"),
     # trailing slash: stripped on non-root, kept on root
     ("http://h.com/a/b/", "http://h.com/a/b"),
     ("http://h.com/", "http://h.com/"),
     ("http://h.com/a/?x=1", "http://h.com/a?x=1"),
+    # schemeless / relative / junk: pass through UNCHANGED (fixed point)
+    ("example.com/page", "example.com/page"),
+    ("/relative/Path/", "/relative/Path/"),
+    ("Example.COM?utm_a=1#frag", "Example.COM?utm_a=1#frag"),
+    ("", ""),
 ])
 def test_normalize_url_cases(spark, raw, want):
     got = _urls_df(spark, [raw]).select(
@@ -127,14 +134,16 @@ _URL_CHARS = st.text(
 
 
 @settings(max_examples=25, deadline=None)
-@given(scheme=st.sampled_from(["http", "HTTPS", "Ftp"]),
+@given(scheme=st.sampled_from(["http", "HTTPS", "Ftp", ""]),
        host=st.from_regex(r"[A-Za-z0-9.-]{1,20}", fullmatch=True),
        rest=_URL_CHARS)
 def test_normalize_url_is_idempotent(spark, scheme, host, rest):
     """normalize(normalize(u)) == normalize(u): the canonical form is a
-    fixed point — URL dedup keyed on it is stable under re-ingestion."""
+    fixed point — URL dedup keyed on it is stable under re-ingestion.
+    Includes SCHEMELESS inputs (scheme='' → bare 'host/rest'), which
+    must pass through unchanged rather than sprouting '://' prefixes."""
     from pyspark.sql import functions as F
-    url = f"{scheme}://{host}/{rest}"
+    url = f"{scheme}://{host}/{rest}" if scheme else f"{host}/{rest}"
     df = _urls_df(spark, [url])
     once = df.select(U.normalize_url("url").alias("u"))
     row = once.select(
@@ -149,6 +158,12 @@ def test_url_parsers_never_crash(spark, junk):
     through host/domain/normalize without task failure — a crawl's URL
     column is never clean."""
     rows = _urls_df(spark, [junk]).select(
-        U.url_host("url"), U.registered_domain("url"),
-        U.normalize_url("url"), U.url_path("url")).collect()
+        U.url_host("url").alias("h"), U.registered_domain("url").alias("d"),
+        U.normalize_url("url").alias("n"), U.url_path("url").alias("p")
+    ).collect()
     assert len(rows) == 1
+    # no valid scheme:// prefix → normalize is the identity, never
+    # '://'+junk (the pre-r9 bug the guard closes)
+    import re
+    if not re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", junk):
+        assert rows[0].n == junk

@@ -116,6 +116,31 @@ def test_warc_directory_blob_id_falls_back_to_path_hash(spark):
     assert parsed[0].target_uri == "http://example.com/web/7"
 
 
+def test_warc_directory_ambiguous_numeric_names_never_collide(spark):
+    """Names with digit runs that are NOT the write_warc_directory
+    convention (part-1.warc.gz in two subdirs, date-prefixed segment
+    names sharing a leading digit run) must hash the full path — never
+    collapse onto one blob_id."""
+    import os
+    d = tempfile.mkdtemp(prefix="t_warc_amb_")
+    rec = gzip.compress(W.build_warc_record(7, "web", "hello"), mtime=0)
+    for sub, name in [("a", "part-1.warc.gz"), ("b", "part-1.warc.gz"),
+                      ("a", "20240101-seg.warc.gz"),
+                      ("a", "20240102-seg.warc.gz")]:
+        os.makedirs(os.path.join(d, sub), exist_ok=True)
+        with open(os.path.join(d, sub, name), "wb") as f:
+            f.write(rec)
+    ids = [r.blob_id for r in
+           W.read_warc_directory(spark, d + "/*").collect()]
+    assert len(ids) == 4 and len(set(ids)) == 4
+    # the convention name still maps to its literal integer
+    with open(os.path.join(d, "a", "blob-0000000042.warc.gz"), "wb") as f:
+        f.write(rec)
+    ids2 = {r.blob_id for r in
+            W.read_warc_directory(spark, d + "/*").collect()}
+    assert 42 in ids2 and len(ids2) == 5
+
+
 # ---------------------------------------------------------------------------
 # fuzz: arbitrary bytes never crash the parser with anything but the
 # documented ValueError (or parse cleanly)

@@ -60,6 +60,36 @@ def normalize(rows: list[tuple],
     return sorted((tuple(norm(v) for v in r) for r in rows), key=repr)
 
 
+import re
+
+_FIXED_POINT_COL = re.compile(r"_e\d+$")
+
+
+def _only_fixed_point_off_by_one(cols: list[str],
+                                 sn: list[tuple],
+                                 dn: list[tuple]) -> bool:
+    """True iff the two normalized row sets differ ONLY by ±1 in integer
+    columns following the repo's fixed-point naming convention
+    (``*_e<k>`` = round(value·10^k) as bigint). Rows must already agree
+    in count and, pairwise after sorting, in every other column — a ±1
+    flip cannot reorder the sort in a way this misses unless the flip
+    itself changes sort position, in which case we conservatively FAIL."""
+    if len(sn) != len(dn):
+        return False
+    fp_idx = {i for i, c in enumerate(cols) if _FIXED_POINT_COL.search(c)}
+    if not fp_idx:
+        return False
+    for a, b in zip(sn, dn):
+        for i, (x, y) in enumerate(zip(a, b)):
+            if x == y:
+                continue
+            if (i in fp_idx and isinstance(x, int) and isinstance(y, int)
+                    and abs(x - y) <= 1):
+                continue
+            return False
+    return True
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -140,11 +170,20 @@ def main() -> int:
             sn = normalize(srows_s)
             dn = normalize(drows_s)
             if sn != dn:
-                # fallback: 9 significant digits — collapses fp-sum-order
+                # fallback 1: 9 significant digits — collapses fp-sum-order
                 # noise but NOT the 1e-4-class rounding divergences
                 sn9 = normalize(srows_s, sig_digits=9)
                 dn9 = normalize(drows_s, sig_digits=9)
                 if sn9 == dn9:
+                    weak = True
+                # fallback 2: ±1 on fixed-point *_e<k> integer columns —
+                # round(<float agg>·10^k) encodings can flip the last
+                # digit when the float lands on a .5·10^-k boundary; the
+                # driver's exact hash would go red, so surface it as
+                # WEAK here (one unlucky dataset from a red), never hide
+                # it as PASS. Truly integer-arithmetic columns
+                # (dup_rate_e6 etc. computed with div) never trip this.
+                elif _only_fixed_point_off_by_one(sorted(scols), sn, dn):
                     weak = True
                 else:
                     diffs = [(a, b) for a, b in zip(sn9, dn9)
