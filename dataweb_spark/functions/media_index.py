@@ -19,13 +19,16 @@ This module materializes three narrow tables
     ``{path}/vhash``  (id, fidx, sig64) — POSITION signatures for the
                       video/audio near tier: per-frame perceptual
                       hashes for videos, hashed per-window dominant-FFT
-                      bins for audio. Banded Hamming lookup per
-                      position, near when >= 80% of the longer side's
-                      positions match — so a RE-ENCODED video with a
-                      few perturbed frames, or an audio EDIT touching a
-                      few windows, still collapses (cross-kind rows
-                      cannot reach 80% against each other: the hashes
-                      come from disjoint constructions)
+                      bins for audio. Banded Hamming lookup between
+                      positions aligned at any constant offset within
+                      ±pos_max_offset (offset VOTING), near when >= 80%
+                      of the longer side's positions match at some
+                      offset — so a RE-ENCODED video with a few
+                      perturbed frames, a TRIMMED-intro audio clip, or
+                      a video with prepended frames still collapses
+                      (cross-kind rows cannot reach 80% against each
+                      other: the hashes come from disjoint
+                      constructions)
     ``{path}/meta.json``                — params, checked on read
 
 and classifies each ingest batch against THOSE — batch side broadcast,
@@ -72,6 +75,12 @@ SIG_SCHEMA = StructType([
 # 80% rule — no float threshold to diverge between engines).
 _VIDEO_NEAR_NUM = 4
 _VIDEO_NEAR_DEN = 5
+# Temporal tolerance of the position near tier: positions may align at
+# any constant offset with |offset| <= this cap (a trimmed intro shifts
+# every position by the trim length; offset 0 is the aligned case).
+# The cap bounds the per-candidate-pair vote rows to (2·cap+1)·n even
+# for degenerate all-identical-frame content.
+_POS_MAX_OFFSET = 4
 
 
 def _bin_sig64(bin_str: str) -> int:
@@ -167,7 +176,8 @@ def _vhash_rows(sigs: DataFrame) -> DataFrame:
 
 def build_media_index(media: DataFrame, path: str,
                       id_col: str = "media_id", bands: int = 8,
-                      max_hamming: int = 6) -> None:
+                      max_hamming: int = 6,
+                      pos_max_offset: int = _POS_MAX_OFFSET) -> None:
     """One corpus pass → persisted signature tables. The blobs are never
     read again; every later classify touches only these narrow rows."""
     if max_hamming >= bands:
@@ -183,7 +193,8 @@ def build_media_index(media: DataFrame, path: str,
     _fs_write_text(spark, f"{path}/{_META}", json.dumps(
         {"bands": bands, "max_hamming": max_hamming,
          "video_near_num": _VIDEO_NEAR_NUM,
-         "video_near_den": _VIDEO_NEAR_DEN}))
+         "video_near_den": _VIDEO_NEAR_DEN,
+         "pos_max_offset": pos_max_offset}))
 
 
 def _load_params(spark: SparkSession, path: str) -> dict:
@@ -205,11 +216,14 @@ def classify_media_batch(spark: SparkSession, batch: DataFrame, path: str,
     * ``near_dup``  — images: banded-Hamming aHash lookup within
       ``max_hamming`` (pigeonhole-complete recall for
       ``max_hamming < bands``); videos/audio: banded-Hamming POSITION
-      lookup (per-frame aHash / hashed per-window bin), near when
-      >= 80% of the longer side's positions match within
-      ``max_hamming`` — catches video re-ENCODES whose perturbed frames
-      break the exact visual-temporal string, and audio EDITS touching
-      a few windows;
+      lookup (per-frame aHash / hashed per-window bin) with OFFSET
+      VOTING — positions may align at any constant shift within
+      ``±pos_max_offset`` — near when >= 80% of the longer side's
+      positions match within ``max_hamming`` at some offset. Catches
+      video re-ENCODES whose perturbed frames break the exact
+      visual-temporal string, audio EDITS touching a few windows, AND
+      temporally EDITED copies (trimmed intro, prepended frames) whose
+      positions are index-shifted;
     * ``novel``     — neither.
 
     ``match_id`` = the lowest-id indexed match (nearest first for the
@@ -270,10 +284,17 @@ def classify_media_batch(spark: SparkSession, batch: DataFrame, path: str,
              .select("_bid", F.col("m.id").alias("near_match"))))
 
     # POSITION near tier (video frames / audio windows): banded Hamming
-    # at matching positions; a candidate pair qualifies when matched
-    # positions cover >= near_num/near_den of the LONGER side (integer
-    # compare).
+    # between positions aligned at ANY constant offset within
+    # ±pos_max_offset (offset 0 = the aligned case; a trimmed intro or
+    # prepended frames shift every position by the edit length). Per
+    # candidate pair the matches VOTE by offset; the pair qualifies
+    # when some offset's matched positions cover >= near_num/near_den
+    # of the LONGER side (integer compare). The offset cap keeps the
+    # vote rows bounded at (2·cap+1)·n per pair even for degenerate
+    # all-identical-position content — without it a static clip would
+    # produce n² band hits against its own re-encode.
     if has_pos:
+        max_off = params.get("pos_max_offset", _POS_MAX_OFFSET)
         ivh = spark.read.parquet(f"{path}/vhash")
         bvf = (bsig.where(F.col("frame_sigs").isNotNull())
                .select(F.col("id").alias("_bid"),
@@ -281,14 +302,22 @@ def classify_media_batch(spark: SparkSession, batch: DataFrame, path: str,
                        F.posexplode("frame_sigs").alias("fidx", "_bsig")))
         bvh = banded(bvf, "_bid", "_bsig", extra=("fidx", "_bn"))
         ivn = ivh.groupBy("id").agg((F.max("fidx") + 1).alias("_in"))
-        frame_hits = (banded(ivh, "id", "sig64", extra=("fidx",))
-                      .join(F.broadcast(bvh), ["fidx", "band", "bval"])
-                      .where(F.bit_count(
-                          F.col("sig64").bitwiseXOR(F.col("_bsig")))
-                          <= max_h)
-                      .select("_bid", "id", "fidx", "_bn").distinct())
+        # at a fixed offset each index position pairs with at most one
+        # batch position, so distinct on (pair, off, index fidx) counts
+        # matched positions; multi-band hits of the same pair collapse
+        frame_hits = (banded(ivh.withColumnRenamed("fidx", "ifidx"),
+                             "id", "sig64", extra=("ifidx",))
+                      .join(F.broadcast(bvh), ["band", "bval"])
+                      .where((F.abs(F.col("ifidx") - F.col("fidx"))
+                              <= max_off)
+                             & (F.bit_count(
+                                 F.col("sig64").bitwiseXOR(F.col("_bsig")))
+                                <= max_h))
+                      .select("_bid", "id",
+                              (F.col("ifidx") - F.col("fidx")).alias("off"),
+                              "ifidx", "_bn").distinct())
         near_parts.append(
-            (frame_hits.groupBy("_bid", "id", "_bn")
+            (frame_hits.groupBy("_bid", "id", "off", "_bn")
              .agg(F.count("*").alias("matched"))
              .join(ivn, "id")
              .where(F.col("matched") * near_den

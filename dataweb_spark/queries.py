@@ -5995,8 +5995,11 @@ def _media_index_video_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     83% → near_dup), 1004-1007 are two-frame-replaced copies of videos
     4-7 (4/6 = 67% → novel: the threshold bites), 1008-1011 are
     byte-identical copies of 0-3 (exact_dup outranks near), 1012-1015
-    are novel videos. The oracle states the 16 verdicts in closed form.
-    """
+    are novel videos, and — r9, offset voting — 1016 is a TRIMMED-intro
+    copy of video 0 (first frame dropped: 5/6 at offset +1 → near_dup)
+    and 1017 a PREPENDED-frame copy of video 1 (6/7 at offset -1 →
+    near_dup); both escaped as novel under the index-aligned r8 tier.
+    The oracle states the 18 verdicts in closed form."""
     import hashlib
     import tempfile
 
@@ -6046,15 +6049,20 @@ def _media_index_video_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fr[5] = _pixels(92_000 + i)
                 elif i < 12:                # byte-identical → exact
                     fr = _frames(i - 8)
-                else:                       # novel video
+                elif i < 16:                # novel video
                     fr = _frames(100 + i)
+                elif i == 16:               # trimmed intro → offset +1
+                    fr = _frames(0)[1:]
+                else:                       # prepended frame → offset -1
+                    fr = np.concatenate(
+                        [_pixels(95_000)[None], _frames(1)])
                 rows.append((1000 + i, "video", M.encode_avi(fr, 10),
                              {"format": "avi", "width": 16, "height": 16,
                               "duration_s": 0.6}))
             yield pd.DataFrame(rows, columns=["media_id", "kind",
                                               "content", "meta"])
 
-    batch = spark.range(16).mapInPandas(batch_gen, schema=M.MEDIA_SCHEMA)
+    batch = spark.range(18).mapInPandas(batch_gen, schema=M.MEDIA_SCHEMA)
     return (MI.classify_media_batch(spark, batch, idx)
             .select("media_id", "verdict", "match_id")
             .orderBy("media_id"))
@@ -6065,11 +6073,13 @@ select 1000 + i as media_id,
        case when i < 4 then 'near_dup'
             when i < 8 then 'novel'
             when i < 12 then 'exact_dup'
-            else 'novel' end as verdict,
+            when i < 16 then 'novel'
+            else 'near_dup' end as verdict,
        case when i < 4 then cast(i as bigint)
             when i >= 8 and i < 12 then cast(i - 8 as bigint)
+            when i >= 16 then cast(i - 16 as bigint)
             else null end as match_id
-from (select range as i from range(16))
+from (select range as i from range(18))
 order by media_id
 """)
 
@@ -6335,13 +6345,21 @@ def _media_index_audio_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ``media_index_video_near``, closing the last exact-only media
     kind: per-window dominant-FFT bins hash to 64-bit position
     signatures; near when >= 80% of the longer clip's window positions
-    match. Planted batch over a 6-clip corpus (20 tone windows each,
-    bin patterns are cyclic shifts so distinct clips agree at ZERO
-    positions): ids 1000-1003 are one-window EDITS of clips 0-3 (19/20
-    = 95% → near_dup), 1004-1007 are half-edited copies (10/20 = 50% →
-    novel: the threshold bites), 1008-1009 are byte-identical copies of
-    4-5 (exact_dup outranks near), 1010-1011 are novel sequences. The
-    oracle states the 12 verdicts in closed form."""
+    match at some constant offset within the ±4 cap (r9 offset voting).
+    Planted batch over a 6-clip corpus (20 tone windows each; the bin
+    pattern is QUADRATIC in the window index mod a prime, so two
+    distinct clips — or a clip against a shifted self — agree at AT
+    MOST ONE position at ANY offset; the r8 cyclic-shift construction
+    would falsely align whole clips once offsets vote): ids 1000-1003
+    are one-window EDITS of clips 0-3 (19/20 = 95% → near_dup),
+    1004-1007 are half-edited copies (10/20 = 50% → novel: the
+    threshold bites), 1008-1009 are byte-identical copies of 4-5
+    (exact_dup outranks near), 1010-1011 are novel sequences, and — r9
+    — 1012 is a TRIMMED-intro copy of clip 0 (first two windows
+    removed: 18/20 at offset +2 → near_dup) and 1013 a PREPENDED copy
+    of clip 1 (two alien windows ahead: 20/22 at offset -2 →
+    near_dup); both escaped as novel under the index-aligned r8 tier.
+    The oracle states the 14 verdicts in closed form."""
     import tempfile
 
     import numpy as np
@@ -6357,7 +6375,12 @@ def _media_index_audio_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in freqs])
 
     def _freqs(clip: int):
-        return [400 + 80 * ((clip * 7 + k) % 11) for k in range(20)]
+        # quadratic in k mod prime 83: for any offset o != 0 (or any
+        # clip pair), matching positions solve a LINEAR congruence in k
+        # → at most one solution; 40 Hz spacing keeps dominant FFT bins
+        # distinct at 8 kHz / 512-sample windows
+        return [400 + 40 * ((clip * 37 + 7 * k * k + k) % 83)
+                for k in range(20)]
 
     def corpus_gen(batches):
         for pdf in batches:
@@ -6382,14 +6405,18 @@ def _media_index_audio_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(mid)
                 if i < 4:                   # one window edited → near
                     fr = _freqs(i)
-                    fr[7] = 2600
+                    fr[7] = 3900            # outside the 400-3680 family
                 elif i < 8:                 # half edited → novel
-                    fr = [2000 + 160 * (k % 3) if k % 2 else f
+                    fr = [3900 - 40 * (k % 3) if k % 2 else f
                           for k, f in enumerate(_freqs(i - 4))]
                 elif i < 10:                # byte-identical → exact
                     fr = _freqs(i - 4)
-                else:                       # novel sequence
-                    fr = [3000 + 80 * ((i + k) % 6) for k in range(20)]
+                elif i < 12:                # novel sequence (alien band)
+                    fr = [3820 + 40 * ((i + k) % 5) for k in range(20)]
+                elif i == 12:               # trimmed intro → offset +2
+                    fr = _freqs(0)[2:]
+                else:                       # two windows prepended → -2
+                    fr = [3820, 3860] + _freqs(1)
                 rows.append((1000 + i, "audio",
                              M.encode_wav(_tone_windows(fr), 8000),
                              {"format": "wav", "width": None,
@@ -6397,7 +6424,7 @@ def _media_index_audio_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind",
                                               "content", "meta"])
 
-    batch = spark.range(12).mapInPandas(batch_gen, schema=M.MEDIA_SCHEMA)
+    batch = spark.range(14).mapInPandas(batch_gen, schema=M.MEDIA_SCHEMA)
     return (MI.classify_media_batch(spark, batch, idx)
             .select("media_id", "verdict", "match_id")
             .orderBy("media_id"))
@@ -6408,11 +6435,13 @@ select 1000 + i as media_id,
        case when i < 4 then 'near_dup'
             when i < 8 then 'novel'
             when i < 10 then 'exact_dup'
-            else 'novel' end as verdict,
+            when i < 12 then 'novel'
+            else 'near_dup' end as verdict,
        case when i < 4 then cast(i as bigint)
             when i >= 8 and i < 10 then cast(i - 4 as bigint)
+            when i >= 12 then cast(i - 12 as bigint)
             else null end as match_id
-from (select range as i from range(12))
+from (select range as i from range(14))
 order by media_id
 """)
 

@@ -217,6 +217,61 @@ def test_media_index_audio_near_tier(spark):
     assert got[102]["verdict"] == "novel"
 
 
+def test_media_index_video_temporal_shift_near(spark):
+    """Temporally EDITED video copies — a dropped intro frame and a
+    prepended frame — shift every position index, so the offset-0 join
+    alone would miss them; offset voting must classify both near_dup
+    (matched positions cover >= 80% of the longer side at offsets +1
+    and -1 respectively)."""
+    frames = _rand_frames(2)                      # 6 frames
+    corpus = _media_df(spark, [(1, M.encode_avi(frames, 10))])
+    idx = tempfile.mkdtemp(prefix="t_media_vshift_")
+    MI.build_media_index(corpus, idx)
+
+    trimmed = frames[1:]                          # dropped intro frame
+    prepended = np.concatenate([_rand_frames(77, n=1), frames])
+    batch = _media_df(spark, [
+        (100, M.encode_avi(trimmed, 10)),    # 5/6 at offset +1 → near
+        (101, M.encode_avi(prepended, 10)),  # 6/7 at offset -1 → near
+    ])
+    got = {r["media_id"]: r for r in
+           MI.classify_media_batch(spark, batch, idx).collect()}
+    assert got[100]["verdict"] == "near_dup" and got[100]["match_id"] == 1
+    assert got[101]["verdict"] == "near_dup" and got[101]["match_id"] == 1
+
+
+def test_media_index_audio_trimmed_intro_near_and_offset_cap(spark):
+    """A trimmed-intro audio copy (2 of 40 windows removed → every
+    window shifts by +2) must classify near_dup via offset voting; a
+    6-window trim has 85% coverage but sits BEYOND the ±4 offset cap,
+    so it stays novel — the cap is what bounds the vote join."""
+    def _tone_windows(freqs):
+        t = np.arange(512) / 8000.0
+        return np.concatenate([
+            np.round(8000 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+            for f in freqs])
+
+    # APERIODIC window sequence (period 37 > clip length): a periodic
+    # one (k % 7) would self-align at offset trim−7 and legitimately
+    # match — the cap assertion needs no alias offset inside ±4
+    base = [400 + 40 * ((k * 17 + 5) % 37) for k in range(40)]
+    corpus = _media_df(spark, [(0, M.encode_wav(_tone_windows(base),
+                                                8000))])
+    idx = tempfile.mkdtemp(prefix="t_media_ashift_")
+    MI.build_media_index(corpus, idx)
+
+    batch = _media_df(spark, [
+        # 38/40 = 95% coverage at offset +2 → near
+        (100, M.encode_wav(_tone_windows(base[2:]), 8000)),
+        # 34/40 = 85% coverage but offset +6 > cap 4 → novel
+        (101, M.encode_wav(_tone_windows(base[6:]), 8000)),
+    ])
+    got = {r["media_id"]: r for r in
+           MI.classify_media_batch(spark, batch, idx).collect()}
+    assert got[100]["verdict"] == "near_dup" and got[100]["match_id"] == 0
+    assert got[101]["verdict"] == "novel"
+
+
 def test_media_index_requires_meta(spark):
     df = _media_df(spark, [(0, M.encode_bmp(_pixels(0)))])
     with pytest.raises(ValueError, match="no media index"):
