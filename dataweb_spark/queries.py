@@ -6340,6 +6340,103 @@ order by domain
 """)
 
 
+# PSL-exercising host synthesizer (shared literal, both dialects):
+# private suffixes (github.io), wildcard (*.ck), exception (www.ck),
+# multi-part (co.uk), plain .com, unknown TLD, IP literals.
+_PSL_URL_SYNTH_SQL = """
+'http://' || case cast(doc_id % 8 as int)
+  when 0 then 'user' || (doc_id % 5) || '.github.io'
+  when 1 then 'deep.user' || (doc_id % 5) || '.github.io'
+  when 2 then 'shop' || (doc_id % 4) || '.foo.ck'
+  when 3 then 'sub.www.ck'
+  when 4 then 'news' || (doc_id % 3) || '.bbc.co.uk'
+  when 5 then 'a.b.site-' || (doc_id % 6) || '.com'
+  when 6 then '10.0.' || (doc_id % 3) || '.7'
+  else 'x.y' || (doc_id % 3) || '.unknowntld'
+end || '/p/' || (doc_id % 9)
+"""
+
+# single-sourced rule snippet for the PSL query + its oracle
+_PSL_QUERY_RULES = ["// test snippet", "com", "uk", "co.uk", "io",
+                    "github.io", "ck", "*.ck", "!www.ck"]
+
+
+def _crawl_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain extraction via a REAL public-suffix list
+    (``urls.registered_domain_psl``) — the production tier behind the
+    heuristic: broadcast longest-suffix match implementing the
+    publicsuffix.org algorithm, incl. private suffixes (``github.io``
+    user sites are distinct publishers), wildcard rules (``*.ck``),
+    exception rules (``!www.ck`` beats the wildcard) and the default
+    rule for unknown TLDs; IP hosts pass through whole. Shape: ≤8
+    suffix candidates per host exploded, broadcast-joined against the
+    rule table, one narrow re-agg picks the winner. The oracle replays
+    the full algorithm (same rules via VALUES, same candidate/winner
+    arithmetic)."""
+    from dataweb_spark.functions import urls as U
+    register_views(spark, sf_dir)
+    synth = spark.sql(
+        f"select doc_id, {_PSL_URL_SYNTH_SQL} as url from documents")
+    psl = spark.createDataFrame([(r,) for r in _PSL_QUERY_RULES],
+                                "rule string")
+    return (U.registered_domain_psl(synth, psl)
+            .select("doc_id", "url", "domain").orderBy("doc_id"))
+
+
+_PSL_RULE_VALUES = ", ".join(f"('{r}')" for r in _PSL_QUERY_RULES)
+
+_df("crawl_psl_domains", _crawl_psl_domains, oracle=rf"""
+with urls as (
+  select doc_id, {_PSL_URL_SYNTH_SQL} as url from documents),
+hosts as (
+  select doc_id, url,
+         lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1))
+           as host
+  from urls),
+nrules as (
+  select regexp_replace(raw, '^!', '') as rule,
+         raw like '!%' as is_exc
+  from (values {_PSL_RULE_VALUES}) rl(raw)
+  where trim(raw) != '' and raw not like '//%'),
+hp as (select doc_id, url, host, string_split(host, '.') as parts,
+              len(string_split(host, '.')) as n from hosts),
+cands as (
+  select doc_id, host, n, i,
+         array_to_string(parts[n - i + 1 : n], '.') as lit,
+         case when i >= 2
+              then '*.' || array_to_string(parts[n - i + 2 : n], '.')
+         end as wild
+  from hp, unnest(generate_series(1, least(n, 8))) as g(i)),
+forms as (
+  select doc_id, host, n, i, lit as form, false as is_wild from cands
+  union all
+  select doc_id, host, n, i, wild, true from cands
+  where wild is not null),
+hits as (
+  select f.doc_id,
+         case when r.is_exc then f.i - 1 else f.i end as ps_len,
+         (case when r.is_exc then 1 else 0 end) * 100
+           + case when r.is_exc then f.i - 1 else f.i end as prio
+  from forms f join nrules r on r.rule = f.form
+  where (r.rule like '*.%') = f.is_wild or r.is_exc),
+win as (
+  select h.doc_id, h.url, h.host, h.n,
+         coalesce(arg_max(t.ps_len, t.prio), 1) as ps_len
+  from hp h left join hits t using (doc_id)
+  group by 1, 2, 3, 4)
+select doc_id, url,
+       case when regexp_matches(host, '^\d{{1,3}}(\.\d{{1,3}}){{3}}$')
+              or n <= ps_len
+            then host
+            else array_to_string(
+                   string_split(host, '.')[n - ps_len : n], '.') end
+         as domain
+from win
+order by doc_id
+""")
+
+
 def _media_index_audio_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUDIO near tier of the persisted media index — the audio sibling
     of ``media_index_video_near``, closing the last exact-only media

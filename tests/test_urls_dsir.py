@@ -67,6 +67,95 @@ def test_registered_domain_and_host_path(spark):
         assert (r.h, r.d, r.p) == (h, d, p), r.url
 
 
+_PSL_RULES = ["// test PSL snippet", "", "com", "uk", "co.uk", "jp",
+              "io", "github.io", "ck", "*.ck", "!www.ck"]
+
+
+def _psl_df(spark):
+    return spark.createDataFrame(pd.DataFrame({"rule": _PSL_RULES}))
+
+
+def test_registered_domain_psl_modes(spark):
+    """PSL mode resolves what the heuristic can't: private suffixes
+    (github.io), wildcard rules (*.ck), exception rules (!www.ck),
+    unknown TLDs via the default rule — while agreeing with the
+    heuristic on the plain cases."""
+    cases = {
+        "http://a.b.example.com/x": "example.com",       # plain
+        "http://news.bbc.co.uk/s": "bbc.co.uk",          # multi-part
+        # private suffix: user pages are distinct publishers
+        "http://user1.github.io/p": "user1.github.io",
+        "http://deep.user2.github.io/p": "user2.github.io",
+        # wildcard *.ck: every label under ck is a public suffix
+        "http://shop.foo.ck/x": "shop.foo.ck",
+        # exception !www.ck beats the wildcard: www.ck is registrable
+        "http://sub.www.ck/x": "www.ck",
+        "http://www.ck/x": "www.ck",
+        # default rule: unknown TLD → last two labels
+        "http://x.y.unknowntld/x": "y.unknowntld",
+        # host IS a public suffix → whole host (convention)
+        "http://github.io/": "github.io",
+        # IP literal passes through whole
+        "http://1.2.3.4/x": "1.2.3.4",
+    }
+    df = _urls_df(spark, list(cases))
+    got = {r.url: r.domain for r in
+           U.registered_domain_psl(df, _psl_df(spark)).collect()}
+    assert got == cases
+    # row count preserved (no dup rows from the candidate explode)
+    assert U.registered_domain_psl(df, _psl_df(spark)).count() == len(cases)
+
+
+from hypothesis import given as _given, settings as _settings  # noqa: E402
+from hypothesis import strategies as _st  # noqa: E402
+
+
+@_settings(max_examples=20, deadline=None)
+@_given(labels=_st.lists(
+    _st.sampled_from(["a", "bb", "www", "user", "shop"]),
+    min_size=1, max_size=4),
+    tld=_st.sampled_from(["com", "co.uk", "github.io", "ck", "unknown"]))
+def test_registered_domain_psl_agrees_with_spec(spark, labels, tld):
+    """Cross-check the Spark PSL resolution against a pure-Python
+    reference implementation of the publicsuffix.org algorithm on
+    generated hosts — including exception (!www.ck) and wildcard
+    (*.ck) interactions the heuristic tier can't express."""
+    host = ".".join(labels + [tld])
+    url = f"http://{host}/x"
+
+    def ref_psl(host):
+        hl = host.split(".")
+        rules = []
+        for raw in _PSL_RULES:
+            raw = raw.strip()
+            if not raw or raw.startswith("//"):
+                continue
+            exc = raw.startswith("!")
+            rules.append((raw.lstrip("!").split("."), exc))
+        matches = []
+        for rl, exc in rules:
+            if len(rl) > len(hl):
+                continue
+            tail = hl[-len(rl):]
+            if all(a == b or (a == "*" and not exc)
+                   for a, b in zip(rl, tail)):
+                matches.append((rl, exc))
+        excs = [m for m in matches if m[1]]
+        if excs:
+            ps = len(excs[0][0]) - 1
+        elif matches:
+            ps = max(len(rl) for rl, _ in matches)
+        else:
+            ps = 1
+        if len(hl) <= ps:
+            return host
+        return ".".join(hl[-(ps + 1):])
+
+    got = U.registered_domain_psl(
+        _urls_df(spark, [url]), _psl_df(spark)).collect()[0].domain
+    assert got == ref_psl(host), (host, got, ref_psl(host))
+
+
 def test_domain_caps_deterministic_and_bounded(spark):
     urls = [f"http://big.com/p{i}" for i in range(40)] \
         + [f"http://small.org/q{i}" for i in range(3)]
