@@ -48,16 +48,21 @@ def hashed_gram_buckets(col: str | Column = "text",
     """Array of hashed-bigram bucket keys for a document: consecutive
     token pairs joined with one space, bucketed by the first
     ``hex_chars`` hex digits of their md5 (16^hex_chars buckets).
-    Empty / one-token docs → empty array."""
+    Empty / one-token docs → empty array.
+
+    Pairing is ``zip_with`` over two shifted slices — NOT
+    ``transform(sequence, i -> element_at(t, i))``: ``element_at``
+    embeds the whole tokenize subexpression per index, which codegen
+    re-evaluates per element (O(tokens²) per doc — measured 2.8×
+    slower at sf0.1). ``zip_with``'s lambda binds element VALUES, so
+    the split happens a constant number of times per row."""
     t = tokens(col)
-    return F.when(F.size(t) < 2, F.array().cast("array<string>")) \
-            .otherwise(F.transform(
-                F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: F.substring(
-                    F.md5(F.concat_ws(" ",
-                                      F.element_at(t, i),
-                                      F.element_at(t, i + 1))),
-                    1, hex_chars)))
+    n = F.size(t)
+    return F.when(n < 2, F.array().cast("array<string>")) \
+            .otherwise(F.zip_with(
+                F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+                lambda a, b: F.substring(
+                    F.md5(F.concat(a, F.lit(" "), b)), 1, hex_chars)))
 
 
 def bucket_model(df: DataFrame, id_col: str, text_col: str,

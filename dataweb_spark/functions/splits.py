@@ -39,7 +39,7 @@ from dataweb_spark.functions.text import hash_bucket
 __all__ = [
     "split_by_content", "split_by_cluster", "assign_shards",
     "write_shards", "shard_manifest", "filter_cascade", "cascade_stats",
-    "upsample_epochs", "select_token_budget",
+    "upsample_epochs", "select_token_budget", "temperature_mixture",
 ]
 
 
@@ -292,3 +292,61 @@ def cascade_stats(df: DataFrame, rules: list[tuple[str, Column]],
                       .alias("stage"))
             .agg(F.count("*").alias("n_docs"))
             .orderBy("stage"))
+
+def temperature_mixture(df: DataFrame, stratify_col: str, total: int,
+                        alpha: float = 0.5,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based mixture sampling — the multilingual-corpus
+    rebalancing step (mT5/XLM-R style): sample strata (languages,
+    sources) with probability ∝ n_s^alpha so low-resource strata are
+    upweighted relative to their raw share (alpha=1 keeps natural
+    proportions, alpha→0 approaches uniform), then draw a deterministic
+    sample of ``total`` docs honoring those proportions EXACTLY.
+
+    Integer-exact allocation (the DSIR lesson applied to sampling):
+    the only float→int rounding is ``w_e6 = round(n^alpha · 1e6)``,
+    once per stratum in a bounded table (alpha=0.5 routes through
+    IEEE-exact sqrt, identical across engines); quotas then come from
+    pure bigint largest-remainder apportionment — ``base_s =
+    (total·w_s) div W`` plus one for the ``total − Σ base`` strata with
+    the largest remainders (stratum name breaks ties) — so quotas sum
+    to ``total`` exactly and every engine picks the same counts. A
+    stratum's quota is capped at its size; the shortfall (if any) is
+    reported, not silently reassigned. Per-stratum doc choice is
+    hash-ordered (md5 of the id — engine-portable), never "first N
+    seen".
+
+    Shape at 100 TB: one map-side-combined groupBy bounded by the
+    stratum count, driver-free broadcast apportionment (windows over
+    the ≤O(100)-row quota table), one row_number window partitioned by
+    stratum over the corpus (narrow key), broadcast quota join. Project
+    to (id, stratum) first and semi-join bodies back for wide rows.
+    """
+    from pyspark.sql import Window
+
+    sizes = df.groupBy(stratify_col).agg(
+        F.count("*").cast("bigint").alias("_n"))
+    w_raw = (F.sqrt(F.col("_n").cast("double")) if alpha == 0.5
+             else F.pow(F.col("_n").cast("double"), F.lit(float(alpha))))
+    weights = sizes.withColumn(
+        "_w_e6", F.round(w_raw * F.lit(1e6)).cast("bigint"))
+    tot = weights.agg(F.sum("_w_e6").alias("_W"))
+    al = (weights.crossJoin(F.broadcast(tot))
+          .withColumn("_base", F.expr(f"({total} * _w_e6) div _W"))
+          .withColumn("_rem", F.expr(f"({total} * _w_e6) % _W")))
+    wrk = Window.orderBy(F.col("_rem").desc(), stratify_col)
+    lo = al.agg((F.lit(total) - F.sum("_base")).alias("_lo"))
+    quota = (al.withColumn("_rk", F.row_number().over(wrk))
+             .crossJoin(F.broadcast(lo))
+             .withColumn("_quota",
+                         F.least(F.col("_n"),
+                                 F.col("_base")
+                                 + F.when(F.col("_rk") <= F.col("_lo"),
+                                          F.lit(1)).otherwise(F.lit(0))))
+             .select(stratify_col, "_quota"))
+    wdoc = Window.partitionBy(stratify_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col)
+    return (df.withColumn("_rn", F.row_number().over(wdoc))
+            .join(F.broadcast(quota), stratify_col)
+            .where(F.col("_rn") <= F.col("_quota"))
+            .drop("_rn", "_quota"))

@@ -6601,6 +6601,64 @@ order by t.doc_id
 """)
 
 
+def _pipeline_temperature_mixture(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (mT5/XLM-R-style corpus
+    rebalancing): strata sampled ∝ n^α (α=0.5 via IEEE-exact sqrt) so
+    low-resource languages are upweighted, quotas from pure-bigint
+    largest-remainder apportionment (sum EXACTLY to the 200-doc budget,
+    capped at stratum size), per-stratum picks by engine-portable md5
+    hash order. One bounded groupBy + broadcast quota join + one
+    row_number window on the stratum key — ``splits.temperature_
+    mixture``. Output pins the kept SET per language (count, id sum,
+    min/max)."""
+    from dataweb_spark.functions import splits as SP
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    sel = SP.temperature_mixture(docs, "lang", 200, alpha=0.5)
+    return (sel.groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_kept"),
+                 F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+                 F.min("doc_id").alias("min_kept_id"),
+                 F.max("doc_id").alias("max_kept_id"))
+            .orderBy("lang"))
+
+
+_df("pipeline_temperature_mixture", _pipeline_temperature_mixture,
+    oracle="""
+with sizes as (select lang, count(*) as n from documents group by lang),
+wt as (select lang, n,
+              cast(round(sqrt(n) * 1000000) as bigint) as w
+       from sizes),
+tot as (select sum(w) as wsum from wt),
+al as (select lang, n, w,
+              (200 * w) // wsum as base, (200 * w) % wsum as rem
+       from wt cross join tot),
+lo as (select 200 - sum(base) as lo from al),
+quota as (
+  select lang,
+         least(n, base + case when row_number() over
+                                   (order by rem desc, lang) <= lo.lo
+                              then 1 else 0 end) as q
+  from al cross join lo),
+ranked as (
+  select doc_id, lang,
+         row_number() over (partition by lang
+                            order by md5(cast(doc_id as varchar)),
+                                     doc_id) as rn
+  from documents)
+select r.lang,
+       count(*) as n_kept,
+       cast(sum(r.doc_id) as bigint) as kept_id_sum,
+       min(r.doc_id) as min_kept_id,
+       max(r.doc_id) as max_kept_id
+from ranked r join quota using (lang)
+where r.rn <= quota.q
+group by r.lang
+order by r.lang
+""")
+
+
 def _graph_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level link-graph PageRank (crawl-curation ranking): a
     100-node domain multigraph synthesized from the documents table

@@ -265,3 +265,61 @@ def test_select_token_budget_is_deterministic(docs):
     b = sorted(r.doc_id for r in
                S.select_token_budget(q.repartition(7), 5000).collect())
     assert a == b and len(a) > 0
+
+
+# -- temperature mixture sampling -------------------------------------------
+
+def test_temperature_mixture_quotas_exact_and_flattened(spark):
+    import math
+    rows = [Row(doc_id=i, lang=("big" if i < 900 else
+                                "mid" if i < 990 else "small"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    sel = S.temperature_mixture(df, "lang", 100, alpha=0.5)
+    by = {r.lang: r.n for r in
+          sel.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # quotas sum to the budget exactly (largest-remainder apportionment)
+    assert sum(by.values()) == 100
+    # integer-exact expected quotas, replayed in plain Python
+    w = {"big": round(math.sqrt(900) * 1e6),
+         "mid": round(math.sqrt(90) * 1e6),
+         "small": round(math.sqrt(10) * 1e6)}
+    W = sum(w.values())
+    base = {k: (100 * v) // W for k, v in w.items()}
+    rem = {k: (100 * v) % W for k, v in w.items()}
+    leftover = 100 - sum(base.values())
+    for k in sorted(rem, key=lambda k: (-rem[k], k))[:leftover]:
+        base[k] += 1
+    assert by == base
+    # alpha flattens: small stratum gets far more than its 1% raw share
+    assert by["small"] >= 5 and by["big"] <= 75
+
+
+def test_temperature_mixture_deterministic_and_capped(spark):
+    rows = [Row(doc_id=i, lang=("a" if i % 10 else "b"))
+            for i in range(200)]          # a: 180 docs, b: 20 docs
+    df = spark.createDataFrame(rows)
+    # budget big enough that b's quota exceeds its size → capped at 20,
+    # never silently reassigned (total may fall short of the budget)
+    sel = S.temperature_mixture(df, "lang", 190, alpha=0.5)
+    by = {r.lang: r.n for r in
+          sel.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by["b"] == 20 and by["a"] <= 180
+    # same kept SET under a different partitioning (hash order, not
+    # partition order)
+    k1 = sorted(r.doc_id for r in sel.select("doc_id").collect())
+    k2 = sorted(r.doc_id for r in
+                S.temperature_mixture(df.repartition(7), "lang", 190,
+                                      alpha=0.5)
+                .select("doc_id").collect())
+    assert k1 == k2
+
+
+def test_temperature_mixture_alpha_one_is_proportional(spark):
+    rows = [Row(doc_id=i, lang=("x" if i < 750 else "y"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    by = {r.lang: r.n for r in
+          S.temperature_mixture(df, "lang", 100, alpha=1.0)
+          .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by == {"x": 75, "y": 25}
