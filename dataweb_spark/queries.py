@@ -6727,113 +6727,91 @@ _df("graph_pagerank_domains", _graph_pagerank_domains,
 # its relative order after the window.
 
 _DRIVER_WINDOW = [
-    # --- r8 rotation. CORRECTNESS_r07 was 49/50 (corpus_source_report
-    # hash-red on a float-rounding boundary — now integer-exact); the
-    # whole r7 window rotates out. The r8 window =
-    # (a) corpus_source_report re-check (VERDICT r7 item 1 — the fix
-    # must land a green driver row):
-    "corpus_source_report",
-    # (b) new in r8 — the WARC filesystem ingest face (item 5), the
-    # video near-dup tier of the media index (item 6), and the
-    # end-to-end crawl->corpus pipeline composition (item 7):
-    "warc_directory_ingest",
+    # --- r9 rotation. CORRECTNESS_r08 was 50/50; the whole r8 window
+    # rotates out. The r9 window = (a) ALL 39 r5-age names (VERDICT r8
+    # item 1: the full remaining r5 evidence tail — after this window
+    # the oldest driver evidence anywhere is r6), moving-parts layers
+    # first:
+    "fed_six_relay_q1",
+    "fed_q3_shipping_priority",
+    "fed_documents_dedup",
+    "fed_explain_report",
+    "fed_select_star_limit",
+    "fed_unitprice_transform",
+    "knn_ivf_approx",
+    "knn_ivf_recall",
+    "knn_lsh_approx",
+    "dedup_minhash_lsh",
+    "dedup_semantic_recall",
+    "dedup_semantic_clusters",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_image_phash",
+    "dedup_audio_signature",
+    "dedup_video_signature",
+    "dedup_bloom_contamination",
+    "dedup_paragraphs",
+    "multimodal_png_features",
+    "multimodal_resize",
+    "multimodal_video_frames",
+    "multimodal_audio_features",
+    "multimodal_audio_spectrum",
+    "pipeline_assembly_manifest",
+    "pipeline_cluster_safe_split",
+    "pipeline_leakage_safe_split",
+    "pipeline_filter_cascade",
+    "pipeline_rag_retrieval",
+    "pipeline_sequence_packing",
+    "pipeline_shard_manifest",
+    "pipeline_token_budget",
+    "pipeline_upsample_epochs",
+    "scd2_event_history",
+    "text_bigram_lm",
+    "text_bpe_contract",
+    "text_compression_ratio",
+    "text_lm_logprob",
+    "nulls_ordering_ignore_nulls",
+    # (b) new in r9 — the PSL registered-domain tier and
+    # temperature-mixture sampling:
+    "crawl_psl_domains",
+    "pipeline_temperature_mixture",
+    # (c) r9-CHANGED queries re-checked in their new form: DSIR is now
+    # integer-exact (fixed-point log-ratio model table) and 6× faster
+    # (zip_with gram hashing); the media position near tiers gained
+    # temporal-offset voting (and planted trimmed/prepended copies);
+    # classify shares that code path; the URL gate stops mangling
+    # schemeless inputs and keeps functional ref= params (synth now
+    # covers both); WARC directory ingest hashes ambiguous file names
+    # instead of colliding; PageRank damps via the overflow-free
+    # identity:
+    "pipeline_dsir_selection",
     "media_index_video_near",
-    "pipeline_crawl_corpus",
-    # (c) the four post-sweep r7 queries with zero driver evidence
-    # (VERDICT r7 item 3); text_ccnet_buckets' ppl outputs are now
-    # integer-exact (item 2):
-    "warc_records_parse",
-    "text_html_extract",
-    "text_c4_filter",
-    "text_ccnet_buckets",
-    # (d) ALL 27 r4-age names — the full remaining r4 evidence tail
-    # (VERDICT r7 item 4: the 15 SQL-surface names, the 6 mid-r7
-    # displacements, dedup_exact_keep, plus the 5 r4 stragglers that
-    # ceded slots earlier: fed_lineitem_q1, knn_quantized_int8,
-    # multimodal_features, pipeline_training_data,
-    # streaming_stateful_user_totals). After this window the oldest
-    # driver evidence anywhere is r5:
-    "dedup_exact_keep",
-    "dedup_simhash_recall",
-    "distinct_on_rewrite",
-    "fed_lineitem_q1",
-    "fed_template_partials",
-    "group_by_all",
-    "grouping_function_rollup",
-    "in_unnest_rewrite",
-    "knn_quantized_int8",
-    "lateral_join_topn",
-    "multimodal_features",
-    "multimodal_frame_counts",
-    "multimodal_meta",
-    "pipeline_training_data",
-    "qualify_rewrite",
-    "range_join_price_bands",
-    "streaming_attribution_join",
-    "streaming_sliding_rollup",
-    "streaming_stateful_user_totals",
-    "text_chunking",
-    # (text_rolling_fingerprint was renamed text_rolling_fp_contract in
-    # r5 — that name sits in cohort (e) below; approx_sketches takes
-    # this slot, the sketch layer's only query)
-    "approx_sketches",
-    "text_stopword_quality",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "unpivot_part_sizes",
-    # (f) new mid-r8 — the URL/domain crawl gate (normalize + per-domain
-    # caps) and DSIR importance resampling; new queries outrank age
-    # refreshes (dedup_minhash_lsh, dedup_semantic_recall and
-    # knn_lsh_approx ceded their slots — each layer stays window-covered
-    # by the fresh r7 recall siblings — and join the r9 cohort):
+    "media_index_audio_near",
+    "media_index_classify",
     "crawl_url_normalize",
     "crawl_domain_caps",
-    "pipeline_dsir_selection",
-    # (pipeline_token_budget ceded its slot to the audio near tier —
-    # assembly stays window-covered by sample_hash_deterministic and
-    # corpus_mix_proportions, both r7-fresh; it joins the r9 cohort.
-    # knn_ivf_recall ceded its slot to the integer PageRank — ANN stays
-    # window-covered by knn_bruteforce_cosine and embedding_quantize_int8,
-    # both r7-fresh)
-    "media_index_audio_near",
+    "warc_directory_ingest",
     "graph_pagerank_domains",
-    # (e) 12 of the 50 r5-age names, moving-parts layers first (real
-    # wire protocols, two-process federation, ANN recall, assembly);
-    # the remaining r5 names head the r9 cohort:
-    "fed_engine_agg_pushdown",
-    "fed_flight_two_process",
-    "fed_flightsql_engine",
-    "fed_trino_engine",
-    "fed_template_agg_forward",
-    "fed_replica_failover",
-    "fed_zonemap_pruning",
-    "streaming_fed_ingest",
-    "pipeline_quality_model",
-    "text_rolling_fp_contract",
+    # (d) head of the r6 cohort (the r10 rotation target): the
+    # persisted-dedup-index layer's moving-parts query takes the spare
+    # slot:
+    "dedup_index_incremental",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
-# Rotated-out names stay in QUERIES (checkable any round; full local sweep
-# covers all of them each round). After this window runs, the oldest
-# evidence anywhere is r5 — the r9 cohort is the 35 remaining r5-age
-# names (approx_sketches took an r8 slot; the rest: dedup_audio_signature,
-# dedup_bloom_contamination, dedup_embedding_cosine, dedup_image_phash,
-# dedup_paragraphs, dedup_semantic_clusters, dedup_simhash,
-# dedup_video_signature, fed_documents_dedup, fed_explain_report,
-# fed_q3_shipping_priority, fed_select_star_limit, fed_six_relay_q1,
-# fed_unitprice_transform, knn_ivf_approx, multimodal_audio_features,
-# multimodal_audio_spectrum, multimodal_png_features, multimodal_resize,
-# multimodal_video_frames, nulls_ordering_ignore_nulls,
-# pipeline_assembly_manifest, pipeline_cluster_safe_split,
-# pipeline_filter_cascade, pipeline_leakage_safe_split,
-# pipeline_rag_retrieval, pipeline_sequence_packing,
-# pipeline_shard_manifest, pipeline_upsample_epochs, scd2_event_history,
-# text_bigram_lm, text_compression_ratio, text_lm_logprob, plus
-# whichever r5 names the r8 window displaced) — window those first in
-# r9, then start the r6 cohort in r10. New queries outrank age
-# refreshes for slots, as always.
-
+# Rotated-out names stay in QUERIES (checkable any round; the full local
+# sweep covers all of them each round). After this window runs, the
+# oldest evidence anywhere is r6 — the r10 cohort is the remaining 49
+# r6-age names (agg_having_filter, array_access_split,
+# case_cast_string_funcs, cte_exists_in_subquery, cube_counts,
+# date_parts_orders, the dedup_exact/incremental/index/quality family,
+# distinct_counts, events_*, first_last/ntile/window_* frames,
+# interval/timezone/date arithmetic, LIKE/IS DISTINCT predicates,
+# lateral_view_explode, listagg pair, predicates_smoke, rollup_counts,
+# scalar_subquery_per_row, stats_aggregates, string_funcs,
+# topk_orders, tpch_q2/q4/q5/q6/q7/q8/q10/q11/q13/q14/q17/q18/q19/q22,
+# try_cast_safe, values_inline_join) — window those in r10, then the
+# r7 cohort in r11. New queries outrank age refreshes for slots, as
+# always.
 
 def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
