@@ -657,25 +657,52 @@ def ccnet_buckets(df: DataFrame, id_col: str = "doc_id",
                   n_buckets: int = 3) -> DataFrame:
     """CCNet-style per-language perplexity bucketing (head/middle/tail).
 
-    Scores every document with the self-trained unigram LM
-    (:func:`unigram_lm_scores`), then splits each language into
-    ``n_buckets`` equal-size perplexity tiers — the CCNet shape where
-    downstream sampling keeps 'head' (lowest-perplexity, most fluent)
-    and drops or down-weights 'tail'. One extra shuffle on the language
-    key over the LM scoring pass; the ntile window orders by ``ppl_e2``
-    (the centi-perplexity as a bigint — an INTEGER, so the sort key is
-    bit-identical across engines; rounded doubles are not: Spark rounds
-    via shortest-decimal BigDecimal HALF_UP, DuckDB rounds the raw
-    binary double) with the id as tiebreak, so tier assignment is
-    deterministic and engine-reproducible.
+    Scores every document under the self-trained add-1 unigram LM and
+    splits each language into ``n_buckets`` equal-size tiers — the
+    CCNet shape where downstream sampling keeps 'head' (lowest
+    perplexity, most fluent) and drops or down-weights 'tail'.
+
+    Scoring is INTEGER-EXACT end to end (the DSIR pattern): the
+    per-token log-prob is rounded ONCE, inside the Zipf-bounded model
+    table (``lp_e12`` bigint); each document's score is then
+
+        nll_e9 = (−Σ lp_e12) div (n_tokens · 1000)
+
+    — an exact bigint sum + integer division, so the tier sort key
+    (``nll_e9``, id) is bit-identical across engines, reruns and
+    partitionings. Perplexity is exp(nll_e9/1e9); since exp is
+    monotone, ranking by nll IS ranking by perplexity — no float ever
+    reaches an output or a sort key. (Before r9 this keyed on
+    ``ppl_e2 = round(round(exp(·),6)·100)`` — two decimal roundings of
+    an order-sensitive float sum, one boundary doc away from an
+    engine-mismatch.)
+
+    Distributed shape: explode → map-side-combined model groupBy →
+    1-row totals broadcast → token-keyed score join → per-doc re-agg →
+    one window on the language key. Returns one row per non-empty doc:
+    (id, n_tokens, nll_e9, lang, ppl_bucket).
     """
     from pyspark.sql import Window
-    scored = (unigram_lm_scores(df, id_col, text_col)
-              .withColumn("ppl_e2",
-                          F.round(F.col("perplexity") * 100)
-                           .cast("bigint")))
+    base = (df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+              .where(F.size("_toks") > 0))
+    toks = base.select(id_col, F.explode("_toks").alias("tok"))
+    model = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    totals = model.agg(F.sum("cnt").alias("t_tokens"),
+                       F.count("*").alias("v_size"))
+    modelfx = (model.crossJoin(F.broadcast(totals))
+               .select("tok",
+                       F.round(F.log((F.col("cnt") + F.lit(1.0))
+                                     / (F.col("t_tokens")
+                                        + F.col("v_size")))
+                               * F.lit(1e12)).cast("bigint")
+                        .alias("lp_e12")))
+    scored = (toks.join(modelfx, "tok")
+              .groupBy(id_col)
+              .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                   F.expr("(-sum(lp_e12)) div (count(*) * 1000)")
+                    .cast("bigint").alias("nll_e9")))
     joined = scored.join(df.select(id_col, lang_col), id_col)
-    w = Window.partitionBy(lang_col).orderBy("ppl_e2", id_col)
+    w = Window.partitionBy(lang_col).orderBy("nll_e9", id_col)
     tier = F.ntile(n_buckets).over(w)
     label = (F.when(tier == 1, "head")
               .when(tier == n_buckets, "tail")

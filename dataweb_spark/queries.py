@@ -5852,23 +5852,26 @@ from c4 order by doc_id
 
 def _text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-language perplexity tiers: self-trained unigram LM
-    scores every doc, ntile(3) within each language (integer centi-
-    perplexity + doc_id tiebreak, so tier assignment is engine-
-    deterministic) splits head/middle/tail — the bucketing that CCNet's
-    quality-aware sampling keys on. All output stats are fixed-point
-    bigints over the per-doc ``ppl_e2`` integers (no rounded-double
-    output column — the r7 ``corpus_source_report`` lesson: Spark and
-    DuckDB round doubles differently at decimal boundaries). The oracle
-    replays train → score → ntile end-to-end."""
+    scores every doc, ntile(3) within each language splits
+    head/middle/tail — the bucketing that CCNet's quality-aware
+    sampling keys on. INTEGER-EXACT end to end (r9, the DSIR pattern
+    finishing the r7 ``corpus_source_report`` lesson): per-token
+    log-probs are rounded once in the Zipf-bounded model table
+    (``lp_e12`` bigint), per-doc ``nll_e9`` is an exact bigint sum +
+    integer div, and both the tier sort key (nll_e9, doc_id) and every
+    output stat are pure integers — no rounded float sum anywhere
+    (perplexity = exp(nll_e9/1e9); exp is monotone so nll ranking IS
+    perplexity ranking). The oracle replays train → score → ntile
+    end-to-end."""
     from dataweb_spark.functions import text as T
     register_views(spark, sf_dir)
     tiers = T.ccnet_buckets(spark.table("documents"))
     return (tiers.groupBy("lang", "ppl_bucket")
                  .agg(F.count("*").cast("bigint").alias("n_docs"),
-                      F.expr("cast(sum(ppl_e2) * 100 div count(*) "
-                             "as bigint)").alias("avg_ppl_e4"),
-                      F.min("ppl_e2").alias("min_ppl_e2"),
-                      F.max("ppl_e2").alias("max_ppl_e2"))
+                      F.expr("cast(sum(nll_e9) div count(*) "
+                             "as bigint)").alias("avg_nll_e9"),
+                      F.min("nll_e9").alias("min_nll_e9"),
+                      F.max("nll_e9").alias("max_nll_e9"))
                  .orderBy("lang", "ppl_bucket"))
 
 
@@ -5882,29 +5885,32 @@ with toks as (
 ),
 model as (select tok, count(*) as cnt from toks group by tok),
 totals as (select sum(cnt) as t_tokens, count(*) as v_size from model),
+modelfx as (
+  select tok,
+         cast(round(ln((m.cnt + 1.0) / (tt.t_tokens + 1.0 * tt.v_size))
+                    * 1000000000000.0) as bigint) as lp_e12
+  from model m cross join totals tt
+),
 scored as (
   select t.doc_id,
-         cast(round(round(exp(-sum(ln((m.cnt + 1.0)
-                                      / (tt.t_tokens + 1.0 * tt.v_size)))
-                              / count(*)), 6) * 100) as bigint) as ppl_e2
+         cast((-sum(m.lp_e12)) // (count(*) * 1000) as bigint) as nll_e9
   from toks t
-  join model m using (tok)
-  cross join totals tt
+  join modelfx m using (tok)
   group by t.doc_id
 ),
 tiers as (
-  select d.lang, s.ppl_e2,
+  select d.lang, s.nll_e9,
          ntile(3) over (partition by d.lang
-                        order by s.ppl_e2, s.doc_id) as tier
+                        order by s.nll_e9, s.doc_id) as tier
   from scored s join documents d using (doc_id)
 )
 select lang,
        case when tier = 1 then 'head'
             when tier = 3 then 'tail' else 'middle' end as ppl_bucket,
        count(*) as n_docs,
-       cast(sum(ppl_e2) * 100 // count(*) as bigint) as avg_ppl_e4,
-       min(ppl_e2) as min_ppl_e2,
-       max(ppl_e2) as max_ppl_e2
+       cast(sum(nll_e9) // count(*) as bigint) as avg_nll_e9,
+       min(nll_e9) as min_nll_e9,
+       max(nll_e9) as max_nll_e9
 from tiers
 group by 1, 2
 order by lang, ppl_bucket
@@ -6124,10 +6130,10 @@ def _pipeline_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers = T.ccnet_buckets(docs, text_col="clean_text")
     return (tiers.groupBy("lang", "ppl_bucket")
                  .agg(F.count("*").cast("bigint").alias("n_docs"),
-                      F.expr("cast(sum(ppl_e2) * 100 div count(*) "
-                             "as bigint)").alias("avg_ppl_e4"),
-                      F.min("ppl_e2").alias("min_ppl_e2"),
-                      F.max("ppl_e2").alias("max_ppl_e2"))
+                      F.expr("cast(sum(nll_e9) div count(*) "
+                             "as bigint)").alias("avg_nll_e9"),
+                      F.min("nll_e9").alias("min_nll_e9"),
+                      F.max("nll_e9").alias("max_nll_e9"))
                  .orderBy("lang", "ppl_bucket"))
 
 
@@ -6158,29 +6164,32 @@ toks as (
 ),
 model as (select tok, count(*) as cnt from toks group by tok),
 totals as (select sum(cnt) as t_tokens, count(*) as v_size from model),
+modelfx as (
+  select tok,
+         cast(round(ln((m.cnt + 1.0) / (tt.t_tokens + 1.0 * tt.v_size))
+                    * 1000000000000.0) as bigint) as lp_e12
+  from model m cross join totals tt
+),
 scored as (
   select t.doc_id,
-         cast(round(round(exp(-sum(ln((m.cnt + 1.0)
-                                      / (tt.t_tokens + 1.0 * tt.v_size)))
-                              / count(*)), 6) * 100) as bigint) as ppl_e2
+         cast((-sum(m.lp_e12)) // (count(*) * 1000) as bigint) as nll_e9
   from toks t
-  join model m using (tok)
-  cross join totals tt
+  join modelfx m using (tok)
   group by t.doc_id
 ),
 tiers as (
-  select d.lang, s.ppl_e2,
+  select d.lang, s.nll_e9,
          ntile(3) over (partition by d.lang
-                        order by s.ppl_e2, s.doc_id) as tier
+                        order by s.nll_e9, s.doc_id) as tier
   from scored s join deduped d using (doc_id)
 )
 select lang,
        case when tier = 1 then 'head'
             when tier = 3 then 'tail' else 'middle' end as ppl_bucket,
        count(*) as n_docs,
-       cast(sum(ppl_e2) * 100 // count(*) as bigint) as avg_ppl_e4,
-       min(ppl_e2) as min_ppl_e2,
-       max(ppl_e2) as max_ppl_e2
+       cast(sum(nll_e9) // count(*) as bigint) as avg_nll_e9,
+       min(nll_e9) as min_nll_e9,
+       max(nll_e9) as max_nll_e9
 from tiers
 group by 1, 2
 order by lang, ppl_bucket
@@ -6787,15 +6796,18 @@ _DRIVER_WINDOW = [
     "pipeline_dsir_selection",
     "media_index_video_near",
     "media_index_audio_near",
-    "media_index_classify",
     "crawl_url_normalize",
     "crawl_domain_caps",
     "warc_directory_ingest",
     "graph_pagerank_domains",
-    # (d) head of the r6 cohort (the r10 rotation target): the
-    # persisted-dedup-index layer's moving-parts query takes the spare
-    # slot:
-    "dedup_index_incremental",
+    # (d) the two queries whose OUTPUT SCHEMA changed in r9 (ccnet
+    # scoring is now integer-exact nll_e9 — stale r8 evidence describes
+    # the old ppl_e2 form, so these MUST re-check; media_index_classify
+    # also changed code but not outputs, and its classify entry point
+    # is exercised by the two windowed near-tier queries, so it cedes
+    # its slot along with the r6 spare):
+    "text_ccnet_buckets",
+    "pipeline_crawl_corpus",
 ]
 # window budget: 50 checked by the driver; keep the list at exactly 50.
 # Rotated-out names stay in QUERIES (checkable any round; the full local

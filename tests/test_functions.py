@@ -1125,8 +1125,8 @@ def test_ccnet_buckets_order_and_balance(spark, sf_dir):
     tiers = T.ccnet_buckets(docs)
     agg = (tiers.groupBy("lang", "ppl_bucket")
                 .agg(F.count("*").alias("n"),
-                     F.min("ppl_e2").alias("lo"),
-                     F.max("ppl_e2").alias("hi"))
+                     F.min("nll_e9").alias("lo"),
+                     F.max("nll_e9").alias("hi"))
            .collect())
     by_lang = {}
     for r in agg:
