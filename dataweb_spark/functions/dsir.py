@@ -95,15 +95,25 @@ def log_ratio_model(raw: DataFrame, target: DataFrame,
     rmod = bucket_model(raw, id_col, text_col, hex_chars)
     t_tot = tmod.agg(F.sum("cnt").alias("t_tot"))
     r_tot = rmod.agg(F.sum("cnt").alias("r_tot"))
-    return (rmod.withColumnRenamed("cnt", "r_cnt")
-            .join(tmod.withColumnRenamed("cnt", "t_cnt"), "bucket", "full")
+    # align the two bounded count tables by union + re-agg, not a
+    # full-outer join (full outer can't broadcast, so Spark would
+    # sort-merge two 4096-row tables — harmless but a pointless SMJ in
+    # the plan); absent buckets contribute 0 exactly like coalesce
+    both = (rmod.select("bucket", F.col("cnt").alias("r"),
+                        F.lit(0).cast("bigint").alias("t"))
+            .unionByName(tmod.select("bucket",
+                                     F.lit(0).cast("bigint").alias("r"),
+                                     F.col("cnt").alias("t")))
+            .groupBy("bucket").agg(F.sum("r").alias("r_cnt"),
+                                   F.sum("t").alias("t_cnt")))
+    return (both
             .crossJoin(F.broadcast(t_tot))
             .crossJoin(F.broadcast(r_tot))
             .select(
                 "bucket",
-                F.round((F.log((F.coalesce("t_cnt", F.lit(0)) + F.lit(1.0))
+                F.round((F.log((F.col("t_cnt") + F.lit(1.0))
                                / (F.col("t_tot") + F.lit(float(n_buckets))))
-                         - F.log((F.coalesce("r_cnt", F.lit(0)) + F.lit(1.0))
+                         - F.log((F.col("r_cnt") + F.lit(1.0))
                                  / (F.col("r_tot")
                                     + F.lit(float(n_buckets)))))
                         * F.lit(1e12)).cast("bigint").alias("lw_e12")))

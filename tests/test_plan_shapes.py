@@ -216,14 +216,16 @@ def test_domain_caps_single_shuffle_on_domain_key(spark, sf_dir):
 
 
 def test_dsir_models_broadcast_never_shuffle_grams_twice(spark, sf_dir):
-    """DSIR scoring: both bucket models and both totals join as
-    BROADCASTS; the only wide exchanges are the bounded model groupBys
-    and the per-doc re-aggregate — gram rows never sort-merge-join."""
+    """DSIR scoring: the fixed-point log-ratio model table and both
+    totals join as BROADCASTS (the two count tables align by union +
+    re-agg, not a join); the only wide exchanges are the bounded model
+    groupBys and the per-doc re-aggregate — gram rows never
+    sort-merge-join."""
     from dataweb_spark.functions import dsir as DS
     from pyspark.sql import functions as F
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(DS.dsir_weights(docs, docs.where(F.col("lang") == "en")))
-    assert plan.count("BroadcastExchange") >= 4
+    assert plan.count("BroadcastExchange") >= 3
     assert "SortMergeJoin" not in plan
 
 
@@ -239,3 +241,32 @@ def test_warc_parse_is_map_only(spark, sf_dir):
     plan = _plan(recs)
     tail = plan.split("MapInPandas")[0]
     assert "Exchange" not in tail
+
+
+def test_psl_domain_rule_table_broadcasts_one_reagg(spark, sf_dir):
+    """registered_domain_psl: the rule table joins as a BROADCAST over
+    the exploded suffix candidates; the winner pick is the single
+    hash-key re-aggregate — no sort-merge join, no Python."""
+    import pandas as pd
+    from dataweb_spark.functions import urls as U
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.selectExpr(
+        "doc_id", "'http://u' || doc_id || '.github.io/p' as url")
+    psl = spark.createDataFrame(
+        pd.DataFrame({"rule": ["com", "io", "github.io", "*.ck"]}))
+    plan = _plan(U.registered_domain_psl(urls, psl))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_mixture_quota_broadcast(spark, sf_dir):
+    """temperature_mixture: the quota table (bounded by the stratum
+    count) joins as a BROADCAST; the corpus pays one stratum-key window
+    — selection never sort-merge-joins the corpus."""
+    from dataweb_spark.functions import splits as S
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(S.temperature_mixture(docs, "lang", 100))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
