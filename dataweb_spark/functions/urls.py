@@ -249,6 +249,88 @@ def domain_caps(df: DataFrame, url_col: str = "url",
             .withColumnRenamed("_dom", "domain"))
 
 
+def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
+                         checkpoint: str,
+                         blocked: DataFrame | None = None,
+                         max_per_domain: int = 100,
+                         url_col: str = "url", id_col: str = "doc_id"):
+    """Streaming crawl-frontier admission gate — the URL layer's
+    streaming face, same one-implementation rule as the text and media
+    gates (``dedup_index.streaming_ingest_gate``,
+    ``media_index.streaming_media_gate``): ``readStream →
+    foreachBatch(gate → admit)`` over exactly the batch URL operators.
+
+    Per micro-batch: normalize URLs, drop blocklisted registered
+    domains (broadcast anti-join), collapse within-batch canonical-URL
+    duplicates (min id), drop URLs whose canonical form is already
+    admitted (cross-batch URL dedup), then enforce the per-domain cap
+    ACROSS batches: each domain's remaining capacity is
+    ``max_per_domain − already_admitted(domain)``, and the batch's
+    candidates fill it in deterministic md5 order (the same
+    hash-not-arrival order as :func:`domain_caps`, so a re-played or
+    re-partitioned batch admits the same set). State is ONE on-disk
+    parquet table ``{state_path}/admitted`` (id, url_norm, domain); the
+    stream restarts from the checkpoint with nothing to rebuild.
+
+    Replay idempotency: ``foreachBatch`` is at-least-once — admitted
+    rows are staged durably under the checkpoint before the append
+    (appending refreshes the state table, which would invalidate the
+    very plan that computed the admits — the dedup-gate lesson), and a
+    replay's rows anti-join away on their already-admitted canonical
+    URLs. Precondition: the canonical URL is the stable dedup key.
+
+    Returns the started StreamingQuery (caller awaits / stops)."""
+    import os
+
+    from pyspark.sql import Window
+
+    def _gate(batch: DataFrame, _epoch: int) -> None:
+        spark_b = batch.sparkSession
+        cand = (batch.withColumn("_norm", normalize_url(url_col))
+                     .withColumn("_dom", registered_domain(url_col)))
+        if blocked is not None:
+            cand = cand.join(
+                F.broadcast(blocked.select(
+                    F.col(blocked.columns[0]).alias("_dom"))),
+                "_dom", "left_anti")
+        wb = Window.partitionBy("_norm").orderBy(id_col)
+        cand = (cand.withColumn("_rn", F.row_number().over(wb))
+                    .where(F.col("_rn") == 1).drop("_rn"))
+        admitted = spark_b.read.parquet(f"{state_path}/admitted")
+        fresh = cand.join(
+            admitted.select(F.col("url_norm").alias("_norm")),
+            "_norm", "left_anti")
+        used = admitted.groupBy(F.col("domain").alias("_dom")) \
+                       .agg(F.count("*").alias("_used"))
+        wd = Window.partitionBy("_dom").orderBy(F.md5("_norm"), id_col)
+        keep = (fresh.withColumn("_rn", F.row_number().over(wd))
+                .join(used, "_dom", "left")
+                .where(F.col("_rn")
+                       <= max_per_domain - F.coalesce("_used", F.lit(0)))
+                .select(F.col(id_col).alias("id"),
+                        F.col("_norm").alias("url_norm"),
+                        F.col("_dom").alias("domain")))
+        staging = os.path.join(checkpoint, "_gate_staging")
+        keep.write.mode("overwrite").parquet(staging)
+        (spark_b.read.parquet(staging)
+         .write.mode("append").parquet(f"{state_path}/admitted"))
+
+    # initialize empty state so the first batch's reads succeed
+    spark = stream_df.sparkSession
+    try:
+        spark.read.parquet(f"{state_path}/admitted")
+    except Exception:
+        (spark.createDataFrame(
+            [], "id bigint, url_norm string, domain string")
+         .write.mode("overwrite").parquet(f"{state_path}/admitted"))
+
+    return (stream_df.writeStream
+            .foreachBatch(_gate)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def blocklist_filter(df: DataFrame, blocked: DataFrame,
                      url_col: str = "url") -> DataFrame:
     """Drop pages whose REGISTERED domain is blocklisted (UT1-style

@@ -6446,6 +6446,85 @@ order by doc_id
 """)
 
 
+def _streaming_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl-frontier admission (the URL layer's streaming
+    face): two micro-batches of crawl URLs drain through
+    ``urls.streaming_crawl_gate`` — canonical-URL dedup and per-domain
+    caps enforced ACROSS batches from one persisted state table,
+    admission in deterministic md5 order (hash, not arrival). URLs are
+    synthesized so ~half of batch 2 duplicates batch 1 cross-batch
+    (doc_id mod 251 collapses opposite-parity pairs). The oracle
+    replays both admission rounds as chained SQL stages."""
+    import tempfile
+
+    from dataweb_spark.functions import urls as U
+    register_views(spark, sf_dir)
+    synth = spark.sql("""
+        select doc_id,
+               'http://s' || ((doc_id % 251) % 23) || '.com/p/'
+                 || (doc_id % 251) as url
+        from documents""")
+    root = tempfile.mkdtemp(prefix="dw_crawl_gate_")
+    drop, state, cp = f"{root}/drop", f"{root}/state", f"{root}/cp"
+    for parity in (0, 1):
+        (synth.where(F.col("doc_id") % 2 == parity)
+         .write.mode("append").parquet(drop))
+        schema = spark.read.parquet(drop).schema
+        stream = (spark.readStream.schema(schema)
+                  .format("parquet").load(drop))
+        q = U.streaming_crawl_gate(stream, state, cp, max_per_domain=8)
+        q.awaitTermination(300)
+    adm = spark.read.parquet(f"{state}/admitted")
+    return (adm.groupBy("domain")
+            .agg(F.count("*").cast("bigint").alias("n_admitted"),
+                 F.sum("id").cast("bigint").alias("kept_id_sum"),
+                 F.min("id").alias("min_kept_id"),
+                 F.max("id").alias("max_kept_id"))
+            .orderBy("domain"))
+
+
+_df("streaming_crawl_gate", _streaming_crawl_gate, oracle="""
+with synth as (
+  select doc_id,
+         'http://s' || ((doc_id % 251) % 23) || '.com/p/'
+           || (doc_id % 251) as url,
+         's' || ((doc_id % 251) % 23) || '.com' as domain
+  from documents),
+b1 as (
+  select min(doc_id) as id, url, domain from synth
+  where doc_id % 2 = 0 group by url, domain),
+a1 as (
+  select id, url, domain from (
+    select id, url, domain,
+           row_number() over (partition by domain
+                              order by md5(url), id) as rn
+    from b1) t where rn <= 8),
+used as (select domain, count(*) as u from a1 group by domain),
+b2 as (
+  select min(doc_id) as id, url, domain from synth
+  where doc_id % 2 = 1
+    and url not in (select url from a1)
+  group by url, domain),
+a2 as (
+  select b.id, b.url, b.domain from (
+    select id, url, domain,
+           row_number() over (partition by domain
+                              order by md5(url), id) as rn
+    from b2) b
+  left join used on used.domain = b.domain
+  where b.rn <= 8 - coalesce(used.u, 0)),
+adm as (select * from a1 union all select * from a2)
+select domain,
+       count(*) as n_admitted,
+       cast(sum(id) as bigint) as kept_id_sum,
+       min(id) as min_kept_id,
+       max(id) as max_kept_id
+from adm
+group by domain
+order by domain
+""")
+
+
 def _media_index_audio_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUDIO near tier of the persisted media index — the audio sibling
     of ``media_index_video_near``, closing the last exact-only media
@@ -6780,10 +6859,12 @@ _DRIVER_WINDOW = [
     "text_compression_ratio",
     "text_lm_logprob",
     "nulls_ordering_ignore_nulls",
-    # (b) new in r9 — the PSL registered-domain tier and
-    # temperature-mixture sampling:
+    # (b) new in r9 — the PSL registered-domain tier, temperature-
+    # mixture sampling, and the streaming crawl-frontier gate
+    # (cross-batch URL dedup + domain caps from persisted state):
     "crawl_psl_domains",
     "pipeline_temperature_mixture",
+    "streaming_crawl_gate",
     # (c) r9-CHANGED queries re-checked in their new form: DSIR is now
     # integer-exact (fixed-point log-ratio model table) and 6× faster
     # (zip_with gram hashing); the media position near tiers gained
@@ -6793,12 +6874,15 @@ _DRIVER_WINDOW = [
     # covers both); WARC directory ingest hashes ambiguous file names
     # instead of colliding; PageRank damps via the overflow-free
     # identity:
+    # (warc_directory_ingest also changed — ambiguous-name hashing —
+    # but its query OUTPUTS are identical (the fixture uses convention
+    # names) and the collision contract is pytest-proven, so it cedes
+    # its slot to the new streaming gate)
     "pipeline_dsir_selection",
     "media_index_video_near",
     "media_index_audio_near",
     "crawl_url_normalize",
     "crawl_domain_caps",
-    "warc_directory_ingest",
     "graph_pagerank_domains",
     # (d) the two queries whose OUTPUT SCHEMA changed in r9 (ccnet
     # scoring is now integer-exact nll_e9 — stale r8 evidence describes

@@ -256,3 +256,60 @@ def test_url_parsers_never_crash(spark, junk):
     import re
     if not re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", junk):
         assert rows[0].n == junk
+
+
+# ---------------------------------------------------------------------------
+# streaming crawl gate
+# ---------------------------------------------------------------------------
+
+def test_streaming_crawl_gate_caps_across_batches(spark, tmp_path):
+    """Cross-batch frontier admission: per-domain caps count admitted
+    URLs from EARLIER batches, canonical-URL dedup spans batches,
+    blocklisted domains never admit, and a replayed batch admits
+    nothing twice."""
+    import pandas as pd
+    state = str(tmp_path / "state")
+    drop = str(tmp_path / "drop")
+    cp = str(tmp_path / "cp")
+
+    def _batch(rows):
+        pdf = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                            "url": [r[1] for r in rows]})
+        spark.createDataFrame(pdf).write.mode("append").parquet(drop)
+
+    def _drain():
+        schema = spark.read.parquet(drop).schema
+        stream = (spark.readStream.schema(schema)
+                  .format("parquet").load(drop))
+        blocked = spark.createDataFrame(pd.DataFrame({"d": ["bad.com"]}))
+        q = U.streaming_crawl_gate(stream, state, cp, blocked=blocked,
+                                   max_per_domain=5)
+        assert q.awaitTermination(300)
+
+    _batch([(i, f"http://aaa.com/p{i}") for i in range(7)]
+           + [(100 + i, f"http://bbb.org/q{i}") for i in range(2)]
+           + [(200, "http://bad.com/x")])
+    _drain()
+    adm = spark.read.parquet(f"{state}/admitted")
+    by = {r.domain: r.n for r in
+          adm.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert by == {"aaa.com": 5, "bbb.org": 2}
+
+    # batch 2: aaa.com is at cap (0 admits), bbb.org has 3 slots left,
+    # a duplicate of an ADMITTED url dedups away cross-batch
+    dup_url = adm.where("domain = 'aaa.com'").limit(1).collect()[0].url_norm
+    _batch([(300 + i, f"http://aaa.com/r{i}") for i in range(3)]
+           + [(400 + i, f"http://bbb.org/s{i}") for i in range(4)]
+           + [(500, dup_url)])
+    _drain()
+    adm2 = spark.read.parquet(f"{state}/admitted")
+    by2 = {r.domain: r.n for r in
+           adm2.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert by2 == {"aaa.com": 5, "bbb.org": 5}
+    assert adm2.count() == adm2.select("url_norm").distinct().count()
+
+    # replay: the same rows arrive again as new files — every canonical
+    # URL is either admitted (dedups away) or its domain is capped
+    _batch([(600 + i, f"http://aaa.com/p{i}") for i in range(7)])
+    _drain()
+    assert spark.read.parquet(f"{state}/admitted").count() == 10
