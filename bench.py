@@ -119,6 +119,11 @@ EXTRAS = [
     "pipeline_dsir_selection",
     "media_index_audio_near",
     "graph_pagerank_domains",
+    # r9 additions
+    "crawl_psl_domains",
+    "pipeline_temperature_mixture",
+    "streaming_crawl_gate",
+    "crawl_robots_gate",
 ]
 
 

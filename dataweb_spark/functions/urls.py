@@ -249,6 +249,109 @@ def domain_caps(df: DataFrame, url_col: str = "url",
             .withColumnRenamed("_dom", "domain"))
 
 
+def parse_robots(df: DataFrame, domain_col: str = "domain",
+                 body_col: str = "robots_txt",
+                 agent: str = "testbot") -> DataFrame:
+    """Parse robots.txt bodies (RFC 9309) into per-domain rule rows
+    ``(domain, rule, path)`` with ``rule ∈ {allow, disallow}`` for the
+    given user agent — entirely in DataFrame ops, no Python in the
+    path:
+
+    * lines explode with their position; ``User-agent`` lines open a
+      group unless the previous line was also a UA line (RFC: stacked
+      UA lines share one group) — the group id is a running count of
+      group-opening lines, one window per domain on the line index;
+    * a group applies when it names ``agent`` (case-insensitive exact
+      product token) or ``*``; per RFC, if any group names the agent
+      exactly, the ``*`` groups are ignored — the most specific match
+      wins (decided per domain with one bounded aggregate);
+    * ``Allow:``/``Disallow:`` lines in applying groups become rule
+      rows; empty-path ``Disallow:`` (allow-all idiom) is dropped;
+      comments (#…) and unknown directives are ignored.
+
+    Robots bodies are small (RFC caps parsing at 500 KiB) and one per
+    domain — the output is a bounded rule table, broadcastable into
+    :func:`robots_filter`."""
+    from pyspark.sql import Window
+
+    lines = (df.select(F.col(domain_col).alias("domain"),
+                       F.posexplode(F.split(body_col, r"\r?\n"))
+                        .alias("idx", "line"))
+             .withColumn("line", F.trim(F.regexp_replace("line",
+                                                         r"#.*$", "")))
+             .withColumn("key", F.lower(F.regexp_extract(
+                 "line", r"^([A-Za-z-]+)\s*:", 1)))
+             .withColumn("val", F.trim(F.regexp_extract(
+                 "line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1))))
+    w = Window.partitionBy("domain").orderBy("idx")
+    is_ua = F.col("key") == "user-agent"
+    prev_ua = F.lag(is_ua, 1, False).over(w)
+    grouped = (lines.withColumn(
+        "grp", F.sum(F.when(is_ua & ~prev_ua, 1).otherwise(0)).over(w)))
+    # which groups apply: exact-agent groups if any exist, else * groups
+    ua = (grouped.where(is_ua)
+          .select("domain", "grp", F.lower(F.col("val")).alias("ua")))
+    flags = (ua.groupBy("domain", "grp")
+             .agg(F.max((F.col("ua") == agent.lower()).cast("int"))
+                  .alias("has_exact"),
+                  F.max((F.col("ua") == "*").cast("int")).alias("has_star")))
+    dom_exact = (flags.groupBy("domain")
+                 .agg(F.max("has_exact").alias("dom_exact")))
+    applying = (flags.join(dom_exact, "domain")
+                .where((F.col("has_exact") == 1)
+                       | ((F.col("dom_exact") == 0)
+                          & (F.col("has_star") == 1)))
+                .select("domain", "grp"))
+    return (grouped.where(F.col("key").isin("allow", "disallow")
+                          & (F.col("val") != ""))
+            .join(applying, ["domain", "grp"])
+            .select("domain", F.col("key").alias("rule"),
+                    F.col("val").alias("path")))
+
+
+def robots_filter(df: DataFrame, rules: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """Drop URLs a robots rule table forbids (RFC 9309 matching): among
+    the rules of the URL's registered domain whose path pattern matches
+    the URL path, the LONGEST pattern wins, ``allow`` beating
+    ``disallow`` on equal length; a URL with no matching rule (or no
+    rules at all for its domain) is allowed. Patterns support the two
+    RFC metacharacters: ``*`` (any span) and a trailing ``$`` (end
+    anchor); everything else — including a non-final ``$`` — matches
+    literally. Pattern translation stays in the Java∩RE2 regex subset.
+
+    Shape: the bounded rule table broadcasts; each URL meets only its
+    own domain's rules (equi-join on the domain key), the pattern test
+    is one JVM ``rlike`` over the handful of candidate rules, and one
+    re-aggregate on the row keys picks the winner — project page
+    bodies away first at 100 TB."""
+    anchored = F.col("path").endswith("$")
+    body = F.when(anchored,
+                  F.expr("substring(path, 1, length(path) - 1)")) \
+            .otherwise(F.col("path"))
+    esc = F.regexp_replace(body, r"([.^+?(){}\[\]\\|$])", r"\\$1")
+    pat = F.concat(F.lit("^"), F.regexp_replace(esc, r"\*", ".*"),
+                   F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+    rul = rules.select(F.col("domain").alias("_dom"),
+                       (F.col("rule") == "allow").alias("_allow"),
+                       F.length("path").alias("_plen"), pat.alias("_pat"))
+    base = df.withColumn("_dom", registered_domain(url_col)) \
+             .withColumn("_path",
+                         F.when(url_path(url_col) == "", "/")
+                          .otherwise(url_path(url_col)))
+    hits = (base.join(F.broadcast(rul), "_dom", "left")
+            .withColumn(
+                "_verdict",
+                F.when(F.col("_pat").isNotNull()
+                       & F.expr("_path rlike _pat"),
+                       F.struct(F.col("_plen"), F.col("_allow")))))
+    group_cols = [c for c in df.columns]
+    won = (hits.groupBy(*group_cols)
+           .agg(F.max("_verdict").alias("_w")))
+    return won.where(F.col("_w").isNull() | F.col("_w._allow")) \
+              .drop("_w")
+
+
 def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
                          checkpoint: str,
                          blocked: DataFrame | None = None,

@@ -6446,6 +6446,72 @@ order by doc_id
 """)
 
 
+def _crawl_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt admission (RFC 9309) — the crawl gate's politeness
+    tier: per-domain robots bodies are PARSED in pure DataFrame ops
+    (line posexplode → stacked-UA group assignment by running count →
+    exact-agent-over-* precedence), then URLs pass longest-match
+    filtering (allow beats disallow on ties; ``*`` spans; trailing
+    ``$`` anchors) via one broadcast rule join + one re-aggregate
+    (``urls.parse_robots`` / ``urls.robots_filter``). Bodies and URLs
+    are synthesized in closed form, so the oracle states the admission
+    rule directly — the Spark side must reproduce it through the full
+    parse+match pipeline."""
+    from dataweb_spark.functions import urls as U
+    register_views(spark, sf_dir)
+    robots = spark.sql("""
+        select distinct 's' || (doc_id % 10) || '.com' as domain,
+               'User-agent: testbot\nDisallow: /p' || (doc_id % 10)
+               || '/\nAllow: /p' || (doc_id % 10) || '/keep*\n'
+               || case when doc_id % 10 % 2 = 0
+                       then 'Disallow: /q$\n' else '' end
+               || 'User-agent: *\nDisallow: /\n' as robots_txt
+        from documents""")
+    urls = spark.sql("""
+        select doc_id,
+               'http://s' || (doc_id % 10) || '.com' ||
+               case cast(doc_id div 10 % 5 as int)
+                 when 0 then '/p' || (doc_id % 10) || '/x' || doc_id
+                 when 1 then '/p' || (doc_id % 10) || '/keep' || doc_id
+                 when 2 then '/ok/' || doc_id
+                 when 3 then '/q'
+                 else '/q' || doc_id
+               end as url
+        from documents""")
+    rules = U.parse_robots(robots, agent="testbot")
+    kept = U.robots_filter(urls, rules)
+    return (kept.withColumn("domain", F.expr("'s'||(doc_id%10)||'.com'"))
+            .groupBy("domain")
+            .agg(F.count("*").cast("bigint").alias("n_allowed"),
+                 F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+                 F.min("doc_id").alias("min_kept_id"),
+                 F.max("doc_id").alias("max_kept_id"))
+            .orderBy("domain"))
+
+
+_df("crawl_robots_gate", _crawl_robots_gate, oracle="""
+with verdicts as (
+  select doc_id, 's' || (doc_id % 10) || '.com' as domain,
+         case cast(doc_id // 10 % 5 as int)
+           when 0 then false                       -- Disallow: /p<d>/
+           when 1 then true                        -- longer Allow wins
+           when 2 then true                        -- no matching rule
+           when 3 then (doc_id % 10) % 2 = 1       -- /q$ on even domains
+           else true                               -- /q<id>: $ anchors
+         end as allowed
+  from documents)
+select domain,
+       count(*) as n_allowed,
+       cast(sum(doc_id) as bigint) as kept_id_sum,
+       min(doc_id) as min_kept_id,
+       max(doc_id) as max_kept_id
+from verdicts
+where allowed
+group by domain
+order by domain
+""")
+
+
 def _streaming_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming crawl-frontier admission (the URL layer's streaming
     face): two micro-batches of crawl URLs drain through
@@ -6860,11 +6926,13 @@ _DRIVER_WINDOW = [
     "text_lm_logprob",
     "nulls_ordering_ignore_nulls",
     # (b) new in r9 — the PSL registered-domain tier, temperature-
-    # mixture sampling, and the streaming crawl-frontier gate
-    # (cross-batch URL dedup + domain caps from persisted state):
+    # mixture sampling, the streaming crawl-frontier gate (cross-batch
+    # URL dedup + domain caps from persisted state), and the robots.txt
+    # politeness tier (RFC 9309 parse + longest-match admission):
     "crawl_psl_domains",
     "pipeline_temperature_mixture",
     "streaming_crawl_gate",
+    "crawl_robots_gate",
     # (c) r9-CHANGED queries re-checked in their new form: DSIR is now
     # integer-exact (fixed-point log-ratio model table) and 6× faster
     # (zip_with gram hashing); the media position near tiers gained
@@ -6874,16 +6942,17 @@ _DRIVER_WINDOW = [
     # covers both); WARC directory ingest hashes ambiguous file names
     # instead of colliding; PageRank damps via the overflow-free
     # identity:
-    # (warc_directory_ingest also changed — ambiguous-name hashing —
-    # but its query OUTPUTS are identical (the fixture uses convention
-    # names) and the collision contract is pytest-proven, so it cedes
-    # its slot to the new streaming gate)
+    # (warc_directory_ingest and graph_pagerank_domains also changed —
+    # ambiguous-name hashing / the overflow-free damp identity — but
+    # both changes are OUTPUT-IDENTICAL at any scale (convention-named
+    # fixtures; exact integer identity) and pytest-proven (collision
+    # test; 2^62-mass overflow test), so they cede their slots to the
+    # two new gates)
     "pipeline_dsir_selection",
     "media_index_video_near",
     "media_index_audio_near",
     "crawl_url_normalize",
     "crawl_domain_caps",
-    "graph_pagerank_domains",
     # (d) the two queries whose OUTPUT SCHEMA changed in r9 (ccnet
     # scoring is now integer-exact nll_e9 — stale r8 evidence describes
     # the old ppl_e2 form, so these MUST re-check; media_index_classify

@@ -270,3 +270,19 @@ def test_temperature_mixture_quota_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_robots_filter_broadcast_rules_one_reagg(spark, sf_dir):
+    """robots_filter: the bounded rule table joins as a BROADCAST; the
+    winner pick is one re-aggregate — URLs never sort-merge-join."""
+    import pandas as pd
+    from dataweb_spark.functions import urls as U
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.selectExpr(
+        "doc_id", "'http://a.com/p/' || doc_id as url")
+    rules = spark.createDataFrame(pd.DataFrame({
+        "domain": ["a.com"], "rule": ["disallow"], "path": ["/p/*"]}))
+    plan = _plan(U.robots_filter(urls, rules))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

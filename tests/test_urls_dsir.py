@@ -313,3 +313,78 @@ def test_streaming_crawl_gate_caps_across_batches(spark, tmp_path):
     _batch([(600 + i, f"http://aaa.com/p{i}") for i in range(7)])
     _drain()
     assert spark.read.parquet(f"{state}/admitted").count() == 10
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309)
+# ---------------------------------------------------------------------------
+
+_ROBOTS_A = """# comment line
+User-agent: testbot
+Disallow: /private/
+Allow: /private/ok*
+Disallow: /tmp$
+
+User-agent: *
+Disallow: /
+"""
+
+_ROBOTS_B = """User-agent: otherbot
+User-agent: *
+Disallow: /blocked*
+Allow:
+"""
+
+
+def _robots_df(spark):
+    return spark.createDataFrame(pd.DataFrame({
+        "domain": ["a.com", "b.org"],
+        "robots_txt": [_ROBOTS_A, _ROBOTS_B]}))
+
+
+def test_parse_robots_groups_and_agent_precedence(spark):
+    """Exact-agent groups beat * groups (a.com ignores its catch-all);
+    stacked UA lines share one group (b.org's rules apply via *);
+    comments and empty Allow are dropped."""
+    rules = {(r.domain, r.rule, r.path) for r in
+             U.parse_robots(_robots_df(spark)).collect()}
+    assert rules == {
+        ("a.com", "disallow", "/private/"),
+        ("a.com", "allow", "/private/ok*"),
+        ("a.com", "disallow", "/tmp$"),
+        ("b.org", "disallow", "/blocked*"),
+    }
+
+
+def test_robots_filter_longest_match_and_anchors(spark):
+    rules = U.parse_robots(_robots_df(spark))
+    urls = [
+        ("http://a.com/public/x", True),       # no matching rule → allow
+        ("http://a.com/private/secret", False),  # disallow /private/
+        ("http://a.com/private/ok/page", True),  # allow wins (longer)
+        ("http://a.com/tmp", False),             # trailing $ anchors
+        ("http://a.com/tmpfile", True),          # $ means EXACT end
+        ("http://www.a.com/private/x", False),   # registered-domain key
+        ("http://b.org/blocked/page", False),    # * spans
+        ("http://b.org/fine", True),
+        ("http://c.net/anything", True),         # no rules at all
+    ]
+    df = _urls_df(spark, [u for u, _ in urls])
+    kept = {r.url for r in
+            U.robots_filter(df, rules).select("url").collect()}
+    for u, want in urls:
+        assert (u in kept) == want, u
+
+
+def test_robots_filter_literal_metachars_safe(spark):
+    """Regex specials in rule paths match LITERALLY (a '.' must not
+    become any-char), and a mid-pattern $ is literal."""
+    rules = spark.createDataFrame(pd.DataFrame({
+        "domain": ["a.com"] * 2,
+        "rule": ["disallow", "disallow"],
+        "path": ["/file.php", "/pa$th"]}))
+    df = _urls_df(spark, ["http://a.com/file.php", "http://a.com/fileXphp",
+                          "http://a.com/pa$th/x"])
+    kept = {r.url for r in
+            U.robots_filter(df, rules).select("url").collect()}
+    assert kept == {"http://a.com/fileXphp"}
