@@ -620,8 +620,9 @@ class AmqpJobQueue(FileJobQueue):
             # claim attempt finds the marker and skips).
             self.mirror_status(job_id, CANCELLED, st.get("tasks", []))
         else:
-            # A worker holds it: flag the executing job, same as the
-            # file queue's claimed path.
-            st["cancel_requested"] = True
-            self._write_status(job_id, st)
+            # A worker holds it: raise the sidecar cancel marker, same
+            # as the file queue's claimed path (a flag INSIDE the status
+            # file could be clobbered by the worker's mirror_status
+            # read-modify-write).
+            self._flag_cancel(job_id)
         return self.read_status(job_id)

@@ -105,7 +105,8 @@ class FileJobQueue(_JobQueueCommon):
 
     def __init__(self, root: str):
         self.root = root
-        for d in ("queued", "claimed", "cancelled", "status", "results"):
+        for d in ("queued", "claimed", "cancelled", "status", "results",
+                  "cancel_flags"):
             os.makedirs(os.path.join(root, d), exist_ok=True)
 
     # -- submitter side ---------------------------------------------------
@@ -126,9 +127,24 @@ class FileJobQueue(_JobQueueCommon):
         path = os.path.join(self.root, "status", f"{job_id}.json")
         try:
             with open(path, encoding="utf-8") as f:
-                return json.load(f)
+                st = json.load(f)
         except (FileNotFoundError, json.JSONDecodeError):
             return None
+        # The cancel flag is a SIDECAR MARKER, not a status field: the
+        # status file is rewritten whole by the worker's mirror_status,
+        # so a flag stored inside it can be clobbered by a concurrent
+        # read-modify-write (cancel lands between the worker's read and
+        # its atomic replace → last-writer-wins loses the flag). Marker
+        # existence is monotonic — no rewrite can un-set it.
+        if os.path.exists(os.path.join(self.root, "cancel_flags", job_id)):
+            st["cancel_requested"] = True
+        return st
+
+    def _flag_cancel(self, job_id: str) -> None:
+        """Raise the monotonic cancel flag (idempotent touch)."""
+        path = os.path.join(self.root, "cancel_flags", job_id)
+        with open(path, "w", encoding="utf-8"):
+            pass
 
     def cancel(self, job_id: str, principal: str | None = None) -> dict:
         """Cancel a queued or claimed job.
@@ -152,9 +168,11 @@ class FileJobQueue(_JobQueueCommon):
             os.rename(src, dst)
             self.mirror_status(job_id, CANCELLED, st.get("tasks", []))
         except (FileNotFoundError, OSError):
-            # already claimed (or finished): flag it for the worker
-            st["cancel_requested"] = True
-            self._write_status(job_id, st)
+            # already claimed (or finished): raise the sidecar marker —
+            # the executing worker observes it via read_status between
+            # polls; unlike a status-file field it cannot be lost to a
+            # concurrent mirror_status rewrite
+            self._flag_cancel(job_id)
         return self.read_status(job_id)
 
     # -- worker side ------------------------------------------------------

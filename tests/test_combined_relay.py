@@ -19,8 +19,13 @@ SQL = ("select returnflag, count(*) as n from lineitem "
 
 
 @pytest.fixture(scope="module")
-def combined(spark, demo_web):
-    c = CombinedRelay(spark, demo_web, "na_us", n_workers=2).start()
+def combined(spark, sf_dir):
+    # A PRIVATE web: test_faces_share_one_catalog mutates the catalog
+    # (that mutation IS the behavior under test), so it must never touch
+    # the session-scoped demo_web shared with every other test module.
+    from dataweb_spark.demo import build_demo_web
+    c = CombinedRelay(spark, build_demo_web(sf_dir), "na_us",
+                      n_workers=2).start()
     yield c
     c.shutdown()
 

@@ -218,6 +218,38 @@ def test_filequeue_cancel_after_claim_sets_flag(tmp_path):
     assert q.read_status(job_id)["cancel_requested"] is True
 
 
+def test_filequeue_cancel_survives_stale_mirror_rewrite(tmp_path):
+    """The race that flaked test_relayctl_status_and_cancel: the worker's
+    mirror_status is a read-modify-write of the whole status file, so a
+    cancel landing between its read and its atomic replace used to be
+    clobbered (last-writer-wins). The flag now lives in a sidecar marker
+    file that no status rewrite can touch. Simulate the interleaving
+    deterministically: write a stale status payload captured BEFORE the
+    cancel, then assert the flag is still visible."""
+    import json
+    import os
+
+    from dataweb_spark.jobs.store import FileJobQueue
+
+    q = FileJobQueue(str(tmp_path / "q"))
+    job_id = q.submit("select 1")
+    assert q.claim()["job_id"] == job_id
+    stale = q.read_status(job_id)          # worker's read, pre-cancel
+    assert not stale.get("cancel_requested")
+    assert q.cancel(job_id)["cancel_requested"] is True
+    # the worker's atomic replace lands AFTER the cancel, carrying the
+    # stale (flag-less) payload — exactly the judged interleaving
+    q._atomic_json(os.path.join(q.root, "status", f"{job_id}.json"),
+                   dict(stale, status="IN_PROGRESS"))
+    raw = json.load(open(os.path.join(q.root, "status",
+                                      f"{job_id}.json")))
+    assert not raw.get("cancel_requested")  # file itself lost the field…
+    assert q.read_status(job_id)["cancel_requested"] is True  # …flag holds
+    # and subsequent proper mirrors keep it
+    q.mirror_status(job_id, "IN_PROGRESS", [])
+    assert q.read_status(job_id)["cancel_requested"] is True
+
+
 def test_inmemory_queue_cancel(tmp_path):
     from dataweb_spark.jobs import CANCELLED
     from dataweb_spark.jobs.store import InMemoryJobQueue
