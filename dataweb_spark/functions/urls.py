@@ -66,6 +66,14 @@ def url_path(col: str | Column = "url") -> Column:
         c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
 
 
+def url_query(col: str | Column = "url") -> Column:
+    """Query component without the ``?`` ('' when absent); fragment
+    excluded."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*\?([^#]*)", 1)
+
+
 def registered_domain(col: str | Column = "url") -> Column:
     """Registered (pay-level) domain of the URL's host: the last two
     labels, or three when the last two form a known multi-part public
@@ -120,7 +128,11 @@ def registered_domain_psl(df: DataFrame, psl: DataFrame,
                      F.col("raw").startswith("!").alias("is_exc")))
 
     host = url_host(url_col)
-    out = df.withColumn("_psl_host", host)
+    # the winner re-aggregate keys on a transient row id, not the input
+    # columns: exact-duplicate input rows stay distinct and
+    # non-groupable column types (map) pass through untouched
+    out = df.withColumn("_rid", F.monotonically_increasing_id()) \
+            .withColumn("_psl_host", host)
     parts = F.split(F.col("_psl_host"), r"\.")
     n = F.size(parts)
     is_ip = F.col("_psl_host").rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
@@ -154,9 +166,10 @@ def registered_domain_psl(df: DataFrame, psl: DataFrame,
                 F.when(F.col("rule").isNull(), F.lit(None))
                  .when(F.col("is_exc"), F.col("_i") - 1)
                  .otherwise(F.col("_i"))))
-    group_cols = [c for c in out.columns]
-    winner = (hits.groupBy(*group_cols)
-              .agg(F.max(F.when(F.col("rule").isNotNull(),
+    winner = (hits.groupBy("_rid")
+              .agg(*[F.first(c).alias(c) for c in df.columns],
+                   F.first("_psl_host").alias("_psl_host"),
+                   F.max(F.when(F.col("rule").isNotNull(),
                                 F.struct(F.col("is_exc"),
                                          F.col("_ps_len"))))
                    .alias("_w")))
@@ -167,7 +180,7 @@ def registered_domain_psl(df: DataFrame, psl: DataFrame,
             .otherwise(F.array_join(
                 F.slice(wparts, -(ps_len + 1), ps_len + 1), ".")))
     return (winner.withColumn(out_col, dom)
-            .drop("_w", "_psl_host"))
+            .drop("_w", "_psl_host", "_rid"))
 
 
 def normalize_url(col: str | Column = "url") -> Column:
@@ -310,21 +323,37 @@ def parse_robots(df: DataFrame, domain_col: str = "domain",
 
 
 def robots_filter(df: DataFrame, rules: DataFrame,
-                  url_col: str = "url") -> DataFrame:
+                  url_col: str = "url",
+                  broadcast: bool = True) -> DataFrame:
     """Drop URLs a robots rule table forbids (RFC 9309 matching): among
     the rules of the URL's registered domain whose path pattern matches
-    the URL path, the LONGEST pattern wins, ``allow`` beating
-    ``disallow`` on equal length; a URL with no matching rule (or no
-    rules at all for its domain) is allowed. Patterns support the two
-    RFC metacharacters: ``*`` (any span) and a trailing ``$`` (end
-    anchor); everything else — including a non-final ``$`` — matches
-    literally. Pattern translation stays in the Java∩RE2 regex subset.
+    the URL's path-plus-query, the LONGEST pattern wins, ``allow``
+    beating ``disallow`` on equal length; a URL with no matching rule
+    (or no rules at all for its domain) is allowed. Patterns support
+    the two RFC metacharacters: ``*`` (any span) and a trailing ``$``
+    (end anchor); everything else — including a non-final ``$`` —
+    matches literally. Pattern translation stays in the Java∩RE2 regex
+    subset.
 
-    Shape: the bounded rule table broadcasts; each URL meets only its
-    own domain's rules (equi-join on the domain key), the pattern test
-    is one JVM ``rlike`` over the handful of candidate rules, and one
-    re-aggregate on the row keys picks the winner — project page
-    bodies away first at 100 TB."""
+    Patterns match against the PATH PLUS QUERY (``/search?q=x``), per
+    RFC 9309 §2.2.2 and every production matcher — rules of the common
+    ``Disallow: /*?sessionid=`` / ``Disallow: /search?q=*`` shape must
+    be able to fire; matching the bare path would silently admit
+    everything they forbid. Empty path normalizes to ``/`` before the
+    query is appended.
+
+    Shape: each URL meets only its own domain's rules (equi-join on the
+    domain key), the pattern test is one JVM ``rlike`` over the handful
+    of candidate rules, and one re-aggregate on a transient row id
+    picks the winner (keying on the row id, not the input columns,
+    keeps exact-duplicate rows distinct and tolerates non-groupable
+    column types like map). ``broadcast=True`` force-broadcasts the
+    rule table — right for a curated domain subset, where it is at most
+    a few hundred MB. For a FULL crawl's rules (10⁷–10⁸ domains × ~10
+    rules each ≈ tens of GB) pass ``broadcast=False``: the join then
+    shuffles both sides on the narrow domain key instead of OOMing
+    every executor on the broadcast. Project page bodies away first at
+    100 TB."""
     anchored = F.col("path").endswith("$")
     body = F.when(anchored,
                   F.expr("substring(path, 1, length(path) - 1)")) \
@@ -335,21 +364,25 @@ def robots_filter(df: DataFrame, rules: DataFrame,
     rul = rules.select(F.col("domain").alias("_dom"),
                        (F.col("rule") == "allow").alias("_allow"),
                        F.length("path").alias("_plen"), pat.alias("_pat"))
-    base = df.withColumn("_dom", registered_domain(url_col)) \
-             .withColumn("_path",
-                         F.when(url_path(url_col) == "", "/")
-                          .otherwise(url_path(url_col)))
-    hits = (base.join(F.broadcast(rul), "_dom", "left")
+    path = F.when(url_path(url_col) == "", "/").otherwise(url_path(url_col))
+    query = url_query(url_col)
+    target = F.when(query == "", path) \
+              .otherwise(F.concat(path, F.lit("?"), query))
+    base = df.withColumn("_rid", F.monotonically_increasing_id()) \
+             .withColumn("_dom", registered_domain(url_col)) \
+             .withColumn("_path", target)
+    hits = (base.join(F.broadcast(rul) if broadcast else rul,
+                      "_dom", "left")
             .withColumn(
                 "_verdict",
                 F.when(F.col("_pat").isNotNull()
                        & F.expr("_path rlike _pat"),
                        F.struct(F.col("_plen"), F.col("_allow")))))
-    group_cols = [c for c in df.columns]
-    won = (hits.groupBy(*group_cols)
-           .agg(F.max("_verdict").alias("_w")))
+    won = (hits.groupBy("_rid")
+           .agg(*[F.first(c).alias(c) for c in df.columns],
+                F.max("_verdict").alias("_w")))
     return won.where(F.col("_w").isNull() | F.col("_w._allow")) \
-              .drop("_w")
+              .drop("_w", "_rid")
 
 
 def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
@@ -418,13 +451,17 @@ def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
         (spark_b.read.parquet(staging)
          .write.mode("append").parquet(f"{state_path}/admitted"))
 
-    # initialize empty state so the first batch's reads succeed
+    # initialize empty state so the first batch's reads succeed — the
+    # id column's type is DERIVED from the stream's id_col (a hardcoded
+    # bigint plus, say, a string id would create a mixed-schema parquet
+    # directory whose later reads resolve nondeterministically)
     spark = stream_df.sparkSession
+    id_type = stream_df.schema[id_col].dataType.simpleString()
     try:
         spark.read.parquet(f"{state_path}/admitted")
     except Exception:
         (spark.createDataFrame(
-            [], "id bigint, url_norm string, domain string")
+            [], f"id {id_type}, url_norm string, domain string")
          .write.mode("overwrite").parquet(f"{state_path}/admitted"))
 
     return (stream_df.writeStream

@@ -6451,8 +6451,9 @@ def _crawl_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier: per-domain robots bodies are PARSED in pure DataFrame ops
     (line posexplode → stacked-UA group assignment by running count →
     exact-agent-over-* precedence), then URLs pass longest-match
-    filtering (allow beats disallow on ties; ``*`` spans; trailing
-    ``$`` anchors) via one broadcast rule join + one re-aggregate
+    filtering over PATH+QUERY (allow beats disallow on ties; ``*``
+    spans; trailing ``$`` anchors; a ``/*?sessionid=`` rule fires on
+    query strings) via one broadcast rule join + one re-aggregate
     (``urls.parse_robots`` / ``urls.robots_filter``). Bodies and URLs
     are synthesized in closed form, so the oracle states the admission
     rule directly — the Spark side must reproduce it through the full
@@ -6463,6 +6464,7 @@ def _crawl_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         select distinct 's' || (doc_id % 10) || '.com' as domain,
                'User-agent: testbot\nDisallow: /p' || (doc_id % 10)
                || '/\nAllow: /p' || (doc_id % 10) || '/keep*\n'
+               || 'Disallow: /*?sessionid=\n'
                || case when doc_id % 10 % 2 = 0
                        then 'Disallow: /q$\n' else '' end
                || 'User-agent: *\nDisallow: /\n' as robots_txt
@@ -6473,7 +6475,9 @@ def _crawl_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                case cast(doc_id div 10 % 5 as int)
                  when 0 then '/p' || (doc_id % 10) || '/x' || doc_id
                  when 1 then '/p' || (doc_id % 10) || '/keep' || doc_id
-                 when 2 then '/ok/' || doc_id
+                 when 2 then '/ok/' || doc_id ||
+                      case when doc_id % 3 = 0
+                           then '?sessionid=' || doc_id else '' end
                  when 3 then '/q'
                  else '/q' || doc_id
                end as url
@@ -6495,7 +6499,7 @@ with verdicts as (
          case cast(doc_id // 10 % 5 as int)
            when 0 then false                       -- Disallow: /p<d>/
            when 1 then true                        -- longer Allow wins
-           when 2 then true                        -- no matching rule
+           when 2 then doc_id % 3 <> 0             -- /*?sessionid= fires
            when 3 then (doc_id % 10) % 2 = 1       -- /q$ on even domains
            else true                               -- /q<id>: $ anchors
          end as allowed

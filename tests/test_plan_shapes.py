@@ -286,3 +286,25 @@ def test_robots_filter_broadcast_rules_one_reagg(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_robots_filter_large_table_mode_shuffles(spark, sf_dir):
+    """robots_filter(broadcast=False): a full crawl's rule table (10⁷⁺
+    domains) must NOT be force-broadcast (executor OOM) — the join
+    plans as a shuffled equi-join on the narrow domain key. Auto-
+    broadcast is disabled so the tiny test table can't sneak back in."""
+    import pandas as pd
+    from dataweb_spark.functions import urls as U
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.selectExpr(
+        "doc_id", "'http://a.com/p/' || doc_id as url")
+    rules = spark.createDataFrame(pd.DataFrame({
+        "domain": ["a.com"], "rule": ["disallow"], "path": ["/p/*"]}))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(U.robots_filter(urls, rules, broadcast=False))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin", plan)

@@ -388,3 +388,47 @@ def test_robots_filter_literal_metachars_safe(spark):
     kept = {r.url for r in
             U.robots_filter(df, rules).select("url").collect()}
     assert kept == {"http://a.com/fileXphp"}
+
+
+def test_robots_filter_matches_path_plus_query(spark):
+    """RFC 9309 matching targets the path PLUS query: rules of the
+    common 'Disallow: /*?sessionid=' / '/search?q=*' shape must fire on
+    query strings (matching the bare path silently admits them)."""
+    rules = spark.createDataFrame(pd.DataFrame({
+        "domain": ["a.com"] * 3,
+        "rule": ["disallow", "disallow", "allow"],
+        "path": ["/*?sessionid=", "/search?q=*", "/search?q=safe"]}))
+    urls = [
+        ("http://a.com/page?sessionid=42", False),   # query rule fires
+        ("http://a.com/page", True),                 # no query, no match
+        ("http://a.com/?sessionid=1", False),        # empty path → '/'
+        ("http://a.com/search?q=x", False),          # q=* spans
+        ("http://a.com/search?q=safe", True),        # longer allow wins
+        ("http://a.com/search", True),               # bare path unaffected
+    ]
+    df = _urls_df(spark, [u for u, _ in urls])
+    kept = {r.url for r in
+            U.robots_filter(df, rules).select("url").collect()}
+    for u, want in urls:
+        assert (u in kept) == want, u
+
+
+def test_robots_filter_preserves_duplicate_rows(spark):
+    """The winner re-aggregate keys on a transient row id, so two
+    IDENTICAL input rows both survive (a groupBy over all columns would
+    silently collapse them — a semantic drift from the pure-column
+    filters this gate sits beside)."""
+    rules = spark.createDataFrame(pd.DataFrame({
+        "domain": ["a.com"], "rule": ["disallow"], "path": ["/no"]}))
+    df = _urls_df(spark, ["http://a.com/yes", "http://a.com/yes",
+                          "http://a.com/no"])
+    got = [r.url for r in U.robots_filter(df, rules).collect()]
+    assert sorted(got) == ["http://a.com/yes", "http://a.com/yes"]
+
+
+def test_psl_domain_preserves_duplicate_rows(spark):
+    """Same row-id re-aggregate contract for registered_domain_psl."""
+    psl = spark.createDataFrame(pd.DataFrame({"rule": ["com"]}))
+    df = _urls_df(spark, ["http://x.a.com/p", "http://x.a.com/p"])
+    got = U.registered_domain_psl(df, psl).collect()
+    assert [r.domain for r in got] == ["a.com", "a.com"]
