@@ -125,11 +125,14 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     """Per-raw-document DSIR importance weight.
 
     Returns (id, n_grams, weight_e4) for every raw doc with >= 1
-    bigram; ``weight_e4 = sum(lw_e12) div 1e8`` — an exact bigint sum
-    over the :func:`log_ratio_model` table followed by integer
-    division (truncating toward zero in BOTH Spark ``div`` and DuckDB
-    ``//``), so the output is bit-identical across engines, reruns and
-    partitionings."""
+    bigram; ``weight_e4 = sum(lw_e12) div 1e8`` — an exact sum over the
+    :func:`log_ratio_model` table followed by integer division
+    (truncating toward zero in BOTH Spark ``div`` and DuckDB ``//``),
+    so the output is bit-identical across engines, reruns and
+    partitionings. The sum accumulates as decimal(38,0) (128-bit):
+    lw_e12 terms run ~3e13, so a ~3e5-gram document would silently wrap
+    a bigint accumulator in non-ANSI Spark — and DuckDB sums bigint
+    into hugeint anyway, so this matches the oracle arithmetic."""
     model = log_ratio_model(raw, target, id_col, text_col, hex_chars)
     grams = (raw.select(F.col(id_col),
                         F.explode(hashed_gram_buckets(text_col, hex_chars))
@@ -137,7 +140,8 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     return (grams.join(F.broadcast(model), "bucket")
             .groupBy(id_col)
             .agg(F.count("*").cast("bigint").alias("n_grams"),
-                 F.expr("sum(lw_e12) div 100000000").cast("bigint")
+                 F.expr("sum(cast(lw_e12 as decimal(38,0)))"
+                        " div 100000000").cast("bigint")
                   .alias("weight_e4")))
 
 

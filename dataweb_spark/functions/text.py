@@ -696,10 +696,17 @@ def ccnet_buckets(df: DataFrame, id_col: str = "doc_id",
                                         + F.col("v_size")))
                                * F.lit(1e12)).cast("bigint")
                         .alias("lp_e12")))
+    # the per-doc sum accumulates as decimal(38,0) (128-bit): lp_e12
+    # terms run ~3e13, so a ~3e5-token document would silently wrap a
+    # bigint accumulator in non-ANSI Spark — the PageRank overflow
+    # class. DuckDB already sums bigint into hugeint, so this also
+    # matches the oracle's arithmetic exactly; the div result is
+    # identical for every non-overflowing input.
     scored = (toks.join(modelfx, "tok")
               .groupBy(id_col)
               .agg(F.count("*").cast("bigint").alias("n_tokens"),
-                   F.expr("(-sum(lp_e12)) div (count(*) * 1000)")
+                   F.expr("(-sum(cast(lp_e12 as decimal(38,0))))"
+                          " div (count(*) * 1000)")
                     .cast("bigint").alias("nll_e9")))
     joined = scored.join(df.select(id_col, lang_col), id_col)
     w = Window.partitionBy(lang_col).orderBy("nll_e9", id_col)

@@ -5868,8 +5868,9 @@ def _text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers = T.ccnet_buckets(spark.table("documents"))
     return (tiers.groupBy("lang", "ppl_bucket")
                  .agg(F.count("*").cast("bigint").alias("n_docs"),
-                      F.expr("cast(sum(nll_e9) div count(*) "
-                             "as bigint)").alias("avg_nll_e9"),
+                      F.expr("cast(sum(cast(nll_e9 as decimal(38,0)))"
+                             " div count(*) as bigint)")
+                       .alias("avg_nll_e9"),
                       F.min("nll_e9").alias("min_nll_e9"),
                       F.max("nll_e9").alias("max_nll_e9"))
                  .orderBy("lang", "ppl_bucket"))
@@ -6130,8 +6131,9 @@ def _pipeline_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers = T.ccnet_buckets(docs, text_col="clean_text")
     return (tiers.groupBy("lang", "ppl_bucket")
                  .agg(F.count("*").cast("bigint").alias("n_docs"),
-                      F.expr("cast(sum(nll_e9) div count(*) "
-                             "as bigint)").alias("avg_nll_e9"),
+                      F.expr("cast(sum(cast(nll_e9 as decimal(38,0)))"
+                             " div count(*) as bigint)")
+                       .alias("avg_nll_e9"),
                       F.min("nll_e9").alias("min_nll_e9"),
                       F.max("nll_e9").alias("max_nll_e9"))
                  .orderBy("lang", "ppl_bucket"))

@@ -1139,3 +1139,21 @@ def test_ccnet_buckets_order_and_balance(spark, sf_dir):
         # ntile keeps tier sizes within 1 of each other
         sizes = [r.n for r in b.values()]
         assert max(sizes) - min(sizes) <= 1
+
+
+def test_ccnet_score_no_bigint_overflow_on_huge_doc(spark):
+    """A 1.2M-token document: lp_e12 terms are ≈ −1.4e13 here (all
+    tokens unique → add-1 prob 2/2.4M), so a bigint accumulator would
+    wrap at ≈6.5e5 tokens and the wrapped nll_e9 would come out ≈4.6e9
+    (garbage). The decimal(38,0) accumulator — the PageRank overflow
+    class, fixed the same way DuckDB does (hugeint sums) — must give
+    the exact per-token mean ≈ −ln(2/2.4e6)·1e9 ≈ 14.0e9."""
+    from dataweb_spark.functions import text as T
+    n = 1_200_000
+    text = " ".join(f"a{i}" for i in range(n))
+    df = spark.createDataFrame([(0, text, "en")],
+                               "doc_id bigint, text string, lang string")
+    row = T.ccnet_buckets(df).collect()[0]
+    assert row.n_tokens == n
+    # exact: every token shares one lp value, so nll_e9 = (−lp) div 1000
+    assert 13_900_000_000 < row.nll_e9 < 14_100_000_000, row.nll_e9
