@@ -147,23 +147,21 @@ order by revenue desc, c_custkey
 limit 20
 """)
 
+# (absorbed the former distinct_counts smoke in r10: the per-group
+# count(distinct ...) columns exercise its construct — one declared
+# query instead of two)
 _dual("agg_having_filter", """
 select l_returnflag,
        count(*)                                        as n_all,
        count(*) filter (where l_quantity > 5)          as n_big,
+       count(distinct l_orderkey)                      as n_orders,
+       count(distinct l_partkey)                       as n_parts,
        round(sum(l_extendedprice) filter (where l_discount > 0.03), 2)
                                                        as disc_price
 from lineitem
 group by l_returnflag
 having count(*) > 10
 order by l_returnflag
-""")
-
-_dual("distinct_counts", """
-select count(distinct l_orderkey)              as n_orders,
-       count(distinct l_partkey)               as n_parts,
-       count(distinct l_returnflag)            as n_flags
-from lineitem
 """)
 
 _dual("window_topn_per_customer", """
@@ -192,7 +190,9 @@ order by o_custkey, o_orderkey
 # JSON-path field access over a string column — the Spark face of the
 # reference's nested ``DataField.path`` (``data_stores/mod.rs:57-62``,
 # JSON file sources ``file_directory.rs:78-90``): the mapping layer reads
-# nested JSON with exactly this expression shape.
+# nested JSON with exactly this expression shape. (Absorbed the former
+# events_json_regexp smoke in r10: ``sum_k_re`` reads the same field via
+# regexp_extract — the two access methods must agree.)
 _dual("events_json_props", """
 select event_type,
        count(*) as n,
@@ -200,7 +200,9 @@ select event_type,
          as sum_k,
        round(avg(cast(get_json_object(props, '$.k') as bigint)), 6) as avg_k,
        cast(min(cast(get_json_object(props, '$.k') as bigint)) as bigint)
-         as min_k
+         as min_k,
+       cast(sum(cast(regexp_extract(props, '"k": ([0-9]+)', 1) as bigint))
+            as bigint) as sum_k_re
 from events
 group by event_type
 order by event_type
@@ -209,7 +211,9 @@ select event_type,
        count(*) as n,
        cast(sum(cast(props->>'$.k' as bigint)) as bigint) as sum_k,
        round(avg(cast(props->>'$.k' as bigint)), 6) as avg_k,
-       cast(min(cast(props->>'$.k' as bigint)) as bigint) as min_k
+       cast(min(cast(props->>'$.k' as bigint)) as bigint) as min_k,
+       cast(sum(cast(regexp_extract(props, '"k": ([0-9]+)', 1) as bigint))
+            as bigint) as sum_k_re
 from events
 group by event_type
 order by event_type
@@ -226,19 +230,22 @@ window w as (partition by user_id order by ts, event_id)
 order by user_id, event_id
 """)
 
+# (absorbed the former cube_counts smoke in r10: ROLLUP and CUBE are
+# one multi-dimensional-aggregation family — both constructs now ride
+# one declared query, discriminated by ``src``)
 _dual("rollup_counts", """
-select l_returnflag, l_linestatus, count(*) as n,
-       grouping(l_returnflag) as g_rf, grouping(l_linestatus) as g_ls
+select 'rollup' as src, l_returnflag as k1, l_linestatus as k2,
+       count(*) as n,
+       grouping(l_returnflag) as g1, grouping(l_linestatus) as g2
 from lineitem
 group by rollup(l_returnflag, l_linestatus)
-order by g_rf, g_ls, l_returnflag, l_linestatus
-""")
-
-_dual("cube_counts", """
-select o_orderstatus, o_orderpriority, count(*) as n
+union all
+select 'cube' as src, o_orderstatus as k1, o_orderpriority as k2,
+       count(*) as n,
+       grouping(o_orderstatus) as g1, grouping(o_orderpriority) as g2
 from orders
 group by cube(o_orderstatus, o_orderpriority)
-order by o_orderstatus nulls first, o_orderpriority nulls first
+order by src, g1, g2, k1 nulls first, k2 nulls first
 """)
 
 _dual("grouping_sets", """
@@ -273,20 +280,6 @@ where exists (select 1 from lineitem l where l.l_orderkey = b.o_orderkey
   and o_custkey in (select c_custkey from customer where c_acctbal > 0)
 """)
 
-_dual("case_cast_string_funcs", """
-select p_partkey,
-       upper(substr(p_name, 1, 8))                    as name_prefix,
-       case when p_size >= 30 then 'L'
-            when p_size >= 15 then 'M'
-            else 'S' end                              as size_class,
-       cast(floor(p_retailprice) as bigint)           as price_int,
-       length(p_brand)                                as brand_len,
-       concat(p_brand, ':', p_type)                   as brand_type
-from part
-where p_name like '%a%' and p_partkey between 100 and 400
-order by p_partkey
-""")
-
 _dual("listagg_nations_per_region", """
 select r_name,
        concat_ws(',', sort_array(collect_list(n_name))) as nations,
@@ -303,24 +296,6 @@ group by r_name
 order by r_name
 """)
 
-_dual("date_parts_orders", """
-select cast(year(o_orderdate) as bigint)    as y,
-       cast(month(o_orderdate) as bigint)   as m,
-       count(*)                             as n,
-       round(sum(o_totalprice), 2)          as total
-from orders
-group by year(o_orderdate), month(o_orderdate)
-order by y, m
-""", oracle="""
-select extract(year from o_orderdate)  as y,
-       extract(month from o_orderdate) as m,
-       count(*)                        as n,
-       round(sum(o_totalprice), 2)     as total
-from orders
-group by 1, 2
-order by y, m
-""")
-
 _dual("events_hourly_rollup", """
 select date_trunc('hour', ts)        as hour_ts,
        event_type,
@@ -330,23 +305,6 @@ from events
 where event_type in ('purchase', 'click')
 group by date_trunc('hour', ts), event_type
 order by hour_ts, event_type
-""")
-
-# Regexp-extraction form (green r1 under the name events_json_props, which
-# it used to shadow — renamed in r6 so the get_json_object JSON-path form
-# above actually registers; see VERDICT r5 "What's wrong" #1).
-_dual("events_json_regexp", """
-select cast(regexp_extract(props, '"k": ([0-9]+)', 1) as bigint) as k,
-       count(*) as n
-from events
-group by 1
-order by k
-""", oracle="""
-select cast(regexp_extract(props, '"k": ([0-9]+)', 1) as bigint) as k,
-       count(*) as n
-from events
-group by 1
-order by k
 """)
 
 _dual("listagg_within_group_overlay", """
@@ -387,25 +345,12 @@ where event_id < 200
 order by event_id
 """)
 
-_dual("topk_orders", """
-select o_orderkey, o_custkey, o_totalprice
-from orders
-order by o_totalprice desc, o_orderkey
-limit 25
-""")
-
-_dual("predicates_smoke", """
-select l_orderkey, l_linenumber, l_quantity
-from lineitem
-where l_quantity between 3 and 6
-  and l_returnflag in ('A', 'R')
-  and l_shipdate is not null
-  and l_linestatus not like 'X%'
-  and (l_tax > 0.05 or l_discount <= 0.02)
-order by l_orderkey, l_linenumber, l_quantity
-""")
-
-
+# (absorbed the former case_cast_string_funcs and array_access_split
+# smokes in r10: CASE/CAST/floor/upper/concat and array index /
+# element_at / size ride the same part-table projection — three
+# declared queries became one; topk_orders also retired outright, its
+# ORDER BY+LIMIT construct is exercised by tpch_q3/tpch_q10 and the
+# TakeOrderedAndProject plan assertion in test_plan_shapes.py)
 _dual("string_funcs_position_trim", """
 select p_partkey,
        position('a' in p_name)                      as pos_a,
@@ -414,7 +359,16 @@ select p_partkey,
        replace(p_type, ' ', '_')                    as type_u,
        lpad(cast(p_size as string), 4, '0')         as size_pad,
        reverse(p_brand)                             as brand_rev,
-       substring(p_name from 2 for 5)               as name_mid
+       substring(p_name from 2 for 5)               as name_mid,
+       upper(substr(p_name, 1, 8))                  as name_prefix,
+       case when p_size >= 30 then 'L'
+            when p_size >= 15 then 'M'
+            else 'S' end                            as size_class,
+       cast(floor(p_retailprice) as bigint)         as price_int,
+       concat(p_brand, ':', p_type)                 as brand_type,
+       split(p_type, ' ')[0]                        as type_head,
+       element_at(split(p_type, ' '), -1)           as type_tail,
+       size(split(p_type, ' '))                     as type_words
 from part
 where p_partkey between 1 and 120
 order by p_partkey
@@ -426,7 +380,16 @@ select p_partkey,
        replace(p_type, ' ', '_')                    as type_u,
        lpad(cast(p_size as varchar), 4, '0')        as size_pad,
        reverse(p_brand)                             as brand_rev,
-       substring(p_name, 2, 5)                      as name_mid
+       substring(p_name, 2, 5)                      as name_mid,
+       upper(substr(p_name, 1, 8))                  as name_prefix,
+       case when p_size >= 30 then 'L'
+            when p_size >= 15 then 'M'
+            else 'S' end                            as size_class,
+       cast(floor(p_retailprice) as bigint)         as price_int,
+       p_brand || ':' || p_type                     as brand_type,
+       string_split(p_type, ' ')[1]                 as type_head,
+       string_split(p_type, ' ')[-1]                as type_tail,
+       len(string_split(p_type, ' '))               as type_words
 from part
 where p_partkey between 1 and 120
 order by p_partkey
@@ -460,11 +423,16 @@ group by v.code
 order by v.code
 """)
 
+# (absorbed the former date_parts_orders smoke in r10: year()/month()
+# extraction rides the same orders projection — two declared queries
+# became one)
 _dual("interval_date_arithmetic", """
 select o_orderkey,
        cast(o_orderdate as date) + interval '30' day   as due_date,
        cast(o_orderdate as date) - interval '1' month  as prior_month,
-       datediff(date '1998-01-01', cast(o_orderdate as date)) as days_to_98
+       datediff(date '1998-01-01', cast(o_orderdate as date)) as days_to_98,
+       cast(year(o_orderdate) as bigint)                as y,
+       cast(month(o_orderdate) as bigint)               as m
 from orders
 where o_orderkey < 200
 order by o_orderkey
@@ -472,49 +440,62 @@ order by o_orderkey
 select o_orderkey,
        cast(cast(o_orderdate as date) + interval 30 day as date)  as due_date,
        cast(cast(o_orderdate as date) - interval 1 month as date) as prior_month,
-       date_diff('day', cast(o_orderdate as date), date '1998-01-01') as days_to_98
+       date_diff('day', cast(o_orderdate as date), date '1998-01-01') as days_to_98,
+       extract(year from o_orderdate)                   as y,
+       extract(month from o_orderdate)                  as m
 from orders
 where o_orderkey < 200
 order by o_orderkey
 """)
 
-_dual("is_distinct_from_nulls", """
-select count(*) filter (where l_returnflag is distinct from 'N')   as n_not_n,
-       count(*) filter (where l_returnflag is not distinct from 'N') as n_is_n,
-       count(*) filter (where l_shipdate is null)                  as n_null_ship
-from lineitem
-""")
-
+# (absorbed the former predicates_smoke and is_distinct_from_nulls
+# smokes in r10: BETWEEN / IN-list / IS [NOT] NULL / NOT LIKE /
+# OR-of-comparisons / IS [NOT] DISTINCT FROM all ride as filter counts
+# beside the LIKE family — three declared queries became one)
 _dual("like_family_predicates", """
-select count(*) filter (where p_name like '%ab%')          as n_like,
-       count(*) filter (where p_name ilike '%AB%')         as n_ilike,
-       count(*) filter (where p_name rlike '^[ab]')        as n_regex,
-       count(*) filter (where p_name not like 'z%')        as n_notlike
-from part
+select pt.n_like, pt.n_ilike, pt.n_regex, pt.n_notlike,
+       li.n_between, li.n_in, li.n_notnull, li.n_or,
+       li.n_not_n, li.n_is_n, li.n_null_ship
+from
+ (select count(*) filter (where p_name like '%ab%')          as n_like,
+         count(*) filter (where p_name ilike '%AB%')         as n_ilike,
+         count(*) filter (where p_name rlike '^[ab]')        as n_regex,
+         count(*) filter (where p_name not like 'z%')        as n_notlike
+  from part) pt
+cross join
+ (select count(*) filter (where l_quantity between 3 and 6)  as n_between,
+         count(*) filter (where l_returnflag in ('A', 'R'))  as n_in,
+         count(*) filter (where l_shipdate is not null)      as n_notnull,
+         count(*) filter (where l_tax > 0.05
+                          or l_discount <= 0.02)             as n_or,
+         count(*) filter (where l_returnflag
+                          is distinct from 'N')              as n_not_n,
+         count(*) filter (where l_returnflag
+                          is not distinct from 'N')          as n_is_n,
+         count(*) filter (where l_shipdate is null)          as n_null_ship
+  from lineitem) li
 """, oracle="""
-select count(*) filter (p_name like '%ab%')                 as n_like,
-       count(*) filter (p_name ilike '%AB%')                as n_ilike,
-       count(*) filter (regexp_matches(p_name, '^[ab]'))    as n_regex,
-       count(*) filter (p_name not like 'z%')               as n_notlike
-from part
-""")
-
-_dual("array_access_split", """
-select p_partkey,
-       split(p_type, ' ')[0]                 as type_head,
-       element_at(split(p_type, ' '), -1)    as type_tail,
-       size(split(p_type, ' '))              as type_words
-from part
-where p_partkey <= 100
-order by p_partkey
-""", oracle="""
-select p_partkey,
-       string_split(p_type, ' ')[1]           as type_head,
-       string_split(p_type, ' ')[-1]          as type_tail,
-       len(string_split(p_type, ' '))         as type_words
-from part
-where p_partkey <= 100
-order by p_partkey
+select pt.n_like, pt.n_ilike, pt.n_regex, pt.n_notlike,
+       li.n_between, li.n_in, li.n_notnull, li.n_or,
+       li.n_not_n, li.n_is_n, li.n_null_ship
+from
+ (select count(*) filter (p_name like '%ab%')                as n_like,
+         count(*) filter (p_name ilike '%AB%')               as n_ilike,
+         count(*) filter (regexp_matches(p_name, '^[ab]'))   as n_regex,
+         count(*) filter (p_name not like 'z%')              as n_notlike
+  from part) pt
+cross join
+ (select count(*) filter (l_quantity between 3 and 6)        as n_between,
+         count(*) filter (l_returnflag in ('A', 'R'))        as n_in,
+         count(*) filter (l_shipdate is not null)            as n_notnull,
+         count(*) filter (l_tax > 0.05
+                          or l_discount <= 0.02)             as n_or,
+         count(*) filter (l_returnflag
+                          is distinct from 'N')              as n_not_n,
+         count(*) filter (l_returnflag
+                          is not distinct from 'N')          as n_is_n,
+         count(*) filter (l_shipdate is null)                as n_null_ship
+  from lineitem) li
 """)
 
 _dual("stats_aggregates", """
@@ -6887,102 +6868,74 @@ _df("graph_pagerank_domains", _graph_pagerank_domains,
 # its relative order after the window.
 
 _DRIVER_WINDOW = [
-    # --- r9 rotation. CORRECTNESS_r08 was 50/50; the whole r8 window
-    # rotates out. The r9 window = (a) ALL 39 r5-age names (VERDICT r8
-    # item 1: the full remaining r5 evidence tail — after this window
-    # the oldest driver evidence anywhere is r6), moving-parts layers
-    # first:
-    "fed_six_relay_q1",
-    "fed_q3_shipping_priority",
-    "fed_documents_dedup",
-    "fed_explain_report",
-    "fed_select_star_limit",
-    "fed_unitprice_transform",
-    "knn_ivf_approx",
-    "knn_ivf_recall",
-    "knn_lsh_approx",
-    "dedup_minhash_lsh",
-    "dedup_semantic_recall",
-    "dedup_semantic_clusters",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_image_phash",
-    "dedup_audio_signature",
-    "dedup_video_signature",
-    "dedup_bloom_contamination",
-    "dedup_paragraphs",
-    "multimodal_png_features",
-    "multimodal_resize",
-    "multimodal_video_frames",
-    "multimodal_audio_features",
-    "multimodal_audio_spectrum",
-    "pipeline_assembly_manifest",
-    "pipeline_cluster_safe_split",
-    "pipeline_leakage_safe_split",
-    "pipeline_filter_cascade",
-    "pipeline_rag_retrieval",
-    "pipeline_sequence_packing",
-    "pipeline_shard_manifest",
-    "pipeline_token_budget",
-    "pipeline_upsample_epochs",
-    "scd2_event_history",
-    "text_bigram_lm",
-    "text_bpe_contract",
-    "text_compression_ratio",
-    "text_lm_logprob",
-    "nulls_ordering_ignore_nulls",
-    # (b) new in r9 — the PSL registered-domain tier, temperature-
-    # mixture sampling, the streaming crawl-frontier gate (cross-batch
-    # URL dedup + domain caps from persisted state), and the robots.txt
-    # politeness tier (RFC 9309 parse + longest-match admission):
-    "crawl_psl_domains",
-    "pipeline_temperature_mixture",
-    "streaming_crawl_gate",
+    # --- r10 rotation. CORRECTNESS_r09 was 50/50; the whole r9 window
+    # rotates out. VERDICT r9 item 2: the ENTIRE r6-age cohort must
+    # occupy this window. Item 3 relieved the arithmetic saturation:
+    # nine overlapping §2.3 smokes were retired by MERGING their
+    # constructs into kept siblings (predicates_smoke +
+    # is_distinct_from_nulls → like_family_predicates;
+    # case_cast_string_funcs + array_access_split →
+    # string_funcs_position_trim; distinct_counts → agg_having_filter;
+    # date_parts_orders → interval_date_arithmetic; cube_counts →
+    # rollup_counts; events_json_regexp → events_json_props;
+    # topk_orders retired outright, covered by tpch_q3/q10 + the
+    # TakeOrderedAndProject plan test), shrinking the cohort to 41 and
+    # the declared count to 183 — each future round regains free slots.
+    # (a) the six merge-target queries re-check FIRST (their output
+    # schemas changed this round — absorbed columns):
+    "like_family_predicates",
+    "string_funcs_position_trim",
+    "agg_having_filter",
+    "interval_date_arithmetic",
+    "rollup_counts",
+    "events_json_props",
+    # (b) the rest of the r6 cohort (max evidence age stays ≤ 3):
+    "cte_exists_in_subquery",
+    "dedup_exact_groups",
+    "dedup_incremental_ingest",
+    "dedup_index_classify",
+    "dedup_index_gate",
+    "dedup_index_incremental",
+    "dedup_normalized_fingerprint",
+    "dedup_quality_keeper",
+    "events_hourly_rollup",
+    "first_last_value_windows",
+    "lateral_view_explode",
+    "listagg_nations_per_region",
+    "listagg_within_group_overlay",
+    "ntile_percentile_windows",
+    "scalar_subquery_per_row",
+    "stats_aggregates",
+    "timezone_conversion",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q5_regional_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_idle_customers",
+    "try_cast_safe",
+    "values_inline_join",
+    "window_lag_lead_events",
+    "window_running_sum",
+    # (c) r10-CHANGED query: robots matching now targets path+query
+    # (RFC 9309 — '/*?sessionid=' rules fire) and the synth plants
+    # query-string URLs, so its r9 evidence describes old outputs:
     "crawl_robots_gate",
-    # (c) r9-CHANGED queries re-checked in their new form: DSIR is now
-    # integer-exact (fixed-point log-ratio model table) and 6× faster
-    # (zip_with gram hashing); the media position near tiers gained
-    # temporal-offset voting (and planted trimmed/prepended copies);
-    # classify shares that code path; the URL gate stops mangling
-    # schemeless inputs and keeps functional ref= params (synth now
-    # covers both); WARC directory ingest hashes ambiguous file names
-    # instead of colliding; PageRank damps via the overflow-free
-    # identity:
-    # (warc_directory_ingest and graph_pagerank_domains also changed —
-    # ambiguous-name hashing / the overflow-free damp identity — but
-    # both changes are OUTPUT-IDENTICAL at any scale (convention-named
-    # fixtures; exact integer identity) and pytest-proven (collision
-    # test; 2^62-mass overflow test), so they cede their slots to the
-    # two new gates)
-    "pipeline_dsir_selection",
-    "media_index_video_near",
-    "media_index_audio_near",
-    "crawl_url_normalize",
-    "crawl_domain_caps",
-    # (d) the two queries whose OUTPUT SCHEMA changed in r9 (ccnet
-    # scoring is now integer-exact nll_e9 — stale r8 evidence describes
-    # the old ppl_e2 form, so these MUST re-check; media_index_classify
-    # also changed code but not outputs, and its classify entry point
-    # is exercised by the two windowed near-tier queries, so it cedes
-    # its slot along with the r6 spare):
-    "text_ccnet_buckets",
-    "pipeline_crawl_corpus",
+    # (d) new in r10 (slots freed by the merges):
 ]
-# window budget: 50 checked by the driver; keep the list at exactly 50.
-# Rotated-out names stay in QUERIES (checkable any round; the full local
-# sweep covers all of them each round). After this window runs, the
-# oldest evidence anywhere is r6 — the r10 cohort is the remaining 49
-# r6-age names (agg_having_filter, array_access_split,
-# case_cast_string_funcs, cte_exists_in_subquery, cube_counts,
-# date_parts_orders, the dedup_exact/incremental/index/quality family,
-# distinct_counts, events_*, first_last/ntile/window_* frames,
-# interval/timezone/date arithmetic, LIKE/IS DISTINCT predicates,
-# lateral_view_explode, listagg pair, predicates_smoke, rollup_counts,
-# scalar_subquery_per_row, stats_aggregates, string_funcs,
-# topk_orders, tpch_q2/q4/q5/q6/q7/q8/q10/q11/q13/q14/q17/q18/q19/q22,
-# try_cast_safe, values_inline_join) — window those in r10, then the
-# r7 cohort in r11. New queries outrank age refreshes for slots, as
-# always.
+# window budget: up to 50 checked by the driver. Rotated-out names stay
+# in QUERIES (checkable any round; the full local sweep covers all of
+# them each round). After this window runs the oldest evidence anywhere
+# is r7 — window that cohort in r11. New queries outrank age refreshes
+# for slots, as always.
 
 def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
