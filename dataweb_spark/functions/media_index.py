@@ -17,18 +17,23 @@ This module materializes three narrow tables
                       the image NEAR tier: banded Hamming lookup
                       (pigeonhole-complete for max_hamming < bands)
     ``{path}/vhash``  (id, fidx, sig64) — POSITION signatures for the
-                      video/audio near tier: per-frame perceptual
-                      hashes for videos, hashed per-window dominant-FFT
-                      bins for audio. Banded Hamming lookup between
-                      positions aligned at any constant offset within
-                      ±pos_max_offset (offset VOTING), near when >= 80%
-                      of the longer side's positions match at some
-                      offset — so a RE-ENCODED video with a few
-                      perturbed frames, a TRIMMED-intro audio clip, or
-                      a video with prepended frames still collapses
-                      (cross-kind rows cannot reach 80% against each
-                      other: the hashes come from disjoint
-                      constructions)
+                      video/audio near tier, RATE-NORMALIZED (r10):
+                      positions are sampled at a canonical rate in
+                      time — perceptual hashes of the frames nearest
+                      the canonical ticks for videos, hashed
+                      dominant-FFT bins over canonical-duration windows
+                      for audio — so a variable-rate re-encode (fps
+                      change, audio resample) lands on the same
+                      position sequence as its source. Banded Hamming
+                      lookup between positions aligned at any constant
+                      offset within ±pos_max_offset (offset VOTING),
+                      near when >= 80% of the longer side's positions
+                      match at some offset — so a RE-ENCODED video with
+                      a few perturbed frames, a TRIMMED-intro audio
+                      clip, a video with prepended frames, or an
+                      FPS-HALVED copy still collapses (cross-kind rows
+                      cannot reach 80% against each other: the hashes
+                      come from disjoint constructions)
     ``{path}/meta.json``                — params, checked on read
 
 and classifies each ingest batch against THOSE — batch side broadcast,
@@ -81,6 +86,17 @@ _VIDEO_NEAR_DEN = 5
 # The cap bounds the per-candidate-pair vote rows to (2·cap+1)·n even
 # for degenerate all-identical-frame content.
 _POS_MAX_OFFSET = 4
+# Rate normalization of the position tier (r10): positions are sampled
+# at a canonical rate in TIME, not per stored frame/window, so a
+# variable-rate re-encode — fps change, audio resample — lands on the
+# SAME position sequence as its source and pairs in the near tier
+# (offset voting alone cannot catch it: a rate change rescales ALL
+# positions, no constant offset exists). Video positions are the frames
+# nearest the canonical ticks; audio windows span a canonical DURATION
+# (so the dominant-FFT bin index maps to frequency k/window_s Hz,
+# independent of sample rate).
+_CANON_VIDEO_RATE = 10.0      # position ticks per second
+_CANON_AUDIO_WINDOW = 0.064   # seconds per FFT window (512 @ 8 kHz)
 
 
 def _bin_sig64(bin_str: str) -> int:
@@ -93,7 +109,10 @@ def _bin_sig64(bin_str: str) -> int:
 
 
 def media_signatures(media: DataFrame,
-                     id_col: str = "media_id") -> DataFrame:
+                     id_col: str = "media_id",
+                     canon_video_rate: float = _CANON_VIDEO_RATE,
+                     canon_audio_window: float = _CANON_AUDIO_WINDOW
+                     ) -> DataFrame:
     """One Arrow pass → (id, kind, sig, sig64, frame_sigs) per blob.
     Kind is sniffed from magic bytes (not trusted from metadata), so
     mixed and mislabelled corpora fingerprint correctly:
@@ -103,14 +122,18 @@ def media_signatures(media: DataFrame,
       plus ``sig64`` = the integer-exact aHash for the near tier;
     * video → ``sig = "v:" + per-frame "<ahash>:<dims>:<pixel-sum>"``
       joined ``|`` (container-invariant, same construction as
-      ``video_signature``) plus ``frame_sigs`` = the per-frame aHash
-      list for the video near tier;
-    * audio → ``sig = "a:" + dominant-FFT-bin sequence over 512-sample
-      windows`` (amplitude-invariant, same construction as
-      ``audio_signature``) plus ``frame_sigs`` = the per-window bins
-      hashed to 64 bits (md5 prefix), so the position near tier treats
-      window matches as effective equality (distinct bins land ~32
-      Hamming apart, far outside ``max_hamming``).
+      ``video_signature``) plus ``frame_sigs`` = aHashes of the frames
+      nearest the CANONICAL ticks (``canon_video_rate`` per second) —
+      rate-normalized, so an fps-changed re-encode produces the same
+      position sequence as its source and the near tier pairs them;
+    * audio → ``sig = "a:" + dominant-FFT-bin sequence over canonical
+      ``canon_audio_window``-second windows`` (amplitude-invariant; the
+      window spans a fixed DURATION, so the bin index maps to frequency
+      k/window_s Hz independent of sample rate — a resampled re-master
+      reproduces the sequence) plus ``frame_sigs`` = the per-window
+      bins hashed to 64 bits (md5 prefix), so the position near tier
+      treats window matches as effective equality (distinct bins land
+      ~32 Hamming apart, far outside ``max_hamming``).
 
     Each blob is probed and decoded ONCE. Undecodable blobs get
     ``kind='corrupt'``, ``sig = "c:<md5(bytes)>"`` — corrupt duplicates
@@ -133,16 +156,27 @@ def media_signatures(media: DataFrame,
                     np.ascontiguousarray(px).tobytes()).hexdigest()
                 return kind, f"i:{dig}:{h}x{w}", M._ahash64_exact(px), None
             if kind == "video":
-                _fps, frames = M.decode_video(content)
-                _n, h, w, _c = frames.shape
-                fsigs = [M._ahash64_exact(fr) for fr in frames]
+                fps, frames = M.decode_video(content)
+                n, h, w, _c = frames.shape
+                all_sigs = [M._ahash64_exact(fr) for fr in frames]
                 parts = [f"{fs:016x}:{w}x{h}:{int(fr.sum())}"
-                         for fs, fr in zip(fsigs, frames)]
+                         for fs, fr in zip(all_sigs, frames)]
+                # rate-normalized positions: the frame nearest each
+                # canonical tick t/canon_video_rate — an fps-halved
+                # re-encode (every other frame at half the rate) lands
+                # on the same source frames at the same ticks
+                n_pos = max(1, int(round(n / fps * canon_video_rate)))
+                step = fps / canon_video_rate
+                fsigs = [all_sigs[min(n - 1, int(round(t * step)))]
+                         for t in range(n_pos)]
                 return kind, "v:" + "|".join(parts), None, fsigs
             if kind == "audio":
-                _rate, samples = M.decode_audio(content)
+                rate, samples = M.decode_audio(content)
                 mono = samples[:, 0].astype(np.float64)
-                seg = 512
+                # canonical-DURATION window: seg scales with the sample
+                # rate, so bin k always means frequency k/window_s Hz
+                # and window counts match across resamples
+                seg = max(1, int(round(rate * canon_audio_window)))
                 bins = []
                 for s0 in range(0, len(mono) - seg + 1, seg):
                     spec = np.abs(np.fft.rfft(mono[s0:s0 + seg]))
@@ -177,13 +211,20 @@ def _vhash_rows(sigs: DataFrame) -> DataFrame:
 def build_media_index(media: DataFrame, path: str,
                       id_col: str = "media_id", bands: int = 8,
                       max_hamming: int = 6,
-                      pos_max_offset: int = _POS_MAX_OFFSET) -> None:
+                      pos_max_offset: int = _POS_MAX_OFFSET,
+                      canon_video_rate: float = _CANON_VIDEO_RATE,
+                      canon_audio_window: float = _CANON_AUDIO_WINDOW
+                      ) -> None:
     """One corpus pass → persisted signature tables. The blobs are never
-    read again; every later classify touches only these narrow rows."""
+    read again; every later classify touches only these narrow rows.
+    The canonical position rates are recorded in meta.json so every
+    later classify/gate batch fingerprints at the SAME rates — index
+    and batch positions must share one time base."""
     if max_hamming >= bands:
         raise ValueError("full recall needs max_hamming < bands")
     spark = media.sparkSession
-    sigs = media_signatures(media, id_col)
+    sigs = media_signatures(media, id_col, canon_video_rate,
+                            canon_audio_window)
     sigs.write.mode("overwrite").parquet(f"{path}/sigs")
     persisted = spark.read.parquet(f"{path}/sigs")
     (persisted.where(F.col("sig64").isNotNull())
@@ -194,7 +235,9 @@ def build_media_index(media: DataFrame, path: str,
         {"bands": bands, "max_hamming": max_hamming,
          "video_near_num": _VIDEO_NEAR_NUM,
          "video_near_den": _VIDEO_NEAR_DEN,
-         "pos_max_offset": pos_max_offset}))
+         "pos_max_offset": pos_max_offset,
+         "canon_video_rate": canon_video_rate,
+         "canon_audio_window": canon_audio_window}))
 
 
 def _load_params(spark: SparkSession, path: str) -> dict:
@@ -244,8 +287,14 @@ def classify_media_batch(spark: SparkSession, batch: DataFrame, path: str,
     else:
         # one decode pass, materialized eagerly so the three join
         # subtrees below reuse the rows instead of re-decoding the
-        # batch blobs (and nothing is left pinned in the cache)
-        bsig = media_signatures(batch, id_col).localCheckpoint(eager=True)
+        # batch blobs (and nothing is left pinned in the cache) — at
+        # the INDEX's canonical rates, so batch and index positions
+        # share one time base
+        bsig = media_signatures(
+            batch, id_col,
+            params.get("canon_video_rate", _CANON_VIDEO_RATE),
+            params.get("canon_audio_window", _CANON_AUDIO_WINDOW)
+        ).localCheckpoint(eager=True)
     # tier pruning: a kind-homogeneous batch (the common case) must not
     # pay the other kinds' join stages. Cheap — bsig is materialized
     # (callers passing sig_df should pass it materialized too).
@@ -369,13 +418,19 @@ def streaming_media_gate(stream_df: DataFrame, index_path: str,
 
     def _gate(batch: DataFrame, _epoch: int) -> None:
         spark = batch.sparkSession
+        params = _load_params(spark, index_path)
         indexed = (spark.read.parquet(f"{index_path}/sigs")
                    .select(F.col("id").alias(id_col)))
         fresh = batch.join(indexed, id_col, "left_anti")
         # ONE decode pass per micro-batch; localCheckpoint materializes
         # the narrow signature rows so collapse/classify/append all
-        # reuse them (and nothing stays pinned after the batch)
-        sigs = media_signatures(fresh, id_col).localCheckpoint(eager=True)
+        # reuse them (and nothing stays pinned after the batch) — at the
+        # index's canonical rates (one time base, same as classify)
+        sigs = media_signatures(
+            fresh, id_col,
+            params.get("canon_video_rate", _CANON_VIDEO_RATE),
+            params.get("canon_audio_window", _CANON_AUDIO_WINDOW)
+        ).localCheckpoint(eager=True)
         keep = (sigs.withColumn(
                     "_rn", F.row_number().over(
                         Window.partitionBy("sig").orderBy("id")))

@@ -6684,6 +6684,141 @@ order by media_id
 """)
 
 
+def _media_index_rate_normalized(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """RATE-NORMALIZED position tiers (VERDICT r9 item 7): a
+    variable-rate re-encode — fps change, audio resample — rescales ALL
+    positions, so no constant offset exists and r9's offset voting let
+    such copies escape as novel. r10 samples positions at a canonical
+    rate in TIME (frames nearest canonical ticks; canonical-duration
+    FFT windows whose bin index maps to frequency independent of sample
+    rate), so the copies land on the same position sequence. Planted:
+    a 4-video fps-20 corpus (12 md5-chain frames each → 6 canonical
+    positions) + 3 audio clips at 8 kHz (20 quadratic-bin tone windows,
+    the proven at-most-one-collision construction); the batch holds
+    fps-HALVED copies of videos 0-1 (every other frame at fps 10 → the
+    same 6 canonical frames → near_dup), an fps-halved copy of video 2
+    with 2 of its 6 kept frames replaced (4/6 = 67% → novel: the
+    threshold still bites at the canonical rate), a byte-identical copy
+    of video 3 (exact_dup outranks), a novel video, a 16 kHz RESAMPLE
+    of clip 4 (canonical windows reproduce the exact bin string →
+    exact_dup), a 16 kHz resample of clip 5 with one window edited
+    (19/20 → near_dup), and a novel 16 kHz clip. The oracle states the
+    8 verdicts in closed form."""
+    import hashlib
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from dataweb_spark.functions import media_index as MI
+    from dataweb_spark.functions import multimodal as M
+
+    def _pixels(seed: int):
+        h, w = 16, 16
+        need = h * w * 3
+        buf = b"".join(hashlib.md5(f"vrate:{seed}:{k}".encode()).digest()
+                       for k in range(need // 16 + 1))
+        return np.frombuffer(buf[:need], dtype=np.uint8) \
+            .reshape(h, w, 3).copy()
+
+    def _frames20(vid: int):
+        return np.stack([_pixels(vid * 1000 + f) for f in range(12)])
+
+    def _freqs(clip: int):
+        return [400 + 40 * ((clip * 37 + 7 * k * k + k) % 83)
+                for k in range(20)]
+
+    def _tone(freqs, rate: int):
+        seg = rate // 8000 * 512
+        t = np.arange(seg) / float(rate)
+        return np.concatenate([
+            np.round(8000 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+            for f in freqs])
+
+    def corpus_gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                m = int(mid)
+                if m < 4:
+                    rows.append((m, "video",
+                                 M.encode_avi(_frames20(m), 20),
+                                 {"format": "avi", "width": 16,
+                                  "height": 16, "duration_s": 0.6}))
+                else:
+                    rows.append((m, "audio",
+                                 M.encode_wav(_tone(_freqs(m), 8000), 8000),
+                                 {"format": "wav", "width": None,
+                                  "height": None, "duration_s": 1.28}))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "meta"])
+
+    corpus = spark.range(7).mapInPandas(corpus_gen, schema=M.MEDIA_SCHEMA)
+    idx = tempfile.mkdtemp(prefix="dw_media_rate_")
+    MI.build_media_index(corpus, idx)
+
+    def batch_gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                i = int(mid)
+                if i < 5:
+                    if i < 2:               # fps-halved copy → near
+                        fr = _frames20(i)[0::2]
+                    elif i == 2:            # halved + 2 replaced → novel
+                        fr = _frames20(2)[0::2].copy()
+                        fr[1] = _pixels(80_001)
+                        fr[3] = _pixels(80_003)
+                    elif i == 3:            # byte-identical → exact
+                        fr = _frames20(3)
+                    else:                   # novel fps-10 video
+                        fr = np.stack([_pixels(70_000 + f)
+                                       for f in range(6)])
+                    fps = 20 if i == 3 else 10
+                    rows.append((1000 + i, "video", M.encode_avi(fr, fps),
+                                 {"format": "avi", "width": 16,
+                                  "height": 16, "duration_s": 0.6}))
+                else:
+                    if i == 5:              # 16 kHz resample → exact
+                        fq = _freqs(4)
+                    elif i == 6:            # resample + 1 edit → near
+                        fq = _freqs(5)
+                        fq[7] = 3900
+                    else:                   # novel 16 kHz clip
+                        fq = [3820 + 40 * ((3 * k) % 5) for k in range(20)]
+                    rows.append((2000 + (i - 5), "audio",
+                                 M.encode_wav(_tone(fq, 16000), 16000),
+                                 {"format": "wav", "width": None,
+                                  "height": None, "duration_s": 1.28}))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "content", "meta"])
+
+    batch = spark.range(8).mapInPandas(batch_gen, schema=M.MEDIA_SCHEMA)
+    return (MI.classify_media_batch(spark, batch, idx)
+            .select("media_id", "verdict", "match_id")
+            .orderBy("media_id"))
+
+
+_df("media_index_rate_normalized", _media_index_rate_normalized, oracle="""
+select case when i < 5 then 1000 + i else 2000 + (i - 5) end as media_id,
+       case when i < 2 then 'near_dup'
+            when i = 2 then 'novel'
+            when i = 3 then 'exact_dup'
+            when i = 4 then 'novel'
+            when i = 5 then 'exact_dup'
+            when i = 6 then 'near_dup'
+            else 'novel' end as verdict,
+       case when i < 2 then cast(i as bigint)
+            when i = 3 then cast(3 as bigint)
+            when i = 5 then cast(4 as bigint)
+            when i = 6 then cast(5 as bigint)
+            else null end as match_id
+from (select range as i from range(8))
+order by media_id
+""")
+
+
 def _pipeline_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023) — score every raw doc by
     hashed-bigram importance weight ln p_target/q_raw (target = the
@@ -6930,6 +7065,7 @@ _DRIVER_WINDOW = [
     # query-string URLs, so its r9 evidence describes old outputs:
     "crawl_robots_gate",
     # (d) new in r10 (slots freed by the merges):
+    "media_index_rate_normalized",
 ]
 # window budget: up to 50 checked by the driver. Rotated-out names stay
 # in QUERIES (checkable any round; the full local sweep covers all of

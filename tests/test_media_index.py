@@ -283,3 +283,41 @@ def test_media_index_rejects_bad_band_params(spark):
     with pytest.raises(ValueError, match="full recall"):
         MI.build_media_index(df, tempfile.mkdtemp(), bands=8,
                              max_hamming=8)
+
+
+def test_media_index_rate_normalized_positions(spark):
+    """Variable-RATE re-encodes: an fps-halved video copy and a
+    resampled audio copy rescale every position, so offset voting alone
+    misses them; canonical-rate position sampling must pair both with
+    their sources. The audio resample reproduces the exact bin string
+    (canonical-duration windows → rate-independent bin indices), so it
+    lands exact_dup; the video's exact string still carries all frames,
+    so the halved copy is near_dup."""
+    frames20 = np.stack([_pixels(5000 + f) for f in range(12)])
+    def _tone_at(freqs, rate):
+        seg = rate // 8000 * 512
+        t = np.arange(seg) / float(rate)
+        return np.concatenate([
+            np.round(8000 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+            for f in freqs])
+
+    base = [400 + 40 * ((7 * k * k + k) % 83) for k in range(20)]
+    corpus = _media_df(spark, [
+        (0, M.encode_avi(frames20, 20)),          # 6 canonical positions
+        (1, M.encode_wav(_tone_at(base, 8000), 8000)),
+    ])
+    idx = tempfile.mkdtemp(prefix="t_media_rate_")
+    MI.build_media_index(corpus, idx)
+
+    edited = list(base)
+    edited[9] = 3900
+    batch = _media_df(spark, [
+        (100, M.encode_avi(frames20[0::2], 10)),  # fps-halved → near
+        (101, M.encode_wav(_tone_at(base, 16000), 16000)),    # → exact
+        (102, M.encode_wav(_tone_at(edited, 16000), 16000)),  # → near
+    ])
+    got = {r["media_id"]: r for r in
+           MI.classify_media_batch(spark, batch, idx).collect()}
+    assert got[100]["verdict"] == "near_dup" and got[100]["match_id"] == 0
+    assert got[101]["verdict"] == "exact_dup" and got[101]["match_id"] == 1
+    assert got[102]["verdict"] == "near_dup" and got[102]["match_id"] == 1
