@@ -385,6 +385,31 @@ def robots_filter(df: DataFrame, rules: DataFrame,
               .drop("_w", "_rid")
 
 
+def _admit_batch(cand: DataFrame, admitted: DataFrame, counts: DataFrame,
+                 max_per_domain: int, id_col: str) -> DataFrame:
+    """One micro-batch's admission plan (factored out so plan tests can
+    assert its shape): anti-join the candidates' canonical URLs against
+    the admitted state — the ONLY admitted-state scan — and fill each
+    domain's remaining capacity (``max_per_domain − counts.used``) in
+    deterministic md5 order. ``counts`` is the maintained per-domain
+    count table; the admitted state is never re-aggregated here."""
+    from pyspark.sql import Window
+
+    fresh = cand.join(
+        admitted.select(F.col("url_norm").alias("_norm")),
+        "_norm", "left_anti")
+    used = counts.select(F.col("domain").alias("_dom"),
+                         F.col("used").alias("_used"))
+    wd = Window.partitionBy("_dom").orderBy(F.md5("_norm"), id_col)
+    return (fresh.withColumn("_rn", F.row_number().over(wd))
+            .join(used, "_dom", "left")
+            .where(F.col("_rn")
+                   <= max_per_domain - F.coalesce("_used", F.lit(0)))
+            .select(F.col(id_col).alias("id"),
+                    F.col("_norm").alias("url_norm"),
+                    F.col("_dom").alias("domain")))
+
+
 def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
                          checkpoint: str,
                          blocked: DataFrame | None = None,
@@ -404,16 +429,27 @@ def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
     ``max_per_domain − already_admitted(domain)``, and the batch's
     candidates fill it in deterministic md5 order (the same
     hash-not-arrival order as :func:`domain_caps`, so a re-played or
-    re-partitioned batch admits the same set). State is ONE on-disk
-    parquet table ``{state_path}/admitted`` (id, url_norm, domain); the
-    stream restarts from the checkpoint with nothing to rebuild.
+    re-partitioned batch admits the same set). State is TWO on-disk
+    parquet tables: ``{state_path}/admitted`` (id, url_norm, domain)
+    and ``{state_path}/counts`` (domain, used) — the per-domain counts
+    are maintained INCREMENTALLY (old counts ∪ the batch's admit counts,
+    re-aggregated), so per-batch capacity lookup costs O(domains), not
+    a re-aggregation scan of the whole admitted state. The one
+    remaining admitted-state scan per batch is the cross-batch URL
+    anti-join, which no counter can replace. The stream restarts from
+    the checkpoint with nothing to rebuild.
 
     Replay idempotency: ``foreachBatch`` is at-least-once — admitted
     rows are staged durably under the checkpoint before the append
     (appending refreshes the state table, which would invalidate the
     very plan that computed the admits — the dedup-gate lesson), and a
     replay's rows anti-join away on their already-admitted canonical
-    URLs. Precondition: the canonical URL is the stable dedup key.
+    URLs. Counts self-heal: a crash between the admitted append and the
+    counts overwrite (or mid-overwrite) leaves ``sum(used)`` short of
+    the admitted row count — the next batch detects the mismatch (two
+    narrow/metadata-only aggregates) and rebuilds counts from the
+    admitted table once. Precondition: the canonical URL is the stable
+    dedup key.
 
     Returns the started StreamingQuery (caller awaits / stops)."""
     import os
@@ -433,23 +469,34 @@ def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
         cand = (cand.withColumn("_rn", F.row_number().over(wb))
                     .where(F.col("_rn") == 1).drop("_rn"))
         admitted = spark_b.read.parquet(f"{state_path}/admitted")
-        fresh = cand.join(
-            admitted.select(F.col("url_norm").alias("_norm")),
-            "_norm", "left_anti")
-        used = admitted.groupBy(F.col("domain").alias("_dom")) \
-                       .agg(F.count("*").alias("_used"))
-        wd = Window.partitionBy("_dom").orderBy(F.md5("_norm"), id_col)
-        keep = (fresh.withColumn("_rn", F.row_number().over(wd))
-                .join(used, "_dom", "left")
-                .where(F.col("_rn")
-                       <= max_per_domain - F.coalesce("_used", F.lit(0)))
-                .select(F.col(id_col).alias("id"),
-                        F.col("_norm").alias("url_norm"),
-                        F.col("_dom").alias("domain")))
+        counts = spark_b.read.parquet(f"{state_path}/counts")
+        # consistency guard: admitted.count() is parquet-footer-only and
+        # the counts sum is O(domains) — if they disagree, a previous
+        # batch crashed between the admitted append and the counts
+        # overwrite; rebuild counts from admitted once (recovery scan)
+        n_admitted = admitted.count()
+        n_counted = counts.agg(
+            F.coalesce(F.sum("used"), F.lit(0))).first()[0]
+        if n_counted != n_admitted:
+            counts = admitted.groupBy("domain").agg(
+                F.count("*").cast("bigint").alias("used"))
+        keep = _admit_batch(cand, admitted, counts, max_per_domain,
+                            id_col)
         staging = os.path.join(checkpoint, "_gate_staging")
         keep.write.mode("overwrite").parquet(staging)
-        (spark_b.read.parquet(staging)
-         .write.mode("append").parquet(f"{state_path}/admitted"))
+        staged = spark_b.read.parquet(staging)
+        staged.write.mode("append").parquet(f"{state_path}/admitted")
+        # incremental counts: old counts ∪ staged deltas, re-aggregated
+        # — staged to a second dir first (the overwrite would otherwise
+        # invalidate the very plan reading the old counts)
+        new_counts = (counts.unionByName(
+            staged.groupBy("domain").agg(
+                F.count("*").cast("bigint").alias("used")))
+            .groupBy("domain").agg(F.sum("used").alias("used")))
+        cstaging = os.path.join(checkpoint, "_counts_staging")
+        new_counts.write.mode("overwrite").parquet(cstaging)
+        (spark_b.read.parquet(cstaging)
+         .write.mode("overwrite").parquet(f"{state_path}/counts"))
 
     # initialize empty state so the first batch's reads succeed — the
     # id column's type is DERIVED from the stream's id_col (a hardcoded
@@ -463,6 +510,11 @@ def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
         (spark.createDataFrame(
             [], f"id {id_type}, url_norm string, domain string")
          .write.mode("overwrite").parquet(f"{state_path}/admitted"))
+    try:
+        spark.read.parquet(f"{state_path}/counts")
+    except Exception:
+        (spark.createDataFrame([], "domain string, used bigint")
+         .write.mode("overwrite").parquet(f"{state_path}/counts"))
 
     return (stream_df.writeStream
             .foreachBatch(_gate)

@@ -313,6 +313,84 @@ def test_streaming_crawl_gate_caps_across_batches(spark, tmp_path):
     _batch([(600 + i, f"http://aaa.com/p{i}") for i in range(7)])
     _drain()
     assert spark.read.parquet(f"{state}/admitted").count() == 10
+    # the incremental counts table tracks the admitted state exactly
+    cnt = {r.domain: r.used for r in
+           spark.read.parquet(f"{state}/counts").collect()}
+    assert cnt == {"aaa.com": 5, "bbb.org": 5}
+
+
+def test_streaming_crawl_gate_admission_never_reaggregates_state(
+        spark, tmp_path):
+    """The per-batch admission plan scans the admitted state exactly
+    ONCE (the cross-batch URL anti-join, which no counter can replace)
+    and takes per-domain capacity from the maintained counts table —
+    the full-state groupBy re-aggregation of the r9 shape is gone, so
+    per-batch capacity cost is O(domains), not O(admitted rows)."""
+    import pandas as pd
+    admitted_path = str(tmp_path / "admitted")
+    counts_path = str(tmp_path / "counts")
+    (spark.createDataFrame(pd.DataFrame(
+        {"id": [1], "url_norm": ["http://a.com/x"], "domain": ["a.com"]}))
+     .write.parquet(admitted_path))
+    (spark.createDataFrame(pd.DataFrame(
+        {"domain": ["a.com"], "used": [1]}))
+     .write.parquet(counts_path))
+    cand = (spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [2], "url": ["http://a.com/y"]}))
+        .withColumn("_norm", U.normalize_url("url"))
+        .withColumn("_dom", U.registered_domain("url")))
+    keep = U._admit_batch(cand, spark.read.parquet(admitted_path),
+                          spark.read.parquet(counts_path), 5, "doc_id")
+    plan = keep._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    # exactly two parquet scans: admitted once (url_norm only — the
+    # anti-join, column-pruned) and counts once (the capacity lookup);
+    # file paths are truncated in toString, so identify by ReadSchema
+    assert len(scans) == 2, plan
+    assert sum("url_norm:string" in ln and "domain" not in ln
+               for ln in scans) == 1, plan
+    assert sum("used:bigint" in ln for ln in scans) == 1, plan
+    # and nothing aggregates: capacity comes straight from counts, the
+    # admitted state is never re-aggregated
+    assert "HashAggregate" not in plan, plan
+
+
+def test_streaming_crawl_gate_counts_self_heal(spark, tmp_path):
+    """A crash between the admitted append and the counts overwrite
+    leaves counts short; the next batch detects sum(used) !=
+    count(admitted) and rebuilds counts from the admitted state, so
+    caps stay exact."""
+    import pandas as pd
+    state = str(tmp_path / "state")
+    drop = str(tmp_path / "drop")
+    cp = str(tmp_path / "cp")
+
+    def _drain():
+        schema = spark.read.parquet(drop).schema
+        stream = (spark.readStream.schema(schema)
+                  .format("parquet").load(drop))
+        q = U.streaming_crawl_gate(stream, state, cp, max_per_domain=4)
+        assert q.awaitTermination(300)
+
+    (spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(range(3)),
+         "url": [f"http://a.com/p{i}" for i in range(3)]}))
+     .write.mode("append").parquet(drop))
+    _drain()
+    # simulate the crash window: wipe counts back to empty
+    (spark.createDataFrame([], "domain string, used bigint")
+     .write.mode("overwrite").parquet(f"{state}/counts"))
+    # next batch brings 3 more a.com URLs; capacity must be 4-3=1,
+    # which only holds if counts were rebuilt from the admitted state
+    (spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [10, 11, 12],
+         "url": [f"http://a.com/q{i}" for i in range(3)]}))
+     .write.mode("append").parquet(drop))
+    _drain()
+    assert spark.read.parquet(f"{state}/admitted").count() == 4
+    cnt = {r.domain: r.used for r in
+           spark.read.parquet(f"{state}/counts").collect()}
+    assert cnt == {"a.com": 4}
 
 
 # ---------------------------------------------------------------------------
