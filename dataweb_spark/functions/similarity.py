@@ -102,6 +102,39 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           F.round("cos", 6).alias("cos")))
 
 
+def rrf_fuse(ranked: list[DataFrame], k: int = 10, k_rrf: int = 60,
+             id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of N retrieval systems'
+    rankings — the standard way to combine the BM25 lexical arm with
+    the embedding-cosine dense arm in a hybrid RAG stack. Each input is
+    a (query_id, rank, id_col) ranking; a document's fused score is
+
+        rrf_e9 = Σ_systems  10^9 div (k_rrf + rank)
+
+    — INTEGER arithmetic throughout (ranks are ints, div is exact), so
+    the fused ordering is bit-identical across engines. Documents
+    absent from a system's list contribute nothing for it. Returns the
+    top-``k`` per query by (rrf_e9 DESC, id).
+
+    Shape: union of the (already tiny: ≤ per-system k per query) rank
+    lists → one re-agg on (query, id) → windowed top-k. Cost is
+    O(queries · Σ per-system k) — the fusion never touches the corpus."""
+    from pyspark.sql import Window
+    parts = [r.select("query_id", F.col(id_col), F.col("rank"))
+             for r in ranked]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scores = (u.groupBy("query_id", id_col)
+              .agg(F.sum(F.expr(f"1000000000 div ({k_rrf} + rank)"))
+                   .cast("bigint").alias("rrf_e9")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_e9"), id_col)
+    return (scores.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("int").alias("rank"),
+                    id_col, "rrf_e9"))
+
+
 def _random_planes(dim: int, planes: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(planes, dim)

@@ -443,6 +443,81 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
                           F.col("rk").cast("int").alias("rk"), "tfidf"))
 
 
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text",
+              query_id_col: str = "query_id",
+              query_text_col: str = "query_text") -> DataFrame:
+    """Top-k documents per query under Okapi BM25 — the lexical arm of
+    a RAG retrieval stack (the standard partner to the embedding-cosine
+    dense arm; fuse with :func:`similarity.rrf_fuse`).
+
+    INTEGER-EXACT (the lp_e12/lw_e12 pattern): with the standard
+    parameters as exact rationals — k1 = 6/5, b = 3/4 — the tf
+    saturation term is a ratio of bigints,
+
+        tf_comp = 44·tf·T / (20·tf·T + 6·T + 18·dl·N)
+
+    (T = total corpus tokens, N = doc count, dl = doc length), and the
+    Robertson idf ``ln((N+1)/(df+0.5)) = ln((2N+2)/(2df+1))`` is rounded
+    ONCE per term to ``idf_e12`` bigint in the bounded model table. The
+    per-term score ``(idf_e12·44·tf·T) div (den·10^6)`` and its per-doc
+    sum are pure integer arithmetic — bit-identical across engines,
+    reruns and partitionings. Products run ~1e28 at 100 TB-scale T, so
+    they accumulate as decimal(38,0) (DuckDB: hugeint), the PageRank/
+    CCNet overflow discipline.
+
+    Distributed shape: explode → map-side-combined (doc, term) tf —
+    the postings table, from which EVERYTHING else derives (doc length
+    = Σ tf per doc, docfreq = row count per term, corpus stats = 1-row
+    aggregate), so no second tokenization pass exists in the lineage →
+    the QUERY term table (small by construction) broadcasts into tf, so
+    only postings of query terms survive → doc-length join → per-(query,
+    doc) re-agg → windowed top-k per query. No all-pairs anything.
+    Catalyst may still recompute the tf subtree per consumer (column
+    pruning specializes the exchanges); a deployment serving many query
+    batches should persist the postings table once — it IS the inverted
+    index."""
+    from pyspark.sql import Window
+    base = (docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+                .where(F.size("_toks") > 0))
+    tf = (base.select(id_col, F.explode("_toks").alias("term"))
+              .groupBy(id_col, "term")
+              .agg(F.count("*").cast("bigint").alias("tf")))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    stats = dl.agg(F.count("*").cast("bigint").alias("n_docs"),
+                   F.sum("dl").cast("bigint").alias("t_tokens"))
+    qterms = (queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(tokens(query_text_col))).alias("term")))
+    # idf only for the query's terms — a tiny broadcast, never the vocab
+    qidf = (dfreq.join(F.broadcast(qterms.select("term").distinct()),
+                       "term")
+            .crossJoin(F.broadcast(stats))
+            .select("term",
+                    F.round(F.log((2.0 * F.col("n_docs") + 2.0)
+                                  / (2.0 * F.col("df") + 1.0))
+                            * F.lit(1e12)).cast("bigint").alias("idf_e12")))
+    scored = (tf.join(F.broadcast(qterms), "term")
+                .join(F.broadcast(qidf), "term")
+                .join(dl, id_col)
+                .crossJoin(F.broadcast(stats))
+                .withColumn("score_e6_term", F.expr(
+                    "(cast(idf_e12 as decimal(38,0)) * (44 * tf)"
+                    " * t_tokens) div"
+                    " ((20 * tf * cast(t_tokens as decimal(38,0))"
+                    "   + 6 * t_tokens + 18 * dl * n_docs) * 1000000)")
+                    .cast("bigint")))
+    per_doc = (scored.groupBy("query_id", id_col)
+               .agg(F.sum("score_e6_term").cast("bigint")
+                    .alias("score_e6")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_e6"), id_col)
+    return (per_doc.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("int").alias("rank"),
+                    id_col, "score_e6"))
+
+
 def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       alpha: float = 1.0) -> DataFrame:

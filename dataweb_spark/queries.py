@@ -3802,6 +3802,157 @@ order by query_id, rank
 """.replace("{L}", _RAG_LETTERS))
 
 
+# Shared DuckDB CTE block replaying bm25_topk's integer-exact scoring
+# (k1=6/5, b=3/4 as exact rationals; idf rounded once per term to e12;
+# hugeint products — see functions/text.py:bm25_topk). {K} = top-k.
+_BM25_ORACLE_CTES = r"""
+corpus as (
+  select doc_id, string_split_regex(trim(text), '\s+') as toks
+  from documents where doc_id >= 10 and length(trim(text)) > 0),
+dl as (select doc_id, cast(len(toks) as bigint) as dl from corpus),
+tf as (
+  select doc_id, term, cast(count(*) as bigint) as tf
+  from (select doc_id, unnest(toks) as term from corpus)
+  group by doc_id, term),
+dfreq as (select term, cast(count(*) as bigint) as df
+          from tf group by term),
+stats as (select cast(count(*) as bigint) as n_docs,
+                 cast(sum(dl) as bigint) as t_tokens from dl),
+qterms as (
+  select distinct query_id, term from (
+    select doc_id as query_id,
+           unnest(string_split_regex(trim(text), '\s+')) as term
+    from documents where doc_id < 3)),
+qidf as (
+  select d.term,
+         cast(round(ln((2.0 * s.n_docs + 2.0) / (2.0 * d.df + 1.0))
+                    * 1e12) as bigint) as idf_e12
+  from dfreq d
+  join (select distinct term from qterms) q using (term), stats s),
+bm_scored as (
+  select q.query_id, t.doc_id,
+         cast((cast(i.idf_e12 as hugeint) * (44 * t.tf) * s.t_tokens)
+              // ((20 * t.tf * cast(s.t_tokens as hugeint)
+                   + 6 * s.t_tokens + 18 * l.dl * s.n_docs)
+                  * 1000000) as bigint) as score_e6_term
+  from tf t
+  join qterms q using (term)
+  join qidf i using (term)
+  join dl l using (doc_id), stats s),
+bm_per_doc as (
+  select query_id, doc_id, cast(sum(score_e6_term) as bigint) as score_e6
+  from bm_scored group by query_id, doc_id),
+bm_ranked as (
+  select query_id, doc_id, score_e6,
+         row_number() over (partition by query_id
+                            order by score_e6 desc, doc_id) as rank
+  from bm_per_doc)
+"""
+
+
+def _text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (``text.bm25_topk``) — the lexical
+    arm of a RAG stack, INTEGER-EXACT end to end: k1=6/5 and b=3/4 as
+    exact rationals make the tf saturation a bigint ratio, the
+    Robertson idf is rounded once per term to e12 in the bounded model
+    table, and per-doc scores are exact integer sums + div (decimal-38
+    products — DuckDB replays with hugeint). Queries = the texts of
+    docs 0-2, corpus = docs ≥ 10, top-10 per query. The oracle replays
+    the full scoring pipeline in SQL."""
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id >= 10")
+    qs = (spark.table("documents").where("doc_id < 3")
+          .select(F.col("doc_id").alias("query_id"),
+                  F.col("text").alias("query_text")))
+    return T.bm25_topk(docs, qs, k=10).orderBy("query_id", "rank")
+
+
+_df("text_bm25_retrieval", _text_bm25_retrieval, oracle=r"""
+with """ + _BM25_ORACLE_CTES + r"""
+select query_id, cast(rank as int) as rank, doc_id, score_e6
+from bm_ranked where rank <= 10
+order by query_id, rank
+""")
+
+
+def _pipeline_hybrid_retrieval(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: BM25 lexical ranks (top-20) and exact
+    embedding-cosine dense ranks (top-20, the integer-valued
+    letter-frequency encoder so cosines are oracle-exact) fused by
+    reciprocal-rank fusion (``similarity.rrf_fuse``):
+
+        rrf_e9 = Σ_arms 10^9 div (60 + rank)
+
+    — integer arithmetic throughout, so the fused ordering is
+    bit-identical across engines. Top-10 per query by (rrf_e9 DESC,
+    doc_id). The oracle replays both arms and the fusion in SQL.
+    Scale shape: each arm is its own proven plan (query-term broadcast
+    postings join / broadcast-query brute-force scoring); the fusion
+    touches only the ≤ 40 rank rows per query — never the corpus."""
+    from dataweb_spark.functions import similarity as S
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id >= 10")
+    qdocs = spark.table("documents").where("doc_id < 3")
+    lex = T.bm25_topk(
+        docs, qdocs.select(F.col("doc_id").alias("query_id"),
+                           F.col("text").alias("query_text")), k=20)
+    corpus = (docs.select(
+        F.col("doc_id").alias("vec_id"),
+        T.letter_freq_embedding_pd("text").alias("embedding")))
+    corpus = corpus.where(
+        S.dot(F.col("embedding"), F.col("embedding")) > 0)
+    qv = qdocs.select(F.col("doc_id").alias("query_id"),
+                      T.letter_freq_embedding_pd("text").alias("embedding"))
+    dense = (S.brute_force_topk(corpus, qv, k=20, kernel="arrow")
+             .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                     "rank"))
+    fused = S.rrf_fuse([lex.select("query_id", "doc_id", "rank"), dense],
+                       k=10)
+    return fused.orderBy("query_id", "rank")
+
+
+_df("pipeline_hybrid_retrieval", _pipeline_hybrid_retrieval, oracle=r"""
+with """ + _BM25_ORACLE_CTES + r""",
+dvec as (
+  select doc_id, {L} as e
+  from (select doc_id, lower(text) as t from documents where doc_id >= 10)),
+dnz as (
+  select doc_id, e, list_dot_product(e, e) as n2
+  from dvec where list_dot_product(e, e) > 0),
+qvec as (
+  select doc_id as query_id, {L} as e
+  from (select doc_id, lower(text) as t from documents where doc_id < 3)),
+dn_scored as (
+  select q.query_id, c.doc_id,
+         list_dot_product(c.e, q.e)
+           / (sqrt(c.n2) * sqrt(list_dot_product(q.e, q.e))) as raw_cos
+  from dnz c, qvec q),
+dn_ranked as (
+  select query_id, doc_id,
+         row_number() over (partition by query_id
+                            order by raw_cos desc, doc_id) as rank
+  from dn_scored),
+fused as (
+  select query_id, doc_id,
+         cast(sum(1000000000 // (60 + rank)) as bigint) as rrf_e9
+  from (select query_id, doc_id, rank from bm_ranked where rank <= 20
+        union all
+        select query_id, doc_id, rank from dn_ranked where rank <= 20)
+  group by query_id, doc_id),
+final as (
+  select query_id, doc_id, rrf_e9,
+         row_number() over (partition by query_id
+                            order by rrf_e9 desc, doc_id) as rank
+  from fused)
+select query_id, cast(rank as int) as rank, doc_id, rrf_e9
+from final where rank <= 10
+order by query_id, rank
+""".replace("{L}", _RAG_LETTERS))
+
+
 def _text_bpe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING over the corpus (the real scale shape: corpus
     → word histogram in one map-side-combined pass, Zipf-bounded histogram
@@ -7066,6 +7217,8 @@ _DRIVER_WINDOW = [
     "crawl_robots_gate",
     # (d) new in r10 (slots freed by the merges):
     "media_index_rate_normalized",
+    "text_bm25_retrieval",
+    "pipeline_hybrid_retrieval",
 ]
 # window budget: up to 50 checked by the driver. Rotated-out names stay
 # in QUERIES (checkable any round; the full local sweep covers all of

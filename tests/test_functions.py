@@ -721,6 +721,47 @@ def test_tfidf_rare_term_outranks_common(spark):
     assert top == {1: "rare", 2: "other", 3: "filler"}
 
 
+def test_bm25_relevance_and_length_normalization(spark):
+    """BM25 contracts: a doc containing the query's rare term outranks
+    docs without it; with equal tf, the SHORTER doc scores higher (the
+    b-term length normalization); scores are integer fixed-point and
+    the ranking is fully deterministic."""
+    df = spark.createDataFrame(
+        [(10, "alpha beta gamma"),                       # short, has alpha
+         (11, "alpha beta gamma delta epsilon zeta eta " # long, has alpha
+              "theta iota kappa"),
+         (12, "beta gamma delta"),                       # no alpha
+         (13, "beta gamma epsilon")],
+        ["doc_id", "text"])
+    qs = spark.createDataFrame([(0, "alpha")],
+                               ["query_id", "query_text"])
+    got = text.bm25_topk(df, qs, k=4).collect()
+    ranked = [r["doc_id"] for r in got]
+    assert ranked[:2] == [10, 11]          # alpha docs first, short first
+    scores = {r["doc_id"]: r["score_e6"] for r in got}
+    assert scores[10] > scores[11] > 0     # length normalization bites
+    assert all(isinstance(r["score_e6"], int) for r in got)
+    # docs without the term score 0 (no posting joins)
+    assert set(ranked) <= {10, 11, 12, 13} and len(ranked) <= 4
+
+
+def test_rrf_fuse_integer_scores(spark):
+    """RRF fusion is exact integer arithmetic: known rank lists produce
+    the closed-form rrf_e9 = Σ 10^9 div (60 + rank); a doc ranked by
+    both arms beats a doc ranked once."""
+    from dataweb_spark.functions import similarity as S
+    a = spark.createDataFrame([(0, 1, 1), (0, 2, 2)],
+                              ["query_id", "doc_id", "rank"])
+    b = spark.createDataFrame([(0, 1, 2), (0, 3, 1)],
+                              ["query_id", "doc_id", "rank"])
+    got = {r["doc_id"]: (r["rank"], r["rrf_e9"])
+           for r in S.rrf_fuse([a, b], k=3).collect()}
+    e = lambda rk: 10**9 // (60 + rk)
+    assert got[1] == (1, e(1) + e(2))      # both arms
+    assert got[3] == (2, e(1))
+    assert got[2] == (3, e(2))
+
+
 def test_unigram_lm_flags_rare_token_doc(spark):
     """A document of corpus-rare tokens must score a lower average
     log-prob (higher perplexity) than documents of common tokens — the

@@ -288,6 +288,21 @@ def test_robots_filter_broadcast_rules_one_reagg(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bm25_query_terms_broadcast_no_cartesian(spark, sf_dir):
+    """bm25_topk: the query-term and idf tables BROADCAST into the
+    postings (tf) stream — the corpus-wide vocabulary never joins, and
+    nothing goes cartesian; the only wide shuffles are the proven
+    map-side-combined aggregates and the per-query window."""
+    from dataweb_spark.functions import text as T
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = docs.limit(2).selectExpr("doc_id as query_id",
+                                  "text as query_text")
+    plan = _plan(T.bm25_topk(docs, qs, k=5))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_robots_filter_large_table_mode_shuffles(spark, sf_dir):
     """robots_filter(broadcast=False): a full crawl's rule table (10⁷⁺
     domains) must NOT be force-broadcast (executor OOM) — the join

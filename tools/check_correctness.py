@@ -71,7 +71,11 @@ def normalize(rows: list[tuple],
 _ROUND_DERIVED_COLS = {
     "nll_e9", "min_nll_e9", "max_nll_e9", "avg_nll_e9",  # round(ln·1e12)
     "weight_e4",                                         # DSIR log-ratio
+    "score_e6",                                          # BM25 idf_e12
 }
+# NOT listed on purpose: rrf_e9 (pure-integer rank fusion),
+# dup_rate_e6/avg_chars_e4/empty_frac_e6 (integer div of counts) — a ±1
+# there is a real bug.
 
 
 def _only_fixed_point_off_by_one(cols: list[str],
