@@ -88,6 +88,59 @@ def mean_word_length(col: str | Column = "text") -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(total.cast("double") / n)
 
 
+# Encoding-damage regexes (Java∩RE2 so SQL oracles replay them exactly):
+# C0/C1-range control characters minus \t\n\r; the classic UTF-8-read-
+# as-Latin-1 mojibake digraphs (Ã+continuation for 2-byte sequences like
+# é→Ã©, â€x for the 3-byte punctuation family ’ “ ” – —, and Â before
+# NBSP-class bytes); printable-ASCII-or-whitespace for the ascii ratio.
+_CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_MOJIBAKE_RE = r"(Ã[\x80-\xbf]|â€.|Â[\xa0 ])"
+_ASCII_CLASS = r"[\x20-\x7e\t\n\r]"
+
+
+def encoding_quality(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document encoding-damage signals — the cheap byte-hygiene
+    gate a web pipeline runs before any tokenizer sees the text:
+
+    * ``n_replacement`` — U+FFFD count: a decoder already met invalid
+      bytes upstream and papered over them;
+    * ``n_control``     — C0/C1-range control characters (minus
+      ``\\t\\n\\r``): binary junk or charset confusion;
+    * ``n_mojibake``    — classic UTF-8-decoded-as-Latin-1 digraphs
+      (``Ã©``-class 2-byte, ``â€™``-class 3-byte punctuation, ``Â`` +
+      NBSP): the text survived a wrong round-trip and needs re-decode,
+      not filtering;
+    * ``ascii_ratio_e6`` — printable-ASCII+whitespace chars per million
+      (INTEGER fixed point: ``(n_ascii·10^6) div n_chars`` — exact, not
+      a rounded float), a cheap proxy for "script matches the declared
+      language" when combined with lang metadata;
+    * ``enc_suspect``   — any damage counter nonzero.
+
+    One codegen projection (four ``regexp_count``/length expressions),
+    zero shuffles, zero Python — linear at 100 TB like the rest of the
+    quality layer. Empty docs report zero counters and ratio 10^6."""
+    c = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.length(c).cast("bigint").alias("n_chars"),
+        F.regexp_count(c, F.lit("�")).cast("bigint")
+         .alias("n_replacement"),
+        F.regexp_count(c, F.lit(_CTRL_CLASS)).cast("bigint")
+         .alias("n_control"),
+        F.regexp_count(c, F.lit(_MOJIBAKE_RE)).cast("bigint")
+         .alias("n_mojibake"),
+        F.regexp_count(c, F.lit(_ASCII_CLASS)).cast("bigint")
+         .alias("_n_ascii"))
+    return base.select(
+        id_col, "n_chars", "n_replacement", "n_control", "n_mojibake",
+        F.expr("case when n_chars = 0 then 1000000"
+               " else (_n_ascii * 1000000) div n_chars end")
+         .cast("bigint").alias("ascii_ratio_e6"),
+        ((F.col("n_replacement") > 0) | (F.col("n_control") > 0)
+         | (F.col("n_mojibake") > 0)).alias("enc_suspect"))
+
+
 def quality_score(col: str | Column = "text") -> Column:
     """Composite heuristic quality score in [0, 1].
 

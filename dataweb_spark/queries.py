@@ -2101,6 +2101,80 @@ order by doc_id
 """)
 
 
+_ENC_DAMAGE_SQL = """
+        select doc_id,
+               text
+               || case when doc_id % 7 = 0
+                       then ' cafÃ© naÃ¯ve' else '' end
+               || case when doc_id % 11 = 0
+                       then ' bad�byte�' else '' end
+               || case when doc_id % 13 = 0
+                       then chr(7) || chr(27) else '' end
+               || case when doc_id % 5 = 0
+                       then ' â€œquoteâ€™ â€” dash' else '' end
+               as text
+        from documents"""
+
+
+def _text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage gate (``text.encoding_quality``) — the byte-
+    hygiene pass a web pipeline runs before any tokenizer: U+FFFD
+    replacement chars, C0-range control chars, UTF-8-read-as-Latin-1
+    mojibake digraphs (``Ã©``/``â€™`` class), and an INTEGER printable-
+    ASCII ratio (``(n_ascii·10^6) div n_chars`` — exact, not a rounded
+    float). Damage is injected in closed form by doc_id residue class
+    (7→mojibake accents, 11→replacement chars, 13→control bytes,
+    5→mojibake punctuation); the oracle replays every regex count and
+    the div in SQL. One codegen projection + one tiny aggregate."""
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    corrupted = spark.sql(_ENC_DAMAGE_SQL)
+    m = T.encoding_quality(corrupted)
+    return (m.groupBy("enc_suspect")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_replacement").cast("bigint").alias("sum_repl"),
+                 F.sum("n_control").cast("bigint").alias("sum_ctrl"),
+                 F.sum("n_mojibake").cast("bigint").alias("sum_moji"),
+                 F.min("ascii_ratio_e6").alias("min_ascii_e6"),
+                 F.sum("ascii_ratio_e6").cast("bigint")
+                  .alias("sum_ascii_e6"))
+            .orderBy("enc_suspect"))
+
+
+_df("text_encoding_quality", _text_encoding_quality, oracle=r"""
+with corrupted as (""" + _ENC_DAMAGE_SQL + r"""),
+m as (
+  select doc_id,
+         cast(length(text) as bigint) as n_chars,
+         cast(len(regexp_extract_all(text, '�')) as bigint)
+           as n_replacement,
+         cast(len(regexp_extract_all(text,
+              '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) as bigint) as n_control,
+         cast(len(regexp_extract_all(text,
+              '(Ã[\x80-\xbf]|â€.|Â[\xa0 ])')) as bigint) as n_mojibake,
+         cast(len(regexp_extract_all(text, '[\x20-\x7e\t\n\r]')) as bigint)
+           as n_ascii
+  from corrupted),
+m2 as (
+  select *,
+         case when n_chars = 0 then 1000000
+              else (n_ascii * 1000000) // n_chars end as ascii_ratio_e6,
+         (n_replacement > 0 or n_control > 0 or n_mojibake > 0)
+           as enc_suspect
+  from m)
+select enc_suspect,
+       count(*) as n_docs,
+       cast(sum(n_replacement) as bigint) as sum_repl,
+       cast(sum(n_control) as bigint) as sum_ctrl,
+       cast(sum(n_mojibake) as bigint) as sum_moji,
+       min(ascii_ratio_e6) as min_ascii_e6,
+       cast(sum(ascii_ratio_e6) as bigint) as sum_ascii_e6
+from m2
+group by enc_suspect
+order by enc_suspect
+""")
+
+
 def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataweb_spark.functions import text as T
     register_views(spark, sf_dir)
@@ -7219,6 +7293,7 @@ _DRIVER_WINDOW = [
     "media_index_rate_normalized",
     "text_bm25_retrieval",
     "pipeline_hybrid_retrieval",
+    "text_encoding_quality",
 ]
 # window budget: up to 50 checked by the driver. Rotated-out names stay
 # in QUERIES (checkable any round; the full local sweep covers all of

@@ -721,6 +721,31 @@ def test_tfidf_rare_term_outranks_common(spark):
     assert top == {1: "rare", 2: "other", 3: "filler"}
 
 
+def test_encoding_quality_signals(spark):
+    """Each damage class is counted by its own signal: U+FFFD, C0
+    control chars, and UTF-8-as-Latin-1 mojibake digraphs; clean and
+    empty docs are not suspect; the ascii ratio is an exact integer
+    div (empty → 10^6)."""
+    df = spark.createDataFrame(
+        [(0, "clean ascii text"),
+         (1, "cafÃ© naÃ¯ve"),                # 2 mojibake accents
+         (2, "bad�byte�"),                   # 2 replacement chars
+         (3, "ctl\x07\x1bhere"),             # 2 control chars
+         (4, "â€œquoteâ€™ â€” dash"),        # 3 mojibake punct digraphs
+         (5, "")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           text.encoding_quality(df).collect()}
+    assert not got[0]["enc_suspect"] and got[0]["ascii_ratio_e6"] == 10**6
+    assert got[1]["n_mojibake"] == 2 and got[1]["enc_suspect"]
+    assert got[2]["n_replacement"] == 2
+    assert got[3]["n_control"] == 2
+    assert got[4]["n_mojibake"] == 3
+    # exact integer div: 9 chars, 7 ascii → 7000000 div 9
+    assert got[2]["ascii_ratio_e6"] == 7 * 10**6 // 9
+    assert not got[5]["enc_suspect"] and got[5]["ascii_ratio_e6"] == 10**6
+
+
 def test_bm25_relevance_and_length_normalization(spark):
     """BM25 contracts: a doc containing the query's rare term outranks
     docs without it; with equal tf, the SHORTER doc scores higher (the
