@@ -124,6 +124,11 @@ EXTRAS = [
     "pipeline_temperature_mixture",
     "streaming_crawl_gate",
     "crawl_robots_gate",
+    # r10 additions
+    "media_index_rate_normalized",
+    "text_bm25_retrieval",
+    "pipeline_hybrid_retrieval",
+    "text_encoding_quality",
 ]
 
 
