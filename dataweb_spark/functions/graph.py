@@ -81,3 +81,55 @@ def pagerank_integer(edges: DataFrame, k: int = 5,
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             scores = scores.localCheckpoint(eager=True)
     return scores
+
+
+def anchor_profile(links: DataFrame, k: int = 3,
+                   src_col: str = "src_url", dst_col: str = "dst_url",
+                   anchor_col: str = "anchor") -> DataFrame:
+    """Per-target-domain anchor-text profile — the other classic
+    link-graph curation signal beside :func:`pagerank_integer`: how
+    OTHER sites describe a page is a spam-resistant quality/topic
+    signal (anchor text powered early web search ranking, and crawl
+    pipelines still use in-link counts and anchor vocabularies to
+    prioritize fetches and weight documents).
+
+    For every target REGISTERED domain (self-links — same registered
+    domain on both ends — excluded, the standard anti-nepotism rule):
+
+    * ``n_inlinks``         — external links pointing at it (parallel
+                              links count: multiplicity is weight);
+    * ``n_linking_domains`` — DISTINCT external source domains (one
+                              domain linking a million times counts
+                              once — the spam-resistant form);
+    * top-``k`` anchor terms by frequency (ties by term asc), one row
+      per (domain, rk, term, term_n).
+
+    Distributed shape: one projection to (src_dom, dst_dom, anchor) —
+    URLs/anchors never shuffle whole pages — then two map-side-combined
+    aggregates on the narrow dst-domain key plus one windowed top-k;
+    the distinct-domain count is the only extra shuffle. All JVM,
+    SQL-oracle replayable."""
+    from pyspark.sql import Window
+
+    from dataweb_spark.functions.text import tokens
+    from dataweb_spark.functions.urls import registered_domain
+
+    base = (links.select(
+        registered_domain(src_col).alias("_src_dom"),
+        registered_domain(dst_col).alias("domain"),
+        F.col(anchor_col).alias("_anchor"))
+        .where(F.col("_src_dom") != F.col("domain")))
+    counts = (base.groupBy("domain")
+              .agg(F.count("*").cast("bigint").alias("n_inlinks"),
+                   F.countDistinct("_src_dom").cast("bigint")
+                    .alias("n_linking_domains")))
+    terms = (base.select("domain",
+                         F.explode(tokens("_anchor")).alias("term"))
+             .groupBy("domain", "term")
+             .agg(F.count("*").cast("bigint").alias("term_n")))
+    w = Window.partitionBy("domain").orderBy(F.desc("term_n"), "term")
+    top = (terms.withColumn("rk", F.row_number().over(w))
+           .where(F.col("rk") <= k))
+    return (top.join(counts, "domain")
+            .select("domain", "n_inlinks", "n_linking_domains",
+                    F.col("rk").cast("int").alias("rk"), "term", "term_n"))

@@ -7217,6 +7217,75 @@ _df("graph_pagerank_domains", _graph_pagerank_domains,
     oracle=_duck_pagerank_sql())
 
 
+_ANCHOR_LINKS_SQL = """
+        select
+          'http://s' || (doc_id % 23) || '.com/p' || doc_id as src_url,
+          case when doc_id % 13 = 0
+               then 'http://s' || (doc_id % 23) || '.com/x'
+               else 'http://d' || (doc_id % 17) || '.org/page'
+                    || (doc_id % 3) end as dst_url,
+          case cast(doc_id % 5 as int)
+            when 0 then 'click here'
+            when 1 then 'best spark engine'
+            when 2 then 'spark engine docs'
+            when 3 then 'data pipeline guide'
+            else 'home' end as anchor
+        from documents"""
+
+
+def _graph_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text link profile (``graph.anchor_profile``) — the other
+    classic link-graph curation signal beside PageRank: per target
+    registered domain, external in-link count, DISTINCT linking domains
+    (the spam-resistant authority proxy), and the top-2 anchor terms by
+    frequency (ties by term asc). Links are synthesized in closed form
+    from doc_id residues; every 13th link is a SELF-link (same
+    registered domain both ends) that the anti-nepotism rule must drop.
+    The oracle replays domain extraction, the self-link filter, term
+    splitting, both aggregates and the windowed top-k in SQL."""
+    from dataweb_spark.functions import graph as G
+    register_views(spark, sf_dir)
+    links = spark.sql(_ANCHOR_LINKS_SQL)
+    return (G.anchor_profile(links, k=2)
+            .orderBy("domain", "rk"))
+
+
+_df("graph_anchor_profile", _graph_anchor_profile, oracle=r"""
+with links as (""" + _ANCHOR_LINKS_SQL + r"""),
+base as (
+  select 's' || regexp_extract(src_url, 'http://s([0-9]+)\.com', 1)
+           || '.com' as src_dom,
+         case when dst_url like 'http://s%'
+              then 's' || regexp_extract(dst_url,
+                                         'http://s([0-9]+)\.com', 1)
+                   || '.com'
+              else 'd' || regexp_extract(dst_url,
+                                         'http://d([0-9]+)\.org', 1)
+                   || '.org' end as domain,
+         anchor
+  from links),
+ext as (select * from base where src_dom <> domain),
+counts as (
+  select domain, cast(count(*) as bigint) as n_inlinks,
+         cast(count(distinct src_dom) as bigint) as n_linking_domains
+  from ext group by domain),
+terms as (
+  select domain, u.term, cast(count(*) as bigint) as term_n
+  from ext, unnest(string_split_regex(trim(anchor), '\s+')) as u(term)
+  group by domain, u.term),
+top as (
+  select domain, term, term_n,
+         row_number() over (partition by domain
+                            order by term_n desc, term) as rk
+  from terms)
+select t.domain, c.n_inlinks, c.n_linking_domains,
+       cast(t.rk as int) as rk, t.term, t.term_n
+from top t join counts c using (domain)
+where t.rk <= 2
+order by t.domain, t.rk
+""")
+
+
 # ===========================================================================
 # Driver window ordering
 # ===========================================================================
@@ -7294,6 +7363,7 @@ _DRIVER_WINDOW = [
     "text_bm25_retrieval",
     "pipeline_hybrid_retrieval",
     "text_encoding_quality",
+    "graph_anchor_profile",
 ]
 # window budget: up to 50 checked by the driver. Rotated-out names stay
 # in QUERIES (checkable any round; the full local sweep covers all of

@@ -59,3 +59,24 @@ def test_pagerank_no_bigint_overflow_on_huge_mass(spark):
     want = base + (init * 85) // 100   # exact in Python's unbounded ints
     assert r[1] == want
     assert r[1] > 0
+
+
+def test_anchor_profile_counts_and_self_link_rule(spark):
+    """External in-links count with multiplicity, distinct linking
+    domains count each source domain once, self-links (same registered
+    domain both ends) are excluded, and the top-k terms rank by
+    frequency with term-asc ties."""
+    links = spark.createDataFrame(
+        [("http://a.com/1", "http://t.org/p", "best spark docs"),
+         ("http://b.com/1", "http://t.org/p", "spark docs"),
+         ("http://b.com/2", "http://t.org/p", "spark home"),
+         ("http://t.org/self", "http://t.org/p", "me me me"),
+         ("http://a.com/9", "http://u.org/q", "click here")],
+        ["src_url", "dst_url", "anchor"])
+    rows = G.anchor_profile(links, k=2).orderBy("domain", "rk").collect()
+    t = [r for r in rows if r.domain == "t.org"]
+    assert t[0].n_inlinks == 3 and t[0].n_linking_domains == 2
+    assert [(r.rk, r.term, r.term_n) for r in t] == \
+        [(1, "spark", 3), (2, "docs", 2)]
+    u = [r for r in rows if r.domain == "u.org"]
+    assert u[0].n_inlinks == 1 and u[0].n_linking_domains == 1
