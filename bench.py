@@ -129,6 +129,7 @@ EXTRAS = [
     "text_bm25_retrieval",
     "pipeline_hybrid_retrieval",
     "text_encoding_quality",
+    "graph_anchor_profile",
 ]
 
 
