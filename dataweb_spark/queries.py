@@ -7364,6 +7364,12 @@ _DRIVER_WINDOW = [
     "pipeline_hybrid_retrieval",
     "text_encoding_quality",
     "graph_anchor_profile",
+    # (e) three r7-age names pulled FORWARD into the spare slots (the
+    # r7 cohort is 49 strong — every early refresh trims the r11
+    # rotation): the deepest moving-parts representatives first.
+    "fed_six_relay_provenance",
+    "dedup_remove_spans",
+    "asof_join_purchase_click",
 ]
 # window budget: up to 50 checked by the driver. Rotated-out names stay
 # in QUERIES (checkable any round; the full local sweep covers all of
