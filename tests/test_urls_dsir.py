@@ -491,6 +491,22 @@ def test_robots_filter_matches_path_plus_query(spark):
         assert (u in kept) == want, u
 
 
+def test_robots_filter_modes_agree(spark):
+    """broadcast=True and broadcast=False are the same operator at two
+    plan shapes — identical admitted sets on the full rule-matrix
+    fixture (longest-match, anchors, allow-ties, query matching)."""
+    rules = U.parse_robots(_robots_df(spark))
+    urls = ["http://a.com/public/x", "http://a.com/private/secret",
+            "http://a.com/private/ok/page", "http://a.com/tmp",
+            "http://a.com/tmpfile", "http://b.org/blocked/page",
+            "http://b.org/fine", "http://c.net/anything"]
+    df = _urls_df(spark, urls)
+    a = {r.url for r in U.robots_filter(df, rules).collect()}
+    b = {r.url for r in
+         U.robots_filter(df, rules, broadcast=False).collect()}
+    assert a == b and a  # same verdicts, non-empty
+
+
 def test_robots_filter_preserves_duplicate_rows(spark):
     """The winner re-aggregate keys on a transient row id, so two
     IDENTICAL input rows both survive (a groupBy over all columns would
