@@ -735,6 +735,50 @@ def html_to_text(col: str | Column = "text") -> Column:
     return F.trim(c)
 
 
+def html_extract_tables(df: DataFrame, id_col: str = "doc_id",
+                        html_col: str = "html") -> DataFrame:
+    """Extract HTML ``<table>`` contents into relational cell rows —
+    the structured-data sibling of :func:`html_to_text`: crawl-scale
+    pipelines mine tables for facts/QA pairs, and a table flattened to
+    prose by the text extractor is lost for that purpose.
+
+    One row per cell: ``(id, table_idx, row_idx, col_idx, is_header,
+    cell_text)`` — indices positional within document/table/row,
+    ``is_header`` true for ``<th>`` cells, ``cell_text`` tag-stripped,
+    entity-decoded and whitespace-collapsed.
+
+    Three nested ``regexp_extract_all`` + ``posexplode`` stages
+    (table → tr → td/th), every pattern in the Java∩RE2 subset
+    (``(?is)`` inline flags, non-greedy spans) so a SQL oracle replays
+    the extraction verbatim. Map-only: the explodes pipeline inside one
+    stage, pages never shuffle. Documented limits (the regex tier of a
+    real pipeline): nested tables stop at the first ``</table>``;
+    colspan/rowspan are not expanded (indices stay positional)."""
+    tbl = F.regexp_extract_all(
+        F.col(html_col), F.lit(r"(?is)<table[^>]*>(.*?)</table>"), 1)
+    d1 = df.select(F.col(id_col),
+                   F.posexplode(tbl).alias("table_idx", "_tbl"))
+    rows = F.regexp_extract_all(
+        F.col("_tbl"), F.lit(r"(?is)<tr[^>]*>(.*?)</tr>"), 1)
+    d2 = d1.select(id_col, "table_idx",
+                   F.posexplode(rows).alias("row_idx", "_row"))
+    # group 0 (full match) keeps the opening tag so <th> is detectable
+    cells = F.regexp_extract_all(
+        F.col("_row"), F.lit(r"(?is)<t[dh][^>]*>.*?</t[dh]>"), 0)
+    d3 = d2.select(id_col, "table_idx", "row_idx",
+                   F.posexplode(cells).alias("col_idx", "_cell"))
+    text = F.regexp_replace(F.col("_cell"), r"(?is)<[^>]*>", " ")
+    for ent, ch in HTML_ENTITIES:
+        text = F.replace(text, F.lit(ent), F.lit(ch))
+    text = F.trim(F.regexp_replace(text, r"\s+", " "))
+    return d3.select(
+        id_col,
+        F.col("table_idx").cast("int"), F.col("row_idx").cast("int"),
+        F.col("col_idx").cast("int"),
+        (F.lower(F.substring("_cell", 1, 3)) == "<th").alias("is_header"),
+        text.alias("cell_text"))
+
+
 # ===========================================================================
 # C4-style line-level cleaning
 # ===========================================================================

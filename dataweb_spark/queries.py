@@ -2175,6 +2175,81 @@ order by enc_suspect
 """)
 
 
+_TABLE_HTML_SQL = """
+        select doc_id,
+          '<html><body><p>intro text</p>'
+          || '<table><tr><th>K</th><th>V</th></tr>'
+          || '<tr><td>k' || doc_id || '</td><td> <b>v</b> &amp; '
+          || (doc_id % 7) || '</td></tr>'
+          || case when doc_id % 3 = 0
+                  then '<tr><td>extra</td><td>row&nbsp;'
+                       || (doc_id % 5) || '</td></tr>'
+                  else '' end
+          || '</table>'
+          || case when doc_id % 4 = 0
+                  then '<table><tr><td>solo' || doc_id
+                       || '</td></tr></table>'
+                  else '' end
+          || '</body></html>' as html
+        from documents where doc_id < 30"""
+
+
+def _text_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction (``text.html_extract_tables``) — tables
+    mined from crawl pages into relational (table, row, col, cell)
+    rows with header detection, tag stripping and entity decoding;
+    the structured-data sibling of the prose extractor (a table
+    flattened to text is lost for fact/QA mining). Pages synthesized
+    in closed form (multi-table docs every 4th id, 3-row tables every
+    3rd, inline tags + entities in cells); the oracle replays the three
+    nested regexp_extract_all stages and the cleanup chain in SQL.
+    (Lands outside the full r10 driver window — swept locally; r11
+    window candidate.)"""
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    pages = spark.sql(_TABLE_HTML_SQL)
+    return (T.html_extract_tables(pages)
+            .orderBy("doc_id", "table_idx", "row_idx", "col_idx"))
+
+
+_df("text_html_tables", _text_html_tables, oracle=r"""
+with pages as (""" + _TABLE_HTML_SQL + r"""),
+t1 as (select doc_id,
+              regexp_extract_all(html,
+                  '(?is)<table[^>]*>(.*?)</table>', 1) as tbls
+       from pages),
+t2 as (select doc_id, unnest(range(1, len(tbls) + 1)) as ti, tbls
+       from t1),
+t3 as (select doc_id, cast(ti - 1 as int) as table_idx,
+              regexp_extract_all(tbls[ti],
+                  '(?is)<tr[^>]*>(.*?)</tr>', 1) as rws
+       from t2),
+t4 as (select doc_id, table_idx,
+              unnest(range(1, len(rws) + 1)) as ri, rws
+       from t3),
+t5 as (select doc_id, table_idx, cast(ri - 1 as int) as row_idx,
+              regexp_extract_all(rws[ri],
+                  '(?is)<t[dh][^>]*>.*?</t[dh]>', 0) as cls
+       from t4),
+t6 as (select doc_id, table_idx, row_idx,
+              unnest(range(1, len(cls) + 1)) as ci, cls
+       from t5),
+t7 as (select doc_id, table_idx, row_idx,
+              cast(ci - 1 as int) as col_idx, cls[ci] as cell
+       from t6)
+select doc_id, table_idx, row_idx, col_idx,
+       lower(substring(cell, 1, 3)) = '<th' as is_header,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(
+           regexp_replace(cell, '(?is)<[^>]*>', ' ', 'g'),
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+         '\s+', ' ', 'g')) as cell_text
+from t7
+order by doc_id, table_idx, row_idx, col_idx
+""")
+
+
 def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataweb_spark.functions import text as T
     register_views(spark, sf_dir)

@@ -721,6 +721,30 @@ def test_tfidf_rare_term_outranks_common(spark):
     assert top == {1: "rare", 2: "other", 3: "filler"}
 
 
+def test_html_extract_tables_cells_and_headers(spark):
+    """Cells come back in document order with positional indices,
+    <th> flags as header (case-insensitive tags), inline tags strip,
+    entities decode, and table-less docs emit nothing."""
+    html = ('<html><p>pre</p><TABLE class="x"><tr><TH>Name</TH>'
+            '<th>Qty</th></tr><tr><td> <b>ab</b> &amp; c </td>'
+            '<td>2</td></tr></TABLE>'
+            'mid<table><tr><td>solo&nbsp;cell</td></tr></table></html>')
+    df = spark.createDataFrame([(0, html), (1, "<p>no tables</p>")],
+                               ["doc_id", "html"])
+    got = [((r.doc_id, r.table_idx, r.row_idx, r.col_idx),
+            (r.is_header, r.cell_text))
+           for r in text.html_extract_tables(df)
+           .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+           .collect()]
+    assert got == [
+        ((0, 0, 0, 0), (True, "Name")),
+        ((0, 0, 0, 1), (True, "Qty")),
+        ((0, 0, 1, 0), (False, "ab & c")),
+        ((0, 0, 1, 1), (False, "2")),
+        ((0, 1, 0, 0), (False, "solo cell")),
+    ]
+
+
 def test_encoding_quality_signals(spark):
     """Each damage class is counted by its own signal: U+FFFD, C0
     control chars, and UTF-8-as-Latin-1 mojibake digraphs; clean and
