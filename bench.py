@@ -130,6 +130,7 @@ EXTRAS = [
     "pipeline_hybrid_retrieval",
     "text_encoding_quality",
     "graph_anchor_profile",
+    "text_html_tables",
 ]
 
 
