@@ -102,7 +102,10 @@ def anchor_profile(links: DataFrame, k: int = 3,
                               domain linking a million times counts
                               once — the spam-resistant form);
     * top-``k`` anchor terms by frequency (ties by term asc), one row
-      per (domain, rk, term, term_n).
+      per (domain, rk, term, term_n). A domain whose external anchors
+      yield no tokens at all (image links, empty anchor text) still
+      reports its counts in ONE row with null rk/term — in-link
+      authority must not vanish with the vocabulary.
 
     Distributed shape: one projection to (src_dom, dst_dom, anchor) —
     URLs/anchors never shuffle whole pages — then two map-side-combined
@@ -130,6 +133,8 @@ def anchor_profile(links: DataFrame, k: int = 3,
     w = Window.partitionBy("domain").orderBy(F.desc("term_n"), "term")
     top = (terms.withColumn("rk", F.row_number().over(w))
            .where(F.col("rk") <= k))
-    return (top.join(counts, "domain")
+    # counts is the authoritative grain: LEFT join so a domain with no
+    # anchor tokens keeps its counts row (null term columns)
+    return (counts.join(top, "domain", "left")
             .select("domain", "n_inlinks", "n_linking_domains",
                     F.col("rk").cast("int").alias("rk"), "term", "term_n"))

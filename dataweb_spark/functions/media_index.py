@@ -161,14 +161,22 @@ def media_signatures(media: DataFrame,
                 all_sigs = [M._ahash64_exact(fr) for fr in frames]
                 parts = [f"{fs:016x}:{w}x{h}:{int(fr.sum())}"
                          for fs, fr in zip(all_sigs, frames)]
-                # rate-normalized positions: the frame nearest each
-                # canonical tick t/canon_video_rate — an fps-halved
-                # re-encode (every other frame at half the rate) lands
-                # on the same source frames at the same ticks
-                n_pos = max(1, int(round(n / fps * canon_video_rate)))
-                step = fps / canon_video_rate
-                fsigs = [all_sigs[min(n - 1, int(round(t * step)))]
-                         for t in range(n_pos)]
+                if fps > 0:
+                    # rate-normalized positions: the frame nearest each
+                    # canonical tick t/canon_video_rate — an fps-halved
+                    # re-encode (every other frame at half the rate)
+                    # lands on the same source frames at the same ticks
+                    n_pos = max(1, int(round(n / fps * canon_video_rate)))
+                    step = fps / canon_video_rate
+                    fsigs = [all_sigs[min(n - 1, int(round(t * step)))]
+                             for t in range(n_pos)]
+                else:
+                    # decoders return fps=0 when rate metadata is absent
+                    # (no strh/stts): no time base exists, so positions
+                    # fall back to the stored frames — degraded recall
+                    # against rate-changed copies, but one metadata-poor
+                    # blob must never fail the batch
+                    fsigs = all_sigs
                 return kind, "v:" + "|".join(parts), None, fsigs
             if kind == "audio":
                 rate, samples = M.decode_audio(content)
@@ -244,7 +252,17 @@ def _load_params(spark: SparkSession, path: str) -> dict:
     text = _fs_read_text(spark, f"{path}/{_META}")
     if text is None:
         raise ValueError(f"no media index at {path}")
-    return json.loads(text)
+    params = json.loads(text)
+    if "canon_video_rate" not in params:
+        # An index whose vhash rows predate rate normalization holds one
+        # position PER STORED FRAME; comparing canonical-tick batch
+        # positions against it makes the offsets vary with position and
+        # near-dup recall silently collapses. Refuse instead of degrade.
+        raise ValueError(
+            f"media index at {path} predates canonical-rate position "
+            "signatures (no canon_video_rate in meta.json) — rebuild it "
+            "with build_media_index before classifying new batches")
+    return params
 
 
 def classify_media_batch(spark: SparkSession, batch: DataFrame, path: str,

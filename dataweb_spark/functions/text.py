@@ -93,7 +93,7 @@ def mean_word_length(col: str | Column = "text") -> Column:
 # as-Latin-1 mojibake digraphs (Ã+continuation for 2-byte sequences like
 # é→Ã©, â€x for the 3-byte punctuation family ’ “ ” – —, and Â before
 # NBSP-class bytes); printable-ASCII-or-whitespace for the ascii ratio.
-_CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]"
 _MOJIBAKE_RE = r"(Ã[\x80-\xbf]|â€.|Â[\xa0 ])"
 _ASCII_CLASS = r"[\x20-\x7e\t\n\r]"
 
@@ -556,10 +556,15 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
                 .join(dl, id_col)
                 .crossJoin(F.broadcast(stats))
                 .withColumn("score_e6_term", F.expr(
+                    # EVERY product is decimal-promoted before it can
+                    # exceed int64 — 18·dl·n_docs alone wraps bigint at
+                    # n_docs ~1e11 × a 5e6-token junk doc
                     "(cast(idf_e12 as decimal(38,0)) * (44 * tf)"
                     " * t_tokens) div"
                     " ((20 * tf * cast(t_tokens as decimal(38,0))"
-                    "   + 6 * t_tokens + 18 * dl * n_docs) * 1000000)")
+                    "   + 6 * t_tokens"
+                    "   + 18 * dl * cast(n_docs as decimal(38,0)))"
+                    "  * 1000000)")
                     .cast("bigint")))
     per_doc = (scored.groupBy("query_id", id_col)
                .agg(F.sum("score_e6_term").cast("bigint")

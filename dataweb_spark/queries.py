@@ -2149,7 +2149,8 @@ m as (
          cast(len(regexp_extract_all(text, '�')) as bigint)
            as n_replacement,
          cast(len(regexp_extract_all(text,
-              '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) as bigint) as n_control,
+              '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]')) as bigint)
+           as n_control,
          cast(len(regexp_extract_all(text,
               '(Ã[\x80-\xbf]|â€.|Â[\xa0 ])')) as bigint) as n_mojibake,
          cast(len(regexp_extract_all(text, '[\x20-\x7e\t\n\r]')) as bigint)
@@ -3982,7 +3983,8 @@ bm_scored as (
   select q.query_id, t.doc_id,
          cast((cast(i.idf_e12 as hugeint) * (44 * t.tf) * s.t_tokens)
               // ((20 * t.tf * cast(s.t_tokens as hugeint)
-                   + 6 * s.t_tokens + 18 * l.dl * s.n_docs)
+                   + 6 * s.t_tokens
+                   + 18 * l.dl * cast(s.n_docs as hugeint))
                   * 1000000) as bigint) as score_e6_term
   from tf t
   join qterms q using (term)
@@ -4035,8 +4037,12 @@ def _pipeline_hybrid_retrieval(spark: SparkSession,
         rrf_e9 = Σ_arms 10^9 div (60 + rank)
 
     — integer arithmetic throughout, so the fused ordering is
-    bit-identical across engines. Top-10 per query by (rrf_e9 DESC,
-    doc_id). The oracle replays both arms and the fusion in SQL.
+    bit-identical across engines GIVEN the arms' ranks. Residual risk,
+    shared with every idf-derived query (the lp_e12/lw_e12 family, 10
+    rounds green): two docs whose BM25 score_e6 differ by ≤1 could swap
+    lexical rank on a cross-engine idf last-bit flip; the dense arm is
+    integer-vector cosine (no such edge). Top-10 per query by (rrf_e9
+    DESC, doc_id). The oracle replays both arms and the fusion in SQL.
     Scale shape: each arm is its own proven plan (query-term broadcast
     postings join / broadcast-query brute-force scoring); the fusion
     touches only the ≤ 40 rank rows per query — never the corpus."""
@@ -7353,11 +7359,11 @@ top as (
          row_number() over (partition by domain
                             order by term_n desc, term) as rk
   from terms)
-select t.domain, c.n_inlinks, c.n_linking_domains,
+select c.domain, c.n_inlinks, c.n_linking_domains,
        cast(t.rk as int) as rk, t.term, t.term_n
-from top t join counts c using (domain)
-where t.rk <= 2
-order by t.domain, t.rk
+from counts c left join top t
+  on c.domain = t.domain and t.rk <= 2
+order by c.domain, rk
 """)
 
 

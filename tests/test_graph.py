@@ -71,7 +71,8 @@ def test_anchor_profile_counts_and_self_link_rule(spark):
          ("http://b.com/1", "http://t.org/p", "spark docs"),
          ("http://b.com/2", "http://t.org/p", "spark home"),
          ("http://t.org/self", "http://t.org/p", "me me me"),
-         ("http://a.com/9", "http://u.org/q", "click here")],
+         ("http://a.com/9", "http://u.org/q", "click here"),
+         ("http://a.com/img", "http://v.org/pic", "  ")],  # token-less
         ["src_url", "dst_url", "anchor"])
     rows = G.anchor_profile(links, k=2).orderBy("domain", "rk").collect()
     t = [r for r in rows if r.domain == "t.org"]
@@ -80,3 +81,9 @@ def test_anchor_profile_counts_and_self_link_rule(spark):
         [(1, "spark", 3), (2, "docs", 2)]
     u = [r for r in rows if r.domain == "u.org"]
     assert u[0].n_inlinks == 1 and u[0].n_linking_domains == 1
+    # a domain linked only with token-less anchors keeps its counts
+    # (one row, null term columns) — authority must not vanish with
+    # the vocabulary
+    v = [r for r in rows if r.domain == "v.org"]
+    assert len(v) == 1 and v[0].n_inlinks == 1
+    assert v[0].rk is None and v[0].term is None

@@ -321,3 +321,24 @@ def test_media_index_rate_normalized_positions(spark):
     assert got[100]["verdict"] == "near_dup" and got[100]["match_id"] == 0
     assert got[101]["verdict"] == "exact_dup" and got[101]["match_id"] == 1
     assert got[102]["verdict"] == "near_dup" and got[102]["match_id"] == 1
+
+
+def test_media_signatures_survive_fps_zero_blob(spark):
+    """decode_avi returns fps=0 when the strh rate header is absent —
+    rate normalization must fall back to per-frame positions for that
+    blob instead of failing the whole batch (the one-bad-blob
+    contract)."""
+    frames = np.stack([_pixels(7000 + f) for f in range(4)])
+    blob = bytearray(M.encode_avi(frames, 10))
+    i = bytes(blob).find(b"strh")
+    assert i > 0
+    blob[i:i + 4] = b"strX"          # obscure the stream header
+    from dataweb_spark.functions.multimodal import decode_avi
+    fps, back = decode_avi(bytes(blob))
+    assert fps == 0 and back.shape[0] == 4   # precondition holds
+    df = _media_df(spark, [(0, bytes(blob)),
+                           (1, M.encode_avi(frames, 10))])
+    rows = {r.id: r for r in MI.media_signatures(df).collect()}
+    assert rows[0].kind == "video"
+    assert len(rows[0].frame_sigs) == 4      # per-frame fallback
+    assert rows[1].frame_sigs == rows[0].frame_sigs  # same pixels
