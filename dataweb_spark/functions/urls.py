@@ -234,8 +234,11 @@ def normalize_url(col: str | Column = "url") -> Column:
     u = F.when(F.size(kept) > 0,
                F.concat(base, F.lit("?"), F.array_join(kept, "&"))) \
          .otherwise(base)
-    # 5. trailing slash on a non-root path
-    u = F.regexp_replace(u, r"(://[^/?#]+/[^?#]*?)/(\?|$)", "$1$2")
+    # 5. trailing slashes on a non-root path — the WHOLE run in one
+    # pass (`/+`), not one slash per application: stripping singly made
+    # 'http://h/x//' normalize to different strings on first and second
+    # application, breaking the fixed-point contract (hypothesis-found)
+    u = F.regexp_replace(u, r"(://[^/?#]+/[^?#]*?)/+(\?|$)", "$1$2")
     # schemeless/junk guard: the decomposition above is only valid for
     # absolute URLs — anything else is its own canonical form
     return F.when(scheme == "", c).otherwise(u)

@@ -6499,6 +6499,7 @@ else
 || case when doc_id % 3 = 0 then ':80' else '' end
 || '/Page/' || (doc_id % 97)
 || case when doc_id % 5 = 0 then '/' else '' end
+|| case when doc_id % 19 = 0 then '///' else '' end
 || case when doc_id % 2 = 0
         then '?utm_source=feed&utm_campaign=c' || (doc_id % 3)
              || '&id=' || (doc_id % 7) || '&ref=tw&ref_src=twsrc'
@@ -6537,7 +6538,7 @@ def _duck_url_norm(expr: str) -> str:
          f"then {base} || '?' || array_to_string({kept}, '&') "
          f"else {base} end)")
     u = (f"regexp_replace({u}, "
-         r"'(://[^/?#]+/[^?#]*?)/(\?|$)', '\1\2')")
+         r"'(://[^/?#]+/[^?#]*?)/+(\?|$)', '\1\2')")
     # schemeless/junk guard — mirrors normalize_url: inputs without a
     # valid scheme:// prefix pass through unchanged
     return (f"(case when {scheme} = '' then {expr} else {u} end)")
