@@ -117,11 +117,15 @@ def anchor_profile(links: DataFrame, k: int = 3,
     from dataweb_spark.functions.text import tokens
     from dataweb_spark.functions.urls import registered_domain
 
+    # unparseable URLs yield registered_domain == '' — drop them before
+    # the self-link test, else every junk source collapses onto the ''
+    # pseudo-domain and inflates n_linking_domains by one
     base = (links.select(
         registered_domain(src_col).alias("_src_dom"),
         registered_domain(dst_col).alias("domain"),
         F.col(anchor_col).alias("_anchor"))
-        .where(F.col("_src_dom") != F.col("domain")))
+        .where((F.col("_src_dom") != "") & (F.col("domain") != "")
+               & (F.col("_src_dom") != F.col("domain"))))
     counts = (base.groupBy("domain")
               .agg(F.count("*").cast("bigint").alias("n_inlinks"),
                    F.countDistinct("_src_dom").cast("bigint")

@@ -308,10 +308,12 @@ def classify_media_batch(spark: SparkSession, batch: DataFrame, path: str,
         # batch blobs (and nothing is left pinned in the cache) — at
         # the INDEX's canonical rates, so batch and index positions
         # share one time base
+        # params[...] direct, no defaults: _load_params hard-fails on a
+        # legacy meta.json, and a silent fallback here could fingerprint
+        # a batch at a rate mismatched with the index
         bsig = media_signatures(
             batch, id_col,
-            params.get("canon_video_rate", _CANON_VIDEO_RATE),
-            params.get("canon_audio_window", _CANON_AUDIO_WINDOW)
+            params["canon_video_rate"], params["canon_audio_window"]
         ).localCheckpoint(eager=True)
     # tier pruning: a kind-homogeneous batch (the common case) must not
     # pay the other kinds' join stages. Cheap — bsig is materialized
@@ -446,8 +448,7 @@ def streaming_media_gate(stream_df: DataFrame, index_path: str,
         # index's canonical rates (one time base, same as classify)
         sigs = media_signatures(
             fresh, id_col,
-            params.get("canon_video_rate", _CANON_VIDEO_RATE),
-            params.get("canon_audio_window", _CANON_AUDIO_WINDOW)
+            params["canon_video_rate"], params["canon_audio_window"]
         ).localCheckpoint(eager=True)
         keep = (sigs.withColumn(
                     "_rn", F.row_number().over(

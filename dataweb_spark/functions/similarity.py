@@ -116,10 +116,18 @@ def rrf_fuse(ranked: list[DataFrame], k: int = 10, k_rrf: int = 60,
     absent from a system's list contribute nothing for it. Returns the
     top-``k`` per query by (rrf_e9 DESC, id).
 
+    Precondition: each input ranking holds ONE row per (query_id,
+    ``id_col``) — the shape a top-k retrieval emits. Duplicate
+    (query, doc) rows within one system would each add their
+    reciprocal-rank term to ``rrf_e9`` (double-counting that system's
+    vote); dedup upstream if a ranking can repeat documents.
+
     Shape: union of the (already tiny: ≤ per-system k per query) rank
     lists → one re-agg on (query, id) → windowed top-k. Cost is
     O(queries · Σ per-system k) — the fusion never touches the corpus."""
     from pyspark.sql import Window
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranking DataFrame")
     parts = [r.select("query_id", F.col(id_col), F.col("rank"))
              for r in ranked]
     u = parts[0]

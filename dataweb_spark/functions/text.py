@@ -515,7 +515,10 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     ONCE per term to ``idf_e12`` bigint in the bounded model table. The
     per-term score ``(idf_e12·44·tf·T) div (den·10^6)`` and its per-doc
     sum are pure integer arithmetic — bit-identical across engines,
-    reruns and partitionings. Products run ~1e28 at 100 TB-scale T, so
+    reruns and partitionings GIVEN the rounded ``idf_e12`` model table
+    (the one float ``ln`` feeding it can differ in its last bit between
+    libm builds, which is why ``score_e6`` sits in the checker's ±1
+    round-derived allowlist). Products run ~1e28 at 100 TB-scale T, so
     they accumulate as decimal(38,0) (DuckDB: hugeint), the PageRank/
     CCNet overflow discipline.
 

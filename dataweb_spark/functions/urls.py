@@ -121,7 +121,15 @@ def registered_domain_psl(df: DataFrame, psl: DataFrame,
     rule table, then one re-aggregate on the row key picks the winning
     rule. One narrow shuffle total; host strings ride through, page
     bodies should be projected away by the caller first at 100 TB.
-    Every expression is JVM-side and replayable as a SQL oracle."""
+    Every expression is JVM-side and replayable as a SQL oracle.
+
+    Determinism precondition: the row key is
+    ``monotonically_increasing_id()``, a nondeterministic expression —
+    rows must arrive with deterministic partition contents (any scan /
+    narrow pipeline qualifies). If the input sits directly on a
+    nondeterministically-ordered shuffle, a stage retry can re-deal ids
+    and split or merge winner groups; interpose a localCheckpoint (or
+    supply your own stable id column) in that case."""
     rules = (psl.select(F.trim(F.col(psl.columns[0])).alias("raw"))
              .where((F.col("raw") != "") & ~F.col("raw").startswith("//"))
              .select(F.regexp_replace("raw", r"^!", "").alias("rule"),
@@ -356,7 +364,13 @@ def robots_filter(df: DataFrame, rules: DataFrame,
     rules each ≈ tens of GB) pass ``broadcast=False``: the join then
     shuffles both sides on the narrow domain key instead of OOMing
     every executor on the broadcast. Project page bodies away first at
-    100 TB."""
+    100 TB.
+
+    Determinism precondition: same as :func:`registered_domain_psl` —
+    the winner re-aggregate keys on ``monotonically_increasing_id()``,
+    so the input must have deterministic partition contents (scans and
+    narrow pipelines do); localCheckpoint first if feeding it straight
+    from a nondeterministically-ordered shuffle."""
     anchored = F.col("path").endswith("$")
     body = F.when(anchored,
                   F.expr("substring(path, 1, length(path) - 1)")) \

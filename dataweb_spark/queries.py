@@ -7346,7 +7346,8 @@ base as (
                    || '.org' end as domain,
          anchor
   from links),
-ext as (select * from base where src_dom <> domain),
+ext as (select * from base
+        where src_dom <> '' and domain <> '' and src_dom <> domain),
 counts as (
   select domain, cast(count(*) as bigint) as n_inlinks,
          cast(count(distinct src_dom) as bigint) as n_linking_domains
