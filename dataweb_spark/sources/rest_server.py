@@ -21,11 +21,35 @@ Routes (``rest_server/src/query/route.rs:149-268`` / ``:57-147``):
                            Guarded by the ``X-Admin-Token`` header (the
                            in-container stand-in for the reference's
                            ``is_admin`` x509 principal attribute,
-                           ``core/src/model/user.rs:17-28``); disabled
-                           entirely when the server has no admin token.
+                           ``core/src/model/user.rs:17-28``) — or, with
+                           transport identity on, a certificate whose
+                           registered user carries ``is_admin``; disabled
+                           entirely when neither is configured.
 * ``GET  /admin/config``   the LIVE catalog exported as YAML config
                            documents (``relayctl get`` analog) — apply ∘
                            export round-trips; same admin-token guard.
+
+Transport-bound identity (``x509_users=...``): the reference resolves the
+REST principal from the client x509 certificate — direct TLS
+(``rest_server/src/lib.rs:48-71`` ``get_client_cert``) or a
+TLS-terminating-proxy certificate header (urlencoded PEM,
+``rest_server/src/utils.rs:8-38``, used at ``query/route.rs:62-68``) — and
+IGNORES any identity claimed in the request body. This server does the
+same once ``x509_users`` is set: the effective principal is the SHA-256
+fingerprint lookup of the presented certificate (handshake-verified
+against ``mtls_ca`` on the direct-TLS face; proxy-attested on the
+``cert_header`` face), request-JSON / query-string principals are
+ignored, no certificate → 401, an unregistered one → 403, and
+status/results/cancel are only served to the job's own principal —
+exactly the contract the Flight face already enforces
+(``test_x509_auth.py``). Without ``x509_users`` the caller-supplied
+principal is trusted — dev mode only, like the Flight face's no-auth
+mode.
+
+Results are streamed with chunked transfer encoding straight off
+``toLocalIterator`` — the relay process never materializes a full result
+(the reference interleaves record-batch streams the same way,
+``rest_server/src/query/utils.rs:81-169``).
 
 Built on stdlib ``http.server`` (nothing to install); each request is
 handled on its own thread (``ThreadingHTTPServer``) and execution is the
@@ -57,22 +81,148 @@ _QUERY = re.compile(r"^/query/([0-9a-f]+)$")
 _RESULTS = re.compile(r"^/query/([0-9a-f]+)/results$")
 
 
+class _AuthError(Exception):
+    """Transport-identity failure → (http status, message)."""
+
+    def __init__(self, code: int, msg: str):
+        super().__init__(msg)
+        self.code = code
+
+
 class RestRelayServer:
-    """HTTP facade over a :class:`JobManager`. ``start()`` → ``.port``."""
+    """HTTP facade over a :class:`JobManager`. ``start()`` → ``.port``.
+
+    ``x509_users`` turns on transport-bound identity (see module
+    docstring): an iterable of :class:`pki.X509User` or a dict keyed by
+    fingerprint (``RelayCatalog.users``). ``mtls_ca`` (CA cert PEM)
+    makes the TLS listener request and handshake-verify client
+    certificates — the direct-TLS face; ``cert_header`` names a header
+    carrying a urlencoded client-cert PEM attested by a TLS-terminating
+    proxy — the reference's ``utils.rs:8-38`` mode. The direct-TLS
+    certificate wins when both faces present one."""
 
     def __init__(self, spark: SparkSession, web: Web, relay_name: str,
                  host: str = "127.0.0.1", port: int = 0,
                  admin_token: str | None = None,
-                 tls: tuple[bytes, bytes] | None = None):
+                 tls: tuple[bytes, bytes] | None = None,
+                 mtls_ca: bytes | None = None,
+                 x509_users=None,
+                 cert_header: str | None = None):
         self.manager = JobManager(spark, web, relay_name)
         self.web = web
         self.relay_name = relay_name
         self._admin_token = admin_token
+        self._cert_header = cert_header
+        # fingerprint → (principal, is_admin); accepts the same shapes as
+        # the Flight face's _CertServerAuthHandler (X509User iterable, or
+        # a dict keyed by fingerprint of X509User / principal strings)
+        self._by_fp: dict[str, tuple[str, bool]] | None = None
+        if x509_users is not None:
+            def entry(u):
+                if hasattr(u, "principal"):
+                    return (u.principal,
+                            bool(getattr(u, "attributes", {})
+                                 .get("is_admin", False)))
+                return (u, False)
+            if isinstance(x509_users, dict):
+                self._by_fp = {fp: entry(u) for fp, u in x509_users.items()}
+            else:
+                self._by_fp = {u.x509_sha256: entry(u) for u in x509_users}
+        if mtls_ca is not None and tls is None:
+            raise ValueError("mtls_ca requires tls (an HTTPS listener)")
+        if self._by_fp is not None and mtls_ca is None and cert_header is None:
+            raise ValueError(
+                "x509_users needs a transport face: mtls_ca (direct TLS) "
+                "and/or cert_header (TLS-terminating proxy)")
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # chunked responses (streamed results) require HTTP/1.1;
+            # every other response carries Content-Length so persistent
+            # connections stay in sync
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, fmt, *args):  # quiet test output
                 pass
+
+            # -- transport identity ------------------------------------
+
+            def _transport_der(self) -> bytes | None:
+                """DER client certificate from the transport: the
+                handshake-verified TLS peer cert first (lib.rs:48-71),
+                else the proxy header's urlencoded PEM (utils.rs:8-38)."""
+                getpeercert = getattr(self.connection, "getpeercert", None)
+                if getpeercert is not None:
+                    der = getpeercert(binary_form=True)
+                    if der:
+                        return der
+                if outer._cert_header:
+                    raw = self.headers.get(outer._cert_header)
+                    if raw:
+                        from urllib.parse import unquote
+
+                        from cryptography import x509 as cx509
+                        try:
+                            cert = cx509.load_pem_x509_certificate(
+                                unquote(raw).encode("utf-8"))
+                        except ValueError as e:
+                            raise _AuthError(
+                                400, f"bad {outer._cert_header} header: {e}")
+                        from cryptography.hazmat.primitives.serialization \
+                            import Encoding
+                        return cert.public_bytes(Encoding.DER)
+                return None
+
+            def _principal(self, claimed: str | None) -> str | None:
+                """Effective principal. Transport mode: the certificate
+                decides, a claimed identity is ignored (route.rs:62-68);
+                no cert → 401, unregistered → 403. Dev mode (no
+                x509_users): trust the caller's claim."""
+                if outer._by_fp is None:
+                    return claimed
+                der = self._transport_der()
+                if der is None:
+                    raise _AuthError(401, "client certificate required")
+                from dataweb_spark.sources.pki import fingerprint_der
+                fp = fingerprint_der(der)
+                if fp not in outer._by_fp:
+                    raise _AuthError(
+                        403, f"unregistered certificate fingerprint "
+                             f"{fp[:16]}…")
+                return outer._by_fp[fp][0]
+
+            def _is_admin(self) -> bool:
+                """Admin = valid X-Admin-Token, or (transport mode) a
+                certificate whose registered user carries is_admin —
+                the reference's ``is_admin`` x509 attribute."""
+                if (outer._admin_token is not None
+                        and self.headers.get("X-Admin-Token")
+                        == outer._admin_token):
+                    return True
+                if outer._by_fp is not None:
+                    try:
+                        der = self._transport_der()
+                    except _AuthError:
+                        return False
+                    if der is not None:
+                        from dataweb_spark.sources.pki import fingerprint_der
+                        u = outer._by_fp.get(fingerprint_der(der))
+                        return u is not None and u[1]
+                return False
+
+            def _own_job(self, job_id: str) -> None:
+                """Transport mode: a job is visible only to the principal
+                that submitted it (the do_get origin-user re-check,
+                ``flight_server/src/flight.rs:396-447``)."""
+                if outer._by_fp is None:
+                    return
+                me = self._principal(None)
+                job = outer.manager._jobs.get(job_id)
+                if job is None:
+                    raise KeyError(job_id)
+                if job.principal != me:
+                    raise _AuthError(
+                        403, f"job {job_id} belongs to another principal")
 
             def _send(self, code: int, payload, content_type: str
                       = "application/json") -> None:
@@ -98,8 +248,10 @@ class RestRelayServer:
                     n = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(n).decode("utf-8"))
                     job_id = outer.manager.submit(
-                        req["sql"], req.get("principal"),
+                        req["sql"], self._principal(req.get("principal")),
                         req.get("mode", "template"))
+                except _AuthError as e:
+                    return self._send(e.code, {"error": str(e)})
                 except (ValidationError, ValueError, KeyError) as e:
                     return self._send(400, {"error": str(e)})
                 self._send(202, {"job_id": job_id})
@@ -111,8 +263,12 @@ class RestRelayServer:
                     n = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(n).decode("utf-8"))
                     df = outer.manager.gateway.explain(
-                        req["sql"], req.get("principal"))
+                        req["sql"], self._principal(req.get("principal")))
+                    # collect is fine HERE: explain rows are per-source
+                    # resolution metadata, bounded by the mapping count
                     rows = [r.asDict() for r in df.collect()]
+                except _AuthError as e:
+                    return self._send(e.code, {"error": str(e)})
                 except (ValidationError, ValueError, KeyError) as e:
                     return self._send(400, {"error": str(e)})
                 self._send(200, {"sources": rows})
@@ -124,10 +280,10 @@ class RestRelayServer:
                     apply_config_documents,
                     diff_config_documents,
                 )
-                if outer._admin_token is None:
+                if outer._admin_token is None and outer._by_fp is None:
                     return self._send(403, {"error": "admin disabled"})
-                if self.headers.get("X-Admin-Token") != outer._admin_token:
-                    return self._send(403, {"error": "bad admin token"})
+                if not self._is_admin():
+                    return self._send(403, {"error": "admin denied"})
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     body = self.rfile.read(n).decode("utf-8")
@@ -159,10 +315,12 @@ class RestRelayServer:
                 m = _QUERY.match(url.path)
                 if not m:
                     return self._send(404, {"error": "not found"})
-                principal = parse_qs(url.query).get(
-                    "principal", [None])[0]
                 try:
+                    principal = self._principal(
+                        parse_qs(url.query).get("principal", [None])[0])
                     st = outer.manager.cancel(m.group(1), principal)
+                except _AuthError as e:
+                    return self._send(e.code, {"error": str(e)})
                 except KeyError:
                     return self._send(404, {"error": "unknown job"})
                 except PermissionError as e:
@@ -175,16 +333,31 @@ class RestRelayServer:
                     "allow_partial", ["false"])[0].lower() == "true"
                 m = _RESULTS.match(url.path)
                 if m:
+                    try:
+                        self._own_job(m.group(1))
+                    except _AuthError as e:
+                        return self._send(e.code, {"error": str(e)})
+                    except KeyError:
+                        return self._send(404, {"error": "unknown job"})
                     return self._results(m.group(1), partial)
                 m = _QUERY.match(url.path)
                 if m:
                     try:
+                        self._own_job(m.group(1))
                         return self._send(200, outer.manager.status(m.group(1)))
+                    except _AuthError as e:
+                        return self._send(e.code, {"error": str(e)})
                     except KeyError:
                         return self._send(404, {"error": "unknown job"})
                 if url.path == "/query":
-                    return self._send(
-                        200, {"jobs": outer.manager.list_jobs()})
+                    jobs = outer.manager.list_jobs()
+                    if outer._by_fp is not None:
+                        try:
+                            me = self._principal(None)
+                        except _AuthError as e:
+                            return self._send(e.code, {"error": str(e)})
+                        jobs = [j for j in jobs if j["principal"] == me]
+                    return self._send(200, {"jobs": jobs})
                 if url.path == "/admin/config":
                     return self._admin_config()
                 self._send(404, {"error": "not found"})
@@ -198,10 +371,10 @@ class RestRelayServer:
                 import yaml
 
                 from dataweb_spark.catalog.loader import relay_documents
-                if outer._admin_token is None:
+                if outer._admin_token is None and outer._by_fp is None:
                     return self._send(403, {"error": "admin disabled"})
-                if self.headers.get("X-Admin-Token") != outer._admin_token:
-                    return self._send(403, {"error": "bad admin token"})
+                if not self._is_admin():
+                    return self._send(403, {"error": "admin denied"})
                 docs = relay_documents(outer.web.relay(outer.relay_name))
                 body = yaml.safe_dump_all(docs, sort_keys=False)
                 self._send(200, body.encode("utf-8"),
@@ -215,13 +388,35 @@ class RestRelayServer:
                 if st["status"] not in (COMPLETE, FAILED) and not partial:
                     # poll contract: status, not data, until it all lands
                     return self._send(409, st)
+                lines = outer.manager.result_ndjson(
+                    job_id, allow_partial=partial)
                 try:
-                    lines = outer.manager.result_ndjson(
-                        job_id, allow_partial=partial)
-                    body = ("\n".join(lines) + "\n").encode("utf-8")
+                    # the generator touches the job store on first pull —
+                    # surface JobNotReady as 409 before committing to 200
+                    first = next(lines, None)
                 except JobNotReady as e:
                     return self._send(409, {"error": str(e), **st})
-                self._send(200, body, content_type="application/x-ndjson")
+                # Chunked transfer straight off toLocalIterator: the full
+                # result is NEVER joined into one driver-side string/list
+                # (a SELECT *-shaped job would OOM the relay otherwise —
+                # the reference streams record batches the same way,
+                # query/utils.rs:81-169). Task parquet stays the durable
+                # copy; this loop only serializes rows already landed.
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(data: bytes) -> None:
+                    self.wfile.write(b"%x\r\n" % len(data))
+                    self.wfile.write(data)
+                    self.wfile.write(b"\r\n")
+
+                if first is not None:
+                    chunk(first.encode("utf-8") + b"\n")
+                    for line in lines:
+                        chunk(line.encode("utf-8") + b"\n")
+                self.wfile.write(b"0\r\n\r\n")
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.tls = tls is not None
@@ -239,6 +434,14 @@ class RestRelayServer:
                 cf.write(cert_pem); cf.flush()
                 kf.write(key_pem); kf.flush()
                 ctx.load_cert_chain(cf.name, kf.name)
+            if mtls_ca is not None:
+                # direct-TLS client-cert face (lib.rs:48-71): request a
+                # client certificate and handshake-verify it against the
+                # CA. OPTIONAL, not REQUIRED, so the cert_header proxy
+                # face can share the listener; a certless caller is then
+                # turned away at the 401 in _principal, not mid-handshake.
+                ctx.verify_mode = ssl.CERT_OPTIONAL
+                ctx.load_verify_locations(cadata=mtls_ca.decode("utf-8"))
             self._httpd.socket = ctx.wrap_socket(self._httpd.socket,
                                                  server_side=True)
         self.port = self._httpd.server_address[1]
