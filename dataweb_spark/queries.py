@@ -6277,6 +6277,111 @@ order by source
 """)
 
 
+def _warc_http_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP envelope extraction for REAL Common Crawl payloads (VERDICT
+    r10 item 3): actual crawl ``response`` records carry a full HTTP
+    message (``Content-Type: application/http; msgtype=response`` —
+    status line + headers + body), so the raw record payload starts
+    ``HTTP/1.1 200 OK…`` and would feed header junk into the text ops.
+    ``warc.http_response_parts`` strips the envelope, resolves the body
+    charset (HTTP header param → ``<meta charset>`` prolog scan →
+    utf-8) and accounts replacement characters.
+
+    The fixture wraps each document (doc_id < 200) per ``doc_id % 8``:
+    utf-8-with-param 200s (a '€' appended proves multibyte decode),
+    windows-1252 301s (``\\x93\\x94`` bytes must become curly quotes —
+    a charset the JVM decode path can't be trusted with, hence the
+    Arrow-batched Python decode), meta-tag-fallback HTML 200s, damaged
+    utf-8 404s (a stray ``\\xff`` → exactly one U+FFFD counted), and
+    WET ``conversion`` records riding the same face envelope-free. The
+    oracle replays the envelope split in closed form from the source
+    rows — status/mime/charset per branch, body reconstructed to the
+    character, md5-matched."""
+    import re as _re
+
+    from dataweb_spark.sources import warc as W
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").where("doc_id < 200")
+
+    def build(doc_id: int, source: str, text: str) -> bytes:
+        r = doc_id % 8
+        if r == 6:
+            return W.build_warc_record(doc_id, source, text,
+                                       warc_type="conversion")
+        if r % 4 == 0:
+            payload = W.build_http_response(
+                200, [("Content-Type", "text/plain; charset=UTF-8"),
+                      ("Server", "synth")],
+                (text + "€").encode("utf-8"))
+        elif r % 4 == 1:
+            clean = _re.sub(r"[^\x20-\x7e]", "", text)
+            payload = W.build_http_response(
+                301, [("Content-Type", "text/plain; charset=Windows-1252"),
+                      ("Location", "http://example.com/moved")],
+                clean.encode("ascii") + b"\x93\x94",
+                reason="Moved Permanently")
+        elif r == 2:
+            payload = W.build_http_response(
+                200, [("Content-Type", "text/html")],
+                ('<html><head><meta charset="utf-8"></head><body>'
+                 + text + "</body></html>").encode("utf-8"))
+        else:  # r in (3, 7): damaged utf-8
+            payload = W.build_http_response(
+                404, [("Content-Type", "text/plain; charset=utf-8")],
+                text.encode("utf-8") + b"\xff", reason="Not Found")
+        return W.build_warc_record(
+            doc_id, source, text,
+            content_type="application/http; msgtype=response",
+            payload=payload)
+
+    blobs = W.synthesize_warc_blobs(docs, docs_per_blob=10, compress=True,
+                                    record_builder=build)
+    parts = W.http_response_parts(W.parse_warc_records(blobs))
+    return (parts.select(
+        F.regexp_extract("record_id", r"doc-(\d+)", 1).cast("long")
+         .alias("doc_id"),
+        "warc_type", "http_status", "mime", "charset", "n_bad_chars",
+        F.length("body").cast("bigint").alias("body_len"),
+        F.md5("body").alias("body_md5"))
+        .orderBy("doc_id"))
+
+
+_df("warc_http_extract", _warc_http_extract, oracle=r"""
+with d as (
+  select doc_id, source, text, cast(doc_id % 8 as int) as r
+  from documents where doc_id < 200),
+b as (
+  select doc_id,
+         case when r = 6 then text
+              when r % 4 = 0 then text || chr(8364)
+              when r % 4 = 1 then regexp_replace(text, '[^\x20-\x7e]',
+                                                 '', 'g')
+                                  || chr(8220) || chr(8221)
+              when r = 2 then '<html><head><meta charset="utf-8">'
+                              || '</head><body>' || text
+                              || '</body></html>'
+              else text || chr(65533) end as body
+  from d)
+select d.doc_id,
+       case when r = 6 then 'conversion' else 'response' end as warc_type,
+       cast(case when r = 6 then null
+                 when r % 4 = 0 then 200
+                 when r % 4 = 1 then 301
+                 when r = 2 then 200
+                 else 404 end as int) as http_status,
+       case when r = 2 then 'text/html'
+            else 'text/plain' end as mime,
+       case when r <> 6 and r % 4 = 1 then 'windows-1252'
+            else 'utf-8' end as charset,
+       cast(length(body) - length(replace(body, chr(65533), ''))
+            as bigint) as n_bad_chars,
+       cast(length(body) as bigint) as body_len,
+       md5(body) as body_md5
+from d join b using (doc_id)
+order by d.doc_id
+""")
+
+
 def _media_index_video_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VIDEO near tier of the persisted media index (VERDICT r7 item 6):
     the exact tier keys on the per-frame visual-temporal string, so a

@@ -40,27 +40,50 @@ WARC_RECORD_SCHEMA = (
 )
 
 
-def build_warc_record(doc_id: int, source: str, text: str) -> bytes:
-    """One deterministic ``response`` record for a document row (the
-    closed form the oracle replays: URI/ID/length all derive from the
-    row itself)."""
-    payload = text.encode("utf-8")
+def build_warc_record(doc_id: int, source: str, text: str,
+                      warc_type: str = "response",
+                      content_type: str = "text/plain",
+                      payload: bytes | None = None) -> bytes:
+    """One deterministic WARC record for a document row (the closed form
+    the oracle replays: URI/ID/length all derive from the row itself).
+
+    The defaults give the legacy bare-text ``response`` record. Real
+    Common Crawl ``response`` records carry a FULL HTTP MESSAGE as the
+    payload with ``content_type='application/http; msgtype=response'``
+    (compose one with :func:`build_http_response`); WET extracts use
+    ``warc_type='conversion'`` with plain text. Pass ``payload`` to
+    override the UTF-8 encoding of ``text``."""
+    payload = text.encode("utf-8") if payload is None else payload
     headers = (
         WARC_VERSION + _CRLF
-        + b"WARC-Type: response" + _CRLF
+        + f"WARC-Type: {warc_type}".encode() + _CRLF
         + f"WARC-Record-ID: <urn:dataweb:doc-{doc_id}>".encode() + _CRLF
         + f"WARC-Target-URI: http://example.com/{source}/{doc_id}".encode()
         + _CRLF
         + b"WARC-Date: 2026-01-01T00:00:00Z" + _CRLF
-        + b"Content-Type: text/plain" + _CRLF
+        + f"Content-Type: {content_type}".encode() + _CRLF
         + f"Content-Length: {len(payload)}".encode() + _CRLF
         + _CRLF
     )
     return headers + payload + _CRLF + _CRLF
 
 
+def build_http_response(status: int, headers: list[tuple[str, str]],
+                        body: bytes,
+                        reason: str = "OK") -> bytes:
+    """A full HTTP/1.1 response message — what a real crawl ``response``
+    record's payload looks like (status line + headers + CRLF + body).
+    Feed to :func:`build_warc_record` with
+    ``content_type='application/http; msgtype=response'``."""
+    head = f"HTTP/1.1 {status} {reason}\r\n".encode("ascii")
+    for k, v in headers:
+        head += f"{k}: {v}\r\n".encode("ascii")
+    return head + _CRLF + body
+
+
 def synthesize_warc_blobs(docs: DataFrame, docs_per_blob: int = 10,
-                          compress: bool = False) -> DataFrame:
+                          compress: bool = False,
+                          record_builder=None) -> DataFrame:
     """Pack documents into WARC blobs: blob ``doc_id // docs_per_blob``
     holds its documents as consecutive records in doc_id order.
 
@@ -68,12 +91,20 @@ def synthesize_warc_blobs(docs: DataFrame, docs_per_blob: int = 10,
     (mtime pinned to 0 so the bytes are deterministic) — the standard
     ``.warc.gz`` layout. One ``applyInPandas`` per blob group; the only
     shuffle is the blob-id grouping of the (small) text rows.
+
+    ``record_builder(doc_id, source, text) -> bytes`` overrides the
+    default bare-text record — e.g. to wrap each document in a full HTTP
+    response envelope (:func:`build_http_response`) or emit WET
+    ``conversion`` records. Must be deterministic; it is pickled into
+    the executors.
     """
+    build = record_builder or build_warc_record
+
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         buf = bytearray()
         for _, r in pdf.iterrows():
-            rec = build_warc_record(int(r.doc_id), r.source, r.text)
+            rec = build(int(r.doc_id), r.source, r.text)
             if compress:
                 rec = gzip.compress(rec, compresslevel=6, mtime=0)
             buf += rec
@@ -226,3 +257,137 @@ def parse_warc_records(blobs: DataFrame, blob_col: str = "warc",
 
     return blobs.select(F.col(id_col), F.col(blob_col)) \
                 .mapInPandas(gen, schema=WARC_RECORD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# HTTP envelope extraction (real Common Crawl response records)
+# ---------------------------------------------------------------------------
+
+WARC_HTTP_SCHEMA = (
+    "blob_id long, rec_index int, warc_type string, record_id string, "
+    "target_uri string, content_type string, content_length long, "
+    "http_status int, "
+    "http_headers array<struct<name:string,val:string>>, "
+    "mime string, charset string, body string, n_bad_chars long"
+)
+
+_CHARSET_PARAM = None  # compiled lazily (module import stays light)
+
+
+def _charset_regexes():
+    global _CHARSET_PARAM
+    if _CHARSET_PARAM is None:
+        import re
+        _CHARSET_PARAM = (
+            re.compile(r"""charset\s*=\s*["']?([\w.:+-]+)""", re.I),
+            re.compile(rb"""<meta[^>]+charset\s*=\s*["']?([\w.:+-]+)""",
+                       re.I),
+            re.compile(rb"HTTP/\d(?:\.\d)?\s+(\d{3})"),
+        )
+    return _CHARSET_PARAM
+
+
+def _decode_body(body: bytes, charset: str) -> tuple[str, int]:
+    """Charset-decode with replacement-character accounting: undecodable
+    byte sequences become U+FFFD, and ``n_bad`` counts the U+FFFD in the
+    RESULT (original U+FFFD included — both signal damage upstream; the
+    count feeds ``text.encoding_quality``). Unknown charset labels fall
+    back to utf-8 — deterministic, never an executor crash."""
+    import codecs
+    try:
+        codecs.lookup(charset)
+    except (LookupError, ValueError):
+        charset = "utf-8"
+    text = body.decode(charset, errors="replace")
+    return text, text.count("�")
+
+
+def _parse_http_payload(payload: bytes, warc_content_type: str):
+    """(status, headers, mime, charset, body_text, n_bad) for one record
+    payload. ``application/http`` payloads (real crawl ``response``
+    records) get the envelope stripped: status line parsed, header block
+    → lowercased (name, value) pairs in wire order, body charset-decoded
+    per the HTTP Content-Type charset param, falling back to an
+    HTML-prolog ``<meta charset=…>`` scan of the first 1024 body bytes,
+    then utf-8. Everything else (WET ``conversion`` records, the
+    synthesizer's bare-text records) is all body — status null, headers
+    empty, mime/charset from the WARC Content-Type."""
+    param_re, meta_re, status_re = _charset_regexes()
+    is_http = (warc_content_type.split(";", 1)[0].strip().lower()
+               == "application/http")
+    if is_http and payload[:5] == b"HTTP/":
+        sep, sep_len = payload.find(b"\r\n\r\n"), 4
+        if sep < 0:
+            sep, sep_len = payload.find(b"\n\n"), 2
+        if sep < 0:
+            head_bytes, body = payload, b""
+        else:
+            head_bytes, body = payload[:sep], payload[sep + sep_len:]
+        lines = head_bytes.decode("latin-1").splitlines()
+        m = status_re.match(head_bytes)
+        status = int(m.group(1)) if m else None
+        headers = []
+        for ln in lines[1:]:
+            name, colon, val = ln.partition(":")
+            if colon:
+                headers.append((name.strip().lower(), val.strip()))
+        ct = next((v for k, v in headers if k == "content-type"), "")
+    else:
+        status, headers, body = None, [], payload
+        ct = warc_content_type
+    mime = ct.split(";", 1)[0].strip().lower() or None
+    m = param_re.search(ct)
+    charset = m.group(1).lower() if m else None
+    if charset is None:
+        m = meta_re.search(body[:1024])
+        charset = m.group(1).decode("ascii", "replace").lower() if m \
+            else "utf-8"
+    text, n_bad = _decode_body(body, charset)
+    return status, headers, mime, charset, text, n_bad
+
+
+def http_response_parts(records: DataFrame,
+                        payload_col: str = "payload") -> DataFrame:
+    """Strip the HTTP message envelope real Common Crawl ``response``
+    records carry (``Content-Type: application/http; msgtype=response``
+    — status line + headers + body), charset-decode the body, and
+    account replacement characters, so downstream text operators
+    (``html_to_text``, C4, CCNet) see the PAGE, not header junk.
+
+    Input is :func:`parse_warc_records` output; output replaces the raw
+    ``payload`` with ``http_status`` (null for non-envelope records),
+    ``http_headers`` (lowercased name/val structs in wire order),
+    ``mime``, ``charset`` (header param → ``<meta charset>`` in the
+    first 1 KB → utf-8), decoded ``body`` and ``n_bad_chars`` (U+FFFD
+    count — feed to ``text.encoding_quality`` tiers). WET
+    ``conversion`` records and bare-text payloads pass through the same
+    face with the whole payload as body.
+
+    Arrow-batched ``mapInPandas``, map-only: record bytes never
+    shuffle, one pass, linear in input bytes — the same scaling
+    contract as the record parser. Chunked transfer decoding is out of
+    scope (Common Crawl stores identity-coded payloads).
+
+    No reference counterpart (greenfield pipeline layer); the envelope
+    format is RFC 9110/9112, the charset sniff order is the WHATWG one
+    trimmed to header-then-meta-then-utf8.
+    """
+    cols = ["blob_id", "rec_index", "warc_type", "record_id",
+            "target_uri", "content_type", "content_length"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = cols + ["http_status", "http_headers", "mime",
+                           "charset", "body", "n_bad_chars"]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                status, headers, mime, charset, body, n_bad = \
+                    _parse_http_payload(bytes(getattr(rec, payload_col)),
+                                        rec.content_type or "")
+                rows.append(tuple(getattr(rec, c) for c in cols)
+                            + (status,
+                               [{"name": k, "val": v} for k, v in headers],
+                               mime, charset, body, n_bad))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return records.mapInPandas(gen, schema=WARC_HTTP_SCHEMA)

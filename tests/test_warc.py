@@ -172,3 +172,122 @@ def test_warc_gzip_bitflip_fuzz(seed, flip):
         list(W._parse_warc_bytes(bytes(blob)))
     except ValueError:
         pass
+
+
+# -- HTTP envelope extraction (real Common Crawl response payloads) ---------
+
+def _http_record(doc_id, status, headers, body, **kw):
+    payload = W.build_http_response(status, headers, body)
+    return W.build_warc_record(
+        doc_id, "web", "", payload=payload,
+        content_type="application/http; msgtype=response", **kw)
+
+
+def _extract(spark, blob):
+    parts = W.http_response_parts(W.parse_warc_records(
+        _blob_df(spark, blob)))
+    return parts.orderBy("rec_index").collect()
+
+
+def test_http_envelope_strip_and_headers(spark):
+    """Status line, lowercased wire-order headers, body split — the
+    reference-free RFC 9112 shape real crawl response records carry."""
+    blob = _http_record(
+        1, 200, [("Content-Type", "text/html; charset=UTF-8"),
+                 ("X-Served-By", "cache-7")],
+        b"<html>hi</html>")
+    [r] = _extract(spark, blob)
+    assert r.http_status == 200
+    assert [(h.name, h.val) for h in r.http_headers] == [
+        ("content-type", "text/html; charset=UTF-8"),
+        ("x-served-by", "cache-7")]
+    assert r.mime == "text/html"
+    assert r.charset == "utf-8"
+    assert r.body == "<html>hi</html>"
+    assert r.n_bad_chars == 0
+
+
+def test_http_charset_resolution_order(spark):
+    """Header charset param beats the meta tag; meta tag beats the
+    utf-8 default; unknown labels fall back to utf-8."""
+    meta = b'<html><head><meta charset="windows-1252"></head>\x93q\x94'
+    # 1) param wins over meta
+    blob = _http_record(0, 200, [("Content-Type",
+                                  "text/html; charset=ISO-8859-1")], meta)
+    [r] = _extract(spark, blob)
+    assert r.charset == "iso-8859-1"
+    assert "\x93q\x94" in r.body          # latin-1 maps 93/94 to C1 ctrls
+    # 2) meta fallback decodes the smart quotes
+    blob = _http_record(1, 200, [("Content-Type", "text/html")], meta)
+    [r] = _extract(spark, blob)
+    assert r.charset == "windows-1252"
+    assert "“q”" in r.body
+    # 3) unknown label → utf-8 decode
+    blob = _http_record(2, 200, [("Content-Type",
+                                  "text/plain; charset=klingon-9")],
+                        b"ok \xe2\x82\xac")
+    [r] = _extract(spark, blob)
+    assert r.charset == "klingon-9"       # reported as declared
+    assert r.body == "ok €"               # decoded via the utf-8 fallback
+
+
+def test_http_replacement_char_accounting(spark):
+    blob = _http_record(0, 200, [("Content-Type",
+                                  "text/plain; charset=utf-8")],
+                        b"good \xff\xfe bad")
+    [r] = _extract(spark, blob)
+    assert r.n_bad_chars == 2
+    assert r.body.count("�") == 2
+
+
+def test_http_status_variants_and_headerless(spark):
+    """404s parse; LF-only header blocks tolerated; an envelope with no
+    blank line yields an empty body rather than a crash."""
+    blob = _http_record(0, 404, [("Content-Type", "text/plain")],
+                        b"gone")
+    [r] = _extract(spark, blob)
+    assert (r.http_status, r.body) == (404, "gone")
+    lf_payload = b"HTTP/1.1 302 Found\nLocation: /x\n\nmoved"
+    blob = W.build_warc_record(1, "web", "", payload=lf_payload,
+                               content_type="application/http")
+    [r] = _extract(spark, blob)
+    assert (r.http_status, r.body) == (302, "moved")
+    assert [(h.name, h.val) for h in r.http_headers] == [
+        ("location", "/x")]
+    no_sep = b"HTTP/1.1 200 OK\r\nX-Broken: yes"
+    blob = W.build_warc_record(2, "web", "", payload=no_sep,
+                               content_type="application/http")
+    [r] = _extract(spark, blob)
+    assert (r.http_status, r.body) == (200, "")
+
+
+def test_wet_conversion_records_pass_through(spark):
+    """WET conversion records (and any non-http payload) ride the same
+    face: whole payload = body, status null, mime from the WARC
+    Content-Type."""
+    blob = W.build_warc_record(7, "web", "plain extract",
+                               warc_type="conversion")
+    [r] = _extract(spark, blob)
+    assert r.warc_type == "conversion"
+    assert r.http_status is None
+    assert r.http_headers == []
+    assert (r.mime, r.charset) == ("text/plain", "utf-8")
+    assert r.body == "plain extract"
+
+
+def test_http_extract_composes_with_text_ops(spark):
+    """The promised chain: response-mode WARC → envelope strip → real
+    page text reaches html_to_text (no header junk)."""
+    from dataweb_spark.functions import text as T
+    html = b"<html><body><p>Spark engines federate.</p></body></html>"
+    blob = _http_record(3, 200,
+                        [("Content-Type", "text/html; charset=utf-8")],
+                        html)
+    parts = W.http_response_parts(W.parse_warc_records(
+        _blob_df(spark, blob)))
+    out = parts.select(T.html_to_text(F.col("body")).alias("t")).collect()
+    assert out[0].t == "Spark engines federate."
+    raw = W.parse_warc_records(_blob_df(spark, blob)).select(
+        T.html_to_text(F.col("payload").cast("string")).alias("t")
+    ).collect()
+    assert "HTTP/1.1" in raw[0].t  # what item 3 warned about, pre-strip
