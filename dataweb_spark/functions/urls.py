@@ -252,9 +252,28 @@ def normalize_url(col: str | Column = "url") -> Column:
     return F.when(scheme == "", c).otherwise(u)
 
 
+def _priority_order(df: DataFrame, priority: DataFrame | None,
+                    score_col: str, id_col: str):
+    """(df', order_exprs) for authority-prioritized admission: left-join
+    the per-URL prior on the canonical URL (``df`` must carry
+    ``_norm``), order by score DESC (absent → 0), then the md5 hash,
+    then id. Shared by :func:`domain_caps` and the streaming gate so
+    both faces admit the identical set."""
+    if priority is None:
+        return df, [F.md5("_norm"), id_col]
+    pr = priority.select(
+        F.col(priority.columns[0]).alias("_norm"),
+        F.col(score_col).cast("bigint").alias("_score"))
+    return (df.join(pr, "_norm", "left"),
+            [F.desc(F.coalesce(F.col("_score"), F.lit(0))),
+             F.md5("_norm"), id_col])
+
+
 def domain_caps(df: DataFrame, url_col: str = "url",
                 max_per_domain: int = 100,
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                priority: DataFrame | None = None,
+                score_col: str = "score") -> DataFrame:
     """FineWeb-style per-domain contribution cap: keep at most
     ``max_per_domain`` pages per registered domain, chosen by a
     DETERMINISTIC hash order (md5 of the normalized URL, id tiebreak —
@@ -262,14 +281,24 @@ def domain_caps(df: DataFrame, url_col: str = "url",
     choice) so reruns and engines agree — never "first N seen", which
     is partition-order-dependent. One shuffle on the (narrow) domain
     key; page bodies ride along once — at 100 TB, project down to
-    (id, url) first, cap, then semi-join bodies back."""
-    norm = normalize_url(url_col)
+    (id, url) first, cap, then semi-join bodies back.
+
+    ``priority`` (first column = canonical URL, ``score_col`` = bigint
+    authority prior — ``graph.anchor_profile``-style in-link counts or
+    ``graph.pagerank_integer`` scores) makes the cap fill with the
+    HIGHEST-authority pages first (score DESC, md5/id tiebreak —
+    still fully deterministic): real pipelines fetch high-harvest URLs
+    first under politeness caps instead of hash-lottery order. URLs
+    absent from the table score 0. The join adds one narrow shuffle on
+    the canonical-URL key (AQE broadcasts a small prior table)."""
     ranked = (df.withColumn("_dom", registered_domain(url_col))
-                .withColumn("_ord", F.md5(norm))
-                .withColumn("_rn", F.row_number().over(
-                    Window.partitionBy("_dom").orderBy("_ord", id_col))))
+                .withColumn("_norm", normalize_url(url_col)))
+    ranked, order = _priority_order(ranked, priority, score_col, id_col)
+    ranked = ranked.withColumn(
+        "_rn", F.row_number().over(
+            Window.partitionBy("_dom").orderBy(*order)))
     return (ranked.where(F.col("_rn") <= max_per_domain)
-            .drop("_ord", "_rn")
+            .drop("_norm", "_rn", "_score")
             .withColumnRenamed("_dom", "domain"))
 
 
@@ -403,21 +432,27 @@ def robots_filter(df: DataFrame, rules: DataFrame,
 
 
 def _admit_batch(cand: DataFrame, admitted: DataFrame, counts: DataFrame,
-                 max_per_domain: int, id_col: str) -> DataFrame:
+                 max_per_domain: int, id_col: str,
+                 priority: DataFrame | None = None,
+                 score_col: str = "score") -> DataFrame:
     """One micro-batch's admission plan (factored out so plan tests can
     assert its shape): anti-join the candidates' canonical URLs against
     the admitted state — the ONLY admitted-state scan — and fill each
     domain's remaining capacity (``max_per_domain − counts.used``) in
-    deterministic md5 order. ``counts`` is the maintained per-domain
-    count table; the admitted state is never re-aggregated here."""
+    deterministic order: authority-prior score DESC when ``priority``
+    is given (:func:`domain_caps` semantics — high-harvest URLs first
+    under the politeness cap), then md5, then id. ``counts`` is the
+    maintained per-domain count table; the admitted state is never
+    re-aggregated here."""
     from pyspark.sql import Window
 
     fresh = cand.join(
         admitted.select(F.col("url_norm").alias("_norm")),
         "_norm", "left_anti")
+    fresh, order = _priority_order(fresh, priority, score_col, id_col)
     used = counts.select(F.col("domain").alias("_dom"),
                          F.col("used").alias("_used"))
-    wd = Window.partitionBy("_dom").orderBy(F.md5("_norm"), id_col)
+    wd = Window.partitionBy("_dom").orderBy(*order)
     return (fresh.withColumn("_rn", F.row_number().over(wd))
             .join(used, "_dom", "left")
             .where(F.col("_rn")
@@ -431,7 +466,9 @@ def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
                          checkpoint: str,
                          blocked: DataFrame | None = None,
                          max_per_domain: int = 100,
-                         url_col: str = "url", id_col: str = "doc_id"):
+                         url_col: str = "url", id_col: str = "doc_id",
+                         priority: DataFrame | None = None,
+                         score_col: str = "score"):
     """Streaming crawl-frontier admission gate — the URL layer's
     streaming face, same one-implementation rule as the text and media
     gates (``dedup_index.streaming_ingest_gate``,
@@ -446,7 +483,10 @@ def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
     ``max_per_domain − already_admitted(domain)``, and the batch's
     candidates fill it in deterministic md5 order (the same
     hash-not-arrival order as :func:`domain_caps`, so a re-played or
-    re-partitioned batch admits the same set). State is TWO on-disk
+    re-partitioned batch admits the same set) — or, with ``priority``
+    (canonical URL → bigint authority prior: anchor in-link counts,
+    integer PageRank), highest-authority first with md5/id as the
+    tiebreak, so the politeness cap is spent on high-harvest URLs. State is TWO on-disk
     parquet tables: ``{state_path}/admitted`` (id, url_norm, domain)
     and ``{state_path}/counts`` (domain, used) — the per-domain counts
     are maintained INCREMENTALLY (old counts ∪ the batch's admit counts,
@@ -498,7 +538,8 @@ def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
             counts = admitted.groupBy("domain").agg(
                 F.count("*").cast("bigint").alias("used"))
         keep = _admit_batch(cand, admitted, counts, max_per_domain,
-                            id_col)
+                            id_col, priority=priority,
+                            score_col=score_col)
         staging = os.path.join(checkpoint, "_gate_staging")
         keep.write.mode("overwrite").parquet(staging)
         staged = spark_b.read.parquet(staging)

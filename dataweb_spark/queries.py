@@ -6744,6 +6744,78 @@ order by domain
 """)
 
 
+def _crawl_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-prioritized frontier admission (VERDICT r10 item 6):
+    under a TIGHT politeness cap (3 pages/registered domain) the
+    admission order inside each domain's capacity is driven by a
+    quality prior — here per-URL in-link counts, the
+    ``graph.anchor_profile`` signal at URL grain, built from a
+    closed-form link multigraph (every document links to the synth URL
+    of ``(doc_id·31+7) mod 499``, so in-link multiplicity varies
+    sharply across URLs) — with md5/id as the deterministic tiebreak.
+    Same ``domain_caps``/``_admit_batch`` ordering contract, so the
+    batch face proven here is exactly what the streaming gate's
+    ``priority`` mode runs per micro-batch. The oracle replays
+    normalization, domain extraction, the in-link aggregate and the
+    score-desc/md5/id window in SQL; the per-domain id and score sums
+    pin the admitted SET, not just its size."""
+    from dataweb_spark.functions import urls as U
+    register_views(spark, sf_dir)
+    cand = spark.sql(
+        f"select doc_id, {_URL_SYNTH_SQL} as url from documents")
+    link_urls = spark.sql(
+        f"select {_URL_SYNTH_SQL} as url from "
+        "(select (doc_id * 31 + 7) % 499 as doc_id from documents)")
+    pr = (link_urls.select(U.normalize_url("url").alias("url_norm"))
+          .groupBy("url_norm")
+          .agg(F.count("*").cast("bigint").alias("score")))
+    kept = U.domain_caps(cand, max_per_domain=3, id_col="doc_id",
+                         priority=pr)
+    rescored = kept.join(
+        pr.withColumnRenamed("url_norm", "_n"),
+        U.normalize_url("url") == F.col("_n"), "left")
+    return (rescored.groupBy("domain")
+            .agg(F.count("*").cast("bigint").alias("n_kept"),
+                 F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+                 F.min("doc_id").alias("min_kept_id"),
+                 F.max("doc_id").alias("max_kept_id"),
+                 F.sum(F.coalesce("score", F.lit(0))).cast("bigint")
+                  .alias("kept_score_sum"))
+            .orderBy("domain"))
+
+
+_df("crawl_frontier_priority", _crawl_frontier_priority, oracle=rf"""
+with links as (
+  select (doc_id * 31 + 7) % 499 as doc_id from documents),
+lu as (select {_URL_SYNTH_SQL} as url from links),
+pr as (
+  select {_duck_url_norm('url')} as url_norm,
+         cast(count(*) as bigint) as score
+  from lu group by 1),
+synth as (select doc_id, {_URL_SYNTH_SQL} as url from documents),
+ranked as (
+  select s.doc_id,
+         {_duck_url_domain('s.url')} as domain,
+         coalesce(pr.score, 0) as score,
+         row_number() over (
+           partition by {_duck_url_domain('s.url')}
+           order by coalesce(pr.score, 0) desc,
+                    md5({_duck_url_norm('s.url')}), s.doc_id) as rn
+  from synth s
+  left join pr on {_duck_url_norm('s.url')} = pr.url_norm)
+select domain,
+       count(*) as n_kept,
+       cast(sum(doc_id) as bigint) as kept_id_sum,
+       min(doc_id) as min_kept_id,
+       max(doc_id) as max_kept_id,
+       cast(sum(score) as bigint) as kept_score_sum
+from ranked
+where rn <= 3
+group by domain
+order by domain
+""")
+
+
 # PSL-exercising host synthesizer (shared literal, both dialects):
 # private suffixes (github.io), wildcard (*.ck), exception (www.ck),
 # multi-part (co.uk), plain .com, unknown TLD, IP literals.

@@ -526,3 +526,103 @@ def test_psl_domain_preserves_duplicate_rows(spark):
     df = _urls_df(spark, ["http://x.a.com/p", "http://x.a.com/p"])
     got = U.registered_domain_psl(df, psl).collect()
     assert [r.domain for r in got] == ["a.com", "a.com"]
+
+
+def test_streaming_crawl_gate_priority_admission(spark, tmp_path):
+    """Authority-prioritized gate (VERDICT r10 item 6): under a tight
+    cap the HIGH-authority URLs are admitted first (score desc, md5/id
+    tiebreak), remaining capacity in later batches still honors the
+    prior, and unscored URLs rank below any scored one."""
+    import pandas as pd
+    state = str(tmp_path / "state")
+    drop = str(tmp_path / "drop")
+    cp = str(tmp_path / "cp")
+    pr = spark.createDataFrame(pd.DataFrame({
+        "url_norm": [f"http://aaa.com/p{i}" for i in range(8)],
+        "score": [10 * (8 - i) for i in range(8)]}))
+
+    def _batch(rows):
+        pdf = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                            "url": [r[1] for r in rows]})
+        spark.createDataFrame(pdf).write.mode("append").parquet(drop)
+
+    def _drain():
+        schema = spark.read.parquet(drop).schema
+        stream = (spark.readStream.schema(schema)
+                  .format("parquet").load(drop))
+        q = U.streaming_crawl_gate(stream, state, cp, max_per_domain=3,
+                                   priority=pr)
+        assert q.awaitTermination(300)
+
+    # batch 1: candidates p5..p0 arrive "worst-first" — admission must
+    # pick the 3 best scores (p0, p1, p2), not arrival or hash order
+    _batch([(i, f"http://aaa.com/p{5 - i}") for i in range(6)])
+    _drain()
+    adm = {r.url_norm for r in
+           spark.read.parquet(f"{state}/admitted").collect()}
+    assert adm == {"http://aaa.com/p0", "http://aaa.com/p1",
+                   "http://aaa.com/p2"}
+
+    # batch 2 on a fresh domain: a scored URL beats unscored ones even
+    # when its md5 would lose the hash lottery
+    pr2 = spark.createDataFrame(pd.DataFrame(
+        {"url_norm": ["http://bbb.org/z9"], "score": [1]}))
+    _batch([(100 + i, f"http://bbb.org/z{i}") for i in range(10)])
+    schema = spark.read.parquet(drop).schema
+    stream = (spark.readStream.schema(schema)
+              .format("parquet").load(drop))
+    q = U.streaming_crawl_gate(stream, state, cp, max_per_domain=1,
+                               priority=pr2)
+    assert q.awaitTermination(300)
+    bbb = {r.url_norm for r in spark.read.parquet(f"{state}/admitted")
+           .where("domain = 'bbb.org'").collect()}
+    assert bbb == {"http://bbb.org/z9"}
+
+
+def test_priority_admission_single_state_scan(spark, tmp_path):
+    """The priority join must not break the single-admitted-scan /
+    no-reaggregation contract: the plan gains exactly one extra scan
+    (the prior table) and still never aggregates state."""
+    import pandas as pd
+    admitted_path = str(tmp_path / "admitted")
+    counts_path = str(tmp_path / "counts")
+    prior_path = str(tmp_path / "prior")
+    (spark.createDataFrame(pd.DataFrame(
+        {"id": [1], "url_norm": ["http://a.com/x"], "domain": ["a.com"]}))
+     .write.parquet(admitted_path))
+    (spark.createDataFrame(pd.DataFrame(
+        {"domain": ["a.com"], "used": [1]}))
+     .write.parquet(counts_path))
+    (spark.createDataFrame(pd.DataFrame(
+        {"url_norm": ["http://a.com/y"], "score": [7]}))
+     .write.parquet(prior_path))
+    cand = (spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [2], "url": ["http://a.com/y"]}))
+        .withColumn("_norm", U.normalize_url("url"))
+        .withColumn("_dom", U.registered_domain("url")))
+    keep = U._admit_batch(cand, spark.read.parquet(admitted_path),
+                          spark.read.parquet(counts_path), 5, "doc_id",
+                          priority=spark.read.parquet(prior_path))
+    # plan BEFORE collect: the post-execution AQE string prints every
+    # scan twice (final + initial plan sections)
+    plan = keep._jdf.queryExecution().executedPlan().toString()
+    assert [r.url_norm for r in keep.collect()] == ["http://a.com/y"]
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 3, plan   # admitted + counts + prior, once each
+    assert sum("score" in ln for ln in scans) == 1, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_domain_caps_priority_matches_streaming_order(spark):
+    """domain_caps(priority=...) and the gate share one ordering
+    implementation — the batch face picks score-desc/md5/id too."""
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(10)),
+        "url": [f"http://ccc.net/a{i}" for i in range(10)]}))
+    pr = spark.createDataFrame(pd.DataFrame(
+        {"url_norm": ["http://ccc.net/a7", "http://ccc.net/a3"],
+         "score": [5, 9]}))
+    kept = U.domain_caps(df, max_per_domain=2, priority=pr)
+    assert sorted(r.doc_id for r in kept.collect()) == [3, 7]
+    assert set(kept.columns) == {"doc_id", "url", "domain"}
