@@ -131,6 +131,9 @@ EXTRAS = [
     "text_encoding_quality",
     "graph_anchor_profile",
     "text_html_tables",
+    # r11 additions
+    "warc_http_extract",
+    "crawl_frontier_priority",
 ]
 
 

@@ -164,12 +164,24 @@ having count(*) > 10
 order by l_returnflag
 """)
 
+# (absorbed the former first_last_value_windows and
+# ntile_percentile_windows smokes in r11: first/last/nth_value over a
+# named WINDOW clause and ntile bucketing ride the same per-customer
+# top-n — one declared query instead of three, every construct kept)
 _dual("window_topn_per_customer", """
 select * from (
   select o_custkey, o_orderkey, o_totalprice,
          row_number() over (partition by o_custkey
-                            order by o_totalprice desc, o_orderkey) as rn
+                            order by o_totalprice desc, o_orderkey) as rn,
+         first_value(o_orderkey) over w  as first_order,
+         last_value(o_orderkey) over w   as last_order,
+         nth_value(o_orderkey, 2) over w as second_order,
+         ntile(4) over (partition by o_custkey
+                        order by o_totalprice, o_orderkey)
+           as price_quartile
   from orders
+  window w as (partition by o_custkey order by o_orderdate, o_orderkey
+               rows between unbounded preceding and unbounded following)
 ) t
 where rn <= 3 and o_custkey < 100
 order by o_custkey, rn
@@ -561,17 +573,8 @@ from nation n
 order by n_name
 """)
 
-_dual("ntile_percentile_windows", """
-select q, count(*) as n,
-       round(min(o_totalprice), 2) as lo,
-       round(max(o_totalprice), 2) as hi
-from (
-  select o_totalprice, ntile(4) over (order by o_totalprice, o_orderkey) as q
-  from orders
-) t
-group by q
-order by q
-""")
+# (ntile_percentile_windows retired in r11 — its ntile bucketing lives
+# on inside window_topn_per_customer's price_quartile column)
 
 # Explicit NULLS LAST + IGNORE NULLS forward-fill: default null ordering
 # differs between engines (Spark asc = nulls first, DuckDB asc = nulls
@@ -671,20 +674,8 @@ order by bin_id
 """)
 
 
-_dual("first_last_value_windows", """
-select o_custkey, o_orderkey,
-       first_value(o_orderkey) over w  as first_order,
-       last_value(o_orderkey) over
-         (partition by o_custkey order by o_orderdate, o_orderkey
-          rows between unbounded preceding and unbounded following)
-                                       as last_order,
-       nth_value(o_orderkey, 2) over w as second_order
-from orders
-where o_custkey < 30
-window w as (partition by o_custkey order by o_orderdate, o_orderkey
-             rows between unbounded preceding and unbounded following)
-order by o_custkey, o_orderkey
-""")
+# (first_last_value_windows retired in r11 — first/last/nth_value and
+# the named WINDOW clause live on inside window_topn_per_customer)
 
 # --- TPC-H adaptations to the synthetic schema (no partsupp / commitdate /
 # shipmode / phone columns — predicates substituted with available ones).
@@ -2339,36 +2330,9 @@ order by d.doc_id
 """)
 
 
-def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed top-k, checked via the planted-copy
-    invariant: an exact copy of each query vector (id + 30000) has an
-    IDENTICAL hyperplane signature, so it lands in the query's bucket by
-    construction and must come back as the rank-1 neighbor at cosine 1.
-    Deterministic (seeded planes, id tie-breaks) and bucket-membership is
-    what LSH actually guarantees — a brute-force-overlap contract would
-    overclaim (single-band recall on organic neighbors is well below 1)."""
-    from dataweb_spark.functions import similarity as S
-    register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
-    queries = emb.where("vec_id < 5").select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    planted = queries.select(
-        (F.col("query_id") + 30000).alias("vec_id"), "embedding")
-    corpus = emb.select("vec_id", "embedding").unionByName(planted)
-    top = S.lsh_topk(corpus, queries, k=5, planes=4)
-    return (top.where("rank = 1")
-               .select("query_id",
-                       (F.col("neighbor_id") == F.col("query_id") + 30000)
-                       .alias("copy_is_top"),
-                       (F.col("cos") >= 0.999999).alias("cos_is_one"))
-               .orderBy("query_id"))
-
-
-_df("knn_lsh_approx", _knn_lsh, oracle="""
-select range as query_id, true as copy_is_top, true as cos_is_one
-from range(5)
-order by query_id
-""")
+# (knn_lsh_approx retired in r11 — the hyperplane-LSH planted-copy
+# invariant lives on inside knn_bruteforce_cosine's lsh_copy_is_top /
+# lsh_cos_is_one columns)
 
 
 def _exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2565,14 +2529,41 @@ order by id_a, id_b
 
 
 def _knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN family in one pass (r11 merge of the former ``knn_lsh_approx``
+    and ``knn_quantized_int8`` contract twins into the brute-force
+    baseline — every construct kept): the float brute-force top-k is the
+    ground-truth ranking; the int8-quantized ranking rides alongside at
+    the same (query, rank) grain (symmetric quantization is
+    deterministic integer math, so DuckDB reproduces its codes and
+    ordering exactly); and the hyperplane-LSH planted-copy invariant —
+    an exact copy (id+30000) shares the query's signature, lands in its
+    bucket and must return as the rank-1 neighbor at cosine 1 — rides as
+    two per-query boolean columns."""
     from dataweb_spark.functions import similarity as S
     register_views(spark, sf_dir)
     emb = spark.table("embeddings")
     queries = emb.where("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return (S.brute_force_topk(emb, queries, k=5)
-             .select("query_id", "neighbor_id", "rank", "cos")
-             .orderBy("query_id", "rank"))
+    brute = S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rank", "cos")
+    quant = S.quantized_topk(emb, queries, k=5).select(
+        "query_id", F.col("neighbor_id").alias("q_neighbor_id"),
+        "rank", "cos_q")
+    planted = queries.select(
+        (F.col("query_id") + 30000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    lsh = (S.lsh_topk(corpus, queries, k=5, planes=4)
+           .where("rank = 1")
+           .select("query_id",
+                   (F.col("neighbor_id") == F.col("query_id") + 30000)
+                   .alias("lsh_copy_is_top"),
+                   (F.col("cos") >= 0.999999).alias("lsh_cos_is_one")))
+    return (brute.join(quant, ["query_id", "rank"])
+                 .join(lsh, "query_id")
+                 .select("query_id", "rank", "neighbor_id", "cos",
+                         "q_neighbor_id", "cos_q",
+                         "lsh_copy_is_top", "lsh_cos_is_one")
+                 .orderBy("query_id", "rank"))
 
 
 _df("knn_bruteforce_cosine", _knn_brute, oracle="""
@@ -2591,10 +2582,44 @@ with q as (
                             order by cos desc, neighbor_id) as rank,
          round(cos, 6) as cos
   from scored
+), v as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as e
+  from embeddings
+), s as (
+  select vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 as raw_scale
+  from v
+), qz as (
+  select vec_id,
+         case when raw_scale = 0 then list_transform(e, x -> 0.0)
+              else list_transform(e,
+                   x -> cast(cast(round(x / raw_scale) as tinyint) as double))
+         end as qd
+  from s
+), qs as (
+  select vec_id as query_id, qd as qq from qz where vec_id < 5
+), scored_q as (
+  select qs.query_id, c.vec_id as neighbor_id,
+         list_dot_product(c.qd, qs.qq)
+           / greatest(sqrt(list_dot_product(c.qd, c.qd))
+                      * sqrt(list_dot_product(qs.qq, qs.qq)), 1e-300)
+             as cos_q
+  from qz c, qs
+  where c.vec_id <> qs.query_id
+), ranked_q as (
+  select query_id, neighbor_id,
+         row_number() over (partition by query_id
+                            order by cos_q desc, neighbor_id) as rank,
+         round(cos_q, 6) as cos_q
+  from scored_q
 )
-select query_id, neighbor_id, rank, cos
-from ranked where rank <= 5
-order by query_id, rank
+select b.query_id, b.rank, b.neighbor_id, b.cos,
+       r.neighbor_id as q_neighbor_id, r.cos_q,
+       true as lsh_copy_is_top, true as lsh_cos_is_one
+from ranked b
+join ranked_q r on b.query_id = r.query_id and b.rank = r.rank
+where b.rank <= 5 and r.rank <= 5
+order by b.query_id, b.rank
 """)
 
 
@@ -3365,57 +3390,9 @@ order by contaminated_frac desc, doc_id
 """)
 
 
-def _knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Int8-quantized cosine top-k (4× IO cut; approx): rows-only check;
-    recall vs float brute force asserted in test_functions.py."""
-    from dataweb_spark.functions import similarity as S
-    register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
-    queries = emb.where("vec_id < 5").select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    return (S.quantized_topk(emb, queries, k=5)
-             .orderBy("query_id", "rank"))
-
-
-# Fully oracle-checkable despite being the "approximate" tier: symmetric
-# int8 quantization is deterministic integer math, so DuckDB reproduces
-# the exact same codes, dot products, and ranking.
-_df("knn_quantized_int8", _knn_quantized, oracle="""
-with v as (
-  select vec_id, list_transform(embedding, x -> cast(x as double)) as e
-  from embeddings
-), s as (
-  select vec_id, e,
-         list_max(list_transform(e, x -> abs(x))) / 127.0 as raw_scale
-  from v
-), qz as (
-  select vec_id,
-         case when raw_scale = 0 then list_transform(e, x -> 0.0)
-              else list_transform(e,
-                   x -> cast(cast(round(x / raw_scale) as tinyint) as double))
-         end as qd
-  from s
-), qs as (
-  select vec_id as query_id, qd as qq from qz where vec_id < 5
-), scored as (
-  select qs.query_id, c.vec_id as neighbor_id,
-         list_dot_product(c.qd, qs.qq)
-           / greatest(sqrt(list_dot_product(c.qd, c.qd))
-                      * sqrt(list_dot_product(qs.qq, qs.qq)), 1e-300)
-             as cos_q
-  from qz c, qs
-  where c.vec_id <> qs.query_id
-), ranked as (
-  select query_id, neighbor_id,
-         row_number() over (partition by query_id
-                            order by cos_q desc, neighbor_id) as rank,
-         round(cos_q, 6) as cos_q
-  from scored
-)
-select query_id, neighbor_id, rank, cos_q
-from ranked where rank <= 5
-order by query_id, rank
-""")
+# (knn_quantized_int8 retired in r11 — the int8-quantized ranking,
+# integer-exact and DuckDB-replayed, lives on inside
+# knn_bruteforce_cosine's q_neighbor_id / cos_q columns)
 
 
 def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4567,23 +4544,53 @@ order by returnflag
 
 
 def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary + typed-metadata plumbing in one pass (r11 merge of
+    the former ``multimodal_frame_counts`` into this smoke — constructs
+    kept): the image face reads the typed ``meta`` struct and binary
+    lengths; the video face pushes the same corpus shape through the
+    ``frame_sample_stub`` explode (the mapInPandas plumbing real
+    container decoders share) and counts pseudo-frames per blob. The
+    REAL codec paths are pinned by the jpeg/flac/mjpeg/mp4 queries and
+    ``multimodal_media_catalog``."""
     from dataweb_spark.functions import multimodal as M
-    media = M.synthesize_media(spark, n=64, kind="image")
-    return (media.groupBy("kind")
-            .agg(F.count("*").alias("n"),
-                 F.min("meta.width").alias("min_w"),
-                 F.max("meta.width").alias("max_w"),
-                 F.min("meta.height").alias("min_h"),
-                 F.max("meta.height").alias("max_h"),
-                 F.sum(F.length("content")).alias("total_bytes"))
-            .orderBy("kind"))
+    img = (M.synthesize_media(spark, n=64, kind="image")
+           .groupBy("kind")
+           .agg(F.count("*").alias("n"),
+                F.min("meta.width").alias("min_w"),
+                F.max("meta.width").alias("max_w"),
+                F.min("meta.height").alias("min_h"),
+                F.max("meta.height").alias("max_h"),
+                F.sum(F.length("content")).alias("total_bytes"))
+           .withColumn("total_frames", F.lit(None).cast("bigint")))
+    vids = M.synthesize_media(spark, n=64, kind="video")
+    fcnt = (M.frame_sample_stub(vids).groupBy("media_id")
+            .agg(F.count("*").alias("nf")))
+    vid = (vids.join(fcnt, "media_id")
+           .groupBy("kind")
+           .agg(F.count("*").alias("n"),
+                F.min("meta.width").alias("min_w"),
+                F.max("meta.width").alias("max_w"),
+                F.min("meta.height").alias("min_h"),
+                F.max("meta.height").alias("max_h"),
+                F.sum(F.length("content")).alias("total_bytes"),
+                F.sum("nf").cast("bigint").alias("total_frames")))
+    return img.unionByName(vid).orderBy("kind")
 
 
 _df("multimodal_meta", _multimodal_meta, oracle="""
 select 'image' as kind, count(*) as n,
        min(range % 64 + 32) as min_w, max(range % 64 + 32) as max_w,
        min(range % 48 + 32) as min_h, max(range % 48 + 32) as max_h,
-       cast(count(*) * 64 as bigint) as total_bytes
+       cast(count(*) * 64 as bigint) as total_bytes,
+       cast(null as bigint) as total_frames
+from range(64)
+group by 1
+union all
+select 'video' as kind, count(*) as n,
+       min(range % 64 + 32), max(range % 64 + 32),
+       min(range % 48 + 32), max(range % 48 + 32),
+       cast(count(*) * 64 as bigint),
+       cast(count(*) as bigint) as total_frames
 from range(64)
 group by 1
 order by kind
@@ -4746,20 +4753,8 @@ order by media_id
 """)
 
 
-def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dataweb_spark.functions import multimodal as M
-    media = M.synthesize_media(spark, n=64, kind="video")
-    frames = M.frame_sample_stub(media)
-    return (frames.groupBy("media_id")
-            .agg(F.count("*").alias("n_frames"))
-            .orderBy("media_id"))
-
-
-_df("multimodal_frame_counts", _multimodal_frames, oracle="""
-select range as media_id, cast(1 as bigint) as n_frames
-from range(64)
-order by media_id
-""")
+# (multimodal_frame_counts retired in r11 — the frame_sample_stub
+# explode lives on inside multimodal_meta's video face / total_frames)
 
 
 def _multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7557,85 +7552,81 @@ order by c.domain, rk
 # its relative order after the window.
 
 _DRIVER_WINDOW = [
-    # --- r10 rotation. CORRECTNESS_r09 was 50/50; the whole r9 window
-    # rotates out. VERDICT r9 item 2: the ENTIRE r6-age cohort must
-    # occupy this window. Item 3 relieved the arithmetic saturation:
-    # nine overlapping §2.3 smokes were retired by MERGING their
-    # constructs into kept siblings (predicates_smoke +
-    # is_distinct_from_nulls → like_family_predicates;
-    # case_cast_string_funcs + array_access_split →
-    # string_funcs_position_trim; distinct_counts → agg_having_filter;
-    # date_parts_orders → interval_date_arithmetic; cube_counts →
-    # rollup_counts; events_json_regexp → events_json_props;
-    # topk_orders retired outright, covered by tpch_q3/q10 + the
-    # TakeOrderedAndProject plan test), shrinking the cohort to 41 and
-    # the declared count to 183 — each future round regains free slots.
-    # (a) the six merge-target queries re-check FIRST (their output
-    # schemas changed this round — absorbed columns):
-    "like_family_predicates",
-    "string_funcs_position_trim",
-    "agg_having_filter",
-    "interval_date_arithmetic",
-    "rollup_counts",
-    "events_json_props",
-    # (b) the rest of the r6 cohort (max evidence age stays ≤ 3):
-    "cte_exists_in_subquery",
-    "dedup_exact_groups",
-    "dedup_incremental_ingest",
-    "dedup_index_classify",
-    "dedup_index_gate",
-    "dedup_index_incremental",
-    "dedup_normalized_fingerprint",
-    "dedup_quality_keeper",
-    "events_hourly_rollup",
-    "first_last_value_windows",
-    "lateral_view_explode",
-    "listagg_nations_per_region",
-    "listagg_within_group_overlay",
-    "ntile_percentile_windows",
-    "scalar_subquery_per_row",
-    "stats_aggregates",
-    "timezone_conversion",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q5_regional_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_idle_customers",
-    "try_cast_safe",
-    "values_inline_join",
-    "window_lag_lead_events",
-    "window_running_sum",
-    # (c) r10-CHANGED query: robots matching now targets path+query
-    # (RFC 9309 — '/*?sessionid=' rules fire) and the synth plants
-    # query-string URLs, so its r9 evidence describes old outputs:
-    "crawl_robots_gate",
-    # (d) new in r10 (slots freed by the merges):
-    "media_index_rate_normalized",
-    "text_bm25_retrieval",
-    "pipeline_hybrid_retrieval",
-    "text_encoding_quality",
-    "graph_anchor_profile",
-    # (e) three r7-age names pulled FORWARD into the spare slots (the
-    # r7 cohort is 49 strong — every early refresh trims the r11
-    # rotation): the deepest moving-parts representatives first.
-    "fed_six_relay_provenance",
-    "dedup_remove_spans",
-    "asof_join_purchase_click",
+    # --- r11 rotation. CORRECTNESS_r10 was 50/50; the whole r10
+    # window rotates out. VERDICT r10 item 1: the 46-name r7-age
+    # cohort + text_html_tables (the ONE query that has never held
+    # a driver slot — it leads) fill 47 slots; the three spare
+    # slots go to the r11-new queries and the one r11 merge keeper
+    # whose output schema changed and which is NOT already in the
+    # cohort (multimodal_meta, which absorbed
+    # multimodal_frame_counts). The two merge keepers that ARE in
+    # the cohort re-check first: window_topn_per_customer (absorbed
+    # first_last_value_windows + ntile_percentile_windows) and
+    # knn_bruteforce_cosine (absorbed knn_lsh_approx +
+    # knn_quantized_int8).
+    # (a) never driver-checked (VERDICT What's-missing #3):
+    "text_html_tables",
+    # (b) changed-schema merge keepers from the r7 cohort, first:
+    "window_topn_per_customer",
+    "knn_bruteforce_cosine",
+    # (c) the rest of the r7 cohort (max evidence age stays <= 3):
+    "any_all_minmax_rewrite",
+    "array_agg_ordered_limited",
+    "corpus_mix_proportions",
+    "dedup_contamination_check",
+    "dedup_duplicated_spans",
+    "dedup_embedding_recall",
+    "dedup_exact_clusters",
+    "dedup_minhash_char_cjk",
+    "dedup_minhash_recall",
+    "dedup_ngram_jaccard_exact",
+    "dedup_video_cross_container",
+    "embedding_quantize_int8",
+    "events_sessionization",
+    "fed_lineitem_count",
+    "fed_lineitem_q1_all_access",
+    "fed_provenance_counts",
+    "fed_remote_hop_count",
+    "fed_source_pruning",
+    "grouping_sets",
+    "higher_order_array_funcs",
+    "media_index_classify",
+    "multimodal_audio_resample",
+    "multimodal_flac_features",
+    "multimodal_jpeg_catalog",
+    "multimodal_jpeg_features",
+    "multimodal_media_catalog",
+    "multimodal_mjpeg_frames",
+    "multimodal_mp4_frames",
+    "pivot_returnflag_status",
+    "recursive_cte_series",
+    "sample_hash_deterministic",
+    "setops_customers",
+    "streaming_dedup_ingest",
+    "streaming_hourly_rollup",
+    "streaming_media_dedup",
+    "text_pii_scrub",
+    "text_quality_langid",
+    "text_repetition_gopher",
+    "text_stats",
+    "text_tfidf_top_terms",
+    "tpch_q12_late_shipping_priority",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q9_product_profit",
+    # (d) new in r11:
+    "warc_http_extract",
+    "crawl_frontier_priority",
+    # (e) r11 merge keeper outside the cohort (schema changed):
+    "multimodal_meta",
 ]
 # window budget: up to 50 checked by the driver. Rotated-out names stay
 # in QUERIES (checkable any round; the full local sweep covers all of
 # them each round). After this window runs the oldest evidence anywhere
-# is r7 — window that cohort in r11. New queries outrank age refreshes
-# for slots, as always.
+# is r8 — window the 43-name r8 cohort in r12 (the r11 merges retired 5
+# queries, so declared is 186 and the 50×4 age budget keeps ≥4 free
+# slots/round through r14; see COVERAGE.md). New queries outrank age
+# refreshes for slots, as always.
 
 def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
