@@ -291,3 +291,22 @@ def test_http_extract_composes_with_text_ops(spark):
         T.html_to_text(F.col("payload").cast("string")).alias("t")
     ).collect()
     assert "HTTP/1.1" in raw[0].t  # what item 3 warned about, pre-strip
+
+
+@settings(max_examples=60, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=300),
+       ct=st.sampled_from(["application/http; msgtype=response",
+                           "application/http", "text/plain", "",
+                           "application/octet-stream"]))
+def test_http_payload_parse_is_total_and_deterministic(junk, ct):
+    """_parse_http_payload is TOTAL over arbitrary payload bytes — any
+    blob yields a (status, headers, mime, charset, body, n_bad) tuple,
+    never an executor-killing exception — and is deterministic."""
+    a = W._parse_http_payload(junk, ct)
+    b = W._parse_http_payload(junk, ct)
+    assert a == b
+    status, headers, mime, charset, body, n_bad = a
+    assert status is None or 100 <= status <= 999
+    assert isinstance(body, str)
+    assert n_bad == body.count("�")
+    assert all(k == k.lower() for k, _ in headers)
