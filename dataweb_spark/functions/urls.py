@@ -258,7 +258,15 @@ def _priority_order(df: DataFrame, priority: DataFrame | None,
     the per-URL prior on the canonical URL (``df`` must carry
     ``_norm``), order by score DESC (absent → 0), then the md5 hash,
     then id. Shared by :func:`domain_caps` and the streaming gate so
-    both faces admit the identical set."""
+    both faces admit the identical set.
+
+    Precondition: ``priority`` holds ONE row per canonical URL — the
+    shape a score-building aggregate emits. A duplicate key would
+    multiply its candidate row through the left join (each copy gets
+    its own row_number, so one document could consume several cap
+    slots); aggregate the prior upstream — re-aggregating a
+    full-crawl-sized prior here on every batch would be the wrong
+    trade."""
     if priority is None:
         return df, [F.md5("_norm"), id_col]
     pr = priority.select(
@@ -290,7 +298,10 @@ def domain_caps(df: DataFrame, url_col: str = "url",
     still fully deterministic): real pipelines fetch high-harvest URLs
     first under politeness caps instead of hash-lottery order. URLs
     absent from the table score 0. The join adds one narrow shuffle on
-    the canonical-URL key (AQE broadcasts a small prior table)."""
+    the canonical-URL key (AQE broadcasts a small prior table). The
+    prior must hold ONE row per canonical URL (see
+    :func:`_priority_order` — duplicates would let one document consume
+    several cap slots)."""
     ranked = (df.withColumn("_dom", registered_domain(url_col))
                 .withColumn("_norm", normalize_url(url_col)))
     ranked, order = _priority_order(ranked, priority, score_col, id_col)
@@ -485,8 +496,9 @@ def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
     hash-not-arrival order as :func:`domain_caps`, so a re-played or
     re-partitioned batch admits the same set) — or, with ``priority``
     (canonical URL → bigint authority prior: anchor in-link counts,
-    integer PageRank), highest-authority first with md5/id as the
-    tiebreak, so the politeness cap is spent on high-harvest URLs. State is TWO on-disk
+    integer PageRank; ONE row per URL, see :func:`_priority_order`),
+    highest-authority first with md5/id as the tiebreak, so the
+    politeness cap is spent on high-harvest URLs. State is TWO on-disk
     parquet tables: ``{state_path}/admitted`` (id, url_norm, domain)
     and ``{state_path}/counts`` (domain, used) — the per-domain counts
     are maintained INCREMENTALLY (old counts ∪ the batch's admit counts,

@@ -234,6 +234,7 @@ class JobManager:
             "job_id": job.job_id,
             "status": job.status,
             "mode": job.mode,
+            "principal": job.principal,
             "tasks": [
                 {"task_id": t.task_id, "relay": t.relay, "source": t.source,
                  "status": t.status, "n_rows": t.n_rows, "error": t.error,

@@ -99,15 +99,11 @@ class _CertServerAuthHandler(flight.ServerAuthHandler):
 
     def __init__(self, users):
         super().__init__()
-        # users: iterable of pki.X509User, or a dict keyed by fingerprint
-        # whose values are X509User objects (RelayCatalog.users) or plain
-        # principal strings.
-        if isinstance(users, dict):
-            self._by_fp = {fp: (u.principal if hasattr(u, "principal")
-                                else u)
-                           for fp, u in users.items()}
-        else:
-            self._by_fp = {u.x509_sha256: u.principal for u in users}
+        # users: any shape pki.normalize_x509_users accepts (shared with
+        # the REST face so the two transports cannot drift)
+        from dataweb_spark.sources.pki import normalize_x509_users
+        self._by_fp = {fp: u.principal
+                       for fp, u in normalize_x509_users(users).items()}
         self._sessions: dict[bytes, str] = {}
         self._lock = threading.Lock()
 

@@ -44,6 +44,21 @@ def fingerprint_der(der: bytes) -> str:
     return hashlib.sha256(der).hexdigest().upper()
 
 
+def normalize_x509_users(users) -> dict[str, X509User]:
+    """One fingerprint → :class:`X509User` map for every transport face.
+
+    Accepts the shapes both the Flight and REST servers take: an iterable
+    of ``X509User``, or a dict keyed by fingerprint whose values are
+    ``X509User`` objects (``RelayCatalog.users``) or plain principal
+    strings (wrapped into attribute-less users). Shared so the two faces
+    cannot drift on what a users table means."""
+    if isinstance(users, dict):
+        return {fp: (u if isinstance(u, X509User)
+                     else X509User(fp, principal=u))
+                for fp, u in users.items()}
+    return {u.x509_sha256: u for u in users}
+
+
 def parse_certificate(der: bytes) -> tuple[str, str, str]:
     """``(fingerprint, subject_dn, issuer_dn)`` — ``pki/mod.rs:12-25``."""
     from cryptography import x509

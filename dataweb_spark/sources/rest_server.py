@@ -38,7 +38,9 @@ IGNORES any identity claimed in the request body. This server does the
 same once ``x509_users`` is set: the effective principal is the SHA-256
 fingerprint lookup of the presented certificate (handshake-verified
 against ``mtls_ca`` on the direct-TLS face; proxy-attested on the
-``cert_header`` face), request-JSON / query-string principals are
+``cert_header`` face — one face per listener, the combination is
+rejected so a certless caller can never forge the header with someone's
+public certificate), request-JSON / query-string principals are
 ignored, no certificate → 401, an unregistered one → 403, and
 status/results/cancel are only served to the job's own principal —
 exactly the contract the Flight face already enforces
@@ -98,8 +100,11 @@ class RestRelayServer:
     makes the TLS listener request and handshake-verify client
     certificates — the direct-TLS face; ``cert_header`` names a header
     carrying a urlencoded client-cert PEM attested by a TLS-terminating
-    proxy — the reference's ``utils.rs:8-38`` mode. The direct-TLS
-    certificate wins when both faces present one."""
+    proxy — the reference's ``utils.rs:8-38`` mode. The two faces are
+    MUTUALLY EXCLUSIVE per listener (a shared listener would let a
+    certless direct-TLS caller forge the header with anyone's public
+    certificate); run one server per face over a shared job store if
+    both are needed."""
 
     def __init__(self, spark: SparkSession, web: Web, relay_name: str,
                  host: str = "127.0.0.1", port: int = 0,
@@ -113,27 +118,34 @@ class RestRelayServer:
         self.relay_name = relay_name
         self._admin_token = admin_token
         self._cert_header = cert_header
-        # fingerprint → (principal, is_admin); accepts the same shapes as
-        # the Flight face's _CertServerAuthHandler (X509User iterable, or
-        # a dict keyed by fingerprint of X509User / principal strings)
+        # fingerprint → (principal, is_admin); shapes normalized by the
+        # SAME pki helper the Flight face uses, so the two transports
+        # cannot drift on what a users table means
         self._by_fp: dict[str, tuple[str, bool]] | None = None
         if x509_users is not None:
-            def entry(u):
-                if hasattr(u, "principal"):
-                    return (u.principal,
-                            bool(getattr(u, "attributes", {})
-                                 .get("is_admin", False)))
-                return (u, False)
-            if isinstance(x509_users, dict):
-                self._by_fp = {fp: entry(u) for fp, u in x509_users.items()}
-            else:
-                self._by_fp = {u.x509_sha256: entry(u) for u in x509_users}
+            from dataweb_spark.sources.pki import normalize_x509_users
+            self._by_fp = {
+                fp: (u.principal,
+                     bool(u.attributes.get("is_admin", False)))
+                for fp, u in normalize_x509_users(x509_users).items()}
         if mtls_ca is not None and tls is None:
             raise ValueError("mtls_ca requires tls (an HTTPS listener)")
+        if mtls_ca is not None and cert_header is not None:
+            # One listener must expose ONE certificate face. A shared
+            # listener would let a certless direct-TLS caller FORGE the
+            # proxy header with anyone's public certificate PEM and
+            # impersonate them — the header is only trustworthy when
+            # every request provably traversed the proxy, which a
+            # combined listener cannot guarantee. Run two servers over
+            # one JobManager-backed web if both faces are needed.
+            raise ValueError(
+                "mtls_ca and cert_header are mutually exclusive per "
+                "listener: a direct-TLS caller could forge the proxy "
+                "header (certificates are public material)")
         if self._by_fp is not None and mtls_ca is None and cert_header is None:
             raise ValueError(
                 "x509_users needs a transport face: mtls_ca (direct TLS) "
-                "and/or cert_header (TLS-terminating proxy)")
+                "or cert_header (TLS-terminating proxy)")
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -216,13 +228,20 @@ class RestRelayServer:
                 ``flight_server/src/flight.rs:396-447``)."""
                 if outer._by_fp is None:
                     return
+                st = outer.manager.status(job_id)   # KeyError → 404
                 me = self._principal(None)
-                job = outer.manager._jobs.get(job_id)
-                if job is None:
-                    raise KeyError(job_id)
-                if job.principal != me:
+                if st["principal"] != me:
                     raise _AuthError(
                         403, f"job {job_id} belongs to another principal")
+
+            def _read_body(self) -> bytes:
+                """Read (and thereby drain) the request body. MUST run
+                before any response on every request that may carry a
+                body: under HTTP/1.1 keep-alive an unread body would be
+                parsed as the NEXT request line, desynchronizing the
+                connection."""
+                n = int(self.headers.get("Content-Length", "0"))
+                return self.rfile.read(n) if n else b""
 
             def _send(self, code: int, payload, content_type: str
                       = "application/json") -> None:
@@ -235,18 +254,18 @@ class RestRelayServer:
                 self.wfile.write(body)
 
             def do_POST(self):
+                raw = self._read_body()   # drain BEFORE any early return
                 path = urlparse(self.path).path
                 if path == "/admin/apply":
-                    return self._admin_apply()
+                    return self._admin_apply(raw)
                 if path == "/admin/diff":
-                    return self._admin_apply(dry_run=True)
+                    return self._admin_apply(raw, dry_run=True)
                 if path == "/explain":
-                    return self._explain()
+                    return self._explain(raw)
                 if path != "/query":
                     return self._send(404, {"error": "not found"})
                 try:
-                    n = int(self.headers.get("Content-Length", "0"))
-                    req = json.loads(self.rfile.read(n).decode("utf-8"))
+                    req = json.loads(raw.decode("utf-8"))
                     job_id = outer.manager.submit(
                         req["sql"], self._principal(req.get("principal")),
                         req.get("mode", "template"))
@@ -256,12 +275,11 @@ class RestRelayServer:
                     return self._send(400, {"error": str(e)})
                 self._send(202, {"job_id": job_id})
 
-            def _explain(self) -> None:
+            def _explain(self, raw: bytes) -> None:
                 """POST /explain {sql, principal?} → per-source resolution
                 rows; metadata-only, no scan, no peer contact."""
                 try:
-                    n = int(self.headers.get("Content-Length", "0"))
-                    req = json.loads(self.rfile.read(n).decode("utf-8"))
+                    req = json.loads(raw.decode("utf-8"))
                     df = outer.manager.gateway.explain(
                         req["sql"], self._principal(req.get("principal")))
                     # collect is fine HERE: explain rows are per-source
@@ -273,7 +291,8 @@ class RestRelayServer:
                     return self._send(400, {"error": str(e)})
                 self._send(200, {"sources": rows})
 
-            def _admin_apply(self, dry_run: bool = False) -> None:
+            def _admin_apply(self, raw: bytes, dry_run: bool = False
+                             ) -> None:
                 import yaml
 
                 from dataweb_spark.catalog.loader import (
@@ -285,9 +304,7 @@ class RestRelayServer:
                 if not self._is_admin():
                     return self._send(403, {"error": "admin denied"})
                 try:
-                    n = int(self.headers.get("Content-Length", "0"))
-                    body = self.rfile.read(n).decode("utf-8")
-                    docs = list(yaml.safe_load_all(body))
+                    docs = list(yaml.safe_load_all(raw.decode("utf-8")))
                     relay = outer.web.relay(outer.relay_name)
                     if dry_run:  # /admin/diff: live catalog untouched
                         return self._send(
@@ -311,6 +328,7 @@ class RestRelayServer:
                 """DELETE /query/{id}: best-effort cancel. Queued tasks
                 never start; running stages are interrupted; finished work
                 keeps its results (fetch with allow_partial=true)."""
+                self._read_body()   # keep-alive: drain any body
                 url = urlparse(self.path)
                 m = _QUERY.match(url.path)
                 if not m:
@@ -328,6 +346,7 @@ class RestRelayServer:
                 self._send(200, st)
 
             def do_GET(self):
+                self._read_body()   # keep-alive: drain any body
                 url = urlparse(self.path)
                 partial = parse_qs(url.query).get(
                     "allow_partial", ["false"])[0].lower() == "true"
@@ -396,18 +415,29 @@ class RestRelayServer:
                     first = next(lines, None)
                 except JobNotReady as e:
                     return self._send(409, {"error": str(e), **st})
-                # Chunked transfer straight off toLocalIterator: the full
-                # result is NEVER joined into one driver-side string/list
-                # (a SELECT *-shaped job would OOM the relay otherwise —
-                # the reference streams record batches the same way,
+                # Streamed straight off toLocalIterator: the full result
+                # is NEVER joined into one driver-side string/list (a
+                # SELECT *-shaped job would OOM the relay otherwise — the
+                # reference streams record batches the same way,
                 # query/utils.rs:81-169). Task parquet stays the durable
                 # copy; this loop only serializes rows already landed.
+                # HTTP/1.1 clients get chunked framing; an HTTP/1.0
+                # client cannot parse chunked (RFC 7230 §3.3.1), so it
+                # gets the same incremental stream close-delimited.
+                http10 = self.request_version == "HTTP/1.0"
                 self.send_response(200)
                 self.send_header("Content-Type", "application/x-ndjson")
-                self.send_header("Transfer-Encoding", "chunked")
+                if http10:
+                    self.send_header("Connection", "close")
+                    self.close_connection = True
+                else:
+                    self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
 
                 def chunk(data: bytes) -> None:
+                    if http10:
+                        self.wfile.write(data)
+                        return
                     self.wfile.write(b"%x\r\n" % len(data))
                     self.wfile.write(data)
                     self.wfile.write(b"\r\n")
@@ -416,7 +446,8 @@ class RestRelayServer:
                     chunk(first.encode("utf-8") + b"\n")
                     for line in lines:
                         chunk(line.encode("utf-8") + b"\n")
-                self.wfile.write(b"0\r\n\r\n")
+                if not http10:
+                    self.wfile.write(b"0\r\n\r\n")
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.tls = tls is not None

@@ -292,13 +292,14 @@ def _decode_body(body: bytes, charset: str) -> tuple[str, int]:
     byte sequences become U+FFFD, and ``n_bad`` counts the U+FFFD in the
     RESULT (original U+FFFD included — both signal damage upstream; the
     count feeds ``text.encoding_quality``). Unknown charset labels fall
-    back to utf-8 — deterministic, never an executor crash."""
-    import codecs
+    back to utf-8 — deterministic, never an executor crash. The decode
+    itself sits inside the guard: labels like ``hex``/``base64``/``rot13``
+    pass ``codecs.lookup`` (they ARE registered codecs) but raise
+    LookupError('not a text encoding') only at ``.decode`` time."""
     try:
-        codecs.lookup(charset)
+        text = body.decode(charset, errors="replace")
     except (LookupError, ValueError):
-        charset = "utf-8"
-    text = body.decode(charset, errors="replace")
+        text = body.decode("utf-8", errors="replace")
     return text, text.count("�")
 
 
@@ -316,12 +317,15 @@ def _parse_http_payload(payload: bytes, warc_content_type: str):
     is_http = (warc_content_type.split(";", 1)[0].strip().lower()
                == "application/http")
     if is_http and payload[:5] == b"HTTP/":
-        sep, sep_len = payload.find(b"\r\n\r\n"), 4
-        if sep < 0:
-            sep, sep_len = payload.find(b"\n\n"), 2
-        if sep < 0:
+        # header block ends at whichever blank line comes FIRST — an
+        # LF-only header followed by a body that happens to contain
+        # \r\n\r\n must split at the \n\n, not deep inside the body
+        found = [(i, n) for i, n in ((payload.find(b"\r\n\r\n"), 4),
+                                     (payload.find(b"\n\n"), 2)) if i >= 0]
+        if not found:
             head_bytes, body = payload, b""
         else:
+            sep, sep_len = min(found)
             head_bytes, body = payload[:sep], payload[sep + sep_len:]
         lines = head_bytes.decode("latin-1").splitlines()
         m = status_re.match(head_bytes)

@@ -279,3 +279,80 @@ def test_results_stream_is_chunked_not_buffered(spark, demo_web):
         assert exhausted.is_set()
     finally:
         s.shutdown()
+
+
+def test_combined_cert_faces_rejected(spark, demo_web, pki_env, users):
+    """mtls_ca + cert_header on one listener is refused outright: a
+    certless direct-TLS caller could otherwise forge the proxy header
+    with anyone's PUBLIC certificate and impersonate them."""
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        RestRelayServer(spark, demo_web, "na_us",
+                        tls=pki_env["tls"], mtls_ca=pki_env["ca_pem"],
+                        x509_users=users, cert_header="x-client-cert")
+
+
+def test_keepalive_connection_survives_unread_body_errors(spark, demo_web):
+    """HTTP/1.1 keep-alive: an early-return response (403 admin, 404
+    route) must still drain the request body, or the leftover bytes
+    desynchronize the persistent connection and corrupt the NEXT
+    request on it."""
+    import http.client
+    s = RestRelayServer(spark, demo_web, "na_us").start()
+    try:
+        c = http.client.HTTPConnection("127.0.0.1", s.port, timeout=60)
+        body = b"kind: not-yaml-that-matters\n" * 50
+        # 403 before the body was ever needed
+        c.request("POST", "/admin/apply", body=body,
+                  headers={"Content-Type": "application/yaml"})
+        assert c.getresponse().read() is not None
+        # 404 route with a body
+        c.request("POST", "/nope", body=b'{"x": 1}')
+        r = c.getresponse()
+        assert r.status == 404 and r.read()
+        # the SAME socket must still serve a clean request
+        c.request("GET", "/query")
+        r = c.getresponse()
+        assert r.status == 200
+        assert "jobs" in json.loads(r.read())
+    finally:
+        s.shutdown()
+
+
+def test_http10_results_are_not_chunked(spark, demo_web):
+    """An HTTP/1.0 client cannot parse chunked framing (RFC 7230
+    §3.3.1): the results route must fall back to a close-delimited
+    stream with no chunk-size lines in the body."""
+    import socket
+    s = RestRelayServer(spark, demo_web, "na_us").start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{s.port}/query",
+            data=json.dumps({"sql": "select count(*) as n from lineitem",
+                             "mode": "engine"}).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            job = json.loads(r.read())["job_id"]
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{s.port}/query/{job}",
+                    timeout=120) as r:
+                if json.loads(r.read())["status"] == "COMPLETE":
+                    break
+            time.sleep(0.2)
+        sock = socket.create_connection(("127.0.0.1", s.port), timeout=60)
+        sock.sendall(f"GET /query/{job}/results HTTP/1.0\r\n"
+                     f"Host: x\r\n\r\n".encode())
+        buf = b""
+        while True:
+            got = sock.recv(65536)
+            if not got:
+                break
+            buf += got
+        sock.close()
+        head, _, body = buf.partition(b"\r\n\r\n")
+        assert b"Transfer-Encoding" not in head
+        assert b"Connection: close" in head
+        rows = [json.loads(x) for x in body.splitlines() if x]
+        assert rows and all("n" in r for r in rows)
+    finally:
+        s.shutdown()

@@ -310,3 +310,27 @@ def test_http_payload_parse_is_total_and_deterministic(junk, ct):
     assert isinstance(body, str)
     assert n_bad == body.count("�")
     assert all(k == k.lower() for k, _ in headers)
+
+
+def test_nontext_codec_charset_labels_fall_back(spark):
+    """charset labels naming registered NON-TEXT codecs (hex, base64,
+    rot13 — codecs.lookup succeeds, .decode raises) must fall back to
+    utf-8 instead of killing the task."""
+    for label in ("hex", "base64", "rot13", "zlib"):
+        status, headers, mime, charset, body, n_bad = W._parse_http_payload(
+            W.build_http_response(
+                200, [("Content-Type", f"text/plain; charset={label}")],
+                "ok €".encode("utf-8")),
+            "application/http; msgtype=response")
+        assert (status, body) == (200, "ok €"), label
+
+
+def test_lf_only_header_splits_at_first_blank_line():
+    """An LF-only header block whose BODY contains \\r\\n\\r\\n must
+    split at the earlier \\n\\n — not deep inside the body."""
+    payload = (b"HTTP/1.1 200 OK\nContent-Type: text/plain; "
+               b"charset=utf-8\n\nline1\r\n\r\nline2")
+    status, headers, mime, charset, body, n_bad = \
+        W._parse_http_payload(payload, "application/http")
+    assert status == 200
+    assert body == "line1\r\n\r\nline2"
