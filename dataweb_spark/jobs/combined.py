@@ -52,7 +52,9 @@ class CombinedRelay:
                  n_workers: int = 2, store_dir: str | None = None,
                  tokens: dict[str, str] | None = None,
                  admin_token: str | None = None,
-                 tls: tuple[bytes, bytes] | None = None):
+                 tls: tuple[bytes, bytes] | None = None,
+                 x509_users=None,
+                 mtls_ca: bytes | None = None):
         self.spark = spark
         self.web = web
         self.relay_name = relay_name
@@ -61,6 +63,19 @@ class CombinedRelay:
         self._tokens = tokens
         self._admin_token = admin_token
         self._tls = tls
+        # ONE users table / CA drives BOTH network faces — the
+        # single-binary sharing story extended to identity: enroll a
+        # fingerprint once, the Flight handshake and the REST mTLS
+        # listener both honor it (the reference's per-relay cert material
+        # in deploy/ is likewise face-agnostic)
+        self._x509_users = x509_users
+        self._mtls_ca = mtls_ca
+        if x509_users is not None and tokens is not None:
+            raise ValueError("choose token auth OR x509 auth, not both")
+        if x509_users is not None and (tls is None or mtls_ca is None):
+            raise ValueError(
+                "combined-relay x509 identity needs tls + mtls_ca (the "
+                "REST face has no proxy in a single binary)")
         self._stop_file = os.path.join(self.queue.root, "STOP")
         self._workers: list[threading.Thread] = []
         self.flight = None
@@ -69,10 +84,12 @@ class CombinedRelay:
     def start(self) -> "CombinedRelay":
         self.flight = serve_in_background(
             self.spark, self.web, self.relay_name, tokens=self._tokens,
-            job_store=self.queue, tls=self._tls)
+            job_store=self.queue, tls=self._tls,
+            x509_users=self._x509_users, mtls_ca=self._mtls_ca)
         self.rest = RestRelayServer(
             self.spark, self.web, self.relay_name,
-            admin_token=self._admin_token, tls=self._tls).start()
+            admin_token=self._admin_token, tls=self._tls,
+            x509_users=self._x509_users, mtls_ca=self._mtls_ca).start()
         for i in range(self.n_workers):
             t = threading.Thread(
                 target=run_worker,

@@ -441,15 +441,19 @@ def flight_query(port: int, sql: str, principal: str | None = None,
                  mode: str = "template", host: str = "127.0.0.1",
                  token: str | None = None,
                  cert: tuple | None = None,
-                 tls_root_certs: bytes | None = None) -> pa.Table:
+                 tls_root_certs: bytes | None = None,
+                 client_tls: tuple[bytes, bytes] | None = None
+                 ) -> pa.Table:
     """2-step client: get_flight_info → do_get every endpoint → concat.
 
     The concat of per-source streams is exactly what the reference's test
     client does (``flight_utils.py:66-75``). With ``token`` (or ``cert``,
     a ``(der_bytes, private_key)`` pair) the client authenticates first
     and the server derives the principal from the handshake, ignoring
-    ``principal``. ``tls_root_certs`` (PEM) switches to grpc+tls."""
-    client = _connect(host, port, token, cert, tls_root_certs)
+    ``principal``. ``tls_root_certs`` (PEM) switches to grpc+tls;
+    ``client_tls`` is the ``(cert_pem, key_pem)`` pair a
+    ``mtls_ca``-gated server requires at the TLS handshake."""
+    client = _connect(host, port, token, cert, tls_root_certs, client_tls)
     cmd = json.dumps({"sql": sql, "principal": principal,
                       "mode": mode}).encode("utf-8")
     info = client.get_flight_info(flight.FlightDescriptor.for_command(cmd))

@@ -468,9 +468,10 @@ class RestRelayServer:
             if mtls_ca is not None:
                 # direct-TLS client-cert face (lib.rs:48-71): request a
                 # client certificate and handshake-verify it against the
-                # CA. OPTIONAL, not REQUIRED, so the cert_header proxy
-                # face can share the listener; a certless caller is then
-                # turned away at the 401 in _principal, not mid-handshake.
+                # CA. OPTIONAL, not REQUIRED, so a certless caller gets a
+                # clean 401 from _principal instead of an opaque
+                # mid-handshake abort (the header face never coexists on
+                # this listener — rejected in __init__).
                 ctx.verify_mode = ssl.CERT_OPTIONAL
                 ctx.load_verify_locations(cadata=mtls_ca.decode("utf-8"))
             self._httpd.socket = ctx.wrap_socket(self._httpd.socket,

@@ -5,6 +5,7 @@ catalog, round-tripping queries through every face."""
 
 import json
 import time
+import urllib.error
 import urllib.request
 
 import pytest
@@ -101,3 +102,80 @@ def test_faces_share_one_catalog(combined):
                        "select flag, count(*) as n from combined_probe "
                        "group by flag", mode="engine")
     assert tbl.num_rows == 3
+
+
+def test_combined_relay_one_identity_both_faces(spark, sf_dir, tmp_path):
+    """Single-binary identity sharing: ONE enrolled certificate
+    fingerprint drives BOTH network faces — the Flight handshake
+    (possession-proven) and the REST mTLS listener resolve the same
+    principal; a certless REST caller gets 401; token+x509 and
+    x509-without-mtls configs are rejected."""
+    import json
+    import ssl
+
+    from cryptography import x509 as cx
+    from cryptography.hazmat.primitives.serialization import (
+        Encoding,
+        load_pem_private_key,
+    )
+
+    from dataweb_spark.demo import build_demo_web
+    from dataweb_spark.sources import pki
+
+    ca_pem, ca_key = pki.generate_ca()
+    srv_tls = pki.generate_tls_identity()
+    cert_pem, key_pem = pki.generate_client_identity(ca_pem, ca_key,
+                                                     "reader")
+    der = cx.load_pem_x509_certificate(cert_pem).public_bytes(Encoding.DER)
+    key = load_pem_private_key(key_pem, password=None)
+    users = [pki.X509User(pki.fingerprint_der(der), principal="reader")]
+
+    with pytest.raises(ValueError, match="not both"):
+        CombinedRelay(spark, build_demo_web(sf_dir), "na_us",
+                      tokens={"t": "reader"}, x509_users=users,
+                      tls=srv_tls, mtls_ca=ca_pem)
+    with pytest.raises(ValueError, match="mtls_ca"):
+        CombinedRelay(spark, build_demo_web(sf_dir), "na_us",
+                      x509_users=users)
+
+    c = CombinedRelay(spark, build_demo_web(sf_dir), "na_us",
+                      n_workers=1, x509_users=users,
+                      tls=srv_tls, mtls_ca=ca_pem).start()
+    try:
+        # Flight face: mTLS channel + possession-proven handshake
+        tbl = flight_query(c.flight_port, SQL, principal="all_access",
+                           cert=(der, key),
+                           tls_root_certs=srv_tls[0],
+                           client_tls=(cert_pem, key_pem))
+        assert sum(tbl.column("n").to_pylist()) > 0
+
+        # REST face: the SAME cert resolves the SAME principal
+        cf, kf = tmp_path / "c.pem", tmp_path / "k.pem"
+        cf.write_bytes(cert_pem); kf.write_bytes(key_pem)
+        ctx = ssl.create_default_context(cadata=srv_tls[0].decode())
+        ctx.check_hostname = False
+        ctx.load_cert_chain(str(cf), str(kf))
+        req = urllib.request.Request(
+            f"https://127.0.0.1:{c.rest_port}/query",
+            data=json.dumps({"sql": SQL,
+                             "principal": "all_access"}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req, context=ctx, timeout=60) as r:
+            job = json.loads(r.read())["job_id"]
+        with urllib.request.urlopen(
+                f"https://127.0.0.1:{c.rest_port}/query/{job}",
+                context=ctx, timeout=60) as r:
+            assert json.loads(r.read())["principal"] == "reader"
+
+        # certless REST caller: 401, not an identity fallback
+        bare = ssl.create_default_context(cadata=srv_tls[0].decode())
+        bare.check_hostname = False
+        try:
+            urllib.request.urlopen(
+                f"https://127.0.0.1:{c.rest_port}/query/{job}",
+                context=bare, timeout=60)
+            assert False, "expected 401"
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+    finally:
+        c.shutdown()
