@@ -307,7 +307,10 @@ def _parse_http_payload(payload: bytes, warc_content_type: str):
     """(status, headers, mime, charset, body_text, n_bad) for one record
     payload. ``application/http`` payloads (real crawl ``response``
     records) get the envelope stripped: status line parsed, header block
-    → lowercased (name, value) pairs in wire order, body charset-decoded
+    → lowercased (name, value) pairs in wire order, a
+    ``Content-Encoding: gzip/x-gzip/deflate`` body inflated (corrupt
+    streams kept raw — the decode accounts the damage as U+FFFD), then
+    the body charset-decoded
     per the HTTP Content-Type charset param, falling back to an
     HTML-prolog ``<meta charset=…>`` scan of the first 1024 body bytes,
     then utf-8. Everything else (WET ``conversion`` records, the
@@ -336,6 +339,24 @@ def _parse_http_payload(payload: bytes, warc_content_type: str):
             if colon:
                 headers.append((name.strip().lower(), val.strip()))
         ct = next((v for k, v in headers if k == "content-type"), "")
+        # real servers routinely send compressed bodies and crawls store
+        # them as-sent — inflate gzip/deflate before charset decode
+        # (deflate tried zlib-wrapped first, then raw: both occur in the
+        # wild); a corrupt stream keeps the raw bytes, whose decode then
+        # accounts the damage as U+FFFD rather than killing the task
+        enc = next((v for k, v in headers if k == "content-encoding"),
+                   "").strip().lower()
+        if enc in ("gzip", "x-gzip", "deflate"):
+            try:
+                if enc == "deflate":
+                    try:
+                        body = zlib.decompress(body)
+                    except zlib.error:
+                        body = zlib.decompress(body, -15)
+                else:
+                    body = zlib.decompress(body, 47)
+            except zlib.error:
+                pass
     else:
         status, headers, body = None, [], payload
         ct = warc_content_type
@@ -362,8 +383,10 @@ def http_response_parts(records: DataFrame,
     ``payload`` with ``http_status`` (null for non-envelope records),
     ``http_headers`` (lowercased name/val structs in wire order),
     ``mime``, ``charset`` (header param → ``<meta charset>`` in the
-    first 1 KB → utf-8), decoded ``body`` and ``n_bad_chars`` (U+FFFD
-    count — feed to ``text.encoding_quality`` tiers). WET
+    first 1 KB → utf-8), decoded ``body`` (gzip/deflate
+    ``Content-Encoding`` inflated first — crawls store bodies as-sent)
+    and ``n_bad_chars`` (U+FFFD count — feed to
+    ``text.encoding_quality`` tiers). WET
     ``conversion`` records and bare-text payloads pass through the same
     face with the whole payload as body.
 

@@ -243,6 +243,21 @@ def test_warc_parse_is_map_only(spark, sf_dir):
     assert "Exchange" not in tail
 
 
+def test_warc_http_extract_chain_is_map_only(spark, sf_dir):
+    """parse_warc_records -> http_response_parts: the full envelope
+    chain stays one map-only pipeline — record/body bytes NEVER
+    shuffle, the two Arrow passes stack with no Exchange anywhere
+    above the pack (the 100-TB contract of the crawl front door)."""
+    from dataweb_spark.sources import warc as W
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    blobs = W.synthesize_warc_blobs(docs, docs_per_blob=10, compress=True)
+    parts = W.http_response_parts(W.parse_warc_records(blobs))
+    plan = _plan(parts)
+    tail = plan.split("MapInPandas")[0]
+    assert "Exchange" not in tail
+    assert plan.count("MapInPandas") == 2  # parse + extract, nothing else
+
+
 def test_psl_domain_rule_table_broadcasts_one_reagg(spark, sf_dir):
     """registered_domain_psl: the rule table joins as a BROADCAST over
     the exploded suffix candidates; the winner pick is the single

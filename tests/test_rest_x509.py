@@ -356,3 +356,37 @@ def test_http10_results_are_not_chunked(spark, demo_web):
         assert rows and all("n" in r for r in rows)
     finally:
         s.shutdown()
+
+
+def test_relayctl_drives_mtls_identity_relay(mtls_rest, pki_env,
+                                             monkeypatch, capsys):
+    """The CLI speaks the reference env contract
+    (relayctl/src/main.rs:30-56): CLIENT_CERT_FILE + CLIENT_KEY_FILE
+    present the client identity at the TLS handshake, so a
+    transport-identity relay serves relayctl as the cert's principal;
+    mismatched env (cert without key) exits with a clear error."""
+    import importlib
+    import sys as _sys
+    d = pki_env["dir"]
+    monkeypatch.setenv("RELAY_ENDPOINT",
+                       f"https://127.0.0.1:{mtls_rest.port}")
+    monkeypatch.setenv("CA_CERT_FILE", str(d / "server_ca.pem"))
+    monkeypatch.setenv("CLIENT_CERT_FILE", str(d / "reader.pem"))
+    monkeypatch.setenv("CLIENT_KEY_FILE", str(d / "reader.key"))
+    _sys.path.insert(0, "tools")
+    try:
+        ctl = importlib.import_module("relayctl")
+        rc = ctl.main(["query", Q, "--mode", "engine",
+                       "--principal", "all_access"])  # claim ignored
+        assert rc == 0
+        rows = [json.loads(x) for x in capsys.readouterr().out.splitlines()
+                if x]
+        n = sum(r["n"] for r in rows)
+        _, n_reader = _run_count(mtls_rest.port, _ctx(pki_env, "reader"),
+                                 {"sql": Q})
+        assert n == n_reader  # served as the CERT's principal
+        monkeypatch.delenv("CLIENT_KEY_FILE")
+        with pytest.raises(SystemExit, match="together"):
+            ctl.main(["query", Q])
+    finally:
+        _sys.path.remove("tools")

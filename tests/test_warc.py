@@ -334,3 +334,34 @@ def test_lf_only_header_splits_at_first_blank_line():
         W._parse_http_payload(payload, "application/http")
     assert status == 200
     assert body == "line1\r\n\r\nline2"
+
+
+def test_content_encoding_gzip_and_deflate_inflate():
+    """Crawls store bodies AS-SENT: gzip, x-gzip, zlib-wrapped deflate
+    and raw deflate all inflate before charset decode; a corrupt stream
+    keeps the raw bytes and surfaces as replacement-char damage, never
+    a task kill."""
+    import zlib
+    text = "compressed päge €"
+    raw = text.encode("utf-8")
+    co = zlib.compressobj(wbits=-15)
+    cases = [
+        ("gzip", gzip.compress(raw, mtime=0)),
+        ("x-gzip", gzip.compress(raw, mtime=0)),
+        ("deflate", zlib.compress(raw)),                # zlib-wrapped
+        ("deflate", co.compress(raw) + co.flush()),     # raw deflate
+    ]
+    for enc, body in cases:
+        status, headers, mime, charset, out, n_bad = W._parse_http_payload(
+            W.build_http_response(
+                200, [("Content-Type", "text/plain; charset=utf-8"),
+                      ("Content-Encoding", enc)], body),
+            "application/http; msgtype=response")
+        assert (status, out, n_bad) == (200, text, 0), enc
+    # corrupt gzip: raw bytes ride through, damage accounted not raised
+    status, headers, mime, charset, out, n_bad = W._parse_http_payload(
+        W.build_http_response(
+            200, [("Content-Type", "text/plain; charset=utf-8"),
+                  ("Content-Encoding", "gzip")], b"\x1f\x8b junk"),
+        "application/http; msgtype=response")
+    assert status == 200 and n_bad > 0

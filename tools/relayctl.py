@@ -11,10 +11,17 @@ surface this repo serves:
     relayctl cancel <job_id>             DELETE /query/{id}
     relayctl status <job_id>             GET  /query/{id}
 
-Environment (same contract as the reference binary):
-    RELAY_ENDPOINT   e.g. https://127.0.0.1:8443 (required unless --endpoint)
-    CA_CERT_FILE     root cert for HTTPS verification (optional on http://)
-    ADMIN_TOKEN      sent as X-Admin-Token on admin routes
+Environment (same contract as the reference binary,
+``relayctl/src/main.rs:30-56``):
+    RELAY_ENDPOINT    e.g. https://127.0.0.1:8443 (required unless
+                      --endpoint)
+    CA_CERT_FILE      root cert for HTTPS verification (optional on
+                      http://)
+    CLIENT_CERT_FILE  client certificate PEM — presented at the TLS
+    CLIENT_KEY_FILE   handshake so a transport-identity relay
+                      (``x509_users``/``mtls_ca``) resolves the
+                      principal from the cert; both or neither
+    ADMIN_TOKEN       sent as X-Admin-Token on admin routes
 
 Directories given to ``apply`` are walked recursively; every ``*.yaml`` /
 ``*.yml`` file is POSTed in sorted path order (the server resolves apply
@@ -37,7 +44,15 @@ def _context(endpoint: str) -> ssl.SSLContext | None:
     if not endpoint.startswith("https://"):
         return None
     cafile = os.environ.get("CA_CERT_FILE")
-    return ssl.create_default_context(cafile=cafile)
+    ctx = ssl.create_default_context(cafile=cafile)
+    cert = os.environ.get("CLIENT_CERT_FILE")
+    key = os.environ.get("CLIENT_KEY_FILE")
+    if bool(cert) != bool(key):
+        raise SystemExit(
+            "CLIENT_CERT_FILE and CLIENT_KEY_FILE must be set together")
+    if cert and key:
+        ctx.load_cert_chain(cert, key)
+    return ctx
 
 
 def _call(endpoint: str, method: str, path: str, body: bytes | None = None,
