@@ -43,8 +43,8 @@ from dataweb_spark.plans.validation import ValidationError, validate_sql
 
 
 def _forwardable_flight_peer(relay, source, entity_name: str):
-    """``(host, port, token)`` when a whole template query can be forwarded
-    to this flight-peer source unchanged, else None.
+    """``(host, port, connection)`` when a whole template query can be
+    forwarded to this flight-peer source unchanged, else None.
 
     Forwarding is sound only when this relay's view of the peer is a pure
     identity window: the peer entity has the same name, EVERY local
@@ -73,7 +73,7 @@ def _forwardable_flight_peer(relay, source, entity_name: str):
                 or source.field_path(m.field) != info.name):
             return None
     host = conn.options.get("host", "127.0.0.1")
-    return host, int(conn.options["port"]), conn.options.get("token")
+    return host, int(conn.options["port"]), conn
 
 
 class QueryGateway:
@@ -210,10 +210,13 @@ class QueryGateway:
                         from dataweb_spark.sources.flight_service import (
                             flight_forward_template,
                         )
-                        host, fport, tok = fwd
+                        from dataweb_spark.sources.readers import (
+                            flight_client_identity,
+                        )
+                        host, fport, fconn = fwd
                         results.extend(flight_forward_template(
                             self.spark, host, fport, sql, principal,
-                            token=tok))
+                            **flight_client_identity(fconn)))
                         continue
                 view = build_source_view(
                     self.spark, r, source, principal, conjuncts=conj,

@@ -80,10 +80,13 @@ def build_source_view(spark: SparkSession, relay: RelayCatalog,
     (from ``plans/pruning.py``); they only change execution for flight-peer
     sources, where the peer SQL is narrowed instead of ``select *``
     (``readers._peer_sql``). For file/JDBC/view sources Catalyst already
-    pushes predicates and projections into the scan."""
+    pushes predicates and projections into the scan. ``principal`` both
+    selects the LOCAL permission view and propagates to flight peers as
+    the origin principal (``core/src/execute/utils.rs:62-126``)."""
     df, projected = read_source_frame(spark,
                                       relay.connections[source.connection],
-                                      source, conjuncts, limit, referenced)
+                                      source, conjuncts, limit, referenced,
+                                      principal=principal)
     return map_source_frame(df, relay, source, principal,
                             projected=projected)
 

@@ -144,12 +144,17 @@ class _CertServerAuthHandler(flight.ServerAuthHandler):
 
 
 class _CertClientAuth(flight.ClientAuthHandler):
-    """Client half of :class:`_CertServerAuthHandler`."""
+    """Client half of :class:`_CertServerAuthHandler`.
+
+    ``private_key`` may be a key object or PEM bytes — executor tasks
+    (the distributed scan path) receive the key as PEM inside their
+    serialized closure and re-load it here."""
 
     def __init__(self, cert_der: bytes, private_key):
         super().__init__()
+        from dataweb_spark.sources.pki import load_private_key
         self._der = cert_der
-        self._key = private_key
+        self._key = load_private_key(private_key)
         self._token = b""
 
     def authenticate(self, outgoing, incoming):
@@ -176,23 +181,56 @@ class RelayFlightServer(flight.FlightServerBase):
     are ignored, and ``do_get`` re-checks that the caller is the principal
     the task was planned for (origin-user re-check,
     ``flight_server/src/flight.rs:396-447``). Without ``tokens`` the server
-    trusts the request principal — dev mode only."""
+    trusts the request principal — dev mode only.
+
+    ``x509_relays`` enrolls trusted PEER RELAYS by certificate
+    fingerprint: a request arriving under a relay identity is a forwarded
+    query whose JSON principal names the ORIGIN user — honored exactly as
+    the reference honors origination info from a registered relay
+    (``core/src/execute/utils.rs:62-126``); the same JSON field from a
+    USER identity stays ignored."""
 
     def __init__(self, spark: SparkSession, web: Web, relay_name: str,
                  location: str = "grpc://127.0.0.1:0",
                  tokens: dict[str, str] | None = None,
                  x509_users=None,
+                 x509_relays=None,
                  job_store=None,
                  tls: tuple[bytes, bytes] | None = None,
                  mtls_ca: bytes | None = None):
-        if tokens and x509_users:
+        if tokens and (x509_users is not None or x509_relays is not None):
             raise ValueError("choose token auth OR x509 auth, not both")
-        if x509_users is not None:
-            auth = _CertServerAuthHandler(x509_users)
+        relay_principals: frozenset[str] = frozenset()
+        if x509_users is not None or x509_relays is not None:
+            # ``x509_relays`` enrolls TRUSTED PEER RELAYS by certificate
+            # fingerprint — the ``get_relay_by_x509_fingerprint`` table of
+            # the reference (``core/src/execute/utils.rs:70-94``): a
+            # request arriving under a relay identity is a FORWARDED
+            # query, and its JSON principal names the origin user the
+            # peer already authenticated. User and relay tables share one
+            # handshake; a fingerprint may appear in only one of them.
+            from dataweb_spark.sources.pki import normalize_x509_users
+            users = normalize_x509_users(x509_users or {})
+            relays = normalize_x509_users(x509_relays or {})
+            dup = set(users) & set(relays)
+            if dup:
+                raise ValueError(
+                    f"fingerprint(s) enrolled as both user and relay: "
+                    f"{sorted(fp[:16] for fp in dup)}")
+            relay_principals = frozenset(u.principal
+                                         for u in relays.values())
+            overlap = relay_principals & {u.principal
+                                          for u in users.values()}
+            if overlap:
+                raise ValueError(
+                    f"principal(s) enrolled as both user and relay: "
+                    f"{sorted(overlap)}")
+            auth = _CertServerAuthHandler({**users, **relays})
         elif tokens:
             auth = _TokenServerAuthHandler(tokens)
         else:
             auth = None
+        self._relay_principals = relay_principals
         tls_certificates = None
         if mtls_ca is not None and tls is None:
             raise ValueError("mtls_ca requires tls (server cert/key)")
@@ -233,7 +271,20 @@ class RelayFlightServer(flight.FlightServerBase):
     def _principal(self, context, requested: str | None) -> str | None:
         if not self._authed:
             return requested
-        return context.peer_identity().decode("utf-8")
+        ident = context.peer_identity().decode("utf-8")
+        if ident in self._relay_principals:
+            # Trusted-relay delegation (``utils.rs:70-94``): the transport
+            # identity is an enrolled peer relay forwarding on behalf of
+            # the ORIGIN principal named in the request. All-or-none
+            # origination (``utils.rs:116-124``): a relay hop without an
+            # origin principal is malformed, never defaulted.
+            if requested is None:
+                raise flight.FlightUnauthenticatedError(
+                    f"peer relay {ident!r} forwarded no origin principal")
+            return requested
+        # Direct user: transport identity IS the principal; any claimed
+        # JSON principal is ignored.
+        return ident
 
     # -- catalog listing (flight.rs:471-494) ------------------------------
 
@@ -266,10 +317,16 @@ class RelayFlightServer(flight.FlightServerBase):
 
         endpoints = []
         schema = None
+        # Redemption is keyed on the DIRECT transport identity, not the
+        # effective principal: under relay delegation the task computes the
+        # ORIGIN principal's view but only the planning relay (or the same
+        # direct user) may redeem the ticket.
+        owner = (context.peer_identity().decode("utf-8")
+                 if self._authed else principal)
         with self._lock:
             for relay, source, df in parts:
                 task_id = uuid.uuid4().hex
-                self._tasks[task_id] = (df, principal)
+                self._tasks[task_id] = (df, owner)
                 ticket = flight.Ticket(json.dumps(
                     {"task_id": task_id, "relay": relay,
                      "source": source}).encode("utf-8"))
@@ -299,9 +356,9 @@ class RelayFlightServer(flight.FlightServerBase):
             caller = context.peer_identity().decode("utf-8")
             if caller != owner:
                 # origin-user re-check (flight.rs:396-447): a ticket planned
-                # for one principal cannot be redeemed by another.
+                # under one transport identity cannot be redeemed by another.
                 raise flight.FlightUnauthorizedError(
-                    f"task belongs to principal {owner!r}")
+                    f"task belongs to identity {owner!r}")
         table = df.toArrow()
         with self._lock:
             self.served_rows += table.num_rows
@@ -398,6 +455,7 @@ def _to_arrow_schema(df) -> pa.Schema:
 def serve_in_background(spark: SparkSession, web: Web, relay_name: str,
                         tokens: dict[str, str] | None = None,
                         x509_users=None,
+                        x509_relays=None,
                         job_store=None,
                         tls: tuple[bytes, bytes] | None = None,
                         mtls_ca: bytes | None = None
@@ -406,9 +464,14 @@ def serve_in_background(spark: SparkSession, web: Web, relay_name: str,
     (``server.port`` for clients; ``server.shutdown()`` to stop).
     ``tls`` is a ``(cert_pem, key_pem)`` pair enabling grpc+tls;
     ``mtls_ca`` (CA bundle PEM) additionally requires every client to
-    present a certificate chaining to that CA at the TLS handshake."""
+    present a certificate chaining to that CA at the TLS handshake;
+    ``x509_relays`` enrolls trusted peer-relay fingerprints whose
+    forwarded requests carry the origin principal (see
+    :class:`RelayFlightServer`)."""
     server = RelayFlightServer(spark, web, relay_name, tokens=tokens,
-                               x509_users=x509_users, job_store=job_store,
+                               x509_users=x509_users,
+                               x509_relays=x509_relays,
+                               job_store=job_store,
                                tls=tls, mtls_ca=mtls_ca)
     t = threading.Thread(target=server.serve, daemon=True)
     t.start()
@@ -466,9 +529,11 @@ def flight_query(port: int, sql: str, principal: str | None = None,
 
 def flight_list_entities(port: int, host: str = "127.0.0.1",
                          token: str | None = None,
-                         tls_root_certs: bytes | None = None
+                         tls_root_certs: bytes | None = None,
+                         cert: tuple | None = None,
+                         client_tls: tuple[bytes, bytes] | None = None
                          ) -> dict[str, pa.Schema]:
-    client = _connect(host, port, token, tls_root_certs=tls_root_certs)
+    client = _connect(host, port, token, cert, tls_root_certs, client_tls)
     return {fi.descriptor.path[0].decode("utf-8"): fi.schema
             for fi in client.list_flights()}
 
@@ -492,11 +557,13 @@ def flight_put_result(port: int, job_id: str, task_id: str, table: pa.Table,
 
 def flight_stats(port: int, host: str = "127.0.0.1",
                  token: str | None = None,
-                 tls_root_certs: bytes | None = None) -> dict:
+                 tls_root_certs: bytes | None = None,
+                 cert: tuple | None = None,
+                 client_tls: tuple[bytes, bytes] | None = None) -> dict:
     """Transfer counters of a (possibly remote-process) relay — how many
     rows/batches it has served. Lets tests and operators PROVE that a
     pushed-down peer query shrank the transfer, across process boundaries."""
-    client = _connect(host, port, token, tls_root_certs=tls_root_certs)
+    client = _connect(host, port, token, cert, tls_root_certs, client_tls)
     (result,) = client.do_action(flight.Action("stats", b""))
     return json.loads(result.body.to_pybytes().decode("utf-8"))
 
@@ -505,7 +572,9 @@ def flight_read_distributed(spark: SparkSession, host: str, port: int,
                             sql: str, principal: str | None = None,
                             mode: str = "template",
                             token: str | None = None,
-                            tls_root_certs: bytes | None = None):
+                            tls_root_certs: bytes | None = None,
+                            cert: tuple | None = None,
+                            client_tls: tuple[bytes, bytes] | None = None):
     """Partition-per-endpoint Flight scan: executors stream the batches.
 
     The ``WebEntityScan`` physical plan analog
@@ -521,8 +590,15 @@ def flight_read_distributed(spark: SparkSession, host: str, port: int,
     redeems the endpoint at its ordinal position — endpoint order is the
     server's stable per-source plan order, so position identifies "this
     task's slice" across plans.
+
+    ``cert`` is a ``(der_bytes, private_key)`` possession-challenge
+    identity and ``client_tls`` a ``(cert_pem, key_pem)`` mTLS pair —
+    both travel to the executor tasks (keys serialized as PEM), so the
+    distributed path authenticates exactly like the driver-pull path
+    (the reference's relays present their own identity on every outbound
+    channel, ``flight.rs:127-167``).
     """
-    client = _connect(host, port, token, tls_root_certs=tls_root_certs)
+    client = _connect(host, port, token, cert, tls_root_certs, client_tls)
     cmd_bytes = json.dumps({"sql": sql, "principal": principal,
                             "mode": mode}).encode("utf-8")
     info = client.get_flight_info(
@@ -530,28 +606,40 @@ def flight_read_distributed(spark: SparkSession, host: str, port: int,
     tickets = [(ep.ticket.ticket, idx, cmd_bytes)
                for idx, ep in enumerate(info.endpoints)]
     return _tickets_frame(spark, host, port, tickets, info.schema,
-                          token=token, tls_root_certs=tls_root_certs)
+                          token=token, tls_root_certs=tls_root_certs,
+                          cert=cert, client_tls=client_tls)
 
 
 def _tickets_frame(spark: SparkSession, host: str, port: int,
                    tickets: list, arrow_schema,
                    token: str | None = None,
-                   tls_root_certs: bytes | None = None):
+                   tls_root_certs: bytes | None = None,
+                   cert: tuple | None = None,
+                   client_tls: tuple[bytes, bytes] | None = None):
     """One Spark partition per (ticket, ordinal, plan-command) triple; each
     task redeems its ticket on an executor and streams the batches
     (re-planning at its ordinal on a consumed ticket — task retries)."""
     from pyspark.sql.pandas.types import from_arrow_schema
 
     out_schema = from_arrow_schema(arrow_schema)
+    if cert is not None:
+        # Key objects don't pickle; ship the possession-challenge key as
+        # PEM bytes and let the task-side auth handler re-load it.
+        from dataweb_spark.sources.pki import private_key_pem
+        cert = (bytes(cert[0]), private_key_pem(cert[1]))
 
     def fetch(batch_iter):
         import pyarrow.flight as fl
         if tls_root_certs is not None:
-            c = fl.connect(f"grpc+tls://{host}:{port}",
-                           tls_root_certs=tls_root_certs)
+            kwargs = {"tls_root_certs": tls_root_certs}
+            if client_tls is not None:
+                kwargs["cert_chain"], kwargs["private_key"] = client_tls
+            c = fl.connect(f"grpc+tls://{host}:{port}", **kwargs)
         else:
             c = fl.connect(f"grpc://{host}:{port}")
-        if token is not None:
+        if cert is not None:
+            c.authenticate(_CertClientAuth(*cert))
+        elif token is not None:
             c.authenticate(_TokenClientAuth(token))
 
         def redeem(tk, idx, cmd):
@@ -584,7 +672,9 @@ def _tickets_frame(spark: SparkSession, host: str, port: int,
 def flight_forward_template(spark: SparkSession, host: str, port: int,
                             sql: str, principal: str | None = None,
                             token: str | None = None,
-                            tls_root_certs: bytes | None = None
+                            tls_root_certs: bytes | None = None,
+                            cert: tuple | None = None,
+                            client_tls: tuple[bytes, bytes] | None = None
                             ) -> list[tuple[str, str, "DataFrame"]]:
     """Forward a template-mode query to a peer relay WHOLE — the
     relay→relay fan-out of the reference (``flight.rs:237-309``): the peer
@@ -594,7 +684,7 @@ def flight_forward_template(spark: SparkSession, host: str, port: int,
     ``[(peer_relay, peer_source, partial_df), ...]`` with the peer's own
     endpoint identities; each frame streams on an executor
     (single-endpoint ``mapInArrow``)."""
-    client = _connect(host, port, token, tls_root_certs=tls_root_certs)
+    client = _connect(host, port, token, cert, tls_root_certs, client_tls)
     cmd_bytes = json.dumps({"sql": sql, "principal": principal,
                             "mode": "template"}).encode("utf-8")
     info = client.get_flight_info(
@@ -608,7 +698,8 @@ def flight_forward_template(spark: SparkSession, host: str, port: int,
         df = _tickets_frame(spark, host, port,
                             [(ep.ticket.ticket, idx, cmd_bytes)],
                             info.schema, token=token,
-                            tls_root_certs=tls_root_certs)
+                            tls_root_certs=tls_root_certs,
+                            cert=cert, client_tls=client_tls)
         out.append((meta.get("relay", "peer"),
                     meta.get("source", "peer"), df))
     return out

@@ -108,6 +108,44 @@ def sign_nonce(private_key, nonce: bytes) -> bytes:
         hashes.SHA256())
 
 
+def pem_cert_to_der(cert_pem: bytes) -> bytes:
+    """DER bytes of a PEM certificate — the fingerprint-enrollment form
+    (``conf.rs:102-115`` reads the client cert PEM and fingerprints its
+    DER for the relay's own identity row)."""
+    from cryptography import x509
+    from cryptography.hazmat.primitives.serialization import Encoding
+
+    return x509.load_pem_x509_certificate(cert_pem).public_bytes(
+        Encoding.DER)
+
+
+def load_private_key(key_or_pem):
+    """Accept a key OBJECT or PEM bytes, return the key object.
+
+    Executor-side auth (the distributed Flight scan) ships the client key
+    as PEM bytes inside a serialized closure — key objects don't pickle —
+    and re-loads it task-side through this helper."""
+    if isinstance(key_or_pem, (bytes, bytearray)):
+        from cryptography.hazmat.primitives.serialization import (
+            load_pem_private_key,
+        )
+        return load_pem_private_key(bytes(key_or_pem), password=None)
+    return key_or_pem
+
+
+def private_key_pem(key) -> bytes:
+    """PEM-serialize a private key object (inverse of
+    :func:`load_private_key`) so it can travel to executor tasks."""
+    if isinstance(key, (bytes, bytearray)):
+        return bytes(key)
+    from cryptography.hazmat.primitives import serialization
+
+    return key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption())
+
+
 def generate_tls_identity(common_name: str = "localhost"
                           ) -> tuple[bytes, bytes]:
     """Self-signed TLS server identity as ``(cert_pem, key_pem)`` for the

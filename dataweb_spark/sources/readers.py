@@ -146,11 +146,47 @@ def _peer_sql(source: DataSource, conjuncts: list | None, limit: int | None,
     return sql, projected
 
 
+def flight_client_identity(conn: DataConnection) -> dict:
+    """Outbound client-identity kwargs from a flight connection's options
+    — shared by the engine read path and the gateway's whole-template
+    forward so every hop to one peer presents one identity.
+
+    The reference relay holds a client cert/key + CA and presents them on
+    every outbound channel (``flight_server/src/flight.rs:127-167``
+    ``get_flight_client``); the option names are the reference's conf
+    names (``core/src/conf.rs:16-46``): ``ca_cert_file`` verifies the
+    peer server, ``client_cert_file``/``client_key_file`` are this
+    relay's own identity — presented at the TLS handshake (mTLS) AND as
+    the possession-challenge certificate, so the peer resolves this
+    relay by fingerprint and honors the forwarded origin principal."""
+    tls_root_certs = cert = client_tls = None
+    if "ca_cert_file" in conn.options:
+        with open(conn.options["ca_cert_file"], "rb") as f:
+            tls_root_certs = f.read()
+    cert_file = conn.options.get("client_cert_file")
+    key_file = conn.options.get("client_key_file")
+    if (cert_file is None) != (key_file is None):
+        raise ValueError("client_cert_file and client_key_file must "
+                         "be set together")
+    if cert_file is not None:
+        from dataweb_spark.sources.pki import pem_cert_to_der
+        with open(cert_file, "rb") as f:
+            cert_pem = f.read()
+        with open(key_file, "rb") as f:
+            key_pem = f.read()
+        client_tls = (cert_pem, key_pem)
+        cert = (pem_cert_to_der(cert_pem), key_pem)
+    return {"token": conn.options.get("token"),
+            "tls_root_certs": tls_root_certs,
+            "cert": cert, "client_tls": client_tls}
+
+
 def read_connection_table(spark: SparkSession, conn: DataConnection,
                           source: DataSource,
                           conjuncts: list | None = None,
                           limit: int | None = None,
-                          referenced: set[str] | None = None
+                          referenced: set[str] | None = None,
+                          principal: str | None = None
                           ) -> tuple[DataFrame, set[str] | None]:
     """Read the raw physical table behind a DataSource (no source_sql yet).
 
@@ -192,20 +228,25 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
             sql, projected = _peer_sql(source, conjuncts, limit, referenced)
         host = conn.options.get("host", "127.0.0.1")
         port = int(conn.options["port"])
-        principal = source.options.get("principal",
-                                       conn.options.get("principal"))
+        # Origin-principal propagation (``utils.rs:62-126``): the resolving
+        # relay forwards the principal it is answering FOR; a connection
+        # may configure a static service principal as the fallback.
+        if principal is None:
+            principal = source.options.get("principal",
+                                           conn.options.get("principal"))
         mode = source.options.get("mode", "engine")
-        token = conn.options.get("token")
+        ident = flight_client_identity(conn)
         if source.options.get("distribute", "true") != "false":
             # DEFAULT: partition-per-endpoint executor-side streams
             # (WebEntityScan analog) — batches never touch the driver.
             # Task retries re-plan via get_flight_info (single-use tickets).
             return flight_read_distributed(spark, host, port, sql,
-                                           principal, mode, token), projected
+                                           principal, mode,
+                                           **ident), projected
         # Explicit small-result opt-out: one driver pull (control-plane
         # convenience; not for bulk transfer).
         table = flight_query(port, sql, principal=principal, mode=mode,
-                             host=host, token=token)
+                             host=host, **ident)
         try:
             return spark.createDataFrame(table), projected
         except Exception:  # older arrow-table support: go through pandas
@@ -298,7 +339,8 @@ def read_source_frame(spark: SparkSession, conn: DataConnection,
                       source: DataSource,
                       conjuncts: list | None = None,
                       limit: int | None = None,
-                      referenced: set[str] | None = None
+                      referenced: set[str] | None = None,
+                      principal: str | None = None
                       ) -> tuple[DataFrame, set[str] | None]:
     """Raw table + ``source_sql`` applied as a derived table.
 
@@ -309,7 +351,8 @@ def read_source_frame(spark: SparkSession, conn: DataConnection,
     reaches parquet because the view is logical, not materialized).
     """
     raw, projected = read_connection_table(spark, conn, source,
-                                           conjuncts, limit, referenced)
+                                           conjuncts, limit, referenced,
+                                           principal=principal)
     sql = source.source_sql
     if not sql or sql.strip().lower() in ("select * from {table}",):
         return raw, projected
