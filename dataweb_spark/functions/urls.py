@@ -593,6 +593,28 @@ def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
             .start())
 
 
+def compact_frontier_state(spark, state_path: str,
+                           target_file_mb: int = 256) -> int:
+    """Periodic maintenance for :func:`streaming_crawl_gate` state: every
+    micro-batch APPENDS one file set to ``{state_path}/admitted``, so a
+    long-lived crawl accumulates one small parquet file per batch and the
+    per-batch cross-batch anti-join pays listing/task-scheduling overhead
+    instead of IO — the same small-file problem the dedup index solves
+    with ``dedup_index.compact_index``. Rewrites the admitted table to
+    ~``target_file_mb`` files via :func:`scale.compact_parquet`
+    (staged + atomic swap, crash leaves the original intact); returns the
+    new file count. The counts table needs no compaction — the gate
+    overwrites it wholesale every batch, so it never accumulates files.
+
+    Run BETWEEN gate runs (the stream stopped, or between availableNow
+    drains): the gate's staged-append discipline assumes it is the only
+    writer of the state tables."""
+    from dataweb_spark.functions.scale import compact_parquet
+
+    return compact_parquet(spark, f"{state_path}/admitted",
+                           target_file_mb=target_file_mb)
+
+
 def blocklist_filter(df: DataFrame, blocked: DataFrame,
                      url_col: str = "url") -> DataFrame:
     """Drop pages whose REGISTERED domain is blocklisted (UT1-style

@@ -393,6 +393,59 @@ def test_streaming_crawl_gate_counts_self_heal(spark, tmp_path):
     assert cnt == {"a.com": 4}
 
 
+def test_compact_frontier_state_preserves_admitted_set(spark, tmp_path):
+    """Many small per-batch appends → one compaction pass shrinks the
+    admitted table's file count without changing its contents, and the
+    gate keeps admitting correctly against the compacted state."""
+    import os
+
+    import pandas as pd
+    state = str(tmp_path / "state")
+    drop = str(tmp_path / "drop")
+
+    def _drain(cp):
+        schema = spark.read.parquet(drop).schema
+        stream = (spark.readStream.schema(schema)
+                  .format("parquet").load(drop))
+        q = U.streaming_crawl_gate(stream, state, str(tmp_path / cp),
+                                   max_per_domain=10)
+        assert q.awaitTermination(300)
+
+    # 6 separate drains (fresh checkpoint each) → 6 append file sets
+    for b in range(6):
+        (spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [b * 10 + i for i in range(2)],
+             "url": [f"http://d{b}.com/p{i}" for i in range(2)]}))
+         .write.mode("append").parquet(drop))
+        _drain(f"cp{b}")
+
+    def _files():
+        return [f for f in os.listdir(f"{state}/admitted")
+                if f.endswith(".parquet")]
+
+    before = spark.read.parquet(f"{state}/admitted")
+    rows_before = {(r.id, r.url_norm, r.domain) for r in before.collect()}
+    n_files_before = len(_files())
+    assert n_files_before >= 6  # one file set per batch accumulated
+
+    n_files = U.compact_frontier_state(spark, state)
+    assert n_files == len(_files()) < n_files_before
+
+    after = spark.read.parquet(f"{state}/admitted")
+    assert {(r.id, r.url_norm, r.domain) for r in after.collect()} \
+        == rows_before
+
+    # the gate still works against the compacted state: d0.com has 8
+    # slots left, a duplicate of an admitted URL dedups away
+    (spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [900, 901],
+         "url": ["http://d0.com/p0", "http://d0.com/new"]}))
+     .write.mode("append").parquet(drop))
+    _drain("cp_post")
+    assert spark.read.parquet(f"{state}/admitted").count() \
+        == len(rows_before) + 1
+
+
 # ---------------------------------------------------------------------------
 # robots.txt (RFC 9309)
 # ---------------------------------------------------------------------------
