@@ -54,6 +54,7 @@ class CombinedRelay:
                  admin_token: str | None = None,
                  tls: tuple[bytes, bytes] | None = None,
                  x509_users=None,
+                 x509_relays=None,
                  mtls_ca: bytes | None = None):
         self.spark = spark
         self.web = web
@@ -69,10 +70,12 @@ class CombinedRelay:
         # listener both honor it (the reference's per-relay cert material
         # in deploy/ is likewise face-agnostic)
         self._x509_users = x509_users
+        self._x509_relays = x509_relays
         self._mtls_ca = mtls_ca
-        if x509_users is not None and tokens is not None:
+        x509_on = x509_users is not None or x509_relays is not None
+        if x509_on and tokens is not None:
             raise ValueError("choose token auth OR x509 auth, not both")
-        if x509_users is not None and (tls is None or mtls_ca is None):
+        if x509_on and (tls is None or mtls_ca is None):
             raise ValueError(
                 "combined-relay x509 identity needs tls + mtls_ca (the "
                 "REST face has no proxy in a single binary)")
@@ -85,11 +88,13 @@ class CombinedRelay:
         self.flight = serve_in_background(
             self.spark, self.web, self.relay_name, tokens=self._tokens,
             job_store=self.queue, tls=self._tls,
-            x509_users=self._x509_users, mtls_ca=self._mtls_ca)
+            x509_users=self._x509_users, x509_relays=self._x509_relays,
+            mtls_ca=self._mtls_ca)
         self.rest = RestRelayServer(
             self.spark, self.web, self.relay_name,
             admin_token=self._admin_token, tls=self._tls,
-            x509_users=self._x509_users, mtls_ca=self._mtls_ca).start()
+            x509_users=self._x509_users, x509_relays=self._x509_relays,
+            mtls_ca=self._mtls_ca).start()
         for i in range(self.n_workers):
             t = threading.Thread(
                 target=run_worker,

@@ -41,12 +41,16 @@ against ``mtls_ca`` on the direct-TLS face; proxy-attested on the
 ``cert_header`` face — one face per listener, the combination is
 rejected so a certless caller can never forge the header with someone's
 public certificate), request-JSON / query-string principals are
-ignored, no certificate → 401, an unregistered one → 403, and
-status/results/cancel are only served to the job's own principal —
-exactly the contract the Flight face already enforces
-(``test_x509_auth.py``). Without ``x509_users`` the caller-supplied
-principal is trusted — dev mode only, like the Flight face's no-auth
-mode.
+ignored for USER identities, no certificate → 401, an unregistered one
+→ 403, and status/results/cancel are only served to the job's own
+principal — exactly the contract the Flight face already enforces
+(``test_x509_auth.py``). ``x509_relays`` enrolls trusted PEER RELAY
+fingerprints whose requests MUST name the origin principal they forward
+for (and get exactly that principal's view) — the REST face of the
+Flight delegation, mirroring the reference's shared origination check
+(``query/route.rs:167`` → ``core/src/execute/utils.rs:62-126``).
+Without ``x509_users`` the caller-supplied principal is trusted — dev
+mode only, like the Flight face's no-auth mode.
 
 Results are streamed with chunked transfer encoding straight off
 ``toLocalIterator`` — the relay process never materializes a full result
@@ -112,6 +116,7 @@ class RestRelayServer:
                  tls: tuple[bytes, bytes] | None = None,
                  mtls_ca: bytes | None = None,
                  x509_users=None,
+                 x509_relays=None,
                  cert_header: str | None = None):
         self.manager = JobManager(spark, web, relay_name)
         self.web = web
@@ -128,6 +133,35 @@ class RestRelayServer:
                 fp: (u.principal,
                      bool(u.attributes.get("is_admin", False)))
                 for fp, u in normalize_x509_users(x509_users).items()}
+        # ``x509_relays`` enrolls trusted PEER RELAYS by fingerprint —
+        # the REST face of the same delegation the Flight face runs
+        # (``verify_query_origination_information`` guards the reference's
+        # REST route too, ``rest_server/src/query/route.rs:167``): a
+        # request under a relay identity must NAME the origin principal
+        # and gets that principal's view; user identities keep ignoring
+        # claimed principals. Same user/relay disjointness as the Flight
+        # face.
+        self._relay_principals: frozenset[str] = frozenset()
+        if x509_relays is not None:
+            from dataweb_spark.sources.pki import normalize_x509_users
+            relays = normalize_x509_users(x509_relays)
+            if self._by_fp is None:
+                self._by_fp = {}
+            dup = set(relays) & set(self._by_fp)
+            if dup:
+                raise ValueError(
+                    f"fingerprint(s) enrolled as both user and relay: "
+                    f"{sorted(fp[:16] for fp in dup)}")
+            self._relay_principals = frozenset(
+                u.principal for u in relays.values())
+            overlap = self._relay_principals & {
+                p for p, _ in self._by_fp.values()}
+            if overlap:
+                raise ValueError(
+                    f"principal(s) enrolled as both user and relay: "
+                    f"{sorted(overlap)}")
+            self._by_fp.update(
+                {fp: (u.principal, False) for fp, u in relays.items()})
         if mtls_ca is not None and tls is None:
             raise ValueError("mtls_ca requires tls (an HTTPS listener)")
         if mtls_ca is not None and cert_header is not None:
@@ -201,7 +235,18 @@ class RestRelayServer:
                     raise _AuthError(
                         403, f"unregistered certificate fingerprint "
                              f"{fp[:16]}…")
-                return outer._by_fp[fp][0]
+                principal = outer._by_fp[fp][0]
+                if principal in outer._relay_principals:
+                    # Trusted-relay delegation (``utils.rs:70-94``): the
+                    # claimed identity IS the origin principal the peer
+                    # already authenticated; all-or-none — a relay hop
+                    # naming none is malformed (``utils.rs:116-124``).
+                    if claimed is None:
+                        raise _AuthError(
+                            401, f"peer relay {principal!r} forwarded "
+                                 f"no origin principal")
+                    return claimed
+                return principal
 
             def _is_admin(self) -> bool:
                 """Admin = valid X-Admin-Token, or (transport mode) a
@@ -222,14 +267,17 @@ class RestRelayServer:
                         return u is not None and u[1]
                 return False
 
-            def _own_job(self, job_id: str) -> None:
+            def _own_job(self, job_id: str,
+                         claimed: str | None = None) -> None:
                 """Transport mode: a job is visible only to the principal
                 that submitted it (the do_get origin-user re-check,
-                ``flight_server/src/flight.rs:396-447``)."""
+                ``flight_server/src/flight.rs:396-447``). ``claimed`` is
+                the query-string origin principal — ignored for user
+                identities, required and re-checked for relay ones."""
                 if outer._by_fp is None:
                     return
                 st = outer.manager.status(job_id)   # KeyError → 404
-                me = self._principal(None)
+                me = self._principal(claimed)
                 if st["principal"] != me:
                     raise _AuthError(
                         403, f"job {job_id} belongs to another principal")
@@ -348,12 +396,14 @@ class RestRelayServer:
             def do_GET(self):
                 self._read_body()   # keep-alive: drain any body
                 url = urlparse(self.path)
-                partial = parse_qs(url.query).get(
+                qs = parse_qs(url.query)
+                partial = qs.get(
                     "allow_partial", ["false"])[0].lower() == "true"
+                claimed = qs.get("principal", [None])[0]
                 m = _RESULTS.match(url.path)
                 if m:
                     try:
-                        self._own_job(m.group(1))
+                        self._own_job(m.group(1), claimed)
                     except _AuthError as e:
                         return self._send(e.code, {"error": str(e)})
                     except KeyError:
@@ -362,7 +412,7 @@ class RestRelayServer:
                 m = _QUERY.match(url.path)
                 if m:
                     try:
-                        self._own_job(m.group(1))
+                        self._own_job(m.group(1), claimed)
                         return self._send(200, outer.manager.status(m.group(1)))
                     except _AuthError as e:
                         return self._send(e.code, {"error": str(e)})
@@ -372,7 +422,7 @@ class RestRelayServer:
                     jobs = outer.manager.list_jobs()
                     if outer._by_fp is not None:
                         try:
-                            me = self._principal(None)
+                            me = self._principal(claimed)
                         except _AuthError as e:
                             return self._send(e.code, {"error": str(e)})
                         jobs = [j for j in jobs if j["principal"] == me]

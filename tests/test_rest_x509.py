@@ -41,7 +41,7 @@ def pki_env(tmp_path_factory):
     srv_cert, srv_key = pki.generate_tls_identity()
     out = {"ca_pem": ca_pem, "tls": (srv_cert, srv_key), "dir": d}
     (d / "server_ca.pem").write_bytes(srv_cert)
-    for name in ("reader", "admin", "rogue"):
+    for name in ("reader", "admin", "rogue", "peer"):
         cert, key = pki.generate_client_identity(ca_pem, ca_key, name)
         (d / f"{name}.pem").write_bytes(cert)
         (d / f"{name}.key").write_bytes(key)
@@ -62,11 +62,14 @@ def users(pki_env):
 
 @pytest.fixture(scope="module")
 def mtls_rest(spark, demo_web, pki_env, users):
+    relays = [pki.X509User(pki.fingerprint_der(_der(pki_env["peer"])),
+                           principal="edge")]
     s = RestRelayServer(spark, demo_web, "na_us",
                         admin_token=None,
                         tls=pki_env["tls"],
                         mtls_ca=pki_env["ca_pem"],
-                        x509_users=users).start()
+                        x509_users=users,
+                        x509_relays=relays).start()
     yield s
     s.shutdown()
 
@@ -174,6 +177,81 @@ def test_cross_principal_cancel_and_reads_are_403(mtls_rest, pki_env):
         mtls_rest.port, f"/query/{job}?principal=all_access", reader,
         "DELETE")
     assert code == 200
+
+
+def test_relay_identity_delegates_origin_principal(mtls_rest, pki_env):
+    """A fingerprint enrolled in x509_relays forwards on behalf of the
+    origin principal named in the request (the REST face of the Flight
+    delegation — ``query/route.rs:167`` → ``utils.rs:62-126``): the job
+    runs and reads back under the ORIGIN's permission view."""
+    peer = _ctx(pki_env, "peer")
+
+    def via_relay(origin):
+        code, body, _ = _req(mtls_rest.port, "/query", peer, "POST",
+                             {"sql": Q, "principal": origin})
+        assert code == 202, body
+        job = body["job_id"]
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            code, st, _ = _req(
+                mtls_rest.port, f"/query/{job}?principal={origin}", peer)
+            assert code == 200, st
+            if st["status"] in ("COMPLETE", "FAILED"):
+                break
+            time.sleep(0.2)
+        assert st["status"] == "COMPLETE"
+        req = urllib.request.Request(
+            f"https://127.0.0.1:{mtls_rest.port}/query/{job}/results"
+            f"?principal={origin}")
+        with urllib.request.urlopen(req, context=peer, timeout=120) as r:
+            rows = [json.loads(x) for x in r.read().splitlines() if x]
+        return job, sum(r["n"] for r in rows)
+
+    _, n_reader_direct = _run_count(mtls_rest.port,
+                                    _ctx(pki_env, "reader"), {"sql": Q})
+    _, n_admin_direct = _run_count(mtls_rest.port,
+                                   _ctx(pki_env, "admin"), {"sql": Q})
+    job_a, n_admin = via_relay("all_access")
+    _, n_reader = via_relay("reader")
+    assert n_admin == n_admin_direct
+    assert n_reader == n_reader_direct
+    # the job is recorded under the ORIGIN principal
+    code, body, _ = _req(mtls_rest.port,
+                         "/query?principal=all_access", peer)
+    assert job_a in {j["job_id"] for j in body["jobs"]}
+    assert all(j["principal"] == "all_access" for j in body["jobs"])
+
+
+def test_relay_without_origin_principal_is_401(mtls_rest, pki_env):
+    """All-or-none origination (``utils.rs:116-124``): a relay hop naming
+    no origin principal is malformed — submit, poll, and results all
+    refuse rather than default."""
+    peer = _ctx(pki_env, "peer")
+    code, body, _ = _req(mtls_rest.port, "/query", peer, "POST",
+                         {"sql": Q})
+    assert code == 401
+    assert "no origin principal" in body["error"]
+    # a delegated job polled WITHOUT the origin principal refuses too,
+    # and a wrong origin is a cross-principal 403
+    code, body, _ = _req(mtls_rest.port, "/query", peer, "POST",
+                         {"sql": Q, "principal": "reader"})
+    job = body["job_id"]
+    code, _, _ = _req(mtls_rest.port, f"/query/{job}", peer)
+    assert code == 401
+    code, _, _ = _req(mtls_rest.port,
+                      f"/query/{job}?principal=all_access", peer)
+    assert code == 403
+
+
+def test_user_and_relay_enrollment_disjoint(spark, demo_web, pki_env,
+                                            users):
+    """One fingerprint cannot be both a user and a relay."""
+    fp = pki.fingerprint_der(_der(pki_env["reader"]))
+    with pytest.raises(ValueError, match="both"):
+        RestRelayServer(spark, demo_web, "na_us",
+                        tls=pki_env["tls"], mtls_ca=pki_env["ca_pem"],
+                        x509_users=users,
+                        x509_relays=[pki.X509User(fp, principal="edge")])
 
 
 def test_admin_routes_keyed_on_is_admin_attribute(mtls_rest, pki_env):

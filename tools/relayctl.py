@@ -149,9 +149,17 @@ def cmd_query(endpoint: str, args: argparse.Namespace) -> int:
         return 1
     job_id = json.loads(body)["job_id"]
     print(f"job {job_id}", file=sys.stderr)
+    # A relay-identity caller (enrolled in x509_relays) must name the
+    # origin principal on every request, polls and reads included; the
+    # query string is ignored for user identities, so always forward it.
+    from urllib.parse import quote
+    qp = f"principal={quote(args.principal)}&" if args.principal else ""
     deadline = time.time() + args.timeout
     while time.time() < deadline:
-        code, st = _call(endpoint, "GET", f"/query/{job_id}")
+        code, st = _call(endpoint, "GET", f"/query/{job_id}?{qp}")
+        if code != 200:
+            print(st.decode(errors="replace"), file=sys.stderr)
+            return 1
         status = json.loads(st)["status"]
         if status in ("COMPLETE", "FAILED", "CANCELLED"):
             break
@@ -165,7 +173,7 @@ def cmd_query(endpoint: str, args: argparse.Namespace) -> int:
         return 1
     partial = "true" if args.allow_partial else "false"
     code, nd = _call(endpoint, "GET",
-                     f"/query/{job_id}/results?allow_partial={partial}")
+                     f"/query/{job_id}/results?{qp}allow_partial={partial}")
     if code != 200:
         print(nd.decode(errors="replace"), file=sys.stderr)
         return 1
