@@ -222,6 +222,47 @@ def test_gateway_template_forward_carries_identity(spark, mtls_peer,
     assert n_reader == view_counts["reader"]
 
 
+def test_origin_principal_propagates_across_two_hops(spark, demo_web,
+                                                     tmp_path_factory,
+                                                     view_counts):
+    """user → relay B → relay C: the middle relay resolves the delegated
+    origin principal and THREADS IT ONWARD into its own flight hop under
+    its own identity — the reference's origin_user propagation when the
+    local relay is not the originator (``flight.rs:132-141``,
+    ``create_query_request``)."""
+    from dataweb_spark.sources.flight_service import flight_query
+
+    # C holds the permissioned data; trusts relay B.
+    b_ident = pki.generate_tls_identity("relay-b")  # (cert_pem, key_pem)
+    fp_b = pki.fingerprint_der(pki.pem_cert_to_der(b_ident[0]))
+    relay_c = serve_in_background(
+        spark, demo_web, "na_us",
+        x509_relays=[pki.X509User(fp_b, principal="relay_b")])
+
+    # B federates lineitem from C, presenting B's own identity files.
+    d = tmp_path_factory.mktemp("hop_b")
+    cert_p, key_p = d / "b.pem", d / "b.key"
+    cert_p.write_bytes(b_ident[0])
+    key_p.write_bytes(b_ident[1])
+    web_b = _edge_web(relay_c.port, {"client_cert_file": str(cert_p),
+                                     "client_key_file": str(key_p)})
+    # B itself serves Flight, trusting the front relay A.
+    a_der, a_key = pki.generate_identity("relay-a")
+    relay_b = serve_in_background(
+        spark, web_b, "edge",
+        x509_relays=[pki.X509User(pki.fingerprint_der(a_der),
+                                  principal="relay_a")])
+    try:
+        for origin, want in (("all_access", view_counts["all_access"]),
+                             ("reader", view_counts["reader"])):
+            n = flight_query(relay_b.port, Q, principal=origin,
+                             mode="engine", cert=(a_der, a_key)).num_rows
+            assert n == want, (origin, n, want)
+    finally:
+        relay_b.shutdown()
+        relay_c.shutdown()
+
+
 def test_cert_and_key_files_must_pair(spark, mtls_peer):
     from dataweb_spark.plans.resolve import resolve_entity
     server, paths = mtls_peer
