@@ -208,24 +208,12 @@ class RelayFlightServer(flight.FlightServerBase):
             # request arriving under a relay identity is a FORWARDED
             # query, and its JSON principal names the origin user the
             # peer already authenticated. User and relay tables share one
-            # handshake; a fingerprint may appear in only one of them.
-            from dataweb_spark.sources.pki import normalize_x509_users
-            users = normalize_x509_users(x509_users or {})
-            relays = normalize_x509_users(x509_relays or {})
-            dup = set(users) & set(relays)
-            if dup:
-                raise ValueError(
-                    f"fingerprint(s) enrolled as both user and relay: "
-                    f"{sorted(fp[:16] for fp in dup)}")
-            relay_principals = frozenset(u.principal
-                                         for u in relays.values())
-            overlap = relay_principals & {u.principal
-                                          for u in users.values()}
-            if overlap:
-                raise ValueError(
-                    f"principal(s) enrolled as both user and relay: "
-                    f"{sorted(overlap)}")
-            auth = _CertServerAuthHandler({**users, **relays})
+            # handshake; merge + disjointness live in ONE pki helper so
+            # the Flight and REST faces cannot drift.
+            from dataweb_spark.sources.pki import merge_identity_tables
+            merged, relay_principals = merge_identity_tables(
+                x509_users, x509_relays)
+            auth = _CertServerAuthHandler(merged)
         elif tokens:
             auth = _TokenServerAuthHandler(tokens)
         else:
@@ -401,10 +389,16 @@ class RelayFlightServer(flight.FlightServerBase):
         if self._authed:
             principal = context.peer_identity().decode("utf-8")
             job_principal = st.get("principal")
-            if job_principal is not None and principal != job_principal:
+            if (job_principal is not None and principal != job_principal
+                    and principal not in self._relay_principals):
                 # A job submitted under one principal only accepts result
                 # pushes from that principal — otherwise any authenticated
-                # client could overwrite another submitter's results.
+                # client could overwrite another submitter's results. A
+                # trusted PEER RELAY may push for any job: delegated jobs
+                # are recorded under their ORIGIN principal (which no
+                # transport identity maps to), and an enrolled relay is
+                # already trusted to assert origin identities wholesale,
+                # so gating its pushes would only deadlock delegated jobs.
                 raise flight.FlightUnauthorizedError(
                     f"job {job_id!r} belongs to principal "
                     f"{job_principal!r}")
@@ -543,10 +537,11 @@ def flight_put_result(port: int, job_id: str, task_id: str, table: pa.Table,
                       final: bool = True, host: str = "127.0.0.1",
                       token: str | None = None,
                       cert: tuple | None = None,
-                      tls_root_certs: bytes | None = None) -> None:
+                      tls_root_certs: bytes | None = None,
+                      client_tls: tuple[bytes, bytes] | None = None) -> None:
     """Worker side of the result push: stream ``table`` to the origin
     relay's ``do_put`` as the result of ``(job_id, task_id)``."""
-    client = _connect(host, port, token, cert, tls_root_certs)
+    client = _connect(host, port, token, cert, tls_root_certs, client_tls)
     cmd = json.dumps({"job_id": job_id, "task_id": task_id, "relay": relay,
                       "source": source, "final": final}).encode("utf-8")
     writer, _ = client.do_put(

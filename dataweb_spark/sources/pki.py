@@ -59,6 +59,33 @@ def normalize_x509_users(users) -> dict[str, X509User]:
     return {u.x509_sha256: u for u in users}
 
 
+def merge_identity_tables(x509_users, x509_relays
+                          ) -> tuple[dict[str, X509User], frozenset[str]]:
+    """Merge user and trusted-relay tables into one fingerprint map plus
+    the set of relay principals, enforcing disjointness both ways.
+
+    ONE implementation for every transport face (Flight handshake, REST
+    listener) so the security validation cannot drift between them: a
+    fingerprint enrolled as both user and relay, or a principal name
+    shared across the two roles, is rejected — the reference keeps users
+    and relays in separate tables looked up exclusively
+    (``core/src/execute/utils.rs:70-104``)."""
+    users = normalize_x509_users(x509_users or {})
+    relays = normalize_x509_users(x509_relays or {})
+    dup = set(users) & set(relays)
+    if dup:
+        raise ValueError(
+            f"fingerprint(s) enrolled as both user and relay: "
+            f"{sorted(fp[:16] for fp in dup)}")
+    relay_principals = frozenset(u.principal for u in relays.values())
+    overlap = relay_principals & {u.principal for u in users.values()}
+    if overlap:
+        raise ValueError(
+            f"principal(s) enrolled as both user and relay: "
+            f"{sorted(overlap)}")
+    return {**users, **relays}, relay_principals
+
+
 def parse_certificate(der: bytes) -> tuple[str, str, str]:
     """``(fingerprint, subject_dn, issuer_dn)`` — ``pki/mod.rs:12-25``."""
     from cryptography import x509

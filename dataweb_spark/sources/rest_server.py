@@ -123,45 +123,27 @@ class RestRelayServer:
         self.relay_name = relay_name
         self._admin_token = admin_token
         self._cert_header = cert_header
-        # fingerprint → (principal, is_admin); shapes normalized by the
-        # SAME pki helper the Flight face uses, so the two transports
-        # cannot drift on what a users table means
-        self._by_fp: dict[str, tuple[str, bool]] | None = None
-        if x509_users is not None:
-            from dataweb_spark.sources.pki import normalize_x509_users
-            self._by_fp = {
-                fp: (u.principal,
-                     bool(u.attributes.get("is_admin", False)))
-                for fp, u in normalize_x509_users(x509_users).items()}
+        # fingerprint → (principal, is_admin); table merge + user/relay
+        # disjointness live in ONE pki helper shared with the Flight face
+        # so the two transports cannot drift on what the tables mean.
         # ``x509_relays`` enrolls trusted PEER RELAYS by fingerprint —
         # the REST face of the same delegation the Flight face runs
         # (``verify_query_origination_information`` guards the reference's
         # REST route too, ``rest_server/src/query/route.rs:167``): a
         # request under a relay identity must NAME the origin principal
         # and gets that principal's view; user identities keep ignoring
-        # claimed principals. Same user/relay disjointness as the Flight
-        # face.
+        # claimed principals.
+        self._by_fp: dict[str, tuple[str, bool]] | None = None
         self._relay_principals: frozenset[str] = frozenset()
-        if x509_relays is not None:
-            from dataweb_spark.sources.pki import normalize_x509_users
-            relays = normalize_x509_users(x509_relays)
-            if self._by_fp is None:
-                self._by_fp = {}
-            dup = set(relays) & set(self._by_fp)
-            if dup:
-                raise ValueError(
-                    f"fingerprint(s) enrolled as both user and relay: "
-                    f"{sorted(fp[:16] for fp in dup)}")
-            self._relay_principals = frozenset(
-                u.principal for u in relays.values())
-            overlap = self._relay_principals & {
-                p for p, _ in self._by_fp.values()}
-            if overlap:
-                raise ValueError(
-                    f"principal(s) enrolled as both user and relay: "
-                    f"{sorted(overlap)}")
-            self._by_fp.update(
-                {fp: (u.principal, False) for fp, u in relays.items()})
+        if x509_users is not None or x509_relays is not None:
+            from dataweb_spark.sources.pki import merge_identity_tables
+            merged, self._relay_principals = merge_identity_tables(
+                x509_users, x509_relays)
+            self._by_fp = {
+                fp: (u.principal,
+                     u.principal not in self._relay_principals
+                     and bool(u.attributes.get("is_admin", False)))
+                for fp, u in merged.items()}
         if mtls_ca is not None and tls is None:
             raise ValueError("mtls_ca requires tls (an HTTPS listener)")
         if mtls_ca is not None and cert_header is not None:

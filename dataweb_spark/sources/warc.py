@@ -354,8 +354,13 @@ def _parse_http_payload(payload: bytes, warc_content_type: str):
                     except zlib.error:
                         body = zlib.decompress(body, -15)
                 else:
-                    body = zlib.decompress(body, 47)
-            except zlib.error:
+                    # gzip.decompress, NOT zlib.decompress(body, 47):
+                    # RFC 1952 bodies may be MULTIPLE concatenated gzip
+                    # members (per-chunk flushes) and zlib silently stops
+                    # at the first member's end — a truncated page with
+                    # zero damage signal
+                    body = gzip.decompress(body)
+            except (zlib.error, gzip.BadGzipFile, EOFError):
                 pass
     else:
         status, headers, body = None, [], payload

@@ -120,6 +120,40 @@ def test_distributed_scan_through_relay_delegation(spark, delegating_server,
     assert df.count() == view_counts["all_access"]
 
 
+def test_relay_can_push_results_for_delegated_jobs(spark, demo_web,
+                                                   identities, tmp_path):
+    """Delegated jobs are recorded under the ORIGIN principal, which no
+    transport identity maps to — an enrolled peer relay (already trusted
+    to assert origins wholesale) may push their results; a mere user who
+    isn't the job's principal still cannot."""
+    import pyarrow as pa
+
+    from dataweb_spark.jobs.store import FileJobQueue
+    from dataweb_spark.sources.flight_service import flight_put_result
+    queue = FileJobQueue(str(tmp_path / "store"))
+    users = [pki.X509User(pki.fingerprint_der(identities["alice"][0]),
+                          principal="reader")]
+    relays = [pki.X509User(pki.fingerprint_der(identities["edge"][0]),
+                           principal="edge")]
+    server = serve_in_background(spark, demo_web, "na_us",
+                                 x509_users=users, x509_relays=relays,
+                                 job_store=queue)
+    try:
+        job_id = queue.submit("select 1 as x", mode="engine",
+                              principal="all_access")
+        flight_put_result(server.port, job_id, "t1",
+                          pa.table({"x": [1]}), cert=identities["edge"])
+        st = queue.read_status(job_id)
+        assert {t["task_id"] for t in st["tasks"]} >= {"t1"}
+        with pytest.raises(flight.FlightError,
+                           match="belongs to principal"):
+            flight_put_result(server.port, job_id, "t2",
+                              pa.table({"x": [1]}),
+                              cert=identities["alice"])
+    finally:
+        server.shutdown()
+
+
 def test_fingerprint_cannot_enroll_as_user_and_relay(spark, demo_web,
                                                      identities):
     from dataweb_spark.sources.flight_service import RelayFlightServer

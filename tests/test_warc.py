@@ -345,11 +345,17 @@ def test_content_encoding_gzip_and_deflate_inflate():
     text = "compressed päge €"
     raw = text.encode("utf-8")
     co = zlib.compressobj(wbits=-15)
+    half = len(raw) // 2
     cases = [
         ("gzip", gzip.compress(raw, mtime=0)),
         ("x-gzip", gzip.compress(raw, mtime=0)),
         ("deflate", zlib.compress(raw)),                # zlib-wrapped
         ("deflate", co.compress(raw) + co.flush()),     # raw deflate
+        # MULTIPLE concatenated gzip members (RFC 1952 — per-chunk
+        # flushes): zlib.decompress(body, 47) silently keeps only the
+        # first member; the full text must survive
+        ("gzip", gzip.compress(raw[:half], mtime=0)
+                 + gzip.compress(raw[half:], mtime=0)),
     ]
     for enc, body in cases:
         status, headers, mime, charset, out, n_bad = W._parse_http_payload(

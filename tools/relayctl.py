@@ -40,18 +40,30 @@ import urllib.error
 import urllib.request
 
 
+_CTX_CACHE: dict[tuple, ssl.SSLContext | None] = {}
+
+
 def _context(endpoint: str) -> ssl.SSLContext | None:
-    if not endpoint.startswith("https://"):
-        return None
+    # Built once per (endpoint, identity-env) and cached: a polling query
+    # otherwise re-reads the CA and client cert/key files every 0.2 s
+    # iteration. Keyed on the env values so an in-process env change
+    # (tests, long-lived importers) rebuilds instead of serving stale.
     cafile = os.environ.get("CA_CERT_FILE")
-    ctx = ssl.create_default_context(cafile=cafile)
     cert = os.environ.get("CLIENT_CERT_FILE")
     key = os.environ.get("CLIENT_KEY_FILE")
+    cache_key = (endpoint, cafile, cert, key)
+    if cache_key in _CTX_CACHE:
+        return _CTX_CACHE[cache_key]
+    if not endpoint.startswith("https://"):
+        _CTX_CACHE[cache_key] = None
+        return None
     if bool(cert) != bool(key):
         raise SystemExit(
             "CLIENT_CERT_FILE and CLIENT_KEY_FILE must be set together")
+    ctx = ssl.create_default_context(cafile=cafile)
     if cert and key:
         ctx.load_cert_chain(cert, key)
+    _CTX_CACHE[cache_key] = ctx
     return ctx
 
 
@@ -200,8 +212,16 @@ def cmd_explain(endpoint: str, args: argparse.Namespace) -> int:
     return 0
 
 
-def cmd_jobs(endpoint: str, _args: argparse.Namespace) -> int:
-    code, body = _call(endpoint, "GET", "/query")
+def _principal_qs(args: argparse.Namespace) -> str:
+    """``?principal=…`` suffix (percent-encoded) — required by a
+    relay-enrolled identity on every read, ignored for user identities."""
+    from urllib.parse import quote
+    p = getattr(args, "principal", None)
+    return f"?principal={quote(p)}" if p else ""
+
+
+def cmd_jobs(endpoint: str, args: argparse.Namespace) -> int:
+    code, body = _call(endpoint, "GET", f"/query{_principal_qs(args)}")
     if code != 200:
         print(body.decode(errors="replace"), file=sys.stderr)
         return 1
@@ -212,16 +232,15 @@ def cmd_jobs(endpoint: str, _args: argparse.Namespace) -> int:
 
 
 def cmd_status(endpoint: str, args: argparse.Namespace) -> int:
-    code, body = _call(endpoint, "GET", f"/query/{args.job_id}")
+    code, body = _call(endpoint, "GET",
+                       f"/query/{args.job_id}{_principal_qs(args)}")
     print(body.decode(errors="replace"))
     return 0 if code == 200 else 1
 
 
 def cmd_cancel(endpoint: str, args: argparse.Namespace) -> int:
-    path = f"/query/{args.job_id}"
-    if args.principal:
-        path += f"?principal={args.principal}"
-    code, body = _call(endpoint, "DELETE", path)
+    code, body = _call(endpoint, "DELETE",
+                       f"/query/{args.job_id}{_principal_qs(args)}")
     print(body.decode(errors="replace"))
     return 0 if code == 200 else 1
 
@@ -261,10 +280,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_explain)
 
     sp = sub.add_parser("jobs", help="list jobs (GET /query)")
+    sp.add_argument("--principal")
     sp.set_defaults(fn=cmd_jobs)
 
     sp = sub.add_parser("status", help="job status JSON")
     sp.add_argument("job_id")
+    sp.add_argument("--principal")
     sp.set_defaults(fn=cmd_status)
 
     sp = sub.add_parser("cancel", help="cancel a job (DELETE /query/{id})")
