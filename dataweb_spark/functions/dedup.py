@@ -425,7 +425,7 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
                         planes: int = 6, bands: int = 8,
-                        seed: int = 7) -> DataFrame:
+                        seed: int = 7, dim: int = 64) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold, banded hyperplane LSH.
 
     ``bands`` independent ``planes``-bit signatures; a pair is a candidate
@@ -440,7 +440,8 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
 
     sig = emb.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(hyperplane_signatures(vec_col, planes, bands, seed))
+        F.posexplode(hyperplane_signatures(vec_col, planes, bands, seed,
+                                           dim))
          .alias("band", "sig"))
     a, b = sig.alias("a"), sig.alias("b")
     cands = (a.join(b, [F.col("a.band") == F.col("b.band"),
