@@ -7627,6 +7627,14 @@ _DRIVER_WINDOW = [
 # queries, so declared is 186 and the 50×4 age budget keeps ≥4 free
 # slots/round through r14; see COVERAGE.md). New queries outrank age
 # refreshes for slots, as always.
+#
+# r12 TODO: declare `embedding_index_classify` (planted-verdict oracle,
+# the dedup_index_classify pattern) for functions/embedding_index.py —
+# deliberately NOT declared in r11: the window was exactly full with the
+# mandated r7-cohort refresh, and an outside-window declaration would
+# recreate the text_html_tables "never driver-checked" gap. r12 has the
+# free slots; the operator is pytest-proven meanwhile
+# (test_embedding_index.py).
 
 def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
