@@ -102,20 +102,29 @@ def build_dedup_index(corpus: DataFrame, path: str,
     return params
 
 
-def load_index_params(path: str, spark: SparkSession | None = None) -> dict:
-    """Read the params file via the Hadoop FS API (same filesystem as the
-    tables — works for hdfs://, s3a://, file:). Falls back to local
-    ``open()`` only when no SparkSession exists."""
+def load_params_file(path: str, kind: str,
+                     spark: SparkSession | None = None) -> dict:
+    """Read an index's ``meta.json`` via the Hadoop FS API (same
+    filesystem as the tables — works for hdfs://, s3a://, file:),
+    falling back to local ``open()`` only when no SparkSession exists.
+    ONE implementation for every persisted index (text fp, media,
+    embeddings) so the hard-fail contract cannot drift: a missing file
+    is a ValueError naming ``kind``, never a silent default."""
     meta = os.path.join(path, _META)
     spark = spark or SparkSession.getActiveSession()
     if spark is not None:
         text = _fs_read_text(spark, meta)
         if text is None:
-            raise ValueError(f"not a dedup index (missing {_META}): {path}")
+            raise ValueError(f"not {kind} (missing {_META}): {path}")
         return json.loads(text)
     if not os.path.exists(meta):
-        raise ValueError(f"not a dedup index (missing {_META}): {path}")
-    return json.load(open(meta))
+        raise ValueError(f"not {kind} (missing {_META}): {path}")
+    with open(meta) as f:
+        return json.load(f)
+
+
+def load_index_params(path: str, spark: SparkSession | None = None) -> dict:
+    return load_params_file(path, "a dedup index", spark)
 
 
 def classify_against_index(spark: SparkSession, new_batch: DataFrame,

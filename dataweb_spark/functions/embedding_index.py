@@ -38,8 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataweb_spark.functions.dedup_index import (_concurrent_writes,
-                                                 _fs_read_text,
-                                                 _fs_write_text)
+                                                 _fs_write_text,
+                                                 load_params_file)
 from dataweb_spark.functions.similarity import (cosine_pd,
                                                 hyperplane_signatures)
 
@@ -84,21 +84,11 @@ def build_embedding_index(corpus: DataFrame, path: str,
 
 def load_embedding_params(path: str,
                           spark: SparkSession | None = None) -> dict:
-    """Params from ``meta.json`` via the Hadoop FS API (same filesystem
-    as the tables).  Missing file → ValueError, never a default: bands
-    computed at mismatched planes/seed/dim silently match nothing."""
-    meta = os.path.join(path, _META)
-    spark = spark or SparkSession.getActiveSession()
-    if spark is not None:
-        text = _fs_read_text(spark, meta)
-        if text is None:
-            raise ValueError(
-                f"not an embedding index (missing {_META}): {path}")
-        return json.loads(text)
-    if not os.path.exists(meta):
-        raise ValueError(
-            f"not an embedding index (missing {_META}): {path}")
-    return json.load(open(meta))
+    """Params from ``meta.json`` (shared loader,
+    ``dedup_index.load_params_file``).  Missing file → ValueError, never
+    a default: bands computed at mismatched planes/seed/dim silently
+    match nothing."""
+    return load_params_file(path, "an embedding index", spark)
 
 
 def classify_embedding_batch(spark: SparkSession, new_batch: DataFrame,

@@ -389,19 +389,23 @@ class RelayFlightServer(flight.FlightServerBase):
         if self._authed:
             principal = context.peer_identity().decode("utf-8")
             job_principal = st.get("principal")
-            if (job_principal is not None and principal != job_principal
-                    and principal not in self._relay_principals):
+            if job_principal is not None and principal != job_principal:
                 # A job submitted under one principal only accepts result
                 # pushes from that principal — otherwise any authenticated
-                # client could overwrite another submitter's results. A
-                # trusted PEER RELAY may push for any job: delegated jobs
-                # are recorded under their ORIGIN principal (which no
-                # transport identity maps to), and an enrolled relay is
-                # already trusted to assert origin identities wholesale,
-                # so gating its pushes would only deadlock delegated jobs.
-                raise flight.FlightUnauthorizedError(
-                    f"job {job_id!r} belongs to principal "
-                    f"{job_principal!r}")
+                # client could overwrite another submitter's results.
+                # Delegated jobs are recorded under their ORIGIN principal
+                # (which no transport identity maps to), so a trusted PEER
+                # RELAY may push for them — but it must ASSERT that origin
+                # in the push command and match the job, the same
+                # all-or-none origination contract as get_flight_info
+                # (``utils.rs:62-126``); a relay never silently overwrites
+                # an arbitrary job.
+                asserted = meta.get("origin_principal")
+                if (principal not in self._relay_principals
+                        or asserted != job_principal):
+                    raise flight.FlightUnauthorizedError(
+                        f"job {job_id!r} belongs to principal "
+                        f"{job_principal!r}")
         table = reader.read_all()
         import os as _os
         out_dir = _os.path.join(self.job_store.root, "results",
@@ -538,12 +542,17 @@ def flight_put_result(port: int, job_id: str, task_id: str, table: pa.Table,
                       token: str | None = None,
                       cert: tuple | None = None,
                       tls_root_certs: bytes | None = None,
-                      client_tls: tuple[bytes, bytes] | None = None) -> None:
+                      client_tls: tuple[bytes, bytes] | None = None,
+                      origin_principal: str | None = None) -> None:
     """Worker side of the result push: stream ``table`` to the origin
-    relay's ``do_put`` as the result of ``(job_id, task_id)``."""
+    relay's ``do_put`` as the result of ``(job_id, task_id)``.
+    ``origin_principal`` is required when pushing under a RELAY identity
+    for a delegated job: it must name (and match) the job's origin
+    principal."""
     client = _connect(host, port, token, cert, tls_root_certs, client_tls)
     cmd = json.dumps({"job_id": job_id, "task_id": task_id, "relay": relay,
-                      "source": source, "final": final}).encode("utf-8")
+                      "source": source, "final": final,
+                      "origin_principal": origin_principal}).encode("utf-8")
     writer, _ = client.do_put(
         flight.FlightDescriptor.for_command(cmd), table.schema)
     writer.write_table(table)

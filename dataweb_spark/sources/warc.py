@@ -354,13 +354,31 @@ def _parse_http_payload(payload: bytes, warc_content_type: str):
                     except zlib.error:
                         body = zlib.decompress(body, -15)
                 else:
-                    # gzip.decompress, NOT zlib.decompress(body, 47):
-                    # RFC 1952 bodies may be MULTIPLE concatenated gzip
-                    # members (per-chunk flushes) and zlib silently stops
-                    # at the first member's end — a truncated page with
-                    # zero damage signal
-                    body = gzip.decompress(body)
-            except (zlib.error, gzip.BadGzipFile, EOFError):
+                    # Decode RFC 1952 members in a decompressobj loop:
+                    # bodies may be MULTIPLE concatenated gzip members
+                    # (per-chunk flushes) — a one-shot
+                    # zlib.decompress(body, 47) silently keeps only the
+                    # first — while real crawls ALSO carry trailing
+                    # garbage after a valid member and zlib-wrapped
+                    # bodies mislabeled gzip (wbits=47 auto-detects
+                    # both headers), which a strict gzip.decompress
+                    # rejects outright. Keep every member that decodes;
+                    # stop at the first non-stream tail.
+                    chunks: list[bytes] = []
+                    data = body
+                    while data:
+                        d = zlib.decompressobj(47)
+                        try:
+                            chunks.append(d.decompress(data))
+                        except zlib.error:
+                            if not chunks:
+                                raise  # wholly corrupt → raw fallback
+                            break      # garbage after good members
+                        if not d.eof:
+                            break      # truncated final member
+                        data = d.unused_data
+                    body = b"".join(chunks)
+            except zlib.error:
                 pass
     else:
         status, headers, body = None, [], payload

@@ -86,7 +86,6 @@ def test_classify_requires_meta(spark, corpus, tmp_path):
 
 def test_gate_admits_novel_rejects_copies_across_batches(spark, corpus,
                                                          tmp_path):
-    import pandas as pd
     path = str(tmp_path / "idx")
     E.build_embedding_index(corpus, path, dim=DIM)
     drop = str(tmp_path / "drop")

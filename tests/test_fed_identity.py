@@ -123,9 +123,10 @@ def test_distributed_scan_through_relay_delegation(spark, delegating_server,
 def test_relay_can_push_results_for_delegated_jobs(spark, demo_web,
                                                    identities, tmp_path):
     """Delegated jobs are recorded under the ORIGIN principal, which no
-    transport identity maps to — an enrolled peer relay (already trusted
-    to assert origins wholesale) may push their results; a mere user who
-    isn't the job's principal still cannot."""
+    transport identity maps to — an enrolled peer relay may push their
+    results, but only by ASSERTING (and matching) that origin in the
+    push command; a blind relay push and a mere user who isn't the
+    job's principal are both refused."""
     import pyarrow as pa
 
     from dataweb_spark.jobs.store import FileJobQueue
@@ -141,8 +142,23 @@ def test_relay_can_push_results_for_delegated_jobs(spark, demo_web,
     try:
         job_id = queue.submit("select 1 as x", mode="engine",
                               principal="all_access")
+        # relay push WITHOUT asserting the origin: refused (a relay
+        # never silently overwrites an arbitrary job)
+        with pytest.raises(flight.FlightError,
+                           match="belongs to principal"):
+            flight_put_result(server.port, job_id, "t1",
+                              pa.table({"x": [1]}),
+                              cert=identities["edge"])
+        # asserting the WRONG origin: refused
+        with pytest.raises(flight.FlightError,
+                           match="belongs to principal"):
+            flight_put_result(server.port, job_id, "t1",
+                              pa.table({"x": [1]}),
+                              cert=identities["edge"],
+                              origin_principal="reader")
         flight_put_result(server.port, job_id, "t1",
-                          pa.table({"x": [1]}), cert=identities["edge"])
+                          pa.table({"x": [1]}), cert=identities["edge"],
+                          origin_principal="all_access")
         st = queue.read_status(job_id)
         assert {t["task_id"] for t in st["tasks"]} >= {"t1"}
         with pytest.raises(flight.FlightError,

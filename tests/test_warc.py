@@ -356,6 +356,9 @@ def test_content_encoding_gzip_and_deflate_inflate():
         # first member; the full text must survive
         ("gzip", gzip.compress(raw[:half], mtime=0)
                  + gzip.compress(raw[half:], mtime=0)),
+        # zlib-wrapped body MISLABELED gzip (seen in the wild; wbits=47
+        # auto-detects both headers)
+        ("gzip", zlib.compress(raw)),
     ]
     for enc, body in cases:
         status, headers, mime, charset, out, n_bad = W._parse_http_payload(
@@ -364,6 +367,15 @@ def test_content_encoding_gzip_and_deflate_inflate():
                       ("Content-Encoding", enc)], body),
             "application/http; msgtype=response")
         assert (status, out, n_bad) == (200, text, 0), enc
+    # a valid member followed by trailing garbage (Content-Length
+    # slack): the decoded member survives, the garbage is dropped
+    status, headers, mime, charset, out, n_bad = W._parse_http_payload(
+        W.build_http_response(
+            200, [("Content-Type", "text/plain; charset=utf-8"),
+                  ("Content-Encoding", "gzip")],
+            gzip.compress(raw, mtime=0) + b"\x00\x17 junk tail"),
+        "application/http; msgtype=response")
+    assert (status, out, n_bad) == (200, text, 0)
     # corrupt gzip: raw bytes ride through, damage accounted not raised
     status, headers, mime, charset, out, n_bad = W._parse_http_payload(
         W.build_http_response(

@@ -44,14 +44,23 @@ _CTX_CACHE: dict[tuple, ssl.SSLContext | None] = {}
 
 
 def _context(endpoint: str) -> ssl.SSLContext | None:
-    # Built once per (endpoint, identity-env) and cached: a polling query
+    # Built once per (endpoint, identity) and cached: a polling query
     # otherwise re-reads the CA and client cert/key files every 0.2 s
-    # iteration. Keyed on the env values so an in-process env change
-    # (tests, long-lived importers) rebuilds instead of serving stale.
+    # iteration. Keyed on env values AND file mtimes, so an in-process
+    # env change (tests) or an in-place cert ROTATION (long-lived
+    # importers) rebuilds instead of serving a stale identity — one
+    # stat per file per request instead of a read+parse.
     cafile = os.environ.get("CA_CERT_FILE")
     cert = os.environ.get("CLIENT_CERT_FILE")
     key = os.environ.get("CLIENT_KEY_FILE")
-    cache_key = (endpoint, cafile, cert, key)
+
+    def _ver(p):
+        try:
+            return (p, os.path.getmtime(p)) if p else None
+        except OSError:
+            return (p, None)
+
+    cache_key = (endpoint, _ver(cafile), _ver(cert), _ver(key))
     if cache_key in _CTX_CACHE:
         return _CTX_CACHE[cache_key]
     if not endpoint.startswith("https://"):
