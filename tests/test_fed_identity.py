@@ -313,6 +313,95 @@ def test_origin_principal_propagates_across_two_hops(spark, demo_web,
         relay_c.shutdown()
 
 
+@pytest.fixture(scope="module")
+def two_process_mtls_peer(sf_dir, identities, tmp_path_factory):
+    """A peer relay in a SEPARATE process serving mTLS + x509 identity
+    via the reference env contract (``conf.rs:33-75``): its own
+    SparkSession, JVM, and trust tables, reachable only over gRPC."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    d = tmp_path_factory.mktemp("proc_pki")
+    ca_pem, ca_key = pki.generate_ca()
+    srv = pki.generate_tls_identity()
+    edge_pem, edge_key = pki.generate_client_identity(ca_pem, ca_key,
+                                                      "edge-proc")
+    fp_edge = pki.fingerprint_der(pki.pem_cert_to_der(edge_pem))
+    fp_alice = pki.fingerprint_der(identities["alice"][0])
+    files = {"SERVER_CERT_FILE": srv[0], "SERVER_KEY_FILE": srv[1],
+             "CA_CERT_FILE": ca_pem}
+    env = dict(os.environ)
+    for name, blob in files.items():
+        p = d / f"{name}.pem"
+        p.write_bytes(blob)
+        env[name] = str(p)
+    import json as _json
+    for name, table in (("X509_USERS_FILE", {fp_alice: "reader"}),
+                        ("X509_RELAYS_FILE", {fp_edge: "edge"})):
+        p = d / f"{name}.json"
+        p.write_text(_json.dumps(table))
+        env[name] = str(p)
+    client_paths = {}
+    for name, blob in (("ca_cert_file", srv[0]),
+                       ("client_cert_file", edge_pem),
+                       ("client_key_file", edge_key)):
+        p = d / f"client_{name}.pem"
+        p.write_bytes(blob)
+        client_paths[name] = str(p)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "tools/run_flight_relay.py"),
+         sf_dir],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True)
+    port = None
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        if line.startswith("PORT "):
+            port = int(line.split()[1])
+            break
+        if proc.poll() is not None:
+            raise RuntimeError("relay process died during startup")
+    assert port is not None, "peer relay never printed PORT"
+    yield port, client_paths
+    proc.terminate()
+    proc.wait(timeout=30)
+
+
+def test_two_process_delegated_federation(spark, two_process_mtls_peer,
+                                          view_counts):
+    """End-to-end across a REAL process boundary: the local relay
+    presents its cert files to the subprocess peer (mTLS + possession
+    challenge) and the delegated origin principal picks the permission
+    view — the reference's deploy topology with transport identity on."""
+    from dataweb_spark.plans.resolve import resolve_entity
+    port, paths = two_process_mtls_peer
+    web = _edge_web(port, paths)
+    n_admin = resolve_entity(spark, web, "edge", "lineitem",
+                             principal="all_access").count()
+    n_reader = resolve_entity(spark, web, "edge", "lineitem",
+                              principal="reader").count()
+    assert n_admin == view_counts["all_access"]
+    assert n_reader == view_counts["reader"]
+
+
+def test_two_process_certless_caller_rejected(spark, two_process_mtls_peer):
+    """No client certificate → the subprocess peer's TLS handshake
+    itself refuses (CA_CERT_FILE gates the transport)."""
+    import pyarrow.flight as fl
+
+    from dataweb_spark.sources.flight_service import flight_query
+    port, paths = two_process_mtls_peer
+    with open(paths["ca_cert_file"], "rb") as f:
+        server_pem = f.read()
+    with pytest.raises(fl.FlightError):
+        flight_query(port, "select 1 as x", mode="engine",
+                     principal="reader", tls_root_certs=server_pem)
+
+
 def test_cert_and_key_files_must_pair(spark, mtls_peer):
     from dataweb_spark.plans.resolve import resolve_entity
     server, paths = mtls_peer
