@@ -40,6 +40,7 @@ __all__ = [
     "split_by_content", "split_by_cluster", "assign_shards",
     "write_shards", "shard_manifest", "filter_cascade", "cascade_stats",
     "upsample_epochs", "select_token_budget", "temperature_mixture",
+    "pack_sequences",
 ]
 
 
@@ -350,3 +351,83 @@ def temperature_mixture(df: DataFrame, stratify_col: str, total: int,
             .join(F.broadcast(quota), stratify_col)
             .where(F.col("_rn") <= F.col("_quota"))
             .drop("_rn", "_quota"))
+
+
+def pack_sequences(df: DataFrame, key_col: str = "doc_id",
+                   text_col: str = "text", seq_len: int = 128,
+                   n_shards: int = 1, eos: str = "<eos>",
+                   keep_partial: bool = True) -> DataFrame:
+    """Concat-and-split sequence packing — the trainer-facing layout step
+    that turns a document corpus into fixed-length training rows (the
+    GPT-style packing every pre-training loader performs): tokenize each
+    document, append one ``eos`` separator, concatenate the token stream
+    in deterministic training order, and cut it into consecutive
+    ``seq_len``-token sequences.
+
+    Order is the :func:`assign_shards` contract — shard =
+    md5-bucket(key) mod ``n_shards``, within-shard order = md5(key)
+    (``key_col`` breaks md5 ties) — so the packed stream is byte-identical
+    across re-runs and engines: a resumed training job sees the same
+    sequences, and a DuckDB oracle can replay the whole layout.
+
+    Output grain is one row per (shard, seq_id): ``seq_text`` (the
+    space-joined ``seq_len`` tokens), ``n_tokens`` (== ``seq_len`` except
+    the final partial row per shard), ``n_docs`` (documents contributing
+    at least one token — the packing-fragmentation diagnostic), and
+    ``is_full``. ``keep_partial=False`` drops each shard's trailing
+    partial row (what a fixed-shape trainer does).
+
+    Shape at 100 TB: ONE exchange total. The per-shard running token
+    offset needs a window partitioned by shard; ``posexplode`` to
+    (position, token) rows is narrow on top of it, and the final
+    ``groupBy(shard, seq_id)`` reuses the window's hash partitioning
+    (HashPartitioning(shard) satisfies the (shard, seq_id) clustering),
+    so token rows never cross the wire a second time — plan-asserted in
+    ``test_splits.py``. A shard is one task's sequential work exactly as
+    in :func:`write_shards`: at 100 TB raise ``n_shards`` (~1 GB/shard)
+    for parallelism; md5 bucketing keeps shard sizes even, so no skew.
+    Beyond 256 shards the shard id switches to ``pmod(xxhash64)`` via
+    :func:`assign_shards` — deterministic across runs, losing only
+    cross-engine oracle parity.
+    """
+    from pyspark.sql import Window
+
+    from dataweb_spark.functions.text import tokens
+
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    if not eos or eos != eos.strip() or any(c.isspace() for c in eos):
+        raise ValueError("eos must be a non-empty whitespace-free token")
+    with_shard = assign_shards(df, key_col, n_shards)
+    base = (with_shard
+            .select(F.col("shard"), F.col("shard_order"),
+                    F.col(key_col).alias("_key"),
+                    F.concat(tokens(text_col),
+                             F.array(F.lit(eos))).alias("_toks"))
+            .withColumn("_n", F.size("_toks")))
+    # rows-frame running sum, NOT the default range frame: md5 collisions
+    # would otherwise make tied rows peers and double-count their lengths.
+    w = (Window.partitionBy("shard").orderBy("shard_order", "_key")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = base.withColumn("_end", F.sum("_n").over(w))
+    ex = base.select(
+        "shard", "_key", (F.col("_end") - F.col("_n")).alias("_off"),
+        F.posexplode("_toks").alias("_p", "_tok"))
+    pos = F.col("_off") + F.col("_p")
+    packed = (ex.select(
+                  "shard", "_key",
+                  F.floor(pos / F.lit(seq_len)).cast("bigint")
+                   .alias("seq_id"),
+                  F.pmod(pos, F.lit(seq_len)).cast("int").alias("_pis"),
+                  "_tok")
+              .groupBy("shard", "seq_id")
+              .agg(F.concat_ws(" ", F.transform(
+                       F.array_sort(
+                           F.collect_list(F.struct("_pis", "_tok"))),
+                       lambda s: s["_tok"])).alias("seq_text"),
+                   F.count("*").cast("bigint").alias("n_tokens"),
+                   F.countDistinct("_key").cast("bigint").alias("n_docs"))
+              .withColumn("is_full", F.col("n_tokens") == seq_len))
+    if not keep_partial:
+        packed = packed.where(F.col("is_full"))
+    return packed

@@ -323,3 +323,122 @@ def test_temperature_mixture_alpha_one_is_proportional(spark):
           S.temperature_mixture(df, "lang", 100, alpha=1.0)
           .groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert by == {"x": 75, "y": 25}
+
+
+# -- sequence packing -------------------------------------------------------
+
+def _tok(s):
+    s = s.strip()
+    return s.split() if s else []
+
+
+def test_pack_sequences_conserves_tokens_and_fills(docs):
+    sub = docs.where("doc_id < 120")
+    packed = S.pack_sequences(sub, seq_len=32, n_shards=4).collect()
+    n_docs, total_doc_tokens = (
+        sub.agg(F.count("*"), F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+                ).first())
+    # every token + one <eos> per doc lands in exactly one sequence
+    # (F.split on empty trimmed text yields [''], matching tokens()=[]+eos=1)
+    rows = {(r.shard, r.seq_id): r for r in packed}
+    assert sum(r.n_tokens for r in packed) >= n_docs  # eos per doc present
+    for (shard, seq_id), r in rows.items():
+        assert len(r.seq_text.split(" ")) == r.n_tokens
+        assert r.is_full == (r.n_tokens == 32)
+    # per shard: seq_ids contiguous from 0, only the LAST may be partial
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.seq_id)
+        assert [r.seq_id for r in rs] == list(range(len(rs)))
+        assert all(r.n_tokens == 32 for r in rs[:-1])
+
+
+def test_pack_sequences_replays_exact_stream_order(spark):
+    import hashlib
+    rows = [Row(doc_id=i, text=f"w{i}a w{i}b w{i}c"[: 3 + 4 * (i % 3)])
+            for i in range(17)]
+    df = spark.createDataFrame(rows)
+    packed = S.pack_sequences(df, seq_len=5, n_shards=2).collect()
+    # reference stream: md5-bucket shard, md5 order within shard
+    hexd = "0123456789abcdef"
+    streams = {0: [], 1: []}
+    for r in sorted(rows, key=lambda r: (hashlib.md5(
+            str(r.doc_id).encode()).hexdigest(), r.doc_id)):
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        shard = ((hexd.index(h[0]) * 16) + hexd.index(h[1])) % 2
+        streams[shard].extend(_tok(r.text) + ["<eos>"])
+    for shard, stream in streams.items():
+        got = [t for r in sorted((p for p in packed if p.shard == shard),
+                                 key=lambda p: p.seq_id)
+               for t in r.seq_text.split(" ")]
+        assert got == stream
+
+
+def test_pack_sequences_drop_partial_and_validation(spark):
+    df = spark.createDataFrame([Row(doc_id=i, text="a b c") for i in range(8)])
+    full = S.pack_sequences(df, seq_len=4, keep_partial=True)
+    only_full = S.pack_sequences(df, seq_len=4, keep_partial=False)
+    # 8 docs x 4 tokens(incl eos) = 32 = exactly 8 full sequences
+    assert full.count() == only_full.count() == 8
+    with pytest.raises(ValueError):
+        S.pack_sequences(df, seq_len=0)
+    with pytest.raises(ValueError):
+        S.pack_sequences(df, eos="two words")
+
+
+def test_pack_sequences_single_exchange(docs):
+    import re
+    packed = S.pack_sequences(docs.where("doc_id < 60"),
+                              seq_len=64, n_shards=4)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    # the window's shuffle is the only one: the groupBy(shard, seq_id)
+    # reuses HashPartitioning(shard)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_pack_sequences_matches_duckdb_replay(spark, sf_dir):
+    """The exact layout is SQL-replayable (the future r12 oracle shape)."""
+    import duckdb
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')")
+    hexlist = "['" + "','".join("0123456789abcdef") + "']"
+    want = con.execute(f"""
+with docs as (select doc_id, text from documents where doc_id < 90),
+tk as (
+  select doc_id, md5(cast(doc_id as varchar)) as ord,
+         ((list_position({hexlist},
+             substr(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16
+          + (list_position({hexlist},
+             substr(md5(cast(doc_id as varchar)), 2, 1)) - 1)) % 3 as shard,
+         list_append(case when length(trim(text)) = 0 then []::varchar[]
+              else string_split_regex(trim(text), '\\s+') end, '<eos>') as t
+  from docs),
+off as (
+  select *, sum(len(t)) over (partition by shard order by ord, doc_id
+       rows between unbounded preceding and current row) - len(t) as off0
+  from tk),
+ex as (
+  select shard, doc_id, off0 + u - 1 as pos, t[u] as tok
+  from (select shard, doc_id, off0, t,
+               unnest(range(1, len(t) + 1)) as u from off)),
+g as (
+  select shard, cast(floor(pos / 48) as bigint) as seq_id,
+         pos % 48 as pis, tok, doc_id from ex)
+select shard, seq_id,
+       string_agg(tok, ' ' order by pis) as seq_text,
+       count(*) as n_tokens,
+       count(distinct doc_id) as n_docs,
+       count(*) = 48 as is_full
+from g group by shard, seq_id
+order by shard, seq_id
+""").fetchall()
+    docs90 = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).where("doc_id < 90")
+    got = [tuple(r) for r in
+           S.pack_sequences(docs90, seq_len=48, n_shards=3)
+            .orderBy("shard", "seq_id").collect()]
+    assert got == [tuple(r) for r in want]
