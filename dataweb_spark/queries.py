@@ -7635,6 +7635,14 @@ _DRIVER_WINDOW = [
 # recreate the text_html_tables "never driver-checked" gap. r12 has the
 # free slots; the operator is pytest-proven meanwhile
 # (test_embedding_index.py).
+#
+# r12 TODO: declare `pipeline_pack_sequences` for
+# splits.pack_sequences — the MATERIALIZING sibling of
+# pipeline_sequence_packing (that query reports bin statistics; the
+# operator emits the packed seq_text rows in sharded md5 training
+# order). Same not-declared-in-r11 reasoning as above; the DuckDB
+# replay already exists verbatim in
+# test_splits.py::test_pack_sequences_matches_duckdb_replay.
 
 def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

@@ -442,3 +442,79 @@ order by shard, seq_id
            S.pack_sequences(docs90, seq_len=48, n_shards=3)
             .orderBy("shard", "seq_id").collect()]
     assert got == [tuple(r) for r in want]
+
+
+# -- best-fit document packing ----------------------------------------------
+
+def test_best_fit_hand_case_exact(spark):
+    # sizes 5,4,3,2,1 into capacity 8: BFD -> b0=[5,3], b1=[4,2,1]
+    rows = [Row(doc_id=i, text=" ".join(f"t{j}" for j in range(n)))
+            for i, n in enumerate([5, 4, 3, 2, 1])]
+    got = {(r.doc_id, r.piece_idx): (r.bin_id, r.bin_offset, r.piece_tokens)
+           for r in S.pack_documents_best_fit(
+               spark.createDataFrame(rows), seq_len=8).collect()}
+    assert got == {(0, 0): (0, 0, 5), (2, 0): (0, 5, 3),
+                   (1, 0): (1, 0, 4), (3, 0): (1, 4, 2), (4, 0): (1, 6, 1)}
+
+
+def test_best_fit_oversize_docs_split_not_truncated(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(f"t{j}" for j in range(20))),
+         Row(doc_id=2, text=""), Row(doc_id=3, text="   ")])
+    out = S.pack_documents_best_fit(df, seq_len=8).collect()
+    assert sorted((r.piece_idx, r.piece_tokens) for r in out) == \
+        [(0, 8), (1, 8), (2, 4)]          # 20 = 8+8+4, empty docs emit nothing
+    assert all(r.doc_id == 1 for r in out)
+
+
+def test_best_fit_capacity_offsets_and_fill_bound(docs):
+    out = S.pack_documents_best_fit(docs.where("doc_id < 300"),
+                                    seq_len=64, n_shards=4).collect()
+    bins = {}
+    for r in out:
+        assert 0 < r.piece_tokens <= 64
+        bins.setdefault((r.shard, r.bin_id), []).append(r)
+    for (shard, b), rs in bins.items():
+        rs.sort(key=lambda r: r.bin_offset)
+        load = 0
+        for r in rs:                      # offsets contiguous in fill order
+            assert r.bin_offset == load
+            load += r.piece_tokens
+        assert load <= 64
+    # best-fit invariant: at most ONE bin per shard at <= half capacity
+    for shard in {s for s, _ in bins}:
+        small = [b for (s, b), rs in bins.items() if s == shard
+                 and sum(r.piece_tokens for r in rs) <= 32]
+        assert len(small) <= 1, (shard, small)
+    # piece sizes per doc sum to the doc's token count
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, 0)
+        per_doc[r.doc_id] += r.piece_tokens
+    want = {r.doc_id: r.n for r in
+            docs.where("doc_id < 300")
+                .select("doc_id",
+                        F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+                .where("length(trim(text)) > 0").collect()}
+    assert per_doc == want
+
+
+def test_best_fit_deterministic_under_partitioning(docs):
+    sub = docs.where("doc_id < 200")
+    a = {(r.shard, r.doc_id, r.piece_idx): (r.bin_id, r.bin_offset)
+         for r in S.pack_documents_best_fit(sub, seq_len=96,
+                                            n_shards=3).collect()}
+    b = {(r.shard, r.doc_id, r.piece_idx): (r.bin_id, r.bin_offset)
+         for r in S.pack_documents_best_fit(sub.repartition(7), seq_len=96,
+                                            n_shards=3).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_best_fit_single_exchange_narrow_group(docs):
+    import re
+    out = S.pack_documents_best_fit(docs.where("doc_id < 50"),
+                                    seq_len=64, n_shards=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    with pytest.raises(ValueError):
+        S.pack_documents_best_fit(docs, seq_len=0)
