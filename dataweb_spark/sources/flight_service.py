@@ -466,6 +466,9 @@ def serve_in_background(spark: SparkSession, web: Web, relay_name: str,
     ``x509_relays`` enrolls trusted peer-relay fingerprints whose
     forwarded requests carry the origin principal (see
     :class:`RelayFlightServer`)."""
+    import socket
+    import time
+
     server = RelayFlightServer(spark, web, relay_name, tokens=tokens,
                                x509_users=x509_users,
                                x509_relays=x509_relays,
@@ -473,6 +476,19 @@ def serve_in_background(spark: SparkSession, web: Web, relay_name: str,
                                tls=tls, mtls_ca=mtls_ca)
     t = threading.Thread(target=server.serve, daemon=True)
     t.start()
+    # Don't return until the gRPC loop accepts connections: the thread
+    # may not have reached serve() yet on a loaded machine, and a client
+    # racing that window sees a bare connection-refused. A raw TCP
+    # connect is enough as the readiness probe even under (m)TLS — the
+    # handshake happens after accept.
+    deadline = time.time() + 15.0
+    while time.time() < deadline:
+        try:
+            with socket.create_connection(("127.0.0.1", server.port),
+                                          timeout=0.5):
+                break
+        except OSError:
+            time.sleep(0.05)
     return server
 
 
