@@ -396,13 +396,16 @@ def pack_sequences(df: DataFrame, key_col: str = "doc_id",
 
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
-    if not eos or eos != eos.strip() or any(c.isspace() for c in eos):
+    if not eos or any(c.isspace() for c in eos):
         raise ValueError("eos must be a non-empty whitespace-free token")
     with_shard = assign_shards(df, key_col, n_shards)
+    # NULL text behaves like empty text (doc contributes its eos marker);
+    # without the coalesce the whole document would silently vanish from
+    # the packed stream (concat/size/posexplode all propagate NULL).
     base = (with_shard
             .select(F.col("shard"), F.col("shard_order"),
                     F.col(key_col).alias("_key"),
-                    F.concat(tokens(text_col),
+                    F.concat(tokens(F.coalesce(F.col(text_col), F.lit(""))),
                              F.array(F.lit(eos))).alias("_toks"))
             .withColumn("_n", F.size("_toks")))
     # rows-frame running sum, NOT the default range frame: md5 collisions
@@ -464,9 +467,13 @@ def pack_documents_best_fit(df: DataFrame, key_col: str = "doc_id",
     only (shard, order-hash, key, piece_idx, size) enters the per-shard
     ``applyInPandas`` group — ~40 B/piece, so a 1 GB-of-text shard's
     group is a few hundred KB of Arrow payload, never the text itself.
-    The in-group cost is O(P log B) (bisect over a sorted residual
-    list). Shards parallelize exactly as in :func:`write_shards`; raise
-    ``n_shards`` with the corpus. Packing quality is per-shard (bins
+    The in-group cost is O(P·(log B + B_open)) — bisect plus a Python
+    list shift per placement, where B_open counts bins still accepting
+    pieces: FULL bins are pruned from the residual list immediately
+    (piece sizes are ≥ 1, so residual 0 can never fit again), which
+    keeps B_open small in the tightly-packed steady state. Shards
+    parallelize exactly as in :func:`write_shards`; raise ``n_shards``
+    with the corpus. Packing quality is per-shard (bins
     never span shards) — the fill bound above holds per shard, which is
     the trainer's unit of work anyway.
     """
@@ -494,7 +501,8 @@ def pack_documents_best_fit(df: DataFrame, key_col: str = "doc_id",
                               * F.lit(seq_len)).cast("bigint")
                        .alias("piece_tokens")))
 
-    out_schema = (f"shard int, {key_col} long, piece_idx int, "
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = (f"shard int, {key_col} {key_type}, piece_idx int, "
                   f"piece_tokens long, bin_id long, bin_offset long")
 
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -514,7 +522,8 @@ def pack_documents_best_fit(df: DataFrame, key_col: str = "doc_id",
                 next_bin += 1
             bin_ids.append(b)
             offsets.append(seq_len - r)
-            bisect.insort(res, (r - s, b))
+            if r - s > 0:        # full bins can never fit a >=1 piece
+                bisect.insort(res, (r - s, b))
         return pd.DataFrame({
             "shard": pdf["shard"], key_col: pdf["_key"],
             "piece_idx": pdf["piece_idx"],

@@ -480,16 +480,25 @@ def serve_in_background(spark: SparkSession, web: Web, relay_name: str,
     # may not have reached serve() yet on a loaded machine, and a client
     # racing that window sees a bare connection-refused. A raw TCP
     # connect is enough as the readiness probe even under (m)TLS — the
-    # handshake happens after accept.
-    deadline = time.time() + 15.0
-    while time.time() < deadline:
+    # handshake happens after accept. Fail loud, not open: a serve()
+    # crash or an expired deadline raises here instead of handing back
+    # a server object that refuses every connection.
+    deadline = time.monotonic() + 15.0
+    while True:
         try:
             with socket.create_connection(("127.0.0.1", server.port),
                                           timeout=0.5):
-                break
+                return server
         except OSError:
+            if not t.is_alive():
+                raise RuntimeError(
+                    "flight server thread died during startup "
+                    f"(port {server.port})")
+            if time.monotonic() >= deadline:
+                raise RuntimeError(
+                    "flight server did not accept connections within "
+                    f"15s (port {server.port})")
             time.sleep(0.05)
-    return server
 
 
 # -- client helpers (test/flight_utils.py analog) -------------------------

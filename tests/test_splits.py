@@ -460,11 +460,34 @@ def test_best_fit_hand_case_exact(spark):
 def test_best_fit_oversize_docs_split_not_truncated(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1, text=" ".join(f"t{j}" for j in range(20))),
-         Row(doc_id=2, text=""), Row(doc_id=3, text="   ")])
+         Row(doc_id=2, text=""), Row(doc_id=3, text="   "),
+         Row(doc_id=4, text=None)])
     out = S.pack_documents_best_fit(df, seq_len=8).collect()
+    # 20 = 8+8+4; empty/whitespace/NULL docs emit nothing
     assert sorted((r.piece_idx, r.piece_tokens) for r in out) == \
-        [(0, 8), (1, 8), (2, 4)]          # 20 = 8+8+4, empty docs emit nothing
+        [(0, 8), (1, 8), (2, 4)]
     assert all(r.doc_id == 1 for r in out)
+
+
+def test_best_fit_preserves_string_key_type(spark):
+    df = spark.createDataFrame(
+        [Row(url=f"https://ex.com/{i}", text="a b c") for i in range(6)])
+    out = S.pack_documents_best_fit(df, key_col="url", seq_len=8)
+    assert dict(out.dtypes)["url"] == "string"
+    rows = out.collect()
+    assert {r.url for r in rows} == {f"https://ex.com/{i}" for i in range(6)}
+
+
+def test_pack_sequences_null_text_contributes_eos(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a b"), Row(doc_id=1, text=None),
+         Row(doc_id=2, text="")])
+    packed = S.pack_sequences(df, seq_len=4).collect()
+    # 2 tokens + 3 eos markers = 5 stream elements: NULL and empty both
+    # contribute exactly their eos (no silent document drop)
+    assert sum(r.n_tokens for r in packed) == 5
+    assert " ".join(r.seq_text for r in
+                    sorted(packed, key=lambda r: r.seq_id)).count("<eos>") == 3
 
 
 def test_best_fit_capacity_offsets_and_fill_bound(docs):
