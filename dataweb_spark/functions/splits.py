@@ -40,7 +40,7 @@ __all__ = [
     "split_by_content", "split_by_cluster", "assign_shards",
     "write_shards", "shard_manifest", "filter_cascade", "cascade_stats",
     "upsample_epochs", "select_token_budget", "temperature_mixture",
-    "pack_sequences", "pack_documents_best_fit",
+    "pack_sequences", "pack_sequence_spans", "pack_documents_best_fit",
 ]
 
 
@@ -532,3 +532,57 @@ def pack_documents_best_fit(df: DataFrame, key_col: str = "doc_id",
             "bin_offset": pd.Series(offsets, dtype="int64")})
 
     return pieces.groupBy("shard").applyInPandas(pack_shard, out_schema)
+
+
+def pack_sequence_spans(df: DataFrame, key_col: str = "doc_id",
+                        text_col: str = "text", seq_len: int = 128,
+                        n_shards: int = 1, eos: str = "<eos>") -> DataFrame:
+    """Document-boundary metadata for :func:`pack_sequences` — one row per
+    (shard, seq_id, document) span: where each document's tokens (eos
+    included) sit inside the packed sequence. Trainers consume exactly
+    this to reset attention across document boundaries inside a packed
+    row (block-diagonal attention masks / position-id resets) — without
+    it, packing silently lets documents attend to their neighbors.
+
+    Emits: shard, seq_id, key, span_start (first position inside the
+    sequence), span_len. A document straddling a sequence cut appears
+    once per sequence it touches; per (shard, seq_id) the spans tile the
+    row's tokens exactly (Σ span_len = that row's n_tokens, starts
+    contiguous) — pytest-locked against :func:`pack_sequences` output.
+
+    Same single-exchange shape as :func:`pack_sequences` (identical
+    window + explode prefix; the groupBy adds the key, which still
+    clusters under HashPartitioning(shard)).
+    """
+    from pyspark.sql import Window
+
+    from dataweb_spark.functions.text import tokens
+
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    if not eos or any(c.isspace() for c in eos):
+        raise ValueError("eos must be a non-empty whitespace-free token")
+    with_shard = assign_shards(df, key_col, n_shards)
+    base = (with_shard
+            .select(F.col("shard"), F.col("shard_order"),
+                    F.col(key_col).alias("_key"),
+                    (F.size(tokens(F.coalesce(F.col(text_col), F.lit(""))))
+                     + F.lit(1)).cast("bigint").alias("_n")))
+    w = (Window.partitionBy("shard").orderBy("shard_order", "_key")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = base.withColumn("_end", F.sum("_n").over(w))
+    # a doc spanning stream positions [off, end) touches sequences
+    # floor(off/L) .. floor((end-1)/L); explode those, clip to the window
+    off = F.col("_end") - F.col("_n")
+    first_seq = F.floor(off / F.lit(seq_len)).cast("bigint")
+    last_seq = F.floor((F.col("_end") - 1) / F.lit(seq_len)).cast("bigint")
+    ex = (base.select("shard", "_key", off.alias("_off"), "_end",
+                      F.explode(F.sequence(first_seq, last_seq))
+                       .alias("seq_id")))
+    seq_lo = F.col("seq_id") * F.lit(seq_len)
+    start = F.greatest(F.col("_off"), seq_lo)
+    stop = F.least(F.col("_end"), seq_lo + F.lit(seq_len))
+    return ex.select(
+        "shard", "seq_id", F.col("_key").alias(key_col),
+        (start - seq_lo).cast("int").alias("span_start"),
+        (stop - start).cast("bigint").alias("span_len"))

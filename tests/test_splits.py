@@ -541,3 +541,42 @@ def test_best_fit_single_exchange_narrow_group(docs):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     with pytest.raises(ValueError):
         S.pack_documents_best_fit(docs, seq_len=0)
+
+
+def test_pack_sequence_spans_tile_packed_rows_exactly(docs):
+    sub = docs.where("doc_id < 150")
+    packed = {(r.shard, r.seq_id): r for r in
+              S.pack_sequences(sub, seq_len=40, n_shards=3).collect()}
+    spans = S.pack_sequence_spans(sub, seq_len=40, n_shards=3).collect()
+    by_seq = {}
+    for r in spans:
+        by_seq.setdefault((r.shard, r.seq_id), []).append(r)
+    assert set(by_seq) == set(packed)
+    for key, rs in by_seq.items():
+        rs.sort(key=lambda r: r.span_start)
+        # spans tile the row: contiguous starts, lengths sum to n_tokens
+        cursor = 0
+        for r in rs:
+            assert r.span_start == cursor and r.span_len > 0
+            cursor += r.span_len
+        assert cursor == packed[key].n_tokens
+        # one span per contributing doc
+        assert len(rs) == packed[key].n_docs
+
+
+def test_pack_sequence_spans_straddling_doc_appears_per_sequence(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(f"t{j}" for j in range(9)))])
+    spans = sorted(S.pack_sequence_spans(df, seq_len=4).collect(),
+                   key=lambda r: r.seq_id)
+    # 10 stream elements (9 + eos) over seq_len 4 -> seqs 0,1,2
+    assert [(r.seq_id, r.span_start, r.span_len) for r in spans] == \
+        [(0, 0, 4), (1, 0, 4), (2, 0, 2)]
+
+
+def test_pack_sequence_spans_single_exchange(docs):
+    import re
+    out = S.pack_sequence_spans(docs.where("doc_id < 50"),
+                                seq_len=64, n_shards=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
