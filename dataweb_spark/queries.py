@@ -7643,6 +7643,12 @@ _DRIVER_WINDOW = [
 # order). Same not-declared-in-r11 reasoning as above; the DuckDB
 # replay already exists verbatim in
 # test_splits.py::test_pack_sequences_matches_duckdb_replay.
+#
+# r12 TODO: declare `sketch_kmv_distinct` for functions/sketches.py —
+# the cross-engine-EXACT cardinality sketch (approx_sketches can only
+# bound Spark's HLL; the KMV k-min array + integer estimator hash-match
+# DuckDB row-for-row). Replay exists in
+# test_sketches.py::test_kmv_grouped_sketch_matches_duckdb_replay.
 
 def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
