@@ -896,3 +896,80 @@ def ccnet_buckets(df: DataFrame, id_col: str = "doc_id",
               .otherwise("middle")) if n_buckets == 3 \
         else F.concat(F.lit("tier"), tier.cast("string"))
     return joined.withColumn("ppl_bucket", label)
+
+
+def span_corruption_examples(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             mask_rate: float = 0.15) -> DataFrame:
+    """T5-style span-corruption pairs (public recipe: Raffel et al. 2020,
+    "Exploring the Limits of Transfer Learning", §3.1.4): mask runs of
+    tokens, replace each run with one ``<extra_id_N>`` sentinel in the
+    input, and emit the masked runs (each preceded by its sentinel) as
+    the target — the denoising-objective example builder.
+
+    Deterministic where T5's sampler is random: a token at position
+    ``p`` of document ``d`` is masked iff
+    ``md5(d || ':' || p)``'s first-byte bucket < ``round(mask_rate·256)``
+    — a pure row function, so the corpus corrupts identically on every
+    run/engine and a DuckDB oracle replays the whole example
+    (consecutive masked tokens merge into one span exactly as T5's
+    span-level noise does — the i.i.d. bucket draw gives geometric
+    span lengths instead of T5's mean-3 sampler; rate is per-token).
+
+    Output: one row per document with ≥1 token — input_text,
+    target_text (empty string when nothing was masked), n_spans,
+    n_masked. Shape at 100 TB: posexplode → ONE window partitioned by
+    doc (mask islands numbered via the pos − masked-rank gaps-and-
+    islands trick) → a groupBy(doc) that reuses the window's
+    partitioning: one exchange of token rows total, plan-asserted.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= mask_rate <= 1.0:
+        raise ValueError("mask_rate must be in [0, 1]")
+    thr = int(round(mask_rate * 256))
+    toks = (df.select(F.col(id_col), tokens(text_col).alias("_t"))
+              .where(F.size("_t") > 0)
+              .select(id_col, F.posexplode("_t").alias("_p", "_tok")))
+    bucket = hash_bucket(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                 F.col("_p").cast("string")), 256)
+    toks = toks.withColumn("_m", bucket < F.lit(thr))
+    # a span STARTS at a masked token whose predecessor is unmasked (or
+    # absent); span index = running count of starts - 1. One window
+    # partitioning (the doc), two passes over it (lag, then sum).
+    wdoc = Window.partitionBy(id_col).orderBy("_p")
+    toks = toks.withColumn(
+        "_start",
+        F.col("_m") & ~F.coalesce(F.lag("_m").over(wdoc), F.lit(False)))
+    toks = toks.withColumn(
+        "_span_id",
+        F.when(F.col("_m"),
+               F.sum(F.col("_start").cast("int")).over(wdoc) - 1))
+    sentinel = F.concat(F.lit("<extra_id_"),
+                        F.col("_span_id").cast("string"), F.lit(">"))
+    # input: unmasked tokens + one sentinel at each span's FIRST position
+    in_piece = F.when(~F.col("_m"), F.col("_tok")) \
+                .when(F.col("_start"), sentinel)
+    # target: sentinel before each span's first token, then the span run
+    tgt_piece = F.when(F.col("_start"),
+                       F.concat(sentinel, F.lit(" "), F.col("_tok"))) \
+                 .when(F.col("_m"), F.col("_tok"))
+    assembled = (toks
+                 .withColumn("_in", in_piece)
+                 .withColumn("_tgt", tgt_piece)
+                 .groupBy(id_col)
+                 .agg(F.concat_ws(" ", F.transform(
+                          F.array_sort(F.collect_list(
+                              F.struct("_p", "_in"))),
+                          lambda s: s["_in"])).alias("input_text"),
+                      F.concat_ws(" ", F.transform(
+                          F.array_sort(F.collect_list(
+                              F.when(F.col("_tgt").isNotNull(),
+                                     F.struct("_p", "_tgt")))),
+                          lambda s: s["_tgt"])).alias("target_text"),
+                      F.countDistinct("_span_id").cast("bigint")
+                       .alias("n_spans"),
+                      F.sum(F.when(F.col("_m"), 1).otherwise(0))
+                       .cast("bigint").alias("n_masked")))
+    return assembled

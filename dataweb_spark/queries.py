@@ -7649,6 +7649,12 @@ _DRIVER_WINDOW = [
 # bound Spark's HLL; the KMV k-min array + integer estimator hash-match
 # DuckDB row-for-row). Replay exists in
 # test_sketches.py::test_kmv_grouped_sketch_matches_duckdb_replay.
+#
+# r12 TODO: declare `text_span_corruption` for
+# text.span_corruption_examples — the deterministic T5 denoising-pair
+# builder (md5-bucket masking, gaps-and-islands spans, sentinel
+# reassembly); pytest pins a pure-python replay AND a full corpus
+# round-trip (input sentinels + target spans reconstruct every doc).
 
 def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

@@ -1247,3 +1247,73 @@ def test_ccnet_score_no_bigint_overflow_on_huge_doc(spark):
     assert row.n_tokens == n
     # exact: every token shares one lp value, so nll_e9 = (−lp) div 1000
     assert 13_900_000_000 < row.nll_e9 < 14_100_000_000, row.nll_e9
+
+
+# -- T5 span corruption -----------------------------------------------------
+
+def _mask_bit(doc_id, p, thr):
+    import hashlib
+    h = hashlib.md5(f"{doc_id}:{p}".encode()).hexdigest()
+    return (int(h[0], 16) * 16 + int(h[1], 16)) % 256 < thr
+
+
+def test_span_corruption_matches_python_replay(spark):
+    toks = [f"w{i}" for i in range(40)]
+    df = spark.createDataFrame([(7, " ".join(toks))], ["doc_id", "text"])
+    got = text.span_corruption_examples(df, mask_rate=0.3).first()
+    # pure-python replay of the deterministic recipe
+    thr = int(round(0.3 * 256))
+    masked = [_mask_bit(7, p, thr) for p in range(40)]
+    inp, tgt, sid = [], [], -1
+    for p, (tok, m) in enumerate(zip(toks, masked)):
+        start = m and (p == 0 or not masked[p - 1])
+        if start:
+            sid += 1
+            inp.append(f"<extra_id_{sid}>")
+            tgt.append(f"<extra_id_{sid}> {tok}")
+        elif m:
+            tgt.append(tok)
+        else:
+            inp.append(tok)
+    assert got.input_text == " ".join(inp)
+    assert got.target_text == " ".join(tgt)
+    assert got.n_spans == sid + 1 and got.n_masked == sum(masked)
+    assert got.n_spans >= 1  # rate 0.3 over 40 tokens: fixture masks some
+
+
+def test_span_corruption_roundtrip_reconstructs_corpus(docs):
+    import re as _re
+    out = {r.doc_id: r for r in
+           text.span_corruption_examples(
+               docs.where("doc_id < 80"), mask_rate=0.25).collect()}
+    orig = {r.doc_id: r.text.split() for r in
+            docs.where("doc_id < 80 and length(trim(text)) > 0").collect()}
+    assert set(out) == set(orig)
+    for did, r in out.items():
+        spans = {}
+        for m in _re.finditer(r"<extra_id_(\d+)>((?: (?!<extra_id_)\S+)*)",
+                              r.target_text):
+            spans[m.group(1)] = m.group(2).split()
+        rebuilt = []
+        for piece in r.input_text.split():
+            sm = _re.fullmatch(r"<extra_id_(\d+)>", piece)
+            rebuilt.extend(spans[sm.group(1)] if sm else [piece])
+        assert rebuilt == orig[did], did
+        assert r.n_spans == len(spans)
+        assert r.n_masked == sum(len(v) for v in spans.values())
+
+
+def test_span_corruption_rate_zero_and_validation(docs):
+    out = text.span_corruption_examples(
+        docs.where("doc_id < 20"), mask_rate=0.0).collect()
+    for r in out:
+        assert r.n_spans == 0 and r.n_masked == 0 and r.target_text == ""
+    with pytest.raises(ValueError):
+        text.span_corruption_examples(docs, mask_rate=1.5)
+
+
+def test_span_corruption_single_exchange(docs):
+    import re as _re
+    out = text.span_corruption_examples(docs.where("doc_id < 30"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
