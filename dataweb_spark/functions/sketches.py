@@ -15,17 +15,17 @@ pure integer arithmetic: ``est = (k-1)·2^48 div kth_min`` (exact in
 bigint, no float divergence between engines); below k distinct values
 the sketch IS the distinct set and the count is exact.
 
-Scale shape (100 TB): ``distinct`` partial-aggregates map-side, so the
-first exchange carries distinct (group, hash) pairs, not rows. The
-k-min extraction is a rank window over that; the final per-group
-collapse reuses the window's partitioning (no third exchange —
-plan-asserted). The federation path never re-shuffles raw data at all:
-each source ships its own k-array (``kmv_sketch``), and ``kmv_merge``
-unions + re-ranks O(sources·k) rows — the k smallest of a union are
-findable from the per-source k smallest (pytest-locked invariant), which
-is exactly the partial-aggregate property engine-mode pushdown needs
-for COUNT DISTINCT (reference analog: the partial-agg forwarding of
-``plans/aggpush.py``).
+Scale shape (100 TB): an Arrow-batched per-partition pre-combine keeps
+only each partition's k smallest hashes per group (global k-mins are
+always contained in the union of per-partition k-mins — the same
+containment ``kmv_merge`` relies on), so the exchange carries at most
+``partitions·groups·k`` rows instead of every distinct hash, and the
+final single-task rank per group sorts a bounded set. The federation
+path never re-shuffles raw data at all: each source ships its own
+k-array (``kmv_sketch``), and ``kmv_merge`` unions + re-ranks
+O(sources·k) rows — exactly the partial-aggregate property engine-mode
+pushdown needs for COUNT DISTINCT (reference analog: the partial-agg
+forwarding of ``plans/aggpush.py``).
 """
 
 from __future__ import annotations
@@ -70,34 +70,77 @@ def kmv_estimate_col(kmv_col: str, k: int) -> Column:
             ).alias("distinct_est")
 
 
-def _k_min_collapse(pairs: DataFrame, group_cols: list[str],
-                    k: int) -> DataFrame:
-    """(group, _h) pairs → one row per group with the sorted k-min array."""
+def _local_kmin_precombine(pairs: DataFrame, gcols: list[str],
+                           k: int) -> DataFrame:
+    """Per-partition k smallest hashes per group (Arrow-batched).
+
+    The global k-mins of a group are always contained in the union of
+    its per-partition k-mins, so dropping everything else before the
+    exchange is lossless — the map-side-combine step Spark has no
+    declarative TopK for. State is O(groups·k) per task (8 B/hash):
+    fine for the sketch's natural use (sources, languages, shards);
+    disable via ``local_combine=False`` for very high group
+    cardinality, where the state outweighs the shuffle saving.
+    """
+    import pandas as pd
+
+    schema = pairs.schema
+
+    def combine(batches):
+        best: dict[tuple, list[int]] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(gcols, sort=False, dropna=False):
+                key = key if isinstance(key, tuple) else (key,)
+                # pandas surfaces NULL group keys as NaN — restore None
+                # so the emitted Arrow batch matches the column type
+                key = tuple(None if (isinstance(x, float) and pd.isna(x))
+                            else x for x in key)
+                merged = best.get(key, [])
+                cand = sorted(set(merged).union(grp["_h"].tolist()))
+                best[key] = cand[:k]
+            del pdf
+        rows = [list(key) + [h] for key, hs in best.items() for h in hs]
+        if rows:
+            yield pd.DataFrame(rows, columns=[*gcols, "_h"])
+
+    return pairs.mapInPandas(combine, schema)
+
+
+def _finish_sketch(pairs: DataFrame, gcols: list[str], added: list[str],
+                   k: int) -> DataFrame:
+    """(group, _h) pairs → sketch rows: kmv array, n_mins, estimate, k."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*group_cols).orderBy("_h")
-    return (pairs.withColumn("_rk", F.row_number().over(w))
-                 .where(F.col("_rk") <= k)
-                 .groupBy(*group_cols)
-                 .agg(F.sort_array(F.collect_list("_h")).alias("kmv")))
+    w = Window.partitionBy(*gcols).orderBy("_h")
+    out = (pairs.withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") <= k)
+                .groupBy(*gcols)
+                .agg(F.sort_array(F.collect_list("_h")).alias("kmv")))
+    out = (out.withColumn("n_mins", F.size("kmv").cast("bigint"))
+              .withColumn("distinct_est", kmv_estimate_col("kmv", k))
+              .withColumn("k", F.lit(k).cast("bigint")))
+    return out.drop(*added)
 
 
 def kmv_sketch(df: DataFrame, value_col: str,
                group_cols: list[str] | None = None,
-               k: int = 64) -> DataFrame:
+               k: int = 64, local_combine: bool = True) -> DataFrame:
     """Per-group KMV sketch + integer distinct estimate.
 
     Returns one row per group: ``kmv`` (sorted array of the ≤k smallest
-    distinct value hashes — the mergeable sketch), ``n_mins``, and
-    ``distinct_est`` (exact below k). ``group_cols=None`` sketches the
-    whole frame as one group.
+    distinct value hashes — the mergeable sketch), ``n_mins``,
+    ``distinct_est`` (exact below k), and ``k`` (the build parameter —
+    ``kmv_merge`` refuses to merge at a larger k, the lossy direction).
+    ``group_cols=None`` sketches the whole frame as one group.
 
-    Two exchanges: map-side-combined ``distinct`` on (group, hash),
-    then the rank window's repartition on the group; the final groupBy
-    reuses the window's partitioning. NULL values hash via a sentinel
-    (md5 of NULL is NULL and would otherwise rank first), so they count
-    as ONE distinct value; filter them out first for strict
-    ``count(distinct ...)`` semantics.
+    ``local_combine`` (default on) runs the per-partition k-min
+    pre-combine so the exchange carries ≤ partitions·groups·k rows and
+    the final per-group rank sorts a bounded set — without it, one task
+    ranks ALL distinct hashes of its group (fine at test scale, not at
+    10⁹ distinct). The result is identical either way (pytest-locked).
+    NULL values hash via a sentinel (md5 of NULL is NULL and would
+    otherwise rank first), so they count as ONE distinct value; filter
+    them out first for strict ``count(distinct ...)`` semantics.
     """
     if k < 2:
         raise ValueError("k must be >= 2")
@@ -106,30 +149,46 @@ def kmv_sketch(df: DataFrame, value_col: str,
     if not gcols:
         df = df.withColumn("_g", F.lit(1))
         gcols, added = ["_g"], ["_g"]
-    pairs = (df.select(*gcols,
-                       kmv_hash(F.coalesce(
-                           F.col(value_col).cast("string"),
-                           F.lit('\x00null'))).alias("_h"))
-               .distinct())
-    out = _k_min_collapse(pairs, gcols, k)
-    out = (out.withColumn("n_mins", F.size("kmv").cast("bigint"))
-              .withColumn("distinct_est", kmv_estimate_col("kmv", k)))
-    return out.drop(*added)
+    pairs = df.select(*gcols,
+                      kmv_hash(F.coalesce(
+                          F.col(value_col).cast("string"),
+                          F.lit('\x00null'))).alias("_h"))
+    if local_combine:
+        # collapse BEFORE the exchange — the distinct afterwards dedups
+        # the same hash surviving from several partitions (a duplicate
+        # entering the rank would corrupt the k-th minimum) and now runs
+        # over ≤ partitions·groups·k rows instead of the raw stream.
+        pairs = _local_kmin_precombine(pairs, gcols, k)
+    return _finish_sketch(pairs.distinct(), gcols, added, k)
 
 
 def kmv_merge(sketches: DataFrame, group_cols: list[str] | None = None,
               k: int = 64) -> DataFrame:
     """Merge per-source sketches into the whole-data sketch.
 
-    Input is any union of ``kmv_sketch`` outputs (column ``kmv``, one
-    row per (source, group)); output is identical to running
-    ``kmv_sketch`` over the union of the raw data (pytest-locked):
-    the k smallest hashes of a union are always contained in the union
-    of the per-source k smallest. This is the federated COUNT DISTINCT
+    Input is any union of ``kmv_sketch`` outputs (columns ``kmv`` and
+    ``k``, one row per (source, group)); output is identical to running
+    ``kmv_sketch`` over the union of the raw data (pytest-locked): the
+    k smallest hashes of a union are always contained in the union of
+    the per-source k smallest. This is the federated COUNT DISTINCT
     shape — O(sources·k) sketch rows cross the wire, never raw values.
+
+    ``k`` must be ≤ every input sketch's build k: hashes ranked beyond
+    a source's k were never shipped, so merging UP would silently
+    undercount (and can even report a too-small count as "exact").
+    Checked eagerly — sketch frames are tiny by construction, so the
+    validation job costs nothing.
     """
     if k < 2:
         raise ValueError("k must be >= 2")
+    if "k" not in sketches.columns:
+        raise ValueError("input is not a kmv_sketch output (no 'k' column)")
+    min_k = sketches.agg(F.min("k")).first()[0]
+    if min_k is not None and min_k < k:
+        raise ValueError(
+            f"cannot merge at k={k}: an input sketch was built with "
+            f"k={min_k}; ranks beyond it were never kept, so merging "
+            "up would undercount")
     gcols = list(group_cols or [])
     added = []
     if not gcols:
@@ -137,7 +196,4 @@ def kmv_merge(sketches: DataFrame, group_cols: list[str] | None = None,
         gcols, added = ["_g"], ["_g"]
     pairs = (sketches.select(*gcols, F.explode("kmv").alias("_h"))
                      .distinct())
-    out = _k_min_collapse(pairs, gcols, k)
-    out = (out.withColumn("n_mins", F.size("kmv").cast("bigint"))
-              .withColumn("distinct_est", kmv_estimate_col("kmv", k)))
-    return out.drop(*added)
+    return _finish_sketch(pairs, gcols, added, k)

@@ -536,7 +536,8 @@ def pack_documents_best_fit(df: DataFrame, key_col: str = "doc_id",
 
 def pack_sequence_spans(df: DataFrame, key_col: str = "doc_id",
                         text_col: str = "text", seq_len: int = 128,
-                        n_shards: int = 1, eos: str = "<eos>") -> DataFrame:
+                        n_shards: int = 1, eos: str = "<eos>",
+                        keep_partial: bool = True) -> DataFrame:
     """Document-boundary metadata for :func:`pack_sequences` — one row per
     (shard, seq_id, document) span: where each document's tokens (eos
     included) sit inside the packed sequence. Trainers consume exactly
@@ -549,6 +550,11 @@ def pack_sequence_spans(df: DataFrame, key_col: str = "doc_id",
     once per sequence it touches; per (shard, seq_id) the spans tile the
     row's tokens exactly (Σ span_len = that row's n_tokens, starts
     contiguous) — pytest-locked against :func:`pack_sequences` output.
+
+    ``keep_partial`` must MATCH the :func:`pack_sequences` call being
+    annotated: with ``keep_partial=False`` the spans of each shard's
+    dropped trailing partial sequence are dropped here too (otherwise a
+    join on (shard, seq_id) would meet orphan span rows).
 
     Same single-exchange shape as :func:`pack_sequences` (identical
     window + explode prefix; the groupBy adds the key, which still
@@ -576,9 +582,18 @@ def pack_sequence_spans(df: DataFrame, key_col: str = "doc_id",
     off = F.col("_end") - F.col("_n")
     first_seq = F.floor(off / F.lit(seq_len)).cast("bigint")
     last_seq = F.floor((F.col("_end") - 1) / F.lit(seq_len)).cast("bigint")
-    ex = (base.select("shard", "_key", off.alias("_off"), "_end",
+    shard_total = F.max("_end").over(Window.partitionBy("shard"))
+    ex = (base.withColumn("_tot", shard_total)
+              .select("shard", "_key", off.alias("_off"), "_end", "_tot",
                       F.explode(F.sequence(first_seq, last_seq))
                        .alias("seq_id")))
+    if not keep_partial:
+        # the shard's trailing sequence is partial iff the stream length
+        # is not a multiple of seq_len — same rows pack_sequences drops
+        partial_seq = F.floor((F.col("_tot") - 1) / F.lit(seq_len)) \
+                       .cast("bigint")
+        ex = ex.where((F.col("_tot") % seq_len == 0)
+                      | (F.col("seq_id") != partial_seq))
     seq_lo = F.col("seq_id") * F.lit(seq_len)
     start = F.greatest(F.col("_off"), seq_lo)
     stop = F.least(F.col("_end"), seq_lo + F.lit(seq_len))

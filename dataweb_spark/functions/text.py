@@ -918,7 +918,10 @@ def span_corruption_examples(df: DataFrame, id_col: str = "doc_id",
 
     Output: one row per document with ≥1 token — input_text,
     target_text (empty string when nothing was masked), n_spans,
-    n_masked. Shape at 100 TB: posexplode → ONE window partitioned by
+    n_masked. Caveat: a document that already CONTAINS a literal
+    ``<extra_id_N>`` token makes sentinel↔span pairing ambiguous for a
+    downstream decoder (real T5 tokenizers reserve those ids); scrub or
+    escape such tokens upstream if the corpus can contain them. Shape at 100 TB: posexplode → ONE window partitioned by
     doc (mask islands numbered via the pos − masked-rank gaps-and-
     islands trick) → a groupBy(doc) that reuses the window's
     partitioning: one exchange of token rows total, plan-asserted.
@@ -931,9 +934,13 @@ def span_corruption_examples(df: DataFrame, id_col: str = "doc_id",
     toks = (df.select(F.col(id_col), tokens(text_col).alias("_t"))
               .where(F.size("_t") > 0)
               .select(id_col, F.posexplode("_t").alias("_p", "_tok")))
+    # coalesce the id: a NULL id would make the bucket NULL and every
+    # when() branch below fall through — the document's content would
+    # silently vanish from the pairs (NULL-id docs still merge into one
+    # group at the groupBy, as in any groupBy).
     bucket = hash_bucket(
-        F.concat(F.col(id_col).cast("string"), F.lit(":"),
-                 F.col("_p").cast("string")), 256)
+        F.concat(F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+                 F.lit(":"), F.col("_p").cast("string")), 256)
     toks = toks.withColumn("_m", bucket < F.lit(thr))
     # a span STARTS at a masked token whose predecessor is unmasked (or
     # absent); span index = running count of starts - 1. One window

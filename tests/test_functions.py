@@ -1317,3 +1317,15 @@ def test_span_corruption_single_exchange(docs):
     out = text.span_corruption_examples(docs.where("doc_id < 30"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_span_corruption_null_id_keeps_content(spark):
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    df = spark.createDataFrame(
+        [(None, "a b c d e f g h")],
+        StructType([StructField("doc_id", LongType()),
+                    StructField("text", StringType())]))
+    r = text.span_corruption_examples(df, mask_rate=0.25).first()
+    total = len(r.input_text.split()) - r.n_spans + r.n_masked
+    assert total == 8  # every token survives into input or target

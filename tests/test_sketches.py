@@ -106,3 +106,28 @@ group by lang order by lang
     got = {r.lang: (list(r.kmv), r.n_mins, r.distinct_est) for r in
            K.kmv_sketch(docs, "text", ["lang"], k=64).collect()}
     assert got == want
+
+
+def test_kmv_local_combine_off_is_identical(docs):
+    def norm(rows):
+        return sorted((r.lang, tuple(r.kmv), r.n_mins, r.distinct_est, r.k)
+                      for r in rows)
+    fast = norm(K.kmv_sketch(docs, "text", ["lang"], k=48).collect())
+    slow = norm(K.kmv_sketch(docs, "text", ["lang"], k=48,
+                             local_combine=False).collect())
+    assert fast == slow
+
+
+def test_kmv_merge_refuses_merging_up(docs):
+    small = K.kmv_sketch(docs, "text", ["lang"], k=16)
+    with pytest.raises(ValueError, match="built with k=16"):
+        K.kmv_merge(small, ["lang"], k=32)
+    with pytest.raises(ValueError, match="no 'k' column"):
+        K.kmv_merge(small.drop("k"), ["lang"], k=16)
+    # merging DOWN is the safe direction and stays exact vs a direct
+    # k=8 sketch of the same data
+    down = {r.lang: tuple(r.kmv) for r in
+            K.kmv_merge(small, ["lang"], k=8).collect()}
+    direct = {r.lang: tuple(r.kmv) for r in
+              K.kmv_sketch(docs, "text", ["lang"], k=8).collect()}
+    assert down == direct

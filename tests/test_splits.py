@@ -580,3 +580,14 @@ def test_pack_sequence_spans_single_exchange(docs):
                                 seq_len=64, n_shards=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_pack_sequence_spans_keep_partial_false_aligns(docs):
+    sub = docs.where("doc_id < 150")
+    packed = {(r.shard, r.seq_id) for r in
+              S.pack_sequences(sub, seq_len=40, n_shards=3,
+                               keep_partial=False).collect()}
+    spans = {(r.shard, r.seq_id) for r in
+             S.pack_sequence_spans(sub, seq_len=40, n_shards=3,
+                                   keep_partial=False).collect()}
+    assert spans == packed  # no orphan span rows for dropped partials
