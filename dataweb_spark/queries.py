@@ -7636,13 +7636,18 @@ _DRIVER_WINDOW = [
 # free slots; the operator is pytest-proven meanwhile
 # (test_embedding_index.py).
 #
-# r12 TODO: declare `pipeline_pack_sequences` for
-# splits.pack_sequences — the MATERIALIZING sibling of
-# pipeline_sequence_packing (that query reports bin statistics; the
-# operator emits the packed seq_text rows in sharded md5 training
-# order). Same not-declared-in-r11 reasoning as above; the DuckDB
-# replay already exists verbatim in
-# test_splits.py::test_pack_sequences_matches_duckdb_replay.
+# r12 TODO: declare `pipeline_pack_training_rows` covering
+# splits.pack_sequences AND splits.pack_sequence_spans in ONE query
+# (span grain joined back to the packed row's n_tokens/is_full — the
+# spans tile each row, so one result proves both operators), plus
+# `pipeline_pack_best_fit` for splits.pack_documents_best_fit
+# (piece-grain BFD assignment; oracle = recursive-CTE replay or the
+# planted hand-case). The MATERIALIZING siblings of the declared
+# pipeline_sequence_packing statistics query. DuckDB replay for the
+# sequences face exists verbatim in
+# test_splits.py::test_pack_sequences_matches_duckdb_replay; declaring
+# the pack family as TWO queries (not four) keeps the r12 declared
+# count ≤191 inside the 50×4 age budget.
 #
 # r12 TODO: declare `sketch_kmv_distinct` for functions/sketches.py —
 # the cross-engine-EXACT cardinality sketch (approx_sketches can only
