@@ -41,6 +41,7 @@ __all__ = [
     "write_shards", "shard_manifest", "filter_cascade", "cascade_stats",
     "upsample_epochs", "select_token_budget", "temperature_mixture",
     "pack_sequences", "pack_sequence_spans", "pack_documents_best_fit",
+    "corpus_drift_report",
 ]
 
 
@@ -601,3 +602,60 @@ def pack_sequence_spans(df: DataFrame, key_col: str = "doc_id",
         "shard", "seq_id", F.col("_key").alias(key_col),
         (start - seq_lo).cast("int").alias("span_start"),
         (stop - start).cast("bigint").alias("span_len"))
+
+
+def corpus_drift_report(old: DataFrame, new: DataFrame,
+                        stratify_col: str = "lang",
+                        text_col: str = "text") -> DataFrame:
+    """Snapshot-over-snapshot composition drift — the report an operator
+    reads before promoting a recrawled/reingested corpus: per stratum
+    (language, source domain, quality bucket, …) the document and token
+    counts in both snapshots, each side's share in parts-per-million,
+    the share delta, and a status word (``new`` / ``gone`` / ``grew`` /
+    ``shrank`` / ``stable``). A silent language collapse or a domain
+    takeover shows up here as one row, not after a training run.
+
+    Integer-exact: shares are ``(n·10^6) div total`` (bigint, no float),
+    so the report hash-matches any engine; ``stable`` means the share
+    moved ≤ ``1000`` ppm (0.1 pp). NULL strata group as one ``(null)``
+    row. Empty/whitespace docs count 0 tokens but 1 doc, like
+    ``token_count``.
+
+    Shape at 100 TB: one map-side-combined groupBy per snapshot
+    (O(strata) rows out), a full outer join of two tiny aggregates, and
+    two 1-row broadcast totals — the corpora are each scanned once,
+    nothing else shuffles.
+    """
+    from dataweb_spark.functions.text import token_count
+
+    def agg(df: DataFrame, side: str) -> DataFrame:
+        return (df.groupBy(F.col(stratify_col).alias("stratum"))
+                  .agg(F.count("*").cast("bigint").alias(f"docs_{side}"),
+                       F.sum(token_count(text_col)).cast("bigint")
+                        .alias(f"toks_{side}")))
+
+    o, n = agg(old, "old"), agg(new, "new")
+    tot_o = o.agg(F.sum("docs_old").alias("_to"))
+    tot_n = n.agg(F.sum("docs_new").alias("_tn"))
+    joined = (o.join(n, "stratum", "full_outer")
+               .crossJoin(F.broadcast(tot_o))
+               .crossJoin(F.broadcast(tot_n))
+               .na.fill(0, ["docs_old", "toks_old", "docs_new", "toks_new"]))
+    share_old = F.expr("cast(docs_old * 1000000L div greatest(_to, 1) "
+                       "as bigint)")
+    share_new = F.expr("cast(docs_new * 1000000L div greatest(_tn, 1) "
+                       "as bigint)")
+    out = (joined
+           .withColumn("share_old_e6", share_old)
+           .withColumn("share_new_e6", share_new)
+           .withColumn("delta_e6",
+                       F.col("share_new_e6") - F.col("share_old_e6"))
+           .withColumn("status",
+                       F.when(F.col("docs_old") == 0, "new")
+                        .when(F.col("docs_new") == 0, "gone")
+                        .when(F.col("delta_e6") > 1000, "grew")
+                        .when(F.col("delta_e6") < -1000, "shrank")
+                        .otherwise("stable")))
+    return out.select("stratum", "docs_old", "docs_new", "toks_old",
+                      "toks_new", "share_old_e6", "share_new_e6",
+                      "delta_e6", "status")

@@ -7660,6 +7660,11 @@ _DRIVER_WINDOW = [
 # builder (md5-bucket masking, gaps-and-islands spans, sentinel
 # reassembly); pytest pins a pure-python replay AND a full corpus
 # round-trip (input sentinels + target spans reconstruct every doc).
+#
+# r12 TODO: declare `pipeline_corpus_drift` for
+# splits.corpus_drift_report — snapshot-over-snapshot composition drift
+# (integer ppm shares, new/gone/grew/shrank statuses); the full DuckDB
+# replay exists in test_splits.py::test_corpus_drift_matches_duckdb_replay.
 
 def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

@@ -591,3 +591,77 @@ def test_pack_sequence_spans_keep_partial_false_aligns(docs):
              S.pack_sequence_spans(sub, seq_len=40, n_shards=3,
                                    keep_partial=False).collect()}
     assert spans == packed  # no orphan span rows for dropped partials
+
+
+# -- corpus drift -----------------------------------------------------------
+
+def test_corpus_drift_report_statuses_and_shares(spark):
+    old = spark.createDataFrame(
+        [Row(doc_id=i, lang=("en" if i < 80 else "fr"), text="a b c")
+         for i in range(100)])
+    # new snapshot: fr gone, de new, en unchanged share-wise, zh tiny
+    new = spark.createDataFrame(
+        [Row(doc_id=i,
+             lang=("en" if i < 80 else ("de" if i < 99 else "zh")),
+             text="a b c d")
+         for i in range(100)])
+    rows = {r.stratum: r for r in
+            S.corpus_drift_report(old, new).collect()}
+    assert rows["fr"].status == "gone" and rows["fr"].docs_new == 0
+    assert rows["de"].status == "new" and rows["de"].docs_old == 0
+    assert rows["en"].status == "stable"
+    assert rows["en"].share_old_e6 == rows["en"].share_new_e6 == 800_000
+    assert rows["zh"].share_new_e6 == 10_000
+    # token sums follow each snapshot's text
+    assert rows["en"].toks_old == 80 * 3 and rows["en"].toks_new == 80 * 4
+
+
+def test_corpus_drift_matches_duckdb_replay(docs, spark, sf_dir):
+    """Future r12 oracle shape: drift between two deterministic halves."""
+    import duckdb
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')")
+    want = {r[0]: tuple(r[1:]) for r in con.execute(r"""
+with old as (select * from documents where doc_id % 2 = 0),
+new as (select * from documents where doc_id % 3 = 0),
+tk as (select 1),
+o as (select lang as stratum, count(*) as docs_old,
+             sum(case when length(trim(text)) = 0 then 0
+                 else len(string_split_regex(trim(text), '\s+')) end)
+               as toks_old
+      from old group by lang),
+n as (select lang as stratum, count(*) as docs_new,
+             sum(case when length(trim(text)) = 0 then 0
+                 else len(string_split_regex(trim(text), '\s+')) end)
+               as toks_new
+      from new group by lang),
+j as (select coalesce(o.stratum, n.stratum) as stratum,
+             coalesce(docs_old, 0) as docs_old,
+             coalesce(docs_new, 0) as docs_new,
+             coalesce(toks_old, 0) as toks_old,
+             coalesce(toks_new, 0) as toks_new
+      from o full outer join n on o.stratum = n.stratum),
+t as (select *, (select sum(docs_old) from j) as _to,
+             (select sum(docs_new) from j) as _tn from j)
+select stratum, docs_old, docs_new, toks_old, toks_new,
+       docs_old * 1000000 // greatest(_to, 1) as share_old_e6,
+       docs_new * 1000000 // greatest(_tn, 1) as share_new_e6,
+       docs_new * 1000000 // greatest(_tn, 1)
+         - docs_old * 1000000 // greatest(_to, 1) as delta_e6,
+       case when docs_old = 0 then 'new'
+            when docs_new = 0 then 'gone'
+            when docs_new * 1000000 // greatest(_tn, 1)
+                 - docs_old * 1000000 // greatest(_to, 1) > 1000
+              then 'grew'
+            when docs_new * 1000000 // greatest(_tn, 1)
+                 - docs_old * 1000000 // greatest(_to, 1) < -1000
+              then 'shrank'
+            else 'stable' end as status
+from t order by stratum
+""").fetchall()}
+    got = {r.stratum: tuple(r)[1:] for r in
+           S.corpus_drift_report(docs.where("doc_id % 2 = 0"),
+                                 docs.where("doc_id % 3 = 0")).collect()}
+    assert got == want and len(want) >= 3
