@@ -108,7 +108,17 @@ class Transformation:
         p = (Fraction(value) - b) / a  # exact boundary in physical namespace
         if a < 0:  # order-reversing transform: flip the comparison
             op = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}[op]
-        delta = Fraction(1, 10**9) * max(abs(p), Fraction(1))
+        # The engine evaluates float(a·x + b) and compares to `value`; its
+        # rounding error scales with the SUMMANDS' magnitude, so near the
+        # boundary the accepted preimage is an interval of width
+        # ~eps·(|value|+|b|)/|a| around p — NOT eps·|p|. With b dominating
+        # a·x (hypothesis-found: a=6e-5, b=value=131072, where every
+        # |x| ≲ ulp(b)/2/a = 2.4e-7 satisfies f(x)==value exactly in
+        # float), a p-relative margin drops matching rows. Widen by the
+        # summand-scaled term as well; 1e-9 stays ~10^7 × double eps.
+        delta = Fraction(1, 10**9) * max(
+            abs(p), Fraction(1),
+            (abs(Fraction(value)) + abs(b)) / abs(a))
         lo = float(p - delta)
         hi = float(p + delta)
         if op == "=":

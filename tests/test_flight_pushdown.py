@@ -83,8 +83,10 @@ def test_peer_sql_negative_slope_flips_operator():
         Mapping("b", "b"), Mapping("c", "c"),
     ])
     sql, _ = _peer_sql(src, [("a", "<", 30)], None, None)
-    # f(x) = 100 - x is decreasing: local a < 30 ⟺ peer x > 70
-    assert sql == "SELECT * FROM peer_e WHERE (a >= 69.99999993)"
+    # f(x) = 100 - x is decreasing: local a < 30 ⟺ peer x > 70; the
+    # widening margin scales with the SUMMANDS (|30|+|100|)/|−1| = 130
+    # (r11 soundness fix), hence 70 − 1.3e-7
+    assert sql == "SELECT * FROM peer_e WHERE (a >= 69.99999987)"
 
 
 def test_peer_sql_equality_on_transformed_column_becomes_range():

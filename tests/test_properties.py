@@ -836,6 +836,19 @@ def test_push_conjunct_never_drops_matching_rows(a, b, value, x, op):
                 f"{op} {value!r} but fails {o2} {v2!r}")
 
 
+def test_push_conjunct_summand_dominated_equality_regression():
+    """Hypothesis-found r11 soundness corner: b dominates a*x, so EVERY
+    |x| below ~ulp(b)/(2a) satisfies f(x)==value exactly in engine
+    floats — the pushed '=' range must admit all of them."""
+    a, b = 6.103515625e-05, 131072.0
+    t = Transformation(f"{{v}} * {a!r} + {b!r}", "")
+    pushed = t.push_conjunct("=", 131072.0)
+    ops = {">=": lambda x, v: x >= v, "<=": lambda x, v: x <= v}
+    for x in (1.192092896e-07, -1.192092896e-07, 2.4e-07, 0.0):
+        if x * a + b == 131072.0:  # engine-float match
+            assert all(ops[o](x, v) for o, v in pushed), x
+
+
 @given(a=small_nz, b=small, value=small,
        op=st.sampled_from(["<", "<=", ">", ">="]))
 @settings(max_examples=150, deadline=None)
@@ -847,7 +860,10 @@ def test_push_conjunct_bounds_are_tight(a, b, value, op):
     [(o2, v2)] = t.push_conjunct(op, value)
     p = (Fraction(value) - Fraction(b)) / Fraction(a)
     width = abs(Fraction(v2) - p)
-    assert width <= Fraction(2, 10**9) * max(abs(p), Fraction(1))
+    summand_scale = ((abs(Fraction(value)) + abs(Fraction(b)))
+                     / abs(Fraction(a)))
+    assert width <= Fraction(2, 10**9) * max(abs(p), Fraction(1),
+                                             summand_scale)
 
 
 wav_n = st.integers(min_value=1, max_value=500)
