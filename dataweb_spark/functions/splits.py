@@ -617,9 +617,11 @@ def corpus_drift_report(old: DataFrame, new: DataFrame,
 
     Integer-exact: shares are ``(n·10^6) div total`` (bigint, no float),
     so the report hash-matches any engine; ``stable`` means the share
-    moved ≤ ``1000`` ppm (0.1 pp). NULL strata group as one ``(null)``
-    row. Empty/whitespace docs count 0 tokens but 1 doc, like
-    ``token_count``.
+    moved ≤ ``1000`` ppm (0.1 pp). NULL strata are coalesced to the
+    literal ``(null)`` BEFORE aggregating — an equi-join would never
+    match NULL keys and would split one stratum into a phantom
+    gone+new pair. NULL/empty/whitespace docs count 0 tokens but 1
+    doc.
 
     Shape at 100 TB: one map-side-combined groupBy per snapshot
     (O(strata) rows out), a full outer join of two tiny aggregates, and
@@ -629,10 +631,12 @@ def corpus_drift_report(old: DataFrame, new: DataFrame,
     from dataweb_spark.functions.text import token_count
 
     def agg(df: DataFrame, side: str) -> DataFrame:
-        return (df.groupBy(F.col(stratify_col).alias("stratum"))
+        stratum = F.coalesce(F.col(stratify_col).cast("string"),
+                             F.lit("(null)"))
+        toks = token_count(F.coalesce(F.col(text_col), F.lit("")))
+        return (df.groupBy(stratum.alias("stratum"))
                   .agg(F.count("*").cast("bigint").alias(f"docs_{side}"),
-                       F.sum(token_count(text_col)).cast("bigint")
-                        .alias(f"toks_{side}")))
+                       F.sum(toks).cast("bigint").alias(f"toks_{side}")))
 
     o, n = agg(old, "old"), agg(new, "new")
     tot_o = o.agg(F.sum("docs_old").alias("_to"))

@@ -608,6 +608,18 @@ def test_corpus_drift_report_statuses_and_shares(spark):
     rows = {r.stratum: r for r in
             S.corpus_drift_report(old, new).collect()}
     assert rows["fr"].status == "gone" and rows["fr"].docs_new == 0
+    # NULL strata in BOTH snapshots stay ONE row (null-safe grouping),
+    # and NULL text counts 0 tokens, 1 doc
+    from pyspark.sql import SparkSession
+    sp = SparkSession.getActiveSession()
+    sch = "doc_id long, lang string, text string"
+    nr = {r.stratum: r for r in S.corpus_drift_report(
+        sp.createDataFrame([(0, None, None)], sch),
+        sp.createDataFrame([(0, None, "x y")], sch),
+        ).collect()}
+    assert set(nr) == {"(null)"}
+    assert nr["(null)"].status == "stable"
+    assert nr["(null)"].toks_old == 0 and nr["(null)"].toks_new == 2
     assert rows["de"].status == "new" and rows["de"].docs_old == 0
     assert rows["en"].status == "stable"
     assert rows["en"].share_old_e6 == rows["en"].share_new_e6 == 800_000
@@ -626,7 +638,6 @@ def test_corpus_drift_matches_duckdb_replay(docs, spark, sf_dir):
     want = {r[0]: tuple(r[1:]) for r in con.execute(r"""
 with old as (select * from documents where doc_id % 2 = 0),
 new as (select * from documents where doc_id % 3 = 0),
-tk as (select 1),
 o as (select lang as stratum, count(*) as docs_old,
              sum(case when length(trim(text)) = 0 then 0
                  else len(string_split_regex(trim(text), '\s+')) end)
