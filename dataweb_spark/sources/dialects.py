@@ -56,6 +56,12 @@ class Dialect:
         if isinstance(v, int):
             return str(v)
         if isinstance(v, float):
+            import math
+            if not math.isfinite(v):
+                # repr() would render bare `inf`/`nan` — invalid SQL on
+                # every peer (DuckDB binds it as a column name). Refuse;
+                # the conjunct stays local, which is always sound.
+                return None
             return repr(v)
         if isinstance(v, _dt.datetime):
             return None

@@ -72,6 +72,37 @@ def test_embedded_quote_identifier_refused():
     assert sql == "SELECT * FROM t"
 
 
+def test_nonfinite_float_conjunct_refused_not_broken():
+    # repr(inf) renders bare `inf` — DuckDB binds it as a COLUMN name, so
+    # the pushed query would ERROR instead of over-fetching; such
+    # conjuncts must stay local
+    sql = render_select(DUCKDB, "t", None,
+                        [("f", ">", float("inf")), ("g", "=", float("nan")),
+                         ("ok", "=", 1.5)], None)
+    assert sql == "SELECT * FROM t WHERE (ok = 1.5)"
+
+
+def test_literal_string_roundtrips_through_duckdb():
+    """Rendered string/float/date literals must evaluate back to the exact
+    value in a real engine (quote-doubling, repr floats, DATE forms)."""
+    import duckdb
+    probes = ["O'Brien", "a''b", "'", "100% legit", "semi;colon",
+              "back\\slash", "new\nline", 'quote"double', ""]
+    for v in probes:
+        lit = DUCKDB.literal(v)
+        assert duckdb.sql(f"select {lit}").fetchall()[0][0] == v, v
+    for f in [0.1, -1.5e-9, 1e20, 131072.0, 6.103515625e-05]:
+        # cast: DuckDB parses short decimal forms as DECIMAL; a pushed
+        # conjunct always compares against a double column, where the
+        # cast back to double is exactly the intended value
+        got = duckdb.sql(
+            f"select cast({DUCKDB.literal(f)} as double)").fetchall()[0][0]
+        assert got == f
+    d = datetime.date(1995, 1, 1)
+    assert str(duckdb.sql(
+        f"select {DUCKDB.literal(d)}").fetchall()[0][0]) == "1995-01-01"
+
+
 def test_unrenderable_table_part_raises_not_mistargets():
     # silently dropping a bad part would render SQL that targets a
     # DIFFERENT table — that must be an error, never a wrong query
