@@ -679,3 +679,28 @@ def test_domain_caps_priority_matches_streaming_order(spark):
     kept = U.domain_caps(df, max_per_domain=2, priority=pr)
     assert sorted(r.doc_id for r in kept.collect()) == [3, 7]
     assert set(kept.columns) == {"doc_id", "url", "domain"}
+
+
+def test_normalize_url_idempotent_on_20k_adversarial_batch(spark):
+    """Batched fixed-point hammer: one Spark job over 20k seeded
+    adversarial URLs (embedded spaces, brackets, quotes, %-runs, odd
+    schemes) — far more coverage per second than per-example property
+    runs; the r10 trailing-slash-run bug class would surface here."""
+    import random
+    from pyspark.sql import functions as F
+    rng = random.Random(11)
+    chars = "abcXYZ019-._~:/?#@&=%+ \t[]{}\\^`<>\"'|;,!$()*"
+    urls = []
+    for i in range(20000):
+        scheme = rng.choice(["http", "HTTPS", "Ftp", "", "ht tp",
+                             "http:", "//"])
+        host = "".join(rng.choice("aB0.-:") for _ in range(
+            rng.randint(0, 12)))
+        rest = "".join(rng.choice(chars) for _ in range(rng.randint(0, 30)))
+        u = f"{scheme}://{host}/{rest}" if scheme else f"{host}/{rest}"
+        urls.append((i, u))
+    df = spark.createDataFrame(urls, "i long, url string")
+    bad = (df.select(U.normalize_url("url").alias("u"))
+             .select("u", U.normalize_url(F.col("u")).alias("u2"))
+             .where("u2 is distinct from u"))
+    assert bad.count() == 0, bad.limit(3).collect()
