@@ -20,6 +20,7 @@ unparseable filters the same way, ``expr_to_sql.rs:14-30``).
 from __future__ import annotations
 
 import datetime as _dt
+import math
 import re
 from dataclasses import dataclass
 
@@ -56,7 +57,6 @@ class Dialect:
         if isinstance(v, int):
             return str(v)
         if isinstance(v, float):
-            import math
             if not math.isfinite(v):
                 # repr() would render bare `inf`/`nan` — invalid SQL on
                 # every peer (DuckDB binds it as a column name). Refuse;
@@ -89,7 +89,12 @@ def render_select(dialect: Dialect, table: str,
 
     ``conjuncts`` are pruning triples ``(col, op, value)``; unrenderable
     ones are silently skipped (filtering stays local — never wrong, only
-    less pushed). ``table`` may be a multi-part name (``catalog.schema.t``);
+    less pushed) — EXCEPT that skipping one also suppresses ``limit``:
+    a LIMIT applied after an incompletely-pushed filter would return the
+    first n rows of the WRONG stream (under-fetch, not over-fetch).
+    Today's caller can't hit this (the plan extractor only yields a
+    limit for filter-free plans), but the helper must stay safe for any
+    caller. ``table`` may be a multi-part name (``catalog.schema.t``);
     each part is quoted independently. An unrenderable table part is an
     error — silently dropping it would target a DIFFERENT table.
     """
@@ -106,14 +111,17 @@ def render_select(dialect: Dialect, table: str,
             cols = ", ".join(rendered)
     sql = f"SELECT {cols} FROM {tbl}"
     preds = []
+    skipped = False
     for col, op, value in conjuncts or []:
         ident = dialect.ident(col)
         lit = dialect.literal(value)
         if ident is not None and lit is not None \
                 and op in ("=", "<", "<=", ">", ">="):
             preds.append(f"({ident} {op} {lit})")
+        else:
+            skipped = True
     if preds:
         sql += " WHERE " + " AND ".join(preds)
-    if limit is not None:
+    if limit is not None and not skipped:
         sql += f" LIMIT {int(limit)}"
     return sql

@@ -72,6 +72,19 @@ def test_embedded_quote_identifier_refused():
     assert sql == "SELECT * FROM t"
 
 
+def test_skipped_conjunct_suppresses_limit_pushdown():
+    # LIMIT after an incompletely-pushed filter would under-fetch: the
+    # peer returns the first n rows of the WRONG stream. A skipped
+    # conjunct must therefore also drop the limit (filter+limit both
+    # run locally); with every conjunct pushed the limit survives.
+    sql = render_select(DUCKDB, "t", None,
+                        [("ts", "<", datetime.datetime(2020, 1, 1)),
+                         ("ok", "=", 1)], 10)
+    assert sql == "SELECT * FROM t WHERE (ok = 1)"
+    sql = render_select(DUCKDB, "t", None, [("ok", "=", 1)], 10)
+    assert sql == "SELECT * FROM t WHERE (ok = 1) LIMIT 10"
+
+
 def test_nonfinite_float_conjunct_refused_not_broken():
     # repr(inf) renders bare `inf` — DuckDB binds it as a COLUMN name, so
     # the pushed query would ERROR instead of over-fetching; such
