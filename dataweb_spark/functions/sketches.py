@@ -141,6 +141,12 @@ def kmv_sketch(df: DataFrame, value_col: str,
     NULL values hash via a sentinel (md5 of NULL is NULL and would
     otherwise rank first), so they count as ONE distinct value; filter
     them out first for strict ``count(distinct ...)`` semantics.
+    Sentinel collision caveat: the sentinel is the string ``'\\x00null'``,
+    so a non-NULL value whose STRING CAST equals that exact byte sequence
+    collapses with NULL into one distinct value — impossible for numeric/
+    date/decimal columns (their casts never contain NUL) and effectively
+    so for real text, but a binary/string column adversarially containing
+    ``b"\\x00null"`` should be pre-filtered or pre-encoded.
     """
     if k < 2:
         raise ValueError("k must be >= 2")

@@ -378,6 +378,14 @@ def pack_sequences(df: DataFrame, key_col: str = "doc_id",
     ``is_full``. ``keep_partial=False`` drops each shard's trailing
     partial row (what a fixed-shape trainer does).
 
+    Sentinel caveat: ``eos`` is validated as whitespace-free but corpus
+    text CAN contain the literal ``eos`` string as an ordinary token, so
+    a consumer that recovers document boundaries by splitting
+    ``seq_text`` on ``eos`` will mis-detect them. Boundary recovery
+    should use :func:`pack_sequence_spans` instead — it emits the exact
+    positional (seq_id, offset, length) span of every document,
+    collision-safe by construction.
+
     Shape at 100 TB: ONE exchange total. The per-shard running token
     offset needs a window partitioned by shard; ``posexplode`` to
     (position, token) rows is narrow on top of it, and the final

@@ -911,7 +911,11 @@ def span_corruption_examples(df: DataFrame, id_col: str = "doc_id",
     ``p`` of document ``d`` is masked iff
     ``md5(d || ':' || p)``'s first-byte bucket < ``round(mask_rate·256)``
     — a pure row function, so the corpus corrupts identically on every
-    run/engine and a DuckDB oracle replays the whole example
+    run/engine and a DuckDB oracle replays the whole example. The
+    effective rate is therefore quantized to 1/256 steps (a requested
+    rate is off by at most 1/512); a positive rate that would quantize
+    to zero buckets raises ``ValueError`` rather than silently masking
+    nothing
     (consecutive masked tokens merge into one span exactly as T5's
     span-level noise does — the i.i.d. bucket draw gives geometric
     span lengths instead of T5's mean-3 sampler; rate is per-token).
@@ -931,6 +935,13 @@ def span_corruption_examples(df: DataFrame, id_col: str = "doc_id",
     if not 0.0 <= mask_rate <= 1.0:
         raise ValueError("mask_rate must be in [0, 1]")
     thr = int(round(mask_rate * 256))
+    if mask_rate > 0.0 and thr == 0:
+        # the bucket comparison quantizes the rate to 1/256 — a rate
+        # below ~0.2% would silently mask NOTHING; refuse instead.
+        raise ValueError(
+            f"mask_rate={mask_rate} quantizes to 0/256 — the masking "
+            "decision has 1/256 resolution; use mask_rate >= 1/512 "
+            "(rounds to >= 1 bucket) or exactly 0.0")
     toks = (df.select(F.col(id_col), tokens(text_col).alias("_t"))
               .where(F.size("_t") > 0)
               .select(id_col, F.posexplode("_t").alias("_p", "_tok")))

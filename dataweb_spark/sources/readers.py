@@ -88,6 +88,7 @@ def _pushdown_parts(source: DataSource, conjuncts: list | None,
                         if not (p in seen or seen.add(p))]
 
     kept = []
+    dropped = False
     for col, op, value in conjuncts or []:
         m = source.mapping_for(col)
         if m is None:
@@ -96,16 +97,26 @@ def _pushdown_parts(source: DataSource, conjuncts: list | None,
             # this source anyway — and the engine-side table may not even
             # HAVE a column by this name, so pushing the local name through
             # would error the whole peer query. Drop it.
+            dropped = True
             continue
         target = source.field_path(m.field)
         rewritten = m.transformation.push_conjunct(op, value)
         if rewritten is None:
+            dropped = True
             continue  # non-invertible transform: filter stays local
         if _IDENT.match(target):
             kept.extend((target, o, v) for o, v in rewritten)
+        else:
+            dropped = True
 
+    # LIMIT is forwarded only when the pushed filter is COMPLETE: a single
+    # dropped conjunct means the peer would apply LIMIT to a superset
+    # stream and return the first n rows of the WRONG result — same
+    # under-fetch hazard render_select guards against with `skipped`,
+    # enforced here too so it holds for every caller, not just the
+    # extractor's filter-free-plan invariant.
     eff_limit = limit if (limit is not None and not has_perms
-                          and not kept) else None
+                          and not kept and not dropped) else None
     return cols, kept, eff_limit, projected
 
 

@@ -135,6 +135,22 @@ def test_peer_sql_limit_only_without_filters():
     assert "LIMIT" not in sql2
 
 
+def test_peer_sql_limit_suppressed_when_conjunct_dropped():
+    # A conjunct that cannot be pushed (unmapped info / non-invertible
+    # transform) means the peer stream is a SUPERSET of the answer;
+    # forwarding LIMIT would return the first n rows of the wrong stream.
+    # Even though every dropped conjunct leaves `kept` empty, the limit
+    # must NOT ride along (r12 fix: guard on dropped, not just on kept).
+    sql, _ = _peer_sql(_src(), [("z", "<", 10)], 7, None)  # unmapped
+    assert "LIMIT" not in sql
+    src = _src(mappings=[
+        Mapping("a", "a", Transformation("abs({v})", "{v}")),
+        Mapping("b", "b"), Mapping("c", "c"),
+    ])
+    sql2, _ = _peer_sql(src, [("a", "<", 10)], 7, None)  # non-invertible
+    assert "LIMIT" not in sql2
+
+
 def test_peer_sql_permissions_disable_projection_and_limit():
     src = _src(default_permission=SourcePermission(
         frozenset(["a", "b"]), "a < 100"))

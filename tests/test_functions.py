@@ -1310,6 +1310,10 @@ def test_span_corruption_rate_zero_and_validation(docs):
         assert r.n_spans == 0 and r.n_masked == 0 and r.target_text == ""
     with pytest.raises(ValueError):
         text.span_corruption_examples(docs, mask_rate=1.5)
+    # positive rate below the 1/256 bucket resolution would mask nothing
+    # — refused instead of silently doing so (r12, ADVICE)
+    with pytest.raises(ValueError, match="1/256"):
+        text.span_corruption_examples(docs, mask_rate=0.001)
 
 
 def test_span_corruption_single_exchange(docs):
