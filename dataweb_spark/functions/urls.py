@@ -313,6 +313,60 @@ def domain_caps(df: DataFrame, url_col: str = "url",
             .withColumnRenamed("_dom", "domain"))
 
 
+def politeness_waves(df: DataFrame, url_col: str = "url",
+                     id_col: str = "doc_id", per_wave: int = 10,
+                     max_per_domain: int | None = None,
+                     priority: DataFrame | None = None,
+                     score_col: str = "score") -> DataFrame:
+    """Per-domain politeness *scheduling* on the frontier — the sequel
+    to :func:`domain_caps`' admission: assign every admitted URL a fetch
+    ``wave`` (0-based) such that each registered domain contributes at
+    most ``per_wave`` URLs per wave. A downstream fetcher executes wave
+    0 across all domains in parallel, waits out the crawl-delay, then
+    wave 1, … — rate-limit-ready batches with no runtime coordination,
+    because the schedule is a pure function of the frontier (the
+    reference relay's scheduler state machine is runtime; here the
+    100 TB-friendly form is a precomputed deterministic assignment).
+
+    Ordering inside a domain is the exact :func:`domain_caps` /
+    ``_admit_batch`` admission contract (``priority`` score DESC when
+    given, then md5 of the canonical URL, then ``id_col``) — so with a
+    prior, wave 0 holds each domain's highest-authority pages and the
+    SAME set that a ``max_per_domain``-capped admission would keep
+    fills the earliest waves. ``max_per_domain`` (optional) drops
+    everything past the cap, i.e. waves ≥ ``max_per_domain/per_wave``.
+
+    Emits the input columns plus ``domain``, ``wave`` and ``wave_slot``
+    (0-based position inside the domain's wave — fetchers that thread
+    per-domain connections use it as the request index).
+
+    Shape at 100 TB: ONE exchange — the same single domain-partitioned
+    window ``domain_caps`` already pays; wave/slot are arithmetic on
+    that window's row_number (no second window, no re-shuffle), and the
+    optional prior join is an AQE-broadcast on the narrow canonical-URL
+    key. Plan-asserted in ``tests/test_urls_dsir.py``.
+    """
+    if per_wave < 1:
+        raise ValueError("per_wave must be >= 1")
+    ranked = (df.withColumn("_dom", registered_domain(url_col))
+                .withColumn("_norm", normalize_url(url_col)))
+    ranked, order = _priority_order(ranked, priority, score_col, id_col)
+    ranked = ranked.withColumn(
+        "_rn", F.row_number().over(
+            Window.partitionBy("_dom").orderBy(*order)))
+    if max_per_domain is not None:
+        ranked = ranked.where(F.col("_rn") <= max_per_domain)
+    return (ranked
+            .withColumn("wave",
+                        F.expr(f"cast((_rn - 1) div {int(per_wave)} "
+                               "as int)"))
+            .withColumn("wave_slot",
+                        F.pmod(F.col("_rn") - 1, F.lit(per_wave))
+                         .cast("int"))
+            .drop("_norm", "_rn", "_score")
+            .withColumnRenamed("_dom", "domain"))
+
+
 def parse_robots(df: DataFrame, domain_col: str = "domain",
                  body_col: str = "robots_txt",
                  agent: str = "testbot") -> DataFrame:

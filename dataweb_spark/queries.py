@@ -6811,6 +6811,68 @@ order by domain
 """)
 
 
+def _crawl_politeness_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain politeness fetch-wave scheduling
+    (``urls.politeness_waves``, VERDICT r11 item 6): the admitted
+    frontier of ``crawl_frontier_priority`` — same synth URLs, same
+    in-link authority prior — scheduled into rate-limit-ready waves of
+    at most 2 URLs per registered domain per wave, capped at 6 per
+    domain. Per-URL output (domain, wave, wave_slot, doc_id, score)
+    pins the ENTIRE deterministic schedule: wave 0 holds each domain's
+    two highest-authority pages, ordering is score DESC → md5(canonical
+    URL) → id. The oracle replays normalization, domain extraction, the
+    in-link aggregate, the admission window and the wave arithmetic."""
+    from dataweb_spark.functions import urls as U
+    register_views(spark, sf_dir)
+    cand = spark.sql(
+        f"select doc_id, {_URL_SYNTH_SQL} as url from documents")
+    link_urls = spark.sql(
+        f"select {_URL_SYNTH_SQL} as url from "
+        "(select (doc_id * 31 + 7) % 499 as doc_id from documents)")
+    pr = (link_urls.select(U.normalize_url("url").alias("url_norm"))
+          .groupBy("url_norm")
+          .agg(F.count("*").cast("bigint").alias("score")))
+    waved = U.politeness_waves(cand, per_wave=2, max_per_domain=6,
+                               id_col="doc_id", priority=pr)
+    rescored = waved.join(
+        pr.withColumnRenamed("url_norm", "_n"),
+        U.normalize_url("url") == F.col("_n"), "left")
+    return (rescored.select(
+                "domain", "wave", "wave_slot", "doc_id",
+                F.coalesce("score", F.lit(0)).cast("bigint").alias("score"))
+            .orderBy("domain", "wave", "wave_slot"))
+
+
+_df("crawl_politeness_waves", _crawl_politeness_waves, oracle=rf"""
+with links as (
+  select (doc_id * 31 + 7) % 499 as doc_id from documents),
+lu as (select {_URL_SYNTH_SQL} as url from links),
+pr as (
+  select {_duck_url_norm('url')} as url_norm,
+         cast(count(*) as bigint) as score
+  from lu group by 1),
+synth as (select doc_id, {_URL_SYNTH_SQL} as url from documents),
+ranked as (
+  select s.doc_id,
+         {_duck_url_domain('s.url')} as domain,
+         coalesce(pr.score, 0) as score,
+         row_number() over (
+           partition by {_duck_url_domain('s.url')}
+           order by coalesce(pr.score, 0) desc,
+                    md5({_duck_url_norm('s.url')}), s.doc_id) as rn
+  from synth s
+  left join pr on {_duck_url_norm('s.url')} = pr.url_norm)
+select domain,
+       cast((rn - 1) // 2 as int) as wave,
+       cast((rn - 1) % 2 as int) as wave_slot,
+       doc_id,
+       score
+from ranked
+where rn <= 6
+order by domain, wave, wave_slot
+""")
+
+
 # PSL-exercising host synthesizer (shared literal, both dialects):
 # private suffixes (github.io), wildcard (*.ck), exception (www.ck),
 # multi-part (co.uk), plain .com, unknown TLD, IP literals.
@@ -7542,6 +7604,350 @@ order by c.domain, rk
 
 
 # ===========================================================================
+# r12 declarations: the r11 pytest-only operators become driver-provable
+# ===========================================================================
+
+
+def _sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped KMV distinct sketch (``sketches.kmv_sketch``) — the
+    cross-engine-EXACT cardinality sketch: per language, the k=64
+    smallest distinct 48-bit md5 value hashes (the mergeable sketch
+    array), the min count, and the pure-bigint k-th-minimum estimate.
+    Unlike Spark's HLL (engine-specific register layout, only boundable),
+    every output cell here hash-matches DuckDB row-for-row. NULL texts
+    collapse into one sentinel value on both sides."""
+    from dataweb_spark.functions import sketches as K
+    register_views(spark, sf_dir)
+    out = K.kmv_sketch(spark.table("documents"), "text", ["lang"], k=64)
+    return (out.select("lang", "kmv", "n_mins", "distinct_est")
+               .orderBy("lang"))
+
+
+_df("sketch_kmv_distinct", _sketch_kmv_distinct, oracle=r"""
+with pairs as (
+  select distinct lang,
+         ('0x' || substr(md5(coalesce(cast(text as varchar),
+                                      chr(0) || 'null')), 1, 12))::bigint
+           as h
+  from documents),
+rk as (
+  select lang, h, row_number() over (partition by lang order by h) as rk
+  from pairs)
+select lang,
+       list(h order by h) as kmv,
+       count(*) as n_mins,
+       case when count(*) < 64 then count(*)
+            else (63 * 281474976710656) //
+                 max(case when rk = 64 then h end) end as distinct_est
+from rk where rk <= 64
+group by lang order by lang
+""")
+
+
+def _pipeline_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot composition drift
+    (``splits.corpus_drift_report``): two deterministic halves of the
+    corpus (doc_id%2=0 vs doc_id%3=0) stand in for consecutive crawl
+    snapshots; per language both sides' doc/token counts, integer-ppm
+    shares, the share delta, and a new/gone/grew/shrank/stable status.
+    Integer-exact by construction (shares are bigint div), so the full
+    report hash-matches the oracle replay."""
+    from dataweb_spark.functions import splits as S
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return S.corpus_drift_report(docs.where("doc_id % 2 = 0"),
+                                 docs.where("doc_id % 3 = 0")) \
+            .orderBy("stratum")
+
+
+_df("pipeline_corpus_drift", _pipeline_corpus_drift, oracle=r"""
+with old as (select * from documents where doc_id % 2 = 0),
+new as (select * from documents where doc_id % 3 = 0),
+o as (select coalesce(lang, '(null)') as stratum, count(*) as docs_old,
+             sum(case when length(trim(text)) = 0 then 0
+                 else len(string_split_regex(trim(text), '\s+')) end)
+               as toks_old
+      from old group by 1),
+n as (select coalesce(lang, '(null)') as stratum, count(*) as docs_new,
+             sum(case when length(trim(text)) = 0 then 0
+                 else len(string_split_regex(trim(text), '\s+')) end)
+               as toks_new
+      from new group by 1),
+j as (select coalesce(o.stratum, n.stratum) as stratum,
+             coalesce(docs_old, 0) as docs_old,
+             coalesce(docs_new, 0) as docs_new,
+             cast(coalesce(toks_old, 0) as bigint) as toks_old,
+             cast(coalesce(toks_new, 0) as bigint) as toks_new
+      from o full outer join n on o.stratum = n.stratum),
+t as (select *, (select sum(docs_old) from j) as _to,
+             (select sum(docs_new) from j) as _tn from j)
+select stratum, docs_old, docs_new, toks_old, toks_new,
+       cast(docs_old * 1000000 // greatest(_to, 1) as bigint)
+         as share_old_e6,
+       cast(docs_new * 1000000 // greatest(_tn, 1) as bigint)
+         as share_new_e6,
+       cast(docs_new * 1000000 // greatest(_tn, 1)
+         - docs_old * 1000000 // greatest(_to, 1) as bigint) as delta_e6,
+       case when docs_old = 0 then 'new'
+            when docs_new = 0 then 'gone'
+            when docs_new * 1000000 // greatest(_tn, 1)
+                 - docs_old * 1000000 // greatest(_to, 1) > 1000
+              then 'grew'
+            when docs_new * 1000000 // greatest(_tn, 1)
+                 - docs_old * 1000000 // greatest(_to, 1) < -1000
+              then 'shrank'
+            else 'stable' end as status
+from t order by stratum
+""")
+
+
+_PACK_HEX = "['" + "','".join("0123456789abcdef") + "']"
+
+
+def _pipeline_pack_training_rows(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """``splits.pack_sequences`` AND ``splits.pack_sequence_spans`` proven
+    in ONE result: span grain (one row per document slice inside a packed
+    sequence) joined back to the packed row's token count and fullness.
+    Per (shard, seq_id) the spans tile the row exactly — Σ span_len =
+    n_tokens, starts contiguous — so a green hash certifies the packed
+    byte stream AND the attention-boundary metadata a trainer consumes
+    together. Deterministic md5 shard/order keys make the whole layout
+    replayable in the oracle (token grain → floor-div sequence cut →
+    two grains of the same exploded CTE)."""
+    from dataweb_spark.functions import splits as S
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    packed = S.pack_sequences(docs, seq_len=48, n_shards=3)
+    spans = S.pack_sequence_spans(docs, seq_len=48, n_shards=3)
+    return (spans.join(packed.select("shard", "seq_id", "n_tokens",
+                                     "is_full"),
+                       ["shard", "seq_id"])
+                 .select("shard", "seq_id", "doc_id", "span_start",
+                         "span_len", "n_tokens", "is_full")
+                 .orderBy("shard", "seq_id", "span_start"))
+
+
+_df("pipeline_pack_training_rows", _pipeline_pack_training_rows,
+    oracle=rf"""
+with tk as (
+  select doc_id, md5(cast(doc_id as varchar)) as ord,
+         cast(((list_position({_PACK_HEX},
+             substr(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16
+          + (list_position({_PACK_HEX},
+             substr(md5(cast(doc_id as varchar)), 2, 1)) - 1)) % 3 as int)
+           as shard,
+         list_append(case when length(trim(text)) = 0 then []::varchar[]
+              else string_split_regex(trim(text), '\s+') end, '<eos>') as t
+  from documents),
+off as (
+  select *, sum(len(t)) over (partition by shard order by ord, doc_id
+       rows between unbounded preceding and current row) - len(t) as off0
+  from tk),
+ex as (
+  select shard, doc_id, off0 + u - 1 as pos
+  from (select shard, doc_id, off0, t,
+               unnest(range(1, len(t) + 1)) as u from off)),
+g as (
+  select shard, cast(floor(pos / 48) as bigint) as seq_id,
+         count(*) as n_tokens, count(*) = 48 as is_full
+  from ex group by 1, 2),
+sp as (
+  select shard, cast(floor(pos / 48) as bigint) as seq_id, doc_id,
+         cast(min(pos) % 48 as int) as span_start,
+         count(*) as span_len
+  from ex group by 1, 2, 3)
+select sp.shard, sp.seq_id, sp.doc_id, sp.span_start, sp.span_len,
+       g.n_tokens, g.is_full
+from sp join g using (shard, seq_id)
+order by shard, seq_id, span_start
+""")
+
+
+def _pipeline_pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing document packing
+    (``splits.pack_documents_best_fit``) on a PLANTED size profile whose
+    BFD assignment has a closed form the oracle can replay: doc_id%10=0
+    docs get 20 tokens (split into 8+8+4 pieces — exercises oversize
+    splitting), remaining evens get 5, odds get 3, capacity 8. BFD then
+    provably packs: every 8-piece fills its own bin; 5s open
+    residual-3 bins; 4s pair into fresh bins (the first 4 can't fit a
+    residual-3, the second exact-fits the first's residual-4); 3s
+    exact-fit the 5-bins in bin order (lowest-bin tie-break), then the
+    odd trailing residual-4 bin, then pair into fresh bins. A green hash
+    certifies the descending order, md5 tie-breaking, smallest-residual
+    choice, exact-fit pruning and new-bin numbering all at once — the
+    hand-case pytest generalized to the whole corpus."""
+    from dataweb_spark.functions import splits as S
+    register_views(spark, sf_dir)
+
+    def words(n: int) -> str:
+        return " ".join(f"w{i}" for i in range(n))
+
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(words(20)))
+         .when(F.col("doc_id") % 2 == 0, F.lit(words(5)))
+         .otherwise(F.lit(words(3))).alias("text"))
+    out = S.pack_documents_best_fit(docs, seq_len=8)
+    return out.orderBy("bin_id", "bin_offset", "doc_id", "piece_idx")
+
+
+_df("pipeline_pack_best_fit", _pipeline_pack_best_fit, oracle=r"""
+with cls as (
+  select doc_id, md5(cast(doc_id as varchar)) as ord,
+         case when doc_id % 10 = 0 then 20
+              when doc_id % 2 = 0 then 5 else 3 end as n
+  from documents),
+counts as (
+  select count(*) filter (where n = 20) as n20,
+         count(*) filter (where n = 5) as n5
+  from cls),
+r20 as (select doc_id, row_number() over (order by ord, doc_id) - 1 as r
+        from cls where n = 20),
+r5 as (select doc_id, row_number() over (order by ord, doc_id) - 1 as r
+       from cls where n = 5),
+r3 as (select doc_id, row_number() over (order by ord, doc_id) - 1 as r
+       from cls where n = 3),
+p8 as (   -- two full 8-pieces per 20-doc, bins 0..2*n20-1 in md5 order
+  select doc_id, cast(p as int) as piece_idx,
+         cast(8 as bigint) as piece_tokens,
+         cast(2 * r + p as bigint) as bin_id,
+         cast(0 as bigint) as bin_offset
+  from r20, unnest([0, 1]) as u(p)),
+p5 as (   -- 5s open bins 2*n20.. with residual 3
+  select doc_id, cast(0 as int) as piece_idx,
+         cast(5 as bigint) as piece_tokens,
+         cast(2 * n20 + r as bigint) as bin_id,
+         cast(0 as bigint) as bin_offset
+  from r5 cross join counts),
+p4 as (   -- the 4-piece remainders pair into fresh bins after the 5s
+  select doc_id, cast(2 as int) as piece_idx,
+         cast(4 as bigint) as piece_tokens,
+         cast(2 * n20 + n5 + r // 2 as bigint) as bin_id,
+         cast((r % 2) * 4 as bigint) as bin_offset
+  from r20 cross join counts),
+p3 as (   -- 3s: exact-fit the 5-bins, then the odd residual-4 bin,
+          -- then pair into fresh bins
+  select doc_id, cast(0 as int) as piece_idx,
+         cast(3 as bigint) as piece_tokens,
+         cast(case when r < n5 then 2 * n20 + r
+              when n20 % 2 = 1 and r = n5
+                then 2 * n20 + n5 + n20 // 2
+              else 2 * n20 + n5 + (n20 + 1) // 2
+                   + (r - n5 - (n20 % 2)) // 2 end as bigint) as bin_id,
+         cast(case when r < n5 then 5
+              when n20 % 2 = 1 and r = n5 then 4
+              else ((r - n5 - (n20 % 2)) % 2) * 3 end as bigint)
+           as bin_offset
+  from r3 cross join counts)
+select cast(0 as int) as shard, doc_id, piece_idx, piece_tokens,
+       bin_id, bin_offset
+from (select * from p8 union all select * from p5
+      union all select * from p4 union all select * from p3)
+order by bin_id, bin_offset, doc_id, piece_idx
+""")
+
+
+def _text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption denoising pairs
+    (``text.span_corruption_examples``) over the whole documents table at
+    the default 15% token mask rate: per document the sentinel-masked
+    input, the sentinel-prefixed target spans, and the span/masked-token
+    counts. Deterministic md5-bucket masking (38/256 buckets) makes the
+    full example text — not just counts — replayable in the oracle via
+    the same gaps-and-islands span numbering."""
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    return (T.span_corruption_examples(spark.table("documents"),
+                                       mask_rate=0.15)
+            .orderBy("doc_id"))
+
+
+_df("text_span_corruption", _text_span_corruption, oracle=rf"""
+with base as (
+  select doc_id, string_split_regex(trim(text), '\s+') as t
+  from documents where length(trim(text)) > 0),
+toks as (
+  select doc_id, u - 1 as p, t[u] as tok
+  from (select doc_id, t, unnest(range(1, len(t) + 1)) as u from base)),
+mk as (
+  select doc_id, p, tok,
+         ((list_position({_PACK_HEX}, substr(h, 1, 1)) - 1) * 16
+          + (list_position({_PACK_HEX}, substr(h, 2, 1)) - 1)) < 38 as m
+  from (select *, md5(coalesce(cast(doc_id as varchar), '')
+                      || ':' || cast(p as varchar)) as h from toks)),
+st as (
+  select *, m and not coalesce(
+      lag(m) over (partition by doc_id order by p), false) as s
+  from mk),
+sp as (
+  select *, case when m then
+      sum(case when s then 1 else 0 end) over
+          (partition by doc_id order by p
+           rows between unbounded preceding and current row) - 1
+    end as span_id
+  from st),
+pc as (
+  select doc_id, p, m, span_id,
+         case when not m then tok
+              when s then '<extra_id_' || span_id || '>' end as inp,
+         case when s then '<extra_id_' || span_id || '> ' || tok
+              when m then tok end as tgt
+  from sp)
+select doc_id,
+       coalesce(string_agg(inp, ' ' order by p), '') as input_text,
+       coalesce(string_agg(tgt, ' ' order by p), '') as target_text,
+       cast(count(distinct span_id) as bigint) as n_spans,
+       cast(sum(case when m then 1 else 0 end) as bigint) as n_masked
+from pc group by doc_id order by doc_id
+""")
+
+
+def _embedding_index_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state semantic-ingest classify against the PERSISTED
+    embedding index (``functions/embedding_index.py`` — band + vector
+    parquet tables built once; batches classify against those, corpus
+    vectors read only for bucket-mates). Planted batch: exact copies of
+    corpus vectors (identical hyperplane signatures → guaranteed bucket
+    collision; exact cosine 1.0 → ``near``) and NEGATED corpus vectors
+    (cos(-v, w) = -cos(v, w); the corpus' strongest anti-correlation is
+    ~0.52 at every SF, far under the 0.92 threshold → ``unique``; the
+    exact-cosine verify makes the verdict independent of band-collision
+    luck). Completes the persisted-index trio as driver-provable surface
+    (text ``dedup_index_classify`` r9, media ``media_index_classify``
+    r10, embeddings here)."""
+    import tempfile
+
+    from dataweb_spark.functions import embedding_index as EI
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    corpus = emb.where("vec_id % 5 != 0")
+    idx = tempfile.mkdtemp(prefix="dw_emb_idx_classify_")
+    EI.build_embedding_index(corpus, idx, id_col="vec_id",
+                             vec_col="embedding", dim=64)
+    copies = corpus.where("vec_id % 20 = 1").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    negs = corpus.where("vec_id % 20 = 2").select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"))
+    batch = copies.unionByName(negs)
+    out = EI.classify_embedding_batch(spark, batch, idx, threshold=0.92)
+    return out.select("vec_id", "verdict").orderBy("vec_id")
+
+
+_df("embedding_index_classify", _embedding_index_classify, oracle="""
+with corpus as (select vec_id from embeddings where vec_id % 5 != 0)
+select vec_id + 100000 as vec_id, 'near' as verdict
+from corpus where vec_id % 20 = 1
+union all
+select vec_id + 200000 as vec_id, 'unique' as verdict
+from corpus where vec_id % 20 = 2
+order by vec_id
+""")
+
+
+# ===========================================================================
 # Driver window ordering
 # ===========================================================================
 # The driver's CORRECTNESS gate checks the FIRST 50 registered queries; round
@@ -7552,119 +7958,77 @@ order by c.domain, rk
 # its relative order after the window.
 
 _DRIVER_WINDOW = [
-    # --- r11 rotation. CORRECTNESS_r10 was 50/50; the whole r10
-    # window rotates out. VERDICT r10 item 1: the 46-name r7-age
-    # cohort + text_html_tables (the ONE query that has never held
-    # a driver slot — it leads) fill 47 slots; the three spare
-    # slots go to the r11-new queries and the one r11 merge keeper
-    # whose output schema changed and which is NOT already in the
-    # cohort (multimodal_meta, which absorbed
-    # multimodal_frame_counts). The two merge keepers that ARE in
-    # the cohort re-check first: window_topn_per_customer (absorbed
-    # first_last_value_windows + ntile_percentile_windows) and
-    # knn_bruteforce_cosine (absorbed knn_lsh_approx +
-    # knn_quantized_int8).
-    # (a) never driver-checked (VERDICT What's-missing #3):
-    "text_html_tables",
-    # (b) changed-schema merge keepers from the r7 cohort, first:
-    "window_topn_per_customer",
-    "knn_bruteforce_cosine",
-    # (c) the rest of the r7 cohort (max evidence age stays <= 3):
-    "any_all_minmax_rewrite",
-    "array_agg_ordered_limited",
-    "corpus_mix_proportions",
-    "dedup_contamination_check",
-    "dedup_duplicated_spans",
-    "dedup_embedding_recall",
-    "dedup_exact_clusters",
-    "dedup_minhash_char_cjk",
-    "dedup_minhash_recall",
-    "dedup_ngram_jaccard_exact",
-    "dedup_video_cross_container",
-    "embedding_quantize_int8",
-    "events_sessionization",
-    "fed_lineitem_count",
-    "fed_lineitem_q1_all_access",
-    "fed_provenance_counts",
-    "fed_remote_hop_count",
-    "fed_source_pruning",
-    "grouping_sets",
-    "higher_order_array_funcs",
-    "media_index_classify",
-    "multimodal_audio_resample",
-    "multimodal_flac_features",
-    "multimodal_jpeg_catalog",
-    "multimodal_jpeg_features",
-    "multimodal_media_catalog",
-    "multimodal_mjpeg_frames",
-    "multimodal_mp4_frames",
-    "pivot_returnflag_status",
-    "recursive_cte_series",
-    "sample_hash_deterministic",
-    "setops_customers",
-    "streaming_dedup_ingest",
-    "streaming_hourly_rollup",
-    "streaming_media_dedup",
-    "text_pii_scrub",
-    "text_quality_langid",
-    "text_repetition_gopher",
-    "text_stats",
-    "text_tfidf_top_terms",
-    "tpch_q12_late_shipping_priority",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q9_product_profit",
-    # (d) new in r11:
-    "warc_http_extract",
-    "crawl_frontier_priority",
-    # (e) r11 merge keeper outside the cohort (schema changed):
-    "multimodal_meta",
+    # --- r12 rotation. CORRECTNESS_r11 was 50/50; the whole r11
+    # window rotates out. VERDICT r11 items 1+2: the six r11-tail
+    # operators newly declared this round lead (never driver-checked
+    # before — each was pytest-only until now), then the FULL 40-name
+    # r8-age cohort (the oldest evidence anywhere; the two other r8
+    # names, knn_quantized_int8 and multimodal_frame_counts, were
+    # retired by r11 merges). 46 slots used; the remaining ≤4 go to
+    # r12-new queries (new operators outrank age refreshes, as always).
+    # (a) newly declared in r12 (VERDICT item 1):
+    "embedding_index_classify",
+    "pipeline_pack_training_rows",
+    "pipeline_pack_best_fit",
+    "sketch_kmv_distinct",
+    "text_span_corruption",
+    "pipeline_corpus_drift",
+    # (b) the 40-name r8-age cohort (max evidence age stays <= 4):
+    "approx_sketches",
+    "corpus_source_report",
+    "dedup_exact_keep",
+    "dedup_simhash_recall",
+    "distinct_on_rewrite",
+    "fed_engine_agg_pushdown",
+    "fed_flight_two_process",
+    "fed_flightsql_engine",
+    "fed_lineitem_q1",
+    "fed_replica_failover",
+    "fed_template_agg_forward",
+    "fed_template_partials",
+    "fed_trino_engine",
+    "fed_zonemap_pruning",
+    "graph_pagerank_domains",
+    "group_by_all",
+    "grouping_function_rollup",
+    "in_unnest_rewrite",
+    "lateral_join_topn",
+    "multimodal_features",
+    "pipeline_quality_model",
+    "pipeline_training_data",
+    "qualify_rewrite",
+    "range_join_price_bands",
+    "streaming_attribution_join",
+    "streaming_fed_ingest",
+    "streaming_sliding_rollup",
+    "streaming_stateful_user_totals",
+    "text_c4_filter",
+    "text_chunking",
+    "text_html_extract",
+    "text_rolling_fp_contract",
+    "text_stopword_quality",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "unpivot_part_sizes",
+    "warc_directory_ingest",
+    "warc_records_parse",
+    # (c) new in r12 (slots 47+; filled as the round adds operators):
+    "crawl_politeness_waves",
+    # (d) spare slots drain the NEXT-oldest (r9) cohort early — the
+    # crawl-gate trio sits beside the new politeness query anyway:
+    "crawl_url_normalize",
+    "crawl_domain_caps",
+    "crawl_psl_domains",
 ]
 # window budget: up to 50 checked by the driver. Rotated-out names stay
 # in QUERIES (checkable any round; the full local sweep covers all of
 # them each round). After this window runs the oldest evidence anywhere
-# is r8 — window the 43-name r8 cohort in r12 (the r11 merges retired 5
-# queries, so declared is 186 and the 50×4 age budget keeps ≥4 free
-# slots/round through r14; see COVERAGE.md). New queries outrank age
-# refreshes for slots, as always.
-#
-# r12 TODO: declare `embedding_index_classify` (planted-verdict oracle,
-# the dedup_index_classify pattern) for functions/embedding_index.py —
-# deliberately NOT declared in r11: the window was exactly full with the
-# mandated r7-cohort refresh, and an outside-window declaration would
-# recreate the text_html_tables "never driver-checked" gap. r12 has the
-# free slots; the operator is pytest-proven meanwhile
-# (test_embedding_index.py).
-#
-# r12 TODO: declare `pipeline_pack_training_rows` covering
-# splits.pack_sequences AND splits.pack_sequence_spans in ONE query
-# (span grain joined back to the packed row's n_tokens/is_full — the
-# spans tile each row, so one result proves both operators), plus
-# `pipeline_pack_best_fit` for splits.pack_documents_best_fit
-# (piece-grain BFD assignment; oracle = recursive-CTE replay or the
-# planted hand-case). The MATERIALIZING siblings of the declared
-# pipeline_sequence_packing statistics query. DuckDB replay for the
-# sequences face exists verbatim in
-# test_splits.py::test_pack_sequences_matches_duckdb_replay; declaring
-# the pack family as TWO queries (not four) keeps the r12 declared
-# count ≤191 inside the 50×4 age budget.
-#
-# r12 TODO: declare `sketch_kmv_distinct` for functions/sketches.py —
-# the cross-engine-EXACT cardinality sketch (approx_sketches can only
-# bound Spark's HLL; the KMV k-min array + integer estimator hash-match
-# DuckDB row-for-row). Replay exists in
-# test_sketches.py::test_kmv_grouped_sketch_matches_duckdb_replay.
-#
-# r12 TODO: declare `text_span_corruption` for
-# text.span_corruption_examples — the deterministic T5 denoising-pair
-# builder (md5-bucket masking, gaps-and-islands spans, sentinel
-# reassembly); pytest pins a pure-python replay AND a full corpus
-# round-trip (input sentinels + target spans reconstruct every doc).
-#
-# r12 TODO: declare `pipeline_corpus_drift` for
-# splits.corpus_drift_report — snapshot-over-snapshot composition drift
-# (integer ppm shares, new/gone/grew/shrank statuses); the full DuckDB
-# replay exists in test_splits.py::test_corpus_drift_matches_duckdb_replay.
+# is r9 (48 names) — window the r9 cohort in r13; r10's 48 in r14. With
+# 193 declared and 50 slots/round the 50x4 age budget stays satisfiable
+# as long as per-round new declarations stay <= ~7 (see COVERAGE.md).
+# New queries outrank age refreshes for slots, as always.
 
 def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

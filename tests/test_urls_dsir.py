@@ -174,6 +174,67 @@ def test_domain_caps_deterministic_and_bounded(spark):
     assert kept1 == kept2
 
 
+def test_politeness_waves_schedule_and_cap(spark):
+    """Wave assignment: per_wave URLs per domain per wave, admission
+    order preserved (md5/id without a prior), cap drops late waves."""
+    urls = [f"http://big.com/p{i}" for i in range(7)] \
+        + [f"http://small.org/q{i}" for i in range(3)]
+    df = _urls_df(spark, urls)
+    out = U.politeness_waves(df, per_wave=2, max_per_domain=6)
+    rows = out.collect()
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r.domain, []).append(r)
+    # cap: big.com loses 1 of 7; small.org keeps all 3
+    assert len(by_dom["big.com"]) == 6 and len(by_dom["small.org"]) == 3
+    for dom, rs in by_dom.items():
+        waves = {}
+        for r in rs:
+            waves.setdefault(r.wave, []).append(r.wave_slot)
+        for w, slots in waves.items():
+            assert len(slots) <= 2 and sorted(slots) == list(
+                range(len(slots))), (dom, w, slots)
+        assert sorted(waves) == list(range(len(waves)))
+    # the capped SET equals domain_caps' admission (same contract)
+    kept_caps = sorted(r.doc_id for r in
+                       U.domain_caps(df, max_per_domain=6).collect())
+    assert sorted(r.doc_id for r in rows) == kept_caps
+    # within a domain, (wave, slot) order IS the admission order:
+    # md5(norm), id — replicate for big.com
+    import hashlib
+    norm = {r.doc_id: u for r, u in zip(
+        df.orderBy("doc_id").collect(), urls)}
+    big = sorted((r.wave, r.wave_slot, r.doc_id)
+                 for r in by_dom["big.com"])
+    admit = sorted((hashlib.md5(norm[i].encode()).hexdigest(), i)
+                   for i in range(7))[:6]
+    assert [d for _, _, d in big] == [i for _, i in admit]
+    with pytest.raises(ValueError):
+        U.politeness_waves(df, per_wave=0)
+
+
+def test_politeness_waves_priority_and_single_exchange(spark):
+    """With a prior, wave 0 holds the highest-score URLs; the whole
+    schedule costs ONE exchange (the domain window — wave/slot are
+    arithmetic on its row_number, no second shuffle)."""
+    import re
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(10)),
+        "url": [f"http://ccc.net/a{i}" for i in range(10)]}))
+    pr = spark.createDataFrame(pd.DataFrame(
+        {"url_norm": ["http://ccc.net/a7", "http://ccc.net/a3"],
+         "score": [5, 9]}))
+    out = U.politeness_waves(df, per_wave=2, priority=pr)
+    w0 = sorted(r.doc_id for r in out.where("wave = 0").collect())
+    assert w0 == [3, 7]  # score desc: a3 (9) then a7 (5)
+    assert out.where("wave_slot >= 2 or wave >= 5").count() == 0
+    assert {"domain", "wave", "wave_slot"} <= set(out.columns)
+    # plan: exactly one exchange in the no-prior path
+    plain = U.politeness_waves(df, per_wave=3)
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
 def test_blocklist_filter_drops_by_registered_domain(spark):
     df = _urls_df(spark, ["http://ok.com/a", "http://bad.com/b",
                           "http://www.bad.com/c", "http://fine.org/d"])
