@@ -96,7 +96,8 @@ def registered_domain(col: str | Column = "url") -> Column:
 
 def registered_domain_psl(df: DataFrame, psl: DataFrame,
                           url_col: str = "url", out_col: str = "domain",
-                          max_labels: int = 8) -> DataFrame:
+                          max_labels: int = 8,
+                          row_id_col: str | None = None) -> DataFrame:
     """Registered (pay-level) domain via a REAL public-suffix list —
     the production-grade tier :func:`registered_domain`'s 20-suffix
     heuristic stands in for. Implements the PSL algorithm
@@ -123,13 +124,19 @@ def registered_domain_psl(df: DataFrame, psl: DataFrame,
     bodies should be projected away by the caller first at 100 TB.
     Every expression is JVM-side and replayable as a SQL oracle.
 
-    Determinism precondition: the row key is
+    Row identity: ``row_id_col`` (RECOMMENDED on production paths)
+    names a caller column that uniquely keys each row — a document id,
+    a content hash — making the winner re-aggregate a pure function of
+    the data: stable under stage retries, shuffles, and speculative
+    tasks, no preconditions. Without it, the key falls back to
     ``monotonically_increasing_id()``, a nondeterministic expression —
-    rows must arrive with deterministic partition contents (any scan /
-    narrow pipeline qualifies). If the input sits directly on a
+    then rows must arrive with deterministic partition contents (any
+    scan / narrow pipeline qualifies). If the input sits directly on a
     nondeterministically-ordered shuffle, a stage retry can re-deal ids
-    and split or merge winner groups; interpose a localCheckpoint (or
-    supply your own stable id column) in that case."""
+    and split or merge winner groups; pass ``row_id_col`` (or interpose
+    a localCheckpoint) in that case. Duplicate ``row_id_col`` values
+    collapse those rows into one output row — use the fallback when
+    rows genuinely have no identity."""
     rules = (psl.select(F.trim(F.col(psl.columns[0])).alias("raw"))
              .where((F.col("raw") != "") & ~F.col("raw").startswith("//"))
              .select(F.regexp_replace("raw", r"^!", "").alias("rule"),
@@ -139,7 +146,9 @@ def registered_domain_psl(df: DataFrame, psl: DataFrame,
     # the winner re-aggregate keys on a transient row id, not the input
     # columns: exact-duplicate input rows stay distinct and
     # non-groupable column types (map) pass through untouched
-    out = df.withColumn("_rid", F.monotonically_increasing_id()) \
+    rid = (F.col(row_id_col) if row_id_col is not None
+           else F.monotonically_increasing_id())
+    out = df.withColumn("_rid", rid) \
             .withColumn("_psl_host", host)
     parts = F.split(F.col("_psl_host"), r"\.")
     n = F.size(parts)
@@ -429,7 +438,8 @@ def parse_robots(df: DataFrame, domain_col: str = "domain",
 
 def robots_filter(df: DataFrame, rules: DataFrame,
                   url_col: str = "url",
-                  broadcast: bool = True) -> DataFrame:
+                  broadcast: bool = True,
+                  row_id_col: str | None = None) -> DataFrame:
     """Drop URLs a robots rule table forbids (RFC 9309 matching): among
     the rules of the URL's registered domain whose path pattern matches
     the URL's path-plus-query, the LONGEST pattern wins, ``allow``
@@ -460,11 +470,14 @@ def robots_filter(df: DataFrame, rules: DataFrame,
     every executor on the broadcast. Project page bodies away first at
     100 TB.
 
-    Determinism precondition: same as :func:`registered_domain_psl` —
-    the winner re-aggregate keys on ``monotonically_increasing_id()``,
-    so the input must have deterministic partition contents (scans and
-    narrow pipelines do); localCheckpoint first if feeding it straight
-    from a nondeterministically-ordered shuffle."""
+    Row identity: same contract as :func:`registered_domain_psl` —
+    pass ``row_id_col`` (a unique caller key: doc id, content hash) on
+    production paths to make the winner re-aggregate retry/shuffle-
+    stable with no preconditions; without it the key falls back to
+    ``monotonically_increasing_id()`` and the input must have
+    deterministic partition contents (scans and narrow pipelines do;
+    localCheckpoint first if feeding straight from a
+    nondeterministically-ordered shuffle)."""
     anchored = F.col("path").endswith("$")
     body = F.when(anchored,
                   F.expr("substring(path, 1, length(path) - 1)")) \
@@ -479,7 +492,9 @@ def robots_filter(df: DataFrame, rules: DataFrame,
     query = url_query(url_col)
     target = F.when(query == "", path) \
               .otherwise(F.concat(path, F.lit("?"), query))
-    base = df.withColumn("_rid", F.monotonically_increasing_id()) \
+    rid = (F.col(row_id_col) if row_id_col is not None
+           else F.monotonically_increasing_id())
+    base = df.withColumn("_rid", rid) \
              .withColumn("_dom", registered_domain(url_col)) \
              .withColumn("_path", target)
     hits = (base.join(F.broadcast(rul) if broadcast else rul,

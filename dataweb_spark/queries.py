@@ -6912,7 +6912,7 @@ def _crawl_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"select doc_id, {_PSL_URL_SYNTH_SQL} as url from documents")
     psl = spark.createDataFrame([(r,) for r in _PSL_QUERY_RULES],
                                 "rule string")
-    return (U.registered_domain_psl(synth, psl)
+    return (U.registered_domain_psl(synth, psl, row_id_col="doc_id")
             .select("doc_id", "url", "domain").orderBy("doc_id"))
 
 
@@ -7007,7 +7007,7 @@ def _crawl_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                end as url
         from documents""")
     rules = U.parse_robots(robots, agent="testbot")
-    kept = U.robots_filter(urls, rules)
+    kept = U.robots_filter(urls, rules, row_id_col="doc_id")
     return (kept.withColumn("domain", F.expr("'s'||(doc_id%10)||'.com'"))
             .groupBy("domain")
             .agg(F.count("*").cast("bigint").alias("n_allowed"),

@@ -568,6 +568,55 @@ def test_robots_filter_longest_match_and_anchors(spark):
         assert (u in kept) == want, u
 
 
+def test_row_id_col_retires_nondeterministic_key(spark):
+    """r12 (VERDICT item 4): with a caller-supplied ``row_id_col`` the
+    PSL/robots winner re-aggregates key on data, not on
+    ``monotonically_increasing_id()`` — stable under stage retries by
+    construction. Proven two ways: the nondeterministic expression is
+    GONE from the plan, and the result is invariant across adversarial
+    re-partitionings/orderings of the same input (the shuffled-input
+    shape the fallback path's precondition forbids)."""
+    import pandas as pd
+    urls = [f"http://u{i}.sub{i % 3}.github.io/p{i}" for i in range(60)]
+    base = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(range(60)), "url": urls}))
+    psl = _psl_df(spark)
+    variants = [base, base.repartition(11),
+                base.repartition(7, "url")
+                    .sortWithinPartitions(F.desc("doc_id"))]
+    got = []
+    for v in variants:
+        out = U.registered_domain_psl(v, psl, row_id_col="doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "monotonically" not in plan, plan
+        got.append(sorted((r.doc_id, r.domain)
+                          for r in out.select("doc_id", "domain")
+                          .collect()))
+    assert got[0] == got[1] == got[2] and len(got[0]) == 60
+
+    rules = spark.createDataFrame(pd.DataFrame({
+        "domain": ["a.com"], "rule": ["disallow"], "path": ["/bad"]}))
+    rdf = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(40)),
+        "url": [f"http://a.com/{'bad' if i % 2 else 'ok'}{i}"
+                for i in range(40)]}))
+    kept = []
+    for v in (rdf, rdf.repartition(9)
+                     .sortWithinPartitions(F.desc("url"))):
+        out = U.robots_filter(v, rules, row_id_col="doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "monotonically" not in plan, plan
+        kept.append(sorted(r.doc_id for r in out.collect()))
+    assert kept[0] == kept[1] == [i for i in range(40) if i % 2 == 0]
+    # contract edge: duplicate row ids COLLAPSE (documented) — rows
+    # without identity belong on the fallback path
+    dup = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 1], "url": ["http://x.github.io/a"] * 2}))
+    assert U.registered_domain_psl(dup, psl, row_id_col="doc_id") \
+            .count() == 1
+    assert U.registered_domain_psl(dup, psl).count() == 2
+
+
 def test_robots_filter_literal_metachars_safe(spark):
     """Regex specials in rule paths match LITERALLY (a '.' must not
     become any-char), and a mid-pattern $ is literal."""
