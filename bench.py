@@ -47,7 +47,9 @@ HEADLINE = [
     "fed_lineitem_q1_all_access",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    # r12 merge: dedup_simhash absorbed into dedup_simhash_recall;
+    # the keeper carries the full-corpus signature pass in this slot.
+    "dedup_simhash_recall",
     "dedup_embedding_cosine",
     "text_stats",
     "text_quality_langid",
@@ -57,7 +59,9 @@ HEADLINE = [
     "events_sessionization",
     "asof_join_purchase_click",
     "range_join_price_bands",
-    "streaming_hourly_rollup",
+    # r12 merge: streaming_hourly_rollup absorbed into
+    # streaming_sliding_rollup (keeper runs BOTH drains).
+    "streaming_sliding_rollup",
     "streaming_dedup_ingest",
     "multimodal_features",
     "text_tfidf_top_terms",

@@ -2449,56 +2449,30 @@ order by id_a, id_b
 """)
 
 
-def _simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures over the full corpus plus planted verbatim copies,
-    checked via the copy invariant: identical text must produce an identical
-    64-bit signature. The signature VALUE is xxhash64-based and not portable
-    to the oracle engine; its determinism and text-dependence are. ``n_sigs``
-    aggregates over every computed signature so the full-corpus map pass
-    stays in the measured plan (bench comparability with r1-r4)."""
+def _simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash family in one pass (r12 merge of the former
+    ``dedup_simhash`` copy-invariant query into the hamming-band recall
+    query — every construct kept): plant verbatim copies (identical text
+    ⇒ identical 64-bit simhash ⇒ every band collides, recall exactly 1
+    by construction), take band-collision candidates, verify exact text
+    equality, and compare against the independently computed
+    md5-equality pair set in DuckDB. The absorbed constructs ride along:
+    ``is_planted`` marks the copy pairs (their presence IS the
+    signature-determinism invariant the retired query asserted per-doc),
+    and ``n_sigs`` aggregates the FULL-corpus signature map pass
+    (documents + 50 planted — the signature VALUE is xxhash64-based and
+    not oracle-portable; its count keeps the whole-corpus kernel in the
+    measured plan for bench comparability with r1-r4)."""
     from dataweb_spark.functions import dedup as D
     register_views(spark, sf_dir)
     docs = spark.table("documents").select("doc_id", "text")
-    planted = docs.where("doc_id < 50").select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text")
-    sigs = docs.unionByName(planted).select(
-        "doc_id", D.simhash64("text").alias("simhash"))
-    n_sigs = sigs.agg(
-        F.count(F.col("simhash")).alias("n_sigs"))
-    orig = sigs.where("doc_id < 50").select(
-        F.col("doc_id").alias("o_id"), F.col("simhash").alias("o_sig"))
-    copies = sigs.where("doc_id >= 100000").select(
-        (F.col("doc_id") - 100000).alias("o_id"),
-        F.col("simhash").alias("c_sig"))
-    return (orig.join(copies, "o_id").crossJoin(F.broadcast(n_sigs))
-            .select(F.col("o_id").alias("doc_id"),
-                    (F.col("o_sig") == F.col("c_sig")).alias("sig_equal"),
-                    "n_sigs")
-            .orderBy("doc_id"))
-
-
-_df("dedup_simhash", _simhash_buckets, oracle="""
-select doc_id, true as sig_equal,
-       (select count(*) + 50 from documents) as n_sigs
-from documents where doc_id < 50
-order by doc_id
-""")
-
-
-def _simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-checkable oracle for the SimHash hamming-band path: plant
-    verbatim copies (identical text ⇒ identical 64-bit simhash ⇒ every
-    band collides, recall exactly 1 by construction), take band-collision
-    candidates, verify exact text equality, and compare against the
-    independently computed md5-equality pair set in DuckDB. Validates the
-    banding/pairing machinery end-to-end with a true oracle."""
-    from dataweb_spark.functions import dedup as D
-    register_views(spark, sf_dir)
-    base = (spark.table("documents").select("doc_id", "text")
-            .where("doc_id < 200"))
+    base = docs.where("doc_id < 200")
     planted = base.where("doc_id < 50").select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text")
     corpus = base.unionByName(planted)
+    n_sigs = (docs.unionByName(planted)
+              .select(D.simhash64("text").alias("_sig"))
+              .agg(F.count("_sig").alias("n_sigs")))
     cands = D.simhash_candidates(corpus, "doc_id", "text")
     txt = corpus.select(F.col("doc_id").alias("_tid"), "text")
     return (cands
@@ -2508,7 +2482,11 @@ def _simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .withColumnRenamed("text", "txt_b"), "id_b")
             .where((F.col("sh_a") == F.col("sh_b"))
                    & (F.col("txt_a") == F.col("txt_b")))
-            .select("id_a", "id_b")
+            .crossJoin(F.broadcast(n_sigs))
+            .select("id_a", "id_b",
+                    (F.col("id_b") == F.col("id_a") + 100000)
+                    .alias("is_planted"),
+                    "n_sigs")
             .orderBy("id_a", "id_b"))
 
 
@@ -2520,7 +2498,9 @@ with base as (
   union all
   select doc_id + 100000 as doc_id, text from base where doc_id < 50
 )
-select a.doc_id as id_a, b.doc_id as id_b
+select a.doc_id as id_a, b.doc_id as id_b,
+       b.doc_id = a.doc_id + 100000 as is_planted,
+       (select count(*) + 50 from documents) as n_sigs
 from corpus a join corpus b
   on a.doc_id < b.doc_id and md5(a.text) = md5(b.text)
  and a.text = b.text
@@ -4324,64 +4304,65 @@ order by doc_id, rk
 # Structured Streaming (availableNow drains — batch-equivalent semantics)
 # ===========================================================================
 
-def _streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling-window rollup drained with availableNow.
-
-    Append mode emits exactly the windows whose close precedes the final
-    watermark (max_ts - 2h) — the oracle reproduces that horizon filter."""
-    import tempfile
-
-    from dataweb_spark.streaming import events as E
-    stream = E.read_event_stream(spark, sf_dir)
-    cp = tempfile.mkdtemp(prefix="dw_cp_hourly_")
-    out = E.run_available_now(E.hourly_rollup(stream), cp)
-    return out.orderBy("hour_ts", "event_type")
-
-
-_df("streaming_hourly_rollup", _streaming_hourly, oracle="""
-with agg as (
-  select date_trunc('hour', ts) as hour_ts, event_type,
-         count(*) as n, round(sum(value), 2) as total_value
-  from events
-  group by 1, 2
-), mx as (select max(ts) as m from events)
-select a.hour_ts, a.event_type, a.n, a.total_value
-from agg a, mx
-where a.hour_ts + interval 1 hour <= m - interval 2 hour
-order by hour_ts, event_type
-""")
-
-
 def _streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked 1h/30min sliding-window rollup drained with availableNow;
-    append mode emits windows closed before the final watermark. Oracle:
-    each event belongs to the two 30-min-aligned windows covering it."""
+    """Both watermarked window rollup shapes in one result (r12 merge of
+    the former ``streaming_hourly_rollup`` into the sliding query —
+    every construct kept): the 1h TUMBLING rollup (with its
+    ``total_value`` sum) and the 1h/30min SLIDING rollup each drain
+    their own availableNow stream through their own checkpoint, then
+    union at a common grain tagged by ``kind``. Append mode emits
+    exactly the windows whose close precedes each drain's final
+    watermark (max_ts - 2h); the oracle reproduces both horizon filters
+    (tumbling: hour bucket; sliding: each event belongs to the two
+    30-min-aligned windows covering it)."""
     import tempfile
 
     from dataweb_spark.streaming import events as E
-    stream = E.read_event_stream(spark, sf_dir)
-    cp = tempfile.mkdtemp(prefix="dw_cp_slide_")
-    out = E.run_available_now(E.sliding_rollup(stream), cp)
-    return out.orderBy("win_start", "event_type")
+    tumbling = E.run_available_now(
+        E.hourly_rollup(E.read_event_stream(spark, sf_dir)),
+        tempfile.mkdtemp(prefix="dw_cp_hourly_"))
+    sliding = E.run_available_now(
+        E.sliding_rollup(E.read_event_stream(spark, sf_dir)),
+        tempfile.mkdtemp(prefix="dw_cp_slide_"))
+    t = tumbling.select(
+        F.lit("tumbling_1h").alias("kind"),
+        F.col("hour_ts").alias("win_start"),
+        (F.col("hour_ts") + F.expr("interval 1 hour")).alias("win_end"),
+        "event_type", "n", "total_value")
+    s = sliding.select(
+        F.lit("sliding_1h_30m").alias("kind"),
+        "win_start", "win_end", "event_type", "n",
+        F.lit(None).cast("double").alias("total_value"))
+    return t.unionByName(s).orderBy("kind", "win_start", "event_type")
 
 
 _df("streaming_sliding_rollup", _streaming_sliding, oracle="""
-with w as (
+with mx as (select max(ts) as m from events),
+tumb as (
+  select 'tumbling_1h' as kind,
+         date_trunc('hour', ts) as win_start,
+         date_trunc('hour', ts) + interval 1 hour as win_end,
+         event_type, count(*) as n, round(sum(value), 2) as total_value
+  from events
+  group by 1, 2, 3, 4
+), w as (
   select e.event_type, e.ts,
          time_bucket(interval 30 minute, e.ts)
            - u.k * interval 30 minute as win_start
   from events e, unnest(range(0, 2)) as u(k)
-), agg as (
-  select win_start, win_start + interval 1 hour as win_end,
-         event_type, count(*) as n
+), slid as (
+  select 'sliding_1h_30m' as kind, win_start,
+         win_start + interval 1 hour as win_end,
+         event_type, count(*) as n,
+         cast(null as double) as total_value
   from w
   where ts >= win_start and ts < win_start + interval 1 hour
-  group by win_start, event_type
-), mx as (select max(ts) as m from events)
-select a.win_start, a.win_end, a.event_type, a.n
-from agg a, mx
+  group by 1, 2, 3, 4
+)
+select a.kind, a.win_start, a.win_end, a.event_type, a.n, a.total_value
+from (select * from tumb union all select * from slid) a, mx
 where a.win_end <= m - interval 2 hour
-order by win_start, event_type
+order by kind, win_start, event_type
 """)
 
 
@@ -4598,17 +4579,27 @@ order by kind
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode → features: deterministic BMPs are synthesized
-    distributed, decoded by the pure-numpy 24-bit BMP codec, and reduced to
-    dimension/pixel statistics. The image pixels follow a closed form
-    ``(3x + 5y + 7m + 11c) mod 256``, so the DuckDB oracle aggregates the
-    SAME values analytically — a full encode→decode→feature hash check
-    (the aHash bits are pinned separately by pytest round-trips)."""
+    """REAL image decode → features, BOTH raster codecs in one result
+    (r12 merge of the former ``multimodal_png_features`` into this query
+    — every construct kept): the same analytic raster closed form
+    ``(3x + 5y + 7m + 11c) mod 256`` is synthesized distributed as
+    24-bit BMPs AND as zlib-compressed PNGs (scanline filter ``m % 5``,
+    so every PNG filter type None/Sub/Up/Average/Paeth decodes), each
+    decoded by its pure-numpy codec and reduced to identical
+    dimension/pixel statistics tagged by ``codec``. The DuckDB oracle
+    aggregates the SAME values analytically once per codec — a full
+    encode→decode→feature hash check for both container formats (the
+    aHash bits are pinned separately by pytest round-trips)."""
     from dataweb_spark.functions import multimodal as M
-    media = M.synthesize_bmp_media(spark, n=64)
-    return (M.extract_image_features(media)
-             .select("media_id", "width", "height", "px_sum", "px_mean")
-             .orderBy("media_id"))
+    feats = []
+    for codec, synth in (("bmp", M.synthesize_bmp_media),
+                         ("png", M.synthesize_png_media)):
+        media = synth(spark, n=64)
+        feats.append(
+            M.extract_image_features(media)
+             .select(F.lit(codec).alias("codec"), "media_id", "width",
+                     "height", "px_sum", "px_mean"))
+    return feats[0].unionByName(feats[1]).orderBy("codec", "media_id")
 
 
 _df("multimodal_features", _multimodal_features, oracle="""
@@ -4624,13 +4615,16 @@ dims as (
        unnest(range(d.width)) as x(x),
        unnest(range(d.height)) as y(y),
        unnest(range(3)) as c(c)
+), agg as (
+  select media_id, width, height,
+         cast(sum(v) as bigint) as px_sum,
+         round(sum(v) / cast(width * height * 3 as double), 6) as px_mean
+  from px
+  group by media_id, width, height
 )
-select media_id, width, height,
-       cast(sum(v) as bigint) as px_sum,
-       round(sum(v) / cast(width * height * 3 as double), 6) as px_mean
-from px
-group by media_id, width, height
-order by media_id
+select c.codec, a.media_id, a.width, a.height, a.px_sum, a.px_mean
+from agg a, (values ('bmp'), ('png')) as c(codec)
+order by codec, media_id
 """)
 
 
@@ -5069,43 +5063,6 @@ join m1 on b.w1 = m1.w1
 cross join v
 group by b.doc_id
 order by b.doc_id
-""")
-
-
-def _multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PNG decode → features: the same analytic raster closed form as
-    ``multimodal_features``, but zlib-compressed through the pure-python
-    PNG encoder with scanline filter ``m % 5`` — decoding the table
-    exercises every PNG filter type (None/Sub/Up/Average/Paeth), and the
-    identical DuckDB oracle verifies the recovered pixels analytically.
-    Proves the compressed-codec path end-to-end with no codec library."""
-    from dataweb_spark.functions import multimodal as M
-    media = M.synthesize_png_media(spark, n=64)
-    return (M.extract_image_features(media)
-             .select("media_id", "width", "height", "px_sum", "px_mean")
-             .orderBy("media_id"))
-
-
-_df("multimodal_png_features", _multimodal_png, oracle="""
-with m as (select range as media_id from range(64)),
-dims as (
-  select media_id, cast(8 + media_id % 5 as int) as width,
-         cast(8 + media_id % 3 as int) as height
-  from m
-), px as (
-  select d.media_id, d.width, d.height,
-         (3 * x.x + 5 * y.y + 7 * d.media_id + 11 * c.c) % 256 as v
-  from dims d,
-       unnest(range(d.width)) as x(x),
-       unnest(range(d.height)) as y(y),
-       unnest(range(3)) as c(c)
-)
-select media_id, width, height,
-       cast(sum(v) as bigint) as px_sum,
-       round(sum(v) / cast(width * height * 3 as double), 6) as px_mean
-from px
-group by media_id, width, height
-order by media_id
 """)
 
 
@@ -8025,9 +7982,14 @@ _DRIVER_WINDOW = [
 # window budget: up to 50 checked by the driver. Rotated-out names stay
 # in QUERIES (checkable any round; the full local sweep covers all of
 # them each round). After this window runs the oldest evidence anywhere
-# is r9 (48 names) — window the r9 cohort in r13; r10's 48 in r14. With
-# 193 declared and 50 slots/round the 50x4 age budget stays satisfiable
-# as long as per-round new declarations stay <= ~7 (see COVERAGE.md).
+# is r9 — the r12 merges retired 3 names (dedup_simhash,
+# streaming_hourly_rollup, multimodal_png_features; their keepers sit
+# IN this window, so the merged constructs get r12 evidence), leaving
+# 190 declared: window the remaining ~45-name r9 cohort in r13 (3 of
+# its names — crawl_url_normalize/crawl_domain_caps/crawl_psl_domains —
+# are refreshed here in the spare slots), r10's 48 in r14. With 190
+# declared and 50 slots/round the 50x4 age budget stays satisfiable as
+# long as per-round new declarations stay <= ~10 (see COVERAGE.md).
 # New queries outrank age refreshes for slots, as always.
 
 def _apply_driver_window() -> None:
