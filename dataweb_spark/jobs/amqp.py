@@ -18,6 +18,10 @@ the Trino and FlightSQL engines (`sources/httpjson.py`,
   consumer's shape), ``basic.ack``, and requeue-of-unacked on connection
   drop (at-least-once, like RabbitMQ).
 * :class:`AmqpClient` — a blocking client speaking the same frames.
+* TLS (r12): both ends optionally speak AMQPS — the broker terminates
+  TLS on its socket (server-auth or mutual with a required client CA),
+  the client verifies the broker cert against a CA file; PLAIN auth
+  then runs inside the channel, RabbitMQ's stock 5671 arrangement.
 * :class:`AmqpJobQueue` — the broker kind for the job store: ``submit``
   publishes the job spec to the queue, workers ``claim`` via
   ``basic.get`` + ack; status/results stay in the file store exactly as
@@ -193,15 +197,34 @@ def _read_content(sock: socket.socket) -> bytes:
 # -- broker -----------------------------------------------------------------
 
 class MiniAmqpBroker:
-    """In-process AMQP 0-9-1 broker (see module docstring for scope)."""
+    """In-process AMQP 0-9-1 broker (see module docstring for scope).
+
+    ``tls`` (optional) terminates TLS on the broker socket — the AMQPS
+    face RabbitMQ serves on 5671: ``{"cert_file": ..., "key_file": ...}``
+    for server-auth TLS, plus ``"ca_file"`` to REQUIRE client
+    certificates (mutual TLS, RabbitMQ's ``ssl_options.verify_peer``
+    with ``fail_if_no_peer_cert``). The handshake runs in the
+    per-connection thread so a stalled or non-TLS peer can never block
+    the accept loop; a failed handshake drops that connection only.
+    PLAIN credentials still apply INSIDE the TLS channel, as in
+    RabbitMQ's default AMQPS setup."""
 
     def __init__(self, username: str = "guest", password: str = "guest",
-                 host: str = "127.0.0.1"):
+                 host: str = "127.0.0.1", tls: dict | None = None):
         self._creds = f"\x00{username}\x00{password}".encode()
         self._lock = threading.Lock()
         self._queues: dict[str, deque] = {}
         # push consumers: ctag -> dict(sock, channel, queue, conn_state)
         self._consumers: dict[str, dict] = {}
+        self._tls_ctx = None
+        if tls is not None:
+            import ssl
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(tls["cert_file"], tls["key_file"])
+            if tls.get("ca_file"):
+                ctx.load_verify_locations(tls["ca_file"])
+                ctx.verify_mode = ssl.CERT_REQUIRED
+            self._tls_ctx = ctx
         self._srv = socket.create_server((host, 0))
         self.port = self._srv.getsockname()[1]
         self._stop = False
@@ -230,6 +253,18 @@ class MiniAmqpBroker:
                              daemon=True).start()
 
     def _serve_conn(self, sock: socket.socket) -> None:
+        if self._tls_ctx is not None:
+            import ssl
+            try:
+                sock = self._tls_ctx.wrap_socket(sock, server_side=True)
+            except (ssl.SSLError, OSError):
+                # plaintext caller, bad ciphersuite, or a client cert the
+                # CA rejects: drop THIS connection, never the broker
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+                return
         # conn-local state: delivery tags and unacked messages
         state = {"tag": 0, "unacked": {}, "prefetch": 0, "wlock":
                  threading.Lock()}
@@ -419,11 +454,27 @@ class MiniAmqpBroker:
 
 class AmqpClient:
     """Blocking AMQP 0-9-1 client: publish, get, consume, ack. One
-    client per thread (a single socket conversation)."""
+    client per thread (a single socket conversation).
+
+    ``tls`` (optional) speaks AMQPS: ``{"ca_file": ...}`` verifies the
+    broker's certificate (hostname checked against
+    ``server_hostname``, default the connect host), and
+    ``"cert_file"``/``"key_file"`` present a client certificate when the
+    broker demands mutual TLS."""
 
     def __init__(self, host: str, port: int, username: str = "guest",
-                 password: str = "guest", timeout: float = 30.0):
+                 password: str = "guest", timeout: float = 30.0,
+                 tls: dict | None = None):
         self._sock = socket.create_connection((host, port), timeout=timeout)
+        if tls is not None:
+            import ssl
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            ctx.load_verify_locations(tls["ca_file"])
+            if tls.get("cert_file"):
+                ctx.load_cert_chain(tls["cert_file"], tls["key_file"])
+            self._sock = ctx.wrap_socket(
+                self._sock,
+                server_hostname=tls.get("server_hostname", host))
         self._channel = 1
         self._sock.sendall(PROTO_HEADER)
         self._expect(CONN_START)
@@ -546,9 +597,10 @@ class AmqpJobQueue(FileJobQueue):
 
     def __init__(self, root: str, host: str, port: int,
                  queue: str = "dataweb_tasks", username: str = "guest",
-                 password: str = "guest"):
+                 password: str = "guest", tls: dict | None = None):
         super().__init__(root)
         self._amqp = (host, port, username, password)
+        self._tls = tls
         self._queue = queue
         self._local = threading.local()
         self._clients: list[AmqpClient] = []
@@ -558,7 +610,7 @@ class AmqpJobQueue(FileJobQueue):
         c = getattr(self._local, "client", None)
         if c is None:
             host, port, user, pw = self._amqp
-            c = AmqpClient(host, port, user, pw)
+            c = AmqpClient(host, port, user, pw, tls=self._tls)
             c.queue_declare(self._queue)
             c.basic_qos(1)
             self._local.client = c

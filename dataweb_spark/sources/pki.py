@@ -266,11 +266,17 @@ def generate_ca(common_name: str = "dataweb-test-ca"):
 
 
 def generate_client_identity(ca_cert_pem: bytes, ca_key,
-                             common_name: str) -> tuple[bytes, bytes]:
+                             common_name: str,
+                             dns_names: list[str] | None = None
+                             ) -> tuple[bytes, bytes]:
     """CA-signed client identity ``(cert_pem, key_pem)`` for gRPC mutual
     TLS (``FlightClient`` ``cert_chain``/``private_key``). The DER form of
     the cert can ALSO enroll as the fingerprint principal, so one identity
-    serves both the transport gate and the permission layer."""
+    serves both the transport gate and the permission layer.
+    ``dns_names`` adds a SubjectAlternativeName extension (plus
+    ``127.0.0.1`` when it contains ``localhost``) so the same helper can
+    mint CA-issued SERVER certs that pass Python ssl's SAN-only hostname
+    verification (the AMQPS broker face)."""
     import datetime
 
     from cryptography import x509
@@ -281,15 +287,22 @@ def generate_client_identity(ca_cert_pem: bytes, ca_key,
     ca_cert = x509.load_pem_x509_certificate(ca_cert_pem)
     key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
     now = datetime.datetime(2020, 1, 1)
-    cert = (x509.CertificateBuilder()
-            .subject_name(x509.Name([
-                x509.NameAttribute(NameOID.COMMON_NAME, common_name)]))
-            .issuer_name(ca_cert.subject)
-            .public_key(key.public_key())
-            .serial_number(x509.random_serial_number())
-            .not_valid_before(now)
-            .not_valid_after(now + datetime.timedelta(days=36500))
-            .sign(ca_key, algorithm=hashes.SHA256()))
+    builder = (x509.CertificateBuilder()
+               .subject_name(x509.Name([
+                   x509.NameAttribute(NameOID.COMMON_NAME, common_name)]))
+               .issuer_name(ca_cert.subject)
+               .public_key(key.public_key())
+               .serial_number(x509.random_serial_number())
+               .not_valid_before(now)
+               .not_valid_after(now + datetime.timedelta(days=36500)))
+    if dns_names:
+        import ipaddress
+        sans: list = [x509.DNSName(n) for n in dns_names]
+        if "localhost" in dns_names:
+            sans.append(x509.IPAddress(ipaddress.ip_address("127.0.0.1")))
+        builder = builder.add_extension(
+            x509.SubjectAlternativeName(sans), critical=False)
+    cert = builder.sign(ca_key, algorithm=hashes.SHA256())
     cert_pem = cert.public_bytes(serialization.Encoding.PEM)
     key_pem = key.private_bytes(
         serialization.Encoding.PEM,

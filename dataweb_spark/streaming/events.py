@@ -49,14 +49,27 @@ def read_event_stream(spark: SparkSession, sf_dir: str,
     silently when the generator changes — a nanos assumption on micros
     data lands every event in Jan 1970 and append-mode windows never
     close past the watermark (0 rows out).
+
+    ``events.parquet`` may be a single FILE (the driver testdata shape)
+    or a Spark-written DIRECTORY of part files (every production lake
+    layout). The file case watches ``sf_dir`` filtered to exactly that
+    name (streaming file sources demand a directory); the directory case
+    loads it directly — a leaf-name glob there would match no part file
+    and SILENTLY stream zero rows (r12 fix, caught by the 10×-scale
+    measurement whose scaled table is Spark-written).
     """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    reader = (spark.readStream.schema(schema).format("parquet")
-              .option("pathGlobFilter", "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        path = sf_dir
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.load(sf_dir)
+    df = reader.load(path)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

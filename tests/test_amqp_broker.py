@@ -214,3 +214,112 @@ def test_body_chunking_roundtrip(broker):
         c.ack(tag)
     assert got == sent                      # FIFO and byte-exact
     c.close()
+
+
+# -- AMQPS (TLS on the broker socket, r12) -----------------------------------
+
+@pytest.fixture(scope="module")
+def tls_material(tmp_path_factory):
+    """CA + CA-issued broker cert (hostname 'localhost') + a CA-issued
+    client cert, all as files (ssl loads paths)."""
+    from dataweb_spark.sources import pki
+    d = tmp_path_factory.mktemp("amqps")
+    ca_pem, ca_key = pki.generate_ca("amqp-test-ca")
+    srv_cert, srv_key = pki.generate_client_identity(
+        ca_pem, ca_key, "localhost", dns_names=["localhost"])
+    cli_cert, cli_key = pki.generate_client_identity(
+        ca_pem, ca_key, "worker-box")
+    other_ca, _ = pki.generate_ca("other-ca")
+    paths = {}
+    for name, data in [("ca.pem", ca_pem),
+                       ("srv_cert.pem", srv_cert),
+                       ("srv_key.pem", srv_key),
+                       ("cli_cert.pem", cli_cert),
+                       ("cli_key.pem", cli_key),
+                       ("other_ca.pem", other_ca)]:
+        p = d / name
+        p.write_bytes(data)
+        paths[name] = str(p)
+    return paths
+
+
+@pytest.fixture(scope="module")
+def tls_broker(tls_material):
+    b = MiniAmqpBroker(username="worker", password="s3cret",
+                       tls={"cert_file": tls_material["srv_cert.pem"],
+                            "key_file": tls_material["srv_key.pem"]})
+    yield b
+    b.shutdown()
+
+
+def test_amqps_roundtrip_and_rejects(tls_material, tls_broker):
+    """TLS clients verify the broker cert and work end-to-end; a
+    plaintext client and a wrong-CA client both fail the handshake
+    without wedging the broker."""
+    import ssl
+    tls = {"ca_file": tls_material["ca.pem"],
+           "server_hostname": "localhost"}
+    c = AmqpClient("127.0.0.1", tls_broker.port, "worker", "s3cret",
+                   tls=tls)
+    c.queue_declare("q_tls")
+    c.publish("q_tls", b"secret payload")
+    tag, body = c.get("q_tls")
+    assert body == b"secret payload"
+    c.ack(tag)
+    c.close()
+    # plaintext against the TLS port: server drops the conn mid-handshake
+    with pytest.raises((ConnectionError, OSError)):
+        AmqpClient("127.0.0.1", tls_broker.port, "worker", "s3cret")
+    # wrong CA: client refuses the broker cert
+    with pytest.raises(ssl.SSLError):
+        AmqpClient("127.0.0.1", tls_broker.port, "worker", "s3cret",
+                   tls={"ca_file": tls_material["other_ca.pem"],
+                        "server_hostname": "localhost"})
+    # broker still serves after both failures
+    c2 = AmqpClient("127.0.0.1", tls_broker.port, "worker", "s3cret",
+                    tls=tls)
+    c2.queue_declare("q_tls")
+    c2.close()
+
+
+def test_amqps_mutual_tls_requires_client_cert(tls_material):
+    """ca_file on the broker = RabbitMQ verify_peer+fail_if_no_peer_cert:
+    certless TLS clients are rejected at handshake, CA-issued client
+    certs pass; PLAIN auth still applies inside the channel."""
+    import ssl
+    b = MiniAmqpBroker(username="worker", password="s3cret",
+                       tls={"cert_file": tls_material["srv_cert.pem"],
+                            "key_file": tls_material["srv_key.pem"],
+                            "ca_file": tls_material["ca.pem"]})
+    try:
+        base = {"ca_file": tls_material["ca.pem"],
+                "server_hostname": "localhost"}
+        with pytest.raises((ssl.SSLError, ConnectionError, OSError)):
+            AmqpClient("127.0.0.1", b.port, "worker", "s3cret", tls=base)
+        full = dict(base, cert_file=tls_material["cli_cert.pem"],
+                    key_file=tls_material["cli_key.pem"])
+        c = AmqpClient("127.0.0.1", b.port, "worker", "s3cret", tls=full)
+        c.queue_declare("q_mtls")
+        c.publish("q_mtls", b"x")
+        tag, body = c.get("q_mtls")
+        assert body == b"x"
+        c.ack(tag)
+        c.close()
+        # wrong PLAIN creds still rejected inside a good TLS channel
+        with pytest.raises((ConnectionError, OSError)):
+            AmqpClient("127.0.0.1", b.port, "worker", "wrong", tls=full)
+    finally:
+        b.shutdown()
+
+
+def test_amqps_job_queue_end_to_end(tmp_path, tls_material, tls_broker):
+    """AmqpJobQueue(tls=...) — the control plane rides AMQPS."""
+    tls = {"ca_file": tls_material["ca.pem"],
+           "server_hostname": "localhost"}
+    q = AmqpJobQueue(str(tmp_path / "store"), "127.0.0.1",
+                     tls_broker.port, queue="q_tls_jobs",
+                     username="worker", password="s3cret", tls=tls)
+    job_id = q.submit({"sql": "select 1"})
+    claimed = q.claim()
+    assert claimed is not None and claimed["job_id"] == job_id
+    q.close()

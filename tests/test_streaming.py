@@ -41,6 +41,26 @@ def test_hourly_rollup_matches_batch(spark, sf_dir, tmp_path, batch_events):
     assert len(got) >= len(exp) - 4 * 3  # ≤4 open hours × ≤3 event types
 
 
+def test_event_stream_reads_directory_layout(spark, sf_dir, tmp_path):
+    """events.parquet as a Spark-written DIRECTORY of part files (every
+    production lake layout) must stream the same rows as the single-file
+    testdata shape — the r12 10×-scale run caught the leaf-name glob
+    silently matching zero part files (0 rows, no error)."""
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    (spark.read.parquet(f"{sf_dir}/events.parquet").limit(500)
+     .repartition(3)
+     .write.parquet(str(lake / "events.parquet")))
+    stream = E.read_event_stream(spark, str(lake))
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory").queryName("dir_layout_raw")
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "cp_dir"))
+         .outputMode("append").start())
+    q.awaitTermination()
+    assert spark.table("dir_layout_raw").count() == 500
+
+
 def test_session_rollup_runs(spark, sf_dir, tmp_path):
     stream = E.read_event_stream(spark, sf_dir)
     out = E.run_available_now(E.session_rollup(stream),
