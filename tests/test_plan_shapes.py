@@ -338,3 +338,42 @@ def test_robots_filter_large_table_mode_shuffles(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin" not in plan
     assert re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+
+
+def test_pack_training_rows_join_reuses_shard_partitioning(spark, sf_dir):
+    """pipeline_pack_training_rows: the packed-row and span sides both
+    derive from the same shard-partitioned window prefix; the join on
+    (shard, seq_id) must not cartesian, and the whole query's exchanges
+    stay bounded (two window prefixes + one bounded join distribution —
+    NOT proportional to data volume)."""
+    from dataweb_spark.queries import queries
+    df = queries()["pipeline_pack_training_rows"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 5, f"unexpected exchange count {n_ex}:\n{plan[:2000]}"
+
+
+def test_politeness_waves_query_single_domain_window(spark, sf_dir):
+    """crawl_politeness_waves: wave/slot are arithmetic on the ONE
+    domain-window row_number — no second window, no cartesian; the
+    prior join broadcasts (small aggregated prior)."""
+    from dataweb_spark.queries import queries
+    df = queries()["crawl_politeness_waves"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("RunningWindowFunction") <= 1
+    assert len(re.findall(r"Window ", plan)) <= 2  # rank window + none extra
+
+
+def test_kmv_query_bounded_exchange(spark, sf_dir):
+    """sketch_kmv_distinct: the per-partition k-min pre-combine bounds
+    what crosses the wire; the plan carries the distinct + window
+    exchanges only (the final groupBy reuses the window partitioning)."""
+    from dataweb_spark.queries import queries
+    df = queries()["sketch_kmv_distinct"](spark, sf_dir)
+    plan = _plan(df)
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 3, f"exchange count {n_ex}"
+    assert "CartesianProduct" not in plan
