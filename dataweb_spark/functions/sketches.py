@@ -170,7 +170,7 @@ def kmv_sketch(df: DataFrame, value_col: str,
 
 
 def kmv_merge(sketches: DataFrame, group_cols: list[str] | None = None,
-              k: int = 64) -> DataFrame:
+              k: int = 64, built_k: int | None = None) -> DataFrame:
     """Merge per-source sketches into the whole-data sketch.
 
     Input is any union of ``kmv_sketch`` outputs (columns ``kmv`` and
@@ -183,19 +183,31 @@ def kmv_merge(sketches: DataFrame, group_cols: list[str] | None = None,
     ``k`` must be ≤ every input sketch's build k: hashes ranked beyond
     a source's k were never shipped, so merging UP would silently
     undercount (and can even report a too-small count as "exact").
-    Checked eagerly — sketch frames are tiny by construction, so the
-    validation job costs nothing.
+    ``built_k`` (the known build parameter) validates that with zero
+    compute; without it an eager ``min(k)`` probe runs — free on a
+    MATERIALIZED sketch table, but on an inline lazy ``kmv_sketch``
+    plan it forces the full sketch lineage once before the returned
+    plan recomputes it (r12 honesty fix: the old docstring claimed the
+    probe "costs nothing", conflating materialized size with lineage
+    compute).
     """
     if k < 2:
         raise ValueError("k must be >= 2")
     if "k" not in sketches.columns:
         raise ValueError("input is not a kmv_sketch output (no 'k' column)")
-    min_k = sketches.agg(F.min("k")).first()[0]
-    if min_k is not None and min_k < k:
-        raise ValueError(
-            f"cannot merge at k={k}: an input sketch was built with "
-            f"k={min_k}; ranks beyond it were never kept, so merging "
-            "up would undercount")
+    if built_k is not None:
+        if built_k < k:
+            raise ValueError(
+                f"cannot merge at k={k}: an input sketch was built with "
+                f"k={built_k}; ranks beyond it were never kept, so "
+                "merging up would undercount")
+    else:
+        min_k = sketches.agg(F.min("k")).first()[0]
+        if min_k is not None and min_k < k:
+            raise ValueError(
+                f"cannot merge at k={k}: an input sketch was built with "
+                f"k={min_k}; ranks beyond it were never kept, so merging "
+                "up would undercount")
     gcols = list(group_cols or [])
     added = []
     if not gcols:
@@ -208,7 +220,8 @@ def kmv_merge(sketches: DataFrame, group_cols: list[str] | None = None,
 
 def kmv_set_estimates(a: DataFrame, b: DataFrame,
                       group_cols: list[str] | None = None,
-                      k: int = 64) -> DataFrame:
+                      k: int = 64,
+                      built_k: int | None = None) -> DataFrame:
     """Set-operation cardinality estimates from two KMV sketch frames —
     union, intersection, both differences, and an integer Jaccard —
     without touching raw data (Beyer et al., "On Synopses for Distinct
@@ -236,7 +249,11 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame,
     Therefore ``M ∩ kmv_a`` is exactly the M-hashes belonging to A (and
     symmetrically for B) — no false "only" classifications. Same
     merge-direction guard as ``kmv_merge``: ``k`` must be ≤ both
-    builds' k.
+    builds' k. Pass ``built_k`` (the known build parameter) to validate
+    that WITHOUT executing the inputs — the default probe runs
+    ``min(k)`` on each side, which forces each sketch's full lazy
+    lineage once before the returned plan recomputes it (fine for
+    materialized sketch tables, a 2× cost on inline lazy plans).
 
     Scale shape: sketch frames are O(groups) rows of ≤k-long arrays —
     this is one small full-outer join plus array kernels, no raw-data
@@ -250,6 +267,12 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame,
         if "k" not in df.columns:
             raise ValueError(
                 f"input {side} is not a kmv_sketch output (no 'k' column)")
+        if built_k is not None:
+            if built_k < k:
+                raise ValueError(
+                    f"cannot estimate at k={k}: inputs were built with "
+                    f"k={built_k}; ranks beyond it were never kept")
+            continue
         min_k = df.agg(F.min("k")).first()[0]
         if min_k is not None and min_k < k:
             raise ValueError(
@@ -262,9 +285,22 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame,
         b = b.withColumn("_g", F.lit(1))
         gcols, added = ["_g"], ["_g"]
     empty = F.array().cast("array<bigint>")
-    left = a.select(*gcols, F.col("kmv").alias("_ka"))
-    right = b.select(*gcols, F.col("kmv").alias("_kb"))
-    j = (left.join(right, gcols, "full_outer")
+    # NULL-safe group matching: a plain equi-join would leave a NULL
+    # group unmatched on BOTH sides (two rows, each against an empty
+    # sketch — zero overlap reported for a possibly-identical set).
+    left = a.select(*[F.col(c).alias(f"_la_{c}") for c in gcols],
+                    F.col("kmv").alias("_ka"))
+    right = b.select(*[F.col(c).alias(f"_rb_{c}") for c in gcols],
+                     F.col("kmv").alias("_kb"))
+    cond = None
+    for c in gcols:
+        eq = F.col(f"_la_{c}").eqNullSafe(F.col(f"_rb_{c}"))
+        cond = eq if cond is None else cond & eq
+    j = left.join(right, cond, "full_outer")
+    for c in gcols:
+        j = j.withColumn(c, F.coalesce(f"_la_{c}", f"_rb_{c}"))
+    j = (j.drop(*[f"_la_{c}" for c in gcols],
+                *[f"_rb_{c}" for c in gcols])
          .withColumn("_ka", F.coalesce("_ka", empty))
          .withColumn("_kb", F.coalesce("_kb", empty)))
     m = F.slice(F.array_sort(F.array_union("_ka", "_kb")), 1, k)

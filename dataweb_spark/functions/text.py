@@ -938,9 +938,11 @@ def span_corruption_examples(df: DataFrame, id_col: str = "doc_id",
     if mask_rate > 0.0 and thr == 0:
         # the bucket comparison quantizes the rate to 1/256 — a rate
         # below ~0.2% would silently mask NOTHING; refuse instead.
+        # (strictly greater than 1/512: exactly 1/512 gives round(0.5)
+        # which banker's-rounds to 0 buckets too)
         raise ValueError(
             f"mask_rate={mask_rate} quantizes to 0/256 — the masking "
-            "decision has 1/256 resolution; use mask_rate >= 1/512 "
+            "decision has 1/256 resolution; use mask_rate > 1/512 "
             "(rounds to >= 1 bucket) or exactly 0.0")
     toks = (df.select(F.col(id_col), tokens(text_col).alias("_t"))
               .where(F.size("_t") > 0)

@@ -326,7 +326,8 @@ def politeness_waves(df: DataFrame, url_col: str = "url",
                      id_col: str = "doc_id", per_wave: int = 10,
                      max_per_domain: int | None = None,
                      priority: DataFrame | None = None,
-                     score_col: str = "score") -> DataFrame:
+                     score_col: str = "score",
+                     keep_score: bool = False) -> DataFrame:
     """Per-domain politeness *scheduling* on the frontier — the sequel
     to :func:`domain_caps`' admission: assign every admitted URL a fetch
     ``wave`` (0-based) such that each registered domain contributes at
@@ -348,6 +349,10 @@ def politeness_waves(df: DataFrame, url_col: str = "url",
     Emits the input columns plus ``domain``, ``wave`` and ``wave_slot``
     (0-based position inside the domain's wave — fetchers that thread
     per-domain connections use it as the request index).
+    ``keep_score=True`` (with a ``priority``) also emits the prior's
+    score as ``score`` (0 for unlisted URLs) — it is already joined for
+    the ordering, so keeping it is free, while re-deriving it downstream
+    would cost a second normalize + join over the full frontier.
 
     Shape at 100 TB: ONE exchange — the same single domain-partitioned
     window ``domain_caps`` already pays; wave/slot are arithmetic on
@@ -365,15 +370,18 @@ def politeness_waves(df: DataFrame, url_col: str = "url",
             Window.partitionBy("_dom").orderBy(*order)))
     if max_per_domain is not None:
         ranked = ranked.where(F.col("_rn") <= max_per_domain)
-    return (ranked
-            .withColumn("wave",
-                        F.expr(f"cast((_rn - 1) div {int(per_wave)} "
-                               "as int)"))
-            .withColumn("wave_slot",
-                        F.pmod(F.col("_rn") - 1, F.lit(per_wave))
-                         .cast("int"))
-            .drop("_norm", "_rn", "_score")
-            .withColumnRenamed("_dom", "domain"))
+    out = (ranked
+           .withColumn("wave",
+                       F.expr(f"cast((_rn - 1) div {int(per_wave)} "
+                              "as int)"))
+           .withColumn("wave_slot",
+                       F.pmod(F.col("_rn") - 1, F.lit(per_wave))
+                        .cast("int")))
+    if keep_score and priority is not None:
+        out = out.withColumn(
+            "score", F.coalesce(F.col("_score"), F.lit(0)).cast("bigint"))
+    return (out.drop("_norm", "_rn", "_score")
+               .withColumnRenamed("_dom", "domain"))
 
 
 def parse_robots(df: DataFrame, domain_col: str = "domain",

@@ -6790,13 +6790,9 @@ def _crawl_politeness_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy("url_norm")
           .agg(F.count("*").cast("bigint").alias("score")))
     waved = U.politeness_waves(cand, per_wave=2, max_per_domain=6,
-                               id_col="doc_id", priority=pr)
-    rescored = waved.join(
-        pr.withColumnRenamed("url_norm", "_n"),
-        U.normalize_url("url") == F.col("_n"), "left")
-    return (rescored.select(
-                "domain", "wave", "wave_slot", "doc_id",
-                F.coalesce("score", F.lit(0)).cast("bigint").alias("score"))
+                               id_col="doc_id", priority=pr,
+                               keep_score=True)
+    return (waved.select("domain", "wave", "wave_slot", "doc_id", "score")
             .orderBy("domain", "wave", "wave_slot"))
 
 
@@ -7617,7 +7613,7 @@ def _sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     sa = K.kmv_sketch(docs.where("doc_id % 2 = 0"), "text", ["lang"], k=64)
     sb = K.kmv_sketch(docs.where("doc_id % 3 = 0"), "text", ["lang"], k=64)
-    return (K.kmv_set_estimates(sa, sb, ["lang"], k=64)
+    return (K.kmv_set_estimates(sa, sb, ["lang"], k=64, built_k=64)
             .orderBy("lang"))
 
 
@@ -7625,14 +7621,16 @@ _df("sketch_kmv_overlap", _sketch_kmv_overlap, oracle=r"""
 with ha as (
   select lang, h, row_number() over (partition by lang order by h) as rk
   from (select distinct lang,
-               ('0x' || substr(md5(cast(text as varchar)), 1, 12))::bigint
-                 as h
+               ('0x' || substr(md5(coalesce(cast(text as varchar),
+                                            chr(0) || 'null')), 1, 12))
+                 ::bigint as h
         from documents where doc_id % 2 = 0)),
 hb as (
   select lang, h, row_number() over (partition by lang order by h) as rk
   from (select distinct lang,
-               ('0x' || substr(md5(cast(text as varchar)), 1, 12))::bigint
-                 as h
+               ('0x' || substr(md5(coalesce(cast(text as varchar),
+                                            chr(0) || 'null')), 1, 12))
+                 ::bigint as h
         from documents where doc_id % 3 = 0)),
 ka as (select lang, list(h order by h) as kmv from ha where rk <= 64
        group by lang),

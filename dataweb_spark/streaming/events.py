@@ -56,15 +56,22 @@ def read_event_stream(spark: SparkSession, sf_dir: str,
     name (streaming file sources demand a directory); the directory case
     loads it directly — a leaf-name glob there would match no part file
     and SILENTLY stream zero rows (r12 fix, caught by the 10×-scale
-    measurement whose scaled table is Spark-written).
+    measurement whose scaled table is Spark-written). The file-vs-dir
+    probe goes through the Hadoop FileSystem API so remote URIs
+    (``s3a://``, ``hdfs://``) classify correctly — ``os.path`` would
+    call every remote path a directory and regress the remote
+    single-file layout.
     """
-    import os
+    import posixpath
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
+    path = posixpath.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema).format("parquet")
-    if os.path.isfile(path):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.getFileStatus(hpath).isFile():
         reader = reader.option("pathGlobFilter", "events.parquet")
         path = sf_dir
     if max_files_per_trigger:

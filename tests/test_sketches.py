@@ -200,6 +200,30 @@ def test_kmv_set_estimates_disjoint_and_one_sided_groups(spark):
                             K.kmv_sketch(b, "v", ["g"], k=128), ["g"], k=64)
 
 
+def test_kmv_set_estimates_null_group_matches_nullsafe(spark):
+    """A NULL group key present on BOTH sides must meet itself (one
+    output row with the true overlap), not split into two rows each
+    against an empty sketch — the r12 review-caught equi-join hole."""
+    a = spark.createDataFrame(
+        [Row(g=None, v=f"x{i}") for i in range(20)]
+        + [Row(g="en", v=f"y{i}") for i in range(5)],
+        "g string, v string")
+    b = spark.createDataFrame(
+        [Row(g=None, v=f"x{i}") for i in range(10, 30)],
+        "g string, v string")
+    out = K.kmv_set_estimates(
+        K.kmv_sketch(a, "v", ["g"], k=128),
+        K.kmv_sketch(b, "v", ["g"], k=128), ["g"], k=128,
+        built_k=128).collect()
+    rows = {r.g: r for r in out}
+    assert len(out) == 2 and set(rows) == {None, "en"}
+    nr = rows[None]
+    assert (nr.union_est, nr.inter_est, nr.a_only_est, nr.b_only_est) \
+        == (30, 10, 10, 10)
+    en = rows["en"]
+    assert (en.union_est, en.inter_est, en.b_only_est) == (5, 0, 0)
+
+
 def test_kmv_set_estimates_matches_duckdb_replay(docs, sf_dir):
     """Full integer replay of the saturated estimator in DuckDB (the
     r12 oracle shape): same hashes, same M, same membership counts,
