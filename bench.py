@@ -147,6 +147,7 @@ EXTRAS = [
     "text_span_corruption",
     "pipeline_corpus_drift",
     "crawl_politeness_waves",
+    "text_unicode_nfc",
 ]
 
 

@@ -993,3 +993,35 @@ def span_corruption_examples(df: DataFrame, id_col: str = "doc_id",
                       F.sum(F.when(F.col("_m"), 1).otherwise(0))
                        .cast("bigint").alias("n_masked")))
     return assembled
+
+
+def unicode_normalize(col: str | Column = "text",
+                      form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonicalization
+    step every serious text pipeline runs before dedup and tokenization
+    (C4/CCNet normalize first: 'café' precomposed and 'cafe'+U+0301
+    decomposed must hash identically, or every dedup family silently
+    treats them as distinct documents).
+
+    Arrow-batched ``pandas_udf`` over ``unicodedata.normalize`` — the
+    normalization tables are the Unicode standard's, so ANY conformant
+    engine produces byte-identical output (DuckDB's ``nfc_normalize``
+    replays the NFC form exactly — the cross-engine oracle shape).
+    NULL passes through as NULL. Map-only: no shuffle, linear at 100 TB.
+    """
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    # no annotations on f: `from __future__ import annotations` turns
+    # them into strings pandas_udf can't resolve against local names
+    @pandas_udf("string")
+    def f(s):
+        return s.map(lambda t: None if t is None
+                     else unicodedata.normalize(form, t))
+
+    return f(col if isinstance(col, Column) else F.col(col))

@@ -7930,6 +7930,59 @@ from pc group by doc_id order by doc_id
 """)
 
 
+def _text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (``text.unicode_normalize``) — the
+    normalize-before-dedup step (C4/CCNet run it first: precomposed
+    'café' and decomposed 'cafe'+U+0301 must hash identically or every
+    dedup family splits them). Planted variants: doc_id%3=0 appends a
+    DECOMPOSED suffix (combining acute accents — NFC must contract it,
+    changed=true, two code points shorter), %3=1 appends the PRECOMPOSED
+    form (already NFC, changed=false), the rest stay raw ASCII. Output
+    pins the changed flag, both code-point lengths and the md5 of the
+    normalized text — Python's unicodedata and DuckDB's nfc_normalize
+    both implement the Unicode standard tables, so the hashes match
+    byte-for-byte (a REAL cross-engine check of a real normalizer, not
+    a stub)."""
+    from dataweb_spark.functions import text as T
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    # explicit escapes: raw source literals would be silently
+    # NFC-normalized by editors/tooling, collapsing the two cases
+    dec = " cafe\u0301 touche\u0301"  # e + U+0301 COMBINING ACUTE
+    pre = " caf\u00e9 touch\u00e9"    # precomposed U+00E9
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat("text", F.lit(dec)))
+         .when(F.col("doc_id") % 3 == 1, F.concat("text", F.lit(pre)))
+         .otherwise(F.col("text")).alias("text"))
+    norm = T.unicode_normalize("text")
+    return (planted.select(
+                "doc_id",
+                (norm != F.col("text")).alias("changed"),
+                F.length("text").cast("bigint").alias("n_chars_raw"),
+                F.length(norm).cast("bigint").alias("n_chars_nfc"),
+                F.md5(norm).alias("nfc_md5"))
+            .orderBy("doc_id"))
+
+
+_df("text_unicode_nfc", _text_unicode_nfc, oracle="""
+with planted as (
+  select doc_id,
+         case when doc_id % 3 = 0
+                then text || ' cafe' || chr(769) || ' touche' || chr(769)
+              when doc_id % 3 = 1
+                then text || ' caf' || chr(233) || ' touch' || chr(233)
+              else text end as text
+  from documents)
+select doc_id,
+       nfc_normalize(text) != text as changed,
+       cast(length(text) as bigint) as n_chars_raw,
+       cast(length(nfc_normalize(text)) as bigint) as n_chars_nfc,
+       md5(nfc_normalize(text)) as nfc_md5
+from planted order by doc_id
+""")
+
+
 def _embedding_index_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steady-state semantic-ingest classify against the PERSISTED
     embedding index (``functions/embedding_index.py`` — band + vector
@@ -8041,14 +8094,14 @@ _DRIVER_WINDOW = [
     "warc_directory_ingest",
     "warc_records_parse",
     # (c) new in r12 (slots 47+; new queries outrank age refreshes —
-    # sketch_kmv_overlap took the third spare slot from the
-    # crawl_psl_domains refresh, which returns with the r13 r9-cohort):
+    # sketch_kmv_overlap and text_unicode_nfc took the spare slots the
+    # crawl_psl_domains/crawl_domain_caps refreshes briefly held; those
+    # r9-cohort names return with the r13 rotation):
     "crawl_politeness_waves",
     "sketch_kmv_overlap",
-    # (d) spare slots drain the NEXT-oldest (r9) cohort early — the
-    # crawl-gate pair sits beside the new politeness query anyway:
+    "text_unicode_nfc",
+    # (d) the last spare slot drains the NEXT-oldest (r9) cohort early:
     "crawl_url_normalize",
-    "crawl_domain_caps",
 ]
 # window budget: up to 50 checked by the driver. Rotated-out names stay
 # in QUERIES (checkable any round; the full local sweep covers all of

@@ -1333,3 +1333,43 @@ def test_span_corruption_null_id_keeps_content(spark):
     r = text.span_corruption_examples(df, mask_rate=0.25).first()
     total = len(r.input_text.split()) - r.n_spans + r.n_masked
     assert total == 8  # every token survives into input or target
+
+
+def test_unicode_normalize_forms_and_nulls(spark):
+    """NFC contracts combining sequences; NFD expands precomposed; NFKC
+    folds compatibility chars; NULL passes through; bad form refused;
+    result invariant under repartitioning (pure row function)."""
+    import unicodedata
+    rows = [
+        (0, "café"),            # decomposed -> NFC contracts
+        (1, "café"),             # precomposed -> NFC no-op
+        (2, "ﬁle"),              # fi ligature -> NFKC folds to 'fi'
+        (3, None),
+        (4, "plain ascii"),
+    ]
+    # guard the fixture itself: if an editor/formatter ever NFC-
+    # normalizes this file, row 0 stops testing anything — fail loudly
+    assert [ord(c) for c in rows[0][1][-2:]] == [0x65, 0x301], \
+        "source literal was normalized by tooling; restore \\u0301 form"
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = {r.doc_id: r.o for r in df.select(
+        "doc_id", text.unicode_normalize("text").alias("o")).collect()}
+    assert nfc[0] == "café" and nfc[1] == "café"
+    assert nfc[2] == "ﬁle"       # NFC keeps compatibility chars
+    assert nfc[3] is None and nfc[4] == "plain ascii"
+    nfkc = {r.doc_id: r.o for r in df.select(
+        "doc_id", text.unicode_normalize("text", "NFKC").alias("o"))
+        .collect()}
+    assert nfkc[2] == "file"
+    nfd = {r.doc_id: r.o for r in df.select(
+        "doc_id", text.unicode_normalize("text", "NFD").alias("o"))
+        .collect()}
+    assert nfd[1] == "café"
+    for did, t in rows:
+        if t is not None:
+            assert nfc[did] == unicodedata.normalize("NFC", t)
+    again = {r.doc_id: r.o for r in df.repartition(7).select(
+        "doc_id", text.unicode_normalize("text").alias("o")).collect()}
+    assert again == nfc
+    with pytest.raises(ValueError, match="normalization form"):
+        text.unicode_normalize("text", "NFX")
