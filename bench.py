@@ -148,6 +148,7 @@ EXTRAS = [
     "pipeline_corpus_drift",
     "crawl_politeness_waves",
     "text_unicode_nfc",
+    "crawl_sitemap_parse",
 ]
 
 

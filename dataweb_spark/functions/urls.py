@@ -384,6 +384,74 @@ def politeness_waves(df: DataFrame, url_col: str = "url",
                .withColumnRenamed("_dom", "domain"))
 
 
+def parse_sitemaps(df: DataFrame, id_col: str = "site_id",
+                   xml_col: str = "xml") -> DataFrame:
+    """Sitemap XML → seed rows (sitemaps.org protocol) — the crawl
+    stack's seed-discovery operator: a fetched ``sitemap.xml`` becomes
+    one row per entry, ready for the frontier gates (normalize → caps →
+    robots → priority → waves).
+
+    Handles BOTH document kinds: a ``<urlset>`` yields its ``<url>``
+    entries, a ``<sitemapindex>`` yields its ``<sitemap>`` child
+    pointers (flagged ``is_index`` so the fetcher knows to recurse).
+    Per entry: ``entry_idx`` (document order), ``loc`` (entity-decoded —
+    the protocol REQUIRES ``&`` in URLs be escaped as ``&amp;``),
+    ``url_norm`` (the canonical form, shared with the rest of the
+    gates), ``lastmod`` (string as published; cast downstream — the
+    protocol allows date-only and full W3C datetime), ``changefreq``,
+    and ``priority`` (double, NULL when absent). Entries with no
+    ``<loc>`` are dropped (the protocol makes it mandatory).
+
+    Shape at 100 TB: three nested regexp/array stages, all JVM codegen,
+    map-only — no shuffle; one sitemap file is one row in, ≤50k rows out
+    (the protocol's own cap per file). The same regex-tier trade as
+    ``text.html_extract_tables``: real-world XML is messy, a conformant
+    parser would be a UDF — the regex tier covers the protocol grammar
+    and stays whole-stage-codegen.
+    """
+    c = F.col(xml_col)
+    is_index = c.rlike("(?is)<\\s*sitemapindex")
+    # `<url(?:\s[^>]*)?>` tolerates attributes but cannot match
+    # `<urlset ...>` (the next char would have to be whitespace or '>');
+    # likewise `<sitemap...>` vs `<sitemapindex>`
+    url_blocks = F.expr(
+        f"regexp_extract_all({xml_col}, "
+        r"'(?is)<url(?:\\s[^>]*)?>(.*?)</url\\s*>', 1)")
+    map_blocks = F.expr(
+        f"regexp_extract_all({xml_col}, "
+        r"'(?is)<sitemap(?:\\s[^>]*)?>(.*?)</sitemap\\s*>', 1)")
+    out = df.select(
+        F.col(id_col), is_index.alias("is_index"),
+        F.when(is_index, map_blocks).otherwise(url_blocks).alias("_e"))
+    out = out.select(
+        id_col, "is_index",
+        F.posexplode("_e").alias("entry_idx", "_entry"))
+
+    def child(tag: str) -> Column:
+        return F.regexp_extract(
+            "_entry", f"(?is)<{tag}\\s*>\\s*(.*?)\\s*</{tag}\\s*>", 1)
+
+    loc_raw = child("loc")
+    loc = F.replace(
+        F.replace(F.replace(F.replace(F.replace(
+            loc_raw, F.lit("&amp;"), F.lit("&")),
+            F.lit("&lt;"), F.lit("<")), F.lit("&gt;"), F.lit(">")),
+        F.lit("&quot;"), F.lit('"')), F.lit("&#39;"), F.lit("'"))
+    out = (out.withColumn("loc", loc)
+              .where(F.col("loc") != "")
+              .withColumn("url_norm", normalize_url("loc"))
+              .withColumn("lastmod",
+                          F.nullif(child("lastmod"), F.lit("")))
+              .withColumn("changefreq",
+                          F.nullif(F.lower(child("changefreq")),
+                                   F.lit("")))
+              .withColumn("priority",
+                          F.nullif(child("priority"), F.lit(""))
+                           .cast("double"))
+              .drop("_entry"))
+    return out
+
+
 def parse_robots(df: DataFrame, domain_col: str = "domain",
                  body_col: str = "robots_txt",
                  agent: str = "testbot") -> DataFrame:

@@ -6826,6 +6826,102 @@ order by domain, wave, wave_slot
 """)
 
 
+# Sitemap XML synthesizer (shared literal, both dialects): every 5th doc
+# is a <sitemapindex> (2 child pointers, lastmod on the first); the rest
+# are <urlset>s with a messy first entry (upper-case scheme/host, default
+# port, tracking param, &amp; entity, unclean whitespace, priority), a
+# plain second entry, and every 3rd doc a loc-less entry the parser must
+# DROP (the protocol makes <loc> mandatory) while its index gap survives.
+_SITEMAP_XML_SQL = """
+select doc_id as site_id,
+  case when doc_id % 5 = 0 then
+    '<?xml version="1.0"?><sitemapindex>'
+    || '<sitemap><loc>http://s' || (doc_id % 7)
+    || '.example.com/maps/sitemap1.xml.gz</loc>'
+    || '<lastmod>2024-02-0' || (doc_id % 9 + 1)
+    || 'T10:00:00+00:00</lastmod></sitemap>'
+    || '<sitemap><loc>http://s' || (doc_id % 7)
+    || '.example.com/maps/sitemap2.xml.gz</loc></sitemap>'
+    || '</sitemapindex>'
+  else
+    '<?xml version="1.0"?><urlset>'
+    || '<url><loc> HTTP://WWW.Site-' || (doc_id % 7)
+    || '.Example.COM:80/Page/' || doc_id
+    || '?utm_source=feed&amp;id=' || (doc_id % 3) || ' </loc>'
+    || '<lastmod>2024-01-0' || (doc_id % 9 + 1) || '</lastmod>'
+    || '<changefreq>' || case cast(doc_id % 4 as int)
+         when 0 then 'Daily' when 1 then 'weekly'
+         when 2 then 'MONTHLY' else 'never' end || '</changefreq>'
+    || '<priority>0.' || (doc_id % 10) || '</priority></url>'
+    || case when doc_id % 3 = 0
+            then '<url><lastmod>2024-01-01</lastmod></url>' else '' end
+    || '<url><loc>http://site-' || (doc_id % 7)
+    || '.example.com/b/' || doc_id || '</loc></url>'
+    || '</urlset>'
+  end as xml
+from documents where doc_id < 40"""
+
+
+def _crawl_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap seed discovery (``urls.parse_sitemaps``) — fetched
+    sitemap XML flattened to one frontier-ready row per entry: urlset
+    vs sitemapindex kinds, entity-decoded + whitespace-trimmed ``loc``,
+    the shared canonical ``url_norm`` (same normalizer as every other
+    crawl gate), published ``lastmod`` string, case-folded
+    ``changefreq``, double ``priority``, and mandatory-``<loc>``
+    enforcement (loc-less entries drop, their document-order index gap
+    survives). The oracle replays the block split, child-tag extracts,
+    entity decode, URL normalization and casts in SQL."""
+    from dataweb_spark.functions import urls as U
+    register_views(spark, sf_dir)
+    sm = spark.sql(_SITEMAP_XML_SQL)
+    return (U.parse_sitemaps(sm)
+            .orderBy("site_id", "entry_idx"))
+
+
+_df("crawl_sitemap_parse", _crawl_sitemap_parse, oracle=rf"""
+with sm as ({_SITEMAP_XML_SQL}),
+kinds as (
+  select site_id, xml,
+         regexp_matches(xml, '(?is)<\s*sitemapindex') as is_index
+  from sm),
+blocks as (
+  select site_id, is_index,
+         case when is_index then regexp_extract_all(xml,
+                '(?is)<sitemap(?:\s[^>]*)?>(.*?)</sitemap\s*>', 1)
+              else regexp_extract_all(xml,
+                '(?is)<url(?:\s[^>]*)?>(.*?)</url\s*>', 1) end as e
+  from kinds),
+ex as (
+  select site_id, is_index, cast(u - 1 as int) as entry_idx, e[u] as entry
+  from (select site_id, is_index, e,
+               unnest(range(1, len(e) + 1)) as u from blocks)),
+fields as (
+  select site_id, is_index, entry_idx,
+         replace(replace(replace(replace(replace(
+           regexp_extract(entry,
+             '(?is)<loc\s*>\s*(.*?)\s*</loc\s*>', 1),
+           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', '''') as loc,
+         nullif(regexp_extract(entry,
+           '(?is)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>', 1), '')
+           as lastmod,
+         nullif(lower(regexp_extract(entry,
+           '(?is)<changefreq\s*>\s*(.*?)\s*</changefreq\s*>', 1)), '')
+           as changefreq,
+         cast(nullif(regexp_extract(entry,
+           '(?is)<priority\s*>\s*(.*?)\s*</priority\s*>', 1), '')
+           as double) as priority
+  from ex)
+select site_id, is_index, entry_idx, loc,
+       {_duck_url_norm('loc')} as url_norm,
+       lastmod, changefreq, priority
+from fields
+where loc != ''
+order by site_id, entry_idx
+""")
+
+
 # PSL-exercising host synthesizer (shared literal, both dialects):
 # private suffixes (github.io), wildcard (*.ck), exception (www.ck),
 # multi-part (co.uk), plain .com, unknown TLD, IP literals.
@@ -8093,15 +8189,14 @@ _DRIVER_WINDOW = [
     "unpivot_part_sizes",
     "warc_directory_ingest",
     "warc_records_parse",
-    # (c) new in r12 (slots 47+; new queries outrank age refreshes —
-    # sketch_kmv_overlap and text_unicode_nfc took the spare slots the
-    # crawl_psl_domains/crawl_domain_caps refreshes briefly held; those
-    # r9-cohort names return with the r13 rotation):
+    # (c) new in r12 (slots 47-50; new queries outrank age refreshes —
+    # the four r12-new queries took the spare slots the r9-cohort
+    # refreshes briefly held; crawl_url_normalize / crawl_domain_caps /
+    # crawl_psl_domains return with the r13 rotation):
     "crawl_politeness_waves",
     "sketch_kmv_overlap",
     "text_unicode_nfc",
-    # (d) the last spare slot drains the NEXT-oldest (r9) cohort early:
-    "crawl_url_normalize",
+    "crawl_sitemap_parse",
 ]
 # window budget: up to 50 checked by the driver. Rotated-out names stay
 # in QUERIES (checkable any round; the full local sweep covers all of

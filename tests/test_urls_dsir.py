@@ -235,6 +235,45 @@ def test_politeness_waves_priority_and_single_exchange(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
 
 
+def test_parse_sitemaps_kinds_entities_and_mandatory_loc(spark):
+    """urlset vs sitemapindex kinds, attribute-bearing tags, entity
+    decode, whitespace trim, loc-less drop (index gap survives),
+    changefreq case-fold, priority cast, malformed junk yields zero
+    rows rather than crashing."""
+    urlset = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        '<url><loc> http://a.com/p?x=1&amp;y=2 </loc>'
+        '<lastmod>2024-01-05</lastmod><changefreq>Daily</changefreq>'
+        '<priority>0.8</priority></url>'
+        '<url><lastmod>2024-01-01</lastmod></url>'   # no loc -> dropped
+        '<url><loc>http://a.com/q</loc></url></urlset>')
+    index = ('<sitemapindex><sitemap><loc>http://a.com/s1.xml.gz</loc>'
+             '<lastmod>2024-02-01T10:00:00+00:00</lastmod></sitemap>'
+             '<sitemap><loc>http://a.com/s2.xml.gz</loc></sitemap>'
+             '</sitemapindex>')
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index), (3, "not xml at all"),
+         (4, "<urlset><url><loc></loc></url></urlset>")],
+        "site_id long, xml string")
+    out = U.parse_sitemaps(df)
+    rows = {(r.site_id, r.entry_idx): r for r in out.collect()}
+    assert set(rows) == {(1, 0), (1, 2), (2, 0), (2, 1)}
+    r0 = rows[(1, 0)]
+    assert r0.loc == "http://a.com/p?x=1&y=2"       # decoded + trimmed
+    assert r0.url_norm == "http://a.com/p?x=1&y=2"
+    assert (r0.lastmod, r0.changefreq, r0.priority) \
+        == ("2024-01-05", "daily", 0.8)
+    assert not r0.is_index
+    r20 = rows[(2, 0)]
+    assert r20.is_index and r20.loc == "http://a.com/s1.xml.gz"
+    assert r20.lastmod == "2024-02-01T10:00:00+00:00"
+    assert rows[(1, 2)].priority is None
+    # plan: map-only — no exchange anywhere (linear at 100 TB)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_blocklist_filter_drops_by_registered_domain(spark):
     df = _urls_df(spark, ["http://ok.com/a", "http://bad.com/b",
                           "http://www.bad.com/c", "http://fine.org/d"])
