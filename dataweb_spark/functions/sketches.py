@@ -169,6 +169,23 @@ def kmv_sketch(df: DataFrame, value_col: str,
     return _finish_sketch(pairs.distinct(), gcols, added, k)
 
 
+def _kmv_guarded(df: DataFrame, k: int) -> "Column":
+    """The ``kmv`` column gated by an EXECUTION-TIME merge-direction
+    check: every row's build ``k`` must be ≥ the requested ``k``, else
+    the task errors instead of silently undercounting (ranks beyond a
+    smaller build k were never kept, and a short array would even be
+    reported as an "exact" count). Lives inside the consuming
+    expression so column pruning can never drop it, and costs one
+    integer comparison per row — no separate validation job."""
+    return (F.when(F.col("k") >= F.lit(k), F.col("kmv"))
+             .otherwise(F.raise_error(F.concat(
+                 F.lit("kmv sketch built with k="),
+                 F.col("k").cast("string"),
+                 F.lit(f" cannot serve k={k}: ranks beyond the build k "
+                       "were never kept (silent undercount)")))
+                 .cast("array<bigint>")))
+
+
 def kmv_merge(sketches: DataFrame, group_cols: list[str] | None = None,
               k: int = 64, built_k: int | None = None) -> DataFrame:
     """Merge per-source sketches into the whole-data sketch.
@@ -213,7 +230,9 @@ def kmv_merge(sketches: DataFrame, group_cols: list[str] | None = None,
     if not gcols:
         sketches = sketches.withColumn("_g", F.lit(1))
         gcols, added = ["_g"], ["_g"]
-    pairs = (sketches.select(*gcols, F.explode("kmv").alias("_h"))
+    pairs = (sketches.select(*gcols,
+                             F.explode(_kmv_guarded(sketches, k))
+                              .alias("_h"))
                      .distinct())
     return _finish_sketch(pairs, gcols, added, k)
 
@@ -253,7 +272,10 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame,
     that WITHOUT executing the inputs — the default probe runs
     ``min(k)`` on each side, which forces each sketch's full lazy
     lineage once before the returned plan recomputes it (fine for
-    materialized sketch tables, a 2× cost on inline lazy plans).
+    materialized sketch tables, a 2× cost on inline lazy plans). Either
+    way an in-plan per-row guard backstops the contract at execution
+    time (a LYING ``built_k`` errors the job instead of silently
+    undercounting).
 
     Scale shape: sketch frames are O(groups) rows of ≤k-long arrays —
     this is one small full-outer join plus array kernels, no raw-data
@@ -289,9 +311,9 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame,
     # group unmatched on BOTH sides (two rows, each against an empty
     # sketch — zero overlap reported for a possibly-identical set).
     left = a.select(*[F.col(c).alias(f"_la_{c}") for c in gcols],
-                    F.col("kmv").alias("_ka"))
+                    _kmv_guarded(a, k).alias("_ka"))
     right = b.select(*[F.col(c).alias(f"_rb_{c}") for c in gcols],
-                     F.col("kmv").alias("_kb"))
+                     _kmv_guarded(b, k).alias("_kb"))
     cond = None
     for c in gcols:
         eq = F.col(f"_la_{c}").eqNullSafe(F.col(f"_rb_{c}"))

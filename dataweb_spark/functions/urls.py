@@ -362,6 +362,9 @@ def politeness_waves(df: DataFrame, url_col: str = "url",
     """
     if per_wave < 1:
         raise ValueError("per_wave must be >= 1")
+    if keep_score and priority is None:
+        raise ValueError("keep_score=True requires a priority frame — "
+                         "without one there is no score to keep")
     ranked = (df.withColumn("_dom", registered_domain(url_col))
                 .withColumn("_norm", normalize_url(url_col)))
     ranked, order = _priority_order(ranked, priority, score_col, id_col)
@@ -377,7 +380,7 @@ def politeness_waves(df: DataFrame, url_col: str = "url",
            .withColumn("wave_slot",
                        F.pmod(F.col("_rn") - 1, F.lit(per_wave))
                         .cast("int")))
-    if keep_score and priority is not None:
+    if keep_score:
         out = out.withColumn(
             "score", F.coalesce(F.col("_score"), F.lit(0)).cast("bigint"))
     return (out.drop("_norm", "_rn", "_score")
@@ -431,12 +434,14 @@ def parse_sitemaps(df: DataFrame, id_col: str = "site_id",
         return F.regexp_extract(
             "_entry", f"(?is)<{tag}\\s*>\\s*(.*?)\\s*</{tag}\\s*>", 1)
 
-    loc_raw = child("loc")
-    loc = F.replace(
-        F.replace(F.replace(F.replace(F.replace(
-            loc_raw, F.lit("&amp;"), F.lit("&")),
-            F.lit("&lt;"), F.lit("<")), F.lit("&gt;"), F.lit(">")),
-        F.lit("&quot;"), F.lit('"')), F.lit("&#39;"), F.lit("'"))
+    # the five predefined XML entities the protocol's escaping table
+    # names (&amp; &apos; &quot; &gt; &lt;) plus the numeric apostrophe;
+    # &amp; decodes LAST so a literal '&amp;lt;' in a URL yields '&lt;',
+    # not '<' (same order contract as text.HTML_ENTITIES)
+    loc = child("loc")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&")):
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
     out = (out.withColumn("loc", loc)
               .where(F.col("loc") != "")
               .withColumn("url_norm", normalize_url("loc"))
@@ -447,7 +452,7 @@ def parse_sitemaps(df: DataFrame, id_col: str = "site_id",
                                    F.lit("")))
               .withColumn("priority",
                           F.nullif(child("priority"), F.lit(""))
-                           .cast("double"))
+                           .try_cast("double"))
               .drop("_entry"))
     return out
 

@@ -6898,18 +6898,18 @@ ex as (
                unnest(range(1, len(e) + 1)) as u from blocks)),
 fields as (
   select site_id, is_index, entry_idx,
-         replace(replace(replace(replace(replace(
+         replace(replace(replace(replace(replace(replace(
            regexp_extract(entry,
              '(?is)<loc\s*>\s*(.*?)\s*</loc\s*>', 1),
-           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-           '&quot;', '"'), '&#39;', '''') as loc,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&apos;', ''''), '&amp;', '&') as loc,
          nullif(regexp_extract(entry,
            '(?is)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>', 1), '')
            as lastmod,
          nullif(lower(regexp_extract(entry,
            '(?is)<changefreq\s*>\s*(.*?)\s*</changefreq\s*>', 1)), '')
            as changefreq,
-         cast(nullif(regexp_extract(entry,
+         try_cast(nullif(regexp_extract(entry,
            '(?is)<priority\s*>\s*(.*?)\s*</priority\s*>', 1), '')
            as double) as priority
   from ex)

@@ -286,3 +286,17 @@ from c order by lang
     got = {r.lang: tuple(r)[1:] for r in
            K.kmv_set_estimates(sa, sb, ["lang"], k=64).collect()}
     assert got == want and len(want) >= 3
+
+
+def test_kmv_lying_built_k_errors_at_execution(spark):
+    """built_k skips the eager probe but cannot launder a merge-up: the
+    in-plan per-row guard errors the job instead of silently treating a
+    short array as an exact count (r12 review fix)."""
+    from pyspark.errors import PySparkException
+    a = spark.createDataFrame([Row(v=f"x{i}") for i in range(100)])
+    sa = K.kmv_sketch(a, "v", k=16)
+    sb = K.kmv_sketch(a, "v", k=16)
+    with pytest.raises(PySparkException, match="built with k=16"):
+        K.kmv_set_estimates(sa, sb, k=64, built_k=64).collect()
+    with pytest.raises(PySparkException, match="built with k=16"):
+        K.kmv_merge(sa, k=64, built_k=64).collect()

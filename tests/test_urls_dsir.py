@@ -274,6 +274,22 @@ def test_parse_sitemaps_kinds_entities_and_mandatory_loc(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_parse_sitemaps_entity_order_apos_and_bad_priority(spark):
+    """r12 review fixes: &amp; decodes LAST ('&amp;lt;' → '&lt;', never
+    '<'); the protocol's &apos; decodes; a non-numeric <priority> yields
+    NULL (try_cast) instead of an ANSI cast crashing the whole seed
+    job."""
+    xml = ('<urlset>'
+           "<url><loc>http://a.com/o&apos;brien?x=1&amp;lt;2</loc>"
+           '<priority>high</priority></url>'
+           '<url><loc>http://a.com/p</loc>'
+           '<priority>0,8</priority></url></urlset>')
+    df = spark.createDataFrame([(1, xml)], "site_id long, xml string")
+    rows = {r.entry_idx: r for r in U.parse_sitemaps(df).collect()}
+    assert rows[0].loc == "http://a.com/o'brien?x=1&lt;2"
+    assert rows[0].priority is None and rows[1].priority is None
+
+
 def test_blocklist_filter_drops_by_registered_domain(spark):
     df = _urls_df(spark, ["http://ok.com/a", "http://bad.com/b",
                           "http://www.bad.com/c", "http://fine.org/d"])
