@@ -869,3 +869,60 @@ def test_normalize_url_idempotent_on_20k_adversarial_batch(spark):
              .select("u", U.normalize_url(F.col("u")).alias("u2"))
              .where("u2 is distinct from u"))
     assert bad.count() == 0, bad.limit(3).collect()
+
+
+def test_parse_sitemaps_totality_on_20k_junk_batch(spark):
+    """Batched totality hammer (the URL-normalize pattern): 20k seeded
+    adversarial XML bodies — truncated tags, nested/unclosed entries,
+    entity soup, control bytes, giant attrs — must parse in ONE job
+    with zero crashes, and every emitted row keeps the invariants
+    (non-empty loc, entry_idx ≥ 0, priority NULL-or-double)."""
+    import random
+    rng = random.Random(23)
+    frags = ["<urlset>", "</urlset>", "<sitemapindex>", "</sitemapindex>",
+             "<url>", "</url>", "<sitemap>", "</sitemap>",
+             "<loc>", "</loc>", "<loc attr='x'>", "<lastmod>",
+             "</lastmod>", "<priority>", "</priority>", "<changefreq>",
+             "</changefreq>", "http://a.com/p", "&amp;", "&apos;",
+             "&#39;", "not a tag <", "]]>", "<!--", "-->", "\x01\x02",
+             "0.8", "high", "9" * 40, " ", "<loc></loc>",
+             "<url><loc>http://b.org/q</loc></url>"]
+    rows = []
+    for i in range(20000):
+        n = rng.randint(0, 14)
+        rows.append((i, "".join(rng.choice(frags) for _ in range(n))))
+    df = spark.createDataFrame(rows, "site_id long, xml string")
+    out = U.parse_sitemaps(df).select(
+        "site_id", "entry_idx", "loc", "priority").collect()
+    for r in out:
+        assert r.loc != "" and r.entry_idx >= 0
+        assert r.priority is None or isinstance(r.priority, float)
+
+
+def test_politeness_waves_matches_python_replay(spark):
+    """Property: the full (domain, wave, slot) schedule equals a
+    brute-force python replay of the admission contract (md5 order, per
+    wave cap, domain cap) on a randomized multi-domain frontier."""
+    import hashlib
+    import random
+    rng = random.Random(7)
+    urls = {}
+    for i in range(300):
+        dom = f"d{rng.randint(0, 11)}.com"
+        urls[i] = f"http://{dom}/p{i}"
+    df = spark.createDataFrame(
+        [(i, u) for i, u in urls.items()], "doc_id long, url string")
+    got = {r.doc_id: (r.domain, r.wave, r.wave_slot) for r in
+           U.politeness_waves(df, per_wave=3, max_per_domain=8)
+           .collect()}
+    # replay: per domain, order by (md5(normalized url), id)
+    by_dom: dict = {}
+    for i, u in urls.items():
+        dom = u.split("//")[1].split("/")[0]
+        by_dom.setdefault(dom, []).append(
+            (hashlib.md5(u.encode()).hexdigest(), i))
+    want = {}
+    for dom, lst in by_dom.items():
+        for rank, (_, i) in enumerate(sorted(lst)[:8]):
+            want[i] = (dom, rank // 3, rank % 3)
+    assert got == want
