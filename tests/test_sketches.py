@@ -300,3 +300,33 @@ def test_kmv_lying_built_k_errors_at_execution(spark):
         K.kmv_set_estimates(sa, sb, k=64, built_k=64).collect()
     with pytest.raises(PySparkException, match="built with k=16"):
         K.kmv_merge(sa, k=64, built_k=64).collect()
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(max_examples=15, deadline=None)
+@_given(na=_st.integers(min_value=0, max_value=60),
+        nb=_st.integers(min_value=0, max_value=60),
+        overlap=_st.integers(min_value=0, max_value=40))
+def test_kmv_set_estimates_exact_regime_property(spark, na, nb, overlap):
+    """Property (below-k regime): for ANY planted universe A/B with a
+    controlled overlap, every estimate equals the exact set-operation
+    cardinality and the decomposition is exact (hypothesis-generated)."""
+    ov = min(overlap, na, nb)
+    a_vals = [f"s{i}" for i in range(na)]
+    b_vals = [f"s{i}" for i in range(na - ov, na - ov + nb)]
+    if not a_vals and not b_vals:
+        return
+    mk = lambda vals: spark.createDataFrame(
+        [Row(v=v) for v in vals], "v string")
+    sa = K.kmv_sketch(mk(a_vals or ["_pad_a"]), "v", k=256)
+    sb = K.kmv_sketch(mk(b_vals or ["_pad_b"]), "v", k=256)
+    r = K.kmv_set_estimates(sa, sb, k=256, built_k=256).first()
+    A, B = set(a_vals or ["_pad_a"]), set(b_vals or ["_pad_b"])
+    assert r.union_est == len(A | B)
+    assert r.inter_est == len(A & B)
+    assert r.a_only_est == len(A - B)
+    assert r.b_only_est == len(B - A)
+    assert r.jaccard_e6 == len(A & B) * 1_000_000 // len(A | B)
