@@ -8203,13 +8203,17 @@ _DRIVER_WINDOW = [
 # them each round). After this window runs the oldest evidence anywhere
 # is r9 — the r12 merges retired 3 names (dedup_simhash,
 # streaming_hourly_rollup, multimodal_png_features; their keepers sit
-# IN this window, so the merged constructs get r12 evidence), leaving
-# 190 declared: window the remaining ~45-name r9 cohort in r13 (3 of
-# its names — crawl_url_normalize/crawl_domain_caps/crawl_psl_domains —
-# are refreshed here in the spare slots), r10's 48 in r14. With 190
-# declared and 50 slots/round the 50x4 age budget stays satisfiable as
-# long as per-round new declarations stay <= ~10 (see COVERAGE.md).
-# New queries outrank age refreshes for slots, as always.
+# IN this window, so the merged constructs get r12 evidence), and the
+# r12 additions brought declared to 193, every one driver-checked at
+# least once (zero never-checked names outside this window).
+# r13 plan: the 46-name r9-age cohort (crawl_url_normalize /
+# crawl_domain_caps / crawl_psl_domains among them — their r12
+# spare-slot refreshes were displaced by the four r12-new queries) +
+# up to 4 r13-new queries fills the 50. r14: the 48-name r10 cohort +
+# 2 spares. With 193 declared the 50x4 age budget stays satisfiable as
+# long as per-round new declarations stay <= ~4-5 net of merges (see
+# COVERAGE.md for the post-r14 steady state). New queries outrank age
+# refreshes for slots, as always.
 
 def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
