@@ -1373,3 +1373,35 @@ def test_unicode_normalize_forms_and_nulls(spark):
     assert again == nfc
     with pytest.raises(ValueError, match="normalization form"):
         text.unicode_normalize("text", "NFX")
+
+
+def test_unicode_nfc_cross_engine_differential(spark):
+    """The text_unicode_nfc oracle's load-bearing claim, hammered:
+    Python unicodedata and DuckDB's utf8proc implement the SAME Unicode
+    NFC tables — checked over 1300+ adversarial codepoints (Latin
+    decomposables, Hangul syllables, kana, combining stacks,
+    mathematical-alphanumeric astral chars, ligatures, and the
+    COMPOSITION EXCLUSIONS U+0958 / U+0F43 / U+2F800 where naive
+    recomposition goes wrong) — via Spark's actual unicode_normalize
+    path on a sampled subset plus a full pure-python x duckdb sweep."""
+    import unicodedata
+
+    import duckdb
+    con = duckdb.connect()
+    cps = (list(range(0xC0, 0x2FF)) + list(range(0x1E00, 0x1FFF))
+           + list(range(0xAC00, 0xAC40)) + list(range(0x3040, 0x30FF))
+           + [0x1D400, 0x1D7D8, 0x2F800, 0xFB00, 0xFB4F, 0x0958, 0x0F43])
+    tests = [chr(c) for c in cps] + ["ę́", "q̣̇",
+                                     "ྷཱྀ"]
+    for s in tests:
+        py = unicodedata.normalize("NFC", s)
+        dk = con.execute("select nfc_normalize(?)", [s]).fetchone()[0]
+        assert py == dk, (hex(ord(s[0])), py, dk)
+    # and through the actual Spark operator on a sampled batch
+    sample = tests[::40]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sample)], "i long, text string")
+    got = {r.i: r.o for r in df.select(
+        "i", text.unicode_normalize("text").alias("o")).collect()}
+    for i, s in enumerate(sample):
+        assert got[i] == unicodedata.normalize("NFC", s)
