@@ -480,6 +480,21 @@ def parse_robots(df: DataFrame, domain_col: str = "domain",
     Robots bodies are small (RFC caps parsing at 500 KiB) and one per
     domain — the output is a bounded rule table, broadcastable into
     :func:`robots_filter`."""
+    grouped, applying = _robots_groups(df, domain_col, body_col, agent)
+    return (grouped.where(F.col("key").isin("allow", "disallow")
+                          & (F.col("val") != ""))
+            .join(applying, ["domain", "grp"])
+            .select("domain", F.col("key").alias("rule"),
+                    F.col("val").alias("path")))
+
+
+def _robots_groups(df: DataFrame, domain_col: str, body_col: str,
+                   agent: str) -> tuple[DataFrame, DataFrame]:
+    """Shared robots.txt line/group machinery: returns ``(grouped,
+    applying)`` where ``grouped`` is one row per non-comment line with
+    ``(domain, idx, key, val, grp)`` and ``applying`` names the
+    ``(domain, grp)`` groups that bind for ``agent`` (exact product
+    token beats ``*`` per domain, RFC 9309)."""
     from pyspark.sql import Window
 
     lines = (df.select(F.col(domain_col).alias("domain"),
@@ -510,11 +525,61 @@ def parse_robots(df: DataFrame, domain_col: str = "domain",
                        | ((F.col("dom_exact") == 0)
                           & (F.col("has_star") == 1)))
                 .select("domain", "grp"))
-    return (grouped.where(F.col("key").isin("allow", "disallow")
+    return grouped, applying
+
+
+def robots_directives(df: DataFrame, domain_col: str = "domain",
+                      body_col: str = "robots_txt",
+                      agent: str = "testbot") -> DataFrame:
+    """Per-domain non-rule robots.txt directives — the two every real
+    crawler consumes beside allow/disallow:
+
+    * ``crawl_delay`` (double seconds, NULL when absent/invalid) — the
+      de-facto ``Crawl-delay:`` extension, read from the groups that
+      BIND for ``agent`` (exact-token groups beat ``*``, the same RFC
+      9309 group algebra as :func:`parse_robots` — shared
+      implementation, so rules and delay can never disagree about which
+      group applies). When several binding groups request different
+      delays the MAXIMUM binds — the polite reading (a smaller value
+      would under-wait one group's request). Non-numeric values
+      (``Crawl-delay: fast``) are ignored (try_cast), never a crash.
+    * ``sitemaps`` (array of URL strings, document order, duplicates
+      removed keeping first occurrence) — ``Sitemap:`` lines are
+      GROUP-INDEPENDENT per the sitemaps.org protocol: they bind for
+      every agent wherever they appear in the file, so they are read
+      from ALL lines, not just binding groups. Feed them to
+      :func:`parse_sitemaps` after fetching — the seed-discovery loop.
+
+    One row per input domain (domains with neither directive keep a row
+    with NULL delay + empty array — the caller's politeness DEFAULT
+    applies). Same bounded shape as the rule table: broadcastable, and
+    ``wave · coalesce(crawl_delay, default)`` turns
+    :func:`politeness_waves`' wave numbers into not-before fetch
+    offsets with zero extra shuffles.
+    """
+    grouped, applying = _robots_groups(df, domain_col, body_col, agent)
+    delays = (grouped.where((F.col("key") == "crawl-delay")
+                            & (F.col("val") != ""))
+              .join(applying, ["domain", "grp"])
+              .withColumn("_d", F.col("val").try_cast("double"))
+              .where(F.col("_d").isNotNull())
+              .groupBy("domain")
+              .agg(F.max("_d").alias("crawl_delay")))
+    maps = (grouped.where((F.col("key") == "sitemap")
                           & (F.col("val") != ""))
-            .join(applying, ["domain", "grp"])
-            .select("domain", F.col("key").alias("rule"),
-                    F.col("val").alias("path")))
+            .groupBy("domain", "val")
+            .agg(F.min("idx").alias("_first"))
+            .groupBy("domain")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_first", "val"))),
+                lambda s: s["val"]).alias("sitemaps")))
+    base = df.select(F.col(domain_col).alias("domain")).distinct()
+    return (base.join(delays, "domain", "left")
+                .join(maps, "domain", "left")
+                .select("domain", "crawl_delay",
+                        F.coalesce("sitemaps",
+                                   F.array().cast("array<string>"))
+                         .alias("sitemaps")))
 
 
 def robots_filter(df: DataFrame, rules: DataFrame,

@@ -8214,6 +8214,18 @@ _DRIVER_WINDOW = [
 # long as per-round new declarations stay <= ~4-5 net of merges (see
 # COVERAGE.md for the post-r14 steady state). New queries outrank age
 # refreshes for slots, as always.
+#
+# r13 TODO: declare `crawl_robots_directives` for
+# urls.robots_directives (Crawl-delay via the SHARED RFC 9309 group
+# algebra — max of binding groups, try_cast totality — plus
+# group-independent Sitemap lines in doc order; feeds parse_sitemaps
+# and turns politeness_waves' wave numbers into not-before offsets).
+# Deliberately NOT declared in r12: the window closed exactly full with
+# the four r12-new queries, and an outside-window declaration would
+# recreate the "never driver-checked" gap. Python-reference replay +
+# wave-offset composition + binding/dedup tests exist in
+# test_urls_dsir.py (the oracle shape is the synth in
+# test_robots_directives_matches_duckdb_replay).
 
 def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

@@ -926,3 +926,145 @@ def test_politeness_waves_matches_python_replay(spark):
         for rank, (_, i) in enumerate(sorted(lst)[:8]):
             want[i] = (dom, rank // 3, rank % 3)
     assert got == want
+
+
+def test_robots_directives_delay_binding_and_sitemaps(spark):
+    """Crawl-delay binds by the SAME group algebra as the rules (exact
+    agent beats *), max of several binding delays, non-numeric ignored;
+    Sitemap lines are group-INDEPENDENT (bind from any group, doc order,
+    dup-deduped); directive-free domains keep a NULL/empty row."""
+    bodies = {
+        # exact group delay beats the * group's
+        "a.com": ("User-agent: *\nCrawl-delay: 9\nDisallow: /x\n"
+                  "User-agent: testbot\nCrawl-delay: 2.5\n"
+                  "Sitemap: http://a.com/s1.xml\n"
+                  "User-agent: testbot\nCrawl-delay: 4\n"
+                  "Sitemap: http://a.com/s2.xml\n"
+                  "Sitemap: http://a.com/s1.xml"),   # dup -> kept once
+        # only * group; non-numeric delay ignored
+        "b.org": ("User-agent: *\nCrawl-delay: fast\nDisallow: /y\n"
+                  "Sitemap: http://b.org/map.xml"),
+        # no directives at all
+        "c.net": "User-agent: *\nDisallow: /z",
+        # sitemap inside a NON-binding group still binds
+        "d.io": ("User-agent: otherbot\nCrawl-delay: 7\n"
+                 "Sitemap: http://d.io/deep.xml"),
+    }
+    df = spark.createDataFrame(list(bodies.items()),
+                               "domain string, robots_txt string")
+    out = {r.domain: r for r in U.robots_directives(df).collect()}
+    assert out["a.com"].crawl_delay == 4.0          # max of 2.5 and 4
+    assert out["a.com"].sitemaps == ["http://a.com/s1.xml",
+                                     "http://a.com/s2.xml"]
+    assert out["b.org"].crawl_delay is None         # 'fast' ignored
+    assert out["b.org"].sitemaps == ["http://b.org/map.xml"]
+    assert out["c.net"].crawl_delay is None and out["c.net"].sitemaps == []
+    # otherbot's delay does NOT bind for testbot; its sitemap DOES
+    assert out["d.io"].crawl_delay is None
+    assert out["d.io"].sitemaps == ["http://d.io/deep.xml"]
+    assert len(out) == 4                            # one row per domain
+
+
+def test_robots_directives_feed_wave_offsets(spark):
+    """The crawl-loop composition: directives → politeness waves →
+    not-before fetch offsets (wave · coalesce(delay, default)) — pure
+    arithmetic on the broadcast directives table, no extra window."""
+    bodies = [("slow.com", "User-agent: *\nCrawl-delay: 10"),
+              ("fast.com", "User-agent: *\nDisallow:")]
+    dirs = U.robots_directives(spark.createDataFrame(
+        bodies, "domain string, robots_txt string"))
+    urls = [f"http://slow.com/p{i}" for i in range(5)] + \
+           [f"http://fast.com/q{i}" for i in range(5)]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+    waved = U.politeness_waves(df, per_wave=2)
+    out = (waved.join(F.broadcast(dirs), "domain", "left")
+           .withColumn("not_before_s",
+                       F.col("wave")
+                       * F.coalesce("crawl_delay", F.lit(1.0))))
+    rows = {(r.domain, r.wave): r.not_before_s for r in out.collect()}
+    assert rows[("slow.com", 2)] == 20.0
+    assert rows[("fast.com", 2)] == 2.0             # default 1s
+
+
+def test_robots_directives_matches_duckdb_replay(spark, sf_dir):
+    """Full replay in SQL over synthesized per-domain bodies — the r13
+    oracle shape (group algebra + max-delay + doc-order sitemaps)."""
+    import os
+
+    import duckdb
+    synth = """
+select 's' || (doc_id % 10) || '.com' as domain,
+       'User-agent: *' || chr(10)
+       || case when doc_id % 3 = 0
+               then 'Crawl-delay: ' || (doc_id % 7) || chr(10)
+               else '' end
+       || 'Disallow: /p' || (doc_id % 4) || chr(10)
+       || case when doc_id % 2 = 0
+               then 'Sitemap: http://s' || (doc_id % 10)
+                    || '.com/m' || (doc_id % 5) || '.xml' || chr(10)
+               else '' end
+       || case when doc_id % 5 = 0
+               then 'User-agent: testbot' || chr(10)
+                    || 'Crawl-delay: 2.5' || chr(10) else '' end
+from documents where doc_id < 30"""
+    from dataweb_spark.queries import register_views
+    register_views(spark, sf_dir)
+    bodies = spark.sql(synth.replace("chr(10)", "char(10)"))
+    got = {r.domain: (r.crawl_delay, list(r.sitemaps)) for r in
+           U.robots_directives(
+               bodies.toDF("domain", "robots_txt")).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')")
+    want = {}
+    for dom, body in con.execute(synth).fetchall():
+        want.setdefault(dom, []).append(body)
+    # python reference: replay group algebra per concatenated domain row
+    import re as _re
+
+    def ref(bodies_for_dom):
+        delay, maps, seen = None, [], set()
+        for body in bodies_for_dom:
+            groups, cur = [], None
+            prev_ua = False
+            for ln in body.split("\n"):
+                ln = _re.sub(r"#.*$", "", ln).strip()
+                m = _re.match(r"^([A-Za-z-]+)\s*:\s*(.*)$", ln)
+                if not m:
+                    prev_ua = False
+                    continue
+                k, v = m.group(1).lower(), m.group(2).strip()
+                if k == "user-agent":
+                    if not prev_ua:
+                        cur = {"uas": set(), "delays": []}
+                        groups.append(cur)
+                    cur["uas"].add(v.lower())
+                    prev_ua = True
+                    continue
+                prev_ua = False
+                if k == "crawl-delay" and cur is not None:
+                    try:
+                        cur["delays"].append(float(v))
+                    except ValueError:
+                        pass
+                if k == "sitemap" and v and v not in seen:
+                    seen.add(v)
+                    maps.append(v)
+            exact = [g for g in groups if "testbot" in g["uas"]]
+            use = exact if exact else [g for g in groups
+                                       if "*" in g["uas"]]
+            ds = [d for g in use for d in g["delays"]]
+            if ds:
+                delay = max(ds) if delay is None else max(delay, max(ds))
+        return delay, maps
+    # NOTE: robots_directives groups PER DOMAIN across input rows —
+    # multiple rows of one domain concatenate their directives (delay =
+    # max over binding groups of all rows; sitemap dedup global). The
+    # python reference replays that per-domain merge.
+    want_merged = {d: ref(bs) for d, bs in want.items()}
+    for d, (wd, wm) in want_merged.items():
+        gd, gm = got[d]
+        assert gd == wd, (d, gd, wd)
+        assert sorted(gm) == sorted(wm), (d, gm, wm)
