@@ -492,12 +492,24 @@ def _robots_groups(df: DataFrame, domain_col: str, body_col: str,
                    agent: str) -> tuple[DataFrame, DataFrame]:
     """Shared robots.txt line/group machinery: returns ``(grouped,
     applying)`` where ``grouped`` is one row per non-comment line with
-    ``(domain, idx, key, val, grp)`` and ``applying`` names the
+    ``(domain, _bh, idx, key, val, grp)`` and ``applying`` names the
     ``(domain, grp)`` groups that bind for ``agent`` (exact product
-    token beats ``*`` per domain, RFC 9309)."""
+    token beats ``*`` per DOMAIN, RFC 9309).
+
+    A domain normally has ONE body (one robots.txt per host); when the
+    input carries several rows for a domain (mixed snapshots), the
+    bodies are treated as one logical file in a DETERMINISTIC order —
+    by md5 of the body text, never ingest/partition order — with lines
+    keyed (body-hash, line-idx) so per-row indexes can never collide,
+    groups never span body boundaries (a leading UA line always opens a
+    fresh group even after a trailing UA line of the previous body),
+    and exact-agent groups in ANY body suppress ``*`` groups in all of
+    them (the conservative domain-wide reading)."""
     from pyspark.sql import Window
 
     lines = (df.select(F.col(domain_col).alias("domain"),
+                       F.md5(F.coalesce(F.col(body_col), F.lit("")))
+                        .alias("_bh"),
                        F.posexplode(F.split(body_col, r"\r?\n"))
                         .alias("idx", "line"))
              .withColumn("line", F.trim(F.regexp_replace("line",
@@ -506,11 +518,14 @@ def _robots_groups(df: DataFrame, domain_col: str, body_col: str,
                  "line", r"^([A-Za-z-]+)\s*:", 1)))
              .withColumn("val", F.trim(F.regexp_extract(
                  "line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1))))
-    w = Window.partitionBy("domain").orderBy("idx")
+    w = Window.partitionBy("domain").orderBy("_bh", "idx")
     is_ua = F.col("key") == "user-agent"
     prev_ua = F.lag(is_ua, 1, False).over(w)
+    prev_bh = F.lag("_bh", 1).over(w)
+    opener = is_ua & (~prev_ua
+                      | ~prev_bh.eqNullSafe(F.col("_bh")))
     grouped = (lines.withColumn(
-        "grp", F.sum(F.when(is_ua & ~prev_ua, 1).otherwise(0)).over(w)))
+        "grp", F.sum(opener.cast("int")).over(w)))
     # which groups apply: exact-agent groups if any exist, else * groups
     ua = (grouped.where(is_ua)
           .select("domain", "grp", F.lower(F.col("val")).alias("ua")))
@@ -543,12 +558,20 @@ def robots_directives(df: DataFrame, domain_col: str = "domain",
       delays the MAXIMUM binds — the polite reading (a smaller value
       would under-wait one group's request). Non-numeric values
       (``Crawl-delay: fast``) are ignored (try_cast), never a crash.
-    * ``sitemaps`` (array of URL strings, document order, duplicates
-      removed keeping first occurrence) — ``Sitemap:`` lines are
-      GROUP-INDEPENDENT per the sitemaps.org protocol: they bind for
-      every agent wherever they appear in the file, so they are read
-      from ALL lines, not just binding groups. Feed them to
+    * ``sitemaps`` (array of URL strings, document order within a body,
+      duplicates removed keeping first occurrence) — ``Sitemap:`` lines
+      are GROUP-INDEPENDENT per the sitemaps.org protocol: they bind
+      for every agent wherever they appear in the file, so they are
+      read from ALL lines, not just binding groups. Feed them to
       :func:`parse_sitemaps` after fetching — the seed-discovery loop.
+
+    A domain normally contributes ONE body; several rows for one domain
+    merge as one logical file in a deterministic content-hash body
+    order (see :func:`_robots_groups`): delay = max over the binding
+    groups of every body, exact-agent groups anywhere suppress ``*``
+    groups everywhere, and the sitemap array orders by (body md5, line)
+    — stable across runs/partitionings, but NOT ingest order, which a
+    distributed input does not have.
 
     One row per input domain (domains with neither directive keep a row
     with NULL delay + empty array — the caller's politeness DEFAULT
@@ -568,7 +591,7 @@ def robots_directives(df: DataFrame, domain_col: str = "domain",
     maps = (grouped.where((F.col("key") == "sitemap")
                           & (F.col("val") != ""))
             .groupBy("domain", "val")
-            .agg(F.min("idx").alias("_first"))
+            .agg(F.min(F.struct("_bh", "idx")).alias("_first"))
             .groupBy("domain")
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("_first", "val"))),

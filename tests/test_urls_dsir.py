@@ -988,47 +988,62 @@ def test_robots_directives_feed_wave_offsets(spark):
 
 
 def test_robots_directives_matches_duckdb_replay(spark, sf_dir):
-    """Full replay in SQL over synthesized per-domain bodies — the r13
-    oracle shape (group algebra + max-delay + doc-order sitemaps)."""
+    """Full replay over synthesized per-domain bodies — the r13 oracle
+    shape. domain = doc_id % 6 deliberately MISALIGNS with the body
+    variants (%3 delay, %2 sitemap, %5 exact-agent group), so most
+    domains merge SEVERAL distinct bodies: the reference replays the
+    documented multi-row semantics — bodies ordered by md5(body),
+    exact-agent groups anywhere suppress * groups everywhere (domain-
+    wide), delay = max over binding groups of all bodies, sitemaps
+    dedup-first-occurrence in (body md5, line) order."""
+    import hashlib
     import os
+    import re as _re
 
     import duckdb
     synth = """
-select 's' || (doc_id % 10) || '.com' as domain,
+select 's' || (doc_id % 6) || '.com' as domain,
        'User-agent: *' || chr(10)
        || case when doc_id % 3 = 0
                then 'Crawl-delay: ' || (doc_id % 7) || chr(10)
                else '' end
        || 'Disallow: /p' || (doc_id % 4) || chr(10)
        || case when doc_id % 2 = 0
-               then 'Sitemap: http://s' || (doc_id % 10)
+               then 'Sitemap: http://s' || (doc_id % 6)
                     || '.com/m' || (doc_id % 5) || '.xml' || chr(10)
                else '' end
        || case when doc_id % 5 = 0
                then 'User-agent: testbot' || chr(10)
                     || 'Crawl-delay: 2.5' || chr(10) else '' end
+       as robots_txt
 from documents where doc_id < 30"""
     from dataweb_spark.queries import register_views
     register_views(spark, sf_dir)
     bodies = spark.sql(synth.replace("chr(10)", "char(10)"))
     got = {r.domain: (r.crawl_delay, list(r.sitemaps)) for r in
-           U.robots_directives(
-               bodies.toDF("domain", "robots_txt")).collect()}
+           U.robots_directives(bodies).collect()}
+    # partition-layout invariance of the multi-row merge
+    again = {r.domain: (r.crawl_delay, list(r.sitemaps)) for r in
+             U.robots_directives(bodies.repartition(7)).collect()}
+    assert got == again
+
     con = duckdb.connect()
     con.execute(
         "create view documents as select * from "
         f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')")
-    want = {}
+    by_dom: dict = {}
     for dom, body in con.execute(synth).fetchall():
-        want.setdefault(dom, []).append(body)
-    # python reference: replay group algebra per concatenated domain row
-    import re as _re
+        by_dom.setdefault(dom, []).append(body)
 
     def ref(bodies_for_dom):
-        delay, maps, seen = None, [], set()
-        for body in bodies_for_dom:
-            groups, cur = [], None
-            prev_ua = False
+        # documented merge: bodies in md5 order; groups per body;
+        # exact-beats-* decided across ALL bodies; max binding delay;
+        # sitemaps first-occurrence in (md5, line) order
+        ordered = sorted(bodies_for_dom,
+                         key=lambda b: hashlib.md5(b.encode()).hexdigest())
+        all_groups, maps, seen = [], [], set()
+        for body in ordered:
+            cur, prev_ua = None, False
             for ln in body.split("\n"):
                 ln = _re.sub(r"#.*$", "", ln).strip()
                 m = _re.match(r"^([A-Za-z-]+)\s*:\s*(.*)$", ln)
@@ -1039,7 +1054,7 @@ from documents where doc_id < 30"""
                 if k == "user-agent":
                     if not prev_ua:
                         cur = {"uas": set(), "delays": []}
-                        groups.append(cur)
+                        all_groups.append(cur)
                     cur["uas"].add(v.lower())
                     prev_ua = True
                     continue
@@ -1052,19 +1067,11 @@ from documents where doc_id < 30"""
                 if k == "sitemap" and v and v not in seen:
                     seen.add(v)
                     maps.append(v)
-            exact = [g for g in groups if "testbot" in g["uas"]]
-            use = exact if exact else [g for g in groups
-                                       if "*" in g["uas"]]
-            ds = [d for g in use for d in g["delays"]]
-            if ds:
-                delay = max(ds) if delay is None else max(delay, max(ds))
-        return delay, maps
-    # NOTE: robots_directives groups PER DOMAIN across input rows —
-    # multiple rows of one domain concatenate their directives (delay =
-    # max over binding groups of all rows; sitemap dedup global). The
-    # python reference replays that per-domain merge.
-    want_merged = {d: ref(bs) for d, bs in want.items()}
-    for d, (wd, wm) in want_merged.items():
-        gd, gm = got[d]
-        assert gd == wd, (d, gd, wd)
-        assert sorted(gm) == sorted(wm), (d, gm, wm)
+        exact = [g for g in all_groups if "testbot" in g["uas"]]
+        use = exact if exact else [g for g in all_groups
+                                   if "*" in g["uas"]]
+        ds = [d for g in use for d in g["delays"]]
+        return (max(ds) if ds else None), maps
+
+    want = {d: ref(bs) for d, bs in by_dom.items()}
+    assert got == want and len(want) == 6
