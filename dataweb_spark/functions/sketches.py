@@ -34,7 +34,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["kmv_hash", "kmv_sketch", "kmv_merge", "kmv_estimate_col",
-           "kmv_set_estimates"]
+           "kmv_set_estimates", "quantile_sketch", "quantile_sketch_merge",
+           "sampled_token_postings", "vocab_sample_stats"]
 
 HASH_BITS = 48
 _SPACE = 1 << HASH_BITS
@@ -353,3 +354,291 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame,
     return (j.select(*gcols, "n_union_mins", "union_est", "inter_est",
                      "a_only_est", "b_only_est", "jaccard_e6")
              .drop(*added))
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch: deterministic hash-rank row sample (KMV over row keys)
+# ---------------------------------------------------------------------------
+
+def _pair_hash(key_col: str | Column, value_col: str | Column) -> Column:
+    """48-bit md5 hash of the (key, value) pair, unit-separated.
+
+    The sample unit of ``quantile_sketch``: with a per-row-unique key
+    the pair hash IS a uniform row hash; duplicate identical pairs
+    collapse harmlessly (the sketch dedups them anyway). The \\x1f unit
+    separator keeps (key="a", value="bc") distinct from (key="ab",
+    value="c"). Cross-engine exact — DuckDB replays it as
+    ``('0x' || substr(md5(k || chr(31) || v), 1, 12))::bigint``.
+    """
+    kc = F.col(key_col) if isinstance(key_col, str) else key_col
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    return kmv_hash(F.concat(kc.cast("string"), F.lit("\x1f"),
+                             vc.cast("string")))
+
+
+def _bp(p: float) -> int:
+    """Probability → basis points (1/10000), validated. Keeping ranks in
+    integer arithmetic (``(bp·n + 9999) div 10000``) makes the quantile
+    index a pure function of (p, n) — no float product whose last bit
+    could differ between engines."""
+    bp = round(p * 10000)
+    if not (0 < bp <= 10000) or abs(bp / 10000 - p) > 1e-12:
+        raise ValueError(
+            f"prob {p} must lie in (0, 1] at 1/10000 resolution")
+    return bp
+
+
+def _q_name(bp: int) -> str:
+    return "q" + f"{bp / 100:g}".replace(".", "_")
+
+
+def _quantile_cols(vals_col: str, probs: list[int]) -> list[Column]:
+    """percentile_disc over a SORTED sample array, integer-exact:
+    element at rank ``ceil(p·n)`` = ``(bp·n + 9999) div 10000``."""
+    return [F.expr(
+        f"element_at({vals_col}, cast(greatest(1, "
+        f"({bp} * size({vals_col}) + 9999) div 10000) as int))"
+    ).alias(_q_name(bp)) for bp in probs]
+
+
+def _local_kminpair_precombine(pairs: DataFrame, gcols: list[str],
+                               k: int) -> DataFrame:
+    """Per-partition k smallest (hash, value) pairs per group — the
+    ``_local_kmin_precombine`` shape carrying the sampled value along.
+    Ties on a pair-hash collision order by value, matching the final
+    rank's ``orderBy(_h, _v)``."""
+    import pandas as pd
+
+    schema = pairs.schema
+
+    def combine(batches):
+        best: dict[tuple, list[tuple]] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(gcols, sort=False, dropna=False):
+                key = key if isinstance(key, tuple) else (key,)
+                key = tuple(None if (isinstance(x, float) and pd.isna(x))
+                            else x for x in key)
+                merged = best.get(key, [])
+                cand = sorted(set(merged).union(
+                    zip(grp["_h"].tolist(), grp["_v"].tolist())))
+                best[key] = cand[:k]
+            del pdf
+        rows = [list(key) + [h, v]
+                for key, hvs in best.items() for h, v in hvs]
+        if rows:
+            yield pd.DataFrame(rows, columns=[*gcols, "_h", "_v"])
+
+    return pairs.mapInPandas(combine, schema)
+
+
+def _finish_quantile_sketch(pairs: DataFrame, gcols: list[str],
+                            added: list[str], k: int,
+                            probs: list[int]) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*gcols).orderBy("_h", "_v")
+    kept = (pairs.withColumn("_rk", F.row_number().over(w))
+                 .where(F.col("_rk") <= k))
+    out = (kept.groupBy(*gcols)
+               .agg(F.sort_array(F.collect_list(F.struct("_h", "_v")))
+                     .alias("_p"),
+                    F.sort_array(F.collect_list("_v")).alias("_sv")))
+    out = (out.withColumn("qs_h", F.col("_p._h"))
+              .withColumn("qs_v", F.col("_p._v"))
+              .withColumn("n_sample", F.size("_sv").cast("bigint"))
+              .withColumn("k", F.lit(k).cast("bigint")))
+    out = out.select(*gcols, "qs_h", "qs_v", "n_sample", "k",
+                     *_quantile_cols("_sv", probs))
+    return out.drop(*added)
+
+
+def quantile_sketch(df: DataFrame, value_col: str, key_col: str,
+                    group_cols: list[str] | None = None, k: int = 256,
+                    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+                    local_combine: bool = True) -> DataFrame:
+    """Per-group deterministic quantile sketch: the value distribution
+    summarized from the k rows whose (key, value) pair hash ranks
+    smallest — a KMV sample over ROW IDENTITY instead of value space,
+    so the retained values are a uniform deterministic
+    without-replacement row sample and sample quantiles estimate the
+    true ones (exact whenever the group holds ≤ k distinct pairs; the
+    sample is then the whole group). ``key_col`` must identify rows
+    (e.g. ``doc_id``): duplicate identical (key, value) pairs collapse
+    to one sample point, and a key reused with different values
+    contributes each value once — document keys upstream if rows repeat.
+
+    Returns one row per group: ``qs_h``/``qs_v`` (pair hashes + their
+    values, aligned, hash-sorted — the mergeable sketch),
+    ``n_sample``, ``k``, and one column per prob (``q25``, ``q50``, …)
+    = percentile_disc over the sample in PURE INTEGER rank arithmetic
+    (``element_at(sorted_vals, (bp·n + 9999) div 10000)``) — every
+    output cell replays bit-for-bit on any engine, unlike
+    ``approx_percentile`` (engine-internal GK/t-digest state).
+
+    Scale shape (100 TB): with ``local_combine`` each partition ships
+    only its k smallest pairs per group (global k-mins ⊆ union of
+    per-partition k-mins), so the exchange carries ≤ partitions·groups·k
+    rows and the final rank sorts a bounded set; federated quantiles
+    ship O(k) (hash, value) pairs per source and ``quantile_sketch_merge``
+    reproduces the whole-data sketch exactly (the reference's
+    partial-aggregate forwarding shape, `plans/aggpush.py` analog).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    bps = [_bp(p) for p in probs]
+    if len(set(bps)) != len(bps):
+        raise ValueError(f"duplicate probs at 1/10000 resolution: {probs}")
+    gcols = list(group_cols or [])
+    added = []
+    if not gcols:
+        df = df.withColumn("_g", F.lit(1))
+        gcols, added = ["_g"], ["_g"]
+    pairs = df.where(F.col(value_col).isNotNull()).select(
+        *gcols, _pair_hash(key_col, value_col).alias("_h"),
+        F.col(value_col).alias("_v"))
+    if local_combine:
+        pairs = _local_kminpair_precombine(pairs, gcols, k)
+    return _finish_quantile_sketch(pairs.distinct(), gcols, added, k, bps)
+
+
+def quantile_sketch_merge(sketches: DataFrame,
+                          group_cols: list[str] | None = None,
+                          k: int = 256,
+                          probs: tuple[float, ...] = (0.25, 0.5,
+                                                      0.75, 0.95),
+                          built_k: int | None = None) -> DataFrame:
+    """Merge per-source quantile sketches into the whole-data sketch —
+    identical to ``quantile_sketch`` over the union of the raw rows
+    (pytest-locked): the k smallest pair hashes of a union are contained
+    in the union of per-source k smallest, and each hash carries its
+    value along. Same merge-direction law as ``kmv_merge``: ``k`` must
+    be ≤ every input's build k (ranks beyond a smaller build k were
+    never kept — merging up would silently bias the sample toward the
+    sources that did keep them); ``built_k`` validates that with zero
+    compute, else a ``min(k)`` probe runs (which forces lazy inputs
+    once), and an in-plan per-row guard backstops either path."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    bps = [_bp(p) for p in probs]
+    if "k" not in sketches.columns:
+        raise ValueError(
+            "input is not a quantile_sketch output (no 'k' column)")
+    if built_k is not None:
+        if built_k < k:
+            raise ValueError(
+                f"cannot merge at k={k}: an input sketch was built with "
+                f"k={built_k}; ranks beyond it were never kept")
+    else:
+        min_k = sketches.agg(F.min("k")).first()[0]
+        if min_k is not None and min_k < k:
+            raise ValueError(
+                f"cannot merge at k={k}: an input sketch was built with "
+                f"k={min_k}; ranks beyond it were never kept")
+    gcols = list(group_cols or [])
+    added = []
+    if not gcols:
+        sketches = sketches.withColumn("_g", F.lit(1))
+        gcols, added = ["_g"], ["_g"]
+    guarded = (F.when(F.col("k") >= F.lit(k), F.col("qs_h"))
+                .otherwise(F.raise_error(F.concat(
+                    F.lit("quantile sketch built with k="),
+                    F.col("k").cast("string"),
+                    F.lit(f" cannot serve k={k}: ranks beyond the build "
+                          "k were never kept (biased sample)")))
+                    .cast("array<bigint>")))
+    pairs = (sketches.select(
+                *gcols,
+                F.explode(F.arrays_zip(guarded.alias("_h"),
+                                       F.col("qs_v").alias("_v")))
+                 .alias("_z"))
+             .select(*gcols, F.col("_z._h").alias("_h"),
+                     F.col("_z._v").alias("_v"))
+             .distinct())
+    return _finish_quantile_sketch(pairs, gcols, added, k, bps)
+
+
+# ---------------------------------------------------------------------------
+# Hash-sampled vocabulary statistics: a deterministic 1/m TYPE-space sample
+# ---------------------------------------------------------------------------
+
+def sampled_token_postings(df: DataFrame, text_col: str,
+                           group_cols: list[str] | None = None,
+                           m: int = 16, pattern: str = r"\s+",
+                           lowercase: bool = False) -> DataFrame:
+    """EXACT counts for a deterministic 1/m sample of token TYPES.
+
+    Tokens whose 48-bit md5 hash falls below ``2^48 div m`` are kept —
+    a pseudo-random but fully deterministic 1/m slice of type space —
+    and every occurrence of a kept type is counted exactly
+    (``group_cols + [token] → count``). Because membership is a pure
+    function of the token, disjoint sub-corpora sample the SAME type
+    set, so postings merge across sources/snapshots by plain summation
+    (groupBy token, sum n) — no rank re-negotiation, the additive
+    partial-aggregate shape federation forwards as-is.
+
+    Scale shape (100 TB): the hash filter runs map-side on the exploded
+    token stream, cutting shuffle volume to ~1/m of total occurrences
+    before the groupBy's partial aggregation; no driver state, no
+    full-vocabulary shuffle. With m=16 a 10¹¹-token corpus ships ~6% of
+    its occurrences pre-combined.
+
+    Returns ``group_cols + [token, n]``. NULL texts contribute nothing;
+    empty tokens (split artifacts) are dropped; ``lowercase`` folds case
+    BEFORE hashing (changes the sampled set — keep it consistent across
+    corpora you intend to merge).
+    """
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    gcols = list(group_cols or [])
+    thr = _SPACE // m
+    tok = F.explode(F.split(F.col(text_col), pattern)).alias("token")
+    toks = (df.where(F.col(text_col).isNotNull())
+              .select(*gcols, tok)
+              .where(F.col("token") != ""))
+    if lowercase:
+        toks = toks.withColumn("token", F.lower("token"))
+    return (toks.where(kmv_hash("token") < F.lit(thr))
+                .groupBy(*gcols, "token")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+
+def vocab_sample_stats(df: DataFrame, text_col: str,
+                       group_cols: list[str] | None = None,
+                       m: int = 16, pattern: str = r"\s+",
+                       lowercase: bool = False) -> DataFrame:
+    """Per-group vocabulary statistics from the 1/m type sample —
+    unbiased Horvitz-Thompson scale-ups, all pure integers:
+
+    - ``types_sampled`` / ``types_est = ·m``: vocabulary size,
+    - ``tokens_sampled`` / ``tokens_est = ·m``: total occurrences
+      (unbiased because sampling is over types: each type's exact count
+      enters with probability 1/m),
+    - ``hapax_sampled`` / ``hapax_est = ·m``: types occurring once —
+      the frequency-spectrum head, the classic vocabulary-growth
+      statistic (Heaps'-law calibration without a full vocab shuffle).
+
+    A group with NO sampled types (tiny group, unlucky slice) is absent
+    from the output — join against the group universe and coalesce to 0
+    if you need dense rows. Estimates are exact multiples of m; their
+    sampling error shrinks with type count (σ/μ ≈ sqrt(m/types)), so
+    m=16 on a 10⁶-type corpus is ~0.4%. Cross-engine exact: DuckDB
+    replays the hash slice, the counts, and the scale-ups cell-for-cell.
+    """
+    postings = sampled_token_postings(df, text_col, group_cols, m,
+                                      pattern, lowercase)
+    gcols = list(group_cols or [])
+    ml = F.lit(int(m)).cast("bigint")
+    agg = (postings.groupBy(*gcols) if gcols
+           else postings.groupBy())
+    out = agg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("types_sampled"),
+        F.sum("n").cast("bigint").alias("tokens_sampled"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("bigint")
+         .alias("hapax_sampled"))
+    return out.select(
+        *gcols, "types_sampled",
+        (F.col("types_sampled") * ml).alias("types_est"),
+        "tokens_sampled",
+        (F.col("tokens_sampled") * ml).alias("tokens_est"),
+        "hapax_sampled",
+        (F.col("hapax_sampled") * ml).alias("hapax_est"))

@@ -8219,7 +8219,14 @@ _DRIVER_WINDOW = [
 # urls.robots_directives (Crawl-delay via the SHARED RFC 9309 group
 # algebra — max of binding groups, try_cast totality — plus
 # group-independent Sitemap lines in doc order; feeds parse_sitemaps
-# and turns politeness_waves' wave numbers into not-before offsets).
+# and turns politeness_waves' wave numbers into not-before offsets),
+# `sketch_quantiles` for sketches.quantile_sketch (deterministic
+# hash-rank row sample; integer-rank percentile_disc columns; the
+# grouped DuckDB replay in test_quantile_sketch_matches_duckdb_replay
+# IS the oracle shape), and `text_vocab_sample` for
+# sketches.vocab_sample_stats (1/m type-space slice, pure-integer
+# scale-ups; replay in test_vocab_sample_stats_matches_duckdb_replay).
+# That is 3 of the ≤4 r13-new slots; the r9-age cohort fills the rest.
 # Deliberately NOT declared in r12: the window closed exactly full with
 # the four r12-new queries, and an outside-window declaration would
 # recreate the "never driver-checked" gap. Python-reference replay +

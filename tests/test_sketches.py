@@ -330,3 +330,281 @@ def test_kmv_set_estimates_exact_regime_property(spark, na, nb, overlap):
     assert r.a_only_est == len(A - B)
     assert r.b_only_est == len(B - A)
     assert r.jaccard_e6 == len(A & B) * 1_000_000 // len(A | B)
+
+
+# -- quantile sketch (r12 tail) ----------------------------------------------
+
+def test_quantile_sketch_exact_below_k_matches_percentile_disc(docs):
+    """k above every group's row count → the sample IS the group and
+    each q-column equals exact percentile_disc."""
+    got = {r.lang: (r.n_sample, r.q25, r.q50, r.q75, r.q95) for r in
+           K.quantile_sketch(docs, "n_chars", "doc_id", ["lang"],
+                             k=100_000).collect()}
+    want = {}
+    for r in (docs.groupBy("lang")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sort_array(F.collect_list("n_chars")).alias("sv"))
+                  .collect()):
+        sv = list(r.sv)
+        def disc(p, sv=sv):
+            import math
+            return sv[max(1, math.ceil(p * len(sv))) - 1]
+        want[r.lang] = (r.n, disc(.25), disc(.5), disc(.75), disc(.95))
+    assert got == want and len(got) > 1
+
+
+def test_quantile_sketch_estimates_above_k(docs):
+    """Saturated sketch: sample quantiles track the truth (median of a
+    256-sample lies within a loose rank band of the true median)."""
+    true_med = docs.agg(F.expr(
+        "percentile_approx(n_chars, 0.5, 100000)")).first()[0]
+    est = K.quantile_sketch(docs, "n_chars", "doc_id", k=64).first().q50
+    lo, hi = (docs.agg(F.expr("percentile_approx(n_chars, 0.2, 100000)"),
+                       F.expr("percentile_approx(n_chars, 0.8, 100000)"))
+                  .first())
+    assert lo <= est <= hi, (est, true_med, lo, hi)
+
+
+def test_quantile_sketch_merge_of_partials_equals_whole(docs):
+    parts = None
+    for i in range(3):
+        s = K.quantile_sketch(docs.where(f"doc_id % 3 = {i}"),
+                              "n_chars", "doc_id", ["lang"], k=32)
+        parts = s if parts is None else parts.unionByName(s)
+    def norm(rows):
+        return sorted((r.lang, tuple(r.qs_h), tuple(r.qs_v), r.n_sample,
+                       r.k, r.q25, r.q50, r.q75, r.q95) for r in rows)
+    merged = norm(K.quantile_sketch_merge(parts, ["lang"], k=32,
+                                          built_k=32).collect())
+    whole = norm(K.quantile_sketch(docs, "n_chars", "doc_id", ["lang"],
+                                   k=32).collect())
+    assert merged == whole and len(whole) > 1
+
+
+def test_quantile_sketch_partitioning_and_local_combine_invariant(docs):
+    def norm(rows):
+        return sorted((r.lang, tuple(r.qs_h), tuple(r.qs_v), r.q50)
+                      for r in rows)
+    a = norm(K.quantile_sketch(docs, "n_chars", "doc_id", ["lang"],
+                               k=16).collect())
+    b = norm(K.quantile_sketch(docs.repartition(13), "n_chars", "doc_id",
+                               ["lang"], k=16).collect())
+    c = norm(K.quantile_sketch(docs, "n_chars", "doc_id", ["lang"], k=16,
+                               local_combine=False).collect())
+    assert a == b == c
+
+
+def test_quantile_sketch_guards(docs, spark):
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        K.quantile_sketch(docs, "n_chars", "doc_id", k=1)
+    with pytest.raises(ValueError, match="resolution"):
+        K.quantile_sketch(docs, "n_chars", "doc_id", probs=(0.00001,))
+    with pytest.raises(ValueError, match="duplicate probs"):
+        K.quantile_sketch(docs, "n_chars", "doc_id", probs=(0.5, 0.5))
+    small = K.quantile_sketch(docs, "n_chars", "doc_id", ["lang"], k=8)
+    with pytest.raises(ValueError, match="built with k=8"):
+        K.quantile_sketch_merge(small, ["lang"], k=16)
+    with pytest.raises(ValueError, match="no 'k' column"):
+        K.quantile_sketch_merge(small.drop("k"), ["lang"], k=8)
+    # merging DOWN equals a direct smaller-k sketch
+    down = {r.lang: (tuple(r.qs_h), tuple(r.qs_v)) for r in
+            K.quantile_sketch_merge(small, ["lang"], k=4,
+                                    built_k=8).collect()}
+    direct = {r.lang: (tuple(r.qs_h), tuple(r.qs_v)) for r in
+              K.quantile_sketch(docs, "n_chars", "doc_id", ["lang"],
+                                k=4).collect()}
+    assert down == direct
+    # a LYING built_k still errors at execution time (in-plan guard)
+    from pyspark.errors import PySparkException
+    with pytest.raises(PySparkException, match="cannot serve k=16"):
+        K.quantile_sketch_merge(small, ["lang"], k=16,
+                                built_k=16).collect()
+
+
+def test_quantile_sketch_null_values_dropped(spark):
+    df = spark.createDataFrame(
+        [Row(id=i, v=None if i % 2 else i) for i in range(10)])
+    r = K.quantile_sketch(df, "v", "id", k=64).first()
+    assert r.n_sample == 5 and r.q50 == 4  # values 0,2,4,6,8
+
+
+def test_quantile_sketch_matches_duckdb_replay(docs, sf_dir):
+    """Full grouped replay — the r13 oracle shape: pair hash, rank,
+    aligned arrays, integer-exact percentile_disc ranks."""
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')")
+    want = {r[0]: (list(r[1]), list(r[2]), r[3], r[4], r[5], r[6]) for r
+            in con.execute("""
+with pairs as (
+  select distinct lang,
+         ('0x' || substr(md5(cast(doc_id as varchar) || chr(31) ||
+                             cast(n_chars as varchar)), 1, 12))::bigint
+           as h,
+         n_chars as v
+  from documents where n_chars is not null),
+rk as (
+  select lang, h, v,
+         row_number() over (partition by lang order by h, v) as rk
+  from pairs),
+kept as (select * from rk where rk <= 16),
+agg as (
+  select lang, list(h order by h, v) as qs_h,
+         list(v order by h, v) as qs_v,
+         list(v order by v) as sv, count(*) as n_sample
+  from kept group by lang)
+select lang, qs_h, qs_v, n_sample,
+       sv[greatest(1, (2500 * n_sample + 9999) // 10000)] as q25,
+       sv[greatest(1, (5000 * n_sample + 9999) // 10000)] as q50,
+       sv[greatest(1, (9500 * n_sample + 9999) // 10000)] as q95
+from agg order by lang
+""").fetchall()}
+    got = {r.lang: (list(r.qs_h), list(r.qs_v), r.n_sample,
+                    r.q25, r.q50, r.q95) for r in
+           K.quantile_sketch(docs, "n_chars", "doc_id", ["lang"], k=16,
+                             probs=(0.25, 0.5, 0.95)).collect()}
+    assert got == want
+
+
+def test_quantile_sketch_two_exchanges_only(docs):
+    out = K.quantile_sketch(docs, "n_chars", "doc_id", ["lang"], k=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # distinct (group, h, v) + the rank window's group repartition; the
+    # final groupBy reuses the window's partitioning
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+
+
+# -- sampled vocabulary statistics (r12 tail) ---------------------------------
+
+def test_sampled_postings_counts_are_exact(docs):
+    """Every sampled type's count equals the true full count."""
+    true_counts = {(r.lang, r.token): r.n for r in
+                   (docs.select("lang", F.explode(F.split("text", r"\s+"))
+                                .alias("token"))
+                        .where("token <> ''")
+                        .groupBy("lang", "token")
+                        .agg(F.count(F.lit(1)).alias("n"))).collect()}
+    sampled = K.sampled_token_postings(docs, "text", ["lang"],
+                                       m=4).collect()
+    assert len(sampled) > 10
+    for r in sampled:
+        assert true_counts[(r.lang, r.token)] == r.n
+    # the slice is deterministic: same hash space on any engine
+    thr = (1 << 48) // 4
+    con = duckdb.connect()
+    for r in sampled[:20]:
+        h = con.execute(
+            "select ('0x' || substr(md5(?), 1, 12))::bigint",
+            [r.token]).fetchone()[0]
+        assert h < thr
+
+
+def test_sampled_postings_merge_by_summation(docs):
+    whole = {(r.lang, r.token): r.n for r in
+             K.sampled_token_postings(docs, "text", ["lang"],
+                                      m=4).collect()}
+    a = K.sampled_token_postings(docs.where("doc_id % 2 = 0"), "text",
+                                 ["lang"], m=4)
+    b = K.sampled_token_postings(docs.where("doc_id % 2 = 1"), "text",
+                                 ["lang"], m=4)
+    summed = {(r.lang, r.token): r.n for r in
+              (a.unionByName(b).groupBy("lang", "token")
+                .agg(F.sum("n").alias("n"))).collect()}
+    assert summed == whole
+
+
+def test_vocab_sample_stats_matches_duckdb_replay(docs, sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')")
+    thr = (1 << 48) // 8
+    want = {r[0]: tuple(r[1:]) for r in con.execute(f"""
+with toks as (
+  select lang, u.tok from documents,
+       unnest(string_split_regex(text, '\\s+')) as u(tok)
+  where text is not null),
+f as (select lang, tok from toks
+      where tok <> ''
+        and ('0x' || substr(md5(tok), 1, 12))::bigint < {thr}),
+p as (select lang, tok, count(*) as n from f group by 1, 2)
+select lang, count(*) as types_sampled, count(*) * 8 as types_est,
+       sum(n) as tokens_sampled, sum(n) * 8 as tokens_est,
+       sum(case when n = 1 then 1 else 0 end) as hapax_sampled,
+       sum(case when n = 1 then 1 else 0 end) * 8 as hapax_est
+from p group by lang order by lang
+""").fetchall()}
+    got = {r.lang: (r.types_sampled, r.types_est, r.tokens_sampled,
+                    r.tokens_est, r.hapax_sampled, r.hapax_est) for r in
+           K.vocab_sample_stats(docs, "text", ["lang"], m=8).collect()}
+    assert got == want and len(got) == 5
+
+
+def test_vocab_sample_stats_estimates_track_truth(docs):
+    """m=2 halves the type space: scale-ups land near the full-shuffle
+    truth (synthetic vocab is small, so allow generous sampling error)."""
+    truth = {r.lang: (r.types, r.toks) for r in
+             (docs.select("lang", F.explode(F.split("text", r"\s+"))
+                          .alias("token"))
+                  .where("token <> ''")
+                  .groupBy("lang")
+                  .agg(F.countDistinct("token").alias("types"),
+                       F.count(F.lit(1)).alias("toks"))).collect()}
+    got = {r.lang: (r.types_est, r.tokens_est) for r in
+           K.vocab_sample_stats(docs, "text", ["lang"], m=2).collect()}
+    for lang, (t_est, m_est) in got.items():
+        types, toks = truth[lang]
+        assert abs(t_est - types) / types < 0.8, (lang, t_est, types)
+        assert abs(m_est - toks) / toks < 0.8, (lang, m_est, toks)
+
+
+def test_vocab_sample_stats_m1_is_exact_and_guards(docs, spark):
+    """m=1 keeps everything: estimates ARE the exact full statistics."""
+    got = {r.lang: (r.types_sampled, r.types_est, r.tokens_sampled)
+           for r in K.vocab_sample_stats(docs, "text", ["lang"],
+                                         m=1).collect()}
+    truth = {r.lang: r.types for r in
+             (docs.select("lang", F.explode(F.split("text", r"\s+"))
+                          .alias("token"))
+                  .where("token <> ''")
+                  .groupBy("lang")
+                  .agg(F.countDistinct("token").alias("types"))).collect()}
+    for lang, (ts, te, _) in got.items():
+        assert ts == te == truth[lang]
+    with pytest.raises(ValueError, match="m must be >= 1"):
+        K.sampled_token_postings(docs, "text", m=0)
+    # lowercase folds BEFORE hashing (sampled set changes consistently)
+    lc = K.sampled_token_postings(
+        spark.createDataFrame([Row(text="Foo foo FOO bar")]),
+        "text", m=1, lowercase=True).collect()
+    assert {(r.token, r.n) for r in lc} == {("foo", 3), ("bar", 1)}
+
+
+@_settings(max_examples=10, deadline=None)
+@_given(vals=_st.lists(_st.integers(min_value=-1000, max_value=1000),
+                       min_size=1, max_size=80),
+        k=_st.integers(min_value=2, max_value=12),
+        cut=_st.integers(min_value=0, max_value=7))
+def test_quantile_sketch_merge_property(spark, vals, k, cut):
+    """Property: for ANY value multiset, any k, and any 2-way split,
+    merging the split's sketches reproduces the whole-data sketch
+    cell-for-cell, and below k the q50 equals exact percentile_disc
+    (hypothesis-generated)."""
+    import math
+    rows = [Row(id=i, v=v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id int, v int")
+    a = df.where(f"id % 8 <= {cut}")
+    b = df.where(f"id % 8 > {cut}")
+    whole = K.quantile_sketch(df, "v", "id", k=k).first()
+    parts = K.quantile_sketch(a, "v", "id", k=k).unionByName(
+        K.quantile_sketch(b, "v", "id", k=k))
+    merged = K.quantile_sketch_merge(parts, k=k, built_k=k).first()
+    # a split side may be empty -> merge still reproduces the whole
+    assert (list(merged.qs_h), list(merged.qs_v), merged.n_sample,
+            merged.q50) == \
+        (list(whole.qs_h), list(whole.qs_v), whole.n_sample, whole.q50)
+    distinct_pairs = len({(i, v) for i, v in enumerate(vals)})
+    if distinct_pairs <= k:
+        sv = sorted(vals)
+        assert whole.q50 == sv[max(1, math.ceil(0.5 * len(sv))) - 1]
