@@ -15,10 +15,21 @@ Everything is plan-driven: the query is parsed with Spark's own parser,
 the accepted shape is validated node-by-node, and clause text is
 regenerated with Catalyst's ``Expression.sql()`` — no regex surgery on
 user SQL. Anything outside the accepted shape (non-distributive
-aggregates, scalar wrappers around aggs, DISTINCT, HAVING, subqueries,
+aggregates, scalar wrappers around aggs, HAVING, subqueries,
 expressions in GROUP BY, window functions) returns None and the caller
 keeps the row path; the decomposition rules are the classic ones (sum of
 counts, sum of sums, min of mins, avg as sum/count).
+
+``count(DISTINCT col)`` (r12) decomposes EXACTLY by refining the partial
+grain: each source aggregates at ``GROUP BY groups, col`` — one row per
+distinct (group, value) pair, never per entity row — and the merge
+re-deduplicates across sources with ``countDistinct``. Every distributive
+aggregate stays correct at the finer grain (its per-(group, value)
+partials re-combine to the same totals), so mixed queries like
+``count(distinct suppkey), sum(quantity)`` take the partial path too.
+Transfer becomes O(distinct values) per source — bounded above by the
+row count, typically orders of magnitude below it — where the row path
+ships O(rows). DISTINCT on other aggregates (sum/avg) still returns None.
 """
 
 from __future__ import annotations
@@ -47,11 +58,24 @@ class AggQuerySpec:
 
     def partial_sql(self) -> str:
         """The per-source/per-peer query: same filter + grouping, partial
-        aggregate columns under stable ``__p{i}`` names."""
+        aggregate columns under stable ``__p{i}`` names.
+
+        ``count_distinct`` outputs refine the partial GRAIN instead of
+        aggregating: their columns join the GROUP BY (one shipped row per
+        distinct (group, value) pair) and ride along projected as
+        ``__p{i}_d`` for the merge to re-deduplicate. Distributive
+        aggregates stay exact at the finer grain — their per-pair
+        partials re-combine to the same totals."""
         items = []
+        grain = list(self.group_attrs)
         for i, out in enumerate(self.outputs):
             if out[0] == "group":
                 items.append(f"{out[1]} AS {out[2]}")
+            elif out[1] == "count_distinct":
+                _, _fn, arg, _, _digits = out
+                items.append(f"{arg} AS __p{i}_d")
+                if arg not in grain:
+                    grain.append(arg)
             else:
                 # rounding happens at MERGE time over the combined value;
                 # partials stay unrounded (rounding partials would change
@@ -65,8 +89,8 @@ class AggQuerySpec:
         sql = f"SELECT {', '.join(items)} FROM {self.entity}"
         if self.where_sql:
             sql += f" WHERE {self.where_sql}"
-        if self.group_attrs:
-            sql += " GROUP BY " + ", ".join(self.group_attrs)
+        if grain:
+            sql += " GROUP BY " + ", ".join(grain)
         return sql
 
     def merge(self, partials: DataFrame) -> DataFrame:
@@ -80,7 +104,12 @@ class AggQuerySpec:
             if out[0] != "agg":
                 continue
             _, fn, arg, name, digits = out
-            if fn == "count":
+            if fn == "count_distinct":
+                # cross-source re-dedup: a value two sources both hold
+                # counts once; NULL pairs shipped by the finer grain are
+                # ignored, matching count(distinct col) semantics
+                expr = F.countDistinct(f"__p{i}_d").cast("bigint")
+            elif fn == "count":
                 expr = F.sum(f"__p{i}").cast("bigint")
             elif fn == "sum":
                 expr = F.sum(f"__p{i}")
@@ -160,8 +189,21 @@ def _agg_call(jexpr):
     if parts.size() != 1:
         return None
     fn = str(parts.apply(0)).lower()
-    if fn not in _AGG_FNS or jexpr.isDistinct():
+    if fn not in _AGG_FNS:
         return None
+    if jexpr.isDistinct():
+        # only count(DISTINCT bare_col) decomposes (grain refinement);
+        # sum/avg DISTINCT would need value-level dedup the merge frame
+        # can't see through the summed partials — row path for those
+        if fn != "count":
+            return None
+        args = jexpr.arguments()
+        if args.size() != 1:
+            return None
+        col = _bare_attr(args.apply(0))
+        if col is None:
+            return None
+        return "count_distinct", col, digits
     args = jexpr.arguments()
     if args.size() != 1:
         return None

@@ -397,3 +397,80 @@ def test_template_star_query_not_forwarded_but_correct(
     assert df.count() == local.count()
     assert set(df.columns) == set(local.columns) | {"_source_relay_",
                                                     "_source_id_"}
+
+
+# ---------------------------------------------------------------------------
+# count(DISTINCT col) decomposition (r12): grain refinement, exact
+# ---------------------------------------------------------------------------
+
+def test_count_distinct_spec_refines_partial_grain(spark):
+    from dataweb_spark.plans.aggpush import extract_aggregate_query
+    spec = extract_aggregate_query(
+        spark,
+        "select returnflag, count(distinct orderkey) as d, count(*) as n, "
+        "sum(quantity) as q from lineitem group by returnflag",
+        "lineitem")
+    assert spec is not None
+    psql = spec.partial_sql()
+    # one shipped row per (group, distinct value) pair, never per row
+    assert "GROUP BY returnflag, orderkey" in psql
+    assert "orderkey AS __p1_d" in psql
+    # distributive partials ride at the finer grain
+    assert "count(1) AS __p2" in psql and "sum(quantity) AS __p3" in psql
+    # the distinct column joins the grain ONCE even when repeated/grouped
+    spec2 = extract_aggregate_query(
+        spark,
+        "select returnflag, count(distinct returnflag) as a, "
+        "count(distinct orderkey) as b, count(distinct orderkey) as c "
+        "from lineitem group by returnflag",
+        "lineitem")
+    assert spec2.partial_sql().count("GROUP BY returnflag, orderkey") == 1
+    # DISTINCT on other aggregates keeps the row path
+    for sql in ("select sum(distinct quantity) as s from lineitem",
+                "select avg(distinct quantity) as a from lineitem",
+                "select count(distinct orderkey + 1) as d from lineitem"):
+        assert extract_aggregate_query(spark, sql, "lineitem") is None, sql
+
+
+def test_count_distinct_differential_and_transfer(spark, demo_web,
+                                                  peer_server, edge_gateway):
+    """count(DISTINCT) answers identically through the partial path and
+    the row path, for every accepted shape — and the peer ships one row
+    per distinct pair, not per entity row."""
+    grid = [
+        "select count(distinct linestatus) as d from lineitem",
+        "select count(distinct returnflag) as a, "
+        "count(distinct linestatus) as b from lineitem",
+        "select returnflag, count(distinct linestatus) as d, count(*) as n, "
+        "sum(quantity) as q, avg(extendedprice) as p from lineitem "
+        "group by returnflag order by returnflag",
+        "select returnflag, count(distinct orderkey) as d from lineitem "
+        "where quantity < 9 group by returnflag order by d desc limit 2",
+        # NULL-heavy column: csv source maps no orderkey (NULL-filled);
+        # count(distinct) must ignore the shipped NULL pairs
+        "select linestatus, count(distinct orderkey) as d from lineitem "
+        "group by linestatus",
+        # distinct col == group col (degenerate grain, still exact)
+        "select returnflag, count(distinct returnflag) as d from lineitem "
+        "group by returnflag",
+    ]
+    for sql in grid:
+        fast = edge_gateway.query(sql).collect()
+        slow = edge_gateway.query(sql, partial_aggregate=False).collect()
+        def canon(rows):
+            return sorted(
+                [tuple(round(v, 6) if isinstance(v, float) else v
+                       for v in r) for r in rows], key=repr)
+        assert canon(fast) == canon(slow), sql
+
+    from dataweb_spark.plans.resolve import resolve_entity
+    local = resolve_entity(spark, demo_web, "na_us", "lineitem")
+    total = local.count()
+    pairs = local.select("returnflag", "linestatus").distinct().count()
+    before = peer_server.served_rows
+    edge_gateway.query(
+        "select returnflag, count(distinct linestatus) as d from lineitem "
+        "group by returnflag").collect()
+    shipped = peer_server.served_rows - before
+    assert 0 < shipped <= pairs + 2, (shipped, pairs, total)
+    assert shipped < total / 10  # O(distinct pairs), not O(rows)
