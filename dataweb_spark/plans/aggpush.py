@@ -20,16 +20,19 @@ expressions in GROUP BY, window functions) returns None and the caller
 keeps the row path; the decomposition rules are the classic ones (sum of
 counts, sum of sums, min of mins, avg as sum/count).
 
-``count(DISTINCT col)`` (r12) decomposes EXACTLY by refining the partial
+DISTINCT aggregates (r12) decompose EXACTLY by refining the partial
 grain: each source aggregates at ``GROUP BY groups, col`` — one row per
-distinct (group, value) pair, never per entity row — and the merge
-re-deduplicates across sources with ``countDistinct``. Every distributive
-aggregate stays correct at the finer grain (its per-(group, value)
-partials re-combine to the same totals), so mixed queries like
-``count(distinct suppkey), sum(quantity)`` take the partial path too.
-Transfer becomes O(distinct values) per source — bounded above by the
-row count, typically orders of magnitude below it — where the row path
-ships O(rows). DISTINCT on other aggregates (sum/avg) still returns None.
+distinct (group, value) pair, never per entity row — and because the
+values ship VERBATIM in those pairs, the merge re-deduplicates across
+sources (``countDistinct`` / ``sum_distinct``; ``avg(DISTINCT)`` =
+sum_distinct / count_distinct; ``min/max(DISTINCT)`` are plain min/max —
+duplicates never affect extrema, so no grain refinement at all). Every
+distributive aggregate stays correct at the finer grain (its
+per-(group, value) partials re-combine to the same totals), so mixed
+queries like ``count(distinct suppkey), sum(quantity)`` take the partial
+path too. Transfer becomes O(distinct values) per source — bounded above
+by the row count, typically orders of magnitude below it — where the row
+path ships O(rows).
 """
 
 from __future__ import annotations
@@ -71,7 +74,7 @@ class AggQuerySpec:
         for i, out in enumerate(self.outputs):
             if out[0] == "group":
                 items.append(f"{out[1]} AS {out[2]}")
-            elif out[1] == "count_distinct":
+            elif out[1].endswith("_distinct"):
                 _, _fn, arg, _, _digits = out
                 items.append(f"{arg} AS __p{i}_d")
                 if arg not in grain:
@@ -109,6 +112,13 @@ class AggQuerySpec:
                 # counts once; NULL pairs shipped by the finer grain are
                 # ignored, matching count(distinct col) semantics
                 expr = F.countDistinct(f"__p{i}_d").cast("bigint")
+            elif fn == "sum_distinct":
+                expr = F.sum_distinct(F.col(f"__p{i}_d"))
+            elif fn == "avg_distinct":
+                # avg(DISTINCT x) = Σ distinct / #distinct; both sides
+                # ignore NULLs, matching the engine semantics
+                expr = (F.sum_distinct(F.col(f"__p{i}_d"))
+                        / F.countDistinct(f"__p{i}_d"))
             elif fn == "count":
                 expr = F.sum(f"__p{i}").cast("bigint")
             elif fn == "sum":
@@ -192,18 +202,18 @@ def _agg_call(jexpr):
     if fn not in _AGG_FNS:
         return None
     if jexpr.isDistinct():
-        # only count(DISTINCT bare_col) decomposes (grain refinement);
-        # sum/avg DISTINCT would need value-level dedup the merge frame
-        # can't see through the summed partials — row path for those
-        if fn != "count":
-            return None
+        # DISTINCT over a bare column decomposes: the merge re-dedups the
+        # shipped (group, value) pairs. min/max(DISTINCT) ≡ min/max —
+        # duplicates never move extrema, so they stay plain partials.
         args = jexpr.arguments()
         if args.size() != 1:
             return None
         col = _bare_attr(args.apply(0))
         if col is None:
             return None
-        return "count_distinct", col, digits
+        if fn in ("min", "max"):
+            return fn, col, digits
+        return f"{fn}_distinct", col, digits
     args = jexpr.arguments()
     if args.size() != 1:
         return None

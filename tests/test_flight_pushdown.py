@@ -425,11 +425,19 @@ def test_count_distinct_spec_refines_partial_grain(spark):
         "from lineitem group by returnflag",
         "lineitem")
     assert spec2.partial_sql().count("GROUP BY returnflag, orderkey") == 1
-    # DISTINCT on other aggregates keeps the row path
-    for sql in ("select sum(distinct quantity) as s from lineitem",
-                "select avg(distinct quantity) as a from lineitem",
-                "select count(distinct orderkey + 1) as d from lineitem"):
-        assert extract_aggregate_query(spark, sql, "lineitem") is None, sql
+    # sum/avg DISTINCT refine the grain too; min/max DISTINCT ≡ min/max
+    spec3 = extract_aggregate_query(
+        spark,
+        "select sum(distinct quantity) as s, avg(distinct quantity) as a, "
+        "min(distinct quantity) as lo from lineitem",
+        "lineitem")
+    psql3 = spec3.partial_sql()
+    assert "GROUP BY quantity" in psql3
+    assert "min(quantity) AS __p2" in psql3  # plain partial, no pair ship
+    # DISTINCT over an expression keeps the row path
+    assert extract_aggregate_query(
+        spark, "select count(distinct orderkey + 1) as d from lineitem",
+        "lineitem") is None
 
 
 def test_count_distinct_differential_and_transfer(spark, demo_web,
@@ -453,6 +461,13 @@ def test_count_distinct_differential_and_transfer(spark, demo_web,
         # distinct col == group col (degenerate grain, still exact)
         "select returnflag, count(distinct returnflag) as d from lineitem "
         "group by returnflag",
+        # sum/avg/min DISTINCT: merge re-dedups the shipped values
+        "select returnflag, sum(distinct quantity) as s, "
+        "avg(distinct quantity) as a, min(distinct quantity) as lo, "
+        "count(*) as n from lineitem group by returnflag "
+        "order by returnflag",
+        "select round(sum(distinct quantity), 2) as s, "
+        "round(avg(distinct extendedprice), 4) as a from lineitem",
     ]
     for sql in grid:
         fast = edge_gateway.query(sql).collect()
