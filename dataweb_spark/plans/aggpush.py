@@ -58,6 +58,13 @@ class AggQuerySpec:
     # (output_name, ascending) pairs, applied after the merge
     order_by: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
+    # HAVING, rewritten to reference merged output / hidden column names;
+    # applied after the merge aggregation, before ORDER BY / LIMIT
+    having_sql: str | None = None
+    # extra agg outputs the HAVING needs but the projection doesn't show:
+    # same 5-tuples as "agg" outputs; computed at merge, dropped after the
+    # filter (their partials ride partial_sql like any other aggregate)
+    hidden: list[tuple] = field(default_factory=list)
 
     def partial_sql(self) -> str:
         """The per-source/per-peer query: same filter + grouping, partial
@@ -71,7 +78,7 @@ class AggQuerySpec:
         partials re-combine to the same totals."""
         items = []
         grain = list(self.group_attrs)
-        for i, out in enumerate(self.outputs):
+        for i, out in enumerate(self.outputs + self.hidden):
             if out[0] == "group":
                 items.append(f"{out[1]} AS {out[2]}")
             elif out[1].endswith("_distinct"):
@@ -99,11 +106,12 @@ class AggQuerySpec:
     def merge(self, partials: DataFrame) -> DataFrame:
         """Combine the unioned per-source partials into the engine-mode
         answer: sum of counts/sums, min of mins, max of maxes, avg from
-        summed (sum, count) pairs — then the original projection order,
-        ORDER BY, and LIMIT."""
+        summed (sum, count) pairs — then HAVING over the merged values
+        (hidden aggregates computed alongside and dropped after the
+        filter), the original projection order, ORDER BY, and LIMIT."""
         group_names = [o[2] for o in self.outputs if o[0] == "group"]
         aggs = []
-        for i, out in enumerate(self.outputs):
+        for i, out in enumerate(self.outputs + self.hidden):
             if out[0] != "agg":
                 continue
             _, fn, arg, name, digits = out
@@ -136,6 +144,8 @@ class AggQuerySpec:
             out = partials.groupBy(*group_names).agg(*aggs)
         else:
             out = partials.agg(*aggs)
+        if self.having_sql is not None:
+            out = out.where(F.expr(self.having_sql))
         out = out.select(*[o[2] if o[0] == "group" else o[3]
                            for o in self.outputs])
         if self.order_by:
@@ -226,12 +236,120 @@ def _agg_call(jexpr):
     return fn, col, digits
 
 
+# scalar functions allowed to remain in a rewritten HAVING: they run over
+# the MERGED frame's columns, so anything aggregate-ish (or unknown — it
+# might be aggregate-ish) must instead fall back to the row path
+_SCALAR_FNS = {"abs", "coalesce", "round", "floor", "ceil", "ceiling",
+               "nullif", "greatest", "least", "upper", "lower", "trim",
+               "length", "substring", "substr", "concat", "nvl", "if",
+               "ifnull", "sqrt", "power", "pow", "exp", "ln", "log",
+               "sign", "mod"}
+
+
+def _rewrite_having(spark, jcond, spec: AggQuerySpec,
+                    agg_sql_names: dict[str, str],
+                    entity_columns: set[str] | None) -> bool:
+    """Rewrite a HAVING condition to run over the MERGED frame.
+
+    Aggregate calls inside the condition are replaced by the output
+    column computing the same aggregate — or by a HIDDEN merge output
+    added for the occasion (its partials ride ``partial_sql`` like any
+    other aggregate; the merge drops it after the filter). Substitution
+    is string surgery, but between two CATALYST-canonical renderings of
+    the same expression (the parent condition's ``.sql()`` embeds each
+    child's ``.sql()`` verbatim), with a literal-collision guard. The
+    rewritten condition must re-parse and reference only merged column
+    names through whitelisted scalar functions — anything else returns
+    False and the caller keeps the row path (the always-safe direction).
+    """
+    if _tree_has(jcond, ("Subquery", "Exists", "Window")):
+        return False
+    try:
+        cond_sql = jcond.sql()
+    except Exception:
+        return False
+    sub = dict(agg_sql_names)
+    stack, literals, found = [jcond], [], {}
+    while stack:
+        n = stack.pop()
+        cls = _cls(n)
+        if cls == "UnresolvedFunction":
+            call = _agg_call(n)
+            if call is not None:
+                try:
+                    found[n.sql()] = call
+                except Exception:
+                    return False
+                continue  # the whole call becomes one column reference
+        if cls == "Literal":
+            try:
+                v = n.value()
+            except Exception:
+                return False
+            if v is not None:
+                literals.append(str(v))
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    for key, call in found.items():
+        if key not in sub:
+            name = f"__h{len(spec.hidden)}"
+            spec.hidden.append(("agg", call[0], call[1], name, call[2]))
+            sub[key] = name
+    # a string literal containing a substitution key would be corrupted
+    # by the replace — bail to the row path instead
+    for lit in literals:
+        if any(k in lit for k in sub):
+            return False
+    for key in sorted(sub, key=len, reverse=True):
+        cond_sql = cond_sql.replace(key, sub[key])
+    try:
+        jexpr = spark._jsparkSession.sessionState().sqlParser() \
+                     .parseExpression(cond_sql)
+    except Exception:
+        return False
+    out_names = {o[2] if o[0] == "group" else o[3] for o in spec.outputs}
+    out_names |= {h[3] for h in spec.hidden}
+    agg_names = {o[3] for o in spec.outputs if o[0] == "agg"} \
+        | {h[3] for h in spec.hidden}
+    stack = [jexpr]
+    while stack:
+        n = stack.pop()
+        cls = _cls(n)
+        if cls == "UnresolvedFunction":
+            parts = n.nameParts()
+            if (parts.size() != 1 or n.isDistinct()
+                    or str(parts.apply(0)).lower() not in _SCALAR_FNS):
+                return False
+        elif cls == "UnresolvedAttribute":
+            a = _bare_attr(n)
+            if a is None or a not in out_names:
+                return False
+            if (a in agg_names and entity_columns is not None
+                    and a in entity_columns):
+                # an aggregate alias shadowing an entity column: engines
+                # resolve bare HAVING references against the GROUPING
+                # INPUT first; the merged frame can only see the alias —
+                # ambiguous, so keep the row path
+                return False
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    spec.having_sql = cond_sql
+    return True
+
+
 def extract_aggregate_query(spark: SparkSession, sql: str,
-                            entity: str) -> AggQuerySpec | None:
+                            entity: str,
+                            entity_columns: set[str] | None = None
+                            ) -> AggQuerySpec | None:
     """Validate + decompose ``sql`` as a partial-aggregatable single-entity
     aggregate; None for anything outside the shape (caller keeps the row
     path). The filter passes through VERBATIM (regenerated by Catalyst) —
-    it runs per source/peer exactly as template mode runs it today."""
+    it runs per source/peer exactly as template mode runs it today.
+    HAVING decomposes as a post-merge filter (``_rewrite_having``);
+    ``entity_columns`` (the entity's information names, when the caller
+    knows them) guards the alias-shadows-column ambiguity."""
     try:
         jplan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
     except Exception:
@@ -267,6 +385,11 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
             order_attrs.append((col, direction.startswith("Ascending")))
         node = node.children().apply(0)
 
+    jhaving = None
+    if _cls(node) == "UnresolvedHaving":
+        jhaving = node.havingCondition()
+        node = node.children().apply(0)
+
     if _cls(node) == "Aggregate":
         groups = node.groupingExpressions()
         for i in range(groups.size()):
@@ -290,6 +413,7 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
     else:
         return None
     names_seen: set[str] = set()
+    agg_sql_names: dict[str, str] = {}
     for i in range(exprs.size()):
         e = exprs.apply(i)
         if _cls(e) == "UnresolvedAttribute":
@@ -312,11 +436,19 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
                     return None
                 spec.outputs.append(
                     ("agg", call[0], call[1], out_name, call[2]))
+                try:
+                    agg_sql_names.setdefault(child.sql(), out_name)
+                except Exception:
+                    pass  # no canonical form -> HAVING just can't reuse it
         else:
             return None
         if out_name.lower() in names_seen:
             return None  # ambiguous merge frame
         names_seen.add(out_name.lower())
+
+    if jhaving is not None and not _rewrite_having(
+            spark, jhaving, spec, agg_sql_names, entity_columns):
+        return None
 
     node = node.children().apply(0)
     if _cls(node) == "Filter":

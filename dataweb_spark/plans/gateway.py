@@ -123,7 +123,9 @@ class QueryGateway:
                 from dataweb_spark.plans.aggpush import (
                     extract_aggregate_query,
                 )
-                spec = extract_aggregate_query(self.spark, sql, ename)
+                spec = extract_aggregate_query(
+                    self.spark, sql, ename,
+                    entity_columns=set(known[ename].info_names()))
                 if spec is not None:
                     self.last_failures = []  # template path fails loudly
                     partials = self.query_template_union(

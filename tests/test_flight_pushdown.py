@@ -489,3 +489,88 @@ def test_count_distinct_differential_and_transfer(spark, demo_web,
     shipped = peer_server.served_rows - before
     assert 0 < shipped <= pairs + 2, (shipped, pairs, total)
     assert shipped < total / 10  # O(distinct pairs), not O(rows)
+
+
+# ---------------------------------------------------------------------------
+# HAVING decomposition (r12): post-merge filter, hidden aggregates
+# ---------------------------------------------------------------------------
+
+def test_having_spec_rewrites_to_merge_columns(spark):
+    from dataweb_spark.plans.aggpush import extract_aggregate_query
+    # agg call matching an output -> substituted by the output name
+    spec = extract_aggregate_query(
+        spark,
+        "select returnflag, count(*) as n from lineitem "
+        "group by returnflag having count(*) > 5",
+        "lineitem")
+    assert spec is not None and spec.having_sql == "(n > 5)"
+    assert spec.hidden == []
+    # alias reference works directly
+    spec2 = extract_aggregate_query(
+        spark,
+        "select returnflag, count(*) as n from lineitem "
+        "group by returnflag having n > 5 and returnflag <> 'A'",
+        "lineitem")
+    assert spec2 is not None and "n > 5" in spec2.having_sql
+    # an aggregate NOT in the projection becomes a hidden merge output
+    spec3 = extract_aggregate_query(
+        spark,
+        "select returnflag, count(*) as n from lineitem "
+        "group by returnflag having sum(quantity) > 100",
+        "lineitem")
+    assert spec3 is not None and spec3.hidden == [
+        ("agg", "sum", "quantity", "__h0", None)]
+    assert spec3.having_sql == "(__h0 > 100)"
+    assert "sum(quantity) AS __p2" in spec3.partial_sql()
+    # unknown (possibly aggregate) function -> row path
+    assert extract_aggregate_query(
+        spark,
+        "select returnflag, count(*) as n from lineitem "
+        "group by returnflag having stddev(quantity) > 1",
+        "lineitem") is None
+    # a string literal containing the substitution key -> row path
+    assert extract_aggregate_query(
+        spark,
+        "select returnflag, count(*) as n from lineitem "
+        "group by returnflag having count(*) > 5 "
+        "and returnflag <> 'count(1)'",
+        "lineitem") is None
+    # aggregate alias shadowing an entity column is ambiguous -> row path
+    assert extract_aggregate_query(
+        spark,
+        "select returnflag, sum(tax_amount) as quantity from lineitem "
+        "group by returnflag having quantity > 5",
+        "lineitem", entity_columns={"returnflag", "quantity"}) is None
+
+
+def test_having_differential(spark, demo_web, peer_server, edge_gateway):
+    """HAVING answers identically through the partial-merge path and the
+    row path for every accepted shape."""
+    grid = [
+        "select returnflag, count(*) as n from lineitem "
+        "group by returnflag having count(*) > 900",
+        "select returnflag, count(*) as n from lineitem "
+        "group by returnflag having n > 900 order by returnflag",
+        # hidden aggregate + mixed scalar condition
+        "select returnflag, count(*) as n from lineitem "
+        "group by returnflag "
+        "having sum(quantity) > 20000 and returnflag <> 'A'",
+        # hidden avg + round, with WHERE below and LIMIT above
+        "select returnflag, max(extendedprice) as mx from lineitem "
+        "where quantity < 40 group by returnflag "
+        "having round(avg(quantity), 1) > 10 order by mx desc limit 2",
+        # count(distinct) in HAVING rides the refined grain
+        "select returnflag, sum(quantity) as q from lineitem "
+        "group by returnflag having count(distinct linestatus) > 1",
+        # group-by-less HAVING (global aggregate filter) — kept and dropped
+        "select count(*) as n from lineitem having count(*) > 0",
+        "select count(*) as n from lineitem having count(*) > 1000000000",
+    ]
+    for sql in grid:
+        fast = edge_gateway.query(sql).collect()
+        slow = edge_gateway.query(sql, partial_aggregate=False).collect()
+        def canon(rows):
+            return sorted(
+                [tuple(round(v, 6) if isinstance(v, float) else v
+                       for v in r) for r in rows], key=repr)
+        assert canon(fast) == canon(slow), sql
