@@ -72,24 +72,27 @@ def kmv_estimate_col(kmv_col: str, k: int) -> Column:
             ).alias("distinct_est")
 
 
-def _local_kmin_precombine(pairs: DataFrame, gcols: list[str],
-                           k: int) -> DataFrame:
-    """Per-partition k smallest hashes per group (Arrow-batched).
+def _local_kmin_precombine(pairs: DataFrame, gcols: list[str], k: int,
+                           vcols: tuple[str, ...] = ("_h",)) -> DataFrame:
+    """Per-partition k smallest ``vcols`` tuples per group (Arrow-batched,
+    lexicographic — callers put the hash first, so extra carried columns
+    only break hash-collision ties).
 
     The global k-mins of a group are always contained in the union of
     its per-partition k-mins, so dropping everything else before the
     exchange is lossless — the map-side-combine step Spark has no
-    declarative TopK for. State is O(groups·k) per task (8 B/hash):
-    fine for the sketch's natural use (sources, languages, shards);
-    disable via ``local_combine=False`` for very high group
-    cardinality, where the state outweighs the shuffle saving.
+    declarative TopK for. State is O(groups·k) tuples per task: fine for
+    the sketch's natural use (sources, languages, shards); disable via
+    ``local_combine=False`` for very high group cardinality, where the
+    state outweighs the shuffle saving.
     """
     import pandas as pd
 
     schema = pairs.schema
+    cols = list(vcols)
 
     def combine(batches):
-        best: dict[tuple, list[int]] = {}
+        best: dict[tuple, list[tuple]] = {}
         for pdf in batches:
             for key, grp in pdf.groupby(gcols, sort=False, dropna=False):
                 key = key if isinstance(key, tuple) else (key,)
@@ -98,12 +101,14 @@ def _local_kmin_precombine(pairs: DataFrame, gcols: list[str],
                 key = tuple(None if (isinstance(x, float) and pd.isna(x))
                             else x for x in key)
                 merged = best.get(key, [])
-                cand = sorted(set(merged).union(grp["_h"].tolist()))
+                cand = sorted(set(merged).union(
+                    zip(*(grp[c].tolist() for c in cols))))
                 best[key] = cand[:k]
             del pdf
-        rows = [list(key) + [h] for key, hs in best.items() for h in hs]
+        rows = [list(key) + list(tup)
+                for key, tups in best.items() for tup in tups]
         if rows:
-            yield pd.DataFrame(rows, columns=[*gcols, "_h"])
+            yield pd.DataFrame(rows, columns=[*gcols, *cols])
 
     return pairs.mapInPandas(combine, schema)
 
@@ -401,36 +406,6 @@ def _quantile_cols(vals_col: str, probs: list[int]) -> list[Column]:
     ).alias(_q_name(bp)) for bp in probs]
 
 
-def _local_kminpair_precombine(pairs: DataFrame, gcols: list[str],
-                               k: int) -> DataFrame:
-    """Per-partition k smallest (hash, value) pairs per group — the
-    ``_local_kmin_precombine`` shape carrying the sampled value along.
-    Ties on a pair-hash collision order by value, matching the final
-    rank's ``orderBy(_h, _v)``."""
-    import pandas as pd
-
-    schema = pairs.schema
-
-    def combine(batches):
-        best: dict[tuple, list[tuple]] = {}
-        for pdf in batches:
-            for key, grp in pdf.groupby(gcols, sort=False, dropna=False):
-                key = key if isinstance(key, tuple) else (key,)
-                key = tuple(None if (isinstance(x, float) and pd.isna(x))
-                            else x for x in key)
-                merged = best.get(key, [])
-                cand = sorted(set(merged).union(
-                    zip(grp["_h"].tolist(), grp["_v"].tolist())))
-                best[key] = cand[:k]
-            del pdf
-        rows = [list(key) + [h, v]
-                for key, hvs in best.items() for h, v in hvs]
-        if rows:
-            yield pd.DataFrame(rows, columns=[*gcols, "_h", "_v"])
-
-    return pairs.mapInPandas(combine, schema)
-
-
 def _finish_quantile_sketch(pairs: DataFrame, gcols: list[str],
                             added: list[str], k: int,
                             probs: list[int]) -> DataFrame:
@@ -466,6 +441,12 @@ def quantile_sketch(df: DataFrame, value_col: str, key_col: str,
     (e.g. ``doc_id``): duplicate identical (key, value) pairs collapse
     to one sample point, and a key reused with different values
     contributes each value once — document keys upstream if rows repeat.
+    Rows with a NULL key, a NULL value, or a NaN value are EXCLUDED from
+    the sample (a NULL pair hash would rank first on Spark and last on
+    DuckDB, and NaN never equals itself in the dedup — either would
+    silently corrupt the "uniform sample" and the cross-engine replay);
+    quantiles here are over the non-NULL, non-NaN values, the same
+    population ``percentile_disc`` sees.
 
     Returns one row per group: ``qs_h``/``qs_v`` (pair hashes + their
     values, aligned, hash-sorted — the mergeable sketch),
@@ -493,11 +474,15 @@ def quantile_sketch(df: DataFrame, value_col: str, key_col: str,
     if not gcols:
         df = df.withColumn("_g", F.lit(1))
         gcols, added = ["_g"], ["_g"]
-    pairs = df.where(F.col(value_col).isNotNull()).select(
+    keep = F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    vtype = dict(df.dtypes).get(value_col)
+    if vtype in ("float", "double"):
+        keep = keep & ~F.isnan(value_col)
+    pairs = df.where(keep).select(
         *gcols, _pair_hash(key_col, value_col).alias("_h"),
         F.col(value_col).alias("_v"))
     if local_combine:
-        pairs = _local_kminpair_precombine(pairs, gcols, k)
+        pairs = _local_kmin_precombine(pairs, gcols, k, ("_h", "_v"))
     return _finish_quantile_sketch(pairs.distinct(), gcols, added, k, bps)
 
 
@@ -630,11 +615,15 @@ def vocab_sample_stats(df: DataFrame, text_col: str,
     ml = F.lit(int(m)).cast("bigint")
     agg = (postings.groupBy(*gcols) if gcols
            else postings.groupBy())
+    # coalesce: with group_cols=None an EMPTY sample still emits the one
+    # global row (count=0), whose sums would otherwise be NULL — the
+    # docstring promises pure integers everywhere
     out = agg.agg(
         F.count(F.lit(1)).cast("bigint").alias("types_sampled"),
-        F.sum("n").cast("bigint").alias("tokens_sampled"),
-        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("bigint")
-         .alias("hapax_sampled"))
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint")
+         .alias("tokens_sampled"),
+        F.coalesce(F.sum(F.when(F.col("n") == 1, 1).otherwise(0)),
+                   F.lit(0)).cast("bigint").alias("hapax_sampled"))
     return out.select(
         *gcols, "types_sampled",
         (F.col("types_sampled") * ml).alias("types_est"),

@@ -15,10 +15,11 @@ Everything is plan-driven: the query is parsed with Spark's own parser,
 the accepted shape is validated node-by-node, and clause text is
 regenerated with Catalyst's ``Expression.sql()`` — no regex surgery on
 user SQL. Anything outside the accepted shape (non-distributive
-aggregates, scalar wrappers around aggs, HAVING, subqueries,
-expressions in GROUP BY, window functions) returns None and the caller
-keeps the row path; the decomposition rules are the classic ones (sum of
-counts, sum of sums, min of mins, avg as sum/count).
+aggregates, scalar wrappers around aggs, subqueries, expressions in
+GROUP BY, window functions) returns None and the caller keeps the row
+path; the decomposition rules are the classic ones (sum of counts, sum
+of sums, min of mins, avg as sum/count). HAVING decomposes as a
+post-merge filter (see ``_rewrite_having``).
 
 DISTINCT aggregates (r12) decompose EXACTLY by refining the partial
 grain: each source aggregates at ``GROUP BY groups, col`` — one row per
@@ -128,7 +129,13 @@ class AggQuerySpec:
                 expr = (F.sum_distinct(F.col(f"__p{i}_d"))
                         / F.countDistinct(f"__p{i}_d"))
             elif fn == "count":
-                expr = F.sum(f"__p{i}").cast("bigint")
+                # coalesce: a DISTINCT-refined grain makes a source with
+                # zero matching rows ship ZERO partial rows (GROUP BY col
+                # emits nothing), so a group-by-less merge would see an
+                # empty frame and report NULL where count(*) must say 0;
+                # sum/avg/min/max correctly stay NULL over empty input
+                expr = F.coalesce(F.sum(f"__p{i}"),
+                                  F.lit(0)).cast("bigint")
             elif fn == "sum":
                 expr = F.sum(f"__p{i}")
             elif fn == "min":
@@ -291,9 +298,17 @@ def _rewrite_having(spark, jcond, spec: AggQuerySpec,
         ch = n.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))
+    taken = {(o[2] if o[0] == "group" else o[3]).lower()
+             for o in spec.outputs}
+    hid = 0
     for key, call in found.items():
         if key not in sub:
-            name = f"__h{len(spec.hidden)}"
+            # user aliases may legitimately be named __h0 — skip past any
+            # collision instead of building an ambiguous merge frame
+            while f"__h{hid}" in taken:
+                hid += 1
+            name = f"__h{hid}"
+            hid += 1
             spec.hidden.append(("agg", call[0], call[1], name, call[2]))
             sub[key] = name
     # a string literal containing a substitution key would be corrupted
@@ -308,10 +323,20 @@ def _rewrite_having(spark, jcond, spec: AggQuerySpec,
                      .parseExpression(cond_sql)
     except Exception:
         return False
-    out_names = {o[2] if o[0] == "group" else o[3] for o in spec.outputs}
-    out_names |= {h[3] for h in spec.hidden}
-    agg_names = {o[3] for o in spec.outputs if o[0] == "agg"} \
-        | {h[3] for h in spec.hidden}
+    # lowercased maps: Spark resolves names case-insensitively, so the
+    # shadowing guard must too. kind records whether a bare reference to
+    # the output name means the same thing on BOTH paths: only a group
+    # output whose alias IS its source column is unambiguous when an
+    # entity column shares the name.
+    out_kinds: dict[str, tuple] = {}
+    for o in spec.outputs:
+        if o[0] == "group":
+            out_kinds[o[2].lower()] = ("group", o[1].lower())
+        else:
+            out_kinds[o[3].lower()] = ("agg", None)
+    for h in spec.hidden:
+        out_kinds[h[3].lower()] = ("agg", None)
+    ecols = {c.lower() for c in entity_columns} if entity_columns else set()
     stack = [jexpr]
     while stack:
         n = stack.pop()
@@ -323,14 +348,18 @@ def _rewrite_having(spark, jcond, spec: AggQuerySpec,
                 return False
         elif cls == "UnresolvedAttribute":
             a = _bare_attr(n)
-            if a is None or a not in out_names:
+            if a is None:
                 return False
-            if (a in agg_names and entity_columns is not None
-                    and a in entity_columns):
-                # an aggregate alias shadowing an entity column: engines
-                # resolve bare HAVING references against the GROUPING
-                # INPUT first; the merged frame can only see the alias —
-                # ambiguous, so keep the row path
+            kind = out_kinds.get(a.lower())
+            if kind is None:
+                return False
+            if a.lower() in ecols and not (kind[0] == "group"
+                                           and kind[1] == a.lower()):
+                # the name is BOTH an entity column and an alias of
+                # something else (an aggregate, or a renamed group col):
+                # engines resolve bare HAVING references against the
+                # GROUPING INPUT first; the merged frame can only see the
+                # alias — ambiguous, so keep the row path
                 return False
         ch = n.children()
         for i in range(ch.size()):

@@ -574,3 +574,57 @@ def test_having_differential(spark, demo_web, peer_server, edge_gateway):
                 [tuple(round(v, 6) if isinstance(v, float) else v
                        for v in r) for r in rows], key=repr)
         assert canon(fast) == canon(slow), sql
+
+
+def test_having_guards_review_fixes(spark, demo_web, peer_server,
+                                    edge_gateway):
+    """r12 review fixes: case-insensitive shadowing, group-alias
+    shadowing, hidden-name collision with a user alias."""
+    from dataweb_spark.plans.aggpush import extract_aggregate_query
+    # differently-cased aggregate alias shadowing an entity column
+    assert extract_aggregate_query(
+        spark,
+        "select returnflag, sum(tax_amount) as QUANTITY from lineitem "
+        "group by returnflag having QUANTITY > 5",
+        "lineitem", entity_columns={"returnflag", "quantity"}) is None
+    # group alias shadowing a DIFFERENT entity column
+    assert extract_aggregate_query(
+        spark,
+        "select returnflag as linestatus, count(*) as n from lineitem "
+        "group by returnflag having linestatus <> 'O'",
+        "lineitem",
+        entity_columns={"returnflag", "linestatus"}) is None
+    # unrenamed group column sharing its own entity name stays accepted
+    spec = extract_aggregate_query(
+        spark,
+        "select returnflag, count(*) as n from lineitem "
+        "group by returnflag having returnflag <> 'A'",
+        "lineitem", entity_columns={"returnflag", "quantity"})
+    assert spec is not None
+    # a user alias named __h0 no longer collides with the hidden output
+    spec2 = extract_aggregate_query(
+        spark,
+        "select returnflag, sum(quantity) as __h0 from lineitem "
+        "group by returnflag having count(*) > 5",
+        "lineitem")
+    assert spec2 is not None and spec2.hidden == [
+        ("agg", "count", None, "__h1", None)]
+    sql = ("select returnflag, sum(quantity) as __h0 from lineitem "
+           "group by returnflag having count(*) > 900 order by returnflag")
+    fast = [tuple(r) for r in edge_gateway.query(sql).collect()]
+    slow = [tuple(r) for r in edge_gateway.query(
+        sql, partial_aggregate=False).collect()]
+    assert fast == slow and len(fast) > 0
+
+
+def test_refined_grain_empty_sources_count_zero(spark, demo_web,
+                                                peer_server, edge_gateway):
+    """A DISTINCT-refined global aggregate over a filter matching NOTHING
+    must still answer count = 0 (empty partial frames merge to 0, not
+    NULL) — and agree with the row path on every column."""
+    sql = ("select count(*) as n, count(distinct orderkey) as d, "
+           "sum(quantity) as s from lineitem where quantity < 0")
+    fast = edge_gateway.query(sql).first()
+    slow = edge_gateway.query(sql, partial_aggregate=False).first()
+    assert (fast.n, fast.d, fast.s) == (slow.n, slow.d, slow.s) == (0, 0,
+                                                                    None)

@@ -608,3 +608,42 @@ def test_quantile_sketch_merge_property(spark, vals, k, cut):
     if distinct_pairs <= k:
         sv = sorted(vals)
         assert whole.q50 == sv[max(1, math.ceil(0.5 * len(sv))) - 1]
+
+
+def test_quantile_sketch_null_keys_and_nan_values_excluded(spark):
+    """r12 review fix: NULL keys (NULL pair hash — nulls-first on Spark,
+    nulls-last on DuckDB) and NaN values (x != x breaks the dedup) are
+    excluded from the sample on every path, keeping the partitioning /
+    local-combine invariance and the cross-engine replay sound."""
+    rows = [Row(id=None if i % 3 == 0 else i,
+                v=float("nan") if i % 5 == 0 else float(i))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    clean_n = len([r for r in rows
+                   if r.id is not None and r.v == r.v])
+    def norm(d):
+        r = d.first()
+        return (tuple(r.qs_h), tuple(r.qs_v), r.n_sample, r.q50)
+    a = norm(K.quantile_sketch(df, "v", "id", k=64))
+    b = norm(K.quantile_sketch(df.repartition(7), "v", "id", k=64,
+                               local_combine=False))
+    assert a == b
+    assert a[2] == clean_n
+    assert all(v == v for v in a[1])  # no NaN entered the sample
+
+
+def test_vocab_sample_stats_global_empty_sample_is_zero(spark):
+    """r12 review fix: the group_cols=None face emits ONE row of zeros
+    (not NULL sums) when nothing hashes into the 1/m slice."""
+    df = spark.createDataFrame([Row(text="alpha beta gamma")])
+    # find an m where none of the three tokens is sampled
+    import hashlib
+    m = 3
+    while True:
+        thr = (1 << 48) // m
+        if all(int(hashlib.md5(t.encode()).hexdigest()[:12], 16) >= thr
+               for t in ("alpha", "beta", "gamma")):
+            break
+        m += 1
+    r = K.vocab_sample_stats(df, "text", m=m).first()
+    assert tuple(r) == (0, 0, 0, 0, 0, 0)
