@@ -153,14 +153,16 @@ class AggQuerySpec:
             out = partials.agg(*aggs)
         if self.having_sql is not None:
             out = out.where(F.expr(self.having_sql))
-        out = out.select(*[o[2] if o[0] == "group" else o[3]
-                           for o in self.outputs])
+        # order (possibly on hidden columns) and limit BEFORE the final
+        # projection drops the hidden names; the narrow select preserves
+        # the sort order
         if self.order_by:
             out = out.orderBy(*[F.col(c).asc() if asc else F.col(c).desc()
                                 for c, asc in self.order_by])
         if self.limit is not None:
             out = out.limit(self.limit)
-        return out
+        return out.select(*[o[2] if o[0] == "group" else o[3]
+                            for o in self.outputs])
 
 
 def _cls(node) -> str:
@@ -275,7 +277,9 @@ def _rewrite_having(spark, jcond, spec: AggQuerySpec,
         cond_sql = jcond.sql()
     except Exception:
         return False
-    sub = dict(agg_sql_names)
+    # shared with ORDER BY binding: hidden columns created here are
+    # reusable there (and vice versa) through the caller's dict
+    sub = agg_sql_names
     stack, literals, found = [jcond], [], {}
     while stack:
         n = stack.pop()
@@ -395,14 +399,14 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
         if _cls(node) == "LocalLimit":
             node = node.children().apply(0)
 
-    order_attrs: list[tuple[str, bool]] = []
+    # (kind, payload, ascending): kind "attr" holds an output name to
+    # validate later; kind "agg" holds a supported aggregate call to bind
+    # to an output (or hidden) merge column once outputs are known
+    order_specs: list[tuple[str, object, bool]] = []
     if _cls(node) == "Sort":
         orders = node.order()
         for i in range(orders.size()):
             so = orders.apply(i)
-            col = _bare_attr(so.child())
-            if col is None:
-                return None
             direction = _cls(so.direction())
             nulls = _cls(so.nullOrdering())
             # only default null ordering reproduces via plain asc()/desc()
@@ -411,7 +415,19 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
                                           ("Ascending", "NullsFirst"),
                                           ("Descending", "NullsLast")):
                 return None
-            order_attrs.append((col, direction.startswith("Ascending")))
+            asc = direction.startswith("Ascending")
+            col = _bare_attr(so.child())
+            if col is not None:
+                order_specs.append(("attr", col, asc))
+                continue
+            call = _agg_call(so.child())
+            if call is None:
+                return None
+            try:
+                key = so.child().sql()
+            except Exception:
+                return None
+            order_specs.append(("agg", (key, call), asc))
         node = node.children().apply(0)
 
     jhaving = None
@@ -498,13 +514,37 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
             or str(parts.apply(0)).lower() != entity.lower()):
         return None
 
-    # ORDER BY keys must be output columns of the merged frame
+    # ORDER BY keys: output names validate against the merged frame;
+    # aggregate-call keys bind to the output computing the same aggregate
+    # or to a hidden merge column (same machinery as HAVING — the merge
+    # sorts BEFORE the final projection, so hidden keys order fine).
+    # NOTE this makes the partial path a slight SUPERSET of Spark's row
+    # path: Spark's resolver rejects ORDER BY <agg> combined with HAVING
+    # (the Filter between Sort and Aggregate breaks its aggregate
+    # resolution) while the merge frame — like ANSI engines — answers it
     out_names = {o[2].lower() if o[0] == "group" else o[3].lower()
-                 for o in spec.outputs}
-    for col, asc in order_attrs:
-        if col.lower() not in out_names:
-            return None
-        spec.order_by.append((col, asc))
+                 for o in spec.outputs} | {h[3].lower()
+                                           for h in spec.hidden}
+    for kind, payload, asc in order_specs:
+        if kind == "attr":
+            if payload.lower() not in out_names:
+                return None
+            spec.order_by.append((payload, asc))
+            continue
+        key, call = payload
+        name = agg_sql_names.get(key)
+        if name is None:
+            taken = {(o[2] if o[0] == "group" else o[3]).lower()
+                     for o in spec.outputs} \
+                | {h[3].lower() for h in spec.hidden}
+            hid = 0
+            while f"__h{hid}" in taken:
+                hid += 1
+            name = f"__h{hid}"
+            spec.hidden.append(("agg", call[0], call[1], name, call[2]))
+            agg_sql_names[key] = name
+            out_names.add(name.lower())
+        spec.order_by.append((name, asc))
 
     # sanity: the constructed partial query must itself parse
     try:

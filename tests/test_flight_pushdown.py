@@ -628,3 +628,57 @@ def test_refined_grain_empty_sources_count_zero(spark, demo_web,
     slow = edge_gateway.query(sql, partial_aggregate=False).first()
     assert (fast.n, fast.d, fast.s) == (slow.n, slow.d, slow.s) == (0, 0,
                                                                     None)
+
+
+def test_order_by_aggregate_expression(spark, demo_web, peer_server,
+                                       edge_gateway):
+    """ORDER BY over an aggregate CALL (not an alias) binds to the output
+    computing it, or to a hidden merge column — identical answers to the
+    row path, including under LIMIT."""
+    from dataweb_spark.plans.aggpush import extract_aggregate_query
+    # binds to the existing output
+    spec = extract_aggregate_query(
+        spark,
+        "select returnflag, count(*) as n from lineitem "
+        "group by returnflag order by count(*) desc",
+        "lineitem")
+    assert spec is not None and spec.order_by == [("n", False)]
+    assert spec.hidden == []
+    # needs a hidden merge column (shared with HAVING's, not duplicated)
+    spec2 = extract_aggregate_query(
+        spark,
+        "select returnflag from lineitem group by returnflag "
+        "having sum(quantity) > 0 order by sum(quantity) desc",
+        "lineitem")
+    assert spec2 is not None and len(spec2.hidden) == 1
+    assert spec2.order_by == [(spec2.hidden[0][3], False)]
+    # non-aggregate ORDER BY expression still keeps the row path
+    assert extract_aggregate_query(
+        spark,
+        "select returnflag, count(*) as n from lineitem "
+        "group by returnflag order by n + 1",
+        "lineitem") is None
+    grid = [
+        "select returnflag, count(*) as n from lineitem "
+        "group by returnflag order by count(*) desc",
+        "select returnflag, count(*) as n from lineitem "
+        "group by returnflag order by sum(quantity) desc limit 2",
+        # NOTE: ORDER BY <agg> *combined with* HAVING is a shape Spark's
+        # own resolver rejects (the Filter between Sort and Aggregate
+        # breaks its aggregate resolution) while the partial path — like
+        # ANSI engines — answers it; the differential grid can only carry
+        # shapes BOTH paths accept, so HAVING is exercised separately
+        "select returnflag, max(extendedprice) as mx from lineitem "
+        "where quantity < 40 group by returnflag "
+        "order by avg(quantity) desc, returnflag limit 3",
+        "select returnflag from lineitem group by returnflag "
+        "order by count(distinct linestatus) desc, returnflag",
+    ]
+    for sql in grid:
+        fast = [tuple(r) for r in edge_gateway.query(sql).collect()]
+        slow = [tuple(r) for r in edge_gateway.query(
+            sql, partial_aggregate=False).collect()]
+        def canon(rows):
+            return [tuple(round(v, 6) if isinstance(v, float) else v
+                          for v in r) for r in rows]
+        assert canon(fast) == canon(slow), sql
