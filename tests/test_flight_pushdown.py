@@ -682,3 +682,50 @@ def test_order_by_aggregate_expression(spark, demo_web, peer_server,
             return [tuple(round(v, 6) if isinstance(v, float) else v
                           for v in r) for r in rows]
         assert canon(fast) == canon(slow), sql
+
+
+def test_partial_aggregate_differential_grid(spark, demo_web, peer_server,
+                                             edge_gateway):
+    """Deterministic cross-product over the ENTIRE decomposition surface
+    (plain/distinct aggregates × groupings × WHERE × HAVING × ORDER BY):
+    every combination must take the partial path (spec extracted) AND
+    answer identically to the row path — the test_sql_fuzz idea applied
+    to the merge frame."""
+    from dataweb_spark.plans.aggpush import extract_aggregate_query
+    agg_sets = [
+        "count(*) as n, sum(quantity) as s",
+        "count(distinct orderkey) as d, avg(quantity) as a",
+        "sum(distinct quantity) as sd, min(shipdate) as d0, "
+        "max(extendedprice) as mx",
+    ]
+    groupings = [None, "returnflag", "returnflag, linestatus"]
+    wheres = [None, "quantity < 9"]
+    havings = [None, "count(*) > 200 or count(distinct linestatus) > 1"]
+    ran = 0
+    for aggs in agg_sets:
+        for g in groupings:
+            for w in wheres:
+                for h in havings:
+                    sql = (f"select {g + ', ' if g else ''}{aggs} "
+                           "from lineitem")
+                    if w:
+                        sql += f" where {w}"
+                    if g:
+                        sql += f" group by {g}"
+                    if h:
+                        sql += f" having {h}"
+                    if g:
+                        sql += f" order by {g}"
+                    assert extract_aggregate_query(
+                        spark, sql, "lineitem") is not None, sql
+                    fast = edge_gateway.query(sql).collect()
+                    slow = edge_gateway.query(
+                        sql, partial_aggregate=False).collect()
+                    def canon(rows):
+                        return sorted(
+                            [tuple(round(v, 6) if isinstance(v, float)
+                                   else v for v in r) for r in rows],
+                            key=repr)
+                    assert canon(fast) == canon(slow), sql
+                    ran += 1
+    assert ran == 36
