@@ -66,6 +66,11 @@ class AggQuerySpec:
     # same 5-tuples as "agg" outputs; computed at merge, dropped after the
     # filter (their partials ride partial_sql like any other aggregate)
     hidden: list[tuple] = field(default_factory=list)
+    # grouping keys the projection does NOT show, as (source_sql,
+    # synthetic_name): the partial must still ship them and the merge must
+    # still group on them — a merge grouped only on projected keys would
+    # collapse distinct groups into one row (r12 latent-bug fix)
+    extra_groups: list[tuple[str, str]] = field(default_factory=list)
 
     def partial_sql(self) -> str:
         """The per-source/per-peer query: same filter + grouping, partial
@@ -79,6 +84,8 @@ class AggQuerySpec:
         partials re-combine to the same totals."""
         items = []
         grain = list(self.group_attrs)
+        for src, name in self.extra_groups:
+            items.append(f"{src} AS {name}")
         for i, out in enumerate(self.outputs + self.hidden):
             if out[0] == "group":
                 items.append(f"{out[1]} AS {out[2]}")
@@ -110,7 +117,8 @@ class AggQuerySpec:
         summed (sum, count) pairs — then HAVING over the merged values
         (hidden aggregates computed alongside and dropped after the
         filter), the original projection order, ORDER BY, and LIMIT."""
-        group_names = [o[2] for o in self.outputs if o[0] == "group"]
+        group_names = [o[2] for o in self.outputs if o[0] == "group"] \
+            + [name for _, name in self.extra_groups]
         aggs = []
         for i, out in enumerate(self.outputs + self.hidden):
             if out[0] != "agg":
@@ -253,6 +261,46 @@ _SCALAR_FNS = {"abs", "coalesce", "round", "floor", "ceil", "ceiling",
                "length", "substring", "substr", "concat", "nvl", "if",
                "ifnull", "sqrt", "power", "pow", "exp", "ln", "log",
                "sign", "mod"}
+
+# GROUP BY expressions additionally admit the calendar-bucketing family
+# (the bread-and-butter federated rollup keys); every function here is
+# deterministic and identical on every Spark peer the template path can
+# reach, so grouping on its VALUE decomposes exactly
+_GROUP_FNS = _SCALAR_FNS | {"year", "month", "day", "dayofmonth",
+                            "quarter", "hour", "minute", "second",
+                            "weekofyear", "dayofweek", "date_trunc",
+                            "trunc", "to_date", "date_format"}
+
+# expression node classes (operators parse to dedicated classes, not
+# UnresolvedFunction) allowed inside a GROUP BY expression
+_EXPR_NODES = {"UnresolvedAttribute", "Literal", "Cast", "Add",
+               "Subtract", "Multiply", "Divide", "Remainder",
+               "UnaryMinus", "Concat"}
+
+
+def _scalar_expr_ok(jexpr) -> bool:
+    """True when the expression tree is built only from bare attributes,
+    literals, arithmetic/concat/cast, and ``_GROUP_FNS`` calls — i.e. a
+    deterministic scalar whose VALUE can serve as a partial grouping key
+    on any peer."""
+    stack = [jexpr]
+    while stack:
+        n = stack.pop()
+        cls = _cls(n)
+        if cls == "UnresolvedFunction":
+            parts = n.nameParts()
+            if (parts.size() != 1 or n.isDistinct()
+                    or str(parts.apply(0)).lower() not in _GROUP_FNS):
+                return False
+        elif cls == "UnresolvedAttribute":
+            if _bare_attr(n) is None:
+                return False
+        elif cls not in _EXPR_NODES:
+            return False
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return True
 
 
 def _rewrite_having(spark, jcond, spec: AggQuerySpec,
@@ -438,10 +486,22 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
     if _cls(node) == "Aggregate":
         groups = node.groupingExpressions()
         for i in range(groups.size()):
-            col = _bare_attr(groups.apply(i))
-            if col is None:
+            ge = groups.apply(i)
+            col = _bare_attr(ge)
+            if col is not None:
+                spec.group_attrs.append(col)
+                continue
+            # GROUP BY <scalar expression>: grouping on the expression's
+            # VALUE decomposes exactly (each source groups by it, the
+            # merge re-groups by the shipped value). A bare literal is
+            # NOT an expression here — it is an ORDINAL, whose position
+            # in the reshaped partial projection would differ.
+            if _cls(ge) == "Literal" or not _scalar_expr_ok(ge):
                 return None
-            spec.group_attrs.append(col)
+            try:
+                spec.group_attrs.append(ge.sql())
+            except Exception:
+                return None
         exprs = node.aggregateExpressions()
     elif _cls(node) == "Project":
         # A GROUP-BY-less aggregate (`select count(*) from e`) is still a
@@ -477,19 +537,42 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
                 spec.outputs.append(("group", gcol, out_name))
             else:
                 call = _agg_call(child)
-                if call is None:
-                    return None
-                spec.outputs.append(
-                    ("agg", call[0], call[1], out_name, call[2]))
-                try:
-                    agg_sql_names.setdefault(child.sql(), out_name)
-                except Exception:
-                    pass  # no canonical form -> HAVING just can't reuse it
+                if call is not None:
+                    spec.outputs.append(
+                        ("agg", call[0], call[1], out_name, call[2]))
+                    try:
+                        agg_sql_names.setdefault(child.sql(), out_name)
+                    except Exception:
+                        pass  # no canonical form -> HAVING can't reuse it
+                else:
+                    # a projected GROUP BY expression (canonical forms
+                    # match: both renderings come from Catalyst's .sql())
+                    try:
+                        csql = child.sql()
+                    except Exception:
+                        return None
+                    if csql not in spec.group_attrs:
+                        return None
+                    spec.outputs.append(("group", csql, out_name))
         else:
             return None
         if out_name.lower() in names_seen:
             return None  # ambiguous merge frame
         names_seen.add(out_name.lower())
+
+    # grouping keys the projection does not show must still ship and
+    # re-group at merge, else distinct groups collapse into one row
+    projected_groups = {o[1] for o in spec.outputs if o[0] == "group"}
+    taken_names = {(o[2] if o[0] == "group" else o[3]).lower()
+                   for o in spec.outputs}
+    gi = 0
+    for g in spec.group_attrs:
+        if g in projected_groups:
+            continue
+        while f"__g{gi}" in taken_names:
+            gi += 1
+        spec.extra_groups.append((g, f"__g{gi}"))
+        gi += 1
 
     if jhaving is not None and not _rewrite_having(
             spark, jhaving, spec, agg_sql_names, entity_columns):

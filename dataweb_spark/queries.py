@@ -8226,7 +8226,17 @@ _DRIVER_WINDOW = [
 # IS the oracle shape), and `text_vocab_sample` for
 # sketches.vocab_sample_stats (1/m type-space slice, pure-integer
 # scale-ups; replay in test_vocab_sample_stats_matches_duckdb_replay).
-# That is 3 of the ≤4 r13-new slots; the r9-age cohort fills the rest.
+# Fourth slot: `fed_count_distinct` — the r12 DISTINCT/HAVING/ORDER-BY
+# decomposition through the demo web's engine path (the
+# fed_engine_agg_pushdown pattern: e.g. `select returnflag,
+# count(distinct orderkey) as d, sum(distinct quantity) as sd from
+# lineitem group by returnflag having count(*) > N order by d desc`;
+# oracle = the same SQL over the union-of-sources view). The
+# decomposition is differentially proven against the row path over a
+# live gRPC peer today (test_flight_pushdown.py: 36-combination grid +
+# distinct/having/order-by suites); the driver row makes it
+# oracle-provable too. That fills the ≤4 r13-new slots; the r9-age
+# cohort takes the rest of the window.
 # Deliberately NOT declared in r12: the window closed exactly full with
 # the four r12-new queries, and an outside-window declaration would
 # recreate the "never driver-checked" gap. Python-reference replay +

@@ -729,3 +729,73 @@ def test_partial_aggregate_differential_grid(spark, demo_web, peer_server,
                     assert canon(fast) == canon(slow), sql
                     ran += 1
     assert ran == 36
+
+
+def test_unprojected_group_key_does_not_collapse(spark, demo_web,
+                                                 peer_server, edge_gateway):
+    """r12 latent-bug fix: a GROUP BY key absent from the projection must
+    still ship in the partial and re-group at merge — the old merge
+    grouped only on projected keys and collapsed all groups to ONE row."""
+    from dataweb_spark.plans.aggpush import extract_aggregate_query
+    sql = "select count(*) as n from lineitem group by returnflag"
+    spec = extract_aggregate_query(spark, sql, "lineitem")
+    assert spec is not None and spec.extra_groups == [("returnflag",
+                                                       "__g0")]
+    assert "returnflag AS __g0" in spec.partial_sql()
+    fast = sorted(tuple(r) for r in edge_gateway.query(sql).collect())
+    slow = sorted(tuple(r) for r in edge_gateway.query(
+        sql, partial_aggregate=False).collect())
+    assert fast == slow and len(fast) == 3
+    # two keys, one projected
+    sql2 = ("select returnflag, count(*) as n from lineitem "
+            "group by returnflag, linestatus")
+    fast2 = sorted(tuple(r) for r in edge_gateway.query(sql2).collect())
+    slow2 = sorted(tuple(r) for r in edge_gateway.query(
+        sql2, partial_aggregate=False).collect())
+    assert fast2 == slow2 and len(fast2) > 3
+
+
+def test_group_by_expression_decomposes(spark, demo_web, peer_server,
+                                        edge_gateway):
+    """GROUP BY <scalar expression> groups each source by the VALUE and
+    re-groups the shipped values at merge — exact for any deterministic
+    expression; ordinals and unknown functions keep the row path."""
+    from dataweb_spark.plans.aggpush import extract_aggregate_query
+    spec = extract_aggregate_query(
+        spark,
+        "select year(shipdate) as y, count(*) as n from lineitem "
+        "group by year(shipdate)",
+        "lineitem")
+    assert spec is not None
+    psql = spec.partial_sql()
+    assert "year(shipdate) AS y" in psql
+    assert "GROUP BY year(shipdate)" in psql
+    # ordinal GROUP BY: position shifts in the reshaped partial — reject
+    assert extract_aggregate_query(
+        spark, "select returnflag, count(*) as n from lineitem group by 1",
+        "lineitem") is None
+    # unknown function in the grouping expression — reject
+    assert extract_aggregate_query(
+        spark,
+        "select count(*) as n from lineitem group by rand()",
+        "lineitem") is None
+    grid = [
+        "select year(shipdate) as y, count(*) as n, sum(quantity) as s "
+        "from lineitem group by year(shipdate) order by y",
+        # unprojected expression key
+        "select count(*) as n from lineitem group by year(shipdate)",
+        # arithmetic + concat keys, mixed with a distinct aggregate
+        "select quantity + 1 as q1, count(distinct linestatus) as d "
+        "from lineitem where quantity < 5 group by quantity + 1 "
+        "order by q1",
+        "select concat(returnflag, linestatus) as rl, count(*) as n "
+        "from lineitem group by concat(returnflag, linestatus) "
+        "having count(*) > 300 order by rl",
+    ]
+    for sql in grid:
+        # NULL group keys (a source NULL-fills shipdate) sort via repr
+        fast = sorted((tuple(r) for r in
+                       edge_gateway.query(sql).collect()), key=repr)
+        slow = sorted((tuple(r) for r in edge_gateway.query(
+            sql, partial_aggregate=False).collect()), key=repr)
+        assert fast == slow and len(fast) > 0, sql
