@@ -1803,7 +1803,15 @@ def _fed_engine_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     reapplies ordering. The oracle is the same aggregate over the
     mapped-union SQL — decompose+merge must be lossless. Rounding happens
     AFTER the merge (a round() inside the SQL would put the query outside
-    the decomposable shape, by design)."""
+    the decomposable shape, by design).
+
+    r12 merge additions in the same slot: DISTINCT aggregates via grain
+    refinement (the peer ships one row per distinct (group, orderkey,
+    quantity) pair and the merge re-dedups with count/sum_distinct),
+    HAVING bound to a HIDDEN merge aggregate (max(extendedprice) is not
+    projected — its partials ride the same peer query), and ORDER BY over
+    an aggregate CALL (rebound to the merged output before the final
+    deterministic re-order)."""
     from dataweb_spark.catalog.model import (
         DataConnection, DataSource, Entity, Mapping, RelayCatalog, Web,
     )
@@ -1827,14 +1835,19 @@ def _fed_engine_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = gw.query("""
         select returnflag, linestatus, count(*) as n,
                count(orderkey) as n_ok, sum(quantity) as sq,
-               avg(quantity) as aq, min(shipdate) as first_ship
+               avg(quantity) as aq, min(shipdate) as first_ship,
+               count(distinct orderkey) as n_distinct_ok,
+               sum(distinct quantity) as sdq
         from lineitem
         group by returnflag, linestatus
+        having max(extendedprice) > 0
+        order by count(*) desc
     """)
     return (df.select("returnflag", "linestatus", "n", "n_ok",
                       F.round("sq", 2).alias("sum_qty"),
                       F.round("aq", 4).alias("avg_qty"),
-                      "first_ship")
+                      "first_ship", "n_distinct_ok",
+                      F.round("sdq", 2).alias("sum_distinct_qty"))
               .orderBy("returnflag", "linestatus"))
 
 
@@ -1844,9 +1857,12 @@ select returnflag, linestatus, count(*) as n,
        count(orderkey) as n_ok,
        round(sum(quantity), 2) as sum_qty,
        round(avg(quantity), 4) as avg_qty,
-       min(shipdate) as first_ship
+       min(shipdate) as first_ship,
+       count(distinct orderkey) as n_distinct_ok,
+       round(sum(distinct quantity), 2) as sum_distinct_qty
 from entity_lineitem
 group by returnflag, linestatus
+having max(extendedprice) > 0
 order by returnflag, linestatus
 """)
 
