@@ -7674,17 +7674,37 @@ order by c.domain, rk
 
 
 def _sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped KMV distinct sketch (``sketches.kmv_sketch``) — the
-    cross-engine-EXACT cardinality sketch: per language, the k=64
-    smallest distinct 48-bit md5 value hashes (the mergeable sketch
-    array), the min count, and the pure-bigint k-th-minimum estimate.
-    Unlike Spark's HLL (engine-specific register layout, only boundable),
-    every output cell here hash-matches DuckDB row-for-row. NULL texts
-    collapse into one sentinel value on both sides."""
+    """Grouped sketch-family report — three cross-engine-EXACT sketches
+    joined per language (r12-tail merge: the quantile sketch and the
+    sampled-vocabulary statistics share the KMV slot, the keeper-query
+    pattern): (1) KMV distinct sketch (``sketches.kmv_sketch``) — the
+    k=64 smallest distinct 48-bit md5 text hashes, min count, pure-bigint
+    k-th-minimum estimate (unlike Spark's HLL, every cell hash-matches
+    DuckDB; NULL texts collapse into one sentinel value on both sides);
+    (2) deterministic quantile sketch (``sketches.quantile_sketch``) —
+    n_chars quantiles off the k=16 smallest (doc_id, n_chars) pair
+    hashes, integer-rank percentile_disc; (3) hash-sampled vocabulary
+    statistics (``sketches.vocab_sample_stats``) — exact counts for the
+    deterministic 1/8 token-type slice with integer ·8 scale-ups.
+    LEFT joins + coalesce keep the row total even if a language's 1/m
+    slice is empty at tiny SFs."""
     from dataweb_spark.functions import sketches as K
     register_views(spark, sf_dir)
-    out = K.kmv_sketch(spark.table("documents"), "text", ["lang"], k=64)
-    return (out.select("lang", "kmv", "n_mins", "distinct_est")
+    docs = spark.table("documents")
+    kmv = K.kmv_sketch(docs, "text", ["lang"], k=64)
+    qs = (K.quantile_sketch(docs, "n_chars", "doc_id", ["lang"], k=16,
+                            probs=(0.25, 0.5, 0.95))
+           .select("lang", F.col("n_sample").alias("qs_n"),
+                   "q25", "q50", "q95"))
+    vs = (K.vocab_sample_stats(docs, "text", ["lang"], m=8)
+           .select("lang", "types_sampled", "types_est",
+                   "tokens_sampled", "hapax_sampled"))
+    out = (kmv.select("lang", "kmv", "n_mins", "distinct_est")
+              .join(qs, "lang", "left").join(vs, "lang", "left"))
+    zeroed = [F.coalesce(F.col(c), F.lit(0)).alias(c)
+              for c in ("qs_n", "q25", "q50", "q95", "types_sampled",
+                        "types_est", "tokens_sampled", "hapax_sampled")]
+    return (out.select("lang", "kmv", "n_mins", "distinct_est", *zeroed)
                .orderBy("lang"))
 
 
@@ -7697,15 +7717,63 @@ with pairs as (
   from documents),
 rk as (
   select lang, h, row_number() over (partition by lang order by h) as rk
-  from pairs)
-select lang,
-       list(h order by h) as kmv,
-       count(*) as n_mins,
-       case when count(*) < 64 then count(*)
-            else (63 * 281474976710656) //
-                 max(case when rk = 64 then h end) end as distinct_est
-from rk where rk <= 64
-group by lang order by lang
+  from pairs),
+kmv as (
+  select lang,
+         list(h order by h) as kmv,
+         count(*) as n_mins,
+         case when count(*) < 64 then count(*)
+              else (63 * 281474976710656) //
+                   max(case when rk = 64 then h end) end as distinct_est
+  from rk where rk <= 64
+  group by lang),
+qpairs as (
+  select distinct lang,
+         ('0x' || substr(md5(cast(doc_id as varchar) || chr(31) ||
+                             cast(n_chars as varchar)), 1, 12))::bigint
+           as h,
+         n_chars as v
+  from documents where n_chars is not null),
+qrk as (
+  select lang, h, v,
+         row_number() over (partition by lang order by h, v) as rk
+  from qpairs),
+qagg as (
+  select lang, list(v order by v) as sv, count(*) as n
+  from qrk where rk <= 16 group by lang),
+qs as (
+  select lang, n as qs_n,
+         sv[greatest(1, (2500 * n + 9999) // 10000)] as q25,
+         sv[greatest(1, (5000 * n + 9999) // 10000)] as q50,
+         sv[greatest(1, (9500 * n + 9999) // 10000)] as q95
+  from qagg),
+toks as (
+  select lang, u.tok from documents,
+       unnest(string_split_regex(text, '\s+')) as u(tok)
+  where text is not null),
+vf as (select lang, tok from toks
+       where tok <> ''
+         and ('0x' || substr(md5(tok), 1, 12))::bigint
+             < 35184372088832),
+vp as (select lang, tok, count(*) as n from vf group by 1, 2),
+vs as (
+  select lang, count(*) as types_sampled, count(*) * 8 as types_est,
+         sum(n) as tokens_sampled,
+         sum(case when n = 1 then 1 else 0 end) as hapax_sampled
+  from vp group by lang)
+select k.lang, k.kmv, k.n_mins, k.distinct_est,
+       coalesce(q.qs_n, 0) as qs_n,
+       coalesce(q.q25, 0) as q25,
+       coalesce(q.q50, 0) as q50,
+       coalesce(q.q95, 0) as q95,
+       cast(coalesce(v.types_sampled, 0) as bigint) as types_sampled,
+       cast(coalesce(v.types_est, 0) as bigint) as types_est,
+       cast(coalesce(v.tokens_sampled, 0) as bigint) as tokens_sampled,
+       cast(coalesce(v.hapax_sampled, 0) as bigint) as hapax_sampled
+from kmv k
+left join qs q on k.lang = q.lang
+left join vs v on k.lang = v.lang
+order by k.lang
 """)
 
 
@@ -8235,24 +8303,15 @@ _DRIVER_WINDOW = [
 # urls.robots_directives (Crawl-delay via the SHARED RFC 9309 group
 # algebra — max of binding groups, try_cast totality — plus
 # group-independent Sitemap lines in doc order; feeds parse_sitemaps
-# and turns politeness_waves' wave numbers into not-before offsets),
-# `sketch_quantiles` for sketches.quantile_sketch (deterministic
-# hash-rank row sample; integer-rank percentile_disc columns; the
-# grouped DuckDB replay in test_quantile_sketch_matches_duckdb_replay
-# IS the oracle shape), and `text_vocab_sample` for
-# sketches.vocab_sample_stats (1/m type-space slice, pure-integer
-# scale-ups; replay in test_vocab_sample_stats_matches_duckdb_replay).
-# Fourth slot: `fed_count_distinct` — the r12 DISTINCT/HAVING/ORDER-BY
-# decomposition through the demo web's engine path (the
-# fed_engine_agg_pushdown pattern: e.g. `select returnflag,
-# count(distinct orderkey) as d, sum(distinct quantity) as sd from
-# lineitem group by returnflag having count(*) > N order by d desc`;
-# oracle = the same SQL over the union-of-sources view). The
-# decomposition is differentially proven against the row path over a
-# live gRPC peer today (test_flight_pushdown.py: 36-combination grid +
-# distinct/having/order-by suites); the driver row makes it
-# oracle-provable too. That fills the ≤4 r13-new slots; the r9-age
-# cohort takes the rest of the window.
+# and turns politeness_waves' wave numbers into not-before offsets).
+# The OTHER r12-tail operators needed no new slots after all — the
+# keeper-merge pattern absorbed them into ALREADY-WINDOWED queries this
+# round: quantile_sketch + vocab_sample_stats ride `sketch_kmv_distinct`
+# (per-lang sketch-family report, LEFT-join totality) and the
+# DISTINCT/HAVING/ORDER-BY-aggregate/grain-refinement pushdown rides
+# `fed_engine_agg_pushdown` (distinct columns, hidden-max HAVING,
+# ORDER BY count(*)) — all green at 3 SFs. So r13 = the 46-name r9-age
+# cohort + crawl_robots_directives + up to 3 genuinely-new operators.
 # Deliberately NOT declared in r12: the window closed exactly full with
 # the four r12-new queries, and an outside-window declaration would
 # recreate the "never driver-checked" gap. Python-reference replay +
