@@ -46,6 +46,12 @@ from pyspark.sql import functions as F
 _AGG_FNS = {"count", "sum", "min", "max", "avg"}
 
 
+def _out_name(o: tuple) -> str:
+    """Output column name for any output tuple kind: ("group", src,
+    name), ("agg", fn, arg, name, digits), or ("expr", sql, name)."""
+    return o[3] if o[0] == "agg" else o[2]
+
+
 @dataclass
 class AggQuerySpec:
     """A validated single-entity aggregate query, decomposed."""
@@ -87,6 +93,8 @@ class AggQuerySpec:
         for src, name in self.extra_groups:
             items.append(f"{src} AS {name}")
         for i, out in enumerate(self.outputs + self.hidden):
+            if out[0] == "expr":
+                continue  # computed at merge from hidden/group columns
             if out[0] == "group":
                 items.append(f"{out[1]} AS {out[2]}")
             elif out[1].endswith("_distinct"):
@@ -159,6 +167,12 @@ class AggQuerySpec:
             out = partials.groupBy(*group_names).agg(*aggs)
         else:
             out = partials.agg(*aggs)
+        # expression outputs (scalar combinations of merged aggregates /
+        # group columns, e.g. a sum/count ratio) materialize BEFORE the
+        # HAVING filter and the sort so both can reference them by name
+        for o in self.outputs:
+            if o[0] == "expr":
+                out = out.withColumn(o[2], F.expr(o[1]))
         if self.having_sql is not None:
             out = out.where(F.expr(self.having_sql))
         # order (possibly on hidden columns) and limit BEFORE the final
@@ -169,8 +183,7 @@ class AggQuerySpec:
                                 for c, asc in self.order_by])
         if self.limit is not None:
             out = out.limit(self.limit)
-        return out.select(*[o[2] if o[0] == "group" else o[3]
-                            for o in self.outputs])
+        return out.select(*[_out_name(o) for o in self.outputs])
 
 
 def _cls(node) -> str:
@@ -303,28 +316,48 @@ def _scalar_expr_ok(jexpr) -> bool:
     return True
 
 
-def _rewrite_having(spark, jcond, spec: AggQuerySpec,
-                    agg_sql_names: dict[str, str],
-                    entity_columns: set[str] | None) -> bool:
-    """Rewrite a HAVING condition to run over the MERGED frame.
+def _contains_agg_call(jexpr) -> bool:
+    """True when the expression tree holds at least one SUPPORTED
+    aggregate call — what makes an unaliased-GROUP-BY-less projection an
+    aggregate query rather than a per-row one."""
+    stack = [jexpr]
+    while stack:
+        n = stack.pop()
+        if _cls(n) == "UnresolvedFunction" and _agg_call(n) is not None:
+            return True
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return False
 
-    Aggregate calls inside the condition are replaced by the output
-    column computing the same aggregate — or by a HIDDEN merge output
-    added for the occasion (its partials ride ``partial_sql`` like any
-    other aggregate; the merge drops it after the filter). Substitution
-    is string surgery, but between two CATALYST-canonical renderings of
-    the same expression (the parent condition's ``.sql()`` embeds each
-    child's ``.sql()`` verbatim), with a literal-collision guard. The
-    rewritten condition must re-parse and reference only merged column
-    names through whitelisted scalar functions — anything else returns
-    False and the caller keeps the row path (the always-safe direction).
-    """
+
+def _rewrite_over_merge(spark, jcond, spec: AggQuerySpec,
+                        agg_sql_names: dict[str, str],
+                        entity_columns: set[str] | None,
+                        alias_refs: bool) -> str | None:
+    """Rewrite an expression to run over the MERGED frame.
+
+    Aggregate calls are replaced by the output column computing the same
+    aggregate — or by a HIDDEN merge output added for the occasion (its
+    partials ride ``partial_sql`` like any other aggregate; the merge
+    drops it after use). Substitution is string surgery, but between two
+    CATALYST-canonical renderings of the same expression (the parent's
+    ``.sql()`` embeds each child's ``.sql()`` verbatim), with a
+    literal-collision guard. The rewritten expression must re-parse and
+    reference only merged column names through whitelisted scalar
+    functions — anything else returns None and the caller keeps the row
+    path (the always-safe direction).
+
+    ``alias_refs`` selects the attribute rule: HAVING / ORDER BY may
+    reference any output alias (True); a SELECT expression's bare names
+    are COLUMN references, so they may only bind to group outputs
+    projected under their own source name (False)."""
     if _tree_has(jcond, ("Subquery", "Exists", "Window")):
-        return False
+        return None
     try:
         cond_sql = jcond.sql()
     except Exception:
-        return False
+        return None
     # shared with ORDER BY binding: hidden columns created here are
     # reusable there (and vice versa) through the caller's dict
     sub = agg_sql_names
@@ -338,28 +371,31 @@ def _rewrite_having(spark, jcond, spec: AggQuerySpec,
                 try:
                     found[n.sql()] = call
                 except Exception:
-                    return False
+                    return None
                 continue  # the whole call becomes one column reference
         if cls == "Literal":
             try:
                 v = n.value()
             except Exception:
-                return False
+                return None
             if v is not None:
                 literals.append(str(v))
         ch = n.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))
-    taken = {(o[2] if o[0] == "group" else o[3]).lower()
-             for o in spec.outputs}
+    # user aliases may legitimately be named __h0, and hiddens from an
+    # EARLIER rewrite (a SELECT expression before this HAVING/ORDER key)
+    # are already allocated — skip past both instead of building an
+    # ambiguous merge frame
+    taken = {_out_name(o).lower() for o in spec.outputs} \
+        | {h[3].lower() for h in spec.hidden}
     hid = 0
     for key, call in found.items():
         if key not in sub:
-            # user aliases may legitimately be named __h0 — skip past any
-            # collision instead of building an ambiguous merge frame
             while f"__h{hid}" in taken:
                 hid += 1
             name = f"__h{hid}"
+            taken.add(name)
             hid += 1
             spec.hidden.append(("agg", call[0], call[1], name, call[2]))
             sub[key] = name
@@ -367,14 +403,14 @@ def _rewrite_having(spark, jcond, spec: AggQuerySpec,
     # by the replace — bail to the row path instead
     for lit in literals:
         if any(k in lit for k in sub):
-            return False
+            return None
     for key in sorted(sub, key=len, reverse=True):
         cond_sql = cond_sql.replace(key, sub[key])
     try:
         jexpr = spark._jsparkSession.sessionState().sqlParser() \
                      .parseExpression(cond_sql)
     except Exception:
-        return False
+        return None
     # lowercased maps: Spark resolves names case-insensitively, so the
     # shadowing guard must too. kind records whether a bare reference to
     # the output name means the same thing on BOTH paths: only a group
@@ -385,10 +421,11 @@ def _rewrite_having(spark, jcond, spec: AggQuerySpec,
         if o[0] == "group":
             out_kinds[o[2].lower()] = ("group", o[1].lower())
         else:
-            out_kinds[o[3].lower()] = ("agg", None)
+            out_kinds[_out_name(o).lower()] = (o[0], None)
     for h in spec.hidden:
         out_kinds[h[3].lower()] = ("agg", None)
     ecols = {c.lower() for c in entity_columns} if entity_columns else set()
+    sub_names = {v.lower() for v in sub.values()}
     stack = [jexpr]
     while stack:
         n = stack.pop()
@@ -397,14 +434,22 @@ def _rewrite_having(spark, jcond, spec: AggQuerySpec,
             parts = n.nameParts()
             if (parts.size() != 1 or n.isDistinct()
                     or str(parts.apply(0)).lower() not in _SCALAR_FNS):
-                return False
+                return None
         elif cls == "UnresolvedAttribute":
             a = _bare_attr(n)
             if a is None:
-                return False
+                return None
             kind = out_kinds.get(a.lower())
             if kind is None:
-                return False
+                return None
+            if (not alias_refs and a.lower() not in sub_names
+                    and not (kind[0] == "group"
+                             and kind[1] == a.lower())):
+                # SELECT expressions name COLUMNS (or lateral aliases of
+                # aggregates, which the sub map covers): beyond those,
+                # only a group key projected under its own name is the
+                # same value in the merged frame
+                return None
             if a.lower() in ecols and not (kind[0] == "group"
                                            and kind[1] == a.lower()):
                 # the name is BOTH an entity column and an alias of
@@ -412,11 +457,23 @@ def _rewrite_having(spark, jcond, spec: AggQuerySpec,
                 # engines resolve bare HAVING references against the
                 # GROUPING INPUT first; the merged frame can only see the
                 # alias — ambiguous, so keep the row path
-                return False
+                return None
         ch = n.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))
-    spec.having_sql = cond_sql
+    return cond_sql
+
+
+def _rewrite_having(spark, jcond, spec: AggQuerySpec,
+                    agg_sql_names: dict[str, str],
+                    entity_columns: set[str] | None) -> bool:
+    """HAVING face of ``_rewrite_over_merge``: alias references allowed;
+    the rewritten condition lands in ``spec.having_sql``."""
+    rewritten = _rewrite_over_merge(spark, jcond, spec, agg_sql_names,
+                                    entity_columns, alias_refs=True)
+    if rewritten is None:
+        return False
+    spec.having_sql = rewritten
     return True
 
 
@@ -505,20 +562,21 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
         exprs = node.aggregateExpressions()
     elif _cls(node) == "Project":
         # A GROUP-BY-less aggregate (`select count(*) from e`) is still a
-        # Project at the unresolved stage: accept only when EVERY output is
-        # an aliased aggregate call (a mixed/plain projection is not an
-        # aggregate query).
+        # Project at the unresolved stage: accept only when EVERY output
+        # is an aliased aggregate call or an expression CONTAINING one
+        # (a mixed/plain projection is per-row, not an aggregate query).
         exprs = node.projectList()
         if exprs.size() == 0:
             return None
         for i in range(exprs.size()):
             e = exprs.apply(i)
-            if _cls(e) != "Alias" or _agg_call(e.child()) is None:
+            if _cls(e) != "Alias" or not _contains_agg_call(e.child()):
                 return None
     else:
         return None
     names_seen: set[str] = set()
     agg_sql_names: dict[str, str] = {}
+    pending_exprs: list[tuple[int, object]] = []
     for i in range(exprs.size()):
         e = exprs.apply(i)
         if _cls(e) == "UnresolvedAttribute":
@@ -546,25 +604,40 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
                         pass  # no canonical form -> HAVING can't reuse it
                 else:
                     # a projected GROUP BY expression (canonical forms
-                    # match: both renderings come from Catalyst's .sql())
+                    # match: both renderings come from Catalyst's .sql()),
+                    # or a scalar EXPRESSION over aggregates / group keys
+                    # (sum/count ratios etc.) — rewritten after the loop
+                    # once every output name is known
                     try:
                         csql = child.sql()
                     except Exception:
                         return None
-                    if csql not in spec.group_attrs:
-                        return None
-                    spec.outputs.append(("group", csql, out_name))
+                    if csql in spec.group_attrs:
+                        spec.outputs.append(("group", csql, out_name))
+                    else:
+                        pending_exprs.append((len(spec.outputs), child))
+                        spec.outputs.append(("expr", None, out_name))
         else:
             return None
         if out_name.lower() in names_seen:
             return None  # ambiguous merge frame
         names_seen.add(out_name.lower())
 
+    # scalar expressions over aggregates (ratios etc.): every aggregate
+    # call inside binds to an output or hidden merge column; bare names
+    # are COLUMN references and may only bind to group keys projected
+    # under their own name
+    for idx, child in pending_exprs:
+        rewritten = _rewrite_over_merge(spark, child, spec, agg_sql_names,
+                                        entity_columns, alias_refs=False)
+        if rewritten is None:
+            return None
+        spec.outputs[idx] = ("expr", rewritten, spec.outputs[idx][2])
+
     # grouping keys the projection does not show must still ship and
     # re-group at merge, else distinct groups collapse into one row
     projected_groups = {o[1] for o in spec.outputs if o[0] == "group"}
-    taken_names = {(o[2] if o[0] == "group" else o[3]).lower()
-                   for o in spec.outputs}
+    taken_names = {_out_name(o).lower() for o in spec.outputs}
     gi = 0
     for g in spec.group_attrs:
         if g in projected_groups:
@@ -605,9 +678,8 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
     # path: Spark's resolver rejects ORDER BY <agg> combined with HAVING
     # (the Filter between Sort and Aggregate breaks its aggregate
     # resolution) while the merge frame — like ANSI engines — answers it
-    out_names = {o[2].lower() if o[0] == "group" else o[3].lower()
-                 for o in spec.outputs} | {h[3].lower()
-                                           for h in spec.hidden}
+    out_names = {_out_name(o).lower() for o in spec.outputs} \
+        | {h[3].lower() for h in spec.hidden}
     for kind, payload, asc in order_specs:
         if kind == "attr":
             if payload.lower() not in out_names:
@@ -617,8 +689,7 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
         key, call = payload
         name = agg_sql_names.get(key)
         if name is None:
-            taken = {(o[2] if o[0] == "group" else o[3]).lower()
-                     for o in spec.outputs} \
+            taken = {_out_name(o).lower() for o in spec.outputs} \
                 | {h[3].lower() for h in spec.hidden}
             hid = 0
             while f"__h{hid}" in taken:

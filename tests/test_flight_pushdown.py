@@ -799,3 +799,59 @@ def test_group_by_expression_decomposes(spark, demo_web, peer_server,
         slow = sorted((tuple(r) for r in edge_gateway.query(
             sql, partial_aggregate=False).collect()), key=repr)
         assert fast == slow and len(fast) > 0, sql
+
+
+def test_expression_outputs_over_aggregates(spark, demo_web, peer_server,
+                                            edge_gateway):
+    """Scalar expressions over aggregates in the SELECT list (ratios,
+    differences, rounded combinations) decompose: each inner aggregate
+    ships as a (possibly hidden) partial and the merge computes the
+    expression — identical answers to the row path."""
+    from dataweb_spark.plans.aggpush import extract_aggregate_query
+    spec = extract_aggregate_query(
+        spark,
+        "select returnflag, sum(extendedprice) / sum(quantity) as unit, "
+        "count(*) as n from lineitem group by returnflag",
+        "lineitem")
+    assert spec is not None
+    kinds = [o[0] for o in spec.outputs]
+    assert kinds == ["group", "expr", "agg"]
+    assert len(spec.hidden) == 2  # both sums ride as hidden partials
+    # a bare column inside the expression must be a group key projected
+    # under its own name — otherwise row path
+    assert extract_aggregate_query(
+        spark,
+        "select returnflag as rf, concat(returnflag, count(*)) as x "
+        "from lineitem group by returnflag",
+        "lineitem") is None
+    # no aggregate anywhere -> per-row projection, not an aggregate query
+    assert extract_aggregate_query(
+        spark,
+        "select quantity + 1 as q from lineitem",
+        "lineitem") is None
+    grid = [
+        "select returnflag, round(sum(extendedprice) / sum(quantity), 4) "
+        "as unit_price from lineitem group by returnflag "
+        "order by returnflag",
+        "select round(sum(quantity) / count(*), 6) as avg_q, "
+        "count(*) as n from lineitem",
+        # expression + HAVING + ORDER BY on the expression alias
+        "select returnflag, round(sum(extendedprice) - sum(quantity), 2) "
+        "as spread from lineitem where quantity < 30 group by returnflag "
+        "having count(*) > 100 order by spread desc limit 2",
+        # expression over a projected group key and an aggregate
+        "select returnflag, concat(returnflag, count(*)) as tag "
+        "from lineitem group by returnflag order by returnflag",
+        # distinct aggregate inside an expression
+        "select returnflag, count(distinct linestatus) * 100 as pct "
+        "from lineitem group by returnflag order by returnflag",
+    ]
+    for sql in grid:
+        fast = sorted((tuple(r) for r in
+                       edge_gateway.query(sql).collect()), key=repr)
+        slow = sorted((tuple(r) for r in edge_gateway.query(
+            sql, partial_aggregate=False).collect()), key=repr)
+        def canon(rows):
+            return [tuple(round(v, 6) if isinstance(v, float) else v
+                          for v in r) for r in rows]
+        assert canon(fast) == canon(slow), sql
