@@ -276,9 +276,14 @@ _SCALAR_FNS = {"abs", "coalesce", "round", "floor", "ceil", "ceiling",
                "sign", "mod"}
 
 # GROUP BY expressions additionally admit the calendar-bucketing family
-# (the bread-and-butter federated rollup keys); every function here is
-# deterministic and identical on every Spark peer the template path can
-# reach, so grouping on its VALUE decomposes exactly
+# (the bread-and-butter federated rollup keys). CONTRACT: peers must
+# share the edge's session timezone — the template path forwards these
+# as SQL and the peer computes bucket VALUES in its own zone (hour /
+# date_trunc / date_format over timestamps would bucket differently on a
+# misaligned peer, diverging from the row path; an identity relay fleet
+# managed by one relayctl config satisfies this, the same assumption the
+# existing WHERE-clause forwarding already makes; pure DATE-column parts
+# are timezone-free either way)
 _GROUP_FNS = _SCALAR_FNS | {"year", "month", "day", "dayofmonth",
                             "quarter", "hour", "minute", "second",
                             "weekofyear", "dayofweek", "date_trunc",
@@ -334,7 +339,9 @@ def _contains_agg_call(jexpr) -> bool:
 def _rewrite_over_merge(spark, jcond, spec: AggQuerySpec,
                         agg_sql_names: dict[str, str],
                         entity_columns: set[str] | None,
-                        alias_refs: bool) -> str | None:
+                        alias_refs: bool,
+                        lateral_names: set[str] | None = None
+                        ) -> str | None:
     """Rewrite an expression to run over the MERGED frame.
 
     Aggregate calls are replaced by the output column computing the same
@@ -342,16 +349,22 @@ def _rewrite_over_merge(spark, jcond, spec: AggQuerySpec,
     partials ride ``partial_sql`` like any other aggregate; the merge
     drops it after use). Substitution is string surgery, but between two
     CATALYST-canonical renderings of the same expression (the parent's
-    ``.sql()`` embeds each child's ``.sql()`` verbatim), with a
-    literal-collision guard. The rewritten expression must re-parse and
-    reference only merged column names through whitelisted scalar
-    functions — anything else returns None and the caller keeps the row
-    path (the always-safe direction).
+    ``.sql()`` embeds each child's ``.sql()`` verbatim), TOKEN-BOUNDED
+    (a negative lookbehind keeps ``try_sum(x)`` from being mangled by the
+    ``sum(x)`` key — r12 review fix) and literal-guarded. Attribute
+    references are validated on the ORIGINAL tree (before substitution,
+    so a user attr can never be confused with an injected name): with
+    ``alias_refs`` (HAVING / ORDER BY) they may name any output alias;
+    without it (SELECT expressions) a bare name is a COLUMN reference —
+    valid only as a group key projected under its own name, or as a
+    LATERAL alias reference to an output defined EARLIER in the
+    projection (``lateral_names``), matching Spark's lateral-column-alias
+    rule. Either way a name that is also an entity column is ambiguous
+    (engines bind the grouping input first) and keeps the row path.
+    Anything unprovable returns None — the always-safe direction.
+    """
+    import re as _re
 
-    ``alias_refs`` selects the attribute rule: HAVING / ORDER BY may
-    reference any output alias (True); a SELECT expression's bare names
-    are COLUMN references, so they may only bind to group outputs
-    projected under their own source name (False)."""
     if _tree_has(jcond, ("Subquery", "Exists", "Window")):
         return None
     try:
@@ -361,7 +374,7 @@ def _rewrite_over_merge(spark, jcond, spec: AggQuerySpec,
     # shared with ORDER BY binding: hidden columns created here are
     # reusable there (and vice versa) through the caller's dict
     sub = agg_sql_names
-    stack, literals, found = [jcond], [], {}
+    stack, literals, found, orig_attrs = [jcond], [], {}, []
     while stack:
         n = stack.pop()
         cls = _cls(n)
@@ -373,6 +386,11 @@ def _rewrite_over_merge(spark, jcond, spec: AggQuerySpec,
                 except Exception:
                     return None
                 continue  # the whole call becomes one column reference
+        if cls == "UnresolvedAttribute":
+            a = _bare_attr(n)
+            if a is None:
+                return None
+            orig_attrs.append(a)
         if cls == "Literal":
             try:
                 v = n.value()
@@ -405,7 +423,10 @@ def _rewrite_over_merge(spark, jcond, spec: AggQuerySpec,
         if any(k in lit for k in sub):
             return None
     for key in sorted(sub, key=len, reverse=True):
-        cond_sql = cond_sql.replace(key, sub[key])
+        # token boundary: the key must not continue an identifier or a
+        # qualified name to its left (its own tail is always ")" )
+        cond_sql = _re.sub(r"(?<![A-Za-z0-9_.])" + _re.escape(key),
+                           sub[key].replace("\\", "\\\\"), cond_sql)
     try:
         jexpr = spark._jsparkSession.sessionState().sqlParser() \
                      .parseExpression(cond_sql)
@@ -422,10 +443,28 @@ def _rewrite_over_merge(spark, jcond, spec: AggQuerySpec,
             out_kinds[o[2].lower()] = ("group", o[1].lower())
         else:
             out_kinds[_out_name(o).lower()] = (o[0], None)
-    for h in spec.hidden:
-        out_kinds[h[3].lower()] = ("agg", None)
     ecols = {c.lower() for c in entity_columns} if entity_columns else set()
-    sub_names = {v.lower() for v in sub.values()}
+    lat = {x.lower() for x in lateral_names} if lateral_names else set()
+    for a in orig_attrs:
+        kind = out_kinds.get(a.lower())
+        if kind is None:
+            return None
+        own_group = kind[0] == "group" and kind[1] == a.lower()
+        if not alias_refs and not own_group and a.lower() not in lat:
+            # SELECT expressions name COLUMNS or EARLIER lateral aliases;
+            # a forward alias reference is unresolvable on the row path
+            return None
+        if a.lower() in ecols and not own_group:
+            # the name is BOTH an entity column and an alias of something
+            # else (an aggregate, or a renamed group col): engines bind
+            # the grouping-input column first; the merged frame can only
+            # see the alias — ambiguous, so keep the row path
+            return None
+    # the rewritten text must reference only merged columns through
+    # whitelisted scalar functions (an unknown function might itself be
+    # an aggregate over the merged frame — reject rather than guess)
+    merged_names = {_out_name(o).lower() for o in spec.outputs} \
+        | {h[3].lower() for h in spec.hidden}
     stack = [jexpr]
     while stack:
         n = stack.pop()
@@ -437,26 +476,7 @@ def _rewrite_over_merge(spark, jcond, spec: AggQuerySpec,
                 return None
         elif cls == "UnresolvedAttribute":
             a = _bare_attr(n)
-            if a is None:
-                return None
-            kind = out_kinds.get(a.lower())
-            if kind is None:
-                return None
-            if (not alias_refs and a.lower() not in sub_names
-                    and not (kind[0] == "group"
-                             and kind[1] == a.lower())):
-                # SELECT expressions name COLUMNS (or lateral aliases of
-                # aggregates, which the sub map covers): beyond those,
-                # only a group key projected under its own name is the
-                # same value in the merged frame
-                return None
-            if a.lower() in ecols and not (kind[0] == "group"
-                                           and kind[1] == a.lower()):
-                # the name is BOTH an entity column and an alias of
-                # something else (an aggregate, or a renamed group col):
-                # engines resolve bare HAVING references against the
-                # GROUPING INPUT first; the merged frame can only see the
-                # alias — ambiguous, so keep the row path
+            if a is None or a.lower() not in merged_names:
                 return None
         ch = n.children()
         for i in range(ch.size()):
@@ -576,7 +596,7 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
         return None
     names_seen: set[str] = set()
     agg_sql_names: dict[str, str] = {}
-    pending_exprs: list[tuple[int, object]] = []
+    pending_exprs: list[tuple[int, object, set]] = []
     for i in range(exprs.size()):
         e = exprs.apply(i)
         if _cls(e) == "UnresolvedAttribute":
@@ -615,21 +635,33 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
                     if csql in spec.group_attrs:
                         spec.outputs.append(("group", csql, out_name))
                     else:
-                        pending_exprs.append((len(spec.outputs), child))
+                        # lateral alias references may only look BACKWARD
+                        # (Spark's lateral-column-alias rule): snapshot
+                        # the names defined so far
+                        pending_exprs.append(
+                            (len(spec.outputs), child,
+                             {_out_name(o) for o in spec.outputs}))
                         spec.outputs.append(("expr", None, out_name))
         else:
             return None
         if out_name.lower() in names_seen:
             return None  # ambiguous merge frame
+        import re as _re
+        if _re.match(r"__p\d", out_name.lower()):
+            # the synthetic partial-column namespace: a user alias here
+            # would duplicate a __p{i}(_d/_s/_c) projection and error the
+            # merge — row path instead (which handles it fine)
+            return None
         names_seen.add(out_name.lower())
 
     # scalar expressions over aggregates (ratios etc.): every aggregate
     # call inside binds to an output or hidden merge column; bare names
     # are COLUMN references and may only bind to group keys projected
     # under their own name
-    for idx, child in pending_exprs:
+    for idx, child, lateral in pending_exprs:
         rewritten = _rewrite_over_merge(spark, child, spec, agg_sql_names,
-                                        entity_columns, alias_refs=False)
+                                        entity_columns, alias_refs=False,
+                                        lateral_names=lateral)
         if rewritten is None:
             return None
         spec.outputs[idx] = ("expr", rewritten, spec.outputs[idx][2])
@@ -678,10 +710,11 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
     # path: Spark's resolver rejects ORDER BY <agg> combined with HAVING
     # (the Filter between Sort and Aggregate breaks its aggregate
     # resolution) while the merge frame — like ANSI engines — answers it
-    out_names = {_out_name(o).lower() for o in spec.outputs} \
-        | {h[3].lower() for h in spec.hidden}
+    out_names = {_out_name(o).lower() for o in spec.outputs}
     for kind, payload, asc in order_specs:
         if kind == "attr":
+            # projected outputs only: a bare name must never bind to a
+            # hidden synthetic column the user cannot legally reference
             if payload.lower() not in out_names:
                 return None
             spec.order_by.append((payload, asc))
@@ -697,7 +730,6 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
             name = f"__h{hid}"
             spec.hidden.append(("agg", call[0], call[1], name, call[2]))
             agg_sql_names[key] = name
-            out_names.add(name.lower())
         spec.order_by.append((name, asc))
 
     # sanity: the constructed partial query must itself parse

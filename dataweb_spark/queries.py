@@ -1808,10 +1808,11 @@ def _fed_engine_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     r12 merge additions in the same slot: DISTINCT aggregates via grain
     refinement (the peer ships one row per distinct (group, orderkey,
     quantity) pair and the merge re-dedups with count/sum_distinct),
-    HAVING bound to a HIDDEN merge aggregate (max(extendedprice) is not
-    projected — its partials ride the same peer query), and ORDER BY over
-    an aggregate CALL (rebound to the merged output before the final
-    deterministic re-order)."""
+    and HAVING bound to a HIDDEN merge aggregate (max(extendedprice) is
+    not projected — its partials ride the same peer query). The inner
+    ORDER BY references the alias, not the call: Spark's OWN resolver
+    rejects ORDER BY <agg> combined with HAVING, and a declared query
+    must keep a working row-path fallback (review-caught)."""
     from dataweb_spark.catalog.model import (
         DataConnection, DataSource, Entity, Mapping, RelayCatalog, Web,
     )
@@ -1841,7 +1842,7 @@ def _fed_engine_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lineitem
         group by returnflag, linestatus
         having max(extendedprice) > 0
-        order by count(*) desc
+        order by n desc
     """)
     return (df.select("returnflag", "linestatus", "n", "n_ok",
                       F.round("sq", 2).alias("sum_qty"),
@@ -7733,7 +7734,7 @@ qpairs as (
                              cast(n_chars as varchar)), 1, 12))::bigint
            as h,
          n_chars as v
-  from documents where n_chars is not null),
+  from documents where n_chars is not null and doc_id is not null),
 qrk as (
   select lang, h, v,
          row_number() over (partition by lang order by h, v) as rk

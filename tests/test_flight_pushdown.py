@@ -659,8 +659,10 @@ def test_order_by_aggregate_expression(spark, demo_web, peer_server,
         "group by returnflag order by n + 1",
         "lineitem") is None
     grid = [
+        # returnflag tie-breaker: rows tied on n may legally reorder
+        # between the two plans
         "select returnflag, count(*) as n from lineitem "
-        "group by returnflag order by count(*) desc",
+        "group by returnflag order by count(*) desc, returnflag",
         "select returnflag, count(*) as n from lineitem "
         "group by returnflag order by sum(quantity) desc limit 2",
         # NOTE: ORDER BY <agg> *combined with* HAVING is a shape Spark's
@@ -855,3 +857,54 @@ def test_expression_outputs_over_aggregates(spark, demo_web, peer_server,
             return [tuple(round(v, 6) if isinstance(v, float) else v
                           for v in r) for r in rows]
         assert canon(fast) == canon(slow), sql
+
+
+def test_rewrite_review_fixes_r12b(spark, demo_web, peer_server,
+                                   edge_gateway):
+    """Second r12 review round: token-bounded substitution, __p namespace
+    rejection, backward-only lateral references, no hidden-name ORDER BY
+    binding."""
+    from dataweb_spark.plans.aggpush import extract_aggregate_query
+    # (1) an agg sql as a SUFFIX of a longer function name must not be
+    # mangled: try_sum is unknown -> row path, never a silent rewrite
+    assert extract_aggregate_query(
+        spark,
+        "select sum(quantity) as n, count(*) as try_n from lineitem "
+        "group by returnflag having try_sum(quantity) < 0",
+        "lineitem") is None
+    # (2) user aliases in the synthetic __p partial namespace would
+    # duplicate partial columns and error the merge -> row path
+    for alias in ("__p1", "__p0_d"):
+        assert extract_aggregate_query(
+            spark,
+            f"select returnflag as {alias}, count(*) as n from lineitem "
+            "group by returnflag",
+            "lineitem") is None, alias
+        got = sorted((tuple(r) for r in edge_gateway.query(
+            f"select returnflag as {alias}, count(*) as n from lineitem "
+            "group by returnflag").collect()), key=repr)
+        assert len(got) == 3  # row path still answers it
+    # (3) lateral alias references look BACKWARD only, like Spark's
+    spec = extract_aggregate_query(
+        spark,
+        "select returnflag, count(*) as n, concat(returnflag, n) as tag "
+        "from lineitem group by returnflag",
+        "lineitem")
+    assert spec is not None  # backward reference decomposes
+    assert extract_aggregate_query(
+        spark,
+        "select returnflag, concat(returnflag, n) as tag, count(*) as n "
+        "from lineitem group by returnflag",
+        "lineitem") is None  # forward reference: row path (which errors)
+    sql = ("select returnflag, count(*) as n, concat(returnflag, n) as "
+           "tag from lineitem group by returnflag order by returnflag")
+    fast = [tuple(r) for r in edge_gateway.query(sql).collect()]
+    slow = [tuple(r) for r in edge_gateway.query(
+        sql, partial_aggregate=False).collect()]
+    assert fast == slow and len(fast) == 3
+    # (4) a user-written ORDER BY __h0 must not bind the hidden column
+    assert extract_aggregate_query(
+        spark,
+        "select returnflag from lineitem group by returnflag "
+        "having sum(quantity) > 0 order by __h0",
+        "lineitem") is None
