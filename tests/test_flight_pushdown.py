@@ -908,3 +908,47 @@ def test_rewrite_review_fixes_r12b(spark, demo_web, peer_server,
         "select returnflag from lineitem group by returnflag "
         "having sum(quantity) > 0 order by __h0",
         "lineitem") is None
+
+
+def test_rewriter_interaction_grid(spark, demo_web, peer_server,
+                                   edge_gateway):
+    """Deterministic cross-product over the REWRITER interaction space —
+    expression outputs × HAVING × ORDER BY (where both r12 review rounds
+    found bugs): every extracted combination must answer identically to
+    the row path; combinations Spark's own resolver rejects are excluded
+    by construction (ORDER BY <agg call> together with HAVING)."""
+    from dataweb_spark.plans.aggpush import extract_aggregate_query
+    exprs = [
+        "count(*) as n",
+        "round(sum(extendedprice) / sum(quantity), 4) as ratio, "
+        "count(*) as n",
+        "sum(quantity) + count(*) as mix, count(distinct linestatus) as d",
+    ]
+    havings = [None, "sum(quantity) > 1000",
+               "count(*) > 100 and max(extendedprice) > 0"]
+    orders = [None, "order by returnflag desc",
+              "order by count(distinct linestatus) desc, returnflag"]
+    ran = skipped = 0
+    for e in exprs:
+        for h in havings:
+            for o in orders:
+                if h and o and "count(distinct" in o:
+                    continue  # ORDER BY <agg> + HAVING: row path rejects
+                sql = (f"select returnflag, {e} from lineitem "
+                       "group by returnflag")
+                if h:
+                    sql += f" having {h}"
+                if o:
+                    sql += f" {o}"
+                spec = extract_aggregate_query(spark, sql, "lineitem")
+                assert spec is not None, sql
+                fast = edge_gateway.query(sql).collect()
+                slow = edge_gateway.query(
+                    sql, partial_aggregate=False).collect()
+                def canon(rows):
+                    return sorted(
+                        [tuple(round(v, 6) if isinstance(v, float) else v
+                               for v in r) for r in rows], key=repr)
+                assert canon(fast) == canon(slow), sql
+                ran += 1
+    assert ran == 21, (ran, skipped)
