@@ -46,6 +46,30 @@ from pyspark.sql import functions as F
 _AGG_FNS = {"count", "sum", "min", "max", "avg"}
 
 
+def _cast_avg_decimal(expr, src_type, summed: bool):
+    """Match Spark's ``avg`` result type on DECIMAL inputs.
+
+    A plain ``sum/count`` division over decimal(p, s) lands on Spark's
+    generic division type decimal(38, 20) — numerically it keeps MORE
+    digits than ``avg``'s decimal(p+4, s+4), so a repeating quotient
+    (1/3) DIFFERS from the row path's avg beyond scale s+4 (r12-found
+    latent bug, confirmed: 0.333333 vs 0.33333333333333333333). The cast
+    reproduces avg's HALF_UP rounding at its exact scale. ``summed``
+    says whether ``src_type`` is already the partial SUM type
+    (decimal(min(38, p+10), s)) or the raw value type; when the sum
+    saturates at precision 38 the input p is unrecoverable and the cast
+    keeps precision 38 (same VALUES — scale is what matters — with a
+    wider schema than the row path only for inputs of p ≥ 28).
+    Non-decimal inputs pass through (double division == double avg)."""
+    from pyspark.sql.types import DecimalType
+
+    if not isinstance(src_type, DecimalType):
+        return expr
+    p = src_type.precision - (10 if summed else 0)
+    prec = 38 if (summed and src_type.precision >= 38) else min(38, p + 4)
+    return expr.cast(DecimalType(prec, min(38, src_type.scale + 4)))
+
+
 def _out_name(o: tuple) -> str:
     """Output column name for any output tuple kind: ("group", src,
     name), ("agg", fn, arg, name, digits), or ("expr", sql, name)."""
@@ -144,6 +168,8 @@ class AggQuerySpec:
                 # ignore NULLs, matching the engine semantics
                 expr = (F.sum_distinct(F.col(f"__p{i}_d"))
                         / F.countDistinct(f"__p{i}_d"))
+                expr = _cast_avg_decimal(
+                    expr, partials.schema[f"__p{i}_d"].dataType, summed=False)
             elif fn == "count":
                 # coalesce: a DISTINCT-refined grain makes a source with
                 # zero matching rows ship ZERO partial rows (GROUP BY col
@@ -160,6 +186,8 @@ class AggQuerySpec:
                 expr = F.max(f"__p{i}")
             else:  # avg = total sum / total non-null count
                 expr = F.sum(f"__p{i}_s") / F.sum(f"__p{i}_c")
+                expr = _cast_avg_decimal(
+                    expr, partials.schema[f"__p{i}_s"].dataType, summed=True)
             if digits is not None:
                 expr = F.round(expr, digits)
             aggs.append(expr.alias(name))

@@ -952,3 +952,33 @@ def test_rewriter_interaction_grid(spark, demo_web, peer_server,
                 assert canon(fast) == canon(slow), sql
                 ran += 1
     assert ran == 21, (ran, skipped)
+
+
+def test_avg_decimal_matches_engine_type_and_value(spark):
+    """r12-found latent bug: avg over DECIMAL merged as a bare sum/count
+    division keeps 20 fractional digits where Spark's avg rounds to
+    scale+4 — a repeating quotient (1/3) diverged. The merge now casts to
+    avg's exact result type; values AND dtypes match the engine."""
+    from dataweb_spark.plans.aggpush import extract_aggregate_query
+    spark.sql("""
+        select cast(v as decimal(10,2)) as v, g from values
+          (1.00, 'a'), (0.00, 'a'), (0.00, 'a'), (2.50, 'b')
+        as t(v, g)
+    """).createOrReplaceTempView("dec_entity")
+    for sql in (
+        "select g, avg(v) as a from dec_entity group by g",
+        "select g, avg(distinct v) as a from dec_entity group by g",
+    ):
+        spec = extract_aggregate_query(spark, sql, "dec_entity")
+        assert spec is not None, sql
+        partials = spark.sql(spec.partial_sql())
+        merged = spec.merge(partials)
+        want = spark.sql(sql)
+        got = {r.g: r.a for r in merged.collect()}
+        exp = {r.g: r.a for r in want.collect()}
+        assert got == exp, (sql, got, exp)
+        assert merged.schema["a"].dataType == want.schema["a"].dataType
+    # the 1/3 group is the divergence witness: scale must be 6, not 20
+    one_third = {r.g: r.a for r in spark.sql(
+        "select g, avg(v) as a from dec_entity group by g").collect()}["a"]
+    assert str(one_third) == "0.333333"
