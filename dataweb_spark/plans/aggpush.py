@@ -180,6 +180,14 @@ class AggQuerySpec:
                                   F.lit(0)).cast("bigint")
             elif fn == "sum":
                 expr = F.sum(f"__p{i}")
+                st = partials.schema[f"__p{i}"].dataType
+                from pyspark.sql.types import DecimalType as _Dec
+                if isinstance(st, _Dec):
+                    # re-summing decimal partials widens precision by
+                    # another +10 (decimal(p+20, s)) while the engine's
+                    # sum answers decimal(p+10, s) — same values, wrong
+                    # schema; the partial's own type IS the engine type
+                    expr = expr.cast(st)
             elif fn == "min":
                 expr = F.min(f"__p{i}")
             elif fn == "max":

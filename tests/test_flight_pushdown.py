@@ -968,6 +968,10 @@ def test_avg_decimal_matches_engine_type_and_value(spark):
     for sql in (
         "select g, avg(v) as a from dec_entity group by g",
         "select g, avg(distinct v) as a from dec_entity group by g",
+        # re-summed decimal partials widen to (p+20, s): the merge must
+        # answer the engine's sum type decimal(p+10, s)
+        "select g, sum(v) as a from dec_entity group by g",
+        "select g, sum(distinct v) as a from dec_entity group by g",
     ):
         spec = extract_aggregate_query(spark, sql, "dec_entity")
         assert spec is not None, sql
