@@ -368,12 +368,16 @@ def test_politeness_waves_query_single_domain_window(spark, sf_dir):
 
 
 def test_kmv_query_bounded_exchange(spark, sf_dir):
-    """sketch_kmv_distinct: the per-partition k-min pre-combine bounds
-    what crosses the wire; the plan carries the distinct + window
-    exchanges only (the final groupBy reuses the window partitioning)."""
+    """sketch_kmv_distinct (r12b: the merged sketch-family report): each
+    of the three sketches pays its bounded distinct + window/groupBy
+    exchanges (≤2 apiece — every one over pre-combined, O(groups·k)-size
+    streams), and the per-lang joins BROADCAST (few-row aggregates) —
+    never a shuffle join, never a cartesian."""
     from dataweb_spark.queries import queries
     df = queries()["sketch_kmv_distinct"](spark, sf_dir)
     plan = _plan(df)
     n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert n_ex <= 3, f"exchange count {n_ex}"
+    assert n_ex <= 6, f"exchange count {n_ex}"
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # lang joins broadcast
+    assert plan.count("BroadcastHashJoin") == 2
