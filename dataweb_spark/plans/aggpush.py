@@ -42,6 +42,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
 
 _AGG_FNS = {"count", "sum", "min", "max", "avg"}
 
@@ -58,8 +59,10 @@ def _cast_avg_decimal(expr, src_type, summed: bool):
     says whether ``src_type`` is already the partial SUM type
     (decimal(min(38, p+10), s)) or the raw value type; when the sum
     saturates at precision 38 the input p is unrecoverable and the cast
-    keeps precision 38 (same VALUES — scale is what matters — with a
-    wider schema than the row path only for inputs of p ≥ 28).
+    keeps precision 38 — values still match (the caller pre-casts the
+    re-summed dividend to the engine's own sum type, so the division
+    computes the engine's digits) with a wider SCHEMA than the row path
+    only for inputs of p in [28, 33].
     Non-decimal inputs pass through (double division == double avg)."""
     from pyspark.sql.types import DecimalType
 
@@ -181,8 +184,7 @@ class AggQuerySpec:
             elif fn == "sum":
                 expr = F.sum(f"__p{i}")
                 st = partials.schema[f"__p{i}"].dataType
-                from pyspark.sql.types import DecimalType as _Dec
-                if isinstance(st, _Dec):
+                if isinstance(st, DecimalType):
                     # re-summing decimal partials widens precision by
                     # another +10 (decimal(p+20, s)) while the engine's
                     # sum answers decimal(p+10, s) — same values, wrong
@@ -193,9 +195,19 @@ class AggQuerySpec:
             elif fn == "max":
                 expr = F.max(f"__p{i}")
             else:  # avg = total sum / total non-null count
-                expr = F.sum(f"__p{i}_s") / F.sum(f"__p{i}_c")
-                expr = _cast_avg_decimal(
-                    expr, partials.schema[f"__p{i}_s"].dataType, summed=True)
+                s_expr = F.sum(f"__p{i}_s")
+                st = partials.schema[f"__p{i}_s"].dataType
+                if isinstance(st, DecimalType):
+                    # re-summing widened the dividend to decimal(p+20, s),
+                    # which drives Spark's precision-loss division to a
+                    # COARSER scale than the engine's sum/count division
+                    # — real digits lost before any output cast (second
+                    # r12 review round, confirmed at decimal(18,4)). Cast
+                    # back to the engine's own sum type first so the
+                    # division typing matches the engine's exactly.
+                    s_expr = s_expr.cast(st)
+                expr = s_expr / F.sum(f"__p{i}_c")
+                expr = _cast_avg_decimal(expr, st, summed=True)
             if digits is not None:
                 expr = F.round(expr, digits)
             aggs.append(expr.alias(name))
@@ -535,7 +547,8 @@ def _rewrite_having(spark, jcond, spec: AggQuerySpec,
 
 def extract_aggregate_query(spark: SparkSession, sql: str,
                             entity: str,
-                            entity_columns: set[str] | None = None
+                            entity_columns: set[str] | None = None,
+                            entity_types: dict[str, str] | None = None
                             ) -> AggQuerySpec | None:
     """Validate + decompose ``sql`` as a partial-aggregatable single-entity
     aggregate; None for anything outside the shape (caller keeps the row
@@ -543,7 +556,12 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
     it runs per source/peer exactly as template mode runs it today.
     HAVING decomposes as a post-merge filter (``_rewrite_having``);
     ``entity_columns`` (the entity's information names, when the caller
-    knows them) guards the alias-shadows-column ambiguity."""
+    knows them) guards the alias-shadows-column ambiguity, and
+    ``entity_types`` (name → declared type string) guards the WIDE
+    DECIMAL avg: for inputs of precision ≥ 28 the partial sum saturates
+    at decimal(38, s) and NO SQL division can keep avg's s+4 quotient
+    digits (the engine divides at unbounded internal precision) — those
+    queries keep the row path."""
     try:
         jplan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
     except Exception:
@@ -767,6 +785,18 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
             spec.hidden.append(("agg", call[0], call[1], name, call[2]))
             agg_sql_names[key] = name
         spec.order_by.append((name, asc))
+
+    # wide-decimal avg guard (see docstring): covers projected, hidden
+    # (HAVING / ORDER BY) and expression-embedded avg aggregates
+    if entity_types:
+        import re as _re
+        for out in spec.outputs + spec.hidden:
+            if out[0] != "agg" or not out[1].startswith("avg"):
+                continue
+            decl = (entity_types.get(out[2]) or "").lower().strip()
+            m = _re.match(r"decimal\((\d+)", decl)
+            if m and int(m.group(1)) >= 28:
+                return None
 
     # sanity: the constructed partial query must itself parse
     try:

@@ -125,7 +125,9 @@ class QueryGateway:
                 )
                 spec = extract_aggregate_query(
                     self.spark, sql, ename,
-                    entity_columns=set(known[ename].info_names()))
+                    entity_columns=set(known[ename].info_names()),
+                    entity_types={i.name: i.data_type
+                                  for i in known[ename].informations})
                 if spec is not None:
                     self.last_failures = []  # template path fails loudly
                     partials = self.query_template_union(

@@ -928,7 +928,10 @@ def test_rewriter_interaction_grid(spark, demo_web, peer_server,
                "count(*) > 100 and max(extendedprice) > 0"]
     orders = [None, "order by returnflag desc",
               "order by count(distinct linestatus) desc, returnflag"]
-    ran = skipped = 0
+    def canon(rows):
+        return sorted([tuple(round(v, 6) if isinstance(v, float) else v
+                             for v in r) for r in rows], key=repr)
+    ran = 0
     for e in exprs:
         for h in havings:
             for o in orders:
@@ -945,13 +948,9 @@ def test_rewriter_interaction_grid(spark, demo_web, peer_server,
                 fast = edge_gateway.query(sql).collect()
                 slow = edge_gateway.query(
                     sql, partial_aggregate=False).collect()
-                def canon(rows):
-                    return sorted(
-                        [tuple(round(v, 6) if isinstance(v, float) else v
-                               for v in r) for r in rows], key=repr)
                 assert canon(fast) == canon(slow), sql
                 ran += 1
-    assert ran == 21, (ran, skipped)
+    assert ran == 21, ran
 
 
 def test_avg_decimal_matches_engine_type_and_value(spark):
@@ -960,12 +959,18 @@ def test_avg_decimal_matches_engine_type_and_value(spark):
     scale+4 — a repeating quotient (1/3) diverged. The merge now casts to
     avg's exact result type; values AND dtypes match the engine."""
     from dataweb_spark.plans.aggpush import extract_aggregate_query
-    spark.sql("""
-        select cast(v as decimal(10,2)) as v, g from values
+    # decimal(18,4) is the second review round's divergence witness:
+    # the re-summed dividend decimal(38,4) drove Spark's precision-loss
+    # division to scale 8 with PADDED zeros (0.33333300 vs the engine's
+    # 0.33333333) until the pre-division cast; decimal(10,2) alone sat
+    # below the threshold and hid it
+    for decl in ("decimal(10,2)", "decimal(18,4)"):
+      spark.sql(f"""
+        select cast(v as {decl}) as v, g from values
           (1.00, 'a'), (0.00, 'a'), (0.00, 'a'), (2.50, 'b')
         as t(v, g)
-    """).createOrReplaceTempView("dec_entity")
-    for sql in (
+      """).createOrReplaceTempView("dec_entity")
+      for sql in (
         "select g, avg(v) as a from dec_entity group by g",
         "select g, avg(distinct v) as a from dec_entity group by g",
         # re-summed decimal partials widen to (p+20, s): the merge must
@@ -980,9 +985,18 @@ def test_avg_decimal_matches_engine_type_and_value(spark):
         want = spark.sql(sql)
         got = {r.g: r.a for r in merged.collect()}
         exp = {r.g: r.a for r in want.collect()}
-        assert got == exp, (sql, got, exp)
-        assert merged.schema["a"].dataType == want.schema["a"].dataType
-    # the 1/3 group is the divergence witness: scale must be 6, not 20
-    one_third = {r.g: r.a for r in spark.sql(
-        "select g, avg(v) as a from dec_entity group by g").collect()}["a"]
-    assert str(one_third) == "0.333333"
+        assert got == exp, (decl, sql, got, exp)
+        assert (merged.schema["a"].dataType
+                == want.schema["a"].dataType), (decl, sql)
+    # p >= 28: the saturated partial sum hides the input precision and NO
+    # SQL division keeps avg's s+4 digits — the gateway's declared types
+    # must route such queries to the row path
+    from dataweb_spark.plans.aggpush import extract_aggregate_query as _x
+    assert _x(spark, "select g, avg(v) as a from dec_entity group by g",
+              "dec_entity", entity_types={"v": "decimal(28,4)"}) is None
+    assert _x(spark,
+              "select g, count(*) as n from dec_entity group by g "
+              "having avg(v) > 0",
+              "dec_entity", entity_types={"v": "decimal(28,4)"}) is None
+    assert _x(spark, "select g, avg(v) as a from dec_entity group by g",
+              "dec_entity", entity_types={"v": "decimal(18,4)"}) is not None
