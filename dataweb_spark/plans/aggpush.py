@@ -211,7 +211,14 @@ class AggQuerySpec:
             if digits is not None:
                 expr = F.round(expr, digits)
             aggs.append(expr.alias(name))
-        if group_names:
+        if not aggs:
+            # a key-only query (GROUP BY with no aggregates, or SELECT
+            # DISTINCT): the merged answer is the distinct union of the
+            # shipped group rows — groupBy().agg() would reject an empty
+            # aggregate list (r12-found crash on a gateway-reachable
+            # shape the row path answers fine)
+            out = partials.select(*group_names).distinct()
+        elif group_names:
             out = partials.groupBy(*group_names).agg(*aggs)
         else:
             out = partials.agg(*aggs)
@@ -614,7 +621,52 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
         jhaving = node.havingCondition()
         node = node.children().apply(0)
 
-    if _cls(node) == "Aggregate":
+    if _cls(node) == "Distinct":
+        # SELECT DISTINCT a, b ≡ GROUP BY a, b with key-only outputs:
+        # each source ships its distinct combinations (O(distinct), not
+        # O(rows)) and the merge re-distincts the union. Items may be
+        # bare columns, renamed columns, or whitelisted scalar
+        # expressions; aggregates/literals inside DISTINCT keep the row
+        # path.
+        child = node.children().apply(0)
+        if _cls(child) != "Project":
+            return None
+        dexprs = child.projectList()
+        if dexprs.size() == 0:
+            return None
+        seen: set[str] = set()
+        for i in range(dexprs.size()):
+            e = dexprs.apply(i)
+            if _cls(e) == "UnresolvedAttribute":
+                src = _bare_attr(e)
+                if src is None:
+                    return None
+                out_name = src
+            elif _cls(e) == "Alias":
+                ec = e.child()
+                out_name = str(e.name())
+                src = _bare_attr(ec)
+                if src is None:
+                    if (_cls(ec) == "Literal" or _agg_call(ec) is not None
+                            or _contains_agg_call(ec)
+                            or not _scalar_expr_ok(ec)):
+                        return None
+                    try:
+                        src = ec.sql()
+                    except Exception:
+                        return None
+            else:
+                return None
+            import re as _re
+            if (out_name.lower() in seen
+                    or _re.match(r"__p\d", out_name.lower())):
+                return None
+            seen.add(out_name.lower())
+            spec.group_attrs.append(src)
+            spec.outputs.append(("group", src, out_name))
+        node = child.children().apply(0)
+        exprs = None
+    elif _cls(node) == "Aggregate":
         groups = node.groupingExpressions()
         for i in range(groups.size()):
             ge = groups.apply(i)
@@ -651,7 +703,7 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
     names_seen: set[str] = set()
     agg_sql_names: dict[str, str] = {}
     pending_exprs: list[tuple[int, object, set]] = []
-    for i in range(exprs.size()):
+    for i in range(exprs.size() if exprs is not None else 0):
         e = exprs.apply(i)
         if _cls(e) == "UnresolvedAttribute":
             col = _bare_attr(e)
@@ -737,7 +789,8 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
             spark, jhaving, spec, agg_sql_names, entity_columns):
         return None
 
-    node = node.children().apply(0)
+    if exprs is not None:  # the Distinct branch already descended
+        node = node.children().apply(0)
     if _cls(node) == "Filter":
         cond = node.condition()
         # subqueries/EXISTS can't re-run per source; windows never valid here

@@ -1000,3 +1000,50 @@ def test_avg_decimal_matches_engine_type_and_value(spark):
               "dec_entity", entity_types={"v": "decimal(28,4)"}) is None
     assert _x(spark, "select g, avg(v) as a from dec_entity group by g",
               "dec_entity", entity_types={"v": "decimal(18,4)"}) is not None
+
+
+def test_key_only_and_select_distinct_decompose(spark, demo_web,
+                                                peer_server, edge_gateway):
+    """Key-only GROUP BY (no aggregates) crashed the merge with an empty
+    aggregate list (r12-found, gateway-reachable); it and SELECT DISTINCT
+    now decompose as distinct-union of shipped group rows — O(distinct)
+    transfer, identical answers."""
+    from dataweb_spark.plans.aggpush import extract_aggregate_query
+    from dataweb_spark.plans.resolve import resolve_entity
+    spec = extract_aggregate_query(
+        spark, "select distinct returnflag, linestatus from lineitem "
+        "where quantity < 5", "lineitem")
+    assert spec is not None
+    assert "GROUP BY returnflag, linestatus" in spec.partial_sql()
+    # unsupported DISTINCT shapes keep the row path
+    for sql in ("select distinct count(*) as n from lineitem",
+                "select distinct returnflag, 1 as one from lineitem",
+                "select distinct rand() as r from lineitem"):
+        assert extract_aggregate_query(spark, sql, "lineitem") is None, sql
+    grid = [
+        "select returnflag from lineitem group by returnflag",
+        "select returnflag, linestatus from lineitem "
+        "group by returnflag, linestatus order by returnflag, linestatus",
+        "select distinct returnflag, linestatus from lineitem "
+        "where quantity < 5",
+        "select distinct returnflag as rf from lineitem "
+        "order by rf desc limit 2",
+        "select distinct concat(returnflag, linestatus) as rl "
+        "from lineitem",
+    ]
+    for sql in grid:
+        fast = sorted((tuple(r) for r in
+                       edge_gateway.query(sql).collect()), key=repr)
+        slow = sorted((tuple(r) for r in edge_gateway.query(
+            sql, partial_aggregate=False).collect()), key=repr)
+        assert fast == slow and len(fast) > 0, sql
+    # transfer proof: the peer ships distinct combos, not rows
+    local = resolve_entity(spark, demo_web, "na_us", "lineitem")
+    total = local.count()
+    combos = local.select("returnflag", "linestatus").distinct().count()
+    before = peer_server.served_rows
+    edge_gateway.query("select distinct returnflag, linestatus "
+                       "from lineitem").collect()
+    shipped = peer_server.served_rows - before
+    assert 0 < shipped <= combos + 2, (shipped, combos)
+    assert shipped < total / 10
