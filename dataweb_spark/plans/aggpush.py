@@ -290,6 +290,14 @@ def _agg_call(jexpr):
                 jexpr = args.apply(0)
     if _cls(jexpr) != "UnresolvedFunction":
         return None
+    try:
+        if jexpr.filter().isDefined():
+            # agg(...) FILTER (WHERE p): the clause would be silently
+            # DROPPED by the regenerated partial (plain count/sum) —
+            # a wrong answer, not a missing feature; row path instead
+            return None
+    except Exception:
+        return None
     parts = jexpr.nameParts()
     if parts.size() != 1:
         return None

@@ -1047,3 +1047,23 @@ def test_key_only_and_select_distinct_decompose(spark, demo_web,
     shipped = peer_server.served_rows - before
     assert 0 < shipped <= combos + 2, (shipped, combos)
     assert shipped < total / 10
+
+
+def test_filter_clause_aggregates_keep_row_path(spark, demo_web,
+                                                peer_server, edge_gateway):
+    """agg(...) FILTER (WHERE p) must NOT decompose — the regenerated
+    partial would silently drop the clause (smoke-battery-found: the
+    spec extracted and answered the UNfiltered count)."""
+    from dataweb_spark.plans.aggpush import extract_aggregate_query
+    sql = ("select returnflag, count(*) filter (where quantity > 5) as n "
+           "from lineitem group by returnflag order by returnflag")
+    assert extract_aggregate_query(spark, sql, "lineitem") is None
+    fast = [tuple(r) for r in edge_gateway.query(sql).collect()]
+    slow = [tuple(r) for r in edge_gateway.query(
+        sql, partial_aggregate=False).collect()]
+    assert fast == slow and 0 < fast[0][1]
+    # the filtered count differs from the plain count (the old silent bug)
+    plain = [tuple(r) for r in edge_gateway.query(
+        "select returnflag, count(*) as n from lineitem "
+        "group by returnflag order by returnflag").collect()]
+    assert fast != plain
