@@ -274,7 +274,17 @@ def _agg_call(jexpr):
     aggregate call — count(*)/count(col)/sum/min/max/avg over a bare
     column, optionally wrapped in ``round(..., n)`` (rounding commutes
     with the merge: it applies once over the COMBINED value) — else
-    None."""
+    None.
+
+    ``agg(...) FILTER (WHERE p)`` decomposes for count/sum/min/max by
+    CASE-wrapping the argument (``count(x) FILTER (WHERE p)`` ≡
+    ``count(CASE WHEN p THEN x END)`` — the unfiltered rows contribute
+    NULL, which every one of these aggregates ignores), so the clause
+    runs per source inside the partial. avg/DISTINCT with FILTER keep
+    the row path (avg would dodge the wide-decimal type guard, and the
+    distinct grain stays bare-column by design). An earlier r12 smoke
+    battery caught the clause being silently DROPPED — rejection or
+    decomposition, never a silent plain aggregate."""
     digits = None
     if _cls(jexpr) == "UnresolvedFunction":
         parts = jexpr.nameParts()
@@ -290,12 +300,13 @@ def _agg_call(jexpr):
                 jexpr = args.apply(0)
     if _cls(jexpr) != "UnresolvedFunction":
         return None
+    fsql = None
     try:
         if jexpr.filter().isDefined():
-            # agg(...) FILTER (WHERE p): the clause would be silently
-            # DROPPED by the regenerated partial (plain count/sum) —
-            # a wrong answer, not a missing feature; row path instead
-            return None
+            jf = jexpr.filter().get()
+            if _tree_has(jf, ("Subquery", "Exists", "Window")):
+                return None
+            fsql = jf.sql()
     except Exception:
         return None
     parts = jexpr.nameParts()
@@ -305,6 +316,8 @@ def _agg_call(jexpr):
     if fn not in _AGG_FNS:
         return None
     if jexpr.isDistinct():
+        if fsql is not None:
+            return None  # distinct grain stays bare-column
         # DISTINCT over a bare column decomposes: the merge re-dedups the
         # shipped (group, value) pairs. min/max(DISTINCT) ≡ min/max —
         # duplicates never move extrema, so they stay plain partials.
@@ -322,10 +335,16 @@ def _agg_call(jexpr):
         return None
     a0 = args.apply(0)
     if fn == "count" and _cls(a0) == "Literal":
+        if fsql is not None:
+            return "count", f"(CASE WHEN {fsql} THEN 1 END)", digits
         return "count", None, digits  # count(*) parses as count(1)
     col = _bare_attr(a0)
     if col is None:
         return None
+    if fsql is not None:
+        if fn == "avg":
+            return None  # would dodge the wide-decimal guard
+        return fn, f"(CASE WHEN {fsql} THEN {col} END)", digits
     return fn, col, digits
 
 

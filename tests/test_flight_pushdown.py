@@ -1049,21 +1049,45 @@ def test_key_only_and_select_distinct_decompose(spark, demo_web,
     assert shipped < total / 10
 
 
-def test_filter_clause_aggregates_keep_row_path(spark, demo_web,
-                                                peer_server, edge_gateway):
-    """agg(...) FILTER (WHERE p) must NOT decompose — the regenerated
-    partial would silently drop the clause (smoke-battery-found: the
-    spec extracted and answered the UNfiltered count)."""
+def test_filter_clause_aggregates_decompose(spark, demo_web,
+                                            peer_server, edge_gateway):
+    """agg(...) FILTER (WHERE p) decomposes by CASE-wrapping the partial
+    argument for count/sum/min/max (the smoke battery first caught the
+    clause being silently DROPPED — never again: decompose or reject);
+    avg/DISTINCT with FILTER keep the row path."""
     from dataweb_spark.plans.aggpush import extract_aggregate_query
     sql = ("select returnflag, count(*) filter (where quantity > 5) as n "
            "from lineitem group by returnflag order by returnflag")
-    assert extract_aggregate_query(spark, sql, "lineitem") is None
-    fast = [tuple(r) for r in edge_gateway.query(sql).collect()]
-    slow = [tuple(r) for r in edge_gateway.query(
-        sql, partial_aggregate=False).collect()]
-    assert fast == slow and 0 < fast[0][1]
+    spec = extract_aggregate_query(spark, sql, "lineitem")
+    assert spec is not None
+    assert "CASE WHEN (quantity > 5) THEN 1 END" in spec.partial_sql()
+    for q in (
+        sql,
+        "select returnflag, sum(quantity) filter (where linestatus = 'O')"
+        " as s, count(*) as n from lineitem group by returnflag "
+        "order by returnflag",
+        "select min(shipdate) filter (where quantity > 30) as d0, "
+        "max(extendedprice) filter (where returnflag = 'A') as mx "
+        "from lineitem",
+        # FILTER inside HAVING rides the same canonical substitution
+        "select returnflag, count(*) as n from lineitem "
+        "group by returnflag "
+        "having count(*) filter (where quantity > 45) > 10 "
+        "order by returnflag",
+    ):
+        fast = [tuple(r) for r in edge_gateway.query(q).collect()]
+        slow = [tuple(r) for r in edge_gateway.query(
+            q, partial_aggregate=False).collect()]
+        assert fast == slow and len(fast) > 0, q
     # the filtered count differs from the plain count (the old silent bug)
+    fast = [tuple(r) for r in edge_gateway.query(sql).collect()]
     plain = [tuple(r) for r in edge_gateway.query(
         "select returnflag, count(*) as n from lineitem "
         "group by returnflag order by returnflag").collect()]
     assert fast != plain
+    # avg / DISTINCT with FILTER keep the row path
+    for q in ("select avg(quantity) filter (where quantity > 5) as a "
+              "from lineitem",
+              "select count(distinct orderkey) filter "
+              "(where quantity > 5) as d from lineitem"):
+        assert extract_aggregate_query(spark, q, "lineitem") is None, q
