@@ -505,6 +505,8 @@ def quantile_sketch_merge(sketches: DataFrame,
     if k < 2:
         raise ValueError("k must be >= 2")
     bps = [_bp(p) for p in probs]
+    if len(set(bps)) != len(bps):
+        raise ValueError(f"duplicate probs at 1/10000 resolution: {probs}")
     if "k" not in sketches.columns:
         raise ValueError(
             "input is not a quantile_sketch output (no 'k' column)")

@@ -504,6 +504,17 @@ def _rewrite_over_merge(spark, jcond, spec: AggQuerySpec,
     for lit in literals:
         if any(k in lit for k in sub):
             return None
+    # same hazard through IDENTIFIERS: a backtick-quoted name whose text
+    # contains a key (an alias literally named `sum(q)`) defeats the
+    # lookbehind (backtick is not in the identifier class) and would be
+    # rewritten inside the quoted name — bail when any referenced
+    # attribute or declared output alias could collide (r12 review fix)
+    ident_names = {a.lower() for a in orig_attrs} \
+        | {_out_name(o).lower() for o in spec.outputs} \
+        | {h[3].lower() for h in spec.hidden}
+    for nm in ident_names:
+        if any(k.lower() in nm for k in sub):
+            return None
     for key in sorted(sub, key=len, reverse=True):
         # token boundary: the key must not continue an identifier or a
         # qualified name to its left (its own tail is always ")" )
@@ -870,10 +881,14 @@ def extract_aggregate_query(spark: SparkSession, sql: str,
     # (HAVING / ORDER BY) and expression-embedded avg aggregates
     if entity_types:
         import re as _re
+        # SQL resolves column names case-insensitively — so must this
+        # guard (avg(V) vs declared 'v'; r12 advisor fix)
+        etypes_ci = {n.lower(): t for n, t in entity_types.items()}
         for out in spec.outputs + spec.hidden:
             if out[0] != "agg" or not out[1].startswith("avg"):
                 continue
-            decl = (entity_types.get(out[2]) or "").lower().strip()
+            decl = (etypes_ci.get((out[2] or "").lower()) or "") \
+                .lower().strip()
             m = _re.match(r"decimal\((\d+)", decl)
             if m and int(m.group(1)) >= 28:
                 return None

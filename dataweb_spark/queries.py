@@ -7705,7 +7705,13 @@ def _sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     zeroed = [F.coalesce(F.col(c), F.lit(0)).alias(c)
               for c in ("qs_n", "q25", "q50", "q95", "types_sampled",
                         "types_est", "tokens_sampled", "hapax_sampled")]
-    return (out.select("lang", "kmv", "n_mins", "distinct_est", *zeroed)
+    # the raw sketch array is serialized to a CSV scalar: the driver's
+    # pandas canonicalizer cannot hash container cells (r12 red), and the
+    # CSV keeps every hash cross-engine-checkable (hash-sorted on both
+    # sides, so the strings are byte-identical)
+    kmv_csv = F.concat_ws(",", F.col("kmv").cast("array<string>")) \
+               .alias("kmv_csv")
+    return (out.select("lang", kmv_csv, "n_mins", "distinct_est", *zeroed)
                .orderBy("lang"))
 
 
@@ -7762,7 +7768,8 @@ vs as (
          sum(n) as tokens_sampled,
          sum(case when n = 1 then 1 else 0 end) as hapax_sampled
   from vp group by lang)
-select k.lang, k.kmv, k.n_mins, k.distinct_est,
+select k.lang, array_to_string(k.kmv, ',') as kmv_csv,
+       k.n_mins, k.distinct_est,
        coalesce(q.qs_n, 0) as qs_n,
        coalesce(q.q25, 0) as q25,
        coalesce(q.q50, 0) as q50,

@@ -32,11 +32,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+class ContainerCellError(Exception):
+    """A result cell holds a list/tuple/dict. The DRIVER's pandas
+    canonicalizer crashes on container cells (`unhashable type: 'list'`,
+    r4 `approx_sketches`, r12 `sketch_kmv_distinct`), so this gate must
+    FAIL them too — tuple-izing here is exactly how five consecutive
+    193-green local sweeps masked a driver red. Serialize arrays to a
+    scalar (concat_ws / array_to_string) on BOTH engines instead."""
+
+
 def normalize(rows: list[tuple],
               sig_digits: int | None = None) -> list[tuple]:
     """Canonicalize rows for comparison. ``sig_digits=None`` keeps floats
     EXACT (the driver's hash is exact); ``sig_digits=9`` collapses
-    fp-summation-order noise for the WEAK fallback pass."""
+    fp-summation-order noise for the WEAK fallback pass. Container cells
+    raise ``ContainerCellError`` — the driver cannot hash them."""
     def norm(v):
         if isinstance(v, bool):
             return v
@@ -48,8 +58,11 @@ def normalize(rows: list[tuple],
             return v
         if hasattr(v, "isoformat"):
             return v.isoformat()[:26]
-        if isinstance(v, (list, tuple)):
-            return tuple(norm(x) for x in v)
+        if isinstance(v, (list, tuple, set, dict)):
+            raise ContainerCellError(
+                f"container cell {type(v).__name__} in result — the "
+                f"driver's pandas canonicalizer cannot hash it; emit a "
+                f"scalar (concat_ws/array_to_string) instead")
         try:
             import decimal
             if isinstance(v, decimal.Decimal):
@@ -134,6 +147,17 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        # structural scalar-only contract (r12 verdict item 2): the
+        # driver reds on any ArrayType/MapType/StructType result column
+        bad_types = [f.name for f in sdf.schema.fields
+                     if f.dataType.typeName() in ("array", "map",
+                                                  "struct")]
+        if bad_types:
+            print(f"FAIL  {name}: container-typed result columns "
+                  f"{bad_types} — the driver cannot hash them; "
+                  f"serialize to scalars")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
@@ -180,8 +204,13 @@ def main() -> int:
             didx = [dcols.index(c) for c in sorted(dcols)]
             srows_s = [tuple(r[i] for i in sidx) for r in srows]
             drows_s = [tuple(r[i] for i in didx) for r in drows]
-            sn = normalize(srows_s)
-            dn = normalize(drows_s)
+            try:
+                sn = normalize(srows_s)
+                dn = normalize(drows_s)
+            except ContainerCellError as e:
+                print(f"FAIL  {name}: {e}")
+                n_fail += 1
+                continue
             if sn != dn:
                 # fallback 1: 9 significant digits — collapses fp-sum-order
                 # noise but NOT the 1e-4-class rounding divergences
