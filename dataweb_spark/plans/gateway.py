@@ -89,7 +89,8 @@ class QueryGateway:
     def query(self, sql: str, principal: str | None = None,
               include_provenance: bool = False,
               allow_partial: bool = False,
-              partial_aggregate: bool = True) -> DataFrame:
+              partial_aggregate: bool = True,
+              topk_pushdown: bool = True) -> DataFrame:
         """Full SQL over entity views; joins across entities allowed.
 
         Before view resolution, the query's per-entity filter conjuncts are
@@ -106,7 +107,15 @@ class QueryGateway:
         least one forwardable flight peer, executes as per-source PARTIAL
         aggregates merged locally (``plans/aggpush.py``) — network peers
         ship O(groups) rows instead of O(corpus). Identical answers;
-        set False to force the row path."""
+        set False to force the row path.
+
+        ``topk_pushdown`` (default on): an aggregate-free single-entity
+        ``ORDER BY ... LIMIT k`` over such an entity runs per-source
+        (each peer answers with its OWN top-k — O(k·sources) transfer
+        instead of O(rows)) and re-merges with a local
+        ``TakeOrderedAndProject`` (``plans/topk.py``; the order-aware
+        extension of the reference's bare limit pushdown,
+        ``web_source.rs:111-118``)."""
         entities = validate_sql(self.spark, sql, single_entity=False)
         known = self.web.relay(self.relay_name).entities
         unknown = {e for e in entities if e not in known}
@@ -114,25 +123,34 @@ class QueryGateway:
             raise ValidationError(
                 f"unknown entity(ies): {sorted(unknown)}; "
                 f"relay {self.relay_name!r} declares {sorted(known)}")
-        if (partial_aggregate and not include_provenance
+        if ((partial_aggregate or topk_pushdown)
+                and not include_provenance
                 and not allow_partial and len(entities) == 1):
             ename = next(iter(entities))
             relay = self.web.relay(self.relay_name)
             if any(_forwardable_flight_peer(relay, s, ename) is not None
                    for s in relay.sources_for_entity(ename)):
-                from dataweb_spark.plans.aggpush import (
-                    extract_aggregate_query,
-                )
-                spec = extract_aggregate_query(
-                    self.spark, sql, ename,
-                    entity_columns=set(known[ename].info_names()),
-                    entity_types={i.name: i.data_type
-                                  for i in known[ename].informations})
-                if spec is not None:
-                    self.last_failures = []  # template path fails loudly
-                    partials = self.query_template_union(
-                        spec.partial_sql(), principal)
-                    return spec.merge(partials)
+                if partial_aggregate:
+                    from dataweb_spark.plans.aggpush import (
+                        extract_aggregate_query,
+                    )
+                    spec = extract_aggregate_query(
+                        self.spark, sql, ename,
+                        entity_columns=set(known[ename].info_names()),
+                        entity_types={i.name: i.data_type
+                                      for i in known[ename].informations})
+                    if spec is not None:
+                        self.last_failures = []  # template fails loudly
+                        partials = self.query_template_union(
+                            spec.partial_sql(), principal)
+                        return spec.merge(partials)
+                if topk_pushdown:
+                    from dataweb_spark.plans.topk import extract_topk_query
+                    tspec = extract_topk_query(self.spark, sql, ename)
+                    if tspec is not None:
+                        self.last_failures = []  # template fails loudly
+                        parts = self.query_template_union(sql, principal)
+                        return tspec.merge(parts)
         predicates = {
             e: extract_entity_predicates(self.spark, sql, e)
             for e in entities

@@ -1868,6 +1868,63 @@ order by returnflag, linestatus
 """)
 
 
+def _fed_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated TOP-K pushdown (``plans/topk.py``, VERDICT r12 item 6):
+    an aggregate-free single-entity ``ORDER BY … LIMIT k`` over an
+    engine-mode flight peer ships each source's OWN top-k (the whole
+    query forwards through the template path — the order-aware extension
+    of the reference's bare limit pushdown, ``web_source.rs:111-118``)
+    and the edge re-merges with a local ``TakeOrderedAndProject``:
+    O(k·sources) wire transfer where the row path ships O(rows). The
+    sort covers EVERY projected column (extendedprice DESC first), so
+    rows tying on all keys are identical and the top-k multiset is
+    engine-independent; the oracle is the same top-k over the
+    mapped-union SQL. Served-rows proof (each peer endpoint ships ≤k
+    rows) lives in ``test_flight_pushdown.py``."""
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Mapping, RelayCatalog, Web,
+    )
+    from dataweb_spark.demo import LINEITEM_INFOS
+    from dataweb_spark.plans.gateway import QueryGateway
+
+    port = _flight_peer_port(sf_dir)
+    edge = RelayCatalog(name="edge_topk")
+    edge.add_entity(Entity("lineitem", list(LINEITEM_INFOS)))
+    edge.add_connection(DataConnection(
+        "peer_flight", "flight",
+        {"port": str(port), "token": "edge-relay-token"}))
+    edge.add_source(DataSource(
+        name="lineitem_peer", connection="peer_flight", entity="lineitem",
+        source_sql="select * from {table}",
+        mappings=[Mapping(i.name, i.name) for i in LINEITEM_INFOS],
+        options={"entity": "lineitem"}))
+    web = Web()
+    web.add_relay(edge)
+    gw = QueryGateway(spark, web, "edge_topk")
+    return gw.query("""
+        select extendedprice, quantity, partkey, suppkey, linenumber,
+               returnflag, linestatus
+        from lineitem
+        where quantity >= 30
+        order by extendedprice desc, partkey asc, suppkey asc,
+                 linenumber asc, quantity asc, returnflag asc,
+                 linestatus asc
+        limit 40
+    """)
+
+
+_df("fed_topk_pushdown", _fed_topk_pushdown,
+    oracle=_FED_VIEW_DEFAULT + """
+select extendedprice, quantity, partkey, suppkey, linenumber,
+       returnflag, linestatus
+from entity_lineitem
+where quantity >= 30
+order by extendedprice desc, partkey asc, suppkey asc, linenumber asc,
+         quantity asc, returnflag asc, linestatus asc
+limit 40
+""")
+
+
 _FLIGHTSQL_ENGINES: dict[str, object] = {}
 
 
@@ -6936,6 +6993,119 @@ select site_id, is_index, entry_idx, loc,
 from fields
 where loc != ''
 order by site_id, entry_idx
+""")
+
+
+# robots.txt body synthesizer (shared literal, both dialects — Spark and
+# DuckDB both have `chr` and int-coercing `||`). Bodies repeat with
+# period 36 over doc_id, so each of the 12 domains merges exactly 3
+# DISTINCT body variants (the multi-body snapshot-merge path), and the
+# variant moduli are chosen so outcomes VARY per domain: 12≡0 (mod 3)
+# and 12≡0 (mod 2) make delay lines and sitemap lines all-or-nothing per
+# domain, while 12≢0 (mod 5) and (mod 7) spread exact-agent groups and
+# delay values across a domain's three bodies. Result: 8 domains bind
+# the exact-agent 2.5s group, one (s9) binds a * delay of 5s, three
+# (s2/s4/s7) have no binding delay; even domains carry 3 sitemap URLs,
+# odd domains none.
+_ROBOTS_SYNTH_SQL = """
+select 's' || (m % 12) || '.com' as domain,
+       'User-agent: *' || chr(10)
+       || case when m % 3 = 0
+               then 'Crawl-delay: ' || (m % 7) || chr(10) else '' end
+       || 'Disallow: /p' || (m % 4) || chr(10)
+       || case when m % 2 = 0
+               then 'Sitemap: http://s' || (m % 12) || '.com/m'
+                    || (m % 5) || '.xml' || chr(10) else '' end
+       || case when m % 5 = 0
+               then 'User-agent: testbot' || chr(10)
+                    || 'Crawl-delay: 2.5' || chr(10) else '' end
+       as robots_txt
+from (select distinct doc_id % 36 as m from documents)
+"""
+
+
+def _crawl_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-rule robots.txt directives (``urls.robots_directives``,
+    VERDICT r12 item 4): per-domain ``Crawl-delay`` read through the
+    SAME RFC 9309 group algebra as the rules (exact product token beats
+    ``*`` domain-wide, max of binding groups across a domain's merged
+    body snapshots, non-numeric values ignored via try_cast) and
+    group-INDEPENDENT ``Sitemap:`` lines (sitemaps.org protocol:
+    first-occurrence dedup in deterministic (body md5, line) order —
+    the seeds :func:`urls.parse_sitemaps` / ``crawl_sitemap_parse``
+    consume). The synthesized corpus (see ``_ROBOTS_SYNTH_SQL``)
+    exercises the multi-body merge: every domain carries three distinct
+    snapshot bodies. Composes with ``crawl_politeness_waves``:
+    ``not_before_w3_ms`` is wave 3's not-before fetch offset,
+    ``wave · coalesce(crawl_delay, 1s default)`` in integer
+    milliseconds — the pure-arithmetic join proven in
+    ``test_robots_directives_feed_wave_offsets``. Sitemap arrays are
+    serialized scalar (``concat_ws``) per the driver output contract.
+    Scale: the directives table is O(domains) — bounded, broadcastable
+    next to the rule table; the parse itself is one line explode + one
+    per-domain window, reference analog `core/src/mappings.rs` crawl
+    scheduling has no counterpart — beyond-reference operator."""
+    from dataweb_spark.functions import urls as U
+    register_views(spark, sf_dir)
+    bodies = spark.sql(_ROBOTS_SYNTH_SQL)
+    dirs = U.robots_directives(bodies)
+    return (dirs.select(
+        "domain", "crawl_delay",
+        F.size("sitemaps").alias("n_sitemaps"),
+        F.concat_ws(" ", "sitemaps").alias("sitemaps_csv"),
+        F.round(F.lit(3) * F.coalesce(F.col("crawl_delay"), F.lit(1.0))
+                * 1000).cast("bigint").alias("not_before_w3_ms"))
+        .orderBy("domain"))
+
+
+_df("crawl_robots_directives", _crawl_robots_directives, oracle=rf"""
+with b as (
+  select m, 's' || (m % 12) || '.com' as domain,
+         'User-agent: *' || chr(10)
+         || case when m % 3 = 0
+                 then 'Crawl-delay: ' || (m % 7) || chr(10) else '' end
+         || 'Disallow: /p' || (m % 4) || chr(10)
+         || case when m % 2 = 0
+                 then 'Sitemap: http://s' || (m % 12) || '.com/m'
+                      || (m % 5) || '.xml' || chr(10) else '' end
+         || case when m % 5 = 0
+                 then 'User-agent: testbot' || chr(10)
+                      || 'Crawl-delay: 2.5' || chr(10) else '' end
+         as body
+  from (select distinct doc_id % 36 as m from documents)),
+-- analytic replay of the documented group algebra over the KNOWN synth
+-- structure: exact-agent groups (m%5=0) suppress * groups domain-wide
+-- and all carry 2.5; * delays exist iff m%3=0 with value m%7, max binds
+flags as (
+  select domain,
+         max(case when m % 5 = 0 then 1 else 0 end) as has_exact,
+         max(case when m % 3 = 0 then cast(m % 7 as double) end)
+           as star_delay
+  from b group by domain),
+delays as (
+  select domain,
+         case when has_exact = 1 then cast(2.5 as double)
+              else star_delay end as crawl_delay
+  from flags),
+-- sitemap lines are group-independent; <=1 per body, so first-occurrence
+-- (body md5, line) order reduces to min(md5(body)) per distinct URL
+urlmaps as (
+  select domain,
+         'http://s' || (m % 12) || '.com/m' || (m % 5) || '.xml' as url,
+         min(md5(body)) as first_h
+  from b where m % 2 = 0
+  group by 1, 2),
+maps as (
+  select domain, count(*) as n_sitemaps,
+         string_agg(url, ' ' order by first_h) as sitemaps_csv
+  from urlmaps group by domain)
+select d.domain, d.crawl_delay,
+       cast(coalesce(mp.n_sitemaps, 0) as int) as n_sitemaps,
+       coalesce(mp.sitemaps_csv, '') as sitemaps_csv,
+       cast(round(3 * coalesce(d.crawl_delay, 1.0) * 1000) as bigint)
+         as not_before_w3_ms
+from delays d left join maps mp on d.domain = mp.domain
+order by d.domain
 """)
 
 

@@ -1091,3 +1091,109 @@ def test_filter_clause_aggregates_decompose(spark, demo_web,
               "select count(distinct orderkey) filter "
               "(where quantity > 5) as d from lineitem"):
         assert extract_aggregate_query(spark, q, "lineitem") is None, q
+
+
+# ---------------------------------------------------------------------------
+# federated TOP-K pushdown (plans/topk.py)
+# ---------------------------------------------------------------------------
+
+_TOPK_SQL = (
+    "select extendedprice, quantity, partkey, suppkey, linenumber "
+    "from lineitem where quantity >= 30 "
+    "order by extendedprice desc, partkey, suppkey, linenumber, quantity "
+    "limit 9")
+
+
+def test_topk_extractor_accepts_and_describes(spark):
+    from dataweb_spark.plans.topk import extract_topk_query
+    spec = extract_topk_query(spark, _TOPK_SQL, "lineitem")
+    assert spec is not None
+    assert spec.k == 9
+    assert len(spec.order) == 5
+    assert spec.order[0][1] == "DESC"
+    assert all(d == "ASC" for _, d, _ in spec.order[1:])
+    # ordinal sort keys bind to output positions
+    spec2 = extract_topk_query(
+        spark, "select quantity, partkey from lineitem "
+               "order by 1 desc, 2 limit 3", "lineitem")
+    assert spec2 is not None and spec2.order[0][0] == "`quantity`"
+    # alias-referencing expression keys replay over the merged frame
+    spec3 = extract_topk_query(
+        spark, "select quantity * extendedprice as w, partkey "
+               "from lineitem order by w desc, partkey limit 3",
+        "lineitem")
+    assert spec3 is not None and spec3.k == 3
+
+
+def test_topk_extractor_rejects_unsafe_shapes(spark):
+    """Everything the merge cannot replay keeps the row path: sort keys
+    outside the output, aggregates/distinct/windows between sort and
+    entity, stars, multi-reference queries, function sort keys."""
+    from dataweb_spark.plans.topk import extract_topk_query
+    bad = [
+        # sort key not in the projected output → union can't re-sort
+        "select partkey from lineitem order by extendedprice limit 5",
+        # no ORDER BY (bare limit is the existing pushdown, not top-k)
+        "select partkey from lineitem limit 5",
+        # no LIMIT
+        "select partkey from lineitem order by partkey",
+        # aggregate under the sort: per-source groups are partial
+        "select returnflag, count(*) as n from lineitem "
+        "group by returnflag order by n desc limit 5",
+        # DISTINCT mixes rows across sources
+        "select distinct partkey from lineitem order by partkey limit 5",
+        # window function in the projection
+        "select partkey, row_number() over (order by partkey) as rn "
+        "from lineitem order by partkey limit 5",
+        # star output: peer schema width may differ
+        "select * from lineitem order by partkey limit 5",
+        # two references to the entity
+        "select a.partkey from lineitem a join lineitem b "
+        "on a.partkey = b.partkey order by a.partkey limit 5",
+        # function call in the sort key (could be non-deterministic)
+        "select partkey from lineitem order by abs(partkey) limit 5",
+    ]
+    for q in bad:
+        assert extract_topk_query(spark, q, "lineitem") is None, q
+
+
+def test_topk_pushdown_bounds_transfer_same_answer(
+        spark, peer_server, edge_gateway):
+    """The VERDICT r12 item-6 served-rows proof: each peer endpoint
+    ships at most k rows and the merged answer equals the row path's."""
+    before = peer_server.served_rows
+    fast = [tuple(r) for r in edge_gateway.query(_TOPK_SQL).collect()]
+    shipped = peer_server.served_rows - before
+
+    before = peer_server.served_rows
+    slow = [tuple(r) for r in edge_gateway.query(
+        _TOPK_SQL, topk_pushdown=False).collect()]
+    shipped_rows = peer_server.served_rows - before
+
+    assert sorted(fast) == sorted(slow) and len(fast) == 9
+    # the peer relay answers one endpoint per ITS sources (2 in the demo
+    # web) — each pre-limited to k
+    assert 0 < shipped <= 2 * 9
+    assert shipped < shipped_rows  # the row path ships the filtered rows
+
+
+def test_topk_merge_plans_take_ordered(spark, peer_server, edge_gateway):
+    df = edge_gateway.query(_TOPK_SQL)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_topk_null_ordering_replays(spark, peer_server, edge_gateway):
+    """NULLS FIRST/LAST and DESC survive the merge: shipdate is NULL for
+    every csv-source row under the default principal, so null placement
+    is visible in the answer."""
+    q = ("select shipdate, partkey, suppkey, linenumber, quantity "
+         "from lineitem order by shipdate desc nulls last, partkey, "
+         "suppkey, linenumber, quantity limit 12")
+    fast = [tuple(r) for r in edge_gateway.query(q).collect()]
+    slow = [tuple(r) for r in edge_gateway.query(
+        q, topk_pushdown=False).collect()]
+    assert sorted(map(repr, fast)) == sorted(map(repr, slow))
+    assert fast and fast[0][0] is not None  # nulls really went last
