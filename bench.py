@@ -149,6 +149,10 @@ EXTRAS = [
     "crawl_politeness_waves",
     "text_unicode_nfc",
     "crawl_sitemap_parse",
+    # r13 additions
+    "crawl_robots_directives",
+    "fed_topk_pushdown",
+    "sketch_quantile_merge",
 ]
 
 

@@ -7955,6 +7955,69 @@ order by k.lang
 """)
 
 
+def _sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated quantile-sketch MERGE (``sketches.quantile_sketch_merge``,
+    r13): two disjoint snapshot halves (doc_id parity) each build a k=32
+    per-language sketch of n_chars, and the halves merge at k=16 — the
+    law the merge direction enforces (merge k ≤ every build k) makes the
+    merged sketch EQUAL to the whole-corpus k=16 sketch, because the 16
+    smallest pair hashes of a union are contained in each side's 32
+    smallest. The oracle replays the whole-data sketch directly, so a
+    green row proves build + merge TOGETHER: per-source sketches of
+    O(k) (hash, value) pairs cross the wire and the merged quantiles
+    match bit-for-bit what a single engine over all rows computes — the
+    reference's per-source partial-merge economics
+    (``test/validation.py:29-60``) applied to quantiles. Sample values
+    and pair hashes ship serialized scalar (driver output contract);
+    every cell is integer-exact (percentile_disc rank arithmetic, 48-bit
+    md5 pair hashes — no engine-internal GK/t-digest state)."""
+    from dataweb_spark.functions import sketches as K
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    halves = [docs.where(F.col("doc_id") % 2 == i) for i in (0, 1)]
+    sks = [K.quantile_sketch(h, "n_chars", "doc_id", ["lang"], k=32,
+                             probs=(0.25, 0.5, 0.95)) for h in halves]
+    merged = K.quantile_sketch_merge(
+        sks[0].unionByName(sks[1]), ["lang"], k=16,
+        probs=(0.25, 0.5, 0.95), built_k=32)
+    return (merged.select(
+        "lang", "n_sample", "q25", "q50", "q95",
+        F.concat_ws(",", F.array_sort("qs_v").cast("array<string>"))
+         .alias("sample_csv"),
+        F.concat_ws(",", F.col("qs_h").cast("array<string>"))
+         .alias("hashes_csv"))
+        .orderBy("lang"))
+
+
+_df("sketch_quantile_merge", _sketch_quantile_merge, oracle=r"""
+with qpairs as (
+  select distinct lang,
+         ('0x' || substr(md5(cast(doc_id as varchar) || chr(31) ||
+                             cast(n_chars as varchar)), 1, 12))::bigint
+           as h,
+         n_chars as v
+  from documents where n_chars is not null and doc_id is not null),
+qrk as (
+  select lang, h, v,
+         row_number() over (partition by lang order by h, v) as rk
+  from qpairs),
+qagg as (
+  select lang,
+         list(v order by v) as sv,
+         list(h order by h, v) as hs,
+         count(*) as n
+  from qrk where rk <= 16 group by lang)
+select lang, cast(n as bigint) as n_sample,
+       sv[greatest(1, (2500 * n + 9999) // 10000)] as q25,
+       sv[greatest(1, (5000 * n + 9999) // 10000)] as q50,
+       sv[greatest(1, (9500 * n + 9999) // 10000)] as q95,
+       array_to_string(sv, ',') as sample_csv,
+       array_to_string(hs, ',') as hashes_csv
+from qagg
+order by lang
+""")
+
+
 def _sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set-operation estimates (``sketches.kmv_set_estimates``,
     Beyer et al. 2007): per-language distinct-TEXT overlap between two
@@ -8395,107 +8458,81 @@ order by vec_id
 # its relative order after the window.
 
 _DRIVER_WINDOW = [
-    # --- r12 rotation. CORRECTNESS_r11 was 50/50; the whole r11
-    # window rotates out. VERDICT r11 items 1+2: the six r11-tail
-    # operators newly declared this round lead (never driver-checked
-    # before — each was pytest-only until now), then the FULL 40-name
-    # r8-age cohort (the oldest evidence anywhere; the two other r8
-    # names, knn_quantized_int8 and multimodal_frame_counts, were
-    # retired by r11 merges). 46 slots used; the remaining ≤4 go to
-    # r12-new queries (new operators outrank age refreshes, as always).
-    # (a) newly declared in r12 (VERDICT item 1):
-    "embedding_index_classify",
-    "pipeline_pack_training_rows",
-    "pipeline_pack_best_fit",
+    # --- r13 rotation. CORRECTNESS_r12 was 49/50 — the one red,
+    # sketch_kmv_distinct, re-runs FIRST with its scalar-only fix (the
+    # kmv array column serialized to kmv_csv on both engines; it stays
+    # the only never-driver-green name until this row lands). Then the
+    # three r13-new queries (new operators outrank age refreshes), then
+    # the FULL 46-name r9-age cohort — the oldest evidence anywhere,
+    # exactly the set VERDICT r12 item 3 recorded (including the
+    # crawl_url_normalize / crawl_domain_caps / crawl_psl_domains
+    # refreshes displaced from the r12 spares). 1+3+46 = 50 exactly.
+    # (a) the r12 red, fixed:
     "sketch_kmv_distinct",
-    "text_span_corruption",
-    "pipeline_corpus_drift",
-    # (b) the 40-name r8-age cohort (max evidence age stays <= 4):
-    "approx_sketches",
-    "corpus_source_report",
-    "dedup_exact_keep",
-    "dedup_simhash_recall",
-    "distinct_on_rewrite",
-    "fed_engine_agg_pushdown",
-    "fed_flight_two_process",
-    "fed_flightsql_engine",
-    "fed_lineitem_q1",
-    "fed_replica_failover",
-    "fed_template_agg_forward",
-    "fed_template_partials",
-    "fed_trino_engine",
-    "fed_zonemap_pruning",
-    "graph_pagerank_domains",
-    "group_by_all",
-    "grouping_function_rollup",
-    "in_unnest_rewrite",
-    "lateral_join_topn",
-    "multimodal_features",
-    "pipeline_quality_model",
-    "pipeline_training_data",
-    "qualify_rewrite",
-    "range_join_price_bands",
-    "streaming_attribution_join",
-    "streaming_fed_ingest",
-    "streaming_sliding_rollup",
-    "streaming_stateful_user_totals",
-    "text_c4_filter",
-    "text_chunking",
-    "text_html_extract",
-    "text_rolling_fp_contract",
-    "text_stopword_quality",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "unpivot_part_sizes",
-    "warc_directory_ingest",
-    "warc_records_parse",
-    # (c) new in r12 (slots 47-50; new queries outrank age refreshes —
-    # the four r12-new queries took the spare slots the r9-cohort
-    # refreshes briefly held; crawl_url_normalize / crawl_domain_caps /
-    # crawl_psl_domains return with the r13 rotation):
-    "crawl_politeness_waves",
-    "sketch_kmv_overlap",
-    "text_unicode_nfc",
-    "crawl_sitemap_parse",
+    # (b) newly declared in r13:
+    "crawl_robots_directives",
+    "fed_topk_pushdown",
+    "sketch_quantile_merge",
+    # (c) the 46-name r9-age cohort (max evidence age stays <= 4):
+    "crawl_domain_caps",
+    "crawl_psl_domains",
+    "crawl_url_normalize",
+    "dedup_audio_signature",
+    "dedup_bloom_contamination",
+    "dedup_embedding_cosine",
+    "dedup_image_phash",
+    "dedup_minhash_lsh",
+    "dedup_paragraphs",
+    "dedup_semantic_clusters",
+    "dedup_semantic_recall",
+    "dedup_video_signature",
+    "fed_documents_dedup",
+    "fed_explain_report",
+    "fed_q3_shipping_priority",
+    "fed_select_star_limit",
+    "fed_six_relay_q1",
+    "fed_unitprice_transform",
+    "knn_ivf_approx",
+    "knn_ivf_recall",
+    "media_index_audio_near",
+    "media_index_video_near",
+    "multimodal_audio_features",
+    "multimodal_audio_spectrum",
+    "multimodal_resize",
+    "multimodal_video_frames",
+    "nulls_ordering_ignore_nulls",
+    "pipeline_assembly_manifest",
+    "pipeline_cluster_safe_split",
+    "pipeline_crawl_corpus",
+    "pipeline_dsir_selection",
+    "pipeline_filter_cascade",
+    "pipeline_leakage_safe_split",
+    "pipeline_rag_retrieval",
+    "pipeline_sequence_packing",
+    "pipeline_shard_manifest",
+    "pipeline_temperature_mixture",
+    "pipeline_token_budget",
+    "pipeline_upsample_epochs",
+    "scd2_event_history",
+    "streaming_crawl_gate",
+    "text_bigram_lm",
+    "text_bpe_contract",
+    "text_ccnet_buckets",
+    "text_compression_ratio",
+    "text_lm_logprob",
 ]
 # window budget: up to 50 checked by the driver. Rotated-out names stay
 # in QUERIES (checkable any round; the full local sweep covers all of
-# them each round). After this window runs the oldest evidence anywhere
-# is r9 — the r12 merges retired 3 names (dedup_simhash,
-# streaming_hourly_rollup, multimodal_png_features; their keepers sit
-# IN this window, so the merged constructs get r12 evidence), and the
-# r12 additions brought declared to 193, every one driver-checked at
-# least once (zero never-checked names outside this window).
-# r13 plan: the 46-name r9-age cohort (crawl_url_normalize /
-# crawl_domain_caps / crawl_psl_domains among them — their r12
-# spare-slot refreshes were displaced by the four r12-new queries) +
-# up to 4 r13-new queries fills the 50. r14: the 48-name r10 cohort +
-# 2 spares. With 193 declared the 50x4 age budget stays satisfiable as
+# them each round). After this window runs: the one never-driver-green
+# name (sketch_kmv_distinct, the r12 output-shape red) gets its first
+# green, the three r13 declarations (crawl_robots_directives,
+# fed_topk_pushdown, sketch_quantile_merge — declared = 196) get their
+# first evidence, and the oldest evidence anywhere becomes r10.
+# r14 plan: the 48-name r10-age cohort + up to 2 r14-new queries fills
+# the 50. With 196 declared the 50x4 age budget stays satisfiable as
 # long as per-round new declarations stay <= ~4-5 net of merges (see
-# COVERAGE.md for the post-r14 steady state). New queries outrank age
-# refreshes for slots, as always.
-#
-# r13 TODO: declare `crawl_robots_directives` for
-# urls.robots_directives (Crawl-delay via the SHARED RFC 9309 group
-# algebra — max of binding groups, try_cast totality — plus
-# group-independent Sitemap lines in doc order; feeds parse_sitemaps
-# and turns politeness_waves' wave numbers into not-before offsets).
-# The OTHER r12-tail operators needed no new slots after all — the
-# keeper-merge pattern absorbed them into ALREADY-WINDOWED queries this
-# round: quantile_sketch + vocab_sample_stats ride `sketch_kmv_distinct`
-# (per-lang sketch-family report, LEFT-join totality) and the
-# DISTINCT/HAVING/ORDER-BY-aggregate/grain-refinement pushdown rides
-# `fed_engine_agg_pushdown` (distinct columns, hidden-max HAVING,
-# ORDER BY count(*)) — all green at 3 SFs. So r13 = the 46-name r9-age
-# cohort + crawl_robots_directives + up to 3 genuinely-new operators.
-# Deliberately NOT declared in r12: the window closed exactly full with
-# the four r12-new queries, and an outside-window declaration would
-# recreate the "never driver-checked" gap. Python-reference replay +
-# wave-offset composition + binding/dedup tests exist in
-# test_urls_dsir.py (the oracle shape is the synth in
-# test_robots_directives_matches_duckdb_replay).
+# COVERAGE.md for the steady state). New queries outrank age refreshes
+# for slots, as always.
 
 def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
