@@ -149,7 +149,8 @@ class QueryGateway:
                     tspec = extract_topk_query(self.spark, sql, ename)
                     if tspec is not None:
                         self.last_failures = []  # template fails loudly
-                        parts = self.query_template_union(sql, principal)
+                        parts = self.query_template_union(
+                            tspec.forward_sql, principal)
                         return tspec.merge(parts)
         predicates = {
             e: extract_entity_predicates(self.spark, sql, e)

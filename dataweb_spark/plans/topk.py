@@ -14,12 +14,13 @@ module adds the order-aware form the reference lacks.
 Mechanics mirror ``plans/aggpush.py``: the query is parsed with Spark's
 own parser and the accepted shape validated node-by-node —
 ``GlobalLimit(k) → LocalLimit → Sort → {Project/Filter/SubqueryAlias}*
-→ entity`` with no aggregates, windows, DISTINCT, subqueries, or stars,
-and every ORDER BY expression resolvable from the SELECT's OWN output
-columns (the merge re-sorts the union, so a sort key that is not in the
-output cannot be replayed — such queries keep the row path). The
-gateway then runs the WHOLE query through the template machinery
-(identity flight peers receive it verbatim via
+→ entity`` with no aggregates, windows, DISTINCT, subqueries, or stars.
+Sort keys resolvable from the SELECT's own output columns merge
+directly; keys over UNPROJECTED entity columns ship as HIDDEN columns
+(``__tk0`` …) appended to a reconstructed forward query — the same
+hidden-partial trick the aggregate decomposer uses for HAVING — and are
+dropped after the merge. The gateway runs the forward query through the
+template machinery (identity flight peers receive it verbatim via
 ``flight_forward_template`` and answer with ≤k rows; row-path sources
 compute their top-k locally) and ``TopKSpec.merge`` re-sorts the union
 and takes k — which Spark plans as ``TakeOrderedAndProject``, never a
@@ -28,7 +29,7 @@ full sort. Anything unprovable returns None: the always-safe direction.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,9 +51,14 @@ _FORBIDDEN_EXPR = ("Window", "Subquery", "Exists", "ListQuery",
 @dataclass
 class TopKSpec:
     k: int
-    # (catalyst-rendered expression sql, "ASC"|"DESC", "NULLS FIRST"|...)
+    # (merge-frame expression sql, "ASC"|"DESC", "NULLS FIRST"|...)
     order: list[tuple[str, str, str]]
     output_cols: list[str]
+    # the query each source executes (the original SQL, or the
+    # reconstructed form carrying hidden sort columns)
+    forward_sql: str = ""
+    # hidden column names to drop after the merge
+    hidden: list[str] = field(default_factory=list)
 
     def merge(self, union_df: DataFrame) -> DataFrame:
         """Re-sort the union of per-source top-ks and take k — plans as
@@ -72,7 +78,8 @@ class TopKSpec:
                 c = (c.asc_nulls_last() if nulls == "NULLS LAST"
                      else c.asc_nulls_first())
             cols.append(c)
-        return df.orderBy(*cols).limit(self.k)
+        out = df.orderBy(*cols).limit(self.k)
+        return out.drop(*self.hidden) if self.hidden else out
 
 
 def _project_output_names(project) -> list[str] | None:
@@ -96,22 +103,24 @@ def _project_output_names(project) -> list[str] | None:
     return names
 
 
-def _order_attrs_ok(jexpr, outputs_lc: set[str]) -> bool:
-    """Every attribute the sort expression references must be one of the
-    SELECT's output columns (case-insensitive), else the merge cannot
-    replay the sort over the union frame."""
+def _expr_attrs(jexpr) -> list[str] | None:
+    """All attribute names a sort expression references, lowercased;
+    None when any attribute is qualified (multi-part) — scope-sensitive,
+    so the conservative answer."""
+    out: list[str] = []
     stack = [jexpr]
     while stack:
         n = stack.pop()
         if _cls(n) == "UnresolvedAttribute":
             a = _bare_attr(n)
-            if a is None or a.lower() not in outputs_lc:
-                return False
+            if a is None:
+                return None
+            out.append(a.lower())
             continue
         ch = n.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))
-    return True
+    return out
 
 
 def extract_topk_query(spark: SparkSession, sql: str,
@@ -148,8 +157,16 @@ def extract_topk_query(spark: SparkSession, sql: str,
     sort = node
 
     # chain below the Sort: row-local nodes only, ending at the entity,
-    # with exactly one Project (the SELECT) defining the output columns
+    # with exactly one Project (the SELECT) defining the output columns.
+    # The hidden-key reconstruction additionally needs the EXACT simple
+    # shape Sort → Project → Filter* → Relation (no SubqueryAlias, no
+    # Filter above the Project): reconstruction re-renders the pieces
+    # into a fresh query, and only that shape provably re-renders with
+    # identical scoping.
     outputs: list[str] | None = None
+    project_node = None
+    filter_conds: list = []
+    simple_shape = True
     node = sort.children().apply(0)
     while True:
         cls = _cls(node)
@@ -167,9 +184,16 @@ def extract_topk_query(spark: SparkSession, sql: str,
             outputs = _project_output_names(node)
             if outputs is None:
                 return None
-        elif cls == "Filter" and _tree_has(node.condition(),
-                                           _FORBIDDEN_EXPR):
-            return None
+            project_node = node
+        elif cls == "Filter":
+            if _tree_has(node.condition(), _FORBIDDEN_EXPR):
+                return None
+            if outputs is None:
+                simple_shape = False  # Filter ABOVE the Project
+            else:
+                filter_conds.append(node.condition())
+        elif cls == "SubqueryAlias":
+            simple_shape = False
         if node.children().size() != 1:
             return None
         node = node.children().apply(0)
@@ -178,7 +202,11 @@ def extract_topk_query(spark: SparkSession, sql: str,
 
     outputs_lc = {o.lower() for o in outputs}
     order: list[tuple[str, str, str]] = []
+    # (forward-select sql, hidden name) for keys over unprojected columns
+    hidden_items: list[tuple[str, str]] = []
+    needs_hidden = False
     so_seq = sort.order()
+    parsed_orders: list[tuple] = []
     for i in range(so_seq.size()):
         so = so_seq.apply(i)
         child = so.child()
@@ -186,6 +214,15 @@ def extract_topk_query(spark: SparkSession, sql: str,
             # function calls in the key could be aggregates (parser can't
             # tell) or non-deterministic — conservatively keep row path
             return None
+        try:
+            direction = str(so.direction().sql()).upper()
+            nulls = str(so.nullOrdering().sql()).upper()
+        except Exception:
+            return None
+        parsed_orders.append((so, child, direction, nulls))
+
+    hid = 0
+    for so, child, direction, nulls in parsed_orders:
         # ORDER BY <ordinal>: the parser wraps integer literals in
         # UnresolvedOrdinal (spark.sql.orderByOrdinal default true) —
         # bind to the output position; a plain Literal (ordinal binding
@@ -198,22 +235,68 @@ def extract_topk_query(spark: SparkSession, sql: str,
                 return None
             if not (1 <= pos <= len(outputs)):
                 return None
-            key_sql = f"`{outputs[pos - 1]}`"
-        elif _cls(child) == "Literal":
+            order.append((f"`{outputs[pos - 1]}`", direction, nulls))
+            continue
+        if _cls(child) == "Literal":
             return None
-        else:
-            if not _order_attrs_ok(child, outputs_lc):
-                return None
-            try:
-                key_sql = child.sql()
-            except Exception:
-                return None
+        attrs = _expr_attrs(child)
+        if attrs is None:
+            return None
         try:
-            direction = str(so.direction().sql()).upper()
-            nulls = str(so.nullOrdering().sql()).upper()
+            key_sql = child.sql()
         except Exception:
             return None
-        order.append((key_sql, direction, nulls))
+        if all(a in outputs_lc for a in attrs):
+            # resolvable from the union frame directly
+            order.append((key_sql, direction, nulls))
+            continue
+        # UNPROJECTED key: ship it as a hidden column. Safe only when
+        # (a) the simple shape holds (reconstruction preserves scope),
+        # (b) NO attr is an output alias — in ORDER BY an alias shadows
+        #     the input column, but in the reconstructed SELECT item the
+        #     same name would bind to the entity column (or a lateral
+        #     alias), silently changing the key
+        if not simple_shape or any(a in outputs_lc for a in attrs):
+            return None
+        needs_hidden = True
+        while f"__tk{hid}" in outputs_lc:
+            hid += 1
+        hname = f"__tk{hid}"
+        hid += 1
+        hidden_items.append((key_sql, hname))
+        order.append((f"`{hname}`", direction, nulls))
     if not order:
         return None
-    return TopKSpec(k=k, order=order, output_cols=outputs)
+
+    if not needs_hidden:
+        return TopKSpec(k=k, order=order, output_cols=outputs,
+                        forward_sql=sql)
+
+    # reconstruct the forward query from Catalyst-rendered fragments:
+    # SELECT <items>, <key> AS __tkN … FROM entity [WHERE …]
+    # ORDER BY <original keys> LIMIT k  — parse-checked before use
+    try:
+        items = []
+        plist = project_node.projectList()
+        for i in range(plist.size()):
+            items.append(str(plist.apply(i).sql()))
+        for key_sql, hname in hidden_items:
+            items.append(f"{key_sql} AS `{hname}`")
+        where = ""
+        if filter_conds:
+            conj = " AND ".join(f"({c.sql()})" for c in filter_conds)
+            where = f" WHERE {conj}"
+        order_by = ", ".join(
+            f"{child.sql()} {direction} {nulls}"
+            if _cls(child) != "UnresolvedOrdinal"
+            else f"`{outputs[int(str(child.ordinal())) - 1]}` "
+                 f"{direction} {nulls}"
+            for _, child, direction, nulls in parsed_orders)
+        fwd = (f"SELECT {', '.join(items)} FROM {entity}{where} "
+               f"ORDER BY {order_by} LIMIT {k}")
+        spark._jsparkSession.sessionState().sqlParser().parsePlan(fwd)
+    except Exception:
+        return None
+    return TopKSpec(k=k, order=order, output_cols=outputs,
+                    forward_sql=fwd,
+                    hidden=[h for _, h in hidden_items])

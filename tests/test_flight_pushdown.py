@@ -1125,14 +1125,34 @@ def test_topk_extractor_accepts_and_describes(spark):
     assert spec3 is not None and spec3.k == 3
 
 
+def test_topk_hidden_sort_keys(spark):
+    """Sort keys over UNPROJECTED entity columns ship as hidden __tk
+    columns in a reconstructed forward query and drop after the merge."""
+    from dataweb_spark.plans.topk import extract_topk_query
+    spec = extract_topk_query(
+        spark, "select partkey, suppkey from lineitem "
+               "where quantity >= 30 "
+               "order by extendedprice desc, partkey limit 5", "lineitem")
+    assert spec is not None and spec.hidden == ["__tk0"]
+    assert spec.order[0] == ("`__tk0`", "DESC", "NULLS LAST")
+    assert spec.order[1][0].strip("`") == "partkey"
+    fwd = spec.forward_sql.lower()
+    assert "as `__tk0`" in fwd and "where" in fwd and "limit 5" in fwd
+    # a sort attr that is ALSO an output alias of something else is
+    # ambiguous between ORDER BY scope and SELECT scope — row path
+    amb = extract_topk_query(
+        spark, "select quantity as extendedprice, partkey from lineitem "
+               "order by extendedprice + suppkey, partkey limit 5",
+        "lineitem")
+    assert amb is None
+
+
 def test_topk_extractor_rejects_unsafe_shapes(spark):
-    """Everything the merge cannot replay keeps the row path: sort keys
-    outside the output, aggregates/distinct/windows between sort and
-    entity, stars, multi-reference queries, function sort keys."""
+    """Everything the merge cannot replay keeps the row path:
+    aggregates/distinct/windows between sort and entity, stars,
+    multi-reference queries, function sort keys."""
     from dataweb_spark.plans.topk import extract_topk_query
     bad = [
-        # sort key not in the projected output → union can't re-sort
-        "select partkey from lineitem order by extendedprice limit 5",
         # no ORDER BY (bare limit is the existing pushdown, not top-k)
         "select partkey from lineitem limit 5",
         # no LIMIT
@@ -1197,3 +1217,21 @@ def test_topk_null_ordering_replays(spark, peer_server, edge_gateway):
         q, topk_pushdown=False).collect()]
     assert sorted(map(repr, fast)) == sorted(map(repr, slow))
     assert fast and fast[0][0] is not None  # nulls really went last
+
+
+def test_topk_hidden_keys_end_to_end(spark, peer_server, edge_gateway):
+    """Unprojected-sort-key top-k over a live peer: answers match the
+    row path, hidden columns are gone, transfer stays bounded by k."""
+    q = ("select partkey, suppkey, linenumber, quantity from lineitem "
+         "where quantity >= 30 "
+         "order by extendedprice desc, partkey, suppkey, linenumber, "
+         "quantity limit 9")
+    before = peer_server.served_rows
+    fast = edge_gateway.query(q)
+    frows = [tuple(r) for r in fast.collect()]
+    shipped = peer_server.served_rows - before
+    slow = [tuple(r) for r in edge_gateway.query(
+        q, topk_pushdown=False).collect()]
+    assert sorted(frows) == sorted(slow) and len(frows) == 9
+    assert fast.columns == ["partkey", "suppkey", "linenumber", "quantity"]
+    assert 0 < shipped <= 2 * 9
