@@ -79,7 +79,11 @@ class TopKSpec:
                      else c.asc_nulls_first())
             cols.append(c)
         out = df.orderBy(*cols).limit(self.k)
-        return out.drop(*self.hidden) if self.hidden else out
+        # re-project to the declared output set: drops hidden __tk
+        # columns and pins the column order the caller's SELECT declared
+        # (backtick-quoted so dotted/odd alias names stay one column)
+        return out.select(*[F.col("`" + c.replace("`", "``") + "`")
+                            for c in self.output_cols])
 
 
 def _project_output_names(project) -> list[str] | None:
@@ -155,6 +159,14 @@ def extract_topk_query(spark: SparkSession, sql: str,
     if _cls(node) != "Sort":
         return None
     sort = node
+    # SORT BY (per-partition sort) parses as Sort with global=false:
+    # each source's replay would ship k ARBITRARY rows, not its top-k —
+    # only a global ORDER BY makes the merge law hold (r13 review fix)
+    try:
+        if not bool(getattr(sort, "global")()):
+            return None
+    except Exception:
+        return None
 
     # chain below the Sort: row-local nodes only, ending at the entity,
     # with exactly one Project (the SELECT) defining the output columns.
@@ -241,6 +253,12 @@ def extract_topk_query(spark: SparkSession, sql: str,
             return None
         attrs = _expr_attrs(child)
         if attrs is None:
+            return None
+        if not attrs:
+            # constant-foldable key (ORDER BY 1+1): sorts by a constant,
+            # which any engine may reorder — same hazard as the bare
+            # Literal above, caught separately because all() over an
+            # empty attr list is vacuously true (r13 review fix)
             return None
         try:
             key_sql = child.sql()

@@ -6999,11 +6999,15 @@ order by site_id, entry_idx
 # robots.txt body synthesizer (shared literal, both dialects — Spark and
 # DuckDB both have `chr` and int-coercing `||`). Bodies repeat with
 # period 36 over doc_id, so each of the 12 domains merges exactly 3
-# DISTINCT body variants (the multi-body snapshot-merge path), and the
-# variant moduli are chosen so outcomes VARY per domain: 12≡0 (mod 3)
-# and 12≡0 (mod 2) make delay lines and sitemap lines all-or-nothing per
-# domain, while 12≢0 (mod 5) and (mod 7) spread exact-agent groups and
-# delay values across a domain's three bodies. Result: 8 domains bind
+# DISTINCT body variants (the multi-body snapshot-merge path — the
+# Disallow line varies per m % 7, and 7 is coprime to the 12-step, so a
+# domain's three snapshots are pairwise distinct strings; an earlier
+# m % 4 Disallow left s1/s5/s11 with 2 variants and s7 with identical
+# ones, r13 review fix), and the variant moduli are chosen so outcomes
+# VARY per domain: 12≡0 (mod 3) and 12≡0 (mod 2) make delay lines and
+# sitemap lines all-or-nothing per domain, while 12≢0 (mod 5) and
+# (mod 7) spread exact-agent groups and delay values across a domain's
+# three bodies. Result: 8 domains bind
 # the exact-agent 2.5s group, one (s9) binds a * delay of 5s, three
 # (s2/s4/s7) have no binding delay; even domains carry 3 sitemap URLs,
 # odd domains none.
@@ -7012,7 +7016,7 @@ select 's' || (m % 12) || '.com' as domain,
        'User-agent: *' || chr(10)
        || case when m % 3 = 0
                then 'Crawl-delay: ' || (m % 7) || chr(10) else '' end
-       || 'Disallow: /p' || (m % 4) || chr(10)
+       || 'Disallow: /p' || (m % 7) || chr(10)
        || case when m % 2 = 0
                then 'Sitemap: http://s' || (m % 12) || '.com/m'
                     || (m % 5) || '.xml' || chr(10) else '' end
@@ -7064,7 +7068,7 @@ with b as (
          'User-agent: *' || chr(10)
          || case when m % 3 = 0
                  then 'Crawl-delay: ' || (m % 7) || chr(10) else '' end
-         || 'Disallow: /p' || (m % 4) || chr(10)
+         || 'Disallow: /p' || (m % 7) || chr(10)
          || case when m % 2 = 0
                  then 'Sitemap: http://s' || (m % 12) || '.com/m'
                       || (m % 5) || '.xml' || chr(10) else '' end

@@ -1172,6 +1172,12 @@ def test_topk_extractor_rejects_unsafe_shapes(spark):
         "on a.partkey = b.partkey order by a.partkey limit 5",
         # function call in the sort key (could be non-deterministic)
         "select partkey from lineitem order by abs(partkey) limit 5",
+        # SORT BY is per-partition: each source would ship k ARBITRARY
+        # rows, not its top-k (r13 review fix: Sort.global() required)
+        "select partkey from lineitem sort by partkey limit 5",
+        # constant-foldable key — same hazard as a bare literal, but
+        # reaches the attr check with an EMPTY attr list (r13 review fix)
+        "select partkey from lineitem order by 1+1 limit 5",
     ]
     for q in bad:
         assert extract_topk_query(spark, q, "lineitem") is None, q

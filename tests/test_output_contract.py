@@ -45,8 +45,11 @@ def test_check_correctness_gate_rejects_container_cells():
     """The local gate's normalize must RAISE on container cells, never
     canonicalize them — reverting that regresses the twice-fired class."""
     import importlib.util
+    from pathlib import Path
+    tool = (Path(__file__).resolve().parents[1] / "tools"
+            / "check_correctness.py")
     spec = importlib.util.spec_from_file_location(
-        "check_correctness", "/root/repo/tools/check_correctness.py")
+        "check_correctness", str(tool))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     with pytest.raises(mod.ContainerCellError):
