@@ -161,6 +161,17 @@ class QueryGateway:
             lim = extract_entity_limit(self.spark, sql, e)
             if lim is not None:
                 limits[e] = lim
+        # row-path engine top-k: the ORDER BY + LIMIT fact rides into the
+        # source readers (trino/flightsql/non-identity flight render it
+        # into the peer SQL — each engine answers with ≤k rows) and the
+        # final sql's own sort+limit over the narrowed union is the merge
+        order_limits = {}
+        if topk_pushdown and len(entities) == 1:
+            from dataweb_spark.plans.topk import extract_order_limit
+            e = next(iter(entities))
+            ol = extract_order_limit(self.spark, sql, e)
+            if ol is not None:
+                order_limits[e] = ol
         referenced = extract_referenced_columns(self.spark, sql)
         self.last_failures: list[tuple[str, str, str]] = []
         register_entity_views(self.spark, self.web, self.relay_name, principal,
@@ -170,7 +181,8 @@ class QueryGateway:
                               failures=self.last_failures,
                               only=set(entities),
                               limits=limits,
-                              referenced=referenced)
+                              referenced=referenced,
+                              order_limits=order_limits)
         return self.spark.sql(sql)
 
     # -- template mode (raw Flight analog) ------------------------------
@@ -200,6 +212,15 @@ class QueryGateway:
 
         conjuncts = extract_entity_predicates(self.spark, sql, entity_name)
         limit = extract_entity_limit(self.spark, sql, entity_name)
+        # the federated top-k fact: for a provable ORDER BY … LIMIT k the
+        # row-path engine readers (trino/flightsql/non-identity flight)
+        # render ORDER BY + LIMIT into the peer SQL so each engine answers
+        # with ≤k rows (plans/topk.py:extract_order_limit; the consumer
+        # re-validates per source — identity mappings, complete filters).
+        # extract_entity_limit never fires under a Sort, so `limit` and
+        # the fact are mutually exclusive by construction.
+        from dataweb_spark.plans.topk import extract_order_limit
+        order_limit = extract_order_limit(self.spark, sql, entity_name)
         referenced = extract_referenced_columns(self.spark, sql)
         # A width-dependent output (top-level SELECT *) must not be
         # forwarded: the peer's entity may carry more columns than this
@@ -210,7 +231,7 @@ class QueryGateway:
 
         def visit(relay_name: str, ename: str, conj: list,
                   lim: int | None, ref: set[str] | None,
-                  chain: list) -> None:
+                  chain: list, ol=None) -> None:
             """``chain`` is the (declaring_relay, RemoteEntityMapping) hop
             path from the home entity down to this relay — each peer source
             view is mapped back into the home entity's namespace through it
@@ -243,7 +264,9 @@ class QueryGateway:
                         continue
                 view = build_source_view(
                     self.spark, r, source, principal, conjuncts=conj,
-                    limit=lim, referenced=ref)
+                    limit=(ol[1] if ol else lim),
+                    referenced=ref,
+                    order_by=(ol[0] if ol else None))
                 for decl_relay, rm in reversed(chain):
                     view = _apply_remote_mapping(self.spark, decl_relay,
                                                  rm, view)
@@ -255,13 +278,18 @@ class QueryGateway:
                     _map_referenced_through,
                     _template_trivial,
                 )
+                # the order fact is DROPPED at remote hops: the hop's
+                # conjunct re-map is itself lossy/widening, which would
+                # under-fetch a deeper top-k; forwarded whole templates
+                # already carry ORDER BY + LIMIT to flight peers
                 visit(rm.peer, rm.remote_entity,
                       _map_conjuncts_through(rm, conj),
                       lim if _template_trivial(rm) else None,
                       _map_referenced_through(rm, ref),
                       chain + [(r, rm)])
 
-        visit(self.relay_name, entity_name, conjuncts, limit, referenced, [])
+        visit(self.relay_name, entity_name, conjuncts, limit, referenced,
+              [], ol=order_limit)
         return results
 
     def query_template_union(self, sql: str, principal: str | None = None

@@ -73,7 +73,8 @@ def build_source_view(spark: SparkSession, relay: RelayCatalog,
                       source: DataSource, principal: str | None = None,
                       conjuncts: list | None = None,
                       limit: int | None = None,
-                      referenced: set[str] | None = None) -> DataFrame:
+                      referenced: set[str] | None = None,
+                      order_by: list | None = None) -> DataFrame:
     """One source's contribution to its entity, in entity namespace.
 
     ``conjuncts``/``limit``/``referenced`` are the query's pushdown facts
@@ -86,7 +87,8 @@ def build_source_view(spark: SparkSession, relay: RelayCatalog,
     df, projected = read_source_frame(spark,
                                       relay.connections[source.connection],
                                       source, conjuncts, limit, referenced,
-                                      principal=principal)
+                                      principal=principal,
+                                      order_by=order_by)
     return map_source_frame(df, relay, source, principal,
                             projected=projected)
 
@@ -230,7 +232,8 @@ def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
                    allow_partial: bool = False,
                    failures: list[tuple[str, str, str]] | None = None,
                    limit: int | None = None,
-                   referenced: set[str] | None = None
+                   referenced: set[str] | None = None,
+                   order_by: list | None = None
                    ) -> DataFrame | None:
     """Resolve an entity to the union of all its mapped sources, local and
     remote-recursive. Returns None if this (relay, entity) was already
@@ -288,7 +291,8 @@ def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
             try:
                 built = build_source_view(spark, relay, source, principal,
                                           conjuncts=conjuncts, limit=limit,
-                                          referenced=referenced)
+                                          referenced=referenced,
+                                          order_by=order_by)
                 break
             except Exception as e:  # noqa: BLE001 — replica failover
                 err = e
@@ -302,6 +306,9 @@ def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
             # source) — original partial-failure policy applies
             raise err
     for rm in relay.remotes_for_entity(entity_name):
+        # order_by is deliberately NOT forwarded across remote hops: the
+        # hop's conjunct re-map is lossy/widening, and a deeper top-k over
+        # a re-mapped filter can under-fetch (see readers._pushdown_parts)
         peer_df = resolve_entity(spark, web, rm.peer, rm.remote_entity,
                                  principal, visited,
                                  conjuncts=_map_conjuncts_through(rm, conjuncts),
@@ -329,7 +336,8 @@ def register_entity_views(spark: SparkSession, web: Web, relay_name: str,
                           failures: list | None = None,
                           only: set[str] | None = None,
                           limits: dict[str, int] | None = None,
-                          referenced: set[str] | None = None) -> list[str]:
+                          referenced: set[str] | None = None,
+                          order_limits: dict | None = None) -> list[str]:
     """Register every entity of a relay as a temp view for SQL querying —
     the ``register_web_sources`` analog (``webengine/src/register.rs:36-90``).
 
@@ -347,11 +355,14 @@ def register_entity_views(spark: SparkSession, web: Web, relay_name: str,
     for entity_name in relay.entities:
         if only is not None and entity_name not in only:
             continue
+        ol = (order_limits or {}).get(entity_name)
         df = resolve_entity(spark, web, relay_name, entity_name, principal,
                             conjuncts=(predicates or {}).get(entity_name),
                             allow_partial=allow_partial, failures=failures,
-                            limit=(limits or {}).get(entity_name),
-                            referenced=referenced)
+                            limit=(ol[1] if ol else
+                                   (limits or {}).get(entity_name)),
+                            referenced=referenced,
+                            order_by=(ol[0] if ol else None))
         if df is None:
             continue
         if not include_provenance:

@@ -318,3 +318,169 @@ def extract_topk_query(spark: SparkSession, sql: str,
     return TopKSpec(k=k, order=order, output_cols=outputs,
                     forward_sql=fwd,
                     hidden=[h for _, h in hidden_items])
+
+
+# ---------------------------------------------------------------------------
+# Row-path engine pushdown: the per-source ORDER BY + LIMIT fact
+# ---------------------------------------------------------------------------
+
+def _filters_fully_decompose(conds) -> bool:
+    """True iff every Filter condition decomposes COMPLETELY into
+    ``col op literal`` conjuncts — the shapes the peer-SQL renderer can
+    push. Predicate extraction (`pruning.extract_entity_predicates`) is
+    deliberately LOSSY (OR/IN/functions silently contribute nothing):
+    sound for pruning and for filter pushdown (the full predicate re-runs
+    locally), but an ORDER BY + LIMIT over an under-filtered peer stream
+    UNDER-fetches — a superset's top-k can displace true top-k rows that
+    the local re-filter then removes. So the order fact exists only when
+    the pushed filter provably IS the whole filter."""
+    from dataweb_spark.plans.pruning import _CMP_NODES, _literal_value
+    stack = list(conds)
+    while stack:
+        n = stack.pop()
+        cls = _cls(n)
+        if cls == "And":
+            stack.append(n.left())
+            stack.append(n.right())
+            continue
+        if cls not in _CMP_NODES:
+            return False
+        left, right = n.left(), n.right()
+        lc, rc = _cls(left), _cls(right)
+        if lc == "UnresolvedAttribute" and rc == "Literal":
+            attr, lit = left, right
+        elif lc == "Literal" and rc == "UnresolvedAttribute":
+            attr, lit = right, left
+        else:
+            return False
+        if _bare_attr(attr) is None or _literal_value(lit) is None:
+            return False
+    return True
+
+
+def extract_order_limit(spark: SparkSession, sql: str, entity: str
+                        ) -> tuple[list[tuple[str, str, str]], int] | None:
+    """The ``(order_keys, k)`` fact a federated SOURCE may apply directly
+    — each key a bare ENTITY column with direction and null placement —
+    or None.
+
+    This is the row-path sibling of :func:`extract_topk_query`: where
+    that one validates the MERGE (keys resolvable from the output frame),
+    this one validates the per-source SQL rewrite (keys resolvable to
+    base columns an engine dialect can render). Requirements beyond the
+    top-k shape: every sort key must be a bare entity column — directly,
+    via an output ALIAS of a bare column (covers the hidden ``__tk``
+    columns of a reconstructed forward query), or via an ordinal — and
+    every Filter in the chain must fully decompose into pushable
+    conjuncts (see :func:`_filters_fully_decompose`). The consumer
+    (``readers._pushdown_parts``) additionally requires identity
+    mappings per source: a transformation-rewritten conjunct pushes with
+    WIDENED bounds (float-safety semantics), and a widened filter
+    under-fetches a per-source top-k the same way a lossy one does."""
+    from dataweb_spark.plans.pruning import _count_entity_refs
+    try:
+        jplan = spark._jsparkSession.sessionState().sqlParser() \
+                     .parsePlan(sql)
+    except Exception:
+        return None
+    if _count_entity_refs(jplan, entity) != 1:
+        return None
+    if _cls(jplan) != "GlobalLimit" or _cls(jplan.limitExpr()) != "Literal":
+        return None
+    try:
+        k = int(str(jplan.limitExpr().value()))
+    except (TypeError, ValueError):
+        return None
+    if k <= 0:
+        return None
+    node = jplan.children().apply(0)
+    if _cls(node) != "LocalLimit":
+        return None
+    node = node.children().apply(0)
+    if _cls(node) != "Sort":
+        return None
+    sort = node
+    try:
+        if not bool(getattr(sort, "global")()):
+            return None
+    except Exception:
+        return None
+
+    outputs: list[str] | None = None
+    alias_child: dict = {}
+    filter_conds: list = []
+    node = sort.children().apply(0)
+    while True:
+        cls = _cls(node)
+        if cls == "UnresolvedRelation":
+            parts = node.multipartIdentifier()
+            if str(parts.apply(parts.size() - 1)).lower() != entity.lower():
+                return None
+            break
+        if cls == "Project":
+            if outputs is not None:
+                return None
+            outputs = _project_output_names(node)
+            if outputs is None:
+                return None
+            plist = node.projectList()
+            for i in range(plist.size()):
+                it = plist.apply(i)
+                if _cls(it) == "Alias":
+                    alias_child[str(it.name()).lower()] = \
+                        it.children().apply(0)
+                else:  # UnresolvedAttribute (per _project_output_names)
+                    alias_child[outputs[i].lower()] = it
+        elif cls == "Filter":
+            if _tree_has(node.condition(), _FORBIDDEN_EXPR):
+                return None
+            filter_conds.append(node.condition())
+        else:
+            return None  # SubqueryAlias etc.: scope-sensitive, bail
+        if node.children().size() != 1:
+            return None
+        node = node.children().apply(0)
+    if outputs is None:
+        return None
+    if not _filters_fully_decompose(filter_conds):
+        return None
+
+    def resolve_to_entity_col(name: str) -> str | None:
+        """An ORDER BY attribute binds to the output alias first, then
+        the input column; follow an alias to its child and accept only a
+        bare base column either way."""
+        tgt = alias_child.get(name.lower())
+        if tgt is None:
+            return name  # not an output name: a base column reference
+        a = _bare_attr(tgt)
+        return a  # alias of a bare column -> that column; else None
+
+    keys: list[tuple[str, str, str]] = []
+    so_seq = sort.order()
+    for i in range(so_seq.size()):
+        so = so_seq.apply(i)
+        child = so.child()
+        try:
+            direction = str(so.direction().sql()).upper()
+            nulls = str(so.nullOrdering().sql()).upper()
+        except Exception:
+            return None
+        if _cls(child) == "UnresolvedOrdinal":
+            try:
+                pos = int(str(child.ordinal()))
+            except Exception:
+                return None
+            if not (1 <= pos <= len(outputs)):
+                return None
+            name = outputs[pos - 1]
+        else:
+            name = _bare_attr(child)
+            if name is None:
+                return None
+        col = resolve_to_entity_col(name)
+        if col is None:
+            return None
+        keys.append((col.lower(), direction, nulls))
+    if not keys:
+        return None
+    return keys, k

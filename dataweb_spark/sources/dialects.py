@@ -84,8 +84,11 @@ DIALECTS = {d.name: d for d in (SPARK, TRINO, DUCKDB)}
 def render_select(dialect: Dialect, table: str,
                   columns: list[str] | None = None,
                   conjuncts: list | None = None,
-                  limit: int | None = None) -> str:
-    """``SELECT <cols|*> FROM <table> [WHERE c1 AND c2 ...] [LIMIT n]``.
+                  limit: int | None = None,
+                  order_by: list[tuple[str, str, str]] | None = None
+                  ) -> str:
+    """``SELECT <cols|*> FROM <table> [WHERE c1 AND c2 ...]
+    [ORDER BY ...] [LIMIT n]``.
 
     ``conjuncts`` are pruning triples ``(col, op, value)``; unrenderable
     ones are silently skipped (filtering stays local — never wrong, only
@@ -97,6 +100,13 @@ def render_select(dialect: Dialect, table: str,
     caller. ``table`` may be a multi-part name (``catalog.schema.t``);
     each part is quoted independently. An unrenderable table part is an
     error — silently dropping it would target a DIFFERENT table.
+
+    ``order_by`` is the federated top-k fact: ``(col, "ASC"|"DESC",
+    "NULLS FIRST"|"NULLS LAST")`` triples, rendered with EXPLICIT null
+    placement (Spark defaults ASC→NULLS FIRST where ANSI engines default
+    ASC→NULLS LAST — implicit ordering would silently disagree). An
+    unrenderable key (or a skipped conjunct) suppresses BOTH the order
+    and the limit: a limit without the full order+filter under-fetches.
     """
     parts = [dialect.ident(p) for p in table.split(".")]
     if any(p is None for p in parts):
@@ -122,6 +132,20 @@ def render_select(dialect: Dialect, table: str,
             skipped = True
     if preds:
         sql += " WHERE " + " AND ".join(preds)
-    if limit is not None and not skipped:
+    order_ok = True
+    if order_by:
+        keys = []
+        for col, direction, nulls in order_by:
+            ident = dialect.ident(col)
+            if (ident is None or direction not in ("ASC", "DESC")
+                    or nulls not in ("NULLS FIRST", "NULLS LAST")):
+                order_ok = False
+                break
+            keys.append(f"{ident} {direction} {nulls}")
+        if order_ok and not skipped:
+            sql += " ORDER BY " + ", ".join(keys)
+        else:
+            order_ok = False
+    if limit is not None and not skipped and order_ok:
         sql += f" LIMIT {int(limit)}"
     return sql

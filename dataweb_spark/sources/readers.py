@@ -36,12 +36,13 @@ _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def _pushdown_parts(source: DataSource, conjuncts: list | None,
-                    limit: int | None, referenced: set[str] | None
+                    limit: int | None, referenced: set[str] | None,
+                    order_by: list | None = None
                     ) -> tuple[list[str] | None, list, int | None,
-                               set[str] | None]:
+                               set[str] | None, list | None]:
     """Select which pushdown facts survive this source's mapping shape.
 
-    Returns ``(columns, kept_conjuncts, limit, projected_infos)``:
+    Returns ``(columns, kept_conjuncts, limit, projected_infos, order)``:
 
     * ``columns`` — physical columns to fetch (None = all);
     * ``kept_conjuncts`` — ``(physical_col, op, value)`` triples rewritten
@@ -50,9 +51,21 @@ def _pushdown_parts(source: DataSource, conjuncts: list | None,
       anything else → dropped);
     * ``limit`` — forwarded only for unpermissioned sources with no pushed
       filters (the LIMIT extractor only fires on filter-free plans, so a
-      conjunct here means it came from elsewhere in the query);
+      conjunct here means it came from elsewhere in the query) — UNLESS
+      ``order`` is forwarded too, in which case limit rides the order;
     * ``projected_infos`` — entity informations whose columns are fetched
-      (None = all): the mapping step NULL-fills the rest.
+      (None = all): the mapping step NULL-fills the rest;
+    * ``order`` — the federated top-k fact (``plans/topk.py:
+      extract_order_limit``) rewritten to physical columns, or None.
+      Forwarded only when it is provably the WHOLE story: unpermissioned
+      source (a local permission row-filter makes the peer stream a
+      superset — its top-k can displace true rows), zero dropped
+      conjuncts, every kept conjunct pushed through an IDENTITY mapping
+      (an affine-inverted conjunct pushes with WIDENED bounds — float
+      safety — and a widened filter under-fetches a per-source top-k),
+      and every sort column identity-mapped (a transformation could
+      change sort order). ``order_by`` given but not forwardable also
+      KILLS the bare limit: a limit without the order is the wrong rows.
 
     A non-trivial ``source_sql`` disables everything — it runs OVER the
     fetched frame, so mapped paths name ITS output, not the engine's.
@@ -61,7 +74,7 @@ def _pushdown_parts(source: DataSource, conjuncts: list | None,
                  or bool(source.user_permissions))
     src_sql = (source.source_sql or "").strip().lower()
     if src_sql and src_sql != "select * from {table}":
-        return None, [], None, None
+        return None, [], None, None, None
 
     projected: set[str] | None = None
     cols: list[str] | None = None
@@ -89,6 +102,7 @@ def _pushdown_parts(source: DataSource, conjuncts: list | None,
 
     kept = []
     dropped = False
+    inexact_push = False
     for col, op, value in conjuncts or []:
         m = source.mapping_for(col)
         if m is None:
@@ -106,22 +120,48 @@ def _pushdown_parts(source: DataSource, conjuncts: list | None,
             continue  # non-invertible transform: filter stays local
         if _IDENT.match(target):
             kept.extend((target, o, v) for o, v in rewritten)
+            if not m.transformation.is_identity:
+                inexact_push = True
         else:
             dropped = True
+
+    # the federated top-k fact (see docstring): physical order keys,
+    # forwardable only when the pushed filter is the EXACT whole filter
+    eff_order = None
+    if order_by and limit is not None and not has_perms \
+            and not dropped and not inexact_push:
+        phys = []
+        for ocol, odir, onulls in order_by:
+            m = source.mapping_for(ocol)
+            if m is None or not m.transformation.is_identity:
+                phys = None
+                break
+            path = source.field_path(m.field)
+            if not _IDENT.match(path):
+                phys = None
+                break
+            phys.append((path, odir, onulls))
+        eff_order = phys
 
     # LIMIT is forwarded only when the pushed filter is COMPLETE: a single
     # dropped conjunct means the peer would apply LIMIT to a superset
     # stream and return the first n rows of the WRONG result — same
     # under-fetch hazard render_select guards against with `skipped`,
     # enforced here too so it holds for every caller, not just the
-    # extractor's filter-free-plan invariant.
-    eff_limit = limit if (limit is not None and not has_perms
-                          and not kept and not dropped) else None
-    return cols, kept, eff_limit, projected
+    # extractor's filter-free-plan invariant. With a forwarded ORDER the
+    # limit rides it (kept conjuncts allowed — they are exact); with an
+    # order REQUESTED but not forwardable the limit dies with it.
+    if order_by:
+        eff_limit = limit if eff_order is not None else None
+    else:
+        eff_limit = limit if (limit is not None and not has_perms
+                              and not kept and not dropped) else None
+    return cols, kept, eff_limit, projected, eff_order
 
 
 def _peer_sql(source: DataSource, conjuncts: list | None, limit: int | None,
-              referenced: set[str] | None) -> tuple[str, set[str] | None]:
+              referenced: set[str] | None,
+              order_by: list | None = None) -> tuple[str, set[str] | None]:
     """Compose the SQL sent to a flight peer — the client-side unparser
     analog of the reference (``webengine/src/web_source.rs:105-123``,
     ``webengine/src/expr_to_sql.rs:32-106``). Instead of
@@ -151,9 +191,10 @@ def _peer_sql(source: DataSource, conjuncts: list | None, limit: int | None,
     from dataweb_spark.sources.dialects import SPARK, render_select
 
     entity = source.options.get("entity", source.name)
-    cols, kept, eff_limit, projected = _pushdown_parts(
-        source, conjuncts, limit, referenced)
-    sql = render_select(SPARK, entity, cols, kept, eff_limit)
+    cols, kept, eff_limit, projected, eff_order = _pushdown_parts(
+        source, conjuncts, limit, referenced, order_by)
+    sql = render_select(SPARK, entity, cols, kept, eff_limit,
+                        order_by=eff_order)
     return sql, projected
 
 
@@ -197,7 +238,8 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
                           conjuncts: list | None = None,
                           limit: int | None = None,
                           referenced: set[str] | None = None,
-                          principal: str | None = None
+                          principal: str | None = None,
+                          order_by: list | None = None
                           ) -> tuple[DataFrame, set[str] | None]:
     """Read the raw physical table behind a DataSource (no source_sql yet).
 
@@ -236,7 +278,8 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
         if "sql" in source.options:
             sql = source.options["sql"]  # explicit template: never rewritten
         else:
-            sql, projected = _peer_sql(source, conjuncts, limit, referenced)
+            sql, projected = _peer_sql(source, conjuncts, limit, referenced,
+                                       order_by)
         host = conn.options.get("host", "127.0.0.1")
         port = int(conn.options["port"])
         # Origin-principal propagation (``utils.rs:62-126``): the resolving
@@ -276,9 +319,10 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
             dialect = DIALECTS.get(
                 conn.options.get("dialect", "duckdb"), DUCKDB)
             table = source.options.get("table", source.name)
-            cols, kept, eff_limit, projected = _pushdown_parts(
-                source, conjuncts, limit, referenced)
-            sql = render_select(dialect, table, cols, kept, eff_limit)
+            cols, kept, eff_limit, projected, eff_order = _pushdown_parts(
+                source, conjuncts, limit, referenced, order_by)
+            sql = render_select(dialect, table, cols, kept, eff_limit,
+                                order_by=eff_order)
         host = conn.options.get("host", "127.0.0.1")
         return flightsql_read(spark, host, int(conn.options["port"]),
                               sql), projected
@@ -298,15 +342,16 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
             sql = source.options["sql"]
         else:
             table = source.options.get("table", source.name)
-            cols, kept, eff_limit, projected = _pushdown_parts(
-                source, conjuncts, limit, referenced)
+            cols, kept, eff_limit, projected, eff_order = _pushdown_parts(
+                source, conjuncts, limit, referenced, order_by)
             pcol = source.options.get("partitionColumn")
             if pcol and cols is not None and pcol not in cols:
                 # The range-split wrapper filters on the engine-side split
                 # column, so it must survive the pushed projection (the
                 # mapping step ignores unmapped extras).
                 cols = cols + [pcol]
-            sql = render_select(TRINO, table, cols, kept, eff_limit)
+            sql = render_select(TRINO, table, cols, kept, eff_limit,
+                                order_by=eff_order)
         host = conn.options.get("host", "127.0.0.1")
         base_url = conn.options.get(
             "url", f"http://{host}:{conn.options.get('port')}")
@@ -351,7 +396,8 @@ def read_source_frame(spark: SparkSession, conn: DataConnection,
                       conjuncts: list | None = None,
                       limit: int | None = None,
                       referenced: set[str] | None = None,
-                      principal: str | None = None
+                      principal: str | None = None,
+                      order_by: list | None = None
                       ) -> tuple[DataFrame, set[str] | None]:
     """Raw table + ``source_sql`` applied as a derived table.
 
@@ -363,7 +409,8 @@ def read_source_frame(spark: SparkSession, conn: DataConnection,
     """
     raw, projected = read_connection_table(spark, conn, source,
                                            conjuncts, limit, referenced,
-                                           principal=principal)
+                                           principal=principal,
+                                           order_by=order_by)
     sql = source.source_sql
     if not sql or sql.strip().lower() in ("select * from {table}",):
         return raw, projected

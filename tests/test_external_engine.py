@@ -562,3 +562,119 @@ def test_partition_predicates_property(subtests=None):
             assert hits == 1, (v, preds)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Engine-side ORDER BY + LIMIT (federated top-k into external engines)
+# ---------------------------------------------------------------------------
+
+def test_render_select_order_by_and_limit():
+    from dataweb_spark.sources.dialects import DUCKDB, render_select
+    sql = render_select(DUCKDB, "t", ["a", "b"], [("b", ">", 1)], 5,
+                        order_by=[("a", "DESC", "NULLS LAST"),
+                                  ("b", "ASC", "NULLS FIRST")])
+    assert sql == ('SELECT a, b FROM t WHERE (b > 1) '
+                   'ORDER BY a DESC NULLS LAST, b ASC NULLS FIRST '
+                   'LIMIT 5')
+    # an unrenderable key suppresses BOTH the order and the limit
+    sql2 = render_select(DUCKDB, "t", None, None, 5,
+                         order_by=[('bad"name', "ASC", "NULLS FIRST")])
+    assert "ORDER BY" not in sql2 and "LIMIT" not in sql2
+    # a skipped conjunct suppresses both too (under-fetch hazard)
+    sql3 = render_select(DUCKDB, "t", None, [("a", "like", "x")], 5,
+                         order_by=[("a", "ASC", "NULLS FIRST")])
+    assert "ORDER BY" not in sql3 and "LIMIT" not in sql3
+    # bare-limit callers are untouched
+    assert render_select(DUCKDB, "t", None, None, 7).endswith("LIMIT 7")
+
+
+def test_pushdown_parts_order_fact_conditions():
+    from dataweb_spark.catalog.model import (DataSource, Mapping,
+                                             SourcePermission,
+                                             Transformation)
+
+    def src(**kw):
+        d = dict(name="s", connection="c", entity="e",
+                 source_sql="select * from {table}",
+                 mappings=[Mapping("a", "pa"), Mapping("b", "pb")],
+                 options={})
+        d.update(kw)
+        return DataSource(**d)
+
+    from dataweb_spark.sources.readers import _pushdown_parts
+    ob = [("a", "DESC", "NULLS LAST")]
+    # clean identity source: order + limit forwarded, renamed physical
+    *_, lim, _, order = _pushdown_parts(src(), [("b", "<", 9)], 5,
+                                        None, ob)
+    assert order == [("pa", "DESC", "NULLS LAST")] and lim == 5
+    # permissioned source: peer stream is a superset — neither forwards
+    p = src(default_permission=SourcePermission(frozenset(["pa", "pb"]),
+                                                "pa < 100"))
+    *_, lim, _, order = _pushdown_parts(p, None, 5, None, ob)
+    assert order is None and lim is None
+    # transformed conjunct pushes WIDENED — order (and its limit) die
+    t = src(mappings=[Mapping("a", "pa"),
+                      Mapping("b", "pb",
+                              Transformation("{v} * 100", "{v} / 100"))])
+    *_, lim, _, order = _pushdown_parts(t, [("b", "<", 9)], 5, None, ob)
+    assert order is None and lim is None
+    # transformed SORT column: order dies even with no conjuncts
+    t2 = src(mappings=[Mapping("a", "pa",
+                               Transformation("{v} * 100", "{v} / 100")),
+                       Mapping("b", "pb")])
+    *_, lim, _, order = _pushdown_parts(t2, None, 5, None, ob)
+    assert order is None and lim is None
+    # dropped (unmapped) conjunct: everything dies
+    *_, lim, _, order = _pushdown_parts(src(), [("z", "<", 9)], 5,
+                                        None, ob)
+    assert order is None and lim is None
+
+
+def test_extract_order_limit_shapes(spark):
+    from dataweb_spark.plans.topk import extract_order_limit
+    # bare columns, alias of a bare column, ordinal — all resolve
+    ol = extract_order_limit(
+        spark, "select quantity as q, orderkey from items "
+               "where quantity < 9 order by q desc, 2, returnflag limit 4",
+        "items")
+    assert ol is not None
+    keys, k = ol
+    assert k == 4
+    assert keys == [("quantity", "DESC", "NULLS LAST"),
+                    ("orderkey", "ASC", "NULLS FIRST"),
+                    ("returnflag", "ASC", "NULLS FIRST")]
+    # a filter that does NOT fully decompose (OR) kills the fact: the
+    # pushed conjuncts would under-filter and the per-source top-k would
+    # under-fetch
+    assert extract_order_limit(
+        spark, "select quantity from items where quantity < 9 "
+               "or orderkey = 1 order by quantity limit 4", "items") is None
+    # alias of an EXPRESSION can't be pushed as a base column
+    assert extract_order_limit(
+        spark, "select quantity * 2 as q from items "
+               "order by q limit 4", "items") is None
+
+
+def test_engine_topk_order_limit_reaches_duckdb(spark, sf_dir, engine,
+                                                engine_gateway):
+    """The federated top-k over an external SQL engine: the engine
+    receives ORDER BY + LIMIT (≤k rows cross the wire) and the answer
+    matches Spark computing the same top-k over the raw parquet."""
+    from pyspark.sql.functions import desc
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    want = [tuple(r) for r in
+            raw.where("l_quantity >= 30")
+               .selectExpr("l_orderkey as orderkey",
+                           "l_quantity as quantity",
+                           "l_returnflag as returnflag")
+               .orderBy(desc("quantity"), "orderkey", "returnflag")
+               .limit(6).collect()]
+    n0 = len(engine.executed)
+    got = [tuple(r) for r in engine_gateway.query(
+        "select orderkey, quantity, returnflag from items "
+        "where quantity >= 30 "
+        "order by quantity desc, orderkey, returnflag limit 6").collect()]
+    assert sorted(got) == sorted(want)
+    sent = [q for q in engine.executed[n0:] if "ORDER BY" in q]
+    assert sent, engine.executed[n0:]
+    assert any("LIMIT 6" in q and "l_quantity" in q for q in sent), sent
