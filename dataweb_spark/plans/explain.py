@@ -95,7 +95,7 @@ def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
             continue
         if group is not None:
             seen_groups.add(group)
-        cols, kept, eff_limit, projected = _pushdown_parts(
+        cols, kept, eff_limit, projected, _order = _pushdown_parts(
             source, conjuncts, limit, referenced)
         if kind == "flight":
             peer_sql, _proj = _peer_sql(source, conjuncts, limit,

@@ -59,10 +59,14 @@ class TopKSpec:
     forward_sql: str = ""
     # hidden column names to drop after the merge
     hidden: list[str] = field(default_factory=list)
+    # LIMIT k OFFSET n: the offset is GLOBAL — each source fetches its
+    # top-(k+n) (forward_sql carries LIMIT k+n, never the offset) and
+    # the merge skips n rows of the re-sorted union
+    offset: int = 0
 
     def merge(self, union_df: DataFrame) -> DataFrame:
         """Re-sort the union of per-source top-ks and take k — plans as
-        ``TakeOrderedAndProject`` over the ≤ k·sources merged rows."""
+        ``TakeOrderedAndProject`` over the ≤ (k+offset)·sources rows."""
         from dataweb_spark.plans.resolve import (
             PROVENANCE_RELAY,
             PROVENANCE_SOURCE,
@@ -78,7 +82,10 @@ class TopKSpec:
                 c = (c.asc_nulls_last() if nulls == "NULLS LAST"
                      else c.asc_nulls_first())
             cols.append(c)
-        out = df.orderBy(*cols).limit(self.k)
+        out = df.orderBy(*cols)
+        if self.offset:
+            out = out.offset(self.offset)
+        out = out.limit(self.k)
         # re-project to the declared output set: drops hidden __tk
         # columns and pins the column order the caller's SELECT declared
         # (backtick-quoted so dotted/odd alias names stay one column)
@@ -156,6 +163,24 @@ def extract_topk_query(spark: SparkSession, sql: str,
     if _cls(node) != "LocalLimit":
         return None
     node = node.children().apply(0)
+    # LIMIT k OFFSET n parses as GlobalLimit(k) → LocalLimit(k) →
+    # Offset(n) → Sort. The offset is GLOBAL: forwarding the original
+    # SQL would apply it per source (wrong rows), so the fetch bound
+    # becomes k+n per source (global rows n+1..n+k are within every
+    # source's top-(k+n)) and the merge applies the skip — which forces
+    # the reconstruction path below.
+    offset = 0
+    if _cls(node) == "Offset":
+        try:
+            off_expr = node.offsetExpr()
+            if _cls(off_expr) != "Literal":
+                return None
+            offset = int(str(off_expr.value()))
+        except Exception:
+            return None
+        if offset < 0:
+            return None
+        node = node.children().apply(0)
     if _cls(node) != "Sort":
         return None
     sort = node
@@ -286,13 +311,15 @@ def extract_topk_query(spark: SparkSession, sql: str,
     if not order:
         return None
 
-    if not needs_hidden:
+    if not needs_hidden and not offset:
         return TopKSpec(k=k, order=order, output_cols=outputs,
                         forward_sql=sql)
+    if offset and not simple_shape:
+        return None  # a global offset always needs reconstruction
 
     # reconstruct the forward query from Catalyst-rendered fragments:
     # SELECT <items>, <key> AS __tkN … FROM entity [WHERE …]
-    # ORDER BY <original keys> LIMIT k  — parse-checked before use
+    # ORDER BY <original keys> LIMIT k+offset — parse-checked before use
     try:
         items = []
         plist = project_node.projectList()
@@ -311,11 +338,11 @@ def extract_topk_query(spark: SparkSession, sql: str,
                  f"{direction} {nulls}"
             for _, child, direction, nulls in parsed_orders)
         fwd = (f"SELECT {', '.join(items)} FROM {entity}{where} "
-               f"ORDER BY {order_by} LIMIT {k}")
+               f"ORDER BY {order_by} LIMIT {k + offset}")
         spark._jsparkSession.sessionState().sqlParser().parsePlan(fwd)
     except Exception:
         return None
-    return TopKSpec(k=k, order=order, output_cols=outputs,
+    return TopKSpec(k=k, order=order, output_cols=outputs, offset=offset,
                     forward_sql=fwd,
                     hidden=[h for _, h in hidden_items])
 
@@ -397,6 +424,20 @@ def extract_order_limit(spark: SparkSession, sql: str, entity: str
     if _cls(node) != "LocalLimit":
         return None
     node = node.children().apply(0)
+    if _cls(node) == "Offset":
+        # LIMIT k OFFSET n: each source must fetch its top-(k+n); the
+        # final local sql applies the global offset over the union
+        try:
+            off_expr = node.offsetExpr()
+            if _cls(off_expr) != "Literal":
+                return None
+            off = int(str(off_expr.value()))
+        except Exception:
+            return None
+        if off < 0:
+            return None
+        k += off
+        node = node.children().apply(0)
     if _cls(node) != "Sort":
         return None
     sort = node

@@ -1241,3 +1241,29 @@ def test_topk_hidden_keys_end_to_end(spark, peer_server, edge_gateway):
     assert sorted(frows) == sorted(slow) and len(frows) == 9
     assert fast.columns == ["partkey", "suppkey", "linenumber", "quantity"]
     assert 0 < shipped <= 2 * 9
+
+
+def test_topk_limit_offset(spark, peer_server, edge_gateway):
+    """LIMIT k OFFSET n: the offset is GLOBAL — each source fetches its
+    top-(k+n) (forward_sql carries LIMIT k+n, no offset) and the merge
+    skips n over the re-sorted union. Answers match the row path."""
+    from dataweb_spark.plans.topk import extract_order_limit, \
+        extract_topk_query
+    q = ("select extendedprice, partkey, suppkey, linenumber, quantity "
+         "from lineitem where quantity >= 30 "
+         "order by extendedprice desc, partkey, suppkey, linenumber, "
+         "quantity limit 7 offset 4")
+    spec = extract_topk_query(spark, q, "lineitem")
+    assert spec is not None and spec.k == 7 and spec.offset == 4
+    assert "LIMIT 11" in spec.forward_sql
+    assert "OFFSET" not in spec.forward_sql.upper()
+    ol = extract_order_limit(spark, q, "lineitem")
+    assert ol is not None and ol[1] == 11  # row-path fetch bound = k+n
+    fast = [tuple(r) for r in edge_gateway.query(q).collect()]
+    slow = [tuple(r) for r in edge_gateway.query(
+        q, topk_pushdown=False).collect()]
+    assert sorted(fast) == sorted(slow) and len(fast) == 7
+    # non-literal offsets keep the row path
+    assert extract_topk_query(
+        spark, "select partkey from lineitem order by partkey "
+               "limit 5 offset -1", "lineitem") is None
