@@ -1879,7 +1879,10 @@ def _fed_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort covers EVERY projected column (extendedprice DESC first), so
     rows tying on all keys are identical and the top-k multiset is
     engine-independent; the oracle is the same top-k over the
-    mapped-union SQL. Served-rows proof (each peer endpoint ships ≤k
+    mapped-union SQL. The GLOBAL offset (r13 tail) rides the same slot:
+    each source fetches its top-(k+offset) through a reconstructed
+    LIMIT k+offset query — the offset never forwards — and the merge
+    skips it over the re-sorted union. Served-rows proof (each peer endpoint ships ≤k
     rows) lives in ``test_flight_pushdown.py``."""
     from dataweb_spark.catalog.model import (
         DataConnection, DataSource, Entity, Mapping, RelayCatalog, Web,
@@ -1909,7 +1912,7 @@ def _fed_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by extendedprice desc, partkey asc, suppkey asc,
                  linenumber asc, quantity asc, returnflag asc,
                  linestatus asc
-        limit 40
+        limit 40 offset 10
     """)
 
 
@@ -1921,7 +1924,7 @@ from entity_lineitem
 where quantity >= 30
 order by extendedprice desc, partkey asc, suppkey asc, linenumber asc,
          quantity asc, returnflag asc, linestatus asc
-limit 40
+limit 40 offset 10
 """)
 
 
