@@ -18,7 +18,11 @@ no data is read, no peer is contacted — and returns one row per
 * ``pushed_filters`` / ``projected`` / ``forwarded_limit`` — the
   conjuncts (rewritten through mapping transformations, including
   inverted affine transforms), the narrowed physical column list, and
-  the LIMIT, when each survives the source's mapping shape.
+  the LIMIT, when each survives the source's mapping shape;
+* ``forwarded_order`` — the federated top-k fact (``ORDER BY … LIMIT``
+  rendered into engine SQL) when the query has the provable shape and
+  the source passes the under-fetch gates (r13; mirrors execution:
+  the fact never crosses remote hops, and its limit dies with it).
 
 Because it only calls pure decision functions, the report is exact by
 construction: the same inputs drive the real scan.
@@ -34,7 +38,7 @@ from dataweb_spark.catalog.model import Web
 
 EXPLAIN_COLUMNS = ["entity", "relay", "source", "kind", "action",
                    "pushed_sql", "pushed_filters", "projected",
-                   "forwarded_limit"]
+                   "forwarded_limit", "forwarded_order"]
 
 
 def explain_entity(spark: SparkSession, web: Web, relay_name: str,
@@ -50,15 +54,21 @@ def explain_entity(spark: SparkSession, web: Web, relay_name: str,
 
     conjuncts = extract_entity_predicates(spark, sql, entity_name)
     limit = extract_entity_limit(spark, sql, entity_name)
+    import re as _re
+    order_limit = None
+    if _re.search(r"\blimit\b", sql, _re.IGNORECASE):
+        from dataweb_spark.plans.topk import extract_order_limit
+        order_limit = extract_order_limit(spark, sql, entity_name)
     referenced = extract_referenced_columns(spark, sql)
     rows: list[dict] = []
     _walk(web, relay_name, entity_name, conjuncts, limit, referenced,
-          set(), rows)
+          set(), rows, order_limit)
     return rows
 
 
 def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
-          limit, referenced, visited: set, rows: list[dict]) -> None:
+          limit, referenced, visited: set, rows: list[dict],
+          order_limit=None) -> None:
     from dataweb_spark.plans.pruning import source_can_match
     from dataweb_spark.plans.resolve import (
         _map_conjuncts_through,
@@ -82,7 +92,8 @@ def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
         row = {"entity": entity_name, "relay": relay_name,
                "source": source.name, "kind": kind, "action": "scan",
                "pushed_sql": None, "pushed_filters": None,
-               "projected": None, "forwarded_limit": None}
+               "projected": None, "forwarded_limit": None,
+               "forwarded_order": None}
         group = getattr(source, "replica_group", None)
         if group is not None and group in seen_groups:
             row["action"] = "replica-standby"
@@ -95,11 +106,13 @@ def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
             continue
         if group is not None:
             seen_groups.add(group)
-        cols, kept, eff_limit, projected, _order = _pushdown_parts(
-            source, conjuncts, limit, referenced)
+        ob = order_limit[0] if order_limit else None
+        eff_lim_in = order_limit[1] if order_limit else limit
+        cols, kept, eff_limit, projected, eff_order = _pushdown_parts(
+            source, conjuncts, eff_lim_in, referenced, ob)
         if kind == "flight":
-            peer_sql, _proj = _peer_sql(source, conjuncts, limit,
-                                        referenced)
+            peer_sql, _proj = _peer_sql(source, conjuncts, eff_lim_in,
+                                        referenced, ob)
             row["pushed_sql"] = peer_sql
         if kept:
             row["pushed_filters"] = json.dumps(
@@ -114,12 +127,18 @@ def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
         if cols:
             row["projected"] = json.dumps(cols)
         row["forwarded_limit"] = eff_limit
+        if eff_order:
+            row["forwarded_order"] = json.dumps(
+                [[c, d, n] for c, d, n in eff_order])
         rows.append(row)
 
     for rm in relay.remotes_for_entity(entity_name):
+        # mirror execution: the order fact never crosses hops, and a
+        # top-k-derived limit dies with it (resolve.py remote recursion)
         _walk(web, rm.peer, rm.remote_entity,
               _map_conjuncts_through(rm, conjuncts),
-              limit if _template_trivial(rm) else None,
+              (limit if _template_trivial(rm)
+               and order_limit is None else None),
               _map_referenced_through(rm, referenced),
               visited, rows)
 
@@ -142,7 +161,7 @@ def explain_federation(spark: SparkSession, web: Web, relay_name: str,
     from pyspark.sql.types import (IntegerType, StringType, StructField,
                                    StructType)
     schema = StructType(
-        [StructField(c, StringType()) for c in EXPLAIN_COLUMNS[:-1]]
-        + [StructField("forwarded_limit", IntegerType())])
+        [StructField(c, IntegerType() if c == "forwarded_limit"
+                     else StringType()) for c in EXPLAIN_COLUMNS])
     return spark.createDataFrame(
         [tuple(r[c] for c in EXPLAIN_COLUMNS) for r in rows], schema)

@@ -308,13 +308,19 @@ def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
     for rm in relay.remotes_for_entity(entity_name):
         # order_by is deliberately NOT forwarded across remote hops: the
         # hop's conjunct re-map is lossy/widening, and a deeper top-k over
-        # a re-mapped filter can under-fetch (see readers._pushdown_parts)
+        # a re-mapped filter can under-fetch (see readers._pushdown_parts).
+        # And when an order WAS set, the LIMIT must die with it here — a
+        # top-k-derived limit forwarded bare would make a deeper engine
+        # return k ARBITRARY rows as if they were its top-k (r13 review
+        # fix; the legacy bare-limit slot only ever carried
+        # extract_entity_limit values, which never fire under a Sort)
         peer_df = resolve_entity(spark, web, rm.peer, rm.remote_entity,
                                  principal, visited,
                                  conjuncts=_map_conjuncts_through(rm, conjuncts),
                                  allow_partial=allow_partial,
                                  failures=failures,
-                                 limit=limit if _template_trivial(rm) else None,
+                                 limit=(limit if _template_trivial(rm)
+                                        and order_by is None else None),
                                  referenced=_map_referenced_through(
                                      rm, referenced))
         if peer_df is not None:

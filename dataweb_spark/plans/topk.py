@@ -134,10 +134,19 @@ def _expr_attrs(jexpr) -> list[str] | None:
     return out
 
 
-def extract_topk_query(spark: SparkSession, sql: str,
-                       entity: str) -> TopKSpec | None:
-    """Parse ``sql`` and return a :class:`TopKSpec` when it is a
-    provably per-source-replayable top-k over ``entity``, else None."""
+def _parse_topk_prefix(spark: SparkSession, sql: str, entity: str):
+    """Shared plan-prefix validation for both extractors: parse ``sql``
+    and return ``(k, offset, sort_node)`` when it opens with the top-k
+    shape ``GlobalLimit(Literal k) → LocalLimit → [Offset(Literal n)] →
+    Sort(global)`` over a single reference to ``entity``, else None.
+
+    LIMIT k OFFSET n parses with the Offset BELOW the limits; the offset
+    is GLOBAL — forwarding it per source would skip n rows at EVERY
+    source (wrong rows), so callers turn it into a k+n per-source fetch
+    bound and a merge-side skip. SORT BY (per-partition sort) parses as
+    Sort with global=false: each source would ship k ARBITRARY rows, not
+    its top-k — only a global ORDER BY makes the merge law hold (r13
+    review fix, regression-pinned in the rejection grid)."""
     from dataweb_spark.plans.pruning import _count_entity_refs
     try:
         jplan = spark._jsparkSession.sessionState().sqlParser() \
@@ -146,8 +155,6 @@ def extract_topk_query(spark: SparkSession, sql: str,
         return None
     if _count_entity_refs(jplan, entity) != 1:
         return None
-
-    # GlobalLimit(Literal k)
     if _cls(jplan) != "GlobalLimit":
         return None
     lim = jplan.limitExpr()
@@ -163,12 +170,6 @@ def extract_topk_query(spark: SparkSession, sql: str,
     if _cls(node) != "LocalLimit":
         return None
     node = node.children().apply(0)
-    # LIMIT k OFFSET n parses as GlobalLimit(k) → LocalLimit(k) →
-    # Offset(n) → Sort. The offset is GLOBAL: forwarding the original
-    # SQL would apply it per source (wrong rows), so the fetch bound
-    # becomes k+n per source (global rows n+1..n+k are within every
-    # source's top-(k+n)) and the merge applies the skip — which forces
-    # the reconstruction path below.
     offset = 0
     if _cls(node) == "Offset":
         try:
@@ -183,15 +184,22 @@ def extract_topk_query(spark: SparkSession, sql: str,
         node = node.children().apply(0)
     if _cls(node) != "Sort":
         return None
-    sort = node
-    # SORT BY (per-partition sort) parses as Sort with global=false:
-    # each source's replay would ship k ARBITRARY rows, not its top-k —
-    # only a global ORDER BY makes the merge law hold (r13 review fix)
     try:
-        if not bool(getattr(sort, "global")()):
+        if not bool(getattr(node, "global")()):
             return None
     except Exception:
         return None
+    return k, offset, node
+
+
+def extract_topk_query(spark: SparkSession, sql: str,
+                       entity: str) -> TopKSpec | None:
+    """Parse ``sql`` and return a :class:`TopKSpec` when it is a
+    provably per-source-replayable top-k over ``entity``, else None."""
+    prefix = _parse_topk_prefix(spark, sql, entity)
+    if prefix is None:
+        return None
+    k, offset, sort = prefix
 
     # chain below the Sort: row-local nodes only, ending at the entity,
     # with exactly one Project (the SELECT) defining the output columns.
@@ -404,48 +412,13 @@ def extract_order_limit(spark: SparkSession, sql: str, entity: str
     mappings per source: a transformation-rewritten conjunct pushes with
     WIDENED bounds (float-safety semantics), and a widened filter
     under-fetches a per-source top-k the same way a lossy one does."""
-    from dataweb_spark.plans.pruning import _count_entity_refs
-    try:
-        jplan = spark._jsparkSession.sessionState().sqlParser() \
-                     .parsePlan(sql)
-    except Exception:
+    prefix = _parse_topk_prefix(spark, sql, entity)
+    if prefix is None:
         return None
-    if _count_entity_refs(jplan, entity) != 1:
-        return None
-    if _cls(jplan) != "GlobalLimit" or _cls(jplan.limitExpr()) != "Literal":
-        return None
-    try:
-        k = int(str(jplan.limitExpr().value()))
-    except (TypeError, ValueError):
-        return None
-    if k <= 0:
-        return None
-    node = jplan.children().apply(0)
-    if _cls(node) != "LocalLimit":
-        return None
-    node = node.children().apply(0)
-    if _cls(node) == "Offset":
-        # LIMIT k OFFSET n: each source must fetch its top-(k+n); the
-        # final local sql applies the global offset over the union
-        try:
-            off_expr = node.offsetExpr()
-            if _cls(off_expr) != "Literal":
-                return None
-            off = int(str(off_expr.value()))
-        except Exception:
-            return None
-        if off < 0:
-            return None
-        k += off
-        node = node.children().apply(0)
-    if _cls(node) != "Sort":
-        return None
-    sort = node
-    try:
-        if not bool(getattr(sort, "global")()):
-            return None
-    except Exception:
-        return None
+    k, offset, sort = prefix
+    # each source must fetch its top-(k+offset); the final local sql
+    # applies the global offset over the union
+    k += offset
 
     outputs: list[str] | None = None
     alias_child: dict = {}

@@ -104,3 +104,54 @@ def test_gateway_explain_and_limit_forwarding(spark, demo_web):
     assert df.columns[:5] == ["entity", "relay", "source", "kind",
                               "action"]
     assert df.count() == 2
+
+
+def test_explain_reports_forwarded_order(spark, sf_dir):
+    """The explain surface mirrors the r13 top-k execution facts: a
+    provable ORDER BY + LIMIT shows per-source forwarded_order +
+    forwarded_limit, and a remote hop drops BOTH (a bare top-k-derived
+    limit at a deeper engine would fetch k arbitrary rows)."""
+    import json as _json
+
+    from dataweb_spark.catalog.model import (DataConnection, DataSource,
+                                             Entity, Information, Mapping,
+                                             RelayCatalog, RemoteEntityMapping,
+                                             Web)
+    from dataweb_spark.plans.explain import explain_federation
+
+    home = RelayCatalog(name="home")
+    home.add_entity(Entity("t", [Information("v", "bigint"),
+                                 Information("w", "bigint")]))
+    home.add_connection(DataConnection("files", "file", {"path": sf_dir}))
+    home.add_source(DataSource(
+        name="local_src", connection="files", entity="t",
+        source_sql="select * from {table}",
+        mappings=[Mapping("v", "r_regionkey"), Mapping("w", "r_regionkey")],
+        options={"table": "region.parquet"}))
+    peer = RelayCatalog(name="peer")
+    peer.add_entity(Entity("t2", [Information("v", "bigint"),
+                                  Information("w", "bigint")]))
+    peer.add_connection(DataConnection("files", "file", {"path": sf_dir}))
+    peer.add_source(DataSource(
+        name="peer_src", connection="files", entity="t2",
+        source_sql="select * from {table}",
+        mappings=[Mapping("v", "r_regionkey"), Mapping("w", "r_regionkey")],
+        options={"table": "region.parquet"}))
+    home.remote_mappings.append(RemoteEntityMapping(
+        local_entity="t", peer="peer", remote_entity="t2"))
+    web = Web()
+    web.add_relay(home)
+    web.add_relay(peer)
+    rows = {(r["relay"], r["source"]): r for r in
+            (r.asDict() for r in explain_federation(
+                spark, web, "home",
+                "select v, w from t where v < 9 "
+                "order by v desc, w limit 5").collect())}
+    local = rows[("home", "local_src")]
+    assert local["forwarded_limit"] == 5
+    assert _json.loads(local["forwarded_order"]) == [
+        ["r_regionkey", "DESC", "NULLS LAST"],
+        ["r_regionkey", "ASC", "NULLS FIRST"]]
+    remote = rows[("peer", "peer_src")]
+    assert remote["forwarded_order"] is None
+    assert remote["forwarded_limit"] is None  # dies with the order fact
