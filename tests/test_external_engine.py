@@ -678,3 +678,55 @@ def test_engine_topk_order_limit_reaches_duckdb(spark, sf_dir, engine,
     sent = [q for q in engine.executed[n0:] if "ORDER BY" in q]
     assert sent, engine.executed[n0:]
     assert any("LIMIT 6" in q and "l_quantity" in q for q in sent), sent
+
+
+def test_topk_limit_never_leaks_bare_across_remote_hops(spark, sf_dir,
+                                                        engine):
+    """r13 review regression: a top-k-derived limit must DIE with the
+    order fact at a remote hop — a deeper engine receiving a bare LIMIT
+    would return k arbitrary rows as if they were its top-k. The home
+    relay maps the entity remotely to a peer relay whose source is the
+    DuckDB engine; the engine's statement log must never show a LIMIT
+    without its ORDER BY for a top-k query, and answers must match the
+    no-pushdown path."""
+    from dataweb_spark.catalog.model import RemoteEntityMapping
+
+    home = RelayCatalog(name="topk_home")
+    home.add_entity(Entity("items", [
+        Information("orderkey", "bigint"),
+        Information("quantity", "double"),
+        Information("returnflag", "string"),
+    ]))
+    home.remote_mappings.append(RemoteEntityMapping(
+        local_entity="items", peer="topk_peer", remote_entity="items"))
+    peer = RelayCatalog(name="topk_peer")
+    peer.add_entity(Entity("items", [
+        Information("orderkey", "bigint"),
+        Information("quantity", "double"),
+        Information("returnflag", "string"),
+    ]))
+    peer.add_connection(DataConnection(
+        "duck", "flightsql",
+        {"port": str(engine.port), "dialect": "duckdb"}))
+    peer.add_source(DataSource(
+        name="items_duck", connection="duck", entity="items",
+        source_sql="select * from {table}",
+        mappings=[Mapping("orderkey", "l_orderkey"),
+                  Mapping("quantity", "l_quantity"),
+                  Mapping("returnflag", "l_returnflag")],
+        options={"table": "lineitem_tbl"}))
+    web = Web()
+    web.add_relay(home)
+    web.add_relay(peer)
+    gw = QueryGateway(spark, web, "topk_home")
+    q = ("select orderkey, quantity, returnflag from items "
+         "where quantity >= 30 "
+         "order by quantity desc, orderkey, returnflag limit 6")
+    n0 = len(engine.executed)
+    fast = [tuple(r) for r in gw.query(q).collect()]
+    sent = engine.executed[n0:]
+    # the hop drops the order fact AND its limit: the engine must see
+    # either no LIMIT at all, or a LIMIT with its ORDER BY — never bare
+    assert all("ORDER BY" in s for s in sent if "LIMIT" in s), sent
+    slow = [tuple(r) for r in gw.query(q, topk_pushdown=False).collect()]
+    assert sorted(fast) == sorted(slow) and len(fast) == 6
