@@ -53,9 +53,65 @@ def pagerank_integer(edges: DataFrame, k: int = 5,
     nodes = (edges.select(F.col(src).alias("node"))
              .unionByName(edges.select(F.col(dst).alias("node")))
              .distinct())
+    scores = nodes.withColumn("score", F.lit(init).cast("bigint"))
+    return _pagerank_iterations(edges, nodes, scores, k, init,
+                                damp_num, damp_den, src, dst,
+                                checkpoint_every)
+
+
+def pagerank_warm_restart(edges: DataFrame, prior: DataFrame,
+                          k: int = 2, init: int = 1_000_000_000,
+                          damp_num: int = 85, damp_den: int = 100,
+                          src: str = "src", dst: str = "dst",
+                          checkpoint_every: int = 0) -> DataFrame:
+    """Incremental PageRank: ``k`` iterations over the CURRENT edge set,
+    initialized from a persisted prior rank vector instead of uniform —
+    the warm-start restart every production link pipeline runs when
+    edges arrive incrementally (recrawls, new hosts). The recurrence is
+    a contraction with factor ``damp_num/damp_den`` (0.85), so each
+    warm iteration shrinks the distance to the new fixpoint by ~0.85×
+    FROM THE PRIOR's distance — after a small edge delta the prior is
+    already close and 1-3 iterations recover what a cold start needs
+    10+ for; correctness never depends on the delta being small (any
+    prior converges to the same fixpoint, only slower).
+
+    ``prior`` is ``(node, score)`` — the output of
+    :func:`pagerank_integer` or an earlier warm restart, read from the
+    persisted rank table. Nodes NEW in this edge set (absent from the
+    prior) start at ``init``; nodes that vanished from the edges drop
+    out (same node universe as a cold run on the same edges, so results
+    stay comparable). Same pure-integer arithmetic — warm restarts are
+    bit-exact replayable on any engine.
+
+    Scale shape (100 TB): identical per-iteration cost to
+    :func:`pagerank_integer` (one edges×scores join + one groupBy(dst)
+    per iteration) but k drops from O(convergence) to O(1) per delta —
+    the rank index is maintained, never rebuilt, exactly like
+    ``dedup_index``'s batch-vs-corpus economics applied to the link
+    graph. The prior joins the node table once (narrow, node-keyed)."""
+    nodes = (edges.select(F.col(src).alias("node"))
+             .unionByName(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    prior_s = prior.select(F.col("node"),
+                           F.col("score").alias("_prior"))
+    scores = (nodes.join(prior_s, "node", "left")
+              .select("node",
+                      F.coalesce(F.col("_prior"), F.lit(init))
+                       .cast("bigint").alias("score")))
+    return _pagerank_iterations(edges, nodes, scores, k, init,
+                                damp_num, damp_den, src, dst,
+                                checkpoint_every)
+
+
+def _pagerank_iterations(edges: DataFrame, nodes: DataFrame,
+                         scores: DataFrame, k: int, init: int,
+                         damp_num: int, damp_den: int,
+                         src: str, dst: str,
+                         checkpoint_every: int) -> DataFrame:
+    """The shared iteration loop: cold and warm starts differ only in
+    the initial vector."""
     out_deg = edges.groupBy(src).agg(F.count("*").alias("out_deg"))
     base = init * (damp_den - damp_num) // damp_den
-    scores = nodes.withColumn("score", F.lit(init).cast("bigint"))
     for i in range(k):
         contrib = (edges
                    .join(scores.withColumnRenamed("node", src), src)

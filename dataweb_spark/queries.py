@@ -8536,7 +8536,16 @@ _DRIVER_WINDOW = [
 # fed_topk_pushdown, sketch_quantile_merge — declared = 196) get their
 # first evidence, and the oldest evidence anywhere becomes r10.
 # r14 plan: the 48-name r10-age cohort + up to 2 r14-new queries fills
-# the 50. With 196 declared the 50x4 age budget stays satisfiable as
+# the 50.
+#
+# r14 TODO: declare `graph_pagerank_incremental` for
+# graph.pagerank_warm_restart (r13 tail, pytest-proven: bit-exact
+# composition warm(k2, prior=cold(k1)) == cold(k1+k2), new-node init,
+# small-delta convergence margin vs a cold restart, partition
+# invariance). Oracle shape: extend `_duck_pagerank_sql` — unroll k_old
+# cold CTEs over the OLD edge synth, then k_inc warm CTEs over
+# old+delta edges with s0 = coalesce(prior, init); every cell is the
+# same bigint floor-division arithmetic. With 196 declared the 50x4 age budget stays satisfiable as
 # long as per-round new declarations stay <= ~4-5 net of merges (see
 # COVERAGE.md for the steady state). New queries outrank age refreshes
 # for slots, as always.
