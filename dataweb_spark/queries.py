@@ -7728,7 +7728,16 @@ def _graph_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionings and reruns (float PageRank drifts with summation
     order). Each iteration is one join + one groupBy(dst) — the Pregel
     message-passing step as DataFrame ops; the oracle unrolls the same
-    five iterations as chained CTEs."""
+    five iterations as chained CTEs.
+
+    r13 merge (keeper pattern): the INCREMENTAL warm restart
+    (``graph.pagerank_warm_restart``) rides the same slot —
+    ``warm_score`` is 2 warm iterations over the FULL edge set started
+    from a k=3 prior built on the first two link formulas only (the
+    third formula is the edge delta a recrawl would add); the oracle
+    unrolls the prior chain, the coalesce(prior, init) seed and both
+    warm iterations in the same bigint arithmetic — the maintained-
+    rank-index economics, driver-provable."""
     from dataweb_spark.functions import graph as G
     register_views(spark, sf_dir)
     edges = spark.sql("""
@@ -7738,15 +7747,44 @@ def _graph_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
                                (doc_id * 31 + 2) % 100,
                                (doc_id * 13 + 3) % 100)) as dst
           from documents) t""")
+    old_edges = spark.sql("""
+        select doc_id % 100 as src, dst from (
+          select doc_id,
+                 explode(array((doc_id * 7 + 1) % 100,
+                               (doc_id * 31 + 2) % 100)) as dst
+          from documents) t""")
     ranks = G.pagerank_integer(edges, k=5)
-    return ranks.orderBy(F.col("score").desc(), "node").limit(20)
+    prior = G.pagerank_integer(old_edges, k=3)
+    warm = (G.pagerank_warm_restart(edges, prior, k=2)
+            .withColumnRenamed("score", "warm_score"))
+    return (ranks.join(warm, "node")
+            .select("node", "score", "warm_score")
+            .orderBy(F.col("score").desc(), "node").limit(20))
 
 
 def _duck_pagerank_sql(k: int = 5, init: int = 1_000_000_000,
-                       num: int = 85, den: int = 100) -> str:
-    """Unroll the integer PageRank recurrence as k chained DuckDB CTEs
-    (same edge synth, same bigint floor-division arithmetic)."""
+                       num: int = 85, den: int = 100,
+                       k_prior: int = 3, k_warm: int = 2) -> str:
+    """Unroll the integer PageRank recurrence as chained DuckDB CTEs
+    (same edge synth, same bigint floor-division arithmetic): the k-step
+    cold chain over the full edges, plus (r13) the warm-restart replay —
+    a k_prior cold chain over the OLD edges (first two link formulas),
+    a coalesce(prior, init) seed, and k_warm warm steps over the full
+    edges."""
     base = init * (den - num) // den
+
+    def step(i, pref, edges, nodes, odeg):
+        return f""",
+{pref}{i + 1} as (
+  select n.node,
+         cast({base} + {num} * coalesce(sum(s.score // o.out_deg), 0)
+              // {den} as bigint) as score
+  from {nodes} n
+  left join {edges} e on e.dst = n.node
+  left join {pref}{i} s on s.node = e.src
+  left join {odeg} o on o.src = e.src
+  group by n.node)"""
+
     sql = f"""
 with edges as (
   select doc_id % 100 as src, (doc_id * 7 + 1) % 100 as dst from documents
@@ -7756,20 +7794,29 @@ with edges as (
   select doc_id % 100, (doc_id * 13 + 3) % 100 from documents),
 nodes as (select src as node from edges union select dst from edges),
 odeg as (select src, count(*) as out_deg from edges group by src),
-s0 as (select node, cast({init} as bigint) as score from nodes)"""
+old_edges as (
+  select doc_id % 100 as src, (doc_id * 7 + 1) % 100 as dst from documents
+  union all
+  select doc_id % 100, (doc_id * 31 + 2) % 100 from documents),
+old_nodes as (select src as node from old_edges
+              union select dst from old_edges),
+old_odeg as (select src, count(*) as out_deg from old_edges group by src),
+s0 as (select node, cast({init} as bigint) as score from nodes),
+p0 as (select node, cast({init} as bigint) as score from old_nodes)"""
     for i in range(k):
-        sql += f""",
-s{i + 1} as (
-  select n.node,
-         cast({base} + {num} * coalesce(sum(s.score // o.out_deg), 0)
-              // {den} as bigint) as score
-  from nodes n
-  left join edges e on e.dst = n.node
-  left join s{i} s on s.node = e.src
-  left join odeg o on o.src = e.src
-  group by n.node)"""
-    return sql + (f"\nselect node, score from s{k} "
-                  "order by score desc, node limit 20")
+        sql += step(i, "s", "edges", "nodes", "odeg")
+    for i in range(k_prior):
+        sql += step(i, "p", "old_edges", "old_nodes", "old_odeg")
+    sql += f""",
+w0 as (
+  select n.node, cast(coalesce(p.score, {init}) as bigint) as score
+  from nodes n left join p{k_prior} p on p.node = n.node)"""
+    for i in range(k_warm):
+        sql += step(i, "w", "edges", "nodes", "odeg")
+    return sql + (f"""
+select s.node, s.score, w.score as warm_score
+from s{k} s join w{k_warm} w on w.node = s.node
+order by s.score desc, s.node limit 20""")
 
 
 _df("graph_pagerank_domains", _graph_pagerank_domains,
@@ -8538,14 +8585,12 @@ _DRIVER_WINDOW = [
 # r14 plan: the 48-name r10-age cohort + up to 2 r14-new queries fills
 # the 50.
 #
-# r14 TODO: declare `graph_pagerank_incremental` for
-# graph.pagerank_warm_restart (r13 tail, pytest-proven: bit-exact
-# composition warm(k2, prior=cold(k1)) == cold(k1+k2), new-node init,
-# small-delta convergence margin vs a cold restart, partition
-# invariance). Oracle shape: extend `_duck_pagerank_sql` — unroll k_old
-# cold CTEs over the OLD edge synth, then k_inc warm CTEs over
-# old+delta edges with s0 = coalesce(prior, init); every cell is the
-# same bigint floor-division arithmetic. With 196 declared the 50x4 age budget stays satisfiable as
+# (The r13-tail warm-restart PageRank needed no r14 slot after all —
+# the keeper-merge pattern absorbed it into the ALREADY-WINDOWED
+# `graph_pagerank_domains`: `warm_score` = 2 warm iterations over the
+# full edges from a k=3 prior on the first two link formulas, the
+# oracle unrolling prior chain + coalesce seed + warm steps in the
+# same bigint arithmetic — green at sf0.001 and sf0.01.) With 196 declared the 50x4 age budget stays satisfiable as
 # long as per-round new declarations stay <= ~4-5 net of merges (see
 # COVERAGE.md for the steady state). New queries outrank age refreshes
 # for slots, as always.
