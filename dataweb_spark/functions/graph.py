@@ -92,8 +92,14 @@ def pagerank_warm_restart(edges: DataFrame, prior: DataFrame,
     nodes = (edges.select(F.col(src).alias("node"))
              .unionByName(edges.select(F.col(dst).alias("node")))
              .distinct())
-    prior_s = prior.select(F.col("node"),
-                           F.col("score").alias("_prior"))
+    # one seed row per node NO MATTER WHAT the prior table holds: a rank
+    # table with duplicate node rows (appended snapshots, unioned
+    # priors) would otherwise fan the join out and multiply that node's
+    # outgoing contribution every iteration — silently wrong ranks. The
+    # max is deterministic and, for the documented single-snapshot
+    # input, a no-op (r13 review fix).
+    prior_s = (prior.groupBy("node")
+               .agg(F.max("score").alias("_prior")))
     scores = (nodes.join(prior_s, "node", "left")
               .select("node",
                       F.coalesce(F.col("_prior"), F.lit(init))

@@ -54,11 +54,8 @@ def explain_entity(spark: SparkSession, web: Web, relay_name: str,
 
     conjuncts = extract_entity_predicates(spark, sql, entity_name)
     limit = extract_entity_limit(spark, sql, entity_name)
-    import re as _re
-    order_limit = None
-    if _re.search(r"\blimit\b", sql, _re.IGNORECASE):
-        from dataweb_spark.plans.topk import extract_order_limit
-        order_limit = extract_order_limit(spark, sql, entity_name)
+    from dataweb_spark.plans.topk import extract_order_limit
+    order_limit = extract_order_limit(spark, sql, entity_name)
     referenced = extract_referenced_columns(spark, sql)
     rows: list[dict] = []
     _walk(web, relay_name, entity_name, conjuncts, limit, referenced,

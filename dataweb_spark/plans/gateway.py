@@ -17,7 +17,6 @@ Reference entry points (SURVEY.md §3):
 from __future__ import annotations
 
 import json
-import re
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -167,8 +166,7 @@ class QueryGateway:
         # into the peer SQL — each engine answers with ≤k rows) and the
         # final sql's own sort+limit over the narrowed union is the merge
         order_limits = {}
-        if (topk_pushdown and len(entities) == 1
-                and re.search(r"\blimit\b", sql, re.IGNORECASE)):
+        if topk_pushdown and len(entities) == 1:
             from dataweb_spark.plans.topk import extract_order_limit
             e = next(iter(entities))
             ol = extract_order_limit(self.spark, sql, e)
@@ -221,13 +219,10 @@ class QueryGateway:
         # re-validates per source — identity mappings, complete filters).
         # extract_entity_limit never fires under a Sort, so `limit` and
         # the fact are mutually exclusive by construction.
-        # gated on a LIMIT token: a template without one (every aggpush
-        # partial_sql, most templates) can never match, and the extractor
-        # costs a JVM parsePlan roundtrip on this hot planning path
-        order_limit = None
-        if re.search(r"\blimit\b", sql, re.IGNORECASE):
-            from dataweb_spark.plans.topk import extract_order_limit
-            order_limit = extract_order_limit(self.spark, sql, entity_name)
+        # (extract_order_limit self-gates on a LIMIT token, so aggpush
+        # partial templates and plain templates skip the parse roundtrip)
+        from dataweb_spark.plans.topk import extract_order_limit
+        order_limit = extract_order_limit(self.spark, sql, entity_name)
         referenced = extract_referenced_columns(self.spark, sql)
         # A width-dependent output (top-level SELECT *) must not be
         # forwarded: the peer's entity may carry more columns than this

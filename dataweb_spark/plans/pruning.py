@@ -286,8 +286,9 @@ def extract_referenced_columns(spark: SparkSession,
 
 # Nodes a star-shape probe may walk through from the top: they pass their
 # child's output schema up unchanged.
-_OUTPUT_PASSTHROUGH = {"Sort", "GlobalLimit", "LocalLimit", "SubqueryAlias",
-                       "Distinct", "Deduplicate", "Filter", "UnresolvedHint"}
+_OUTPUT_PASSTHROUGH = {"Sort", "GlobalLimit", "LocalLimit", "Offset",
+                       "SubqueryAlias", "Distinct", "Deduplicate", "Filter",
+                       "UnresolvedHint"}
 
 
 def output_shape_has_star(spark: SparkSession, sql: str) -> bool:

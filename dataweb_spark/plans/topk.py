@@ -411,7 +411,14 @@ def extract_order_limit(spark: SparkSession, sql: str, entity: str
     (``readers._pushdown_parts``) additionally requires identity
     mappings per source: a transformation-rewritten conjunct pushes with
     WIDENED bounds (float-safety semantics), and a widened filter
-    under-fetches a per-source top-k the same way a lossy one does."""
+    under-fetches a per-source top-k the same way a lossy one does.
+
+    Cheap-gated: a SQL without a LIMIT token can never match, and this
+    sits on hot planning paths (every template re-extracts) — skip the
+    JVM parsePlan roundtrip entirely (one gate here, not per caller)."""
+    import re as _re
+    if not _re.search(r"\blimit\b", sql, _re.IGNORECASE):
+        return None
     prefix = _parse_topk_prefix(spark, sql, entity)
     if prefix is None:
         return None

@@ -147,3 +147,18 @@ def test_pagerank_warm_restart_partition_invariant(spark):
          G.pagerank_warm_restart(e.repartition(7),
                                  prior.repartition(5), k=2).collect()}
     assert a == b
+
+
+def test_pagerank_warm_restart_duplicate_prior_rows(spark):
+    """A prior table with duplicate node rows (appended snapshots) must
+    seed ONE row per node — a fanned-out join would multiply that node's
+    contribution every iteration (r13 review fix)."""
+    pairs = [(i % 7, (i * 3 + 1) % 7) for i in range(60)]
+    e = _edges(spark, pairs)
+    prior = G.pagerank_integer(e, k=2)
+    doubled = prior.unionByName(prior)
+    clean = {r.node: r.score for r in
+             G.pagerank_warm_restart(e, prior, k=2).collect()}
+    dup = {r.node: r.score for r in
+           G.pagerank_warm_restart(e, doubled, k=2).collect()}
+    assert dup == clean
