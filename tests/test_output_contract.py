@@ -57,3 +57,18 @@ def test_check_correctness_gate_rejects_container_cells():
     with pytest.raises(mod.ContainerCellError):
         mod.normalize([({"a": 1},)])
     assert mod.normalize([(1, "x")]) == [(1, "x")]
+
+
+def test_driver_window_is_exactly_full_and_declared():
+    """The driver checks the FIRST 50 queries() entries: the window list
+    must hold exactly 50 unique names, every one declared with an
+    oracle, and must be the dict's actual prefix (the rotation's whole
+    point is choosing WHICH 50 the driver sees)."""
+    from dataweb_spark.queries import _DRIVER_WINDOW, oracle_sql
+    qs = queries()
+    oracles = oracle_sql()
+    assert len(_DRIVER_WINDOW) == 50
+    assert len(set(_DRIVER_WINDOW)) == 50
+    assert list(qs)[:50] == _DRIVER_WINDOW
+    missing = [n for n in _DRIVER_WINDOW if n not in oracles]
+    assert not missing, f"windowed queries without oracles: {missing}"
