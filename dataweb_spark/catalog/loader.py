@@ -106,7 +106,8 @@ def _parse_doc(catalog: RelayCatalog, doc: dict[str, Any]) -> None:
             options=doc.get("options", {}),
         ))
     elif kind == "DataSource":
-        fields = [DataField(f["name"], f.get("path", f["name"]))
+        fields = [DataField(f["name"], f.get("path", f["name"]),
+                            f.get("data_type"))
                   for f in doc.get("fields", [])]
         field_names = [f.name for f in fields]
         catalog.add_source(DataSource(

@@ -185,6 +185,131 @@ def _affine_coeffs(template: str):
 IDENTITY = Transformation()
 
 
+def affine_float_chain(template: str, phys_is_float: bool) -> bool:
+    """True iff every arithmetic step of the affine ``template`` that
+    touches the ``{v}`` operand provably happens in FLOAT/DOUBLE — i.e.
+    the computed value can never wrap an integral type.
+
+    Spark's binary arithmetic stays integral when both operands are
+    integral (``int * int`` wraps silently at the type width under
+    non-ANSI evaluation), which breaks the monotonicity argument the
+    federated ORDER BY forward (``sources/readers._pushdown_parts``)
+    rests on. The chain is float-safe when the physical column itself is
+    float/double (every subsequent op promotes through double), or when
+    the FIRST operation applied to the ``{v}`` subtree is a true
+    division (Spark ``/`` always yields double) or pairs it with a
+    float-literal constant — after that first promotion every later op
+    is double arithmetic, which is wrap-free (overflow saturates to
+    ±inf, preserving order non-strictly).
+    """
+    import ast
+
+    if phys_is_float:
+        return True
+    if template.count("{v}") != 1:
+        return False
+    try:
+        tree = ast.parse(template.replace("{v}", "__v__"), mode="eval")
+    except SyntaxError:
+        return False
+
+    def _contains_v(node) -> bool:
+        return any(isinstance(n, ast.Name) and n.id == "__v__"
+                   for n in ast.walk(node))
+
+    def _is_float_const(node) -> bool:
+        # unary +/- over a float literal is still a float constant
+        while isinstance(node, ast.UnaryOp) and isinstance(
+                node.op, (ast.UAdd, ast.USub)):
+            node = node.operand
+        return (isinstance(node, ast.Constant)
+                and isinstance(node.value, float))
+
+    # walk down to the first BinOp whose subtree contains {v}; unary ops
+    # over an integral {v} are integral (and unary negate wraps only at
+    # the type minimum — conservatively require a float op first)
+    node = tree.body
+    while True:
+        if isinstance(node, ast.Name):  # bare "{v}": identity, no ops
+            return True
+        if isinstance(node, ast.BinOp):
+            v_left = _contains_v(node.left)
+            v_side = node.left if v_left else node.right
+            other = node.right if v_left else node.left
+            if isinstance(v_side, ast.Name):
+                # the first op on {v} itself: Div promotes to double;
+                # a float constant operand promotes too
+                return (isinstance(node.op, ast.Div)
+                        or _is_float_const(other))
+            node = v_side
+            continue
+        return False
+
+
+# Logical (entity) types whose ordering this relay's rendered engines —
+# a peer Spark relay, DuckDB, Trino — agree on when the physical column
+# IS that type. Strings compare by binary/codepoint order in all three
+# (Spark UTF8_BINARY, DuckDB memcmp, Trino codepoints); float/double NaN
+# sorts greater than every value in all three. Container/binary types
+# are excluded (no cross-engine ordering contract).
+_ORDER_SELF_STABLE = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "date", "timestamp", "timestamp_ntz", "boolean", "string",
+}
+
+_INT_WIDENING = ["tinyint", "smallint", "int", "bigint"]
+
+
+def _canon_type(t: str | None) -> str | None:
+    if t is None:
+        return None
+    t = t.strip().lower()
+    return {"integer": "int", "long": "bigint", "short": "smallint",
+            "byte": "tinyint", "real": "float", "varchar": "string",
+            "text": "string"}.get(t, t)
+
+
+def order_cast_stable(phys: str | None, logical: str | None) -> bool:
+    """True iff ``CAST(x AS logical)`` provably preserves the ordering an
+    engine applies to the raw physical column ``x`` — never maps a
+    non-NULL to NULL, never inverts a pair (ties are fine: the federated
+    top-k merge re-sorts, so a refinement-up-to-ties suffices).
+
+    ``phys is None`` means the source declared no physical type for the
+    field; the catalog contract (same one ``map_source_frame``'s blind
+    cast has always assumed) is that an undeclared field carries the
+    entity's declared shape — so the check degrades to self-stability of
+    the logical type. A source whose storage differs (e.g. numerics in a
+    varchar column, the classic lexicographic-vs-numeric inversion) MUST
+    declare ``data_type`` on the field; the gate then refuses the
+    forward unless the cast is in the provably-safe whitelist below.
+    ``logical is None`` (caller couldn't resolve the entity type) always
+    refuses.
+    """
+    logical = _canon_type(logical)
+    if logical is None:
+        return False
+    phys = _canon_type(phys)
+    if phys is None:
+        phys = logical
+    if phys == logical:
+        return phys in _ORDER_SELF_STABLE or phys.startswith("decimal")
+    # widening casts that are monotone and never NULL a non-NULL:
+    if phys in _INT_WIDENING:
+        if logical in _INT_WIDENING:
+            return _INT_WIDENING.index(phys) <= _INT_WIDENING.index(logical)
+        # int -> float/double rounds to nearest: monotone non-strict
+        return logical in ("float", "double")
+    if phys == "float":
+        return logical == "double"  # exact widening
+    if phys.startswith("decimal"):
+        # decimal -> float/double rounds to nearest, never NULLs
+        return logical in ("float", "double")
+    if phys == "date":
+        return logical in ("timestamp", "timestamp_ntz")
+    return False
+
+
 # ---------------------------------------------------------------------------
 # Permissions
 # ---------------------------------------------------------------------------
@@ -333,6 +458,14 @@ class DataField:
 
     name: str
     path: str
+    # Optional declared PHYSICAL type of the column as the engine stores
+    # it (Spark type string, e.g. "bigint", "decimal(12,2)"). Undeclared
+    # means "the entity's declared shape" — the same contract the mapping
+    # cast has always assumed. Declaring a differing storage type (e.g.
+    # numerics kept in a varchar column) makes the federated ORDER BY
+    # forward (`order_cast_stable`) refuse order-changing casts instead
+    # of silently under-fetching a per-source top-k.
+    data_type: str | None = None
 
 
 @dataclass
@@ -390,10 +523,27 @@ class DataSource:
         # Bare-name fallback: a field not declared explicitly maps to itself.
         return field_name
 
-    def mapping_for(self, information: str) -> Mapping | None:
+    def mapping_for(self, information: str,
+                    ci: bool = False) -> Mapping | None:
+        """Mapping by information name — exact match first; with ``ci``
+        (Spark resolves identifiers case-insensitively, so a pushdown
+        fact may arrive in the user's SQL casing) fall back to a UNIQUE
+        case-insensitive match."""
         for m in self.mappings:
             if m.information == information:
                 return m
+        if ci:
+            low = information.lower()
+            hits = [m for m in self.mappings if m.information.lower() == low]
+            if len(hits) == 1:
+                return hits[0]
+        return None
+
+    def field_type(self, field_name: str) -> str | None:
+        """Declared physical type of a field, or None (= entity shape)."""
+        for f in self.fields:
+            if f.name == field_name:
+                return f.data_type
         return None
 
     def physical_columns(self) -> list[str]:

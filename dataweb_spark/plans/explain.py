@@ -55,7 +55,11 @@ def explain_entity(spark: SparkSession, web: Web, relay_name: str,
     conjuncts = extract_entity_predicates(spark, sql, entity_name)
     limit = extract_entity_limit(spark, sql, entity_name)
     from dataweb_spark.plans.topk import extract_order_limit
-    order_limit = extract_order_limit(spark, sql, entity_name)
+    entity = web.relay(relay_name).entities.get(entity_name)
+    order_limit = extract_order_limit(
+        spark, sql, entity_name,
+        entity_types=({i.name: i.data_type for i in entity.informations}
+                      if entity is not None else None))
     referenced = extract_referenced_columns(spark, sql)
     rows: list[dict] = []
     _walk(web, relay_name, entity_name, conjuncts, limit, referenced,

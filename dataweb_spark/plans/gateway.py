@@ -115,7 +115,16 @@ class QueryGateway:
         instead of O(rows)) and re-merges with a local
         ``TakeOrderedAndProject`` (``plans/topk.py``; the order-aware
         extension of the reference's bare limit pushdown,
-        ``web_source.rs:111-118``)."""
+        ``web_source.rs:111-118``). The grouped form — ``row_number()/
+        rank()/dense_rank() OVER (PARTITION BY g ORDER BY s) <= n`` in a
+        subquery — pushes the same way (each peer answers its own
+        top-n per group, O(n·groups·sources) wire) and the merge
+        re-windows the union. Caveat for BOTH forms: when the sort keys
+        are not a total order over the projected columns, which
+        tie-boundary rows come back is engine- and pushdown-dependent
+        (all answers valid under SQL semantics) — sort on every
+        projected column or set ``topk_pushdown=False`` when strict
+        bit-reproducibility matters (see ``plans/topk.py`` docstring)."""
         entities = validate_sql(self.spark, sql, single_entity=False)
         known = self.web.relay(self.relay_name).entities
         unknown = {e for e in entities if e not in known}
@@ -145,13 +154,22 @@ class QueryGateway:
                             spec.partial_sql(), principal)
                         return spec.merge(partials)
                 if topk_pushdown:
-                    from dataweb_spark.plans.topk import extract_topk_query
+                    from dataweb_spark.plans.topk import (
+                        extract_grouped_topk,
+                        extract_topk_query,
+                    )
                     tspec = extract_topk_query(self.spark, sql, ename)
                     if tspec is not None:
                         self.last_failures = []  # template fails loudly
                         parts = self.query_template_union(
                             tspec.forward_sql, principal)
                         return tspec.merge(parts)
+                    gspec = extract_grouped_topk(self.spark, sql, ename)
+                    if gspec is not None:
+                        self.last_failures = []  # template fails loudly
+                        parts = self.query_template_union(
+                            gspec.forward_sql, principal)
+                        return gspec.merge(parts)
         predicates = {
             e: extract_entity_predicates(self.spark, sql, e)
             for e in entities
@@ -169,7 +187,10 @@ class QueryGateway:
         if topk_pushdown and len(entities) == 1:
             from dataweb_spark.plans.topk import extract_order_limit
             e = next(iter(entities))
-            ol = extract_order_limit(self.spark, sql, e)
+            ol = extract_order_limit(
+                self.spark, sql, e,
+                entity_types={i.name: i.data_type
+                              for i in known[e].informations})
             if ol is not None:
                 order_limits[e] = ol
         referenced = extract_referenced_columns(self.spark, sql)
@@ -222,7 +243,10 @@ class QueryGateway:
         # (extract_order_limit self-gates on a LIMIT token, so aggpush
         # partial templates and plain templates skip the parse roundtrip)
         from dataweb_spark.plans.topk import extract_order_limit
-        order_limit = extract_order_limit(self.spark, sql, entity_name)
+        order_limit = extract_order_limit(
+            self.spark, sql, entity_name,
+            entity_types={i.name: i.data_type
+                          for i in relay.entities[entity_name].informations})
         referenced = extract_referenced_columns(self.spark, sql)
         # A width-dependent output (top-level SELECT *) must not be
         # forwarded: the peer's entity may carry more columns than this

@@ -25,6 +25,18 @@ template machinery (identity flight peers receive it verbatim via
 compute their top-k locally) and ``TopKSpec.merge`` re-sorts the union
 and takes k — which Spark plans as ``TakeOrderedAndProject``, never a
 full sort. Anything unprovable returns None: the always-safe direction.
+
+**Tie nondeterminism.** When the sort keys are not a total order over
+the projected columns, per-source LIMIT pushdown changes WHICH
+tie-boundary rows come back relative to the row path: each engine picks
+its own k tied rows before the merge. Both answers are valid under SQL
+ORDER BY/LIMIT semantics, but results become engine- and
+pushdown-dependent. When strict reproducibility matters, sort on every
+projected column (the shipped ``fed_topk_pushdown`` query does exactly
+this) or disable the pushdown (``gateway.query(topk_pushdown=False)``).
+The same caveat applies to the grouped form (``extract_grouped_topk``):
+``row_number()`` over tied keys is itself tie-nondeterministic on ANY
+path, pushed or not.
 """
 
 from __future__ import annotations
@@ -46,6 +58,21 @@ _ROW_LOCAL = {"Project", "Filter", "SubqueryAlias"}
 _FORBIDDEN_EXPR = ("Window", "Subquery", "Exists", "ListQuery",
                    "InSubquery", "Star", "Regex", "Generator",
                    "UnresolvedAlias")
+
+
+def _sort_columns(order: list[tuple[str, str, str]]) -> list:
+    """Column objects for ``(sql, "ASC"|"DESC", "NULLS ...")`` triples."""
+    cols = []
+    for sql_str, direction, nulls in order:
+        c = F.expr(sql_str)
+        if direction == "DESC":
+            c = (c.desc_nulls_first() if nulls == "NULLS FIRST"
+                 else c.desc_nulls_last())
+        else:
+            c = (c.asc_nulls_last() if nulls == "NULLS LAST"
+                 else c.asc_nulls_first())
+        cols.append(c)
+    return cols
 
 
 @dataclass
@@ -72,17 +99,7 @@ class TopKSpec:
             PROVENANCE_SOURCE,
         )
         df = union_df.drop(PROVENANCE_RELAY, PROVENANCE_SOURCE)
-        cols = []
-        for sql_str, direction, nulls in self.order:
-            c = F.expr(sql_str)
-            if direction == "DESC":
-                c = (c.desc_nulls_first() if nulls == "NULLS FIRST"
-                     else c.desc_nulls_last())
-            else:
-                c = (c.asc_nulls_last() if nulls == "NULLS LAST"
-                     else c.asc_nulls_first())
-            cols.append(c)
-        out = df.orderBy(*cols)
+        out = df.orderBy(*_sort_columns(self.order))
         if self.offset:
             out = out.offset(self.offset)
         out = out.limit(self.k)
@@ -95,8 +112,11 @@ class TopKSpec:
 
 def _project_output_names(project) -> list[str] | None:
     """Output column names of a Project node; None when any item has no
-    statically-knowable name (stars, un-aliased expressions) or embeds a
-    construct that breaks per-source replay (windows, subqueries)."""
+    statically-knowable name (stars, un-aliased expressions), embeds a
+    construct that breaks per-source replay (windows, subqueries), or
+    DUPLICATES another output name — the merge's re-projection would
+    raise ``AMBIGUOUS_REFERENCE`` anyway (so would the row path on the
+    same SQL), but bailing here surfaces the error at its source."""
     names: list[str] = []
     items = project.projectList()
     for i in range(items.size()):
@@ -111,6 +131,8 @@ def _project_output_names(project) -> list[str] | None:
             names.append(str(parts.apply(parts.size() - 1)))
         else:
             return None
+    if len({n.lower() for n in names}) != len(names):
+        return None
     return names
 
 
@@ -393,11 +415,13 @@ def _filters_fully_decompose(conds) -> bool:
     return True
 
 
-def extract_order_limit(spark: SparkSession, sql: str, entity: str
-                        ) -> tuple[list[tuple[str, str, str]], int] | None:
+def extract_order_limit(spark: SparkSession, sql: str, entity: str,
+                        entity_types: dict | None = None
+                        ) -> tuple[list[tuple[str, str, str, str | None]],
+                                   int] | None:
     """The ``(order_keys, k)`` fact a federated SOURCE may apply directly
-    — each key a bare ENTITY column with direction and null placement —
-    or None.
+    — each key ``(entity_column, direction, nulls, logical_type)`` with
+    the column in its DECLARED case — or None.
 
     This is the row-path sibling of :func:`extract_topk_query`: where
     that one validates the MERGE (keys resolvable from the output frame),
@@ -408,10 +432,20 @@ def extract_order_limit(spark: SparkSession, sql: str, entity: str
     columns of a reconstructed forward query), or via an ordinal — and
     every Filter in the chain must fully decompose into pushable
     conjuncts (see :func:`_filters_fully_decompose`). The consumer
-    (``readers._pushdown_parts``) additionally requires identity
-    mappings per source: a transformation-rewritten conjunct pushes with
-    WIDENED bounds (float-safety semantics), and a widened filter
-    under-fetches a per-source top-k the same way a lossy one does.
+    (``readers._pushdown_parts``) additionally requires, per source,
+    identity-exact pushed conjuncts (a transformation-rewritten conjunct
+    pushes with WIDENED bounds — float-safety semantics — and a widened
+    filter under-fetches a per-source top-k the same way a lossy one
+    does) and order-provable sort-key mappings
+    (``readers._forward_order_key``: order-stable cast for identity
+    mappings, strictly monotone affine transforms otherwise).
+
+    ``entity_types`` maps entity column names (declared case) to their
+    declared Spark types; each key carries its type so the consumer can
+    prove cast stability. Keys are looked up case-insensitively (Spark
+    resolution is case-insensitive) and emitted in the entity's declared
+    case when found — a key the entity doesn't declare carries type None
+    and never forwards.
 
     Cheap-gated: a SQL without a LIMIT token can never match, and this
     sits on hot planning paths (every template re-extracts) — skip the
@@ -476,7 +510,9 @@ def extract_order_limit(spark: SparkSession, sql: str, entity: str
         a = _bare_attr(tgt)
         return a  # alias of a bare column -> that column; else None
 
-    keys: list[tuple[str, str, str]] = []
+    typed = {name.lower(): (name, t)
+             for name, t in (entity_types or {}).items()}
+    keys: list[tuple[str, str, str, str | None]] = []
     so_seq = sort.order()
     for i in range(so_seq.size()):
         so = so_seq.apply(i)
@@ -501,7 +537,360 @@ def extract_order_limit(spark: SparkSession, sql: str, entity: str
         col = resolve_to_entity_col(name)
         if col is None:
             return None
-        keys.append((col.lower(), direction, nulls))
+        declared = typed.get(col.lower())
+        if declared is not None:
+            col, ltype = declared
+        else:
+            ltype = None
+        keys.append((col, direction, nulls, ltype))
     if not keys:
         return None
     return keys, k
+
+
+# ---------------------------------------------------------------------------
+# Grouped TOP-K (top-n per group) pushdown
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GroupedTopKSpec:
+    """Per-source replayable ``row_number()/rank()/dense_rank() OVER
+    (PARTITION BY g ORDER BY s) <= n`` — the classic federated
+    top-n-per-group (the reference's Q3 top-revenue-per-customer pattern,
+    ``webengine/src/main.rs:86-124``, computed there over fully shipped
+    rows).
+
+    The superset law that makes the per-source replay sound: for every
+    row, its rank WITHIN ITS OWN SOURCE's partition slice is ≤ its rank
+    over the union's partition (a source's rows are a subset of the
+    union's — fewer rows/distinct values can precede it), for all three
+    supported rank functions. So each source answering its own per-group
+    top-n is a superset of the global answer, wire O(n·groups·sources),
+    and the merge re-windows the union and re-applies the ORIGINAL rank
+    predicate. Like the flat top-k, a widened/dropped filter or a
+    permissioned source would break the subset premise — the forward
+    query carries the whole WHERE, and sources that can't honor it keep
+    the row path via the template machinery's per-source replay.
+    """
+
+    # original rank predicate, re-applied at the merge: ("<=", 3) etc.
+    op: str
+    value: int
+    # per-source fetch bound: forward query ships rank <= bound
+    bound: int
+    fn: str                      # row_number | rank | dense_rank
+    partition: list[str]         # union-frame column names
+    order: list[tuple[str, str, str]]  # (union-frame sql, dir, nulls)
+    rank_alias: str              # the user's alias for the rank column
+    output_cols: list[str]       # final outer SELECT output names
+    forward_sql: str = ""
+    # union-frame columns fetched only for the re-window, dropped after
+    hidden: list[str] = field(default_factory=list)
+
+    def merge(self, union_df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        from dataweb_spark.plans.resolve import (
+            PROVENANCE_RELAY,
+            PROVENANCE_SOURCE,
+        )
+        df = union_df.drop(PROVENANCE_RELAY, PROVENANCE_SOURCE)
+        w = Window.partitionBy(
+            *[F.col("`" + c.replace("`", "``") + "`")
+              for c in self.partition]
+        ).orderBy(*_sort_columns(self.order))
+        rank_col = getattr(F, self.fn)().over(w)
+        out = df.withColumn(self.rank_alias, rank_col)
+        rc = F.col("`" + self.rank_alias.replace("`", "``") + "`")
+        pred = {"<=": rc <= self.value,
+                "<": rc < self.value,
+                "=": rc == self.value}[self.op]
+        out = out.where(pred)
+        return out.select(*[F.col("`" + c.replace("`", "``") + "`")
+                            for c in self.output_cols])
+
+
+_RANK_FNS = ("row_number", "rank", "dense_rank")
+
+
+def _rank_filter_fact(cond) -> tuple[str, str, int] | None:
+    """``(attr_name, op, value)`` for a rank-bounding comparison of a bare
+    attribute against a positive integer literal, normalized to the
+    attribute on the left — else None."""
+    cls = _cls(cond)
+    flip = {"LessThanOrEqual": "GreaterThanOrEqual",
+            "GreaterThanOrEqual": "LessThanOrEqual",
+            "LessThan": "GreaterThan", "GreaterThan": "LessThan",
+            "EqualTo": "EqualTo"}
+    ops = {"LessThanOrEqual": "<=", "LessThan": "<", "EqualTo": "="}
+    if cls not in flip:
+        return None
+    left, right = cond.left(), cond.right()
+    if _cls(left) == "UnresolvedAttribute" and _cls(right) == "Literal":
+        attr, lit, eff = left, right, cls
+    elif _cls(left) == "Literal" and _cls(right) == "UnresolvedAttribute":
+        attr, lit, eff = right, left, flip[cls]
+    else:
+        return None
+    if eff not in ops:
+        return None
+    name = _bare_attr(attr)
+    if name is None:
+        return None
+    try:
+        v = int(str(lit.value()))
+    except (TypeError, ValueError):
+        return None
+    return name, ops[eff], v
+
+
+def extract_grouped_topk(spark: SparkSession, sql: str,
+                         entity: str) -> GroupedTopKSpec | None:
+    """Parse ``sql`` and return a :class:`GroupedTopKSpec` when it is a
+    provably per-source-replayable top-n-per-group over ``entity``:
+
+    ``Project(bare outputs) -> Filter(rank_alias <= n) -> [SubqueryAlias]
+    -> Project(items + exactly one Alias(row_number|rank|dense_rank OVER
+    (PARTITION BY bare-cols ORDER BY bare-cols, default frame)))
+    -> Filter* -> entity``
+
+    Window partition/order columns must be bare entity columns that are
+    NOT shadowed by a differently-sourced output alias (Spark's lateral
+    column aliasing would silently rebind them in the reconstructed
+    query); columns absent from the inner SELECT ship as extra plain
+    columns and are dropped after the merge. Anything unprovable returns
+    None — the row path stays correct, just O(rows) on the wire.
+    """
+    import re as _re
+    if not _re.search(r"\bover\b", sql, _re.IGNORECASE):
+        return None
+    from dataweb_spark.plans.pruning import _count_entity_refs
+    try:
+        jplan = spark._jsparkSession.sessionState().sqlParser() \
+                     .parsePlan(sql)
+    except Exception:
+        return None
+    if _count_entity_refs(jplan, entity) != 1:
+        return None
+
+    # outer Project: bare attributes only (merge re-projects by name)
+    if _cls(jplan) != "Project":
+        return None
+    outputs = _project_output_names(jplan)
+    if outputs is None:
+        return None
+    items = jplan.projectList()
+    for i in range(items.size()):
+        if _cls(items.apply(i)) != "UnresolvedAttribute":
+            return None
+    if jplan.children().size() != 1:
+        return None
+
+    node = jplan.children().apply(0)
+    if _cls(node) != "Filter":
+        return None
+    fact = _rank_filter_fact(node.condition())
+    if fact is None:
+        return None
+    rank_name, op, value = fact
+    bound = value if op in ("<=", "=") else value - 1
+    if bound < 1:
+        return None
+    node = node.children().apply(0)
+    if _cls(node) == "SubqueryAlias":
+        if node.children().size() != 1:
+            return None
+        node = node.children().apply(0)
+
+    if _cls(node) != "Project":
+        return None
+    inner = node
+    plist = inner.projectList()
+    inner_names: list[str] = []
+    # union-frame output name per entity column it carries verbatim-bare
+    bare_out: dict[str, str] = {}
+    alias_names: set[str] = set()
+    rank_item = None
+    fwd_items: list[str] = []
+    for i in range(plist.size()):
+        it = plist.apply(i)
+        cls = _cls(it)
+        if cls == "Alias" and _cls(it.children().apply(0)) \
+                == "WindowExpression":
+            if rank_item is not None:
+                return None  # two windows: keep the row path
+            rank_item = it
+            inner_names.append(str(it.name()))
+            continue
+        if _tree_has(it, _FORBIDDEN_EXPR):
+            return None
+        if cls == "Alias":
+            name = str(it.name())
+            alias_names.add(name.lower())
+            child = it.children().apply(0)
+            a = _bare_attr(child)
+            if a is not None and a.lower() not in bare_out:
+                bare_out[a.lower()] = name
+        elif cls == "UnresolvedAttribute":
+            name = _bare_attr(it)
+            if name is None:
+                return None
+            bare_out.setdefault(name.lower(), name)
+        else:
+            return None
+        inner_names.append(name)
+        try:
+            fwd_items.append(str(it.sql()))
+        except Exception:
+            return None
+    if rank_item is None:
+        return None
+    if len({n.lower() for n in inner_names}) != len(inner_names):
+        return None
+    if str(rank_item.name()).lower() != rank_name.lower():
+        return None  # the filter bounds something else: not a rank gate
+    rank_alias = str(rank_item.name())
+    for o in outputs:
+        if o.lower() != rank_alias.lower() \
+                and o.lower() not in {n.lower() for n in inner_names}:
+            return None
+
+    # the window expression itself
+    wexpr = rank_item.children().apply(0)
+    wf, ws = wexpr.windowFunction(), wexpr.windowSpec()
+    if _cls(wf) != "UnresolvedFunction":
+        return None
+    try:
+        parts = wf.nameParts()
+        if parts.size() != 1:
+            return None
+        fn = str(parts.apply(0)).lower()
+        if fn not in _RANK_FNS:
+            return None
+        if wf.arguments().size() != 0 or bool(wf.isDistinct()):
+            return None
+        if wf.filter().isDefined():
+            return None
+    except Exception:
+        return None
+    if _cls(ws) != "WindowSpecDefinition":
+        return None
+    if not _cls(ws.frameSpecification()).startswith("UnspecifiedFrame"):
+        return None
+
+    def window_col(jexpr) -> tuple[str, str] | None:
+        """``(union_frame_name, rendered_entity_col)`` for a window
+        partition/order attribute, or None. A name that collides with an
+        output ALIAS of a different expression is rejected: lateral
+        column aliasing would rebind it in the reconstructed SELECT."""
+        a = _bare_attr(jexpr)
+        if a is None:
+            return None
+        low = a.lower()
+        if low in alias_names and bare_out.get(low, "").lower() != low:
+            return None
+        out_name = bare_out.get(low)
+        return out_name, str(jexpr.sql())
+
+    hidden: list[str] = []
+    inner_lower = {n.lower() for n in inner_names}
+
+    def ship_hidden(jattr, col_sql: str) -> str | None:
+        """Register an unprojected window column as an extra forwarded
+        column; None when its name collides with an inner output (the
+        only way past ``window_col`` is the rank alias itself — a window
+        keyed on its own rank is ill-formed on every path)."""
+        bare = _bare_attr(jattr)
+        if bare is None or bare.lower() in inner_lower:
+            return None
+        if bare.lower() not in {h.lower() for h in hidden}:
+            hidden.append(bare)
+            fwd_items.append(col_sql)
+        return bare
+
+    partition: list[str] = []
+    ps = ws.partitionSpec()
+    if ps.size() == 0:
+        return None  # un-partitioned: this is the flat top-k's job
+    for i in range(ps.size()):
+        wc = window_col(ps.apply(i))
+        if wc is None:
+            return None
+        out_name, col_sql = wc
+        if out_name is None:  # unprojected: ship it, drop after merge
+            out_name = ship_hidden(ps.apply(i), col_sql)
+            if out_name is None:
+                return None
+        partition.append(out_name)
+
+    order: list[tuple[str, str, str]] = []
+    order_sqls: list[str] = []
+    os_ = ws.orderSpec()
+    if os_.size() == 0:
+        return None  # rank without ORDER BY is ill-defined everywhere
+    for i in range(os_.size()):
+        so = os_.apply(i)
+        try:
+            direction = str(so.direction().sql()).upper()
+            nulls = str(so.nullOrdering().sql()).upper()
+        except Exception:
+            return None
+        wc = window_col(so.child())
+        if wc is None:
+            return None
+        out_name, col_sql = wc
+        if out_name is None:
+            out_name = ship_hidden(so.child(), col_sql)
+            if out_name is None:
+                return None
+        order.append((f"`{out_name}`", direction, nulls))
+        order_sqls.append(f"{col_sql} {direction} {nulls}")
+
+    # below the inner Project: Filter* ending at the entity (simple
+    # shape only — the reconstruction re-renders into a fresh query)
+    filter_conds: list = []
+    node = inner.children().apply(0)
+    while True:
+        cls = _cls(node)
+        if cls == "UnresolvedRelation":
+            parts = node.multipartIdentifier()
+            if str(parts.apply(parts.size() - 1)).lower() != entity.lower():
+                return None
+            break
+        if cls != "Filter":
+            return None
+        if _tree_has(node.condition(), _FORBIDDEN_EXPR):
+            return None
+        filter_conds.append(node.condition())
+        if node.children().size() != 1:
+            return None
+        node = node.children().apply(0)
+
+    # reconstruct the forward query — parse-checked before use
+    taken = {n.lower() for n in inner_names} | {h.lower() for h in hidden}
+    gk, i = "__gk0", 0
+    while gk in taken:
+        i += 1
+        gk = f"__gk{i}"
+    try:
+        where = ""
+        if filter_conds:
+            conj = " AND ".join(f"({c.sql()})" for c in filter_conds)
+            where = f" WHERE {conj}"
+        part_sqls = [str(ps.apply(i).sql()) for i in range(ps.size())]
+        rank_sql = (f"{fn}() OVER (PARTITION BY {', '.join(part_sqls)} "
+                    f"ORDER BY {', '.join(order_sqls)}) AS `{gk}`")
+        inner_sql = (f"SELECT {', '.join(fwd_items)}, {rank_sql} "
+                     f"FROM {entity}{where}")
+        keep = [n for n in inner_names
+                if n.lower() != rank_alias.lower()] + hidden
+        quoted = ", ".join("`" + c.replace("`", "``") + "`" for c in keep)
+        fwd = (f"SELECT {quoted} FROM ({inner_sql}) "
+               f"WHERE `{gk}` <= {bound}")
+        spark._jsparkSession.sessionState().sqlParser().parsePlan(fwd)
+    except Exception:
+        return None
+    return GroupedTopKSpec(op=op, value=value, bound=bound, fn=fn,
+                           partition=partition, order=order,
+                           rank_alias=rank_alias, output_cols=outputs,
+                           forward_sql=fwd, hidden=hidden)

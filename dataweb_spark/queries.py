@@ -1928,6 +1928,153 @@ limit 40 offset 10
 """)
 
 
+def _fed_topk_transformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated TOP-K through ORDER-PRESERVING AFFINE mappings (r14 —
+    VERDICT r13 item 1): the edge entity views the peer's lineitem
+    through non-identity transformations — ``price_cents = {v} * 100``
+    over extendedprice (the reference's flagship mapping shape,
+    ``deploy/development/na_us_data_relay/data_modeling/local_mappings/
+    lineitem_mappings.yaml``) and ``neg_line = {v} * -1.0`` over
+    linenumber (declared physical type bigint) — and the ``ORDER BY
+    price_cents DESC, neg_line ASC … LIMIT 20`` fact still reaches the
+    peer: a strictly monotone affine map preserves order bijectively, so
+    ``readers._forward_order_key`` rewrites each key to the physical
+    column and FLIPS direction on negative slope (neg_line ASC forwards
+    as linenumber DESC). The peer answers with ≤20 rows (served-rows
+    proof in ``test_flight_pushdown.py``) where r13 shipped the whole
+    filtered entity. Every projected column is a sort key (or determined
+    by one), so the top-k multiset is engine-independent; the oracle
+    applies the same transforms to the mapped-union SQL."""
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataField, DataSource, Entity, Information,
+        Mapping, RelayCatalog, Transformation, Web,
+    )
+    from dataweb_spark.plans.gateway import QueryGateway
+
+    port = _flight_peer_port(sf_dir)
+    edge = RelayCatalog(name="edge_topk_t")
+    edge.add_entity(Entity("priced_items", [
+        Information("price_cents", "double"),
+        Information("neg_line", "double"),
+        Information("partkey", "bigint"),
+        Information("suppkey", "bigint"),
+        Information("linenumber", "bigint"),
+        Information("quantity", "double"),
+    ]))
+    edge.add_connection(DataConnection(
+        "peer_flight", "flight",
+        {"port": str(port), "token": "edge-relay-token"}))
+    edge.add_source(DataSource(
+        name="priced_peer", connection="peer_flight", entity="priced_items",
+        source_sql="select * from {table}",
+        fields=[DataField("extendedprice", "extendedprice", "double"),
+                DataField("linenumber", "linenumber", "bigint")],
+        mappings=[
+            Mapping("price_cents", "extendedprice",
+                    Transformation("{v} * 100", "{v} / 100")),
+            Mapping("neg_line", "linenumber",
+                    Transformation("{v} * -1.0", "{v} / -1.0")),
+            Mapping("partkey", "partkey"),
+            Mapping("suppkey", "suppkey"),
+            Mapping("linenumber", "linenumber"),
+            Mapping("quantity", "quantity"),
+        ],
+        options={"entity": "lineitem"}))
+    web = Web()
+    web.add_relay(edge)
+    gw = QueryGateway(spark, web, "edge_topk_t")
+    return gw.query("""
+        select price_cents, partkey, suppkey, linenumber, quantity
+        from priced_items
+        where quantity >= 30
+        order by price_cents desc, neg_line asc, partkey asc,
+                 suppkey asc, quantity asc
+        limit 20
+    """)
+
+
+_df("fed_topk_transformed", _fed_topk_transformed,
+    oracle=_FED_VIEW_DEFAULT + """
+select extendedprice * 100 as price_cents, partkey, suppkey, linenumber,
+       quantity
+from entity_lineitem
+where quantity >= 30
+order by price_cents desc, linenumber * -1.0 asc, partkey asc,
+         suppkey asc, quantity asc
+limit 20
+""")
+
+
+def _fed_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated GROUPED top-k — top-n per group — pushdown (r14, VERDICT
+    r13 item 2): ``row_number() OVER (PARTITION BY returnflag, linestatus
+    ORDER BY …) <= 4`` over an engine-mode flight peer forwards WHOLE
+    (``plans/topk.py:extract_grouped_topk``): each source answers its own
+    per-group top-4 — sound because a row's rank within its source's
+    partition slice is ≤ its rank over the union, so the union of
+    per-source answers is a superset — and the edge re-windows the union
+    and re-applies the rank predicate. Wire O(n·groups·sources) where
+    the row path ships O(rows); the reference computes this very shape
+    (Q3 top-revenue, ``webengine/src/main.rs:86-124``) over fully
+    shipped rows. The window sort covers every projected non-partition
+    column, so tied rows are output-identical and the answer multiset is
+    engine-independent. The outer ORDER BY is applied AFTER the gateway
+    (the extractor accepts the bare shape; sorting the merged frame is
+    the caller's presentational choice, like ``fed_engine_agg_pushdown``)."""
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Mapping, RelayCatalog, Web,
+    )
+    from dataweb_spark.demo import LINEITEM_INFOS
+    from dataweb_spark.plans.gateway import QueryGateway
+
+    port = _flight_peer_port(sf_dir)
+    edge = RelayCatalog(name="edge_gtopk")
+    edge.add_entity(Entity("lineitem", list(LINEITEM_INFOS)))
+    edge.add_connection(DataConnection(
+        "peer_flight", "flight",
+        {"port": str(port), "token": "edge-relay-token"}))
+    edge.add_source(DataSource(
+        name="lineitem_peer", connection="peer_flight", entity="lineitem",
+        source_sql="select * from {table}",
+        mappings=[Mapping(i.name, i.name) for i in LINEITEM_INFOS],
+        options={"entity": "lineitem"}))
+    web = Web()
+    web.add_relay(edge)
+    gw = QueryGateway(spark, web, "edge_gtopk")
+    df = gw.query("""
+        select returnflag, linestatus, extendedprice, orderkey, partkey,
+               suppkey, linenumber, quantity, rk
+        from (select returnflag, linestatus, extendedprice, orderkey,
+                     partkey, suppkey, linenumber, quantity,
+                     row_number() over (
+                         partition by returnflag, linestatus
+                         order by extendedprice desc,
+                                  orderkey asc nulls first, partkey asc,
+                                  suppkey asc, linenumber asc,
+                                  quantity asc) as rk
+              from lineitem where quantity >= 25) t
+        where rk <= 4
+    """)
+    return df.orderBy("returnflag", "linestatus", "rk")
+
+
+_df("fed_grouped_topk", _fed_grouped_topk,
+    oracle=_FED_VIEW_DEFAULT + """
+select returnflag, linestatus, extendedprice, orderkey, partkey,
+       suppkey, linenumber, quantity, rk
+from (select returnflag, linestatus, extendedprice, orderkey, partkey,
+             suppkey, linenumber, quantity,
+             row_number() over (
+                 partition by returnflag, linestatus
+                 order by extendedprice desc, orderkey asc nulls first,
+                          partkey asc, suppkey asc, linenumber asc,
+                          quantity asc) as rk
+      from entity_lineitem where quantity >= 25) t
+where rk <= 4
+order by returnflag, linestatus, rk
+""")
+
+
 _FLIGHTSQL_ENGINES: dict[str, object] = {}
 
 
@@ -8512,88 +8659,77 @@ order by vec_id
 # its relative order after the window.
 
 _DRIVER_WINDOW = [
-    # --- r13 rotation. CORRECTNESS_r12 was 49/50 — the one red,
-    # sketch_kmv_distinct, re-runs FIRST with its scalar-only fix (the
-    # kmv array column serialized to kmv_csv on both engines; it stays
-    # the only never-driver-green name until this row lands). Then the
-    # three r13-new queries (new operators outrank age refreshes), then
-    # the FULL 46-name r9-age cohort — the oldest evidence anywhere,
-    # exactly the set VERDICT r12 item 3 recorded (including the
-    # crawl_url_normalize / crawl_domain_caps / crawl_psl_domains
-    # refreshes displaced from the r12 spares). 1+3+46 = 50 exactly.
-    # (a) the r12 red, fixed:
-    "sketch_kmv_distinct",
-    # (b) newly declared in r13:
-    "crawl_robots_directives",
-    "fed_topk_pushdown",
-    "sketch_quantile_merge",
-    # (c) the 46-name r9-age cohort (max evidence age stays <= 4):
-    "crawl_domain_caps",
-    "crawl_psl_domains",
-    "crawl_url_normalize",
-    "dedup_audio_signature",
-    "dedup_bloom_contamination",
-    "dedup_embedding_cosine",
-    "dedup_image_phash",
-    "dedup_minhash_lsh",
-    "dedup_paragraphs",
-    "dedup_semantic_clusters",
-    "dedup_semantic_recall",
-    "dedup_video_signature",
-    "fed_documents_dedup",
-    "fed_explain_report",
-    "fed_q3_shipping_priority",
-    "fed_select_star_limit",
-    "fed_six_relay_q1",
-    "fed_unitprice_transform",
-    "knn_ivf_approx",
-    "knn_ivf_recall",
-    "media_index_audio_near",
-    "media_index_video_near",
-    "multimodal_audio_features",
-    "multimodal_audio_spectrum",
-    "multimodal_resize",
-    "multimodal_video_frames",
-    "nulls_ordering_ignore_nulls",
-    "pipeline_assembly_manifest",
-    "pipeline_cluster_safe_split",
-    "pipeline_crawl_corpus",
-    "pipeline_dsir_selection",
-    "pipeline_filter_cascade",
-    "pipeline_leakage_safe_split",
-    "pipeline_rag_retrieval",
-    "pipeline_sequence_packing",
-    "pipeline_shard_manifest",
-    "pipeline_temperature_mixture",
-    "pipeline_token_budget",
-    "pipeline_upsample_epochs",
-    "scd2_event_history",
-    "streaming_crawl_gate",
-    "text_bigram_lm",
-    "text_bpe_contract",
-    "text_ccnet_buckets",
-    "text_compression_ratio",
-    "text_lm_logprob",
+    # --- r14 rotation (the recorded plan, VERDICT r13 item 4):
+    # CORRECTNESS_r13 was 50/50 — no reds to re-run. The two r14-new
+    # queries go first (new operators outrank age refreshes), then the
+    # FULL 48-name r10-age cohort — the oldest evidence anywhere,
+    # computed from CORRECTNESS_r1..r13 over the declared registry
+    # (every other declared name is r11+). 2 + 48 = 50 exactly.
+    # (a) newly declared in r14:
+    "fed_topk_transformed",
+    "fed_grouped_topk",
+    # (b) the 48-name r10-age cohort (max evidence age stays <= 4):
+    "agg_having_filter",
+    "asof_join_purchase_click",
+    "crawl_robots_gate",
+    "cte_exists_in_subquery",
+    "dedup_exact_groups",
+    "dedup_incremental_ingest",
+    "dedup_index_classify",
+    "dedup_index_gate",
+    "dedup_index_incremental",
+    "dedup_normalized_fingerprint",
+    "dedup_quality_keeper",
+    "dedup_remove_spans",
+    "events_hourly_rollup",
+    "events_json_props",
+    "fed_six_relay_provenance",
+    "graph_anchor_profile",
+    "interval_date_arithmetic",
+    "lateral_view_explode",
+    "like_family_predicates",
+    "listagg_nations_per_region",
+    "listagg_within_group_overlay",
+    "media_index_rate_normalized",
+    "pipeline_hybrid_retrieval",
+    "rollup_counts",
+    "scalar_subquery_per_row",
+    "stats_aggregates",
+    "string_funcs_position_trim",
+    "text_bm25_retrieval",
+    "text_encoding_quality",
+    "timezone_conversion",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_idle_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q5_regional_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "try_cast_safe",
+    "values_inline_join",
+    "window_lag_lead_events",
+    "window_running_sum",
 ]
 # window budget: up to 50 checked by the driver. Rotated-out names stay
 # in QUERIES (checkable any round; the full local sweep covers all of
-# them each round). After this window runs: the one never-driver-green
-# name (sketch_kmv_distinct, the r12 output-shape red) gets its first
-# green, the three r13 declarations (crawl_robots_directives,
-# fed_topk_pushdown, sketch_quantile_merge — declared = 196) get their
-# first evidence, and the oldest evidence anywhere becomes r10.
-# r14 plan: the 48-name r10-age cohort + up to 2 r14-new queries fills
-# the 50.
-#
-# (The r13-tail warm-restart PageRank needed no r14 slot after all —
-# the keeper-merge pattern absorbed it into the ALREADY-WINDOWED
-# `graph_pagerank_domains`: `warm_score` = 2 warm iterations over the
-# full edges from a k=3 prior on the first two link formulas, the
-# oracle unrolling prior chain + coalesce seed + warm steps in the
-# same bigint arithmetic — green at sf0.001 and sf0.01.) With 196 declared the 50x4 age budget stays satisfiable as
-# long as per-round new declarations stay <= ~4-5 net of merges (see
-# COVERAGE.md for the steady state). New queries outrank age refreshes
-# for slots, as always.
+# them each round). After this window runs: the two r14 declarations
+# (fed_topk_transformed — top-k through affine mappings — and
+# fed_grouped_topk — top-n-per-group pushdown; declared = 198) get
+# their first evidence and the oldest evidence anywhere becomes r11.
+# From r15 the rotation is STEADY-STATE (the COVERAGE.md plan): the
+# window is simply the oldest-evidence 50 each round — r15 = the
+# 49-name r11 cohort + new declarations / spares — and with 198
+# declared, 50 x 4 rounds covers everything, so max evidence age stays
+# <= 4 as long as per-round net new declarations stay <= ~4-5. New
+# queries outrank age refreshes for slots, as always.
 
 def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

@@ -34,6 +34,81 @@ from dataweb_spark.catalog.model import DataConnection, DataSource
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+_FLOATS = ("float", "double")
+
+
+def _forward_order_key(source: DataSource, ocol: str, odir: str,
+                       onulls: str, ltype: str | None
+                       ) -> tuple[str, str, str] | None:
+    """Rewrite ONE logical sort key into the physical ``(col, dir,
+    nulls)`` an engine may apply directly, or None (keep the row path).
+
+    Soundness has two stages — the local sort value is
+    ``CAST(transform(x) AS ltype)`` over the engine's raw column ``x``,
+    and the engine's per-source ORDER must be a refinement-up-to-ties of
+    that (ties are fine: the merge re-sorts):
+
+    * **transform**: identity, or a strictly monotone affine map
+      ``a·x + b`` (order preserved bijectively — unlike the filter case
+      there is no widening hazard on the ORDER itself). The direction
+      flips on negative slope; NULLS placement is positional, so the
+      clause carries over unchanged (affine arithmetic maps NULL→NULL
+      and nothing else to NULL). Two float-semantics hazards gate the
+      affine form: (1) integral wrap — Spark's non-ANSI int·int
+      arithmetic wraps silently, breaking monotonicity, so the template
+      must compute in float/double (``affine_float_chain``); (2) NaN —
+      every engine we render to sorts NaN greater than all values, and
+      an order-REVERSING map keeps NaN at NaN (greatest), so under a
+      flipped direction a NaN row the local order wants FIRST sits LAST
+      in the engine's stream (under-fetch). Hence flip is allowed only
+      for NaN-free physical types (integers/date), and float/double
+      physicals forward on positive slope only. The logical type must be
+      float/double (the cast from the double-computed transform is then
+      monotone and never NULLs).
+    * **cast**: for identity transforms, ``order_cast_stable`` — the
+      declared physical type (or, undeclared, the entity's own shape)
+      must cast to the logical type order-preservingly; an
+      order-changing cast (numerics stored in varchar, engine collation)
+      makes the engine's top-k silently under-fetch, which — unlike a
+      filter, which re-runs locally — is unrecoverable.
+    """
+    from dataweb_spark.catalog.model import (
+        _affine_coeffs,
+        _canon_type,
+        affine_float_chain,
+        order_cast_stable,
+    )
+    m = source.mapping_for(ocol, ci=True)
+    if m is None:
+        return None
+    path = source.field_path(m.field)
+    if not _IDENT.match(path):
+        return None
+    ptype = _canon_type(source.field_type(m.field))
+    t = m.transformation
+    if t.is_identity:
+        if not order_cast_stable(ptype, ltype):
+            return None
+        return path, odir, onulls
+    if _canon_type(ltype) not in _FLOATS:
+        return None
+    if ptype is not None and ptype not in (
+            "tinyint", "smallint", "int", "bigint", "float", "double"
+            ) and not ptype.startswith("decimal"):
+        return None  # non-numeric storage: affine order math is undefined
+    phys_is_float = (ptype in _FLOATS if ptype is not None
+                     else True)  # undeclared: entity shape = float/double
+    coeffs = _affine_coeffs(t.other_to_local)
+    if coeffs is None or coeffs[0] == 0:
+        return None
+    if not affine_float_chain(t.other_to_local, phys_is_float):
+        return None
+    if coeffs[0] < 0:
+        if phys_is_float:
+            return None  # NaN would move ends under the flip
+        odir = "DESC" if odir == "ASC" else "ASC"
+    return path, odir, onulls
+
 
 def _pushdown_parts(source: DataSource, conjuncts: list | None,
                     limit: int | None, referenced: set[str] | None,
@@ -63,9 +138,13 @@ def _pushdown_parts(source: DataSource, conjuncts: list | None,
       conjuncts, every kept conjunct pushed through an IDENTITY mapping
       (an affine-inverted conjunct pushes with WIDENED bounds — float
       safety — and a widened filter under-fetches a per-source top-k),
-      and every sort column identity-mapped (a transformation could
-      change sort order). ``order_by`` given but not forwardable also
-      KILLS the bare limit: a limit without the order is the wrong rows.
+      and every sort column order-provable per ``_forward_order_key``:
+      identity-mapped with an order-stable cast, or behind a strictly
+      monotone affine transform (direction flips on negative slope).
+      ``order_by`` given but not forwardable also KILLS the bare limit:
+      a limit without the order is the wrong rows. Keys are ``(col,
+      dir, nulls, logical_type)`` 4-tuples — a 3-tuple (legacy caller)
+      carries no type evidence and never forwards.
 
     A non-trivial ``source_sql`` disables everything — it runs OVER the
     fetched frame, so mapped paths name ITS output, not the engine's.
@@ -131,16 +210,15 @@ def _pushdown_parts(source: DataSource, conjuncts: list | None,
     if order_by and limit is not None and not has_perms \
             and not dropped and not inexact_push:
         phys = []
-        for ocol, odir, onulls in order_by:
-            m = source.mapping_for(ocol)
-            if m is None or not m.transformation.is_identity:
+        for okey in order_by:
+            ocol, odir, onulls, oltype = (okey if len(okey) == 4
+                                          else (*okey, None))
+            rewritten = _forward_order_key(source, ocol, odir, onulls,
+                                           oltype)
+            if rewritten is None:
                 phys = None
                 break
-            path = source.field_path(m.field)
-            if not _IDENT.match(path):
-                phys = None
-                break
-            phys.append((path, odir, onulls))
+            phys.append(rewritten)
         eff_order = phys
 
     # LIMIT is forwarded only when the pushed filter is COMPLETE: a single

@@ -589,8 +589,8 @@ def test_render_select_order_by_and_limit():
 
 
 def test_pushdown_parts_order_fact_conditions():
-    from dataweb_spark.catalog.model import (DataSource, Mapping,
-                                             SourcePermission,
+    from dataweb_spark.catalog.model import (DataField, DataSource,
+                                             Mapping, SourcePermission,
                                              Transformation)
 
     def src(**kw):
@@ -602,11 +602,15 @@ def test_pushdown_parts_order_fact_conditions():
         return DataSource(**d)
 
     from dataweb_spark.sources.readers import _pushdown_parts
-    ob = [("a", "DESC", "NULLS LAST")]
+    ob = [("a", "DESC", "NULLS LAST", "double")]
     # clean identity source: order + limit forwarded, renamed physical
     *_, lim, _, order = _pushdown_parts(src(), [("b", "<", 9)], 5,
                                         None, ob)
     assert order == [("pa", "DESC", "NULLS LAST")] and lim == 5
+    # a key with no type evidence (legacy 3-tuple) never forwards
+    *_, lim, _, order = _pushdown_parts(src(), None, 5, None,
+                                        [("a", "DESC", "NULLS LAST")])
+    assert order is None and lim is None
     # permissioned source: peer stream is a superset — neither forwards
     p = src(default_permission=SourcePermission(frozenset(["pa", "pb"]),
                                                 "pa < 100"))
@@ -618,16 +622,113 @@ def test_pushdown_parts_order_fact_conditions():
                               Transformation("{v} * 100", "{v} / 100"))])
     *_, lim, _, order = _pushdown_parts(t, [("b", "<", 9)], 5, None, ob)
     assert order is None and lim is None
-    # transformed SORT column: order dies even with no conjuncts
-    t2 = src(mappings=[Mapping("a", "pa",
-                               Transformation("{v} * 100", "{v} / 100")),
-                       Mapping("b", "pb")])
-    *_, lim, _, order = _pushdown_parts(t2, None, 5, None, ob)
-    assert order is None and lim is None
     # dropped (unmapped) conjunct: everything dies
     *_, lim, _, order = _pushdown_parts(src(), [("z", "<", 9)], 5,
                                         None, ob)
     assert order is None and lim is None
+
+
+def test_pushdown_parts_order_through_transforms():
+    """r14: the order fact survives strictly monotone affine mappings —
+    the reference's flagship ``{v} * 100`` entity shape
+    (``deploy/development/na_us_data_relay/.../lineitem_mappings.yaml``)
+    — flipping direction on negative slope; every unprovable shape keeps
+    the row path."""
+    from dataweb_spark.catalog.model import (DataField, DataSource,
+                                             Mapping, Transformation)
+    from dataweb_spark.sources.readers import _pushdown_parts
+
+    def src(t, ptype=None, info="a"):
+        fields = [DataField("pa", "pa", ptype)] if ptype else []
+        return DataSource(
+            name="s", connection="c", entity="e",
+            source_sql="select * from {table}", fields=fields,
+            mappings=[Mapping(info, "pa", t), Mapping("b", "pb")],
+            options={})
+
+    ob = [("a", "DESC", "NULLS LAST", "double")]
+    aff = Transformation("{v} * 100", "{v} / 100")
+    # positive slope over float/double storage: same direction forwards
+    *_, lim, _, order = _pushdown_parts(src(aff), None, 5, None, ob)
+    assert order == [("pa", "DESC", "NULLS LAST")] and lim == 5
+    # negative slope over float storage: NaN would switch ends — refuse
+    neg = Transformation("{v} * -100", "{v} / -100")
+    *_, lim, _, order = _pushdown_parts(src(neg), None, 5, None, ob)
+    assert order is None and lim is None
+    # negative slope over declared-integer storage, float-promoted
+    # arithmetic: flips ASC<->DESC, NULLS placement stays positional
+    negf = Transformation("{v} * -1.0", "{v} / -1.0")
+    *_, lim, _, order = _pushdown_parts(src(negf, "bigint"), None, 5,
+                                        None, ob)
+    assert order == [("pa", "ASC", "NULLS LAST")] and lim == 5
+    # integer-only arithmetic chain can WRAP (non-ANSI int mult): refuse
+    *_, lim, _, order = _pushdown_parts(src(aff, "bigint"), None, 5,
+                                        None, ob)
+    assert order is None and lim is None
+    # ... but a division promotes to double at the first op: forwards
+    divt = Transformation("{v} / 100", "{v} * 100")
+    *_, lim, _, order = _pushdown_parts(src(divt, "bigint"), None, 5,
+                                        None, ob)
+    assert order == [("pa", "DESC", "NULLS LAST")] and lim == 5
+    # non-affine transform: refuse
+    sq = Transformation("({v}) * ({v})", "{v}")
+    *_, lim, _, order = _pushdown_parts(src(sq), None, 5, None, ob)
+    assert order is None and lim is None
+    # affine to a non-float LOGICAL type: cast could overflow-null/
+    # wrap — refuse
+    *_, lim, _, order = _pushdown_parts(
+        src(aff), None, 5, None, [("a", "DESC", "NULLS LAST", "bigint")])
+    assert order is None and lim is None
+    # kept conjunct on ANOTHER identity column rides along
+    *_, lim, _, order = _pushdown_parts(src(aff), [("b", "<", 9)], 5,
+                                        None, ob)
+    assert order == [("pa", "DESC", "NULLS LAST")] and lim == 5
+    # case-insensitive info lookup (Spark resolution semantics)
+    *_, lim, _, order = _pushdown_parts(
+        src(aff, info="A_col"), None, 5, None,
+        [("a_COL", "DESC", "NULLS LAST", "double")])
+    assert order == [("pa", "DESC", "NULLS LAST")] and lim == 5
+
+
+def test_pushdown_parts_order_cast_stability():
+    """ADVICE r13 (medium): an order-CHANGING cast between the engine's
+    declared storage type and the entity type silently under-fetches a
+    forwarded top-k — the gate must refuse; order-preserving widenings
+    forward."""
+    from dataweb_spark.catalog.model import (DataField, DataSource,
+                                             Mapping, order_cast_stable)
+    from dataweb_spark.sources.readers import _pushdown_parts
+
+    def src(ptype):
+        return DataSource(
+            name="s", connection="c", entity="e",
+            source_sql="select * from {table}",
+            fields=[DataField("pa", "pa", ptype)],
+            mappings=[Mapping("a", "pa")], options={})
+
+    def fwd(ptype, ltype):
+        *_, _, _, order = _pushdown_parts(
+            src(ptype), None, 5, None,
+            [("a", "ASC", "NULLS FIRST", ltype)])
+        return order is not None
+
+    # the ADVICE's exact case: numerics stored in a varchar column sort
+    # lexicographically engine-side ('10' < '9') — refuse
+    assert not fwd("varchar", "bigint")
+    assert not fwd("string", "double")
+    # identical + widening numeric storage forwards
+    assert fwd("bigint", "bigint") and fwd("int", "bigint")
+    assert fwd("int", "double") and fwd("float", "double")
+    assert fwd("date", "timestamp")
+    # narrowing (possible overflow->NULL / wrap) refuses
+    assert not fwd("bigint", "int") and not fwd("double", "float")
+    assert not fwd("double", "bigint")
+    # undeclared physical = entity-shape contract: self-stable forwards
+    assert order_cast_stable(None, "string")
+    assert order_cast_stable(None, "decimal(12,2)")
+    assert not order_cast_stable(None, "array<int>")
+    assert not order_cast_stable(None, None)
+    assert not order_cast_stable("binary", "binary")
 
 
 def test_extract_order_limit_shapes(spark):
@@ -636,13 +737,16 @@ def test_extract_order_limit_shapes(spark):
     ol = extract_order_limit(
         spark, "select quantity as q, orderkey from items "
                "where quantity < 9 order by q desc, 2, returnflag limit 4",
-        "items")
+        "items",
+        entity_types={"Quantity": "double", "orderkey": "bigint"})
     assert ol is not None
     keys, k = ol
     assert k == 4
-    assert keys == [("quantity", "DESC", "NULLS LAST"),
-                    ("orderkey", "ASC", "NULLS FIRST"),
-                    ("returnflag", "ASC", "NULLS FIRST")]
+    # keys surface in the entity's DECLARED case with its type; a column
+    # the entity doesn't declare carries None (and never forwards)
+    assert keys == [("Quantity", "DESC", "NULLS LAST", "double"),
+                    ("orderkey", "ASC", "NULLS FIRST", "bigint"),
+                    ("returnflag", "ASC", "NULLS FIRST", None)]
     # a filter that does NOT fully decompose (OR) kills the fact: the
     # pushed conjuncts would under-filter and the per-source top-k would
     # under-fetch

@@ -1267,3 +1267,228 @@ def test_topk_limit_offset(spark, peer_server, edge_gateway):
     assert extract_topk_query(
         spark, "select partkey from lineitem order by partkey "
                "limit 5 offset -1", "lineitem") is None
+
+
+# ---------------------------------------------------------------------------
+# r14: top-k through affine mappings + grouped top-k pushdown
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def transformed_gateway(spark, peer_server):
+    """Edge relay viewing the peer's lineitem through non-identity
+    affine mappings — the reference's flagship ``{v} * 100`` shape."""
+    from dataweb_spark.catalog.model import DataField, Information, \
+        Transformation
+    edge = RelayCatalog(name="edge_pd_t")
+    edge.add_entity(Entity("priced_items", [
+        Information("price_cents", "double"),
+        Information("neg_line", "double"),
+        Information("partkey", "bigint"),
+        Information("suppkey", "bigint"),
+        Information("linenumber", "bigint"),
+        Information("quantity", "double"),
+    ]))
+    edge.add_connection(DataConnection(
+        "peer_flight", "flight", {"port": str(peer_server.port)}))
+    edge.add_source(DataSource(
+        name="priced_peer", connection="peer_flight",
+        entity="priced_items",
+        source_sql="select * from {table}",
+        fields=[DataField("extendedprice", "extendedprice", "double"),
+                DataField("linenumber", "linenumber", "bigint")],
+        mappings=[
+            Mapping("price_cents", "extendedprice",
+                    Transformation("{v} * 100", "{v} / 100")),
+            Mapping("neg_line", "linenumber",
+                    Transformation("{v} * -1.0", "{v} / -1.0")),
+            Mapping("partkey", "partkey"),
+            Mapping("suppkey", "suppkey"),
+            Mapping("linenumber", "linenumber"),
+            Mapping("quantity", "quantity"),
+        ],
+        options={"entity": "lineitem", "mode": "engine"}))
+    web = Web()
+    web.add_relay(edge)
+    return QueryGateway(spark, web, "edge_pd_t")
+
+
+_TOPK_T_SQL = ("select price_cents, partkey, suppkey, linenumber, "
+               "quantity from priced_items where quantity >= 30 "
+               "order by price_cents desc, neg_line asc, partkey, "
+               "suppkey, quantity limit 9")
+
+
+def test_topk_through_affine_mapping_bounds_transfer(
+        spark, peer_server, transformed_gateway):
+    """r14 served-rows proof: the ORDER BY + LIMIT fact survives the
+    non-identity (but strictly monotone affine) mappings — the peer
+    receives physical-column keys (direction flipped for the negative
+    slope) and ships ≤ k rows per endpoint; answers match the row
+    path."""
+    before = peer_server.served_rows
+    fast = [tuple(r) for r in transformed_gateway.query(
+        _TOPK_T_SQL).collect()]
+    shipped = peer_server.served_rows - before
+
+    before = peer_server.served_rows
+    slow = [tuple(r) for r in transformed_gateway.query(
+        _TOPK_T_SQL, topk_pushdown=False).collect()]
+    shipped_rows = peer_server.served_rows - before
+
+    assert sorted(fast) == sorted(slow) and len(fast) == 9
+    assert 0 < shipped <= 2 * 9
+    assert shipped < shipped_rows
+
+
+def test_topk_affine_negative_slope_flips_direction():
+    """The flip itself, pinned at the renderer boundary: neg_line ASC
+    (physical ``linenumber * -1.0``) must reach the peer as
+    ``linenumber DESC`` with the NULLS clause positionally intact."""
+    from dataweb_spark.catalog.model import DataField, Transformation
+    from dataweb_spark.sources.readers import _peer_sql
+    src = DataSource(
+        name="s", connection="c", entity="priced_items",
+        source_sql="select * from {table}",
+        fields=[DataField("linenumber", "linenumber", "bigint")],
+        mappings=[Mapping("neg_line", "linenumber",
+                          Transformation("{v} * -1.0", "{v} / -1.0"))],
+        options={"entity": "lineitem"})
+    sql, _ = _peer_sql(src, None, 5, None,
+                       order_by=[("neg_line", "ASC", "NULLS LAST",
+                                  "double")])
+    assert "ORDER BY linenumber DESC NULLS LAST" in sql
+    assert sql.endswith("LIMIT 5")
+
+
+_GROUPED_SQL = """
+select returnflag, linestatus, extendedprice, partkey, suppkey,
+       linenumber, quantity, rk
+from (select returnflag, linestatus, extendedprice, partkey, suppkey,
+             linenumber, quantity,
+             row_number() over (partition by returnflag, linestatus
+                                order by extendedprice desc, partkey,
+                                         suppkey, linenumber, quantity
+                                ) as rk
+      from lineitem where quantity >= 30) t
+where rk <= 3
+"""
+
+
+def test_grouped_topk_extractor_accepts_and_describes(spark):
+    from dataweb_spark.plans.topk import extract_grouped_topk
+    s = extract_grouped_topk(spark, _GROUPED_SQL, "lineitem")
+    assert s is not None
+    assert s.fn == "row_number" and s.bound == 3 and s.op == "<="
+    assert s.partition == ["returnflag", "linestatus"]
+    assert s.rank_alias == "rk" and s.hidden == []
+    assert "row_number() OVER (PARTITION BY returnflag" in s.forward_sql
+    assert "<= 3" in s.forward_sql
+    # rank()/dense_rank(), `<`, hidden partition column, literal-first
+    s2 = extract_grouped_topk(
+        spark,
+        "select orderkey, extendedprice from (select orderkey, "
+        "extendedprice, rank() over (partition by returnflag "
+        "order by extendedprice desc) as r from lineitem) where 4 > r",
+        "lineitem")
+    assert s2 is not None and s2.fn == "rank" and s2.bound == 3
+    assert s2.op == "<" and s2.hidden == ["returnflag"]
+    assert s2.partition == ["returnflag"]
+
+
+def test_grouped_topk_extractor_rejects_unsafe_shapes(spark):
+    from dataweb_spark.plans.topk import extract_grouped_topk
+
+    def no(sql):
+        assert extract_grouped_topk(spark, sql, "lineitem") is None, sql
+
+    base = ("select orderkey, r from (select orderkey, {win} as r "
+            "from lineitem) where r <= 2")
+    # only dense-rank-family functions are per-source replayable
+    no(base.format(win="ntile(4) over (partition by returnflag "
+                       "order by extendedprice)"))
+    no(base.format(win="sum(quantity) over (partition by returnflag "
+                       "order by extendedprice)"))
+    # explicit frames change semantics
+    no(base.format(win="row_number() over (partition by returnflag "
+                       "order by extendedprice rows between unbounded "
+                       "preceding and current row)"))
+    # no partition: the flat top-k's job, per-group law doesn't apply
+    no(base.format(win="row_number() over (order by extendedprice)"))
+    # rank without ORDER BY / expression keys / shadowed lateral alias
+    no(base.format(win="row_number() over (partition by returnflag)"))
+    no(base.format(win="row_number() over (partition by returnflag "
+                       "order by extendedprice + 1)"))
+    no("select q, r from (select quantity as q, row_number() over "
+       "(partition by returnflag order by q) as r from lineitem) "
+       "where r <= 2")
+    # two windows; filter on a non-rank column; >= lower bound;
+    # aggregate below; outer star; outer expression
+    no("select orderkey, r from (select orderkey, row_number() over "
+       "(partition by returnflag order by extendedprice) as r, "
+       "rank() over (partition by returnflag order by quantity) as r2 "
+       "from lineitem) where r <= 2")
+    no("select orderkey, r from (select orderkey, quantity, "
+       "row_number() over (partition by returnflag order by "
+       "extendedprice) as r from lineitem) where quantity <= 2")
+    no("select orderkey, r from (select orderkey, row_number() over "
+       "(partition by returnflag order by extendedprice) as r "
+       "from lineitem) where r >= 2")
+    no("select orderkey, r from (select orderkey, row_number() over "
+       "(partition by returnflag order by extendedprice) as r "
+       "from (select * from lineitem group by all)) where r <= 2")
+    no("select * from (select orderkey, row_number() over (partition "
+       "by returnflag order by extendedprice) as r from lineitem) "
+       "where r <= 2")
+    no("select orderkey + 1 as o2, r from (select orderkey, "
+       "row_number() over (partition by returnflag order by "
+       "extendedprice) as r from lineitem) where r <= 2")
+    # DISTINCT / bound below 1 / partition by the rank alias itself
+    no("select distinct orderkey, r from (select orderkey, row_number()"
+       " over (partition by returnflag order by extendedprice) as r "
+       "from lineitem) where r <= 2")
+    no("select orderkey, r from (select orderkey, row_number() over "
+       "(partition by returnflag order by extendedprice) as r "
+       "from lineitem) where r < 1")
+    no("select orderkey, r from (select orderkey, row_number() over "
+       "(partition by r order by extendedprice) as r from lineitem) "
+       "where r <= 2")
+
+
+def test_grouped_topk_bounds_transfer_same_answer(
+        spark, peer_server, edge_gateway):
+    """Served-rows proof for the grouped form: each peer endpoint ships
+    at most n rows per group, and the merged answer matches the row
+    path exactly."""
+    groups = 6  # distinct (returnflag, linestatus) pairs in TPC-H
+    before = peer_server.served_rows
+    fast = [tuple(r) for r in edge_gateway.query(_GROUPED_SQL).collect()]
+    shipped = peer_server.served_rows - before
+
+    before = peer_server.served_rows
+    slow = [tuple(r) for r in edge_gateway.query(
+        _GROUPED_SQL, topk_pushdown=False).collect()]
+    shipped_rows = peer_server.served_rows - before
+
+    assert sorted(fast) == sorted(slow) and len(fast) > 0
+    assert 0 < shipped <= 2 * groups * 3
+    assert shipped < shipped_rows
+
+
+def test_grouped_topk_hidden_partition_end_to_end(spark, peer_server,
+                                                  edge_gateway):
+    """Unprojected partition/order columns ship as extra columns and are
+    dropped after the merge; answers match the row path."""
+    q = ("select orderkey, partkey, suppkey, linenumber, rk "
+         "from (select orderkey, partkey, suppkey, linenumber, "
+         "rank() over (partition by returnflag, linestatus "
+         "order by extendedprice desc, orderkey asc nulls first, "
+         "partkey, suppkey, linenumber) as rk "
+         "from lineitem where quantity >= 30) where rk = 2")
+    fast = edge_gateway.query(q)
+    frows = [tuple(r) for r in fast.collect()]
+    slow = [tuple(r) for r in edge_gateway.query(
+        q, topk_pushdown=False).collect()]
+    assert sorted(map(repr, frows)) == sorted(map(repr, slow))
+    assert fast.columns == ["orderkey", "partkey", "suppkey",
+                            "linenumber", "rk"]
+    assert len(frows) > 0
