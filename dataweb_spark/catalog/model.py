@@ -185,65 +185,123 @@ def _affine_coeffs(template: str):
 IDENTITY = Transformation()
 
 
-def affine_float_chain(template: str, phys_is_float: bool) -> bool:
-    """True iff every arithmetic step of the affine ``template`` that
-    touches the ``{v}`` operand provably happens in FLOAT/DOUBLE — i.e.
-    the computed value can never wrap an integral type.
+def affine_order_safe(template: str, vtype: str) -> bool:
+    """True iff evaluating the affine ``template`` over a column of
+    Spark type ``vtype`` ("int" = any integral family, "double" = any
+    float family, or "decimal(p,s)") provably never WRAPS, never
+    OVERFLOWS a decimal to NULL, and never loses the integral part —
+    i.e. the computed value is a monotone (up to rounding ties) image of
+    the input with NULL↔NULL exactly. This is the premise the federated
+    ORDER BY forward (``sources/readers._forward_order_key``) rests on.
 
-    Spark's binary arithmetic stays integral when both operands are
-    integral (``int * int`` wraps silently at the type width under
-    non-ANSI evaluation), which breaks the monotonicity argument the
-    federated ORDER BY forward (``sources/readers._pushdown_parts``)
-    rests on. The chain is float-safe when the physical column itself is
-    float/double (every subsequent op promotes through double), or when
-    the FIRST operation applied to the ``{v}`` subtree is a true
-    division (Spark ``/`` always yields double) or pairs it with a
-    float-literal constant — after that first promotion every later op
-    is double arithmetic, which is wrap-free (overflow saturates to
-    ±inf, preserving order non-strictly).
+    The check propagates SPARK's arithmetic typing bottom-up over the
+    template AST, with literals typed the way Spark's SQL parser types
+    them — ``1e2`` is DOUBLE, ``-1.0``/``0.1`` are DECIMAL (a python
+    float test would mistake them for doubles; decimal arithmetic can
+    silently NULL on precision-38 overflow under non-ANSI evaluation,
+    review-caught r14), bare digits are integral:
+
+    * double anywhere → double from there on (wrap-free; overflow
+      saturates to ±inf preserving order non-strictly);
+    * decimal involved → Spark's DecimalType result rules (integrals
+      promote at bigint width 20,0); result precision > 38 is REFUSED —
+      allowPrecisionLoss would round (monotone, fine) but can also NULL
+      the value when the integral part no longer fits;
+    * integral op integral stays integral and can wrap at the type
+      width under non-ANSI evaluation → refused, EXCEPT true division,
+      which Spark always computes as double.
     """
     import ast
 
-    if phys_is_float:
-        return True
     if template.count("{v}") != 1:
         return False
+    src = template.replace("{v}", "__v__")
     try:
-        tree = ast.parse(template.replace("{v}", "__v__"), mode="eval")
+        tree = ast.parse(src, mode="eval")
     except SyntaxError:
         return False
 
-    def _contains_v(node) -> bool:
-        return any(isinstance(n, ast.Name) and n.id == "__v__"
-                   for n in ast.walk(node))
+    DOUBLE, INT = ("double",), ("int",)
 
-    def _is_float_const(node) -> bool:
-        # unary +/- over a float literal is still a float constant
-        while isinstance(node, ast.UnaryOp) and isinstance(
+    def lit_type(node) -> tuple | None:
+        text = ast.get_source_segment(src, node)
+        if text is None:
+            return None
+        t = text.strip().lower()
+        if "e" in t:
+            return DOUBLE
+        if "." in t:
+            digits = t.lstrip("+-").replace(".", "").lstrip("0") or "0"
+            frac = t.split(".", 1)[1]
+            return ("decimal", max(len(digits), 1), len(frac))
+        return INT
+
+    def vtype_tuple() -> tuple | None:
+        t = vtype.strip().lower()
+        if t == "double":
+            return DOUBLE
+        if t == "int":
+            return INT
+        if t.startswith("decimal"):
+            import re as _re
+            m = _re.match(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", t)
+            if not m:
+                return None
+            return ("decimal", int(m.group(1)), int(m.group(2)))
+        return None
+
+    def as_decimal(t: tuple) -> tuple:
+        # Spark promotes integrals to DecimalType(20, 0) (bigint width)
+        return t if t[0] == "decimal" else ("decimal", 20, 0)
+
+    def combine(op, lt: tuple, rt: tuple) -> tuple | None:
+        if lt == DOUBLE or rt == DOUBLE:
+            return DOUBLE
+        if isinstance(op, ast.Div):
+            if lt == INT and rt == INT:
+                return DOUBLE  # Spark `/` over integrals is double
+            (_, p1, s1), (_, p2, s2) = as_decimal(lt), as_decimal(rt)
+            s = max(6, s1 + p2 + 1)
+            p = p1 - s1 + s2 + s
+        elif lt == INT and rt == INT:
+            return None  # integral arithmetic: silent wrap hazard
+        else:
+            (_, p1, s1), (_, p2, s2) = as_decimal(lt), as_decimal(rt)
+            if isinstance(op, ast.Mult):
+                p, s = p1 + p2 + 1, s1 + s2
+            else:  # Add / Sub
+                s = max(s1, s2)
+                p = max(p1 - s1, p2 - s2) + s + 1
+        if p > 38:
+            return None  # precision loss can NULL the integral part
+        return "decimal", p, s
+
+    def typ(node) -> tuple | None:
+        if isinstance(node, ast.Expression):
+            return typ(node.body)
+        if isinstance(node, ast.Name) and node.id == "__v__":
+            return vtype_tuple()
+        if isinstance(node, ast.Constant):
+            return lit_type(node)
+        if isinstance(node, ast.UnaryOp) and isinstance(
                 node.op, (ast.UAdd, ast.USub)):
-            node = node.operand
-        return (isinstance(node, ast.Constant)
-                and isinstance(node.value, float))
+            t = typ(node.operand)
+            # unary negate of an integral wraps only at the exact type
+            # minimum; the affine gate already requires a float/decimal
+            # chain for non-identity transforms, so refuse bare -int({v})
+            if t == INT and isinstance(node.op, ast.USub) and any(
+                    isinstance(n, ast.Name) for n in ast.walk(node)):
+                return None
+            return t
+        if isinstance(node, ast.BinOp) and isinstance(
+                node.op, (ast.Add, ast.Sub, ast.Mult, ast.Div)):
+            lt, rt = typ(node.left), typ(node.right)
+            if lt is None or rt is None:
+                return None
+            return combine(node.op, lt, rt)
+        return None
 
-    # walk down to the first BinOp whose subtree contains {v}; unary ops
-    # over an integral {v} are integral (and unary negate wraps only at
-    # the type minimum — conservatively require a float op first)
-    node = tree.body
-    while True:
-        if isinstance(node, ast.Name):  # bare "{v}": identity, no ops
-            return True
-        if isinstance(node, ast.BinOp):
-            v_left = _contains_v(node.left)
-            v_side = node.left if v_left else node.right
-            other = node.right if v_left else node.left
-            if isinstance(v_side, ast.Name):
-                # the first op on {v} itself: Div promotes to double;
-                # a float constant operand promotes too
-                return (isinstance(node.op, ast.Div)
-                        or _is_float_const(other))
-            node = v_side
-            continue
-        return False
+    return typ(tree) is not None
 
 
 # Logical (entity) types whose ordering this relay's rendered engines —

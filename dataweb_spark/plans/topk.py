@@ -114,9 +114,10 @@ def _project_output_names(project) -> list[str] | None:
     """Output column names of a Project node; None when any item has no
     statically-knowable name (stars, un-aliased expressions), embeds a
     construct that breaks per-source replay (windows, subqueries), or
-    DUPLICATES another output name — the merge's re-projection would
-    raise ``AMBIGUOUS_REFERENCE`` anyway (so would the row path on the
-    same SQL), but bailing here surfaces the error at its source."""
+    DUPLICATES another output name — Spark itself allows duplicate
+    SELECT output names, but the merge's by-name re-projection would
+    raise ``AMBIGUOUS_REFERENCE``, so the duplicate-alias query keeps
+    the row path (where it runs, or fails, exactly as plain Spark)."""
     names: list[str] = []
     items = project.projectList()
     for i in range(items.size()):
@@ -843,7 +844,8 @@ def extract_grouped_topk(spark: SparkSession, sql: str,
             out_name = ship_hidden(so.child(), col_sql)
             if out_name is None:
                 return None
-        order.append((f"`{out_name}`", direction, nulls))
+        order.append(("`" + out_name.replace("`", "``") + "`",
+                      direction, nulls))
         order_sqls.append(f"{col_sql} {direction} {nulls}")
 
     # below the inner Project: Filter* ending at the entity (simple

@@ -54,17 +54,22 @@ def _forward_order_key(source: DataSource, ocol: str, odir: str,
       flips on negative slope; NULLS placement is positional, so the
       clause carries over unchanged (affine arithmetic maps NULL→NULL
       and nothing else to NULL). Two float-semantics hazards gate the
-      affine form: (1) integral wrap — Spark's non-ANSI int·int
-      arithmetic wraps silently, breaking monotonicity, so the template
-      must compute in float/double (``affine_float_chain``); (2) NaN —
+      affine form: (1) numeric-semantics breakage — Spark's non-ANSI
+      int·int arithmetic wraps silently and a decimal chain past
+      precision 38 can NULL its value, both breaking monotonicity, so
+      the template's SPARK-typed evaluation must be provably wrap- and
+      overflow-free (``affine_order_safe``); (2) NaN —
       every engine we render to sorts NaN greater than all values, and
       an order-REVERSING map keeps NaN at NaN (greatest), so under a
       flipped direction a NaN row the local order wants FIRST sits LAST
       in the engine's stream (under-fetch). Hence flip is allowed only
-      for NaN-free physical types (integers/date), and float/double
+      for NaN-free physical types (integers/decimals), and float/double
       physicals forward on positive slope only. The logical type must be
-      float/double (the cast from the double-computed transform is then
-      monotone and never NULLs).
+      float/double (the cast from the transform's double/decimal result
+      is then monotone and never NULLs). Hazard (1) is checked with
+      SPARK's literal typing — ``-1.0`` is a DECIMAL literal, not a
+      double, and decimal chains are safe only while their propagated
+      precision stays ≤ 38 (``affine_order_safe``, review-caught r14).
     * **cast**: for identity transforms, ``order_cast_stable`` — the
       declared physical type (or, undeclared, the entity's own shape)
       must cast to the logical type order-preservingly; an
@@ -75,7 +80,7 @@ def _forward_order_key(source: DataSource, ocol: str, odir: str,
     from dataweb_spark.catalog.model import (
         _affine_coeffs,
         _canon_type,
-        affine_float_chain,
+        affine_order_safe,
         order_cast_stable,
     )
     m = source.mapping_for(ocol, ci=True)
@@ -101,7 +106,13 @@ def _forward_order_key(source: DataSource, ocol: str, odir: str,
     coeffs = _affine_coeffs(t.other_to_local)
     if coeffs is None or coeffs[0] == 0:
         return None
-    if not affine_float_chain(t.other_to_local, phys_is_float):
+    if phys_is_float:
+        vtype = "double"
+    elif ptype.startswith("decimal"):
+        vtype = ptype
+    else:
+        vtype = "int"
+    if not affine_order_safe(t.other_to_local, vtype):
         return None
     if coeffs[0] < 0:
         if phys_is_float:

@@ -589,8 +589,8 @@ def test_render_select_order_by_and_limit():
 
 
 def test_pushdown_parts_order_fact_conditions():
-    from dataweb_spark.catalog.model import (DataField, DataSource,
-                                             Mapping, SourcePermission,
+    from dataweb_spark.catalog.model import (DataSource, Mapping,
+                                             SourcePermission,
                                              Transformation)
 
     def src(**kw):
@@ -674,6 +674,25 @@ def test_pushdown_parts_order_through_transforms():
     sq = Transformation("({v}) * ({v})", "{v}")
     *_, lim, _, order = _pushdown_parts(src(sq), None, 5, None, ob)
     assert order is None and lim is None
+    # Spark types `-1.0`/`0.1` as DECIMAL literals, and decimal chains
+    # past propagated precision 38 can NULL their value (non-ANSI) —
+    # the review-pass exploit shape is pinned REFUSED even though a
+    # python-float reading of the literals would call it "float math"
+    wide = Transformation("({v} - 0.1) * 99999999999999999999.9", "{v}")
+    *_, lim, _, order = _pushdown_parts(src(wide, "bigint"), None, 5,
+                                        None, ob)
+    assert order is None and lim is None
+    # ... while bounded decimal chains (precision provably <= 38) and
+    # scientific-notation literals (genuinely DOUBLE in Spark) forward
+    e = Transformation("{v} * 1e2", "{v} / 1e2")
+    *_, lim, _, order = _pushdown_parts(src(e, "bigint"), None, 5,
+                                        None, ob)
+    assert order == [("pa", "DESC", "NULLS LAST")]
+    # declared decimal storage: exact, NaN-free — flips allowed
+    negd = Transformation("{v} * -1.0", "{v} / -1.0")
+    *_, lim, _, order = _pushdown_parts(src(negd, "decimal(12,2)"),
+                                        None, 5, None, ob)
+    assert order == [("pa", "ASC", "NULLS LAST")]
     # affine to a non-float LOGICAL type: cast could overflow-null/
     # wrap — refuse
     *_, lim, _, order = _pushdown_parts(
