@@ -22,7 +22,15 @@ no data is read, no peer is contacted — and returns one row per
 * ``forwarded_order`` — the federated top-k fact (``ORDER BY … LIMIT``
   rendered into engine SQL) when the query has the provable shape and
   the source passes the under-fetch gates (r13; mirrors execution:
-  the fact never crosses remote hops, and its limit dies with it).
+  the fact never crosses remote hops, and its limit dies with it);
+* ``forwarded_template`` + action ``forward-template`` (r14) — when the
+  single-entity query decomposes for the template path (partial
+  aggregates, flat top-k, grouped top-k) and this home-relay flight
+  source is a pure identity window (``gateway._forwardable_flight_peer``),
+  the EXACT template SQL the peer executes whole; the other sources'
+  rows then report the pushdown facts of that template (which is what
+  they replay), not of the user SQL — mirroring
+  ``gateway.query → query_template_union(forward_sql)``.
 
 Because it only calls pure decision functions, the report is exact by
 construction: the same inputs drive the real scan.
@@ -38,12 +46,48 @@ from dataweb_spark.catalog.model import Web
 
 EXPLAIN_COLUMNS = ["entity", "relay", "source", "kind", "action",
                    "pushed_sql", "pushed_filters", "projected",
-                   "forwarded_limit", "forwarded_order"]
+                   "forwarded_limit", "forwarded_order",
+                   "forwarded_template"]
+
+
+def _template_forward_sql(spark: SparkSession, web: Web, relay_name: str,
+                          entity_name: str, sql: str) -> str | None:
+    """The template SQL ``gateway.query`` would fan out per source when
+    the query decomposes — partial-aggregate, flat top-k, or grouped
+    top-k — and the entity has at least one whole-forwardable flight
+    peer; else None. Replays the gateway's own gating order exactly."""
+    from dataweb_spark.plans.gateway import _forwardable_flight_peer
+    relay = web.relay(relay_name)
+    entity = relay.entities.get(entity_name)
+    if entity is None:
+        return None
+    if not any(_forwardable_flight_peer(relay, s, entity_name) is not None
+               for s in relay.sources_for_entity(entity_name)):
+        return None
+    from dataweb_spark.plans.aggpush import extract_aggregate_query
+    spec = extract_aggregate_query(
+        spark, sql, entity_name,
+        entity_columns=set(entity.info_names()),
+        entity_types={i.name: i.data_type for i in entity.informations})
+    if spec is not None:
+        return spec.partial_sql()
+    from dataweb_spark.plans.topk import (
+        extract_grouped_topk,
+        extract_topk_query,
+    )
+    tspec = extract_topk_query(spark, sql, entity_name)
+    if tspec is not None:
+        return tspec.forward_sql
+    gspec = extract_grouped_topk(spark, sql, entity_name)
+    if gspec is not None:
+        return gspec.forward_sql
+    return None
 
 
 def explain_entity(spark: SparkSession, web: Web, relay_name: str,
                    entity_name: str, sql: str,
-                   principal: str | None = None) -> list[dict]:
+                   principal: str | None = None,
+                   single_entity: bool = False) -> list[dict]:
     """Rows for one entity's resolution under ``sql``'s pushdown facts."""
     from dataweb_spark.plans.pruning import (
         extract_entity_limit,
@@ -52,24 +96,34 @@ def explain_entity(spark: SparkSession, web: Web, relay_name: str,
         source_can_match,
     )
 
-    conjuncts = extract_entity_predicates(spark, sql, entity_name)
-    limit = extract_entity_limit(spark, sql, entity_name)
+    # mirror gateway.query: when the single-entity query decomposes for
+    # the template path, every source processes the FORWARD SQL — the
+    # report's pushdown facts come from it, and whole-forwardable flight
+    # peers receive it verbatim
+    template_sql = None
+    if single_entity:
+        template_sql = _template_forward_sql(spark, web, relay_name,
+                                             entity_name, sql)
+    eff_sql = template_sql if template_sql is not None else sql
+    conjuncts = extract_entity_predicates(spark, eff_sql, entity_name)
+    limit = extract_entity_limit(spark, eff_sql, entity_name)
     from dataweb_spark.plans.topk import extract_order_limit
     entity = web.relay(relay_name).entities.get(entity_name)
     order_limit = extract_order_limit(
-        spark, sql, entity_name,
+        spark, eff_sql, entity_name,
         entity_types=({i.name: i.data_type for i in entity.informations}
                       if entity is not None else None))
-    referenced = extract_referenced_columns(spark, sql)
+    referenced = extract_referenced_columns(spark, eff_sql)
     rows: list[dict] = []
     _walk(web, relay_name, entity_name, conjuncts, limit, referenced,
-          set(), rows, order_limit)
+          set(), rows, order_limit, template_sql)
     return rows
 
 
 def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
           limit, referenced, visited: set, rows: list[dict],
-          order_limit=None) -> None:
+          order_limit=None, template_sql: str | None = None) -> None:
+    from dataweb_spark.plans.gateway import _forwardable_flight_peer
     from dataweb_spark.plans.pruning import source_can_match
     from dataweb_spark.plans.resolve import (
         _map_conjuncts_through,
@@ -94,7 +148,7 @@ def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
                "source": source.name, "kind": kind, "action": "scan",
                "pushed_sql": None, "pushed_filters": None,
                "projected": None, "forwarded_limit": None,
-               "forwarded_order": None}
+               "forwarded_order": None, "forwarded_template": None}
         group = getattr(source, "replica_group", None)
         if group is not None and group in seen_groups:
             row["action"] = "replica-standby"
@@ -107,6 +161,14 @@ def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
             continue
         if group is not None:
             seen_groups.add(group)
+        if template_sql is not None and _forwardable_flight_peer(
+                relay, source, entity_name) is not None:
+            # identity flight peer: receives the template WHOLE
+            row["action"] = "forward-template"
+            row["forwarded_template"] = template_sql
+            row["pushed_sql"] = template_sql
+            rows.append(row)
+            continue
         ob = order_limit[0] if order_limit else None
         eff_lim_in = order_limit[1] if order_limit else limit
         cols, kept, eff_limit, projected, eff_order = _pushdown_parts(
@@ -158,7 +220,8 @@ def explain_federation(spark: SparkSession, web: Web, relay_name: str,
     for e in sorted(entities):
         if e in relay.entities:
             rows.extend(explain_entity(spark, web, relay_name, e, sql,
-                                       principal))
+                                       principal,
+                                       single_entity=len(entities) == 1))
     from pyspark.sql.types import (IntegerType, StringType, StructField,
                                    StructType)
     schema = StructType(

@@ -587,6 +587,10 @@ class GroupedTopKSpec:
     forward_sql: str = ""
     # union-frame columns fetched only for the re-window, dropped after
     hidden: list[str] = field(default_factory=list)
+    # presentational ORDER BY [LIMIT] above the rank filter: applied at
+    # the merge over the final ≤ n·groups·sources rows, never forwarded
+    final_order: list[tuple[str, str, str]] = field(default_factory=list)
+    final_limit: int | None = None
 
     def merge(self, union_df: DataFrame) -> DataFrame:
         from pyspark.sql import Window
@@ -607,8 +611,13 @@ class GroupedTopKSpec:
                 "<": rc < self.value,
                 "=": rc == self.value}[self.op]
         out = out.where(pred)
-        return out.select(*[F.col("`" + c.replace("`", "``") + "`")
-                            for c in self.output_cols])
+        out = out.select(*[F.col("`" + c.replace("`", "``") + "`")
+                           for c in self.output_cols])
+        if self.final_order:
+            out = out.orderBy(*_sort_columns(self.final_order))
+        if self.final_limit is not None:
+            out = out.limit(self.final_limit)
+        return out
 
 
 _RANK_FNS = ("row_number", "rank", "dense_rank")
@@ -650,13 +659,18 @@ def extract_grouped_topk(spark: SparkSession, sql: str,
     """Parse ``sql`` and return a :class:`GroupedTopKSpec` when it is a
     provably per-source-replayable top-n-per-group over ``entity``:
 
-    ``Project(bare outputs) -> Filter(rank_alias <= n) -> [SubqueryAlias]
+    ``[GlobalLimit(m) -> LocalLimit ->] [Sort(bare output keys) ->]
+    Project(bare outputs) -> Filter(rank_alias <= n) -> [SubqueryAlias]
     -> Project(items + exactly one Alias(row_number|rank|dense_rank OVER
     (PARTITION BY bare-cols ORDER BY bare-cols, default frame)))
     -> Filter* -> entity``
 
-    Window partition/order columns must be bare entity columns that are
-    NOT shadowed by a differently-sourced output alias (Spark's lateral
+    The optional top prefix is the common PRESENTATIONAL form (``…
+    where rk <= n ORDER BY g, rk [LIMIT m]``); its sort/limit never
+    forwards — it applies at the MERGE over the ≤ n·groups·sources
+    re-windowed rows, where it is trivially cheap. Window
+    partition/order columns must be bare entity columns that are NOT
+    shadowed by a differently-sourced output alias (Spark's lateral
     column aliasing would silently rebind them in the reconstructed
     query); columns absent from the inner SELECT ship as extra plain
     columns and are dropped after the merge. Anything unprovable returns
@@ -674,6 +688,41 @@ def extract_grouped_topk(spark: SparkSession, sql: str,
     if _count_entity_refs(jplan, entity) != 1:
         return None
 
+    # optional presentational GlobalLimit(m) -> LocalLimit prefix
+    final_limit: int | None = None
+    if _cls(jplan) == "GlobalLimit":
+        lim = jplan.limitExpr()
+        if _cls(lim) != "Literal":
+            return None
+        try:
+            final_limit = int(str(lim.value()))
+        except (TypeError, ValueError):
+            return None
+        if final_limit < 0:
+            return None
+        jplan = jplan.children().apply(0)
+        if _cls(jplan) != "LocalLimit" or jplan.children().size() != 1:
+            return None
+        jplan = jplan.children().apply(0)
+
+    # optional presentational Sort over the final output names
+    final_order_nodes = None
+    if _cls(jplan) == "Sort":
+        try:
+            if not bool(getattr(jplan, "global")()):
+                return None  # SORT BY: per-partition, not a total order
+        except Exception:
+            return None
+        final_order_nodes = jplan.order()
+        if jplan.children().size() != 1:
+            return None
+        jplan = jplan.children().apply(0)
+    elif final_limit is not None:
+        return None  # bare LIMIT over the rank filter: row path keeps
+        # LIMIT-without-ORDER's any-n-rows semantics in ONE engine; a
+        # merged multi-source any-n is also valid but needlessly
+        # different — and extract_entity_limit already handles it
+
     # outer Project: bare attributes only (merge re-projects by name)
     if _cls(jplan) != "Project":
         return None
@@ -686,6 +735,38 @@ def extract_grouped_topk(spark: SparkSession, sql: str,
             return None
     if jplan.children().size() != 1:
         return None
+
+    # presentational sort keys must be output names (or ordinals) —
+    # they run at the merge over the final frame, so nothing else is
+    # in scope there
+    final_order: list[tuple[str, str, str]] = []
+    if final_order_nodes is not None:
+        outputs_lc = {o.lower(): o for o in outputs}
+        for i in range(final_order_nodes.size()):
+            so = final_order_nodes.apply(i)
+            child = so.child()
+            try:
+                direction = str(so.direction().sql()).upper()
+                nulls = str(so.nullOrdering().sql()).upper()
+            except Exception:
+                return None
+            if _cls(child) == "UnresolvedOrdinal":
+                try:
+                    pos = int(str(child.ordinal()))
+                except Exception:
+                    return None
+                if not (1 <= pos <= len(outputs)):
+                    return None
+                name = outputs[pos - 1]
+            else:
+                a = _bare_attr(child)
+                if a is None or a.lower() not in outputs_lc:
+                    return None
+                name = outputs_lc[a.lower()]
+            final_order.append(("`" + name.replace("`", "``") + "`",
+                                direction, nulls))
+        if not final_order:
+            return None
 
     node = jplan.children().apply(0)
     if _cls(node) != "Filter":
@@ -895,4 +976,6 @@ def extract_grouped_topk(spark: SparkSession, sql: str,
     return GroupedTopKSpec(op=op, value=value, bound=bound, fn=fn,
                            partition=partition, order=order,
                            rank_alias=rank_alias, output_cols=outputs,
-                           forward_sql=fwd, hidden=hidden)
+                           forward_sql=fwd, hidden=hidden,
+                           final_order=final_order,
+                           final_limit=final_limit)

@@ -2018,9 +2018,10 @@ def _fed_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Q3 top-revenue, ``webengine/src/main.rs:86-124``) over fully
     shipped rows. The window sort covers every projected non-partition
     column, so tied rows are output-identical and the answer multiset is
-    engine-independent. The outer ORDER BY is applied AFTER the gateway
-    (the extractor accepts the bare shape; sorting the merged frame is
-    the caller's presentational choice, like ``fed_engine_agg_pushdown``)."""
+    engine-independent. The presentational outer ``ORDER BY returnflag,
+    linestatus, rk`` rides INSIDE the accepted shape (r14 tail): it
+    never forwards — the merge applies it over the ≤ n·groups·sources
+    re-windowed rows."""
     from dataweb_spark.catalog.model import (
         DataConnection, DataSource, Entity, Mapping, RelayCatalog, Web,
     )
@@ -2041,7 +2042,7 @@ def _fed_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     web = Web()
     web.add_relay(edge)
     gw = QueryGateway(spark, web, "edge_gtopk")
-    df = gw.query("""
+    return gw.query("""
         select returnflag, linestatus, extendedprice, orderkey, partkey,
                suppkey, linenumber, quantity, rk
         from (select returnflag, linestatus, extendedprice, orderkey,
@@ -2054,8 +2055,8 @@ def _fed_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   quantity asc) as rk
               from lineitem where quantity >= 25) t
         where rk <= 4
+        order by returnflag, linestatus, rk
     """)
-    return df.orderBy("returnflag", "linestatus", "rk")
 
 
 _df("fed_grouped_topk", _fed_grouped_topk,

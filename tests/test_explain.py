@@ -155,3 +155,67 @@ def test_explain_reports_forwarded_order(spark, sf_dir):
     remote = rows[("peer", "peer_src")]
     assert remote["forwarded_order"] is None
     assert remote["forwarded_limit"] is None  # dies with the order fact
+
+
+def test_explain_reports_forward_template(spark, sf_dir):
+    """r14: when the single-entity query decomposes for the template
+    path and a source is a whole-forwardable identity flight peer, its
+    row reports action=forward-template with the EXACT template SQL;
+    non-decomposable queries keep plain scan rows."""
+    from dataweb_spark.catalog.model import (DataConnection, DataSource,
+                                             Entity, Information,
+                                             Mapping, RelayCatalog, Web)
+    from dataweb_spark.plans.explain import explain_federation
+    infos = [Information("orderkey", "bigint"),
+             Information("quantity", "double"),
+             Information("returnflag", "string")]
+    edge = RelayCatalog(name="edge_x")
+    edge.add_entity(Entity("items", infos))
+    edge.add_connection(DataConnection("pf", "flight", {"port": "1"}))
+    edge.add_source(DataSource(
+        name="peer_src", connection="pf", entity="items",
+        source_sql="select * from {table}",
+        mappings=[Mapping(i.name, i.name) for i in infos],
+        options={"entity": "items"}))
+    web = Web()
+    web.add_relay(edge)
+
+    # grouped top-k decomposes: the peer receives the reconstructed
+    # per-source template whole (metadata only — no peer is contacted)
+    df = explain_federation(
+        spark, web, "edge_x",
+        "select orderkey, quantity, rk from (select orderkey, quantity, "
+        "row_number() over (partition by returnflag order by quantity "
+        "desc, orderkey) as rk from items where quantity >= 30) "
+        "where rk <= 3")
+    row = {r["source"]: r.asDict() for r in df.collect()}["peer_src"]
+    assert row["action"] == "forward-template"
+    assert "row_number() OVER (PARTITION BY returnflag" \
+        in row["forwarded_template"]
+    assert "<= 3" in row["forwarded_template"]
+
+    # flat top-k forwards the original SQL; aggregates the partial form
+    q = ("select orderkey, quantity from items "
+         "order by quantity desc, orderkey limit 5")
+    row = {r["source"]: r.asDict()
+           for r in explain_federation(spark, web, "edge_x", q)
+           .collect()}["peer_src"]
+    assert row["action"] == "forward-template"
+    assert "LIMIT 5" in row["forwarded_template"].upper()
+    agg = ("select returnflag, sum(quantity) as sq from items "
+           "group by returnflag")
+    row = {r["source"]: r.asDict()
+           for r in explain_federation(spark, web, "edge_x", agg)
+           .collect()}["peer_src"]
+    assert row["action"] == "forward-template"
+    assert "group by" in row["forwarded_template"].lower()
+
+    # a non-decomposable query (window over the full frame, no rank
+    # filter) keeps the plain scan row with NULL forwarded_template
+    row = {r["source"]: r.asDict()
+           for r in explain_federation(
+               spark, web, "edge_x",
+               "select orderkey, quantity from items").collect()
+           }["peer_src"]
+    assert row["action"] == "scan"
+    assert row["forwarded_template"] is None

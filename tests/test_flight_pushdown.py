@@ -1492,3 +1492,50 @@ def test_grouped_topk_hidden_partition_end_to_end(spark, peer_server,
     assert fast.columns == ["orderkey", "partkey", "suppkey",
                             "linenumber", "rk"]
     assert len(frows) > 0
+
+
+def test_grouped_topk_presentational_order_limit(spark, peer_server,
+                                                 edge_gateway):
+    """r14 tail: an outer ORDER BY [LIMIT] above the rank filter — the
+    common presentational form — stays inside the accepted shape; the
+    sort/limit run at the merge, never forward, and answers match the
+    row path EXACTLY (ordered comparison, not just multiset)."""
+    from dataweb_spark.plans.topk import extract_grouped_topk
+    q = ("select returnflag, linestatus, extendedprice, partkey, "
+         "suppkey, linenumber, quantity, rk "
+         "from (select returnflag, linestatus, extendedprice, partkey, "
+         "suppkey, linenumber, quantity, row_number() over ("
+         "partition by returnflag, linestatus order by extendedprice "
+         "desc, partkey, suppkey, linenumber, quantity) as rk "
+         "from lineitem where quantity >= 30) t "
+         "where rk <= 3 order by returnflag, linestatus, rk limit 7")
+    s = extract_grouped_topk(spark, q, "lineitem")
+    assert s is not None and s.final_limit == 7
+    assert s.final_order == [("`returnflag`", "ASC", "NULLS FIRST"),
+                             ("`linestatus`", "ASC", "NULLS FIRST"),
+                             ("`rk`", "ASC", "NULLS FIRST")]
+    assert "LIMIT" not in s.forward_sql.split("WHERE")[-1].upper() \
+        or "LIMIT" not in s.forward_sql.upper()
+    fast = [tuple(r) for r in edge_gateway.query(q).collect()]
+    slow = [tuple(r) for r in edge_gateway.query(
+        q, topk_pushdown=False).collect()]
+    assert fast == slow and len(fast) == 7
+
+    # ordinal keys resolve to output positions
+    q2 = q.replace("order by returnflag, linestatus, rk limit 7",
+                   "order by 1, 2, 8 limit 7")
+    s2 = extract_grouped_topk(spark, q2, "lineitem")
+    assert s2 is not None and s2.final_order == s.final_order
+
+    # rejections: bare LIMIT without ORDER (any-n semantics stays on
+    # the row path), sort key not an output name, SORT BY
+    assert extract_grouped_topk(
+        spark, q.replace(" order by returnflag, linestatus, rk limit 7",
+                         " limit 7"), "lineitem") is None
+    assert extract_grouped_topk(
+        spark, q.replace("order by returnflag, linestatus, rk limit 7",
+                         "order by orderkey limit 7"),
+        "lineitem") is None
+    assert extract_grouped_topk(
+        spark, q.replace("order by returnflag, linestatus, rk limit 7",
+                         "sort by returnflag"), "lineitem") is None
