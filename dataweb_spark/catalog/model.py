@@ -368,6 +368,50 @@ def order_cast_stable(phys: str | None, logical: str | None) -> bool:
     return False
 
 
+def order_cast_injective(phys: str | None, logical: str | None) -> bool:
+    """True iff ``CAST(x AS logical)`` is additionally INJECTIVE over the
+    physical domain — distinct engine values stay distinct logically.
+
+    ``order_cast_stable`` tolerates collapsing casts ("ties are fine:
+    the merge re-sorts") — valid for ORDER BY + LIMIT and row_number(),
+    where any tie-break is a correct answer. ``rank()``/``dense_rank()``
+    make ties SEMANTIC: two physically-distinct values that cast to one
+    logical value share a local rank, but the engine ranks them apart —
+    a per-source ``rank <= n`` then under-fetches (review-caught r14).
+    Injectivity requires the target to represent every source value
+    exactly: integer widenings; integers whose significant bits fit the
+    float target's mantissa (tinyint/smallint → float; anything ≤ int →
+    double; bigint does NOT fit double); float → double; date →
+    timestamp; decimals with ≤ 15 digits → double.
+    """
+    logical = _canon_type(logical)
+    if logical is None:
+        return False
+    phys = _canon_type(phys)
+    if phys is None:
+        phys = logical
+    if phys == logical:
+        return phys in _ORDER_SELF_STABLE or phys.startswith("decimal")
+    if phys in _INT_WIDENING:
+        if logical in _INT_WIDENING:
+            return _INT_WIDENING.index(phys) <= _INT_WIDENING.index(logical)
+        if logical == "double":
+            return phys in ("tinyint", "smallint", "int")  # ≤32 bits ≤ 53
+        if logical == "float":
+            return phys in ("tinyint", "smallint")  # ≤16 bits ≤ 24
+        return False
+    if phys == "float":
+        return logical == "double"
+    if phys.startswith("decimal"):
+        import re as _re
+        m = _re.match(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", phys)
+        return (logical == "double" and m is not None
+                and int(m.group(1)) <= 15)
+    if phys == "date":
+        return logical in ("timestamp", "timestamp_ntz")
+    return False
+
+
 # ---------------------------------------------------------------------------
 # Permissions
 # ---------------------------------------------------------------------------

@@ -47,7 +47,7 @@ from dataweb_spark.catalog.model import Web
 EXPLAIN_COLUMNS = ["entity", "relay", "source", "kind", "action",
                    "pushed_sql", "pushed_filters", "projected",
                    "forwarded_limit", "forwarded_order",
-                   "forwarded_template"]
+                   "forwarded_grouped", "forwarded_template"]
 
 
 def _template_forward_sql(spark: SparkSession, web: Web, relay_name: str,
@@ -109,20 +109,26 @@ def explain_entity(spark: SparkSession, web: Web, relay_name: str,
     limit = extract_entity_limit(spark, eff_sql, entity_name)
     from dataweb_spark.plans.topk import extract_order_limit
     entity = web.relay(relay_name).entities.get(entity_name)
-    order_limit = extract_order_limit(
-        spark, eff_sql, entity_name,
-        entity_types=({i.name: i.data_type for i in entity.informations}
-                      if entity is not None else None))
+    etypes = ({i.name: i.data_type for i in entity.informations}
+              if entity is not None else None)
+    order_limit = extract_order_limit(spark, eff_sql, entity_name,
+                                      entity_types=etypes)
+    grouped_fact = None
+    if order_limit is None:
+        from dataweb_spark.plans.topk import extract_grouped_topk
+        grouped_fact = extract_grouped_topk(spark, eff_sql, entity_name,
+                                            entity_types=etypes)
     referenced = extract_referenced_columns(spark, eff_sql)
     rows: list[dict] = []
     _walk(web, relay_name, entity_name, conjuncts, limit, referenced,
-          set(), rows, order_limit, template_sql)
+          set(), rows, order_limit, template_sql, grouped_fact)
     return rows
 
 
 def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
           limit, referenced, visited: set, rows: list[dict],
-          order_limit=None, template_sql: str | None = None) -> None:
+          order_limit=None, template_sql: str | None = None,
+          grouped_fact=None) -> None:
     from dataweb_spark.plans.gateway import _forwardable_flight_peer
     from dataweb_spark.plans.pruning import source_can_match
     from dataweb_spark.plans.resolve import (
@@ -148,7 +154,8 @@ def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
                "source": source.name, "kind": kind, "action": "scan",
                "pushed_sql": None, "pushed_filters": None,
                "projected": None, "forwarded_limit": None,
-               "forwarded_order": None, "forwarded_template": None}
+               "forwarded_order": None, "forwarded_grouped": None,
+               "forwarded_template": None}
         group = getattr(source, "replica_group", None)
         if group is not None and group in seen_groups:
             row["action"] = "replica-standby"
@@ -171,11 +178,12 @@ def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
             continue
         ob = order_limit[0] if order_limit else None
         eff_lim_in = order_limit[1] if order_limit else limit
-        cols, kept, eff_limit, projected, eff_order = _pushdown_parts(
-            source, conjuncts, eff_lim_in, referenced, ob)
+        cols, kept, eff_limit, projected, eff_order, eff_grouped = \
+            _pushdown_parts(source, conjuncts, eff_lim_in, referenced, ob,
+                            grouped_fact)
         if kind == "flight":
             peer_sql, _proj = _peer_sql(source, conjuncts, eff_lim_in,
-                                        referenced, ob)
+                                        referenced, ob, grouped_fact)
             row["pushed_sql"] = peer_sql
         if kept:
             row["pushed_filters"] = json.dumps(
@@ -193,6 +201,11 @@ def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
         if eff_order:
             row["forwarded_order"] = json.dumps(
                 [[c, d, n] for c, d, n in eff_order])
+        if eff_grouped:
+            fn, bound, parts, keys = eff_grouped
+            row["forwarded_grouped"] = json.dumps(
+                {"fn": fn, "bound": bound, "partition": parts,
+                 "order": [[c, d, n] for c, d, n in keys]})
         rows.append(row)
 
     for rm in relay.remotes_for_entity(entity_name):

@@ -132,6 +132,8 @@ class QueryGateway:
             raise ValidationError(
                 f"unknown entity(ies): {sorted(unknown)}; "
                 f"relay {self.relay_name!r} declares {sorted(known)}")
+        gspec = None
+        gspec_known = False  # did the template branch already parse it?
         if ((partial_aggregate or topk_pushdown)
                 and not include_provenance
                 and not allow_partial and len(entities) == 1):
@@ -164,7 +166,11 @@ class QueryGateway:
                         parts = self.query_template_union(
                             tspec.forward_sql, principal)
                         return tspec.merge(parts)
-                    gspec = extract_grouped_topk(self.spark, sql, ename)
+                    gspec = extract_grouped_topk(
+                        self.spark, sql, ename,
+                        entity_types={i.name: i.data_type
+                                      for i in known[ename].informations})
+                    gspec_known = True
                     if gspec is not None:
                         self.last_failures = []  # template fails loudly
                         parts = self.query_template_union(
@@ -184,15 +190,31 @@ class QueryGateway:
         # into the peer SQL — each engine answers with ≤k rows) and the
         # final sql's own sort+limit over the narrowed union is the merge
         order_limits = {}
+        grouped_limits = {}
         if topk_pushdown and len(entities) == 1:
-            from dataweb_spark.plans.topk import extract_order_limit
+            from dataweb_spark.plans.topk import (
+                extract_grouped_topk,
+                extract_order_limit,
+            )
             e = next(iter(entities))
-            ol = extract_order_limit(
-                self.spark, sql, e,
-                entity_types={i.name: i.data_type
-                              for i in known[e].informations})
+            etypes = {i.name: i.data_type for i in known[e].informations}
+            ol = extract_order_limit(self.spark, sql, e,
+                                     entity_types=etypes)
             if ol is not None:
                 order_limits[e] = ol
+            else:
+                # row-path GROUPED top-k: trino/flightsql/non-identity
+                # flight sources receive a rank-bounded window wrapper
+                # (readers._forward_grouped) — ≤ bound rows per physical
+                # partition cross the wire; the final sql's own window
+                # over the narrowed union is the merge. The template
+                # branch above may already have parsed the shape (and
+                # found no spec, or it would have returned) — don't pay
+                # the JVM parse roundtrip twice.
+                gl = None if gspec_known else extract_grouped_topk(
+                    self.spark, sql, e, entity_types=etypes)
+                if gl is not None:
+                    grouped_limits[e] = gl
         referenced = extract_referenced_columns(self.spark, sql)
         self.last_failures: list[tuple[str, str, str]] = []
         register_entity_views(self.spark, self.web, self.relay_name, principal,
@@ -203,7 +225,8 @@ class QueryGateway:
                               only=set(entities),
                               limits=limits,
                               referenced=referenced,
-                              order_limits=order_limits)
+                              order_limits=order_limits,
+                              grouped_limits=grouped_limits)
         return self.spark.sql(sql)
 
     # -- template mode (raw Flight analog) ------------------------------
@@ -242,11 +265,21 @@ class QueryGateway:
         # the fact are mutually exclusive by construction.
         # (extract_order_limit self-gates on a LIMIT token, so aggpush
         # partial templates and plain templates skip the parse roundtrip)
-        from dataweb_spark.plans.topk import extract_order_limit
-        order_limit = extract_order_limit(
-            self.spark, sql, entity_name,
-            entity_types={i.name: i.data_type
-                          for i in relay.entities[entity_name].informations})
+        from dataweb_spark.plans.topk import (
+            extract_grouped_topk,
+            extract_order_limit,
+        )
+        etypes = {i.name: i.data_type
+                  for i in relay.entities[entity_name].informations}
+        order_limit = extract_order_limit(self.spark, sql, entity_name,
+                                          entity_types=etypes)
+        # the grouped sibling (fires on grouped forward_sql replays too:
+        # the reconstructed `… WHERE __gk0 <= n` matches the shape)
+        grouped_fact = None
+        if order_limit is None:
+            grouped_fact = extract_grouped_topk(self.spark, sql,
+                                                entity_name,
+                                                entity_types=etypes)
         referenced = extract_referenced_columns(self.spark, sql)
         # A width-dependent output (top-level SELECT *) must not be
         # forwarded: the peer's entity may carry more columns than this
@@ -292,7 +325,8 @@ class QueryGateway:
                     self.spark, r, source, principal, conjuncts=conj,
                     limit=(ol[1] if ol else lim),
                     referenced=ref,
-                    order_by=(ol[0] if ol else None))
+                    order_by=(ol[0] if ol else None),
+                    grouped=(grouped_fact if not chain else None))
                 for decl_relay, rm in reversed(chain):
                     view = _apply_remote_mapping(self.spark, decl_relay,
                                                  rm, view)

@@ -74,7 +74,8 @@ def build_source_view(spark: SparkSession, relay: RelayCatalog,
                       conjuncts: list | None = None,
                       limit: int | None = None,
                       referenced: set[str] | None = None,
-                      order_by: list | None = None) -> DataFrame:
+                      order_by: list | None = None,
+                      grouped=None) -> DataFrame:
     """One source's contribution to its entity, in entity namespace.
 
     ``conjuncts``/``limit``/``referenced`` are the query's pushdown facts
@@ -88,7 +89,8 @@ def build_source_view(spark: SparkSession, relay: RelayCatalog,
                                       relay.connections[source.connection],
                                       source, conjuncts, limit, referenced,
                                       principal=principal,
-                                      order_by=order_by)
+                                      order_by=order_by,
+                                      grouped=grouped)
     return map_source_frame(df, relay, source, principal,
                             projected=projected)
 
@@ -233,7 +235,8 @@ def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
                    failures: list[tuple[str, str, str]] | None = None,
                    limit: int | None = None,
                    referenced: set[str] | None = None,
-                   order_by: list | None = None
+                   order_by: list | None = None,
+                   grouped=None
                    ) -> DataFrame | None:
     """Resolve an entity to the union of all its mapped sources, local and
     remote-recursive. Returns None if this (relay, entity) was already
@@ -292,7 +295,8 @@ def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
                 built = build_source_view(spark, relay, source, principal,
                                           conjuncts=conjuncts, limit=limit,
                                           referenced=referenced,
-                                          order_by=order_by)
+                                          order_by=order_by,
+                                          grouped=grouped)
                 break
             except Exception as e:  # noqa: BLE001 — replica failover
                 err = e
@@ -343,7 +347,8 @@ def register_entity_views(spark: SparkSession, web: Web, relay_name: str,
                           only: set[str] | None = None,
                           limits: dict[str, int] | None = None,
                           referenced: set[str] | None = None,
-                          order_limits: dict | None = None) -> list[str]:
+                          order_limits: dict | None = None,
+                          grouped_limits: dict | None = None) -> list[str]:
     """Register every entity of a relay as a temp view for SQL querying —
     the ``register_web_sources`` analog (``webengine/src/register.rs:36-90``).
 
@@ -368,7 +373,8 @@ def register_entity_views(spark: SparkSession, web: Web, relay_name: str,
                             limit=(ol[1] if ol else
                                    (limits or {}).get(entity_name)),
                             referenced=referenced,
-                            order_by=(ol[0] if ol else None))
+                            order_by=(ol[0] if ol else None),
+                            grouped=(grouped_limits or {}).get(entity_name))
         if df is None:
             continue
         if not include_provenance:

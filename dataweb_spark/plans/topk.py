@@ -591,6 +591,14 @@ class GroupedTopKSpec:
     # the merge over the final ≤ n·groups·sources rows, never forwarded
     final_order: list[tuple[str, str, str]] = field(default_factory=list)
     final_limit: int | None = None
+    # the ENTITY-namespace window fact for per-source engine rendering
+    # (the row-path sibling, ``readers._pushdown_parts`` grouped slot):
+    # bare entity columns of the partition keys, and the order keys as
+    # ``(col, dir, nulls, logical_type)`` — same shape as
+    # ``extract_order_limit`` keys so the same soundness gates apply
+    entity_partition: list[str] = field(default_factory=list)
+    entity_order: list[tuple[str, str, str, str | None]] = \
+        field(default_factory=list)
 
     def merge(self, union_df: DataFrame) -> DataFrame:
         from pyspark.sql import Window
@@ -655,7 +663,9 @@ def _rank_filter_fact(cond) -> tuple[str, str, int] | None:
 
 
 def extract_grouped_topk(spark: SparkSession, sql: str,
-                         entity: str) -> GroupedTopKSpec | None:
+                         entity: str,
+                         entity_types: dict | None = None
+                         ) -> GroupedTopKSpec | None:
     """Parse ``sql`` and return a :class:`GroupedTopKSpec` when it is a
     provably per-source-replayable top-n-per-group over ``entity``:
 
@@ -890,7 +900,15 @@ def extract_grouped_topk(spark: SparkSession, sql: str,
             fwd_items.append(col_sql)
         return bare
 
+    typed = {name.lower(): (name, t)
+             for name, t in (entity_types or {}).items()}
+
+    def declared(col: str) -> tuple[str, str | None]:
+        hit = typed.get(col.lower())
+        return hit if hit is not None else (col, None)
+
     partition: list[str] = []
+    entity_partition: list[str] = []
     ps = ws.partitionSpec()
     if ps.size() == 0:
         return None  # un-partitioned: this is the flat top-k's job
@@ -899,6 +917,7 @@ def extract_grouped_topk(spark: SparkSession, sql: str,
         if wc is None:
             return None
         out_name, col_sql = wc
+        entity_partition.append(declared(_bare_attr(ps.apply(i)))[0])
         if out_name is None:  # unprojected: ship it, drop after merge
             out_name = ship_hidden(ps.apply(i), col_sql)
             if out_name is None:
@@ -906,6 +925,7 @@ def extract_grouped_topk(spark: SparkSession, sql: str,
         partition.append(out_name)
 
     order: list[tuple[str, str, str]] = []
+    entity_order: list[tuple[str, str, str, str | None]] = []
     order_sqls: list[str] = []
     os_ = ws.orderSpec()
     if os_.size() == 0:
@@ -921,6 +941,8 @@ def extract_grouped_topk(spark: SparkSession, sql: str,
         if wc is None:
             return None
         out_name, col_sql = wc
+        ecol, etype = declared(_bare_attr(so.child()))
+        entity_order.append((ecol, direction, nulls, etype))
         if out_name is None:
             out_name = ship_hidden(so.child(), col_sql)
             if out_name is None:
@@ -948,6 +970,17 @@ def extract_grouped_topk(spark: SparkSession, sql: str,
         if node.children().size() != 1:
             return None
         node = node.children().apply(0)
+
+    # The ROW-PATH engine fact (entity_partition/entity_order) exists
+    # only when the WHERE provably decomposes completely into pushable
+    # conjuncts: extract_entity_predicates is LOSSY (an OR contributes
+    # nothing), and a per-source window ranked over an UNDER-filtered
+    # stream inflates true rows' ranks past the bound — the same
+    # unrecoverable under-fetch the flat order fact guards against. The
+    # whole-template forward is unaffected (it carries the full WHERE).
+    if not _filters_fully_decompose(filter_conds):
+        entity_partition = []
+        entity_order = []
 
     # reconstruct the forward query — parse-checked before use
     taken = {n.lower() for n in inner_names} | {h.lower() for h in hidden}
@@ -978,4 +1011,6 @@ def extract_grouped_topk(spark: SparkSession, sql: str,
                            rank_alias=rank_alias, output_cols=outputs,
                            forward_sql=fwd, hidden=hidden,
                            final_order=final_order,
-                           final_limit=final_limit)
+                           final_limit=final_limit,
+                           entity_partition=entity_partition,
+                           entity_order=entity_order)

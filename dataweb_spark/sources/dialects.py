@@ -85,8 +85,8 @@ def render_select(dialect: Dialect, table: str,
                   columns: list[str] | None = None,
                   conjuncts: list | None = None,
                   limit: int | None = None,
-                  order_by: list[tuple[str, str, str]] | None = None
-                  ) -> str:
+                  order_by: list[tuple[str, str, str]] | None = None,
+                  grouped: tuple | None = None) -> str:
     """``SELECT <cols|*> FROM <table> [WHERE c1 AND c2 ...]
     [ORDER BY ...] [LIMIT n]``.
 
@@ -107,6 +107,20 @@ def render_select(dialect: Dialect, table: str,
     ASC→NULLS LAST — implicit ordering would silently disagree). An
     unrenderable key (or a skipped conjunct) suppresses BOTH the order
     and the limit: a limit without the full order+filter under-fetches.
+
+    ``grouped`` is the per-source GROUPED top-k fact ``(fn, bound,
+    partition_cols, order_keys)`` (``readers._forward_grouped``): the
+    whole select wraps as ``SELECT * FROM (<select>, <fn>() OVER
+    (PARTITION BY … ORDER BY …) AS __dw_rk) WHERE __dw_rk <= bound`` —
+    each engine answers ≤ bound rows per partition; the extra
+    ``__dw_rk`` column rides back and the mapping layer drops it
+    (unmapped physical columns never reach the entity frame). The
+    wrapper is a pure row reduction (its absence is always correct), so
+    an unrenderable piece or a skipped conjunct silently falls back to
+    the plain select — unlike limit/order there is no under-fetch
+    hazard in OMITTING it, only in applying it over a superset stream
+    (which the skipped-conjunct check prevents). Mutually exclusive
+    with ``order_by``/``limit`` by extraction shape.
     """
     parts = [dialect.ident(p) for p in table.split(".")]
     if any(p is None for p in parts):
@@ -148,4 +162,34 @@ def render_select(dialect: Dialect, table: str,
             order_ok = False
     if limit is not None and not skipped and order_ok:
         sql += f" LIMIT {int(limit)}"
+
+    if grouped is not None and not skipped and order_by is None \
+            and limit is None:
+        # `sql` here is exactly `SELECT {cols} FROM {tbl}[ WHERE …]` —
+        # the order/limit clauses above are mutually exclusive with the
+        # grouped fact — so the window item splices in after the
+        # projection (the caller-side `__dw_rk` collision guard lives in
+        # readers._forward_grouped, which sees the declared physical
+        # surface; the check here covers explicit column lists only)
+        fn, bound, part_cols, okeys = grouped
+        fn_sql = {"row_number": "ROW_NUMBER", "rank": "RANK",
+                  "dense_rank": "DENSE_RANK"}.get(fn)
+        win_parts = [dialect.ident(c) for c in part_cols]
+        keys = []
+        for col, direction, nulls in okeys:
+            ident = dialect.ident(col)
+            if (ident is None or direction not in ("ASC", "DESC")
+                    or nulls not in ("NULLS FIRST", "NULLS LAST")):
+                keys = None
+                break
+            keys.append(f"{ident} {direction} {nulls}")
+        if (fn_sql is not None and win_parts and keys
+                and all(p is not None for p in win_parts)
+                and "__dw_rk" not in {c.lower() for c in (columns or [])}):
+            win = (f"{fn_sql}() OVER (PARTITION BY "
+                   f"{', '.join(win_parts)} ORDER BY {', '.join(keys)})")
+            inner = sql.replace(f"SELECT {cols} FROM",
+                                f"SELECT {cols}, {win} AS __dw_rk FROM", 1)
+            sql = (f"SELECT * FROM ({inner}) AS __dw_g "
+                   f"WHERE __dw_rk <= {int(bound)}")
     return sql

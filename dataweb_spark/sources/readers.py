@@ -121,11 +121,77 @@ def _forward_order_key(source: DataSource, ocol: str, odir: str,
     return path, odir, onulls
 
 
+def _forward_grouped(source: DataSource, grouped
+                     ) -> tuple[str, int, list[str],
+                                list[tuple[str, str, str]]] | None:
+    """Rewrite a grouped top-k fact (``plans/topk.py:GroupedTopKSpec``
+    with a populated entity fact) into the physical
+    ``(fn, bound, partition_cols, order_keys)`` an engine may apply as a
+    per-source rank-bounded window, or None (keep the full stream).
+
+    Order keys reuse :func:`_forward_order_key` — the same
+    transform-monotonicity and cast-stability gates, since the window's
+    ORDER decides which rows survive the bound. For ``rank``/
+    ``dense_rank`` the keys must additionally be IDENTITY-mapped with an
+    INJECTIVE cast (``order_cast_injective``): those functions make ties
+    semantic, and a collapsing map (bigint→double, any affine transform
+    under float evaluation) gives two locally-tied rows distinct engine
+    ranks — a per-source ``rank <= n`` then drops a row the local window
+    ranks inside the bound (review-caught r14). ``row_number`` tolerates
+    collapse: any tie-break is a valid answer. Partition keys need only
+    a renderable physical column, under ANY transformation: the engine
+    partitions raw values, and a mapping is a FUNCTION — equal physical
+    values stay together, so engine partitions are finer-or-equal than
+    logical ones, and a row's rank within a finer partition is ≤ its
+    rank within the logical one. The per-source bound therefore keeps a
+    superset under any (even non-invertible) partition-key mapping.
+
+    The wrapper aliases its rank column ``__dw_rk``; a source whose
+    DECLARED physical surface already carries that name would render an
+    ambiguous star-projection, so the fact is refused (an error would
+    silently drop the source under ``allow_partial``).
+    """
+    from dataweb_spark.catalog.model import order_cast_injective
+    if not grouped.entity_partition or not grouped.entity_order:
+        return None  # no row fact (lossy WHERE) — see extract_grouped_topk
+    taken = {f.name.lower() for f in source.fields} \
+        | {source.field_path(f.name).lower() for f in source.fields} \
+        | {source.field_path(m.field).lower() for m in source.mappings}
+    if "__dw_rk" in taken:
+        return None
+    phys_part: list[str] = []
+    for col in grouped.entity_partition:
+        m = source.mapping_for(col, ci=True)
+        if m is None:
+            return None
+        path = source.field_path(m.field)
+        if not _IDENT.match(path):
+            return None
+        phys_part.append(path)
+    strict = grouped.fn != "row_number"
+    phys_order: list[tuple[str, str, str]] = []
+    for ocol, odir, onulls, oltype in grouped.entity_order:
+        r = _forward_order_key(source, ocol, odir, onulls, oltype)
+        if r is None:
+            return None
+        if strict:
+            m = source.mapping_for(ocol, ci=True)
+            if not m.transformation.is_identity:
+                return None
+            if not order_cast_injective(source.field_type(m.field),
+                                        oltype):
+                return None
+        phys_order.append(r)
+    return grouped.fn, grouped.bound, phys_part, phys_order
+
+
 def _pushdown_parts(source: DataSource, conjuncts: list | None,
                     limit: int | None, referenced: set[str] | None,
-                    order_by: list | None = None
+                    order_by: list | None = None,
+                    grouped=None
                     ) -> tuple[list[str] | None, list, int | None,
-                               set[str] | None, list | None]:
+                               set[str] | None, list | None,
+                               tuple | None]:
     """Select which pushdown facts survive this source's mapping shape.
 
     Returns ``(columns, kept_conjuncts, limit, projected_infos, order)``:
@@ -155,7 +221,18 @@ def _pushdown_parts(source: DataSource, conjuncts: list | None,
       ``order_by`` given but not forwardable also KILLS the bare limit:
       a limit without the order is the wrong rows. Keys are ``(col,
       dir, nulls, logical_type)`` 4-tuples — a 3-tuple (legacy caller)
-      carries no type evidence and never forwards.
+      carries no type evidence and never forwards;
+    * ``grouped`` (6th return slot) — the per-source GROUPED top-k fact
+      (``_forward_grouped``): ``(fn, bound, partition_cols,
+      order_keys)`` rendered as a rank-bounded window wrapper in the
+      peer/engine SQL, so each source ships ≤ bound rows per physical
+      partition instead of its whole filtered stream. Same superset
+      gates as the flat order fact: unpermissioned source, zero
+      dropped conjuncts, identity-exact pushes — a superset stream
+      inflates true rows' ranks past the bound (under-fetch). Unlike
+      limit/order, an unforwardable grouped fact degrades SILENTLY to
+      the plain select: the wrapper is a pure row reduction, so its
+      absence is always correct.
 
     A non-trivial ``source_sql`` disables everything — it runs OVER the
     fetched frame, so mapped paths name ITS output, not the engine's.
@@ -164,7 +241,7 @@ def _pushdown_parts(source: DataSource, conjuncts: list | None,
                  or bool(source.user_permissions))
     src_sql = (source.source_sql or "").strip().lower()
     if src_sql and src_sql != "select * from {table}":
-        return None, [], None, None, None
+        return None, [], None, None, None, None
 
     projected: set[str] | None = None
     cols: list[str] | None = None
@@ -245,12 +322,18 @@ def _pushdown_parts(source: DataSource, conjuncts: list | None,
     else:
         eff_limit = limit if (limit is not None and not has_perms
                               and not kept and not dropped) else None
-    return cols, kept, eff_limit, projected, eff_order
+
+    eff_grouped = None
+    if grouped is not None and not has_perms and not dropped \
+            and not inexact_push:
+        eff_grouped = _forward_grouped(source, grouped)
+    return cols, kept, eff_limit, projected, eff_order, eff_grouped
 
 
 def _peer_sql(source: DataSource, conjuncts: list | None, limit: int | None,
               referenced: set[str] | None,
-              order_by: list | None = None) -> tuple[str, set[str] | None]:
+              order_by: list | None = None,
+              grouped=None) -> tuple[str, set[str] | None]:
     """Compose the SQL sent to a flight peer — the client-side unparser
     analog of the reference (``webengine/src/web_source.rs:105-123``,
     ``webengine/src/expr_to_sql.rs:32-106``). Instead of
@@ -280,10 +363,11 @@ def _peer_sql(source: DataSource, conjuncts: list | None, limit: int | None,
     from dataweb_spark.sources.dialects import SPARK, render_select
 
     entity = source.options.get("entity", source.name)
-    cols, kept, eff_limit, projected, eff_order = _pushdown_parts(
-        source, conjuncts, limit, referenced, order_by)
+    cols, kept, eff_limit, projected, eff_order, eff_grouped = \
+        _pushdown_parts(source, conjuncts, limit, referenced, order_by,
+                        grouped)
     sql = render_select(SPARK, entity, cols, kept, eff_limit,
-                        order_by=eff_order)
+                        order_by=eff_order, grouped=eff_grouped)
     return sql, projected
 
 
@@ -328,7 +412,8 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
                           limit: int | None = None,
                           referenced: set[str] | None = None,
                           principal: str | None = None,
-                          order_by: list | None = None
+                          order_by: list | None = None,
+                          grouped=None
                           ) -> tuple[DataFrame, set[str] | None]:
     """Read the raw physical table behind a DataSource (no source_sql yet).
 
@@ -368,7 +453,7 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
             sql = source.options["sql"]  # explicit template: never rewritten
         else:
             sql, projected = _peer_sql(source, conjuncts, limit, referenced,
-                                       order_by)
+                                       order_by, grouped)
         host = conn.options.get("host", "127.0.0.1")
         port = int(conn.options["port"])
         # Origin-principal propagation (``utils.rs:62-126``): the resolving
@@ -408,10 +493,11 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
             dialect = DIALECTS.get(
                 conn.options.get("dialect", "duckdb"), DUCKDB)
             table = source.options.get("table", source.name)
-            cols, kept, eff_limit, projected, eff_order = _pushdown_parts(
-                source, conjuncts, limit, referenced, order_by)
+            cols, kept, eff_limit, projected, eff_order, eff_grouped = \
+                _pushdown_parts(source, conjuncts, limit, referenced,
+                                order_by, grouped)
             sql = render_select(dialect, table, cols, kept, eff_limit,
-                                order_by=eff_order)
+                                order_by=eff_order, grouped=eff_grouped)
         host = conn.options.get("host", "127.0.0.1")
         return flightsql_read(spark, host, int(conn.options["port"]),
                               sql), projected
@@ -431,16 +517,25 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
             sql = source.options["sql"]
         else:
             table = source.options.get("table", source.name)
-            cols, kept, eff_limit, projected, eff_order = _pushdown_parts(
-                source, conjuncts, limit, referenced, order_by)
+            cols, kept, eff_limit, projected, eff_order, eff_grouped = \
+                _pushdown_parts(source, conjuncts, limit, referenced,
+                                order_by, grouped)
             pcol = source.options.get("partitionColumn")
             if pcol and cols is not None and pcol not in cols:
                 # The range-split wrapper filters on the engine-side split
                 # column, so it must survive the pushed projection (the
                 # mapping step ignores unmapped extras).
                 cols = cols + [pcol]
+            if pcol and eff_grouped is not None:
+                # range-split reads wrap the statement per split
+                # (`SELECT * FROM (sql) q WHERE <range>`) — correct
+                # around a grouped wrapper, but every split would
+                # recompute the FULL window; the wrapper is droppable
+                # by construction, so large partitioned pulls keep the
+                # plain select and let the local re-window do the work
+                eff_grouped = None
             sql = render_select(TRINO, table, cols, kept, eff_limit,
-                                order_by=eff_order)
+                                order_by=eff_order, grouped=eff_grouped)
         host = conn.options.get("host", "127.0.0.1")
         base_url = conn.options.get(
             "url", f"http://{host}:{conn.options.get('port')}")
@@ -486,7 +581,8 @@ def read_source_frame(spark: SparkSession, conn: DataConnection,
                       limit: int | None = None,
                       referenced: set[str] | None = None,
                       principal: str | None = None,
-                      order_by: list | None = None
+                      order_by: list | None = None,
+                      grouped=None
                       ) -> tuple[DataFrame, set[str] | None]:
     """Raw table + ``source_sql`` applied as a derived table.
 
@@ -499,7 +595,8 @@ def read_source_frame(spark: SparkSession, conn: DataConnection,
     raw, projected = read_connection_table(spark, conn, source,
                                            conjuncts, limit, referenced,
                                            principal=principal,
-                                           order_by=order_by)
+                                           order_by=order_by,
+                                           grouped=grouped)
     sql = source.source_sql
     if not sql or sql.strip().lower() in ("select * from {table}",):
         return raw, projected

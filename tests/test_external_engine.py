@@ -604,26 +604,26 @@ def test_pushdown_parts_order_fact_conditions():
     from dataweb_spark.sources.readers import _pushdown_parts
     ob = [("a", "DESC", "NULLS LAST", "double")]
     # clean identity source: order + limit forwarded, renamed physical
-    *_, lim, _, order = _pushdown_parts(src(), [("b", "<", 9)], 5,
+    *_, lim, _, order, _ = _pushdown_parts(src(), [("b", "<", 9)], 5,
                                         None, ob)
     assert order == [("pa", "DESC", "NULLS LAST")] and lim == 5
     # a key with no type evidence (legacy 3-tuple) never forwards
-    *_, lim, _, order = _pushdown_parts(src(), None, 5, None,
+    *_, lim, _, order, _ = _pushdown_parts(src(), None, 5, None,
                                         [("a", "DESC", "NULLS LAST")])
     assert order is None and lim is None
     # permissioned source: peer stream is a superset — neither forwards
     p = src(default_permission=SourcePermission(frozenset(["pa", "pb"]),
                                                 "pa < 100"))
-    *_, lim, _, order = _pushdown_parts(p, None, 5, None, ob)
+    *_, lim, _, order, _ = _pushdown_parts(p, None, 5, None, ob)
     assert order is None and lim is None
     # transformed conjunct pushes WIDENED — order (and its limit) die
     t = src(mappings=[Mapping("a", "pa"),
                       Mapping("b", "pb",
                               Transformation("{v} * 100", "{v} / 100"))])
-    *_, lim, _, order = _pushdown_parts(t, [("b", "<", 9)], 5, None, ob)
+    *_, lim, _, order, _ = _pushdown_parts(t, [("b", "<", 9)], 5, None, ob)
     assert order is None and lim is None
     # dropped (unmapped) conjunct: everything dies
-    *_, lim, _, order = _pushdown_parts(src(), [("z", "<", 9)], 5,
+    *_, lim, _, order, _ = _pushdown_parts(src(), [("z", "<", 9)], 5,
                                         None, ob)
     assert order is None and lim is None
 
@@ -649,61 +649,61 @@ def test_pushdown_parts_order_through_transforms():
     ob = [("a", "DESC", "NULLS LAST", "double")]
     aff = Transformation("{v} * 100", "{v} / 100")
     # positive slope over float/double storage: same direction forwards
-    *_, lim, _, order = _pushdown_parts(src(aff), None, 5, None, ob)
+    *_, lim, _, order, _ = _pushdown_parts(src(aff), None, 5, None, ob)
     assert order == [("pa", "DESC", "NULLS LAST")] and lim == 5
     # negative slope over float storage: NaN would switch ends — refuse
     neg = Transformation("{v} * -100", "{v} / -100")
-    *_, lim, _, order = _pushdown_parts(src(neg), None, 5, None, ob)
+    *_, lim, _, order, _ = _pushdown_parts(src(neg), None, 5, None, ob)
     assert order is None and lim is None
     # negative slope over declared-integer storage, float-promoted
     # arithmetic: flips ASC<->DESC, NULLS placement stays positional
     negf = Transformation("{v} * -1.0", "{v} / -1.0")
-    *_, lim, _, order = _pushdown_parts(src(negf, "bigint"), None, 5,
+    *_, lim, _, order, _ = _pushdown_parts(src(negf, "bigint"), None, 5,
                                         None, ob)
     assert order == [("pa", "ASC", "NULLS LAST")] and lim == 5
     # integer-only arithmetic chain can WRAP (non-ANSI int mult): refuse
-    *_, lim, _, order = _pushdown_parts(src(aff, "bigint"), None, 5,
+    *_, lim, _, order, _ = _pushdown_parts(src(aff, "bigint"), None, 5,
                                         None, ob)
     assert order is None and lim is None
     # ... but a division promotes to double at the first op: forwards
     divt = Transformation("{v} / 100", "{v} * 100")
-    *_, lim, _, order = _pushdown_parts(src(divt, "bigint"), None, 5,
+    *_, lim, _, order, _ = _pushdown_parts(src(divt, "bigint"), None, 5,
                                         None, ob)
     assert order == [("pa", "DESC", "NULLS LAST")] and lim == 5
     # non-affine transform: refuse
     sq = Transformation("({v}) * ({v})", "{v}")
-    *_, lim, _, order = _pushdown_parts(src(sq), None, 5, None, ob)
+    *_, lim, _, order, _ = _pushdown_parts(src(sq), None, 5, None, ob)
     assert order is None and lim is None
     # Spark types `-1.0`/`0.1` as DECIMAL literals, and decimal chains
     # past propagated precision 38 can NULL their value (non-ANSI) —
     # the review-pass exploit shape is pinned REFUSED even though a
     # python-float reading of the literals would call it "float math"
     wide = Transformation("({v} - 0.1) * 99999999999999999999.9", "{v}")
-    *_, lim, _, order = _pushdown_parts(src(wide, "bigint"), None, 5,
+    *_, lim, _, order, _ = _pushdown_parts(src(wide, "bigint"), None, 5,
                                         None, ob)
     assert order is None and lim is None
     # ... while bounded decimal chains (precision provably <= 38) and
     # scientific-notation literals (genuinely DOUBLE in Spark) forward
     e = Transformation("{v} * 1e2", "{v} / 1e2")
-    *_, lim, _, order = _pushdown_parts(src(e, "bigint"), None, 5,
+    *_, lim, _, order, _ = _pushdown_parts(src(e, "bigint"), None, 5,
                                         None, ob)
     assert order == [("pa", "DESC", "NULLS LAST")]
     # declared decimal storage: exact, NaN-free — flips allowed
     negd = Transformation("{v} * -1.0", "{v} / -1.0")
-    *_, lim, _, order = _pushdown_parts(src(negd, "decimal(12,2)"),
+    *_, lim, _, order, _ = _pushdown_parts(src(negd, "decimal(12,2)"),
                                         None, 5, None, ob)
     assert order == [("pa", "ASC", "NULLS LAST")]
     # affine to a non-float LOGICAL type: cast could overflow-null/
     # wrap — refuse
-    *_, lim, _, order = _pushdown_parts(
+    *_, lim, _, order, _ = _pushdown_parts(
         src(aff), None, 5, None, [("a", "DESC", "NULLS LAST", "bigint")])
     assert order is None and lim is None
     # kept conjunct on ANOTHER identity column rides along
-    *_, lim, _, order = _pushdown_parts(src(aff), [("b", "<", 9)], 5,
+    *_, lim, _, order, _ = _pushdown_parts(src(aff), [("b", "<", 9)], 5,
                                         None, ob)
     assert order == [("pa", "DESC", "NULLS LAST")] and lim == 5
     # case-insensitive info lookup (Spark resolution semantics)
-    *_, lim, _, order = _pushdown_parts(
+    *_, lim, _, order, _ = _pushdown_parts(
         src(aff, info="A_col"), None, 5, None,
         [("a_COL", "DESC", "NULLS LAST", "double")])
     assert order == [("pa", "DESC", "NULLS LAST")] and lim == 5
@@ -726,7 +726,7 @@ def test_pushdown_parts_order_cast_stability():
             mappings=[Mapping("a", "pa")], options={})
 
     def fwd(ptype, ltype):
-        *_, _, _, order = _pushdown_parts(
+        *_, _, _, order, _ = _pushdown_parts(
             src(ptype), None, 5, None,
             [("a", "ASC", "NULLS FIRST", ltype)])
         return order is not None
@@ -853,3 +853,141 @@ def test_topk_limit_never_leaks_bare_across_remote_hops(spark, sf_dir,
     assert all("ORDER BY" in s for s in sent if "LIMIT" in s), sent
     slow = [tuple(r) for r in gw.query(q, topk_pushdown=False).collect()]
     assert sorted(fast) == sorted(slow) and len(fast) == 6
+
+
+def test_engine_grouped_topk_reaches_duckdb(spark, sf_dir, engine,
+                                            engine_gateway):
+    """r14 tail — the row-path GROUPED top-k over an external SQL engine:
+    the engine receives the rank-bounded window wrapper (≤ bound rows per
+    partition cross the wire) and the answer matches Spark computing the
+    same top-n-per-group over the raw parquet."""
+    q = ("select returnflag, quantity, orderkey, rk "
+         "from (select returnflag, quantity, orderkey, row_number() over "
+         "(partition by returnflag order by quantity desc, orderkey) as rk"
+         " from items where quantity >= 30) t where rk <= 3")
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .selectExpr("l_returnflag as returnflag",
+                    "l_quantity as quantity", "l_orderkey as orderkey")
+    raw.createOrReplaceTempView("raw_items")
+    want = [tuple(r) for r in spark.sql(
+        q.replace("from items", "from raw_items")).collect()]
+    n0 = len(engine.executed)
+    got = [tuple(r) for r in engine_gateway.query(q).collect()]
+    assert sorted(got) == sorted(want) and len(got) > 0
+    sent = [s for s in engine.executed[n0:] if "__dw_rk" in s]
+    assert sent, engine.executed[n0:]
+    assert any("ROW_NUMBER() OVER (PARTITION BY l_returnflag" in s
+               and "__dw_rk <= 3" in s and "l_quantity" in s
+               for s in sent), sent
+    # transfer proof: the exact statement the engine ran returns <=
+    # bound rows per group (replayed on a fresh DuckDB over the same
+    # parquet — the engine's own answer is the same relation)
+    import duckdb as _d
+    con = _d.connect()
+    con.execute(f"create view lineitem_tbl as select * from "
+                f"read_parquet('{sf_dir}/lineitem.parquet')")
+    n = len(con.execute(next(s for s in sent if "__dw_rk" in s))
+            .fetchall())
+    groups = raw.where("quantity >= 30").select("returnflag") \
+                .distinct().count()
+    assert 0 < n <= 3 * groups
+
+
+def test_engine_grouped_topk_disabled_without_pushdown(spark, sf_dir,
+                                                       engine,
+                                                       engine_gateway):
+    """topk_pushdown=False keeps the plain engine select — no wrapper."""
+    q = ("select returnflag, rk from (select returnflag, row_number() "
+         "over (partition by returnflag order by quantity desc, orderkey)"
+         " as rk from items) t where rk <= 2")
+    n0 = len(engine.executed)
+    fast = [tuple(r) for r in engine_gateway.query(q).collect()]
+    mid = len(engine.executed)
+    slow = [tuple(r) for r in engine_gateway.query(
+        q, topk_pushdown=False).collect()]
+    assert sorted(fast) == sorted(slow) and len(fast) == 6
+    assert any("__dw_rk" in s for s in engine.executed[n0:mid])
+    assert not any("__dw_rk" in s for s in engine.executed[mid:])
+
+
+def test_grouped_fact_rank_requires_injective_keys():
+    """r14 review regression: rank()/dense_rank() make ties SEMANTIC —
+    a collapsing order-key map (bigint stored, double declared; any
+    affine transform) gives locally-tied rows distinct engine ranks and
+    a per-source ``rank <= n`` under-fetches. row_number tolerates the
+    collapse (any tie-break is valid)."""
+    from dataweb_spark.catalog.model import (DataField, DataSource,
+                                             Mapping, Transformation,
+                                             order_cast_injective)
+    from dataweb_spark.sources.readers import _pushdown_parts
+
+    class Spec:
+        def __init__(self, fn):
+            self.fn, self.bound = fn, 2
+            self.entity_partition = ["g"]
+            self.entity_order = [("a", "DESC", "NULLS LAST", "double")]
+
+    def src(ptype=None, t=None):
+        fields = [DataField("pa", "pa", ptype)] if ptype else []
+        return DataSource(
+            name="s", connection="c", entity="e",
+            source_sql="select * from {table}", fields=fields,
+            mappings=[Mapping("g", "pg"),
+                      Mapping("a", "pa", t or Transformation())],
+            options={})
+
+    # bigint -> double collapses past 2^53: rank refused, row_number ok
+    *_, eg = _pushdown_parts(src("bigint"), None, None, None, None,
+                             Spec("rank"))
+    assert eg is None
+    *_, eg = _pushdown_parts(src("bigint"), None, None, None, None,
+                             Spec("row_number"))
+    assert eg is not None
+    # exact widenings stay allowed for rank
+    *_, eg = _pushdown_parts(src("int"), None, None, None, None,
+                             Spec("dense_rank"))
+    assert eg is not None
+    *_, eg = _pushdown_parts(src("float"), None, None, None, None,
+                             Spec("rank"))
+    assert eg is not None
+    # ANY affine transform is float-evaluated => collapsible: rank
+    # refused, row_number keeps it
+    aff = Transformation("{v} / 100", "{v} * 100")
+    *_, eg = _pushdown_parts(src("bigint", aff), None, None, None, None,
+                             Spec("rank"))
+    assert eg is None
+    *_, eg = _pushdown_parts(src("bigint", aff), None, None, None, None,
+                             Spec("row_number"))
+    assert eg is not None
+    # the injectivity table itself
+    assert order_cast_injective("int", "double")
+    assert not order_cast_injective("int", "float")
+    assert order_cast_injective("smallint", "float")
+    assert not order_cast_injective("bigint", "double")
+    assert order_cast_injective("decimal(12,2)", "double")
+    assert not order_cast_injective("decimal(20,2)", "double")
+    assert not order_cast_injective("varchar", "bigint")
+
+
+def test_grouped_fact_refused_on_dw_rk_collision():
+    """A source whose declared physical surface already carries
+    ``__dw_rk`` would render an ambiguous star projection — the fact is
+    refused (errors under allow_partial silently DROP the source)."""
+    from dataweb_spark.catalog.model import (DataField, DataSource,
+                                             Mapping)
+    from dataweb_spark.sources.readers import _pushdown_parts
+
+    class Spec:
+        fn, bound = "row_number", 2
+        entity_partition = ["g"]
+        entity_order = [("a", "DESC", "NULLS LAST", "double")]
+
+    src = DataSource(
+        name="s", connection="c", entity="e",
+        source_sql="select * from {table}",
+        fields=[DataField("__dw_rk", "__dw_rk", "bigint")],
+        mappings=[Mapping("g", "pg"), Mapping("a", "pa"),
+                  Mapping("extra", "__dw_rk")],
+        options={})
+    *_, eg = _pushdown_parts(src, None, None, None, None, Spec())
+    assert eg is None

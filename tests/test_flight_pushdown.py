@@ -1539,3 +1539,53 @@ def test_grouped_topk_presentational_order_limit(spark, peer_server,
     assert extract_grouped_topk(
         spark, q.replace("order by returnflag, linestatus, rk limit 7",
                          "sort by returnflag"), "lineitem") is None
+
+
+def test_grouped_topk_through_affine_mapping_bounds_transfer(
+        spark, peer_server, transformed_gateway):
+    """r14 tail: the GROUPED fact composes with affine-mapped order keys
+    on the ROW path — a non-identity flight source receives the
+    rank-bounded window wrapper over PHYSICAL columns (order keys
+    rewritten/flipped like the flat fact; partition keys are safe under
+    any mapping: engine partitions are finer-or-equal) and ships ≤ bound
+    rows per partition; answers match the unpushed path."""
+    q = ("select linenumber, price_cents, partkey, rk "
+         "from (select linenumber, price_cents, partkey, row_number() "
+         "over (partition by linenumber order by price_cents desc, "
+         "neg_line asc, partkey) as rk from priced_items "
+         "where quantity >= 30) t where rk <= 2")
+    before = peer_server.served_rows
+    fast = [tuple(r) for r in transformed_gateway.query(q).collect()]
+    shipped = peer_server.served_rows - before
+    before = peer_server.served_rows
+    slow = [tuple(r) for r in transformed_gateway.query(
+        q, topk_pushdown=False).collect()]
+    shipped_rows = peer_server.served_rows - before
+    assert sorted(fast) == sorted(slow) and len(fast) > 0
+    # 7 linenumbers x bound 2 x up to 2 peer endpoints
+    assert 0 < shipped <= 2 * 7 * 2
+    assert shipped < shipped_rows
+
+
+def test_explain_reports_forwarded_grouped(spark, peer_server,
+                                           transformed_gateway):
+    """The explain surface mirrors the row-path grouped fact: physical
+    partition/order columns (flipped where the mapping slope is
+    negative) and the per-source bound."""
+    import json as _json
+    q = ("select linenumber, price_cents, partkey, rk "
+         "from (select linenumber, price_cents, partkey, row_number() "
+         "over (partition by linenumber order by price_cents desc, "
+         "neg_line asc, partkey) as rk from priced_items "
+         "where quantity >= 30) t where rk <= 2")
+    rows = {r["source"]: r.asDict()
+            for r in transformed_gateway.explain(q).collect()}
+    g = _json.loads(rows["priced_peer"]["forwarded_grouped"])
+    assert g["fn"] == "row_number" and g["bound"] == 2
+    assert g["partition"] == ["linenumber"]
+    # neg_line ASC (default NULLS FIRST) flips to linenumber DESC with
+    # the NULLS placement positionally unchanged
+    assert g["order"] == [["extendedprice", "DESC", "NULLS LAST"],
+                          ["linenumber", "DESC", "NULLS FIRST"],
+                          ["partkey", "ASC", "NULLS FIRST"]]
+    assert "__dw_rk <= 2" in rows["priced_peer"]["pushed_sql"]
