@@ -383,33 +383,36 @@ def order_cast_injective(phys: str | None, logical: str | None) -> bool:
     float target's mantissa (tinyint/smallint → float; anything ≤ int →
     double; bigint does NOT fit double); float → double; date →
     timestamp; decimals with ≤ 15 digits → double.
+
+    Structurally a REFINEMENT of :func:`order_cast_stable` — it delegates
+    first (injective ⟹ stable holds by construction, so the two tables
+    can never drift apart) and then rejects the collapsing members of the
+    stable whitelist.
     """
-    logical = _canon_type(logical)
-    if logical is None:
+    if not order_cast_stable(phys, logical):
         return False
+    logical = _canon_type(logical)
     phys = _canon_type(phys)
     if phys is None:
         phys = logical
     if phys == logical:
-        return phys in _ORDER_SELF_STABLE or phys.startswith("decimal")
+        return True  # identical types: the cast is the identity
+    # the collapsing members of the stable table:
     if phys in _INT_WIDENING:
         if logical in _INT_WIDENING:
-            return _INT_WIDENING.index(phys) <= _INT_WIDENING.index(logical)
+            return True  # stable already proved width(phys) <= width(logical)
         if logical == "double":
             return phys in ("tinyint", "smallint", "int")  # ≤32 bits ≤ 53
         if logical == "float":
             return phys in ("tinyint", "smallint")  # ≤16 bits ≤ 24
         return False
-    if phys == "float":
-        return logical == "double"
     if phys.startswith("decimal"):
         import re as _re
         m = _re.match(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", phys)
         return (logical == "double" and m is not None
                 and int(m.group(1)) <= 15)
-    if phys == "date":
-        return logical in ("timestamp", "timestamp_ntz")
-    return False
+    # float->double (exact) and date->timestamp (exact) are injective
+    return True
 
 
 # ---------------------------------------------------------------------------

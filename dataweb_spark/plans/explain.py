@@ -55,8 +55,13 @@ def _template_forward_sql(spark: SparkSession, web: Web, relay_name: str,
     """The template SQL ``gateway.query`` would fan out per source when
     the query decomposes — partial-aggregate, flat top-k, or grouped
     top-k — and the entity has at least one whole-forwardable flight
-    peer; else None. Replays the gateway's own gating order exactly."""
-    from dataweb_spark.plans.gateway import _forwardable_flight_peer
+    peer; else None. Delegates to the gateway's OWN decomposition helper
+    (``gateway._decomposed_template``) so this mirror can never drift
+    from what execution decides."""
+    from dataweb_spark.plans.gateway import (
+        _decomposed_template,
+        _forwardable_flight_peer,
+    )
     relay = web.relay(relay_name)
     entity = relay.entities.get(entity_name)
     if entity is None:
@@ -64,24 +69,8 @@ def _template_forward_sql(spark: SparkSession, web: Web, relay_name: str,
     if not any(_forwardable_flight_peer(relay, s, entity_name) is not None
                for s in relay.sources_for_entity(entity_name)):
         return None
-    from dataweb_spark.plans.aggpush import extract_aggregate_query
-    spec = extract_aggregate_query(
-        spark, sql, entity_name,
-        entity_columns=set(entity.info_names()),
-        entity_types={i.name: i.data_type for i in entity.informations})
-    if spec is not None:
-        return spec.partial_sql()
-    from dataweb_spark.plans.topk import (
-        extract_grouped_topk,
-        extract_topk_query,
-    )
-    tspec = extract_topk_query(spark, sql, entity_name)
-    if tspec is not None:
-        return tspec.forward_sql
-    gspec = extract_grouped_topk(spark, sql, entity_name)
-    if gspec is not None:
-        return gspec.forward_sql
-    return None
+    _, fwd, _ = _decomposed_template(spark, entity, entity_name, sql)
+    return fwd
 
 
 def explain_entity(spark: SparkSession, web: Web, relay_name: str,

@@ -76,6 +76,43 @@ def _forwardable_flight_peer(relay, source, entity_name: str):
     return host, int(conn.options["port"]), conn
 
 
+def _decomposed_template(spark, entity, ename: str, sql: str,
+                         partial_aggregate: bool = True,
+                         topk_pushdown: bool = True):
+    """``(spec, forward_sql, grouped_parsed)`` — the template
+    decomposition ``QueryGateway.query`` fans out per source when the
+    entity has a whole-forwardable flight peer: partial aggregates, then
+    flat top-k, then grouped top-k, in the gateway's exact gating order.
+    Every ``spec`` merges the same way (``spec.merge(union_of_partials)``).
+    Shared with ``plans/explain.py`` so the EXPLAIN mirror can never
+    drift from what execution decides. ``grouped_parsed`` tells the
+    caller whether ``extract_grouped_topk`` already ran (and found
+    nothing, or this function would have returned it) — the row-path
+    grouped extraction skips its JVM parse roundtrip in that case."""
+    etypes = {i.name: i.data_type for i in entity.informations}
+    if partial_aggregate:
+        from dataweb_spark.plans.aggpush import extract_aggregate_query
+        spec = extract_aggregate_query(
+            spark, sql, ename,
+            entity_columns=set(entity.info_names()),
+            entity_types=etypes)
+        if spec is not None:
+            return spec, spec.partial_sql(), False
+    if topk_pushdown:
+        from dataweb_spark.plans.topk import (
+            extract_grouped_topk,
+            extract_topk_query,
+        )
+        tspec = extract_topk_query(spark, sql, ename)
+        if tspec is not None:
+            return tspec, tspec.forward_sql, False
+        gspec = extract_grouped_topk(spark, sql, ename,
+                                     entity_types=etypes)
+        return gspec, (gspec.forward_sql if gspec is not None else None), \
+            True
+    return None, None, False
+
+
 class QueryGateway:
     """The relay's query surface for one (web, home-relay) pair."""
 
@@ -132,7 +169,6 @@ class QueryGateway:
             raise ValidationError(
                 f"unknown entity(ies): {sorted(unknown)}; "
                 f"relay {self.relay_name!r} declares {sorted(known)}")
-        gspec = None
         gspec_known = False  # did the template branch already parse it?
         if ((partial_aggregate or topk_pushdown)
                 and not include_provenance
@@ -141,41 +177,13 @@ class QueryGateway:
             relay = self.web.relay(self.relay_name)
             if any(_forwardable_flight_peer(relay, s, ename) is not None
                    for s in relay.sources_for_entity(ename)):
-                if partial_aggregate:
-                    from dataweb_spark.plans.aggpush import (
-                        extract_aggregate_query,
-                    )
-                    spec = extract_aggregate_query(
-                        self.spark, sql, ename,
-                        entity_columns=set(known[ename].info_names()),
-                        entity_types={i.name: i.data_type
-                                      for i in known[ename].informations})
-                    if spec is not None:
-                        self.last_failures = []  # template fails loudly
-                        partials = self.query_template_union(
-                            spec.partial_sql(), principal)
-                        return spec.merge(partials)
-                if topk_pushdown:
-                    from dataweb_spark.plans.topk import (
-                        extract_grouped_topk,
-                        extract_topk_query,
-                    )
-                    tspec = extract_topk_query(self.spark, sql, ename)
-                    if tspec is not None:
-                        self.last_failures = []  # template fails loudly
-                        parts = self.query_template_union(
-                            tspec.forward_sql, principal)
-                        return tspec.merge(parts)
-                    gspec = extract_grouped_topk(
-                        self.spark, sql, ename,
-                        entity_types={i.name: i.data_type
-                                      for i in known[ename].informations})
-                    gspec_known = True
-                    if gspec is not None:
-                        self.last_failures = []  # template fails loudly
-                        parts = self.query_template_union(
-                            gspec.forward_sql, principal)
-                        return gspec.merge(parts)
+                spec, fwd, gspec_known = _decomposed_template(
+                    self.spark, known[ename], ename, sql,
+                    partial_aggregate, topk_pushdown)
+                if spec is not None:
+                    self.last_failures = []  # template fails loudly
+                    return spec.merge(
+                        self.query_template_union(fwd, principal))
         predicates = {
             e: extract_entity_predicates(self.spark, sql, e)
             for e in entities
@@ -303,10 +311,8 @@ class QueryGateway:
                 return
             visited.add(key)
             r = self.web.relay(relay_name)
-            for source in r.sources_for_entity(ename):
-                if (conj and source.bounds
-                        and not source_can_match(conj, source.bounds)):
-                    continue  # pruned endpoint: bounds disjoint from query
+
+            def run_source(source) -> None:
                 if not chain and not star_out:
                     fwd = _forwardable_flight_peer(r, source, ename)
                     if fwd is not None:
@@ -320,7 +326,7 @@ class QueryGateway:
                         results.extend(flight_forward_template(
                             self.spark, host, fport, sql, principal,
                             **flight_client_identity(fconn)))
-                        continue
+                        return
                 view = build_source_view(
                     self.spark, r, source, principal, conjuncts=conj,
                     limit=(ol[1] if ol else lim),
@@ -332,7 +338,46 @@ class QueryGateway:
                                                  rm, view)
                 view.drop(PROVENANCE_RELAY, PROVENANCE_SOURCE) \
                     .createOrReplaceTempView(entity_name)
-                results.append((relay_name, source.name, self.spark.sql(sql)))
+                results.append((relay_name, source.name,
+                                self.spark.sql(sql)))
+
+            # Replica groups: members declare IDENTICAL data, so exactly
+            # ONE is queried per group with declared-order failover —
+            # the row path (resolve_entity) has always done this; the
+            # template path scanning every mirror would DOUBLE rows in
+            # every partial merge (aggregates, top-k, grouped top-k) —
+            # r14 review catch. Ungrouped sources keep the original
+            # fail-loudly semantics (no try wrapper on singletons).
+            seen_groups: set[str] = set()
+            by_group: dict[str, list] = {}
+            for s in r.sources_for_entity(ename):
+                g = getattr(s, "replica_group", None)
+                if g is not None:
+                    by_group.setdefault(g, []).append(s)
+            for source in r.sources_for_entity(ename):
+                if (conj and source.bounds
+                        and not source_can_match(conj, source.bounds)):
+                    continue  # pruned endpoint: bounds disjoint from query
+                g = getattr(source, "replica_group", None)
+                if g is None:
+                    run_source(source)
+                    continue
+                if g in seen_groups:
+                    continue  # a preferred mirror already answered
+                seen_groups.add(g)
+                members = [s for s in by_group[g]
+                           if not (conj and s.bounds and
+                                   not source_can_match(conj, s.bounds))]
+                err = None
+                for member in members:
+                    try:
+                        run_source(member)
+                        break
+                    except Exception as e:  # noqa: BLE001 — failover
+                        err = e
+                else:
+                    if err is not None:
+                        raise err
             for rm in r.remotes_for_entity(ename):
                 from dataweb_spark.plans.resolve import (
                     _map_referenced_through,

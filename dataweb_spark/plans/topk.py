@@ -157,6 +157,22 @@ def _expr_attrs(jexpr) -> list[str] | None:
     return out
 
 
+def _declared_lookup(entity_types: dict | None):
+    """Case-insensitive resolver over the entity's declared columns:
+    ``declared(col) -> (declared_case_name, logical_type)`` with
+    ``(col, None)`` for names the entity doesn't declare (a None type
+    never forwards downstream). Shared by both extractors so the
+    emit-declared-case / type-evidence contract has ONE implementation."""
+    typed = {name.lower(): (name, t)
+             for name, t in (entity_types or {}).items()}
+
+    def declared(col: str) -> tuple:
+        hit = typed.get(col.lower())
+        return hit if hit is not None else (col, None)
+
+    return declared
+
+
 def _parse_topk_prefix(spark: SparkSession, sql: str, entity: str):
     """Shared plan-prefix validation for both extractors: parse ``sql``
     and return ``(k, offset, sort_node)`` when it opens with the top-k
@@ -511,8 +527,7 @@ def extract_order_limit(spark: SparkSession, sql: str, entity: str,
         a = _bare_attr(tgt)
         return a  # alias of a bare column -> that column; else None
 
-    typed = {name.lower(): (name, t)
-             for name, t in (entity_types or {}).items()}
+    declared = _declared_lookup(entity_types)
     keys: list[tuple[str, str, str, str | None]] = []
     so_seq = sort.order()
     for i in range(so_seq.size()):
@@ -538,11 +553,7 @@ def extract_order_limit(spark: SparkSession, sql: str, entity: str,
         col = resolve_to_entity_col(name)
         if col is None:
             return None
-        declared = typed.get(col.lower())
-        if declared is not None:
-            col, ltype = declared
-        else:
-            ltype = None
+        col, ltype = declared(col)
         keys.append((col, direction, nulls, ltype))
     if not keys:
         return None
@@ -900,12 +911,7 @@ def extract_grouped_topk(spark: SparkSession, sql: str,
             fwd_items.append(col_sql)
         return bare
 
-    typed = {name.lower(): (name, t)
-             for name, t in (entity_types or {}).items()}
-
-    def declared(col: str) -> tuple[str, str | None]:
-        hit = typed.get(col.lower())
-        return hit if hit is not None else (col, None)
+    declared = _declared_lookup(entity_types)
 
     partition: list[str] = []
     entity_partition: list[str] = []

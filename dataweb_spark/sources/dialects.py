@@ -183,7 +183,12 @@ def render_select(dialect: Dialect, table: str,
                 keys = None
                 break
             keys.append(f"{ident} {direction} {nulls}")
-        if (fn_sql is not None and win_parts and keys
+        # the wrapper requires an EXPLICIT inner projection: a star
+        # could duplicate an (undeclared) physical `__dw_rk` column,
+        # rendering ambiguous SQL that ERRORS the source — and under
+        # allow_partial an errored source is silently dropped, which is
+        # worse than the wrapper's documented silent fallback
+        if (fn_sql is not None and win_parts and keys and cols != "*"
                 and all(p is not None for p in win_parts)
                 and "__dw_rk" not in {c.lower() for c in (columns or [])}):
             win = (f"{fn_sql}() OVER (PARTITION BY "

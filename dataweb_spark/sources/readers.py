@@ -327,6 +327,28 @@ def _pushdown_parts(source: DataSource, conjuncts: list | None,
     if grouped is not None and not has_perms and not dropped \
             and not inexact_push:
         eff_grouped = _forward_grouped(source, grouped)
+    if eff_grouped is not None and cols is None:
+        # the window wrapper needs an EXPLICIT inner projection (a star
+        # could duplicate an undeclared physical `__dw_rk` — ambiguous
+        # SQL errors the source, and allow_partial would then silently
+        # DROP it). "All columns" for the mapping layer means exactly
+        # the distinct mapped paths, so enumerate them; a non-identifier
+        # path can't be projected explicitly — the fact degrades to the
+        # plain select, which is always correct.
+        paths: list[str] | None = []
+        seen2: set[str] = set()
+        for m in source.mappings:
+            p = source.field_path(m.field)
+            if not _IDENT.match(p):
+                paths = None
+                break
+            if p not in seen2:
+                seen2.add(p)
+                paths.append(p)
+        if paths:
+            cols = paths
+        else:
+            eff_grouped = None
     return cols, kept, eff_limit, projected, eff_order, eff_grouped
 
 

@@ -274,3 +274,38 @@ def test_replica_yaml_round_trip(tmp_path, sf_dir):
     srcs = back.relay("home").sources
     assert all(srcs[n].replica_group == "regions"
                for n in ("mirror_a", "mirror_b"))
+
+
+def test_replica_group_template_path_scans_one_member(spark, sf_dir):
+    """r14 review regression: the TEMPLATE path (partial aggregates,
+    flat/grouped top-k merges) must honor replica groups like the row
+    path — scanning every mirror would DOUBLE rows in every partial
+    merge. One member answers; a dead preferred mirror fails over."""
+    from dataweb_spark.plans.gateway import QueryGateway
+
+    gw = QueryGateway(spark, _replica_web(sf_dir), "home", )
+    parts = gw.query_template("select count(*) as n from t")
+    assert [(rel, s) for rel, s, _ in parts] == [("home", "mirror_a")]
+    assert parts[0][2].collect()[0]["n"] == 5
+    # the merged union counts each row ONCE
+    total = gw.query_template_union(
+        "select count(*) as n from t").agg({"n": "sum"}).first()[0]
+    assert total == 5
+    # and the engine-mode aggregate answer is the true count
+    assert gw.query("select count(*) as n from t").first()["n"] == 5
+
+    # failover: dead preferred mirror -> the healthy one answers
+    gw2 = QueryGateway(spark,
+                       _replica_web(sf_dir,
+                                    first_table="no_such_file.parquet"),
+                       "home")
+    parts2 = gw2.query_template("select count(*) as n from t")
+    assert [(rel, s) for rel, s, _ in parts2] == [("home", "mirror_b")]
+    # all mirrors down: loud failure (template has no allow_partial)
+    gw3 = QueryGateway(spark,
+                       _replica_web(sf_dir,
+                                    first_table="no_such_file.parquet",
+                                    second_table="also_missing.parquet"),
+                       "home")
+    with pytest.raises(Exception):
+        gw3.query_template("select count(*) as n from t")
