@@ -146,12 +146,17 @@ class AggQuerySpec:
             sql += " GROUP BY " + ", ".join(grain)
         return sql
 
-    def merge(self, partials: DataFrame) -> DataFrame:
+    def merge(self, partials: DataFrame, project: bool = True) -> DataFrame:
         """Combine the unioned per-source partials into the engine-mode
         answer: sum of counts/sums, min of mins, max of maxes, avg from
         summed (sum, count) pairs — then HAVING over the merged values
         (hidden aggregates computed alongside and dropped after the
-        filter), the original projection order, ORDER BY, and LIMIT."""
+        filter), the original projection order, ORDER BY, and LIMIT.
+
+        ``project=False`` skips the final projection, keeping hidden/
+        synthetic columns in the ordered+limited frame — the top-groups
+        protocol (``plans/topgroups.py``) probes the k-th ORDER value
+        there, which may live in a hidden ``__h`` column."""
         group_names = [o[2] for o in self.outputs if o[0] == "group"] \
             + [name for _, name in self.extra_groups]
         aggs = []
@@ -238,6 +243,8 @@ class AggQuerySpec:
                                 for c, asc in self.order_by])
         if self.limit is not None:
             out = out.limit(self.limit)
+        if not project:
+            return out
         return out.select(*[_out_name(o) for o in self.outputs])
 
 

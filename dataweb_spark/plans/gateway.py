@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataweb_spark.catalog.model import Web
+from dataweb_spark.plans.aggpush import AggQuerySpec
 from dataweb_spark.plans.pruning import (
     extract_entity_limit,
     extract_entity_predicates,
@@ -161,8 +162,17 @@ class QueryGateway:
         tie-boundary rows come back is engine- and pushdown-dependent
         (all answers valid under SQL semantics) — sort on every
         projected column or set ``topk_pushdown=False`` when strict
-        bit-reproducibility matters (see ``plans/topk.py`` docstring)."""
+        bit-reproducibility matters (see ``plans/topk.py`` docstring).
+        The TOP-GROUPS form — ``ORDER BY agg(...) LIMIT k`` over a
+        ``GROUP BY`` — additionally runs the two-round threshold-bound
+        protocol (``plans/topgroups.py``) when both flags are on: each
+        source ships its top-m groups by its LOCAL partial plus exact
+        partials for the candidate union — O(k·sources) wire instead of
+        the partial merge's O(groups); an unprovable exclusion bound
+        falls back to that merge, identical answers either way
+        (``self.last_topk_groups`` records which path answered)."""
         entities = validate_sql(self.spark, sql, single_entity=False)
+        self.last_topk_groups = False
         known = self.web.relay(self.relay_name).entities
         unknown = {e for e in entities if e not in known}
         if unknown:
@@ -182,6 +192,27 @@ class QueryGateway:
                     partial_aggregate, topk_pushdown)
                 if spec is not None:
                     self.last_failures = []  # template fails loudly
+                    self.last_topk_groups = False
+                    if topk_pushdown and isinstance(spec, AggQuerySpec):
+                        # "top groups": ORDER BY agg() LIMIT k over GROUP
+                        # BY runs the two-round bound protocol when the
+                        # exclusion is provable — wire O(k·sources) where
+                        # the partial merge below ships O(groups); an
+                        # unprovable bound falls through to that merge
+                        # (plans/topgroups.py)
+                        from dataweb_spark.plans.topgroups import (
+                            plan_topk_groups,
+                            run_topk_groups,
+                        )
+                        tg = plan_topk_groups(spec)
+                        if tg is not None:
+                            out = run_topk_groups(
+                                self.spark, tg,
+                                lambda s: self.query_template_union(
+                                    s, principal))
+                            if out is not None:
+                                self.last_topk_groups = True
+                                return out
                     return spec.merge(
                         self.query_template_union(fwd, principal))
         predicates = {

@@ -288,7 +288,7 @@ def extract_referenced_columns(spark: SparkSession,
 # child's output schema up unchanged.
 _OUTPUT_PASSTHROUGH = {"Sort", "GlobalLimit", "LocalLimit", "Offset",
                        "SubqueryAlias", "Distinct", "Deduplicate", "Filter",
-                       "UnresolvedHint"}
+                       "UnresolvedHint", "UnresolvedHaving"}
 
 
 def output_shape_has_star(spark: SparkSession, sql: str) -> bool:

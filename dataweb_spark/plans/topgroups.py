@@ -1,0 +1,325 @@
+"""Federated TOP-GROUPS pushdown: ``ORDER BY agg(...) LIMIT k`` over
+``GROUP BY``.
+
+The partial-aggregate decomposer (``plans/aggpush.py``) ships one partial
+row per (source, group) — O(groups) wire. For "top groups by a measure"
+(the reference's flagship Q3, top revenue groups,
+``webengine/src/main.rs:86-124``) that is still the scale killer: with
+per-URL / per-domain keys at 100 TB, O(groups) ≈ O(rows). This module
+adds the classic distributed top-k-groups protocol (the
+threshold-algorithm family — Fagin's TA / Cao & Wang's TPUT) on top of
+the SAME decomposition:
+
+* **Round 1 (bound round)** — each source answers the partial query
+  ``ORDER BY <partial of the order key> DESC|ASC LIMIT m`` (m = k plus
+  slack): its own top-m groups by its LOCAL partial, plus — implicitly,
+  as the m-th shipped value — the residual bound τ_s on every group it
+  did NOT ship.
+* **Round 2 (exact round)** — the union of seen groups is the candidate
+  set; every source re-answers the partial query filtered to candidates
+  (``HAVING (keys) IN (...)``), so candidate totals merge EXACTLY like
+  the aggpush path (same ``AggQuerySpec.merge``).
+* **Exclusion proof** — an unseen group's total is bounded by the τ_s
+  residuals: for ``sum``/``count`` order keys by Σ_s max(τ_s, 0) (a
+  group absent from a source contributes nothing, an unseen-but-present
+  one at most τ_s — sound for NEGATIVE values too, which is why the
+  max(·, 0) is there); for ``max``/``min`` by max_s τ_s (the merged
+  extremum of partials each ≤ τ_s). Exhausted sources (shipped < m
+  rows) host no unseen groups and contribute nothing; a NULL-tailed
+  DESC fetch means every unseen partial at that source is NULL (NULLS
+  LAST ships non-nulls first) and contributes nothing either. When the
+  k-th candidate's exact merged value beats the bound, no unseen group
+  can enter the top-k and the candidate merge IS the answer. Otherwise
+  — or for any shape outside the proof — the caller falls back to the
+  aggpush O(groups) path, which is always correct.
+
+Wire: ≤ m rows/source in round 1 + ≤ |candidates| rows/source in round
+2 — O(k·sources) and O(k·sources²) — where aggpush ships O(groups) per
+source.
+
+Rejection grid (each keeps the existing aggpush path; see
+``plan_topk_groups``): HAVING (the bound round can't see which unseen
+groups would survive it at a useful price — candidates would need the
+k-th SURVIVING value, and survivors of unseen groups are unknowable);
+DISTINCT aggregates anywhere (the partial grain refines to (group,
+value) pairs — no one-row-per-group partial to bound); ``avg`` order
+keys (a ratio of partials has no per-source residual bound);
+expression order keys; ``ORDER BY sum/count ASC`` (bottom-k by a
+non-negative additive measure is unbounded below by residuals — a
+group absent from every round-1 answer can still be globally minimal).
+
+Tie caveat (same as ``plans/topk.py``): when order keys don't totally
+order the groups, WHICH boundary-tied groups come back is
+protocol-dependent; all answers are valid under SQL semantics. With
+multiple order keys the exclusion test is STRICT (a tie on the primary
+bound could be broken by a secondary key the residuals know nothing
+about); single-key ties at the boundary are the documented
+nondeterminism and non-strict exclusion applies.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from dataclasses import dataclass
+from decimal import ROUND_CEILING, ROUND_FLOOR, Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataweb_spark.plans.aggpush import AggQuerySpec, _out_name
+
+_BOUNDABLE_FNS = {"sum", "count", "min", "max"}
+
+# candidate sets past this size would render an absurd IN-list; the
+# aggpush path is the right plan there anyway (|G| ≤ m·sources, so this
+# only trips on very wide federations or very large k)
+_MAX_CANDIDATES = 10_000
+
+
+@dataclass
+class TopGroupsPlan:
+    """A validated aggregate spec plus the bound-round facts."""
+
+    spec: AggQuerySpec
+    pcol: str            # partial column (__p{i}) of the primary order key
+    fn: str              # sum | count | min | max
+    asc: bool
+    digits: int | None   # round(..., d) on the primary output, if any
+    strict: bool         # >1 order key: exclusion must be strict
+    m: int               # per-source round-1 fetch size
+    group_cols: list[str]   # partial-frame column names of the group grain
+    group_exprs: list[str]  # source-namespace SQL per group key (aligned)
+    primary_name: str    # merged-frame name of the primary order key
+
+
+def plan_topk_groups(spec: AggQuerySpec) -> TopGroupsPlan | None:
+    """Gate ``spec`` into the bound-round protocol, else None (the caller
+    keeps the aggpush O(groups) path). See the module docstring for the
+    rejection grid and why each entry is there."""
+    if spec.limit is None or spec.limit <= 0:
+        return None
+    if not spec.order_by or not spec.group_attrs:
+        return None
+    if spec.having_sql is not None:
+        return None
+    outs = spec.outputs + spec.hidden
+    # DISTINCT grain refinement anywhere breaks one-row-per-group partials
+    for o in outs:
+        if o[0] == "agg" and o[1].endswith("_distinct"):
+            return None
+    primary_name, asc = spec.order_by[0]
+    primary = None
+    pidx = None
+    for i, o in enumerate(outs):
+        if _out_name(o).lower() == primary_name.lower():
+            primary, pidx = o, i
+            break
+    if primary is None or primary[0] != "agg":
+        return None  # group-key or expression primary: aggpush path
+    _, fn, _arg, _name, digits = primary
+    if fn not in _BOUNDABLE_FNS:
+        return None  # avg (and any *_distinct, caught above)
+    if asc and fn in ("sum", "count"):
+        return None  # bottom-k by an additive measure: no residual bound
+    # secondary keys only break ties among candidates (whose merged
+    # values round 2 computes exactly) — any already-validated key works,
+    # but they force strict exclusion at the primary boundary
+    group_cols: list[str] = []
+    group_exprs: list[str] = []
+    extra = dict(spec.extra_groups)
+    for g in spec.group_attrs:
+        name = next((o[2] for o in spec.outputs
+                     if o[0] == "group" and o[1] == g), None)
+        if name is None:
+            name = extra.get(g)
+        if name is None:
+            return None  # unprojected group key missing its __g column
+        group_cols.append(name)
+        group_exprs.append(g)
+    k = spec.limit
+    return TopGroupsPlan(
+        spec=spec, pcol=f"__p{pidx}", fn=fn, asc=asc, digits=digits,
+        strict=len(spec.order_by) > 1, m=max(2 * k, k + 16),
+        group_cols=group_cols, group_exprs=group_exprs,
+        primary_name=primary_name)
+
+
+def _sql_literal(v, cast_to: str | None = None) -> str | None:
+    """Render a collected group-key value as a SPARK SQL literal (the
+    round-2 template is executed by Spark — locally over the mapped
+    source views, and at peers by their own Spark gateway). None for
+    anything unrenderable (NaN, binary, ...) — the caller falls back.
+
+    Scalar form (``cast_to=None``): date/timestamp values render as ISO
+    strings — Spark implicitly casts a string literal to the compared
+    column's type, which sidesteps the TIMESTAMP-vs-TIMESTAMP_NTZ
+    literal distinction (peers share the session timezone — the same
+    contract the aggpush calendar-bucketing forward already documents).
+
+    Composite form (``cast_to`` = the column's Spark ``simpleString``
+    type): struct-valued IN requires an EXACT struct type match — no
+    implicit coercion inside ``(a, b) IN ((..), ..)`` — so every
+    element is wrapped in an explicit ``CAST(... AS <type>)``."""
+    if isinstance(v, bool):
+        base = "TRUE" if v else "FALSE"
+    elif isinstance(v, int):
+        base = str(v)
+    elif isinstance(v, Decimal):
+        base = format(v, "f")  # plain digits: an exact Spark decimal literal
+    elif isinstance(v, float):
+        if not math.isfinite(v):
+            return None
+        base = f"'{v!r}'" if cast_to else f"CAST('{v!r}' AS DOUBLE)"
+    elif isinstance(v, _dt.datetime):  # before date: datetime is a date
+        base = "'" + v.isoformat(sep=" ") + "'"
+    elif isinstance(v, _dt.date):
+        base = "'" + v.isoformat() + "'"
+    elif isinstance(v, str):
+        # Spark's default parser treats backslash as an escape character
+        base = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    else:
+        return None
+    if cast_to is None:
+        return base
+    return f"CAST({base} AS {cast_to.upper()})"
+
+
+def _residual_bound(plan: TopGroupsPlan, per_source: dict) -> tuple:
+    """``(ok, bound)`` — the provable bound on any UNSEEN group's merged
+    order value, from the per-source round-1 answers.
+
+    ``bound`` may be None with ``ok=True``: every unseen group's merged
+    value is NULL (it only exists behind NULL-tailed DESC fetches),
+    which sorts after every non-NULL candidate. ``ok=False`` means no
+    bound exists (an ASC fetch whose whole answer was NULLs leaves
+    unseen values unbounded) — the caller falls back."""
+    terms = []
+    for rows in per_source.values():
+        if len(rows) < plan.m:
+            continue  # exhausted: every group of this source was seen
+        vals = [r[plan.pcol] for r in rows]
+        if not plan.asc:
+            # DESC NULLS LAST: a NULL in the answer means all non-nulls
+            # shipped — unseen partials here are NULL, contributing
+            # nothing to any merged sum/min/max
+            if any(v is None for v in vals):
+                continue
+            terms.append(min(vals))
+        else:
+            # ASC NULLS FIRST: nulls ship first, so any non-null in the
+            # answer means all NULL groups shipped; all-NULL answers
+            # leave unseen values unbounded below
+            nonnull = [v for v in vals if v is not None]
+            if not nonnull:
+                return False, None
+            terms.append(max(nonnull))
+    if not terms:
+        return True, None
+    if plan.fn in ("sum", "count") and not plan.asc:
+        clipped = [t for t in terms if t > 0]
+        if not clipped:
+            return True, 0
+        if any(isinstance(t, float) for t in clipped):
+            # float addition rounds per step; bias the bound upward past
+            # any such rounding so it stays an upper bound of the REAL sum
+            b = math.fsum(clipped)
+            b = math.nextafter(math.nextafter(b, math.inf), math.inf)
+            return True, b
+        return True, sum(clipped)  # int/Decimal: exact
+    return True, (min(terms) if plan.asc else max(terms))
+
+
+def _rounded_bound(plan: TopGroupsPlan, bound):
+    """Push the bound through the primary output's ``round(..., d)``:
+    rounding is monotone, so ceiling (DESC) / flooring (ASC) the bound at
+    the same scale keeps it a bound on the ROUNDED unseen values."""
+    if plan.digits is None or bound is None:
+        return bound
+    q = Decimal(1).scaleb(-plan.digits)
+    mode = ROUND_FLOOR if plan.asc else ROUND_CEILING
+    return Decimal(bound).quantize(q, rounding=mode)
+
+
+def _excludes(plan: TopGroupsPlan, kth, bound) -> bool:
+    """True when the k-th candidate's exact merged value provably beats
+    every unseen group's bounded value."""
+    if kth is None:
+        return False  # a NULL boundary can't dominate anything
+    if bound is None:
+        return True  # unseen values are all NULL: sorted after non-nulls
+    kd = Decimal(kth) if isinstance(kth, (int, float)) else kth
+    bd = Decimal(bound) if isinstance(bound, (int, float)) else bound
+    if plan.asc:
+        return kd < bd if plan.strict else kd <= bd
+    return kd > bd if plan.strict else kd >= bd
+
+
+def run_topk_groups(spark: SparkSession, plan: TopGroupsPlan,
+                    run_union) -> DataFrame | None:
+    """Execute the two-round protocol; None when the exclusion proof
+    fails (caller falls back to the aggpush path — always correct).
+
+    ``run_union`` maps a one-entity template SQL to the provenance-tagged
+    union of per-source answers (``QueryGateway.query_template_union``).
+    Driver-side collects here are BOUNDED BY CONSTRUCTION: round 1 is ≤
+    m rows per source endpoint, round 2 ≤ |candidates| ≤ m·sources per
+    endpoint (and ≤ ``_MAX_CANDIDATES`` by the explicit gate)."""
+    from dataweb_spark.plans.resolve import (
+        PROVENANCE_RELAY,
+        PROVENANCE_SOURCE,
+    )
+    spec = plan.spec
+    direction = "ASC" if plan.asc else "DESC"
+    r1_sql = (f"{spec.partial_sql()} ORDER BY {plan.pcol} {direction} "
+              f"LIMIT {plan.m}")
+    r1 = run_union(r1_sql)
+    rows = r1.collect()  # ≤ m · endpoints (bounded by construction)
+    per_source: dict[tuple, list] = {}
+    for r in rows:
+        per_source.setdefault(
+            (r[PROVENANCE_RELAY], r[PROVENANCE_SOURCE]), []).append(r)
+
+    if all(len(v) < plan.m for v in per_source.values()):
+        # every source exhausted: round 1 already holds ALL partials —
+        # merge directly (this also covers NULL group keys, which the
+        # IN-list below can't express)
+        return spec.merge(spark.createDataFrame(rows, r1.schema))
+
+    ok, bound = _residual_bound(plan, per_source)
+    if not ok:
+        return None
+    bound = _rounded_bound(plan, bound)
+
+    candidates = {tuple(r[c] for c in plan.group_cols) for r in rows}
+    if len(candidates) > _MAX_CANDIDATES:
+        return None
+    composite = len(plan.group_cols) > 1
+    gtypes = {f.name: f.dataType.simpleString() for f in r1.schema.fields}
+    lits = []
+    for tup in sorted(candidates, key=repr):
+        if any(v is None for v in tup):
+            return None  # IN can't express NULL keys: aggpush path
+        parts = [_sql_literal(v, gtypes[c] if composite else None)
+                 for v, c in zip(tup, plan.group_cols)]
+        if any(p is None for p in parts):
+            return None
+        lits.append(parts[0] if len(parts) == 1
+                    else "(" + ", ".join(parts) + ")")
+    lhs = (plan.group_exprs[0] if len(plan.group_exprs) == 1
+           else "(" + ", ".join(plan.group_exprs) + ")")
+    r2_sql = f"{spec.partial_sql()} HAVING {lhs} IN ({', '.join(lits)})"
+    r2 = run_union(r2_sql)
+    # materialize once (bounded): the merged frame is consumed twice —
+    # the exclusion probe and the returned answer — and a lazy plan
+    # would re-run the whole federated fan-out on each consumption
+    local = spark.createDataFrame(r2.collect(), r2.schema)
+
+    ordered = spec.merge(local, project=False)
+    pq = "`" + plan.primary_name.replace("`", "``") + "`"
+    vals = [r[0] for r in ordered.select(F.col(pq)).collect()]  # ≤ k rows
+    if len(vals) < spec.limit:
+        return None  # fewer candidates than k: unseen groups could enter
+    if not _excludes(plan, vals[-1], bound):
+        return None
+    return spec.merge(local)
