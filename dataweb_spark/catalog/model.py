@@ -228,8 +228,15 @@ def affine_order_safe(template: str, vtype: str) -> bool:
         if text is None:
             return None
         t = text.strip().lower()
+        if not re.match(r"[+-]?[0-9.]+(e[+-]?[0-9]+)?$", t):
+            # non-decimal constant syntax Python accepts but Spark SQL
+            # would not parse the same way (hex 0xE2, underscores,
+            # 'j' imaginary, ...) — refuse rather than misclassify
+            # (advice-caught r14: the bare "'e' in t" test also matched
+            # hex literals)
+            return None
         if "e" in t:
-            return DOUBLE
+            return DOUBLE  # scientific notation: a Spark DOUBLE literal
         if "." in t:
             digits = t.lstrip("+-").replace(".", "").lstrip("0") or "0"
             frac = t.split(".", 1)[1]

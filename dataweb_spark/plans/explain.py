@@ -51,7 +51,9 @@ EXPLAIN_COLUMNS = ["entity", "relay", "source", "kind", "action",
 
 
 def _template_forward_sql(spark: SparkSession, web: Web, relay_name: str,
-                          entity_name: str, sql: str) -> str | None:
+                          entity_name: str, sql: str,
+                          partial_aggregate: bool = True,
+                          topk_pushdown: bool = True) -> str | None:
     """The template SQL ``gateway.query`` would fan out per source when
     the query decomposes — partial-aggregate, flat top-k, or grouped
     top-k — and the entity has at least one whole-forwardable flight
@@ -69,15 +71,26 @@ def _template_forward_sql(spark: SparkSession, web: Web, relay_name: str,
     if not any(_forwardable_flight_peer(relay, s, entity_name) is not None
                for s in relay.sources_for_entity(entity_name)):
         return None
-    _, fwd, _ = _decomposed_template(spark, entity, entity_name, sql)
+    _, fwd, _ = _decomposed_template(spark, entity, entity_name, sql,
+                                     partial_aggregate, topk_pushdown)
     return fwd
 
 
 def explain_entity(spark: SparkSession, web: Web, relay_name: str,
                    entity_name: str, sql: str,
                    principal: str | None = None,
-                   single_entity: bool = False) -> list[dict]:
-    """Rows for one entity's resolution under ``sql``'s pushdown facts."""
+                   single_entity: bool = False,
+                   include_provenance: bool = False,
+                   allow_partial: bool = False,
+                   partial_aggregate: bool = True,
+                   topk_pushdown: bool = True) -> list[dict]:
+    """Rows for one entity's resolution under ``sql``'s pushdown facts.
+
+    The flag quartet mirrors ``QueryGateway.query``'s signature and
+    defaults: the template path only runs with ``partial_aggregate`` or
+    ``topk_pushdown`` on and ``include_provenance``/``allow_partial``
+    off (advice-caught r14 — the report previously always modeled the
+    default configuration)."""
     from dataweb_spark.plans.pruning import (
         extract_entity_limit,
         extract_entity_predicates,
@@ -90,9 +103,11 @@ def explain_entity(spark: SparkSession, web: Web, relay_name: str,
     # report's pushdown facts come from it, and whole-forwardable flight
     # peers receive it verbatim
     template_sql = None
-    if single_entity:
-        template_sql = _template_forward_sql(spark, web, relay_name,
-                                             entity_name, sql)
+    if (single_entity and (partial_aggregate or topk_pushdown)
+            and not include_provenance and not allow_partial):
+        template_sql = _template_forward_sql(
+            spark, web, relay_name, entity_name, sql,
+            partial_aggregate, topk_pushdown)
     eff_sql = template_sql if template_sql is not None else sql
     conjuncts = extract_entity_predicates(spark, eff_sql, entity_name)
     limit = extract_entity_limit(spark, eff_sql, entity_name)
@@ -100,13 +115,17 @@ def explain_entity(spark: SparkSession, web: Web, relay_name: str,
     entity = web.relay(relay_name).entities.get(entity_name)
     etypes = ({i.name: i.data_type for i in entity.informations}
               if entity is not None else None)
-    order_limit = extract_order_limit(spark, eff_sql, entity_name,
-                                      entity_types=etypes)
+    # row-path order facts mirror gateway gating: single-entity with
+    # topk_pushdown on, else the fact never rides into the readers
+    order_limit = None
     grouped_fact = None
-    if order_limit is None:
-        from dataweb_spark.plans.topk import extract_grouped_topk
-        grouped_fact = extract_grouped_topk(spark, eff_sql, entity_name,
-                                            entity_types=etypes)
+    if topk_pushdown and single_entity:
+        order_limit = extract_order_limit(spark, eff_sql, entity_name,
+                                          entity_types=etypes)
+        if order_limit is None:
+            from dataweb_spark.plans.topk import extract_grouped_topk
+            grouped_fact = extract_grouped_topk(spark, eff_sql, entity_name,
+                                                entity_types=etypes)
     referenced = extract_referenced_columns(spark, eff_sql)
     rows: list[dict] = []
     _walk(web, relay_name, entity_name, conjuncts, limit, referenced,
@@ -210,10 +229,18 @@ def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
 
 def explain_federation(spark: SparkSession, web: Web, relay_name: str,
                        sql: str,
-                       principal: str | None = None) -> DataFrame:
+                       principal: str | None = None,
+                       include_provenance: bool = False,
+                       allow_partial: bool = False,
+                       partial_aggregate: bool = True,
+                       topk_pushdown: bool = True) -> DataFrame:
     """Per-source resolution report for every entity ``sql`` references.
 
-    Pure metadata walk — nothing is scanned, no peer is contacted."""
+    Pure metadata walk — nothing is scanned, no peer is contacted. The
+    flag quartet matches ``QueryGateway.query``'s signature and defaults
+    so the report models the SAME configuration the caller will execute
+    with — e.g. ``include_provenance=True`` disables the template path
+    in both places (advice-caught r14)."""
     from dataweb_spark.plans.validation import validate_sql
 
     entities = validate_sql(spark, sql)
@@ -221,9 +248,13 @@ def explain_federation(spark: SparkSession, web: Web, relay_name: str,
     rows: list[dict] = []
     for e in sorted(entities):
         if e in relay.entities:
-            rows.extend(explain_entity(spark, web, relay_name, e, sql,
-                                       principal,
-                                       single_entity=len(entities) == 1))
+            rows.extend(explain_entity(
+                spark, web, relay_name, e, sql, principal,
+                single_entity=len(entities) == 1,
+                include_provenance=include_provenance,
+                allow_partial=allow_partial,
+                partial_aggregate=partial_aggregate,
+                topk_pushdown=topk_pushdown))
     from pyspark.sql.types import (IntegerType, StringType, StructField,
                                    StructType)
     schema = StructType(

@@ -451,13 +451,23 @@ class QueryGateway:
 
     # -- federation explain ---------------------------------------------
 
-    def explain(self, sql: str, principal: str | None = None) -> DataFrame:
+    def explain(self, sql: str, principal: str | None = None,
+                include_provenance: bool = False,
+                allow_partial: bool = False,
+                partial_aggregate: bool = True,
+                topk_pushdown: bool = True) -> DataFrame:
         """Pre-flight per-source resolution report: which sources scan,
         prune, or stand by, and exactly what SQL/filters/limit each
-        network peer receives. Metadata-only — nothing is scanned."""
+        network peer receives. Metadata-only — nothing is scanned. The
+        flag quartet matches :meth:`query` so the report models the
+        configuration the subsequent call will actually run with."""
         from dataweb_spark.plans.explain import explain_federation
         return explain_federation(self.spark, self.web, self.relay_name,
-                                  sql, principal)
+                                  sql, principal,
+                                  include_provenance=include_provenance,
+                                  allow_partial=allow_partial,
+                                  partial_aggregate=partial_aggregate,
+                                  topk_pushdown=topk_pushdown)
 
     # -- NDJSON export (REST analog) ------------------------------------
 

@@ -97,12 +97,19 @@ def _forward_order_key(source: DataSource, ocol: str, odir: str,
         return path, odir, onulls
     if _canon_type(ltype) not in _FLOATS:
         return None
-    if ptype is not None and ptype not in (
-            "tinyint", "smallint", "int", "bigint", "float", "double"
-            ) and not ptype.startswith("decimal"):
+    if ptype is None:
+        # The "undeclared = entity shape" contract is well-defined for
+        # identity mappings only: behind a transform the physical column
+        # could be integral (cents as bigint under '{v} * 100'), where
+        # assuming float validates wrap-safety against the wrong
+        # arithmetic — a wrapped local sort value silently under-fetches
+        # the per-source top-k (advice-caught r14). Declare the field
+        # data_type to enable affine order forwarding.
+        return None
+    if ptype not in ("tinyint", "smallint", "int", "bigint",
+                     "float", "double") and not ptype.startswith("decimal"):
         return None  # non-numeric storage: affine order math is undefined
-    phys_is_float = (ptype in _FLOATS if ptype is not None
-                     else True)  # undeclared: entity shape = float/double
+    phys_is_float = ptype in _FLOATS
     coeffs = _affine_coeffs(t.other_to_local)
     if coeffs is None or coeffs[0] == 0:
         return None

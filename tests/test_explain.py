@@ -219,3 +219,54 @@ def test_explain_reports_forward_template(spark, sf_dir):
            }["peer_src"]
     assert row["action"] == "scan"
     assert row["forwarded_template"] is None
+
+
+def test_explain_models_query_flags(spark):
+    """r15 (advice-caught): the report previously always modeled
+    query()'s DEFAULT configuration — a caller running with
+    include_provenance=True (row path) still saw forward-template.
+    The flag quartet now mirrors query()'s gating exactly."""
+    from dataweb_spark.catalog.model import (DataConnection, DataSource,
+                                             Entity, Information,
+                                             Mapping, RelayCatalog, Web)
+    from dataweb_spark.plans.explain import explain_federation
+    infos = [Information("orderkey", "bigint"),
+             Information("quantity", "double"),
+             Information("returnflag", "string")]
+    edge = RelayCatalog(name="edge_f")
+    edge.add_entity(Entity("items", infos))
+    edge.add_connection(DataConnection("pf", "flight", {"port": "1"}))
+    edge.add_source(DataSource(
+        name="peer_src", connection="pf", entity="items",
+        source_sql="select * from {table}",
+        mappings=[Mapping(i.name, i.name) for i in infos],
+        options={"entity": "items"}))
+    web = Web()
+    web.add_relay(edge)
+
+    agg = ("select returnflag, sum(quantity) as sq from items "
+           "group by returnflag")
+
+    def act(**flags):
+        return {r["source"]: r.asDict() for r in explain_federation(
+            spark, web, "edge_f", agg, **flags).collect()}["peer_src"]
+
+    assert act()["action"] == "forward-template"
+    # each non-default flag that disables the template path in query()
+    # disables it in the report too
+    assert act(include_provenance=True)["action"] == "scan"
+    assert act(allow_partial=True)["action"] == "scan"
+    assert act(partial_aggregate=False)["action"] == "scan"
+    # topk facts: flat top-k forwards only while topk_pushdown is on
+    topk = ("select orderkey, quantity from items "
+            "order by quantity desc, orderkey limit 5")
+    row = {r["source"]: r.asDict() for r in explain_federation(
+        spark, web, "edge_f", topk, topk_pushdown=False).collect()
+        }["peer_src"]
+    assert row["action"] == "scan" and row["forwarded_order"] is None
+    # the gateway wrapper threads the same flags
+    from dataweb_spark.plans.gateway import QueryGateway
+    gw = QueryGateway(spark, web, "edge_f")
+    row = {r["source"]: r.asDict() for r in gw.explain(
+        agg, include_provenance=True).collect()}["peer_src"]
+    assert row["action"] == "scan"

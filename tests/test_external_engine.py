@@ -648,12 +648,20 @@ def test_pushdown_parts_order_through_transforms():
 
     ob = [("a", "DESC", "NULLS LAST", "double")]
     aff = Transformation("{v} * 100", "{v} / 100")
-    # positive slope over float/double storage: same direction forwards
-    *_, lim, _, order, _ = _pushdown_parts(src(aff), None, 5, None, ob)
+    # positive slope over DECLARED float/double storage: same direction
+    # forwards; undeclared physical type refuses (r15 advice: behind a
+    # transform the "undeclared = entity shape" contract is ambiguous —
+    # integral storage would validate wrap-safety under the wrong
+    # arithmetic)
+    *_, lim, _, order, _ = _pushdown_parts(src(aff, "double"), None, 5,
+                                        None, ob)
     assert order == [("pa", "DESC", "NULLS LAST")] and lim == 5
+    *_, lim, _, order, _ = _pushdown_parts(src(aff), None, 5, None, ob)
+    assert order is None and lim is None
     # negative slope over float storage: NaN would switch ends — refuse
     neg = Transformation("{v} * -100", "{v} / -100")
-    *_, lim, _, order, _ = _pushdown_parts(src(neg), None, 5, None, ob)
+    *_, lim, _, order, _ = _pushdown_parts(src(neg, "double"), None, 5,
+                                        None, ob)
     assert order is None and lim is None
     # negative slope over declared-integer storage, float-promoted
     # arithmetic: flips ASC<->DESC, NULLS placement stays positional
@@ -672,7 +680,8 @@ def test_pushdown_parts_order_through_transforms():
     assert order == [("pa", "DESC", "NULLS LAST")] and lim == 5
     # non-affine transform: refuse
     sq = Transformation("({v}) * ({v})", "{v}")
-    *_, lim, _, order, _ = _pushdown_parts(src(sq), None, 5, None, ob)
+    *_, lim, _, order, _ = _pushdown_parts(src(sq, "double"), None, 5,
+                                        None, ob)
     assert order is None and lim is None
     # Spark types `-1.0`/`0.1` as DECIMAL literals, and decimal chains
     # past propagated precision 38 can NULL their value (non-ANSI) —
@@ -696,15 +705,16 @@ def test_pushdown_parts_order_through_transforms():
     # affine to a non-float LOGICAL type: cast could overflow-null/
     # wrap — refuse
     *_, lim, _, order, _ = _pushdown_parts(
-        src(aff), None, 5, None, [("a", "DESC", "NULLS LAST", "bigint")])
+        src(aff, "double"), None, 5, None,
+        [("a", "DESC", "NULLS LAST", "bigint")])
     assert order is None and lim is None
     # kept conjunct on ANOTHER identity column rides along
-    *_, lim, _, order, _ = _pushdown_parts(src(aff), [("b", "<", 9)], 5,
-                                        None, ob)
+    *_, lim, _, order, _ = _pushdown_parts(src(aff, "double"),
+                                        [("b", "<", 9)], 5, None, ob)
     assert order == [("pa", "DESC", "NULLS LAST")] and lim == 5
     # case-insensitive info lookup (Spark resolution semantics)
     *_, lim, _, order, _ = _pushdown_parts(
-        src(aff, info="A_col"), None, 5, None,
+        src(aff, "double", info="A_col"), None, 5, None,
         [("a_COL", "DESC", "NULLS LAST", "double")])
     assert order == [("pa", "DESC", "NULLS LAST")] and lim == 5
 

@@ -1589,3 +1589,58 @@ def test_explain_reports_forwarded_grouped(spark, peer_server,
                           ["linenumber", "DESC", "NULLS FIRST"],
                           ["partkey", "ASC", "NULLS FIRST"]]
     assert "__dw_rk <= 2" in rows["priced_peer"]["pushed_sql"]
+
+
+def test_topk_affine_requires_declared_physical_type():
+    """r15 (advice-caught): behind a NON-identity transform the
+    "undeclared field data_type = entity shape" fallback is ambiguous —
+    cents stored as bigint behind a '{v} * 100'-mapped double entity
+    would validate wrap-safety under the WRONG (float) arithmetic and
+    could under-fetch the per-source top-k. Undeclared physical types
+    therefore refuse affine order forwarding (the ORDER fact dies, rows
+    still ship — correct, just wider); declaring the type re-enables
+    it. Identity mappings keep the entity-shape fallback."""
+    from dataweb_spark.catalog.model import DataField, Transformation
+    from dataweb_spark.sources.readers import _forward_order_key, _peer_sql
+
+    undeclared = DataSource(
+        name="s", connection="c", entity="priced_items",
+        source_sql="select * from {table}",
+        mappings=[Mapping("price", "cents",
+                          Transformation("{v} * 100", "{v} / 100"))],
+        options={"entity": "lineitem"})
+    assert _forward_order_key(undeclared, "price", "DESC", "NULLS LAST",
+                              "double") is None
+    sql, _ = _peer_sql(undeclared, None, 5, None,
+                       order_by=[("price", "DESC", "NULLS LAST", "double")])
+    assert "ORDER BY" not in sql and "LIMIT" not in sql
+
+    # declared bigint: forwards only under wrap-free (decimal) template
+    # arithmetic — '{v} * 100' alone stays integral and could wrap, so
+    # it still refuses; '{v} * 100.0' is a decimal chain and forwards
+    declared = DataSource(
+        name="s", connection="c", entity="priced_items",
+        source_sql="select * from {table}",
+        fields=[DataField("cents", "cents", "bigint")],
+        mappings=[Mapping("price", "cents",
+                          Transformation("{v} * 100.0", "{v} / 100.0"))],
+        options={"entity": "lineitem"})
+    assert _forward_order_key(declared, "price", "DESC", "NULLS LAST",
+                              "double") is not None
+    declared_int = DataSource(
+        name="s", connection="c", entity="priced_items",
+        source_sql="select * from {table}",
+        fields=[DataField("cents", "cents", "bigint")],
+        mappings=[Mapping("price", "cents",
+                          Transformation("{v} * 100", "{v} / 100"))],
+        options={"entity": "lineitem"})
+    assert _forward_order_key(declared_int, "price", "DESC", "NULLS LAST",
+                              "double") is None
+
+    identity = DataSource(
+        name="s", connection="c", entity="priced_items",
+        source_sql="select * from {table}",
+        mappings=[Mapping("price", "price")],
+        options={"entity": "lineitem"})
+    assert _forward_order_key(identity, "price", "DESC", "NULLS LAST",
+                              "double") is not None

@@ -142,3 +142,17 @@ def test_push_conjunct_refuses_non_numeric_values():
     t = Transformation("{v} * 100", "{v} / 100")
     assert t.push_conjunct("=", "text") is None
     assert t.push_conjunct("=", True) is None
+
+
+def test_affine_order_safe_literal_syntax_gate():
+    """``affine_order_safe`` types constants with SPARK's literal rules:
+    scientific notation is a DOUBLE literal, but non-decimal syntax
+    Python accepts and Spark SQL does not (hex, underscores) is refused
+    up front rather than misclassified (advice-caught r15 — the bare
+    "'e' in text" test also matched hex literals like 0xE2)."""
+    from dataweb_spark.catalog.model import affine_order_safe
+    assert affine_order_safe("{v} * 1e2", "double")
+    assert affine_order_safe("{v} * 1e2", "int")   # double result: wrap-free
+    assert affine_order_safe("{v} * -1.0", "double")
+    assert not affine_order_safe("{v} * 0xE2", "int")
+    assert not affine_order_safe("{v} * 1_00", "int")
