@@ -294,22 +294,11 @@ def run_topk_groups(spark: SparkSession, plan: TopGroupsPlan,
     candidates = {tuple(r[c] for c in plan.group_cols) for r in rows}
     if len(candidates) > _MAX_CANDIDATES:
         return None
-    composite = len(plan.group_cols) > 1
     gtypes = {f.name: f.dataType.simpleString() for f in r1.schema.fields}
-    lits = []
-    for tup in sorted(candidates, key=repr):
-        if any(v is None for v in tup):
-            return None  # IN can't express NULL keys: aggpush path
-        parts = [_sql_literal(v, gtypes[c] if composite else None)
-                 for v, c in zip(tup, plan.group_cols)]
-        if any(p is None for p in parts):
-            return None
-        lits.append(parts[0] if len(parts) == 1
-                    else "(" + ", ".join(parts) + ")")
-    lhs = (plan.group_exprs[0] if len(plan.group_exprs) == 1
-           else "(" + ", ".join(plan.group_exprs) + ")")
-    r2_sql = f"{spec.partial_sql()} HAVING {lhs} IN ({', '.join(lits)})"
-    r2 = run_union(r2_sql)
+    in_pred = _candidates_in_sql(plan, candidates, gtypes)
+    if in_pred is None:
+        return None
+    r2 = run_union(f"{spec.partial_sql()} HAVING {in_pred}")
     # materialize once (bounded): the merged frame is consumed twice —
     # the exclusion probe and the returned answer — and a lazy plan
     # would re-run the whole federated fan-out on each consumption
@@ -320,6 +309,171 @@ def run_topk_groups(spark: SparkSession, plan: TopGroupsPlan,
     vals = [r[0] for r in ordered.select(F.col(pq)).collect()]  # ≤ k rows
     if len(vals) < spec.limit:
         return None  # fewer candidates than k: unseen groups could enter
-    if not _excludes(plan, vals[-1], bound):
+    if _excludes(plan, vals[-1], bound):
+        return spec.merge(local)
+    # residual bound inconclusive (flat distributions live here): the
+    # TPUT threshold phase proves or disproves exclusion exactly
+    return _threshold_phase(spark, plan, run_union, per_source,
+                            candidates, gtypes, local, vals[-1])
+
+
+def _candidates_in_sql(plan: TopGroupsPlan, groups: set,
+                       gtypes: dict) -> str | None:
+    """``(keys) IN (...)`` over the SOURCE-namespace group expressions,
+    or None when a key is NULL / unrenderable (caller falls back)."""
+    composite = len(plan.group_cols) > 1
+    lits = []
+    for tup in sorted(groups, key=repr):
+        if any(v is None for v in tup):
+            return None  # IN can't express NULL keys: aggpush path
+        parts = [_sql_literal(v, gtypes[c] if composite else None)
+                 for v, c in zip(tup, plan.group_cols)]
+        if any(p is None for p in parts):
+            return None
+        lits.append(parts[0] if len(parts) == 1
+                    else "(" + ", ".join(parts) + ")")
+    lhs = (plan.group_exprs[0] if len(plan.group_exprs) == 1
+           else "(" + ", ".join(plan.group_exprs) + ")")
+    return f"{lhs} IN ({', '.join(lits)})"
+
+
+def _dec(v) -> Decimal:
+    """Exact Decimal view of an int/float/Decimal partial (floats convert
+    exactly — binary fractions are finite decimals)."""
+    return v if isinstance(v, Decimal) else Decimal(v)
+
+
+# round-3 discovery cap: a threshold phase that ships more than this is
+# doing aggpush-scale work — the caller's fallback is the better plan
+_MAX_PHASE_ROWS = 50_000
+
+
+def _threshold_phase(spark: SparkSession, plan: TopGroupsPlan, run_union,
+                     per_source: dict, candidates: set, gtypes: dict,
+                     r2_local: DataFrame, kth) -> DataFrame | None:
+    """The TPUT threshold round (Cao & Wang's three-phase uniform
+    threshold, adapted to SQL partials): when the round-1 residual bound
+    cannot exclude unseen groups — the normal case on FLAT distributions,
+    where the k-th total and the per-source residuals are close — probe
+    each source for EVERY group whose partial beats a uniform threshold,
+    and re-aggregate the pruned survivors exactly.
+
+    * **sum/count (DESC)**: threshold t = kth/|S| over the |S| live
+      sources (non-exhausted, non-NULL-tailed — only they can host
+      non-NULL unseen partials). A group every live source reports
+      below t sums to < |S|·t = kth — STRICTLY below, since the probe
+      uses ``>= t`` (discovered-at-threshold groups are kept), so the
+      exclusion holds under multi-key (strict) orders too. Requires
+      kth > 0: with a non-positive boundary, absent sources (contributing
+      nothing) break the per-source split. Discovered groups are pruned
+      by exact upper bounds before the fetch: known partials plus
+      ``max(min(t, τ_s), 0)`` per missing live source (an unseen group's
+      partial is ≤ its source's round-1 residual τ_s AND < t, and absence
+      contributes 0).
+    * **max (DESC) / min (ASC)**: threshold = kth itself — any group
+      whose merged extremum could beat the boundary has SOME partial
+      beating it, so the probe's union is complete; no pruning needed
+      (the probe ships only boundary-beating groups).
+
+    The probe is capped at ``_MAX_PHASE_ROWS`` collected rows — past
+    that, the aggpush fallback is the better plan anyway."""
+    from dataweb_spark.plans.resolve import (
+        PROVENANCE_RELAY,
+        PROVENANCE_SOURCE,
+    )
+    spec = plan.spec
+    if kth is None:
+        return None  # a NULL boundary can't dominate anything
+    # live sources: exhausted ones hold no unseen groups; NULL-tailed
+    # (DESC) ones host only NULL unseen partials, invisible to SUM/MAX
+    taus: dict[tuple, object] = {}
+    for src, srows in per_source.items():
+        if len(srows) < plan.m:
+            continue
+        svals = [r[plan.pcol] for r in srows]
+        if not plan.asc:
+            if any(v is None for v in svals):
+                continue
+            taus[src] = min(svals)
+        else:
+            nonnull = [v for v in svals if v is not None]
+            if not nonnull:
+                return None
+            taus[src] = max(nonnull)
+    if not taus:
+        return spec.merge(r2_local)  # no live source: nothing unseen
+    additive = plan.fn in ("sum", "count")
+    if additive:
+        if not _dec(kth) > 0:
+            return None
+        if isinstance(kth, float):
+            t3 = math.nextafter(kth / len(taus), -math.inf)
+        else:
+            import decimal as _decimal
+            with _decimal.localcontext() as ctx:
+                ctx.prec = 60
+                ctx.rounding = ROUND_FLOOR
+                t3 = _dec(kth) / len(taus)
+                # floor-quantize to a Spark-renderable decimal literal
+                # (a repeating division would need 60 digits; flooring
+                # only widens discovery — sound)
+                scale = max(-_dec(kth).as_tuple().exponent, 0) + 6
+                t3 = t3.quantize(Decimal(1).scaleb(-scale),
+                                 rounding=ROUND_FLOOR)
+            if len(t3.as_tuple().digits) > 38:
+                return None  # beyond Spark's decimal literal precision
+    else:
+        t3 = kth
+    outs = spec.outputs + spec.hidden
+    _, fn, arg, _name, _digits = outs[int(plan.pcol[3:])]
+    probe_lit = _sql_literal(t3)
+    if probe_lit is None:
         return None
-    return spec.merge(local)
+    cmp_op = "<=" if plan.asc else ">="
+    r3_sql = (f"{spec.partial_sql()} HAVING "
+              f"{fn}({arg if arg else '1'}) {cmp_op} {probe_lit}")
+    rows3 = run_union(r3_sql).limit(_MAX_PHASE_ROWS + 1).collect()
+    if len(rows3) > _MAX_PHASE_ROWS:
+        return None  # discovery at aggpush scale: fall back outright
+
+    discovered: dict[tuple, dict] = {}
+    for r in rows3:
+        key = tuple(r[c] for c in plan.group_cols)
+        if key in candidates:
+            continue
+        discovered.setdefault(key, {})[
+            (r[PROVENANCE_RELAY], r[PROVENANCE_SOURCE])] = r[plan.pcol]
+
+    if additive:
+        kd, td = _dec(kth), _dec(t3)
+        import decimal as _decimal
+        survivors = set()
+        with _decimal.localcontext() as ctx:
+            ctx.prec = 60  # exact sums for any realistic partial width
+            ctx.rounding = ROUND_CEILING  # any residual rounding biases UP
+            for key, parts in discovered.items():
+                up = Decimal(0)
+                for src, v in parts.items():
+                    if v is not None:
+                        up += _dec(v)
+                for src, tau in taus.items():
+                    if src not in parts:
+                        miss = min(td, _dec(tau))
+                        if miss > 0:
+                            up += miss
+                if up > kd or (plan.strict and up == kd):
+                    survivors.add(key)
+    else:
+        survivors = set(discovered)
+
+    if not survivors:
+        return spec.merge(r2_local)  # candidates were the answer after all
+    allc = candidates | survivors
+    if len(allc) > _MAX_CANDIDATES:
+        return None
+    in_pred = _candidates_in_sql(plan, allc, gtypes)
+    if in_pred is None:
+        return None
+    r4 = run_union(f"{spec.partial_sql()} HAVING {in_pred}")
+    local4 = spark.createDataFrame(r4.collect(), r4.schema)
+    return spec.merge(local4)

@@ -2076,6 +2076,66 @@ order by returnflag, linestatus, rk
 """)
 
 
+def _fed_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated TOP-GROUPS — ``ORDER BY sum(...) DESC LIMIT k`` over a
+    HIGH-CARDINALITY ``GROUP BY`` — via the two-round threshold-bound
+    protocol (``plans/topgroups.py``, r15): the peer answers its top-m
+    groups by its LOCAL partial (round 1), the candidate union is
+    re-aggregated exactly (round 2), and the residual bound proves no
+    unseen group can enter the top-k — O(k·sources) wire where the r12
+    partial-aggregate path shipped one partial per (source, group),
+    O(groups). The reference's flagship Q3 (top revenue groups,
+    ``webengine/src/main.rs:86-124``) computes this shape over FULLY
+    shipped rows. This query's per-partkey quantity sums are FLAT, so
+    the residual bound alone is inconclusive and the run exercises the
+    TPUT threshold phase (``HAVING sum(...) >= kth/|sources|`` probe +
+    upper-bound pruning + exact re-fetch); a still-unprovable shape
+    falls back to the partial merge — identical answers on every path,
+    so the oracle holds regardless.
+    ``sum(quantity)`` sums integral-valued doubles (exact in IEEE754 —
+    order-independent), and the secondary ``partkey`` key makes the
+    output a total order."""
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Mapping, RelayCatalog, Web,
+    )
+    from dataweb_spark.demo import LINEITEM_INFOS
+    from dataweb_spark.plans.gateway import QueryGateway
+
+    port = _flight_peer_port(sf_dir)
+    edge = RelayCatalog(name="edge_tgroups")
+    edge.add_entity(Entity("lineitem", list(LINEITEM_INFOS)))
+    edge.add_connection(DataConnection(
+        "peer_flight", "flight",
+        {"port": str(port), "token": "edge-relay-token"}))
+    edge.add_source(DataSource(
+        name="lineitem_peer", connection="peer_flight", entity="lineitem",
+        source_sql="select * from {table}",
+        mappings=[Mapping(i.name, i.name) for i in LINEITEM_INFOS],
+        options={"entity": "lineitem"}))
+    web = Web()
+    web.add_relay(edge)
+    gw = QueryGateway(spark, web, "edge_tgroups")
+    return gw.query("""
+        select partkey, sum(quantity) as total_qty, count(*) as n
+        from lineitem
+        where quantity >= 5
+        group by partkey
+        order by total_qty desc, partkey asc
+        limit 5
+    """)
+
+
+_df("fed_topk_groups", _fed_topk_groups,
+    oracle=_FED_VIEW_DEFAULT + """
+select partkey, sum(quantity) as total_qty, count(*) as n
+from entity_lineitem
+where quantity >= 5
+group by partkey
+order by total_qty desc, partkey asc
+limit 5
+""")
+
+
 _FLIGHTSQL_ENGINES: dict[str, object] = {}
 
 

@@ -173,9 +173,12 @@ def test_run_null_candidate_key_falls_back(spark):
     assert out is None
 
 
-def test_run_unprovable_exclusion_falls_back(spark):
+def test_run_unprovable_residual_resolves_via_threshold_phase(spark):
     """Uniform primary values with a multi-key (strict) order: the k-th
-    candidate ties the residual bound exactly — exclusion must refuse."""
+    candidate ties the residual bound exactly — the round-1 exclusion
+    refuses, and the TPUT threshold phase takes over: HAVING min(v) >=
+    kth discovers EVERY potentially-tying group, and the exact round-4
+    merge resolves the strict tie-break correctly."""
     rows = [Row(g=f"g{i % 30:02d}", v=1.0) for i in range(300)]
     spark.createDataFrame(rows).createOrReplaceTempView("tgf_b")
     _spec, plan = _spec_plan(
@@ -184,7 +187,9 @@ def test_run_unprovable_exclusion_falls_back(spark):
         {"g": "string", "v": "double"})
     assert plan.strict and plan.m < 30
     out = run_topk_groups(spark, plan, _fake_union(spark, ["tgf_b"]))
-    assert out is None
+    assert out is not None
+    got = [tuple(r) for r in out.collect()]
+    assert got == [("g00", 1.0), ("g01", 1.0), ("g02", 1.0)]
 
 
 def test_run_all_exhausted_merges_round1_directly(spark):
@@ -407,3 +412,67 @@ def test_protocol_disabled_flag_keeps_partial_path(tg_env):
     assert gw.last_topk_groups is False
     ref = [tuple(r) for r in gw.query(sql).collect()]
     assert got == ref
+
+
+def test_threshold_phase_flat_distribution_two_sources(spark):
+    """r15: a FLAT distribution (all group totals within a narrow band)
+    defeats the round-1 residual bound by construction — the TPUT
+    threshold phase must resolve it exactly instead of falling back."""
+    import random as _r
+    rng = _r.Random(7)
+    a = [Row(g=f"g{i % 80:02d}", v=float(rng.randint(40, 60)))
+         for i in range(800)]
+    b = [Row(g=f"g{i % 80:02d}", v=float(rng.randint(40, 60)))
+         for i in range(800)]
+    spark.createDataFrame(a).createOrReplaceTempView("tgt_a")
+    spark.createDataFrame(b).createOrReplaceTempView("tgt_b")
+    spec, plan = _spec_plan(
+        spark, "select g, sum(v) as s from e group by g "
+               "order by s desc, g asc limit 3",
+        {"g": "string", "v": "double"})
+    assert plan.m < 80  # genuinely non-exhausted
+    out = run_topk_groups(spark, plan,
+                          _fake_union(spark, ["tgt_a", "tgt_b"]))
+    assert out is not None
+    got = [tuple(r) for r in out.collect()]
+    spark.sql("select g, sum(v) as s from (select * from tgt_a "
+              "union all select * from tgt_b) group by g "
+              "order by s desc, g asc limit 3") \
+        .createOrReplaceTempView("tgt_ref")
+    want = [tuple(r) for r in spark.table("tgt_ref").collect()]
+    assert got == want
+
+
+def test_threshold_phase_nonpositive_boundary_falls_back(spark):
+    """sum-DESC with a NON-POSITIVE k-th boundary: the kth/|S| split is
+    unsound there (absent sources contribute 0 > kth/|S|) — must refuse
+    rather than resolve."""
+    rows = [Row(g=f"g{i % 30:02d}", v=-1.0) for i in range(300)]
+    spark.createDataFrame(rows).createOrReplaceTempView("tgt_neg")
+    _spec, plan = _spec_plan(
+        spark, "select g, sum(v) as s from e group by g "
+               "order by s desc, g asc limit 3",
+        {"g": "string", "v": "double"})
+    assert plan.m < 30
+    out = run_topk_groups(spark, plan, _fake_union(spark, ["tgt_neg"]))
+    assert out is None
+
+
+def test_threshold_phase_count_integer_division(spark):
+    """count-DESC boundary split kth/|S| floor-quantizes to an exact
+    decimal literal; flat counts resolve exactly."""
+    rows = [Row(g=f"g{i % 50:02d}", v=1.0) for i in range(650)]
+    spark.createDataFrame(rows).createOrReplaceTempView("tgt_cnt")
+    _spec, plan = _spec_plan(
+        spark, "select g, count(*) as n from e group by g "
+               "order by n desc, g asc limit 4",
+        {"g": "string", "v": "double"})
+    assert plan.m < 50
+    out = run_topk_groups(spark, plan, _fake_union(spark, ["tgt_cnt"]))
+    assert out is not None
+    got = [tuple(r) for r in out.collect()]
+    spark.table("tgt_cnt").createOrReplaceTempView("e")
+    want = [tuple(r) for r in spark.sql(
+        "select g, count(*) as n from e group by g "
+        "order by n desc, g asc limit 4").collect()]
+    assert got == want
