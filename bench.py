@@ -156,6 +156,8 @@ EXTRAS = [
     # r14 additions
     "fed_topk_transformed",
     "fed_grouped_topk",
+    # r15 additions
+    "fed_topk_groups",
 ]
 
 

@@ -217,14 +217,30 @@ def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
         rows.append(row)
 
     for rm in relay.remotes_for_entity(entity_name):
-        # mirror execution: the order fact never crosses hops, and a
-        # top-k-derived limit dies with it (resolve.py remote recursion)
+        # mirror execution (r15): top-k facts compose across hops whose
+        # per-key transforms pass the monotonicity gates and whose
+        # conjuncts re-map exactly; otherwise the fact — and a
+        # top-k-derived limit — dies at the hop (resolve.py remote
+        # recursion, _map_order_through/_map_grouped_through)
+        from dataweb_spark.plans.resolve import (
+            _map_grouped_through,
+            _map_order_through,
+        )
+        peer_ol = None
+        if order_limit is not None:
+            keys = _map_order_through(web, relay, rm, order_limit[0],
+                                      conjuncts)
+            if keys is not None:
+                peer_ol = (keys, order_limit[1])
+        peer_grouped = _map_grouped_through(web, relay, rm, grouped_fact,
+                                            conjuncts)
         _walk(web, rm.peer, rm.remote_entity,
               _map_conjuncts_through(rm, conjuncts),
               (limit if _template_trivial(rm)
-               and order_limit is None else None),
+               and (order_limit is None or peer_ol is not None)
+               else None),
               _map_referenced_through(rm, referenced),
-              visited, rows)
+              visited, rows, peer_ol, None, peer_grouped)
 
 
 def explain_federation(spark: SparkSession, web: Web, relay_name: str,

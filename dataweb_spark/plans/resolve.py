@@ -227,6 +227,146 @@ def _map_referenced_through(rm: RemoteEntityMapping,
     return out
 
 
+def _hop_as_source(web: Web, relay: RelayCatalog,
+                   rm: RemoteEntityMapping) -> DataSource | None:
+    """Model a remote hop as a synthetic :class:`DataSource` so the
+    reader-level order/grouped forwarding gates (``readers.
+    _forward_order_key`` / ``_forward_grouped``) apply to the hop's
+    mapping shape VERBATIM — one gate implementation serves both layers,
+    because the hop applies the same computation shape a source mapping
+    does (``_apply_remote_mapping``: ``CAST(transform(peer_col) AS
+    local_type)`` vs ``build_source_view``'s ``CAST(transform(path) AS
+    info_type)``).
+
+    The synthetic "physical" surface is the PEER entity's declared
+    informations — peer entities always declare types, so the affine
+    gates run against DECLARED typing (no entity-shape fallback
+    ambiguity). Mappings are the hop's ``info_mappings`` plus
+    exact-same-name identities for the passthrough columns
+    ``_apply_remote_mapping`` forwards by name. None for a non-trivial
+    ``sql_template`` (wholesale rewrite: nothing maps through)."""
+    from dataweb_spark.catalog.model import DataField, Mapping
+    if not _template_trivial(rm):
+        return None
+    peer_relay = web.relays.get(rm.peer)
+    peer_entity = (peer_relay.entities.get(rm.remote_entity)
+                   if peer_relay is not None else None)
+    local_entity = relay.entities.get(rm.local_entity)
+    if peer_entity is None or local_entity is None:
+        return None
+    peer_names = {i.name for i in peer_entity.informations}
+    mappings = [Mapping(m.local_info, m.remote_info, m.transformation)
+                for m in rm.info_mappings]
+    mapped_locals = {m.local_info for m in rm.info_mappings}
+    for info in local_entity.informations:
+        # passthrough law mirrors _apply_remote_mapping: the LOCAL
+        # declared name must appear in the peer frame EXACTLY
+        if info.name not in mapped_locals and info.name in peer_names:
+            mappings.append(Mapping(info.name, info.name))
+    return DataSource(
+        name=f"__hop__{rm.peer}.{rm.remote_entity}", connection="",
+        entity=rm.local_entity, source_sql="select * from {table}",
+        fields=[DataField(i.name, i.name, i.data_type)
+                for i in peer_entity.informations],
+        mappings=mappings)
+
+
+def _hop_conjuncts_exact(rm: RemoteEntityMapping,
+                         conjuncts: list | None) -> bool:
+    """True when every pruning conjunct maps through the hop EXACTLY
+    (identity rename or same-name passthrough). A dropped conjunct makes
+    the peer stream a superset, and an affine-inverted one pushes with
+    WIDENED bounds (float safety) — either way a deeper top-k over the
+    looser filter can fill with rows the edge later discards, displacing
+    true top-k rows (under-fetch). Same law as the per-source gate in
+    ``readers._pushdown_parts``."""
+    for col, _op, _value in conjuncts or []:
+        m = rm.mapping_for(col)
+        if m is not None and not m.transformation.is_identity:
+            return False
+    return True
+
+
+def _map_order_through(web: Web, relay: RelayCatalog,
+                       rm: RemoteEntityMapping, order_by: list | None,
+                       conjuncts: list | None) -> list | None:
+    """Rewrite the federated top-k ORDER fact into the peer entity's
+    namespace, or None — the fact (and its LIMIT) dies at the hop.
+
+    r15 (VERDICT r14 item 2): previously the fact died at EVERY
+    non-trivial hop; it now survives hops whose per-key transforms are
+    identity or order-preserving affine, under exactly the per-source
+    gates (``readers._forward_order_key`` over the synthetic hop source:
+    monotone affine with wrap/overflow-safe Spark typing, order-stable
+    casts, NaN-flip refusal, direction flip on negative slope). Each
+    rewritten key's logical type becomes the PEER's declared type — what
+    the deeper relay's own gates compare against. Keys must be 4-tuples
+    (with type evidence); conjuncts must map exactly
+    (``_hop_conjuncts_exact``)."""
+    if not order_by or not _hop_conjuncts_exact(rm, conjuncts):
+        return None
+    hop = _hop_as_source(web, relay, rm)
+    if hop is None:
+        return None
+    from dataweb_spark.sources.readers import _forward_order_key
+    ptypes = {i.name: i.data_type
+              for i in web.relay(rm.peer).entities[rm.remote_entity]
+              .informations}
+    out = []
+    for key in order_by:
+        if len(key) != 4:
+            return None  # no type evidence: never forwards (same as edge)
+        col, odir, onulls, ltype = key
+        fwd = _forward_order_key(hop, col, odir, onulls, ltype)
+        if fwd is None:
+            return None
+        path, ndir, nnulls = fwd
+        pt = ptypes.get(path)
+        if pt is None:
+            return None
+        out.append((path, ndir, nnulls, pt))
+    return out
+
+
+def _map_grouped_through(web: Web, relay: RelayCatalog,
+                         rm: RemoteEntityMapping, grouped,
+                         conjuncts: list | None):
+    """Rewrite the GROUPED top-k fact (``plans/topk.py:GroupedTopKSpec``)
+    into the peer entity's namespace, or None — the fact dies at the hop
+    (silently correct: the wrapper is a pure row reduction).
+
+    Soundness (r15): partition keys map through identity renames only
+    (``readers._forward_grouped`` refuses anything else) — and a rename
+    keeps partitions EXACTLY aligned, so the per-source superset law is
+    unchanged; order keys pass the same monotone/injective gates as at a
+    source (injective casts required for rank/dense_rank). The rewritten
+    spec carries peer-namespace partition/order facts; ``forward_sql``
+    (template-path-only, local-entity SQL) is dropped — the row path
+    never reads it."""
+    if grouped is None or not _hop_conjuncts_exact(rm, conjuncts):
+        return None
+    hop = _hop_as_source(web, relay, rm)
+    if hop is None:
+        return None
+    from dataclasses import replace
+    from dataweb_spark.sources.readers import _forward_grouped
+    fwd = _forward_grouped(hop, grouped)
+    if fwd is None:
+        return None
+    fn, bound, phys_part, phys_order = fwd
+    ptypes = {i.name: i.data_type
+              for i in web.relay(rm.peer).entities[rm.remote_entity]
+              .informations}
+    entity_order = []
+    for col, odir, onulls in phys_order:
+        pt = ptypes.get(col)
+        if pt is None:
+            return None
+        entity_order.append((col, odir, onulls, pt))
+    return replace(grouped, entity_partition=phys_part,
+                   entity_order=entity_order, forward_sql="")
+
+
 def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
                    entity_name: str, principal: str | None = None,
                    _visited: set[tuple[str, str]] | None = None,
@@ -310,23 +450,34 @@ def resolve_entity(spark: SparkSession, web: Web, relay_name: str,
             # source) — original partial-failure policy applies
             raise err
     for rm in relay.remotes_for_entity(entity_name):
-        # order_by is deliberately NOT forwarded across remote hops: the
-        # hop's conjunct re-map is lossy/widening, and a deeper top-k over
-        # a re-mapped filter can under-fetch (see readers._pushdown_parts).
-        # And when an order WAS set, the LIMIT must die with it here — a
-        # top-k-derived limit forwarded bare would make a deeper engine
-        # return k ARBITRARY rows as if they were its top-k (r13 review
-        # fix; the legacy bare-limit slot only ever carried
-        # extract_entity_limit values, which never fire under a Sort)
+        # top-k facts compose across the hop when every key survives the
+        # per-source monotonicity gates applied to the hop's OWN mapping
+        # shape and every conjunct re-maps exactly (r15 — previously the
+        # facts died at every non-trivial hop; a lossy/widening hop still
+        # kills them: a deeper top-k over a re-mapped filter can
+        # under-fetch, see readers._pushdown_parts). When an order WAS
+        # set but dies here, the LIMIT dies with it — a top-k-derived
+        # limit forwarded bare would make a deeper engine return k
+        # ARBITRARY rows as if they were its top-k (r13 review fix; the
+        # legacy bare-limit slot only ever carried extract_entity_limit
+        # values, which never fire under a Sort)
+        peer_order = _map_order_through(web, relay, rm, order_by,
+                                        conjuncts)
+        peer_grouped = _map_grouped_through(web, relay, rm, grouped,
+                                            conjuncts)
         peer_df = resolve_entity(spark, web, rm.peer, rm.remote_entity,
                                  principal, visited,
                                  conjuncts=_map_conjuncts_through(rm, conjuncts),
                                  allow_partial=allow_partial,
                                  failures=failures,
                                  limit=(limit if _template_trivial(rm)
-                                        and order_by is None else None),
+                                        and (order_by is None
+                                             or peer_order is not None)
+                                        else None),
                                  referenced=_map_referenced_through(
-                                     rm, referenced))
+                                     rm, referenced),
+                                 order_by=peer_order,
+                                 grouped=peer_grouped)
         if peer_df is not None:
             parts.append(_apply_remote_mapping(spark, relay, rm, peer_df))
 

@@ -2202,6 +2202,182 @@ order by l_returnflag
 """)
 
 
+def _fed_grouped_topk_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-path GROUPED top-k against an EXTERNAL SQL engine (r15, VERDICT
+    r14 item 5): the ``row_number() <= n`` fact renders as a rank-bounded
+    ``__dw_rk`` window WRAPPER in the engine's own dialect
+    (``readers._forward_grouped`` → ``dialects.render_select(grouped=)``)
+    so DuckDB ships ≤ n rows per (returnflag, linestatus) partition
+    instead of the filtered stream. The builder PROMOTES the pytest
+    statement-log assert into the driver contract: it raises — turning
+    the driver row red — unless the engine's executed-statement log shows
+    the wrapper for this query. The outer merge re-windows the union and
+    re-applies the rank predicate, so answers are path-independent."""
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Information, Mapping,
+        RelayCatalog, Web,
+    )
+    from dataweb_spark.plans.gateway import QueryGateway
+    from dataweb_spark.sources.flightsql import serve_duckdb_flightsql
+
+    eng = _FLIGHTSQL_ENGINES.get(sf_dir)
+    if eng is None:
+        eng = serve_duckdb_flightsql(
+            {"lineitem_tbl": f"{sf_dir}/lineitem.parquet"})
+        _FLIGHTSQL_ENGINES[sf_dir] = eng
+    relay = RelayCatalog(name="engine_gtopk")
+    relay.add_entity(Entity("items", [
+        Information("orderkey", "bigint"),
+        Information("partkey", "bigint"),
+        Information("quantity", "double"),
+        Information("extendedprice", "double"),
+        Information("returnflag", "string"),
+        Information("linestatus", "string"),
+    ]))
+    relay.add_connection(DataConnection(
+        "duck", "flightsql",
+        {"port": str(eng.port), "dialect": "duckdb"}))
+    relay.add_source(DataSource(
+        name="items_duck", connection="duck", entity="items",
+        source_sql="select * from {table}",
+        mappings=[Mapping("orderkey", "l_orderkey"),
+                  Mapping("partkey", "l_partkey"),
+                  Mapping("quantity", "l_quantity"),
+                  Mapping("extendedprice", "l_extendedprice"),
+                  Mapping("returnflag", "l_returnflag"),
+                  Mapping("linestatus", "l_linestatus")],
+        options={"table": "lineitem_tbl"}))
+    web = Web()
+    web.add_relay(relay)
+    gw = QueryGateway(spark, web, "engine_gtopk")
+    n0 = len(eng.executed)
+    out = gw.query("""
+        select returnflag, linestatus, extendedprice, orderkey, partkey,
+               quantity, rk
+        from (select returnflag, linestatus, extendedprice, orderkey,
+                     partkey, quantity,
+                     row_number() over (
+                         partition by returnflag, linestatus
+                         order by extendedprice desc,
+                                  orderkey asc, partkey asc,
+                                  quantity asc) as rk
+              from items where quantity >= 35) t
+        where rk <= 3
+        order by returnflag, linestatus, rk
+    """)
+    # materialize ONCE (≤ 3·groups rows by the wrapper) so the lazily-
+    # planned engine statement actually runs before the log assert; the
+    # driver's own collect then reads the local frame, not the engine
+    local = spark.createDataFrame(out.collect(), out.schema)
+    sent = [s for s in eng.executed[n0:] if "__dw_rk" in s]
+    if not (sent and any("PARTITION BY l_returnflag, l_linestatus" in s
+                         and "l_extendedprice DESC" in s for s in sent)):
+        raise AssertionError(
+            "grouped top-k wrapper did not reach the engine: "
+            f"{eng.executed[n0:]!r}")
+    return local
+
+
+_df("fed_grouped_topk_engine", _fed_grouped_topk_engine, oracle="""
+select returnflag, linestatus, extendedprice, orderkey, partkey,
+       quantity, rk
+from (select l_returnflag as returnflag, l_linestatus as linestatus,
+             l_extendedprice as extendedprice, l_orderkey as orderkey,
+             l_partkey as partkey, l_quantity as quantity,
+             row_number() over (
+                 partition by l_returnflag, l_linestatus
+                 order by l_extendedprice desc, l_orderkey asc,
+                          l_partkey asc, l_quantity asc) as rk
+      from lineitem where l_quantity >= 35) t
+where rk <= 3
+order by returnflag, linestatus, rk
+""")
+
+
+def _fed_topk_remote_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated top-k COMPOSED ACROSS A REMOTE HOP (r15, VERDICT r14
+    item 2): the edge entity ``priced_items`` views a MID relay's entity
+    through a ``RemoteEntityMapping`` whose transform is the reference's
+    flagship affine shape (``price_cents = {v} * 100``); the mid relay's
+    source is the live flight peer's lineitem. The ORDER+LIMIT fact is
+    rewritten at the hop (``resolve._map_order_through`` — peer-declared
+    typing, monotone-affine + order-stable-cast gates) and again at the
+    mid relay's flight source, so the DEEP peer answers with ≤ k rows
+    per endpoint where pre-r15 the fact died at the hop and the whole
+    filtered entity shipped (served-rows proof in
+    ``test_flight_pushdown.py::test_topk_through_remote_hop_served_rows``).
+    Every projected column is a sort key, so the top-k multiset is
+    path-independent; the oracle applies the same transform chain to the
+    mapped-union SQL."""
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataField, DataSource, Entity, Information,
+        Mapping, RelayCatalog, RemoteEntityMapping, RemoteInfoMapping,
+        Transformation, Web,
+    )
+    from dataweb_spark.plans.gateway import QueryGateway
+
+    port = _flight_peer_port(sf_dir)
+    mid = RelayCatalog(name="hop_mid")
+    mid.add_entity(Entity("mid_items", [
+        Information("price", "double"),
+        Information("orderkey", "bigint"),
+        Information("partkey", "bigint"),
+        Information("suppkey", "bigint"),
+        Information("quantity", "double"),
+    ]))
+    mid.add_connection(DataConnection(
+        "peer_flight", "flight",
+        {"port": str(port), "token": "edge-relay-token"}))
+    mid.add_source(DataSource(
+        name="items_peer", connection="peer_flight", entity="mid_items",
+        source_sql="select * from {table}",
+        fields=[DataField("extendedprice", "extendedprice", "double")],
+        mappings=[Mapping("price", "extendedprice"),
+                  Mapping("orderkey", "orderkey"),
+                  Mapping("partkey", "partkey"),
+                  Mapping("suppkey", "suppkey"),
+                  Mapping("quantity", "quantity")],
+        options={"entity": "lineitem"}))
+    edge = RelayCatalog(name="hop_edge")
+    edge.add_entity(Entity("priced_items", [
+        Information("price_cents", "double"),
+        Information("orderkey", "bigint"),
+        Information("partkey", "bigint"),
+        Information("suppkey", "bigint"),
+        Information("quantity", "double"),
+    ]))
+    edge.remote_mappings.append(RemoteEntityMapping(
+        local_entity="priced_items", peer="hop_mid",
+        remote_entity="mid_items",
+        info_mappings=[RemoteInfoMapping(
+            "price_cents", "price",
+            Transformation("{v} * 100", "{v} / 100"))]))
+    web = Web()
+    web.add_relay(edge)
+    web.add_relay(mid)
+    gw = QueryGateway(spark, web, "hop_edge")
+    return gw.query("""
+        select price_cents, orderkey, partkey, suppkey, quantity
+        from priced_items
+        where quantity >= 30
+        order by price_cents desc, orderkey asc nulls first,
+                 partkey asc, suppkey asc, quantity asc
+        limit 20
+    """)
+
+
+_df("fed_topk_remote_hop", _fed_topk_remote_hop,
+    oracle=_FED_VIEW_DEFAULT + """
+select extendedprice * 100 as price_cents, orderkey, partkey, suppkey,
+       quantity
+from entity_lineitem
+where quantity >= 30
+order by price_cents desc, orderkey asc nulls first,
+         partkey asc, suppkey asc, quantity asc
+limit 20
+""")
+
+
 _TRINO_ENGINES: dict[str, object] = {}
 
 

@@ -152,9 +152,31 @@ def test_explain_reports_forwarded_order(spark, sf_dir):
     assert _json.loads(local["forwarded_order"]) == [
         ["r_regionkey", "DESC", "NULLS LAST"],
         ["r_regionkey", "ASC", "NULLS FIRST"]]
+    # r15: the fact now COMPOSES across the identity hop (same-name
+    # passthrough, exact conjunct re-map) all the way to the deep source
+    remote = rows[("peer", "peer_src")]
+    assert _json.loads(remote["forwarded_order"]) == [
+        ["r_regionkey", "DESC", "NULLS LAST"],
+        ["r_regionkey", "ASC", "NULLS FIRST"]]
+    assert remote["forwarded_limit"] == 5
+
+    # a lossy hop (non-affine transform on the sort key) still kills it
+    from dataweb_spark.catalog.model import (RemoteInfoMapping,
+                                             Transformation)
+    home.remote_mappings[0] = RemoteEntityMapping(
+        local_entity="t", peer="peer", remote_entity="t2",
+        info_mappings=[RemoteInfoMapping(
+            "v", "v", Transformation("abs({v})", "{v}"))])
+    rows = {(r["relay"], r["source"]): r for r in
+            (r.asDict() for r in explain_federation(
+                spark, web, "home",
+                "select v, w from t where v < 9 "
+                "order by v desc, w limit 5").collect())}
     remote = rows[("peer", "peer_src")]
     assert remote["forwarded_order"] is None
     assert remote["forwarded_limit"] is None  # dies with the order fact
+    home.remote_mappings[0] = RemoteEntityMapping(
+        local_entity="t", peer="peer", remote_entity="t2")
 
 
 def test_explain_reports_forward_template(spark, sf_dir):

@@ -17,6 +17,7 @@ from dataweb_spark.catalog.model import (
     Information,
     Mapping,
     RelayCatalog,
+    Transformation,
     Web,
 )
 from dataweb_spark.plans.gateway import QueryGateway
@@ -1001,3 +1002,159 @@ def test_grouped_fact_refused_on_dw_rk_collision():
         options={})
     *_, eg = _pushdown_parts(src, None, None, None, None, Spec())
     assert eg is None
+
+
+# ---------------------------------------------------------------------------
+# r15: top-k facts COMPOSE ACROSS REMOTE HOPS (VERDICT r14 item 2) —
+# previously plans/resolve.py dropped the order fact at every hop
+# ---------------------------------------------------------------------------
+
+def _hop_web(engine, transform=None, peer_types=None):
+    """home --(RemoteEntityMapping hop)--> peer --(flightsql)--> DuckDB.
+    The hop maps home's ``price_cents`` from the peer's ``price`` via
+    ``transform`` (None = identity rename)."""
+    from dataweb_spark.catalog.model import (RemoteEntityMapping,
+                                             RemoteInfoMapping)
+    home = RelayCatalog(name="hop_home")
+    home.add_entity(Entity("priced_items", [
+        Information("orderkey", "bigint"),
+        Information("price_cents", "double"),
+        Information("returnflag", "string"),
+    ]))
+    maps = [RemoteInfoMapping("price_cents", "price",
+                              transform if transform is not None
+                              else Transformation())]
+    home.remote_mappings.append(RemoteEntityMapping(
+        local_entity="priced_items", peer="hop_peer",
+        remote_entity="peer_items", info_mappings=maps))
+    peer = RelayCatalog(name="hop_peer")
+    peer.add_entity(Entity("peer_items", [
+        Information("orderkey", "bigint"),
+        Information("price", (peer_types or {}).get("price", "double")),
+        Information("returnflag", "string"),
+    ]))
+    peer.add_connection(DataConnection(
+        "duck", "flightsql",
+        {"port": str(engine.port), "dialect": "duckdb"}))
+    peer.add_source(DataSource(
+        name="items_duck", connection="duck", entity="peer_items",
+        source_sql="select * from {table}",
+        mappings=[Mapping("orderkey", "l_orderkey"),
+                  Mapping("price", "l_extendedprice"),
+                  Mapping("returnflag", "l_returnflag")],
+        options={"table": "lineitem_tbl"}))
+    web = Web()
+    web.add_relay(home)
+    web.add_relay(peer)
+    return web
+
+
+def test_topk_composes_through_affine_hop(spark, engine):
+    """The order fact survives a ``{v} * 100`` hop (the reference's
+    flagship mapping shape) AND the deep engine's own identity source
+    mapping: the DEEP DuckDB statement carries ORDER BY l_extendedprice
+    DESC ... LIMIT k, and answers match the row path."""
+    from dataweb_spark.plans.gateway import QueryGateway
+    web = _hop_web(engine, Transformation("{v} * 100", "{v} / 100"))
+    gw = QueryGateway(spark, web, "hop_home")
+    q = ("select price_cents, orderkey, returnflag from priced_items "
+         "order by price_cents desc, orderkey, returnflag limit 7")
+    n0 = len(engine.executed)
+    fast = [tuple(r) for r in gw.query(q).collect()]
+    sent = [s for s in engine.executed[n0:] if "LIMIT" in s]
+    assert sent, "the deep engine never saw the forwarded top-k"
+    assert all("ORDER BY" in s and "l_extendedprice" in s for s in sent)
+    assert any("LIMIT 7" in s for s in sent)
+    slow = [tuple(r) for r in gw.query(q, topk_pushdown=False).collect()]
+    assert sorted(fast) == sorted(slow) and len(fast) == 7
+
+
+def test_topk_hop_negative_slope_flips_at_depth(spark, engine):
+    """A negative-slope hop over NaN-free DECLARED-decimal peer storage
+    flips the direction that reaches the deep engine."""
+    from dataweb_spark.plans.gateway import QueryGateway
+    web = _hop_web(engine, Transformation("{v} * -1.0", "{v} / -1.0"),
+                   peer_types={"price": "decimal(12,2)"})
+    gw = QueryGateway(spark, web, "hop_home")
+    q = ("select price_cents, orderkey, returnflag from priced_items "
+         "order by price_cents asc, orderkey, returnflag limit 5")
+    n0 = len(engine.executed)
+    fast = [tuple(r) for r in gw.query(q).collect()]
+    sent = [s for s in engine.executed[n0:] if "LIMIT" in s]
+    assert sent and any("l_extendedprice DESC" in s for s in sent), sent
+    slow = [tuple(r) for r in gw.query(q, topk_pushdown=False).collect()]
+    assert sorted(fast) == sorted(slow) and len(fast) == 5
+
+
+@pytest.mark.parametrize("transform, why", [
+    (Transformation("abs({v})", "{v}"), "non-affine hop transform"),
+    (Transformation("({v}) * ({v})", "{v}"), "non-monotone hop transform"),
+])
+def test_topk_dies_at_lossy_hop(spark, engine, transform, why):
+    """A hop transform outside the monotone-affine family still kills
+    the fact — the deep engine must never see a bare LIMIT — and the
+    answer stays correct via the row path."""
+    from dataweb_spark.plans.gateway import QueryGateway
+    web = _hop_web(engine, transform)
+    gw = QueryGateway(spark, web, "hop_home")
+    q = ("select price_cents, orderkey, returnflag from priced_items "
+         "order by price_cents desc, orderkey, returnflag limit 4")
+    n0 = len(engine.executed)
+    fast = [tuple(r) for r in gw.query(q).collect()]
+    sent = engine.executed[n0:]
+    assert not any("LIMIT" in s for s in sent), (why, sent)
+    slow = [tuple(r) for r in gw.query(q, topk_pushdown=False).collect()]
+    assert sorted(fast) == sorted(slow) and len(fast) == 4
+
+
+def test_topk_dies_when_hop_conjunct_widens(spark, engine):
+    """A WHERE conjunct on an affine-hop-mapped column re-maps with
+    widened bounds — the deeper stream is a superset of the true filter,
+    so the fact (and its limit) must die at the hop even though the
+    ORDER key itself would forward."""
+    from dataweb_spark.plans.gateway import QueryGateway
+    web = _hop_web(engine, Transformation("{v} * 100", "{v} / 100"))
+    gw = QueryGateway(spark, web, "hop_home")
+    q = ("select price_cents, orderkey, returnflag from priced_items "
+         "where price_cents = 106000 "
+         "order by price_cents desc, orderkey, returnflag limit 3")
+    n0 = len(engine.executed)
+    fast = [tuple(r) for r in gw.query(q).collect()]
+    sent = engine.executed[n0:]
+    assert not any("LIMIT" in s for s in sent), sent
+    slow = [tuple(r) for r in gw.query(q, topk_pushdown=False).collect()]
+    assert sorted(fast) == sorted(slow)
+
+
+def test_grouped_topk_composes_through_rename_hop(spark, engine):
+    """The GROUPED fact survives an identity-RENAME hop: the deep engine
+    receives the ``__dw_rk`` window wrapper over its physical columns;
+    a transformed partition key kills it (rename-only law)."""
+    from dataweb_spark.plans.gateway import QueryGateway
+    web = _hop_web(engine, None)  # identity rename price_cents -> price
+    gw = QueryGateway(spark, web, "hop_home")
+    q = ("select orderkey, price_cents, rk from ("
+         "select orderkey, price_cents, row_number() over ("
+         "partition by returnflag order by price_cents desc, orderkey"
+         ") as rk from priced_items) where rk <= 3")
+    n0 = len(engine.executed)
+    fast = [tuple(r) for r in gw.query(q).collect()]
+    sent = [s for s in engine.executed[n0:] if "__dw_rk" in s]
+    assert sent, "the deep engine never saw the grouped wrapper"
+    assert any("PARTITION BY l_returnflag" in s
+               and "l_extendedprice DESC" in s for s in sent), sent
+    slow = [tuple(r) for r in gw.query(q, topk_pushdown=False).collect()]
+    assert sorted(fast) == sorted(slow)
+
+    # transformed ORDER key under rank(): injectivity law kills the fact
+    web2 = _hop_web(engine, Transformation("{v} * 100", "{v} / 100"))
+    gw2 = QueryGateway(spark, web2, "hop_home")
+    q2 = ("select orderkey, price_cents, rk from ("
+          "select orderkey, price_cents, rank() over ("
+          "partition by returnflag order by price_cents desc"
+          ") as rk from priced_items) where rk <= 3")
+    n0 = len(engine.executed)
+    fast2 = [tuple(r) for r in gw2.query(q2).collect()]
+    assert not any("__dw_rk" in s for s in engine.executed[n0:])
+    slow2 = [tuple(r) for r in gw2.query(q2, topk_pushdown=False).collect()]
+    assert sorted(fast2) == sorted(slow2)

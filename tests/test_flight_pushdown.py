@@ -1644,3 +1644,65 @@ def test_topk_affine_requires_declared_physical_type():
         options={"entity": "lineitem"})
     assert _forward_order_key(identity, "price", "DESC", "NULLS LAST",
                               "double") is not None
+
+
+def test_topk_through_remote_hop_served_rows(spark, peer_server):
+    """r15 (VERDICT r14 item 2): the order fact composes across a REMOTE
+    HOP whose per-key transform is order-preserving affine — the DEEP
+    flight peer serves ≤ k rows per endpoint where the pre-r15 behavior
+    shipped the whole entity. Topology: edge entity `priced_items`
+    --(RemoteEntityMapping, price_cents = price * 100)--> mid relay
+    `mid_items` --(flight source)--> the live peer's lineitem."""
+    from dataweb_spark.catalog.model import (DataField, Information,
+                                             RemoteEntityMapping,
+                                             RemoteInfoMapping,
+                                             Transformation)
+
+    mid = RelayCatalog(name="hop_mid")
+    mid.add_entity(Entity("mid_items", [
+        Information("price", "double"),
+        Information("orderkey", "bigint"),
+        Information("quantity", "double"),
+    ]))
+    mid.add_connection(DataConnection(
+        "peer_flight", "flight", {"port": str(peer_server.port)}))
+    mid.add_source(DataSource(
+        name="items_peer", connection="peer_flight", entity="mid_items",
+        source_sql="select * from {table}",
+        fields=[DataField("extendedprice", "extendedprice", "double")],
+        mappings=[Mapping("price", "extendedprice"),
+                  Mapping("orderkey", "orderkey"),
+                  Mapping("quantity", "quantity")],
+        options={"entity": "lineitem"}))
+    edge = RelayCatalog(name="hop_edge")
+    edge.add_entity(Entity("priced_items", [
+        Information("price_cents", "double"),
+        Information("orderkey", "bigint"),
+        Information("quantity", "double"),
+    ]))
+    edge.remote_mappings.append(RemoteEntityMapping(
+        local_entity="priced_items", peer="hop_mid",
+        remote_entity="mid_items",
+        info_mappings=[RemoteInfoMapping(
+            "price_cents", "price",
+            Transformation("{v} * 100", "{v} / 100"))]))
+    web = Web()
+    web.add_relay(edge)
+    web.add_relay(mid)
+    gw = QueryGateway(spark, web, "hop_edge")
+
+    q = ("select price_cents, orderkey, quantity from priced_items "
+         "order by price_cents desc, orderkey asc nulls first, "
+         "quantity asc limit 8")
+    before = peer_server.served_rows
+    fast = [tuple(r) for r in gw.query(q).collect()]
+    shipped = peer_server.served_rows - before
+
+    before = peer_server.served_rows
+    slow = [tuple(r) for r in gw.query(q, topk_pushdown=False).collect()]
+    shipped_rows = peer_server.served_rows - before
+
+    assert sorted(fast) == sorted(slow) and len(fast) == 8
+    # the live peer fans lineitem over 2 physical sources: ≤ 8 each
+    assert 0 < shipped <= 2 * 8
+    assert shipped < shipped_rows
