@@ -158,7 +158,21 @@ EXTRAS = [
     "fed_grouped_topk",
     # r15 additions
     "fed_topk_groups",
+    "fed_topk_remote_hop",
+    "fed_grouped_topk_engine",
 ]
+
+# Extras whose FIRST run spawns or connects a peer-relay/engine
+# subprocess (one-off startup cost): bench emits {cold, warm} for these
+# (VERDICT r14 item 4) — regression reads the warm sample.
+PEER_EXTRAS = {
+    "fed_topk_pushdown",
+    "fed_topk_transformed",
+    "fed_grouped_topk",
+    "fed_topk_groups",
+    "fed_topk_remote_hop",
+    "fed_grouped_topk_engine",
+}
 
 
 def _calibration(spark, qs, sf_dir: str) -> float:
@@ -223,12 +237,27 @@ def main() -> None:
         print(f"# {name}: median {timings[name]}s / cold {cold[name]}s "
               f"({n} rows)", file=sys.stderr)
 
-    extras: dict[str, float] = {}
+    extras: dict[str, object] = {}
     for name in EXTRAS:
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
         extras[name] = round(time.time() - t0, 3)
-        print(f"# extra {name}: {extras[name]}s ({n} rows)", file=sys.stderr)
+        if name in PEER_EXTRAS:
+            # these spawn/connect a peer relay or engine SUBPROCESS on
+            # first touch — the cold sample carries one-off process
+            # startup no steady-state federation pays. Emit BOTH samples
+            # (VERDICT r14 item 4) so the 2× regression gate reads the
+            # warm one; interpretation rule in BASELINE.md.
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            extras[name] = {"cold": extras[name],
+                            "warm": round(time.time() - t0, 3)}
+            print(f"# extra {name}: cold {extras[name]['cold']}s / "
+                  f"warm {extras[name]['warm']}s ({n} rows)",
+                  file=sys.stderr)
+        else:
+            print(f"# extra {name}: {extras[name]}s ({n} rows)",
+                  file=sys.stderr)
 
     # Persisted-index ingest (library op, not a declared query — it needs
     # writable index state): the index BUILD is the one-off, so it runs

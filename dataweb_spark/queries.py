@@ -8896,77 +8896,81 @@ order by vec_id
 # its relative order after the window.
 
 _DRIVER_WINDOW = [
-    # --- r14 rotation (the recorded plan, VERDICT r13 item 4):
-    # CORRECTNESS_r13 was 50/50 — no reds to re-run. The two r14-new
-    # queries go first (new operators outrank age refreshes), then the
-    # FULL 48-name r10-age cohort — the oldest evidence anywhere,
-    # computed from CORRECTNESS_r1..r13 over the declared registry
-    # (every other declared name is r11+). 2 + 48 = 50 exactly.
-    # (a) newly declared in r14:
-    "fed_topk_transformed",
-    "fed_grouped_topk",
-    # (b) the 48-name r10-age cohort (max evidence age stays <= 4):
-    "agg_having_filter",
-    "asof_join_purchase_click",
-    "crawl_robots_gate",
-    "cte_exists_in_subquery",
-    "dedup_exact_groups",
-    "dedup_incremental_ingest",
-    "dedup_index_classify",
-    "dedup_index_gate",
-    "dedup_index_incremental",
-    "dedup_normalized_fingerprint",
-    "dedup_quality_keeper",
-    "dedup_remove_spans",
-    "events_hourly_rollup",
-    "events_json_props",
-    "fed_six_relay_provenance",
-    "graph_anchor_profile",
-    "interval_date_arithmetic",
-    "lateral_view_explode",
-    "like_family_predicates",
-    "listagg_nations_per_region",
-    "listagg_within_group_overlay",
-    "media_index_rate_normalized",
-    "pipeline_hybrid_retrieval",
-    "rollup_counts",
-    "scalar_subquery_per_row",
-    "stats_aggregates",
-    "string_funcs_position_trim",
-    "text_bm25_retrieval",
-    "text_encoding_quality",
-    "timezone_conversion",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_idle_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q5_regional_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "try_cast_safe",
-    "values_inline_join",
-    "window_lag_lead_events",
-    "window_running_sum",
+    # --- r15 rotation (steady-state oldest-evidence-50, the COVERAGE.md
+    # plan; VERDICT r14 item 3 / judge-recomputed arithmetic):
+    # CORRECTNESS_r14 was 50/50 — no reds to re-run. The THREE r15-new
+    # queries go first (new operators outrank age refreshes):
+    # fed_topk_groups (two-round + TPUT threshold top-groups protocol),
+    # fed_topk_remote_hop (order fact composed across a {v}*100 hop),
+    # fed_grouped_topk_engine (__dw_rk wrapper proven in the engine
+    # statement log). Then 47 of the 49-name r11-age cohort — the oldest
+    # evidence anywhere (CORRECTNESS_r1..r14 recomputation: histogram
+    # r11=49, r12=49, r13=50, r14=50). The two alphabetically-last r11
+    # names (warc_http_extract, window_topn_per_customer) defer to r16 —
+    # their evidence age at r15 close is exactly 4, within the gate, and
+    # they lead the r16 window.
+    "fed_topk_groups",
+    "fed_topk_remote_hop",
+    "fed_grouped_topk_engine",
+    "any_all_minmax_rewrite",
+    "array_agg_ordered_limited",
+    "corpus_mix_proportions",
+    "crawl_frontier_priority",
+    "dedup_contamination_check",
+    "dedup_duplicated_spans",
+    "dedup_embedding_recall",
+    "dedup_exact_clusters",
+    "dedup_minhash_char_cjk",
+    "dedup_minhash_recall",
+    "dedup_ngram_jaccard_exact",
+    "dedup_video_cross_container",
+    "embedding_quantize_int8",
+    "events_sessionization",
+    "fed_lineitem_count",
+    "fed_lineitem_q1_all_access",
+    "fed_provenance_counts",
+    "fed_remote_hop_count",
+    "fed_source_pruning",
+    "grouping_sets",
+    "higher_order_array_funcs",
+    "knn_bruteforce_cosine",
+    "media_index_classify",
+    "multimodal_audio_resample",
+    "multimodal_flac_features",
+    "multimodal_jpeg_catalog",
+    "multimodal_jpeg_features",
+    "multimodal_media_catalog",
+    "multimodal_meta",
+    "multimodal_mjpeg_frames",
+    "multimodal_mp4_frames",
+    "pivot_returnflag_status",
+    "recursive_cte_series",
+    "sample_hash_deterministic",
+    "setops_customers",
+    "streaming_dedup_ingest",
+    "streaming_media_dedup",
+    "text_html_tables",
+    "text_pii_scrub",
+    "text_quality_langid",
+    "text_repetition_gopher",
+    "text_stats",
+    "text_tfidf_top_terms",
+    "tpch_q12_late_shipping_priority",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q9_product_profit",
 ]
 # window budget: up to 50 checked by the driver. Rotated-out names stay
 # in QUERIES (checkable any round; the full local sweep covers all of
-# them each round). After this window runs: the two r14 declarations
-# (fed_topk_transformed — top-k through affine mappings — and
-# fed_grouped_topk — top-n-per-group pushdown; declared = 198) get
-# their first evidence and the oldest evidence anywhere becomes r11.
-# From r15 the rotation is STEADY-STATE (the COVERAGE.md plan): the
-# window is simply the oldest-evidence 50 each round — r15 = the
-# 49-name r11 cohort + new declarations / spares — and with 198
-# declared, 50 x 4 rounds covers everything, so max evidence age stays
-# <= 4 as long as per-round net new declarations stay <= ~4-5. New
-# queries outrank age refreshes for slots, as always.
+# them each round). After this window runs: the three r15 declarations
+# get their first evidence, the r11 cohort (minus the two deferred
+# names) refreshes to r15, and the oldest evidence anywhere becomes r11
+# on exactly warc_http_extract + window_topn_per_customer (age 4).
+# r16 plan: those two lead, then the 49-name r12 cohort fills the
+# window (2 + 49 = 51 → one r12 name defers the same way unless new
+# declarations displace more). With 201 declared, 50 × 4 rounds covers
+# everything, so max evidence age stays ≤ 4 as long as per-round net
+# new declarations stay ≤ ~4-5. New queries outrank age refreshes.
 
 def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
