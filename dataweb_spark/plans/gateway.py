@@ -192,7 +192,6 @@ class QueryGateway:
                     partial_aggregate, topk_pushdown)
                 if spec is not None:
                     self.last_failures = []  # template fails loudly
-                    self.last_topk_groups = False
                     if topk_pushdown and isinstance(spec, AggQuerySpec):
                         # "top groups": ORDER BY agg() LIMIT k over GROUP
                         # BY runs the two-round bound protocol when the

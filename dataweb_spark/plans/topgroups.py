@@ -185,60 +185,71 @@ def _sql_literal(v, cast_to: str | None = None) -> str | None:
     return f"CAST({base} AS {cast_to.upper()})"
 
 
-def _residual_bound(plan: TopGroupsPlan, per_source: dict) -> tuple:
-    """``(ok, bound)`` — the provable bound on any UNSEEN group's merged
-    order value, from the per-source round-1 answers.
+def _live_taus(plan: TopGroupsPlan, per_source: dict) -> tuple:
+    """``(ok, taus)`` — the residual bound τ_s per LIVE source, the one
+    derivation both the round-1 exclusion and the threshold phase
+    consume (a soundness fix here lands in both at once).
 
-    ``bound`` may be None with ``ok=True``: every unseen group's merged
-    value is NULL (it only exists behind NULL-tailed DESC fetches),
-    which sorts after every non-NULL candidate. ``ok=False`` means no
-    bound exists (an ASC fetch whose whole answer was NULLs leaves
-    unseen values unbounded) — the caller falls back."""
-    terms = []
-    for rows in per_source.values():
+    A source is LIVE when it is non-exhausted (shipped a full m rows —
+    exhausted sources host no unseen groups) and, under DESC, not
+    NULL-tailed (a NULL in a DESC NULLS LAST answer means every non-null
+    partial shipped: unseen partials there are NULL, invisible to
+    SUM/MAX). ``ok=False`` means no bound exists at some source (an ASC
+    fetch whose whole answer was NULLs leaves unseen values unbounded
+    below) — the caller falls back."""
+    taus: dict[tuple, object] = {}
+    for src, rows in per_source.items():
         if len(rows) < plan.m:
             continue  # exhausted: every group of this source was seen
         vals = [r[plan.pcol] for r in rows]
         if not plan.asc:
-            # DESC NULLS LAST: a NULL in the answer means all non-nulls
-            # shipped — unseen partials here are NULL, contributing
-            # nothing to any merged sum/min/max
             if any(v is None for v in vals):
                 continue
-            terms.append(min(vals))
+            taus[src] = min(vals)
         else:
-            # ASC NULLS FIRST: nulls ship first, so any non-null in the
-            # answer means all NULL groups shipped; all-NULL answers
-            # leave unseen values unbounded below
             nonnull = [v for v in vals if v is not None]
             if not nonnull:
-                return False, None
-            terms.append(max(nonnull))
+                return False, {}
+            taus[src] = max(nonnull)
+    return True, taus
+
+
+def _residual_bound(plan: TopGroupsPlan, taus: dict):
+    """The provable bound on any UNSEEN group's merged order value, from
+    the per-source residuals. None: every unseen group's merged value is
+    NULL (no live source), which sorts after every non-NULL candidate."""
+    terms = list(taus.values())
     if not terms:
-        return True, None
+        return None
     if plan.fn in ("sum", "count") and not plan.asc:
         clipped = [t for t in terms if t > 0]
         if not clipped:
-            return True, 0
+            return 0
         if any(isinstance(t, float) for t in clipped):
             # float addition rounds per step; bias the bound upward past
             # any such rounding so it stays an upper bound of the REAL sum
             b = math.fsum(clipped)
-            b = math.nextafter(math.nextafter(b, math.inf), math.inf)
-            return True, b
-        return True, sum(clipped)  # int/Decimal: exact
-    return True, (min(terms) if plan.asc else max(terms))
+            return math.nextafter(math.nextafter(b, math.inf), math.inf)
+        return sum(clipped)  # int/Decimal: exact
+    return min(terms) if plan.asc else max(terms)
 
 
 def _rounded_bound(plan: TopGroupsPlan, bound):
     """Push the bound through the primary output's ``round(..., d)``:
     rounding is monotone, so ceiling (DESC) / flooring (ASC) the bound at
-    the same scale keeps it a bound on the ROUNDED unseen values."""
+    the same scale keeps it a bound on the ROUNDED unseen values.
+    Raises ``decimal.InvalidOperation`` when the quantized bound needs
+    more than the context's digits — the caller treats that as
+    unprovable (review-caught r15: the default 28-digit context made a
+    ~1e27 bound CRASH instead of falling back)."""
     if plan.digits is None or bound is None:
         return bound
+    import decimal as _decimal
     q = Decimal(1).scaleb(-plan.digits)
     mode = ROUND_FLOOR if plan.asc else ROUND_CEILING
-    return Decimal(bound).quantize(q, rounding=mode)
+    with _decimal.localcontext() as ctx:
+        ctx.prec = 60
+        return Decimal(bound).quantize(q, rounding=mode)
 
 
 def _excludes(plan: TopGroupsPlan, kth, bound) -> bool:
@@ -286,10 +297,22 @@ def run_topk_groups(spark: SparkSession, plan: TopGroupsPlan,
         # IN-list below can't express)
         return spec.merge(spark.createDataFrame(rows, r1.schema))
 
-    ok, bound = _residual_bound(plan, per_source)
+    if any(isinstance(r[plan.pcol], float)
+           and not math.isfinite(r[plan.pcol]) for r in rows):
+        # NaN/±inf partials poison every bound (Spark sorts NaN greatest,
+        # Python min() propagates it, inf-inf merges to NaN) — refuse
+        # outright; the aggpush fallback handles them under plain SQL
+        # semantics (review-caught r15)
+        return None
+
+    ok, taus = _live_taus(plan, per_source)
     if not ok:
         return None
-    bound = _rounded_bound(plan, bound)
+    import decimal as _decimal
+    try:
+        bound = _rounded_bound(plan, _residual_bound(plan, taus))
+    except _decimal.InvalidOperation:
+        return None  # bound beyond quantizable precision: unprovable
 
     candidates = {tuple(r[c] for c in plan.group_cols) for r in rows}
     if len(candidates) > _MAX_CANDIDATES:
@@ -302,7 +325,8 @@ def run_topk_groups(spark: SparkSession, plan: TopGroupsPlan,
     # materialize once (bounded): the merged frame is consumed twice —
     # the exclusion probe and the returned answer — and a lazy plan
     # would re-run the whole federated fan-out on each consumption
-    local = spark.createDataFrame(r2.collect(), r2.schema)
+    r2_rows = r2.collect()
+    local = spark.createDataFrame(r2_rows, r2.schema)
 
     ordered = spec.merge(local, project=False)
     pq = "`" + plan.primary_name.replace("`", "``") + "`"
@@ -313,8 +337,8 @@ def run_topk_groups(spark: SparkSession, plan: TopGroupsPlan,
         return spec.merge(local)
     # residual bound inconclusive (flat distributions live here): the
     # TPUT threshold phase proves or disproves exclusion exactly
-    return _threshold_phase(spark, plan, run_union, per_source,
-                            candidates, gtypes, local, vals[-1])
+    return _threshold_phase(spark, plan, run_union, taus, candidates,
+                            gtypes, r2_rows, r2.schema, vals[-1])
 
 
 def _candidates_in_sql(plan: TopGroupsPlan, groups: set,
@@ -349,8 +373,8 @@ _MAX_PHASE_ROWS = 50_000
 
 
 def _threshold_phase(spark: SparkSession, plan: TopGroupsPlan, run_union,
-                     per_source: dict, candidates: set, gtypes: dict,
-                     r2_local: DataFrame, kth) -> DataFrame | None:
+                     taus: dict, candidates: set, gtypes: dict,
+                     r2_rows: list, r2_schema, kth) -> DataFrame | None:
     """The TPUT threshold round (Cao & Wang's three-phase uniform
     threshold, adapted to SQL partials): when the round-1 residual bound
     cannot exclude unseen groups — the normal case on FLAT distributions,
@@ -376,7 +400,14 @@ def _threshold_phase(spark: SparkSession, plan: TopGroupsPlan, run_union,
       (the probe ships only boundary-beating groups).
 
     The probe is capped at ``_MAX_PHASE_ROWS`` collected rows — past
-    that, the aggpush fallback is the better plan anyway."""
+    that, the aggpush fallback is the better plan anyway.
+
+    Refusals beyond the probe cap (each → aggpush fallback): a NULL
+    boundary; a ``round(agg, d)`` primary (the boundary is the ROUNDED
+    merged value while probes and upper bounds see RAW partials — a raw
+    total below every threshold can still ROUND to a boundary tie,
+    review-caught r15; the round-1 exclusion handles rounded primaries
+    via ``_rounded_bound``); a non-positive additive boundary."""
     from dataweb_spark.plans.resolve import (
         PROVENANCE_RELAY,
         PROVENANCE_SOURCE,
@@ -384,24 +415,10 @@ def _threshold_phase(spark: SparkSession, plan: TopGroupsPlan, run_union,
     spec = plan.spec
     if kth is None:
         return None  # a NULL boundary can't dominate anything
-    # live sources: exhausted ones hold no unseen groups; NULL-tailed
-    # (DESC) ones host only NULL unseen partials, invisible to SUM/MAX
-    taus: dict[tuple, object] = {}
-    for src, srows in per_source.items():
-        if len(srows) < plan.m:
-            continue
-        svals = [r[plan.pcol] for r in srows]
-        if not plan.asc:
-            if any(v is None for v in svals):
-                continue
-            taus[src] = min(svals)
-        else:
-            nonnull = [v for v in svals if v is not None]
-            if not nonnull:
-                return None
-            taus[src] = max(nonnull)
+    if plan.digits is not None:
+        return None  # rounded boundary vs raw partials: unsound split
     if not taus:
-        return spec.merge(r2_local)  # no live source: nothing unseen
+        return None  # unreachable: a live-source-free round 1 excludes
     additive = plan.fn in ("sum", "count")
     if additive:
         if not _dec(kth) > 0:
@@ -467,13 +484,17 @@ def _threshold_phase(spark: SparkSession, plan: TopGroupsPlan, run_union,
         survivors = set(discovered)
 
     if not survivors:
-        return spec.merge(r2_local)  # candidates were the answer after all
-    allc = candidates | survivors
-    if len(allc) > _MAX_CANDIDATES:
+        # candidates were the answer after all — round 2 already holds
+        # their exact partials
+        return spec.merge(spark.createDataFrame(r2_rows, r2_schema))
+    if len(candidates) + len(survivors) > _MAX_CANDIDATES:
         return None
-    in_pred = _candidates_in_sql(plan, allc, gtypes)
+    # round 4 fetches SURVIVORS only — round 2 already paid for the
+    # candidates' exact partials (review-caught r15: re-fetching the
+    # union doubled the final round's wire); the merge unions both
+    in_pred = _candidates_in_sql(plan, survivors, gtypes)
     if in_pred is None:
         return None
     r4 = run_union(f"{spec.partial_sql()} HAVING {in_pred}")
-    local4 = spark.createDataFrame(r4.collect(), r4.schema)
+    local4 = spark.createDataFrame(r2_rows + r4.collect(), r2_schema)
     return spec.merge(local4)

@@ -476,3 +476,64 @@ def test_threshold_phase_count_integer_division(spark):
         "select g, count(*) as n from e group by g "
         "order by n desc, g asc limit 4").collect()]
     assert got == want
+
+
+def test_threshold_phase_refuses_rounded_primary(spark):
+    """review-caught r15: a round(agg, d) primary makes the threshold
+    split unsound (rounded boundary vs raw partials — a raw total below
+    every per-source threshold can still ROUND into a boundary tie), so
+    a flat distribution with a rounded primary must FALL BACK, not
+    resolve."""
+    rows = [Row(g=f"g{i % 40:02d}", v=1.0) for i in range(400)]
+    spark.createDataFrame(rows).createOrReplaceTempView("tgt_rnd")
+    _spec, plan = _spec_plan(
+        spark, "select g, round(sum(v), 1) as s from e group by g "
+               "order by s desc, g asc limit 3",
+        {"g": "string", "v": "double"})
+    assert plan.digits == 1 and plan.m < 40
+    out = run_topk_groups(spark, plan, _fake_union(spark, ["tgt_rnd"]))
+    assert out is None
+
+
+def test_nan_partials_refuse_protocol(spark):
+    """review-caught r15: NaN partials poison every bound (Spark sorts
+    NaN greatest, Python min() propagates it) — the protocol must refuse
+    and leave NaN semantics to the fallback's plain SQL."""
+    rows = [Row(g=f"g{i % 30:02d}",
+                v=(float("nan") if i % 30 == 7 else 1.0))
+            for i in range(300)]
+    spark.createDataFrame(rows).createOrReplaceTempView("tgt_nan")
+    _spec, plan = _spec_plan(
+        spark, "select g, sum(v) as s from e group by g "
+               "order by s desc, g asc limit 2",
+        {"g": "string", "v": "double"})
+    assert plan.m < 30
+    out = run_topk_groups(spark, plan, _fake_union(spark, ["tgt_nan"]))
+    assert out is None
+
+
+def test_date_keys_ride_a_nonexhausted_round2(spark):
+    """review-caught r15 (test-coverage): the earlier date-key test was
+    all-exhausted (12 groups < m) so the IN-list date-literal rendering
+    never ran. 40 date groups > m with planted skew force a real round 2
+    whose candidate keys are dates."""
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    for i in range(800):
+        d = base + datetime.timedelta(days=i % 40)
+        v = 500.0 if i % 40 < 3 else 1.0  # 3 clear winners, flat tail
+        rows.append(Row(gd=d, v=v))
+    spark.createDataFrame(rows).createOrReplaceTempView("tgt_dates")
+    _spec, plan = _spec_plan(
+        spark, "select gd, sum(v) as s from e group by gd "
+               "order by s desc, gd asc limit 2",
+        {"gd": "date", "v": "double"})
+    assert plan.m < 40
+    out = run_topk_groups(spark, plan, _fake_union(spark, ["tgt_dates"]))
+    assert out is not None
+    got = [tuple(r) for r in out.collect()]
+    spark.table("tgt_dates").createOrReplaceTempView("e")
+    want = [tuple(r) for r in spark.sql(
+        "select gd, sum(v) as s from e group by gd "
+        "order by s desc, gd asc limit 2").collect()]
+    assert got == want
