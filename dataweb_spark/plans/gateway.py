@@ -77,6 +77,23 @@ def _forwardable_flight_peer(relay, source, entity_name: str):
     return host, int(conn.options["port"]), conn
 
 
+def _engine_agg_candidate(relay, source) -> bool:
+    """True when this source is an external SQL engine that MIGHT execute
+    a partial-aggregate template itself (``dialects.render_partial_agg``
+    applies the full per-column gates at render time; this is the cheap
+    pre-gate that decides whether the TEMPLATE path is worth entering for
+    an engine-only relay — r15)."""
+    conn = relay.connections.get(source.connection)
+    if conn is None or conn.kind not in ("flightsql", "trino"):
+        return False
+    if source.options.get("sql"):
+        return False  # explicit statement: already the user's own form
+    if source.default_permission is not None or source.user_permissions:
+        return False
+    src_sql = (source.source_sql or "").strip().lower()
+    return not src_sql or src_sql == "select * from {table}"
+
+
 def _decomposed_template(spark, entity, ename: str, sql: str,
                          partial_aggregate: bool = True,
                          topk_pushdown: bool = True):
@@ -185,14 +202,22 @@ class QueryGateway:
                 and not allow_partial and len(entities) == 1):
             ename = next(iter(entities))
             relay = self.web.relay(self.relay_name)
+            # the template path fires when any source can consume a
+            # decomposed template better than the row path: a
+            # whole-forwardable flight peer, or (r15) an external SQL
+            # engine that can execute the partial aggregate ITSELF
+            # (dialects.render_partial_agg — the reference runs the
+            # whole mapped SQL on the engine, trino.rs:103-190)
             if any(_forwardable_flight_peer(relay, s, ename) is not None
+                   or _engine_agg_candidate(relay, s)
                    for s in relay.sources_for_entity(ename)):
                 spec, fwd, gspec_known = _decomposed_template(
                     self.spark, known[ename], ename, sql,
                     partial_aggregate, topk_pushdown)
                 if spec is not None:
                     self.last_failures = []  # template fails loudly
-                    if topk_pushdown and isinstance(spec, AggQuerySpec):
+                    aspec = spec if isinstance(spec, AggQuerySpec) else None
+                    if topk_pushdown and aspec is not None:
                         # "top groups": ORDER BY agg() LIMIT k over GROUP
                         # BY runs the two-round bound protocol when the
                         # exclusion is provable — wire O(k·sources) where
@@ -207,13 +232,16 @@ class QueryGateway:
                         if tg is not None:
                             out = run_topk_groups(
                                 self.spark, tg,
-                                lambda s: self.query_template_union(
-                                    s, principal))
+                                lambda s, rf=None:
+                                self.query_template_union(
+                                    s, principal, agg_spec=aspec,
+                                    agg_round=rf))
                             if out is not None:
                                 self.last_topk_groups = True
                                 return out
                     return spec.merge(
-                        self.query_template_union(fwd, principal))
+                        self.query_template_union(fwd, principal,
+                                                  agg_spec=aspec))
         predicates = {
             e: extract_entity_predicates(self.spark, sql, e)
             for e in entities
@@ -269,7 +297,8 @@ class QueryGateway:
 
     # -- template mode (raw Flight analog) ------------------------------
 
-    def query_template(self, sql: str, principal: str | None = None
+    def query_template(self, sql: str, principal: str | None = None,
+                       agg_spec=None, agg_round=None
                        ) -> list[tuple[str, str, DataFrame]]:
         """One-entity SQL run independently per mapped source.
 
@@ -285,7 +314,16 @@ class QueryGateway:
         with permissions, transformations, renames, or a non-trivial
         ``source_sql`` keep the row path (the local relay's mapping
         semantics must apply to raw rows).
-        """
+
+        ``agg_spec``/``agg_round`` (r15): when the template is a partial
+        aggregate, the caller passes its ``AggQuerySpec`` (plus the
+        top-groups round decoration) so EXTERNAL-ENGINE sources can
+        execute the aggregation themselves
+        (``dialects.render_partial_agg`` — the reference runs the whole
+        mapped SQL on the engine, ``trino.rs:103-190``); a source the
+        renderer refuses keeps the generic Spark-side path. The SQL text
+        and the structured facts describe the SAME query by construction
+        (both derive from the spec)."""
         entities = validate_sql(self.spark, sql, single_entity=True)
         entity_name = next(iter(entities))
         relay = self.web.relay(self.relay_name)
@@ -357,6 +395,22 @@ class QueryGateway:
                             self.spark, host, fport, sql, principal,
                             **flight_client_identity(fconn)))
                         return
+                if not chain and agg_spec is not None:
+                    # r15: external SQL engines execute the partial
+                    # aggregate THEMSELVES when the renderer's gates
+                    # hold — O(groups) wire instead of the filtered
+                    # stream; a refusal keeps the generic path below
+                    from dataweb_spark.sources.readers import (
+                        engine_partial_frame,
+                    )
+                    edf = engine_partial_frame(
+                        self.spark, r, source, agg_spec,
+                        {i.name: i.data_type
+                         for i in r.entities[ename].informations},
+                        agg_round)
+                    if edf is not None:
+                        results.append((relay_name, source.name, edf))
+                        return
                 view = build_source_view(
                     self.spark, r, source, principal, conjuncts=conj,
                     limit=(ol[1] if ol else lim),
@@ -427,14 +481,15 @@ class QueryGateway:
               [], ol=order_limit)
         return results
 
-    def query_template_union(self, sql: str, principal: str | None = None
-                             ) -> DataFrame:
+    def query_template_union(self, sql: str, principal: str | None = None,
+                             agg_spec=None, agg_round=None) -> DataFrame:
         """Template-mode results concatenated with provenance columns —
         what ``test/flight_utils.py:66-75`` does client-side."""
         parts = [
             df.withColumn(PROVENANCE_RELAY, F.lit(relay))
               .withColumn(PROVENANCE_SOURCE, F.lit(source))
-            for relay, source, df in self.query_template(sql, principal)
+            for relay, source, df in self.query_template(
+                sql, principal, agg_spec=agg_spec, agg_round=agg_round)
         ]
         if not parts:
             raise ValidationError("query mapped to no sources")

@@ -61,6 +61,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import math
+import re
 from dataclasses import dataclass
 from decimal import ROUND_CEILING, ROUND_FLOOR, Decimal
 
@@ -284,7 +285,7 @@ def run_topk_groups(spark: SparkSession, plan: TopGroupsPlan,
     direction = "ASC" if plan.asc else "DESC"
     r1_sql = (f"{spec.partial_sql()} ORDER BY {plan.pcol} {direction} "
               f"LIMIT {plan.m}")
-    r1 = run_union(r1_sql)
+    r1 = run_union(r1_sql, ("order_limit", plan.pcol, plan.asc, plan.m))
     rows = r1.collect()  # ≤ m · endpoints (bounded by construction)
     per_source: dict[tuple, list] = {}
     for r in rows:
@@ -321,7 +322,8 @@ def run_topk_groups(spark: SparkSession, plan: TopGroupsPlan,
     in_pred = _candidates_in_sql(plan, candidates, gtypes)
     if in_pred is None:
         return None
-    r2 = run_union(f"{spec.partial_sql()} HAVING {in_pred}")
+    r2 = run_union(f"{spec.partial_sql()} HAVING {in_pred}",
+                   ("having", in_pred))
     # materialize once (bounded): the merged frame is consumed twice —
     # the exclusion probe and the returned answer — and a lazy plan
     # would re-run the whole federated fan-out on each consumption
@@ -341,16 +343,50 @@ def run_topk_groups(spark: SparkSession, plan: TopGroupsPlan,
                             gtypes, r2_rows, r2.schema, vals[-1])
 
 
+# Spark simpleString → SQL type name every consumer of the round
+# predicates parses identically (Spark, peer gateways, DuckDB, Trino).
+# Types outside the map keep the IMPLICIT string-literal form, which only
+# Spark-side consumers accept — dialects._UNPORTABLE gates what may reach
+# an engine verbatim.
+# string/boolean literals already carry their exact type in every
+# consumer (and Spark's bare VARCHAR is rejected without a length), so
+# they stay uncast; FLOAT parses in Spark and DuckDB (real Trino would
+# refuse loudly — float group keys are a documented edge)
+_PORTABLE_CAST = {
+    "double": "DOUBLE", "float": "FLOAT",
+    "bigint": "BIGINT", "int": "INTEGER", "smallint": "SMALLINT",
+    "tinyint": "TINYINT", "date": "DATE",
+}
+
+_DEC_T = re.compile(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
+
+
+def _portable_cast(spark_type: str) -> str | None:
+    m = _DEC_T.match(spark_type.strip().lower())
+    if m:
+        return f"DECIMAL({int(m.group(1))}, {int(m.group(2))})"
+    return _PORTABLE_CAST.get(spark_type.strip().lower())
+
+
 def _candidates_in_sql(plan: TopGroupsPlan, groups: set,
                        gtypes: dict) -> str | None:
     """``(keys) IN (...)`` over the SOURCE-namespace group expressions,
-    or None when a key is NULL / unrenderable (caller falls back)."""
-    composite = len(plan.group_cols) > 1
+    or None when a key is NULL / unrenderable (caller falls back).
+
+    Literals carry EXPLICIT portable casts wherever the type maps
+    (``CAST('1995-03-05' AS DATE)``): composite struct-IN needs exact
+    type matches on the Spark side, and engine-rendered rounds
+    (``dialects.render_partial_agg``) need type names and coercions
+    every dialect shares — real Trino refuses implicit varchar→date.
+    Timestamp keys keep the implicit ISO-string form (the TIMESTAMP vs
+    TIMESTAMP_NTZ split has no one portable spelling); the engine
+    renderer's text gate refuses those predicates, keeping them
+    Spark-side."""
     lits = []
     for tup in sorted(groups, key=repr):
         if any(v is None for v in tup):
             return None  # IN can't express NULL keys: aggpush path
-        parts = [_sql_literal(v, gtypes[c] if composite else None)
+        parts = [_sql_literal(v, _portable_cast(gtypes[c]))
                  for v, c in zip(tup, plan.group_cols)]
         if any(p is None for p in parts):
             return None
@@ -447,9 +483,10 @@ def _threshold_phase(spark: SparkSession, plan: TopGroupsPlan, run_union,
     if probe_lit is None:
         return None
     cmp_op = "<=" if plan.asc else ">="
-    r3_sql = (f"{spec.partial_sql()} HAVING "
-              f"{fn}({arg if arg else '1'}) {cmp_op} {probe_lit}")
-    rows3 = run_union(r3_sql).limit(_MAX_PHASE_ROWS + 1).collect()
+    probe_pred = f"{fn}({arg if arg else '1'}) {cmp_op} {probe_lit}"
+    rows3 = run_union(f"{spec.partial_sql()} HAVING {probe_pred}",
+                      ("having", probe_pred)) \
+        .limit(_MAX_PHASE_ROWS + 1).collect()
     if len(rows3) > _MAX_PHASE_ROWS:
         return None  # discovery at aggpush scale: fall back outright
 
@@ -495,6 +532,7 @@ def _threshold_phase(spark: SparkSession, plan: TopGroupsPlan, run_union,
     in_pred = _candidates_in_sql(plan, survivors, gtypes)
     if in_pred is None:
         return None
-    r4 = run_union(f"{spec.partial_sql()} HAVING {in_pred}")
+    r4 = run_union(f"{spec.partial_sql()} HAVING {in_pred}",
+                   ("having", in_pred))
     local4 = spark.createDataFrame(r2_rows + r4.collect(), r2_schema)
     return spec.merge(local4)

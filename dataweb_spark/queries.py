@@ -2144,9 +2144,15 @@ def _fed_flightsql_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     FlightSQL-style gRPC endpoint) — the TrinoRunner/FlightSQLRunner path
     (``core/src/execute/data_stores/trino.rs:27-200``,
     ``flight_sql.rs:37-163``). The engine executes the pushed-down query in
-    its OWN dialect; executors stream the Arrow result. The oracle is the
-    same aggregation in plain DuckDB — engine and oracle share a dialect
-    but run through completely different paths (gRPC+Spark vs embedded)."""
+    its OWN dialect; executors stream the Arrow result. r15: the
+    AGGREGATION itself now renders into the engine statement
+    (``dialects.render_partial_agg`` via the template path — the
+    reference runs the whole mapped SQL on the engine), so one partial
+    row per group crosses the wire instead of the filtered stream
+    (statement-log proof: ``test_engine_executes_partial_aggregate``).
+    The oracle is the same aggregation in plain DuckDB — engine and
+    oracle share a dialect but run through completely different paths
+    (gRPC+Spark vs embedded)."""
     from dataweb_spark.catalog.model import (
         DataConnection, DataSource, Entity, Information, Mapping,
         RelayCatalog, Web,

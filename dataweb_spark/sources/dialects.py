@@ -198,3 +198,229 @@ def render_select(dialect: Dialect, table: str,
             sql = (f"SELECT * FROM ({inner}) AS __dw_g "
                    f"WHERE __dw_rk <= {int(bound)}")
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Engine-executed partial aggregates (r15)
+# ---------------------------------------------------------------------------
+
+# Spark entity type → engine type name for the partial-result CASTs. The
+# casts pin the TRANSPORT type to what Spark's own partial aggregation
+# would produce, so engine-computed partials union cleanly with Spark- or
+# peer-computed ones and the merged schema is path-independent.
+_ENGINE_TYPES = {
+    "string": "VARCHAR", "double": "DOUBLE", "float": "REAL",
+    "bigint": "BIGINT", "int": "INTEGER", "smallint": "SMALLINT",
+    "tinyint": "TINYINT", "boolean": "BOOLEAN", "date": "DATE",
+    "timestamp": "TIMESTAMP",
+}
+
+_DECIMAL_RE = re.compile(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
+
+# conservative clause-text gate: verbatim WHERE/HAVING text reaches the
+# engine only when it contains nothing an engine could parse differently
+# from Spark — no backslash escapes (Spark-only string syntax), no
+# backticks/double quotes (identifier quoting differs), no statement or
+# comment punctuation
+_UNPORTABLE = re.compile(r"[`\\\";]|--|/\*|\btimestamp_ntz\b", re.I)
+
+
+def _engine_type(entity_type: str | None) -> str | None:
+    if entity_type is None:
+        return None
+    t = entity_type.strip().lower()
+    m = _DECIMAL_RE.match(t)
+    if m:
+        return f"DECIMAL({int(m.group(1))}, {int(m.group(2))})"
+    return _ENGINE_TYPES.get(
+        {"integer": "int", "long": "bigint", "short": "smallint",
+         "byte": "tinyint", "real": "float", "varchar": "string",
+         "text": "string"}.get(t, t))
+
+
+def _sum_type(entity_type: str | None) -> str | None:
+    """The engine cast matching SPARK's sum() result type over the arg."""
+    if entity_type is None:
+        return None
+    t = entity_type.strip().lower()
+    m = _DECIMAL_RE.match(t)
+    if m:
+        p, s = int(m.group(1)), int(m.group(2))
+        return f"DECIMAL({min(38, p + 10)}, {s})"
+    t = {"integer": "int", "long": "bigint", "short": "smallint",
+         "byte": "tinyint", "real": "float"}.get(t, t)
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "BIGINT"
+    if t in ("float", "double"):
+        return "DOUBLE"
+    return None
+
+
+def render_partial_agg(dialect: Dialect, table: str, source, spec,
+                       etypes: dict, round_fact=None) -> str | None:
+    """Render an ``AggQuerySpec`` partial template as ENGINE SQL, or None
+    (the caller keeps the Spark-side generic path — always correct).
+
+    The reference executes the WHOLE mapped SQL on the engine
+    (``trino.rs:103-190`` builds and POSTs the statement; DataFusion's
+    unparser renders exprs back to SQL, ``expr_to_sql.rs:32-190``); the
+    Spark-side analog previously pushed only filters/projections/limits,
+    so ``GROUP BY`` over an engine source shipped the filtered STREAM and
+    aggregated Spark-side — O(rows) wire. This renders the partial
+    aggregation itself, making engine sources first-class citizens of the
+    template path: O(groups) wire for plain aggregates, O(k·sources) for
+    the top-groups protocol (whose round decorations arrive as
+    ``round_fact``).
+
+    Conservative gates — each refusal keeps the generic path:
+
+    * source: trivial ``source_sql``, unpermissioned (same law as
+      ``readers._pushdown_parts``);
+    * every referenced entity column: bare identifier, IDENTITY-mapped to
+      a bare physical path whose declared type (when declared) equals the
+      entity type canonically — the partial grain and arithmetic must be
+      the entity's own (a narrowing/widening storage type would aggregate
+      at a different grain or wrap differently);
+    * aggregates: sum/count/min/max/avg (avg ships as the sum+count split,
+      exactly ``AggQuerySpec.partial_sql``); ``*_distinct`` refuses (grain
+      refinement stays Spark-side in v1); every partial is CAST to the
+      type SPARK's partial aggregation would produce, so engine partials
+      union schema-identically with Spark/peer partials (DuckDB's
+      ``sum(BIGINT)`` natively returns HUGEINT);
+    * ``WHERE``/``HAVING`` text renders VERBATIM, gated on (a) every
+      source mapping being name-preserving (``info == path`` modulo case —
+      renamed columns would need an identifier rewrite inside free text,
+      which is exactly the class of string surgery this module refuses)
+      and (b) the `_UNPORTABLE` charset gate;
+    * ``round_fact``: ``("order_limit", alias, asc, m)`` renders
+      ``ORDER BY alias DESC|ASC NULLS LAST|FIRST LIMIT m`` with EXPLICIT
+      null placement (Spark's defaults, which the top-groups residual
+      arithmetic assumes; ANSI engines default differently), or
+      ``("having", pred)`` — the protocol's candidate/probe predicate,
+      same text gates as HAVING.
+    """
+    has_perms = (source.default_permission is not None
+                 or bool(source.user_permissions))
+    src_sql = (source.source_sql or "").strip().lower()
+    if has_perms or (src_sql and src_sql != "select * from {table}"):
+        return None
+    et_ci = {k.lower(): v for k, v in etypes.items()}
+
+    def canon(t):
+        if t is None:
+            return None
+        t = t.strip().lower()
+        return {"integer": "int", "long": "bigint", "short": "smallint",
+                "byte": "tinyint", "real": "float", "varchar": "string",
+                "text": "string"}.get(t, t)
+
+    def phys(col):
+        if not _PLAIN_IDENT.match(col):
+            return None
+        m = source.mapping_for(col, ci=True)
+        if m is None or not m.transformation.is_identity:
+            return None
+        path = source.field_path(m.field)
+        if not _PLAIN_IDENT.match(path):
+            return None
+        ft = source.field_type(m.field)
+        et = et_ci.get(col.lower())
+        if et is None:
+            return None
+        if ft is not None and canon(ft) != canon(et):
+            return None
+        return path
+
+    items: list[str] = []
+    grain: list[str] = []
+    for g in spec.group_attrs:
+        p = phys(g)
+        if p is None:
+            return None
+        grain.append(p)
+    for src_expr, name in spec.extra_groups:
+        p = phys(src_expr)
+        if p is None or not _PLAIN_IDENT.match(name):
+            return None
+        items.append(f"{p} AS {name}")
+    for i, out in enumerate(spec.outputs + spec.hidden):
+        if out[0] == "expr":
+            continue  # computed at merge from partial columns
+        if out[0] == "group":
+            p = phys(out[1])
+            if p is None or not _PLAIN_IDENT.match(out[2]):
+                return None
+            items.append(f"{p} AS {out[2]}")
+            continue
+        _, fn, arg, _name, _digits = out
+        if fn.endswith("_distinct"):
+            return None
+        if arg is not None:
+            p = phys(arg)
+            if p is None:
+                return None
+            at = et_ci.get(arg.lower())
+        else:
+            p, at = None, None
+        if fn == "avg":
+            st = _sum_type(at)
+            if st is None:
+                return None
+            items.append(f"CAST(sum({p}) AS {st}) AS __p{i}_s")
+            items.append(f"CAST(count({p}) AS BIGINT) AS __p{i}_c")
+        elif fn == "count":
+            items.append(f"CAST(count({p or '1'}) AS BIGINT) AS __p{i}")
+        elif fn == "sum":
+            st = _sum_type(at)
+            if st is None:
+                return None
+            items.append(f"CAST(sum({p}) AS {st}) AS __p{i}")
+        elif fn in ("min", "max"):
+            mt = _engine_type(at)
+            if mt is None:
+                return None
+            items.append(f"CAST({fn}({p}) AS {mt}) AS __p{i}")
+        else:
+            return None
+    if not items:
+        return None
+
+    name_preserving = all(
+        m.information.lower() == source.field_path(m.field).lower()
+        for m in source.mappings)
+
+    def portable(text):
+        return (text is not None and name_preserving
+                and not _UNPORTABLE.search(text))
+
+    tparts = [dialect.ident(p) for p in table.split(".")]
+    if any(p is None for p in tparts):
+        return None
+    sql = f"SELECT {', '.join(items)} FROM {'.'.join(tparts)}"
+    if spec.where_sql:
+        if not portable(spec.where_sql):
+            return None
+        sql += f" WHERE {spec.where_sql}"
+    if grain:
+        sql += " GROUP BY " + ", ".join(grain)
+    if spec.having_sql is not None:
+        # spec-level HAVING is rewritten to MERGED names (aggpush) —
+        # never renderable at a source; the protocol's per-round HAVING
+        # arrives via round_fact instead
+        return None
+    if round_fact is not None:
+        kind = round_fact[0]
+        if kind == "order_limit":
+            _k, alias, asc, m = round_fact
+            if not _PLAIN_IDENT.match(alias) or int(m) <= 0:
+                return None
+            direction = ("ASC NULLS FIRST" if asc else "DESC NULLS LAST")
+            sql += f" ORDER BY {alias} {direction} LIMIT {int(m)}"
+        elif kind == "having":
+            pred = round_fact[1]
+            if not portable(pred):
+                return None
+            sql += f" HAVING {pred}"
+        else:
+            return None
+    return sql

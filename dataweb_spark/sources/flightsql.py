@@ -68,7 +68,12 @@ class DuckDbFlightSqlServer(flight.FlightServerBase):
         # crash natively under concurrency.
         self._con = duckdb.connect()
         self._prepared: dict[bytes, str] = {}
+        import os as _os
         for name, path in tables.items():
+            if _os.path.isdir(path):
+                # a Spark-written table is a DIRECTORY of part files;
+                # DuckDB's read_parquet treats the path as a file glob
+                path = _os.path.join(path, "*.parquet")
             self._con.execute(
                 f"create view \"{name}\" as "
                 f"select * from read_parquet('{path}')")

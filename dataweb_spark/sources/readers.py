@@ -435,6 +435,49 @@ def flight_client_identity(conn: DataConnection) -> dict:
             "cert": cert, "client_tls": client_tls}
 
 
+def engine_partial_frame(spark: SparkSession, relay, source: DataSource,
+                         spec, etypes: dict,
+                         round_fact=None) -> DataFrame | None:
+    """Execute a partial-aggregate template ON an external SQL engine
+    (r15): render the ``AggQuerySpec`` (plus top-groups round decoration)
+    into the engine's dialect and stream back ONE row per group — the
+    engine-source analog of relay→relay template forwarding, closing the
+    reference-parity gap where GROUP BY over an engine source shipped
+    the filtered stream and aggregated Spark-side
+    (``trino.rs:103-190`` runs the whole mapped statement on the
+    engine). None when the renderer's conservative gates refuse — the
+    caller keeps the generic path."""
+    from dataweb_spark.sources.dialects import (
+        DIALECTS,
+        DUCKDB,
+        TRINO,
+        render_partial_agg,
+    )
+    conn = relay.connections.get(source.connection)
+    if conn is None or conn.kind not in ("flightsql", "trino"):
+        return None
+    if source.options.get("sql"):
+        return None
+    table = source.options.get("table", source.name)
+    if conn.kind == "flightsql":
+        dialect = DIALECTS.get(conn.options.get("dialect", "duckdb"),
+                               DUCKDB)
+    else:
+        dialect = TRINO
+    esql = render_partial_agg(dialect, table, source, spec, etypes,
+                              round_fact)
+    if esql is None:
+        return None
+    host = conn.options.get("host", "127.0.0.1")
+    if conn.kind == "flightsql":
+        from dataweb_spark.sources.flightsql import flightsql_read
+        return flightsql_read(spark, host, int(conn.options["port"]), esql)
+    from dataweb_spark.sources.httpjson import trino_read
+    base_url = conn.options.get(
+        "url", f"http://{host}:{conn.options.get('port')}")
+    return trino_read(spark, base_url, esql)
+
+
 def read_connection_table(spark: SparkSession, conn: DataConnection,
                           source: DataSource,
                           conjuncts: list | None = None,

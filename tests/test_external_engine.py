@@ -198,8 +198,15 @@ def test_engine_filter_pushdown_reaches_duckdb(spark, sf_dir, engine,
 
 
 def test_engine_projection_pushdown(engine, engine_gateway):
+    # r15: the aggregate now executes ON the engine — one partial row
+    # crosses the wire instead of the projected column stream
     engine_gateway.query(
         "select sum(quantity) as s from items").collect()
+    assert any("CAST(sum(l_quantity) AS DOUBLE)" in q
+               for q in engine.executed), engine.executed
+    # projection pushdown proper still narrows NON-aggregate pulls
+    engine_gateway.query(
+        "select quantity from items where quantity < 2").collect()
     narrow = [q for q in engine.executed
               if q.startswith("SELECT l_quantity FROM")]
     assert narrow, engine.executed
@@ -473,9 +480,18 @@ def test_trino_partitioned_parallel_page_chains(spark, sf_dir,
     gw = QueryGateway(spark, web, "trino_edge_part")
 
     raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # r15: with partial_aggregate on, the aggregate renders ON the
+    # engine (one statement, one partial row) — the range-split chains
+    # are the NON-rendered path, so pin them with the flag off
+    n_before = len(trino_engine.executed)
+    fast = gw.query("select sum(quantity) as s, count(*) as n "
+                    "from items").collect()[0]
+    assert any("CAST(sum(l_quantity) AS DOUBLE)" in q
+               for q in trino_engine.executed[n_before:])
+    assert fast["n"] == raw.count()
     n_before = len(trino_engine.executed)
     got = gw.query("select sum(quantity) as s, count(*) as n "
-                   "from items").collect()[0]
+                   "from items", partial_aggregate=False).collect()[0]
     ran = trino_engine.executed[n_before:]
     # one schema-resolution statement + 4 range chains
     chains = [q for q in ran if "WHERE" in q and "l_orderkey" in q]
@@ -1158,3 +1174,130 @@ def test_grouped_topk_composes_through_rename_hop(spark, engine):
     assert not any("__dw_rk" in s for s in engine.executed[n0:])
     slow2 = [tuple(r) for r in gw2.query(q2, topk_pushdown=False).collect()]
     assert sorted(fast2) == sorted(slow2)
+
+
+# ---------------------------------------------------------------------------
+# r15: engine-executed partial aggregates (the reference runs the whole
+# mapped SQL on the engine, trino.rs:103-190 — previously GROUP BY over an
+# engine source shipped the filtered stream and aggregated Spark-side)
+# ---------------------------------------------------------------------------
+
+def _agg_engine_web(engine, rename=False):
+    """An ENGINE-ONLY relay (no flight peer): entity columns share the
+    engine's physical names unless ``rename`` (the name-preserving law
+    gates verbatim WHERE/HAVING rendering)."""
+    relay = RelayCatalog(name="agg_engine")
+    names = (["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+              "l_returnflag"] if not rename else
+             ["orderkey", "partkey", "quantity", "extendedprice",
+              "returnflag"])
+    types = ["bigint", "bigint", "double", "double", "string"]
+    relay.add_entity(Entity("items", [
+        Information(n, t) for n, t in zip(names, types)]))
+    relay.add_connection(DataConnection(
+        "duck", "flightsql",
+        {"port": str(engine.port), "dialect": "duckdb"}))
+    phys = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+            "l_returnflag"]
+    relay.add_source(DataSource(
+        name="items_duck", connection="duck", entity="items",
+        source_sql="select * from {table}",
+        mappings=[Mapping(n, p) for n, p in zip(names, phys)],
+        options={"table": "lineitem_tbl"}))
+    web = Web()
+    web.add_relay(relay)
+    return web
+
+
+def test_engine_executes_partial_aggregate(spark, engine):
+    """GROUP BY over an engine-only relay executes ON the engine: the
+    statement log shows the rendered partial (GROUP BY + CAST transport
+    types), and answers match the row path exactly."""
+    from dataweb_spark.plans.gateway import QueryGateway
+    gw = QueryGateway(spark, _agg_engine_web(engine), "agg_engine")
+    q = ("select l_returnflag, count(*) as n, "
+         "round(sum(l_quantity), 2) as qty, "
+         "round(avg(l_extendedprice), 2) as avg_price "
+         "from items where l_quantity >= 10 "
+         "group by l_returnflag order by l_returnflag")
+    n0 = len(engine.executed)
+    fast = [tuple(r) for r in gw.query(q).collect()]
+    sent = [s for s in engine.executed[n0:] if "GROUP BY" in s]
+    assert sent, engine.executed[n0:]
+    s = sent[0]
+    assert "CAST(count(1) AS BIGINT)" in s
+    assert "CAST(sum(l_quantity) AS DOUBLE)" in s
+    assert "WHERE (l_quantity >= 10)" in s
+    assert "GROUP BY l_returnflag" in s
+    slow = [tuple(r) for r in gw.query(
+        q, partial_aggregate=False).collect()]
+    assert fast == slow and len(fast) == 3
+
+
+def test_engine_topgroups_protocol_rounds_render(spark, engine):
+    """The top-groups protocol over an ENGINE-ONLY relay renders every
+    round into engine SQL: round 1 carries ORDER BY __p DESC ... LIMIT m,
+    rounds 2/4 carry HAVING ... IN — O(k) rows cross the engine boundary
+    instead of one partial per group."""
+    from dataweb_spark.plans.gateway import QueryGateway
+    gw = QueryGateway(spark, _agg_engine_web(engine), "agg_engine")
+    q = ("select l_partkey, sum(l_quantity) as total from items "
+         "group by l_partkey order by total desc, l_partkey asc limit 4")
+    n0 = len(engine.executed)
+    fast = [tuple(r) for r in gw.query(q).collect()]
+    sent = engine.executed[n0:]
+    assert gw.last_topk_groups is True
+    r1 = [s for s in sent if "ORDER BY" in s and "LIMIT" in s]
+    assert r1 and any("DESC NULLS LAST LIMIT 20" in s for s in r1), sent
+    r2 = [s for s in sent if " IN (" in s and "HAVING" in s]
+    assert r2, sent
+    slow = [tuple(r) for r in gw.query(q, topk_pushdown=False).collect()]
+    assert fast == slow and len(fast) == 4
+
+
+def test_engine_agg_renamed_where_falls_back(spark, engine):
+    """Renamed entity columns + a WHERE: verbatim text can't rename
+    identifiers, so the renderer refuses and the generic Spark-side
+    path answers — correct, just unrendered."""
+    from dataweb_spark.plans.gateway import QueryGateway
+    gw = QueryGateway(spark, _agg_engine_web(engine, rename=True),
+                      "agg_engine")
+    q = ("select returnflag, count(*) as n from items "
+         "where quantity >= 10 group by returnflag order by returnflag")
+    n0 = len(engine.executed)
+    fast = [tuple(r) for r in gw.query(q).collect()]
+    assert not any("GROUP BY" in s for s in engine.executed[n0:])
+    slow = [tuple(r) for r in gw.query(
+        q, partial_aggregate=False).collect()]
+    assert fast == slow and len(fast) == 3
+
+
+def test_engine_agg_renamed_no_where_renders(spark, engine):
+    """Renames WITHOUT free-text clauses render fine — the structured
+    parts (group keys, agg args) substitute per-column."""
+    from dataweb_spark.plans.gateway import QueryGateway
+    gw = QueryGateway(spark, _agg_engine_web(engine, rename=True),
+                      "agg_engine")
+    q = ("select returnflag, max(extendedprice) as hi from items "
+         "group by returnflag order by returnflag")
+    n0 = len(engine.executed)
+    fast = [tuple(r) for r in gw.query(q).collect()]
+    sent = [s for s in engine.executed[n0:] if "GROUP BY" in s]
+    assert sent and "CAST(max(l_extendedprice) AS DOUBLE)" in sent[0]
+    slow = [tuple(r) for r in gw.query(
+        q, partial_aggregate=False).collect()]
+    assert fast == slow
+
+
+def test_engine_agg_distinct_falls_back(spark, engine):
+    """count(DISTINCT) refines the partial grain — stays Spark-side."""
+    from dataweb_spark.plans.gateway import QueryGateway
+    gw = QueryGateway(spark, _agg_engine_web(engine), "agg_engine")
+    q = ("select l_returnflag, count(distinct l_partkey) as np from items "
+         "group by l_returnflag order by l_returnflag")
+    n0 = len(engine.executed)
+    fast = [tuple(r) for r in gw.query(q).collect()]
+    assert not any("GROUP BY" in s for s in engine.executed[n0:])
+    slow = [tuple(r) for r in gw.query(
+        q, partial_aggregate=False).collect()]
+    assert fast == slow

@@ -132,7 +132,7 @@ def _fake_union(spark, views):
     """A ``run_union`` that replays the template per registered view —
     the same per-source semantics ``query_template_union`` provides,
     without the gRPC hop."""
-    def run(sql):
+    def run(sql, round_fact=None):
         parts = []
         for name in views:
             spark.table(name).createOrReplaceTempView("e")
