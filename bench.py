@@ -160,6 +160,7 @@ EXTRAS = [
     "fed_topk_groups",
     "fed_topk_remote_hop",
     "fed_grouped_topk_engine",
+    "fed_topk_groups_engine",
 ]
 
 # Extras whose FIRST run spawns or connects a peer-relay/engine
@@ -172,6 +173,7 @@ PEER_EXTRAS = {
     "fed_topk_groups",
     "fed_topk_remote_hop",
     "fed_grouped_topk_engine",
+    "fed_topk_groups_engine",
 }
 
 

@@ -2300,6 +2300,76 @@ order by returnflag, linestatus, rk
 """)
 
 
+def _fed_topk_groups_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-GROUPS protocol over an ENGINE-ONLY relay (r15 tail): every
+    protocol round renders into the DuckDB engine's own SQL
+    (``dialects.render_partial_agg`` — round 1 as ``ORDER BY __p DESC
+    NULLS LAST LIMIT m``, candidate/probe rounds as ``HAVING ... IN`` /
+    ``HAVING sum(...) >= t``), so O(k) rows cross the engine boundary
+    where the pre-r15 path shipped the filtered stream and aggregated
+    Spark-side. The builder PROMOTES the statement-log asserts into the
+    driver contract: it raises unless the log shows the bound round AND
+    a HAVING round for this query. Entity columns share the engine's
+    physical names (the name-preserving law for verbatim HAVING text)."""
+    from dataweb_spark.catalog.model import (
+        DataConnection, DataSource, Entity, Information, Mapping,
+        RelayCatalog, Web,
+    )
+    from dataweb_spark.plans.gateway import QueryGateway
+    from dataweb_spark.sources.flightsql import serve_duckdb_flightsql
+
+    eng = _FLIGHTSQL_ENGINES.get(sf_dir)
+    if eng is None:
+        eng = serve_duckdb_flightsql(
+            {"lineitem_tbl": f"{sf_dir}/lineitem.parquet"})
+        _FLIGHTSQL_ENGINES[sf_dir] = eng
+    relay = RelayCatalog(name="engine_tgroups")
+    relay.add_entity(Entity("items", [
+        Information("l_partkey", "bigint"),
+        Information("l_quantity", "double"),
+    ]))
+    relay.add_connection(DataConnection(
+        "duck", "flightsql",
+        {"port": str(eng.port), "dialect": "duckdb"}))
+    relay.add_source(DataSource(
+        name="items_duck", connection="duck", entity="items",
+        source_sql="select * from {table}",
+        mappings=[Mapping("l_partkey", "l_partkey"),
+                  Mapping("l_quantity", "l_quantity")],
+        options={"table": "lineitem_tbl"}))
+    web = Web()
+    web.add_relay(relay)
+    gw = QueryGateway(spark, web, "engine_tgroups")
+    n0 = len(eng.executed)
+    out = gw.query("""
+        select l_partkey, sum(l_quantity) as total_qty, count(*) as n
+        from items
+        where l_quantity >= 5
+        group by l_partkey
+        order by total_qty desc, l_partkey asc
+        limit 5
+    """)
+    local = spark.createDataFrame(out.collect(), out.schema)
+    sent = eng.executed[n0:]
+    bound = [s for s in sent if "ORDER BY" in s and "LIMIT" in s]
+    having = [s for s in sent if "HAVING" in s]
+    if not (gw.last_topk_groups and bound and having):
+        raise AssertionError(
+            "top-groups rounds did not reach the engine: "
+            f"protocol={gw.last_topk_groups} statements={sent!r}")
+    return local
+
+
+_df("fed_topk_groups_engine", _fed_topk_groups_engine, oracle="""
+select l_partkey, sum(l_quantity) as total_qty, count(*) as n
+from lineitem
+where l_quantity >= 5
+group by l_partkey
+order by total_qty desc, l_partkey asc
+limit 5
+""")
+
+
 def _fed_topk_remote_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Federated top-k COMPOSED ACROSS A REMOTE HOP (r15, VERDICT r14
     item 2): the edge entity ``priced_items`` views a MID relay's entity
@@ -8912,12 +8982,14 @@ _DRIVER_WINDOW = [
     # statement log). Then 47 of the 49-name r11-age cohort — the oldest
     # evidence anywhere (CORRECTNESS_r1..r14 recomputation: histogram
     # r11=49, r12=49, r13=50, r14=50). The two alphabetically-last r11
-    # names (warc_http_extract, window_topn_per_customer) defer to r16 —
-    # their evidence age at r15 close is exactly 4, within the gate, and
-    # they lead the r16 window.
+    # names (warc_http_extract, window_topn_per_customer) and — after the
+    # r15-tail fed_topk_groups_engine declaration took a 4th new slot —
+    # tpch_q9_product_profit defer to r16 at evidence age exactly 4,
+    # within the gate; they lead the r16 window.
     "fed_topk_groups",
     "fed_topk_remote_hop",
     "fed_grouped_topk_engine",
+    "fed_topk_groups_engine",
     "any_all_minmax_rewrite",
     "array_agg_ordered_limited",
     "corpus_mix_proportions",
@@ -8964,7 +9036,6 @@ _DRIVER_WINDOW = [
     "tpch_q12_late_shipping_priority",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q9_product_profit",
 ]
 # window budget: up to 50 checked by the driver. Rotated-out names stay
 # in QUERIES (checkable any round; the full local sweep covers all of
