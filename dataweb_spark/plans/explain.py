@@ -30,7 +30,11 @@ no data is read, no peer is contacted — and returns one row per
   the EXACT template SQL the peer executes whole; the other sources'
   rows then report the pushdown facts of that template (which is what
   they replay), not of the user SQL — mirroring
-  ``gateway.query → query_template_union(forward_sql)``.
+  ``gateway.query → query_template_union(forward_sql)``;
+* action ``engine-aggregate`` (r15) — an external-engine source that
+  executes the partial aggregation ITSELF: ``pushed_sql`` is the exact
+  engine statement (``dialects.render_partial_agg``, the same decision
+  function execution uses); a renderer refusal keeps the generic facts.
 
 Because it only calls pure decision functions, the report is exact by
 construction: the same inputs drive the real scan.
@@ -50,30 +54,37 @@ EXPLAIN_COLUMNS = ["entity", "relay", "source", "kind", "action",
                    "forwarded_grouped", "forwarded_template"]
 
 
-def _template_forward_sql(spark: SparkSession, web: Web, relay_name: str,
-                          entity_name: str, sql: str,
-                          partial_aggregate: bool = True,
-                          topk_pushdown: bool = True) -> str | None:
-    """The template SQL ``gateway.query`` would fan out per source when
-    the query decomposes — partial-aggregate, flat top-k, or grouped
-    top-k — and the entity has at least one whole-forwardable flight
-    peer; else None. Delegates to the gateway's OWN decomposition helper
-    (``gateway._decomposed_template``) so this mirror can never drift
-    from what execution decides."""
+def _template_forward(spark: SparkSession, web: Web, relay_name: str,
+                      entity_name: str, sql: str,
+                      partial_aggregate: bool = True,
+                      topk_pushdown: bool = True):
+    """``(template_sql, agg_spec)`` — the template SQL ``gateway.query``
+    would fan out per source when the query decomposes —
+    partial-aggregate, flat top-k, or grouped top-k — and the entity has
+    at least one whole-forwardable flight peer or (r15) an
+    engine-aggregable source; ``(None, None)`` otherwise. Delegates to
+    the gateway's OWN decomposition helper and gating predicates
+    (``gateway._decomposed_template``/``_engine_agg_candidate``) so this
+    mirror can never drift from what execution decides. ``agg_spec`` is
+    the ``AggQuerySpec`` when the decomposition is the aggregate kind —
+    what engine sources would render (``dialects.render_partial_agg``)."""
+    from dataweb_spark.plans.aggpush import AggQuerySpec
     from dataweb_spark.plans.gateway import (
         _decomposed_template,
+        _engine_agg_candidate,
         _forwardable_flight_peer,
     )
     relay = web.relay(relay_name)
     entity = relay.entities.get(entity_name)
     if entity is None:
-        return None
+        return None, None
     if not any(_forwardable_flight_peer(relay, s, entity_name) is not None
+               or _engine_agg_candidate(relay, s)
                for s in relay.sources_for_entity(entity_name)):
-        return None
-    _, fwd, _ = _decomposed_template(spark, entity, entity_name, sql,
-                                     partial_aggregate, topk_pushdown)
-    return fwd
+        return None, None
+    spec, fwd, _ = _decomposed_template(spark, entity, entity_name, sql,
+                                        partial_aggregate, topk_pushdown)
+    return fwd, (spec if isinstance(spec, AggQuerySpec) else None)
 
 
 def explain_entity(spark: SparkSession, web: Web, relay_name: str,
@@ -102,10 +113,10 @@ def explain_entity(spark: SparkSession, web: Web, relay_name: str,
     # the template path, every source processes the FORWARD SQL — the
     # report's pushdown facts come from it, and whole-forwardable flight
     # peers receive it verbatim
-    template_sql = None
+    template_sql, agg_spec = None, None
     if (single_entity and (partial_aggregate or topk_pushdown)
             and not include_provenance and not allow_partial):
-        template_sql = _template_forward_sql(
+        template_sql, agg_spec = _template_forward(
             spark, web, relay_name, entity_name, sql,
             partial_aggregate, topk_pushdown)
     eff_sql = template_sql if template_sql is not None else sql
@@ -129,14 +140,14 @@ def explain_entity(spark: SparkSession, web: Web, relay_name: str,
     referenced = extract_referenced_columns(spark, eff_sql)
     rows: list[dict] = []
     _walk(web, relay_name, entity_name, conjuncts, limit, referenced,
-          set(), rows, order_limit, template_sql, grouped_fact)
+          set(), rows, order_limit, template_sql, grouped_fact, agg_spec)
     return rows
 
 
 def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
           limit, referenced, visited: set, rows: list[dict],
           order_limit=None, template_sql: str | None = None,
-          grouped_fact=None) -> None:
+          grouped_fact=None, agg_spec=None) -> None:
     from dataweb_spark.plans.gateway import _forwardable_flight_peer
     from dataweb_spark.plans.pruning import source_can_match
     from dataweb_spark.plans.resolve import (
@@ -184,6 +195,30 @@ def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
             row["pushed_sql"] = template_sql
             rows.append(row)
             continue
+        if agg_spec is not None and kind in ("flightsql", "trino"):
+            # r15 mirror: an engine source executes the partial
+            # aggregation ITSELF when the renderer's gates hold — show
+            # the EXACT engine statement; a refusal keeps the generic
+            # facts below (same decision function as execution,
+            # readers.engine_partial_frame)
+            from dataweb_spark.sources.dialects import (DIALECTS, DUCKDB,
+                                                        TRINO,
+                                                        render_partial_agg)
+            conn = relay.connections[source.connection]
+            dialect = (TRINO if kind == "trino" else DIALECTS.get(
+                conn.options.get("dialect", "duckdb"), DUCKDB))
+            etypes = {i.name: i.data_type
+                      for i in relay.entities[entity_name].informations}
+            esql = None
+            if not source.options.get("sql"):
+                esql = render_partial_agg(
+                    dialect, source.options.get("table", source.name),
+                    source, agg_spec, etypes)
+            if esql is not None:
+                row["action"] = "engine-aggregate"
+                row["pushed_sql"] = esql
+                rows.append(row)
+                continue
         ob = order_limit[0] if order_limit else None
         eff_lim_in = order_limit[1] if order_limit else limit
         cols, kept, eff_limit, projected, eff_order, eff_grouped = \

@@ -292,3 +292,54 @@ def test_explain_models_query_flags(spark):
     row = {r["source"]: r.asDict() for r in gw.explain(
         agg, include_provenance=True).collect()}["peer_src"]
     assert row["action"] == "scan"
+
+
+def test_explain_mirrors_engine_aggregate(spark):
+    """r15: engine sources that execute the partial aggregate themselves
+    report action=engine-aggregate with the EXACT engine statement; a
+    renamed source with a WHERE (renderer refusal) keeps the generic
+    facts — same decision functions as execution."""
+    from dataweb_spark.catalog.model import (DataConnection, DataSource,
+                                             Entity, Information,
+                                             Mapping, RelayCatalog, Web)
+    from dataweb_spark.plans.explain import explain_federation
+
+    def web_for(names):
+        relay = RelayCatalog(name="eng_x")
+        relay.add_entity(Entity("items", [
+            Information(names[0], "string"),
+            Information(names[1], "double")]))
+        relay.add_connection(DataConnection(
+            "duck", "flightsql", {"port": "1", "dialect": "duckdb"}))
+        relay.add_source(DataSource(
+            name="items_duck", connection="duck", entity="items",
+            source_sql="select * from {table}",
+            mappings=[Mapping(names[0], "l_returnflag"),
+                      Mapping(names[1], "l_quantity")],
+            options={"table": "lineitem_tbl"}))
+        web = Web()
+        web.add_relay(relay)
+        return web
+
+    # name-preserving entity: renders (metadata only — no engine runs)
+    web = web_for(["l_returnflag", "l_quantity"])
+    q = ("select l_returnflag, sum(l_quantity) as s from items "
+         "where l_quantity >= 10 group by l_returnflag")
+    row = {r["source"]: r.asDict() for r in explain_federation(
+        spark, web, "eng_x", q).collect()}["items_duck"]
+    assert row["action"] == "engine-aggregate"
+    assert "CAST(sum(l_quantity) AS DOUBLE)" in row["pushed_sql"]
+    assert "GROUP BY l_returnflag" in row["pushed_sql"]
+    # renamed + WHERE: renderer refuses, generic scan row mirrors the
+    # Spark-side fallback
+    web2 = web_for(["returnflag", "quantity"])
+    q2 = ("select returnflag, sum(quantity) as s from items "
+          "where quantity >= 10 group by returnflag")
+    row = {r["source"]: r.asDict() for r in explain_federation(
+        spark, web2, "eng_x", q2).collect()}["items_duck"]
+    assert row["action"] == "scan"
+    # partial_aggregate off: no template decomposition at all
+    row = {r["source"]: r.asDict() for r in explain_federation(
+        spark, web, "eng_x", q, partial_aggregate=False).collect()
+        }["items_duck"]
+    assert row["action"] == "scan"
