@@ -195,28 +195,22 @@ def _walk(web: Web, relay_name: str, entity_name: str, conjuncts,
             row["pushed_sql"] = template_sql
             rows.append(row)
             continue
-        if agg_spec is not None and kind in ("flightsql", "trino"):
+        if agg_spec is not None:
             # r15 mirror: an engine source executes the partial
             # aggregation ITSELF when the renderer's gates hold — show
-            # the EXACT engine statement; a refusal keeps the generic
-            # facts below (same decision function as execution,
-            # readers.engine_partial_frame)
-            from dataweb_spark.sources.dialects import (DIALECTS, DUCKDB,
-                                                        TRINO,
-                                                        render_partial_agg)
-            conn = relay.connections[source.connection]
-            dialect = (TRINO if kind == "trino" else DIALECTS.get(
-                conn.options.get("dialect", "duckdb"), DUCKDB))
+            # the EXACT engine statement via the SAME decision function
+            # execution uses (readers.engine_partial_statement); a
+            # refusal keeps the generic facts below
+            from dataweb_spark.sources.readers import (
+                engine_partial_statement,
+            )
             etypes = {i.name: i.data_type
                       for i in relay.entities[entity_name].informations}
-            esql = None
-            if not source.options.get("sql"):
-                esql = render_partial_agg(
-                    dialect, source.options.get("table", source.name),
-                    source, agg_spec, etypes)
-            if esql is not None:
+            stmt = engine_partial_statement(relay, source, agg_spec,
+                                            etypes)
+            if stmt is not None:
                 row["action"] = "engine-aggregate"
-                row["pushed_sql"] = esql
+                row["pushed_sql"] = stmt[1]
                 rows.append(row)
                 continue
         ob = order_limit[0] if order_limit else None

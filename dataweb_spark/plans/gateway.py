@@ -399,15 +399,14 @@ class QueryGateway:
                     # r15: external SQL engines execute the partial
                     # aggregate THEMSELVES when the renderer's gates
                     # hold — O(groups) wire instead of the filtered
-                    # stream; a refusal keeps the generic path below
+                    # stream; a refusal keeps the generic path below.
+                    # (chain is empty here, so `r` IS the home relay and
+                    # the already-computed `etypes` applies.)
                     from dataweb_spark.sources.readers import (
                         engine_partial_frame,
                     )
-                    edf = engine_partial_frame(
-                        self.spark, r, source, agg_spec,
-                        {i.name: i.data_type
-                         for i in r.entities[ename].informations},
-                        agg_round)
+                    edf = engine_partial_frame(self.spark, r, source,
+                                               agg_spec, etypes, agg_round)
                     if edf is not None:
                         results.append((relay_name, source.name, edf))
                         return

@@ -361,11 +361,23 @@ _PORTABLE_CAST = {
 _DEC_T = re.compile(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
 
 
-def _portable_cast(spark_type: str) -> str | None:
-    m = _DEC_T.match(spark_type.strip().lower())
+def _portable_cast(spark_type: str, composite: bool) -> str | None:
+    """Cast target for an IN-list literal: portable names where one
+    exists; composite (struct-IN) keys additionally fall back to the
+    SPARK type name — struct-IN has no implicit coercion, so a
+    timestamp/timestamp_ntz element MUST cast exactly (review-caught
+    r15: dropping the cast either fails analysis or, worse, compares
+    string renderings that never match isoformat — silently dropping
+    candidates). Such predicates never reach engines: the renderer
+    refuses timestamp-typed group keys semantically."""
+    t = spark_type.strip().lower()
+    m = _DEC_T.match(t)
     if m:
         return f"DECIMAL({int(m.group(1))}, {int(m.group(2))})"
-    return _PORTABLE_CAST.get(spark_type.strip().lower())
+    p = _PORTABLE_CAST.get(t)
+    if p is None and composite and t not in ("string", "boolean"):
+        return spark_type.upper()  # Spark-exact (timestamp, ntz, ...)
+    return p
 
 
 def _candidates_in_sql(plan: TopGroupsPlan, groups: set,
@@ -378,15 +390,18 @@ def _candidates_in_sql(plan: TopGroupsPlan, groups: set,
     type matches on the Spark side, and engine-rendered rounds
     (``dialects.render_partial_agg``) need type names and coercions
     every dialect shares — real Trino refuses implicit varchar→date.
-    Timestamp keys keep the implicit ISO-string form (the TIMESTAMP vs
-    TIMESTAMP_NTZ split has no one portable spelling); the engine
-    renderer's text gate refuses those predicates, keeping them
-    Spark-side."""
+    Scalar timestamp keys keep the implicit ISO-string form (the
+    TIMESTAMP vs TIMESTAMP_NTZ split has no one portable spelling);
+    composite timestamp keys cast to the SPARK-exact name. Neither form
+    reaches an engine: ``render_partial_agg`` refuses timestamp-typed
+    group keys SEMANTICALLY (it can see the entity types — a text gate
+    can't recognize a bare ISO string, review-caught r15)."""
+    composite = len(plan.group_cols) > 1
     lits = []
     for tup in sorted(groups, key=repr):
         if any(v is None for v in tup):
             return None  # IN can't express NULL keys: aggpush path
-        parts = [_sql_literal(v, _portable_cast(gtypes[c]))
+        parts = [_sql_literal(v, _portable_cast(gtypes[c], composite))
                  for v, c in zip(tup, plan.group_cols)]
         if any(p is None for p in parts):
             return None

@@ -217,13 +217,6 @@ _ENGINE_TYPES = {
 
 _DECIMAL_RE = re.compile(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
 
-# conservative clause-text gate: verbatim WHERE/HAVING text reaches the
-# engine only when it contains nothing an engine could parse differently
-# from Spark — no backslash escapes (Spark-only string syntax), no
-# backticks/double quotes (identifier quoting differs), no statement or
-# comment punctuation
-_UNPORTABLE = re.compile(r"[`\\\";]|--|/\*|\btimestamp_ntz\b", re.I)
-
 
 def _engine_type(entity_type: str | None) -> str | None:
     if entity_type is None:
@@ -254,6 +247,59 @@ def _sum_type(entity_type: str | None) -> str | None:
     if t in ("float", "double"):
         return "DOUBLE"
     return None
+
+
+# conservative clause-text gates: verbatim WHERE/HAVING text reaches the
+# engine only when every token is provably dialect-portable. _UNPORTABLE
+# refuses dangerous punctuation (backslash escapes are Spark-only string
+# syntax; backticks/double quotes are quoting differences; -- /* ; are
+# statement/comment punctuation; / and % have DIFFERENT division/modulo
+# semantics across engines — Trino divides integers integrally where
+# Spark divides fractionally, review-caught r15; <=> is Spark-only).
+# _CLAUSE_WORD + _CLAUSE_KEYWORDS then require every identifier-shaped
+# token outside string literals to be a known portable keyword or an
+# entity column — unknown FUNCTION names (Spark builtins an engine lacks
+# or computes differently) refuse rather than ship.
+_CLAUSE_WORD = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_CLAUSE_KEYWORDS = {
+    "and", "or", "not", "in", "is", "null", "between", "like", "escape",
+    "true", "false", "cast", "as", "date", "integer", "int", "bigint",
+    "smallint", "tinyint", "double", "float", "real", "decimal",
+    "varchar", "boolean",
+    # aggregate heads of the protocol's probe predicates (a WHERE can't
+    # legally contain them, so allowing them here is inert for WHERE)
+    "sum", "count", "min", "max",
+}
+_CLAUSE_BAD = re.compile(r"[`\";/%]|--|<=>|\btimestamp_ntz\b", re.I)
+
+
+def _clause_portable(text: str, entity_cols_ci: set) -> bool:
+    """True when verbatim clause text is provably dialect-portable.
+
+    Checks, in order: no backslashes anywhere (Spark-only string escape
+    syntax — with them, quote-doubling alone can't delimit literals);
+    string literals well-formed by quote-doubling; outside literals, no
+    dangerous punctuation (backticks/double quotes are quoting
+    differences, ``--``/``;`` statement punctuation, ``/`` and ``%``
+    have DIFFERENT division/modulo semantics across engines — Trino
+    divides integers integrally where Spark divides fractionally,
+    review-caught r15 — and ``<=>`` is Spark-only); and every
+    identifier-shaped token is a portable keyword or an entity column —
+    unknown FUNCTION names (Spark builtins an engine lacks or computes
+    differently) refuse rather than ship. Name-preserving mappings are
+    the caller's check."""
+    if text is None or "\\" in text:
+        return False
+    stripped = re.sub(r"'[^']*'", " ", text)
+    if "'" in stripped:
+        return False  # unbalanced quoting: refuse outright
+    if _CLAUSE_BAD.search(stripped):
+        return False
+    for w in _CLAUSE_WORD.findall(stripped):
+        lw = w.lower()
+        if lw not in _CLAUSE_KEYWORDS and lw not in entity_cols_ci:
+            return False
+    return True
 
 
 def render_partial_agg(dialect: Dialect, table: str, source, spec,
@@ -390,8 +436,8 @@ def render_partial_agg(dialect: Dialect, table: str, source, spec,
         for m in source.mappings)
 
     def portable(text):
-        return (text is not None and name_preserving
-                and not _UNPORTABLE.search(text))
+        return (name_preserving
+                and _clause_portable(text, set(et_ci)))
 
     tparts = [dialect.ident(p) for p in table.split(".")]
     if any(p is None for p in tparts):
@@ -417,6 +463,18 @@ def render_partial_agg(dialect: Dialect, table: str, source, spec,
             direction = ("ASC NULLS FIRST" if asc else "DESC NULLS LAST")
             sql += f" ORDER BY {alias} {direction} LIMIT {int(m)}"
         elif kind == "having":
+            # SEMANTIC timestamp gate (review-caught r15): the protocol's
+            # IN-list predicates render timestamp keys as implicit ISO
+            # strings (Spark-side contract) — a text gate can't recognize
+            # a bare '2023-01-01 00:00:00', but the entity types are
+            # right here: engines either refuse varchar→timestamp (Trino,
+            # loud) or compare under a DIFFERENT session-timezone model
+            # (silently wrong partials), so these predicates stay
+            # Spark-side
+            for g in spec.group_attrs:
+                gt = (et_ci.get(g.lower()) or "").strip().lower()
+                if gt.startswith("timestamp"):
+                    return None
             pred = round_fact[1]
             if not portable(pred):
                 return None

@@ -71,12 +71,19 @@ class DuckDbFlightSqlServer(flight.FlightServerBase):
         import os as _os
         for name, path in tables.items():
             if _os.path.isdir(path):
-                # a Spark-written table is a DIRECTORY of part files;
-                # DuckDB's read_parquet treats the path as a file glob
-                path = _os.path.join(path, "*.parquet")
-            self._con.execute(
-                f"create view \"{name}\" as "
-                f"select * from read_parquet('{path}')")
+                # a Spark-written table is a DIRECTORY of part files —
+                # possibly NESTED under partitionBy subdirectories, so
+                # glob recursively and recover hive-partition columns
+                # (review-caught r15: a top-level glob binds zero files
+                # for partitioned writes)
+                path = _os.path.join(path, "**", "*.parquet")
+                self._con.execute(
+                    f"create view \"{name}\" as select * from "
+                    f"read_parquet('{path}', hive_partitioning=true)")
+            else:
+                self._con.execute(
+                    f"create view \"{name}\" as "
+                    f"select * from read_parquet('{path}')")
 
     def _peek_schema(self, sql: str) -> pa.Schema:
         cur = self._con.cursor()

@@ -435,18 +435,14 @@ def flight_client_identity(conn: DataConnection) -> dict:
             "cert": cert, "client_tls": client_tls}
 
 
-def engine_partial_frame(spark: SparkSession, relay, source: DataSource,
-                         spec, etypes: dict,
-                         round_fact=None) -> DataFrame | None:
-    """Execute a partial-aggregate template ON an external SQL engine
-    (r15): render the ``AggQuerySpec`` (plus top-groups round decoration)
-    into the engine's dialect and stream back ONE row per group — the
-    engine-source analog of relay→relay template forwarding, closing the
-    reference-parity gap where GROUP BY over an engine source shipped
-    the filtered stream and aggregated Spark-side
-    (``trino.rs:103-190`` runs the whole mapped statement on the
-    engine). None when the renderer's conservative gates refuse — the
-    caller keeps the generic path."""
+def engine_partial_statement(relay, source: DataSource, spec,
+                             etypes: dict, round_fact=None):
+    """``(conn, engine_sql)`` when this source would execute the
+    partial-aggregate template ITSELF, else None — the ONE decision
+    function both execution (:func:`engine_partial_frame`) and the
+    EXPLAIN mirror (``plans/explain.py``) consume, so the report can
+    never drift from what the query path does (review-caught r15: the
+    gates were previously duplicated)."""
     from dataweb_spark.sources.dialects import (
         DIALECTS,
         DUCKDB,
@@ -468,6 +464,26 @@ def engine_partial_frame(spark: SparkSession, relay, source: DataSource,
                               round_fact)
     if esql is None:
         return None
+    return conn, esql
+
+
+def engine_partial_frame(spark: SparkSession, relay, source: DataSource,
+                         spec, etypes: dict,
+                         round_fact=None) -> DataFrame | None:
+    """Execute a partial-aggregate template ON an external SQL engine
+    (r15): render the ``AggQuerySpec`` (plus top-groups round decoration)
+    into the engine's dialect and stream back ONE row per group — the
+    engine-source analog of relay→relay template forwarding, closing the
+    reference-parity gap where GROUP BY over an engine source shipped
+    the filtered stream and aggregated Spark-side
+    (``trino.rs:103-190`` runs the whole mapped statement on the
+    engine). None when the renderer's conservative gates refuse — the
+    caller keeps the generic path."""
+    stmt = engine_partial_statement(relay, source, spec, etypes,
+                                    round_fact)
+    if stmt is None:
+        return None
+    conn, esql = stmt
     host = conn.options.get("host", "127.0.0.1")
     if conn.kind == "flightsql":
         from dataweb_spark.sources.flightsql import flightsql_read

@@ -1301,3 +1301,51 @@ def test_engine_agg_distinct_falls_back(spark, engine):
     slow = [tuple(r) for r in gw.query(
         q, partial_aggregate=False).collect()]
     assert fast == slow
+
+
+def test_clause_portability_gate():
+    """review-caught r15: the verbatim-clause gate is token-exact, not a
+    charset check — division (integer vs fractional semantics), unknown
+    function names, Spark-only operators, and unknown identifiers all
+    refuse; portable comparisons, IN-lists, LIKE patterns (even with %
+    inside the literal), and the protocol's probe shapes pass."""
+    from dataweb_spark.sources.dialects import _clause_portable
+    cols = {"l_quantity", "l_returnflag", "name"}
+    ok = ["(l_quantity >= 10)", "l_returnflag IN ('A', 'B')",
+          "name LIKE 'a%'", "name = 'O''Brien'",
+          "sum(l_quantity) >= CAST('470.0' AS DOUBLE)",
+          "(l_quantity BETWEEN 1 AND 5) AND name IS NOT NULL"]
+    bad = ["(l_quantity / 2) = 1", "year(l_quantity) = 1995",
+           "l_quantity <=> 3", "ts IN ('2023-01-01')",
+           "name = 'a\\'b'", "l_quantity % 2 = 0",
+           "name = `weird`", 'name = "q"']
+    for t in ok:
+        assert _clause_portable(t, cols), t
+    for t in bad:
+        assert not _clause_portable(t, cols), t
+
+
+def test_engine_agg_timestamp_group_key_refuses_having(spark, engine):
+    """review-caught r15: timestamp group keys render IN-list literals as
+    implicit ISO strings (the Spark-side contract) — engines either
+    refuse varchar→timestamp or compare under a different timezone
+    model, so HAVING round facts over timestamp keys refuse
+    SEMANTICALLY (base partials without a having fact still render)."""
+    from dataweb_spark.catalog.model import DataField
+    from dataweb_spark.sources.dialects import DUCKDB, render_partial_agg
+    from dataweb_spark.plans.aggpush import extract_aggregate_query
+    types = {"ts": "timestamp", "v": "double"}
+    spec = extract_aggregate_query(
+        spark, "select ts, sum(v) as s from e group by ts",
+        "e", entity_columns=set(types), entity_types=types)
+    assert spec is not None
+    src = DataSource(
+        name="s", connection="c", entity="e",
+        source_sql="select * from {table}",
+        mappings=[Mapping("ts", "ts"), Mapping("v", "v")],
+        options={"table": "t"})
+    base = render_partial_agg(DUCKDB, "t", src, spec, types)
+    assert base is not None and "GROUP BY ts" in base
+    refused = render_partial_agg(DUCKDB, "t", src, spec, types,
+                                 ("having", "ts IN ('2023-01-01 00:00:00')"))
+    assert refused is None

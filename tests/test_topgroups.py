@@ -537,3 +537,31 @@ def test_date_keys_ride_a_nonexhausted_round2(spark):
         "select gd, sum(v) as s from e group by gd "
         "order by s desc, gd asc limit 2").collect()]
     assert got == want
+
+
+def test_composite_timestamp_group_keys_keep_exact_casts(spark):
+    """review-caught r15: composite struct-IN has no implicit coercion —
+    a timestamp element must render CAST(... AS TIMESTAMP) exactly (the
+    portable-cast map alone would drop it and either fail analysis or
+    silently compare mismatched string renderings)."""
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(600):
+        g = f"g{i % 10}"
+        ts = base + datetime.timedelta(hours=i % 6)
+        v = 500.0 if (i % 10, i % 6) in ((0, 0), (1, 1), (2, 2)) else 1.0
+        rows.append(Row(g=g, ts=ts, v=v))
+    spark.createDataFrame(rows).createOrReplaceTempView("tgt_ts")
+    _spec, plan = _spec_plan(
+        spark, "select g, ts, sum(v) as s from e group by g, ts "
+               "order by s desc, g asc, ts asc limit 2",
+        {"g": "string", "ts": "timestamp", "v": "double"})
+    assert plan.m < 60  # 60 (g, ts) groups: non-exhausted, real round 2
+    out = run_topk_groups(spark, plan, _fake_union(spark, ["tgt_ts"]))
+    assert out is not None
+    got = [tuple(r) for r in out.collect()]
+    spark.table("tgt_ts").createOrReplaceTempView("e")
+    want = [tuple(r) for r in spark.sql(
+        "select g, ts, sum(v) as s from e group by g, ts "
+        "order by s desc, g asc, ts asc limit 2").collect()]
+    assert got == want
