@@ -565,3 +565,71 @@ def test_composite_timestamp_group_keys_keep_exact_casts(spark):
         "select g, ts, sum(v) as s from e group by g, ts "
         "order by s desc, g asc, ts asc limit 2").collect()]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# property: protocol == direct SQL on ANY dataset, or honest fallback
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+_VALS = hst.one_of(
+    hst.none(),
+    hst.integers(min_value=-50, max_value=50).map(float),
+    hst.sampled_from([0.0, -0.5, 1e12, -1e12]))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(data=hst.lists(
+    hst.tuples(hst.integers(min_value=0, max_value=30),  # group id
+               _VALS),
+    min_size=1, max_size=250),
+    k=hst.integers(min_value=1, max_value=4),
+    split=hst.integers(min_value=0, max_value=249),
+    fn_dir=hst.sampled_from([("sum", "desc"), ("max", "desc"),
+                             ("min", "asc"), ("count", "desc")]))
+def test_protocol_matches_direct_sql_property(spark, data, k, split,
+                                              fn_dir):
+    """For ANY dataset (negatives, NULLs, ties, huge magnitudes, any
+    2-way split across sources) and any accepted (fn, direction): the
+    protocol either falls back (None — always correct by construction)
+    or returns EXACTLY the direct-SQL answer. The secondary group-key
+    sort makes the expected output a total order."""
+    fn, direction = fn_dir
+    rows = [Row(g=f"g{gid:02d}", v=v) for gid, v in data]
+    a, b = rows[:split], rows[split:]
+    import pyspark.sql.types as T
+    schema = T.StructType([T.StructField("g", T.StringType()),
+                           T.StructField("v", T.DoubleType())])
+    views = []
+    for i, part in enumerate((a, b)):
+        if part:
+            name = f"tgp_prop_{i}"
+            spark.createDataFrame(part, schema) \
+                 .createOrReplaceTempView(name)
+            views.append(name)
+    if not views:
+        return
+    arg = "v" if fn != "count" else "*"
+    sql = (f"select g, {fn}({arg}) as s from e group by g "
+           f"order by s {direction} nulls "
+           f"{'last' if direction == 'desc' else 'first'}, g asc "
+           f"limit {k}")
+    types = {"g": "string", "v": "double"}
+    spec = extract_aggregate_query(spark, sql, "e",
+                                   entity_columns=set(types),
+                                   entity_types=types)
+    assert spec is not None
+    plan = plan_topk_groups(spec)
+    assert plan is not None
+    out = run_topk_groups(spark, plan, _fake_union(spark, views))
+    if out is None:
+        return  # documented fallback: aggpush answers identically
+    got = [tuple(r) for r in out.collect()]
+    union = " union all ".join(f"select * from {v}" for v in views)
+    want = [tuple(r) for r in spark.sql(
+        sql.replace("from e", f"from ({union})")).collect()]
+    assert got == want
