@@ -187,9 +187,16 @@ def _calibration(spark, qs, sf_dir: str) -> float:
     machine was in a slow phase (the documented 43.5–97.2s band on
     near-identical code); calibration at ~1× → a real regression.
     Interpretation rule + reference value live in BASELINE.md."""
+    # r15: register_views is now memoized per (session, sf_dir). The
+    # probe's historical meaning (BASELINE.md reference values) includes
+    # the q1 invocation's view re-registration, so clear the memo before
+    # each sample — otherwise the probe would silently absorb the
+    # round's own optimization and lose phase-attribution comparability.
+    from dataweb_spark.queries import _REGISTERED_SF
     samples = []
     for _ in range(3):
         t0 = time.time()
+        _REGISTERED_SF.pop(spark, None)
         spark.table("lineitem").count()
         qs["tpch_q1_pricing_summary"](spark, sf_dir).count()
         samples.append(time.time() - t0)
