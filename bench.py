@@ -192,11 +192,11 @@ def _calibration(spark, qs, sf_dir: str) -> float:
     # the q1 invocation's view re-registration, so clear the memo before
     # each sample — otherwise the probe would silently absorb the
     # round's own optimization and lose phase-attribution comparability.
-    from dataweb_spark.queries import _REGISTERED_SF
+    from dataweb_spark.session import view_memo_invalidate
     samples = []
     for _ in range(3):
         t0 = time.time()
-        _REGISTERED_SF.pop(spark, None)
+        view_memo_invalidate(spark)
         spark.table("lineitem").count()
         qs["tpch_q1_pricing_summary"](spark, sf_dir).count()
         samples.append(time.time() - t0)

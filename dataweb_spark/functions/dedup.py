@@ -207,7 +207,9 @@ def jaccard_pd(text_a, text_b, shingle_n: int = 3,
             out[i] = (len(sx & sy) / u) if u else 0.0
         return pd.Series(out)
 
-    return f(text_a, text_b)
+    # asNondeterministic: the verify threshold filter referencing this
+    # column otherwise evaluates the kernel twice (guide §4.4).
+    return f.asNondeterministic()(text_a, text_b)
 
 
 def jaccard_verify(df: DataFrame, candidates: DataFrame, id_col: str,
@@ -393,7 +395,11 @@ def simhash64(col) -> "F.Column":
             out[i] = (maj << shifts).sum(dtype=np.uint64).astype(np.int64)
         return pd.Series(out)
 
-    return f(F.col(col) if isinstance(col, str) else col)
+    # asNondeterministic: band-hash predicates derived from the signature
+    # otherwise duplicate this whole kernel per pushed filter (observed
+    # as stacked ArrowEvalPython pairs at every corpus arm; guide §4.4).
+    return f.asNondeterministic()(
+        F.col(col) if isinstance(col, str) else col)
 
 
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",

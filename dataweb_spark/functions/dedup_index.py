@@ -153,10 +153,17 @@ def classify_against_index(spark: SparkSession, new_batch: DataFrame,
     new_batch = new_batch.persist()
 
     new_fp, _ = _index_rows(new_batch, id_col, text_col, params)
+    # exact is referenced three times downstream (the anti-join's
+    # broadcast, the verdict union, and near's remaining-set) — without
+    # a cache each reference rescans the whole persisted fp index.
+    # Persist the ≤batch-rows verdict frame so the index is scanned once
+    # per classify call (r15; guide §2.4 — remove repeated passes).
+    # Bounded by construction: one row per exact-dup batch doc.
     exact = (fp_idx.join(F.broadcast(new_fp.withColumnRenamed("id", "_nid")),
                          "fp")
              .groupBy("_nid").agg(F.min("id").alias("match_id"))
-             .withColumn("verdict", F.lit("exact")))
+             .withColumn("verdict", F.lit("exact"))
+             .persist())
 
     remaining = new_batch.join(
         F.broadcast(exact.select(F.col("_nid").alias(id_col))),
@@ -165,10 +172,14 @@ def classify_against_index(spark: SparkSession, new_batch: DataFrame,
                                      params["num_perm"], params["bands"],
                                      params["shingle_n"], params["seed"])
                  .withColumnRenamed("_id", "_nid"))
+    # Same double-reference story for the candidate pairs (the id-list
+    # broadcast and the verify join) — persist so the band index is
+    # scanned once. Bounded: LSH bucket-mates of one batch.
     cands = (band_idx.join(F.broadcast(new_bands), ["band", "bh"])
              .select(F.col("_nid").alias("id_a"),
                      F.col("id").alias("id_b"))
-             .distinct())
+             .distinct()
+             .persist())
     # Fetch text ONLY for candidate corpus ids: broadcast the id list so
     # the corpus scan's join needs no shuffle and prunes at the scan.
     cand_ids = cands.select(F.col("id_b").alias(id_col)).distinct()

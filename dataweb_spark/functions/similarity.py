@@ -61,7 +61,10 @@ def dot_pd(a: Column, b: Column) -> Column:
         A = np.array(x.tolist(), dtype=np.float64)
         B = np.array(y.tolist(), dtype=np.float64)
         return pd.Series(np.einsum("ij,ij->i", A, B))
-    return f(a, b)
+    # asNondeterministic: stop the optimizer duplicating the kernel when
+    # a pushed filter references its output column (guide §4.4); the
+    # function itself is deterministic.
+    return f.asNondeterministic()(a, b)
 
 
 def cosine_pd(a: Column, b: Column) -> Column:
@@ -73,7 +76,9 @@ def cosine_pd(a: Column, b: Column) -> Column:
         num = np.einsum("ij,ij->i", A, B)
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
         return pd.Series(num / np.maximum(den, 1e-300))
-    return f(a, b)
+    # asNondeterministic: see dot_pd — prevents double evaluation under
+    # pushed threshold filters (guide §4.4).
+    return f.asNondeterministic()(a, b)
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -165,7 +170,10 @@ def hyperplane_signature(vec_col, planes: int = 12, seed: int = 7,
         return pd.Series((bits @ weights).astype(np.int64))
 
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return sig(v.cast("array<double>"))
+    # asNondeterministic: bucket-equality join conditions derived from
+    # this column otherwise re-evaluate the kernel per pushed predicate
+    # (observed as stacked ArrowEvalPython pairs; guide §4.4).
+    return sig.asNondeterministic()(v.cast("array<double>"))
 
 
 def hyperplane_signatures(vec_col, planes: int = 6, bands: int = 8,
@@ -187,7 +195,8 @@ def hyperplane_signatures(vec_col, planes: int = 6, bands: int = 8,
         return pd.Series(packed.astype(np.int64).tolist())
 
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return sig(v.cast("array<double>"))
+    # asNondeterministic: see hyperplane_signature (guide §4.4).
+    return sig.asNondeterministic()(v.cast("array<double>"))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -204,9 +213,12 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                        F.col(vec_col).cast("array<double>").alias("_qv"),
                        hyperplane_signature(vec_col, planes, seed, dim)
                        .alias("_bkt"))
+    # r15: verify with the sequential-sum codegen cosine (was the
+    # Arrow/pandas kernel — an extra Python stage shipping both vectors
+    # per candidate across the JVM boundary; guide §4.1).
     scored = (c.join(F.broadcast(q), on="_bkt")
                .where(F.col("neighbor_id") != F.col("query_id"))
-               .withColumn("cos", cosine_pd(F.col("_cv"), F.col("_qv"))))
+               .withColumn("cos", cosine(F.col("_cv"), F.col("_qv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -322,17 +334,21 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         F.col(query_id_col).alias("query_id"),
         F.col("scale").alias("_qs"), F.col("q").alias("_qq"))
 
-    @pandas_udf("double")
-    def int8_cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.array(a.tolist(), dtype=np.int32)
-        B = np.array(b.tolist(), dtype=np.int32)
-        num = np.einsum("ij,ij->i", A, B).astype(np.float64)
-        den = (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
-        return pd.Series(num / np.maximum(den, 1e-300))
+    # r15: score with codegen integer dot/norm expressions (was an
+    # Arrow/pandas kernel — a Python stage shipping both int8 code
+    # arrays per candidate pair across the JVM boundary; guide §4.1).
+    # Bit-identical to the numpy kernel AND the oracle: int8·int8
+    # products and their sums are exact integers in double, so the one
+    # inexact step per side is the same IEEE sqrt/multiply/divide.
+    def _icos(a, b):
+        ad = F.transform(a, lambda x: x.cast("double"))
+        bd = F.transform(b, lambda x: x.cast("double"))
+        den = l2_norm(ad) * l2_norm(bd)
+        return dot(ad, bd) / F.greatest(den, F.lit(1e-300))
 
     scored = (cq.join(F.broadcast(qq),
                       F.col("neighbor_id") != F.col("query_id"))
-                .withColumn("cos_q", int8_cos(F.col("_cq"), F.col("_qq"))))
+                .withColumn("cos_q", _icos(F.col("_cq"), F.col("_qq"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"),
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -481,8 +481,16 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
     tf = (base.select(id_col, F.explode("_toks").alias("term"))
               .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
     docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = base.select(
-        F.count("*").alias("n_docs"))  # 1-row agg, broadcast below
+    # n_docs counts the docs that survive the non-empty filter. Spark
+    # does not share the `base` subtree between the tf arm and this
+    # 1-row count, so expressing the count over `base` re-tokenized the
+    # whole corpus a second time (split + size per doc) just to count
+    # rows. `size(split(trim(t))) > 0  ⟺  length(trim(t)) > 0` (a
+    # non-empty trimmed string always yields ≥1 token), so count on the
+    # cheap length predicate instead — same rows, no second tokenize
+    # pass (guide §1.2: don't compute things you throw away).
+    n_docs = (df.where(F.length(F.trim(F.col(text_col))) > 0)
+                .select(F.count("*").alias("n_docs")))  # 1-row agg
     scored = (tf.join(docfreq, "term")
                 .crossJoin(F.broadcast(n_docs))
                 .withColumn(

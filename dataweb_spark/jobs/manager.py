@@ -204,6 +204,10 @@ class JobManager:
                     entity = source.entity
                     view.drop(PROVENANCE_RELAY, PROVENANCE_SOURCE) \
                         .createOrReplaceTempView(entity)
+                    # may shadow a canonical table name — invalidate the
+                    # register_views memo (see session.view_memo_*)
+                    from dataweb_spark.session import view_memo_invalidate
+                    view_memo_invalidate(self.spark)
                     df = self.spark.sql(job.sql)
             if job.cancel_requested:
                 # cancel landed during planning, before any Spark job

@@ -421,6 +421,10 @@ class QueryGateway:
                                                  rm, view)
                 view.drop(PROVENANCE_RELAY, PROVENANCE_SOURCE) \
                     .createOrReplaceTempView(entity_name)
+                # may shadow a canonical table name — force the next
+                # register_views to rebind the raw views
+                from dataweb_spark.session import view_memo_invalidate
+                view_memo_invalidate(self.spark)
                 results.append((relay_name, source.name,
                                 self.spark.sql(sql)))
 

@@ -538,6 +538,11 @@ def register_entity_views(spark: SparkSession, web: Web, relay_name: str,
             # would otherwise shuffle-join against a 100 TB fact entity.
             df = df.hint("broadcast")
         df.createOrReplaceTempView(entity_name)
+        # Entity names may shadow a canonical table view (the demo web's
+        # `lineitem` entity does) — invalidate the register_views memo
+        # so the next plain-table query re-registers the raw view.
+        from dataweb_spark.session import view_memo_invalidate
+        view_memo_invalidate(spark)
         registered.append(entity_name)
     return registered
 

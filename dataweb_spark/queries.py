@@ -21,7 +21,6 @@ Groups:
 from __future__ import annotations
 
 from collections.abc import Callable
-from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,9 +43,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-_REGISTERED_SF: "WeakKeyDictionary[SparkSession, str]" = WeakKeyDictionary()
-
-
 def register_views(spark: SparkSession, sf_dir: str,
                    force: bool = False) -> None:
     """Bind the 10 canonical table views for ``sf_dir`` on ``spark``.
@@ -56,16 +52,19 @@ def register_views(spark: SparkSession, sf_dir: str,
     work — 10 parquet-footer schema reads on the driver (~0.3s) charged
     to every timed query invocation. The memo skips only the EXACT same
     directory on the EXACT same session (a different sf_dir always
-    re-registers, keyed weakly so a new session never inherits state).
+    re-registers, keyed weakly so a new session never inherits state),
+    and the federation layer invalidates it whenever it rebinds an
+    entity view that may shadow a canonical name (session.py memo API).
     Execution is untouched: views are name→plan bindings; each query run
     still scans the parquet inputs. On a production cluster this is the
     metastore catalog — table schemas are not re-inferred per query.
     """
-    if not force and _REGISTERED_SF.get(spark) == sf_dir:
+    from dataweb_spark import session as _session
+    if not force and _session.view_memo_get(spark) == sf_dir:
         return
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    _REGISTERED_SF[spark] = sf_dir
+    _session.view_memo_set(spark, sf_dir)
 
 
 def _sql(sql_text: str) -> Callable[[SparkSession, str], DataFrame]:

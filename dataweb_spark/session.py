@@ -15,10 +15,31 @@ code is correct and fast on a large cluster:
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+# Memo for queries.register_views: session → last-registered sf_dir.
+# Lives here (dependency-free) so the federation layer can invalidate it
+# when it rebinds an entity view over one of the canonical table names
+# (e.g. the `lineitem` entity view clobbers the raw `lineitem` view).
+_VIEW_MEMO: "WeakKeyDictionary[SparkSession, str]" = WeakKeyDictionary()
+
+
+def view_memo_get(spark: SparkSession) -> str | None:
+    return _VIEW_MEMO.get(spark)
+
+
+def view_memo_set(spark: SparkSession, sf_dir: str) -> None:
+    _VIEW_MEMO[spark] = sf_dir
+
+
+def view_memo_invalidate(spark: SparkSession) -> None:
+    """Call after registering any temp view that may shadow a canonical
+    table name — the next register_views() then re-registers."""
+    _VIEW_MEMO.pop(spark, None)
 
 
 def get_spark(app_name: str = "dataweb_spark", master: str | None = None,
