@@ -4946,7 +4946,11 @@ def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = E.read_event_stream(spark, sf_dir).union(
         E.read_event_stream(spark, sf_dir))
     cp = tempfile.mkdtemp(prefix="dw_cp_dedup_")
-    out = E.run_available_now(E.stream_dedup(doubled), cp)
+    # dropDuplicatesWithinWatermark emits every row in the data batch it
+    # arrives in — the no-data finalize batch only evicts state, so a
+    # finite drain skips it (~40% of the drain; run_available_now doc).
+    out = E.run_available_now(E.stream_dedup(doubled), cp,
+                              no_data_batch=False)
     return (out.groupBy("event_type")
                .agg(F.count("*").alias("n"),
                     F.count_distinct("event_id").alias("n_distinct"))
@@ -4988,7 +4992,9 @@ def _streaming_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (spark.readStream.schema(schema).format("parquet")
               .load(media_dir))
     sigs = M.video_signature(stream).dropDuplicates(["signature"])
-    out = run_available_now(sigs, f"{work}/cp")
+    # dropDuplicates emits on arrival; skip the state-eviction-only
+    # no-data batch (see run_available_now doc)
+    out = run_available_now(sigs, f"{work}/cp", no_data_batch=False)
     return (out.groupBy((F.col("media_id") % 16).alias("clip"))
                .agg(F.count("*").alias("n"))
                .orderBy("clip"))

@@ -220,7 +220,8 @@ def stream_dedup(events: DataFrame, keys: list[str] | None = None,
 
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
                       output_mode: str = "append",
-                      timeout_s: float = 300.0) -> DataFrame:
+                      timeout_s: float = 300.0,
+                      no_data_batch: bool = True) -> DataFrame:
     """Drain the stream with availableNow into a memory sink and return the
     resulting table — batch-equivalent catch-up semantics.
 
@@ -240,36 +241,64 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
     Update mode emits in the data batch itself (no finalizing-batch
     dependency) and the memory sink keeps full update history, so it stays
     on the single-drain memory path.
+
+    ``no_data_batch=False`` disables Spark's no-data micro-batch for this
+    drain (restored after). Use ONLY for operators that emit every output
+    row in the data batch itself — ``dropDuplicates`` /
+    ``dropDuplicatesWithinWatermark`` pass rows through on arrival; the
+    no-data batch only evicts state, which a finite availableNow drain
+    into a throwaway checkpoint never reads again. It costs a full extra
+    micro-batch (state-store scan over every partition + an empty sink
+    commit — measured ~40% of a small drain). Windowed APPEND aggregates
+    MUST keep it: their windows flush in the no-data batch.
     """
     spark = stream_df.sparkSession
 
+    from contextlib import contextmanager
+
+    _NDB = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+    @contextmanager
+    def _ndb_conf():
+        if no_data_batch:
+            yield
+            return
+        prev = spark.conf.get(_NDB, "true")
+        spark.conf.set(_NDB, "false")
+        try:
+            yield
+        finally:
+            spark.conf.set(_NDB, prev)
+
     if output_mode != "append":
         name = f"dw_stream_{uuid.uuid4().hex[:10]}"
-        q = (stream_df.writeStream
-             .format("memory").queryName(name)
-             .outputMode(output_mode)
-             .option("checkpointLocation", checkpoint_dir)
-             .trigger(availableNow=True)
-             .start())
-        if not q.awaitTermination(timeout_s):
-            q.stop()
-            q.awaitTermination(30.0)
+        with _ndb_conf():
+            q = (stream_df.writeStream
+                 .format("memory").queryName(name)
+                 .outputMode(output_mode)
+                 .option("checkpointLocation", checkpoint_dir)
+                 .trigger(availableNow=True)
+                 .start())
+            if not q.awaitTermination(timeout_s):
+                q.stop()
+                q.awaitTermination(30.0)
         return spark.table(name)
 
     cp = os.path.join(checkpoint_dir, "cp")
     out_dir = os.path.join(checkpoint_dir, "out")
 
     def drain() -> None:
-        q = (stream_df.writeStream
-             .format("parquet")
-             .option("path", out_dir)
-             .option("checkpointLocation", cp)
-             .outputMode("append")
-             .trigger(availableNow=True)
-             .start())
-        if not q.awaitTermination(timeout_s):
-            q.stop()
-            q.awaitTermination(30.0)
+        with _ndb_conf():
+            q = (stream_df.writeStream
+                 .format("parquet")
+                 .option("path", out_dir)
+                 .option("checkpointLocation", cp)
+                 .outputMode("append")
+                 .trigger(availableNow=True)
+                 .start())
+            if not q.awaitTermination(timeout_s):
+                q.stop()
+                q.awaitTermination(30.0)
 
     drain()
     result = spark.read.schema(stream_df.schema).parquet(out_dir)
