@@ -49,13 +49,23 @@ def get_spark(app_name: str = "dataweb_spark", master: str | None = None,
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default ``*``)
     so the driver's bench harness controls parallelism.
     """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+    # Scale-adaptive partition floors (guide §2.2/§6): default both the
+    # shuffle-partition count and the scan-split floor to the declared
+    # core count instead of a constant — the harness also runs at lower
+    # core counts, where 32 fixed floors mean waves of tiny tasks. On a
+    # cluster, set SPARK_GRAFT_SHUFFLE_PARTITIONS / _MIN_PARTITIONS
+    # explicitly (hundreds–thousands, sized to ~100MB-1GB per shuffle
+    # partition); AQE coalescing remains the runtime control either way.
+    core_floor = cpus if cpus.isdigit() else DEFAULT_SHUFFLE_PARTITIONS
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+                                   core_floor)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -66,7 +76,7 @@ def get_spark(app_name: str = "dataweb_spark", master: str | None = None,
         # serialize the whole pipeline; force file splits up to the core
         # count. On a real cluster with many files this is a no-op.
         .config("spark.sql.files.minPartitionNum",
-                os.environ.get("SPARK_GRAFT_MIN_PARTITIONS", "32"))
+                os.environ.get("SPARK_GRAFT_MIN_PARTITIONS", core_floor))
         # ... and drop the 4 MiB open-cost floor so a ~1 MiB file can still
         # split into minPartitionNum pieces (harmless at scale: the split
         # size formula is min(maxPartitionBytes, max(openCost, bytes/core))).
