@@ -198,7 +198,10 @@ def classify_against_index(spark: SparkSession, new_batch: DataFrame,
             .agg(F.min("id_b").alias("match_id"))
             .withColumn("verdict", F.lit("near")))
 
-    classified = exact.unionByName(near)
+    # classified is ≤ one narrow row per batch doc by construction, but
+    # the estimator can't see that through the union of aggregates and
+    # planned this as a SortMergeJoin — broadcast it (guide §3.1).
+    classified = F.broadcast(exact.unionByName(near))
     return (new_batch.select(F.col(id_col).alias("_nid"))
             .join(classified, "_nid", "left")
             .select(F.col("_nid").alias(id_col),

@@ -3094,8 +3094,12 @@ def _knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.col("neighbor_id") == F.col("query_id") + 30000)
                    .alias("lsh_copy_is_top"),
                    (F.col("cos") >= 0.999999).alias("lsh_cos_is_one")))
-    return (brute.join(quant, ["query_id", "rank"])
-                 .join(lsh, "query_id")
+    # The three arms are ≤ k·|queries| rows each by construction (top-k
+    # windows), but Spark's estimator can't see that through the window
+    # operators and planned these as SortMergeJoins (2 extra exchanges +
+    # sorts). Broadcast the bounded sides explicitly (guide §3.1).
+    return (brute.join(F.broadcast(quant), ["query_id", "rank"])
+                 .join(F.broadcast(lsh), "query_id")
                  .select("query_id", "rank", "neighbor_id", "cos",
                          "q_neighbor_id", "cos_q",
                          "lsh_copy_is_top", "lsh_cos_is_one")
