@@ -90,11 +90,11 @@ def log_ratio_model(raw: DataFrame, target: DataFrame,
     corpus; raw-gram buckets are all present by construction (the raw
     model is built from the same rows), so an inner scoring join loses
     nothing."""
+    from pyspark.sql import Window
+
     n_buckets = 16 ** hex_chars
     tmod = bucket_model(target, id_col, text_col, hex_chars)
     rmod = bucket_model(raw, id_col, text_col, hex_chars)
-    t_tot = tmod.agg(F.sum("cnt").alias("t_tot"))
-    r_tot = rmod.agg(F.sum("cnt").alias("r_tot"))
     # align the two bounded count tables by union + re-agg, not a
     # full-outer join (full outer can't broadcast, so Spark would
     # sort-merge two 4096-row tables — harmless but a pointless SMJ in
@@ -106,9 +106,17 @@ def log_ratio_model(raw: DataFrame, target: DataFrame,
                                      F.col("cnt").alias("t")))
             .groupBy("bucket").agg(F.sum("r").alias("r_cnt"),
                                    F.sum("t").alias("t_cnt")))
+    # model totals: every gram lands in a bucket, so t_tot/r_tot are
+    # plain sums OVER the bounded bucket table — computed as whole-table
+    # window sums on its ≤ 16^hex_chars rows (one tiny single-partition
+    # exchange) instead of two separate `.agg()` subtrees, which each
+    # RE-TOKENIZED the whole corpus (Spark does not share subtrees) and
+    # cost two extra broadcast jobs. r15 optimization, guide §1.2/§2.4:
+    # corpus tokenize passes 5 → 3 (raw: model + scoring, target: model).
+    w = Window.partitionBy()
     return (both
-            .crossJoin(F.broadcast(t_tot))
-            .crossJoin(F.broadcast(r_tot))
+            .withColumn("t_tot", F.sum("t_cnt").over(w))
+            .withColumn("r_tot", F.sum("r_cnt").over(w))
             .select(
                 "bucket",
                 F.round((F.log((F.col("t_cnt") + F.lit(1.0))
