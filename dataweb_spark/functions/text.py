@@ -549,8 +549,18 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
               .agg(F.count("*").cast("bigint").alias("tf")))
     dl = tf.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
-    stats = dl.agg(F.count("*").cast("bigint").alias("n_docs"),
-                   F.sum("dl").cast("bigint").alias("t_tokens"))
+    # corpus stats (N docs, T tokens): the same values as aggregating
+    # the dl table, but computed from a direct shuffle-free scan —
+    # count + sum(size(tokens)) partial-aggregate per input split with
+    # no explode and no exchange. Expressed over `dl` this 1-row agg
+    # re-ran the whole explode → (doc, term) → (doc) shuffle chain per
+    # occurrence, and it is crossJoined TWICE below (qidf + scored), so
+    # the corpus paid two extra tokenize+2-shuffle passes (Spark does
+    # not share subtrees). r15, guide §1.2/§2.3.
+    stats = (docs.select(F.size(tokens(text_col)).alias("_dw_sz"))
+             .where(F.col("_dw_sz") > 0)
+             .agg(F.count("*").cast("bigint").alias("n_docs"),
+                  F.sum("_dw_sz").cast("bigint").alias("t_tokens")))
     qterms = (queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(tokens(query_text_col))).alias("term")))
@@ -607,14 +617,22 @@ def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     is Zipf-bounded (vocab ≪ corpus) so the score join broadcasts when it
     fits and AQE handles the 'the'/'and' hot keys otherwise; no driver
     materialization anywhere."""
+    from pyspark.sql import Window
     base = (df.select(F.col(id_col), tokens(text_col).alias("_toks"))
               .where(F.size("_toks") > 0))
     toks = base.select(id_col, F.explode("_toks").alias("tok"))
     model = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    totals = model.agg(F.sum("cnt").alias("t_tokens"),
-                       F.count("*").alias("v_size"))
-    scored = (toks.join(model, "tok")
-                  .crossJoin(F.broadcast(totals))
+    # model totals: every corpus token lands in exactly one vocab row,
+    # so T and V are plain sums OVER the Zipf-bounded model table —
+    # whole-table window sums (one single-partition pass over the vocab
+    # rows, which the score join already assumes is broadcast-small)
+    # instead of a separate `.agg()` subtree, which RE-TOKENIZED the
+    # whole corpus a third time (Spark does not share subtrees). r15
+    # optimization, guide §1.2: corpus tokenize passes 3 → 2.
+    wall = Window.partitionBy()
+    modelfx = (model.withColumn("t_tokens", F.sum("cnt").over(wall))
+                    .withColumn("v_size", F.count("*").over(wall)))
+    scored = (toks.join(modelfx, "tok")
                   .withColumn("logp", F.log((F.col("cnt") + F.lit(alpha))
                                             / (F.col("t_tokens")
                                                + F.lit(alpha)
@@ -875,9 +893,16 @@ def ccnet_buckets(df: DataFrame, id_col: str = "doc_id",
               .where(F.size("_toks") > 0))
     toks = base.select(id_col, F.explode("_toks").alias("tok"))
     model = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    totals = model.agg(F.sum("cnt").alias("t_tokens"),
-                       F.count("*").alias("v_size"))
-    modelfx = (model.crossJoin(F.broadcast(totals))
+    # totals as whole-table window sums over the Zipf-bounded model
+    # table (see unigram_lm_scores) — the separate `.agg()` subtree
+    # re-ran everything upstream of `toks` to produce two numbers; in
+    # the crawl→corpus pipeline that upstream includes the WARC parse,
+    # HTML extraction and C4 cleaning. r15, guide §1.2: upstream
+    # passes 3 → 2.
+    wall = Window.partitionBy()
+    modelfx = (model
+               .withColumn("t_tokens", F.sum("cnt").over(wall))
+               .withColumn("v_size", F.count("*").over(wall))
                .select("tok",
                        F.round(F.log((F.col("cnt") + F.lit(1.0))
                                      / (F.col("t_tokens")
