@@ -267,14 +267,24 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
              .where(F.col("a") != F.col("b")).distinct().localCheckpoint()
-    labels = (sym.select(F.col("a").alias("node")).distinct()
-                 .withColumn("label", F.col("node")).localCheckpoint())
+    # r15 (guide §1.2): seed labels with one propagation step folded
+    # into the init aggregate — label₀ = min(node, min(neighbors)) —
+    # instead of the identity labeling. Identical to the state after one
+    # nbr round, so the loop below starts one round ahead: the shallow
+    # star/triangle clusters dedup produces converge a full round (≈5
+    # jobs) earlier; deep chains lose nothing (same fixpoint, the
+    # round-count bound is unchanged).
+    labels = (sym.groupBy("a")
+                 .agg(F.min("b").alias("_mb"))
+                 .select(F.col("a").alias("node"),
+                         F.least(F.col("a"), F.col("_mb")).alias("label"))
+                 .localCheckpoint())
     for _ in range(max_iter):
         nbr = (sym.join(labels, sym["b"] == labels["node"])
                   .groupBy(sym["a"].alias("node"))
                   .agg(F.min("label").alias("nbr_label")))
         stepped = (labels.join(nbr, "node", "left")
-                   .select("node",
+                   .select("node", F.col("label").alias("_old"),
                            F.least(F.col("label"),
                                    F.coalesce("nbr_label", F.col("label")))
                             .alias("label")))
@@ -282,12 +292,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         l2 = stepped.select(F.col("node").alias("pnode"),
                             F.col("label").alias("plabel"))
         jumped = (stepped.join(l2, stepped["label"] == l2["pnode"], "left")
-                  .select("node",
+                  .select("node", "_old",
                           F.coalesce("plabel", "label").alias("label"))
                   .localCheckpoint())
-        changed = (jumped.alias("n").join(labels.alias("o"), "node")
-                   .where(F.col("n.label") != F.col("o.label")).count())
-        labels = jumped
+        # r15: change detection reads the just-checkpointed frame (the
+        # previous label rides along as _old) — one cheap scan instead
+        # of a join of the new labels against the old frame per round.
+        changed = jumped.where(F.col("label") != F.col("_old")).count()
+        labels = jumped.drop("_old")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
