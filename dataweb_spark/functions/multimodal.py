@@ -56,6 +56,20 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
+def _synth_range(spark, n: int):
+    """``spark.range(n)`` sized to the work: ``min(n, defaultParallelism)``
+    partitions. A bare ``range(n)`` always splits into defaultParallelism
+    partitions, so a small synthesis (n ≪ cores) scheduled mostly EMPTY
+    tasks — and every task of the ``mapInPandas`` synthesizers pays a
+    Python-worker round-trip whether or not it holds a row (the
+    mixed-corpus catalog unions 8 such legs: ~9×32 tasks for 65 blobs).
+    For n ≥ cores this is byte-identical to ``spark.range(n)``; the rows
+    themselves never change (r15, guide §2.2 — fewer, non-empty tasks)."""
+    return spark.range(
+        n, numPartitions=max(1, min(int(n),
+                                    spark.sparkContext.defaultParallelism)))
+
+
 def synthesize_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
     """Deterministic fake media table (content = seeded pseudo-bytes).
 
@@ -1992,7 +2006,7 @@ def synthesize_wav_media(spark, n: int = 64,
                                columns=["media_id", "kind", "content",
                                         "meta"])
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _synth_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 AUDIO_FEATURE_SCHEMA = StructType([
@@ -2056,7 +2070,7 @@ def synthesize_sine_media(spark, n: int = 64, sample_rate: int = 8000,
                                columns=["media_id", "kind", "content",
                                         "meta"])
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _synth_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def resample_audio(media: DataFrame, factor: int = 4) -> DataFrame:
@@ -2128,7 +2142,7 @@ def synthesize_flac_media(spark, n: int = 48,
                                columns=["media_id", "kind", "content",
                                         "meta"])
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _synth_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 SPECTRUM_SCHEMA = StructType([
@@ -2192,7 +2206,7 @@ def synthesize_bmp_media(spark, n: int = 64) -> DataFrame:
                                columns=["media_id", "kind", "content",
                                         "meta"])
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _synth_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthesize_png_media(spark, n: int = 64) -> DataFrame:
@@ -2221,7 +2235,7 @@ def synthesize_png_media(spark, n: int = 64) -> DataFrame:
                                columns=["media_id", "kind", "content",
                                         "meta"])
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _synth_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthesize_jpeg_media(spark, n: int = 64) -> DataFrame:
@@ -2256,7 +2270,7 @@ def synthesize_jpeg_media(spark, n: int = 64) -> DataFrame:
                                columns=["media_id", "kind", "content",
                                         "meta"])
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _synth_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 IMAGE_FEATURE_SCHEMA = StructType([
@@ -2448,7 +2462,7 @@ def synthesize_avi_media(spark, n: int = 32, fps: int = 10,
                                columns=["media_id", "kind", "content",
                                         "meta"])
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _synth_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 FRAME_SCHEMA = StructType([
@@ -2495,7 +2509,7 @@ def synthesize_mjpeg_media(spark, n: int = 48, fps: int = 10) -> DataFrame:
                                columns=["media_id", "kind", "content",
                                         "meta"])
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _synth_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthesize_mp4_media(spark, n: int = 40, fps: int = 12) -> DataFrame:
@@ -2533,7 +2547,7 @@ def synthesize_mp4_media(spark, n: int = 40, fps: int = 12) -> DataFrame:
                                columns=["media_id", "kind", "content",
                                         "meta"])
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _synth_range(spark, n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 @_classify_parse_errors
@@ -2767,7 +2781,7 @@ def synthesize_cross_container_media(spark, n: int = 16,
                                columns=["media_id", "kind", "content",
                                         "meta"])
 
-    return spark.range(2 * n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _synth_range(spark, 2 * n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every: int = 1) -> DataFrame:
@@ -2941,7 +2955,7 @@ def synthesize_bmp_near_dups(spark, n: int = 64, n_dups: int = 16) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind",
                                               "content", "meta"])
 
-    return spark.range(n + n_dups).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _synth_range(spark, n + n_dups).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def _ahash64_exact(px) -> int:
@@ -3122,7 +3136,7 @@ def synthesize_tone_sequence_media(spark, n: int = 24, n_dups: int = 8,
             yield pd.DataFrame(rows, columns=["media_id", "kind",
                                               "content", "meta"])
 
-    return spark.range(n + n_dups).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _synth_range(spark, n + n_dups).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def audio_signature(media: DataFrame, seg_samples: int = 512) -> DataFrame:
