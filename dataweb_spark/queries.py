@@ -5852,7 +5852,7 @@ def _media_index_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind",
                                               "content", "meta"])
 
-    corpus = spark.range(24).mapInPandas(corpus_gen, schema=M.MEDIA_SCHEMA)
+    corpus = M._synth_range(spark, 24).mapInPandas(corpus_gen, schema=M.MEDIA_SCHEMA)
     idx = tempfile.mkdtemp(prefix="dw_media_idx_")
     MI.build_media_index(corpus, idx)
 
@@ -5877,7 +5877,7 @@ def _media_index_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind",
                                               "content", "meta"])
 
-    batch = spark.range(24).mapInPandas(batch_gen, schema=M.MEDIA_SCHEMA)
+    batch = M._synth_range(spark, 24).mapInPandas(batch_gen, schema=M.MEDIA_SCHEMA)
     return (MI.classify_media_batch(spark, batch, idx)
             .select("media_id", "verdict", "match_id")
             .orderBy("media_id"))
@@ -6963,7 +6963,7 @@ def _media_index_video_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind",
                                               "content", "meta"])
 
-    corpus = spark.range(8).mapInPandas(corpus_gen, schema=M.MEDIA_SCHEMA)
+    corpus = M._synth_range(spark, 8).mapInPandas(corpus_gen, schema=M.MEDIA_SCHEMA)
     idx = tempfile.mkdtemp(prefix="dw_media_vnear_")
     MI.build_media_index(corpus, idx)
 
@@ -6994,7 +6994,7 @@ def _media_index_video_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind",
                                               "content", "meta"])
 
-    batch = spark.range(18).mapInPandas(batch_gen, schema=M.MEDIA_SCHEMA)
+    batch = M._synth_range(spark, 18).mapInPandas(batch_gen, schema=M.MEDIA_SCHEMA)
     return (MI.classify_media_batch(spark, batch, idx)
             .select("media_id", "verdict", "match_id")
             .orderBy("media_id"))
@@ -7920,7 +7920,7 @@ def _media_index_audio_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind",
                                               "content", "meta"])
 
-    corpus = spark.range(6).mapInPandas(corpus_gen, schema=M.MEDIA_SCHEMA)
+    corpus = M._synth_range(spark, 6).mapInPandas(corpus_gen, schema=M.MEDIA_SCHEMA)
     idx = tempfile.mkdtemp(prefix="dw_media_anear_")
     MI.build_media_index(corpus, idx)
 
@@ -7950,7 +7950,7 @@ def _media_index_audio_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind",
                                               "content", "meta"])
 
-    batch = spark.range(14).mapInPandas(batch_gen, schema=M.MEDIA_SCHEMA)
+    batch = M._synth_range(spark, 14).mapInPandas(batch_gen, schema=M.MEDIA_SCHEMA)
     return (MI.classify_media_batch(spark, batch, idx)
             .select("media_id", "verdict", "match_id")
             .orderBy("media_id"))
@@ -8042,7 +8042,7 @@ def _media_index_rate_normalized(spark: SparkSession,
             yield pd.DataFrame(rows, columns=["media_id", "kind",
                                               "content", "meta"])
 
-    corpus = spark.range(7).mapInPandas(corpus_gen, schema=M.MEDIA_SCHEMA)
+    corpus = M._synth_range(spark, 7).mapInPandas(corpus_gen, schema=M.MEDIA_SCHEMA)
     idx = tempfile.mkdtemp(prefix="dw_media_rate_")
     MI.build_media_index(corpus, idx)
 
@@ -8082,7 +8082,7 @@ def _media_index_rate_normalized(spark: SparkSession,
             yield pd.DataFrame(rows, columns=["media_id", "kind",
                                               "content", "meta"])
 
-    batch = spark.range(8).mapInPandas(batch_gen, schema=M.MEDIA_SCHEMA)
+    batch = M._synth_range(spark, 8).mapInPandas(batch_gen, schema=M.MEDIA_SCHEMA)
     return (MI.classify_media_batch(spark, batch, idx)
             .select("media_id", "verdict", "match_id")
             .orderBy("media_id"))
