@@ -784,7 +784,8 @@ def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
         n_admitted = admitted.count()
         n_counted = counts.agg(
             F.coalesce(F.sum("used"), F.lit(0))).first()[0]
-        if n_counted != n_admitted:
+        rebuilt = n_counted != n_admitted
+        if rebuilt:
             counts = admitted.groupBy("domain").agg(
                 F.count("*").cast("bigint").alias("used"))
         keep = _admit_batch(cand, admitted, counts, max_per_domain,
@@ -793,7 +794,6 @@ def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
         staging = os.path.join(checkpoint, "_gate_staging")
         keep.write.mode("overwrite").parquet(staging)
         staged = spark_b.read.parquet(staging)
-        staged.write.mode("append").parquet(f"{state_path}/admitted")
         # incremental counts: old counts ∪ staged deltas, re-aggregated
         # — staged to a second dir first (the overwrite would otherwise
         # invalidate the very plan reading the old counts)
@@ -802,7 +802,23 @@ def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
                 F.count("*").cast("bigint").alias("used")))
             .groupBy("domain").agg(F.sum("used").alias("used")))
         cstaging = os.path.join(checkpoint, "_counts_staging")
-        new_counts.write.mode("overwrite").parquet(cstaging)
+        # the admitted append and the counts staging write are
+        # independent once `staged` is durable (both read ONLY staged +
+        # the old counts table), so overlap them — the per-batch cost is
+        # fixed job overhead, not data (r15; guide §2.6, the same
+        # pattern as dedup_index.append_batch). EXCEPT on the recovery
+        # path: a rebuilt `counts` plan reads the admitted table the
+        # append mutates, so that rare batch stays sequential.
+        from dataweb_spark.functions.dedup_index import _concurrent_writes
+        admit_write = lambda: (staged.write.mode("append")
+                               .parquet(f"{state_path}/admitted"))
+        cstage_write = lambda: (new_counts.write.mode("overwrite")
+                                .parquet(cstaging))
+        if rebuilt:
+            cstage_write()
+            admit_write()
+        else:
+            _concurrent_writes(admit_write, cstage_write)
         (spark_b.read.parquet(cstaging)
          .write.mode("overwrite").parquet(f"{state_path}/counts"))
 
