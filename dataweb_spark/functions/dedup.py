@@ -183,6 +183,15 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str = "text",
     """
     banded = minhash_band_hashes(df, id_col, text_col, num_perm, bands,
                                  shingle_n, seed, shingle)
+    # r15 (guide §4/§5): the self-join references this frame TWICE and
+    # exchange reuse does not fire across the two sides, so without a
+    # cache the MinHash Arrow kernel re-shingled and re-hashed the whole
+    # corpus once per side. Persist the narrow (id, band, hash) proxy —
+    # O(rows·bands) smallints, a tiny fraction of the text it replaces;
+    # MEMORY_AND_DISK spills gracefully and the ContextCleaner drops the
+    # blocks when the frame is GC'd. The join itself stays a plain
+    # (band, hash)-keyed self-join, so AQE skew handling is unchanged.
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, [F.col("a.band") == F.col("b.band"),
@@ -461,6 +470,10 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         F.posexplode(hyperplane_signatures(vec_col, planes, bands, seed,
                                            dim))
          .alias("band", "sig"))
+    # persist the narrow signature proxy: the self-join evaluates the
+    # hyperplane Arrow kernel once per side otherwise (no exchange
+    # reuse) — see minhash_lsh_candidates (r15, guide §4/§5).
+    sig = sig.persist()
     a, b = sig.alias("a"), sig.alias("b")
     cands = (a.join(b, [F.col("a.band") == F.col("b.band"),
                         F.col("a.sig") == F.col("b.sig"),
