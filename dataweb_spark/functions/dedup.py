@@ -435,6 +435,10 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
                  F.shiftright("_sh", b * band_bits)
                   .bitwiseAND(F.lit(mask)).alias("bh"))
         for b in range(nbands)])).alias("e")).select("_id", "_sh", "e.band", "e.bh")
+    # persist the narrow signature proxy across the self-join — the
+    # simhash kernel otherwise runs once per side (see
+    # minhash_lsh_candidates; r15, guide §4/§5).
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, [F.col("a.band") == F.col("b.band"),
                        F.col("a.bh") == F.col("b.bh"),
