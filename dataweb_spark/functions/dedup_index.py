@@ -95,8 +95,13 @@ def build_dedup_index(corpus: DataFrame, path: str,
               "shingle_n": shingle_n, "seed": seed,
               "id_col": id_col, "text_col": text_col}
     fp, band_rows = _index_rows(corpus, id_col, text_col, params)
-    fp.write.mode("overwrite").parquet(os.path.join(path, "fp"))
-    band_rows.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+    # independent outputs from the same logical scan: overlap the two
+    # map-only write jobs exactly as append_batch does (r15, guide §2.6)
+    _concurrent_writes(
+        lambda: fp.write.mode("overwrite")
+                  .parquet(os.path.join(path, "fp")),
+        lambda: band_rows.write.mode("overwrite")
+                         .parquet(os.path.join(path, "bands")))
     _fs_write_text(corpus.sparkSession, os.path.join(path, _META),
                    json.dumps(params))
     return params

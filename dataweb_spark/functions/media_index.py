@@ -235,10 +235,15 @@ def build_media_index(media: DataFrame, path: str,
                             canon_audio_window)
     sigs.write.mode("overwrite").parquet(f"{path}/sigs")
     persisted = spark.read.parquet(f"{path}/sigs")
-    (persisted.where(F.col("sig64").isNotNull())
-     .select("id", "sig64")
-     .write.mode("overwrite").parquet(f"{path}/ahash"))
-    _vhash_rows(persisted).write.mode("overwrite").parquet(f"{path}/vhash")
+    # the two derived tables read the already-persisted sigs and write
+    # to independent paths — overlap the jobs (r15, guide §2.6)
+    from dataweb_spark.functions.dedup_index import _concurrent_writes
+    _concurrent_writes(
+        lambda: (persisted.where(F.col("sig64").isNotNull())
+                 .select("id", "sig64")
+                 .write.mode("overwrite").parquet(f"{path}/ahash")),
+        lambda: (_vhash_rows(persisted)
+                 .write.mode("overwrite").parquet(f"{path}/vhash")))
     _fs_write_text(spark, f"{path}/{_META}", json.dumps(
         {"bands": bands, "max_hamming": max_hamming,
          "video_near_num": _VIDEO_NEAR_NUM,
@@ -479,7 +484,14 @@ def append_media_batch(admitted: DataFrame | None, path: str,
         sigs = sig_df
     else:
         sigs = media_signatures(admitted, id_col).localCheckpoint(eager=True)
-    sigs.write.mode("append").parquet(f"{path}/sigs")
-    (sigs.where(F.col("sig64").isNotNull()).select("id", "sig64")
-     .write.mode("append").parquet(f"{path}/ahash"))
-    _vhash_rows(sigs).write.mode("append").parquet(f"{path}/vhash")
+    # three independent appends over the materialized signature rows
+    # (the localCheckpoint above / the caller's contract for sig_df) —
+    # overlapped; per-batch cost is job overhead, not data (r15, §2.6)
+    from dataweb_spark.functions.dedup_index import _concurrent_writes
+    _concurrent_writes(
+        lambda: sigs.write.mode("append").parquet(f"{path}/sigs"),
+        lambda: (sigs.where(F.col("sig64").isNotNull())
+                 .select("id", "sig64")
+                 .write.mode("append").parquet(f"{path}/ahash")),
+        lambda: _vhash_rows(sigs).write.mode("append")
+                                 .parquet(f"{path}/vhash"))
