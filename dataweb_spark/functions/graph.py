@@ -116,7 +116,20 @@ def _pagerank_iterations(edges: DataFrame, nodes: DataFrame,
                          checkpoint_every: int) -> DataFrame:
     """The shared iteration loop: cold and warm starts differ only in
     the initial vector."""
-    out_deg = edges.groupBy(src).agg(F.count("*").alias("out_deg"))
+    # r15 (guide §2.1/§5): the unrolled k-deep plan re-derives every
+    # loop invariant per reference (zero ReusedExchange fires across
+    # iterations), so each iteration's join with out_deg re-ran the
+    # groupBy — a full O(edges) shuffle per iteration. Persist the
+    # bounded (≤ |nodes| rows) degree table so that shuffle happens
+    # once per loop; MEMORY_AND_DISK spill, ContextCleaner frees the
+    # blocks with the frame. The edge projection itself is deliberately
+    # NOT persisted: its re-reads are shuffle-free columnar scans, and
+    # an A/B (guide §1) measured the edges+nodes persist ~0.5s SLOWER
+    # at bench scale (cache materialization cost > tiny re-scan cost).
+    # Scores lineage is unchanged (checkpoint_every still truncates).
+    edges = edges.select(F.col(src), F.col(dst))
+    out_deg = (edges.groupBy(src).agg(F.count("*").alias("out_deg"))
+               .persist())
     base = init * (damp_den - damp_num) // damp_den
     for i in range(k):
         contrib = (edges
