@@ -51,6 +51,16 @@ PROVENANCE_RELAY = "_source_relay_"
 PROVENANCE_SOURCE = "_source_id_"
 
 
+def _bq(name: str) -> str:
+    """Backquote an identifier for Spark SQL (`` escapes a literal `)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_str(v: str) -> str:
+    """Render a Python string as a Spark SQL string literal."""
+    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _apply_permission(df: DataFrame, perm: SourcePermission,
                       allowed_paths: frozenset[str]) -> DataFrame:
     """``SELECT <allowed columns> FROM (src) WHERE <allowed_rows>`` —
@@ -124,10 +134,15 @@ def map_source_frame(df: DataFrame, relay: RelayCatalog, source: DataSource,
         allowed = None  # unguarded source: everything allowed
 
     available = set(df.columns)
-    select_list = []
+    # The whole mapping is rendered as ONE selectExpr: building per-info
+    # Column objects (expr/cast/alias) costs 3 py4j round-trips each, ~40
+    # per source view, re-paid on every federated call/round; a single
+    # selectExpr ships all expression strings in one JVM call and parses
+    # them engine-side with the same SQL parser F.expr used.
+    select_list: list[tuple[str, str]] = []
     for info in entity.informations:
         m = source.mapping_for(info.name)
-        col = None
+        expr_sql = None
         if m is not None and (projected is None or info.name in projected):
             path = source.field_path(m.field)
             root = path.split(".")[0]
@@ -137,13 +152,18 @@ def map_source_frame(df: DataFrame, relay: RelayCatalog, source: DataSource,
             if (allowed is None or path in allowed) and (
                     path in available or root in available
                     or path not in source.physical_columns()):
-                col = F.expr(m.transformation.apply(path))
-        if col is None:
-            col = F.lit(None)
-        select_list.append(col.cast(info.data_type).alias(info.name))
-    out = df.select(*select_list)
-    return out.withColumn(PROVENANCE_RELAY, F.lit(relay.name)) \
-              .withColumn(PROVENANCE_SOURCE, F.lit(source.name))
+                expr_sql = m.transformation.apply(path)
+        if expr_sql is None:
+            expr_sql = "NULL"
+        select_list.append(
+            (info.name,
+             f"CAST(({expr_sql}) AS {info.data_type}) AS {_bq(info.name)}"))
+    prov = ((PROVENANCE_RELAY, _sql_str(relay.name)),
+            (PROVENANCE_SOURCE, _sql_str(source.name)))
+    prov_names = {p for p, _ in prov}
+    exprs = [sql for name, sql in select_list if name not in prov_names]
+    exprs += [f"{lit} AS {_bq(p)}" for p, lit in prov]
+    return df.selectExpr(*exprs)
 
 
 def _apply_remote_mapping(spark: SparkSession, relay: RelayCatalog,
@@ -159,23 +179,26 @@ def _apply_remote_mapping(spark: SparkSession, relay: RelayCatalog,
         df = spark.sql(rm.sql_template.replace("{entity}", view))
 
     available = set(df.columns)
+    # Single selectExpr for the same py4j-round-trip reason as
+    # map_source_frame above.
     select_list = []
     for info in entity.informations:
         m = rm.mapping_for(info.name)
         if m is not None and m.remote_info in available:
-            col = F.expr(m.transformation.apply(m.remote_info))
+            expr_sql = m.transformation.apply(m.remote_info)
         elif info.name in available:
-            col = F.col(info.name)
+            expr_sql = _bq(info.name)
         else:
-            col = F.lit(None)
-        select_list.append(col.cast(info.data_type).alias(info.name))
+            expr_sql = "NULL"
+        select_list.append(
+            f"CAST(({expr_sql}) AS {info.data_type}) AS {_bq(info.name)}")
     # Provenance flows through from the peer untouched.
     for p in (PROVENANCE_RELAY, PROVENANCE_SOURCE):
         if p in available:
-            select_list.append(F.col(p))
+            select_list.append(_bq(p))
         else:
-            select_list.append(F.lit(None).cast("string").alias(p))
-    return df.select(*select_list)
+            select_list.append(f"CAST(NULL AS string) AS {_bq(p)}")
+    return df.selectExpr(*select_list)
 
 
 def _template_trivial(rm: RemoteEntityMapping) -> bool:

@@ -27,12 +27,48 @@ from __future__ import annotations
 import os
 import re
 import uuid
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 
 from dataweb_spark.catalog.model import DataConnection, DataSource
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+# File-read memo: session → {(fmt, path, opts...) → (content_sig, DataFrame)}.
+# A `spark.read.load` on a file source costs a driver-side schema inference
+# (parquet footer reads / a CSV sampling pass) EVERY call; federated gateway
+# calls re-read the same physical tables once per query (and once per round
+# for the multi-round top-k protocols). The raw frame is fully determined by
+# (format, path, reader options) + the file content, so it is memoized keyed
+# on those with a cheap content signature (dir mtime + immediate children
+# stats). A reused DataFrame pins its file listing at load time — appends are
+# silently missed and overwrites error — so ANY signature change drops the
+# entry and re-loads. Depth-2 file additions are caught via the parent dir's
+# mtime in the children stats; deeper partition layouts (none in this repo's
+# catalogs) fall back to re-loading via the >1024-children bail-out below.
+_READ_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
+def _path_signature(path: str):
+    """Cheap content signature for a data file/dir; None = do not memoize."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    try:
+        with os.scandir(path) as it:
+            kids = []
+            for e in it:
+                kids.append((e.name, e.stat().st_mtime_ns, e.stat().st_size))
+                if len(kids) > 1024:
+                    return None  # unusually wide layout: skip memoization
+    except OSError:
+        return None
+    kids.sort()
+    return (st.st_mtime_ns, tuple(kids))
 
 _FLOATS = ("float", "double")
 
@@ -514,13 +550,24 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
         rel = source.options.get("path", source.options.get("table", source.name))
         path = rel if os.path.isabs(rel) else os.path.join(base, rel)
         fmt = source.options.get("format", conn.options.get("format", "parquet"))
+        header = source.options.get("header", "true")
+        infer = source.options.get("inferSchema", "true")
+        schema = source.options.get("schema")
+        key = (fmt, path, header, infer, str(schema))
+        sig = _path_signature(path)
+        memo = _READ_MEMO.setdefault(spark, {})
+        if sig is not None and key in memo and memo[key][0] == sig:
+            return memo[key][1], None
         reader = spark.read
         if fmt == "csv":
-            reader = reader.option("header", source.options.get("header", "true")) \
-                           .option("inferSchema", source.options.get("inferSchema", "true"))
-        if "schema" in source.options:
-            reader = reader.schema(source.options["schema"])
-        return reader.format(fmt).load(path), None
+            reader = reader.option("header", header) \
+                           .option("inferSchema", infer)
+        if schema is not None:
+            reader = reader.schema(schema)
+        raw = reader.format(fmt).load(path)
+        if sig is not None:
+            memo[key] = (sig, raw)
+        return raw, None
     if conn.kind == "view":
         return spark.table(source.options.get("table", source.name)), None
     if conn.kind == "flight":

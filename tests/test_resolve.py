@@ -309,3 +309,47 @@ def test_replica_group_template_path_scans_one_member(spark, sf_dir):
                        "home")
     with pytest.raises(Exception):
         gw3.query_template("select count(*) as n from t")
+
+
+def _memo_web(tmp_path):
+    relay = RelayCatalog(name="home")
+    relay.add_entity(Entity("t", [Information("v", "bigint")]))
+    relay.add_connection(
+        DataConnection("files", "file", {"path": str(tmp_path)}))
+    relay.add_source(DataSource(
+        name="t_src", connection="files", entity="t",
+        source_sql="select * from {table}",
+        fields=[DataField("id", "id")], mappings=[Mapping("v", "id")],
+        options={"table": "t.parquet"}))
+    web = Web()
+    web.add_relay(relay)
+    return web
+
+
+def test_file_read_memo_hits_and_invalidates(spark, tmp_path):
+    """The raw file-read frame is memoized per (session, fmt, path, opts),
+    but ONLY while the path content is unchanged: a reused DataFrame pins
+    its file listing at load time, so appends/overwrites MUST drop the memo
+    entry (a stale frame silently misses appended files and errors after an
+    overwrite)."""
+    from dataweb_spark.sources.readers import read_connection_table
+
+    spark.range(10).selectExpr("id").write.parquet(str(tmp_path / "t.parquet"))
+    web = _memo_web(tmp_path)
+    relay = web.relay("home")
+    conn, src = relay.connections["files"], relay.sources["t_src"]
+
+    raw1, _ = read_connection_table(spark, conn, src)
+    raw2, _ = read_connection_table(spark, conn, src)
+    assert raw2 is raw1  # memo hit on unchanged content
+
+    assert resolve_entity(spark, web, "home", "t").count() == 10
+    spark.range(100, 105).selectExpr("id") \
+        .write.mode("append").parquet(str(tmp_path / "t.parquet"))
+    assert resolve_entity(spark, web, "home", "t").count() == 15
+    raw3, _ = read_connection_table(spark, conn, src)
+    assert raw3 is not raw1  # signature change dropped the entry
+
+    spark.range(3).selectExpr("id") \
+        .write.mode("overwrite").parquet(str(tmp_path / "t.parquet"))
+    assert resolve_entity(spark, web, "home", "t").count() == 3
