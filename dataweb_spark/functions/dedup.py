@@ -162,11 +162,18 @@ def minhash_band_hashes(df: DataFrame, id_col: str, text_col: str = "text",
                      minhash_signature(text_col, num_perm, shingle_n, seed,
                                        shingle)
                      .alias("_sig"))
-    return (sigd.select("_id", F.explode(F.array(*[
-                F.struct(F.lit(b).alias("band"),
-                         F.xxhash64(*[F.element_at("_sig", b * rows + r + 1)
-                                      for r in range(rows)]).alias("bh"))
-                for b in range(bands)])).alias("e"))
+    # One selectExpr instead of ~8 band structs built as Column objects:
+    # the Column form cost ~64 py4j round-trips (~0.3s driver time) per
+    # call, re-paid by every LSH query, index build/append and classify
+    # (r15, guide §4/§5 driver overhead). Same expressions, same plan —
+    # the SQL string parses to the identical explode(array(named_struct))
+    # tree (value-equivalence pinned by test_band_hashes_selectexpr_form).
+    arr = ",".join(
+        "named_struct('band',%d,'bh',xxhash64(%s))"
+        % (b, ",".join(f"element_at(_sig,{b * rows + r + 1})"
+                       for r in range(rows)))
+        for b in range(bands))
+    return (sigd.selectExpr("_id", f"explode(array({arr})) as e")
                 .select("_id", "e.band", "e.bh"))
 
 

@@ -68,6 +68,35 @@ def _fs_read_text(spark: SparkSession, path: str) -> str | None:
         stream.close()
 
 
+def record_table_schemas(params: dict, **frames) -> dict:
+    """Record each index table's schema into ``params`` (→ meta.json).
+
+    A persisted index OWNS its tables: their schemas are fixed at build
+    time (appends must match or the parquet table would be corrupt), yet
+    every classify call re-paid a driver-side footer-inference per table
+    just to rediscover them. Recording the build-time schema lets
+    :func:`read_index_table` pass it explicitly (r15, guide §1.2/§6 —
+    repeated driver work). Indexes written before this key existed fall
+    back to inference."""
+    params["schemas"] = {k: df.schema.json() for k, df in frames.items()}
+    return params
+
+
+def read_index_table(spark: SparkSession, path: str, table: str,
+                     params: dict) -> DataFrame:
+    """Read ``{path}/{table}`` with the build-time schema from
+    ``params["schemas"]`` when present (skips per-call parquet footer
+    inference), else plain inference for pre-existing indexes."""
+    from pyspark.sql.types import StructType
+
+    sch = (params.get("schemas") or {}).get(table)
+    p = os.path.join(path, table)
+    if sch:
+        return spark.read.schema(
+            StructType.fromJson(json.loads(sch))).parquet(p)
+    return spark.read.parquet(p)
+
+
 def _index_rows(df: DataFrame, id_col: str, text_col: str,
                 params: dict) -> tuple[DataFrame, DataFrame]:
     """(fp_rows, band_rows) for one frame — one text scan serves both."""
@@ -95,6 +124,7 @@ def build_dedup_index(corpus: DataFrame, path: str,
               "shingle_n": shingle_n, "seed": seed,
               "id_col": id_col, "text_col": text_col}
     fp, band_rows = _index_rows(corpus, id_col, text_col, params)
+    record_table_schemas(params, fp=fp, bands=band_rows)
     # independent outputs from the same logical scan: overlap the two
     # map-only write jobs exactly as append_batch does (r15, guide §2.6)
     _concurrent_writes(
@@ -145,8 +175,8 @@ def classify_against_index(spark: SparkSession, new_batch: DataFrame,
     """
     params = load_index_params(path)
     id_col, text_col = params["id_col"], params["text_col"]
-    fp_idx = spark.read.parquet(os.path.join(path, "fp"))
-    band_idx = spark.read.parquet(os.path.join(path, "bands"))
+    fp_idx = read_index_table(spark, path, "fp", params)
+    band_idx = read_index_table(spark, path, "bands", params)
 
     # The batch feeds four separate subtrees (exact-fp broadcast, band
     # broadcast, text broadcast, final verdict join) — without a cache

@@ -39,7 +39,9 @@ from pyspark.sql import functions as F
 
 from dataweb_spark.functions.dedup_index import (_concurrent_writes,
                                                  _fs_write_text,
-                                                 load_params_file)
+                                                 load_params_file,
+                                                 read_index_table,
+                                                 record_table_schemas)
 from dataweb_spark.functions.similarity import (cosine_pd,
                                                 hyperplane_signatures)
 
@@ -73,10 +75,16 @@ def build_embedding_index(corpus: DataFrame, path: str,
     shuffle, no all-pairs).  Returns the persisted params dict."""
     params = {"planes": planes, "bands": bands, "seed": seed, "dim": dim,
               "id_col": id_col, "vec_col": vec_col}
-    _band_rows(corpus, params).write.mode("overwrite") \
-        .parquet(os.path.join(path, "bands"))
-    _vec_rows(corpus, params).write.mode("overwrite") \
-        .parquet(os.path.join(path, "vecs"))
+    band_rows = _band_rows(corpus, params)
+    vec_rows = _vec_rows(corpus, params)
+    record_table_schemas(params, bands=band_rows, vecs=vec_rows)
+    # independent outputs from the same logical scan: overlap the two
+    # map-only write jobs exactly as build_dedup_index does (r15, §2.6)
+    _concurrent_writes(
+        lambda: band_rows.write.mode("overwrite")
+                         .parquet(os.path.join(path, "bands")),
+        lambda: vec_rows.write.mode("overwrite")
+                        .parquet(os.path.join(path, "vecs")))
     _fs_write_text(corpus.sparkSession, os.path.join(path, _META),
                    json.dumps(params))
     return params
@@ -106,8 +114,8 @@ def classify_embedding_batch(spark: SparkSession, new_batch: DataFrame,
     recall trade, tuned by bands × planes."""
     params = load_embedding_params(path, spark)
     id_col = params["id_col"]
-    band_idx = spark.read.parquet(os.path.join(path, "bands"))
-    vec_idx = spark.read.parquet(os.path.join(path, "vecs"))
+    band_idx = read_index_table(spark, path, "bands", params)
+    vec_idx = read_index_table(spark, path, "vecs", params)
 
     new_batch = new_batch.persist()
     new_bands = _band_rows(new_batch, params) \

@@ -63,7 +63,8 @@ from pyspark.sql.types import (ArrayType, LongType, StringType,
                                StructField, StructType)
 
 from dataweb_spark.functions.dedup_index import (_fs_read_text,
-                                                 _fs_write_text)
+                                                 _fs_write_text,
+                                                 read_index_table)
 
 _META = "meta.json"
 
@@ -235,22 +236,24 @@ def build_media_index(media: DataFrame, path: str,
                             canon_audio_window)
     sigs.write.mode("overwrite").parquet(f"{path}/sigs")
     persisted = spark.read.parquet(f"{path}/sigs")
+    ahash = (persisted.where(F.col("sig64").isNotNull())
+             .select("id", "sig64"))
+    vhash = _vhash_rows(persisted)
     # the two derived tables read the already-persisted sigs and write
     # to independent paths — overlap the jobs (r15, guide §2.6)
-    from dataweb_spark.functions.dedup_index import _concurrent_writes
+    from dataweb_spark.functions.dedup_index import (_concurrent_writes,
+                                                     record_table_schemas)
     _concurrent_writes(
-        lambda: (persisted.where(F.col("sig64").isNotNull())
-                 .select("id", "sig64")
-                 .write.mode("overwrite").parquet(f"{path}/ahash")),
-        lambda: (_vhash_rows(persisted)
-                 .write.mode("overwrite").parquet(f"{path}/vhash")))
-    _fs_write_text(spark, f"{path}/{_META}", json.dumps(
-        {"bands": bands, "max_hamming": max_hamming,
-         "video_near_num": _VIDEO_NEAR_NUM,
-         "video_near_den": _VIDEO_NEAR_DEN,
-         "pos_max_offset": pos_max_offset,
-         "canon_video_rate": canon_video_rate,
-         "canon_audio_window": canon_audio_window}))
+        lambda: ahash.write.mode("overwrite").parquet(f"{path}/ahash"),
+        lambda: vhash.write.mode("overwrite").parquet(f"{path}/vhash"))
+    params = {"bands": bands, "max_hamming": max_hamming,
+              "video_near_num": _VIDEO_NEAR_NUM,
+              "video_near_den": _VIDEO_NEAR_DEN,
+              "pos_max_offset": pos_max_offset,
+              "canon_video_rate": canon_video_rate,
+              "canon_audio_window": canon_audio_window}
+    record_table_schemas(params, sigs=persisted, ahash=ahash, vhash=vhash)
+    _fs_write_text(spark, f"{path}/{_META}", json.dumps(params))
 
 
 def _load_params(spark: SparkSession, path: str) -> dict:
@@ -325,13 +328,13 @@ def classify_media_batch(spark: SparkSession, batch: DataFrame, path: str,
     # (callers passing sig_df should pass it materialized too).
     has_img = not bsig.where(F.col("sig64").isNotNull()).isEmpty()
     has_pos = not bsig.where(F.col("frame_sigs").isNotNull()).isEmpty()
-    isig = spark.read.parquet(f"{path}/sigs")
+    isig = read_index_table(spark, path, "sigs", params)
 
     exact = (isig.join(F.broadcast(bsig.select("sig", F.col("id")
                                                .alias("_bid"))), "sig")
              .groupBy("_bid").agg(F.min("id").alias("exact_match")))
 
-    iah = spark.read.parquet(f"{path}/ahash")
+    iah = read_index_table(spark, path, "ahash", params)
 
     def banded(df, idc, sigc, extra=()):
         vals = F.array(*[
@@ -369,7 +372,7 @@ def classify_media_batch(spark: SparkSession, batch: DataFrame, path: str,
     # produce n² band hits against its own re-encode.
     if has_pos:
         max_off = params.get("pos_max_offset", _POS_MAX_OFFSET)
-        ivh = spark.read.parquet(f"{path}/vhash")
+        ivh = read_index_table(spark, path, "vhash", params)
         bvf = (bsig.where(F.col("frame_sigs").isNotNull())
                .select(F.col("id").alias("_bid"),
                        F.size("frame_sigs").alias("_bn"),
@@ -444,7 +447,7 @@ def streaming_media_gate(stream_df: DataFrame, index_path: str,
     def _gate(batch: DataFrame, _epoch: int) -> None:
         spark = batch.sparkSession
         params = _load_params(spark, index_path)
-        indexed = (spark.read.parquet(f"{index_path}/sigs")
+        indexed = (read_index_table(spark, index_path, "sigs", params)
                    .select(F.col("id").alias(id_col)))
         fresh = batch.join(indexed, id_col, "left_anti")
         # ONE decode pass per micro-batch; localCheckpoint materializes

@@ -390,3 +390,47 @@ def test_gate_invariants_on_random_corpus(spark, tmp_path):
         if sid in corpus_ids:
             continue                       # admitted
         assert verdicts[sid] in ("exact", "near"), (sid, verdicts[sid])
+
+
+def test_index_meta_records_schemas_and_fallback(spark, tmp_path):
+    """Build-time table schemas land in meta.json and drive classify's
+    reads (r15: skips per-call footer inference); an index whose meta
+    predates the key still classifies via inference."""
+    import json as _json
+    import os as _os
+
+    from dataweb_spark.functions.dedup_index import (build_dedup_index,
+                                                     classify_against_index,
+                                                     read_index_table)
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    params = build_dedup_index(corpus, idx, num_perm=16, bands=4)
+    assert set(params["schemas"]) == {"fp", "bands"}
+    with_schema = read_index_table(spark, idx, "fp", params)
+    inferred = spark.read.parquet(_os.path.join(idx, "fp"))
+    assert with_schema.schema == inferred.schema
+
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),
+         (11, "totally novel text with fresh words here")],
+        "doc_id long, text string")
+    v = {r["doc_id"]: r["verdict"] for r in
+         classify_against_index(spark, batch, idx, corpus).collect()}
+    assert v == {10: "exact", 11: "unique"}
+
+    # meta written before the schemas key existed → inference fallback
+    meta = _os.path.join(idx, "meta.json")
+    old = _json.load(open(meta))
+    del old["schemas"]
+    with open(meta, "w") as f:
+        _json.dump(old, f)
+    crc = _os.path.join(idx, ".meta.json.crc")  # stale Hadoop checksum
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    v2 = {r["doc_id"]: r["verdict"] for r in
+          classify_against_index(spark, batch, idx, corpus).collect()}
+    assert v2 == v

@@ -1405,3 +1405,30 @@ def test_unicode_nfc_cross_engine_differential(spark):
         "i", text.unicode_normalize("text").alias("o")).collect()}
     for i, s in enumerate(sample):
         assert got[i] == unicodedata.normalize("NFC", s)
+
+
+def test_band_hashes_selectexpr_form(spark):
+    """minhash_band_hashes renders its band structs as ONE selectExpr
+    (r15 driver-overhead fix); this pins value equivalence against the
+    Column-object form it replaced."""
+    from pyspark.sql import functions as F
+
+    from dataweb_spark.functions.dedup import (minhash_band_hashes,
+                                               minhash_signature)
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs"),
+         (3, "")], "doc_id long, text string")
+    num_perm, bands, rows = 16, 4, 4
+    got = sorted(map(tuple, minhash_band_hashes(
+        df, "doc_id", "text", num_perm, bands).collect()))
+    sigd = df.select(F.col("doc_id").alias("_id"),
+                     minhash_signature("text", num_perm).alias("_sig"))
+    ref = sorted(map(tuple, (sigd.select("_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.element_at("_sig", b * rows + r + 1)
+                              for r in range(rows)]).alias("bh"))
+        for b in range(bands)])).alias("e"))
+        .select("_id", "e.band", "e.bh")).collect()))
+    assert got == ref
