@@ -56,11 +56,6 @@ def _bq(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
-def _sql_str(v: str) -> str:
-    """Render a Python string as a Spark SQL string literal."""
-    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
-
 def _apply_permission(df: DataFrame, perm: SourcePermission,
                       allowed_paths: frozenset[str]) -> DataFrame:
     """``SELECT <allowed columns> FROM (src) WHERE <allowed_rows>`` —
@@ -158,12 +153,16 @@ def map_source_frame(df: DataFrame, relay: RelayCatalog, source: DataSource,
         select_list.append(
             (info.name,
              f"CAST(({expr_sql}) AS {info.data_type}) AS {_bq(info.name)}"))
-    prov = ((PROVENANCE_RELAY, _sql_str(relay.name)),
-            (PROVENANCE_SOURCE, _sql_str(source.name)))
-    prov_names = {p for p, _ in prov}
-    exprs = [sql for name, sql in select_list if name not in prov_names]
-    exprs += [f"{lit} AS {_bq(p)}" for p, lit in prov]
-    return df.selectExpr(*exprs)
+    # Provenance rides as F.lit Columns through ONE withColumns call
+    # (replace semantics, like the withColumn pair this replaced) rather
+    # than SQL string literals: literal escaping rules flip under
+    # spark.sql.parser.escapedStringLiterals, while lit() is
+    # parser-independent for any relay/source name.
+    exprs = [sql for name, sql in select_list
+             if name not in (PROVENANCE_RELAY, PROVENANCE_SOURCE)]
+    return df.selectExpr(*exprs).withColumns(
+        {PROVENANCE_RELAY: F.lit(relay.name),
+         PROVENANCE_SOURCE: F.lit(source.name)})
 
 
 def _apply_remote_mapping(spark: SparkSession, relay: RelayCatalog,

@@ -44,14 +44,41 @@ _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 # on those with a cheap content signature (dir mtime + immediate children
 # stats). A reused DataFrame pins its file listing at load time — appends are
 # silently missed and overwrites error — so ANY signature change drops the
-# entry and re-loads. Depth-2 file additions are caught via the parent dir's
-# mtime in the children stats; deeper partition layouts (none in this repo's
-# catalogs) fall back to re-loading via the >1024-children bail-out below.
+# entry and re-loads, and memoization is refused outright wherever the
+# signature cannot SEE the content:
+#   * the path is only signed with local os.stat, so the memo is gated on
+#     Spark's default filesystem being local (file:) — on an HDFS/S3
+#     deployment a schemeless path would stat an unrelated local dir;
+#   * any child DIRECTORY (partitioned/nested layout) disables the memo —
+#     POSIX dir mtime only ticks on direct entry create/delete, so changes
+#     two levels down are invisible to this signature. Flat layouts (the
+#     parquet/CSV dirs this repo's catalogs use) are fully covered: part
+#     files live directly in the dir, so appends/overwrites/in-place
+#     rewrites all change the children stats.
 _READ_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+_LOCAL_FS_MEMO: "WeakKeyDictionary[SparkSession, bool]" = WeakKeyDictionary()
+
+
+def _default_fs_is_local(spark: SparkSession) -> bool:
+    """True iff Spark's fs.defaultFS is the local filesystem (cached per
+    session) — the only case where a local ``os.stat`` signature describes
+    the files ``spark.read`` will actually list."""
+    cached = _LOCAL_FS_MEMO.get(spark)
+    if cached is None:
+        try:
+            fs = spark._jsc.hadoopConfiguration().get(
+                "fs.defaultFS", "file:///")
+        except Exception:  # noqa: BLE001 — no JVM conf ⇒ refuse to memoize
+            fs = ""
+        cached = fs.startswith("file:")
+        _LOCAL_FS_MEMO[spark] = cached
+    return cached
 
 
 def _path_signature(path: str):
     """Cheap content signature for a data file/dir; None = do not memoize."""
+    if "://" in path and not path.startswith("file://"):
+        return None  # non-local URI: os.stat cannot sign it
     try:
         st = os.stat(path)
     except OSError:
@@ -62,6 +89,9 @@ def _path_signature(path: str):
         with os.scandir(path) as it:
             kids = []
             for e in it:
+                if e.is_dir():
+                    return None  # nested/partitioned layout: changes deeper
+                    # than one level are invisible to this signature
                 kids.append((e.name, e.stat().st_mtime_ns, e.stat().st_size))
                 if len(kids) > 1024:
                     return None  # unusually wide layout: skip memoization
@@ -554,7 +584,7 @@ def read_connection_table(spark: SparkSession, conn: DataConnection,
         infer = source.options.get("inferSchema", "true")
         schema = source.options.get("schema")
         key = (fmt, path, header, infer, str(schema))
-        sig = _path_signature(path)
+        sig = _path_signature(path) if _default_fs_is_local(spark) else None
         memo = _READ_MEMO.setdefault(spark, {})
         if sig is not None and key in memo and memo[key][0] == sig:
             return memo[key][1], None

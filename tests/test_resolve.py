@@ -353,3 +353,11 @@ def test_file_read_memo_hits_and_invalidates(spark, tmp_path):
     spark.range(3).selectExpr("id") \
         .write.mode("overwrite").parquet(str(tmp_path / "t.parquet"))
     assert resolve_entity(spark, web, "home", "t").count() == 3
+
+    # nested (partitioned) layouts refuse memoization outright: dir mtime
+    # cannot see changes below one level, so a stale hit would be silent
+    from dataweb_spark.sources.readers import _path_signature
+    spark.range(4).selectExpr("id", "id % 2 as p") \
+        .write.partitionBy("p").parquet(str(tmp_path / "nested.parquet"))
+    assert _path_signature(str(tmp_path / "nested.parquet")) is None
+    assert _path_signature("s3a://bucket/t.parquet") is None
