@@ -141,8 +141,16 @@ def test_gate_admits_novel_rejects_copies_across_batches(spark, corpus,
 
 
 def test_classify_plan_has_no_cartesian(spark, corpus, index_path):
+    # r16: the public classify returns an eagerly-materialized verdict
+    # (its own plan is an RDD scan) — assert on the LAZY plan that the
+    # materialization executes.
     batch = _batch(spark, corpus).drop("src_id")
-    plan = E.classify_embedding_batch(spark, batch, index_path) \
-        ._jdf.queryExecution().executedPlan().toString()
+    lazy, caches = E._classify_embedding_plan(spark, batch, index_path,
+                                              0.92)
+    try:
+        plan = lazy._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for df in caches:
+            df.unpersist()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
