@@ -776,18 +776,26 @@ def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
         cand = (cand.withColumn("_rn", F.row_number().over(wb))
                     .where(F.col("_rn") == 1).drop("_rn"))
         admitted = spark_b.read.parquet(f"{state_path}/admitted")
-        counts = spark_b.read.parquet(f"{state_path}/counts")
         # consistency guard: admitted.count() is parquet-footer-only and
         # the counts sum is O(domains) — if they disagree, a previous
         # batch crashed between the admitted append and the counts
-        # overwrite; rebuild counts from admitted once (recovery scan)
+        # swap; rebuild counts from admitted once (recovery scan). r16:
+        # a counts table that cannot be READ at all (crash between the
+        # swap's delete and rename — or mid-overwrite on the pre-r16
+        # path, a window the old code could not recover from) lands on
+        # the same rebuild path instead of failing the stream.
         n_admitted = admitted.count()
-        n_counted = counts.agg(
-            F.coalesce(F.sum("used"), F.lit(0))).first()[0]
+        try:
+            counts = spark_b.read.parquet(f"{state_path}/counts")
+            n_counted = counts.agg(
+                F.coalesce(F.sum("used"), F.lit(0))).first()[0]
+        except Exception:
+            counts, n_counted = None, -1
         rebuilt = n_counted != n_admitted
-        if rebuilt:
+        if rebuilt or counts is None:
             counts = admitted.groupBy("domain").agg(
                 F.count("*").cast("bigint").alias("used"))
+            rebuilt = True
         keep = _admit_batch(cand, admitted, counts, max_per_domain,
                             id_col, priority=priority,
                             score_col=score_col)
@@ -819,8 +827,30 @@ def streaming_crawl_gate(stream_df: DataFrame, state_path: str,
             admit_write()
         else:
             _concurrent_writes(admit_write, cstage_write)
-        (spark_b.read.parquet(cstaging)
-         .write.mode("overwrite").parquet(f"{state_path}/counts"))
+        # r16 (guide §6): the final counts already sit complete in the
+        # staging dir — RENAME them into place instead of re-reading and
+        # re-writing them through one more full Spark job per batch (the
+        # read-back overwrite was ~1 job of pure fixed overhead). Crash
+        # windows: before the delete ⇒ counts stale (sum short ⇒ the
+        # guard rebuilds); between delete and rename ⇒ counts missing
+        # (the guard's read fallback rebuilds) — strictly no worse than
+        # the old mid-overwrite window, which left a partial dir the old
+        # code could not even read. A failed rename (checkpoint and
+        # state_path on different filesystems) falls back to the copy
+        # job.
+        jvm = spark_b._jvm
+        jc = jvm.org.apache.hadoop.fs.Path(f"{state_path}/counts")
+        js = jvm.org.apache.hadoop.fs.Path(cstaging)
+        fs = jc.getFileSystem(spark_b._jsc.hadoopConfiguration())
+        moved = False
+        try:
+            fs.delete(jc, True)
+            moved = bool(fs.rename(js, jc))
+        except Exception:  # noqa: BLE001 — any FS refusal → copy path
+            moved = False
+        if not moved:
+            (spark_b.read.parquet(cstaging)
+             .write.mode("overwrite").parquet(f"{state_path}/counts"))
 
     # initialize empty state so the first batch's reads succeed — the
     # id column's type is DERIVED from the stream's id_col (a hardcoded

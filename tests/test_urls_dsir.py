@@ -1075,3 +1075,40 @@ from documents where doc_id < 30"""
 
     want = {d: ref(bs) for d, bs in by_dom.items()}
     assert got == want and len(want) == 6
+
+
+def test_streaming_crawl_gate_recovers_missing_counts(spark, tmp_path):
+    """r16: the counts table is now swapped into place by rename — a
+    crash between the delete and the rename leaves NO counts dir at all.
+    The gate must treat an unreadable counts table like a short one:
+    rebuild from the admitted state and keep caps exact."""
+    import shutil
+
+    import pandas as pd
+    state = str(tmp_path / "state")
+    drop = str(tmp_path / "drop")
+    cp = str(tmp_path / "cp")
+
+    def _drain():
+        schema = spark.read.parquet(drop).schema
+        stream = (spark.readStream.schema(schema)
+                  .format("parquet").load(drop))
+        q = U.streaming_crawl_gate(stream, state, cp, max_per_domain=4)
+        assert q.awaitTermination(300)
+
+    (spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(range(3)),
+         "url": [f"http://a.com/p{i}" for i in range(3)]}))
+     .write.mode("append").parquet(drop))
+    _drain()
+    # simulate the new crash window: counts dir gone entirely
+    shutil.rmtree(f"{state}/counts")
+    (spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [10, 11, 12],
+         "url": [f"http://a.com/q{i}" for i in range(3)]}))
+     .write.mode("append").parquet(drop))
+    _drain()
+    assert spark.read.parquet(f"{state}/admitted").count() == 4
+    cnt = {r.domain: r.used for r in
+           spark.read.parquet(f"{state}/counts").collect()}
+    assert cnt == {"a.com": 4}
