@@ -297,8 +297,65 @@ class QueryGateway:
 
     # -- template mode (raw Flight analog) ------------------------------
 
+    # round-fact cache size: one entry per distinct partial template this
+    # gateway has served (a protocol run uses ONE; a long-lived relay
+    # server sees one per distinct aggregate query shape)
+    _ROUND_FACT_CAP = 64
+
+    def _round_facts(self, sql: str, base: str) -> dict | None:
+        """Pushdown facts for a library-generated aggregate-template
+        ROUND (r16, guide §5 — repeated driver work): the multi-round
+        top-k-groups protocol re-runs the same partial template with an
+        ``ORDER BY … LIMIT`` or ``HAVING`` suffix up to four times, and
+        every round re-paid ~5 JVM parse round-trips deriving facts that
+        cannot differ between rounds — predicates are harvested only
+        from scan-level Filter nodes (a HAVING parses as
+        UnresolvedHaving ABOVE the Aggregate), the probe/IN-list
+        predicates reference only columns the template already
+        references, a LIMIT above the round's ORDER BY never extracts
+        (Sort is not limit-transparent), the order/grouped top-k facts
+        never fire on an aggregate template, and the template projects
+        explicit columns (no star). Facts are computed ONCE from the
+        bare template and cached per base string.
+
+        The full ``validate_sql`` still runs on EVERY round SQL (this
+        method's caller) — only the fact extraction is shared. ``None``
+        when ``sql`` is not a recognizable round form of ``base``
+        (suffix other than ORDER BY/HAVING, or one smuggling a subquery
+        — a SELECT inside the suffix could reference the entity a
+        second time and void the extractors' multi-reference guard), in
+        which case the caller keeps the generic per-call parse path."""
+        import re as _re
+
+        if not sql.startswith(base):
+            return None
+        suffix = sql[len(base):].strip()
+        if suffix and not (suffix.startswith("ORDER BY")
+                           or suffix.startswith("HAVING")):
+            return None
+        if ";" in suffix or _re.search(r"\bselect\b", suffix, _re.I):
+            return None
+        cache = self.__dict__.setdefault("_round_fact_cache", {})
+        facts = cache.get(base)
+        if facts is None:
+            ename = next(iter(validate_sql(self.spark, base,
+                                           single_entity=True)))
+            facts = {
+                "entity": ename,
+                "conjuncts": extract_entity_predicates(self.spark, base,
+                                                       ename),
+                "limit": extract_entity_limit(self.spark, base, ename),
+                "referenced": extract_referenced_columns(self.spark,
+                                                         base),
+            }
+            while len(cache) >= self._ROUND_FACT_CAP:
+                cache.pop(next(iter(cache)))
+            cache[base] = facts
+        return facts
+
     def query_template(self, sql: str, principal: str | None = None,
-                       agg_spec=None, agg_round=None
+                       agg_spec=None, agg_round=None,
+                       template_base: str | None = None
                        ) -> list[tuple[str, str, DataFrame]]:
         """One-entity SQL run independently per mapped source.
 
@@ -329,6 +386,25 @@ class QueryGateway:
         relay = self.web.relay(self.relay_name)
         if entity_name not in relay.entities:
             raise ValidationError(f"unknown entity {entity_name!r}")
+
+        # r16: aggregate-protocol rounds share one fact extraction per
+        # template (see _round_facts). ``agg_spec`` marks the local
+        # coordinator's own rounds; ``template_base`` is the same hint
+        # arriving over the wire at a peer relay (flight_service).
+        base = (agg_spec.partial_sql() if agg_spec is not None
+                else template_base)
+        facts = self._round_facts(sql, base) if base else None
+        if facts is not None and facts["entity"] == entity_name:
+            conjuncts = facts["conjuncts"]
+            limit = facts["limit"]
+            referenced = facts["referenced"]
+            order_limit = None
+            grouped_fact = None
+            star_out = False
+            return self._run_template_sources(
+                sql, principal, entity_name, relay, conjuncts, limit,
+                referenced, order_limit, grouped_fact, star_out,
+                agg_spec, agg_round)
 
         conjuncts = extract_entity_predicates(self.spark, sql, entity_name)
         limit = extract_entity_limit(self.spark, sql, entity_name)
@@ -361,6 +437,21 @@ class QueryGateway:
         # forwarded: the peer's entity may carry more columns than this
         # relay's identity window declares, changing the result schema.
         star_out = output_shape_has_star(self.spark, sql)
+        return self._run_template_sources(
+            sql, principal, entity_name, relay, conjuncts, limit,
+            referenced, order_limit, grouped_fact, star_out,
+            agg_spec, agg_round)
+
+    def _run_template_sources(self, sql, principal, entity_name, relay,
+                              conjuncts, limit, referenced, order_limit,
+                              grouped_fact, star_out, agg_spec, agg_round
+                              ) -> list[tuple[str, str, DataFrame]]:
+        """The per-source fan-out shared by the generic template path
+        and the cached-fact round path (r16): every behavior below —
+        forwarding, engine pushdown, replica failover, remote hops — is
+        ONE implementation for both."""
+        etypes = {i.name: i.data_type
+                  for i in relay.entities[entity_name].informations}
         results: list[tuple[str, str, DataFrame]] = []
         visited: set[tuple[str, str]] = set()
 
@@ -393,6 +484,13 @@ class QueryGateway:
                         host, fport, fconn = fwd
                         results.extend(flight_forward_template(
                             self.spark, host, fport, sql, principal,
+                            template_base=(agg_spec.partial_sql()
+                                           if agg_spec is not None
+                                           else None),
+                            # protocol rounds are bounded by construction
+                            # and collected on the driver right after —
+                            # skip the executor fan-out (r16, guide §5)
+                            driver_pull=agg_round is not None,
                             **flight_client_identity(fconn)))
                         return
                 if not chain and agg_spec is not None:

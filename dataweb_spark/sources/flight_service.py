@@ -299,7 +299,9 @@ class RelayFlightServer(flight.FlightServerBase):
                 df = self.gateway.query(sql, principal)
                 parts = [(self.relay_name, "__engine__", df)]
             else:
-                parts = self.gateway.query_template(sql, principal)
+                parts = self.gateway.query_template(
+                    sql, principal,
+                    template_base=req.get("template_base"))
         except ValidationError as e:
             raise flight.FlightServerError(str(e)) from e
 
@@ -703,7 +705,9 @@ def flight_forward_template(spark: SparkSession, host: str, port: int,
                             token: str | None = None,
                             tls_root_certs: bytes | None = None,
                             cert: tuple | None = None,
-                            client_tls: tuple[bytes, bytes] | None = None
+                            client_tls: tuple[bytes, bytes] | None = None,
+                            template_base: str | None = None,
+                            driver_pull: bool = False
                             ) -> list[tuple[str, str, "DataFrame"]]:
     """Forward a template-mode query to a peer relay WHOLE — the
     relay→relay fan-out of the reference (``flight.rs:237-309``): the peer
@@ -712,23 +716,73 @@ def flight_forward_template(spark: SparkSession, host: str, port: int,
     the wire (for aggregates: group rows, not entity rows). Returns
     ``[(peer_relay, peer_source, partial_df), ...]`` with the peer's own
     endpoint identities; each frame streams on an executor
-    (single-endpoint ``mapInArrow``)."""
+    (single-endpoint ``mapInArrow``).
+
+    ``driver_pull=True`` (r16, guide §5): redeem every endpoint on the
+    DRIVER over the already-authenticated planning connection — one
+    concurrent ``do_get`` per endpoint — and return local-relation
+    frames. For the top-groups protocol rounds, whose answers are
+    BOUNDED by construction (≤ m·sources / ≤ candidate-cap rows) and are
+    collected to the driver immediately afterwards anyway, the executor
+    fan-out is pure overhead: a per-round Spark job, a Python worker
+    round-trip and a fresh gRPC connect+auth per endpoint (~0.6 s/round
+    measured) just to move a few dozen rows that end up on the driver
+    regardless. Unbounded template results keep the executor path."""
     client = _connect(host, port, token, cert, tls_root_certs, client_tls)
-    cmd_bytes = json.dumps({"sql": sql, "principal": principal,
-                            "mode": "template"}).encode("utf-8")
+    cmd: dict = {"sql": sql, "principal": principal, "mode": "template"}
+    if template_base is not None:
+        # r16: aggregate-protocol rounds tell the peer which partial
+        # template they extend, so the peer's gateway shares ONE fact
+        # extraction across all rounds (QueryGateway._round_facts); the
+        # peer still fully validates every round SQL.
+        cmd["template_base"] = template_base
+    cmd_bytes = json.dumps(cmd).encode("utf-8")
     info = client.get_flight_info(
         flight.FlightDescriptor.for_command(cmd_bytes))
-    out = []
-    for idx, ep in enumerate(info.endpoints):
+    metas = []
+    for ep in info.endpoints:
         try:
             meta = json.loads(ep.ticket.ticket.decode("utf-8"))
         except Exception:
             meta = {}
+        metas.append((meta.get("relay", "peer"), meta.get("source", "peer")))
+
+    if driver_pull:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        tables: list = [None] * len(info.endpoints)
+        errs: list[BaseException] = []
+
+        def pull(i: int, ep) -> None:
+            try:
+                # FlightClient is thread-safe; concurrent do_gets overlap
+                # the peer's per-source execution of one round
+                tables[i] = client.do_get(ep.ticket).read_all()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+
+        import threading
+        threads = [threading.Thread(target=pull, args=(i, ep))
+                   for i, ep in enumerate(info.endpoints)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errs:
+            raise errs[0]
+        schema = from_arrow_schema(info.schema)
+        return [
+            ((relay, source,
+              spark.createDataFrame(tbl.cast(info.schema), schema=schema)))
+            for (relay, source), tbl in zip(metas, tables)
+        ]
+
+    out = []
+    for idx, ((relay, source), ep) in enumerate(zip(metas, info.endpoints)):
         df = _tickets_frame(spark, host, port,
                             [(ep.ticket.ticket, idx, cmd_bytes)],
                             info.schema, token=token,
                             tls_root_certs=tls_root_certs,
                             cert=cert, client_tls=client_tls)
-        out.append((meta.get("relay", "peer"),
-                    meta.get("source", "peer"), df))
+        out.append((relay, source, df))
     return out
