@@ -215,10 +215,17 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                        .alias("_bkt"))
     # r15: verify with the sequential-sum codegen cosine (was the
     # Arrow/pandas kernel — an extra Python stage shipping both vectors
-    # per candidate across the JVM boundary; guide §4.1).
+    # per candidate across the JVM boundary; guide §4.1). r16 (advisor):
+    # guard the denominator like cosine_pd / quantized_topk._icos do — a
+    # zero vector in a shared bucket would otherwise score NaN, which
+    # sorts GREATEST under desc and ranks the degenerate vector first.
+    def _gcos(a, b):
+        return dot(a, b) / F.greatest(l2_norm(a) * l2_norm(b),
+                                      F.lit(1e-300))
+
     scored = (c.join(F.broadcast(q), on="_bkt")
                .where(F.col("neighbor_id") != F.col("query_id"))
-               .withColumn("cos", cosine(F.col("_cv"), F.col("_qv"))))
+               .withColumn("cos", _gcos(F.col("_cv"), F.col("_qv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
