@@ -617,21 +617,25 @@ def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     is Zipf-bounded (vocab ≪ corpus) so the score join broadcasts when it
     fits and AQE handles the 'the'/'and' hot keys otherwise; no driver
     materialization anywhere."""
-    from pyspark.sql import Window
     base = (df.select(F.col(id_col), tokens(text_col).alias("_toks"))
               .where(F.size("_toks") > 0))
     toks = base.select(id_col, F.explode("_toks").alias("tok"))
-    model = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     # model totals: every corpus token lands in exactly one vocab row,
-    # so T and V are plain sums OVER the Zipf-bounded model table —
-    # whole-table window sums (one single-partition pass over the vocab
-    # rows, which the score join already assumes is broadcast-small)
-    # instead of a separate `.agg()` subtree, which RE-TOKENIZED the
-    # whole corpus a third time (Spark does not share subtrees). r15
-    # optimization, guide §1.2: corpus tokenize passes 3 → 2.
-    wall = Window.partitionBy()
-    modelfx = (model.withColumn("t_tokens", F.sum("cnt").over(wall))
-                    .withColumn("v_size", F.count("*").over(wall)))
+    # so T and V are plain sums OVER the Zipf-bounded model table — a
+    # separate `.agg()` over the lazy model would RE-TOKENIZE the whole
+    # corpus a third time (Spark does not share subtrees; r15, guide
+    # §1.2: corpus tokenize passes 3 → 2). r16 (advisor): the model is
+    # materialized ONCE (localCheckpoint — bounded, vocab-sized) and the
+    # totals come from a scalable partial aggregate over the checkpoint,
+    # broadcast back as a 1-row crossJoin — the r15 whole-table window
+    # funneled the entire (corpus-dependent) vocabulary through ONE
+    # task, a bottleneck/OOM risk at cluster scale that the agg form
+    # does not have. Upstream pass count is unchanged (model + scoring).
+    model = (toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+             .localCheckpoint(eager=True))
+    totals = model.agg(F.sum("cnt").alias("t_tokens"),
+                       F.count("*").alias("v_size"))
+    modelfx = model.crossJoin(F.broadcast(totals))
     scored = (toks.join(modelfx, "tok")
                   .withColumn("logp", F.log((F.col("cnt") + F.lit(alpha))
                                             / (F.col("t_tokens")
@@ -892,17 +896,21 @@ def ccnet_buckets(df: DataFrame, id_col: str = "doc_id",
     base = (df.select(F.col(id_col), tokens(text_col).alias("_toks"))
               .where(F.size("_toks") > 0))
     toks = base.select(id_col, F.explode("_toks").alias("tok"))
-    model = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    # totals as whole-table window sums over the Zipf-bounded model
-    # table (see unigram_lm_scores) — the separate `.agg()` subtree
-    # re-ran everything upstream of `toks` to produce two numbers; in
-    # the crawl→corpus pipeline that upstream includes the WARC parse,
-    # HTML extraction and C4 cleaning. r15, guide §1.2: upstream
-    # passes 3 → 2.
-    wall = Window.partitionBy()
-    modelfx = (model
-               .withColumn("t_tokens", F.sum("cnt").over(wall))
-               .withColumn("v_size", F.count("*").over(wall))
+    # totals over the Zipf-bounded model table (see unigram_lm_scores) —
+    # a separate `.agg()` over the LAZY model would re-run everything
+    # upstream of `toks` a third time (in the crawl→corpus pipeline that
+    # upstream includes the WARC parse, HTML extraction and C4 cleaning;
+    # r15, guide §1.2: upstream passes 3 → 2). r16 (advisor): the model
+    # is materialized once (localCheckpoint, vocab-sized) and the totals
+    # are a scalable partial aggregate over it broadcast back as a 1-row
+    # crossJoin — the r15 whole-table window funneled the unbounded
+    # vocabulary through one task, a cluster-scale bottleneck the agg
+    # form avoids. Upstream pass count unchanged.
+    model = (toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+             .localCheckpoint(eager=True))
+    totals = model.agg(F.sum("cnt").alias("t_tokens"),
+                       F.count("*").alias("v_size"))
+    modelfx = (model.crossJoin(F.broadcast(totals))
                .select("tok",
                        F.round(F.log((F.col("cnt") + F.lit(1.0))
                                      / (F.col("t_tokens")
