@@ -502,7 +502,10 @@ def ingest_batch(spark: SparkSession, batch: DataFrame, index_path: str,
     rows are appended to ``corpus_path`` as-is."""
     params = load_index_params(index_path, spark)
     id_col, text_col = params["id_col"], params["text_col"]
-    corpus = spark.read.parquet(corpus_path)
+    # the precondition makes batch.schema THE corpus schema, so the read
+    # skips the per-batch footer inference the growing corpus dir would
+    # otherwise re-pay on every call (r16, guide §1.2 driver overhead)
+    corpus = spark.read.schema(batch.schema).parquet(corpus_path)
     verdicts = classify_against_index(spark, batch, index_path, corpus,
                                       threshold)
     admitted = (batch.join(

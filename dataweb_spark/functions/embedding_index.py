@@ -117,15 +117,16 @@ def classify_embedding_batch(spark: SparkSession, new_batch: DataFrame,
     # never GC-frees SQL caches; eager materialize-before-return was
     # tried first and measured ~0.3-0.5 s slower — the checkpoint splits
     # the verify pipeline's fused execution).
-    from dataweb_spark.session import rotate_caches
+    from dataweb_spark.session import rotate_evict, rotate_register
 
     # evict BEFORE persisting: the CacheManager dedupes identical plans,
     # so a same-batch re-invocation would otherwise persist into the
     # entry the eviction is about to remove (see session.rotate_persist)
-    rotate_caches(spark, "embedding_index.classify", [])
+    key = new_batch.semanticHash()
+    rotate_evict(spark, "embedding_index.classify", key)
     lazy, caches = _classify_embedding_plan(spark, new_batch, path,
                                             threshold)
-    rotate_caches(spark, "embedding_index.classify", caches)
+    rotate_register(spark, "embedding_index.classify", key, caches)
     return lazy
 
 
