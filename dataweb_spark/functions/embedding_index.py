@@ -142,43 +142,42 @@ def _classify_embedding_plan(spark: SparkSession, new_batch: DataFrame,
     vec_idx = read_index_table(spark, path, "vecs", params)
 
     new_batch = new_batch.persist()
-    if True:
-        new_bands = _band_rows(new_batch, params) \
-            .withColumnRenamed("id", "_nid")
-        cands = (band_idx.join(F.broadcast(new_bands), ["band", "sig"])
-                 .select(F.col("_nid"), F.col("id").alias("_cid"))
-                 .distinct())
-        # Fetch vectors ONLY for candidate index ids: broadcast the id
-        # list so the vecs scan prunes and needs no shuffle.
-        cand_ids = cands.select(F.col("_cid").alias("id")).distinct()
-        cand_vecs = (vec_idx.join(F.broadcast(cand_ids), "id")
-                     .select(F.col("id").alias("_cid"),
-                             F.col("vec").alias("_cv")))
-        new_vecs = _vec_rows(new_batch, params) \
-            .select(F.col("id").alias("_nid"), F.col("vec").alias("_nv"))
-        verified = (cands
-                    .join(F.broadcast(new_vecs), "_nid")
-                    .join(cand_vecs, "_cid")
-                    .withColumn("_cos", cosine_pd(
-                        F.col("_nv").cast("array<double>"),
-                        F.col("_cv").cast("array<double>")))
-                    .where(F.col("_cos") >= threshold))
-        from pyspark.sql import Window
-        w = Window.partitionBy("_nid").orderBy(F.desc("_cos"),
-                                               F.asc("_cid"))
-        near = (verified.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .select(F.col("_nid"),
-                        F.col("_cid").alias("match_id"),
-                        F.round(F.col("_cos"), 6).alias("cos"))
-                .withColumn("verdict", F.lit("near")))
-        out = (new_batch.select(F.col(id_col).alias("_nid"))
-               .join(near, "_nid", "left")
-               .select(F.col("_nid").alias(id_col),
-                       F.coalesce(F.col("verdict"), F.lit("unique"))
-                        .alias("verdict"),
-                       F.col("match_id"), F.col("cos")))
-        return out, [new_batch]
+    new_bands = _band_rows(new_batch, params) \
+        .withColumnRenamed("id", "_nid")
+    cands = (band_idx.join(F.broadcast(new_bands), ["band", "sig"])
+             .select(F.col("_nid"), F.col("id").alias("_cid"))
+             .distinct())
+    # Fetch vectors ONLY for candidate index ids: broadcast the id
+    # list so the vecs scan prunes and needs no shuffle.
+    cand_ids = cands.select(F.col("_cid").alias("id")).distinct()
+    cand_vecs = (vec_idx.join(F.broadcast(cand_ids), "id")
+                 .select(F.col("id").alias("_cid"),
+                         F.col("vec").alias("_cv")))
+    new_vecs = _vec_rows(new_batch, params) \
+        .select(F.col("id").alias("_nid"), F.col("vec").alias("_nv"))
+    verified = (cands
+                .join(F.broadcast(new_vecs), "_nid")
+                .join(cand_vecs, "_cid")
+                .withColumn("_cos", cosine_pd(
+                    F.col("_nv").cast("array<double>"),
+                    F.col("_cv").cast("array<double>")))
+                .where(F.col("_cos") >= threshold))
+    from pyspark.sql import Window
+    w = Window.partitionBy("_nid").orderBy(F.desc("_cos"),
+                                           F.asc("_cid"))
+    near = (verified.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("_nid"),
+                    F.col("_cid").alias("match_id"),
+                    F.round(F.col("_cos"), 6).alias("cos"))
+            .withColumn("verdict", F.lit("near")))
+    out = (new_batch.select(F.col(id_col).alias("_nid"))
+           .join(near, "_nid", "left")
+           .select(F.col("_nid").alias(id_col),
+                   F.coalesce(F.col("verdict"), F.lit("unique"))
+                    .alias("verdict"),
+                   F.col("match_id"), F.col("cos")))
+    return out, [new_batch]
 
 
 def append_embedding_batch(admitted: DataFrame, path: str) -> None:
